@@ -1,0 +1,279 @@
+"""Distributed N-D histogramming ("binning") — the engine's core aggregation.
+
+The reference orchestrates per-partition Numba histograms and tree-combines
+the partials on the driver (sed/binning/binning.py:204-437). On Spark the
+whole thing is ONE declarative aggregation::
+
+    df.select(bin-index exprs).groupBy(idx_0..idx_{D-1}).count()
+
+Catalyst/Tungsten give the per-partition partial aggregation (the analogue of
+the reference's per-partition kernels), the shuffle-combine (the analogue of
+its tree-sum), whole-stage codegen on the index arithmetic, and AQE-sized
+shuffles — so the same plan runs unchanged from 6k rows to 100 TB. Only the
+occupied cells (<= prod(bins) rows, small by construction) ever reach the
+driver, where they are scattered into the dense float32 cube the reference
+API promises.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sed_binning_spark.binning.expressions import bin_index_expr, bin_index_expr_edges
+from sed_binning_spark.binning.utils import (
+    bin_centers_to_bin_edges,
+    simplify_binning_arguments,
+)
+from sed_binning_spark.cube import Cube
+
+_IDX_PREFIX = "__bin_idx_"
+
+
+def _axis_coords(bins, axes, ranges) -> dict[str, np.ndarray]:
+    """Bin-center coordinate axes for the output cube.
+
+    Int-bins path: centers are ``linspace(lo, hi, n, endpoint=False)``
+    (binning.py:304-317 in the reference — the given range denotes first/last
+    bin centers, paired with the half-bin edge shift in the index expr).
+    Array path: the given arrays ARE the centers.
+    """
+    if isinstance(bins[0], np.ndarray):
+        return {ax: np.asarray(b, dtype=float) for ax, b in zip(axes, bins)}
+    return {
+        ax: np.linspace(r[0], r[1], n, endpoint=False)
+        for ax, r, n in zip(axes, ranges, bins)
+    }
+
+
+def bin_index_columns(
+    df: DataFrame,
+    bins,
+    axes: Sequence[str] | None = None,
+    ranges: Sequence[tuple[float, float]] | None = None,
+) -> tuple[DataFrame, list[str], dict[str, np.ndarray], list]:
+    """Build the bin-index column expressions for the requested axes.
+
+    Returns (df, index column names, coordinate axes, index exprs). Rows
+    whose value is out of range / NaN / NULL get a NULL index (dropped by the
+    aggregation).
+    """
+    bins, axes, ranges = simplify_binning_arguments(bins, axes, ranges)
+
+    # Binning requires numeric columns (reference rejects object dtypes,
+    # sed/binning/binning.py:174-180).
+    numeric = {"int", "bigint", "smallint", "tinyint", "float", "double", "decimal"}
+    for ax in axes:
+        if ax not in df.columns:
+            raise KeyError(f"Axis column {ax!r} not in dataframe columns {df.columns}")
+        dtype = dict(df.dtypes)[ax]
+        if dtype.split("(")[0] not in numeric:
+            raise ValueError(
+                f"Binning requires numeric columns; column {ax!r} has type {dtype}.",
+            )
+
+    coords = _axis_coords(bins, axes, ranges)
+    idx_cols: list[str] = []
+    exprs = []
+    for d, ax in enumerate(axes):
+        name = f"{_IDX_PREFIX}{d}"
+        if isinstance(bins[d], np.ndarray):
+            edges = bin_centers_to_bin_edges(bins[d])
+            expr = bin_index_expr_edges(ax, edges)
+        else:
+            lo, hi = ranges[d]
+            expr = bin_index_expr(ax, bins[d], lo, hi, half_bin_shift=True)
+        exprs.append(expr.alias(name))
+        idx_cols.append(name)
+    return df, idx_cols, coords, exprs
+
+
+def bin_dataframe(
+    df: DataFrame,
+    bins=100,
+    axes: Sequence[str] | None = None,
+    ranges: Sequence[tuple[float, float]] | None = None,
+    jitter=None,
+    filters: Sequence[dict] | None = None,
+    return_partitions: bool = False,
+    partition_column: str = "file_id",
+    jitter_seed: int | None = None,
+) -> Cube:
+    """N-dimensional histogram of the dataframe -> dense float32 Cube.
+
+    Spark-first replacement for bin_dataframe (sed/binning/binning.py:204-437):
+    one groupBy aggregation instead of a hand-scheduled partition loop. The
+    reference's hist_mode/mode/n_cores/pbar execution knobs are obsolete
+    (Catalyst owns physical execution) and intentionally absent.
+
+    Args:
+        df: event dataframe.
+        bins/axes/ranges: flexible binning spec (ints+ranges = ranges are
+            first/last bin CENTERS; arrays = explicit bin centers; tuples =
+            (start, stop, n); dict = {axis: spec}).
+        jitter: None, or sequence of column names / dict {col: {amplitude,
+            mode}} — adds binsize-scaled noise to the binned copy of those
+            axes (bin_partition's inline jitter, binning.py:152-172).
+        filters: optional pre-binning filters, each
+            {col, lower_bound, upper_bound} with OPEN interval semantics
+            (sed/core/processor.py:2218-2234).
+        return_partitions: append a trailing ``df_part`` axis keyed by
+            ``partition_column`` (A8; binning.py:413-421 — used for bias-series
+            energy calibration).
+        jitter_seed: seed for reproducible jitter (the reference is unseeded;
+            tests pin this).
+
+    Returns:
+        Cube with float32 counts and bin-center coordinate axes.
+    """
+    bins, axes, ranges = simplify_binning_arguments(bins, axes, ranges)
+
+    if filters is not None:
+        from sed_binning_spark.core.dfops import apply_filter
+
+        for spec in filters:
+            spec = dict(spec)
+            col = spec.pop("col", None)
+            if col is None:
+                raise ValueError("filter spec requires a 'col' key")
+            lower = spec.pop("lower_bound", -np.inf)
+            upper = spec.pop("upper_bound", np.inf)
+            if spec:
+                raise ValueError(f"unknown filter keys: {sorted(spec)}")
+            df = apply_filter(df, col, lower, upper)
+
+    if jitter is not None:
+        df = _apply_binning_jitter(df, jitter, bins, axes, ranges, seed=jitter_seed)
+
+    df, idx_cols, coords, exprs = bin_index_columns(df, bins, axes, ranges)
+
+    group_cols = list(exprs)
+    out_names = list(idx_cols)
+    if return_partitions:
+        if partition_column not in df.columns:
+            raise KeyError(
+                f"return_partitions needs a {partition_column!r} column in the dataframe",
+            )
+        group_cols.append(F.col(partition_column).alias("__df_part"))
+        out_names.append("__df_part")
+
+    sparse = (
+        df.select(*group_cols)
+        .dropna()
+        .groupBy(*[F.col(n) for n in out_names])
+        .count()
+        .collect()
+    )
+
+    shape = [coords[ax].size for ax in axes]
+    dims = list(axes)
+    if return_partitions:
+        parts = sorted({int(r["__df_part"]) for r in sparse})
+        part_index = {p: i for i, p in enumerate(parts)}
+        shape.append(len(parts))
+        dims.append("df_part")
+        coords = {**coords, "df_part": np.asarray(parts)}
+
+    full = np.zeros(tuple(shape), dtype=np.float64)
+    for row in sparse:
+        key = tuple(int(row[n]) for n in idx_cols)
+        if return_partitions:
+            key = key + (part_index[int(row["__df_part"])],)
+        full[key] = row["count"]
+
+    return Cube(full.astype(np.float32), coords, dims)
+
+
+def _apply_binning_jitter(df, jitter, bins, axes, ranges, seed=None):
+    """Inline binsize-scaled jitter on the binned copies of selected axes
+    (bin_partition's jitter path, sed/binning/binning.py:152-172)."""
+    from sed_binning_spark.core.dfops import apply_jitter
+
+    if isinstance(jitter, str):
+        jitter = [jitter]
+    if not isinstance(jitter, dict):
+        jitter = {k: None for k in jitter}
+    for col, jpars in jitter.items():
+        if col not in axes:
+            continue
+        jpars = dict(jpars or {})
+        amp = jpars.get("amplitude", 0.5)
+        mode = jpars.get("mode", "uniform")
+        d = axes.index(col)
+        if isinstance(bins[d], np.ndarray):
+            centers = bins[d]
+            binsize = abs(float(centers[1]) - float(centers[0]))
+            if not np.allclose(binsize, abs(float(centers[-2]) - float(centers[-3]))):
+                raise ValueError(f"bins along {col} are not uniform. Cannot apply jitter.")
+        else:
+            lo, hi = ranges[d]
+            binsize = abs(hi - lo) / bins[d]
+        df = apply_jitter(df, cols=[col], amps=amp * binsize, jitter_type=mode, seed=seed)
+    return df
+
+
+def normalization_histogram_from_timestamps(
+    df: DataFrame,
+    axis: str,
+    bin_centers: np.ndarray,
+    time_stamp_column: str,
+    order_columns: Sequence[str] = ("file_id", "row_id"),
+) -> Cube:
+    """Per-bin acquisition time from event timestamps (A9; reference
+    sed/binning/binning.py:440-473): time_per_electron = diff(timestamps) in
+    event order, summed per bin of ``axis``.
+
+    The lag runs inside per-file windows (partitionBy file) so the sort
+    shuffles only within files — at 100 TB a single global orderBy window
+    would serialize on one task. The first event of each file gets a NULL
+    diff exactly like the reference's first row overall.
+    """
+    from pyspark.sql.window import Window
+
+    part_col, row_col = order_columns
+    if part_col in df.columns:
+        w = Window.partitionBy(part_col).orderBy(row_col)
+    else:
+        w = Window.orderBy(row_col)
+    dt = (F.col(time_stamp_column) - F.lag(time_stamp_column).over(w)).alias("__dt")
+
+    edges = bin_centers_to_bin_edges(bin_centers)
+    idx = bin_index_expr_edges(axis, edges).alias("__bin")
+    rows = (
+        df.select(idx, dt)
+        .where(F.col("__bin").isNotNull())
+        .groupBy("__bin")
+        .agg(F.sum("__dt").alias("__t"))
+        .collect()
+    )
+    hist = np.zeros(len(bin_centers), dtype=float)
+    for r in rows:
+        if r["__t"] is not None:
+            hist[int(r["__bin"])] = r["__t"]
+    return Cube(hist, {axis: np.asarray(bin_centers, dtype=float)})
+
+
+def normalization_histogram_from_timed_dataframe(
+    df: DataFrame,
+    axis: str,
+    bin_centers: np.ndarray,
+    time_unit: float,
+) -> Cube:
+    """Per-bin acquisition time from the timed (fixed-rate) dataframe (A10;
+    reference sed/binning/binning.py:476-508): count per bin x time_unit."""
+    edges = bin_centers_to_bin_edges(bin_centers)
+    idx = bin_index_expr_edges(axis, edges).alias("__bin")
+    rows = (
+        df.select(idx)
+        .where(F.col("__bin").isNotNull())
+        .groupBy("__bin")
+        .count()
+        .collect()
+    )
+    hist = np.zeros(len(bin_centers), dtype=float)
+    for r in rows:
+        hist[int(r["__bin"])] = r["count"] * time_unit
+    return Cube(hist, {axis: np.asarray(bin_centers, dtype=float)})

@@ -1,0 +1,431 @@
+"""Energy calibration / correction transforms as Catalyst expressions.
+
+Every operator here is an append-a-column expression factory parameterized by
+a calibration dict whose values become literals in the plan (the reference
+computes them per-partition in Python: sed/calibrator/energy.py). Staying in
+expressions keeps the whole transform chain inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# m_e/2 in eV * (ns/m)^2 — the reference's hard constant
+# (sed/calibrator/energy.py:2369).
+_TOF2EV_CONST = 2.84281e-12
+
+
+# ---------------------------------------------------------------------------
+# M3/M4/M5: TOF -> energy / ns conversions (energy.py:2338-2421)
+# ---------------------------------------------------------------------------
+def tof2ev_expr(
+    t: str | Column,
+    tof_distance: float,
+    time_offset: float,
+    binwidth: float,
+    binning: int,
+    energy_scale: str,
+    energy_offset: float,
+) -> Column:
+    """``E = 2.84281e-12 * sign * (d / (t*binwidth*2^binning - t0))^2 + E0``
+    (sed/calibrator/energy.py:2338-2374). ``t`` is upcast to double first,
+    matching energy.py:870."""
+    c = (F.col(t) if isinstance(t, str) else t).cast("double")
+    sign = 1.0 if energy_scale == "kinetic" else -1.0
+    tof_ns = c * F.lit(float(binwidth)) * F.lit(float(2.0**binning))
+    ratio = F.lit(float(tof_distance)) / (tof_ns - F.lit(float(time_offset)))
+    return F.lit(_TOF2EV_CONST * sign) * ratio * ratio + F.lit(float(energy_offset))
+
+
+def tof2ev_sql(
+    t: str,
+    tof_distance: float,
+    time_offset: float,
+    binwidth: float,
+    binning: int,
+    energy_scale: str,
+    energy_offset: float,
+) -> str:
+    """DuckDB twin of :func:`tof2ev_expr`, same literal arithmetic."""
+    sign = 1.0 if energy_scale == "kinetic" else -1.0
+    ratio = (
+        f"({tof_distance!r} / (CAST({t} AS DOUBLE) * {float(binwidth)!r} * "
+        f"{float(2.0 ** binning)!r} - {float(time_offset)!r}))"
+    )
+    return f"{_TOF2EV_CONST * sign!r} * {ratio} * {ratio} + {float(energy_offset)!r}"
+
+
+def tof2evpoly_expr(
+    t: str | Column,
+    poly_a: Sequence[float],
+    energy_offset: float,
+) -> Column:
+    """Polynomial TOF->energy: ``E = sum_i a_i * t^i + E0`` with ``poly_a``
+    given highest-order-first and NO constant term
+    (sed/calibrator/energy.py:2377-2401: reversed coefficients multiply
+    t^1..t^n). Built in the same ascending-power accumulation order."""
+    c = (F.col(t) if isinstance(t, str) else t).cast("double")
+    coeffs = list(np.asarray(poly_a, dtype=float)[::-1])  # ascending order, t^1 first
+    energy: Column = F.lit(0.0)
+    power = c
+    for a in coeffs:
+        energy = energy + F.lit(float(a)) * power
+        power = power * c
+    return energy + F.lit(float(energy_offset))
+
+
+def tof2ns_expr(t: str | Column, binwidth: float, binning: int) -> Column:
+    """``t_ns = t * 1e9 * binwidth * 2^binning``
+    (sed/calibrator/energy.py:2404-2421)."""
+    c = (F.col(t) if isinstance(t, str) else t).cast("double")
+    return c * F.lit(1e9) * F.lit(float(binwidth)) * F.lit(float(2.0**binning))
+
+
+def append_energy_axis(
+    df: DataFrame,
+    calibration: dict,
+    tof_column: str = "t",
+    energy_column: str = "energy",
+) -> tuple[DataFrame, dict]:
+    """Append the calibrated energy column using either the fit form
+    (``calib_type='fit'``: d/t0/E0) or the poly form (``'poly'``: coeffs+E0)
+    — reference apply_energy_calibration sed/calibrator/energy.py:853-885."""
+    if tof_column not in df.columns:
+        raise KeyError(f"TOF column {tof_column!r} not in dataframe")
+    calib_type = calibration.get("calib_type")
+    if calib_type is None:
+        if {"d", "t0", "E0"} <= set(calibration):
+            calib_type = "fit"
+        elif {"coeffs", "E0"} <= set(calibration):
+            calib_type = "poly"
+        else:
+            raise ValueError("No valid calibration parameters provided!")
+    if calib_type == "fit":
+        expr = tof2ev_expr(
+            tof_column,
+            tof_distance=calibration["d"],
+            time_offset=calibration["t0"],
+            binwidth=calibration.get("binwidth", 4.125e-12),
+            binning=calibration.get("binning", 1),
+            energy_scale=calibration.get("energy_scale", "kinetic"),
+            energy_offset=calibration["E0"],
+        )
+    elif calib_type == "poly":
+        expr = tof2evpoly_expr(tof_column, calibration["coeffs"], calibration["E0"])
+    else:
+        raise ValueError(f"Invalid calibration type: {calib_type}")
+    return df.withColumn(energy_column, expr), {"calibration": dict(calibration)}
+
+
+def append_tof_ns_axis(
+    df: DataFrame,
+    tof_column: str = "t",
+    tof_ns_column: str = "t_ns",
+    binwidth: float = 4.125e-12,
+    binning: int = 1,
+) -> tuple[DataFrame, dict]:
+    """Append TOF-in-nanoseconds column (energy.py:893-938)."""
+    if tof_column not in df.columns:
+        raise KeyError(f"TOF column {tof_column!r} not in dataframe")
+    out = df.withColumn(tof_ns_column, tof2ns_expr(tof_column, binwidth, binning))
+    return out, {"binwidth": binwidth, "binning": binning}
+
+
+# ---------------------------------------------------------------------------
+# M6: TOF correction by 2-D profile around a center (energy.py:1313-1408,
+# kernel :1670-1782)
+# ---------------------------------------------------------------------------
+def correction_expr(
+    x: str | Column,
+    y: str | Column,
+    correction_type: str,
+    center: tuple[float, float],
+    amplitude: float,
+    **kwds,
+) -> Column:
+    """The four closed-form correction profiles of correction_function
+    (energy.py:1670-1782), as a single Column expression."""
+    cx = (F.col(x) if isinstance(x, str) else x).cast("double")
+    cy = (F.col(y) if isinstance(y, str) else y).cast("double")
+    dx = cx - F.lit(float(center[0]))
+    dy = cy - F.lit(float(center[1]))
+    amplitude = float(amplitude)
+
+    if correction_type == "spherical":
+        if "diameter" not in kwds:
+            raise ValueError(
+                "Parameter 'diameter' required for correction type 'spherical' but not provided!",
+            )
+        d = float(kwds["diameter"])
+        return -(
+            (F.lit(1.0) - F.sqrt(F.lit(1.0) - (dx * dx + dy * dy) / F.lit(d**2)))
+            * F.lit(100.0 * amplitude)
+        )
+    if correction_type == "Lorentzian":
+        if "gamma" not in kwds:
+            raise ValueError(
+                "Parameter 'gamma' required for correction type 'Lorentzian' but not provided!",
+            )
+        g = float(kwds["gamma"])
+        return F.lit(100000.0 * amplitude / (g * np.pi)) * (
+            F.lit(g**2) / (dx * dx + dy * dy + F.lit(g**2)) - F.lit(1.0)
+        )
+    if correction_type == "Gaussian":
+        if "sigma" not in kwds:
+            raise ValueError(
+                "Parameter 'sigma' required for correction type 'Gaussian' but not provided!",
+            )
+        s = float(kwds["sigma"])
+        return F.lit(20000.0 * amplitude / np.sqrt(2 * np.pi * s**2)) * (
+            F.exp(-(dx * dx + dy * dy) / F.lit(2 * s**2)) - F.lit(1.0)
+        )
+    if correction_type == "Lorentzian_asymmetric":
+        if "gamma" not in kwds:
+            raise ValueError(
+                "Parameter 'gamma' required for correction type "
+                "'Lorentzian_asymmetric' but not provided!",
+            )
+        g = float(kwds["gamma"])
+        g2 = float(kwds.get("gamma2", g))
+        a2 = float(kwds.get("amplitude2", amplitude))
+        corr = F.lit(100000.0 * amplitude / (g * np.pi)) * (
+            F.lit(g**2) / (dy * dy + F.lit(g**2)) - F.lit(1.0)
+        )
+        return corr + F.lit(100000.0 * a2 / (g2 * np.pi)) * (
+            F.lit(g2**2) / (dx * dx + F.lit(g2**2)) - F.lit(1.0)
+        )
+    raise NotImplementedError(f"Correction type '{correction_type}' not implemented!")
+
+
+def apply_energy_correction(
+    df: DataFrame,
+    correction: dict,
+    tof_column: str = "t",
+    new_tof_column: str = "tm",
+    x_column: str = "X",
+    y_column: str = "Y",
+) -> tuple[DataFrame, dict]:
+    """``t' = t + f(x, y)`` with f one of the four profiles
+    (apply_energy_correction, energy.py:1313-1408)."""
+    corr = dict(correction)
+    ctype = corr.pop("correction_type")
+    center = tuple(corr.pop("center"))
+    amplitude = corr.pop("amplitude")
+    expr = F.col(tof_column) + correction_expr(
+        x_column, y_column, ctype, center, amplitude, **corr,
+    )
+    meta = {"correction": dict(correction)}
+    return df.withColumn(new_tof_column, expr), meta
+
+
+# ---------------------------------------------------------------------------
+# M7: DLD sector alignment (energy.py:1428-1474)
+# ---------------------------------------------------------------------------
+def align_dld_sectors(
+    df: DataFrame,
+    sector_delays: Sequence[float],
+    tof_column: str = "dldTimeSteps",
+    sector_id_column: str = "dldSectorID",
+) -> tuple[DataFrame, dict]:
+    """``t' = (t - sector_delays[sectorID]).cast(float32)``
+    (align_dld_sectors, energy.py:1428-1474). The delay table is tiny: an
+    array-literal element_at lookup — pure expression, no join, no Python."""
+    if sector_id_column not in df.columns:
+        raise KeyError(f"sector column {sector_id_column!r} not in dataframe")
+    delays = [float(d) for d in sector_delays]
+    arr = F.array(*[F.lit(d) for d in delays])
+    # element_at is 1-indexed; sector ids are 0-based
+    shifted = F.col(tof_column) - F.element_at(arr, F.col(sector_id_column).cast("int") + 1)
+    out = df.withColumn(tof_column, shifted.cast("float"))
+    return out, {"sector_delays": delays}
+
+
+# ---------------------------------------------------------------------------
+# Energy offsets wrapper (energy.py:1476-1646): delegates to
+# offset_by_other_columns with the binding-scale sign flip.
+# ---------------------------------------------------------------------------
+def add_offsets(
+    df: DataFrame,
+    energy_column: str = "energy",
+    columns: str | Sequence[str] | None = None,
+    weights: float | Sequence[float] = 1.0,
+    reductions: str | Sequence[str] | None = None,
+    preserve_mean: bool | Sequence[bool] = False,
+    constant: float | None = None,
+    energy_scale: str = "kinetic",
+) -> tuple[DataFrame, dict]:
+    """Offset the energy axis by other columns and/or a constant, flipping
+    signs on the binding-energy scale (energy.py:1525-1531, 1593-1641)."""
+    from sed_binning_spark.core.dfops import offset_by_other_columns
+
+    scale_sign = -1.0 if energy_scale == "binding" else 1.0
+    meta: dict = {"applied": True, "energy_scale": energy_scale}
+    if columns is not None:
+        if isinstance(columns, str):
+            columns = [columns]
+        if isinstance(weights, (int, float)):
+            weights = [float(weights)] * len(columns)
+        weights = [scale_sign * float(w) for w in weights]
+        df = offset_by_other_columns(
+            df,
+            target_column=energy_column,
+            offset_columns=columns,
+            weights=weights,
+            reductions=reductions,
+            preserve_mean=preserve_mean,
+        )
+        meta.update({"columns": list(columns), "weights": weights})
+    if constant is not None:
+        df = df.withColumn(
+            energy_column,
+            F.col(energy_column) + F.lit(scale_sign * float(constant)),
+        )
+        meta["constant"] = constant
+    return df, meta
+
+
+# ---------------------------------------------------------------------------
+# F4 (driver-side): energy calibration fits, numpy-only
+# ---------------------------------------------------------------------------
+def poly_energy_calibration(
+    pos: Sequence[float],
+    vals: Sequence[float],
+    order: int = 3,
+    ref_id: int = 0,
+    t: Sequence[float] | None = None,
+    aug: int = 1,
+    method: str = "lstsq",
+) -> dict:
+    """Polynomial TOF->energy calibration from bias-series feature positions
+    (poly_energy_calibration, energy.py:2226-2335): solve the pairwise
+    difference system T a = -dE for the poly coefficients (no constant term),
+    then E0 = -(poly(t_ref) + val_ref).
+
+    Pure NumPy (the reference uses numpy.linalg.lstsq / scipy lsqr; scipy is
+    optional here and lstsq covers both).
+    """
+    pos = np.asarray(pos, dtype=float)
+    vals = np.asarray(vals, dtype=float)
+    if pos.size != vals.size:
+        raise ValueError("pos and vals need to have the same number of elements")
+
+    term_ref = np.stack([pos[ref_id] ** p for p in range(order, 0, -1)], axis=0)
+    terms = np.stack(
+        [np.stack([p_ ** p for p in range(order, 0, -1)], axis=0) for p_ in pos],
+        axis=0,
+    )
+    t_mat = np.tile(term_ref, (pos.size, 1)) - terms  # pairwise differences
+    bvec = vals[ref_id] - vals
+    # augment duplicates the reference row block, as in the reference
+    t_main = np.tile(t_mat, (aug, 1))
+    b_main = np.tile(bvec, aug)
+    poly_a = np.linalg.lstsq(t_main, b_main, rcond=None)[0]
+
+    e_offset = -(np.polyval(np.append(poly_a, 0.0), pos[ref_id]) + vals[ref_id])
+    ecalib = {
+        "d": None,
+        "t0": None,
+        "E0": float(e_offset),
+        "coeffs": [float(a) for a in poly_a],
+        "calib_type": "poly",
+        "axis": None if t is None else np.asarray(t),
+        "energy_scale": "kinetic",
+    }
+    if t is not None:
+        ecalib["axis"] = tof2evpoly_np(poly_a, float(e_offset), np.asarray(t, dtype=float))
+    return ecalib
+
+
+def fit_energy_calibration(
+    pos: Sequence[float],
+    vals: Sequence[float],
+    binwidth: float,
+    binning: int,
+    ref_energy: float,
+    t: Sequence[float] | None = None,
+    energy_scale: str = "kinetic",
+    d0: float = 1.0,
+    t0_0: float = 1e-6,
+) -> dict:
+    """Nonlinear fit of ``E = sign*2.84281e-12*(d/(t_ns - t0))^2 + E0``
+    (fit_energy_calibration, energy.py:2090-2224). The reference uses lmfit;
+    here a damped Gauss-Newton on (d, t0) with E0 eliminated analytically —
+    pure NumPy, same model and typically identical minima for these smooth
+    1-parameter-family problems.
+
+    pos: TOF bin positions of features; vals: bias voltages (feature
+    energies); ref_energy: energy of the reference feature.
+    """
+    pos = np.asarray(pos, dtype=float)
+    vals = np.asarray(vals, dtype=float)
+    sign = 1.0 if energy_scale == "kinetic" else -1.0
+    binw = float(binwidth) * 2.0**binning  # seconds per TOF step
+    t_ns = pos * binw * 1e9  # the model below works in ns via tof2ev form
+
+    # model(E_i) = sign*C*(d/(t_ns_i - t0))^2 ; data: vals relative shift
+    # The reference fits E_i = sign*C*(d/(t_i - t0))^2 + E0 to (pos, vals).
+    def model(d, t0):
+        return sign * _TOF2EV_CONST * (d / (t_ns - t0)) ** 2
+
+    def resid(d, t0):
+        m = model(d, t0)
+        e0 = np.mean(vals - m)
+        return m + e0 - vals, e0
+
+    d, t0 = float(d0), float(t0_0) * 1e9  # work in ns
+    lam = 1e-3
+    r, e0 = resid(d, t0)
+    cost = float(r @ r)
+    for _ in range(200):
+        eps_d = max(abs(d), 1e-9) * 1e-7
+        eps_t = max(abs(t0), 1e-9) * 1e-7 + 1e-12
+        jd = (resid(d + eps_d, t0)[0] - r) / eps_d
+        jt = (resid(d, t0 + eps_t)[0] - r) / eps_t
+        jac = np.stack([jd, jt], axis=1)
+        jtj = jac.T @ jac + lam * np.eye(2)
+        step = np.linalg.solve(jtj, -jac.T @ r)
+        d_new, t0_new = d + step[0], t0 + step[1]
+        r_new, e0_new = resid(d_new, t0_new)
+        cost_new = float(r_new @ r_new)
+        if cost_new < cost:
+            d, t0, r, e0, cost = d_new, t0_new, r_new, e0_new, cost_new
+            lam = max(lam / 3, 1e-12)
+            if abs(cost_new - cost) < 1e-18:
+                break
+        else:
+            lam *= 10
+            if lam > 1e12:
+                break
+
+    # Pin E0 so the reference feature (last entry, as appended by the
+    # reference's calibrate(), energy.py:2205-2212) lands exactly at
+    # ref_energy.
+    e0 = float(ref_energy - model(d, t0)[-1])
+    ecalib = {
+        "d": float(d),
+        "t0": float(t0),  # ns, consumed by tof2ev_expr's time_offset
+        "E0": float(e0),
+        "calib_type": "fit",
+        "energy_scale": energy_scale,
+        "binwidth": binwidth,
+        "binning": binning,
+    }
+    if t is not None:
+        t_ns_axis = np.asarray(t, dtype=float) * binw * 1e9
+        ecalib["axis"] = sign * _TOF2EV_CONST * (d / (t_ns_axis - t0)) ** 2 + e0
+    return ecalib
+
+
+def tof2evpoly_np(poly_a, energy_offset: float, t: np.ndarray) -> np.ndarray:
+    """NumPy twin of tof2evpoly (for driver-side calibration axes)."""
+    coeffs = np.asarray(poly_a, dtype=float)[::-1]
+    energy = np.zeros_like(t, dtype=float)
+    power = np.asarray(t, dtype=float).copy()
+    for a in coeffs:
+        energy += a * power
+        power = power * t
+    return energy + energy_offset

@@ -1,0 +1,250 @@
+"""Momentum correction and calibration (reference: sed/calibrator/momentum.py).
+
+Two operators touch the event table:
+- M10 momentum calibration: a pure linear Column expression (k-axis append).
+- M9 distortion correction: per-event bilinear lookup into a precomputed
+  inverse deformation field — the one operator that genuinely needs Python.
+  The (2, H, W) grid is closed over by an Arrow-batched pandas_udf (Spark
+  ships it once per executor via task broadcast), and the interpolation is
+  vectorized NumPy over whole record batches.
+
+The driver-side field *estimation* (spline warp, pose adjustment, inverse
+field generation — reference F6-F8) operates on small grids, not events.
+``generate_inverse_dfield`` is provided in pure NumPy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# M10: detector -> k linear calibration (momentum.py:1836-1916, kernel
+# :1997-2032)
+# ---------------------------------------------------------------------------
+def k_coordinate_exprs(
+    x: str | Column,
+    y: str | Column,
+    rstart: float,
+    cstart: float,
+    x_center: float,
+    y_center: float,
+    kx_scale: float,
+    ky_scale: float,
+    rstep: float,
+    cstep: float,
+) -> tuple[Column, Column]:
+    """``k_r = kx_scale*((r - r_det0)/rstep)`` with
+    ``r_det0 = rstart + rstep*x_center`` (and the column analogue) —
+    detector_coordinates_2_k_coordinates, momentum.py:1997-2032."""
+    cx = (F.col(x) if isinstance(x, str) else x).cast("double")
+    cy = (F.col(y) if isinstance(y, str) else y).cast("double")
+    r_det0 = float(rstart) + float(rstep) * float(x_center)
+    c_det0 = float(cstart) + float(cstep) * float(y_center)
+    k_r = F.lit(float(kx_scale)) * ((cx - F.lit(r_det0)) / F.lit(float(rstep)))
+    k_c = F.lit(float(ky_scale)) * ((cy - F.lit(c_det0)) / F.lit(float(cstep)))
+    return k_r, k_c
+
+
+def k_coordinate_sql(
+    x: str,
+    y: str,
+    rstart: float,
+    cstart: float,
+    x_center: float,
+    y_center: float,
+    kx_scale: float,
+    ky_scale: float,
+    rstep: float,
+    cstep: float,
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`k_coordinate_exprs`."""
+    r_det0 = float(rstart) + float(rstep) * float(x_center)
+    c_det0 = float(cstart) + float(cstep) * float(y_center)
+    kx = f"{float(kx_scale)!r} * ((CAST({x} AS DOUBLE) - {r_det0!r}) / {float(rstep)!r})"
+    ky = f"{float(ky_scale)!r} * ((CAST({y} AS DOUBLE) - {c_det0!r}) / {float(cstep)!r})"
+    return kx, ky
+
+
+def append_k_axis(
+    df: DataFrame,
+    calibration: dict,
+    x_column: str = "X",
+    y_column: str = "Y",
+    new_x_column: str = "kx",
+    new_y_column: str = "ky",
+    corrected_x_column: str = "Xm",
+    corrected_y_column: str = "Ym",
+) -> tuple[DataFrame, dict]:
+    """Append (kx, ky) momentum columns (append_k_axis,
+    momentum.py:1836-1916). Uses the distortion-corrected X/Y columns when
+    present (momentum.py:1870-1879), resolved at plan time."""
+    if corrected_x_column in df.columns:
+        x_column = corrected_x_column
+    if corrected_y_column in df.columns:
+        y_column = corrected_y_column
+    try:
+        kx, ky = k_coordinate_exprs(
+            x_column,
+            y_column,
+            rstart=calibration["rstart"],
+            cstart=calibration["cstart"],
+            x_center=calibration["x_center"],
+            y_center=calibration["y_center"],
+            kx_scale=calibration["kx_scale"],
+            ky_scale=calibration["ky_scale"],
+            rstep=calibration["rstep"],
+            cstep=calibration["cstep"],
+        )
+    except KeyError as exc:
+        raise ValueError("Required calibration parameters missing!") from exc
+    out = df.withColumns({new_x_column: kx, new_y_column: ky})
+    return out, {"calibration": dict(calibration)}
+
+
+# ---------------------------------------------------------------------------
+# M9: inverse-deformation-field lookup (momentum.py:1677-1760, kernel
+# :2035-2071)
+# ---------------------------------------------------------------------------
+def map_coordinates_bilinear(
+    grid: np.ndarray,
+    rows: np.ndarray,
+    cols: np.ndarray,
+) -> np.ndarray:
+    """Pure-NumPy scipy.ndimage.map_coordinates(order=1, mode='constant',
+    cval=0): bilinear sample of ``grid`` at fractional (rows, cols);
+    neighbors outside the grid contribute 0."""
+    h, w = grid.shape
+    r0 = np.floor(rows).astype(np.int64)
+    c0 = np.floor(cols).astype(np.int64)
+    fr = rows - r0
+    fc = cols - c0
+    out = np.zeros(rows.shape, dtype=np.float64)
+    for dr, dc, wgt in (
+        (0, 0, (1 - fr) * (1 - fc)),
+        (0, 1, (1 - fr) * fc),
+        (1, 0, fr * (1 - fc)),
+        (1, 1, fr * fc),
+    ):
+        rr = r0 + dr
+        cc = c0 + dc
+        ok = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+        vals = np.zeros_like(out)
+        vals[ok] = grid[rr[ok], cc[ok]]
+        out += wgt * vals
+    # fully outside the valid coordinate domain -> cval (0), matching scipy
+    bad = (rows < -0.5) | (rows > h - 0.5) | (cols < -0.5) | (cols > w - 0.5)
+    out[bad] = 0.0
+    return out
+
+
+def apply_dfield(
+    df: DataFrame,
+    dfield: np.ndarray,
+    x_column: str = "X",
+    y_column: str = "Y",
+    new_x_column: str = "Xm",
+    new_y_column: str = "Ym",
+    detector_ranges=((0, 2048), (0, 2048)),
+) -> DataFrame:
+    """Distortion correction: per-event bilinear lookup into the inverse
+    deformation field, scaled by the axis step (apply_dfield,
+    momentum.py:2035-2071):
+
+        x' = interp2(dfield[0], x, y) * r_step
+        y' = interp2(dfield[1], x, y) * c_step
+
+    One Arrow-batched pandas_udf computing BOTH outputs per batch (struct
+    return) — the grid crosses to each executor once, events stream through
+    in columnar batches.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    dfield = np.ascontiguousarray(np.asarray(dfield, dtype=np.float64))
+    if dfield.ndim != 3 or dfield.shape[0] != 2:
+        raise ValueError(f"dfield must have shape (2, H, W), got {dfield.shape}")
+    r_step = (detector_ranges[0][1] - detector_ranges[0][0]) / dfield[0].shape[0]
+    c_step = (detector_ranges[1][1] - detector_ranges[1][0]) / dfield[0].shape[1]
+    grid_r, grid_c = dfield[0], dfield[1]
+
+    @pandas_udf("x double, y double")
+    def _lookup(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        rows = x.to_numpy(dtype=float)
+        cols = y.to_numpy(dtype=float)
+        new_x = map_coordinates_bilinear(grid_r, rows, cols) * r_step
+        new_y = map_coordinates_bilinear(grid_c, rows, cols) * c_step
+        return pd.DataFrame({"x": new_x, "y": new_y})
+
+    tmp = "__dfield_out"
+    out = df.withColumn(tmp, _lookup(F.col(x_column), F.col(y_column)))
+    out = out.withColumns(
+        {new_x_column: F.col(f"{tmp}.x"), new_y_column: F.col(f"{tmp}.y")},
+    ).drop(tmp)
+    return out
+
+
+def generate_inverse_dfield(
+    rdeform_field: np.ndarray,
+    cdeform_field: np.ndarray,
+    bin_ranges=((0, 2048), (0, 2048)),
+    detector_ranges=((0, 2048), (0, 2048)),
+) -> np.ndarray:
+    """Invert a forward deformation field (generate_inverse_dfield,
+    momentum.py:2074-2146). The reference rasterizes the forward-mapped
+    coordinates with scipy.interpolate.griddata; this pure-NumPy version
+    scatters the forward samples onto the target grid (nearest-cell deposit,
+    averaging collisions) and fills holes by iterative neighbor relaxation —
+    same output contract: an (2, H, W) inverse field for :func:`apply_dfield`.
+    """
+    h, w = rdeform_field.shape
+    rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    # forward field maps grid index -> deformed coordinate (in grid units)
+    fr = np.asarray(rdeform_field, dtype=float)
+    fc = np.asarray(cdeform_field, dtype=float)
+
+    inv = np.full((2, h, w), np.nan)
+    counts = np.zeros((h, w))
+    tr = np.rint(fr).astype(np.int64)
+    tc = np.rint(fc).astype(np.int64)
+    ok = (tr >= 0) & (tr < h) & (tc >= 0) & (tc < w) & np.isfinite(fr) & np.isfinite(fc)
+    sums_r = np.zeros((h, w))
+    sums_c = np.zeros((h, w))
+    np.add.at(sums_r, (tr[ok], tc[ok]), rr[ok])
+    np.add.at(sums_c, (tr[ok], tc[ok]), cc[ok])
+    np.add.at(counts, (tr[ok], tc[ok]), 1.0)
+    filled = counts > 0
+    inv[0][filled] = sums_r[filled] / counts[filled]
+    inv[1][filled] = sums_c[filled] / counts[filled]
+
+    # iterative hole fill: average of finite 4-neighbors until converged
+    for plane in (0, 1):
+        g = inv[plane]
+        for _ in range(4 * max(h, w)):
+            holes = np.isnan(g)
+            if not holes.any():
+                break
+            acc = np.zeros_like(g)
+            cnt = np.zeros_like(g)
+            for shift_ax, shift in ((0, 1), (0, -1), (1, 1), (1, -1)):
+                nb = np.roll(g, shift, axis=shift_ax)
+                if shift_ax == 0 and shift == 1:
+                    nb[0, :] = np.nan
+                elif shift_ax == 0:
+                    nb[-1, :] = np.nan
+                elif shift == 1:
+                    nb[:, 0] = np.nan
+                else:
+                    nb[:, -1] = np.nan
+                good = ~np.isnan(nb)
+                acc[good] += nb[good]
+                cnt[good] += 1
+            can_fill = holes & (cnt > 0)
+            g[can_fill] = acc[can_fill] / cnt[can_fill]
+        inv[plane] = g
+
+    # values are grid indices; apply_dfield multiplies by the axis step
+    # (momentum.py:2063-2066) to recover detector coordinates
+    return inv

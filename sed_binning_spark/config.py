@@ -1,0 +1,128 @@
+"""Layered YAML configuration, mirroring the reference's precedence rules.
+
+The reference merges (highest priority first): explicit config dict/file >
+folder config (./sed_config.yaml) > user config (~/.sed/config.yaml) >
+system config (/etc/sed/config.yaml) > package defaults
+(sed/core/config.py:19-141 in the reference). Same semantics here — a pure
+driver-side concern, no Spark involvement.
+
+Also hosts the column-role registry: canonical roles (x_column, tof_column,
+energy_column, ...) bound to concrete column names per instrument, and the
+``@role`` alias resolution used in axis specs (sed/core/processor.py:2102-2104).
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+from pathlib import Path
+
+import yaml
+
+# Engine defaults: the canonical column roles of the reference's default
+# config (sed/config/default.yaml:5-43), plus binning execution knobs.
+DEFAULT_CONFIG: dict = {
+    "core": {"loader": "generic"},
+    "dataframe": {
+        "x_column": "X",
+        "y_column": "Y",
+        "tof_column": "t",
+        "adc_column": "ADC",
+        "corrected_x_column": "Xm",
+        "corrected_y_column": "Ym",
+        "corrected_tof_column": "tm",
+        "kx_column": "kx",
+        "ky_column": "ky",
+        "energy_column": "energy",
+        "delay_column": "delay",
+        "time_stamp_alias": "timeStamps",
+        "timed_dataframe_unit_time": 0.001,
+        "jitter_cols": ["@x_column", "@y_column", "@tof_column"],
+        "jitter_amps": 0.5,
+    },
+    "binning": {
+        "hist_mode": "spark",
+        "mode": "fast",
+        "pbar": False,
+        "threads_per_worker": 4,
+        "threadpool_API": "blas",
+    },
+    "histogram": {},
+}
+
+
+def deep_merge(base: dict, override: dict) -> dict:
+    """Recursively merge ``override`` into ``base`` (override wins)."""
+    out = copy.deepcopy(base)
+    for k, v in override.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = deep_merge(out[k], v)
+        else:
+            out[k] = copy.deepcopy(v)
+    return out
+
+
+def load_yaml(path: str | Path) -> dict:
+    with open(path, encoding="utf-8") as fh:
+        return yaml.safe_load(fh) or {}
+
+
+def parse_config(
+    config: dict | str | Path | None = None,
+    folder_config: dict | str | Path | None = None,
+    user_config: dict | str | Path | None = None,
+    system_config: dict | str | Path | None = None,
+    default_config: dict | None = None,
+    verify: bool = False,
+) -> dict:
+    """Merge config layers with the reference's precedence
+    (sed/core/config.py:19-141): config > folder > user > system > default.
+
+    Each layer may be a dict, a path to a YAML file, or None. Missing files
+    are skipped silently (as in the reference).
+    """
+
+    def _as_dict(layer, default_path: str | None = None) -> dict:
+        if layer is None and default_path is not None:
+            layer = default_path
+        if layer is None:
+            return {}
+        if isinstance(layer, dict):
+            return layer
+        p = Path(layer)
+        if p.exists():
+            return load_yaml(p)
+        return {}
+
+    layers = [
+        _as_dict(config),
+        _as_dict(folder_config, os.path.join(os.getcwd(), "sed_config.yaml")),
+        _as_dict(user_config, os.path.expanduser("~/.sed/config.yaml")),
+        _as_dict(system_config, "/etc/sed/config.yaml"),
+        default_config if default_config is not None else DEFAULT_CONFIG,
+    ]
+    merged: dict = {}
+    # lowest priority first so later (higher-priority) layers override
+    for layer in reversed(layers):
+        merged = deep_merge(merged, layer)
+    return merged
+
+
+def resolve_alias(name: str, config: dict) -> str:
+    """Resolve an ``@role`` axis alias to the concrete column name.
+
+    ``"@x_column"`` -> ``config["dataframe"]["x_column"]``
+    (sed/core/processor.py:2102-2104 in the reference). Non-``@`` names pass
+    through unchanged.
+    """
+    if not name.startswith("@"):
+        return name
+    role = name[1:]
+    try:
+        return config["dataframe"][role]
+    except KeyError as exc:
+        raise KeyError(f"column role {role!r} not bound in config['dataframe']") from exc
+
+
+def resolve_aliases(names, config: dict) -> list[str]:
+    return [resolve_alias(n, config) for n in names]

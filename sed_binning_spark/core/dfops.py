@@ -1,0 +1,381 @@
+"""Generic dataframe operators (reference: sed/core/dfops.py).
+
+Every operator here is a Catalyst expression pipeline — no Python crosses
+the JVM boundary except ``add_time_stamped_data`` (Arrow-batched np.interp).
+Operators that need row order (fills, diffs) key on explicit
+(file_id, row_id) columns minted at load time: Spark has no implicit row
+order, and a global orderBy would serialize at scale, so the fills use a
+two-phase per-file + boundary-handoff strategy that shuffles nothing big.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+FILE_COLUMN = "file_id"
+ROW_COLUMN = "row_id"
+
+
+# ---------------------------------------------------------------------------
+# jitter (M1: sed/core/dfops.py:16-70)
+# ---------------------------------------------------------------------------
+def jitter_expr(
+    col: str | Column,
+    amp: float,
+    jitter_type: str = "uniform",
+    seed: int | None = None,
+) -> Column:
+    """``col + amp * noise`` with uniform U(-1,1) or standard-normal noise."""
+    c = F.col(col) if isinstance(col, str) else col
+    if jitter_type == "uniform":
+        noise = F.rand(seed) * 2.0 - 1.0 if seed is not None else F.rand() * 2.0 - 1.0
+    elif jitter_type == "normal":
+        noise = F.randn(seed) if seed is not None else F.randn()
+    else:
+        raise ValueError("type needs to be one of 'normal', 'uniform'!")
+    return c + F.lit(float(amp)) * noise
+
+
+def apply_jitter(
+    df: DataFrame,
+    cols: str | Sequence[str],
+    cols_jittered: str | Sequence[str] | None = None,
+    amps: float | Sequence[float] = 0.5,
+    jitter_type: str = "uniform",
+    seed: int | None = None,
+) -> DataFrame:
+    """Add jitter to one or more columns (sed/core/dfops.py:16-70).
+
+    Matches the reference's semantics: ONE noise draw per call, shared by
+    every column in ``cols`` (each scaled by its own amplitude); default
+    amplitude 0.5 = half a digitization step, de-aliasing integer-quantized
+    coordinates before histogramming. ``seed`` makes the draw reproducible
+    (the reference is unseeded; our tests pin seeds).
+    """
+    if cols is None:
+        raise ValueError("cols needs to be provided!")
+    if jitter_type not in ("uniform", "normal"):
+        raise ValueError("type needs to be one of 'normal', 'uniform'!")
+    if isinstance(cols, str):
+        cols = [cols]
+    if isinstance(cols_jittered, str):
+        cols_jittered = [cols_jittered]
+    if cols_jittered is None:
+        cols_jittered = [c + "_jittered" for c in cols]
+    if isinstance(amps, (int, float)):
+        amps = [float(amps)] * len(cols)
+
+    # one shared noise column per call, as in the reference
+    noise_col = "__jitter_noise"
+    if jitter_type == "uniform":
+        noise = (F.rand(seed) if seed is not None else F.rand()) * 2.0 - 1.0
+    else:
+        noise = F.randn(seed) if seed is not None else F.randn()
+    df = df.withColumn(noise_col, noise)
+    for col, col_j, amp in zip(cols, cols_jittered, amps):
+        df = df.withColumn(col_j, F.col(col) + F.lit(float(amp)) * F.col(noise_col))
+    return df.drop(noise_col)
+
+
+# ---------------------------------------------------------------------------
+# drop / filter (P4: dfops.py:73-88; P1: dfops.py:91-120)
+# ---------------------------------------------------------------------------
+def drop_column(df: DataFrame, column_name: str | Sequence[str]) -> DataFrame:
+    cols = [column_name] if isinstance(column_name, str) else list(column_name)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise KeyError(f"Cannot drop missing columns: {missing}")
+    return df.drop(*cols)
+
+
+def apply_filter(
+    df: DataFrame,
+    col: str,
+    lower_bound: float = -np.inf,
+    upper_bound: float = np.inf,
+    index_column: str = ROW_COLUMN,
+) -> DataFrame:
+    """Keep rows with ``lower < col < upper`` — STRICT open interval
+    (sed/core/dfops.py:91-120). ``col="index"`` filters on the stable row-id
+    column (the Spark stand-in for the reference's per-partition index)."""
+    name = index_column if col == "index" else col
+    if name not in df.columns:
+        raise KeyError(f"Column {name!r} not in dataframe!")
+    cond = F.lit(True)
+    if lower_bound != -np.inf:
+        cond = cond & (F.col(name) > F.lit(float(lower_bound)))
+    if upper_bound != np.inf:
+        cond = cond & (F.col(name) < F.lit(float(upper_bound)))
+    return df.filter(cond)
+
+
+# ---------------------------------------------------------------------------
+# 2-D map (M2: dfops.py:165-193)
+# ---------------------------------------------------------------------------
+def map_columns_2d(
+    df: DataFrame,
+    map_2d,
+    x_column: str,
+    y_column: str,
+    new_x_column: str | None = None,
+    new_y_column: str | None = None,
+) -> DataFrame:
+    """Apply ``f(x, y) -> (x', y')`` to two columns simultaneously
+    (sed/core/dfops.py:165-193). ``map_2d`` is an expression builder taking
+    two Columns and returning two Columns (stays in codegen)."""
+    new_x_column = new_x_column or x_column
+    new_y_column = new_y_column or y_column
+    out_x, out_y = map_2d(F.col(x_column), F.col(y_column))
+    # compute both from the input columns before either is overwritten
+    return df.withColumns({new_x_column: out_x, new_y_column: out_y})
+
+
+# ---------------------------------------------------------------------------
+# time-stamped data injection (M13: dfops.py:123-162)
+# ---------------------------------------------------------------------------
+def add_time_stamped_data(
+    df: DataFrame,
+    time_stamps: np.ndarray,
+    data: np.ndarray,
+    dest_column: str,
+    time_stamp_column: str,
+) -> DataFrame:
+    """Interpolate an external (timestamp, value) series onto each event:
+    ``dest = np.interp(df[ts], time_stamps, data)`` including edge clamping
+    (sed/core/dfops.py:123-162). The series is small — broadcast into an
+    Arrow-batched pandas_udf."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if time_stamp_column not in df.columns:
+        raise ValueError(f"{time_stamp_column} not found in dataframe!")
+    xs = np.asarray(time_stamps, dtype=float)
+    ys = np.asarray(data, dtype=float)
+    if xs.ndim != 1 or xs.shape != ys.shape:
+        raise ValueError("time_stamps and data need to be 1-D arrays of equal length")
+
+    @pandas_udf("double")
+    def _interp(ts: pd.Series) -> pd.Series:
+        return pd.Series(np.interp(ts.to_numpy(dtype=float), xs, ys))
+
+    return df.withColumn(dest_column, _interp(F.col(time_stamp_column).cast("double")))
+
+
+# ---------------------------------------------------------------------------
+# fills (W1/W2: dfops.py:196-315)
+# ---------------------------------------------------------------------------
+def forward_fill(
+    df: DataFrame,
+    columns: str | Sequence[str],
+    file_column: str = FILE_COLUMN,
+    row_column: str = ROW_COLUMN,
+) -> DataFrame:
+    """Forward-fill NaN/NULL values in event order, crossing file boundaries
+    (reference forward_fill_lazy, sed/core/dfops.py:196-255, which needs a
+    map_overlap + iterations hack; a Spark window crosses partitions in one
+    pass).
+
+    Scale design: a single global orderBy window would sort-shuffle 100 TB
+    into one task chain. Instead: (1) per-file window fill — parallel across
+    files; (2) per-file LAST non-null value — a tiny aggregate collected to
+    the driver, forward-filled across the file sequence there; (3) broadcast
+    the per-file boundary value back and coalesce. Net cost: one small agg +
+    one broadcast join, no global sort.
+    """
+    if isinstance(columns, str):
+        columns = [columns]
+    columns = list(columns)
+    if len(columns) == 0:
+        raise ValueError("columns must be a non-empty list of column names!")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise KeyError(f"columns not in dataframe: {missing}")
+
+    if file_column not in df.columns:
+        # single ordered stream: plain global window (small data / tests)
+        w = Window.orderBy(row_column).rowsBetween(Window.unboundedPreceding, 0)
+        out = df
+        for c in columns:
+            out = out.withColumn(c, F.last(_nan_to_null(c), ignorenulls=True).over(w))
+        return out
+
+    # phase 1: parallel per-file fill
+    w = (
+        Window.partitionBy(file_column)
+        .orderBy(row_column)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in columns:
+        out = out.withColumn(c, F.last(_nan_to_null(c), ignorenulls=True).over(w))
+
+    # phase 2: per-file last non-null -> driver -> running fill across files
+    aggs = [F.max_by(c, F.when(_nan_to_null(c).isNotNull(), F.col(row_column))).alias(c)
+            for c in columns]
+    boundary = out.groupBy(file_column).agg(*aggs).collect()
+    boundary = sorted(boundary, key=lambda r: r[file_column])
+    carry: dict[str, float | None] = {c: None for c in columns}
+    rows = []
+    for r in boundary:
+        prev = {c: carry[c] for c in columns}
+        for c in columns:
+            if r[c] is not None:
+                carry[c] = r[c]
+        rows.append((r[file_column], *[prev[c] for c in columns]))
+
+    spark = df.sparkSession
+    schema = f"{file_column} long, " + ", ".join(f"__ff_{c} double" for c in columns)
+    bdf = spark.createDataFrame(
+        [(int(fid), *vals) for fid, *vals in rows], schema=schema,
+    )
+
+    # phase 3: broadcast the boundary values, coalesce into leading nulls
+    out = out.join(F.broadcast(bdf), on=file_column, how="left")
+    for c in columns:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__ff_{c}")))
+    return out.drop(*[f"__ff_{c}" for c in columns])
+
+
+def backward_fill(
+    df: DataFrame,
+    columns: str | Sequence[str],
+    file_column: str = FILE_COLUMN,
+    row_column: str = ROW_COLUMN,
+) -> DataFrame:
+    """Backward-fill (mirror of :func:`forward_fill`; reference
+    backward_fill_lazy, sed/core/dfops.py:258-315)."""
+    if isinstance(columns, str):
+        columns = [columns]
+    columns = list(columns)
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise KeyError(f"columns not in dataframe: {missing}")
+
+    if file_column not in df.columns:
+        w = Window.orderBy(row_column).rowsBetween(0, Window.unboundedFollowing)
+        out = df
+        for c in columns:
+            out = out.withColumn(c, F.first(_nan_to_null(c), ignorenulls=True).over(w))
+        return out
+
+    w = (
+        Window.partitionBy(file_column)
+        .orderBy(row_column)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    out = df
+    for c in columns:
+        out = out.withColumn(c, F.first(_nan_to_null(c), ignorenulls=True).over(w))
+
+    aggs = [F.min_by(c, F.when(_nan_to_null(c).isNotNull(), F.col(row_column))).alias(c)
+            for c in columns]
+    boundary = out.groupBy(file_column).agg(*aggs).collect()
+    boundary = sorted(boundary, key=lambda r: r[file_column], reverse=True)
+    carry: dict[str, float | None] = {c: None for c in columns}
+    rows = []
+    for r in boundary:
+        nxt = {c: carry[c] for c in columns}
+        for c in columns:
+            if r[c] is not None:
+                carry[c] = r[c]
+        rows.append((r[file_column], *[nxt[c] for c in columns]))
+
+    spark = df.sparkSession
+    schema = f"{file_column} long, " + ", ".join(f"__bf_{c} double" for c in columns)
+    bdf = spark.createDataFrame(
+        [(int(fid), *vals) for fid, *vals in rows], schema=schema,
+    )
+    out = out.join(F.broadcast(bdf), on=file_column, how="left")
+    for c in columns:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__bf_{c}")))
+    return out.drop(*[f"__bf_{c}" for c in columns])
+
+
+def _nan_to_null(col: str) -> Column:
+    """Treat float NaN like NULL (pandas ffill semantics: NaN is missing)."""
+    c = F.col(col)
+    return F.when(~F.isnan(c), c)
+
+
+# ---------------------------------------------------------------------------
+# offsets (M12: dfops.py:318-443)
+# ---------------------------------------------------------------------------
+def offset_by_other_columns(
+    df: DataFrame,
+    target_column: str,
+    offset_columns: str | Sequence[str],
+    weights: float | Sequence[float],
+    reductions: str | Sequence[str] | None = None,
+    preserve_mean: bool | Sequence[bool] = False,
+    inplace: bool = True,
+    rename: str | None = None,
+) -> DataFrame:
+    """``target += sum_i w_i * col_i`` where each term is per-row or the
+    GLOBAL MEAN of that column; ``preserve_mean`` subtracts the mean back
+    (sed/core/dfops.py:318-443 — validation errors match).
+
+    Mean terms fold in as literals from one ``df.agg`` pass (a scalar
+    collect), so the per-row plan stays a pure projection.
+    """
+    if target_column not in df.columns:
+        raise KeyError(f"{target_column} not in dataframe!")
+    if isinstance(offset_columns, str):
+        offset_columns = [offset_columns]
+    elif not isinstance(offset_columns, Sequence):
+        raise TypeError(f"Invalid type for columns: {type(offset_columns)}")
+    if any(c not in df.columns for c in offset_columns):
+        raise KeyError(f"{offset_columns} not in dataframe!")
+
+    if isinstance(weights, (int, float, np.floating, np.integer)):
+        weights = [weights]
+    elif not isinstance(weights, Sequence):
+        raise TypeError(f"Invalid type for signs: {type(weights)}")
+    if len(weights) != len(offset_columns):
+        raise ValueError("signs and offset_columns must have the same length!")
+
+    if isinstance(reductions, str) or reductions is None:
+        reductions = [reductions] * len(offset_columns)
+    elif not isinstance(reductions, Sequence):
+        raise ValueError(
+            f"reductions must be a string or list of strings! not {type(reductions)}",
+        )
+    if any(r not in ("mean", None) for r in reductions):
+        raise NotImplementedError("Only reductions currently supported is 'mean'!")
+
+    if isinstance(preserve_mean, bool):
+        preserve_mean = [preserve_mean] * len(offset_columns)
+    elif not isinstance(preserve_mean, Sequence):
+        raise TypeError(f"Invalid type for preserve_mean: {type(preserve_mean)}")
+    elif any(not isinstance(p, bool) for p in preserve_mean):
+        raise TypeError(f"Invalid type for preserve_mean: {type(preserve_mean)}")
+    if len(preserve_mean) != len(offset_columns):
+        raise ValueError("preserve_mean and offset_columns must have the same length!")
+
+    # one aggregation pass for every needed mean
+    need_mean = [
+        c for c, r, p in zip(offset_columns, reductions, preserve_mean) if r or p
+    ]
+    means: dict[str, float] = {}
+    if need_mean:
+        row = df.agg(*[F.mean(c).alias(c) for c in need_mean]).collect()[0]
+        means = {c: float(row[c]) for c in need_mean}
+
+    expr: Column = F.col(target_column)
+    for col, w, red, pm in zip(offset_columns, weights, reductions, preserve_mean):
+        w = float(w)
+        if red == "mean":
+            expr = expr + F.lit(w * means[col])
+        else:
+            expr = expr + F.lit(w) * F.col(col)
+        if pm:
+            expr = expr - F.lit(w * means[col])
+
+    out_col = target_column
+    if not inplace:
+        out_col = rename if rename is not None else target_column + "_offset"
+    return df.withColumn(out_col, expr)

@@ -1,0 +1,80 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are tuned for the analytic workload this engine runs (wide scans +
+hash aggregations + a few window ops): AQE on (runtime shuffle re-planning,
+skew-join splitting), Arrow for every Python<->JVM crossing, and a shuffle
+partition count that AQE can coalesce downward. On a real cluster the same
+session settings hold; only master/memory come from the environment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen so that local[N] testing exercises the same plan shapes
+# (partial/final agg, broadcast joins, AQE coalescing) a 1000-executor run
+# would produce. They are all overridable via extra_conf.
+_DEFAULT_CONF = {
+    # Runtime re-planning: coalesce small shuffle partitions, split skewed
+    # ones, convert sort-merge join to broadcast when a side turns out small.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow batching for pandas_udf / toPandas — mandatory for the few
+    # operators that cross into Python (grid interpolation, searchsorted).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # Small dimension tables (sector delays, calibration lookup tables)
+    # should always broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Bound per-task input so a 100 TB scan yields ~1M reasonable tasks
+    # instead of a few huge ones.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Sane default timezone behaviour for timestamp round-trips.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def default_parallelism() -> int:
+    """Parallelism hint: SPARK_GRAFT_CPUS if set, else host CPU count."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "sed-binning-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults.
+
+    Args:
+        app_name: Spark application name.
+        master: master URL; defaults to ``local[$SPARK_GRAFT_CPUS]`` (or
+            ``local[*]``) when not already running under a cluster manager.
+        shuffle_partitions: default shuffle partition count; defaults to
+            2x parallelism (AQE coalesces down, skew splits up).
+        extra_conf: extra Spark conf entries (override defaults).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = os.environ.get("SPARK_MASTER")
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+
+    conf = dict(_DEFAULT_CONF)
+    if shuffle_partitions is None:
+        shuffle_partitions = 2 * default_parallelism()
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
