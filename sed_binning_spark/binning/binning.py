@@ -82,7 +82,17 @@ def bin_index_columns(
         name = f"{_IDX_PREFIX}{d}"
         if isinstance(bins[d], np.ndarray):
             edges = bin_centers_to_bin_edges(bins[d])
-            expr = bin_index_expr_edges(ax, edges)
+            widths = np.diff(edges)
+            if np.allclose(widths, widths[0]):
+                # uniform centers -> O(1) arithmetic index instead of the
+                # O(n_edges)-per-row array scan; same inclusive-last-edge /
+                # NaN-reject semantics
+                expr = bin_index_expr(
+                    ax, edges.size - 1, float(edges[0]), float(edges[-1]),
+                    half_bin_shift=False,
+                )
+            else:
+                expr = bin_index_expr_edges(ax, edges)
         else:
             lo, hi = ranges[d]
             expr = bin_index_expr(ax, bins[d], lo, hi, half_bin_shift=True)
@@ -150,6 +160,16 @@ def bin_dataframe(
 
     df, idx_cols, coords, exprs = bin_index_columns(df, bins, axes, ranges)
 
+    # Dense materialization collects prod(bins) cells at worst; the reference
+    # documents <= ~1e8 cells as the sane ceiling. Beyond that, use
+    # bin_dataframe_sparse (the distributed result never needs to densify).
+    n_cells = int(np.prod([coords[ax].size for ax in axes]))
+    if n_cells > 200_000_000:
+        raise ValueError(
+            f"dense cube would have {n_cells} cells; use bin_dataframe_sparse "
+            "for histograms this large",
+        )
+
     group_cols = list(exprs)
     out_names = list(idx_cols)
     if return_partitions:
@@ -187,6 +207,45 @@ def bin_dataframe(
     return Cube(full.astype(np.float32), coords, dims)
 
 
+def bin_dataframe_sparse(
+    df: DataFrame,
+    bins=100,
+    axes: Sequence[str] | None = None,
+    ranges: Sequence[tuple[float, float]] | None = None,
+    jitter=None,
+    filters: Sequence[dict] | None = None,
+    jitter_seed: int | None = None,
+    count_column: str = "count",
+) -> DataFrame:
+    """Distributed N-D histogram as a SPARSE DataFrame of occupied cells.
+
+    Same semantics as :func:`bin_dataframe` but the result stays in Spark:
+    one row per occupied cell, columns = bin indices per axis (named after
+    the axes) + ``count``. This is the scale path when ``prod(bins)`` exceeds
+    driver memory, and the form the driver's oracle checks compare.
+    """
+    bins, axes, ranges = simplify_binning_arguments(bins, axes, ranges)
+    if filters is not None:
+        from sed_binning_spark.core.dfops import apply_filter
+
+        for spec in filters:
+            spec = dict(spec)
+            col = spec.pop("col")
+            df = apply_filter(
+                df, col, spec.pop("lower_bound", -np.inf), spec.pop("upper_bound", np.inf),
+            )
+    if jitter is not None:
+        df = _apply_binning_jitter(df, jitter, bins, axes, ranges, seed=jitter_seed)
+    df, idx_cols, _, exprs = bin_index_columns(df, bins, axes, ranges)
+    renamed = [e.alias(ax) for e, ax in zip(exprs, axes)]
+    return (
+        df.select(*renamed)
+        .dropna()
+        .groupBy(*axes)
+        .agg(F.count(F.lit(1)).alias(count_column))
+    )
+
+
 def _apply_binning_jitter(df, jitter, bins, axes, ranges, seed=None):
     """Inline binsize-scaled jitter on the binned copies of selected axes
     (bin_partition's jitter path, sed/binning/binning.py:152-172)."""
@@ -204,14 +263,22 @@ def _apply_binning_jitter(df, jitter, bins, axes, ranges, seed=None):
         mode = jpars.get("mode", "uniform")
         d = axes.index(col)
         if isinstance(bins[d], np.ndarray):
-            centers = bins[d]
+            centers = np.asarray(bins[d], dtype=float)
             binsize = abs(float(centers[1]) - float(centers[0]))
-            if not np.allclose(binsize, abs(float(centers[-2]) - float(centers[-3]))):
+            # uniformity check on all center spacings (guarded for n=2,
+            # where a single spacing is trivially uniform)
+            if centers.size > 2 and not np.allclose(np.diff(centers), binsize):
                 raise ValueError(f"bins along {col} are not uniform. Cannot apply jitter.")
         else:
             lo, hi = ranges[d]
             binsize = abs(hi - lo) / bins[d]
-        df = apply_jitter(df, cols=[col], amps=amp * binsize, jitter_type=mode, seed=seed)
+        # overwrite the binned column in place (the reference's bin_partition
+        # jitters the binned copy, sed/binning/binning.py:152-172) — jitter
+        # into a side column would silently be a no-op for the histogram
+        df = apply_jitter(
+            df, cols=[col], cols_jittered=[col], amps=amp * binsize,
+            jitter_type=mode, seed=seed,
+        )
     return df
 
 
@@ -228,17 +295,39 @@ def normalization_histogram_from_timestamps(
 
     The lag runs inside per-file windows (partitionBy file) so the sort
     shuffles only within files — at 100 TB a single global orderBy window
-    would serialize on one task. The first event of each file gets a NULL
-    diff exactly like the reference's first row overall.
+    would serialize on one task. The previous file's LAST timestamp is
+    carried across the boundary (tiny per-file agg + broadcast join, the
+    same trick as forward_fill), so the dt series equals the reference's
+    single global ``.diff()`` (sed/binning/binning.py:459): exactly one NULL
+    overall, at the first event of the first file.
     """
     from pyspark.sql.window import Window
 
     part_col, row_col = order_columns
     if part_col in df.columns:
         w = Window.partitionBy(part_col).orderBy(row_col)
+        # last timestamp per file -> driver -> previous-file handoff
+        per_file = (
+            df.groupBy(part_col)
+            .agg(F.max_by(time_stamp_column, row_col).alias("__last_ts"))
+            .collect()
+        )
+        per_file.sort(key=lambda r: r[part_col])
+        handoff = []
+        prev = None
+        for r in per_file:
+            handoff.append((r[part_col], prev))
+            prev = r["__last_ts"]
+        dtypes = dict(df.dtypes)
+        bdf = df.sparkSession.createDataFrame(
+            handoff, schema=f"{part_col} {dtypes[part_col]}, __prev_ts {dtypes[time_stamp_column]}",
+        )
+        df = df.join(F.broadcast(bdf), on=part_col, how="left")
+        prev_ts = F.coalesce(F.lag(time_stamp_column).over(w), F.col("__prev_ts"))
     else:
         w = Window.orderBy(row_col)
-    dt = (F.col(time_stamp_column) - F.lag(time_stamp_column).over(w)).alias("__dt")
+        prev_ts = F.lag(time_stamp_column).over(w)
+    dt = (F.col(time_stamp_column) - prev_ts).alias("__dt")
 
     edges = bin_centers_to_bin_edges(bin_centers)
     idx = bin_index_expr_edges(axis, edges).alias("__bin")

@@ -134,8 +134,7 @@ def _bin_index_udf_edges(c: Column, edges: np.ndarray) -> Column:
     edges_arr = edges.copy()
     n = edges_arr.size - 1
 
-    @pandas_udf("bigint")
-    def _searchsorted(vals: pd.Series) -> pd.Series:
+    def _searchsorted_fn(vals):
         v = vals.to_numpy(dtype=float)
         idx = np.searchsorted(edges_arr, v, side="right") - 1
         idx = np.minimum(idx, n - 1)  # inclusive last edge
@@ -143,5 +142,8 @@ def _bin_index_udf_edges(c: Column, edges: np.ndarray) -> Column:
         out = pd.Series(idx, dtype="Int64")
         out[bad] = None
         return out
+
+    _searchsorted_fn.__annotations__ = {"vals": pd.Series, "return": pd.Series}
+    _searchsorted = pandas_udf(_searchsorted_fn, "bigint")
 
     return _searchsorted(c.cast("double"))

@@ -87,9 +87,6 @@ def add_offsets(
     from sed_binning_spark.core.dfops import offset_by_other_columns
 
     meta: dict = {"applied": True}
-    if flip_delay_axis:
-        df = df.withColumn(delay_column, -F.col(delay_column))
-        meta["flip_delay_axis"] = True
     if columns is not None:
         if isinstance(columns, str):
             columns = [columns]
@@ -107,4 +104,9 @@ def add_offsets(
     if constant is not None:
         df = df.withColumn(delay_column, F.col(delay_column) + F.lit(float(constant)))
         meta["constant"] = constant
+    # the reference negates LAST (delay.py:362-370): offsets, then constant,
+    # then axis flip -> -(delay + offsets + constant)
+    if flip_delay_axis:
+        df = df.withColumn(delay_column, -F.col(delay_column))
+        meta["flip_delay_axis"] = True
     return df, meta

@@ -296,47 +296,52 @@ def poly_energy_calibration(
     vals: Sequence[float],
     order: int = 3,
     ref_id: int = 0,
+    ref_energy: float | None = None,
     t: Sequence[float] | None = None,
     aug: int = 1,
     method: str = "lstsq",
+    energy_scale: str = "kinetic",
 ) -> dict:
     """Polynomial TOF->energy calibration from bias-series feature positions
-    (poly_energy_calibration, energy.py:2226-2335): solve the pairwise
-    difference system T a = -dE for the poly coefficients (no constant term),
-    then E0 = -(poly(t_ref) + val_ref).
+    (poly_energy_calibration, energy.py:2226-2335): solve the differential
+    system ``T a = b`` where each T row is ``pos_ref^p - pos_i^p`` (ref row
+    excluded) and ``b_i = vals_ref - vals_i``; then
+    ``E0 = ref_energy - poly(pos_ref)``.
 
-    Pure NumPy (the reference uses numpy.linalg.lstsq / scipy lsqr; scipy is
-    optional here and lstsq covers both).
+    Pure NumPy (the reference uses numpy.linalg.lstsq / scipy lsqr; lstsq
+    covers both here).
     """
     pos = np.asarray(pos, dtype=float)
     vals = np.asarray(vals, dtype=float)
     if pos.size != vals.size:
         raise ValueError("pos and vals need to have the same number of elements")
+    if ref_id >= vals.size:
+        ref_id = vals.size - 1
 
-    term_ref = np.stack([pos[ref_id] ** p for p in range(order, 0, -1)], axis=0)
-    terms = np.stack(
-        [np.stack([p_ ** p for p in range(order, 0, -1)], axis=0) for p_ in pos],
-        axis=0,
-    )
-    t_mat = np.tile(term_ref, (pos.size, 1)) - terms  # pairwise differences
-    bvec = vals[ref_id] - vals
-    # augment duplicates the reference row block, as in the reference
-    t_main = np.tile(t_mat, (aug, 1))
-    b_main = np.tile(bvec, aug)
-    poly_a = np.linalg.lstsq(t_main, b_main, rcond=None)[0]
+    polyorder = np.arange(order, 0, -1)
+    term_ref = np.array([pos[ref_id] ** p for p in polyorder])
+    others = np.delete(np.arange(vals.size), ref_id)
+    t_sec = np.array([[pos[i] ** p for p in polyorder] for i in others])
+    t_mat = np.tile(term_ref, (aug * others.size, 1)) - np.tile(t_sec, (aug, 1))
+    bvec = np.tile(vals[ref_id] - vals[others], aug)
+    poly_a = np.linalg.lstsq(t_mat, bvec, rcond=None)[0]
 
-    e_offset = -(np.polyval(np.append(poly_a, 0.0), pos[ref_id]) + vals[ref_id])
     ecalib = {
         "d": None,
         "t0": None,
-        "E0": float(e_offset),
         "coeffs": [float(a) for a in poly_a],
         "calib_type": "poly",
-        "axis": None if t is None else np.asarray(t),
-        "energy_scale": "kinetic",
+        "energy_scale": energy_scale,
+        "offset": float(pos.min()),
+        "Tmat": t_mat,
+        "bvec": bvec,
     }
-    if t is not None:
-        ecalib["axis"] = tof2evpoly_np(poly_a, float(e_offset), np.asarray(t, dtype=float))
+    if ref_energy is not None:
+        # E0 pins the reference feature at ref_energy (energy.py:2329-2333)
+        e_offset = tof2evpoly_np(poly_a, -float(ref_energy), pos[ref_id : ref_id + 1])[0]
+        ecalib["E0"] = float(-e_offset)
+        if t is not None:
+            ecalib["axis"] = tof2evpoly_np(poly_a, float(-e_offset), np.asarray(t, dtype=float))
     return ecalib
 
 

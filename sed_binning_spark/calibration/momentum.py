@@ -170,13 +170,17 @@ def apply_dfield(
     c_step = (detector_ranges[1][1] - detector_ranges[1][0]) / dfield[0].shape[1]
     grid_r, grid_c = dfield[0], dfield[1]
 
-    @pandas_udf("x double, y double")
-    def _lookup(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+    def _lookup_fn(x, y):
         rows = x.to_numpy(dtype=float)
         cols = y.to_numpy(dtype=float)
         new_x = map_coordinates_bilinear(grid_r, rows, cols) * r_step
         new_y = map_coordinates_bilinear(grid_c, rows, cols) * c_step
         return pd.DataFrame({"x": new_x, "y": new_y})
+
+    # real (non-stringized) hints: `from __future__ import annotations` breaks
+    # pandas_udf eval-type inference for struct returns
+    _lookup_fn.__annotations__ = {"x": pd.Series, "y": pd.Series, "return": pd.DataFrame}
+    _lookup = pandas_udf(_lookup_fn, "x double, y double")
 
     tmp = "__dfield_out"
     out = df.withColumn(tmp, _lookup(F.col(x_column), F.col(y_column)))

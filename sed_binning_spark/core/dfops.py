@@ -159,9 +159,13 @@ def add_time_stamped_data(
     if xs.ndim != 1 or xs.shape != ys.shape:
         raise ValueError("time_stamps and data need to be 1-D arrays of equal length")
 
-    @pandas_udf("double")
-    def _interp(ts: pd.Series) -> pd.Series:
+    def _interp_fn(ts):
         return pd.Series(np.interp(ts.to_numpy(dtype=float), xs, ys))
+
+    # explicit hints: `from __future__ import annotations` stringizes inline
+    # ones, which pandas_udf's eval-type inference cannot resolve
+    _interp_fn.__annotations__ = {"ts": pd.Series, "return": pd.Series}
+    _interp = pandas_udf(_interp_fn, "double")
 
     return df.withColumn(dest_column, _interp(F.col(time_stamp_column).cast("double")))
 
@@ -201,7 +205,7 @@ def forward_fill(
         w = Window.orderBy(row_column).rowsBetween(Window.unboundedPreceding, 0)
         out = df
         for c in columns:
-            out = out.withColumn(c, F.last(_nan_to_null(c), ignorenulls=True).over(w))
+            out = out.withColumn(c, F.last(_nan_to_null(df, c), ignorenulls=True).over(w))
         return out
 
     # phase 1: parallel per-file fill
@@ -212,14 +216,14 @@ def forward_fill(
     )
     out = df
     for c in columns:
-        out = out.withColumn(c, F.last(_nan_to_null(c), ignorenulls=True).over(w))
+        out = out.withColumn(c, F.last(_nan_to_null(df, c), ignorenulls=True).over(w))
 
     # phase 2: per-file last non-null -> driver -> running fill across files
-    aggs = [F.max_by(c, F.when(_nan_to_null(c).isNotNull(), F.col(row_column))).alias(c)
+    aggs = [F.max_by(c, F.when(_nan_to_null(df, c).isNotNull(), F.col(row_column))).alias(c)
             for c in columns]
     boundary = out.groupBy(file_column).agg(*aggs).collect()
     boundary = sorted(boundary, key=lambda r: r[file_column])
-    carry: dict[str, float | None] = {c: None for c in columns}
+    carry: dict = {c: None for c in columns}
     rows = []
     for r in boundary:
         prev = {c: carry[c] for c in columns}
@@ -228,11 +232,7 @@ def forward_fill(
                 carry[c] = r[c]
         rows.append((r[file_column], *[prev[c] for c in columns]))
 
-    spark = df.sparkSession
-    schema = f"{file_column} long, " + ", ".join(f"__ff_{c} double" for c in columns)
-    bdf = spark.createDataFrame(
-        [(int(fid), *vals) for fid, *vals in rows], schema=schema,
-    )
+    bdf = _boundary_df(df, file_column, columns, rows, "__ff_")
 
     # phase 3: broadcast the boundary values, coalesce into leading nulls
     out = out.join(F.broadcast(bdf), on=file_column, how="left")
@@ -260,7 +260,7 @@ def backward_fill(
         w = Window.orderBy(row_column).rowsBetween(0, Window.unboundedFollowing)
         out = df
         for c in columns:
-            out = out.withColumn(c, F.first(_nan_to_null(c), ignorenulls=True).over(w))
+            out = out.withColumn(c, F.first(_nan_to_null(df, c), ignorenulls=True).over(w))
         return out
 
     w = (
@@ -270,13 +270,13 @@ def backward_fill(
     )
     out = df
     for c in columns:
-        out = out.withColumn(c, F.first(_nan_to_null(c), ignorenulls=True).over(w))
+        out = out.withColumn(c, F.first(_nan_to_null(df, c), ignorenulls=True).over(w))
 
-    aggs = [F.min_by(c, F.when(_nan_to_null(c).isNotNull(), F.col(row_column))).alias(c)
+    aggs = [F.min_by(c, F.when(_nan_to_null(df, c).isNotNull(), F.col(row_column))).alias(c)
             for c in columns]
     boundary = out.groupBy(file_column).agg(*aggs).collect()
     boundary = sorted(boundary, key=lambda r: r[file_column], reverse=True)
-    carry: dict[str, float | None] = {c: None for c in columns}
+    carry: dict = {c: None for c in columns}
     rows = []
     for r in boundary:
         nxt = {c: carry[c] for c in columns}
@@ -285,21 +285,35 @@ def backward_fill(
                 carry[c] = r[c]
         rows.append((r[file_column], *[nxt[c] for c in columns]))
 
-    spark = df.sparkSession
-    schema = f"{file_column} long, " + ", ".join(f"__bf_{c} double" for c in columns)
-    bdf = spark.createDataFrame(
-        [(int(fid), *vals) for fid, *vals in rows], schema=schema,
-    )
+    bdf = _boundary_df(df, file_column, columns, rows, "__bf_")
     out = out.join(F.broadcast(bdf), on=file_column, how="left")
     for c in columns:
         out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__bf_{c}")))
     return out.drop(*[f"__bf_{c}" for c in columns])
 
 
-def _nan_to_null(col: str) -> Column:
-    """Treat float NaN like NULL (pandas ffill semantics: NaN is missing)."""
+def _boundary_df(df: DataFrame, file_column: str, columns: Sequence[str],
+                 rows: list[tuple], prefix: str) -> DataFrame:
+    """Tiny per-file boundary-value frame typed from the REAL column types
+    (ints, timestamps, strings all fill losslessly — the reference's
+    forward_fill_lazy is type-agnostic too)."""
+    from pyspark.sql.types import StructField, StructType
+
+    fields = {f.name: f for f in df.schema.fields}
+    schema = StructType(
+        [StructField(file_column, fields[file_column].dataType, True)]
+        + [StructField(f"{prefix}{c}", fields[c].dataType, True) for c in columns],
+    )
+    return df.sparkSession.createDataFrame(rows, schema=schema)
+
+
+def _nan_to_null(df: DataFrame, col: str) -> Column:
+    """Treat float NaN like NULL (pandas ffill semantics: NaN is missing).
+    Non-floating columns have no NaN — passed through untouched."""
     c = F.col(col)
-    return F.when(~F.isnan(c), c)
+    if dict(df.dtypes).get(col) in ("float", "double"):
+        return F.when(~F.isnan(c), c)
+    return c
 
 
 # ---------------------------------------------------------------------------

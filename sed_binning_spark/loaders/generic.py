@@ -85,19 +85,58 @@ class GenericLoader:
 
 def add_file_and_row_ids(df: DataFrame, ordered_paths: Sequence[str]) -> DataFrame:
     """Mint (file_id, row_id): file_id = index of the source file in the
-    given order; row_id = stable in-file row index.
+    given order; row_id = stable, physically-ordered in-file row index.
 
-    Built from ``input_file_name`` + ``monotonically_increasing_id`` with a
-    per-(file, id-block) rank correction so row_id is contiguous per file —
-    a window over the file key only; rows of one file colocate in its scan
-    tasks, so this shuffles at most one file's rows together.
+    Scale design (no shuffle of event data): each scan SPLIT is identified by
+    ``(file, _metadata.file_block_start)``; a tiny aggregation counts rows per
+    split (one output row per ~128 MB of input — ~1M rows at 100 TB), the
+    driver turns the counts into per-split base offsets ordered by byte
+    offset (the physically stable in-file order — a window over
+    ``monotonically_increasing_id`` alone is NOT stable because Spark packs
+    splits by size, not offset), and a broadcast join hands each row
+    ``base + (mid - split_min_mid)``. ``monotonically_increasing_id`` is
+    contiguous within a scan partition, so the in-split delta is the in-split
+    row index.
     """
     order = {os.path.abspath(p): i for i, p in enumerate(ordered_paths)}
-    mapping = F.create_map(
-        *[x for p, i in order.items() for x in (F.lit("file:" + p), F.lit(i))],
+    if order:
+        mapping = F.create_map(
+            *[x for p, i in order.items() for x in (F.lit("file:" + p), F.lit(i))],
+        )
+        # normalize the URI spark reports (file:/path vs file:///path)
+        norm = F.concat(F.lit("file:"), F.regexp_replace(F.input_file_name(), "^file:/*", "/"))
+        file_expr = mapping[norm]
+    else:
+        # no path list (non-file-backed input): single pseudo-file
+        file_expr = F.lit(0)
+    df = df.withColumn(FILE_COLUMN, file_expr.cast("int"))
+
+    try:
+        tagged = df.withColumn("__block", F.col("_metadata.file_block_start"))
+    except Exception:
+        # not a file-backed dataframe (tests over createDataFrame): fall back
+        # to a per-file window — small data by construction
+        w = Window.partitionBy(FILE_COLUMN).orderBy(F.monotonically_increasing_id())
+        return df.withColumn(ROW_COLUMN, F.row_number().over(w).cast("bigint") - 1)
+
+    tagged = tagged.withColumn("__mid", F.monotonically_increasing_id())
+    splits = tagged.groupBy(FILE_COLUMN, "__block").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("__mid").alias("__m0"),
+    ).collect()
+    splits.sort(key=lambda r: (r[FILE_COLUMN], r["__block"]))
+    rows = []
+    next_base: dict[int, int] = {}
+    for r in splits:
+        fid = r[FILE_COLUMN]
+        base = next_base.get(fid, 0)
+        rows.append((fid, r["__block"], base, r["__m0"]))
+        next_base[fid] = base + r["__n"]
+
+    bdf = df.sparkSession.createDataFrame(
+        rows, schema=f"{FILE_COLUMN} int, __block long, __base long, __m0 long",
     )
-    # normalize the URI spark reports (file:/path vs file:///path)
-    norm = F.concat(F.lit("file:"), F.regexp_replace(F.input_file_name(), "^file:/*", "/"))
-    df = df.withColumn(FILE_COLUMN, mapping[norm].cast("int"))
-    w = Window.partitionBy(FILE_COLUMN).orderBy(F.monotonically_increasing_id())
-    return df.withColumn(ROW_COLUMN, F.row_number().over(w).cast("bigint") - 1)
+    out = tagged.join(F.broadcast(bdf), on=[FILE_COLUMN, "__block"], how="left")
+    out = out.withColumn(
+        ROW_COLUMN, (F.col("__base") + F.col("__mid") - F.col("__m0")).cast("bigint"),
+    )
+    return out.drop("__block", "__mid", "__base", "__m0")

@@ -34,6 +34,11 @@ _DEFAULT_CONF = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # Sane default timezone behaviour for timestamp round-trips.
     "spark.sql.session.timeZone": "UTC",
+    # Read parquet TIMESTAMP(NANOS) columns as raw int64 nanoseconds (Spark
+    # has no nanosecond timestamp type and refuses such files otherwise).
+    # Exact integer nanos are also the right currency for oracle-exact
+    # event-time arithmetic.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

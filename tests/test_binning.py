@@ -1,0 +1,217 @@
+"""Binning kernel-vs-oracle golden tests (mirrors reference
+tests/test_binning.py:98-212 — same aggregation, independent engine,
+exact match vs np.histogramdd under the reference's edge semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sed_binning_spark.binning.binning import (
+    bin_dataframe,
+    bin_dataframe_sparse,
+    normalization_histogram_from_timed_dataframe,
+    normalization_histogram_from_timestamps,
+)
+from sed_binning_spark.binning.utils import (
+    bin_centers_to_bin_edges,
+    bin_edges_to_bin_centers,
+    simplify_binning_arguments,
+)
+
+
+def _np_hist(pdf, axes, bins, ranges):
+    """NumPy oracle with the reference's int-bins semantics: the given range
+    denotes first/last bin CENTERS, so edges shift down by half a bin
+    (sed/binning/binning.py:134-143); last edge inclusive (np.histogramdd
+    default)."""
+    edges = []
+    for n, (lo, hi) in zip(bins, ranges):
+        w = (hi - lo) / n
+        edges.append(np.linspace(lo - w / 2, hi - w / 2, n + 1))
+    sample = pdf[list(axes)].to_numpy()
+    hist, _ = np.histogramdd(sample, bins=edges)
+    return hist
+
+
+@pytest.mark.parametrize("ndim", [1, 2, 3])
+def test_binning_matches_numpy(events_df, events_pdf, ndim):
+    axes = ["X", "Y", "t"][:ndim]
+    bins = [87, 34, 21][:ndim]
+    ranges = [(0.0, 2048.0), (0.0, 2048.0), (60000.0, 120000.0)][:ndim]
+    cube = bin_dataframe(events_df, bins=bins, axes=axes, ranges=ranges)
+    oracle = _np_hist(events_pdf, axes, bins, ranges)
+    assert cube.data.shape == oracle.shape
+    np.testing.assert_array_equal(cube.data, oracle.astype(np.float32))
+    # bin-center coords: linspace(lo, hi, n, endpoint=False)
+    np.testing.assert_allclose(
+        cube.coords["X"], np.linspace(0, 2048, bins[0], endpoint=False),
+    )
+
+
+def test_binning_int_samples(spark):
+    """Integer-quantized coordinates (the jitter use case) bin exactly."""
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 100, 5000).astype("float64")
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    cube = bin_dataframe(df, bins=[10], axes=["v"], ranges=[(0.0, 99.0)])
+    w = 99.0 / 10
+    edges = np.linspace(-w / 2, 99.0 - w / 2, 11)
+    oracle, _ = np.histogramdd(vals[:, None], bins=[edges])
+    np.testing.assert_array_equal(cube.data, oracle.astype(np.float32))
+
+
+def test_binning_explicit_centers_equals_ranges_path(events_df):
+    """bins-as-center-arrays ≡ bins+ranges (reference
+    tests/test_binning.py:197-212 cross-path equivalence)."""
+    n, lo, hi = 50, 0.0, 2048.0
+    cube_int = bin_dataframe(events_df, bins=[n], axes=["X"], ranges=[(lo, hi)])
+    centers = np.linspace(lo, hi, n, endpoint=False)
+    cube_arr = bin_dataframe(events_df, bins=[centers], axes=["X"])
+    np.testing.assert_array_equal(cube_int.data, cube_arr.data)
+    np.testing.assert_allclose(cube_int.coords["X"], cube_arr.coords["X"])
+
+
+def test_binning_nonuniform_edges(spark):
+    rng = np.random.default_rng(3)
+    vals = rng.uniform(0, 10, 4000)
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    centers = np.array([0.5, 1.0, 3.0, 7.0, 9.0])
+    cube = bin_dataframe(df, bins=[centers], axes=["v"])
+    edges = bin_centers_to_bin_edges(centers)
+    oracle, _ = np.histogramdd(vals[:, None], bins=[edges])
+    np.testing.assert_array_equal(cube.data, oracle.astype(np.float32))
+
+
+def test_binning_rejects_non_numeric(spark):
+    df = spark.createDataFrame([("a", 1.0)], "s string, v double")
+    with pytest.raises(ValueError, match="numeric"):
+        bin_dataframe(df, bins=[10], axes=["s"], ranges=[(0, 1)])
+
+
+def test_binning_missing_axis(events_df):
+    with pytest.raises(KeyError):
+        bin_dataframe(events_df, bins=[10], axes=["nope"], ranges=[(0, 1)])
+
+
+def test_binning_dense_cell_guard(events_df):
+    with pytest.raises(ValueError, match="sparse"):
+        bin_dataframe(
+            events_df, bins=[1000, 1000, 1000], axes=["X", "Y", "t"],
+            ranges=[(0, 2048), (0, 2048), (60000, 120000)],
+        )
+
+
+def test_binning_filters(events_df, events_pdf):
+    """Pre-binning filters use OPEN intervals (processor.py:2218-2234)."""
+    cube = bin_dataframe(
+        events_df, bins=[40], axes=["X"], ranges=[(0.0, 2048.0)],
+        filters=[{"col": "Y", "lower_bound": 500, "upper_bound": 1500}],
+    )
+    pdf = events_pdf[(events_pdf.Y > 500) & (events_pdf.Y < 1500)]
+    oracle = _np_hist(pdf, ["X"], [40], [(0.0, 2048.0)])
+    np.testing.assert_array_equal(cube.data, oracle.astype(np.float32))
+
+
+def test_binning_filter_bad_key(events_df):
+    with pytest.raises(ValueError, match="unknown filter keys"):
+        bin_dataframe(
+            events_df, bins=[10], axes=["X"], ranges=[(0, 2048)],
+            filters=[{"col": "X", "wrong": 1}],
+        )
+
+
+def test_binning_jitter_changes_histogram(spark):
+    """Jitter must land on the BINNED copy (ADVICE r1: in-place overwrite);
+    integer-quantized values + jitter → counts move between bins."""
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 20, 8000).astype("float64")
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    # bins half-integer-aligned so jitter moves events across edges
+    plain = bin_dataframe(df, bins=[20], axes=["v"], ranges=[(0.0, 19.0)])
+    jit = bin_dataframe(
+        df, bins=[20], axes=["v"], ranges=[(0.0, 19.0)], jitter=["v"], jitter_seed=5,
+    )
+    assert plain.data.sum() == jit.data.sum() or jit.data.sum() <= plain.data.sum()
+    assert not np.array_equal(plain.data, jit.data)
+
+
+def test_binning_jitter_two_center_axis(spark):
+    """n=2 explicit centers must not crash the uniformity check (ADVICE r1)."""
+    df = spark.createDataFrame([(0.4,), (1.2,), (0.9,)], "v double")
+    cube = bin_dataframe(df, bins=[np.array([0.5, 1.0])], axes=["v"], jitter=["v"], jitter_seed=1)
+    assert cube.data.sum() <= 3
+
+
+def test_binning_return_partitions(events_df, events_pdf):
+    """A8: trailing df_part axis keyed by file_id."""
+    cube = bin_dataframe(
+        events_df, bins=[30], axes=["t"], ranges=[(60000.0, 120000.0)],
+        return_partitions=True,
+    )
+    assert cube.dims == ("t", "df_part")
+    assert cube.shape[1] == 4
+    for fid in range(4):
+        pdf = events_pdf[events_pdf.file_id == fid]
+        oracle = _np_hist(pdf, ["t"], [30], [(60000.0, 120000.0)])
+        np.testing.assert_array_equal(cube.data[:, fid], oracle.astype(np.float32))
+
+
+def test_binning_sparse_matches_dense(events_df):
+    sparse = bin_dataframe_sparse(
+        events_df, bins=[25, 13], axes=["X", "Y"], ranges=[(0, 2048), (0, 2048)],
+    ).collect()
+    dense = bin_dataframe(
+        events_df, bins=[25, 13], axes=["X", "Y"], ranges=[(0, 2048), (0, 2048)],
+    )
+    total = np.zeros((25, 13))
+    for r in sparse:
+        total[int(r["X"]), int(r["Y"])] = r["count"]
+    np.testing.assert_array_equal(total, dense.data)
+
+
+def test_simplify_binning_arguments_forms():
+    b, a, r = simplify_binning_arguments(10, axes=["x", "y"], ranges=[(0, 1), (0, 2)])
+    assert b == [10, 10] and a == ["x", "y"]
+    b, a, r = simplify_binning_arguments([(0, 1, 5), (0, 2, 8)], axes=["x", "y"])
+    assert b == [5, 8] and r == [(0, 1), (0, 2)]
+    b, a, r = simplify_binning_arguments({"x": 4}, ranges=[(0, 1)])
+    assert a == ["x"] and b == [4]
+    with pytest.raises(AttributeError):
+        simplify_binning_arguments(10)
+    with pytest.raises(AttributeError):
+        simplify_binning_arguments([10], axes=["x"])  # no ranges
+
+
+def test_centers_edges_roundtrip():
+    centers = np.array([1.0, 2.0, 3.0, 4.0])
+    edges = bin_centers_to_bin_edges(centers)
+    np.testing.assert_allclose(edges, [0.5, 1.5, 2.5, 3.5, 4.5])
+    np.testing.assert_allclose(bin_edges_to_bin_centers(edges), centers)
+
+
+def test_normalization_histogram_from_timestamps(events_df, events_pdf):
+    """A9: sum of global timestamp diffs per bin — the dt series must equal
+    ONE global diff with a single NULL (cross-file boundary carry, r1 fix)."""
+    centers = np.linspace(0, 2048, 20, endpoint=False)
+    hist = normalization_histogram_from_timestamps(
+        events_df, "X", centers, "timeStamps",
+    )
+    # numpy oracle: global diff in (file_id, row_id) order
+    pdf = events_pdf.sort_values(["file_id", "row_id"])
+    dt = pdf.timeStamps.diff().to_numpy()
+    edges = bin_centers_to_bin_edges(centers)
+    idx = np.searchsorted(edges, pdf.X.to_numpy(), side="right") - 1
+    idx = np.minimum(idx, len(centers) - 1)
+    ok = (pdf.X.to_numpy() >= edges[0]) & (pdf.X.to_numpy() <= edges[-1]) & ~np.isnan(dt)
+    oracle = np.zeros(len(centers))
+    np.add.at(oracle, idx[ok], dt[ok])
+    np.testing.assert_allclose(hist.data, oracle, rtol=1e-9, atol=1e-12)
+
+
+def test_normalization_histogram_from_timed_dataframe(events_df, events_pdf):
+    centers = np.linspace(0, 2048, 16, endpoint=False)
+    hist = normalization_histogram_from_timed_dataframe(events_df, "X", centers, 0.001)
+    edges = bin_centers_to_bin_edges(centers)
+    counts, _ = np.histogram(events_pdf.X.to_numpy(), bins=edges)
+    np.testing.assert_allclose(hist.data, counts * 0.001)

@@ -1,0 +1,341 @@
+"""Calibration transform tests: every expression factory vs its NumPy twin
+(reference formulas at sed/calibrator/{energy,delay,momentum}.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sed_binning_spark.calibration.delay import append_delay_axis, mm_to_ps
+from sed_binning_spark.calibration.delay import add_offsets as delay_add_offsets
+from sed_binning_spark.calibration.energy import (
+    _TOF2EV_CONST,
+    align_dld_sectors,
+    append_energy_axis,
+    append_tof_ns_axis,
+    apply_energy_correction,
+    fit_energy_calibration,
+    poly_energy_calibration,
+    tof2evpoly_np,
+)
+from sed_binning_spark.calibration.energy import add_offsets as energy_add_offsets
+from sed_binning_spark.calibration.momentum import (
+    append_k_axis,
+    apply_dfield,
+    generate_inverse_dfield,
+    map_coordinates_bilinear,
+)
+from sed_binning_spark.loaders.utils import split_channel_bitwise, split_dld_time_from_sector_id
+
+
+# ------------------------------------------------------------------ energy M3-M5
+def test_tof2ev_fit_form(events_df, events_pdf):
+    calib = {"d": 1.0, "t0": 1e-7, "E0": 20.0, "binwidth": 4.125e-12,
+             "binning": 1, "energy_scale": "kinetic", "calib_type": "fit"}
+    out, meta = append_energy_axis(events_df, calib, tof_column="t")
+    pdf = out.toPandas().sort_values("row_id")
+    src = events_pdf.sort_values("row_id")
+    tof_ns = src.t.to_numpy() * 4.125e-12 * 2.0
+    oracle = _TOF2EV_CONST * (1.0 / (tof_ns - 1e-7)) ** 2 + 20.0
+    np.testing.assert_allclose(np.sort(pdf.energy.to_numpy()), np.sort(oracle), rtol=1e-12)
+
+
+def test_tof2ev_binding_scale(spark):
+    df = spark.createDataFrame([(70000.0,)], "t double")
+    calib = {"d": 1.0, "t0": 0.0, "E0": 0.0, "energy_scale": "binding"}
+    out, _ = append_energy_axis(df, calib)
+    e = out.collect()[0]["energy"]
+    assert e < 0  # binding scale flips the sign
+
+
+def test_tof2ev_poly_form(events_df, events_pdf):
+    coeffs = [1e-13, -2e-8, 3e-4]  # highest order first, no constant
+    out, _ = append_energy_axis(
+        events_df, {"coeffs": coeffs, "E0": -5.0, "calib_type": "poly"},
+    )
+    pdf = out.toPandas()
+    oracle = tof2evpoly_np(coeffs, -5.0, pdf.t.to_numpy())
+    np.testing.assert_allclose(pdf.energy.to_numpy(), oracle, rtol=1e-9)
+
+
+def test_tof2evpoly_np_reference_form():
+    """tof2evpoly accumulates ascending powers with NO constant term
+    (energy.py:2377-2401): E = a_n*t + ... + a_1*t^n? No — reversed coeffs
+    multiply t^1..t^n in ascending order."""
+    t = np.array([2.0])
+    # poly_a = [a2, a1] (highest first) -> E = a1*t + a2*t^2 + E0
+    out = tof2evpoly_np([3.0, 4.0], 1.0, t)
+    np.testing.assert_allclose(out, [4.0 * 2.0 + 3.0 * 4.0 + 1.0])
+
+
+def test_append_energy_axis_type_inference(events_df):
+    out, _ = append_energy_axis(events_df, {"d": 1.0, "t0": 0.0, "E0": 0.0})
+    assert "energy" in out.columns
+    with pytest.raises(ValueError, match="No valid calibration"):
+        append_energy_axis(events_df, {"bogus": 1})
+    with pytest.raises(KeyError):
+        append_energy_axis(events_df, {"d": 1, "t0": 0, "E0": 0}, tof_column="nope")
+
+
+def test_tof_ns_axis(events_df, events_pdf):
+    out, _ = append_tof_ns_axis(events_df, binwidth=4.125e-12, binning=1)
+    pdf = out.toPandas()
+    oracle = pdf.t.to_numpy() * 1e9 * 4.125e-12 * 2.0
+    np.testing.assert_allclose(pdf.t_ns.to_numpy(), oracle, rtol=1e-12)
+
+
+# ------------------------------------------------------------------ correction M6
+def _correction_oracle(x, y, ctype, center, amplitude, **kw):
+    dx, dy = x - center[0], y - center[1]
+    if ctype == "spherical":
+        d = kw["diameter"]
+        return -(1 - np.sqrt(1 - (dx**2 + dy**2) / d**2)) * 100 * amplitude
+    if ctype == "Lorentzian":
+        g = kw["gamma"]
+        return 100000 * amplitude / (g * np.pi) * (g**2 / (dx**2 + dy**2 + g**2) - 1)
+    if ctype == "Gaussian":
+        s = kw["sigma"]
+        return (20000 * amplitude / np.sqrt(2 * np.pi * s**2)
+                * (np.exp(-(dx**2 + dy**2) / (2 * s**2)) - 1))
+    raise ValueError(ctype)
+
+
+@pytest.mark.parametrize("ctype,kw", [
+    ("spherical", {"diameter": 3000.0}),
+    ("Lorentzian", {"gamma": 700.0}),
+    ("Gaussian", {"sigma": 400.0}),
+])
+def test_energy_correction_profiles(events_df, events_pdf, ctype, kw):
+    corr = {"correction_type": ctype, "center": (1024.0, 1024.0), "amplitude": 2.5, **kw}
+    out, _ = apply_energy_correction(events_df, corr)
+    pdf = out.toPandas().sort_values("row_id")
+    src = events_pdf.sort_values("row_id")
+    oracle = src.t.to_numpy() + _correction_oracle(
+        src.X.to_numpy(), src.Y.to_numpy(), ctype, (1024.0, 1024.0), 2.5, **kw,
+    )
+    np.testing.assert_allclose(np.sort(pdf.tm.to_numpy()), np.sort(oracle), rtol=1e-9)
+
+
+def test_energy_correction_asymmetric_lorentzian(events_df, events_pdf):
+    corr = {"correction_type": "Lorentzian_asymmetric", "center": (1000.0, 900.0),
+            "amplitude": 1.0, "gamma": 600.0, "gamma2": 300.0, "amplitude2": 0.5}
+    out, _ = apply_energy_correction(events_df, corr)
+    pdf = out.toPandas().sort_values("row_id")
+    src = events_pdf.sort_values("row_id")
+    dx = src.X.to_numpy() - 1000.0
+    dy = src.Y.to_numpy() - 900.0
+    g, g2, a, a2 = 600.0, 300.0, 1.0, 0.5
+    oracle = (100000 * a / (g * np.pi) * (g**2 / (dy**2 + g**2) - 1)
+              + 100000 * a2 / (g2 * np.pi) * (g2**2 / (dx**2 + g2**2) - 1))
+    np.testing.assert_allclose(
+        np.sort(pdf.tm.to_numpy()), np.sort(src.t.to_numpy() + oracle), rtol=1e-9,
+    )
+
+
+def test_energy_correction_missing_param(events_df):
+    with pytest.raises(ValueError, match="diameter"):
+        apply_energy_correction(
+            events_df,
+            {"correction_type": "spherical", "center": (0, 0), "amplitude": 1.0},
+        )
+    with pytest.raises(NotImplementedError):
+        apply_energy_correction(
+            events_df,
+            {"correction_type": "bogus", "center": (0, 0), "amplitude": 1.0},
+        )
+
+
+# ------------------------------------------------------------------ sectors M7/M8
+def test_split_and_align_sectors(spark):
+    rng = np.random.default_rng(21)
+    raw = rng.integers(60000 * 8, 120000 * 8, 2000)
+    df = spark.createDataFrame([(int(v),) for v in raw], "dldTimeSteps bigint")
+    split = split_dld_time_from_sector_id(df, sector_id_reserved_bits=3)
+    pdf = split.toPandas()
+    np.testing.assert_array_equal(np.sort(pdf.dldSectorID.to_numpy()), np.sort(raw % 8))
+    np.testing.assert_array_equal(np.sort(pdf.dldTimeSteps.to_numpy()), np.sort(raw // 8))
+    assert dict(split.dtypes)["dldSectorID"] == "tinyint"
+    assert dict(split.dtypes)["dldTimeSteps"] == "int"
+
+    delays = [0.0, 1.5, -2.0, 3.25, 0.5, -0.75, 2.0, -1.25]
+    aligned, _ = align_dld_sectors(split, delays)
+    apdf = aligned.toPandas()
+    oracle = (raw // 8).astype(np.float32) - np.array(delays, dtype=np.float64)[raw % 8].astype(np.float32)
+    np.testing.assert_allclose(np.sort(apdf.dldTimeSteps.to_numpy()),
+                               np.sort((raw // 8) - np.array(delays)[raw % 8]).astype(np.float32),
+                               rtol=1e-6)
+    assert dict(aligned.dtypes)["dldTimeSteps"] == "float"
+
+
+def test_split_channel_bitwise_not_idempotent(spark):
+    df = spark.createDataFrame([(100,)], "c bigint")
+    out = split_channel_bitwise(df, "c", ["lo", "hi"], 4)
+    with pytest.raises(KeyError, match="already in dataframe"):
+        split_channel_bitwise(out, "c", ["lo", "hi"], 4)
+    with pytest.raises(ValueError, match="not idempotent"):
+        split_dld_time_from_sector_id(
+            out.withColumnRenamed("lo", "dldSectorID"), tof_column="c",
+        )
+    with pytest.raises(ValueError, match="bit_mask"):
+        split_channel_bitwise(df, "c", ["lo", "hi"], -1)
+
+
+# ------------------------------------------------------------------ momentum M9/M10
+def test_append_k_axis(events_df, events_pdf):
+    calib = {"rstart": 0.0, "cstart": 0.0, "x_center": 1024.0, "y_center": 1024.0,
+             "kx_scale": 0.01, "ky_scale": 0.012, "rstep": 1.0, "cstep": 1.0}
+    out, _ = append_k_axis(events_df, calib)
+    pdf = out.toPandas().sort_values("row_id")
+    src = events_pdf.sort_values("row_id")
+    np.testing.assert_allclose(
+        np.sort(pdf.kx.to_numpy()), np.sort(0.01 * (src.X.to_numpy() - 1024.0)), rtol=1e-12,
+    )
+    with pytest.raises(ValueError, match="calibration parameters"):
+        append_k_axis(events_df, {"rstart": 0})
+
+
+def test_append_k_axis_prefers_corrected(spark):
+    df = spark.createDataFrame([(1.0, 2.0, 10.0, 20.0)], "X double, Y double, Xm double, Ym double")
+    calib = {"rstart": 0.0, "cstart": 0.0, "x_center": 0.0, "y_center": 0.0,
+             "kx_scale": 1.0, "ky_scale": 1.0, "rstep": 1.0, "cstep": 1.0}
+    out, _ = append_k_axis(df, calib)
+    row = out.collect()[0]
+    assert row["kx"] == 10.0 and row["ky"] == 20.0  # used Xm/Ym
+
+
+def test_map_coordinates_bilinear_matches_manual():
+    grid = np.arange(16, dtype=float).reshape(4, 4)
+    rows = np.array([0.5, 1.25, 3.0])
+    cols = np.array([0.5, 2.75, 3.0])
+    out = map_coordinates_bilinear(grid, rows, cols)
+    # manual bilinear
+    def bil(r, c):
+        r0, c0 = int(np.floor(r)), int(np.floor(c))
+        fr, fc = r - r0, c - c0
+        def at(rr, cc):
+            return grid[rr, cc] if 0 <= rr < 4 and 0 <= cc < 4 else 0.0
+        return ((1-fr)*(1-fc)*at(r0, c0) + (1-fr)*fc*at(r0, c0+1)
+                + fr*(1-fc)*at(r0+1, c0) + fr*fc*at(r0+1, c0+1))
+    np.testing.assert_allclose(out, [bil(*p) for p in zip(rows, cols)])
+
+
+def test_apply_dfield_identity(events_df, events_pdf):
+    """An identity deformation field returns the original coordinates
+    (up to grid resolution)."""
+    h = w = 256
+    rr, cc = np.meshgrid(np.arange(h, dtype=float), np.arange(w, dtype=float), indexing="ij")
+    dfield = np.stack([rr, cc])  # identity: cell (r,c) -> (r,c)
+    out = apply_dfield(
+        events_df, dfield, detector_ranges=((0, 2048), (0, 2048)),
+    ).toPandas().sort_values("row_id")
+    src = events_pdf.sort_values("row_id")
+    # events are in [0,2048], grid is 256 cells of step 8: lookup at raw
+    # coordinate (unit = grid index) — only coords < 256 land inside
+    inside = (src.X < 255) & (src.Y < 255)
+    step = 2048 / 256
+    np.testing.assert_allclose(
+        pdf_sel(out, inside).Xm.to_numpy(), src.X[inside].to_numpy() * step, rtol=1e-9,
+    )
+
+
+def pdf_sel(pdf, mask):
+    return pdf[mask.to_numpy()]
+
+
+def test_apply_dfield_bad_shape(events_df):
+    with pytest.raises(ValueError, match="shape"):
+        apply_dfield(events_df, np.zeros((3, 4, 4)))
+
+
+def test_generate_inverse_dfield_identity_roundtrip():
+    h = w = 64
+    rr, cc = np.meshgrid(np.arange(h, dtype=float), np.arange(w, dtype=float), indexing="ij")
+    inv = generate_inverse_dfield(rr, cc, ((0, h), (0, w)), ((0, h), (0, w)))
+    np.testing.assert_allclose(inv[0], rr, atol=1e-9)
+    np.testing.assert_allclose(inv[1], cc, atol=1e-9)
+
+
+def test_generate_inverse_dfield_shift():
+    """Forward shift by +3 rows inverts to -3 rows (interior cells)."""
+    h = w = 64
+    rr, cc = np.meshgrid(np.arange(h, dtype=float), np.arange(w, dtype=float), indexing="ij")
+    inv = generate_inverse_dfield(rr + 3, cc)
+    np.testing.assert_allclose(inv[0][10:50, 10:50], rr[10:50, 10:50] - 3, atol=1e-6)
+
+
+# ------------------------------------------------------------------ delay M11
+def test_mm_to_ps():
+    np.testing.assert_allclose(mm_to_ps(np.array([1.5, 3.0]), 1.5), [0.0, 10.0])
+
+
+def test_append_delay_axis(events_df, events_pdf):
+    calib = {"adc_range": (2000.0, 20000.0), "delay_range": (-5.0, 5.0)}
+    out, _ = append_delay_axis(events_df, calib)
+    pdf = out.toPandas().sort_values("row_id")
+    src = events_pdf.sort_values("row_id")
+    oracle = -5.0 + (src.ADC.to_numpy() - 2000.0) * (10.0 / 18000.0)
+    np.testing.assert_allclose(np.sort(pdf.delay.to_numpy()), np.sort(oracle), rtol=1e-12)
+
+
+def test_append_delay_axis_mm_form(events_df):
+    calib = {"adc_range": (0.0, 100.0), "delay_range_mm": (1.5, 3.0), "time0": 1.5}
+    out, meta = append_delay_axis(events_df, calib)
+    assert meta["calibration"]["delay_range"] == (0.0, 10.0)
+    with pytest.raises(NotImplementedError, match="Not enough parameters"):
+        append_delay_axis(events_df, {"adc_range": (0, 1)})
+    with pytest.raises(NotImplementedError, match="Not enough parameters"):
+        append_delay_axis(events_df, {"delay_range": (0, 1)})
+
+
+def test_delay_offsets_flip_last(spark):
+    """Reference order: offsets, then constant, THEN negate (delay.py:362-370)
+    -> -(delay + offset + constant). The r1 ADVICE fix."""
+    df = spark.createDataFrame([(1.0, 10.0)], "delay double, bam double")
+    out, _ = delay_add_offsets(
+        df, columns="bam", weights=1.0, constant=2.0, flip_delay_axis=True,
+    )
+    assert out.collect()[0]["delay"] == -(1.0 + 10.0 + 2.0)
+
+
+def test_energy_offsets_binding_flip(spark):
+    df = spark.createDataFrame([(5.0, 1.0)], "energy double, shift double")
+    out, _ = energy_add_offsets(
+        df, columns="shift", weights=1.0, constant=2.0, energy_scale="binding",
+    )
+    assert out.collect()[0]["energy"] == 5.0 - 1.0 - 2.0
+
+
+# ------------------------------------------------------------------ F4 fits
+def test_poly_energy_calibration_recovers_poly():
+    """Synthetic bias series generated FROM a known poly is recovered.
+
+    Bias convention (energy.py:2306-2310): vals_ref - vals_i = E_ref - E_i
+    ... i.e. T a = b with b the differential bias, so vals_i = -E_i + const
+    reproduces the poly exactly."""
+    true_a = [2e-9, -3e-5]
+    e0 = -10.0
+    tof = np.linspace(60000, 90000, 8)
+    energies = tof2evpoly_np(true_a, e0, tof)
+    vals = 30.0 - energies  # arbitrary constant bias offset
+    calib = poly_energy_calibration(
+        tof, vals, order=2, ref_id=0, ref_energy=float(energies[0]), t=tof,
+    )
+    np.testing.assert_allclose(calib["coeffs"], [-a for a in true_a], rtol=1e-6)
+    # E0 pins the ref feature: axis[ref] == ref_energy
+    np.testing.assert_allclose(calib["axis"][0], energies[0], rtol=1e-9)
+
+
+def test_fit_energy_calibration_recovers_model():
+    """Positions generated from the tof2ev model are fit back (F4)."""
+    d_true, t0_true_ns, e0_true = 1.2, 150.0, 10.0
+    binwidth, binning = 4.125e-12, 1
+    binw_ns = binwidth * 2**binning * 1e9
+    pos = np.linspace(65000, 90000, 10)
+    t_ns = pos * binw_ns
+    energies = _TOF2EV_CONST * (d_true / (t_ns - t0_true_ns)) ** 2 + e0_true
+    calib = fit_energy_calibration(
+        pos, energies, binwidth, binning, ref_energy=float(energies[-1]),
+        d0=1.0, t0_0=1e-7,
+    )
+    model = _TOF2EV_CONST * (calib["d"] / (t_ns - calib["t0"])) ** 2 + calib["E0"]
+    np.testing.assert_allclose(model, energies, rtol=1e-4)

@@ -1,0 +1,106 @@
+"""Loader tests: file discovery, generic read, (file_id, row_id) minting
+(reference tests/loader/test_loaders.py contract style, on synthetic files)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sed_binning_spark.loaders.generic import GenericLoader, add_file_and_row_ids
+from sed_binning_spark.loaders.utils import gather_files, natural_sort_key
+
+
+@pytest.fixture(scope="module")
+def parquet_folder(tmp_path_factory):
+    """Three parquet files with known, distinct contents and natural-sort
+    ordering (file2 < file10)."""
+    folder = tmp_path_factory.mktemp("files")
+    rng = np.random.default_rng(5)
+    sizes = {"scan_2": 100, "scan_10": 150, "scan_1": 50}
+    for name, n in sizes.items():
+        pdf = pd.DataFrame({
+            "X": rng.uniform(0, 2048, n),
+            "seq": np.arange(n, dtype="int64"),
+            "tag": [name] * n,
+        })
+        pdf.to_parquet(folder / f"{name}.parquet", index=False)
+    return str(folder)
+
+
+def test_natural_sort():
+    names = ["scan_10", "scan_2", "scan_1"]
+    assert sorted(names, key=natural_sort_key) == ["scan_1", "scan_2", "scan_10"]
+
+
+def test_gather_files(parquet_folder):
+    files = gather_files(parquet_folder, "parquet")
+    bases = [os.path.basename(f) for f in files]
+    assert bases == ["scan_1.parquet", "scan_2.parquet", "scan_10.parquet"]
+    sliced = gather_files(parquet_folder, "parquet", f_start=1, f_end=3)
+    assert len(sliced) == 2
+
+
+def test_generic_loader_reads_folder(spark, parquet_folder):
+    loader = GenericLoader(spark)
+    df, timed, meta = loader.read_dataframe(folders=parquet_folder)
+    assert timed is None
+    assert df.count() == 300
+    assert meta["file_statistics"]["num_files"] == 3
+    assert "file_id" in df.columns and "row_id" in df.columns
+
+
+def test_generic_loader_errors(spark):
+    loader = GenericLoader(spark)
+    with pytest.raises(ValueError, match="Unsupported file type"):
+        loader.read_dataframe(files=["x.foo"], ftype="foo")
+    with pytest.raises(ValueError, match="No valid files"):
+        loader.read_dataframe()
+
+
+def test_file_and_row_ids_match_physical_order(spark, parquet_folder):
+    """row_id equals the in-file row index (the files carry their own `seq`
+    ground truth); file_id equals the natural-sort position."""
+    loader = GenericLoader(spark)
+    df, _, meta = loader.read_dataframe(folders=parquet_folder)
+    pdf = df.toPandas()
+    # file_id 0 -> scan_1 (50 rows), 1 -> scan_2 (100), 2 -> scan_10 (150)
+    sizes = pdf.groupby("file_id").size().to_dict()
+    assert sizes == {0: 50, 1: 100, 2: 150}
+    tags = pdf.groupby("file_id").tag.first().to_dict()
+    assert tags == {0: "scan_1", 1: "scan_2", 2: "scan_10"}
+    # row_id == seq within every file
+    np.testing.assert_array_equal(pdf.row_id.to_numpy(), pdf.seq.to_numpy())
+
+
+def test_file_and_row_ids_multisplit(spark, tmp_path):
+    """A file large enough to span multiple scan splits still gets row_ids in
+    physical order (the r1 scale fix: split byte offset, not id-pack order)."""
+    n = 200_000
+    pdf = pd.DataFrame({"seq": np.arange(n, dtype="int64"),
+                        "pad": np.random.default_rng(1).uniform(size=n)})
+    path = tmp_path / "big.parquet"
+    pdf.to_parquet(path, index=False, row_group_size=10_000)
+    # force many small splits so one file spans >1 partition
+    df = (
+        spark.read.option("maxPartitionBytes", 64 * 1024)
+        .parquet(str(path))
+    )
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    try:
+        df = spark.read.parquet(str(path))
+        assert df.rdd.getNumPartitions() > 1, "test needs a multi-split file"
+        out = add_file_and_row_ids(df, [str(path)]).toPandas()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    np.testing.assert_array_equal(out.row_id.to_numpy(), out.seq.to_numpy())
+
+
+def test_add_ids_fallback_non_file_df(spark):
+    """createDataFrame input (no file metadata) falls back to a window."""
+    df = spark.createDataFrame([(i,) for i in range(10)], "v int")
+    out = add_file_and_row_ids(df, [])
+    assert "row_id" in out.columns
+    assert out.count() == 10
