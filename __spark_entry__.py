@@ -1,38 +1,859 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship calibrate-and-bin chain on sf0.001.
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ the LLM-pipeline operators); ``oracle_sql()`` gives the
+DuckDB twin for every SQL-expressible one. Spark expression and SQL twin
+are generated from the SAME plan-time literals, so pure-arithmetic queries
+are bit-identical across engines; the few queries using transcendentals
+(exp) or order-dependent double sums round their outputs to 6 decimals on
+BOTH sides.
+
+Events-derived sed-style coordinates (identical derivation in both
+engines; events.ts is TIMESTAMP(NANOS) → int64 ns):
+    X      = (value * 131.0) % 2048.0
+    Y      = (value * 17.0 + user_id) % 2048.0
+    t      = 60000.0 + value * 120.0         (TOF steps)
+    ADC    = 2000.0 + user_id * 119.9
+    ts_sec = ns / 1e9
+    file_id = user_id % 4, row_id = event_id
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from sed_binning_spark.binning.binning import (
+    bin_dataframe_sparse,
+    normalization_histogram_sparse_from_timed_dataframe,
+    normalization_histogram_sparse_from_timestamps,
+)
+from sed_binning_spark.binning.expressions import (
+    bin_index_expr,
+    bin_index_sql,
+    bin_index_sql_edges,
+)
+from sed_binning_spark.binning.utils import bin_centers_to_bin_edges
+from sed_binning_spark.calibration.delay import append_delay_axis, delay_sql
+from sed_binning_spark.calibration.delay import add_offsets as delay_add_offsets
+from sed_binning_spark.calibration.energy import (
+    align_dld_sectors,
+    append_energy_axis,
+    append_tof_ns_axis,
+    apply_energy_correction,
+    tof2ev_sql,
+)
+from sed_binning_spark.calibration.momentum import append_k_axis, apply_dfield, k_coordinate_sql
+from sed_binning_spark.core.dfops import (
+    add_time_stamped_data,
+    apply_filter,
+    apply_jitter,
+    backward_fill,
+    drop_column,
+    forward_fill,
+    map_columns_2d,
+    offset_by_other_columns,
+)
+from sed_binning_spark.loaders.utils import split_channel_bitwise
+from sed_binning_spark.pipeline.dedup import (
+    exact_dedup,
+    exact_dedup_keep_rows,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+)
+from sed_binning_spark.pipeline.multimodal import extract_features, synthesize_media_from_text
+from sed_binning_spark.pipeline.similarity import (
+    cosine_pairs_brute,
+    cosine_topk,
+    lsh_bucket_pairs,
+)
+from sed_binning_spark.pipeline.text import STOPWORDS, document_fingerprint, language_id, text_stats
+from sed_binning_spark.sqlgen import fsql
+
+# ---------------------------------------------------------------------------
+# shared derivations (Spark + SQL twins from the same literals)
+# ---------------------------------------------------------------------------
+
+# NOTE on time: events.ts is parquet TIMESTAMP(NANOS). DuckDB (the oracle
+# engine) truncates it to microseconds at read time, so the shared currency
+# is exact integer MICROseconds: Spark `ts div 1000` == DuckDB `epoch_us(ts)`.
+_EV_SQL = """
+SELECT event_id,
+       epoch_us(ts) AS ts,
+       user_id,
+       event_type,
+       value,
+       (value * 131.0) % 2048.0 AS X,
+       (value * 17.0 + CAST(user_id AS DOUBLE)) % 2048.0 AS Y,
+       60000.0 + value * 120.0 AS t,
+       2000.0 + CAST(user_id AS DOUBLE) * 119.9 AS ADC,
+       CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS ts_sec,
+       CAST(user_id % 4 AS INTEGER) AS file_id,
+       event_id AS row_id
+FROM events
+"""
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as int64 ns only
+    # with this (session-settable) legacy conf
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = df.withColumn("ts", F.expr("ts div 1000"))  # exact integer µs
+    return df.withColumns({
+        "X": (F.col("value") * F.lit(131.0)) % F.lit(2048.0),
+        "Y": (F.col("value") * F.lit(17.0) + F.col("user_id").cast("double")) % F.lit(2048.0),
+        "t": F.lit(60000.0) + F.col("value") * F.lit(120.0),
+        "ADC": F.lit(2000.0) + F.col("user_id").cast("double") * F.lit(119.9),
+        "ts_sec": F.col("ts").cast("double") / F.lit(1000000.0),
+        "file_id": (F.col("user_id") % F.lit(4)).cast("int"),
+        "row_id": F.col("event_id"),
+    })
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _binning_sql(nbins_ranges: list, group_names: list[str], src_sql: str = _EV_SQL) -> str:
+    """Oracle for the sparse N-D binning queries: same bin-index arithmetic,
+    NULL (out-of-range/NaN) rows dropped, grouped count."""
+    exprs = []
+    for (col, nbins, lo, hi), name in zip(nbins_ranges, group_names):
+        exprs.append(f"{bin_index_sql(col, nbins, lo, hi)} AS {name}")
+    names = ", ".join(group_names)
+    notnull = " AND ".join(f"{n} IS NOT NULL" for n in group_names)
+    return (
+        f"SELECT {names}, count(*) AS cnt FROM "
+        f"(SELECT {', '.join(exprs)} FROM ({src_sql})) WHERE {notnull} "
+        f"GROUP BY {names}"
+    )
+
+
+# sector delays for the M7 query (literals shared by both engines)
+_SECTOR_DELAYS = [0.0, 1.5, -2.0, 3.25, 0.5, -0.75, 2.0, -1.25]
+
+# M13 external series (timestamps span every sf's ts range; clamped outside)
+_INTERP_XS = np.linspace(1.700e9, 1.710e9, 9)
+_INTERP_YS = np.array([0.0, 1.0, 4.0, 9.0, 16.0, 9.0, 4.0, 1.0, 0.0])
+
+# momentum calibration literals (M10)
+_K_CALIB = {
+    "rstart": 0.0, "cstart": 0.0, "x_center": 1024.0, "y_center": 1024.0,
+    "kx_scale": 0.0102, "ky_scale": 0.0097, "rstep": 1.0, "cstep": 1.0,
+}
+
+# delay calibration literals (M11)
+_DELAY_CALIB = {"adc_range": (2000.0, 20000.0), "delay_range": (-5.0, 5.0)}
+
+# energy calibration literals (M3/M4)
+_E_FIT = {"d": 1.0, "t0": 1e-7, "E0": 20.0, "binwidth": 4.125e-12,
+          "binning": 1, "energy_scale": "kinetic", "calib_type": "fit"}
+_E_POLY_COEFFS = [1.2e-13, -2.4e-8, 3.1e-4]  # highest order first
+_E_POLY_E0 = -7.5
+
+# non-uniform explicit bin centers for the A3 path
+_NU_CENTERS = np.array([10.0, 20.0, 50.0, 100.0, 200.0, 400.0])
+
+# ANN query vector (deterministic)
+_QVEC = np.round(np.sin(np.arange(64) * 0.37), 6)
+
+
+def _np_interp_sql(x: str, xs: np.ndarray, ys: np.ndarray) -> str:
+    """Piecewise-linear SQL twin of np.interp incl. edge clamping, built
+    from the same slope literals (slope*(x-x0)+y0 per segment)."""
+    parts = [f"CASE WHEN {x} <= {fsql(xs[0])} THEN {fsql(ys[0])}"]
+    for i in range(len(xs) - 1):
+        slope = (ys[i + 1] - ys[i]) / (xs[i + 1] - xs[i])
+        parts.append(
+            f"WHEN {x} < {fsql(xs[i + 1])} THEN {fsql(slope)} * ({x} - {fsql(xs[i])}) + {fsql(ys[i])}",
+        )
+    parts.append(f"ELSE {fsql(ys[-1])} END")
+    return " ".join(parts)
+
+
+def _dot_sql(col: str, vec: np.ndarray, cast: str = "DOUBLE") -> str:
+    """Left-associated explicit dot product (the SQL twin of dot_expr)."""
+    return " + ".join(
+        f"CAST({col}[{i + 1}] AS {cast}) * {fsql(v)}" for i, v in enumerate(vec)
+    )
+
+
+def _norm_sql(col: str, dim: int) -> str:
+    terms = " + ".join(
+        f"CAST({col}[{i + 1}] AS DOUBLE) * CAST({col}[{i + 1}] AS DOUBLE)"
+        for i in range(dim)
+    )
+    return f"sqrt({terms})"
+
+
+_STOP_SQL = {
+    lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in STOPWORDS.items()
+}
+_TOKS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_WS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship chain on sf0.001
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: load sf0.001 events → derive coordinates → seeded jitter →
+    momentum k-axis → energy calibration → delay calibration + offsets →
+    filtered 2-D sparse histogram on (energy, delay)."""
+    ev = _events(spark, "/root/testdata/sf0.001")
+    ev = apply_jitter(ev, cols=["X", "Y"], cols_jittered=["X", "Y"], amps=0.5, seed=42)
+    ev, _ = append_k_axis(ev, _K_CALIB)
+    ev, _ = append_energy_axis(ev, _E_FIT)
+    ev, _ = append_delay_axis(ev, _DELAY_CALIB)
+    ev, _ = delay_add_offsets(ev, constant=0.25, flip_delay_axis=True)
+    out = bin_dataframe_sparse(
+        ev,
+        bins=[120, 40],
+        axes=["energy", "delay"],
+        ranges=[(20.0, 60.0), (-8.0, 8.0)],
+        filters=[{"col": "ADC", "lower_bound": 2000.0, "upper_bound": 20000.0}],
+        count_column="cnt",
+    )
+    return out.select(
+        F.col("energy").alias("b0"), F.col("delay").alias("b1"), "cnt",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+def _q_binning_1d(spark, sf):
+    return bin_dataframe_sparse(
+        _events(spark, sf), bins=[1000], axes=["t"], ranges=[(60000.0, 120000.0)],
+        count_column="cnt",
+    ).select(F.col("t").alias("b0"), "cnt")
+
+
+def _q_binning_2d(spark, sf):
+    return bin_dataframe_sparse(
+        _events(spark, sf), bins=[100, 100], axes=["X", "Y"],
+        ranges=[(0.0, 2048.0), (0.0, 2048.0)], count_column="cnt",
+    ).select(F.col("X").alias("b0"), F.col("Y").alias("b1"), "cnt")
+
+
+def _q_binning_3d(spark, sf):
+    return bin_dataframe_sparse(
+        _events(spark, sf), bins=[40, 40, 40], axes=["X", "Y", "t"],
+        ranges=[(0.0, 2048.0), (0.0, 2048.0), (60000.0, 120000.0)], count_column="cnt",
+    ).select(F.col("X").alias("b0"), F.col("Y").alias("b1"), F.col("t").alias("b2"), "cnt")
+
+
+def _q_binning_4d(spark, sf):
+    return bin_dataframe_sparse(
+        _events(spark, sf), bins=[20, 20, 20, 20], axes=["X", "Y", "t", "ADC"],
+        ranges=[(0.0, 2048.0), (0.0, 2048.0), (60000.0, 120000.0), (2000.0, 20000.0)],
+        count_column="cnt",
+    ).select(F.col("X").alias("b0"), F.col("Y").alias("b1"),
+             F.col("t").alias("b2"), F.col("ADC").alias("b3"), "cnt")
+
+
+def _q_binning_edges(spark, sf):
+    return bin_dataframe_sparse(
+        _events(spark, sf), bins=[_NU_CENTERS], axes=["value"], count_column="cnt",
+    ).select(F.col("value").alias("b0"), "cnt")
+
+
+def _q_binning_filtered(spark, sf):
+    return bin_dataframe_sparse(
+        _events(spark, sf), bins=[50, 50], axes=["X", "Y"],
+        ranges=[(0.0, 2048.0), (0.0, 2048.0)],
+        filters=[{"col": "ADC", "lower_bound": 5000.0, "upper_bound": 15000.0}],
+        count_column="cnt",
+    ).select(F.col("X").alias("b0"), F.col("Y").alias("b1"), "cnt")
+
+
+def _q_binning_partitions(spark, sf):
+    ev = _events(spark, sf)
+    idx = bin_index_expr("t", 100, 60000.0, 120000.0).alias("b0")
+    return (
+        ev.select(idx, "file_id").dropna()
+        .groupBy("b0", "file_id").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _q_filter_range(spark, sf):
+    ev = apply_filter(_events(spark, sf), "value", 100.0, 400.0)
+    return ev.select("event_id", "value")
+
+
+def _q_filter_index(spark, sf):
+    ev = apply_filter(_events(spark, sf), "index", upper_bound=500.0)
+    return ev.select("event_id")
+
+
+def _q_drop_columns(spark, sf):
+    ev = drop_column(_events(spark, sf), ["props", "event_type", "ts"])
+    return ev
+
+
+def _q_map_2d(spark, sf):
+    th = 0.25
+    c, s = float(np.cos(th)), float(np.sin(th))
+
+    def rot(x, y):
+        return (x * F.lit(c) - y * F.lit(s), x * F.lit(s) + y * F.lit(c))
+
+    ev = map_columns_2d(_events(spark, sf), rot, "X", "Y", "Xr", "Yr")
+    return ev.select("event_id", "Xr", "Yr")
+
+
+def _q_offsets_per_row(spark, sf):
+    ev = offset_by_other_columns(
+        _events(spark, sf), "t", ["ADC", "value"], weights=[2.0, -0.5],
+    )
+    return ev.select("event_id", F.col("t").alias("t_off"))
+
+
+def _q_offsets_mean(spark, sf):
+    ev = offset_by_other_columns(
+        _events(spark, sf), "t", ["ADC"], weights=[1.0], reductions="mean",
+    )
+    return ev.select("event_id", F.round(F.col("t"), 6).alias("t_off"))
+
+
+def _q_ffill(spark, sf):
+    ev = _events(spark, sf).withColumn(
+        "sv", F.when(F.col("event_id") % 20 == 0, F.col("value")),
+    )
+    return forward_fill(ev, ["sv"]).select("event_id", "sv")
+
+
+def _q_bfill(spark, sf):
+    ev = _events(spark, sf).withColumn(
+        "sv", F.when(F.col("event_id") % 20 == 0, F.col("value")),
+    )
+    return backward_fill(ev, ["sv"]).select("event_id", "sv")
+
+
+def _q_interp(spark, sf):
+    ev = add_time_stamped_data(
+        _events(spark, sf), _INTERP_XS, _INTERP_YS,
+        dest_column="chan", time_stamp_column="ts_sec",
+    )
+    return ev.select("event_id", "chan")
+
+
+def _q_energy_fit(spark, sf):
+    ev, _ = append_energy_axis(_events(spark, sf), _E_FIT)
+    return ev.select("event_id", "energy")
+
+
+def _q_energy_poly(spark, sf):
+    ev, _ = append_energy_axis(
+        _events(spark, sf),
+        {"coeffs": _E_POLY_COEFFS, "E0": _E_POLY_E0, "calib_type": "poly"},
+    )
+    return ev.select("event_id", "energy")
+
+
+def _q_tof_ns(spark, sf):
+    ev, _ = append_tof_ns_axis(_events(spark, sf), binwidth=4.125e-12, binning=1)
+    return ev.select("event_id", "t_ns")
+
+
+def _q_corr_spherical(spark, sf):
+    ev, _ = apply_energy_correction(
+        _events(spark, sf),
+        {"correction_type": "spherical", "center": (1024.0, 1024.0),
+         "amplitude": 2.5, "diameter": 3000.0},
+    )
+    return ev.select("event_id", "tm")
+
+
+def _q_corr_lorentzian(spark, sf):
+    ev, _ = apply_energy_correction(
+        _events(spark, sf),
+        {"correction_type": "Lorentzian", "center": (1024.0, 1024.0),
+         "amplitude": 2.5, "gamma": 700.0},
+    )
+    return ev.select("event_id", "tm")
+
+
+def _q_corr_gaussian(spark, sf):
+    ev, _ = apply_energy_correction(
+        _events(spark, sf),
+        {"correction_type": "Gaussian", "center": (1024.0, 1024.0),
+         "amplitude": 2.5, "sigma": 400.0},
+    )
+    return ev.select("event_id", F.round("tm", 6).alias("tm"))
+
+
+def _q_sector_align(spark, sf):
+    ev = _events(spark, sf).withColumn(
+        "dldSectorID", (F.col("event_id") % 8).cast("int"),
+    )
+    ev, _ = align_dld_sectors(
+        ev, _SECTOR_DELAYS, tof_column="t", sector_id_column="dldSectorID",
+    )
+    return ev.select("event_id", F.col("t").alias("t_aligned"))
+
+
+def _q_bitwise_split(spark, sf):
+    ev = _events(spark, sf).withColumn(
+        "ti", F.floor(F.col("value") * 100.0).cast("bigint"),
+    )
+    ev = split_channel_bitwise(ev, "ti", ["lo", "hi"], 3, types=["tinyint", "int"])
+    return ev.select("event_id", "lo", "hi")
+
+
+def _q_k_axis(spark, sf):
+    ev, _ = append_k_axis(_events(spark, sf), _K_CALIB)
+    return ev.select("event_id", "kx", "ky")
+
+
+def _q_delay(spark, sf):
+    ev, _ = append_delay_axis(_events(spark, sf), _DELAY_CALIB)
+    return ev.select("event_id", "delay")
+
+
+def _q_delay_flip_offsets(spark, sf):
+    ev, _ = append_delay_axis(_events(spark, sf), _DELAY_CALIB)
+    ev, _ = delay_add_offsets(
+        ev, columns="value", weights=0.001, constant=2.5, flip_delay_axis=True,
+    )
+    return ev.select("event_id", "delay")
+
+
+def _q_norm_hist_timed(spark, sf):
+    centers = np.linspace(0.0, 2048.0, 100, endpoint=False)
+    return normalization_histogram_sparse_from_timed_dataframe(
+        _events(spark, sf), "X", centers, 0.001,
+    )
+
+
+def _q_norm_hist_ts(spark, sf):
+    centers = np.linspace(0.0, 2048.0, 50, endpoint=False)
+    out = normalization_histogram_sparse_from_timestamps(
+        _events(spark, sf), "X", centers, "ts_sec",
+    )
+    return out.select("bin", F.round("time", 6).alias("time"))
+
+
+def _q_jitter(spark, sf):
+    ev = apply_jitter(_events(spark, sf), cols=["X", "Y"], amps=0.5, seed=7)
+    return ev.select("event_id", "X_jittered", "Y_jittered")
+
+
+def _q_dfield(spark, sf):
+    # deterministic barrel-distortion inverse field (stands in for F8 output)
+    h = w = 128
+    rr, cc = np.meshgrid(np.arange(h, dtype=float), np.arange(w, dtype=float), indexing="ij")
+    r0 = (rr - h / 2) * 1.0005 + h / 2
+    c0 = (cc - w / 2) * 1.0005 + w / 2
+    ev = apply_dfield(
+        _events(spark, sf), np.stack([r0, c0]),
+        x_column="X", y_column="Y", detector_ranges=((0, 2048), (0, 2048)),
+    )
+    return ev.select("event_id", "Xm", "Ym")
+
+
+# ---- pipeline / LLM-data operators ----------------------------------------
+
+def _q_dedup_exact(spark, sf):
+    return exact_dedup(_docs(spark, sf))
+
+
+def _q_dedup_rows(spark, sf):
+    return exact_dedup_keep_rows(_docs(spark, sf)).select("doc_id")
+
+
+def _q_text_stats(spark, sf):
+    out = text_stats(_docs(spark, sf))
+    return out.select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_ws_tokens").cast("bigint").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("uniq_token_ratio", 6).alias("uniq_token_ratio"),
+    )
+
+
+def _q_lang_id(spark, sf):
+    return language_id(_docs(spark, sf)).select("doc_id", "lang_pred")
+
+
+def _q_fingerprint(spark, sf):
+    return document_fingerprint(_docs(spark, sf)).select("doc_id", "fingerprint")
+
+
+def _q_minhash(spark, sf):
+    out = minhash_signatures(_docs(spark, sf), num_hashes=4, shingle_size=3)
+    return out.select("doc_id", "mh_0", "mh_1", "mh_2", "mh_3")
+
+
+def _q_minhash_lsh(spark, sf):
+    return minhash_lsh_pairs(
+        _docs(spark, sf), num_hashes=8, bands=4, shingle_size=3,
+    )
+
+
+def _q_simhash(spark, sf):
+    return simhash(_docs(spark, sf), bits=16).select("doc_id", "simhash")
+
+
+def _q_ann_topk(spark, sf):
+    return cosine_topk(_embeds(spark, sf), _QVEC, k=10)
+
+
+def _q_ann_pairs(spark, sf):
+    return cosine_pairs_brute(_embeds(spark, sf), 0.45).select("id_a", "id_b")
+
+
+def _q_ann_lsh(spark, sf):
+    return lsh_bucket_pairs(_embeds(spark, sf), 0.45, num_planes=8, num_tables=6)
+
+
+def _q_multimodal(spark, sf):
+    media = synthesize_media_from_text(_docs(spark, sf))
+    return extract_features(media, feature_dim=8)
+
+
+# ---- generic relational (free with Spark; evidences the SQL surface) ------
+
+def _q_lineitem_agg(spark, sf):
+    df = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        df.where(F.col("l_quantity") < 45.0)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def _q_events_per_user(spark, sf):
+    ev = _events(spark, sf)
+    return ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # A2/A4/A5: uniform int-bins N-D histograms (sparse occupied cells)
+        "binning_1d": _q_binning_1d,
+        "binning_2d": _q_binning_2d,
+        "binning_3d": _q_binning_3d,
+        "binning_4d": _q_binning_4d,
+        # A3: explicit non-uniform bin edges
+        "binning_edges": _q_binning_edges,
+        # P3 + A4: pre-binning open-interval filters
+        "binning_filtered": _q_binning_filtered,
+        # A8: per-partition histogram stack
+        "binning_partitions": _q_binning_partitions,
+        # P1: range filter / index filter
+        "filter_range": _q_filter_range,
+        "filter_index": _q_filter_index,
+        # P4: drop columns
+        "drop_columns": _q_drop_columns,
+        # M2: simultaneous 2-D map
+        "map_2d": _q_map_2d,
+        # M12: offsets (per-row / mean-reduced)
+        "offsets_per_row": _q_offsets_per_row,
+        "offsets_mean": _q_offsets_mean,
+        # W1/W2: fills
+        "forward_fill": _q_ffill,
+        "backward_fill": _q_bfill,
+        # M13: timestamped-channel interpolation
+        "interp_channel": _q_interp,
+        # M3/M4/M5: energy conversions
+        "energy_fit": _q_energy_fit,
+        "energy_poly": _q_energy_poly,
+        "tof_ns": _q_tof_ns,
+        # M6: energy corrections
+        "corr_spherical": _q_corr_spherical,
+        "corr_lorentzian": _q_corr_lorentzian,
+        "corr_gaussian": _q_corr_gaussian,
+        # M7/M8: sector alignment + bitwise split
+        "sector_align": _q_sector_align,
+        "bitwise_split": _q_bitwise_split,
+        # M10/M11: momentum + delay calibration
+        "k_axis": _q_k_axis,
+        "delay_calib": _q_delay,
+        "delay_flip_offsets": _q_delay_flip_offsets,
+        # A9/A10: normalization histograms
+        "norm_hist_timed": _q_norm_hist_timed,
+        "norm_hist_timestamps": _q_norm_hist_ts,
+        # M1 (rows-only: nondeterministic noise) / M9 (rows-only: grid UDF)
+        "jitter": _q_jitter,
+        "dfield_correction": _q_dfield,
+        # LLM-pipeline operators
+        "dedup_exact": _q_dedup_exact,
+        "dedup_exact_rows": _q_dedup_rows,
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "minhash_signatures": _q_minhash,
+        "minhash_lsh_pairs": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "ann_topk": _q_ann_topk,
+        "ann_pairs_brute": _q_ann_pairs,
+        "ann_pairs_lsh": _q_ann_lsh,
+        "multimodal_features": _q_multimodal,
+        # generic relational surface
+        "lineitem_agg": _q_lineitem_agg,
+        "events_per_user": _q_events_per_user,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    th = 0.25
+    c, s = float(np.cos(th)), float(np.sin(th))
+    nu_edges = bin_centers_to_bin_edges(_NU_CENTERS)
+    timed_edges = bin_centers_to_bin_edges(np.linspace(0.0, 2048.0, 100, endpoint=False))
+    ts_edges = bin_centers_to_bin_edges(np.linspace(0.0, 2048.0, 50, endpoint=False))
+    delays_sql = "[" + ", ".join(fsql(d) for d in _SECTOR_DELAYS) + "]"
+    e = _E_FIT
+    energy_fit_sql = tof2ev_sql(
+        "t", e["d"], e["t0"], e["binwidth"], e["binning"], e["energy_scale"], e["E0"],
+    )
+    # poly accumulation in the same ascending order as tof2evpoly_expr
+    asc = list(np.asarray(_E_POLY_COEFFS, dtype=float)[::-1])
+    poly_sql = "0.0"
+    power = "CAST(t AS DOUBLE)"
+    for a in asc:
+        poly_sql = f"{poly_sql} + {fsql(a)} * ({power})"
+        power = f"({power}) * CAST(t AS DOUBLE)"
+    poly_sql = f"{poly_sql} + {fsql(_E_POLY_E0)}"
+    kx_sql, ky_sql = k_coordinate_sql("X", "Y", **_K_CALIB)
+    d_sql = delay_sql("ADC", _DELAY_CALIB["adc_range"], _DELAY_CALIB["delay_range"])
+
+    # correction kernels, mirroring correction_expr's tree
+    dx = "(X - 1024.0)"
+    dy = "(Y - 1024.0)"
+    sph = (f"-((1.0 - sqrt(1.0 - ({dx} * {dx} + {dy} * {dy}) / {fsql(3000.0 ** 2)})) "
+           f"* {fsql(100.0 * 2.5)})")
+    g = 700.0
+    lor = (f"{fsql(100000.0 * 2.5 / (g * np.pi))} * ({fsql(g ** 2)} / "
+           f"({dx} * {dx} + {dy} * {dy} + {fsql(g ** 2)}) - 1.0)")
+    sg = 400.0
+    gau = (f"{fsql(20000.0 * 2.5 / np.sqrt(2 * np.pi * sg ** 2))} * "
+           f"(exp(-({dx} * {dx} + {dy} * {dy}) / {fsql(2 * sg ** 2)}) - 1.0)")
+
+    qn = float(np.sqrt((_QVEC * _QVEC).sum()))
+    cos_sql = (
+        f"(({_dot_sql('embedding', _QVEC)}) / ({_norm_sql('embedding', 64)} * {fsql(qn)}))"
+    )
+
+    toks = _TOKS_SQL
+    shingle = (
+        f"list_transform(range(1, greatest(len({toks}) - 2, 1) + 1), "
+        f"i -> array_to_string({toks}[i:i+2], ' '))"
+    )
+
+    def mh(seed):
+        return f"list_min(list_transform({shingle}, s -> md5('{seed}|' || s)))"
+
+    def band(b, rows_per_band=2):
+        parts = " || '#' || ".join(mh(b * rows_per_band + r) for r in range(rows_per_band))
+        return parts
+
+    lsh_bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, {band(b)} AS key FROM documents" for b in range(4)
+    )
+
+    stop_filters = {
+        lang: f"len(list_filter({toks}, x -> x IN ({_STOP_SQL[lang]})))"
+        for lang in ("en", "de", "fr")
+    }
+
+    return {
+        "binning_1d": _binning_sql([("t", 1000, 60000.0, 120000.0)], ["b0"]),
+        "binning_2d": _binning_sql(
+            [("X", 100, 0.0, 2048.0), ("Y", 100, 0.0, 2048.0)], ["b0", "b1"],
+        ),
+        "binning_3d": _binning_sql(
+            [("X", 40, 0.0, 2048.0), ("Y", 40, 0.0, 2048.0), ("t", 40, 60000.0, 120000.0)],
+            ["b0", "b1", "b2"],
+        ),
+        "binning_4d": _binning_sql(
+            [("X", 20, 0.0, 2048.0), ("Y", 20, 0.0, 2048.0),
+             ("t", 20, 60000.0, 120000.0), ("ADC", 20, 2000.0, 20000.0)],
+            ["b0", "b1", "b2", "b3"],
+        ),
+        "binning_edges": (
+            f"SELECT b0, count(*) AS cnt FROM (SELECT "
+            f"{bin_index_sql_edges('value', nu_edges)} AS b0 FROM ({_EV_SQL})) "
+            f"WHERE b0 IS NOT NULL GROUP BY b0"
+        ),
+        "binning_filtered": (
+            f"SELECT b0, b1, count(*) AS cnt FROM (SELECT "
+            f"{bin_index_sql('X', 50, 0.0, 2048.0)} AS b0, "
+            f"{bin_index_sql('Y', 50, 0.0, 2048.0)} AS b1 "
+            f"FROM ({_EV_SQL}) WHERE ADC > 5000.0 AND ADC < 15000.0) "
+            f"WHERE b0 IS NOT NULL AND b1 IS NOT NULL GROUP BY b0, b1"
+        ),
+        "binning_partitions": (
+            f"SELECT b0, file_id, count(*) AS cnt FROM (SELECT "
+            f"{bin_index_sql('t', 100, 60000.0, 120000.0)} AS b0, file_id "
+            f"FROM ({_EV_SQL})) WHERE b0 IS NOT NULL GROUP BY b0, file_id"
+        ),
+        "filter_range": (
+            f"SELECT event_id, value FROM ({_EV_SQL}) "
+            f"WHERE value > 100.0 AND value < 400.0"
+        ),
+        "filter_index": f"SELECT event_id FROM ({_EV_SQL}) WHERE row_id < 500.0",
+        "drop_columns": (
+            f"SELECT event_id, user_id, value, X, Y, t, ADC, ts_sec, file_id, row_id "
+            f"FROM ({_EV_SQL})"
+        ),
+        "map_2d": (
+            f"SELECT event_id, X * {fsql(c)} - Y * {fsql(s)} AS Xr, "
+            f"X * {fsql(s)} + Y * {fsql(c)} AS Yr FROM ({_EV_SQL})"
+        ),
+        "offsets_per_row": (
+            f"SELECT event_id, t + 2.0 * ADC + -0.5 * value AS t_off FROM ({_EV_SQL})"
+        ),
+        "offsets_mean": (
+            f"SELECT event_id, round(t + (SELECT avg(ADC) FROM ({_EV_SQL})), 6) "
+            f"AS t_off FROM ({_EV_SQL})"
+        ),
+        "forward_fill": (
+            f"SELECT event_id, last_value(sv IGNORE NULLS) OVER "
+            f"(ORDER BY file_id, row_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv "
+            f"FROM (SELECT *, CASE WHEN event_id % 20 = 0 THEN value END AS sv FROM ({_EV_SQL}))"
+        ),
+        "backward_fill": (
+            f"SELECT event_id, first_value(sv IGNORE NULLS) OVER "
+            f"(ORDER BY file_id, row_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sv "
+            f"FROM (SELECT *, CASE WHEN event_id % 20 = 0 THEN value END AS sv FROM ({_EV_SQL}))"
+        ),
+        "interp_channel": (
+            f"SELECT event_id, {_np_interp_sql('ts_sec', _INTERP_XS, _INTERP_YS)} AS chan "
+            f"FROM ({_EV_SQL})"
+        ),
+        "energy_fit": f"SELECT event_id, {energy_fit_sql} AS energy FROM ({_EV_SQL})",
+        "energy_poly": f"SELECT event_id, {poly_sql} AS energy FROM ({_EV_SQL})",
+        "tof_ns": (
+            f"SELECT event_id, CAST(t AS DOUBLE) * 1e9 * 4.125e-12 * 2.0 AS t_ns "
+            f"FROM ({_EV_SQL})"
+        ),
+        "corr_spherical": f"SELECT event_id, t + {sph} AS tm FROM ({_EV_SQL})",
+        "corr_lorentzian": f"SELECT event_id, t + {lor} AS tm FROM ({_EV_SQL})",
+        "corr_gaussian": f"SELECT event_id, round(t + {gau}, 6) AS tm FROM ({_EV_SQL})",
+        "sector_align": (
+            f"SELECT event_id, CAST(t - {delays_sql}"
+            f"[CAST(event_id % 8 AS INTEGER) + 1] AS REAL) AS t_aligned FROM ({_EV_SQL})"
+        ),
+        "bitwise_split": (
+            f"SELECT event_id, CAST(ti % 8 AS TINYINT) AS lo, "
+            f"CAST(ti >> 3 AS INTEGER) AS hi FROM "
+            f"(SELECT event_id, CAST(floor(value * 100.0) AS BIGINT) AS ti FROM ({_EV_SQL}))"
+        ),
+        "k_axis": f"SELECT event_id, {kx_sql} AS kx, {ky_sql} AS ky FROM ({_EV_SQL})",
+        "delay_calib": f"SELECT event_id, {d_sql} AS delay FROM ({_EV_SQL})",
+        "delay_flip_offsets": (
+            f"SELECT event_id, -(({d_sql}) + 0.001 * value + 2.5) AS delay FROM ({_EV_SQL})"
+        ),
+        "norm_hist_timed": (
+            f"SELECT bin, count(*) * 1.0e-3 AS time FROM (SELECT "
+            f"{bin_index_sql_edges('X', timed_edges)} AS bin FROM ({_EV_SQL})) "
+            f"WHERE bin IS NOT NULL GROUP BY bin"
+        ),
+        "norm_hist_timestamps": (
+            f"SELECT bin, round(sum(dt), 6) AS time FROM (SELECT "
+            f"{bin_index_sql_edges('X', ts_edges)} AS bin, "
+            f"ts_sec - lag(ts_sec) OVER (ORDER BY file_id, row_id) AS dt "
+            f"FROM ({_EV_SQL})) WHERE bin IS NOT NULL AND dt IS NOT NULL GROUP BY bin"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, min(doc_id) AS kept_id, "
+            "count(*) AS n_dups FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_exact_rows": (
+            "SELECT doc_id FROM documents WHERE doc_id IN "
+            "(SELECT min(doc_id) FROM documents GROUP BY md5(text))"
+        ),
+        "text_stats": (
+            f"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            f"CAST(len({_WS_SQL}) AS BIGINT) AS n_ws_tokens, "
+            f"CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) "
+            f"AS n_bpe_tokens, "
+            f"round(length(regexp_replace(text, '\\s+', '', 'g')) "
+            f"/ CAST(len({_WS_SQL}) AS DOUBLE), 6) AS mean_token_len, "
+            f"round(len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) "
+            f"/ CAST(length(text) AS DOUBLE), 6) AS punct_ratio, "
+            f"round(len(list_filter(list_transform({_WS_SQL}, x -> lower(x)), "
+            f"x -> x IN ({_STOP_SQL['en']}))) / CAST(len({_WS_SQL}) AS DOUBLE), 6) "
+            f"AS stopword_ratio, "
+            f"round(len(list_distinct({_WS_SQL})) / CAST(len({_WS_SQL}) AS DOUBLE), 6) "
+            f"AS uniq_token_ratio "
+            f"FROM documents"
+        ),
+        "lang_id": (
+            f"SELECT doc_id, CASE WHEN greatest({stop_filters['en']}, {stop_filters['de']}, "
+            f"{stop_filters['fr']}) = 0 THEN 'und' "
+            f"WHEN {stop_filters['en']} = greatest({stop_filters['en']}, {stop_filters['de']}, "
+            f"{stop_filters['fr']}) THEN 'en' "
+            f"WHEN {stop_filters['de']} = greatest({stop_filters['en']}, {stop_filters['de']}, "
+            f"{stop_filters['fr']}) THEN 'de' ELSE 'fr' END AS lang_pred FROM documents"
+        ),
+        "fingerprint": (
+            f"SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fingerprint "
+            f"FROM documents"
+        ),
+        "minhash_signatures": (
+            f"SELECT doc_id, {mh(0)} AS mh_0, {mh(1)} AS mh_1, "
+            f"{mh(2)} AS mh_2, {mh(3)} AS mh_3 FROM documents"
+        ),
+        "minhash_lsh_pairs": (
+            f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM "
+            f"({lsh_bands}) a JOIN ({lsh_bands}) b "
+            f"ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
+        ),
+        "ann_topk": (
+            f"SELECT vec_id, {cos_sql} AS score FROM embeddings "
+            f"ORDER BY score DESC, vec_id LIMIT 10"
+        ),
+        "ann_pairs_brute": (
+            f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b "
+            f"WHERE a.vec_id < b.vec_id AND ({_pair_cos_sql()}) > 0.45e0"
+        ),
+        "lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price, "
+            "count(*) AS n_rows FROM lineitem WHERE l_quantity < 45.0 "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "events_per_user": (
+            f"SELECT user_id, event_type, count(*) AS cnt FROM ({_EV_SQL}) "
+            f"GROUP BY user_id, event_type"
+        ),
+    }
+
+
+def _pair_cos_sql() -> str:
+    """Pairwise cosine for the brute-force oracle (explicit 64-term form)."""
+    dot = " + ".join(
+        f"CAST(a.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE)"
+        for i in range(1, 65)
+    )
+    na = " + ".join(
+        f"CAST(a.embedding[{i}] AS DOUBLE) * CAST(a.embedding[{i}] AS DOUBLE)"
+        for i in range(1, 65)
+    )
+    nb = " + ".join(
+        f"CAST(b.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE)"
+        for i in range(1, 65)
+    )
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"

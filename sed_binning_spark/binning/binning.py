@@ -282,25 +282,17 @@ def _apply_binning_jitter(df, jitter, bins, axes, ranges, seed=None):
     return df
 
 
-def normalization_histogram_from_timestamps(
+def normalization_histogram_sparse_from_timestamps(
     df: DataFrame,
     axis: str,
     bin_centers: np.ndarray,
     time_stamp_column: str,
     order_columns: Sequence[str] = ("file_id", "row_id"),
-) -> Cube:
-    """Per-bin acquisition time from event timestamps (A9; reference
-    sed/binning/binning.py:440-473): time_per_electron = diff(timestamps) in
-    event order, summed per bin of ``axis``.
-
-    The lag runs inside per-file windows (partitionBy file) so the sort
-    shuffles only within files — at 100 TB a single global orderBy window
-    would serialize on one task. The previous file's LAST timestamp is
-    carried across the boundary (tiny per-file agg + broadcast join, the
-    same trick as forward_fill), so the dt series equals the reference's
-    single global ``.diff()`` (sed/binning/binning.py:459): exactly one NULL
-    overall, at the first event of the first file.
-    """
+    bin_column: str = "bin",
+    time_column: str = "time",
+) -> DataFrame:
+    """Sparse (distributed) form of :func:`normalization_histogram_from_timestamps`:
+    one row per occupied bin with the summed per-event dt."""
     from pyspark.sql.window import Window
 
     part_col, row_col = order_columns
@@ -331,18 +323,61 @@ def normalization_histogram_from_timestamps(
 
     edges = bin_centers_to_bin_edges(bin_centers)
     idx = bin_index_expr_edges(axis, edges).alias("__bin")
-    rows = (
+    return (
         df.select(idx, dt)
-        .where(F.col("__bin").isNotNull())
-        .groupBy("__bin")
-        .agg(F.sum("__dt").alias("__t"))
-        .collect()
+        .where(F.col("__bin").isNotNull() & F.col("__dt").isNotNull())
+        .groupBy(F.col("__bin").alias(bin_column))
+        .agg(F.sum("__dt").alias(time_column))
     )
+
+
+def normalization_histogram_from_timestamps(
+    df: DataFrame,
+    axis: str,
+    bin_centers: np.ndarray,
+    time_stamp_column: str,
+    order_columns: Sequence[str] = ("file_id", "row_id"),
+) -> Cube:
+    """Per-bin acquisition time from event timestamps (A9; reference
+    sed/binning/binning.py:440-473): time_per_electron = diff(timestamps) in
+    event order, summed per bin of ``axis``.
+
+    The lag runs inside per-file windows (partitionBy file) so the sort
+    shuffles only within files — at 100 TB a single global orderBy window
+    would serialize on one task. The previous file's LAST timestamp is
+    carried across the boundary (tiny per-file agg + broadcast join, the
+    same trick as forward_fill), so the dt series equals the reference's
+    single global ``.diff()`` (sed/binning/binning.py:459): exactly one NULL
+    overall, at the first event of the first file.
+    """
+    rows = normalization_histogram_sparse_from_timestamps(
+        df, axis, bin_centers, time_stamp_column, order_columns,
+    ).collect()
     hist = np.zeros(len(bin_centers), dtype=float)
     for r in rows:
-        if r["__t"] is not None:
-            hist[int(r["__bin"])] = r["__t"]
+        if r["time"] is not None:
+            hist[int(r["bin"])] = r["time"]
     return Cube(hist, {axis: np.asarray(bin_centers, dtype=float)})
+
+
+def normalization_histogram_sparse_from_timed_dataframe(
+    df: DataFrame,
+    axis: str,
+    bin_centers: np.ndarray,
+    time_unit: float,
+    bin_column: str = "bin",
+    time_column: str = "time",
+) -> DataFrame:
+    """Sparse (distributed) form of
+    :func:`normalization_histogram_from_timed_dataframe`."""
+    edges = bin_centers_to_bin_edges(bin_centers)
+    idx = bin_index_expr_edges(axis, edges).alias("__bin")
+    return (
+        df.select(idx)
+        .where(F.col("__bin").isNotNull())
+        .groupBy(F.col("__bin").alias(bin_column))
+        .agg((F.count(F.lit(1)) * F.lit(float(time_unit))).alias(time_column))
+    )
 
 
 def normalization_histogram_from_timed_dataframe(
@@ -353,16 +388,10 @@ def normalization_histogram_from_timed_dataframe(
 ) -> Cube:
     """Per-bin acquisition time from the timed (fixed-rate) dataframe (A10;
     reference sed/binning/binning.py:476-508): count per bin x time_unit."""
-    edges = bin_centers_to_bin_edges(bin_centers)
-    idx = bin_index_expr_edges(axis, edges).alias("__bin")
-    rows = (
-        df.select(idx)
-        .where(F.col("__bin").isNotNull())
-        .groupBy("__bin")
-        .count()
-        .collect()
-    )
+    rows = normalization_histogram_sparse_from_timed_dataframe(
+        df, axis, bin_centers, time_unit,
+    ).collect()
     hist = np.zeros(len(bin_centers), dtype=float)
     for r in rows:
-        hist[int(r["__bin"])] = r["count"] * time_unit
+        hist[int(r["bin"])] = r["time"]
     return Cube(hist, {axis: np.asarray(bin_centers, dtype=float)})

@@ -23,6 +23,8 @@ import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from sed_binning_spark.sqlgen import fsql
+
 # Above this many edges a CASE/array-literal expression gets unwieldy; use a
 # broadcast searchsorted pandas_udf instead.
 MAX_LITERAL_EDGES = 4096
@@ -83,10 +85,10 @@ def bin_index_sql(
     an identical IEEE expression tree.
     """
     e0, delta, _ = uniform_bin_params(nbins, float(lo), float(hi), half_bin_shift)
-    j = f"round((CAST({col} AS DOUBLE) - {e0!r}) * {delta!r}, 11)"
+    j = f"round((CAST({col} AS DOUBLE) - {fsql(e0)}) * {fsql(delta)}, 11)"
     return (
-        f"CASE WHEN {j} >= 0 AND {j} <= {float(nbins)!r} THEN "
-        f"CASE WHEN {j} = {float(nbins)!r} THEN {nbins - 1} "
+        f"CASE WHEN {j} >= 0 AND {j} <= {fsql(nbins)} THEN "
+        f"CASE WHEN {j} = {fsql(nbins)} THEN {nbins - 1} "
         f"ELSE CAST(floor({j}) AS BIGINT) END END"
     )
 
@@ -118,10 +120,10 @@ def bin_index_sql_edges(col: str, edges: np.ndarray) -> str:
     """DuckDB twin of :func:`bin_index_expr_edges` (list_filter lambda)."""
     edges = np.asarray(edges, dtype=float)
     n = edges.size - 1
-    lst = "[" + ", ".join(repr(float(e)) for e in edges) + "]"
+    lst = "[" + ", ".join(fsql(e) for e in edges) + "]"
     cnt = f"len(list_filter({lst}, e -> e <= {col}))"
     return (
-        f"CASE WHEN {col} >= {float(edges[0])!r} AND {col} <= {float(edges[-1])!r} "
+        f"CASE WHEN {col} >= {fsql(edges[0])} AND {col} <= {fsql(edges[-1])} "
         f"THEN CAST(least({cnt} - 1, {n - 1}) AS BIGINT) END"
     )
 

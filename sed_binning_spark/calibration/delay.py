@@ -12,6 +12,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sed_binning_spark.sqlgen import fsql
+
 
 def mm_to_ps(delay_mm, time0_mm: float):
     """Delay-stage mm -> relative delay in ps, double pass
@@ -36,7 +38,7 @@ def delay_sql(adc: str, adc_range, delay_range) -> str:
     """DuckDB twin of :func:`delay_expr` (same literal arithmetic)."""
     a0, a1 = float(adc_range[0]), float(adc_range[1])
     d0, d1 = float(delay_range[0]), float(delay_range[1])
-    return f"{d0!r} + (CAST({adc} AS DOUBLE) - {a0!r}) * {(d1 - d0) / (a1 - a0)!r}"
+    return f"{fsql(d0)} + (CAST({adc} AS DOUBLE) - {fsql(a0)}) * {fsql((d1 - d0) / (a1 - a0))}"
 
 
 def append_delay_axis(

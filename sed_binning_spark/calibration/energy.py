@@ -14,6 +14,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sed_binning_spark.sqlgen import fsql
+
 # m_e/2 in eV * (ns/m)^2 — the reference's hard constant
 # (sed/calibrator/energy.py:2369).
 _TOF2EV_CONST = 2.84281e-12
@@ -53,10 +55,10 @@ def tof2ev_sql(
     """DuckDB twin of :func:`tof2ev_expr`, same literal arithmetic."""
     sign = 1.0 if energy_scale == "kinetic" else -1.0
     ratio = (
-        f"({tof_distance!r} / (CAST({t} AS DOUBLE) * {float(binwidth)!r} * "
-        f"{float(2.0 ** binning)!r} - {float(time_offset)!r}))"
+        f"({fsql(tof_distance)} / (CAST({t} AS DOUBLE) * {fsql(binwidth)} * "
+        f"{fsql(2.0 ** binning)} - {fsql(time_offset)}))"
     )
-    return f"{_TOF2EV_CONST * sign!r} * {ratio} * {ratio} + {float(energy_offset)!r}"
+    return f"{fsql(_TOF2EV_CONST * sign)} * {ratio} * {ratio} + {fsql(energy_offset)}"
 
 
 def tof2evpoly_expr(

@@ -19,6 +19,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sed_binning_spark.sqlgen import fsql
+
 
 # ---------------------------------------------------------------------------
 # M10: detector -> k linear calibration (momentum.py:1836-1916, kernel
@@ -63,8 +65,8 @@ def k_coordinate_sql(
     """DuckDB twin of :func:`k_coordinate_exprs`."""
     r_det0 = float(rstart) + float(rstep) * float(x_center)
     c_det0 = float(cstart) + float(cstep) * float(y_center)
-    kx = f"{float(kx_scale)!r} * ((CAST({x} AS DOUBLE) - {r_det0!r}) / {float(rstep)!r})"
-    ky = f"{float(ky_scale)!r} * ((CAST({y} AS DOUBLE) - {c_det0!r}) / {float(cstep)!r})"
+    kx = f"{fsql(kx_scale)} * ((CAST({x} AS DOUBLE) - {fsql(r_det0)}) / {fsql(rstep)})"
+    ky = f"{fsql(ky_scale)} * ((CAST({y} AS DOUBLE) - {fsql(c_det0)}) / {fsql(cstep)})"
     return kx, ky
 
 

@@ -1,0 +1,50 @@
+"""Large-scale training-data pipeline operators (beyond reference parity).
+
+These are first-class engine components for the 100 TB north star: every
+operator is a Catalyst expression pipeline or an equi-join on a derived
+bucket key — never an all-pairs product, never a driver-side loop over
+event-scale data.
+
+- :mod:`~sed_binning_spark.pipeline.dedup` — exact dedup (hash groupBy),
+  MinHash + LSH banding, SimHash, n-gram Jaccard verification
+- :mod:`~sed_binning_spark.pipeline.text` — token counting, text quality
+  stats, stopword language-ID, document fingerprinting
+- :mod:`~sed_binning_spark.pipeline.similarity` — brute-force cosine top-k
+  (the correctness baseline) and random-hyperplane LSH bucketing (the scale
+  path) over `array<float>` embedding columns
+- :mod:`~sed_binning_spark.pipeline.multimodal` — opaque-binary media
+  column plumbing (schema, batching, Pandas-UDF signatures) with the codec
+  stubbed (image/audio libs are not available in this environment)
+"""
+
+from sed_binning_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+)
+from sed_binning_spark.pipeline.similarity import (
+    cosine_similarity_expr,
+    cosine_topk,
+    lsh_bucket_pairs,
+)
+from sed_binning_spark.pipeline.text import (
+    document_fingerprint,
+    language_id,
+    text_stats,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ngram_jaccard",
+    "cosine_topk",
+    "cosine_similarity_expr",
+    "lsh_bucket_pairs",
+    "text_stats",
+    "language_id",
+    "document_fingerprint",
+]

@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, as a scale-tiered pair:
+
+- **Brute-force cosine top-k** — the correctness baseline: a generated
+  fixed-length dot-product expression (whole-stage codegen, no Python, no
+  shuffle except the final top-k). Linear scan; right answer by
+  construction. The engine-portable expression form (explicit per-element
+  sum) also lets an independent SQL engine reproduce it bit-for-bit.
+- **Random-hyperplane LSH bucketing** — the scale path: sign-bit sketches
+  from a seeded hyperplane set give a bucket key; candidate generation is
+  an equi-join on the key (optionally multi-probe over rotated keys), and
+  only candidates get the exact cosine. At 100 TB the all-pairs product
+  never exists.
+
+Top-k at scale: ``ORDER BY score LIMIT k`` in Spark is a per-partition
+top-k + single merge (TakeOrderedAndProject) — no global sort shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(col: Column, query: Sequence[float]) -> Column:
+    """Explicit left-to-right dot product against a literal query vector.
+
+    Generated as element_at(c,1)*q1 + element_at(c,2)*q2 + ... — stays in
+    codegen AND is bit-reproducible by any engine that evaluates a
+    left-associated sum (the HOF ``aggregate`` fold is Spark-specific;
+    this form is portable).
+    """
+    terms = None
+    for i, q in enumerate(query):
+        term = F.element_at(col, i + 1).cast("double") * F.lit(float(q))
+        terms = term if terms is None else terms + term
+    return terms
+
+
+def norm_expr(col: Column, dim: int) -> Column:
+    """Euclidean norm via the same explicit left-to-right sum."""
+    acc = None
+    for i in range(dim):
+        e = F.element_at(col, i + 1).cast("double")
+        term = e * e
+        acc = term if acc is None else acc + term
+    return F.sqrt(acc)
+
+
+def cosine_similarity_expr(col: Column, query: Sequence[float]) -> Column:
+    """cos(col, query) with the query norm folded in as a literal."""
+    q = np.asarray(query, dtype=float)
+    qnorm = float(np.sqrt((q * q).sum()))
+    return dot_expr(col, query) / (norm_expr(col, len(query)) * F.lit(qnorm))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    score_column: str = "score",
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+
+    Plan: scan → codegen'd projection → TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows). Ties break on id for determinism.
+    """
+    score = cosine_similarity_expr(F.col(embedding_column), query)
+    return (
+        df.select(F.col(id_column), score.alias(score_column))
+        .orderBy(F.col(score_column).desc(), F.col(id_column))
+        .limit(k)
+    )
+
+
+def cosine_pairs_brute(
+    df: DataFrame,
+    threshold: float,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+) -> DataFrame:
+    """All pairs above a cosine threshold by explicit self-join — the
+    CORRECTNESS oracle only (O(n²); use :func:`lsh_bucket_pairs` at scale).
+    Pre-normalizes once so the join condition is a plain dot product."""
+    dim = _dim(df, embedding_column)
+    normed = df.select(
+        F.col(id_column),
+        F.transform(
+            F.col(embedding_column),
+            lambda x: x.cast("double") / norm_expr(F.col(embedding_column), dim),
+        ).alias("__e"),
+    )
+    a = normed.select(F.col(id_column).alias("id_a"), F.col("__e").alias("__ea"))
+    b = normed.select(F.col(id_column).alias("id_b"), F.col("__e").alias("__eb"))
+    dot = F.aggregate(
+        F.zip_with("__ea", "__eb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot)
+        .where(F.col("cosine") > F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def hyperplane_sketch_expr(
+    col: Column,
+    planes: np.ndarray,
+) -> Column:
+    """Sign-bit sketch string for a (P, dim) seeded hyperplane matrix:
+    bit p = 1 iff dot(col, plane_p) >= 0."""
+    bits = [
+        F.when(dot_expr(col, planes[p]) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(planes.shape[0])
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucket_pairs(
+    df: DataFrame,
+    threshold: float,
+    num_planes: int = 16,
+    num_tables: int = 4,
+    seed: int = 42,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate pairs via random-hyperplane LSH: ``num_tables``
+    independent sketch keys; same key in ANY table → candidate; candidates
+    verified with exact cosine. Equi-joins only — the scale path.
+    """
+    dim = _dim(df, embedding_column)
+    rng = np.random.default_rng(seed)
+    keyed = df.select(
+        F.col(id_column),
+        F.col(embedding_column),
+        *[
+            hyperplane_sketch_expr(
+                F.col(embedding_column), rng.standard_normal((num_planes, dim)),
+            ).alias(f"sk_{t}")
+            for t in range(num_tables)
+        ],
+    )
+    stacked = keyed.select(
+        id_column,
+        embedding_column,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("tbl"), F.col(f"sk_{t}").alias("key"))
+                for t in range(num_tables)
+            ]),
+        ).alias("tk"),
+    ).select(id_column, embedding_column, F.col("tk.tbl").alias("tbl"), F.col("tk.key").alias("key"))
+    a = stacked.select(
+        F.col("tbl"), F.col("key"),
+        F.col(id_column).alias("id_a"), F.col(embedding_column).alias("__ea"),
+    )
+    b = stacked.select(
+        F.col("tbl"), F.col("key"),
+        F.col(id_column).alias("id_b"), F.col(embedding_column).alias("__eb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__ea", "__eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = norm_expr(F.col("__ea"), dim)
+    nb = norm_expr(F.col("__eb"), dim)
+    return (
+        a.join(b, on=["tbl", "key"], how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
+        .distinct()
+        .where(F.col("cosine") > F.lit(float(threshold)))
+    )
+
+
+def _dim(df: DataFrame, embedding_column: str) -> int:
+    """Embedding dimensionality from the first row (plan-time probe)."""
+    row = df.select(F.size(embedding_column).alias("d")).first()
+    if row is None:
+        raise ValueError("empty dataframe; cannot infer embedding dim")
+    return int(row["d"])

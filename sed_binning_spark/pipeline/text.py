@@ -1,0 +1,126 @@
+"""Text analysis operators: token counting, quality stats, language ID,
+document fingerprinting.
+
+All pure Catalyst expressions (regex split / transform / aggregate) — the
+whole module stays in whole-stage codegen, so throughput is scan-bound at
+any scale. Every operator is engine-portable (the DuckDB oracle reproduces
+it exactly): no engine-specific hash functions in checked outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish tokenization: word pieces OR single non-space punctuation — the
+# standard pre-tokenizer shape (letters/digits runs split from punctuation).
+BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+# Tiny high-frequency stopword lists for the n-gram/stopword language
+# heuristic. Deliberately small: the heuristic is a ratio detector, not a
+# classifier; extend per deployment.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+}
+
+
+def whitespace_tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def bpe_tokens(text: Column) -> Column:
+    """Tokens under the BPE-ish pre-tokenizer regex."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)
+
+
+def text_stats(
+    df: DataFrame,
+    text_column: str = "text",
+) -> DataFrame:
+    """Quality-scoring statistics per document:
+
+    - ``n_chars``/``n_ws_tokens``/``n_bpe_tokens`` — length and token counts
+    - ``mean_token_len`` — characters per whitespace token
+    - ``punct_ratio`` — punctuation chars / chars
+    - ``stopword_ratio`` — English stopword tokens / tokens
+    - ``uniq_token_ratio`` — distinct/total whitespace tokens (repetition
+      detector)
+    """
+    t = F.col(text_column)
+    ws = whitespace_tokens(t)
+    stop = STOPWORDS["en"]
+    return df.withColumns({
+        "n_chars": F.length(t),
+        "n_ws_tokens": F.size(ws),
+        "n_bpe_tokens": F.size(bpe_tokens(t)),
+        "mean_token_len": F.length(F.regexp_replace(t, r"\s+", "")) / F.size(ws).cast("double"),
+        "punct_ratio": F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9_\s]"), 0))
+        / F.length(t).cast("double"),
+        "stopword_ratio": F.size(F.filter(F.transform(ws, F.lower), lambda x: x.isin(*stop)))
+        / F.size(ws).cast("double"),
+        "uniq_token_ratio": F.size(F.array_distinct(ws)) / F.size(ws).cast("double"),
+    })
+
+
+def language_id(
+    df: DataFrame,
+    text_column: str = "text",
+    lang_column: str = "lang_pred",
+) -> DataFrame:
+    """Stopword-ratio language ID over the configured languages: the
+    language whose stopword list covers the most tokens wins; ties and
+    zero-evidence rows fall back to 'und' (undetermined)."""
+    toks = F.transform(whitespace_tokens(F.col(text_column)), F.lower)
+
+    def _in_list(ws):
+        # closure factory: a default-arg lambda would be mis-read by
+        # pyspark's higher-order-function arity inspection
+        return lambda x: x.isin(*ws)
+
+    scores = {
+        lang: F.size(F.filter(toks, _in_list(ws))) for lang, ws in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # deterministic priority order on ties: en > de > fr (dict order)
+    for lang in reversed(list(scores)):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return df.withColumn(lang_column, pred)
+
+
+def document_fingerprint(
+    df: DataFrame,
+    text_column: str = "text",
+    fingerprint_column: str = "fingerprint",
+    normalized: bool = True,
+) -> DataFrame:
+    """Content fingerprint: md5 of the whitespace-normalized lowercased
+    text (normalized=True) or of the raw text. The normalized form makes
+    whitespace/case-variant copies collide — the standard first pass before
+    fuzzy dedup."""
+    t = F.col(text_column)
+    if normalized:
+        t = F.concat_ws(" ", F.split(F.trim(F.lower(t)), r"\s+"))
+    return df.withColumn(fingerprint_column, F.md5(t))
+
+
+def rolling_hashes(
+    df: DataFrame,
+    text_column: str = "text",
+    window: int = 5,
+    out_column: str = "rolling_hashes",
+) -> DataFrame:
+    """Winnowing-style rolling fingerprints: md5 of each ``window``-token
+    span (the shingle-hash sequence used for local-similarity detection).
+    Per-row expression; downstream winnowing (min per window) composes with
+    array HOFs."""
+    toks = whitespace_tokens(F.lower(F.col(text_column)))
+    k = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), k - F.lit(1))
+    return df.withColumn(
+        out_column,
+        F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window)))),
+    )
