@@ -94,7 +94,8 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     keyed = sigs.select(F.col(id_column), *band_cols)
-    # long-form (band_idx, key) so one equi-join covers all bands
+    # long-form (band_idx, key) so one shuffle covers all bands; signatures
+    # are computed ONCE (a self-join would evaluate the md5 pipeline twice)
     stacked = keyed.select(
         id_column,
         F.explode(
@@ -104,18 +105,33 @@ def minhash_lsh_pairs(
             ]),
         ).alias("bk"),
     ).select(id_column, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = stacked.alias("a")
-    b = stacked.alias("b")
-    pairs = (
-        a.join(b, on=["band", "key"], how="inner")
-        .where(F.col(f"a.{id_column}") < F.col(f"b.{id_column}"))
-        .select(
-            F.col(f"a.{id_column}").alias("id_a"),
-            F.col(f"b.{id_column}").alias("id_b"),
-        )
+    return _bucket_pairs(stacked, ["band", "key"], id_column)
+
+
+def _bucket_pairs(stacked: DataFrame, bucket_cols: list[str], id_column: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs within each bucket: one groupBy shuffle
+    + expression-level pair expansion over the sorted bucket-member array —
+    no self-join, bucket-local quadratic cost only (LSH guarantees small
+    buckets for any sane banding)."""
+    ids = F.sort_array(F.collect_set(id_column)).alias("__ids")
+    buckets = stacked.groupBy(*bucket_cols).agg(ids).where(F.size("__ids") > 1)
+    a = F.col("__ids")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(a) - 1),
+            lambda i: F.transform(
+                F.slice(a, i + 1, F.size(a)),
+                lambda x: F.struct(
+                    F.element_at(a, i).alias("id_a"), x.alias("id_b"),
+                ),
+            ),
+        ),
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard(

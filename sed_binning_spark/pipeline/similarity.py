@@ -125,6 +125,32 @@ def hyperplane_sketch_expr(
     return F.concat(*bits)
 
 
+def hyperplane_sketch_udf(planes: np.ndarray, num_tables: int):
+    """Vectorized sketch computation: one BLAS matmul per Arrow batch
+    computes ALL tables' sign-bit keys at once ((N, dim) @ (dim, T*P)).
+
+    The expression form (:func:`hyperplane_sketch_expr`) is right for a few
+    planes; at T*P*dim in the thousands the generated code blows past the
+    JVM's 64 KB method limit and falls out of codegen — the matmul UDF is
+    the scale path.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    t, p, dim = planes.shape
+    flat = np.ascontiguousarray(planes.reshape(t * p, dim).T)  # (dim, T*P)
+    weights = 1 << np.arange(p)[::-1]
+
+    def _sketch_fn(emb):
+        mat = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        bits = (mat @ flat) >= 0  # (N, T*P)
+        keys = bits.reshape(len(mat), t, p) @ weights  # (N, T) int bucket ids
+        return pd.Series([[f"{tbl}:{int(k)}" for tbl, k in enumerate(row)] for row in keys])
+
+    _sketch_fn.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return pandas_udf(_sketch_fn, "array<string>")
+
+
 def lsh_bucket_pairs(
     df: DataFrame,
     threshold: float,
@@ -136,37 +162,25 @@ def lsh_bucket_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via random-hyperplane LSH: ``num_tables``
     independent sketch keys; same key in ANY table → candidate; candidates
-    verified with exact cosine. Equi-joins only — the scale path.
+    verified with exact cosine. One shuffle on the bucket key + bucket-local
+    pair expansion — the scale path (never all-pairs).
     """
+    from sed_binning_spark.pipeline.dedup import _bucket_pairs
+
     dim = _dim(df, embedding_column)
     rng = np.random.default_rng(seed)
-    keyed = df.select(
+    planes = rng.standard_normal((num_tables, num_planes, dim))
+    sketch = hyperplane_sketch_udf(planes, num_tables)
+    stacked = df.select(
         F.col(id_column),
-        F.col(embedding_column),
-        *[
-            hyperplane_sketch_expr(
-                F.col(embedding_column), rng.standard_normal((num_planes, dim)),
-            ).alias(f"sk_{t}")
-            for t in range(num_tables)
-        ],
+        F.explode(sketch(F.col(embedding_column))).alias("key"),
     )
-    stacked = keyed.select(
-        id_column,
-        embedding_column,
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(t).alias("tbl"), F.col(f"sk_{t}").alias("key"))
-                for t in range(num_tables)
-            ]),
-        ).alias("tk"),
-    ).select(id_column, embedding_column, F.col("tk.tbl").alias("tbl"), F.col("tk.key").alias("key"))
-    a = stacked.select(
-        F.col("tbl"), F.col("key"),
-        F.col(id_column).alias("id_a"), F.col(embedding_column).alias("__ea"),
-    )
-    b = stacked.select(
-        F.col("tbl"), F.col("key"),
-        F.col(id_column).alias("id_b"), F.col(embedding_column).alias("__eb"),
+    cand = _bucket_pairs(stacked, ["key"], id_column)
+    # verify candidates with the exact cosine (two hash-joins pull sides)
+    sides = df.select(F.col(id_column), F.col(embedding_column).alias("__e"))
+    withe = (
+        cand.join(sides.withColumnRenamed(id_column, "id_a").withColumnRenamed("__e", "__ea"), "id_a")
+        .join(sides.withColumnRenamed(id_column, "id_b").withColumnRenamed("__e", "__eb"), "id_b")
     )
     dot = F.aggregate(
         F.zip_with("__ea", "__eb", lambda x, y: x.cast("double") * y.cast("double")),
@@ -176,10 +190,7 @@ def lsh_bucket_pairs(
     na = norm_expr(F.col("__ea"), dim)
     nb = norm_expr(F.col("__eb"), dim)
     return (
-        a.join(b, on=["tbl", "key"], how="inner")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
-        .distinct()
+        withe.select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
         .where(F.col("cosine") > F.lit(float(threshold)))
     )
 

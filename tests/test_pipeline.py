@@ -1,0 +1,195 @@
+"""Pipeline operator tests: dedup, text analysis, similarity, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sed_binning_spark.pipeline.dedup import (
+    exact_dedup,
+    exact_dedup_keep_rows,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+)
+from sed_binning_spark.pipeline.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthesize_media_from_text,
+)
+from sed_binning_spark.pipeline.similarity import (
+    cosine_pairs_brute,
+    cosine_topk,
+    lsh_bucket_pairs,
+)
+from sed_binning_spark.pipeline.text import (
+    document_fingerprint,
+    language_id,
+    rolling_hashes,
+    text_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox jumps over the very lazy dog"),     # near dup
+        (3, "der schnelle braune fuchs springt und ist nicht faul"),
+        (4, "le renard brun est dans la foret pour une promenade"),
+        (5, "completely different content about spark query engines"),
+        (6, "THE  Quick   Brown fox jumps over the lazy dog"),       # case/ws variant
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal(8)
+    rows = []
+    for i in range(20):
+        if i < 3:  # 3 vectors nearly parallel to base
+            v = base + rng.standard_normal(8) * 0.01
+        else:
+            v = rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+# ------------------------------------------------------------------- dedup
+def test_exact_dedup(docs_df):
+    out = exact_dedup(docs_df).toPandas()
+    assert len(out) == 6  # 7 docs, one exact dup
+    dup = out[out.n_dups == 2]
+    assert len(dup) == 1 and dup.kept_id.iloc[0] == 0
+
+
+def test_exact_dedup_keep_rows(docs_df):
+    kept = exact_dedup_keep_rows(docs_df).toPandas()
+    assert sorted(kept.doc_id) == [0, 2, 3, 4, 5, 6]
+
+
+def test_exact_dedup_keep_max(docs_df):
+    out = exact_dedup(docs_df, keep="max").toPandas()
+    assert 1 in set(out.kept_id)
+    with pytest.raises(ValueError, match="min"):
+        exact_dedup(docs_df, keep="median")
+
+
+def test_minhash_identical_signatures(docs_df):
+    sigs = minhash_signatures(docs_df, num_hashes=4).toPandas().set_index("doc_id")
+    for c in ["mh_0", "mh_1", "mh_2", "mh_3"]:
+        assert sigs.loc[0, c] == sigs.loc[1, c]  # exact dups → equal sigs
+    # near-dup shares most hashes with 0; unrelated doc shares none
+    share_near = sum(sigs.loc[0, c] == sigs.loc[2, c] for c in sigs.columns)
+    share_far = sum(sigs.loc[0, c] == sigs.loc[5, c] for c in sigs.columns)
+    assert share_far == 0 and share_near >= 1
+
+
+def test_minhash_lsh_finds_duplicates(docs_df):
+    pairs = minhash_lsh_pairs(docs_df, num_hashes=8, bands=8).toPandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (0, 1) in got          # exact dup always collides
+    assert (0, 5) not in got      # unrelated never
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(docs_df, num_hashes=7, bands=3)
+
+
+def test_ngram_jaccard_verification(spark, docs_df):
+    pairs = spark.createDataFrame([(0, 1), (0, 5)], "id_a long, id_b long")
+    out = ngram_jaccard(pairs, docs_df).toPandas().set_index(["id_a", "id_b"])
+    assert out.loc[(0, 1), "jaccard"] == 1.0
+    assert out.loc[(0, 5), "jaccard"] == 0.0
+
+
+def test_simhash_neardup_bits(docs_df):
+    out = simhash(docs_df, bits=16).toPandas().set_index("doc_id")
+    assert out.loc[0, "simhash"] == out.loc[1, "simhash"]
+    ham_near = sum(a != b for a, b in zip(out.loc[0, "simhash"], out.loc[2, "simhash"]))
+    ham_far = sum(a != b for a, b in zip(out.loc[0, "simhash"], out.loc[5, "simhash"]))
+    assert ham_near < ham_far
+    with pytest.raises(ValueError, match="bits"):
+        simhash(docs_df, bits=64)
+
+
+# ------------------------------------------------------------------- text
+def test_text_stats(docs_df):
+    out = text_stats(docs_df).toPandas().set_index("doc_id")
+    r = out.loc[0]
+    assert r.n_chars == len("the quick brown fox jumps over the lazy dog")
+    assert r.n_ws_tokens == 9
+    assert r.stopword_ratio == pytest.approx(2 / 9)  # "the" twice
+    assert 0 <= r.punct_ratio < 0.05
+    assert r.uniq_token_ratio == pytest.approx(8 / 9)
+
+
+def test_language_id(docs_df):
+    out = language_id(docs_df).toPandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[3, "lang_pred"] == "de"
+    assert out.loc[4, "lang_pred"] == "fr"
+
+
+def test_fingerprint_normalization(docs_df):
+    out = document_fingerprint(docs_df).toPandas().set_index("doc_id")
+    assert out.loc[0, "fingerprint"] == out.loc[6, "fingerprint"]  # ws/case variant
+    raw = document_fingerprint(docs_df, normalized=False).toPandas().set_index("doc_id")
+    assert raw.loc[0, "fingerprint"] != raw.loc[6, "fingerprint"]
+
+
+def test_rolling_hashes(docs_df):
+    out = rolling_hashes(docs_df, window=5).toPandas().set_index("doc_id")
+    assert len(out.loc[0, "rolling_hashes"]) == 9 - 5 + 1
+    assert out.loc[0, "rolling_hashes"][0] == out.loc[1, "rolling_hashes"][0]
+
+
+# --------------------------------------------------------------- similarity
+def test_cosine_topk(emb_df):
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal(8)
+    out = cosine_topk(emb_df, base, k=3).toPandas()
+    assert set(out.vec_id) == {0, 1, 2}  # the 3 near-parallel vectors
+    assert (out.score > 0.99).all()
+    assert list(out.score) == sorted(out.score, reverse=True)
+
+
+def test_cosine_pairs_brute_and_lsh_agree(emb_df):
+    brute = cosine_pairs_brute(emb_df, 0.99).toPandas()
+    got = {tuple(r) for r in brute[["id_a", "id_b"]].itertuples(index=False)}
+    assert got == {(0, 1), (0, 2), (1, 2)}
+    lsh = lsh_bucket_pairs(emb_df, 0.99, num_planes=6, num_tables=8).toPandas()
+    got_lsh = {tuple(r) for r in lsh[["id_a", "id_b"]].itertuples(index=False)}
+    # LSH is approximate: must find a subset, should find most with 8 tables
+    assert got_lsh <= got
+    assert len(got_lsh) >= 2
+
+
+# --------------------------------------------------------------- multimodal
+def test_multimodal_plumbing(docs_df):
+    media = synthesize_media_from_text(docs_df)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_features(media, feature_dim=8).toPandas().set_index("media_id")
+    assert len(feats) == 7
+    assert all(len(f) == 8 for f in feats.feat)
+    # deterministic: same payload -> same features
+    assert list(feats.loc[0, "feat"]) == list(feats.loc[1, "feat"])
+    assert feats.loc[0, "n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+
+
+def test_multimodal_decode_stub_gate(docs_df):
+    media = synthesize_media_from_text(docs_df)
+    with pytest.raises(NotImplementedError, match="codec"):
+        extract_features(media, decode_stub=False)
+
+
+def test_frame_sample_plan(docs_df):
+    media = synthesize_media_from_text(docs_df)
+    frames = frame_sample_plan(media, every_ms=100).toPandas()
+    d0 = media.toPandas().set_index("media_id").loc[0, "duration_ms"]
+    assert (frames[frames.media_id == 0].frame_ms.max()
+            == ((d0 - 1) // 100) * 100)
