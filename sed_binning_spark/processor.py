@@ -1,0 +1,494 @@
+"""SedProcessor — the user-facing orchestration layer (reference:
+sed/core/processor.py:117-2551).
+
+Holds the lazy event DataFrame + the timed DataFrame + config + provenance
+metadata, and exposes the reference's method-chain API: load → transforms
+(each appending Catalyst expression nodes, applied SYMMETRICALLY to the
+timed dataframe when its columns exist, processor.py:766-831) → compute()
+(the binning aggregation) → save().
+
+Nothing executes until compute()/head(); the "IR" is the Catalyst logical
+plan exactly where the reference grows a Dask task graph.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from pathlib import Path
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from sed_binning_spark.binning.binning import (
+    bin_dataframe,
+    normalization_histogram_from_timed_dataframe,
+    normalization_histogram_from_timestamps,
+)
+from sed_binning_spark.config import parse_config, resolve_alias
+from sed_binning_spark.cube import Cube
+from sed_binning_spark.metadata import MetaHandler
+
+
+class SedProcessor:
+    """Processor binding (dataframe, timed_dataframe, config, metadata).
+
+    Args:
+        spark: SparkSession (created via get_spark() if omitted).
+        config: config dict or YAML path (merged per the reference's
+            precedence, sed/core/config.py:19-141).
+        dataframe / files / folder: initial load target (any one).
+        loader: loader name from config["core"]["loader"] (generic only,
+            until instrument HDF5 converters are registered).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        config: dict | str | None = None,
+        dataframe: DataFrame | None = None,
+        files: Sequence[str] | None = None,
+        folder: str | None = None,
+        **kwds,
+    ) -> None:
+        if spark is None:
+            from sed_binning_spark.session import get_spark
+
+            self.spark = get_spark()
+        else:
+            self.spark = spark
+        self._config = parse_config(config)
+        self._dataframe: DataFrame | None = None
+        self._timed_dataframe: DataFrame | None = None
+        self._binned: Cube | None = None
+        self._normalization_histogram: Cube | None = None
+        self._attributes = MetaHandler()
+        self.loader = None
+        if dataframe is not None or files is not None or folder is not None:
+            self.load(dataframe=dataframe, files=files, folder=folder, **kwds)
+
+    # ------------------------------------------------------------------ state
+    @property
+    def config(self) -> dict:
+        return self._config
+
+    @property
+    def dataframe(self) -> DataFrame | None:
+        return self._dataframe
+
+    @property
+    def timed_dataframe(self) -> DataFrame | None:
+        return self._timed_dataframe
+
+    @property
+    def binned(self) -> Cube | None:
+        return self._binned
+
+    @property
+    def attributes(self) -> MetaHandler:
+        return self._attributes
+
+    def _col(self, role: str) -> str:
+        """Concrete column name for a config role (x_column, tof_column, ...)."""
+        return self._config["dataframe"][role]
+
+    def _require_df(self) -> DataFrame:
+        if self._dataframe is None:
+            raise ValueError("No dataframe loaded! Load data with load() first.")
+        return self._dataframe
+
+    def _apply_symmetric(self, fn, needed_columns: Sequence[str]) -> None:
+        """Apply a df→df transform to the event df and, when every needed
+        column exists there, to the timed df (processor.py:766-831)."""
+        self._dataframe = fn(self._require_df())
+        if self._timed_dataframe is not None and all(
+            c in self._timed_dataframe.columns for c in needed_columns
+        ):
+            self._timed_dataframe = fn(self._timed_dataframe)
+
+    # ------------------------------------------------------------------- load
+    def load(
+        self,
+        dataframe: DataFrame | None = None,
+        files: Sequence[str] | None = None,
+        folder: str | None = None,
+        timed_dataframe: DataFrame | None = None,
+        metadata: dict | None = None,
+        **kwds,
+    ) -> "SedProcessor":
+        """Load events (SedProcessor.load, processor.py:366-447): either an
+        existing DataFrame or files/folder via the configured loader."""
+        if dataframe is not None:
+            self._dataframe = dataframe
+            self._timed_dataframe = timed_dataframe
+        elif files is not None or folder is not None:
+            from sed_binning_spark.loaders.generic import GenericLoader
+
+            self.loader = GenericLoader(self.spark, self._config)
+            df, timed, meta = self.loader.read_dataframe(
+                files=files, folders=folder, **kwds,
+            )
+            self._dataframe = df
+            self._timed_dataframe = timed
+            metadata = {**(meta or {}), **(metadata or {})}
+        else:
+            raise ValueError("Either dataframe, files, or folder needs to be provided!")
+        if metadata:
+            self._attributes.add(metadata, "loader", duplicate_policy="merge")
+        return self
+
+    # ------------------------------------------------------ filters / columns
+    def filter_column(
+        self,
+        column: str,
+        min_value: float = -np.inf,
+        max_value: float = np.inf,
+    ) -> "SedProcessor":
+        """P2 (processor.py:449-487): open-interval filter on BOTH frames."""
+        from sed_binning_spark.core.dfops import apply_filter
+
+        column = resolve_alias(column, self._config)
+        if column != "index" and column not in self._require_df().columns:
+            raise KeyError(f"Column {column} not found in dataframe.")
+        self._apply_symmetric(
+            lambda df: apply_filter(df, column, min_value, max_value),
+            [column] if column != "index" else [],
+        )
+        self._attributes.add(
+            {"filter": {"column": column, "min_value": min_value, "max_value": max_value}},
+            "filter", duplicate_policy="append",
+        )
+        return self
+
+    def add_jitter(
+        self,
+        cols: Sequence[str] | None = None,
+        amps: float | Sequence[float] | None = None,
+        seed: int | None = None,
+    ) -> "SedProcessor":
+        """M1 (processor.py:1956-2005): jitter the configured columns in
+        place (event df only — the timed frame is not jittered in the
+        reference either)."""
+        from sed_binning_spark.core.dfops import apply_jitter
+
+        if cols is None:
+            cols = [resolve_alias(c, self._config)
+                    for c in self._config["dataframe"].get("jitter_cols", [])]
+        if amps is None:
+            amps = self._config["dataframe"].get("jitter_amps", 0.5)
+        df = self._require_df()
+        cols = [c for c in cols if c in df.columns]
+        if not cols:
+            raise ValueError("No valid jitter columns found in dataframe!")
+        self._dataframe = apply_jitter(
+            df, cols=cols, cols_jittered=cols, amps=amps, seed=seed,
+        )
+        self._attributes.add({"jitter": {"cols": cols, "amps": amps}},
+                             "jitter", duplicate_policy="append")
+        return self
+
+    # ------------------------------------------------------------- momentum
+    def apply_momentum_correction(
+        self,
+        dfield: np.ndarray,
+        **kwds,
+    ) -> "SedProcessor":
+        """M9 (processor.py:766-831): inverse-dfield distortion correction →
+        corrected X/Y columns on both frames."""
+        from sed_binning_spark.calibration.momentum import apply_dfield
+
+        x, y = self._col("x_column"), self._col("y_column")
+        cx, cy = self._col("corrected_x_column"), self._col("corrected_y_column")
+        self._apply_symmetric(
+            lambda df: apply_dfield(
+                df, dfield, x_column=x, y_column=y,
+                new_x_column=cx, new_y_column=cy, **kwds,
+            ),
+            [x, y],
+        )
+        self._attributes.add({"correction": {"applied": True}},
+                             "momentum_correction", duplicate_policy="merge")
+        return self
+
+    def apply_momentum_calibration(self, calibration: dict) -> "SedProcessor":
+        """M10 (processor.py:1180-1262): linear detector→k map."""
+        from sed_binning_spark.calibration.momentum import append_k_axis
+
+        x, y = self._col("x_column"), self._col("y_column")
+        meta_box = {}
+
+        def _fn(df):
+            out, meta = append_k_axis(
+                df, calibration, x_column=x, y_column=y,
+                new_x_column=self._col("kx_column"),
+                new_y_column=self._col("ky_column"),
+                corrected_x_column=self._col("corrected_x_column"),
+                corrected_y_column=self._col("corrected_y_column"),
+            )
+            meta_box.update(meta)
+            return out
+
+        self._apply_symmetric(_fn, [x, y])
+        self._attributes.add(meta_box, "momentum_calibration", duplicate_policy="merge")
+        return self
+
+    # --------------------------------------------------------------- energy
+    def apply_energy_correction(self, correction: dict) -> "SedProcessor":
+        """M6 (processor.py:1290-1380): t → corrected TOF column."""
+        from sed_binning_spark.calibration.energy import apply_energy_correction
+
+        tof = self._col("tof_column")
+        new_tof = self._col("corrected_tof_column")
+        x, y = self._col("x_column"), self._col("y_column")
+        meta_box = {}
+
+        def _fn(df):
+            out, meta = apply_energy_correction(
+                df, correction, tof_column=tof, new_tof_column=new_tof,
+                x_column=x, y_column=y,
+            )
+            meta_box.update(meta)
+            return out
+
+        self._apply_symmetric(_fn, [tof, x, y])
+        self._attributes.add(meta_box, "energy_correction", duplicate_policy="merge")
+        return self
+
+    def append_energy_axis(self, calibration: dict, **kwds) -> "SedProcessor":
+        """M3/M4 (processor.py:1585-1661): TOF → energy. Uses the corrected
+        TOF column when present (energy.py:853-871)."""
+        from sed_binning_spark.calibration.energy import append_energy_axis
+
+        tof = self._col("corrected_tof_column")
+        if tof not in self._require_df().columns:
+            tof = self._col("tof_column")
+        meta_box = {}
+
+        def _fn(df):
+            out, meta = append_energy_axis(
+                df, calibration, tof_column=tof,
+                energy_column=self._col("energy_column"), **kwds,
+            )
+            meta_box.update(meta)
+            return out
+
+        self._apply_symmetric(_fn, [tof])
+        self._attributes.add(meta_box, "energy_calibration", duplicate_policy="merge")
+        return self
+
+    def append_tof_ns_axis(self, **kwds) -> "SedProcessor":
+        """M5 (processor.py:1663-1698)."""
+        from sed_binning_spark.calibration.energy import append_tof_ns_axis
+
+        tof = self._col("tof_column")
+        meta_box = {}
+
+        def _fn(df):
+            out, meta = append_tof_ns_axis(df, tof_column=tof, **kwds)
+            meta_box.update(meta)
+            return out
+
+        self._apply_symmetric(_fn, [tof])
+        self._attributes.add(meta_box, "tof_ns", duplicate_policy="merge")
+        return self
+
+    def align_dld_sectors(self, sector_delays: Sequence[float], **kwds) -> "SedProcessor":
+        """M7 (processor.py:1700-1737) — event df only (sector ids are
+        per-electron)."""
+        from sed_binning_spark.calibration.energy import align_dld_sectors
+
+        df, meta = align_dld_sectors(self._require_df(), sector_delays, **kwds)
+        self._dataframe = df
+        self._attributes.add(meta, "sector_alignment", duplicate_policy="merge")
+        return self
+
+    def add_energy_offset(self, **kwds) -> "SedProcessor":
+        """M12 energy wrapper (processor.py:1440-1583)."""
+        from sed_binning_spark.calibration.energy import add_offsets
+
+        energy = self._col("energy_column")
+        if energy not in self._require_df().columns:
+            raise ValueError(
+                f"Energy column {energy} not found! Run append_energy_axis() first.",
+            )
+        meta_box = {}
+
+        def _fn(df):
+            out, meta = add_offsets(df, energy_column=energy, **kwds)
+            meta_box.update(meta)
+            return out
+
+        self._apply_symmetric(_fn, [energy])
+        self._attributes.add(meta_box, "energy_offset", duplicate_policy="merge")
+        return self
+
+    # ---------------------------------------------------------------- delay
+    def calibrate_delay_axis(self, calibration: dict, **kwds) -> "SedProcessor":
+        """M11 (processor.py:1739-1796)."""
+        from sed_binning_spark.calibration.delay import append_delay_axis
+
+        adc = self._col("adc_column")
+        if adc not in self._require_df().columns:
+            raise ValueError(f"ADC column {adc} not found in dataframe!")
+        meta_box = {}
+
+        def _fn(df):
+            out, meta = append_delay_axis(
+                df, calibration, adc_column=adc,
+                delay_column=self._col("delay_column"), **kwds,
+            )
+            meta_box.update(meta)
+            return out
+
+        self._apply_symmetric(_fn, [adc])
+        self._attributes.add(meta_box, "delay_calibration", duplicate_policy="merge")
+        return self
+
+    def add_delay_offset(self, **kwds) -> "SedProcessor":
+        """M12 delay wrapper (processor.py:1798-1926)."""
+        from sed_binning_spark.calibration.delay import add_offsets
+
+        delay = self._col("delay_column")
+        if delay not in self._require_df().columns:
+            raise ValueError(f"Delay column {delay} not found! Run calibrate_delay_axis() first.")
+        meta_box = {}
+
+        def _fn(df):
+            out, meta = add_offsets(df, delay_column=delay, **kwds)
+            meta_box.update(meta)
+            return out
+
+        self._apply_symmetric(_fn, [delay])
+        self._attributes.add(meta_box, "delay_offset", duplicate_policy="merge")
+        return self
+
+    # ------------------------------------------------------- misc transforms
+    def add_time_stamped_data(
+        self,
+        time_stamps: np.ndarray,
+        data: np.ndarray,
+        dest_column: str,
+        **kwds,
+    ) -> "SedProcessor":
+        """M13 (processor.py:2007-2074)."""
+        from sed_binning_spark.core.dfops import add_time_stamped_data
+
+        ts_col = kwds.pop("time_stamp_column", self._col("time_stamp_alias"))
+        self._apply_symmetric(
+            lambda df: add_time_stamped_data(
+                df, time_stamps, data, dest_column=dest_column,
+                time_stamp_column=ts_col, **kwds,
+            ),
+            [ts_col],
+        )
+        self._attributes.add(
+            {"time_stamped_data": {"dest_column": dest_column}},
+            "time_stamped_data", duplicate_policy="append",
+        )
+        return self
+
+    # ---------------------------------------------------------------- preview
+    def head(self, n: int = 5):
+        """Driver-side preview (the reference's .head() boundary)."""
+        return self._require_df().limit(n).toPandas()
+
+    # ---------------------------------------------------------------- compute
+    def compute(
+        self,
+        bins=100,
+        axes: Sequence[str] | None = None,
+        ranges: Sequence[tuple[float, float]] | None = None,
+        normalize_to_acquisition_time: bool | str = False,
+        **kwds,
+    ) -> Cube:
+        """The aggregation query (processor.py:2125-2295): resolve @-aliases,
+        bin, attach axis units, optionally normalize by acquisition time
+        (timed-df histogram when available, else timestamp diffs)."""
+        df = self._require_df()
+        if axes is not None:
+            axes = [resolve_alias(ax, self._config) for ax in axes]
+        cube = bin_dataframe(df, bins=bins, axes=axes, ranges=ranges, **kwds)
+
+        units = self._config.get("units", {})
+        for ax in cube.dims:
+            if ax in units:
+                cube.attrs[f"{ax}_units"] = units[ax]
+        cube.attrs["metadata"] = self._attributes.metadata
+
+        self._binned = cube
+        if normalize_to_acquisition_time:
+            # string → per-bin histogram division; True → scalar elapsed
+            # time (processor.py:2260-2293)
+            if isinstance(normalize_to_acquisition_time, str):
+                axis = resolve_alias(normalize_to_acquisition_time, self._config)
+                hist = self.get_normalization_histogram(
+                    axis=axis, bin_centers=cube.coords[axis],
+                )
+                self._normalization_histogram = hist
+                normalized = cube / hist
+            else:
+                acquisition_time = self.get_elapsed_time()
+                normalized = cube / acquisition_time if acquisition_time > 0 else cube
+            normalized.attrs["units"] = "counts/second"
+            normalized.attrs["long_name"] = "photoelectron counts per second"
+            normalized.attrs["metadata"] = self._attributes.metadata
+            return normalized
+        return cube
+
+    def get_normalization_histogram(
+        self,
+        axis: str,
+        use_time_stamps: bool = False,
+        bin_centers: np.ndarray | None = None,
+        **kwds,
+    ) -> Cube:
+        """A9-A11 (processor.py:2297-2366): timed-df histogram when
+        available (and not forced to timestamps), else timestamp diffs."""
+        axis = resolve_alias(axis, self._config)
+        if bin_centers is None:
+            if self._binned is None or axis not in self._binned.coords:
+                raise ValueError("Need computed binned data or explicit bin_centers!")
+            bin_centers = self._binned.coords[axis]
+        if not use_time_stamps and self._timed_dataframe is not None:
+            return normalization_histogram_from_timed_dataframe(
+                self._timed_dataframe, axis, bin_centers,
+                self._config["dataframe"].get("timed_dataframe_unit_time", 0.001),
+            )
+        ts_col = self._col("time_stamp_alias")
+        if ts_col not in self._require_df().columns:
+            raise ValueError(
+                f"Time stamp column {ts_col} not found in dataframe! "
+                "Cannot compute the normalization histogram.",
+            )
+        return normalization_histogram_from_timestamps(
+            self._require_df(), axis, bin_centers, ts_col,
+        )
+
+    def get_elapsed_time(self) -> float:
+        """Total acquisition time in seconds: the timestamp span of the
+        event table (the generic-loader analogue of the reference's
+        per-file ms-marker bookkeeping, sed/loader/mpes/loader.py:924-1016)."""
+        from pyspark.sql import functions as F
+
+        ts_col = self._col("time_stamp_alias")
+        df = self._require_df()
+        if ts_col not in df.columns:
+            raise ValueError(
+                f"Time stamp column {ts_col} not found; cannot compute elapsed time.",
+            )
+        row = df.agg(
+            (F.max(ts_col) - F.min(ts_col)).alias("span"),
+        ).collect()[0]
+        return float(row["span"] or 0.0)
+
+    # ------------------------------------------------------------------- save
+    def save(self, faddr: str | Path, **kwds) -> None:
+        """K4 sink dispatch on the computed cube (processor.py:2459-2551)."""
+        if self._binned is None:
+            raise NameError("Need to bin data with compute() before saving!")
+        from sed_binning_spark.io import save as _save
+
+        _save(self._binned, faddr, **kwds)
+
+    def __repr__(self) -> str:  # pragma: no cover - cosmetic
+        n = "unloaded" if self._dataframe is None else "loaded"
+        return f"<SedProcessor ({n})>"

@@ -1,0 +1,104 @@
+"""IO round-trip tests (reference tests/test_io.py pattern: save + load
+equality on synthetic cubes)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sed_binning_spark.cube import Cube
+from sed_binning_spark.io import load_npz, load_tiff, save, to_npz, to_tiff
+from sed_binning_spark.io.nexus import nexus_payload, to_nexus
+from sed_binning_spark.io.tiff import _imagej_axis_order
+
+
+def _cube(shape, dims):
+    rng = np.random.default_rng(13)
+    coords = {d: np.linspace(0, 1, n) for d, n in zip(dims, shape)}
+    return Cube(
+        rng.uniform(size=shape).astype(np.float32), coords, dims,
+        attrs={"sample": "test", "nested": {"a": 1}},
+    )
+
+
+@pytest.mark.parametrize("shape,dims", [
+    ((16, 8), ("X", "Y")),
+    ((4, 16, 8), ("energy", "X", "Y")),
+    ((3, 4, 16, 8), ("delay", "energy", "X", "Y")),
+])
+def test_tiff_roundtrip(tmp_path, shape, dims):
+    c = _cube(shape, dims)
+    path = tmp_path / "cube.tiff"
+    to_tiff(c, path)
+    back = load_tiff(path)
+    order = _imagej_axis_order(c.dims)
+    expected = np.transpose(c.data, order)
+    np.testing.assert_array_equal(back.reshape(expected.shape), expected)
+
+
+def test_tiff_imagej_axis_reorder(tmp_path):
+    """x/y go last regardless of input order (sed/io/tiff.py:100-142)."""
+    c = _cube((8, 16, 4), ("X", "Y", "energy"))
+    order = _imagej_axis_order(c.dims)
+    assert [c.dims[i] for i in order] == ["energy", "Y", "X"]
+    path = tmp_path / "cube.tif"
+    to_tiff(c, path)
+    back = load_tiff(path)
+    np.testing.assert_array_equal(back, np.transpose(c.data, order))
+
+
+def test_tiff_rejects_1d(tmp_path):
+    with pytest.raises(ValueError, match="2-D"):
+        to_tiff(np.zeros(5), tmp_path / "x.tiff")
+
+
+def test_npz_roundtrip(tmp_path):
+    c = _cube((5, 7, 3), ("kx", "ky", "energy"))
+    path = tmp_path / "cube.npz"
+    to_npz(c, path)
+    back = load_npz(path)
+    assert back.dims == c.dims
+    np.testing.assert_array_equal(back.data, c.data)
+    for d in c.dims:
+        np.testing.assert_allclose(back.coords[d], c.coords[d])
+    assert back.attrs["sample"] == "test"
+    assert back.attrs["nested"] == {"a": 1}
+
+
+def test_save_dispatch(tmp_path):
+    c = _cube((6, 4), ("X", "Y"))
+    save(c, tmp_path / "a.tiff")
+    save(c, tmp_path / "a.npz")
+    assert (tmp_path / "a.tiff").exists() and (tmp_path / "a.npz").exists()
+    with pytest.raises(NotImplementedError, match="Unrecognized"):
+        save(c, tmp_path / "a.bogus")
+
+
+def test_h5_gated(tmp_path):
+    """h5py absent in this environment → clear ImportError via dispatch."""
+    pytest.importorskip_absent = None
+    try:
+        import h5py  # noqa: F401
+        has_h5 = True
+    except ImportError:
+        has_h5 = False
+    c = _cube((4, 4), ("X", "Y"))
+    if has_h5:
+        save(c, tmp_path / "a.h5")
+        from sed_binning_spark.io import load_h5
+        back = load_h5(tmp_path / "a.h5")
+        np.testing.assert_array_equal(back.data, c.data)
+    else:
+        with pytest.raises(ImportError, match="h5py"):
+            save(c, tmp_path / "a.h5")
+
+
+def test_nexus_payload_and_gate(tmp_path):
+    c = _cube((4, 4), ("kx", "ky"))
+    payload = nexus_payload(c, input_files=["a.h5"])
+    assert payload["nxdl"] == "NXmpes" and payload["objects"][0] is c
+    try:
+        import pynxtools  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="pynxtools"):
+            to_nexus(c, tmp_path / "a.nxs")

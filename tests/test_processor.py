@@ -1,0 +1,162 @@
+"""End-to-end processor chain tests (reference tests/test_processor.py:
+the canonical 6-step workflow, filters, normalization, save round-trip)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sed_binning_spark.processor import SedProcessor
+
+
+@pytest.fixture()
+def proc(spark, events_df):
+    return SedProcessor(spark=spark, dataframe=events_df)
+
+
+K_CALIB = {"rstart": 0.0, "cstart": 0.0, "x_center": 1024.0, "y_center": 1024.0,
+           "kx_scale": 0.01, "ky_scale": 0.01, "rstep": 1.0, "cstep": 1.0}
+E_CALIB = {"d": 1.0, "t0": 1e-7, "E0": 20.0}
+D_CALIB = {"adc_range": (2000.0, 20000.0), "delay_range": (-5.0, 5.0)}
+
+
+def test_processor_requires_load(spark):
+    p = SedProcessor(spark=spark)
+    with pytest.raises(ValueError, match="Either dataframe"):
+        p.load()
+    with pytest.raises(ValueError, match="No dataframe loaded"):
+        p.filter_column("X", 0, 1)
+
+
+def test_canonical_workflow(proc):
+    """The benchmarked 6-step chain (benchmarks/benchmark_sed.py:124-129):
+    jitter → momentum calib → energy correction → energy calib → delay
+    calib → 4-D compute."""
+    cube = (
+        proc.add_jitter(seed=42)
+        .apply_momentum_calibration(K_CALIB)
+        .apply_energy_correction({
+            "correction_type": "spherical", "center": (1024.0, 1024.0),
+            "amplitude": 2.5, "diameter": 3000.0,
+        })
+        .append_energy_axis(E_CALIB)
+        .calibrate_delay_axis(D_CALIB)
+        .compute(
+            bins=[20, 20, 20, 20],
+            axes=["@kx_column", "@ky_column", "@energy_column", "@delay_column"],
+            ranges=[(-12, 12), (-12, 12), (20, 60), (-6, 6)],
+        )
+    )
+    assert cube.dims == ("kx", "ky", "energy", "delay")
+    assert cube.data.sum() > 0
+    # provenance recorded for every step
+    meta = proc.attributes.metadata
+    for key in ["jitter", "momentum_calibration", "energy_correction",
+                "energy_calibration", "delay_calibration"]:
+        assert key in meta, key
+    assert cube.attrs["metadata"] is meta
+
+
+def test_corrected_tof_column_preferred(proc):
+    proc.apply_energy_correction({
+        "correction_type": "Gaussian", "center": (1024.0, 1024.0),
+        "amplitude": 2.5, "sigma": 400.0,
+    })
+    assert "tm" in proc.dataframe.columns
+    proc.append_energy_axis(E_CALIB)
+    # energy must derive from tm, not t: compare against direct computation
+    pdf = proc.dataframe.select("t", "tm", "energy").limit(100).toPandas()
+    from sed_binning_spark.calibration.energy import _TOF2EV_CONST
+    tof_ns = pdf.tm.to_numpy() * 4.125e-12 * 2.0
+    oracle = _TOF2EV_CONST * (1.0 / (tof_ns - 1e-7)) ** 2 + 20.0
+    np.testing.assert_allclose(pdf.energy.to_numpy(), oracle, rtol=1e-9)
+
+
+def test_filter_column_open_interval(proc, events_pdf):
+    proc.filter_column("@x_column", 100, 1000)
+    n = proc.dataframe.count()
+    assert n == ((events_pdf.X > 100) & (events_pdf.X < 1000)).sum()
+    with pytest.raises(KeyError, match="not found"):
+        proc.filter_column("bogus", 0, 1)
+
+
+def test_timed_df_symmetry(spark, events_pdf):
+    """Transforms propagate to the timed dataframe when columns exist."""
+    ev = spark.createDataFrame(events_pdf)
+    timed = spark.createDataFrame(events_pdf.iloc[::10])
+    p = SedProcessor(spark=spark, dataframe=ev, timed_dataframe=timed)
+    p.filter_column("@x_column", 100, 1000).append_energy_axis(E_CALIB)
+    assert "energy" in p.dataframe.columns
+    assert "energy" in p.timed_dataframe.columns
+    assert p.timed_dataframe.count() < p.dataframe.count()
+
+
+def test_normalization_by_axis_name(spark, events_pdf):
+    ev = spark.createDataFrame(events_pdf)
+    timed = spark.createDataFrame(events_pdf.iloc[::5])
+    p = SedProcessor(spark=spark, dataframe=ev, timed_dataframe=timed)
+    normalized = p.compute(
+        bins=[16], axes=["@x_column"], ranges=[(0.0, 2048.0)],
+        normalize_to_acquisition_time="@x_column",
+    )
+    assert normalized.attrs["units"] == "counts/second"
+    # un-normalized cube kept separately
+    assert p.binned is not None
+    assert not np.allclose(normalized.data, p.binned.data)
+
+
+def test_normalization_by_elapsed_time(proc, events_pdf):
+    normalized = proc.compute(
+        bins=[16], axes=["@x_column"], ranges=[(0.0, 2048.0)],
+        normalize_to_acquisition_time=True,
+    )
+    span = events_pdf.timeStamps.max() - events_pdf.timeStamps.min()
+    np.testing.assert_allclose(
+        normalized.data, proc.binned.data / span, rtol=1e-9,
+    )
+
+
+def test_add_time_stamped_data(proc, events_pdf):
+    ts0, ts1 = events_pdf.timeStamps.min(), events_pdf.timeStamps.max()
+    proc.add_time_stamped_data(
+        np.array([ts0 - 1, ts1 + 1]), np.array([1.0, 3.0]), dest_column="temp",
+    )
+    assert "temp" in proc.dataframe.columns
+
+
+def test_align_dld_sectors_and_offsets(spark, events_pdf):
+    pdf = events_pdf.copy()
+    pdf["dldSectorID"] = (pdf.row_id % 8).astype("int32")
+    p = SedProcessor(spark=spark, dataframe=spark.createDataFrame(pdf))
+    p.align_dld_sectors([0.0, 1.0, -1.0, 0.5, -0.5, 2.0, -2.0, 0.25], tof_column="t")
+    p.append_energy_axis(E_CALIB)
+    p.add_energy_offset(constant=5.0)
+    assert "sector_alignment" in p.attributes.metadata
+    assert "energy_offset" in p.attributes.metadata
+    with pytest.raises(ValueError, match="Delay column"):
+        p.add_delay_offset(constant=1.0)
+
+
+def test_save_roundtrip(proc, tmp_path):
+    with pytest.raises(NameError, match="compute"):
+        proc.save(tmp_path / "out.npz")
+    proc.compute(bins=[8, 8], axes=["@x_column", "@y_column"],
+                 ranges=[(0, 2048), (0, 2048)])
+    proc.save(tmp_path / "out.npz")
+    proc.save(tmp_path / "out.tiff")
+    from sed_binning_spark.io import load_npz
+    back = load_npz(tmp_path / "out.npz")
+    np.testing.assert_array_equal(back.data, proc.binned.data)
+
+
+def test_loader_path(spark, tmp_path, events_pdf):
+    events_pdf.to_parquet(tmp_path / "f1.parquet", index=False)
+    p = SedProcessor(spark=spark, folder=str(tmp_path))
+    assert p.dataframe.count() == len(events_pdf)
+    assert "loader" in p.attributes.metadata
+
+
+def test_head_preview(proc):
+    pdf = proc.head(3)
+    assert len(pdf) == 3 and isinstance(pdf, pd.DataFrame)
