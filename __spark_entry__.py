@@ -58,6 +58,7 @@ from sed_binning_spark.core.dfops import (
     map_columns_2d,
     offset_by_other_columns,
 )
+from sed_binning_spark.loaders.flash import explode_per_electron
 from sed_binning_spark.loaders.utils import split_channel_bitwise
 from sed_binning_spark.pipeline.dedup import (
     exact_dedup,
@@ -464,6 +465,28 @@ def _q_dfield(spark, sf):
     return ev.select("event_id", "Xm", "Ym")
 
 
+def _q_flash_electron_ids(spark, sf):
+    """J3: per-train hit arrays -> electron rows with synthesized
+    electronId (posexplode + row_number). Built by packing events into
+    per-train arrays (ordered by event_id) and exploding back; the oracle
+    computes the same ids directly with a window function."""
+    ev = _events(spark, sf)
+    hits = F.sort_array(F.collect_list(F.struct(
+        F.col("event_id").alias("eid"),
+        (F.col("event_id") % 7).alias("pulse"),
+        F.col("value").alias("val"),
+    )))
+    trains = ev.groupBy((F.col("user_id") % 20).alias("trainId")).agg(hits.alias("hits"))
+    src_df = trains.select(
+        "trainId",
+        F.transform("hits", lambda h: h["pulse"] + F.lit(5)).alias("pulseId"),
+        F.transform("hits", lambda h: h["eid"]).alias("eid"),
+        F.transform("hits", lambda h: h["val"]).alias("val"),
+    )
+    out = explode_per_electron(src_df, "pulseId", ["eid", "val"], ubid_offset=5)
+    return out.select("trainId", "pulseId", "electronId", "eid", "val")
+
+
 # ---- pipeline / LLM-data operators ----------------------------------------
 
 def _q_dedup_exact(spark, sf):
@@ -594,6 +617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # A9/A10: normalization histograms
         "norm_hist_timed": _q_norm_hist_timed,
         "norm_hist_timestamps": _q_norm_hist_ts,
+        # J3: flash-style electron-ID synthesis
+        "flash_electron_ids": _q_flash_electron_ids,
         # M1 (rows-only: nondeterministic noise) / M9 (rows-only: grid UDF)
         "jitter": _q_jitter,
         "dfield_correction": _q_dfield,
@@ -775,6 +800,12 @@ def oracle_sql() -> dict[str, str]:
             f"{bin_index_sql_edges('X', ts_edges)} AS bin, "
             f"ts_sec - lag(ts_sec) OVER (ORDER BY file_id, row_id) AS dt "
             f"FROM ({_EV_SQL})) WHERE bin IS NOT NULL AND dt IS NOT NULL GROUP BY bin"
+        ),
+        "flash_electron_ids": (
+            f"SELECT user_id % 20 AS trainId, event_id % 7 AS pulseId, "
+            f"row_number() OVER (PARTITION BY user_id % 20, event_id % 7 "
+            f"ORDER BY event_id) - 1 AS electronId, "
+            f"event_id AS eid, value AS val FROM ({_EV_SQL})"
         ),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS kept_id, "
