@@ -452,17 +452,56 @@ def _q_jitter(spark, sf):
     return ev.select("event_id", "X_jittered", "Y_jittered")
 
 
+_DFIELD_N = 2048  # inverse-field grid resolution (detector-sized: step = 1)
+
+
 def _q_dfield(spark, sf):
-    # deterministic barrel-distortion inverse field (stands in for F8 output)
-    h = w = 128
+    # deterministic barrel-distortion inverse field (stands in for F8
+    # output); detector-resolution grid so X/Y are direct grid coordinates
+    # and the oracle can regenerate every grid value from the same formula
+    h = w = _DFIELD_N
     rr, cc = np.meshgrid(np.arange(h, dtype=float), np.arange(w, dtype=float), indexing="ij")
     r0 = (rr - h / 2) * 1.0005 + h / 2
     c0 = (cc - w / 2) * 1.0005 + w / 2
     ev = apply_dfield(
         _events(spark, sf), np.stack([r0, c0]),
-        x_column="X", y_column="Y", detector_ranges=((0, 2048), (0, 2048)),
+        x_column="X", y_column="Y", detector_ranges=((0, h), (0, w)),
     )
     return ev.select("event_id", "Xm", "Ym")
+
+
+def _dfield_oracle_sql() -> str:
+    """DuckDB twin of _q_dfield: the grid values are an affine formula of
+    the integer grid index, so the bilinear lookup is reproduced inline with
+    the EXACT arithmetic of map_coordinates_bilinear (same op order: weights
+    first, per-corner products, left-associated += starting from 0.0)."""
+    n = _DFIELD_N
+    half = float(n / 2)
+
+    def g(idx: str) -> str:
+        return f"((({idx}) - {fsql(half)}) * 1.0005 + {fsql(half)})"
+
+    def plane(v00: str, v01: str, v10: str, v11: str) -> str:
+        # corner values at (r0,c0) (r0,c1) (r1,c0) (r1,c1); out-of-grid
+        # corners contribute 0 (map_coordinates mode='constant')
+        t1 = f"((1.0 - fr) * (1.0 - fc)) * (CASE WHEN okr0 AND okc0 THEN {v00} ELSE 0.0 END)"
+        t2 = f"((1.0 - fr) * fc) * (CASE WHEN okr0 AND okc1 THEN {v01} ELSE 0.0 END)"
+        t3 = f"(fr * (1.0 - fc)) * (CASE WHEN okr1 AND okc0 THEN {v10} ELSE 0.0 END)"
+        t4 = f"(fr * fc) * (CASE WHEN okr1 AND okc1 THEN {v11} ELSE 0.0 END)"
+        return f"CASE WHEN bad THEN 0.0 ELSE 0.0 + {t1} + {t2} + {t3} + {t4} END"
+
+    xm = plane(g("r0"), g("r0"), g("r1"), g("r1"))  # plane 0: value = f(row)
+    ym = plane(g("c0"), g("c1"), g("c0"), g("c1"))  # plane 1: value = f(col)
+    lim = n - 1
+    return (
+        f"SELECT event_id, {xm} AS Xm, {ym} AS Ym FROM ("
+        f"SELECT event_id, fr, fc, r0, c0, r0 + 1.0 AS r1, c0 + 1.0 AS c1, "
+        f"(r0 >= 0.0 AND r0 <= {lim}.0) AS okr0, (r0 >= -1.0 AND r0 <= {lim - 1}.0) AS okr1, "
+        f"(c0 >= 0.0 AND c0 <= {lim}.0) AS okc0, (c0 >= -1.0 AND c0 <= {lim - 1}.0) AS okc1, "
+        f"(X < -0.5 OR X > {fsql(n - 0.5)} OR Y < -0.5 OR Y > {fsql(n - 0.5)}) AS bad "
+        f"FROM (SELECT event_id, X, Y, floor(X) AS r0, floor(Y) AS c0, "
+        f"X - floor(X) AS fr, Y - floor(Y) AS fc FROM ({_EV_SQL})))"
+    )
 
 
 def _q_flash_electron_ids(spark, sf):
@@ -546,8 +585,21 @@ def _q_ann_lsh(spark, sf):
 
 
 def _q_multimodal(spark, sf):
+    """Media decode plumbing; the checked output serializes the feature
+    vector to hashable scalars: each float32 element maps back to its exact
+    16-bit source integer (round((v+1)/2*65535) — lossless because the
+    float32 quantization error is ~0.004 of one integer step), csv-joined.
+    The oracle regenerates the same ints from the md5 hex digest."""
     media = synthesize_media_from_text(_docs(spark, sf))
-    return extract_features(media, feature_dim=8)
+    feats = extract_features(media, feature_dim=8)
+    as_int = F.transform(
+        "feat",
+        lambda v: F.round((v.cast("double") + F.lit(1.0)) / F.lit(2.0) * F.lit(65535.0), 0)
+        .cast("bigint").cast("string"),
+    )
+    return feats.select(
+        "media_id", "n_bytes", F.concat_ws(",", as_int).alias("feat_csv"),
+    )
 
 
 # ---- generic relational (free with Spark; evidences the SQL surface) ------
@@ -852,6 +904,15 @@ def oracle_sql() -> dict[str, str]:
             f"({lsh_bands}) a JOIN ({lsh_bands}) b "
             f"ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
         ),
+        "simhash": _simhash_oracle_sql(bits=16),
+        "dfield_correction": _dfield_oracle_sql(),
+        "multimodal_features": (
+            "SELECT CAST(doc_id AS BIGINT) AS media_id, "
+            "CAST(strlen(text) AS BIGINT) AS n_bytes, "
+            "array_to_string(list_transform(range(0, 8), i -> "
+            "CAST(CAST('0x' || substr(md5(text), CAST(4 * i + 1 AS INTEGER), 4) "
+            "AS INTEGER) AS VARCHAR)), ',') AS feat_csv FROM documents"
+        ),
         "ann_topk": (
             f"SELECT vec_id, {cos_sql} AS score FROM embeddings "
             f"ORDER BY score DESC, vec_id LIMIT 10"
@@ -871,6 +932,22 @@ def oracle_sql() -> dict[str, str]:
             f"GROUP BY user_id, event_type"
         ),
     }
+
+
+def _simhash_oracle_sql(bits: int = 16) -> str:
+    """DuckDB twin of pipeline.dedup.simhash: same tokenization, same
+    md5-hex-prefix 32-bit token hash, same ±1 per-bit votes (vote > 0 →
+    '1'), MSB-first bit string."""
+    terms = [
+        f"(CASE WHEN 2 * len(list_filter(th, h -> ((h >> {b}) & 1) = 1)) - len(th) > 0 "
+        f"THEN '1' ELSE '0' END)"
+        for b in range(bits - 1, -1, -1)
+    ]
+    return (
+        f"SELECT doc_id, {' || '.join(terms)} AS simhash FROM ("
+        f"SELECT doc_id, list_transform({_TOKS_SQL}, "
+        f"t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS th FROM documents)"
+    )
 
 
 def _pair_cos_sql() -> str:

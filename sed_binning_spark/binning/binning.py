@@ -83,7 +83,11 @@ def bin_index_columns(
         if isinstance(bins[d], np.ndarray):
             edges = bin_centers_to_bin_edges(bins[d])
             widths = np.diff(edges)
-            if np.allclose(widths, widths[0]):
+            # machine-epsilon uniformity check: the O(1) arithmetic index and
+            # the exact searchsorted path are only provably identical when the
+            # widths agree to FP noise; near-uniform-but-not (rtol ~1e-5, the
+            # old np.allclose default) must take the exact path
+            if np.allclose(widths, widths[0], rtol=1e-12, atol=0.0):
                 # uniform centers -> O(1) arithmetic index instead of the
                 # O(n_edges)-per-row array scan; same inclusive-last-edge /
                 # NaN-reject semantics

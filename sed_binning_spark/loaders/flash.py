@@ -53,18 +53,23 @@ def explode_per_electron(
     electron (aligned with each value array). The electronId is the running
     count within (trainId, pulseId) in array order:
     ``row_number() over (partition by train, pulse order by pos) - 1``.
-    NaN pulse entries are dropped (loader.py:260-261).
+    NaN/NULL pulse entries are dropped (loader.py:260-261) — FLASH pulse
+    arrays are NaN-padded, so NaN is mapped to NULL BEFORE the bigint cast
+    (an ANSI-mode cast of NaN would throw; non-ANSI would silently mint a
+    spurious pulseId 0).
     """
     zipped = F.arrays_zip(
         F.col(pulse_array_column).alias("__pulse"),
         *[F.col(c).alias(c) for c in value_array_columns],
     )
+    pulse_raw = F.col("__hit.__pulse")
+    pulse_clean = F.when(~F.isnan(pulse_raw.cast("double")), pulse_raw)
     out = df_train.select(
         F.col(train_id_column),
         F.posexplode(zipped).alias("__pos", "__hit"),
     ).select(
         train_id_column,
-        (F.col("__hit.__pulse") - F.lit(ubid_offset)).cast("bigint").alias("pulseId"),
+        (pulse_clean - F.lit(ubid_offset)).cast("bigint").alias("pulseId"),
         F.col("__pos").alias("__pos"),
         *[F.col(f"__hit.{c}").alias(c) for c in value_array_columns],
     ).where(F.col("pulseId").isNotNull())
@@ -176,7 +181,7 @@ def buffer_parquet(
 def validate_buffer_schema(
     df: DataFrame,
     expected_columns: Sequence[str],
-    allow_extra: bool = ("timeStamp",),
+    allow_extra: Sequence[str] = ("timeStamp",),
 ) -> None:
     """Schema-mismatch guard (flash/loader.py:680-706): the buffer must
     contain exactly the configured channel set (modulo the tolerated
@@ -241,6 +246,7 @@ class FlashLoader:
         ubid_offset: int | None = None,
         sector_id_reserved_bits: int | None = None,
         forward_fill_columns: Sequence[str] | None = None,
+        trains_per_chunk: int = 256,
     ) -> tuple[DataFrame, DataFrame, dict]:
         """Assemble electron + pulse dataframes (flash/loader.py:744-837).
 
@@ -285,18 +291,23 @@ class FlashLoader:
 
         combined = concatenate_channels(frames)
 
-        # stable order for fills: trainId/pulseId/electronId are the
-        # physical order of the instrument stream
-        combined = combined.withColumns({
-            "file_id": F.lit(0),
-            "row_id": F.dense_rank().over(
-                Window.orderBy(
-                    F.col("trainId"),
-                    F.coalesce(F.col("pulseId"), F.lit(-1)),
-                    F.coalesce(F.col("electronId"), F.lit(-1)),
-                ),
-            ).cast("bigint"),
-        }) if "pulseId" in combined.columns else combined
+        # Stable order for fills: trainId/pulseId/electronId are the physical
+        # order of the instrument stream. file_id = train-range chunk (the
+        # stand-in for the per-source-file ranges a real converter mints —
+        # monotone in trainId, so the fills' cross-chunk boundary handoff
+        # walks chunks in stream order); row_id = row_number within the
+        # chunk. The window is PARTITIONED by chunk — every chunk sorts in
+        # parallel, no global single-task orderBy (the round-2 scale-killer).
+        if "pulseId" in combined.columns and "file_id" not in combined.columns:
+            chunk = F.floor(F.col("trainId") / F.lit(int(trains_per_chunk)))
+            w = Window.partitionBy("file_id").orderBy(
+                F.col("trainId"),
+                F.coalesce(F.col("pulseId"), F.lit(-1)),
+                F.coalesce(F.col("electronId"), F.lit(-1)),
+            )
+            combined = combined.withColumn("file_id", chunk.cast("int")).withColumn(
+                "row_id", (F.row_number().over(w) - 1).cast("bigint"),
+            )
 
         if sector_id_reserved_bits:
             from sed_binning_spark.loaders.utils import split_dld_time_from_sector_id

@@ -76,6 +76,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_size: int = 3,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
@@ -83,6 +84,13 @@ def minhash_lsh_pairs(
     sharing ANY band key become a candidate pair. The only join is an
     equi-join on (band index, band key) — bucket-local, never all-pairs.
     Returns distinct (id_a, id_b) with id_a < id_b.
+
+    ``max_bucket_size`` is the skew guard: buckets larger than it (e.g.
+    thousands of identical/boilerplate documents sharing every band key)
+    would materialize an O(n²) pair array in one task and are skipped —
+    such buckets are exact-duplicate classes that :func:`exact_dedup`
+    collapses far cheaper; run it first. Use
+    :func:`oversized_bucket_stats` to count what was dropped.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
@@ -105,16 +113,42 @@ def minhash_lsh_pairs(
             ]),
         ).alias("bk"),
     ).select(id_column, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    return _bucket_pairs(stacked, ["band", "key"], id_column)
+    return _bucket_pairs(stacked, ["band", "key"], id_column, max_bucket_size)
 
 
-def _bucket_pairs(stacked: DataFrame, bucket_cols: list[str], id_column: str) -> DataFrame:
+def oversized_bucket_stats(
+    stacked: DataFrame,
+    bucket_cols: list[str],
+    id_column: str,
+    max_bucket_size: int,
+) -> DataFrame:
+    """Observability for the skew guard: one row with the number of buckets
+    (and member rows) the ``max_bucket_size`` cap would drop."""
+    sizes = stacked.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__n"))
+    return sizes.where(F.col("__n") > max_bucket_size).agg(
+        F.count(F.lit(1)).alias("n_dropped_buckets"),
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("n_dropped_members"),
+    )
+
+
+def _bucket_pairs(
+    stacked: DataFrame,
+    bucket_cols: list[str],
+    id_column: str,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
     """Distinct (id_a < id_b) pairs within each bucket: one groupBy shuffle
     + expression-level pair expansion over the sorted bucket-member array —
-    no self-join, bucket-local quadratic cost only (LSH guarantees small
-    buckets for any sane banding)."""
+    no self-join, bucket-local quadratic cost only.
+
+    Buckets above ``max_bucket_size`` are skipped (skew guard): one
+    degenerate bucket of identical documents would otherwise expand O(n²)
+    inside a single task. ``collect_set`` itself carries only ids, so the
+    pre-cap aggregation stays linear."""
     ids = F.sort_array(F.collect_set(id_column)).alias("__ids")
-    buckets = stacked.groupBy(*bucket_cols).agg(ids).where(F.size("__ids") > 1)
+    buckets = stacked.groupBy(*bucket_cols).agg(ids).where(
+        (F.size("__ids") > 1) & (F.size("__ids") <= max_bucket_size),
+    )
     a = F.col("__ids")
     pairs = F.flatten(
         F.transform(
@@ -214,20 +248,34 @@ def simhash(
         raise ValueError("bits must be in [1, 32]")
     toks = _tokens(F.col(text_column))
     # 32-bit token hash from the md5 hex prefix (conv returns string)
-    tok_hash = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("bigint")
     hashed = df.withColumn("__th", F.transform(toks, lambda t: (
         F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
     )))
-    _ = tok_hash  # doc: expression shown above; transform builds it per token
-    def _vote_fn(b):
-        # closure factory (default-arg lambdas break pyspark HOF arity)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1,
-        ).otherwise(-1)
 
-    bit_cols = []
-    for b in range(bits):
-        vote = F.aggregate(F.col("__th"), F.lit(0).cast("bigint"), _vote_fn(b))
-        bit_cols.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
-    out = hashed.withColumn("simhash", F.concat(*reversed(bit_cols))).drop("__th")
-    return out
+    # ONE fold over the token-hash array builds every bit's vote at once:
+    # acc is a bits-length vote vector, each token contributes ±1 per bit
+    # ((h >> b) & 1 via exact double-pow division — b is a lambda variable,
+    # so the int-only shiftright builtin doesn't apply)
+    def _bitvote(h):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda b: F.when(
+                F.floor(h / F.pow(F.lit(2.0), b.cast("double"))).cast("bigint") % 2 == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+
+    votes = F.aggregate(
+        F.col("__th"),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, _bitvote(h), lambda a, v: a + v),
+    )
+    # MSB first: bit (bits-1) leads the string
+    bitstr = F.array_join(
+        F.transform(
+            F.reverse(votes),
+            lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+    return hashed.withColumn("simhash", bitstr).drop("__th")

@@ -159,11 +159,13 @@ def lsh_bucket_pairs(
     seed: int = 42,
     embedding_column: str = "embedding",
     id_column: str = "vec_id",
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """Near-duplicate pairs via random-hyperplane LSH: ``num_tables``
     independent sketch keys; same key in ANY table → candidate; candidates
     verified with exact cosine. One shuffle on the bucket key + bucket-local
-    pair expansion — the scale path (never all-pairs).
+    pair expansion — the scale path (never all-pairs). Buckets above
+    ``max_bucket_size`` are skipped (skew guard; see dedup._bucket_pairs).
     """
     from sed_binning_spark.pipeline.dedup import _bucket_pairs
 
@@ -175,7 +177,7 @@ def lsh_bucket_pairs(
         F.col(id_column),
         F.explode(sketch(F.col(embedding_column))).alias("key"),
     )
-    cand = _bucket_pairs(stacked, ["key"], id_column)
+    cand = _bucket_pairs(stacked, ["key"], id_column, max_bucket_size)
     # verify candidates with the exact cosine (two hash-joins pull sides)
     sides = df.select(F.col(id_column), F.col(embedding_column).alias("__e"))
     withe = (

@@ -157,3 +157,44 @@ def test_buffer_parquet_cache(spark, tmp_path, train_frames):
         validate_buffer_schema(df2, ["trainId", "pulseId", "missing_chan"])
     df3 = buffer_parquet(build, path, spark, force_recreate=True)
     assert len(calls) == 2 and df3.count() == 80
+
+
+def test_explode_per_electron_nan_padded(spark):
+    """FLASH pulse arrays are NaN-padded: NaN entries must be dropped (as
+    the reference's explode().dropna()) — not crash under ANSI mode, not
+    mint spurious pulseId-0 electrons under non-ANSI."""
+    rows = [
+        (1, [5.0, 5.0, 6.0, float("nan"), float("nan")],
+         [1.0, 2.0, 3.0, 4.0, 5.0]),
+        (2, [float("nan")] * 3, [1.0, 2.0, 3.0]),
+    ]
+    df = spark.createDataFrame(rows, "trainId long, pulseId array<double>, x array<double>")
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        out = explode_per_electron(df, "pulseId", ["x"], ubid_offset=5).toPandas()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert len(out) == 3  # the 5 NaN hits are gone
+    assert set(out.trainId) == {1}
+    got = out.sort_values(["pulseId", "electronId"])
+    assert list(got.pulseId) == [0, 0, 1]
+    assert list(got.electronId) == [0, 1, 0]
+    assert list(got.x) == [1.0, 2.0, 3.0]
+
+
+def test_read_dataframe_chunked_row_ids(spark, train_frames):
+    """file_id = train-range chunk (partitioned window — no global sort);
+    row_id restarts per chunk and orders by (train, pulse, electron)."""
+    loader = FlashLoader(spark, config={"dataframe": {"ubid_offset": 5}})
+    electron, pulse, _ = loader.read_dataframe(
+        train_frames={"electron": train_frames["electron"]},
+        trains_per_chunk=8,
+    )
+    pdf = electron.toPandas()
+    assert set(pdf.file_id) == {1000 // 8, 1008 // 8, 1016 // 8}
+    for _, grp in pdf.groupby("file_id"):
+        g = grp.sort_values("row_id")
+        keys = list(zip(g.trainId, g.pulseId, g.electronId))
+        assert keys == sorted(keys)
+        assert list(g.row_id) == sorted(g.row_id) and g.row_id.iloc[0] == 0

@@ -193,3 +193,33 @@ def test_frame_sample_plan(docs_df):
     d0 = media.toPandas().set_index("media_id").loc[0, "duration_ms"]
     assert (frames[frames.media_id == 0].frame_ms.max()
             == ((d0 - 1) // 100) * 100)
+
+
+def test_lsh_skew_guard_degenerate_corpus(spark):
+    """1000 identical documents share every band key — the bucket cap must
+    skip that O(n²) bucket (no quadratic blowup), while exact dedup still
+    collapses the class (the documented division of labor)."""
+    rows = [(i, "same boilerplate text repeated everywhere") for i in range(1000)]
+    rows += [(2000, "a genuinely unique document about spark"),
+             (2001, "a genuinely unique document about spark engines")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, num_hashes=8, bands=4, max_bucket_size=100).toPandas()
+    # no pair from the degenerate class; the near-dup pair may still surface
+    assert not ((pairs.id_a < 1000) & (pairs.id_b < 1000)).any()
+    dups = exact_dedup(df).toPandas()
+    assert int(dups.n_dups.max()) == 1000
+    # raising the cap recovers the degenerate pairs (opt-in, small data)
+    some = minhash_lsh_pairs(
+        df.where(F.col("doc_id") < 5), num_hashes=8, bands=4, max_bucket_size=100,
+    ).toPandas()
+    assert len(some) == 10  # C(5,2): all pairs of the 5 identical docs
+
+
+def test_oversized_bucket_stats(spark):
+    from sed_binning_spark.pipeline.dedup import oversized_bucket_stats
+
+    rows = [(i, "k1") for i in range(10)] + [(100, "k2"), (101, "k2")]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    stats = oversized_bucket_stats(df, ["key"], "doc_id", max_bucket_size=5).collect()[0]
+    assert stats.n_dropped_buckets == 1
+    assert stats.n_dropped_members == 10
