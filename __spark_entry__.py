@@ -504,6 +504,33 @@ def _dfield_oracle_sql() -> str:
     )
 
 
+# mpes ms-marker fixture: monotone with one duplicate (the reference
+# documents duplicates in msMarkers); spans the sf0.01 row_id range
+_MS_MARKERS = np.array(sorted([13 + 137 * i for i in range(64)] + [13 + 137 * 4]))
+_MPES_START = 1.65e9
+
+
+def _q_mpes_timestamps(spark, sf):
+    """S4 timestamp synthesis: per-event epoch seconds from ms markers
+    (searchsorted-right of the event index, Arrow-batched UDF)."""
+    from sed_binning_spark.loaders.mpes import append_event_timestamps
+
+    ev = append_event_timestamps(_events(spark, sf), _MS_MARKERS, _MPES_START)
+    return ev.select("event_id", "timeStamps")
+
+
+def _q_mpes_timed(spark, sf):
+    """S5 timed dataframe: sample stream values at each ms marker via a
+    broadcast (i, marker-1) equi-join on row_id."""
+    from sed_binning_spark.loaders.mpes import timed_dataframe_from_markers
+
+    out = timed_dataframe_from_markers(
+        _events(spark, sf), _MS_MARKERS, start_time=_MPES_START,
+        time_stamps=True, columns=["value", "X"],
+    )
+    return out.select("ms_id", "value", "X", "timeStamps")
+
+
 def _q_flash_electron_ids(spark, sf):
     """J3: per-train hit arrays -> electron rows with synthesized
     electronId (posexplode + row_number). Built by packing events into
@@ -669,6 +696,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # A9/A10: normalization histograms
         "norm_hist_timed": _q_norm_hist_timed,
         "norm_hist_timestamps": _q_norm_hist_ts,
+        # S4/S5: mpes ms-marker timestamp synthesis + timed dataframe
+        "mpes_timestamps": _q_mpes_timestamps,
+        "mpes_timed": _q_mpes_timed,
         # J3: flash-style electron-ID synthesis
         "flash_electron_ids": _q_flash_electron_ids,
         # M1 (rows-only: nondeterministic noise) / M9 (rows-only: grid UDF)
@@ -852,6 +882,18 @@ def oracle_sql() -> dict[str, str]:
             f"{bin_index_sql_edges('X', ts_edges)} AS bin, "
             f"ts_sec - lag(ts_sec) OVER (ORDER BY file_id, row_id) AS dt "
             f"FROM ({_EV_SQL})) WHERE bin IS NOT NULL AND dt IS NOT NULL GROUP BY bin"
+        ),
+        "mpes_timestamps": (
+            f"SELECT event_id, {fsql(_MPES_START)} + len(list_filter("
+            f"[{', '.join(str(int(m)) for m in _MS_MARKERS)}], m -> m <= row_id)) "
+            f"/ 1000.0 AS timeStamps FROM ({_EV_SQL})"
+        ),
+        "mpes_timed": (
+            f"SELECT CAST(m.i AS BIGINT) AS ms_id, e.value, e.X, "
+            f"{fsql(_MPES_START)} + CAST(m.i AS DOUBLE) / 1000.0 AS timeStamps "
+            f"FROM (VALUES "
+            + ", ".join(f"({i}, {int(m) - 1})" for i, m in enumerate(_MS_MARKERS))
+            + f") AS m(i, target) JOIN ({_EV_SQL}) e ON e.row_id = m.target"
         ),
         "flash_electron_ids": (
             f"SELECT user_id % 20 AS trainId, event_id % 7 AS pulseId, "
