@@ -357,15 +357,19 @@ def fit_energy_calibration(
     energy_scale: str = "kinetic",
     d0: float = 1.0,
     t0_0: float = 1e-6,
+    ref_id: int | None = None,
 ) -> dict:
-    """Nonlinear fit of ``E = sign*2.84281e-12*(d/(t_ns - t0))^2 + E0``
+    """Nonlinear fit of ``E = sign*2.84281e-12*(d/(t - t0))^2 + E0``
     (fit_energy_calibration, energy.py:2090-2224). The reference uses lmfit;
-    here a damped Gauss-Newton on (d, t0) with E0 eliminated analytically —
-    pure NumPy, same model and typically identical minima for these smooth
-    1-parameter-family problems.
+    here the problem is reduced to a 1-D profile over t0 (linear LSQ in
+    (d^2, E0) at each candidate) under the reference's t0 upper bound —
+    pure NumPy, deterministic, same model family. Returned (d, t0) are in
+    the SECONDS units tof2ev_expr consumes.
 
     pos: TOF bin positions of features; vals: bias voltages (feature
-    energies); ref_energy: energy of the reference feature.
+    energies); ref_energy: energy of the reference feature. ``d0``/``t0_0``
+    are accepted for signature compatibility (the profile scan needs no
+    initial guess).
     """
     pos = np.asarray(pos, dtype=float)
     vals = np.asarray(vals, dtype=float)
@@ -373,48 +377,64 @@ def fit_energy_calibration(
     binw = float(binwidth) * 2.0**binning  # seconds per TOF step
     t_ns = pos * binw * 1e9  # the model below works in ns via tof2ev form
 
-    # model(E_i) = sign*C*(d/(t_ns_i - t0))^2 ; data: vals relative shift
-    # The reference fits E_i = sign*C*(d/(t_i - t0))^2 + E0 to (pos, vals).
+    # model E_i = sign*C*(d/(t_ns_i - t0))^2 + E0 (the reference fits it with
+    # lmfit; energy.py:2149-2196). For FIXED t0 the model is LINEAR in
+    # (d^2, E0), so the nonlinear problem is a 1-D profile over t0: scan t0
+    # below the reference's bound t0 < (min(pos)-1)*binwidth*2^binning
+    # (energy.py:2176-2181 — keeps the pole out of the data), linear-solve
+    # each candidate, then parabolic-refine the best. Deterministic, no
+    # Jacobians, immune to the pole-inside-axis local optima a free descent
+    # can land in.
     def model(d, t0):
         return sign * _TOF2EV_CONST * (d / (t_ns - t0)) ** 2
 
-    def resid(d, t0):
-        m = model(d, t0)
-        e0 = np.mean(vals - m)
-        return m + e0 - vals, e0
+    t0_max = (np.min(pos) - 1.0) * binw * 1e9
+    span = float(t_ns.max() - t_ns.min()) or abs(t0_max) or 1.0
 
-    d, t0 = float(d0), float(t0_0) * 1e9  # work in ns
-    lam = 1e-3
-    r, e0 = resid(d, t0)
-    cost = float(r @ r)
-    for _ in range(200):
-        eps_d = max(abs(d), 1e-9) * 1e-7
-        eps_t = max(abs(t0), 1e-9) * 1e-7 + 1e-12
-        jd = (resid(d + eps_d, t0)[0] - r) / eps_d
-        jt = (resid(d, t0 + eps_t)[0] - r) / eps_t
-        jac = np.stack([jd, jt], axis=1)
-        jtj = jac.T @ jac + lam * np.eye(2)
-        step = np.linalg.solve(jtj, -jac.T @ r)
-        d_new, t0_new = d + step[0], t0 + step[1]
-        r_new, e0_new = resid(d_new, t0_new)
-        cost_new = float(r_new @ r_new)
-        if cost_new < cost:
-            d, t0, r, e0, cost = d_new, t0_new, r_new, e0_new, cost_new
-            lam = max(lam / 3, 1e-12)
-            if abs(cost_new - cost) < 1e-18:
-                break
-        else:
-            lam *= 10
-            if lam > 1e12:
-                break
+    def profile_sse(t0):
+        """Best (d^2, E0) for this t0 via 2-param linear LSQ; returns
+        (sse, d, e0) — d^2 < 0 candidates are rejected. The x column is
+        unit-normalized before solving (raw magnitudes differ from the
+        intercept by ~1e17, which would defeat lstsq's rank cutoff)."""
+        x = sign * _TOF2EV_CONST / (t_ns - t0) ** 2
+        sx = float(np.abs(x).max()) or 1.0
+        a = np.stack([x / sx, np.ones_like(x)], axis=1)
+        (u1, e0), *_ = np.linalg.lstsq(a, vals, rcond=None)
+        u = u1 / sx
+        if u < 0:
+            return np.inf, 0.0, 0.0
+        r = a @ np.array([u1, e0]) - vals
+        return float(r @ r), float(np.sqrt(u)), float(e0)
 
-    # Pin E0 so the reference feature (last entry, as appended by the
-    # reference's calibrate(), energy.py:2205-2212) lands exactly at
-    # ref_energy.
-    e0 = float(ref_energy - model(d, t0)[-1])
+    # geometric scan of the t0 offset below the bound, then two rounds of
+    # linear refinement between the best point's grid neighbors
+    offsets = np.geomspace(1e-4 * span, 50 * span, 400)
+    sses = [profile_sse(t0_max - og) + (t0_max - og,) for og in offsets]
+    k = int(np.argmin([s[0] for s in sses]))
+    best = sses[k]
+    lo = offsets[max(k - 1, 0)]
+    hi = offsets[min(k + 1, len(offsets) - 1)]
+    for _ in range(2):
+        cands = [profile_sse(t0_max - og) + (t0_max - og,) for og in np.linspace(lo, hi, 64)]
+        j = int(np.argmin([c[0] for c in cands]))
+        if cands[j][0] < best[0]:
+            best = cands[j]
+        width = (hi - lo) / 16
+        center = t0_max - best[3]
+        lo, hi = max(center - width, offsets[0] * 0.1), center + width
+    _, d, e0, t0 = best
+
+    # Pin E0 so the reference feature lands exactly at ref_energy
+    # (energy.py:2205-2216): ref_id selects which landmark is the reference;
+    # default None keeps the last entry.
+    pin = -1 if ref_id is None else int(ref_id)
+    e0 = float(ref_energy - model(d, t0)[pin])
+    # the fit runs in ns for conditioning; tof2ev_expr (and the reference's
+    # tof2ev, energy.py:2338-2374) work in SECONDS — convert on output so
+    # the dict plugs straight into append_energy_axis
     ecalib = {
-        "d": float(d),
-        "t0": float(t0),  # ns, consumed by tof2ev_expr's time_offset
+        "d": float(d) * 1e-9,
+        "t0": float(t0) * 1e-9,
         "E0": float(e0),
         "calib_type": "fit",
         "energy_scale": energy_scale,

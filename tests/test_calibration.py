@@ -326,16 +326,16 @@ def test_poly_energy_calibration_recovers_poly():
 
 
 def test_fit_energy_calibration_recovers_model():
-    """Positions generated from the tof2ev model are fit back (F4)."""
-    d_true, t0_true_ns, e0_true = 1.2, 150.0, 10.0
+    """Positions generated from the tof2ev model are fit back (F4); the
+    returned (d, t0) are in SECONDS, directly consumable by tof2ev."""
+    d_true, t0_true, e0_true = 1.1, 1.0e-7, -5.0  # d in m, t0 in s (physical)
     binwidth, binning = 4.125e-12, 1
-    binw_ns = binwidth * 2**binning * 1e9
+    binw = binwidth * 2**binning
     pos = np.linspace(65000, 90000, 10)
-    t_ns = pos * binw_ns
-    energies = _TOF2EV_CONST * (d_true / (t_ns - t0_true_ns)) ** 2 + e0_true
+    t_s = pos * binw
+    energies = _TOF2EV_CONST * (d_true / (t_s - t0_true)) ** 2 + e0_true
     calib = fit_energy_calibration(
         pos, energies, binwidth, binning, ref_energy=float(energies[-1]),
-        d0=1.0, t0_0=1e-7,
     )
-    model = _TOF2EV_CONST * (calib["d"] / (t_ns - calib["t0"])) ** 2 + calib["E0"]
+    model = _TOF2EV_CONST * (calib["d"] / (t_s - calib["t0"])) ** 2 + calib["E0"]
     np.testing.assert_allclose(model, energies, rtol=1e-4)
