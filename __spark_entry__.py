@@ -608,7 +608,10 @@ def _q_ann_pairs(spark, sf):
 
 
 def _q_ann_lsh(spark, sf):
-    return lsh_bucket_pairs(_embeds(spark, sf), 0.45, num_planes=8, num_tables=6)
+    """Banding tuned for the 0.45 threshold: P(plane agrees) ~ 0.65, so 4
+    planes x 12 tables gives 1-(1-0.65^4)^12 ~ 0.91 theoretical recall
+    (measured 1.0 vs brute force at sf0.01 — tests/test_pipeline.py)."""
+    return lsh_bucket_pairs(_embeds(spark, sf), 0.45, num_planes=4, num_tables=12)
 
 
 def _q_multimodal(spark, sf):

@@ -223,3 +223,22 @@ def test_oversized_bucket_stats(spark):
     stats = oversized_bucket_stats(df, ["key"], "doc_id", max_bucket_size=5).collect()[0]
     assert stats.n_dropped_buckets == 1
     assert stats.n_dropped_members == 10
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/testdata/sf0.01/embeddings.parquet"),
+    reason="driver testdata not present",
+)
+def test_ann_lsh_recall_vs_brute(spark):
+    """Quantified quality for the approximate path: at sf0.01 the tuned
+    banding (4 planes x 12 tables for the 0.45 threshold) must recover
+    >= 0.9 of the brute-force pairs. LSH never reports false positives
+    (candidates are exact-cosine verified), so precision is 1 by
+    construction — recall is the figure of merit."""
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    brute = {(r.id_a, r.id_b) for r in cosine_pairs_brute(df, 0.45).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           lsh_bucket_pairs(df, 0.45, num_planes=4, num_tables=12).collect()}
+    assert lsh <= brute  # verified candidates: no false positives
+    assert len(brute) > 0
+    assert len(lsh & brute) / len(brute) >= 0.9
