@@ -553,6 +553,32 @@ def _q_flash_electron_ids(spark, sf):
     return out.select("trainId", "pulseId", "electronId", "eid", "val")
 
 
+def _q_sxp_electron_ids(spark, sf):
+    """S7: sxp train-chopping demux + per-electron explode. Events are
+    packed into per-record hit arrays with a sawtooth pulse pattern
+    [0,2,3,5] (boundary at each 5->0 wrap); chop keeps hits [4k, 4k+3) of
+    each sub-train and drops the trailing partial train; num_pulses=3 wraps
+    pulse 3 back to 0 so (train, pulse=0) carries two electrons."""
+    from sed_binning_spark.loaders.sxp import explode_chopped_electrons
+
+    ev = _events(spark, sf)
+    hits = F.sort_array(F.collect_list(F.struct(
+        F.col("event_id").alias("eid"), F.col("value").alias("val"),
+    )))
+    recs = ev.groupBy((F.col("user_id") % 10).alias("rec")).agg(hits.alias("hits"))
+    pattern = F.array(*[F.lit(p) for p in (0.0, 2.0, 3.0, 5.0)])
+    recs = recs.select(
+        (F.lit(100000) * (F.col("rec") + 1)).alias("trainId"),
+        F.transform("hits", lambda h, i: F.element_at(pattern, (i % 4) + 1)).alias("pulseId"),
+        F.transform("hits", lambda h: h["eid"]).alias("eid"),
+        F.transform("hits", lambda h: h["val"]).alias("val"),
+    )
+    out = explode_chopped_electrons(
+        recs, "pulseId", ["eid", "val"], ubid_offset=0, num_pulses=3,
+    )
+    return out.select("trainId", "pulseId", "electronId", "eid", "val")
+
+
 # ---- pipeline / LLM-data operators ----------------------------------------
 
 def _q_dedup_exact(spark, sf):
@@ -704,6 +730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mpes_timed": _q_mpes_timed,
         # J3: flash-style electron-ID synthesis
         "flash_electron_ids": _q_flash_electron_ids,
+        # S7: sxp train-chopping demux
+        "sxp_electron_ids": _q_sxp_electron_ids,
         # M1 (rows-only: nondeterministic noise) / M9 (rows-only: grid UDF)
         "jitter": _q_jitter,
         "dfield_correction": _q_dfield,
@@ -885,6 +913,16 @@ def oracle_sql() -> dict[str, str]:
             f"{bin_index_sql_edges('X', ts_edges)} AS bin, "
             f"ts_sec - lag(ts_sec) OVER (ORDER BY file_id, row_id) AS dt "
             f"FROM ({_EV_SQL})) WHERE bin IS NOT NULL AND dt IS NOT NULL GROUP BY bin"
+        ),
+        "sxp_electron_ids": (
+            "SELECT CAST(100000 * (rec + 1) + i // 4 AS BIGINT) AS trainId, "
+            "CAST(CASE i % 4 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 0 END AS BIGINT) AS pulseId, "
+            "CAST(CASE i % 4 WHEN 2 THEN 1 ELSE 0 END AS BIGINT) AS electronId, "
+            "eid, val FROM ("
+            "SELECT user_id % 10 AS rec, event_id AS eid, value AS val, "
+            "row_number() OVER (PARTITION BY user_id % 10 ORDER BY event_id) - 1 AS i, "
+            "count(*) OVER (PARTITION BY user_id % 10) AS n "
+            f"FROM ({_EV_SQL})) WHERE i % 4 < 3 AND 4 * (i // 4) + 3 <= n - 2"
         ),
         "mpes_timestamps": (
             f"SELECT event_id, {fsql(_MPES_START)} + len(list_filter("

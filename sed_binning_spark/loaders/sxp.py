@@ -1,0 +1,187 @@
+"""SXP@European-XFEL loader specifics (reference: sed/loader/sxp/loader.py).
+
+SXP raw records pack SEVERAL logical trains into one stored row: the
+per-record pulseId array is a sawtooth, and each drop of more than 1
+marks a sub-train boundary (create_multi_index_per_electron,
+sxp/loader.py:226-319). The demux ("train chopping") semantics mirrored
+here exactly:
+
+- ``num_trains``: zero the pulse array from the position of the
+  ``num_trains``-th strictly-negative diff on (removes broken trailing hit
+  copies; no-op when fewer resets exist) — sxp/loader.py:257-268.
+- sub-train k spans hits (prev_end+1 .. end_k-1): the reference's
+  ``slice(index, train_end)`` EXCLUDES the boundary hit itself, and hits
+  after the last boundary are dropped — sxp/loader.py:269-280.
+- logical trainId = stored trainId + k — sxp/loader.py:275.
+- ``num_pulses``: pulse ids are taken modulo it BEFORE the ubid_offset
+  subtraction — sxp/loader.py:277-279, 286-291.
+
+Everything is a per-row array-expression pipeline (filter/slice/transform
+over the hit arrays) feeding the shared flash assembly
+(:func:`sed_binning_spark.loaders.flash.explode_per_electron`) — one
+narrow projection + posexplode, no shuffle until the electronId window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sed_binning_spark.loaders.flash import explode_per_electron
+
+
+def _diff_lt(arr: Column, threshold: int) -> Column:
+    """0-based diff positions j where arr[j+1] - arr[j] < threshold (the
+    reference casts to int32 before differencing, sxp/loader.py:262,269)."""
+    n = F.size(arr)
+    # guard: Spark's sequence(0, stop) is DESCENDING for stop < 0, so short
+    # arrays must map to an explicit empty position list
+    positions = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
+        F.array().cast("array<int>"),
+    )
+    return F.filter(
+        positions,
+        lambda j: (
+            F.element_at(arr, j + 2).cast("int") - F.element_at(arr, j + 1).cast("int")
+        ) < F.lit(threshold),
+    )
+
+
+def chop_trains(
+    df_records: DataFrame,
+    pulse_array_column: str = "pulseId",
+    value_array_columns: Sequence[str] = (),
+    train_id_column: str = "trainId",
+    num_trains: int = 0,
+    num_pulses: int = 0,
+) -> DataFrame:
+    """Demux stored records into logical sub-trains (the SXP train chop).
+
+    Input: one row per stored record with ``train_id_column`` scalar and
+    aligned hit arrays. Output: one row per LOGICAL train with the pulse
+    and value arrays sliced to that train (boundary hit excluded, trailing
+    partial train dropped), trainId incremented by the sub-train counter,
+    and pulse ids reduced modulo ``num_pulses`` when set.
+    """
+    mib = F.col(pulse_array_column)
+
+    # num_trains guard: zero the array from the num_trains-th reset on
+    if num_trains:
+        negpos = _diff_lt(mib, 0)
+        cut = F.when(
+            F.size(negpos) >= num_trains, F.element_at(negpos, num_trains),
+        )
+        mib = F.when(
+            cut.isNotNull(),
+            F.transform(mib, lambda x, i: F.when(i >= cut, F.lit(0).cast("double")).otherwise(x)),
+        ).otherwise(mib)
+
+    work = df_records.withColumn("__mib", mib)
+    ends = _diff_lt(F.col("__mib"), -1)
+    work = work.withColumn("__ends", ends)
+
+    # one output row per sub-train: k = position in the ends array
+    exploded = work.select(
+        F.col(train_id_column),
+        F.col("__mib"),
+        *[F.col(c) for c in value_array_columns],
+        F.posexplode(F.col("__ends")).alias("__k", "__end"),
+        F.col("__ends").alias("__all_ends"),
+    )
+    start = F.when(F.col("__k") == 0, F.lit(0)).otherwise(
+        F.element_at(F.col("__all_ends"), F.col("__k")) + 1,
+    )
+    length = F.col("__end") - start  # slice EXCLUDES the boundary hit
+    pulses = F.slice(F.col("__mib"), start + 1, F.greatest(length, F.lit(0)))
+    if num_pulses:
+        pulses = F.transform(pulses, lambda p: p % F.lit(num_pulses))
+    out = exploded.select(
+        (F.col(train_id_column) + F.col("__k")).alias(train_id_column),
+        pulses.alias(pulse_array_column),
+        *[
+            F.slice(F.col(c), start + 1, F.greatest(length, F.lit(0))).alias(c)
+            for c in value_array_columns
+        ],
+    )
+    return out
+
+
+class SXPLoader:
+    """S7 orchestration: chop + shared flash assembly.
+
+    The HDF5 channel extraction is gated exactly as in FlashLoader; tests
+    inject per-record frames.
+    """
+
+    def __init__(self, spark, config: dict | None = None) -> None:
+        self.spark = spark
+        self.config = config or {}
+
+    def read_dataframe(
+        self,
+        record_frames: dict[str, DataFrame] | None = None,
+        pulse_array_column: str = "pulseId",
+        ubid_offset: int | None = None,
+        num_trains: int | None = None,
+        num_pulses: int | None = None,
+        **kwds,
+    ):
+        """Chop the electron records into logical trains, then run the
+        shared flash assembly (sxp/loader.py:800-893 delegates the same
+        way)."""
+        if record_frames is None:
+            raise ValueError(
+                "record_frames is required (HDF5 extraction is gated; "
+                "inject per-record frames)",
+            )
+        conf = self.config.get("dataframe", {})
+        if ubid_offset is None:
+            ubid_offset = conf.get("ubid_offset", 0)
+        if num_trains is None:
+            num_trains = conf.get("num_trains", 0)
+        if num_pulses is None:
+            num_pulses = conf.get("num_pulses", 0)
+
+        electron_src = record_frames["electron"]
+        value_cols = [
+            c for c in electron_src.columns
+            if c not in ("trainId", pulse_array_column)
+        ]
+        chopped = chop_trains(
+            electron_src,
+            pulse_array_column,
+            value_cols,
+            num_trains=num_trains,
+            num_pulses=num_pulses,
+        )
+        from sed_binning_spark.loaders.flash import FlashLoader
+
+        frames = dict(record_frames)
+        frames["electron"] = chopped
+        loader = FlashLoader(self.spark, self.config)
+        return loader.read_dataframe(
+            train_frames=frames, ubid_offset=ubid_offset, **kwds,
+        )
+
+
+def explode_chopped_electrons(
+    df_records: DataFrame,
+    pulse_array_column: str = "pulseId",
+    value_array_columns: Sequence[str] = (),
+    ubid_offset: int = 0,
+    num_trains: int = 0,
+    num_pulses: int = 0,
+) -> DataFrame:
+    """chop_trains + per-electron explode in one call (the J3 sxp variant)."""
+    chopped = chop_trains(
+        df_records,
+        pulse_array_column,
+        value_array_columns,
+        num_trains=num_trains,
+        num_pulses=num_pulses,
+    )
+    return explode_per_electron(
+        chopped, pulse_array_column, value_array_columns, ubid_offset=ubid_offset,
+    )
