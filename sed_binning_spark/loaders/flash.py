@@ -211,6 +211,38 @@ def forward_fill_pulse_channels(
     return forward_fill(df, columns, file_column=file_column, row_column=row_column)
 
 
+def get_files_from_run_id(
+    run_id: str | int,
+    folders: str | Sequence[str],
+    extension: str = "h5",
+    stream_name_prefixes: dict[str, str] | None = None,
+    daq: str = "fl1user3",
+) -> list[str]:
+    """S3 (flash form): run identifier → file list via the facility's
+    ``{stream_prefix}_run{run_id}_*.{ext}`` naming, sorted naturally by the
+    trailing chunk index (flash/loader.py:114-169)."""
+    from sed_binning_spark.loaders.utils import natural_sort_key
+
+    if stream_name_prefixes is None:
+        stream_name_prefixes = {"fl1user3": "FLASH1_USER3_stream_2"}
+    if isinstance(folders, str):
+        folders = [folders]
+    pattern = f"{stream_name_prefixes[daq]}_run{run_id}_*.{extension}"
+    files: list[Path] = []
+    for folder in folders:
+        files.extend(
+            sorted(
+                Path(folder).glob(pattern),
+                key=lambda p: natural_sort_key(str(p).rsplit("_", maxsplit=1)[-1]),
+            ),
+        )
+    if not files:
+        raise FileNotFoundError(
+            f"No files found for run {run_id} in directory {list(folders)}",
+        )
+    return [str(f.resolve()) for f in files]
+
+
 class FlashLoader:
     """S6: flash/sxp-style loader orchestration.
 

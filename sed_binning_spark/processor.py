@@ -398,12 +398,31 @@ class SedProcessor:
         axes: Sequence[str] | None = None,
         ranges: Sequence[tuple[float, float]] | None = None,
         normalize_to_acquisition_time: bool | str = False,
+        df_partitions: int | Sequence[int] | None = None,
         **kwds,
     ) -> Cube:
         """The aggregation query (processor.py:2125-2295): resolve @-aliases,
         bin, attach axis units, optionally normalize by acquisition time
-        (timed-df histogram when available, else timestamp diffs)."""
+        (timed-df histogram when available, else timestamp diffs).
+
+        ``df_partitions`` (P7, processor.py:2210-2216): bin only the first N
+        source files (int) or an explicit file list — a non-destructive
+        ``file_id`` predicate that parquet partition/row-group pruning turns
+        into a metadata-only skip.
+        """
+        from pyspark.sql import functions as F
+
         df = self._require_df()
+        if df_partitions is not None:
+            file_col = self._config.get("dataframe", {}).get("file_column", "file_id")
+            if file_col not in df.columns:
+                raise ValueError(
+                    f"df_partitions needs a {file_col!r} column in the dataframe",
+                )
+            if isinstance(df_partitions, int):
+                df = df.filter(F.col(file_col) < df_partitions)
+            else:
+                df = df.filter(F.col(file_col).isin([int(p) for p in df_partitions]))
         if axes is not None:
             axes = [resolve_alias(ax, self._config) for ax in axes]
         cube = bin_dataframe(df, bins=bins, axes=axes, ranges=ranges, **kwds)
@@ -461,6 +480,29 @@ class SedProcessor:
             )
         return normalization_histogram_from_timestamps(
             self._require_df(), axis, bin_centers, ts_col,
+        )
+
+    def view_event_histogram(
+        self,
+        dfpid: int | None = 0,
+        bins: int | Sequence[int] = 80,
+        axes: Sequence[str] | None = None,
+        ranges: Sequence[tuple[float, float]] | None = None,
+    ) -> dict:
+        """A12 diagnostics grid data (processor.py:2368-2457): per-axis 1-D
+        histograms of one source file. Returns {axis: (centers, counts)};
+        plotting is the caller's concern in this headless engine."""
+        from sed_binning_spark.diagnostics import event_histogram_grid
+
+        if axes is None:
+            axes = self._config.get("histogram", {}).get("axes", [])
+            axes = [resolve_alias(ax, self._config) for ax in axes]
+            bins = self._config.get("histogram", {}).get("bins", bins)
+            ranges = self._config.get("histogram", {}).get("ranges", ranges)
+        if not axes:
+            raise ValueError("No axes specified and no histogram axes configured!")
+        return event_histogram_grid(
+            self._require_df(), axes, bins=bins, ranges=ranges, partition=dfpid,
         )
 
     def get_elapsed_time(self) -> float:

@@ -41,6 +41,15 @@ _DEFAULT_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
+# In local mode the single JVM is driver AND all executors; Spark's 1g heap
+# default buckles under cached event tables and wide aggregations. Only
+# applied when THIS factory launches the JVM (a cluster manager or spark-
+# submit would set these itself).
+_LOCAL_MEMORY_CONF = {
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+    "spark.driver.maxResultSize": "4g",
+}
+
 
 def default_parallelism() -> int:
     """Parallelism hint: SPARK_GRAFT_CPUS if set, else host CPU count."""
@@ -75,6 +84,8 @@ def get_spark(
     builder = builder.master(master)
 
     conf = dict(_DEFAULT_CONF)
+    if master.startswith("local"):
+        conf.update(_LOCAL_MEMORY_CONF)
     if shuffle_partitions is None:
         shuffle_partitions = 2 * default_parallelism()
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

@@ -160,3 +160,60 @@ def test_loader_path(spark, tmp_path, events_pdf):
 def test_head_preview(proc):
     pdf = proc.head(3)
     assert len(pdf) == 3 and isinstance(pdf, pd.DataFrame)
+
+
+def test_compute_df_partitions(proc):
+    """P7: first-N / explicit-list file pruning before binning."""
+    full = proc.compute(bins=[40], axes=["t"], ranges=[(60000.0, 120000.0)])
+    first2 = proc.compute(
+        bins=[40], axes=["t"], ranges=[(60000.0, 120000.0)], df_partitions=2,
+    )
+    listed = proc.compute(
+        bins=[40], axes=["t"], ranges=[(60000.0, 120000.0)], df_partitions=[0, 1],
+    )
+    assert first2.data.sum() < full.data.sum()
+    np.testing.assert_array_equal(first2.data, listed.data)
+    # file_id in {0..3} -> selecting all four returns the full histogram
+    all4 = proc.compute(
+        bins=[40], axes=["t"], ranges=[(60000.0, 120000.0)], df_partitions=4,
+    )
+    np.testing.assert_array_equal(all4.data, full.data)
+
+
+def test_view_event_histogram(proc):
+    out = proc.view_event_histogram(
+        dfpid=0, bins=50, axes=["X", "Y"],
+        ranges=[(0.0, 2048.0), (0.0, 2048.0)],
+    )
+    assert set(out) == {"X", "Y"}
+    centers, counts = out["X"]
+    assert centers.shape == (50,) and counts.shape == (50,)
+    assert counts.sum() > 0
+    # only file 0 contributes
+    df = proc.dataframe
+    from pyspark.sql import functions as F
+    n_f0 = df.where(F.col("file_id") == 0).count()
+    assert counts.sum() <= n_f0
+
+
+def test_view_event_histogram_requires_axes(proc):
+    with pytest.raises(ValueError, match="axes"):
+        proc.view_event_histogram(dfpid=None, axes=[])
+
+
+def test_flash_run_id_resolution(tmp_path):
+    from sed_binning_spark.loaders.flash import get_files_from_run_id
+
+    for name in ["FLASH1_USER3_stream_2_run43878_file10.h5",
+                 "FLASH1_USER3_stream_2_run43878_file2.h5",
+                 "FLASH1_USER3_stream_2_run99_file1.h5"]:
+        (tmp_path / name).touch()
+    # NB: the pattern sorts naturally on the trailing "_"-chunk, as the
+    # reference does (file2 before file10)
+    files = get_files_from_run_id(43878, str(tmp_path))
+    assert [f.rsplit("/", 1)[-1] for f in files] == [
+        "FLASH1_USER3_stream_2_run43878_file2.h5",
+        "FLASH1_USER3_stream_2_run43878_file10.h5",
+    ]
+    with pytest.raises(FileNotFoundError):
+        get_files_from_run_id(11111, str(tmp_path))
