@@ -1,0 +1,393 @@
+"""Driver-side momentum estimation F5-F7, F9 (reference:
+sed/calibrator/momentum.py:318-1248, 1560-1675).
+
+These operate on the BINNED momentum image (a small 2-D array), producing
+the deformation field M9 broadcasts and the linear calibration M10 folds
+into Column expressions. The reference depends on the ``symmetrize``
+package and scipy.ndimage; neither exists here, so every kernel is a
+from-scratch NumPy implementation of the same contract:
+
+- F5 feature detection: local-maximum peak search + centroid/ordering of
+  the rotation-symmetric landmark set.
+- F6 thin-plate-spline warp: classic TPS (U(r) = r^2 log r^2) solved for
+  the inverse map target→source; deformation fields evaluated on the
+  image grid; image resampled with the shared bilinear kernel.
+- F7 pose adjustment: scaling / translation / rotation deformation
+  fields, composed onto the running field by bilinear resampling (the
+  reference's update_deformation).
+- F9 two-point calibration: pixel→k scales and center from two symmetry
+  points, emitting exactly the dict append_k_axis consumes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sed_binning_spark.calibration.momentum import map_coordinates_bilinear
+
+
+# ---------------------------------------------------------------------------
+# F5: feature detection (momentum.py:318-590; symmetrize.pointops contract)
+# ---------------------------------------------------------------------------
+def peakdetect2d(
+    image: np.ndarray,
+    radius: int = 10,
+    threshold_rel: float = 0.2,
+) -> np.ndarray:
+    """Local-maximum peak positions (row, col) in a 2-D image: a pixel is a
+    peak when it is the strict maximum of its (2*radius+1)^2 neighborhood
+    and above ``threshold_rel * image.max()``."""
+    img = np.asarray(image, dtype=float)
+    thr = threshold_rel * img.max()
+    rows, cols = np.where(img > thr)
+    peaks = []
+    h, w = img.shape
+    for r, c in zip(rows, cols):
+        r0, r1 = max(r - radius, 0), min(r + radius + 1, h)
+        c0, c1 = max(c - radius, 0), min(c + radius + 1, w)
+        patch = img[r0:r1, c0:c1]
+        if img[r, c] >= patch.max() and (patch == img[r, c]).sum() == 1:
+            peaks.append((float(r), float(c)))
+    return np.asarray(peaks)
+
+
+def pointset_center(
+    points: np.ndarray,
+    method: str = "centroid",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Split a landmark set into (center, outer points): 'centroid' uses
+    the mean position as center; 'centroidnn' promotes the point nearest
+    the centroid to center and returns the rest as outer."""
+    pts = np.asarray(points, dtype=float)
+    centroid = pts.mean(axis=0)
+    if method == "centroid":
+        return centroid, pts
+    if method == "centroidnn":
+        d = np.linalg.norm(pts - centroid, axis=1)
+        i = int(np.argmin(d))
+        return pts[i], np.delete(pts, i, axis=0)
+    raise ValueError(f"unknown method {method!r}")
+
+
+def pointset_order(points: np.ndarray, direction: str = "ccw") -> np.ndarray:
+    """Order outer landmarks by angle around their centroid."""
+    pts = np.asarray(points, dtype=float)
+    centroid = pts.mean(axis=0)
+    ang = np.arctan2(pts[:, 1] - centroid[1], pts[:, 0] - centroid[0])
+    order = np.argsort(ang)
+    if direction == "cw":
+        order = order[::-1]
+    return pts[order]
+
+
+def rot_vertex_generator(
+    center,
+    fixed_vertex,
+    rotsym: int,
+    scale: np.ndarray | None = None,
+) -> np.ndarray:
+    """Ideal symmetric target vertices: rotate the first (fixed) vertex
+    around the center in equal angular steps, optionally per-vertex radial
+    scaling (symmetrize.rotVertexGenerator contract)."""
+    center = np.asarray(center, dtype=float)
+    v0 = np.asarray(fixed_vertex, dtype=float) - center
+    if scale is None:
+        scale = np.ones(rotsym)
+    scale = np.asarray(scale, dtype=float)
+    out = []
+    for k in range(rotsym):
+        ang = -2.0 * np.pi * k / rotsym  # direction=-1 in the reference
+        ca, sa = np.cos(ang), np.sin(ang)
+        rot = np.array([[ca, -sa], [sa, ca]])
+        out.append(center + scale[k] * (rot @ v0))
+    return np.asarray(out)
+
+
+def add_features(
+    features: np.ndarray,
+    rotsym: int = 6,
+) -> tuple[np.ndarray | None, np.ndarray, bool]:
+    """Classify a landmark set (add_features, momentum.py:318-388):
+    exactly ``rotsym`` points → centroid center, all outer; ``rotsym+1`` →
+    the point nearest the centroid IS the center. Returns
+    (center, ordered outer points, include_center)."""
+    features = np.asarray(features, dtype=float)
+    if features.shape[0] == rotsym:
+        center, outer = pointset_center(features, method="centroid")
+        include_center = False
+    elif features.shape[0] == rotsym + 1:
+        center, outer = pointset_center(features, method="centroidnn")
+        include_center = True
+    else:
+        raise ValueError(
+            f"Found {features.shape[0]} points, but {rotsym} or "
+            f"{rotsym + 1} (incl. center) required.",
+        )
+    return center, pointset_order(outer, "ccw"), include_center
+
+
+# ---------------------------------------------------------------------------
+# F6: thin-plate-spline warp (momentum.py:591-793; symmetrize.tps contract)
+# ---------------------------------------------------------------------------
+def _tps_kernel(r2: np.ndarray) -> np.ndarray:
+    """U(r) = r^2 log(r^2), U(0) = 0 (Bookstein's biharmonic kernel)."""
+    out = np.zeros_like(r2)
+    nz = r2 > 0
+    out[nz] = r2[nz] * np.log(r2[nz])
+    return out
+
+
+def tps_fit(landmarks: np.ndarray, values: np.ndarray) -> dict:
+    """Solve the TPS interpolation f(landmark_i) = value_i for one output
+    channel per column of ``values``. Returns the spline coefficients."""
+    p = np.asarray(landmarks, dtype=float)
+    v = np.asarray(values, dtype=float)
+    n = p.shape[0]
+    d2 = ((p[:, None, :] - p[None, :, :]) ** 2).sum(-1)
+    kmat = _tps_kernel(d2)
+    pmat = np.column_stack([np.ones(n), p])
+    lmat = np.zeros((n + 3, n + 3))
+    lmat[:n, :n] = kmat
+    lmat[:n, n:] = pmat
+    lmat[n:, :n] = pmat.T
+    rhs = np.zeros((n + 3, v.shape[1]))
+    rhs[:n] = v
+    coeffs = np.linalg.solve(lmat, rhs)
+    return {"landmarks": p, "coeffs": coeffs}
+
+
+def tps_eval(spline: dict, query: np.ndarray) -> np.ndarray:
+    """Evaluate a fitted TPS at (m, 2) query points → (m, channels)."""
+    p = spline["landmarks"]
+    coeffs = spline["coeffs"]
+    n = p.shape[0]
+    q = np.asarray(query, dtype=float)
+    d2 = ((q[:, None, :] - p[None, :, :]) ** 2).sum(-1)
+    u = _tps_kernel(d2)
+    w, a = coeffs[:n], coeffs[n:]
+    return u @ w + np.column_stack([np.ones(len(q)), q]) @ a
+
+
+def tps_warp_fields(
+    source_landmarks: np.ndarray,
+    target_landmarks: np.ndarray,
+    shape: tuple[int, int],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse-map deformation fields on the image grid: for every TARGET
+    pixel the SOURCE coordinate to sample (the form map_coordinates and
+    apply_dfield consume). The TPS is fitted target→source so landmarks
+    map exactly."""
+    h, w = shape
+    spline = tps_fit(target_landmarks, source_landmarks)
+    rr, cc = np.meshgrid(np.arange(h, dtype=float), np.arange(w, dtype=float), indexing="ij")
+    grid = np.column_stack([rr.ravel(), cc.ravel()])
+    mapped = tps_eval(spline, grid)
+    return mapped[:, 0].reshape(shape), mapped[:, 1].reshape(shape)
+
+
+def warp_image(
+    image: np.ndarray,
+    rdeform: np.ndarray,
+    cdeform: np.ndarray,
+) -> np.ndarray:
+    """Resample an image through a deformation field (bilinear)."""
+    out = map_coordinates_bilinear(
+        np.asarray(image, dtype=float), rdeform.ravel(), cdeform.ravel(),
+    )
+    return out.reshape(image.shape)
+
+
+def spline_warp_estimate(
+    image: np.ndarray,
+    features: np.ndarray,
+    rotsym: int = 6,
+    use_center: bool = True,
+    ascale: np.ndarray | None = None,
+) -> dict:
+    """F6 driver (spline_warp_estimate, momentum.py:591-793): order the
+    landmarks, generate the ideal rotation-symmetric target set anchored at
+    the first landmark, fit the TPS, emit deformation fields + corrected
+    image + the correction metadata dict."""
+    features = np.asarray(features, dtype=float)
+    if ascale is not None:
+        ascale = np.asarray(ascale, dtype=float)
+        if ascale.ndim == 0:
+            if rotsym != 4:
+                raise ValueError(
+                    "Providing ascale as scalar number is only valid for 'rotsym'==4.",
+                )
+            ascale = np.array([1.0, float(ascale), 1.0, float(ascale)])
+        elif len(ascale) != rotsym:
+            raise ValueError(
+                f"ascale needs to be of length 'rotsym', but has length {len(ascale)}.",
+            )
+    center, outer_ord, include_center = add_features(features, rotsym)
+    prefs = outer_ord
+    ptargs = rot_vertex_generator(center, outer_ord[0], rotsym, scale=ascale)
+    if use_center:
+        prefs = np.vstack([prefs, center])
+        ptargs = np.vstack([ptargs, center])
+    rdeform, cdeform = tps_warp_fields(prefs, ptargs, image.shape)
+    corrected = warp_image(image, rdeform, cdeform)
+    return {
+        "corrected_image": corrected,
+        "rdeform_field": rdeform,
+        "cdeform_field": cdeform,
+        "outer_points": outer_ord,
+        "center_point": np.asarray(center),
+        "reference_points": prefs,
+        "target_points": ptargs,
+        "rotation_symmetry": rotsym,
+        "include_center": include_center,
+        "use_center": use_center,
+    }
+
+
+# ---------------------------------------------------------------------------
+# F7: pose adjustment (momentum.py:870-1248)
+# ---------------------------------------------------------------------------
+def identity_fields(shape: tuple[int, int]) -> tuple[np.ndarray, np.ndarray]:
+    """The no-op deformation (reset_deformation, momentum.py:824-846)."""
+    rr, cc = np.meshgrid(
+        np.arange(shape[0], dtype=float), np.arange(shape[1], dtype=float), indexing="ij",
+    )
+    return rr, cc
+
+
+def transform_fields(
+    shape: tuple[int, int],
+    transform_type: str,
+    **kwds,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deformation fields for one rigid/affine adjustment
+    (coordinate_transform, momentum.py:870-1027). Fields give, per output
+    pixel, the source pixel to sample (inverse map)."""
+    rr, cc = identity_fields(shape)
+    if transform_type == "translation":
+        xtrans = float(kwds.get("xtrans", 0.0))
+        ytrans = float(kwds.get("ytrans", 0.0))
+        # NB the reference swaps x/y for translation (momentum.py:915-921):
+        # xtrans shifts rows, ytrans shifts columns
+        return rr - xtrans, cc - ytrans
+    if transform_type == "scaling":
+        xscale = float(kwds.get("xscale", 1.0))
+        yscale = float(kwds.get("yscale", 1.0))
+        center = kwds.get("center", ((shape[0] - 1) / 2, (shape[1] - 1) / 2))
+        return (
+            (rr - center[0]) / xscale + center[0],
+            (cc - center[1]) / yscale + center[1],
+        )
+    if transform_type == "rotation":
+        angle = np.radians(float(kwds.get("angle", 0.0)))
+        center = kwds.get("center", ((shape[0] - 1) / 2, (shape[1] - 1) / 2))
+        ca, sa = np.cos(angle), np.sin(angle)
+        dr, dc = rr - center[0], cc - center[1]
+        return (
+            ca * dr - sa * dc + center[0],
+            sa * dr + ca * dc + center[1],
+        )
+    raise NotImplementedError(f"transform_type {transform_type!r}")
+
+
+def update_deformation(
+    rdeform: np.ndarray,
+    cdeform: np.ndarray,
+    rtrans: np.ndarray,
+    ctrans: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Compose a new transform onto the running deformation field by
+    resampling the old field at the new coordinates (update_deformation,
+    momentum.py:847-869)."""
+    new_r = map_coordinates_bilinear(rdeform, rtrans.ravel(), ctrans.ravel())
+    new_c = map_coordinates_bilinear(cdeform, rtrans.ravel(), ctrans.ravel())
+    return new_r.reshape(rdeform.shape), new_c.reshape(cdeform.shape)
+
+
+def pose_adjustment(
+    image: np.ndarray,
+    rdeform: np.ndarray | None = None,
+    cdeform: np.ndarray | None = None,
+    scale: float = 1.0,
+    xtrans: float = 0.0,
+    ytrans: float = 0.0,
+    angle: float = 0.0,
+    center: tuple[float, float] | None = None,
+) -> dict:
+    """F7 driver (pose_adjustment, momentum.py:1029-1248): apply scaling,
+    then translation, then rotation around the center, composing each onto
+    the running deformation field."""
+    if rdeform is None or cdeform is None:
+        rdeform, cdeform = identity_fields(image.shape)
+    if center is None:
+        center = ((image.shape[0] - 1) / 2, (image.shape[1] - 1) / 2)
+    steps = []
+    if scale != 1.0:
+        steps.append(("scaling", {"xscale": scale, "yscale": scale, "center": center}))
+    if xtrans != 0.0 or ytrans != 0.0:
+        steps.append(("translation", {"xtrans": xtrans, "ytrans": ytrans}))
+    if angle != 0.0:
+        steps.append(("rotation", {"angle": angle, "center": center}))
+    for ttype, kw in steps:
+        rt, ct = transform_fields(image.shape, ttype, **kw)
+        rdeform, cdeform = update_deformation(rdeform, cdeform, rt, ct)
+    return {
+        "rdeform_field": rdeform,
+        "cdeform_field": cdeform,
+        "corrected_image": warp_image(image, rdeform, cdeform),
+        "transformations": {
+            "scale": scale, "xtrans": xtrans, "ytrans": ytrans, "angle": angle,
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# F9: two-point momentum calibration (momentum.py:1560-1675)
+# ---------------------------------------------------------------------------
+def calibrate_momentum(
+    point_a,
+    point_b,
+    k_distance: float | None = None,
+    k_coord_a=None,
+    k_coord_b=(0.0, 0.0),
+    equiscale: bool = True,
+    shape: tuple[int, int] = (512, 512),
+    bin_ranges=None,
+) -> dict:
+    """Pixel→k linear calibration from two symmetry points (calibrate,
+    momentum.py:1560-1675). Returns the dict
+    :func:`sed_binning_spark.calibration.momentum.append_k_axis` consumes
+    (kx_scale/ky_scale/x_center/y_center/rstart/cstart/rstep/cstep) plus
+    the axes/extent diagnostics."""
+    point_a = np.asarray(point_a, dtype=float)
+    point_b = np.asarray(point_b, dtype=float)
+    k_coord_b = np.asarray(k_coord_b, dtype=float)
+    nrows, ncols = shape
+    if equiscale:
+        if k_distance is None:
+            raise ValueError("equiscale=True requires k_distance")
+        pixel_distance = float(np.linalg.norm(point_a - point_b))
+        xratio = yratio = k_distance / pixel_distance
+    else:
+        if k_coord_a is None:
+            raise ValueError("equiscale=False requires k_coord_a")
+        k_coord_a = np.asarray(k_coord_a, dtype=float)
+        xratio = (k_coord_a[0] - k_coord_b[0]) / (point_a[0] - point_b[0])
+        yratio = (k_coord_a[1] - k_coord_b[1]) / (point_a[1] - point_b[1])
+
+    k_row = (np.arange(nrows) - point_b[0]) * xratio + k_coord_b[0]
+    k_col = (np.arange(ncols) - point_b[1]) * yratio + k_coord_b[1]
+    calibration = {
+        "kx_axis": k_row,
+        "ky_axis": k_col,
+        "extent": (k_row[0], k_row[-1], k_col[0], k_col[-1]),
+        "kx_scale": float(xratio),
+        "ky_scale": float(yratio),
+        "x_center": float(point_b[0] - k_coord_b[0] / xratio),
+        "y_center": float(point_b[1] - k_coord_b[1] / yratio),
+    }
+    if bin_ranges is not None:
+        calibration["rstart"] = float(bin_ranges[0][0])
+        calibration["cstart"] = float(bin_ranges[1][0])
+        calibration["rstep"] = float(bin_ranges[0][1] - bin_ranges[0][0]) / nrows
+        calibration["cstep"] = float(bin_ranges[1][1] - bin_ranges[1][0]) / ncols
+    return calibration
