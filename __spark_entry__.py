@@ -625,6 +625,28 @@ def _q_simhash(spark, sf):
     return simhash(_docs(spark, sf), bits=16).select("doc_id", "simhash")
 
 
+def _q_jaccard_pairs(spark, sf):
+    """LSH candidates + true n-gram Jaccard verify (the full dedup cascade:
+    shingle → minhash → band → bucket join → exact verify)."""
+    from sed_binning_spark.pipeline.dedup import ngram_jaccard
+
+    docs = _docs(spark, sf)
+    pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4, shingle_size=3)
+    out = ngram_jaccard(pairs, docs, shingle_size=3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_rolling_hashes(spark, sf):
+    """Winnowing-style rolling fingerprints, csv-serialized for the
+    canonicalizer."""
+    from sed_binning_spark.pipeline.text import rolling_hashes
+
+    out = rolling_hashes(_docs(spark, sf), window=5)
+    return out.select(
+        "doc_id", F.concat_ws(",", "rolling_hashes").alias("rh_csv"),
+    )
+
+
 def _q_ann_topk(spark, sf):
     return cosine_topk(_embeds(spark, sf), _QVEC, k=10)
 
@@ -744,6 +766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash": _q_simhash,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "rolling_hashes": _q_rolling_hashes,
         "ann_topk": _q_ann_topk,
         "ann_pairs_brute": _q_ann_pairs,
         "ann_pairs_lsh": _q_ann_lsh,
@@ -988,6 +1012,23 @@ def oracle_sql() -> dict[str, str]:
             f"ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
         ),
         "simhash": _simhash_oracle_sql(bits=16),
+        "jaccard_pairs": (
+            f"SELECT p.id_a, p.id_b, round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+            f" / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard FROM "
+            f"(SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM "
+            f"({lsh_bands}) a JOIN ({lsh_bands}) b "
+            f"ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id) p "
+            f"JOIN (SELECT doc_id, list_distinct({shingle}) AS sh FROM documents) sa "
+            f"ON sa.doc_id = p.id_a "
+            f"JOIN (SELECT doc_id, list_distinct({shingle}) AS sh FROM documents) sb "
+            f"ON sb.doc_id = p.id_b"
+        ),
+        "rolling_hashes": (
+            f"SELECT doc_id, array_to_string(list_transform("
+            f"range(1, greatest(len({toks}) - 4, 1) + 1), "
+            f"i -> md5(array_to_string({toks}[i:i+4], ' '))), ',') AS rh_csv "
+            f"FROM documents"
+        ),
         "dfield_correction": _dfield_oracle_sql(),
         "multimodal_features": (
             "SELECT CAST(doc_id AS BIGINT) AS media_id, "

@@ -105,6 +105,15 @@ def main() -> None:
         lambda: text_stats(docs).agg(F.sum("n_ws_tokens")).collect(),
     )
 
+    # --- matched-scale block: the reference's OWN synthetic workload
+    # (benchmark_sed.py:26-33 — 1e8 uniform rows, X/Y∈[0,2048],
+    # t∈[60000,120000], ADC∈[2000,20000]) so the BASELINE.md numbers can be
+    # compared at the SAME row count, not via a 1000x-smaller proxy.
+    ref_block = {}
+    ref_n = int(os.environ.get("SPARK_GRAFT_REF_N", "100000000"))
+    if ref_n > 0:
+        ref_block = _ref_scale_block(spark, ref_n)
+
     total = sum(timings.values())
     print(json.dumps({
         "metric": "headline_total",
@@ -114,7 +123,86 @@ def main() -> None:
         "sf": sf_dir,
         "n_events": n_events,
         "events_per_sec_1d": round(n_events / timings["binning_1d"]),
+        "ref_scale": ref_block,
     }))
+
+
+def _ref_scale_block(spark, n: int) -> dict:
+    """binning/workflow timings at the reference benchmark's scale.
+
+    Timing protocol mirrors the reference (in-memory table, clock covers
+    only the histogram computation, best-of-2); BASELINE.md targets:
+    binning_1d 3.02 s, binning_4d 9.21 s, workflow_1d 17.06 s,
+    workflow_4d 21.42 s at 1e8 rows.
+    """
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from sed_binning_spark.binning.binning import bin_dataframe
+    from sed_binning_spark.calibration.delay import append_delay_axis
+    from sed_binning_spark.calibration.energy import append_energy_axis, apply_energy_correction
+    from sed_binning_spark.calibration.momentum import append_k_axis
+    from sed_binning_spark.core.dfops import apply_jitter
+
+    ev = (
+        spark.range(n, numPartitions=64)
+        .select(
+            (F.rand(1) * 2048.0).alias("X"),
+            (F.rand(2) * 2048.0).alias("Y"),
+            (60000.0 + F.rand(3) * 60000.0).alias("t"),
+            (2000.0 + F.rand(4) * 18000.0).alias("ADC"),
+        )
+        .cache()
+    )
+    ev.agg(F.sum("X")).collect()  # materialize the cache fully
+
+    best = {}
+
+    def _best2(name, fn):
+        t = min(_run(fn), _run(fn))
+        best[name] = round(t, 3)
+
+    def _run(fn):
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    _best2("binning_1d", lambda: bin_dataframe(
+        ev, bins=[1000], axes=["t"], ranges=[(60000.0, 120000.0)],
+    ))
+    _best2("binning_4d", lambda: bin_dataframe(
+        ev, bins=[100, 100, 100, 100], axes=["X", "Y", "t", "ADC"],
+        ranges=[(0.0, 2048.0), (0.0, 2048.0), (60000.0, 120000.0), (2000.0, 20000.0)],
+    ))
+
+    def _chain():
+        df = apply_jitter(ev, cols=["X", "Y", "t"], cols_jittered=["X", "Y", "t"],
+                          amps=0.5, seed=42)
+        df, _ = append_k_axis(df, entry_mod._K_CALIB)
+        df, _ = apply_energy_correction(df, {
+            "correction_type": "spherical", "center": (1024.0, 1024.0),
+            "amplitude": 2.5, "diameter": 3000.0,
+        })
+        df, _ = append_energy_axis(df, {**entry_mod._E_FIT}, tof_column="tm")
+        df, _ = append_delay_axis(df, entry_mod._DELAY_CALIB)
+        return df
+
+    _best2("workflow_1d", lambda: bin_dataframe(
+        _chain(), bins=[1000], axes=["energy"], ranges=[(20.0, 60.0)],
+    ))
+    _best2("workflow_4d", lambda: bin_dataframe(
+        _chain(), bins=[100, 100, 100, 100], axes=["kx", "ky", "energy", "delay"],
+        ranges=[(-12.0, 12.0), (-12.0, 12.0), (20.0, 60.0), (-6.0, 6.0)],
+    ))
+
+    ev.unpersist()
+    return {
+        "n_rows": n,
+        "queries": best,
+        "events_per_sec_1d": round(n / best["binning_1d"]),
+        "baseline_ref": {"binning_1d": 3.0176, "binning_4d": 9.2103,
+                         "workflow_1d": 17.0553, "workflow_4d": 21.4181},
+    }
 
 
 if __name__ == "__main__":

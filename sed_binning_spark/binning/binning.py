@@ -174,8 +174,17 @@ def bin_dataframe(
             "for histograms this large",
         )
 
-    group_cols = list(exprs)
-    out_names = list(idx_cols)
+    # ONE flat (row-major) bin index instead of D grouping columns: the
+    # shuffle and the Arrow collect carry a single int64 — at 1e8 events x
+    # 100^4 bins that's ~60M occupied cells, so halving the shuffled bytes
+    # is the dominant cost lever. NULL in any per-axis index propagates
+    # through the arithmetic, keeping the NaN/out-of-range reject semantics.
+    shape = [coords[ax].size for ax in axes]
+    flat = exprs[0]
+    for d in range(1, len(exprs)):
+        flat = flat * F.lit(shape[d]) + exprs[d]
+    group_cols = [flat.alias("__flat")]
+    out_names = ["__flat"]
     if return_partitions:
         if partition_column not in df.columns:
             raise KeyError(
@@ -184,10 +193,8 @@ def bin_dataframe(
         group_cols.append(F.col(partition_column).alias("__df_part"))
         out_names.append("__df_part")
 
-    # Arrow-batched collect + vectorized scatter: occupied cells can number
-    # in the tens of millions at 1e8 events x 100^4 bins — a Row-object loop
-    # here was the old bottleneck (minutes); columnar transfer + fancy
-    # indexing is seconds.
+    # Arrow-batched collect + vectorized scatter: a Row-object loop here was
+    # the old bottleneck (minutes vs seconds at tens of millions of cells).
     sparse = (
         df.select(*group_cols)
         .dropna()
@@ -196,26 +203,29 @@ def bin_dataframe(
         .toPandas()
     )
 
-    shape = [coords[ax].size for ax in axes]
     dims = list(axes)
+    n_flat = int(np.prod(shape))
+    flat_idx = sparse["__flat"].to_numpy(dtype=np.int64)
+    counts = sparse["count"].to_numpy(dtype=np.float32)
     if return_partitions:
         parts = np.sort(sparse["__df_part"].unique().astype(np.int64))
         part_index = {int(p): i for i, p in enumerate(parts)}
-        shape.append(len(parts))
         dims.append("df_part")
         coords = {**coords, "df_part": parts}
-
-    full = np.zeros(tuple(shape), dtype=np.float32)
-    key = [sparse[n].to_numpy(dtype=np.int64) for n in idx_cols]
-    if return_partitions:
-        key.append(
+        full = np.zeros((n_flat, len(parts)), dtype=np.float32)
+        pidx = (
             np.vectorize(part_index.__getitem__, otypes=[np.int64])(
                 sparse["__df_part"].to_numpy(dtype=np.int64),
             )
             if len(sparse)
-            else np.empty(0, dtype=np.int64),
+            else np.empty(0, dtype=np.int64)
         )
-    full[tuple(key)] = sparse["count"].to_numpy(dtype=np.float32)
+        full[flat_idx, pidx] = counts
+        full = full.reshape(tuple(shape) + (len(parts),))
+    else:
+        full = np.zeros(n_flat, dtype=np.float32)
+        full[flat_idx] = counts
+        full = full.reshape(tuple(shape))
 
     return Cube(full, coords, dims)
 

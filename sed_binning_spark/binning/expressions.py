@@ -25,9 +25,10 @@ from pyspark.sql import functions as F
 
 from sed_binning_spark.sqlgen import fsql
 
-# Above this many edges a CASE/array-literal expression gets unwieldy; use a
-# broadcast searchsorted pandas_udf instead.
-MAX_LITERAL_EDGES = 4096
+# Above this many edges the array-literal higher-order filter costs
+# O(n_edges) comparisons per row; the Arrow-batched searchsorted
+# (O(log n) per value, vectorized) wins well before 100 edges.
+MAX_LITERAL_EDGES = 64
 
 
 def uniform_bin_params(

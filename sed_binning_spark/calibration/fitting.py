@@ -280,6 +280,44 @@ def peakdetect1d(
     return np.asarray(max_peaks), np.asarray(min_peaks)
 
 
+def extract_bias_values(
+    per_file_meta: Sequence[dict],
+    bias_key: str,
+) -> np.ndarray:
+    """F10: per-file bias voltages from file metadata (extract_bias,
+    energy.py:1649-1668). The reference reads h5 attrs; here the conversion
+    step surfaces each file's attribute dict and this resolves the
+    ``@``-prefixed (attribute) or plain (dataset) key, rounded to 2
+    decimals exactly as the reference does."""
+    key = bias_key[1:] if bias_key.startswith("@") else bias_key
+    out = []
+    for meta in per_file_meta:
+        if key not in meta:
+            raise KeyError(f"bias key {bias_key!r} not found in file metadata")
+        out.append(round(float(meta[key]), 2))
+    return np.asarray(out)
+
+
+def extract_bias_h5(files: Sequence[str], bias_key: str) -> np.ndarray:  # pragma: no cover
+    """h5py-backed twin of :func:`extract_bias_values` (gated: h5py is not
+    available in this environment)."""
+    try:
+        import h5py
+    except ImportError as exc:
+        raise ImportError(
+            "h5py is required to read bias values from instrument files; "
+            "pass per-file attribute dicts to extract_bias_values instead",
+        ) from exc
+    vals = []
+    for file in files:
+        with h5py.File(file, "r") as fh:
+            if bias_key.startswith("@"):
+                vals.append(round(float(fh.attrs[bias_key[1:]]), 2))
+            else:
+                vals.append(round(float(fh[bias_key][()]), 2))
+    return np.asarray(vals)
+
+
 def calibrate_energy(
     landmarks: np.ndarray,
     biases: np.ndarray,

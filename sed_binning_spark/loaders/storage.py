@@ -1,0 +1,122 @@
+"""Final-table storage + mirroring + dataset utilities (S9/S10/S11).
+
+- S9 combined-parquet save/load of the assembled event table
+  (parquet_handler, sed/loader/flash/loader.py:744-837): in Spark the
+  "combined parquet" is just a partitioned parquet dataset; save/load are
+  thin, but the error contract (load of a missing table raises with the
+  reference's guidance) is kept.
+- S10 CopyTool (sed/loader/mirrorutil.py:18-120): the reference rsyncs
+  network folders to local scratch before reading. On HDFS/S3/alluxio the
+  storage layer already does this, so the hook is a deliberate no-op that
+  preserves the call site.
+- S11 dataset fetcher (sed/dataset/dataset.py:28-416): fetch+unzip of
+  example datasets tracked in a user-level JSON registry. urllib-based;
+  works with file:// URLs so tests need no network.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+from pathlib import Path
+from urllib.request import urlopen
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+# ---------------------------------------------------------------------------
+# S9: combined-parquet save/load
+# ---------------------------------------------------------------------------
+def save_parquet(df: DataFrame, path: str | Path, mode: str = "overwrite") -> None:
+    """Persist the assembled event table (save_parquet branch of
+    parquet_handler, flash/loader.py:744-837)."""
+    df.write.mode(mode).parquet(str(path))
+
+
+def load_parquet(spark: SparkSession, path: str | Path) -> DataFrame:
+    """Load a previously saved event table; missing table raises with the
+    reference's guidance (flash/loader.py:796-805)."""
+    path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(
+            "The final parquet dataframe could not be found at "
+            f"{path}. Set 'save_parquet=True' in a prior run to create it.",
+        )
+    return spark.read.parquet(str(path))
+
+
+# ---------------------------------------------------------------------------
+# S10: CopyTool no-op hook
+# ---------------------------------------------------------------------------
+class CopyTool:
+    """Mirror hook (sed/loader/mirrorutil.py): on a distributed filesystem
+    the scheduler already reads data-local, so ``copy`` is an identity by
+    default. ``use_copy=False`` in the reference's processor maps to this
+    default; a custom mirror can subclass and override :meth:`copy`."""
+
+    def __init__(self, source: str | None = None, dest: str | None = None) -> None:
+        self.source = source
+        self.dest = dest
+
+    def copy(self, source: str, **_kwds) -> str:
+        """Return the path to read from (identity: no mirroring needed)."""
+        return source
+
+    def cleanup_oldest_scan(self) -> None:  # pragma: no cover - no-op hook
+        """The reference's scratch-space eviction; nothing to evict here."""
+
+
+# ---------------------------------------------------------------------------
+# S11: dataset fetcher
+# ---------------------------------------------------------------------------
+class DatasetFetcher:
+    """Minimal example-dataset manager (sed/dataset/dataset.py:28-416):
+    named datasets resolve to an URL, are fetched once into ``data_dir``,
+    unzipped when they are zip archives, and recorded in a JSON registry so
+    repeat calls are cache hits."""
+
+    def __init__(self, data_dir: str | Path, registry: dict[str, str] | None = None):
+        self.data_dir = Path(data_dir)
+        self.data_dir.mkdir(parents=True, exist_ok=True)
+        self.registry = dict(registry or {})
+        self._state_file = self.data_dir / "datasets.json"
+
+    def _state(self) -> dict:
+        if self._state_file.exists():
+            return json.loads(self._state_file.read_text())
+        return {}
+
+    def _record(self, name: str, path: str) -> None:
+        state = self._state()
+        state[name] = {"path": path}
+        self._state_file.write_text(json.dumps(state, indent=2))
+
+    def get(self, name: str, force_download: bool = False) -> str:
+        """Fetch (or reuse) a named dataset; returns its local directory."""
+        if name not in self.registry:
+            raise KeyError(
+                f"unknown dataset {name!r}; available: {sorted(self.registry)}",
+            )
+        state = self._state()
+        if name in state and not force_download:
+            existing = Path(state[name]["path"])
+            if existing.exists():
+                return str(existing)
+        url = self.registry[name]
+        target_dir = self.data_dir / name
+        target_dir.mkdir(parents=True, exist_ok=True)
+        fname = os.path.basename(url) or f"{name}.bin"
+        target = target_dir / fname
+        with urlopen(url) as resp, open(target, "wb") as out:
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                out.write(chunk)
+        if zipfile.is_zipfile(target):
+            with zipfile.ZipFile(target) as zf:
+                zf.extractall(target_dir)
+            target.unlink()
+        self._record(name, str(target_dir))
+        return str(target_dir)
