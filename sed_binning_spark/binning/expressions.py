@@ -67,16 +67,25 @@ def bin_index_expr(
     """
     c = F.col(col) if isinstance(col, str) else col
     e0, delta, _ = uniform_bin_params(nbins, float(lo), float(hi), half_bin_shift)
-    # floor(x*1e11 + 0.5)/1e11 is the pure-arithmetic HALF_UP round to 11
-    # decimals: Spark's round(double, scale) routes every row through
+    # floor(x*1e11 + 0.5)/1e11 is a pure-arithmetic 11-decimal round: Spark's
+    # round(double, scale) routes every row through
     # java.math.BigDecimal.setScale — measured at 3x the cost of the entire
-    # rest of the 1-D binning pipeline. j is only consumed on [0, nbins],
-    # where the two forms agree bit-for-bit (ties at negative j would differ,
-    # but those rows are rejected either way).
-    raw = (c.cast("double") - F.lit(e0)) * F.lit(delta)
+    # rest of the 1-D binning pipeline. The invariant that matters for the
+    # oracle is that BOTH engines (this expression and bin_index_sql's DuckDB
+    # twin) evaluate the same IEEE expression tree on the same plan-time
+    # literals, so they classify every value identically.
+    #
+    # NaN must be rejected EXPLICITLY: Spark's F.floor on a double is JVM
+    # (long)Math.floor(x), and (long)NaN == 0, so without the isnan guard a
+    # NaN row would evaluate to j = 0.0 and silently land in bin 0 (the
+    # DuckDB twin rejects it, since floor(NaN) = NaN there). Matches the
+    # reference kernel, where any comparison with NaN is False
+    # (numba_bin.py:88-89).
+    xd = c.cast("double")
+    raw = (xd - F.lit(e0)) * F.lit(delta)
     j = F.floor(raw * F.lit(1e11) + F.lit(0.5)) / F.lit(1e11)
     idx = F.when(j == F.lit(float(nbins)), F.lit(nbins - 1).cast("bigint")).otherwise(F.floor(j))
-    valid = (j >= F.lit(0.0)) & (j <= F.lit(float(nbins)))
+    valid = ~F.isnan(xd) & (j >= F.lit(0.0)) & (j <= F.lit(float(nbins)))
     return F.when(valid, idx)
 
 

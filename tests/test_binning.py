@@ -61,6 +61,23 @@ def test_binning_int_samples(spark):
     np.testing.assert_array_equal(cube.data, oracle.astype(np.float32))
 
 
+def test_binning_rejects_nan(spark):
+    """NaN rows are rejected, never silently binned into bin 0 — guards the
+    JVM (long)Math.floor(NaN) == 0 trap in the arithmetic-round fast path
+    (reference numba_bin.py:88-89: any NaN comparison is False)."""
+    vals = [float("nan"), 0.0, 5.0, 9.0, float("nan")]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    # half-bin-center semantics: edges span [-0.45, 8.55], so 9.0 is out of
+    # range and only 0.0 and 5.0 land; pre-fix the two NaNs inflated bin 0
+    cube = bin_dataframe(df, bins=[10], axes=["v"], ranges=[(0.0, 9.0)])
+    assert float(cube.data.sum()) == 2.0
+    assert float(cube.data[0]) == 1.0  # only the true 0.0 row, not the NaNs
+    # explicit non-uniform edge path
+    centers = np.array([0.0, 1.0, 3.0, 7.0, 9.0])
+    cube2 = bin_dataframe(df, bins=[centers], axes=["v"])
+    assert float(cube2.data.sum()) == 3.0
+
+
 def test_binning_explicit_centers_equals_ranges_path(events_df):
     """bins-as-center-arrays ≡ bins+ranges (reference
     tests/test_binning.py:197-212 cross-path equivalence)."""
