@@ -17,6 +17,10 @@ API promises.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+import uuid
 from collections.abc import Sequence
 
 import numpy as np
@@ -31,6 +35,19 @@ from sed_binning_spark.binning.utils import (
 from sed_binning_spark.cube import Cube
 
 _IDX_PREFIX = "__bin_idx_"
+
+# Dense-regime routing (see _choose_combine): the driver-combine path reads
+# at most `rows` raw bin indices (4 bytes each as int32), so the rows budget
+# caps driver memory at ~1 GB; above it the groupBy shuffle (whose collect is
+# bounded by prod(bins) instead) is the only safe plan. The dedup limit is the
+# break-even shuffle reduction factor: when a groupBy would shrink the data
+# >32x, shuffling first is cheaper than shipping near-raw indices.
+_DENSE_ROWS_BUDGET = 250_000_000
+_DENSE_DEDUP_LIMIT = 32
+
+# Below this many potential cells the plain single-socket Arrow collect is
+# faster than a spill round-trip (one extra Spark write job + filesystem).
+_SPILL_MIN_CELLS = 4_000_000
 
 
 def _axis_coords(bins, axes, ranges) -> dict[str, np.ndarray]:
@@ -115,6 +132,7 @@ def bin_dataframe(
     return_partitions: bool = False,
     partition_column: str = "file_id",
     jitter_seed: int | None = None,
+    combine: str = "auto",
 ) -> Cube:
     """N-dimensional histogram of the dataframe -> dense float32 Cube.
 
@@ -139,10 +157,23 @@ def bin_dataframe(
             energy calibration).
         jitter_seed: seed for reproducible jitter (the reference is unseeded;
             tests pin this).
+        combine: physical strategy for the final histogram:
+            ``"shuffle"`` — groupBy(flat index).count() + Arrow collect of
+            occupied cells (the 100 TB plan: driver traffic bounded by
+            prod(bins) regardless of row count);
+            ``"driver"`` — no shuffle, no aggregation: executors spill the
+            raw flat indices (parallel writers), the driver histograms them
+            with one vectorized np.bincount — the reference's dense kernel +
+            tree-sum shape (sed/binning/binning.py:374-407,
+            sed/binning/numba_bin.py:16-71), and the right plan in the dense
+            regime (occupied ~ rows), where a shuffle dedups almost nothing;
+            ``"auto"`` — pick by a cheap row-count estimate (default).
 
     Returns:
         Cube with float32 counts and bin-center coordinate axes.
     """
+    if combine not in ("auto", "shuffle", "driver"):
+        raise ValueError(f"combine must be auto|shuffle|driver, got {combine!r}")
     bins, axes, ranges = simplify_binning_arguments(bins, axes, ranges)
 
     if filters is not None:
@@ -193,34 +224,45 @@ def bin_dataframe(
         group_cols.append(F.col(partition_column).alias("__df_part"))
         out_names.append("__df_part")
 
-    # Arrow-batched collect + vectorized scatter: a Row-object loop here was
-    # the old bottleneck (minutes vs seconds at tens of millions of cells).
-    sparse = (
-        df.select(*group_cols)
-        .dropna()
-        .groupBy(*[F.col(n) for n in out_names])
-        .count()
-        .toPandas()
-    )
-
     dims = list(axes)
     n_flat = int(np.prod(shape))
-    flat_idx = sparse["__flat"].to_numpy(dtype=np.int64)
-    counts = sparse["count"].to_numpy(dtype=np.float32)
+
+    # Dense-regime short-circuit: per-partition partial histograms collected
+    # without a shuffle, summed on the driver (the reference's own physical
+    # shape). Only for the plain cube — the per-partition-stacked cube (A8)
+    # keeps the groupBy, whose output is tiny by construction.
+    if not return_partitions and _choose_combine(df, combine, n_flat) == "driver":
+        full = _dense_driver_histogram(df, flat, n_flat)
+        return Cube(full.reshape(tuple(shape)), coords, dims)
+
+    # Shuffle path: groupBy(flat).count() — partial agg per partition, one
+    # int64 key through the shuffle, Arrow collect of occupied cells +
+    # vectorized scatter. Large cubes route around the single-socket driver
+    # collect via the parallel parquet spill (see _spill_collect_arrow).
+    # Out-of-range/NaN rows carry a NULL index; they are dropped as the
+    # single NULL GROUP after aggregation rather than with a pre-agg filter,
+    # which would duplicate the flat-index expression tree into the filter
+    # condition and push the fused stage over the codegen method limit
+    # (interpreted fallback: measured 88 s vs 2 s on the workflow chain).
+    agg_df = (
+        df.select(*group_cols)
+        .groupBy(*[F.col(n) for n in out_names])
+        .count()
+        .dropna(subset=out_names)
+    )
+    tbl = _spill_collect_arrow(agg_df) if n_flat >= _SPILL_MIN_CELLS else agg_df.toArrow()
+
+    flat_idx = tbl.column("__flat").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    counts = tbl.column("count").to_numpy(zero_copy_only=False).astype(np.float32)
     if return_partitions:
-        parts = np.sort(sparse["__df_part"].unique().astype(np.int64))
-        part_index = {int(p): i for i, p in enumerate(parts)}
+        part_vals = tbl.column("__df_part").to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False,
+        )
+        parts = np.unique(part_vals)
         dims.append("df_part")
         coords = {**coords, "df_part": parts}
         full = np.zeros((n_flat, len(parts)), dtype=np.float32)
-        pidx = (
-            np.vectorize(part_index.__getitem__, otypes=[np.int64])(
-                sparse["__df_part"].to_numpy(dtype=np.int64),
-            )
-            if len(sparse)
-            else np.empty(0, dtype=np.int64)
-        )
-        full[flat_idx, pidx] = counts
+        full[flat_idx, np.searchsorted(parts, part_vals)] = counts
         full = full.reshape(tuple(shape) + (len(parts),))
     else:
         full = np.zeros(n_flat, dtype=np.float32)
@@ -228,6 +270,125 @@ def bin_dataframe(
         full = full.reshape(tuple(shape))
 
     return Cube(full, coords, dims)
+
+
+def _choose_combine(df: DataFrame, combine: str, n_cells: int) -> str:
+    """Pick the physical combine strategy for the dense cube.
+
+    The groupBy shuffle earns its cost by deduplication: its collect is
+    bounded by prod(bins) no matter how many rows exist, so it is the only
+    safe plan at scale. But in the dense regime (rows comparable to cells —
+    the reference benchmark's 1e8 rows x 100^4 bins) partial aggregation
+    reduces almost nothing and the shuffle + wide final agg is pure overhead;
+    spilling the raw indices for one driver-side bincount is strictly less
+    data movement. The row count used for routing is one cheap job (Catalyst
+    prunes every projected column under a count).
+    """
+    if combine != "auto":
+        return combine
+    rows = df.count()
+    if rows <= _DENSE_ROWS_BUDGET and rows < n_cells * _DENSE_DEDUP_LIMIT:
+        return "driver"
+    return "shuffle"
+
+
+def _spill_collect_arrow(df: DataFrame):
+    """Collect a driver-sized result DataFrame as a pyarrow Table, routing
+    around the single Python result socket when possible.
+
+    PySpark's collect funnels every Arrow batch through one driver socket —
+    measured ~50 MB/s here, which turns a 6e7-row histogram collect into
+    >20 s. Writing the result as UNCOMPRESSED parquet with the executors'
+    parallel writers and reading it back with multithreaded pyarrow moves
+    the same bytes at filesystem speed (measured ~400 MB in ~2 s round
+    trip). This is the standard big-result Spark pattern (the job writes to
+    storage; the driver reads back only the summary), so it holds on a real
+    cluster too — provided driver and executors share the scratch
+    filesystem. That is guaranteed in local mode; on a cluster it requires
+    SPARK_GRAFT_SCRATCH_DIR to point at shared storage, so without that we
+    fall back to the plain socket collect.
+    """
+    spark = df.sparkSession
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+    if scratch is None:
+        if not spark.sparkContext.master.startswith("local"):
+            return df.toArrow()
+        scratch = tempfile.gettempdir()
+    import pyarrow.parquet as pq
+
+    path = os.path.join(scratch, f"sed-binning-spill-{uuid.uuid4().hex}")
+    try:
+        (
+            df.write.mode("overwrite")
+            .option("compression", "uncompressed")
+            .option("parquet.enable.dictionary", "false")
+            .parquet(path)
+        )
+        return pq.read_table(path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _dense_driver_histogram(df: DataFrame, flat, n_cells: int) -> np.ndarray:
+    """Dense-regime histogram: parallel raw-index spill + driver bincount.
+
+    In the dense regime a groupBy dedups almost nothing, so the cheapest
+    correct plan is to skip shuffle AND aggregation: executors compute the
+    flat bin index (pure codegen) and write it straight out with the
+    parallel parquet writers; the driver reads the column back and
+    histograms it — the flat-index accumulation of the reference kernel
+    (sed/binning/numba_bin.py:16-71) with the driver as the tree root
+    (sed/binning/binning.py:374-407). Measured at 1e8 rows x 1e8 cells:
+    ~12 s total vs ~33 s for groupBy+collect and ~30 s for mapInArrow
+    partial histograms (every plan that streams 1e8 rows through the Python
+    workers pays a ~10 s Arrow-socket floor; this one never crosses it).
+    _choose_combine bounds rows (<= 2.5e8 -> <= 1 GB of int32 indices)
+    before selecting this path.
+
+    NULL (out-of-range/NaN) indices are mapped to a sentinel cell
+    ``n_cells`` via one coalesce node and sliced off after the histogram: a
+    pre-agg FILTER would inline the whole flat-index expression tree into
+    its condition, and a stage carrying the tree twice blows the
+    whole-stage-codegen method limit (interpreted fallback: measured 92 s
+    vs 6 s on the 6-step workflow chain). Sentinel instead of nullable also
+    keeps the parquet column mask-free, so the driver-side read is one
+    straight buffer concat.
+    """
+    cell_type = "int" if n_cells + 1 <= np.iinfo(np.int32).max else "bigint"
+    cell = F.coalesce(flat, F.lit(n_cells)).cast(cell_type).alias("cell")
+    tbl = _spill_collect_arrow(df.select(cell))
+    vals = tbl.column("cell").to_numpy(zero_copy_only=False)
+    if vals.size == 0:
+        return np.zeros(n_cells, dtype=np.float32)
+    return _range_partitioned_bincount(vals, n_cells + 1)[:n_cells].astype(np.float32)
+
+
+def _range_partitioned_bincount(vals: np.ndarray, n_cells: int) -> np.ndarray:
+    """Histogram of int values — np.bincount, threaded over cell ranges.
+
+    A single np.bincount over 1e8 random values into 1e8 cells is ~18 s of
+    TLB/cache misses; giving each thread a contiguous slice of the CELL
+    range (each scans all values, keeps its own) is ~2.7 s on 32 cores —
+    numpy releases the GIL, the per-thread accumulator region is ~100 MB,
+    and the extra full scans are sequential reads the memory system is good
+    at. Small inputs take the plain single call.
+    """
+    if vals.size < 4_000_000 or n_cells < 1_000_000:
+        return np.bincount(vals, minlength=n_cells)
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_threads = 8
+    bounds = np.linspace(0, n_cells, n_threads + 1).astype(np.int64)
+    out = np.empty(n_cells, dtype=np.int64)
+
+    def _work(i: int) -> None:
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        sel = vals[(vals >= lo) & (vals < hi)]
+        out[lo:hi] = np.bincount(sel - lo, minlength=hi - lo)
+
+    with ThreadPoolExecutor(n_threads) as ex:
+        list(ex.map(_work, range(n_threads)))
+    return out
 
 
 def bin_dataframe_sparse(
@@ -261,11 +422,14 @@ def bin_dataframe_sparse(
         df = _apply_binning_jitter(df, jitter, bins, axes, ranges, seed=jitter_seed)
     df, idx_cols, _, exprs = bin_index_columns(df, bins, axes, ranges)
     renamed = [e.alias(ax) for e, ax in zip(exprs, axes)]
+    # NULL indices drop as post-agg groups, not a pre-agg filter — a filter
+    # would re-inline every index expression tree into its condition and can
+    # push the fused stage past the codegen method limit (see bin_dataframe).
     return (
         df.select(*renamed)
-        .dropna()
         .groupBy(*axes)
         .agg(F.count(F.lit(1)).alias(count_column))
+        .dropna(subset=list(axes))
     )
 
 
