@@ -131,13 +131,18 @@ def _ref_scale_block(spark, n: int) -> dict:
     """binning/workflow timings at the reference benchmark's scale.
 
     Timing protocol mirrors the reference (in-memory table, clock covers
-    only the histogram computation, best-of-2); BASELINE.md targets:
-    binning_1d 3.02 s, binning_4d 9.21 s, workflow_1d 17.06 s,
-    workflow_4d 21.42 s at 1e8 rows.
+    only the histogram computation, one DISCARDED warm-up run — JIT/codegen
+    compilation — then best-of-2); BASELINE.md targets: binning_1d 3.02 s,
+    binning_4d 9.21 s, workflow_1d 17.06 s, workflow_4d 21.42 s at 1e8
+    rows. The emitted block also carries every raw run (warm-up included)
+    and the physical-plan phase breakdown of the last run per query, so
+    regressions can be localized (spark job vs driver combine) without
+    rerunning.
     """
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entry_mod
+    from sed_binning_spark.binning import binning as binning_mod
     from sed_binning_spark.binning.binning import bin_dataframe
     from sed_binning_spark.calibration.delay import append_delay_axis
     from sed_binning_spark.calibration.energy import append_energy_axis, apply_energy_correction
@@ -157,10 +162,17 @@ def _ref_scale_block(spark, n: int) -> dict:
     ev.agg(F.sum("X")).collect()  # materialize the cache fully
 
     best = {}
+    runs = {}
+    phases = {}
 
     def _best2(name, fn):
-        t = min(_run(fn), _run(fn))
-        best[name] = round(t, 3)
+        # run 0 is a discarded warm-up (codegen compilation, page cache);
+        # without it the first query measured eats all JIT cost and e.g.
+        # binning_1d times slower than the strictly-harder workflow_1d
+        series = [_run(fn) for _ in range(3)]
+        runs[name] = [round(t, 3) for t in series]
+        best[name] = round(min(series[1:]), 3)
+        phases[name] = dict(binning_mod.LAST_RUN_INFO)
 
     def _run(fn):
         t0 = time.perf_counter()
@@ -199,6 +211,8 @@ def _ref_scale_block(spark, n: int) -> dict:
     return {
         "n_rows": n,
         "queries": best,
+        "runs": runs,
+        "phases": phases,
         "events_per_sec_1d": round(n / best["binning_1d"]),
         "baseline_ref": {"binning_1d": 3.0176, "binning_4d": 9.2103,
                          "workflow_1d": 17.0553, "workflow_4d": 21.4181},

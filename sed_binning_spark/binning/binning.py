@@ -49,6 +49,12 @@ _DENSE_DEDUP_LIMIT = 32
 # faster than a spill round-trip (one extra Spark write job + filesystem).
 _SPILL_MIN_CELLS = 4_000_000
 
+# Phase timings (seconds) of the most recent bin_dataframe call, for
+# benchmark/diagnostic reporting: which physical plan ran and where the
+# wall-clock went (routing count / spark job / driver combine). Overwritten
+# per call; not thread-safe by design (diagnostics only).
+LAST_RUN_INFO: dict = {}
+
 
 def _axis_coords(bins, axes, ranges) -> dict[str, np.ndarray]:
     """Bin-center coordinate axes for the output cube.
@@ -231,7 +237,13 @@ def bin_dataframe(
     # without a shuffle, summed on the driver (the reference's own physical
     # shape). Only for the plain cube — the per-partition-stacked cube (A8)
     # keeps the groupBy, whose output is tiny by construction.
-    if not return_partitions and _choose_combine(df, combine, n_flat) == "driver":
+    import time as _time
+
+    LAST_RUN_INFO.clear()
+    t0 = _time.perf_counter()
+    strategy = "shuffle" if return_partitions else _choose_combine(df, combine, n_flat)
+    LAST_RUN_INFO.update(strategy=strategy, route_s=round(_time.perf_counter() - t0, 3))
+    if strategy == "driver":
         full = _dense_driver_histogram(df, flat, n_flat)
         return Cube(full.reshape(tuple(shape)), coords, dims)
 
@@ -250,7 +262,9 @@ def bin_dataframe(
         .count()
         .dropna(subset=out_names)
     )
+    t1 = _time.perf_counter()
     tbl = _spill_collect_arrow(agg_df) if n_flat >= _SPILL_MIN_CELLS else agg_df.toArrow()
+    LAST_RUN_INFO["agg_collect_s"] = round(_time.perf_counter() - t1, 3)
 
     flat_idx = tbl.column("__flat").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     counts = tbl.column("count").to_numpy(zero_copy_only=False).astype(np.float32)
@@ -354,13 +368,22 @@ def _dense_driver_histogram(df: DataFrame, flat, n_cells: int) -> np.ndarray:
     keeps the parquet column mask-free, so the driver-side read is one
     straight buffer concat.
     """
+    import time as _time
+
     cell_type = "int" if n_cells + 1 <= np.iinfo(np.int32).max else "bigint"
     cell = F.coalesce(flat, F.lit(n_cells)).cast(cell_type).alias("cell")
+    t0 = _time.perf_counter()
     tbl = _spill_collect_arrow(df.select(cell))
+    t1 = _time.perf_counter()
     vals = tbl.column("cell").to_numpy(zero_copy_only=False)
     if vals.size == 0:
         return np.zeros(n_cells, dtype=np.float32)
-    return _range_partitioned_bincount(vals, n_cells + 1)[:n_cells].astype(np.float32)
+    hist = _range_partitioned_bincount(vals, n_cells + 1)[:n_cells].astype(np.float32)
+    LAST_RUN_INFO.update(
+        spill_collect_s=round(t1 - t0, 3),
+        bincount_s=round(_time.perf_counter() - t1, 3),
+    )
+    return hist
 
 
 def _range_partitioned_bincount(vals: np.ndarray, n_cells: int) -> np.ndarray:
