@@ -709,11 +709,6 @@ def _q_lineitem_agg(spark, sf):
     )
 
 
-def _q_events_per_user(spark, sf):
-    ev = _events(spark, sf)
-    return ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # A2/A4/A5: uniform int-bins N-D histograms (sparse occupied cells)
@@ -785,9 +780,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pairs_brute": _q_ann_pairs,
         "ann_pairs_lsh": _q_ann_lsh,
         "multimodal_features": _q_multimodal,
-        # generic relational surface
+        # generic relational surface (the driver records at most 50 queries;
+        # a 51st entry silently gets no CORRECTNESS row, so keep this dict
+        # at <= 50)
         "lineitem_agg": _q_lineitem_agg,
-        "events_per_user": _q_events_per_user,
     }
 
 
@@ -1083,10 +1079,6 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price, "
             "count(*) AS n_rows FROM lineitem WHERE l_quantity < 45.0 "
             "GROUP BY l_returnflag, l_linestatus"
-        ),
-        "events_per_user": (
-            f"SELECT user_id, event_type, count(*) AS cnt FROM ({_EV_SQL}) "
-            f"GROUP BY user_id, event_type"
         ),
     }
 
