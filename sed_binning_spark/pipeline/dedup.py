@@ -133,6 +133,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_size: int = 3,
     max_bucket_size: int = 1024,
+    oversized: str = "star",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
@@ -141,13 +142,34 @@ def minhash_lsh_pairs(
     equi-join on (band index, band key) — bucket-local, never all-pairs.
     Returns distinct (id_a, id_b) with id_a < id_b.
 
-    ``max_bucket_size`` is the skew guard: buckets larger than it (e.g.
-    thousands of identical/boilerplate documents sharing every band key)
-    would materialize an O(n²) pair array in one task and are skipped —
-    such buckets are exact-duplicate classes that :func:`exact_dedup`
-    collapses far cheaper; run it first. Use
-    :func:`oversized_bucket_stats` to count what was dropped.
+    ``max_bucket_size`` is the skew guard: a bucket larger than it (e.g.
+    thousands of near-identical boilerplate documents sharing every band
+    key) would expand O(n²) pairs inside one task. Such buckets fall back
+    to STAR pairs by default (``oversized="star"``): every member pairs
+    with the bucket's smallest id only — O(n) pairs that still place the
+    whole cluster in one connected component for downstream union-find /
+    keep-one semantics. ``oversized="drop"`` restores the old skip
+    behavior. Byte-identical duplicate classes are cheaper to collapse
+    with :func:`exact_dedup` first; use :func:`minhash_lsh_bucket_stats`
+    to see how many buckets the cap affected.
     """
+    stacked = _band_keys_stacked(
+        df, text_column, id_column, num_hashes, bands, shingle_size,
+    )
+    return _bucket_pairs(stacked, ["band", "key"], id_column, max_bucket_size, oversized)
+
+
+def _band_keys_stacked(
+    df: DataFrame,
+    text_column: str,
+    id_column: str,
+    num_hashes: int,
+    bands: int,
+    shingle_size: int,
+) -> DataFrame:
+    """Long-form (id, band, key) frame of LSH band keys — one shuffle covers
+    all bands; signatures are computed ONCE (a self-join would evaluate the
+    md5 pipeline twice)."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
@@ -158,9 +180,7 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     keyed = sigs.select(F.col(id_column), *band_cols)
-    # long-form (band_idx, key) so one shuffle covers all bands; signatures
-    # are computed ONCE (a self-join would evaluate the md5 pipeline twice)
-    stacked = keyed.select(
+    return keyed.select(
         id_column,
         F.explode(
             F.array(*[
@@ -169,7 +189,27 @@ def minhash_lsh_pairs(
             ]),
         ).alias("bk"),
     ).select(id_column, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    return _bucket_pairs(stacked, ["band", "key"], id_column, max_bucket_size)
+
+
+def minhash_lsh_bucket_stats(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_size: int = 3,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """Skew-guard observability on the PUBLIC corpus surface: one row with
+    total bucket count, the number of buckets over ``max_bucket_size``
+    (these emit star pairs instead of full pair expansion), their member
+    total, and the largest bucket. Same parameters as
+    :func:`minhash_lsh_pairs`, so the numbers describe exactly what that
+    call does."""
+    stacked = _band_keys_stacked(
+        df, text_column, id_column, num_hashes, bands, shingle_size,
+    )
+    return oversized_bucket_stats(stacked, ["band", "key"], id_column, max_bucket_size)
 
 
 def oversized_bucket_stats(
@@ -178,12 +218,15 @@ def oversized_bucket_stats(
     id_column: str,
     max_bucket_size: int,
 ) -> DataFrame:
-    """Observability for the skew guard: one row with the number of buckets
-    (and member rows) the ``max_bucket_size`` cap would drop."""
+    """Bucket-size statistics for any keyed frame (generic form of
+    :func:`minhash_lsh_bucket_stats`)."""
     sizes = stacked.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__n"))
-    return sizes.where(F.col("__n") > max_bucket_size).agg(
-        F.count(F.lit(1)).alias("n_dropped_buckets"),
-        F.coalesce(F.sum("__n"), F.lit(0)).alias("n_dropped_members"),
+    over = F.col("__n") > max_bucket_size
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.coalesce(F.sum(F.when(over, 1)), F.lit(0)).alias("n_oversized_buckets"),
+        F.coalesce(F.sum(F.when(over, F.col("__n"))), F.lit(0)).alias("n_oversized_members"),
+        F.coalesce(F.max("__n"), F.lit(0)).alias("max_bucket_size_seen"),
     )
 
 
@@ -192,21 +235,24 @@ def _bucket_pairs(
     bucket_cols: list[str],
     id_column: str,
     max_bucket_size: int = 1024,
+    oversized: str = "star",
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs within each bucket: one groupBy shuffle
     + expression-level pair expansion over the sorted bucket-member array —
     no self-join, bucket-local quadratic cost only.
 
-    Buckets above ``max_bucket_size`` are skipped (skew guard): one
-    degenerate bucket of identical documents would otherwise expand O(n²)
-    inside a single task. ``collect_set`` itself carries only ids, so the
-    pre-cap aggregation stays linear."""
+    Buckets above ``max_bucket_size`` expand as star pairs around the
+    smallest member id (O(n), keeps the cluster connected) or are skipped
+    entirely (``oversized="drop"``): one degenerate bucket of identical
+    documents would otherwise expand O(n²) inside a single task.
+    ``collect_set`` itself carries only ids, so the aggregation stays
+    linear in bucket size."""
+    if oversized not in ("star", "drop"):
+        raise ValueError(f"oversized must be star|drop, got {oversized!r}")
     ids = F.sort_array(F.collect_set(id_column)).alias("__ids")
-    buckets = stacked.groupBy(*bucket_cols).agg(ids).where(
-        (F.size("__ids") > 1) & (F.size("__ids") <= max_bucket_size),
-    )
+    buckets = stacked.groupBy(*bucket_cols).agg(ids).where(F.size("__ids") > 1)
     a = F.col("__ids")
-    pairs = F.flatten(
+    full_pairs = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.size(a) - 1),
             lambda i: F.transform(
@@ -217,6 +263,15 @@ def _bucket_pairs(
             ),
         ),
     )
+    if oversized == "star":
+        star_pairs = F.transform(
+            F.slice(a, 2, F.size(a) - 1),
+            lambda x: F.struct(F.element_at(a, 1).alias("id_a"), x.alias("id_b")),
+        )
+        pairs = F.when(F.size(a) <= max_bucket_size, full_pairs).otherwise(star_pairs)
+    else:
+        buckets = buckets.where(F.size("__ids") <= max_bucket_size)
+        pairs = full_pairs
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))

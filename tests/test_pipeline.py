@@ -197,18 +197,27 @@ def test_frame_sample_plan(docs_df):
 
 def test_lsh_skew_guard_degenerate_corpus(spark):
     """1000 identical documents share every band key — the bucket cap must
-    skip that O(n²) bucket (no quadratic blowup), while exact dedup still
-    collapses the class (the documented division of labor)."""
+    prevent the O(n²) expansion but still emit O(n) STAR pairs (around the
+    smallest id), so the cluster stays one connected component instead of
+    silently vanishing; exact dedup still collapses the class cheaper (the
+    documented division of labor)."""
     rows = [(i, "same boilerplate text repeated everywhere") for i in range(1000)]
     rows += [(2000, "a genuinely unique document about spark"),
              (2001, "a genuinely unique document about spark engines")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = minhash_lsh_pairs(df, num_hashes=8, bands=4, max_bucket_size=100).toPandas()
-    # no pair from the degenerate class; the near-dup pair may still surface
-    assert not ((pairs.id_a < 1000) & (pairs.id_b < 1000)).any()
+    # star fallback: every degenerate member pairs with rep id 0, nothing else
+    degen = pairs[(pairs.id_a < 1000) & (pairs.id_b < 1000)]
+    assert len(degen) == 999
+    assert (degen.id_a == 0).all()
+    # old skip behavior still available explicitly
+    dropped = minhash_lsh_pairs(
+        df, num_hashes=8, bands=4, max_bucket_size=100, oversized="drop",
+    ).toPandas()
+    assert not ((dropped.id_a < 1000) & (dropped.id_b < 1000)).any()
     dups = exact_dedup(df).toPandas()
     assert int(dups.n_dups.max()) == 1000
-    # raising the cap recovers the degenerate pairs (opt-in, small data)
+    # raising the cap recovers full pair expansion (opt-in, small data)
     some = minhash_lsh_pairs(
         df.where(F.col("doc_id") < 5), num_hashes=8, bands=4, max_bucket_size=100,
     ).toPandas()
@@ -216,13 +225,28 @@ def test_lsh_skew_guard_degenerate_corpus(spark):
 
 
 def test_oversized_bucket_stats(spark):
-    from sed_binning_spark.pipeline.dedup import oversized_bucket_stats
+    from sed_binning_spark.pipeline.dedup import (
+        minhash_lsh_bucket_stats,
+        oversized_bucket_stats,
+    )
 
     rows = [(i, "k1") for i in range(10)] + [(100, "k2"), (101, "k2")]
     df = spark.createDataFrame(rows, "doc_id long, key string")
     stats = oversized_bucket_stats(df, ["key"], "doc_id", max_bucket_size=5).collect()[0]
-    assert stats.n_dropped_buckets == 1
-    assert stats.n_dropped_members == 10
+    assert stats.n_buckets == 2
+    assert stats.n_oversized_buckets == 1
+    assert stats.n_oversized_members == 10
+    assert stats.max_bucket_size_seen == 10
+
+    # public corpus-surface form: same params as minhash_lsh_pairs
+    docs = spark.createDataFrame(
+        [(i, "same boilerplate text repeated everywhere") for i in range(50)]
+        + [(99, "something else entirely here")],
+        "doc_id long, text string",
+    )
+    s = minhash_lsh_bucket_stats(docs, max_bucket_size=10).collect()[0]
+    assert s.n_oversized_buckets >= 1
+    assert s.max_bucket_size_seen == 50
 
 
 @pytest.mark.skipif(
