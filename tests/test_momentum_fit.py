@@ -230,6 +230,37 @@ def test_calibrate_momentum_validation():
         calibrate_momentum((1, 1), (0, 0), equiscale=False)
 
 
+@needs_fixture
+def test_fixture_workflow_dfield_corrects_landmarks(spark):
+    """F8 against the reference's momentum fixture workflow
+    (tests/calibrator/test_momentum.py:169-206): spline_warp_estimate on the
+    golden landmark set -> generate_inverse_dfield -> apply_dfield on events
+    AT the landmark positions. The corrected (Xm, Ym) must land on the
+    symmetrized target hexagon — a stronger check than the reference's own
+    test (which asserts only that the corrected columns appear)."""
+    from sed_binning_spark.calibration.momentum import (
+        apply_dfield,
+        generate_inverse_dfield,
+    )
+
+    img = _momentum_map()
+    out = spline_warp_estimate(img, GOLDEN_FEATURES, rotsym=6)
+    ranges = ((0, img.shape[0]), (0, img.shape[1]))
+    inv = generate_inverse_dfield(
+        out["rdeform_field"], out["cdeform_field"],
+        bin_ranges=ranges, detector_ranges=ranges,
+    )
+    df = spark.createDataFrame(
+        [(float(r), float(c)) for r, c in out["reference_points"]],
+        "X double, Y double",
+    )
+    res = apply_dfield(df, inv, detector_ranges=ranges).toPandas()
+    got = res[["Xm", "Ym"]].to_numpy()
+    err = np.linalg.norm(got - out["target_points"], axis=1)
+    assert err.max() < 2.0, f"landmark correction errors {err}"
+    assert err.mean() < 1.0
+
+
 def test_inverse_dfield_of_forward_rotation_roundtrips():
     """F8 end-to-end: invert a known forward deformation (5° rotation) and
     verify the composition forward∘inverse ≈ identity on the interior —
