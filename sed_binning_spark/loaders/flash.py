@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sed_binning_spark.loaders.base import BaseLoader
+
 MULTI_INDEX = ("trainId", "pulseId", "electronId")
 
 
@@ -243,7 +245,7 @@ def get_files_from_run_id(
     return [str(f.resolve()) for f in files]
 
 
-class FlashLoader:
+class FlashLoader(BaseLoader):
     """S6: flash/sxp-style loader orchestration.
 
     ``read_dataframe`` assembles (electron_df, pulse_df, metadata) from
@@ -253,9 +255,16 @@ class FlashLoader:
     ``train_frames``.
     """
 
-    def __init__(self, spark, config: dict | None = None) -> None:
-        self.spark = spark
-        self.config = config or {}
+    name = "flash"
+    supported_file_types = ("h5",)
+
+    def get_files_from_run_id(self, run_id, folders, extension="h5", **kwds):
+        conf = self.config.get("dataframe", {})
+        return get_files_from_run_id(
+            run_id, folders, extension,
+            stream_name_prefixes=conf.get("stream_name_prefixes"),
+            daq=kwds.pop("daq", conf.get("daq", "fl1user3")),
+        )
 
     def h5_to_train_frame(self, path: str) -> DataFrame:  # pragma: no cover
         try:
@@ -272,6 +281,12 @@ class FlashLoader:
 
     def read_dataframe(
         self,
+        files=None,
+        folders=None,
+        runs=None,
+        ftype: str = "h5",
+        metadata: dict | None = None,
+        collect_metadata: bool = False,
         train_frames: dict[str, DataFrame] | None = None,
         per_electron_columns: Sequence[str] = ("dldPosX", "dldPosY", "dldTimeSteps"),
         pulse_array_column: str = "pulseId",
@@ -279,20 +294,33 @@ class FlashLoader:
         sector_id_reserved_bits: int | None = None,
         forward_fill_columns: Sequence[str] | None = None,
         trains_per_chunk: int = 256,
+        **kwds,
     ) -> tuple[DataFrame, DataFrame, dict]:
         """Assemble electron + pulse dataframes (flash/loader.py:744-837).
 
-        Args:
-            train_frames: {"electron": per-train df with hit arrays,
-                "pulse": per-train df with per-pulse arrays (optional),
-                "aux": per-train df with the dldAux vector (optional),
-                "train": per-train scalars (optional)}.
+        Read modes follow the uniform contract (files/folders/runs resolve
+        instrument HDF5 paths; the byte-read then goes through the gated
+        :meth:`h5_to_train_frame`, one per-train frame per file, unioned).
+        Alternatively inject the extracted frames via ``train_frames``:
+        {"electron": per-train df with hit arrays, "pulse": per-train df
+        with per-pulse arrays (optional), "aux": per-train df with the
+        dldAux vector (optional), "train": per-train scalars (optional)}.
         """
         if train_frames is None:
-            raise ValueError(
-                "train_frames is required (HDF5 extraction is gated in this "
-                "environment; see h5_to_train_frame)",
+            if files is None and folders is None and runs is None:
+                raise ValueError(
+                    "provide files/folders/runs (gated on h5py) or inject "
+                    "train_frames (see h5_to_train_frame)",
+                )
+            paths = self.resolve_paths(
+                files=files, folders=folders, runs=runs, ftype=ftype,
+                metadata=metadata, **kwds,
             )
+            parts = [self.h5_to_train_frame(p) for p in paths]
+            electron = parts[0]
+            for p in parts[1:]:
+                electron = electron.unionByName(p)
+            train_frames = {"electron": electron}
         conf = self.config.get("dataframe", {})
         if ubid_offset is None:
             ubid_offset = conf.get("ubid_offset", 0)
@@ -356,5 +384,7 @@ class FlashLoader:
             combined,
             [c for c in per_electron_columns if c in combined.columns],
         )
-        meta = {"ubid_offset": ubid_offset, "per_electron": list(per_electron_columns)}
-        return electron, pulse, meta
+        self.metadata.update(
+            {"ubid_offset": ubid_offset, "per_electron": list(per_electron_columns)},
+        )
+        return electron, pulse, self.metadata

@@ -19,27 +19,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sed_binning_spark.loaders.utils import gather_files
+from sed_binning_spark.loaders.base import BaseLoader
 
 FILE_COLUMN = "file_id"
 ROW_COLUMN = "row_id"
 
 
-class GenericLoader:
+class GenericLoader(BaseLoader):
     """spark.read-backed loader for parquet/csv/json event files."""
 
+    name = "generic"
     supported_file_types = ("parquet", "csv", "json")
-
-    def __init__(self, spark: SparkSession, config: dict | None = None) -> None:
-        self.spark = spark
-        self.config = config or {}
-        self.files: list[str] = []
 
     def read_dataframe(
         self,
         files: str | Sequence[str] | None = None,
         folders: str | Sequence[str] | None = None,
+        runs=None,
         ftype: str = "parquet",
+        metadata: dict | None = None,
+        collect_metadata: bool = False,
         add_index_columns: bool = True,
         **kwds,
     ) -> tuple[DataFrame, DataFrame | None, dict]:
@@ -47,26 +46,13 @@ class GenericLoader:
 
         Returns (event_df, timed_df, metadata) — the reference's loader
         contract (sed/loader/base/loader.py); the generic loader has no
-        timed dataframe (None), like the reference's.
+        timed dataframe (None) and no run-id naming scheme, like the
+        reference's.
         """
-        if ftype not in self.supported_file_types:
-            raise ValueError(
-                f"Unsupported file type {ftype!r}; choose from {self.supported_file_types}",
-            )
-        paths: list[str] = []
-        if folders is not None:
-            if isinstance(folders, str):
-                folders = [folders]
-            for folder in folders:
-                paths.extend(gather_files(folder, ftype, **kwds))
-        if files is not None:
-            if isinstance(files, str):
-                files = [files]
-            paths.extend(files)
-        if not paths:
-            raise ValueError("No valid files or folders provided!")
-        paths = [os.path.abspath(p) for p in paths]
-        self.files = paths
+        paths = self.resolve_paths(
+            files=files, folders=folders, runs=runs, ftype=ftype,
+            metadata=metadata, **kwds,
+        )
 
         reader = self.spark.read
         if ftype == "parquet":
@@ -79,8 +65,10 @@ class GenericLoader:
         if add_index_columns:
             df = add_file_and_row_ids(df, paths)
 
-        metadata = {"file_statistics": {"num_files": len(paths)}, "files": paths}
-        return df, None, metadata
+        self.metadata.update(
+            {"file_statistics": {"num_files": len(paths)}, "files": paths},
+        )
+        return df, None, self.metadata
 
 
 def add_file_and_row_ids(df: DataFrame, ordered_paths: Sequence[str]) -> DataFrame:

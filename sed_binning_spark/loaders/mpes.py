@@ -34,6 +34,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sed_binning_spark.loaders.base import BaseLoader
 from sed_binning_spark.loaders.utils import natural_sort_key
 
 FILE_COLUMN = "file_id"
@@ -238,7 +239,7 @@ def get_files_from_run_id(
 # ---------------------------------------------------------------------------
 # orchestration
 # ---------------------------------------------------------------------------
-class MpesLoader:
+class MpesLoader(BaseLoader):
     """S4/S5 orchestration: assemble (event_df, timed_df, metadata) from
     per-file stream arrays (mpes loader.py read_dataframe contract).
 
@@ -247,9 +248,11 @@ class MpesLoader:
     ``files_data`` directly — the same pattern the flash loader proved.
     """
 
-    def __init__(self, spark: SparkSession, config: dict | None = None) -> None:
-        self.spark = spark
-        self.config = config or {}
+    name = "mpes"
+    supported_file_types = ("h5",)
+
+    def get_files_from_run_id(self, run_id, folders, extension="h5", **kwds):
+        return get_files_from_run_id(run_id, folders, extension)
 
     def h5_to_streams(self, path: str) -> dict:  # pragma: no cover
         try:
@@ -266,22 +269,38 @@ class MpesLoader:
 
     def read_dataframe(
         self,
+        files: str | Sequence[str] | None = None,
+        folders: str | Sequence[str] | None = None,
+        runs=None,
+        ftype: str = "h5",
+        metadata: dict | None = None,
+        collect_metadata: bool = False,
         files_data: Sequence[dict] | None = None,
         alias_dict: dict[str, str] | None = None,
         time_stamps: bool = False,
         time_stamp_alias: str = "timeStamps",
+        **kwds,
     ) -> tuple[DataFrame, DataFrame | None, dict]:
-        """Assemble event + timed dataframes from per-file stream payloads.
+        """Assemble event + timed dataframes.
 
-        Args:
-            files_data: one dict per file: ``{"streams": {name: ndarray},
-                "ms_marker": ndarray | None, "start_time": float}``.
+        Read modes follow the uniform contract (files/folders/runs resolve
+        instrument HDF5 paths; the byte-read then goes through the gated
+        :meth:`h5_to_streams`). Alternatively ``files_data`` injects the
+        extracted payloads directly — one dict per file:
+        ``{"streams": {name: ndarray}, "ms_marker": ndarray | None,
+        "start_time": float}``.
         """
         if files_data is None:
-            raise ValueError(
-                "files_data is required (HDF5 extraction is gated in this "
-                "environment; see h5_to_streams)",
+            if files is None and folders is None and runs is None:
+                raise ValueError(
+                    "provide files/folders/runs (gated on h5py) or inject "
+                    "files_data (see h5_to_streams)",
+                )
+            paths = self.resolve_paths(
+                files=files, folders=folders, runs=runs, ftype=ftype,
+                metadata=metadata, **kwds,
             )
+            files_data = [self.h5_to_streams(p) for p in paths]
         conf = self.config.get("dataframe", {})
         alias_dict = alias_dict or conf.get("aliases", {})
 
@@ -322,11 +341,11 @@ class MpesLoader:
             for p in timed_parts[1:]:
                 timed_df = timed_df.unionByName(p)
 
-        meta = {
+        self.metadata.update({
             "file_statistics": {"num_files": len(files_data)},
             "elapsed_time": elapsed,
-        }
-        return event_df, timed_df, meta
+        })
+        return event_df, timed_df, self.metadata
 
     def get_count_rate(self, files_data: Sequence[dict]) -> tuple[np.ndarray, np.ndarray]:
         """Concatenated per-file count rate with accumulated time offsets

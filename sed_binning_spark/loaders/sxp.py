@@ -29,6 +29,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sed_binning_spark.loaders.base import BaseLoader
 from sed_binning_spark.loaders.flash import explode_per_electron
 
 
@@ -108,19 +109,64 @@ def chop_trains(
     return out
 
 
-class SXPLoader:
+class SXPLoader(BaseLoader):
     """S7 orchestration: chop + shared flash assembly.
 
     The HDF5 channel extraction is gated exactly as in FlashLoader; tests
     inject per-record frames.
     """
 
-    def __init__(self, spark, config: dict | None = None) -> None:
-        self.spark = spark
-        self.config = config or {}
+    name = "sxp"
+    supported_file_types = ("h5",)
+
+    def get_files_from_run_id(self, run_id, folders, extension="h5", **kwds):
+        """SXP@XFEL naming: ``**/RAW-R{run:04d}-{daq}-S*.{ext}``
+        (sxp/loader.py:107-167)."""
+        import glob as _glob
+
+        from sed_binning_spark.loaders.utils import natural_sort_key
+
+        conf = self.config.get("dataframe", {})
+        daq = kwds.pop("daq", conf.get("daq", "DA03"))
+        prefixes = conf.get("stream_name_prefixes", {"DA03": "RAW-R"})
+        postfixes = conf.get("stream_name_postfixes", {"DA03": "-DA03-"})
+        rid = str(run_id).zfill(4) if isinstance(run_id, int) else str(run_id)
+        if isinstance(folders, str):
+            folders = [folders]
+        pattern = f"{prefixes[daq]}{rid}{postfixes.get(daq, '')}*.{extension}"
+        files: list[str] = []
+        for folder in folders:
+            files.extend(sorted(
+                _glob.glob(f"{folder}/**/{pattern}", recursive=True),
+                key=lambda p: natural_sort_key(p.rsplit("-", maxsplit=1)[-1]),
+            ))
+        if not files:
+            raise FileNotFoundError(
+                f"No files found for run {run_id} in directory {list(folders)}",
+            )
+        return files
+
+    def h5_to_record_frame(self, path: str) -> DataFrame:  # pragma: no cover
+        try:
+            import h5py  # noqa: F401
+        except ImportError as exc:
+            raise ImportError(
+                "h5py is required to convert instrument HDF5 files; inject "
+                "per-record frames via read_dataframe(record_frames=...)",
+            ) from exc
+        raise NotImplementedError(
+            "HDF5 channel extraction requires instrument test files not "
+            "available in this environment",
+        )
 
     def read_dataframe(
         self,
+        files=None,
+        folders=None,
+        runs=None,
+        ftype: str = "h5",
+        metadata: dict | None = None,
+        collect_metadata: bool = False,
         record_frames: dict[str, DataFrame] | None = None,
         pulse_array_column: str = "pulseId",
         ubid_offset: int | None = None,
@@ -130,12 +176,23 @@ class SXPLoader:
     ):
         """Chop the electron records into logical trains, then run the
         shared flash assembly (sxp/loader.py:800-893 delegates the same
-        way)."""
+        way). Read modes follow the uniform contract; ``record_frames``
+        injects extracted channel frames directly."""
         if record_frames is None:
-            raise ValueError(
-                "record_frames is required (HDF5 extraction is gated; "
-                "inject per-record frames)",
+            if files is None and folders is None and runs is None:
+                raise ValueError(
+                    "provide files/folders/runs (gated on h5py) or inject "
+                    "record_frames",
+                )
+            paths = self.resolve_paths(
+                files=files, folders=folders, runs=runs, ftype=ftype,
+                metadata=metadata, **kwds,
             )
+            parts = [self.h5_to_record_frame(p) for p in paths]
+            electron = parts[0]
+            for p in parts[1:]:
+                electron = electron.unionByName(p)
+            record_frames = {"electron": electron}
         conf = self.config.get("dataframe", {})
         if ubid_offset is None:
             ubid_offset = conf.get("ubid_offset", 0)

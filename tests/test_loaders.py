@@ -56,7 +56,7 @@ def test_generic_loader_errors(spark):
     loader = GenericLoader(spark)
     with pytest.raises(ValueError, match="Unsupported file type"):
         loader.read_dataframe(files=["x.foo"], ftype="foo")
-    with pytest.raises(ValueError, match="No valid files"):
+    with pytest.raises(ValueError, match="folder, file paths, or runs"):
         loader.read_dataframe()
 
 

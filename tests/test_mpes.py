@@ -127,7 +127,7 @@ def test_mpes_loader_end_to_end(spark):
     ]
     loader = MpesLoader(spark)
     ev, timed, meta = loader.read_dataframe(
-        files_data, alias_dict={"Stream_0": "X"}, time_stamps=True,
+        files_data=files_data, alias_dict={"Stream_0": "X"}, time_stamps=True,
     )
     assert ev.count() == 100
     assert ev.where(F.col("file_id") == 1).count() == 40
