@@ -106,6 +106,10 @@ FROM events
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TIMESTAMP(NANOS) parquet columns only read (as int64 ns) with this
     # legacy conf; TIMESTAMP(MICROS) reads as timestamp_ntz/timestamp.
+    # Deliberately session-wide, matching the engine default in
+    # sed_binning_spark.session (integer nanos are the engine's currency for
+    # oracle-exact event-time arithmetic on ANY nanos parquet, not just this
+    # table); set here too because the driver may hand us a bare session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes)["ts"]

@@ -139,6 +139,7 @@ def bin_dataframe(
     partition_column: str = "file_id",
     jitter_seed: int | None = None,
     combine: str = "auto",
+    max_dense_cells: int = 200_000_000,
 ) -> Cube:
     """N-dimensional histogram of the dataframe -> dense float32 Cube.
 
@@ -174,6 +175,9 @@ def bin_dataframe(
             sed/binning/numba_bin.py:16-71), and the right plan in the dense
             regime (occupied ~ rows), where a shuffle dedups almost nothing;
             ``"auto"`` — pick by a cheap row-count estimate (default).
+        max_dense_cells: driver budget for the dense cube; a bin spec whose
+            prod(bins) exceeds it raises with a pointer to
+            :func:`bin_dataframe_sparse` instead of OOM-ing the driver.
 
     Returns:
         Cube with float32 counts and bin-center coordinate axes.
@@ -201,14 +205,19 @@ def bin_dataframe(
 
     df, idx_cols, coords, exprs = bin_index_columns(df, bins, axes, ranges)
 
-    # Dense materialization collects prod(bins) cells at worst; the reference
-    # documents <= ~1e8 cells as the sane ceiling. Beyond that, use
-    # bin_dataframe_sparse (the distributed result never needs to densify).
+    # Driver-budget guard: a dense cube materializes prod(bins) float32
+    # cells on the driver no matter how sparse the data is (the reference
+    # documents <= ~1e8 cells as the sane ceiling). Abort with the fix
+    # spelled out rather than OOM-ing mid-collect; bin_dataframe_sparse is
+    # the distributed form that never densifies.
     n_cells = int(np.prod([coords[ax].size for ax in axes]))
-    if n_cells > 200_000_000:
+    if n_cells > max_dense_cells:
         raise ValueError(
-            f"dense cube would have {n_cells} cells; use bin_dataframe_sparse "
-            "for histograms this large",
+            f"dense cube of {'x'.join(str(coords[ax].size) for ax in axes)} "
+            f"= {n_cells} cells exceeds the driver budget "
+            f"(max_dense_cells={max_dense_cells}, ~{4 * n_cells / 1e9:.1f} GB "
+            "float32). Use bin_dataframe_sparse() for a distributed sparse "
+            "result, or raise max_dense_cells if the driver has the memory.",
         )
 
     # ONE flat (row-major) bin index instead of D grouping columns: the

@@ -341,6 +341,11 @@ def calibrate_energy(
         poly_energy_calibration,
     )
 
+    if ref_energy is None:
+        raise ValueError(
+            "ref_energy is required: the energy of the reference landmark "
+            f"(ref_id={ref_id}) that anchors the calibrated axis.",
+        )
     if energy_scale == "kinetic":
         sign = -1.0
     elif energy_scale == "binding":

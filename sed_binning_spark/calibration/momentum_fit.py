@@ -35,8 +35,11 @@ def peakdetect2d(
     threshold_rel: float = 0.2,
 ) -> np.ndarray:
     """Local-maximum peak positions (row, col) in a 2-D image: a pixel is a
-    peak when it is the strict maximum of its (2*radius+1)^2 neighborhood
-    and above ``threshold_rel * image.max()``."""
+    peak when it is the maximum of its (2*radius+1)^2 neighborhood and above
+    ``threshold_rel * image.max()``. A plateau (several tied pixels sharing
+    the neighborhood maximum — common in saturated or integer-valued maps)
+    yields exactly ONE peak, at its first pixel in scan order, rather than
+    being rejected outright."""
     img = np.asarray(image, dtype=float)
     thr = threshold_rel * img.max()
     rows, cols = np.where(img > thr)
@@ -46,8 +49,11 @@ def peakdetect2d(
         r0, r1 = max(r - radius, 0), min(r + radius + 1, h)
         c0, c1 = max(c - radius, 0), min(c + radius + 1, w)
         patch = img[r0:r1, c0:c1]
-        if img[r, c] >= patch.max() and (patch == img[r, c]).sum() == 1:
-            peaks.append((float(r), float(c)))
+        if img[r, c] >= patch.max():
+            ties = np.argwhere(patch == img[r, c])
+            rep = min((int(a) + r0, int(b) + c0) for a, b in ties)
+            if rep == (r, c):
+                peaks.append((float(r), float(c)))
     return np.asarray(peaks)
 
 

@@ -155,6 +155,7 @@ def timed_dataframe_from_markers(
     time_stamp_alias: str = "timeStamps",
     row_column: str = ROW_COLUMN,
     columns: Sequence[str] | None = None,
+    file_id: int | None = None,
 ) -> DataFrame:
     """S5: the evenly-time-spaced dataframe — row i samples every stream
     column at event index ``marker[i] - 1`` (hdf5_to_timed_array, mpes
@@ -162,11 +163,21 @@ def timed_dataframe_from_markers(
 
     Spark plan: broadcast the tiny (i, marker) table and equi-join on the
     event row index — the event stream is never shuffled or sorted.
+
+    Markers index rows WITHIN one source file: on a frame whose ``row_id``
+    restarts per file, pass ``file_id`` to name the file (the join is then
+    qualified; unqualified it would sample every file at once). Leave
+    ``file_id=None`` only when the frame is single-file or its row ids are
+    globally unique.
     """
     marker = np.asarray(ms_marker, dtype=np.int64)
     rows = [(int(i), int(m) - 1) for i, m in enumerate(marker)]
     spark = df.sparkSession
     mdf = spark.createDataFrame(rows, schema="__ms_i long, __target long")
+    if file_id is not None:
+        if FILE_COLUMN not in df.columns:
+            raise ValueError(f"file_id given but no {FILE_COLUMN!r} column present")
+        df = df.where(F.col(FILE_COLUMN) == int(file_id))
     keep = list(columns) if columns is not None else [
         c for c in df.columns if c not in (FILE_COLUMN, row_column)
     ]
@@ -328,6 +339,7 @@ class MpesLoader(BaseLoader):
                     start_time=start,
                     time_stamps=time_stamps,
                     time_stamp_alias=time_stamp_alias,
+                    file_id=fid,
                 )
                 timed_parts.append(timed.withColumn(FILE_COLUMN, F.lit(fid).cast("int")))
                 elapsed += elapsed_time_from_markers(marker)

@@ -112,11 +112,19 @@ def test_binning_missing_axis(events_df):
 
 
 def test_binning_dense_cell_guard(events_df):
-    with pytest.raises(ValueError, match="sparse"):
+    """Bin specs over the driver budget abort with the sparse redirect (and
+    the budget is configurable: lowering it trips on a small cube, raising
+    it lets the same spec through)."""
+    with pytest.raises(ValueError, match="bin_dataframe_sparse"):
         bin_dataframe(
             events_df, bins=[1000, 1000, 1000], axes=["X", "Y", "t"],
             ranges=[(0, 2048), (0, 2048), (60000, 120000)],
         )
+    spec = dict(bins=[40, 40], axes=["X", "Y"], ranges=[(0, 2048), (0, 2048)])
+    with pytest.raises(ValueError, match="max_dense_cells=1000"):
+        bin_dataframe(events_df, max_dense_cells=1000, **spec)
+    cube = bin_dataframe(events_df, max_dense_cells=1600, **spec)
+    assert cube.data.shape == (40, 40)
 
 
 def test_binning_filters(events_df, events_pdf):

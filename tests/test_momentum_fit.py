@@ -70,6 +70,28 @@ def test_peakdetect2d_finds_golden_features():
         assert d < 5.0, f"feature {want} not found (nearest {d:.1f} px)"
 
 
+def test_peakdetect2d_plateau_yields_one_peak():
+    """A flat-topped (saturated) peak must yield exactly one detection at
+    its first pixel in scan order, not be rejected for having ties."""
+    img = np.zeros((60, 60))
+    img[20:23, 30:33] = 5.0          # 3x3 plateau
+    img[45, 10] = 4.0                # ordinary strict peak
+    peaks = peakdetect2d(img, radius=8, threshold_rel=0.2)
+    got = {tuple(p) for p in peaks}
+    assert got == {(20.0, 30.0), (45.0, 10.0)}
+
+
+def test_calibrate_energy_requires_ref_energy():
+    from sed_binning_spark.calibration.fitting import calibrate_energy
+
+    with pytest.raises(ValueError, match="ref_energy is required"):
+        calibrate_energy(
+            landmarks=np.array([100.0, 110.0]),
+            biases=np.array([0.0, 1.0]),
+            t=np.arange(200.0),
+        )
+
+
 def test_add_features_center_split():
     center, outer, inc = add_features(GOLDEN_FEATURES, rotsym=6)
     assert inc is True
