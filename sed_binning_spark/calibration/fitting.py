@@ -298,23 +298,20 @@ def extract_bias_values(
     return np.asarray(out)
 
 
-def extract_bias_h5(files: Sequence[str], bias_key: str) -> np.ndarray:  # pragma: no cover
-    """h5py-backed twin of :func:`extract_bias_values` (gated: h5py is not
-    available in this environment)."""
-    try:
-        import h5py
-    except ImportError as exc:
-        raise ImportError(
-            "h5py is required to read bias values from instrument files; "
-            "pass per-file attribute dicts to extract_bias_values instead",
-        ) from exc
+def extract_bias_h5(files: Sequence[str], bias_key: str) -> np.ndarray:
+    """File-backed twin of :func:`extract_bias_values`: reads the bias
+    straight from the instrument files via the engine's pure-Python HDF5
+    reader (``@key`` = root attribute, plain key = scalar dataset) —
+    no h5py needed."""
+    from sed_binning_spark.io.hdf5_read import H5File
+
     vals = []
     for file in files:
-        with h5py.File(file, "r") as fh:
-            if bias_key.startswith("@"):
-                vals.append(round(float(fh.attrs[bias_key[1:]]), 2))
-            else:
-                vals.append(round(float(fh[bias_key][()]), 2))
+        fh = H5File(file)
+        if bias_key.startswith("@"):
+            vals.append(round(float(fh.attrs("/")[bias_key[1:]]), 2))
+        else:
+            vals.append(round(float(fh.read(bias_key).ravel()[0]), 2))
     return np.asarray(vals)
 
 

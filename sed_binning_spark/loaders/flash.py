@@ -21,8 +21,8 @@ the assembly is Spark-first:
 - S8 buffer cache = write-once parquet with schema validation
   (loader.py:643-742) — Spark jobs replace the joblib process pool.
 
-The raw HDF5 → per-train DataFrame step needs h5py (absent in this
-environment) and is gated; everything downstream is testable on synthetic
+The raw HDF5 → per-train DataFrame step runs on the engine's pure-Python
+HDF5 reader; everything downstream is also testable on synthetic
 per-train frames (FIXTURES.md F-3).
 """
 
@@ -32,6 +32,7 @@ from collections.abc import Sequence
 from functools import reduce
 from pathlib import Path
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -250,9 +251,9 @@ class FlashLoader(BaseLoader):
 
     ``read_dataframe`` assembles (electron_df, pulse_df, metadata) from
     per-train channel frames. The HDF5 → per-train frame conversion
-    requires h5py and is gated behind :meth:`h5_to_train_frame`; tests and
-    environments without instrument files inject frames directly via
-    ``train_frames``.
+    runs on the engine's pure-Python HDF5 reader
+    (:meth:`h5_to_train_frames`); tests and environments without
+    instrument files can still inject frames directly via ``train_frames``.
     """
 
     name = "flash"
@@ -266,18 +267,112 @@ class FlashLoader(BaseLoader):
             daq=kwds.pop("daq", conf.get("daq", "fl1user3")),
         )
 
-    def h5_to_train_frame(self, path: str) -> DataFrame:  # pragma: no cover
-        try:
-            import h5py  # noqa: F401
-        except ImportError as exc:
-            raise ImportError(
-                "h5py is required to convert instrument HDF5 files; inject "
-                "per-train frames via read_dataframe(train_frames=...) instead",
-            ) from exc
-        raise NotImplementedError(
-            "HDF5 channel extraction requires instrument test files not "
-            "available in this environment",
-        )
+    # HEXTOF channel layout of the FLASH1_USER3 stream files (matches the
+    # reference's flash test config channel specs: format/group_name/slice;
+    # tests/data/loader/flash/config.yaml:80-127). dataframe.channels in
+    # config overrides with the same shape.
+    DEFAULT_CHANNELS = {
+        "pulseId": {"format": "per_electron",
+                    "group_name": "/uncategorised/FLASH.EXP/HEXTOF.DAQ/DLD1/", "slice": 2},
+        "dldPosX": {"format": "per_electron",
+                    "group_name": "/uncategorised/FLASH.EXP/HEXTOF.DAQ/DLD1/", "slice": 1},
+        "dldPosY": {"format": "per_electron",
+                    "group_name": "/uncategorised/FLASH.EXP/HEXTOF.DAQ/DLD1/", "slice": 0},
+        "dldTimeSteps": {"format": "per_electron",
+                         "group_name": "/uncategorised/FLASH.EXP/HEXTOF.DAQ/DLD1/", "slice": 3},
+        "dldAux": {"format": "per_pulse",
+                   "group_name": "/uncategorised/FLASH.EXP/HEXTOF.DAQ/DLD1/", "slice": 4},
+        "timeStamp": {"format": "per_train",
+                      "group_name": "/uncategorised/FLASH.DIAG/TIMINGINFO/"
+                                    "TIME1.BUNCH_FIRST_INDEX.1/"},
+    }
+
+    def h5_to_train_frames(self, path: str) -> dict[str, DataFrame]:
+        """One raw stream file -> {"electron": ..., "pulse": ..., "aux": ...,
+        "train": ...} per-train frames via the engine's pure-Python HDF5
+        reader (the structures the reference reads through h5py,
+        sed/loader/flash/loader.py:617-742). Channel specs come from
+        ``config["dataframe"]["channels"]`` (reference config shape) with
+        the HEXTOF fixture layout as default."""
+        import pandas as pd
+
+        from sed_binning_spark.io.hdf5_read import H5File
+
+        f = H5File(path)
+        channels = self.config.get("dataframe", {}).get("channels", self.DEFAULT_CHANNELS)
+
+        def _keys(name: str, ch: dict) -> tuple[str, str]:
+            if "group_name" in ch:
+                grp = ch["group_name"].rstrip("/")
+                ds = "time" if name == "timeStamp" else "value"
+                return f"{grp}/index", f"{grp}/{ds}"
+            return ch["index_key"], ch["dataset_key"]
+
+        electron: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        pulse: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        train: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for name, ch in channels.items():
+            idx_key, ds_key = _keys(name, ch)
+            idx = f.read(idx_key).astype(np.int64)
+            val = f.read(ds_key)
+            sl = ch.get("slice")
+            if sl is not None and val.ndim >= 2:
+                val = val[:, sl, ...]
+            val = np.asarray(val, dtype=np.float64)
+            fmt = ch["format"]
+            if fmt == "per_electron":
+                electron[name] = (idx, val)
+            elif fmt == "per_pulse":
+                pulse[name] = (idx, val.reshape(val.shape[0], -1))
+            elif fmt == "per_train":
+                train[name] = (idx, val.reshape(val.shape[0], -1)[:, 0])
+            else:
+                raise ValueError(f"unknown channel format {fmt!r}")
+
+        frames: dict[str, DataFrame] = {}
+        if electron:
+            idx0 = next(iter(electron.values()))[0]
+            pdf = pd.DataFrame({"trainId": idx0})
+            for name, (idx, val) in electron.items():
+                if not np.array_equal(idx, idx0):
+                    raise ValueError(f"per-electron channel {name} has a different train index")
+                pdf[name] = list(val)
+            arr_cols = ", ".join(f"`{n}` array<double>" for n in electron)
+            frames["electron"] = self.spark.createDataFrame(
+                pdf, schema=f"trainId long, {arr_cols}",
+            )
+        aux = pulse.pop("dldAux", None)
+        if aux is not None:
+            idx, val = aux
+            pdf = pd.DataFrame({"trainId": idx})
+            pdf["dldAux"] = list(val)
+            frames["aux"] = self.spark.createDataFrame(
+                pdf, schema="trainId long, dldAux array<double>",
+            )
+        if pulse:
+            idx0 = next(iter(pulse.values()))[0]
+            pdf = pd.DataFrame({"trainId": idx0})
+            for name, (idx, val) in pulse.items():
+                pdf[name] = list(val)
+            arr_cols = ", ".join(f"`{n}` array<double>" for n in pulse)
+            frames["pulse"] = self.spark.createDataFrame(
+                pdf, schema=f"trainId long, {arr_cols}",
+            )
+        if train:
+            # per-train series may repeat train ids (e.g. encoder readbacks);
+            # keep the first reading per train, outer-merged across channels
+            merged: pd.DataFrame | None = None
+            for name, (idx, val) in train.items():
+                _, first = np.unique(idx, return_index=True)
+                part = pd.DataFrame({"trainId": idx[first], name: val[first]})
+                merged = part if merged is None else merged.merge(
+                    part, on="trainId", how="outer",
+                )
+            cols = ", ".join(f"`{c}` double" for c in merged.columns if c != "trainId")
+            frames["train"] = self.spark.createDataFrame(
+                merged.sort_values("trainId"), schema=f"trainId long, {cols}",
+            )
+        return frames
 
     def read_dataframe(
         self,
@@ -299,8 +394,8 @@ class FlashLoader(BaseLoader):
         """Assemble electron + pulse dataframes (flash/loader.py:744-837).
 
         Read modes follow the uniform contract (files/folders/runs resolve
-        instrument HDF5 paths; the byte-read then goes through the gated
-        :meth:`h5_to_train_frame`, one per-train frame per file, unioned).
+        instrument HDF5 paths; the byte-read then goes through
+        :meth:`h5_to_train_frames`, per-file frame dicts unioned per key).
         Alternatively inject the extracted frames via ``train_frames``:
         {"electron": per-train df with hit arrays, "pulse": per-train df
         with per-pulse arrays (optional), "aux": per-train df with the
@@ -309,18 +404,21 @@ class FlashLoader(BaseLoader):
         if train_frames is None:
             if files is None and folders is None and runs is None:
                 raise ValueError(
-                    "provide files/folders/runs (gated on h5py) or inject "
-                    "train_frames (see h5_to_train_frame)",
+                    "provide files/folders/runs or inject train_frames "
+                    "(see h5_to_train_frames)",
                 )
             paths = self.resolve_paths(
                 files=files, folders=folders, runs=runs, ftype=ftype,
                 metadata=metadata, **kwds,
             )
-            parts = [self.h5_to_train_frame(p) for p in paths]
-            electron = parts[0]
-            for p in parts[1:]:
-                electron = electron.unionByName(p)
-            train_frames = {"electron": electron}
+            per_file = [self.h5_to_train_frames(p) for p in paths]
+            train_frames = {}
+            for frames in per_file:
+                for key, frame in frames.items():
+                    train_frames[key] = (
+                        frame if key not in train_frames
+                        else train_frames[key].unionByName(frame)
+                    )
         conf = self.config.get("dataframe", {})
         if ubid_offset is None:
             ubid_offset = conf.get("ubid_offset", 0)

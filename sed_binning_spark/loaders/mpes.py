@@ -9,7 +9,7 @@ markers, and emits a second evenly-time-spaced "timed" dataframe
   with float32 stream columns + (file_id, row_id). Real deployments run
   this as a one-time HDF5→Parquet conversion job over the file list; the
   array→frame step is pure and testable with injected arrays (the HDF5
-  read itself is gated on h5py, like the flash loader).
+  read uses the engine's pure-Python HDF5 reader — no h5py needed).
 - **Timestamp synthesis**: the reference's marker fill loop
   (loader.py:325-343) assigns event j the value
   ``start + count(markers <= j)/1000`` — a step function. That IS a
@@ -254,9 +254,9 @@ class MpesLoader(BaseLoader):
     """S4/S5 orchestration: assemble (event_df, timed_df, metadata) from
     per-file stream arrays (mpes loader.py read_dataframe contract).
 
-    The HDF5 → arrays step needs h5py (absent here) and is gated behind
-    :meth:`h5_to_streams`; tests and headless environments inject
-    ``files_data`` directly — the same pattern the flash loader proved.
+    The HDF5 → arrays step runs on the engine's pure-Python HDF5 reader
+    (:meth:`h5_to_streams`); tests and headless environments can still
+    inject ``files_data`` directly.
     """
 
     name = "mpes"
@@ -265,18 +265,37 @@ class MpesLoader(BaseLoader):
     def get_files_from_run_id(self, run_id, folders, extension="h5", **kwds):
         return get_files_from_run_id(run_id, folders, extension)
 
-    def h5_to_streams(self, path: str) -> dict:  # pragma: no cover
-        try:
-            import h5py  # noqa: F401
-        except ImportError as exc:
-            raise ImportError(
-                "h5py is required to read instrument HDF5 files; inject "
-                "per-file stream dicts via read_dataframe(files_data=...)",
-            ) from exc
-        raise NotImplementedError(
-            "HDF5 stream extraction requires instrument test files not "
-            "available in this environment",
-        )
+    def h5_to_streams(self, path: str) -> dict:
+        """One instrument file -> stream payload dict, via the engine's
+        pure-Python HDF5 reader (no h5py needed): ``Stream_*`` datasets,
+        per-stream ``Name`` attribute aliases, ``msMarkers``, and the
+        ``FirstEventTimeStamp`` root attribute as epoch seconds (the
+        structures the reference reads through h5py,
+        sed/loader/mpes/loader.py:267-347)."""
+        from sed_binning_spark.io.hdf5_read import H5File
+
+        f = H5File(path)
+        names = [p.lstrip("/") for p in f.visit()]
+        streams: dict[str, np.ndarray] = {}
+        aliases: dict[str, str] = {}
+        for name in names:
+            if name.startswith("Stream_"):
+                streams[name] = f.read("/" + name)
+                alias = f.attrs("/" + name).get("Name")
+                if alias:
+                    aliases[name] = str(alias)
+        out: dict = {"streams": streams, "aliases": aliases}
+        if "msMarkers" in names:
+            out["ms_marker"] = f.read("/msMarkers")
+        first_ts = f.attrs("/").get("FirstEventTimeStamp")
+        if isinstance(first_ts, str):
+            from datetime import datetime
+
+            try:
+                out["start_time"] = datetime.fromisoformat(first_ts).timestamp()
+            except ValueError:
+                pass
+        return out
 
     def read_dataframe(
         self,
@@ -295,7 +314,7 @@ class MpesLoader(BaseLoader):
         """Assemble event + timed dataframes.
 
         Read modes follow the uniform contract (files/folders/runs resolve
-        instrument HDF5 paths; the byte-read then goes through the gated
+        instrument HDF5 paths; the byte-read then goes through
         :meth:`h5_to_streams`). Alternatively ``files_data`` injects the
         extracted payloads directly — one dict per file:
         ``{"streams": {name: ndarray}, "ms_marker": ndarray | None,
@@ -304,8 +323,8 @@ class MpesLoader(BaseLoader):
         if files_data is None:
             if files is None and folders is None and runs is None:
                 raise ValueError(
-                    "provide files/folders/runs (gated on h5py) or inject "
-                    "files_data (see h5_to_streams)",
+                    "provide files/folders/runs or inject files_data "
+                    "(see h5_to_streams)",
                 )
             paths = self.resolve_paths(
                 files=files, folders=folders, runs=runs, ftype=ftype,
@@ -324,7 +343,9 @@ class MpesLoader(BaseLoader):
             ev = streams_to_dataframe(
                 self.spark,
                 fd["streams"],
-                alias_dict=alias_dict,
+                # per-file stream aliases (the instrument's own Name attrs)
+                # unless the caller/config overrode them
+                alias_dict=alias_dict or fd.get("aliases", {}),
                 time_stamps=time_stamps,
                 ms_marker=marker,
                 start_time=start,

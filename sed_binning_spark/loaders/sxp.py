@@ -112,8 +112,9 @@ def chop_trains(
 class SXPLoader(BaseLoader):
     """S7 orchestration: chop + shared flash assembly.
 
-    The HDF5 channel extraction is gated exactly as in FlashLoader; tests
-    inject per-record frames.
+    The HDF5 channel extraction runs on the engine's pure-Python HDF5
+    reader (:meth:`h5_to_record_frames`); tests can still inject
+    per-record frames.
     """
 
     name = "sxp"
@@ -146,18 +147,74 @@ class SXPLoader(BaseLoader):
             )
         return files
 
-    def h5_to_record_frame(self, path: str) -> DataFrame:  # pragma: no cover
-        try:
-            import h5py  # noqa: F401
-        except ImportError as exc:
-            raise ImportError(
-                "h5py is required to convert instrument HDF5 files; inject "
-                "per-record frames via read_dataframe(record_frames=...)",
-            ) from exc
-        raise NotImplementedError(
-            "HDF5 channel extraction requires instrument test files not "
-            "available in this environment",
-        )
+    # SXP@XFEL MCP detector layout (matches the reference's sxp test config
+    # channel specs: format/dataset_key/index_key;
+    # tests/data/loader/sxp/config.yaml:46-79). dataframe.channels overrides.
+    _MCP = "/INSTRUMENT/SXP_TR_XPES/DET/MCP_DETECTOR:output/data"
+    DEFAULT_CHANNELS = {
+        "pulseId": {"format": "per_electron",
+                    "dataset_key": f"{_MCP}/starterCounter", "index_key": f"{_MCP}/trainId"},
+        "dldPosX": {"format": "per_electron",
+                    "dataset_key": f"{_MCP}/x", "index_key": f"{_MCP}/trainId"},
+        "dldPosY": {"format": "per_electron",
+                    "dataset_key": f"{_MCP}/y", "index_key": f"{_MCP}/trainId"},
+        "dldTimeSteps": {"format": "per_electron",
+                         "dataset_key": f"{_MCP}/t", "index_key": f"{_MCP}/trainId"},
+        "timeStamp": {"format": "per_train",
+                      "dataset_key": "/INDEX/timestamp", "index_key": "/INDEX/trainId"},
+    }
+
+    def h5_to_record_frames(self, path: str) -> dict[str, DataFrame]:
+        """One RAW file -> {"electron": per-record frame, "train": ...} via
+        the engine's pure-Python HDF5 reader (the structures the reference
+        reads through h5py, sed/loader/sxp/loader.py:226-343). Channel specs
+        come from ``config["dataframe"]["channels"]`` (reference config
+        shape: dataset_key/index_key) with the SXP fixture layout as
+        default."""
+        import numpy as np
+        import pandas as pd
+
+        from sed_binning_spark.io.hdf5_read import H5File
+
+        f = H5File(path)
+        channels = self.config.get("dataframe", {}).get("channels", self.DEFAULT_CHANNELS)
+        electron: dict[str, tuple] = {}
+        train: dict[str, tuple] = {}
+        for name, ch in channels.items():
+            idx = f.read(ch["index_key"]).astype(np.int64)
+            val = np.asarray(f.read(ch["dataset_key"]), dtype=np.float64)
+            if ch["format"] == "per_electron":
+                electron[name] = (idx, val)
+            elif ch["format"] == "per_train":
+                train[name] = (idx, val.reshape(val.shape[0], -1)[:, 0])
+            else:
+                raise ValueError(f"unknown channel format {ch['format']!r}")
+
+        frames: dict[str, DataFrame] = {}
+        if electron:
+            idx0 = next(iter(electron.values()))[0]
+            pdf = pd.DataFrame({"trainId": idx0})
+            for name, (idx, val) in electron.items():
+                if not np.array_equal(idx, idx0):
+                    raise ValueError(f"per-electron channel {name} has a different train index")
+                pdf[name] = list(val)
+            arr_cols = ", ".join(f"`{n}` array<double>" for n in electron)
+            frames["electron"] = self.spark.createDataFrame(
+                pdf, schema=f"trainId long, {arr_cols}",
+            )
+        if train:
+            merged = None
+            for name, (idx, val) in train.items():
+                _, first = np.unique(idx, return_index=True)
+                part = pd.DataFrame({"trainId": idx[first], name: val[first]})
+                merged = part if merged is None else merged.merge(
+                    part, on="trainId", how="outer",
+                )
+            cols = ", ".join(f"`{c}` double" for c in merged.columns if c != "trainId")
+            frames["train"] = self.spark.createDataFrame(
+                merged.sort_values("trainId"), schema=f"trainId long, {cols}",
+            )
+        return frames
 
     def read_dataframe(
         self,
@@ -181,18 +238,20 @@ class SXPLoader(BaseLoader):
         if record_frames is None:
             if files is None and folders is None and runs is None:
                 raise ValueError(
-                    "provide files/folders/runs (gated on h5py) or inject "
-                    "record_frames",
+                    "provide files/folders/runs or inject record_frames",
                 )
             paths = self.resolve_paths(
                 files=files, folders=folders, runs=runs, ftype=ftype,
                 metadata=metadata, **kwds,
             )
-            parts = [self.h5_to_record_frame(p) for p in paths]
-            electron = parts[0]
-            for p in parts[1:]:
-                electron = electron.unionByName(p)
-            record_frames = {"electron": electron}
+            per_file = [self.h5_to_record_frames(p) for p in paths]
+            record_frames = {}
+            for frames in per_file:
+                for key, frame in frames.items():
+                    record_frames[key] = (
+                        frame if key not in record_frames
+                        else record_frames[key].unionByName(frame)
+                    )
         conf = self.config.get("dataframe", {})
         if ubid_offset is None:
             ubid_offset = conf.get("ubid_offset", 0)

@@ -134,8 +134,11 @@ def test_instrument_run_resolution(loader_name, subdir, run, expected, instrumen
     assert both == paths
     with pytest.raises(FileNotFoundError, match="No files found for run"):
         loader.resolve_paths(runs=9999, folders=folder)
-    # full read_dataframe reaches the gate, not a path error
-    with pytest.raises((ImportError, NotImplementedError), match="h5|HDF5"):
+    # full read_dataframe reaches the HDF5 parser (which rejects the dummy
+    # zero-byte files), not a path error
+    from sed_binning_spark.io.hdf5_read import UnsupportedHDF5
+
+    with pytest.raises(UnsupportedHDF5, match="not an HDF5 file"):
         loader.read_dataframe(runs=run, folders=folder)
 
 
