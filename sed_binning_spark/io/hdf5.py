@@ -1,10 +1,12 @@
 """K2: HDF5 cube sink/source (reference: sed/io/hdf5.py:84-190), plus an
 always-available NPZ twin.
 
-h5py is an optional dependency (absent in this environment); the HDF5
-functions gate on it with a clear error. The NPZ pair implements the SAME
-contract — binned data + per-axis coordinate arrays + recursive metadata —
-so round-trip tests and the save() dispatch work everywhere.
+The .h5 path needs no optional dependency: when h5py is importable it is
+used (battle-tested container output); otherwise the engine's own
+pure-Python HDF5 writer/reader (:mod:`sed_binning_spark.io.hdf5_write` /
+``hdf5_read``) produce and consume the same classic-format file layout.
+The NPZ pair implements the SAME logical contract — binned data + per-axis
+coordinate arrays + recursive metadata — as a non-HDF5 alternative.
 """
 
 from __future__ import annotations
@@ -27,10 +29,18 @@ def to_h5(data: Cube, faddr: str | Path, mode: str = "w") -> None:
     sed/io/hdf5.py:84-130): datasets ``binned/BinnedData``, one
     ``binned/axes/ax{N}`` per axis, metadata group mirroring the dict."""
     if h5py is None:
-        raise ImportError(
-            "h5py is not installed; use to_npz()/load_npz() for the "
-            "equivalent native format, or install h5py for .h5 output",
-        )
+        from sed_binning_spark.io.hdf5_write import H5Writer
+
+        w = H5Writer()
+        w.add_dataset("/binned/BinnedData", data.data)
+        w.add_attr("/binned/BinnedData", "typ", "float32")
+        for i, dim in enumerate(data.dims):
+            w.add_dataset(f"/binned/axes/ax{i}", np.asarray(data.coords[dim]))
+            w.add_attr(f"/binned/axes/ax{i}", "name", dim)
+        if data.attrs:
+            _write_meta_tree(w, "/metadata", data.attrs)
+        w.write(str(faddr))
+        return
     with h5py.File(faddr, mode) as fh:
         grp = fh.create_group("binned")
         ds = grp.create_dataset("BinnedData", data=data.data)
@@ -46,7 +56,29 @@ def to_h5(data: Cube, faddr: str | Path, mode: str = "w") -> None:
 def load_h5(faddr: str | Path, mode: str = "r") -> Cube:
     """HDF5 → Cube (load_h5, sed/io/hdf5.py:133-190)."""
     if h5py is None:
-        raise ImportError("h5py is not installed; use load_npz() instead")
+        from sed_binning_spark.io.hdf5_read import H5File
+
+        fh = H5File(str(faddr))
+        paths = set(fh.visit())
+        data = fh.read("/binned/BinnedData")
+        dims, coords = [], {}
+        for i in range(data.ndim):
+            name = fh.attrs(f"/binned/axes/ax{i}").get("name", f"ax{i}")
+            dims.append(name)
+            coords[name] = fh.read(f"/binned/axes/ax{i}")
+        attrs: dict = {}
+        for p in sorted(paths):
+            if p.startswith("/metadata/"):
+                node = attrs
+                *groups, leaf = p[len("/metadata/"):].split("/")
+                for g in groups:
+                    node = node.setdefault(g, {})
+                val = fh.read(p)
+                if val.dtype.kind == "S":
+                    node[leaf] = bytes(val.ravel()[0]).decode("utf-8", "replace")
+                else:
+                    node[leaf] = val.item() if val.ndim == 0 else val
+        return Cube(data, coords, dims, attrs)
     with h5py.File(faddr, mode) as fh:
         data = fh["binned"]["BinnedData"][()]
         dims = []
@@ -61,6 +93,19 @@ def load_h5(faddr: str | Path, mode: str = "r") -> Cube:
             coords[name] = ax[()]
         attrs = _read_meta_group(fh["metadata"]) if "metadata" in fh else {}
     return Cube(data, coords, dims, attrs)
+
+
+def _write_meta_tree(writer, prefix: str, meta: dict) -> None:
+    """Recursive metadata dict -> nested groups of scalar/array datasets
+    (pure-writer twin of :func:`_write_meta_group`)."""
+    for k, v in meta.items():
+        if isinstance(v, dict):
+            _write_meta_tree(writer, f"{prefix}/{k}", v)
+        else:
+            try:
+                writer.add_dataset(f"{prefix}/{k}", v)
+            except (ValueError, TypeError):
+                writer.add_dataset(f"{prefix}/{k}", str(v))
 
 
 def _write_meta_group(grp, meta: dict) -> None:

@@ -1,0 +1,215 @@
+"""Minimal pure-Python HDF5 writer — the inverse of
+:mod:`sed_binning_spark.io.hdf5_read` for the engine's own outputs.
+
+Writes classic (superblock v0) files limited to what the cube sink needs:
+nested groups (v1 B-tree + local heap + SNOD symbol tables), CONTIGUOUS
+datasets of native numeric or fixed-length string type, and numeric /
+string attributes. Datasets are uncompressed and unchunked by design — the
+cubes this serializes are driver-sized, and the simple layout keeps every
+structure inside the subset the companion reader (and libhdf5) understands.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+_SNOD_CAP = 8  # 2 * leaf-node k (we advertise k=4 like libhdf5's default)
+
+
+class H5Writer:
+    """Build an in-memory tree with :meth:`add_dataset` / :meth:`add_attr`
+    (paths are '/'-separated; intermediate groups auto-create), then
+    :meth:`write` the file."""
+
+    def __init__(self) -> None:
+        self._root: dict = {"__kind__": "group", "__attrs__": {}, "__children__": {}}
+
+    # -- tree building ------------------------------------------------------
+    def _group(self, parts: list[str], create: bool = True) -> dict:
+        node = self._root
+        for p in parts:
+            kids = node["__children__"]
+            if p not in kids:
+                if not create:
+                    raise KeyError(p)
+                kids[p] = {"__kind__": "group", "__attrs__": {}, "__children__": {}}
+            node = kids[p]
+            if node["__kind__"] != "group":
+                raise ValueError(f"{p!r} is a dataset, not a group")
+        return node
+
+    def add_group(self, path: str) -> None:
+        self._group([p for p in path.strip("/").split("/") if p])
+
+    def add_dataset(self, path: str, data) -> None:
+        parts = [p for p in path.strip("/").split("/") if p]
+        parent = self._group(parts[:-1])
+        arr = _as_h5_array(data)
+        parent["__children__"][parts[-1]] = {
+            "__kind__": "dataset", "__attrs__": {}, "__data__": arr,
+        }
+
+    def add_attr(self, path: str, name: str, value) -> None:
+        parts = [p for p in path.strip("/").split("/") if p]
+        node = self._root
+        for p in parts:
+            node = node["__children__"][p]
+        node["__attrs__"][name] = value
+
+    # -- serialization ------------------------------------------------------
+    def write(self, path: str) -> None:
+        buf = bytearray(96)  # superblock v0 + root symbol-table entry
+        root_addr = self._emit(buf, self._root)
+        # superblock
+        struct.pack_into(
+            "<8s4B4B2HI", buf, 0, b"\x89HDF\r\n\x1a\n",
+            0, 0, 0, 0,      # superblock/freespace/root-symtab versions + reserved
+            0, 8, 8, 0,      # shared-header version, offsets, lengths, reserved
+            4, 16,           # group leaf k, group internal k
+            0,               # consistency flags
+        )
+        struct.pack_into("<QQQQ", buf, 24, 0, UNDEF, len(buf), UNDEF)
+        # root symbol-table entry: name offset 0, header addr, no cache
+        struct.pack_into("<QQII16x", buf, 56, 0, root_addr, 0, 0)
+        with open(path, "wb") as f:
+            f.write(buf)
+
+    def _emit(self, buf: bytearray, node: dict) -> int:
+        if node["__kind__"] == "dataset":
+            return self._emit_dataset(buf, node["__data__"], node["__attrs__"])
+        children = [
+            (name, self._emit(buf, child))
+            for name, child in sorted(node["__children__"].items())
+        ]
+        return self._emit_group(buf, children, node["__attrs__"])
+
+    def _emit_dataset(self, buf: bytearray, arr: np.ndarray, attrs: dict) -> int:
+        _align(buf)
+        data_addr = len(buf)
+        raw = arr.tobytes()
+        buf += raw
+        msgs = [
+            (0x0001, _dataspace(arr.shape)),
+            (0x0003, _datatype(arr.dtype)),
+            (0x0008, struct.pack("<BBQQ", 3, 1, data_addr, len(raw))),
+        ]
+        msgs += [(0x000C, _attribute(n, v)) for n, v in attrs.items()]
+        return _emit_object_header(buf, msgs)
+
+    def _emit_group(self, buf: bytearray, children, attrs: dict) -> int:
+        # local heap: offset 0 holds the empty name (the B-tree's low key)
+        heap_data = bytearray(8)
+        offsets = []
+        for name, _ in children:
+            offsets.append(len(heap_data))
+            nb = name.encode("utf-8") + b"\x00"
+            heap_data += nb + b"\x00" * (-len(nb) % 8)
+        _align(buf)
+        heap_addr = len(buf)
+        data_addr = heap_addr + 32
+        buf += struct.pack("<4sB3xQQQ", b"HEAP", 0, len(heap_data), 1, data_addr)
+        buf += heap_data
+
+        snod_addrs = []
+        snod_key_offsets = []  # heap offset of the LAST name in each SNOD
+        for i in range(0, len(children), _SNOD_CAP):
+            batch = children[i : i + _SNOD_CAP]
+            _align(buf)
+            snod_addrs.append(len(buf))
+            buf += struct.pack("<4sBxH", b"SNOD", 1, len(batch))
+            for (name, addr), off in zip(batch, offsets[i : i + _SNOD_CAP]):
+                buf += struct.pack("<QQII16x", off, addr, 0, 0)
+            snod_key_offsets.append(offsets[min(i + _SNOD_CAP, len(children)) - 1])
+
+        _align(buf)
+        btree_addr = len(buf)
+        if children:
+            buf += struct.pack("<4sBBHQQ", b"TREE", 0, 0, len(snod_addrs), UNDEF, UNDEF)
+            buf += struct.pack("<Q", 0)  # low key: empty name at heap offset 0
+            for addr, key_off in zip(snod_addrs, snod_key_offsets):
+                buf += struct.pack("<QQ", addr, key_off)
+        else:
+            btree_addr = UNDEF
+
+        msgs = [(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]
+        msgs += [(0x000C, _attribute(n, v)) for n, v in attrs.items()]
+        return _emit_object_header(buf, msgs)
+
+
+# -- low-level pieces -------------------------------------------------------
+def _align(buf: bytearray, n: int = 8) -> None:
+    buf += b"\x00" * (-len(buf) % n)
+
+
+def _emit_object_header(buf: bytearray, msgs: list[tuple[int, bytes]]) -> int:
+    body = bytearray()
+    for mtype, mbody in msgs:
+        mbody = mbody + b"\x00" * (-len(mbody) % 8)
+        body += struct.pack("<HHB3x", mtype, len(mbody), 0) + mbody
+    _align(buf)
+    addr = len(buf)
+    buf += struct.pack("<BxHII4x", 1, len(msgs), 1, len(body))
+    buf += body
+    return addr
+
+
+def _dataspace(shape: tuple[int, ...]) -> bytes:
+    return struct.pack("<BBB5x", 1, len(shape), 0) + struct.pack(
+        f"<{len(shape)}Q", *shape,
+    )
+
+
+def _datatype(dtype: np.dtype) -> bytes:
+    if dtype.kind in ("i", "u"):
+        bits0 = 0x08 if dtype.kind == "i" else 0
+        head = struct.pack("<B3BI", 0x10, bits0, 0, 0, dtype.itemsize)
+        return head + struct.pack("<HH", 0, 8 * dtype.itemsize)
+    if dtype.kind == "f":
+        if dtype.itemsize == 4:
+            prec, exploc, expsz, mantsz, bias, sign = 32, 23, 8, 23, 127, 31
+        elif dtype.itemsize == 8:
+            prec, exploc, expsz, mantsz, bias, sign = 64, 52, 11, 52, 1023, 63
+        else:
+            raise ValueError(f"unsupported float size {dtype.itemsize}")
+        bits0 = 0x20  # mantissa normalization: implied msb
+        head = struct.pack("<B3BI", 0x11, bits0, sign, 0, dtype.itemsize)
+        return head + struct.pack("<HHBBBBI", 0, prec, exploc, expsz, 0, mantsz, bias)
+    if dtype.kind == "S":
+        head = struct.pack("<B3BI", 0x13, 0, 0, 0, dtype.itemsize)
+        return head
+    raise ValueError(f"unsupported dtype {dtype}")
+
+
+def _attribute(name: str, value) -> bytes:
+    arr = _as_h5_array(value)
+    nb = name.encode("utf-8") + b"\x00"
+    dt = _datatype(arr.dtype)
+    sp = _dataspace(arr.shape if arr.shape else ())
+    out = struct.pack("<BxHHH", 1, len(nb), len(dt), len(sp))
+    out += nb + b"\x00" * (-len(nb) % 8)
+    out += dt + b"\x00" * (-len(dt) % 8)
+    out += sp + b"\x00" * (-len(sp) % 8)
+    out += arr.tobytes()
+    return out
+
+
+def _as_h5_array(value) -> np.ndarray:
+    if isinstance(value, str):
+        b = value.encode("utf-8")
+        return np.array(b or b"\x00", dtype=f"S{max(len(b), 1)}")
+    if isinstance(value, bytes):
+        return np.array(value or b"\x00", dtype=f"S{max(len(value), 1)}")
+    arr = np.asarray(value)
+    if arr.dtype.kind == "b":
+        arr = arr.astype("<u1")
+    elif arr.dtype.kind == "U":
+        arr = np.char.encode(arr, "utf-8")
+    elif arr.dtype.kind in ("i", "u", "f"):
+        arr = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
+    elif arr.dtype.kind != "S":
+        raise ValueError(f"unsupported value type {arr.dtype}")
+    # NOT ascontiguousarray: that would promote 0-d scalars to 1-d
+    return arr if arr.flags.c_contiguous else np.ascontiguousarray(arr)

@@ -105,6 +105,56 @@ def test_sxp_loader_reads_real_instrument_file(spark):
     assert electron.where("dldPosX IS NULL").count() == 0
 
 
+def test_h5_writer_reader_round_trip(tmp_path):
+    """Writer -> reader round trip: nested groups, every supported dtype,
+    scalar/array/string attributes, 0-d datasets."""
+    from sed_binning_spark.io.hdf5_read import H5File
+    from sed_binning_spark.io.hdf5_write import H5Writer
+
+    w = H5Writer()
+    arrays = {
+        "/a/f32": np.arange(24, dtype=np.float32).reshape(2, 3, 4),
+        "/a/f64": np.linspace(0, 1, 7),
+        "/a/i16": np.arange(-5, 5, dtype=np.int16),
+        "/a/u64": np.arange(5, dtype=np.uint64),
+        "/b/scalar": np.float64(2.5),
+    }
+    for p, v in arrays.items():
+        w.add_dataset(p, v)
+    w.add_attr("/a/f32", "name", "cube")
+    w.add_attr("/a/f32", "coeffs", np.array([1.0, 2.0]))
+    w.add_attr("/", "engine", "spark")
+    path = str(tmp_path / "rt.h5")
+    w.write(path)
+
+    f = H5File(path)
+    assert set(f.visit()) == set(arrays)
+    for p, v in arrays.items():
+        got = f.read(p)
+        np.testing.assert_array_equal(got, v)
+        assert got.dtype == np.asarray(v).dtype
+    assert f.attrs("/a/f32")["name"] == "cube"
+    np.testing.assert_array_equal(f.attrs("/a/f32")["coeffs"], [1.0, 2.0])
+    assert f.attrs("/")["engine"] == "spark"
+
+
+def test_h5_writer_many_children_snod_chunking(tmp_path):
+    """>8 entries in one group forces multiple symbol-table nodes in the
+    group B-tree; every child must still resolve."""
+    from sed_binning_spark.io.hdf5_read import H5File
+    from sed_binning_spark.io.hdf5_write import H5Writer
+
+    w = H5Writer()
+    for i in range(23):
+        w.add_dataset(f"/g/d{i:02d}", np.array([i], dtype=np.int32))
+    path = str(tmp_path / "many.h5")
+    w.write(path)
+    f = H5File(path)
+    assert len(f.visit()) == 23
+    for i in range(23):
+        np.testing.assert_array_equal(f.read(f"/g/d{i:02d}"), [i])
+
+
 @needs["mpes"]
 def test_extract_bias_from_real_file():
     from sed_binning_spark.calibration.fitting import extract_bias_h5

@@ -74,23 +74,22 @@ def test_save_dispatch(tmp_path):
         save(c, tmp_path / "a.bogus")
 
 
-def test_h5_gated(tmp_path):
-    """h5py absent in this environment → clear ImportError via dispatch."""
-    pytest.importorskip_absent = None
-    try:
-        import h5py  # noqa: F401
-        has_h5 = True
-    except ImportError:
-        has_h5 = False
+def test_h5_round_trip(tmp_path):
+    """K2 .h5 round trip works with OR without h5py (the engine carries its
+    own classic-format writer/reader): data, axis names/coords, and the
+    recursive metadata tree survive."""
     c = _cube((4, 4), ("X", "Y"))
-    if has_h5:
-        save(c, tmp_path / "a.h5")
-        from sed_binning_spark.io import load_h5
-        back = load_h5(tmp_path / "a.h5")
-        np.testing.assert_array_equal(back.data, c.data)
-    else:
-        with pytest.raises(ImportError, match="h5py"):
-            save(c, tmp_path / "a.h5")
+    c.attrs.update({"jitter": {"amplitude": 0.5, "mode": "uniform"}, "n": 3})
+    save(c, tmp_path / "a.h5")
+    from sed_binning_spark.io import load_h5
+
+    back = load_h5(tmp_path / "a.h5")
+    np.testing.assert_array_equal(back.data, c.data)
+    assert back.dims == c.dims
+    for d in c.dims:
+        np.testing.assert_array_equal(back.coords[d], c.coords[d])
+    assert back.attrs["jitter"]["mode"] == "uniform"
+    assert float(back.attrs["jitter"]["amplitude"]) == 0.5
 
 
 def test_nexus_payload_and_gate(tmp_path):
