@@ -169,6 +169,7 @@ def _ref_scale_block(spark, n: int) -> dict:
         # run 0 is a discarded warm-up (codegen compilation, page cache);
         # without it the first query measured eats all JIT cost and e.g.
         # binning_1d times slower than the strictly-harder workflow_1d
+        binning_mod.LAST_RUN_INFO.clear()  # don't attribute stale phases
         series = [_run(fn) for _ in range(3)]
         runs[name] = [round(t, 3) for t in series]
         best[name] = round(min(series[1:]), 3)
@@ -207,6 +208,17 @@ def _ref_scale_block(spark, n: int) -> dict:
         ranges=[(-12.0, 12.0), (-12.0, 12.0), (20.0, 60.0), (-6.0, 6.0)],
     ))
 
+    # --- inv_dfield: inverse deformation field generation (benchmark
+    # test_splinewarp, benchmark_sed.py:89-111 — a 512^2 momentum-map grid)
+    from sed_binning_spark.calibration.momentum import generate_inverse_dfield
+    from sed_binning_spark.calibration.momentum_fit import transform_fields
+
+    fr, fc = transform_fields((512, 512), "rotation", angle=5.0)
+    _best2("inv_dfield", lambda: generate_inverse_dfield(
+        fr, fc, bin_ranges=((0, 512), (0, 512)),
+        detector_ranges=((0, 2048), (0, 2048)),
+    ))
+
     ev.unpersist()
     return {
         "n_rows": n,
@@ -215,7 +227,8 @@ def _ref_scale_block(spark, n: int) -> dict:
         "phases": phases,
         "events_per_sec_1d": round(n / best["binning_1d"]),
         "baseline_ref": {"binning_1d": 3.0176, "binning_4d": 9.2103,
-                         "workflow_1d": 17.0553, "workflow_4d": 21.4181},
+                         "workflow_1d": 17.0553, "workflow_4d": 21.4181,
+                         "inv_dfield": 5.1961},
     }
 
 

@@ -1,0 +1,95 @@
+"""Structured Streaming binning — the engine's streaming extension.
+
+The reference is strictly batch (SURVEY §2.8: no streaming operators
+exist), but its core aggregation — N-D histogramming — is exactly the
+shape Structured Streaming handles natively: the same bin-index Column
+expressions feed a streaming ``groupBy().count()``, micro-batches fold in
+as incremental partial aggregates, and the sparse per-cell counts stream
+out in ``update`` mode. An instrument can therefore watch a histogram
+accumulate while the acquisition is still running, with the IDENTICAL
+binning semantics (half-bin shift, inclusive last edge, NaN reject) as the
+batch engine — the expressions are literally shared.
+
+Late data: pass ``event_time_column`` (+ ``watermark_delay``) to get
+per-event-time-window histograms with watermark-bounded state — one cube
+per tumbling window, late rows folded in until the watermark passes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sed_binning_spark.binning.binning import bin_index_columns
+from sed_binning_spark.binning.utils import simplify_binning_arguments
+
+
+def stream_events(
+    spark,
+    path: str,
+    schema=None,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source event stream: new files appearing under ``path`` become
+    micro-batches (the streaming twin of the batch loaders' multi-path
+    read; an acquisition writing one parquet per chunk needs no other
+    integration). ``schema`` may be a DDL string, a StructType, or None to
+    infer from the files already present."""
+    reader = spark.readStream.format(fmt)
+    if schema is None:
+        schema = spark.read.format(fmt).load(path).schema
+    reader = reader.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return reader.load(path)
+
+
+def bin_stream(
+    df: DataFrame,
+    bins=100,
+    axes: Sequence[str] | None = None,
+    ranges: Sequence[tuple[float, float]] | None = None,
+    event_time_column: str | None = None,
+    window_duration: str = "10 seconds",
+    watermark_delay: str = "30 seconds",
+    count_column: str = "count",
+) -> DataFrame:
+    """Streaming N-D histogram: sparse occupied-cell counts that accumulate
+    across micro-batches.
+
+    Returns a streaming DataFrame with one row per occupied cell — columns
+    named after the axes (bin indices) plus ``count`` — matching
+    :func:`sed_binning_spark.binning.binning.bin_dataframe_sparse` row for
+    row once the stream has drained (the correctness contract the tests
+    pin). Run it with ``outputMode("update")`` (or ``"complete"`` for small
+    cubes) and rebuild the dense cube downstream when needed.
+
+    With ``event_time_column`` the histogram becomes per-tumbling-window
+    (extra ``window_start`` column): state is bounded by the watermark, so
+    an endless acquisition stream runs in constant memory.
+    """
+    bins, axes, ranges = simplify_binning_arguments(bins, axes, ranges)
+    df, idx_cols, _, exprs = bin_index_columns(df, bins, axes, ranges)
+    renamed = [e.alias(ax) for e, ax in zip(exprs, axes)]
+
+    if event_time_column is not None:
+        df = df.withWatermark(event_time_column, watermark_delay)
+        win = F.window(F.col(event_time_column), window_duration)
+        out = (
+            df.select(win.alias("__w"), *renamed)
+            .groupBy(F.col("__w.start").alias("window_start"), *axes)
+            .agg(F.count(F.lit(1)).alias(count_column))
+            .dropna(subset=list(axes))
+        )
+        return out
+    # NULL (out-of-range/NaN) indices drop as the post-agg NULL group, the
+    # same codegen-safe pattern as the batch path (see bin_dataframe)
+    return (
+        df.select(*renamed)
+        .groupBy(*axes)
+        .agg(F.count(F.lit(1)).alias(count_column))
+        .dropna(subset=list(axes))
+    )
