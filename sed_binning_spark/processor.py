@@ -36,9 +36,9 @@ class SedProcessor:
         spark: SparkSession (created via get_spark() if omitted).
         config: config dict or YAML path (merged per the reference's
             precedence, sed/core/config.py:19-141).
-        dataframe / files / folder: initial load target (any one).
-        loader: loader name from config["core"]["loader"] (generic only,
-            until instrument HDF5 converters are registered).
+        dataframe / files / folder / runs: initial load target (any one).
+        loader: loader name from config["core"]["loader"] — any of the
+            registered loaders (generic/mpes/flash/sxp).
     """
 
     def __init__(
@@ -48,6 +48,7 @@ class SedProcessor:
         dataframe: DataFrame | None = None,
         files: Sequence[str] | None = None,
         folder: str | None = None,
+        runs=None,
         **kwds,
     ) -> None:
         if spark is None:
@@ -63,8 +64,8 @@ class SedProcessor:
         self._normalization_histogram: Cube | None = None
         self._attributes = MetaHandler()
         self.loader = None
-        if dataframe is not None or files is not None or folder is not None:
-            self.load(dataframe=dataframe, files=files, folder=folder, **kwds)
+        if dataframe is not None or files is not None or folder is not None or runs is not None:
+            self.load(dataframe=dataframe, files=files, folder=folder, runs=runs, **kwds)
 
     # ------------------------------------------------------------------ state
     @property
@@ -111,27 +112,34 @@ class SedProcessor:
         dataframe: DataFrame | None = None,
         files: Sequence[str] | None = None,
         folder: str | None = None,
+        runs=None,
         timed_dataframe: DataFrame | None = None,
         metadata: dict | None = None,
         **kwds,
     ) -> "SedProcessor":
-        """Load events (SedProcessor.load, processor.py:366-447): either an
-        existing DataFrame or files/folder via the configured loader."""
+        """Load events (SedProcessor.load, processor.py:366-447): an
+        existing DataFrame, or files/folder/runs through the loader named by
+        config["core"]["loader"] (the reference's loader_interface
+        dispatch) — generic parquet/csv/json or raw instrument HDF5 via the
+        built-in pure-Python reader."""
         if dataframe is not None:
             self._dataframe = dataframe
             self._timed_dataframe = timed_dataframe
-        elif files is not None or folder is not None:
-            from sed_binning_spark.loaders.generic import GenericLoader
+        elif files is not None or folder is not None or runs is not None:
+            from sed_binning_spark.loaders.interface import get_loader
 
-            self.loader = GenericLoader(self.spark, self._config)
+            loader_name = self._config.get("core", {}).get("loader", "generic")
+            self.loader = get_loader(loader_name, self.spark, self._config)
             df, timed, meta = self.loader.read_dataframe(
-                files=files, folders=folder, **kwds,
+                files=files, folders=folder, runs=runs, **kwds,
             )
             self._dataframe = df
             self._timed_dataframe = timed
             metadata = {**(meta or {}), **(metadata or {})}
         else:
-            raise ValueError("Either dataframe, files, or folder needs to be provided!")
+            raise ValueError(
+                "Either dataframe, files, folder, or runs needs to be provided!",
+            )
         if metadata:
             self._attributes.add(metadata, "loader", duplicate_policy="merge")
         return self

@@ -217,3 +217,25 @@ def test_flash_run_id_resolution(tmp_path):
     ]
     with pytest.raises(FileNotFoundError):
         get_files_from_run_id(11111, str(tmp_path))
+
+
+def test_processor_loads_instrument_run_end_to_end(spark):
+    """The reference's canonical session: SedProcessor(config with an
+    instrument loader, runs=[...]) -> raw HDF5 -> event table -> compute()
+    cube, all through the registry dispatch."""
+    import os
+
+    fixture_dir = "/root/reference/tests/data/loader/mpes"
+    if not os.path.isfile(f"{fixture_dir}/Scan0030_2.h5"):
+        pytest.skip("reference fixture not present")
+    proc = SedProcessor(
+        spark,
+        config={"core": {"loader": "mpes", "paths": {"data_raw_dir": fixture_dir}}},
+        runs=[30],
+        time_stamps=True,
+    )
+    assert proc.loader.name == "mpes"
+    assert proc.dataframe.count() == 297398
+    assert proc.timed_dataframe is not None
+    cube = proc.compute(bins=[50], axes=["t"], ranges=[(100000.0, 300000.0)])
+    assert float(cube.data.sum()) == 297398.0
