@@ -1,15 +1,20 @@
 """K3: NeXus (NXmpes) sink (reference: sed/io/nexus.py:13-47).
 
 The reference delegates to pynxtools' DataConverter with an eln_data
-mapping. pynxtools is not available in this environment; the entry point
-validates its inputs and raises with a clear message, keeping the save()
-dispatch contract (the metadata assembly it WOULD hand over is returned
-by :func:`nexus_payload` and is unit-testable without the dependency).
+mapping. When pynxtools is importable that path is used verbatim;
+otherwise :func:`to_nexus` writes a structural NXmpes subset itself via
+the engine's pure-Python HDF5 writer — /entry (NXentry) with definition,
+and /entry/data (NXdata) carrying the signal, the named axis datasets, and
+the signal/axes attributes any NeXus browser keys on. That file is not
+run through NXDL validation (that is exactly pynxtools' job), but it IS a
+real, openable NeXus-shaped HDF5, not an error message.
 """
 
 from __future__ import annotations
 
 from pathlib import Path
+
+import numpy as np
 
 from sed_binning_spark.cube import Cube
 
@@ -45,8 +50,30 @@ def to_nexus(
 ) -> None:
     payload = nexus_payload(data, reader, definition, input_files)
     if convert is None:
-        raise ImportError(
-            "pynxtools is not installed; NeXus export is unavailable in "
-            "this environment (payload assembly is tested via nexus_payload)",
-        )
+        _write_basic_nxmpes(data, faddr, definition)
+        return
     convert(output=str(faddr), **payload, **kwds)  # pragma: no cover
+
+
+def _write_basic_nxmpes(data: Cube, faddr: str | Path, definition: str) -> None:
+    """Structural NXmpes subset via the built-in HDF5 writer: NXentry +
+    NXdata with signal/axes wiring (the layout load paths key on)."""
+    from sed_binning_spark.io.hdf5_write import H5Writer
+
+    w = H5Writer()
+    w.add_group("/entry")
+    w.add_attr("/entry", "NX_class", "NXentry")
+    w.add_dataset("/entry/definition", definition)
+    w.add_dataset("/entry/data/data", np.asarray(data.data))
+    w.add_attr("/entry/data", "NX_class", "NXdata")
+    w.add_attr("/entry/data", "signal", "data")
+    w.add_attr("/entry/data", "axes", np.array(list(data.dims)))
+    for i, dim in enumerate(data.dims):
+        w.add_dataset(f"/entry/data/{dim}", np.asarray(data.coords[dim]))
+        w.add_attr("/entry/data", f"{dim}_indices", np.int64(i))
+        unit = data.attrs.get("units", {}).get(dim) if isinstance(
+            data.attrs.get("units"), dict,
+        ) else None
+        if unit:
+            w.add_attr(f"/entry/data/{dim}", "units", str(unit))
+    w.write(str(faddr))

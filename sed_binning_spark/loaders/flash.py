@@ -287,6 +287,36 @@ class FlashLoader(BaseLoader):
                                     "TIME1.BUNCH_FIRST_INDEX.1/"},
     }
 
+    def _train_frames_buffered(
+        self,
+        path: str,
+        parquet_dir: str,
+        force_recreate: bool = False,
+    ) -> dict[str, DataFrame]:
+        """Per-file parquet buffer cache around :meth:`h5_to_train_frames`:
+        one ``{stem}.{key}.buffer.parquet`` per frame kind; on reuse the set
+        of buffer files defines which frame kinds exist, so the raw HDF5 is
+        never re-opened."""
+        stem = Path(path).stem
+        out_dir = Path(parquet_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        buffer_paths = {
+            key: out_dir / f"{stem}.{key}.buffer.parquet"
+            for key in ("electron", "pulse", "aux", "train")
+        }
+        existing = {k: p for k, p in buffer_paths.items() if p.exists()}
+        if existing and not force_recreate:
+            # the set of buffer files written at conversion time defines
+            # which frame kinds this raw file has
+            return {k: self.spark.read.parquet(str(p)) for k, p in existing.items()}
+        extracted = self.h5_to_train_frames(path)
+        frames: dict[str, DataFrame] = {}
+        for key, frame in extracted.items():
+            bpath = buffer_paths[key]
+            frame.write.mode("overwrite").parquet(str(bpath))
+            frames[key] = self.spark.read.parquet(str(bpath))
+        return frames
+
     def h5_to_train_frames(self, path: str) -> dict[str, DataFrame]:
         """One raw stream file -> {"electron": ..., "pulse": ..., "aux": ...,
         "train": ...} per-train frames via the engine's pure-Python HDF5
@@ -407,11 +437,23 @@ class FlashLoader(BaseLoader):
                     "provide files/folders/runs or inject train_frames "
                     "(see h5_to_train_frames)",
                 )
+            force_recreate = bool(kwds.pop("force_recreate", False))
             paths = self.resolve_paths(
                 files=files, folders=folders, runs=runs, ftype=ftype,
                 metadata=metadata, **kwds,
             )
-            per_file = [self.h5_to_train_frames(p) for p in paths]
+            # S8 buffer cache: with core.paths.data_parquet_dir configured,
+            # each raw file converts to parquet buffers exactly once
+            # (buffer_file_handler, flash/loader.py:643-742); later sessions
+            # read the buffers and never touch the HDF5 again.
+            parquet_dir = (
+                self.config.get("core", {}).get("paths", {}).get("data_parquet_dir")
+            )
+            per_file = [
+                self._train_frames_buffered(p, parquet_dir, force_recreate)
+                if parquet_dir else self.h5_to_train_frames(p)
+                for p in paths
+            ]
             train_frames = {}
             for frames in per_file:
                 for key, frame in frames.items():

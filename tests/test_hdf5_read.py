@@ -90,6 +90,25 @@ def test_flash_loader_reads_real_instrument_file(spark):
     assert g.where(F.col("mx") != F.col("n") - 1).count() == 0
 
 
+@needs["flash"]
+def test_flash_buffer_cache_skips_reextraction(spark, tmp_path):
+    """S8: first read converts the raw file to parquet buffers; the second
+    read serves entirely from them (the HDF5 is never re-opened — proven by
+    breaking the extractor)."""
+    from sed_binning_spark.loaders.flash import FlashLoader
+
+    config = {"core": {"paths": {"data_parquet_dir": str(tmp_path)}}}
+    first = FlashLoader(spark, config=config)
+    e1, _, _ = first.read_dataframe(files=[FLASH_FX])
+    n1 = e1.count()
+    assert any(p.name.endswith(".buffer.parquet") for p in tmp_path.iterdir())
+
+    second = FlashLoader(spark, config=config)
+    second.h5_to_train_frames = None  # any re-extraction would crash
+    e2, _, _ = second.read_dataframe(files=[FLASH_FX])
+    assert e2.count() == n1 == 102400
+
+
 @needs["sxp"]
 def test_sxp_loader_reads_real_instrument_file(spark):
     """S7 end-to-end on raw bytes: MCP records chop into logical trains,

@@ -92,12 +92,17 @@ def test_h5_round_trip(tmp_path):
     assert float(back.attrs["jitter"]["amplitude"]) == 0.5
 
 
-def test_nexus_payload_and_gate(tmp_path):
+def test_nexus_payload_and_basic_file(tmp_path):
     c = _cube((4, 4), ("kx", "ky"))
     payload = nexus_payload(c, input_files=["a.h5"])
     assert payload["nxdl"] == "NXmpes" and payload["objects"][0] is c
-    try:
-        import pynxtools  # noqa: F401
-    except ImportError:
-        with pytest.raises(ImportError, match="pynxtools"):
-            to_nexus(c, tmp_path / "a.nxs")
+    # without pynxtools a structural NXmpes subset is written directly
+    to_nexus(c, tmp_path / "a.nxs")
+    from sed_binning_spark.io.hdf5_read import H5File
+
+    f = H5File(str(tmp_path / "a.nxs"))
+    assert f.attrs("/entry")["NX_class"] == "NXentry"
+    d = f.attrs("/entry/data")
+    assert d["signal"] == "data" and list(d["axes"]) == ["kx", "ky"]
+    np.testing.assert_array_equal(f.read("/entry/data/data"), c.data)
+    np.testing.assert_array_equal(f.read("/entry/data/kx"), c.coords["kx"])
