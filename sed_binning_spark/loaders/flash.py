@@ -482,7 +482,11 @@ class FlashLoader(BaseLoader):
                 pulse_src, [c for c in pulse_src.columns if c != "trainId"],
             ))
         if "aux" in train_frames:
-            aux_channels = conf.get("aux_channels", {})
+            # aux slice names: explicit dataframe.aux_channels, or the
+            # reference config's channels.dldAux.dldAuxChannels spec
+            aux_channels = conf.get("aux_channels") or (
+                conf.get("channels", {}).get("dldAux", {}).get("dldAuxChannels", {})
+            )
             frames.append(combine_aux_channels(
                 train_frames["aux"], "dldAux", aux_channels,
             ))

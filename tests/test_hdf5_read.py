@@ -109,6 +109,35 @@ def test_flash_buffer_cache_skips_reextraction(spark, tmp_path):
     assert e2.count() == n1 == 102400
 
 
+@needs["flash"]
+def test_flash_loader_accepts_reference_facility_config(spark):
+    """The reference's own facility config.yaml (channel specs with
+    group_name/slice, dldAuxChannels, ubid_offset) drives this loader
+    unchanged — a user can point their existing config at this engine."""
+    import yaml
+
+    conf = yaml.safe_load(
+        open("/root/reference/tests/data/loader/flash/config.yaml"),
+    )
+    from sed_binning_spark.loaders.flash import FlashLoader
+
+    loader = FlashLoader(spark, config={"dataframe": conf["dataframe"]})
+    frames = loader.h5_to_train_frames(FLASH_FX)
+    assert set(frames) == {"electron", "pulse", "aux", "train"}
+    assert set(frames["pulse"].columns) == {"trainId", "gmdTunnel"}
+    assert set(frames["train"].columns) == {"trainId", "timeStamp", "delayStage"}
+
+    electron, pulse, meta = loader.read_dataframe(
+        files=[FLASH_FX], ubid_offset=conf["dataframe"]["ubid_offset"],
+    )
+    # config ubid_offset=5 shifts every pulseId down by 5
+    from pyspark.sql import functions as F
+
+    assert electron.agg(F.min("pulseId")).collect()[0][0] == -5
+    # the dldAux vector split into the config's named scalar channels
+    assert "sampleBias" in pulse.columns or "sampleBias" in electron.columns
+
+
 @needs["sxp"]
 def test_sxp_loader_reads_real_instrument_file(spark):
     """S7 end-to-end on raw bytes: MCP records chop into logical trains,
