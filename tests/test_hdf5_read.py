@@ -153,6 +153,60 @@ def test_sxp_loader_reads_real_instrument_file(spark):
     assert electron.where("dldPosX IS NULL").count() == 0
 
 
+def test_defilter_deflate_shuffle_fletcher():
+    """Filter pipeline inversion on synthetic chunk bytes: deflate, the
+    byte-shuffle transpose, fletcher32 trailer stripping, and the
+    filter_mask skip bit (none of the checked-in fixtures compress, so
+    this path needs direct coverage)."""
+    import zlib
+
+    from sed_binning_spark.io.hdf5_read import H5File
+
+    values = np.arange(100, dtype="<i4")
+    raw = values.tobytes()
+    # shuffle (itemsize 4) then deflate, as libhdf5 applies them
+    shuffled = (
+        np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4).T.tobytes()
+    )
+    stored = zlib.compress(shuffled)
+    filters = [(2, [4]), (1, [6])]          # pipeline order: shuffle, deflate
+    out = H5File._defilter(stored, filters, 0, 4)
+    np.testing.assert_array_equal(np.frombuffer(out, dtype="<i4"), values)
+
+    # fletcher32 after deflate: trailing checksum stripped before inflate
+    filters3 = [(1, [6]), (3, [])]
+    stored3 = zlib.compress(raw) + b"\x12\x34\x56\x78"
+    out3 = H5File._defilter(stored3, filters3, 0, 4)
+    np.testing.assert_array_equal(np.frombuffer(out3, dtype="<i4"), values)
+
+    # filter_mask bit i skips filter i (here: deflate marked as skipped)
+    out_skip = H5File._defilter(raw, [(1, [6])], 0b1, 4)
+    assert out_skip == raw
+
+    with pytest.raises(Exception, match="filter id 99"):
+        H5File._defilter(raw, [(99, [])], 0, 4)
+
+
+def test_parse_filter_pipeline_messages():
+    """Filter-pipeline message decode, v1 (8-padded names, odd-client-data
+    pad word) and v2 (unpadded)."""
+    import struct
+
+    from sed_binning_spark.io.hdf5_read import H5File
+
+    # v1: deflate named "deflate" (7 chars -> padded to 8), 1 client value
+    name = b"deflate\x00"
+    v1 = struct.pack("<BB6x", 1, 1)
+    v1 += struct.pack("<HHHH", 1, len(name), 1, 1) + name
+    v1 += struct.pack("<I", 6) + b"\x00\x00\x00\x00"  # odd ncli -> pad word
+    assert H5File._parse_filters(v1) == [(1, [6])]
+
+    # v2: shuffle with no name, one client value
+    v2 = struct.pack("<BB", 2, 1)
+    v2 += struct.pack("<HHHH", 2, 0, 1, 1) + struct.pack("<I", 4)
+    assert H5File._parse_filters(v2) == [(2, [4])]
+
+
 def test_h5_writer_reader_round_trip(tmp_path):
     """Writer -> reader round trip: nested groups, every supported dtype,
     scalar/array/string attributes, 0-d datasets."""
