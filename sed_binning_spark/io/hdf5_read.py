@@ -5,20 +5,24 @@ Scope (what h5py-written instrument files actually use — verified against
 the reference's real fixtures ``Scan0030_2.h5`` /
 ``FLASH1_USER3_stream_2_run43878...h5`` / ``RAW-R0016-DA03-S00000.h5``):
 
-- superblock v0, 8-byte offsets/lengths
-- version-1 object headers (+ continuation blocks)
-- old-style groups: v1 B-tree (node type 0) over SNOD symbol-table nodes
-  with names in a local heap
+- superblocks v0 (classic) and v2/v3 (libver "latest"), 8-byte
+  offsets/lengths
+- object headers v1 (+ continuation blocks) and v2 (``OHDR``/``OCHK``)
+- groups: old-style v1 B-tree (node type 0) over SNOD symbol-table nodes
+  with names in a local heap, and new-style COMPACT link storage (link
+  messages in the header); dense link storage (fractal heap) raises
 - datasets: contiguous and chunked layouts (layout message v3); chunk
-  index = v1 B-tree (node type 1); filters deflate (zlib) and shuffle
+  index = v1 B-tree (node type 1); filters deflate (zlib), shuffle,
+  fletcher32
 - datatypes: fixed-point and IEEE-float scalars (little/big endian),
   fixed-size and variable-length strings (attributes)
 - attributes (message 0x000C), including scalar numerics and strings
 
-NOT supported (and not needed by these files): superblock v2/v3 "new
-style" groups, fractal heaps, compact layout v1/v2 messages, compound /
-array / enum datatypes, szip/n-bit filters, dataset regions, writes.
-Everything raises a clear ``UnsupportedHDF5`` rather than misreading.
+NOT supported: fractal-heap (dense) links/attributes, layout v4 chunk
+indexes, compact layout, compound / array / enum datatypes, szip/n-bit
+filters, dataset regions, writes (see ``hdf5_write`` for the companion
+writer). Everything raises a clear ``UnsupportedHDF5`` rather than
+misreading.
 
 The point: a facility user's raw files open end-to-end on any executor
 with only numpy + stdlib zlib — the byte-read is no longer gated on an
@@ -78,6 +82,9 @@ class Group:
     btree_addr: int
     heap_addr: int
     attrs: dict = field(default_factory=dict)
+    # new-style compact storage: explicit (name, header addr) links instead
+    # of a symbol-table B-tree
+    links: list[tuple[str, int]] | None = None
 
 
 class H5File:
@@ -91,13 +98,19 @@ class H5File:
         if self._buf[:8] != SIGNATURE:
             raise UnsupportedHDF5("not an HDF5 file (bad signature)")
         ver = self._buf[8]
-        if ver != 0:
-            raise UnsupportedHDF5(f"superblock version {ver} (only v0 supported)")
-        if self._buf[13] != 8 or self._buf[14] != 8:
-            raise UnsupportedHDF5("only 8-byte offsets/lengths supported")
-        # root group symbol-table entry starts at 56: link name offset(8),
-        # object header address(8), cache type(4), reserved(4), scratch(16)
-        self._root_addr = struct.unpack_from("<Q", self._buf, 64)[0]
+        if ver == 0:
+            if self._buf[13] != 8 or self._buf[14] != 8:
+                raise UnsupportedHDF5("only 8-byte offsets/lengths supported")
+            # root group symbol-table entry starts at 56: link name offset(8),
+            # object header address(8), cache type(4), reserved(4), scratch(16)
+            self._root_addr = struct.unpack_from("<Q", self._buf, 64)[0]
+        elif ver in (2, 3):
+            if self._buf[9] != 8 or self._buf[10] != 8:
+                raise UnsupportedHDF5("only 8-byte offsets/lengths supported")
+            # v2/v3: base, extension, eof, root OBJECT HEADER address
+            self._root_addr = struct.unpack_from("<Q", self._buf, 36)[0]
+        else:
+            raise UnsupportedHDF5(f"superblock version {ver}")
         self._cache: dict[str, object] = {}
 
     # -- public surface -----------------------------------------------------
@@ -188,6 +201,13 @@ class H5File:
         return self._cache[key]
 
     def _parse_object_header(self, addr: int):
+        if self._buf[addr : addr + 4] == b"OHDR":
+            msgs = self._messages_v2(addr)
+        else:
+            msgs = self._messages_v1(addr)
+        return self._interpret_messages(msgs)
+
+    def _messages_v1(self, addr: int) -> list[tuple[int, bytes]]:
         buf = self._buf
         version, _, nmsg, _refcnt, hdr_size = struct.unpack_from("<BBHII", buf, addr)
         if version != 1:
@@ -207,9 +227,52 @@ class H5File:
                     caddr, clen = struct.unpack("<QQ", body[:16])
                     blocks.append((caddr, clen))
                 msgs.append((mtype, body))
+        return msgs
 
+    def _messages_v2(self, addr: int) -> list[tuple[int, bytes]]:
+        """Version-2 ('OHDR') object header: 1-byte message types, variable
+        chunk-size field, optional times/attr-phase fields, trailing
+        checksum; continuations are 'OCHK' blocks."""
+        buf = self._buf
+        if buf[addr + 4] != 2:
+            raise UnsupportedHDF5(f"OHDR version {buf[addr + 4]}")
+        flags = buf[addr + 5]
+        pos = addr + 6
+        if flags & 0x20:
+            pos += 16  # access/mod/change/birth times
+        if flags & 0x10:
+            pos += 4   # compact/dense attribute phase-change thresholds
+        size_width = 1 << (flags & 0x3)
+        chunk0 = int.from_bytes(buf[pos : pos + size_width], "little")
+        pos += size_width
+        tracked = bool(flags & 0x04)  # creation order tracked per message
+        msgs: list[tuple[int, bytes]] = []
+        # each block body ends with a 4-byte checksum (not verified here)
+        blocks = [(pos, chunk0 - 4)]
+        bi = 0
+        while bi < len(blocks):
+            p, remaining = blocks[bi]
+            bi += 1
+            while remaining >= 4:
+                mtype = buf[p]
+                msize = struct.unpack_from("<H", buf, p + 1)[0]
+                head = 4 + (2 if tracked else 0)
+                body = buf[p + head : p + head + msize]
+                p += head + msize
+                remaining -= head + msize
+                if mtype == 0x10:  # continuation -> OCHK block
+                    caddr, clen = struct.unpack("<QQ", body[:16])
+                    if buf[caddr : caddr + 4] != b"OCHK":
+                        raise UnsupportedHDF5("bad OCHK signature")
+                    blocks.append((caddr + 4, clen - 8))  # sig + checksum
+                msgs.append((mtype, body))
+        return msgs
+
+    def _interpret_messages(self, msgs: list[tuple[int, bytes]]):
         attrs: dict = {}
         group: Group | None = None
+        links: list[tuple[str, int]] = []
+        saw_link_storage = False
         ds: dict = {}
         for mtype, body in msgs:
             if mtype == 0x0011:  # symbol table -> old-style group
@@ -226,8 +289,16 @@ class H5File:
             elif mtype == 0x000C:
                 name, value = self._parse_attribute(body)
                 attrs[name] = value
-            elif mtype == 0x0002 or mtype == 0x0006:
-                raise UnsupportedHDF5("new-style (link message) groups")
+            elif mtype == 0x0002:  # link info: compact links OK, dense not
+                saw_link_storage = True
+                flags = body[1]
+                p = 2 + (8 if flags & 0x1 else 0)
+                fheap = struct.unpack_from("<Q", body, p)[0]
+                if fheap != UNDEF:
+                    raise UnsupportedHDF5("dense (fractal heap) link storage")
+            elif mtype == 0x0006:
+                saw_link_storage = True
+                links.append(self._parse_link(body))
         if group is not None:
             group.attrs = attrs
             return group
@@ -244,10 +315,34 @@ class H5File:
                 filters=ds.get("filters", []),
                 attrs=attrs,
             )
+        if saw_link_storage:
+            return Group(UNDEF, UNDEF, attrs=attrs, links=sorted(links))
         # attribute-only object (e.g. empty group written without symbols)
-        g = Group(UNDEF, UNDEF)
-        g.attrs = attrs
-        return g
+        return Group(UNDEF, UNDEF, attrs=attrs)
+
+    @staticmethod
+    def _parse_link(body: bytes) -> tuple[str, int]:
+        """Link message (0x0006), hard links only."""
+        version, flags = body[0], body[1]
+        if version != 1:
+            raise UnsupportedHDF5(f"link message version {version}")
+        pos = 2
+        link_type = 0
+        if flags & 0x08:
+            link_type = body[pos]
+            pos += 1
+        if flags & 0x04:
+            pos += 8  # creation order
+        if flags & 0x10:
+            pos += 1  # name character set
+        len_width = 1 << (flags & 0x3)
+        name_len = int.from_bytes(body[pos : pos + len_width], "little")
+        pos += len_width
+        name = body[pos : pos + name_len].decode("utf-8")
+        pos += name_len
+        if link_type != 0:
+            raise UnsupportedHDF5(f"link type {link_type} (hard links only)")
+        return name, struct.unpack_from("<Q", body, pos)[0]
 
     # -- message parsers ----------------------------------------------------
     @staticmethod
@@ -391,6 +486,8 @@ class H5File:
 
     # -- group B-tree (node type 0) -----------------------------------------
     def _group_entries(self, group: Group) -> list[tuple[str, int]]:
+        if group.links is not None:  # new-style compact storage
+            return group.links
         key = f"grp:{group.btree_addr}"
         if key in self._cache:
             return self._cache[key]

@@ -207,6 +207,55 @@ def test_parse_filter_pipeline_messages():
     assert H5File._parse_filters(v2) == [(2, [4])]
 
 
+def test_v3_superblock_ohdr_compact_links(tmp_path):
+    """'libver latest' family: v3 superblock, OHDR v2 object headers,
+    compact link-message groups — hand-built byte-for-byte from the public
+    format spec, since no HDF5 library exists here to generate one."""
+    import struct
+
+    from sed_binning_spark.io.hdf5_read import H5File
+
+    def v2_msg(mtype, body):
+        return struct.pack("<BHB", mtype, len(body), 0) + body
+
+    def ohdr(messages):
+        body = b"".join(messages)
+        chunk0 = len(body) + 4  # + trailing checksum
+        assert chunk0 < 256
+        return (b"OHDR" + struct.pack("<BBB", 2, 0, chunk0) + body
+                + b"\x00\x00\x00\x00")
+
+    values = np.array([1.5, -2.5, 3.0], dtype="<f8")
+    buf = bytearray(48)  # v3 superblock placeholder
+    data_addr = len(buf)
+    buf += values.tobytes()
+
+    # dataset object header (v2): dataspace v2 + IEEE f8 datatype + layout
+    dspace = struct.pack("<BBBB", 2, 1, 0, 1) + struct.pack("<Q", values.size)
+    dtype = (struct.pack("<B3BI", 0x11, 0x20, 63, 0, 8)
+             + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023))
+    layout = struct.pack("<BBQQ", 3, 1, data_addr, values.nbytes)
+    ds_addr = len(buf)
+    buf += ohdr([v2_msg(0x01, dspace), v2_msg(0x03, dtype), v2_msg(0x08, layout)])
+
+    # root group header: link info (compact) + one hard link "dset"
+    link_info = struct.pack("<BB", 0, 0) + struct.pack("<QQ", 2**64 - 1, 2**64 - 1)
+    name = b"dset"
+    link = (struct.pack("<BB", 1, 0) + struct.pack("<B", len(name)) + name
+            + struct.pack("<Q", ds_addr))
+    root_addr = len(buf)
+    buf += ohdr([v2_msg(0x02, link_info), v2_msg(0x06, link)])
+
+    struct.pack_into("<8sBBBB", buf, 0, b"\x89HDF\r\n\x1a\n", 3, 8, 8, 0)
+    struct.pack_into("<QQQQ", buf, 12, 0, 2**64 - 1, len(buf), root_addr)
+
+    p = tmp_path / "latest.h5"
+    p.write_bytes(bytes(buf))
+    f = H5File(str(p))
+    assert f.visit() == ["/dset"]
+    np.testing.assert_array_equal(f.read("/dset"), values)
+
+
 def test_h5_writer_reader_round_trip(tmp_path):
     """Writer -> reader round trip: nested groups, every supported dtype,
     scalar/array/string attributes, 0-d datasets."""
