@@ -93,8 +93,16 @@ class H5File:
     ``attrs(path)`` the attribute dict."""
 
     def __init__(self, path: str) -> None:
+        # mmap, not read(): metadata walks (visit/attrs/dataset) touch only
+        # header pages, so a driver can cheaply inspect files whose DATA is
+        # extracted executor-side
+        import mmap
+
         with open(path, "rb") as f:
-            self._buf = f.read()
+            try:
+                self._buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+            except (ValueError, OSError):  # zero-byte or unmappable file
+                self._buf = f.read()
         if self._buf[:8] != SIGNATURE:
             raise UnsupportedHDF5("not an HDF5 file (bad signature)")
         ver = self._buf[8]
@@ -465,7 +473,9 @@ class H5File:
         if buf[heap_addr : heap_addr + 4] != b"HEAP":
             raise UnsupportedHDF5("bad local heap signature")
         data_addr = struct.unpack_from("<Q", buf, heap_addr + 24)[0]
-        end = buf.index(b"\x00", data_addr + offset)
+        end = buf.find(b"\x00", data_addr + offset)
+        if end < 0:
+            raise UnsupportedHDF5("unterminated heap string")
         return buf[data_addr + offset : end].decode("utf-8")
 
     def _global_heap_object(self, heap_addr: int, index: int) -> bytes:

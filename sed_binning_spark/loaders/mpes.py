@@ -40,6 +40,16 @@ from sed_binning_spark.loaders.utils import natural_sort_key
 FILE_COLUMN = "file_id"
 ROW_COLUMN = "row_id"
 
+_SPARK_TYPES = {"float32": "float", "float64": "double",
+                "int32": "int", "int64": "long"}
+
+
+def _spark_type(np_dtype: str) -> str:
+    try:
+        return _SPARK_TYPES[np_dtype]
+    except KeyError:
+        raise ValueError(f"unsupported stream data_type {np_dtype!r}") from None
+
 
 # ---------------------------------------------------------------------------
 # timestamp synthesis (loader.py:304-343) — NumPy kernel + Spark expression
@@ -297,6 +307,117 @@ class MpesLoader(BaseLoader):
                 pass
         return out
 
+    def _read_distributed(
+        self,
+        paths: list[str],
+        alias_dict: dict[str, str] | None,
+        time_stamps: bool,
+        time_stamp_alias: str,
+        data_type: str = "float32",
+    ) -> tuple[DataFrame, DataFrame | None, dict]:
+        """Raw-file read at scale: the DRIVER touches only header pages
+        (mmap — stream names, aliases, ms markers, start times), while the
+        per-file stream DATA is extracted executor-side with mapInPandas
+        over the path list — one task per file, no driver materialization.
+        This is the 100 TB ingestion shape; the reference's equivalent is
+        its per-file dask.delayed graph (mpes loader.py:114-140).
+        """
+        import pandas as pd
+
+        from sed_binning_spark.io.hdf5_read import H5File
+
+        # driver-side metadata pass: schema from the first file, markers +
+        # start times per file (tiny datasets; data pages never faulted in)
+        probe = H5File(paths[0])
+        stream_names = sorted(
+            (p.lstrip("/") for p in probe.visit() if p.startswith("/Stream_")),
+            key=natural_sort_key,
+        )
+        if not stream_names:
+            raise ValueError(f"no Stream_* datasets in {paths[0]}")
+        aliases = alias_dict or {
+            n: str(probe.attrs("/" + n).get("Name", n)) for n in stream_names
+        }
+        out_cols = [aliases.get(n, n) for n in stream_names]
+
+        markers: list[np.ndarray | None] = []
+        starts: list[float] = []
+        elapsed = 0.0
+        for p in paths:
+            f = H5File(p)
+            names = {q.lstrip("/") for q in f.visit()}
+            mm = f.read("/msMarkers") if "msMarkers" in names else None
+            markers.append(mm)
+            fd = {}
+            first_ts = f.attrs("/").get("FirstEventTimeStamp")
+            if isinstance(first_ts, str):
+                from datetime import datetime
+
+                try:
+                    fd["start"] = datetime.fromisoformat(first_ts).timestamp()
+                except ValueError:
+                    pass
+            starts.append(float(fd.get("start", 0.0)))
+            if mm is not None:
+                elapsed += elapsed_time_from_markers(mm)
+
+        spark = self.spark
+        paths_df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(paths)], "file_id int, path string",
+        ).repartition(len(paths), "file_id")
+
+        np_dtype = data_type
+        ts_flag = bool(time_stamps)
+        ts_alias = time_stamp_alias
+        starts_by_fid = dict(enumerate(starts))
+
+        def _extract(batches):
+            for pdf in batches:
+                for fid, path in zip(pdf["file_id"], pdf["path"]):
+                    f = H5File(path)
+                    cols = {}
+                    n = None
+                    for sname, cname in zip(stream_names, out_cols):
+                        arr = f.read("/" + sname).astype(np_dtype)
+                        cols[cname] = arr
+                        n = len(arr)
+                    out = pd.DataFrame(cols)
+                    if ts_flag:
+                        mm = f.read("/msMarkers")
+                        out[ts_alias] = event_timestamps_np(
+                            n, mm, starts_by_fid[int(fid)],
+                        )
+                    out[FILE_COLUMN] = np.int32(fid)
+                    out[ROW_COLUMN] = np.arange(n, dtype=np.int64)
+                    yield out
+
+        schema = ", ".join(f"`{c}` {_spark_type(np_dtype)}" for c in out_cols)
+        if ts_flag:
+            schema += f", `{ts_alias}` double"
+        schema += f", {FILE_COLUMN} int, {ROW_COLUMN} long"
+        event_df = paths_df.mapInPandas(_extract, schema)
+
+        timed_parts = []
+        for fid, (mm, start) in enumerate(zip(markers, starts)):
+            if mm is None:
+                continue
+            timed = timed_dataframe_from_markers(
+                event_df, mm, start_time=start, time_stamps=ts_flag,
+                time_stamp_alias=ts_alias, file_id=fid,
+            )
+            timed_parts.append(timed.withColumn(FILE_COLUMN, F.lit(fid).cast("int")))
+        timed_df = None
+        if timed_parts:
+            timed_df = timed_parts[0]
+            for p in timed_parts[1:]:
+                timed_df = timed_df.unionByName(p)
+
+        self.metadata.update({
+            "file_statistics": {"num_files": len(paths)},
+            "elapsed_time": elapsed,
+        })
+        return event_df, timed_df, self.metadata
+
     def read_dataframe(
         self,
         files: str | Sequence[str] | None = None,
@@ -330,7 +451,9 @@ class MpesLoader(BaseLoader):
                 files=files, folders=folders, runs=runs, ftype=ftype,
                 metadata=metadata, **kwds,
             )
-            files_data = [self.h5_to_streams(p) for p in paths]
+            return self._read_distributed(
+                paths, alias_dict, time_stamps, time_stamp_alias,
+            )
         conf = self.config.get("dataframe", {})
         alias_dict = alias_dict or conf.get("aliases", {})
 
