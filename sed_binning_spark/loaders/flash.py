@@ -42,6 +42,57 @@ from sed_binning_spark.loaders.base import BaseLoader
 MULTI_INDEX = ("trainId", "pulseId", "electronId")
 
 
+def electron_frames_distributed(
+    spark,
+    paths: Sequence[str],
+    channels: dict[str, dict],
+) -> DataFrame:
+    """Per-electron channel extraction with one mapInPandas task per file:
+    executors read the bulky hit arrays straight from the raw bytes with
+    the built-in HDF5 reader; the driver never materializes event data.
+    Shared by the flash and sxp loaders (their channel specs differ only in
+    group_name/slice vs dataset_key/index_key addressing)."""
+    import pandas as pd
+
+    channels = {k: dict(v) for k, v in channels.items() if v["format"] == "per_electron"}
+    if not channels:
+        raise ValueError("no per_electron channels configured")
+    names = list(channels)
+
+    def _keys(ch: dict) -> tuple[str, str]:
+        if "group_name" in ch:
+            grp = ch["group_name"].rstrip("/")
+            return f"{grp}/index", f"{grp}/value"
+        return ch["index_key"], ch["dataset_key"]
+
+    def _extract(batches):
+        from sed_binning_spark.io.hdf5_read import H5File
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                f = H5File(path)
+                out = None
+                for name in names:
+                    ch = channels[name]
+                    idx_key, ds_key = _keys(ch)
+                    idx = f.read(idx_key).astype(np.int64)
+                    val = f.read(ds_key)
+                    sl = ch.get("slice")
+                    if sl is not None and val.ndim >= 2:
+                        val = val[:, sl, ...]
+                    val = np.asarray(val, dtype=np.float64)
+                    if out is None:
+                        out = pd.DataFrame({"trainId": idx})
+                    out[name] = list(val)
+                yield out
+
+    arr_cols = ", ".join(f"`{n}` array<double>" for n in names)
+    paths_df = spark.createDataFrame(
+        [(p,) for p in paths], "path string",
+    ).repartition(len(paths), "path")
+    return paths_df.mapInPandas(_extract, f"trainId long, {arr_cols}")
+
+
 def explode_per_electron(
     df_train: DataFrame,
     pulse_array_column: str,
@@ -287,6 +338,10 @@ class FlashLoader(BaseLoader):
                                     "TIME1.BUNCH_FIRST_INDEX.1/"},
     }
 
+    def _electron_frames_distributed(self, paths: list[str]) -> DataFrame:
+        channels = self.config.get("dataframe", {}).get("channels", self.DEFAULT_CHANNELS)
+        return electron_frames_distributed(self.spark, paths, channels)
+
     def _train_frames_buffered(
         self,
         path: str,
@@ -317,19 +372,28 @@ class FlashLoader(BaseLoader):
             frames[key] = self.spark.read.parquet(str(bpath))
         return frames
 
-    def h5_to_train_frames(self, path: str) -> dict[str, DataFrame]:
+    def h5_to_train_frames(
+        self,
+        path: str,
+        formats: Sequence[str] | None = None,
+    ) -> dict[str, DataFrame]:
         """One raw stream file -> {"electron": ..., "pulse": ..., "aux": ...,
         "train": ...} per-train frames via the engine's pure-Python HDF5
         reader (the structures the reference reads through h5py,
         sed/loader/flash/loader.py:617-742). Channel specs come from
         ``config["dataframe"]["channels"]`` (reference config shape) with
-        the HEXTOF fixture layout as default."""
+        the HEXTOF fixture layout as default. ``formats`` restricts which
+        channel formats are extracted (the distributed read pulls
+        per_electron data executor-side and the small per-pulse/train
+        frames driver-side)."""
         import pandas as pd
 
         from sed_binning_spark.io.hdf5_read import H5File
 
         f = H5File(path)
         channels = self.config.get("dataframe", {}).get("channels", self.DEFAULT_CHANNELS)
+        if formats is not None:
+            channels = {k: v for k, v in channels.items() if v["format"] in formats}
 
         def _keys(name: str, ch: dict) -> tuple[str, str]:
             if "group_name" in ch:
@@ -449,18 +513,35 @@ class FlashLoader(BaseLoader):
             parquet_dir = (
                 self.config.get("core", {}).get("paths", {}).get("data_parquet_dir")
             )
-            per_file = [
-                self._train_frames_buffered(p, parquet_dir, force_recreate)
-                if parquet_dir else self.h5_to_train_frames(p)
-                for p in paths
-            ]
-            train_frames = {}
-            for frames in per_file:
-                for key, frame in frames.items():
-                    train_frames[key] = (
-                        frame if key not in train_frames
-                        else train_frames[key].unionByName(frame)
-                    )
+            if parquet_dir:
+                per_file = [
+                    self._train_frames_buffered(p, parquet_dir, force_recreate)
+                    for p in paths
+                ]
+                train_frames = {}
+                for frames in per_file:
+                    for key, frame in frames.items():
+                        train_frames[key] = (
+                            frame if key not in train_frames
+                            else train_frames[key].unionByName(frame)
+                        )
+            else:
+                # scale path: bulky per-electron hit arrays extract
+                # executor-side (one task per file); the small per-pulse /
+                # per-train frames read driver-side off header+small pages
+                train_frames = {
+                    "electron": self._electron_frames_distributed(paths),
+                }
+                per_file = [
+                    self.h5_to_train_frames(p, formats=("per_pulse", "per_train"))
+                    for p in paths
+                ]
+                for frames in per_file:
+                    for key, frame in frames.items():
+                        train_frames[key] = (
+                            frame if key not in train_frames
+                            else train_frames[key].unionByName(frame)
+                        )
         conf = self.config.get("dataframe", {})
         if ubid_offset is None:
             ubid_offset = conf.get("ubid_offset", 0)

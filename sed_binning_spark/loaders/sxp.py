@@ -164,13 +164,17 @@ class SXPLoader(BaseLoader):
                       "dataset_key": "/INDEX/timestamp", "index_key": "/INDEX/trainId"},
     }
 
-    def h5_to_record_frames(self, path: str) -> dict[str, DataFrame]:
+    def h5_to_record_frames(
+        self,
+        path: str,
+        formats: Sequence[str] | None = None,
+    ) -> dict[str, DataFrame]:
         """One RAW file -> {"electron": per-record frame, "train": ...} via
         the engine's pure-Python HDF5 reader (the structures the reference
         reads through h5py, sed/loader/sxp/loader.py:226-343). Channel specs
         come from ``config["dataframe"]["channels"]`` (reference config
         shape: dataset_key/index_key) with the SXP fixture layout as
-        default."""
+        default. ``formats`` restricts which channel formats extract."""
         import numpy as np
         import pandas as pd
 
@@ -178,6 +182,8 @@ class SXPLoader(BaseLoader):
 
         f = H5File(path)
         channels = self.config.get("dataframe", {}).get("channels", self.DEFAULT_CHANNELS)
+        if formats is not None:
+            channels = {k: v for k, v in channels.items() if v["format"] in formats}
         electron: dict[str, tuple] = {}
         train: dict[str, tuple] = {}
         for name, ch in channels.items():
@@ -244,8 +250,20 @@ class SXPLoader(BaseLoader):
                 files=files, folders=folders, runs=runs, ftype=ftype,
                 metadata=metadata, **kwds,
             )
-            per_file = [self.h5_to_record_frames(p) for p in paths]
-            record_frames = {}
+            # scale path: bulky per-record hit arrays extract executor-side;
+            # small per-train channels read driver-side off metadata pages
+            from sed_binning_spark.loaders.flash import electron_frames_distributed
+
+            channels = self.config.get("dataframe", {}).get(
+                "channels", self.DEFAULT_CHANNELS,
+            )
+            record_frames = {
+                "electron": electron_frames_distributed(self.spark, paths, channels),
+            }
+            per_file = [
+                self.h5_to_record_frames(p, formats=("per_pulse", "per_train"))
+                for p in paths
+            ]
             for frames in per_file:
                 for key, frame in frames.items():
                     record_frames[key] = (
