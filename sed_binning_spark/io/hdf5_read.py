@@ -123,10 +123,15 @@ class H5File:
 
     # -- public surface -----------------------------------------------------
     def visit(self) -> list[str]:
-        """All dataset paths (depth-first, '/'-separated)."""
+        """All dataset paths (depth-first, '/'-separated). Hard links to an
+        ancestor group (legal in HDF5) are walked once, not cycled."""
         out: list[str] = []
+        seen: set[int] = set()
 
         def _walk(prefix: str, addr: int) -> None:
+            if addr in seen:
+                return
+            seen.add(addr)
             obj = self._object(addr)
             if isinstance(obj, Group):
                 for name, child in self._group_entries(obj):
@@ -439,6 +444,10 @@ class H5File:
         version = body[0]
         if version not in (1, 2, 3):
             raise UnsupportedHDF5(f"attribute message version {version}")
+        if version in (2, 3) and body[1] & 0x03:
+            # flag bits mark SHARED datatype/dataspace: the blocks below
+            # would be shared-message references, not inline definitions
+            raise UnsupportedHDF5("shared attribute datatype/dataspace")
         name_size, dt_size, sp_size = struct.unpack_from("<HHH", body, 2)
         # v3 inserts a 1-byte name character-set encoding before the name;
         # v1 pads name/datatype/dataspace blocks to 8 bytes, v2/v3 don't
