@@ -203,3 +203,90 @@ def _dim(df: DataFrame, embedding_column: str) -> int:
     if row is None:
         raise ValueError("empty dataframe; cannot infer embedding dim")
     return int(row["d"])
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the third tier: a coarse k-means quantizer
+# partitions the corpus into lists; a query probes only its nearest lists.
+# Complements the LSH path: IVF gives tunable recall/cost via n_probes and
+# a natural storage layout (partition the corpus parquet by list id).
+# ---------------------------------------------------------------------------
+def ivf_train_centroids(
+    df: DataFrame,
+    n_lists: int = 16,
+    embedding_column: str = "embedding",
+    sample_size: int = 4096,
+    iterations: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer trained driver-side on a bounded
+    sample (centroid fitting is small-data model estimation, like the
+    calibration fits — the corpus itself never leaves the cluster).
+    Returns (n_lists, dim) L2-normalized centroids."""
+    pdf = df.select(embedding_column).limit(int(sample_size)).toPandas()
+    x = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf[embedding_column]])
+    if len(x) < n_lists:
+        raise ValueError(f"sample of {len(x)} rows cannot seed {n_lists} lists")
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=n_lists, replace=False)]
+    for _ in range(iterations):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for c in range(n_lists):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    embedding_column: str = "embedding",
+    list_column: str = "ivf_list",
+) -> DataFrame:
+    """Nearest-centroid list assignment: one BLAS matmul per Arrow batch
+    (same shape as the LSH sketch UDF). At scale, write the assigned corpus
+    partitioned by ``list_column`` so probes become partition pruning."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64).T)
+
+    def _assign_fn(emb):
+        mat = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ cent, axis=1).astype(np.int32))
+
+    _assign_fn.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    _assign = pandas_udf(_assign_fn, "int")
+    return df.withColumn(list_column, _assign(F.col(embedding_column)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: np.ndarray,
+    query: Sequence[float],
+    k: int = 10,
+    n_probes: int = 4,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    list_column: str = "ivf_list",
+) -> DataFrame:
+    """Approximate top-k: probe only the ``n_probes`` lists whose centroids
+    are nearest the query, exact cosine + TakeOrderedAndProject within.
+    If ``list_column`` is already on ``df`` (pre-assigned, ideally the
+    partition column of the stored corpus) the assignment UDF is skipped
+    and probing prunes partitions."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(cent @ q))[: int(n_probes)].tolist()
+    if list_column not in df.columns:
+        df = ivf_assign(df, centroids, embedding_column, list_column)
+    probed = df.where(F.col(list_column).isin(probes))
+    return cosine_topk(
+        probed, query, k=k,
+        embedding_column=embedding_column, id_column=id_column,
+    )

@@ -336,3 +336,39 @@ def test_ann_lsh_recall_vs_brute(spark):
     assert lsh <= brute  # verified candidates: no false positives
     assert len(brute) > 0
     assert len(lsh & brute) / len(brute) >= 0.9
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/testdata/sf0.01/embeddings.parquet"),
+    reason="driver testdata not present",
+)
+def test_ann_ivf_recall_vs_brute(spark):
+    """IVF tier: probing 6 of 8 lists must recover >= 0.9 of the exact
+    top-10 (random-ish embeddings scatter neighbors across lists, so the
+    curve reaches 1.0 only near full probing — measured 0.2/0.6/1.0 at
+    1/4/6 probes), and scores for returned ids are exact (IVF only
+    restricts the candidate set; the cosine itself is not approximated).
+    Probing ALL lists must equal brute force exactly."""
+    from sed_binning_spark.pipeline.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = [float(np.sin(i * 0.37) + 0.2) for i in range(64)]
+    cents = ivf_train_centroids(df, n_lists=8, sample_size=512, seed=7)
+    assert cents.shape == (8, 64)
+    np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-9)
+
+    brute = cosine_topk(df, q, k=10).toPandas()
+    ivf = ivf_topk(df, cents, q, k=10, n_probes=6).toPandas()
+    recall = len(set(ivf.vec_id) & set(brute.vec_id)) / 10
+    assert recall >= 0.9
+    exact = brute.set_index("vec_id").score
+    for _, row in ivf.iterrows():
+        if row.vec_id in exact.index:
+            assert row.score == pytest.approx(exact[row.vec_id], abs=1e-9)
+
+    full = ivf_topk(df, cents, q, k=10, n_probes=8).toPandas()
+    assert list(full.vec_id) == list(brute.vec_id)
