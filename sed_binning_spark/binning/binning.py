@@ -309,10 +309,38 @@ def _choose_combine(df: DataFrame, combine: str, n_cells: int) -> str:
     """
     if combine != "auto":
         return combine
-    rows = df.count()
+    rows = _cheap_row_estimate(df)
+    if rows is None:
+        return "shuffle"
     if rows <= _DENSE_ROWS_BUDGET and rows < n_cells * _DENSE_DEDUP_LIMIT:
         return "driver"
     return "shuffle"
+
+
+def _cheap_row_estimate(df: DataFrame) -> int | None:
+    """Row count for routing, but only when it is cheap to obtain.
+
+    Catalyst statistics answer instantly for materialized caches; a count()
+    over columnar sources / expression pipelines prunes every column and
+    costs one metadata-ish scan. But a plan containing Python stages
+    (mapInPandas loaders, pandas_udf transforms) cannot be pruned — a count
+    would re-run the whole extraction, doubling ingest cost — so routing
+    returns None there and the caller takes the always-safe shuffle plan
+    (callers who know better can force combine='driver')."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        stats_rows = plan.stats().rowCount()
+        if stats_rows.isDefined():
+            got = stats_rows.get()  # Py4J may hand back int or scala BigInt
+            return int(got if isinstance(got, int) else got.longValue())
+        plan_str = plan.toString()
+    except Exception:
+        return None
+    python_nodes = ("MapInPandas", "MapInArrow", "PythonUDF", "FlatMapGroupsInPandas",
+                    "MapPartitionsInRWith", "ArrowEvalPython", "BatchEvalPython")
+    if any(tok in plan_str for tok in python_nodes):
+        return None
+    return df.count()
 
 
 def _spill_collect_arrow(df: DataFrame):

@@ -31,6 +31,13 @@ def to_h5(data: Cube, faddr: str | Path, mode: str = "w") -> None:
     if h5py is None:
         from sed_binning_spark.io.hdf5_write import H5Writer
 
+        if mode in ("x", "w-") and Path(faddr).exists():
+            raise FileExistsError(f"{faddr} exists (mode={mode!r})")
+        if mode == "a" and Path(faddr).exists():
+            raise NotImplementedError(
+                "append mode needs h5py; the built-in writer only creates "
+                "files whole (mode 'w')",
+            )
         w = H5Writer()
         w.add_dataset("/binned/BinnedData", data.data)
         w.add_attr("/binned/BinnedData", "typ", "float32")

@@ -428,11 +428,18 @@ class H5File:
         else:
             raise UnsupportedHDF5(f"filter pipeline version {version}")
         for _ in range(nfilters):
-            fid, namelen, _flags, ncli = struct.unpack_from("<HHHH", body, pos)
-            pos += 8
-            if version == 1 or namelen:
-                pad = namelen + (-namelen) % 8 if version == 1 else namelen
-                pos += pad
+            fid = struct.unpack_from("<H", body, pos)[0]
+            pos += 2
+            # v2 OMITS the Name Length field for built-in filters (id < 256)
+            if version == 1 or fid >= 256:
+                namelen = struct.unpack_from("<H", body, pos)[0]
+                pos += 2
+            else:
+                namelen = 0
+            _flags, ncli = struct.unpack_from("<HH", body, pos)
+            pos += 4
+            if namelen:
+                pos += namelen + ((-namelen) % 8 if version == 1 else 0)
             cd = list(struct.unpack_from(f"<{ncli}I", body, pos))
             pos += 4 * ncli
             if version == 1 and ncli % 2:

@@ -72,6 +72,7 @@ def electron_frames_distributed(
             for path in pdf["path"]:
                 f = H5File(path)
                 out = None
+                idx0 = None
                 for name in names:
                     ch = channels[name]
                     idx_key, ds_key = _keys(ch)
@@ -82,7 +83,15 @@ def electron_frames_distributed(
                         val = val[:, sl, ...]
                     val = np.asarray(val, dtype=np.float64)
                     if out is None:
+                        idx0 = idx
                         out = pd.DataFrame({"trainId": idx})
+                    elif not np.array_equal(idx, idx0):
+                        # positional attach would mis-attribute hits; same
+                        # contract as the driver-side extractor
+                        raise ValueError(
+                            f"per-electron channel {name} in {path} has a "
+                            "different train index",
+                        )
                     out[name] = list(val)
                 yield out
 
@@ -359,10 +368,11 @@ class FlashLoader(BaseLoader):
             key: out_dir / f"{stem}.{key}.buffer.parquet"
             for key in ("electron", "pulse", "aux", "train")
         }
-        existing = {k: p for k, p in buffer_paths.items() if p.exists()}
-        if existing and not force_recreate:
-            # the set of buffer files written at conversion time defines
-            # which frame kinds this raw file has
+        # completeness marker: written LAST, so a conversion that dies
+        # mid-way is redone instead of silently served as partial data
+        done_marker = out_dir / f"{stem}.buffers.complete"
+        if done_marker.exists() and not force_recreate:
+            existing = {k: p for k, p in buffer_paths.items() if p.exists()}
             return {k: self.spark.read.parquet(str(p)) for k, p in existing.items()}
         extracted = self.h5_to_train_frames(path)
         frames: dict[str, DataFrame] = {}
@@ -370,6 +380,7 @@ class FlashLoader(BaseLoader):
             bpath = buffer_paths[key]
             frame.write.mode("overwrite").parquet(str(bpath))
             frames[key] = self.spark.read.parquet(str(bpath))
+        done_marker.write_text("")
         return frames
 
     def h5_to_train_frames(

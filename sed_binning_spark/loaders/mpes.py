@@ -335,9 +335,11 @@ class MpesLoader(BaseLoader):
         )
         if not stream_names:
             raise ValueError(f"no Stream_* datasets in {paths[0]}")
-        aliases = alias_dict or {
-            n: str(probe.attrs("/" + n).get("Name", n)) for n in stream_names
-        }
+        # instrument Name attributes are the defaults; an explicit alias
+        # dict overrides per stream (the reference's merge semantics —
+        # hdf5_to_dataframe falls back to get_attribute(..., "Name"))
+        aliases = {n: str(probe.attrs("/" + n).get("Name", n)) for n in stream_names}
+        aliases.update(alias_dict or {})
         out_cols = [aliases.get(n, n) for n in stream_names]
 
         markers: list[np.ndarray | None] = []
@@ -397,20 +399,42 @@ class MpesLoader(BaseLoader):
         schema += f", {FILE_COLUMN} int, {ROW_COLUMN} long"
         event_df = paths_df.mapInPandas(_extract, schema)
 
-        timed_parts = []
+        # ONE broadcast marker table + ONE join for all files: a per-file
+        # timed_dataframe_from_markers union would re-run the whole
+        # mapInPandas extraction once per file (O(files^2) file reads)
+        marker_rows = []
         for fid, (mm, start) in enumerate(zip(markers, starts)):
             if mm is None:
                 continue
-            timed = timed_dataframe_from_markers(
-                event_df, mm, start_time=start, time_stamps=ts_flag,
-                time_stamp_alias=ts_alias, file_id=fid,
-            )
-            timed_parts.append(timed.withColumn(FILE_COLUMN, F.lit(fid).cast("int")))
+            for i, m in enumerate(np.asarray(mm, dtype=np.int64)):
+                marker_rows.append((fid, int(i), int(m) - 1, start))
         timed_df = None
-        if timed_parts:
-            timed_df = timed_parts[0]
-            for p in timed_parts[1:]:
-                timed_df = timed_df.unionByName(p)
+        if marker_rows:
+            mdf = spark.createDataFrame(
+                marker_rows,
+                schema=f"{FILE_COLUMN} int, __ms_i long, __target long, __start double",
+            )
+            keep = [c for c in event_df.columns if c not in (FILE_COLUMN, ROW_COLUMN)]
+            if ts_flag and ts_alias in keep:
+                keep.remove(ts_alias)
+            timed_df = (
+                F.broadcast(mdf)
+                .join(
+                    event_df,
+                    on=(mdf[FILE_COLUMN] == event_df[FILE_COLUMN])
+                    & (mdf["__target"] == event_df[ROW_COLUMN]),
+                    how="inner",
+                )
+                .select(mdf[FILE_COLUMN], F.col("__ms_i"), F.col("__start"), *keep)
+            )
+            if ts_flag:
+                timed_df = timed_df.withColumn(
+                    ts_alias,
+                    F.col("__start") + F.col("__ms_i").cast("double") / F.lit(1000.0),
+                )
+            timed_df = timed_df.drop("__start").withColumnRenamed(
+                "__ms_i", ROW_COLUMN.replace("row", "ms"),
+            )
 
         self.metadata.update({
             "file_statistics": {"num_files": len(paths)},
@@ -451,8 +475,9 @@ class MpesLoader(BaseLoader):
                 files=files, folders=folders, runs=runs, ftype=ftype,
                 metadata=metadata, **kwds,
             )
+            conf_aliases = self.config.get("dataframe", {}).get("aliases", {})
             return self._read_distributed(
-                paths, alias_dict, time_stamps, time_stamp_alias,
+                paths, alias_dict or conf_aliases, time_stamps, time_stamp_alias,
             )
         conf = self.config.get("dataframe", {})
         alias_dict = alias_dict or conf.get("aliases", {})

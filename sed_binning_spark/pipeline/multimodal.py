@@ -132,6 +132,8 @@ def decode_audio_wav(data: bytes) -> tuple[np.ndarray, int]:
     audio_format, n_channels, sample_rate, _, _, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError("only PCM-16 WAV supported")
+    if n_channels < 1:
+        raise ValueError("WAV fmt chunk declares zero channels")
     samples = np.frombuffer(raw, dtype="<i2")
     n = samples.size // n_channels * n_channels
     return samples[:n].reshape(-1, n_channels), sample_rate
@@ -171,15 +173,24 @@ def decode_payload(payload: bytes, dim: int) -> list[float]:
     - anything else:   kind=0, dims=(n_bytes, 0, 0), byte stats / 255
     """
     payload = payload or b""
-    if payload.startswith(b"P6") or payload.startswith(b"BM"):
-        img = decode_image_ppm(payload) if payload.startswith(b"P6") else decode_image_bmp(payload)
-        h, w, ch = img.shape
-        vec = [KIND_IMAGE, float(w), float(h), float(ch), *_norm_stats(img, 255.0)]
-    elif payload.startswith(b"RIFF"):
-        samples, rate = decode_audio_wav(payload)
-        vec = [KIND_AUDIO, float(samples.shape[0]), float(rate),
-               float(samples.shape[1]), *_norm_stats(samples, 32768.0)]
-    else:
+    vec = None
+    try:
+        if payload.startswith(b"P6") or payload.startswith(b"BM"):
+            img = (decode_image_ppm(payload) if payload.startswith(b"P6")
+                   else decode_image_bmp(payload))
+            h, w, ch = img.shape
+            vec = [KIND_IMAGE, float(w), float(h), float(ch), *_norm_stats(img, 255.0)]
+        elif payload.startswith(b"RIFF"):
+            samples, rate = decode_audio_wav(payload)
+            vec = [KIND_AUDIO, float(samples.shape[0]), float(rate),
+                   float(samples.shape[1]), *_norm_stats(samples, 32768.0)]
+    except (ValueError, ZeroDivisionError, struct.error):
+        # magic matched but the container is truncated/unsupported (16-bit
+        # PPM, 8/32-bpp BMP, float WAV, RIFF-but-AVI, zero channels...):
+        # ONE bad payload must not kill a corpus-wide mapInPandas job —
+        # fall through to honest byte statistics, as documented
+        vec = None
+    if vec is None:
         arr = np.frombuffer(payload, dtype=np.uint8)
         vec = [KIND_OTHER, float(arr.size), 0.0, 0.0, *_norm_stats(arr, 255.0)]
     vec = vec[:dim]

@@ -142,6 +142,8 @@ def hyperplane_sketch_udf(planes: np.ndarray, num_tables: int):
     weights = 1 << np.arange(p)[::-1]
 
     def _sketch_fn(emb):
+        if not len(emb):  # empty Arrow batch: asarray([]) would be 1-D
+            return pd.Series([], dtype=object)
         mat = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
         bits = (mat @ flat) >= 0  # (N, T*P)
         keys = bits.reshape(len(mat), t, p) @ weights  # (N, T) int bucket ids
@@ -255,6 +257,8 @@ def ivf_assign(
     cent = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64).T)
 
     def _assign_fn(emb):
+        if not len(emb):  # empty Arrow batch: asarray([]) would be 1-D
+            return pd.Series([], dtype="int32")
         mat = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(mat @ cent, axis=1).astype(np.int32))

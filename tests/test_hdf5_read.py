@@ -201,10 +201,15 @@ def test_parse_filter_pipeline_messages():
     v1 += struct.pack("<I", 6) + b"\x00\x00\x00\x00"  # odd ncli -> pad word
     assert H5File._parse_filters(v1) == [(1, [6])]
 
-    # v2: shuffle with no name, one client value
+    # v2 built-in filter (id < 256): per spec there is NO Name Length field
     v2 = struct.pack("<BB", 2, 1)
-    v2 += struct.pack("<HHHH", 2, 0, 1, 1) + struct.pack("<I", 4)
+    v2 += struct.pack("<HHH", 2, 1, 1) + struct.pack("<I", 4)
     assert H5File._parse_filters(v2) == [(2, [4])]
+
+    # v2 custom filter (id >= 256): Name Length present, name unpadded
+    v2c = struct.pack("<BB", 2, 1)
+    v2c += struct.pack("<HHHH", 300, 3, 1, 2) + b"xyz" + struct.pack("<II", 7, 9)
+    assert H5File._parse_filters(v2c) == [(300, [7, 9])]
 
 
 def test_v3_superblock_ohdr_compact_links(tmp_path):
