@@ -1,0 +1,108 @@
+"""Property-based binning semantics (hypothesis): for arbitrary bin
+geometry, values placed anywhere EXCEPT within FP-ambiguous distance of an
+edge must classify exactly like the reference semantics — half-bin-shifted
+edges, inclusive last edge, out-of-range rejection. Complements the golden
+random tests with adversarial geometry (tiny/huge widths, offsets,
+single-bin cubes)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sed_binning_spark.binning.binning import bin_dataframe, bin_dataframe_sparse
+
+_SET = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def _binning_case(draw):
+    nbins = draw(st.integers(1, 40))
+    lo = draw(st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False))
+    width = draw(st.floats(1e-3, 1e4, allow_nan=False, allow_infinity=False))
+    # values addressed by (bin index, offset from center): stays >= 0.05*w
+    # away from every edge, so classification has no FP ambiguity
+    placements = draw(
+        st.lists(
+            st.tuples(st.integers(-3, nbins + 2),
+                      st.floats(-0.45, 0.45, allow_nan=False)),
+            min_size=1, max_size=120,
+        ),
+    )
+    return nbins, lo, width, placements
+
+
+@_SET
+@given(case=_binning_case())
+def test_uniform_binning_classification_property(spark, case):
+    nbins, lo, width, placements = case
+    w = width / nbins
+    hi = lo + width
+    values = [lo + b * w + frac * w for b, frac in placements]
+    df = spark.createDataFrame([(float(v),) for v in values], "v double")
+    cube = bin_dataframe(df, bins=[nbins], axes=["v"], ranges=[(lo, hi)])
+
+    want = np.zeros(nbins, dtype=np.float32)
+    for b, _frac in placements:
+        if 0 <= b <= nbins - 1:
+            want[b] += 1
+    np.testing.assert_array_equal(cube.data, want)
+    # sparse (oracle) path agrees cell-for-cell
+    sparse = bin_dataframe_sparse(df, bins=[nbins], axes=["v"], ranges=[(lo, hi)])
+    got = {int(r["v"]): r["count"] for r in sparse.collect()}
+    assert got == {i: int(c) for i, c in enumerate(want) if c}
+
+
+@_SET
+@given(
+    centers=st.lists(
+        st.floats(-1e4, 1e4, allow_nan=False, allow_infinity=False),
+        min_size=2, max_size=30, unique=True,
+    ),
+    placements=st.lists(
+        st.tuples(st.integers(-2, 40), st.floats(-0.4, 0.4, allow_nan=False)),
+        min_size=1, max_size=60,
+    ),
+)
+def test_explicit_edges_classification_property(spark, centers, placements):
+    """Explicit (possibly non-uniform) bin centers: same off-edge
+    classification contract through the searchsorted/HOF path."""
+    from hypothesis import assume
+
+    from sed_binning_spark.binning.utils import bin_centers_to_bin_edges
+
+    centers = np.sort(np.asarray(centers, dtype=float))
+    assume(np.diff(centers).min() > 1e-6 * max(1.0, np.abs(centers).max()))
+    edges = bin_centers_to_bin_edges(centers)
+    n = len(centers)
+    mids = (edges[:-1] + edges[1:]) / 2
+    widths = np.diff(edges)
+    values, want = [], np.zeros(n, dtype=np.float32)
+    for b, frac in placements:
+        if 0 <= b < n:
+            values.append(float(mids[b] + frac * widths[b]))
+            want[b] += 1
+        else:  # out of range on either side
+            values.append(float(edges[0] - 1.0 if b < 0 else edges[-1] + 1.0))
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    cube = bin_dataframe(df, bins=[np.asarray(centers)], axes=["v"])
+    np.testing.assert_array_equal(cube.data, want)
+
+
+@_SET
+@given(
+    nbins=st.integers(1, 20),
+    lo=st.floats(-100, 100, allow_nan=False),
+    width=st.floats(0.1, 100, allow_nan=False),
+)
+def test_nan_and_null_always_rejected_property(spark, nbins, lo, width):
+    rows = [(float(lo),), (float("nan"),), (None,)]
+    df = spark.createDataFrame(rows, "v double")
+    cube = bin_dataframe(df, bins=[nbins], axes=["v"], ranges=[(lo, lo + width)])
+    assert float(cube.data.sum()) == 1.0  # only the real value lands
