@@ -556,6 +556,8 @@ class FlashLoader(BaseLoader):
         conf = self.config.get("dataframe", {})
         if ubid_offset is None:
             ubid_offset = conf.get("ubid_offset", 0)
+        if forward_fill_columns is None:
+            forward_fill_columns = conf.get("forward_fill_columns")
 
         frames: list[DataFrame] = []
         electron_src = train_frames["electron"]
