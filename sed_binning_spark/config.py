@@ -67,6 +67,35 @@ def load_yaml(path: str | Path) -> dict:
         return yaml.safe_load(fh) or {}
 
 
+def save_config(config: dict, path: str | Path = "sed_config.yaml",
+                overwrite: bool = False) -> None:
+    """Persist (or merge into) a folder config YAML — the reference's
+    save_config round trip (sed/core/config.py): without ``overwrite`` the
+    new values deep-merge over any existing file, preserving unrelated
+    sections; numpy scalars/arrays are converted to plain YAML types."""
+    path = Path(path)
+    out = _yaml_safe(config)
+    if path.exists() and not overwrite:
+        out = deep_merge(load_yaml(path), out)
+    with open(path, "w", encoding="utf-8") as fh:
+        yaml.safe_dump(out, fh, sort_keys=False)
+
+
+def _yaml_safe(value):
+    """Recursively convert numpy containers/scalars to YAML-native types."""
+    import numpy as np
+
+    if isinstance(value, dict):
+        return {str(k): _yaml_safe(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [_yaml_safe(v) for v in value]
+    if isinstance(value, np.ndarray):
+        return [_yaml_safe(v) for v in value.tolist()]
+    if isinstance(value, np.generic):
+        return value.item()
+    return value
+
+
 def parse_config(
     config: dict | str | Path | None = None,
     folder_config: dict | str | Path | None = None,

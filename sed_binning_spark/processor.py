@@ -531,6 +531,43 @@ class SedProcessor:
         return float(row["span"] or 0.0)
 
     # ------------------------------------------------------------------- save
+    # map of recorded operation metadata -> config file section; each meta
+    # box already carries its section key ("calibration"/"correction"/
+    # "offsets"), so merging the box under the instrument section
+    # reproduces the reference's config layout
+    _WORKFLOW_PARAM_SECTIONS = {
+        "momentum_calibration": "momentum",
+        "momentum_correction": "momentum",
+        "energy_calibration": "energy",
+        "energy_correction": "energy",
+        "energy_offset": "energy",
+        "delay_calibration": "delay",
+        "delay_offset": "delay",
+    }
+
+    def save_workflow_params(
+        self,
+        filename: str | Path = "sed_config.yaml",
+        overwrite: bool = False,
+    ) -> dict:
+        """Persist every calibration applied in this session back into a
+        folder config (save_workflow_params, sed/core/processor.py:
+        1928-1954): the next session reproduces the workflow from config
+        alone. Returns the section dict that was written/merged."""
+        from sed_binning_spark.config import save_config
+
+        out: dict = {}
+        for attr, section in self._WORKFLOW_PARAM_SECTIONS.items():
+            if attr in self._attributes:
+                box = self._attributes[attr]
+                if isinstance(box, dict):
+                    sec = out.setdefault(section, {})
+                    for key, val in box.items():
+                        sec[key] = val
+        if out:
+            save_config(out, filename, overwrite=overwrite)
+        return out
+
     def save(self, faddr: str | Path, **kwds) -> None:
         """K4 sink dispatch on the computed cube (processor.py:2459-2551)."""
         if self._binned is None:

@@ -239,3 +239,39 @@ def test_processor_loads_instrument_run_end_to_end(spark):
     assert proc.timed_dataframe is not None
     cube = proc.compute(bins=[50], axes=["t"], ranges=[(100000.0, 300000.0)])
     assert float(cube.data.sum()) == 297398.0
+
+
+def test_save_workflow_params_round_trip(spark, tmp_path, events_df):
+    """Calibrations applied in a session persist to a folder config and a
+    fresh session reproduces the identical dataframe from that file alone
+    (the reference's save_workflow_params -> sed_config.yaml round trip)."""
+    import yaml
+
+    cal_k = dict(K_CALIB, kx_scale=0.013)
+    cal_e = {"d": 1.0, "t0": 1e-7, "E0": -20.0, "energy_scale": "kinetic"}
+    cal_d = {"adc_range": (2000.0, 20000.0), "delay_range": (-5.0, 5.0)}
+    proc = SedProcessor(spark, dataframe=events_df)
+    proc.apply_momentum_calibration(cal_k)
+    proc.append_energy_axis(cal_e)
+    proc.calibrate_delay_axis(cal_d)
+
+    cfg_path = tmp_path / "sed_config.yaml"
+    written = proc.save_workflow_params(cfg_path)
+    assert set(written) == {"momentum", "energy", "delay"}
+    loaded = yaml.safe_load(cfg_path.read_text())
+    assert loaded["momentum"]["calibration"]["kx_scale"] == 0.013
+    assert loaded["energy"]["calibration"]["E0"] == -20.0
+
+    # merge semantics: unrelated sections survive a second save
+    cfg_path.write_text(cfg_path.read_text() + "\ncore:\n  loader: mpes\n")
+    proc.save_workflow_params(cfg_path)
+    again = yaml.safe_load(cfg_path.read_text())
+    assert again["core"]["loader"] == "mpes"
+    assert again["momentum"]["calibration"]["kx_scale"] == 0.013
+
+    # a fresh session driven purely by the saved params matches
+    proc2 = SedProcessor(spark, dataframe=events_df)
+    proc2.apply_momentum_calibration(again["momentum"]["calibration"])
+    a = proc.dataframe.select("kx").toPandas()
+    b = proc2.dataframe.select("kx").toPandas()
+    assert a.equals(b)
