@@ -328,16 +328,26 @@ def _cheap_row_estimate(df: DataFrame) -> int | None:
     returns None there and the caller takes the always-safe shuffle plan
     (callers who know better can force combine='driver')."""
     try:
-        plan = df._jdf.queryExecution().optimizedPlan()
-        stats_rows = plan.stats().rowCount()
-        if stats_rows.isDefined():
-            got = stats_rows.get()  # Py4J may hand back int or scala BigInt
-            return int(got if isinstance(got, int) else got.longValue())
-        plan_str = plan.toString()
+        qe = df._jdf.queryExecution()
+        spark = df.sparkSession
+        # stats rowCount is EXACT only without the cost-based optimizer
+        # (leaf metadata / materialized cache counts); under CBO it is a
+        # selectivity estimate, and an underestimate here would route a
+        # huge input onto the driver-memory-bounded dense path
+        cbo = spark.conf.get("spark.sql.cbo.enabled", "false") == "true"
+        if not cbo:
+            stats_rows = qe.optimizedPlan().stats().rowCount()
+            if stats_rows.isDefined():
+                got = stats_rows.get()  # Py4J may hand back int or scala BigInt
+                return int(got if isinstance(got, int) else got.longValue())
+        # Python stages only reliably show in the PHYSICAL plan (a
+        # pandas_udf expression prints as its function name in the logical
+        # plan, with no recognizable marker)
+        plan_str = qe.sparkPlan().toString()
     except Exception:
         return None
     python_nodes = ("MapInPandas", "MapInArrow", "PythonUDF", "FlatMapGroupsInPandas",
-                    "MapPartitionsInRWith", "ArrowEvalPython", "BatchEvalPython")
+                    "ArrowEvalPython", "BatchEvalPython", "PythonMapInArrow")
     if any(tok in plan_str for tok in python_nodes):
         return None
     return df.count()

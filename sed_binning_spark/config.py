@@ -76,7 +76,14 @@ def save_config(config: dict, path: str | Path = "sed_config.yaml",
     path = Path(path)
     out = _yaml_safe(config)
     if path.exists() and not overwrite:
-        out = deep_merge(load_yaml(path), out)
+        existing = load_yaml(path)
+        if not isinstance(existing, dict):
+            raise ValueError(
+                f"existing config {path} is not a mapping "
+                f"(top-level {type(existing).__name__}); cannot merge — "
+                "pass overwrite=True to replace it",
+            )
+        out = deep_merge(existing, out)
     with open(path, "w", encoding="utf-8") as fh:
         yaml.safe_dump(out, fh, sort_keys=False)
 

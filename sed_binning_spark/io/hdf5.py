@@ -31,6 +31,11 @@ def to_h5(data: Cube, faddr: str | Path, mode: str = "w") -> None:
     if h5py is None:
         from sed_binning_spark.io.hdf5_write import H5Writer
 
+        if mode not in ("w", "x", "w-", "a"):
+            raise ValueError(
+                f"mode {mode!r} is not a write mode; the built-in writer "
+                "supports w / x / w- (and a on a new file)",
+            )
         if mode in ("x", "w-") and Path(faddr).exists():
             raise FileExistsError(f"{faddr} exists (mode={mode!r})")
         if mode == "a" and Path(faddr).exists():

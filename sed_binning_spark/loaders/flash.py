@@ -368,19 +368,25 @@ class FlashLoader(BaseLoader):
             key: out_dir / f"{stem}.{key}.buffer.parquet"
             for key in ("electron", "pulse", "aux", "train")
         }
-        # completeness marker: written LAST, so a conversion that dies
-        # mid-way is redone instead of silently served as partial data
+        # completeness marker: written LAST and recording WHICH frame kinds
+        # the conversion produced, so (a) a conversion that dies mid-way is
+        # redone rather than served partially, (b) stale buffers from an
+        # older config are never picked up, and (c) a marker whose buffers
+        # were deleted falls back to re-extraction instead of KeyErrors
         done_marker = out_dir / f"{stem}.buffers.complete"
         if done_marker.exists() and not force_recreate:
-            existing = {k: p for k, p in buffer_paths.items() if p.exists()}
-            return {k: self.spark.read.parquet(str(p)) for k, p in existing.items()}
+            kinds = [k for k in done_marker.read_text().split() if k]
+            if kinds and all(buffer_paths[k].exists() for k in kinds):
+                return {
+                    k: self.spark.read.parquet(str(buffer_paths[k])) for k in kinds
+                }
         extracted = self.h5_to_train_frames(path)
         frames: dict[str, DataFrame] = {}
         for key, frame in extracted.items():
             bpath = buffer_paths[key]
             frame.write.mode("overwrite").parquet(str(bpath))
             frames[key] = self.spark.read.parquet(str(bpath))
-        done_marker.write_text("")
+        done_marker.write_text(" ".join(sorted(frames)))
         return frames
 
     def h5_to_train_frames(

@@ -531,18 +531,19 @@ class SedProcessor:
         return float(row["span"] or 0.0)
 
     # ------------------------------------------------------------------- save
-    # map of recorded operation metadata -> config file section; each meta
-    # box already carries its section key ("calibration"/"correction"/
-    # "offsets"), so merging the box under the instrument section
-    # reproduces the reference's config layout
+    # recorded operation metadata -> (config section, subsection): boxes
+    # that already carry the subsection key contribute it (plus any sibling
+    # keys like flip_delay_axis at section level); flat boxes (the offset
+    # metas) are wrapped under the subsection so the file matches the
+    # reference's config layout and round-trips
     _WORKFLOW_PARAM_SECTIONS = {
-        "momentum_calibration": "momentum",
-        "momentum_correction": "momentum",
-        "energy_calibration": "energy",
-        "energy_correction": "energy",
-        "energy_offset": "energy",
-        "delay_calibration": "delay",
-        "delay_offset": "delay",
+        "momentum_calibration": ("momentum", "calibration"),
+        "momentum_correction": ("momentum", "correction"),
+        "energy_calibration": ("energy", "calibration"),
+        "energy_correction": ("energy", "correction"),
+        "energy_offset": ("energy", "offsets"),
+        "delay_calibration": ("delay", "calibration"),
+        "delay_offset": ("delay", "offsets"),
     }
 
     def save_workflow_params(
@@ -557,13 +558,20 @@ class SedProcessor:
         from sed_binning_spark.config import save_config
 
         out: dict = {}
-        for attr, section in self._WORKFLOW_PARAM_SECTIONS.items():
-            if attr in self._attributes:
-                box = self._attributes[attr]
-                if isinstance(box, dict):
-                    sec = out.setdefault(section, {})
-                    for key, val in box.items():
+        for attr, (section, sub) in self._WORKFLOW_PARAM_SECTIONS.items():
+            if attr not in self._attributes:
+                continue
+            box = self._attributes[attr]
+            if not isinstance(box, dict):
+                continue
+            sec = out.setdefault(section, {})
+            if sub in box:
+                sec[sub] = box[sub]
+                for key, val in box.items():
+                    if key != sub:
                         sec[key] = val
+            else:
+                sec[sub] = dict(box)
         if out:
             save_config(out, filename, overwrite=overwrite)
         return out

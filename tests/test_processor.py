@@ -253,6 +253,7 @@ def test_save_workflow_params_round_trip(spark, tmp_path, events_df):
     proc = SedProcessor(spark, dataframe=events_df)
     proc.apply_momentum_calibration(cal_k)
     proc.append_energy_axis(cal_e)
+    proc.add_energy_offset(constant=5.0)
     proc.calibrate_delay_axis(cal_d)
 
     cfg_path = tmp_path / "sed_config.yaml"
@@ -261,6 +262,10 @@ def test_save_workflow_params_round_trip(spark, tmp_path, events_df):
     loaded = yaml.safe_load(cfg_path.read_text())
     assert loaded["momentum"]["calibration"]["kx_scale"] == 0.013
     assert loaded["energy"]["calibration"]["E0"] == -20.0
+    # flat offset metadata lands under the offsets SUBSECTION (reference
+    # layout), not splattered across the energy section
+    assert loaded["energy"]["offsets"]["constant"] == 5.0
+    assert "constant" not in loaded["energy"]
 
     # merge semantics: unrelated sections survive a second save
     cfg_path.write_text(cfg_path.read_text() + "\ncore:\n  loader: mpes\n")
