@@ -1,0 +1,172 @@
+"""Physical-plan regression tests — mechanically enforce the plan shapes
+SCALE.md documents, so a refactor that silently de-optimizes a hot path
+(row-at-a-time Python UDF, lost filter pushdown, cartesian expansion, a
+global sort window) fails CI instead of only showing up at 100 TB.
+
+The reference trusts its hand-scheduled Numba/dask execution implicitly;
+the Spark-first equivalent of that trust is asserting what Catalyst
+actually planned.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sed_binning_spark.binning.binning import bin_dataframe_sparse
+from sed_binning_spark.calibration.delay import append_delay_axis
+from sed_binning_spark.calibration.energy import append_energy_axis, apply_energy_correction
+from sed_binning_spark.calibration.momentum import append_k_axis, apply_dfield
+from sed_binning_spark.core.dfops import apply_jitter, forward_fill
+from sed_binning_spark.pipeline.dedup import exact_dedup, minhash_lsh_pairs
+from sed_binning_spark.pipeline.similarity import cosine_topk
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+
+# Any of these in a hot-path plan means rows are crossing the Python
+# boundary. (Arrow nodes are allowed only where a test says so.)
+ROW_PYTHON_NODES = ("BatchEvalPython",)
+ALL_PYTHON_NODES = (
+    "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+    "FlatMapGroupsInPandas", "PythonMapInArrow", "MapInArrow",
+)
+
+
+def plan_of(df) -> str:
+    """Physical (executed) plan string; with AQE this is the initial
+    AdaptiveSparkPlan, which still names every operator and exchange."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def events_sdf(spark, events_pdf):
+    return spark.createDataFrame(events_pdf)
+
+
+def _workflow_chain(df):
+    from __spark_entry__ import _DELAY_CALIB, _E_FIT, _K_CALIB
+
+    df = apply_jitter(df, cols=["X", "Y", "t"], cols_jittered=["X", "Y", "t"],
+                      amps=0.5, seed=42)
+    df, _ = append_k_axis(df, _K_CALIB)
+    df, _ = apply_energy_correction(df, {
+        "correction_type": "spherical", "center": (1024.0, 1024.0),
+        "amplitude": 2.5, "diameter": 3000.0,
+    })
+    df, _ = append_energy_axis(df, {**_E_FIT}, tof_column="tm")
+    df, _ = append_delay_axis(df, _DELAY_CALIB)
+    return df
+
+
+def test_binning_plan_stays_in_jvm_with_one_shuffle(events_sdf):
+    """The core aggregation: partial agg -> ONE exchange -> final agg, and
+    not a single Python eval node anywhere."""
+    agg = bin_dataframe_sparse(
+        events_sdf, bins=[100, 100], axes=["X", "Y"],
+        ranges=[(0.0, 2048.0), (0.0, 2048.0)],
+    )
+    plan = plan_of(agg)
+    for node in ALL_PYTHON_NODES:
+        assert node not in plan, f"Python boundary in binning plan:\n{plan}"
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_workflow_chain_stays_in_jvm(events_sdf):
+    """Jitter + momentum/energy/delay calibration + energy correction +
+    histogram: the full benchmark chain must be pure codegen."""
+    agg = bin_dataframe_sparse(
+        _workflow_chain(events_sdf), bins=[1000], axes=["energy"],
+        ranges=[(20.0, 60.0)],
+    )
+    plan = plan_of(agg)
+    for node in ALL_PYTHON_NODES:
+        assert node not in plan, f"Python boundary in workflow plan:\n{plan}"
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_parquet_scan_pushes_filter_and_prunes_columns(spark):
+    """Predicate pushdown + column pruning must reach the parquet scan:
+    a 2-column projection that reads every column is the wrong plan."""
+    df = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("n_chars") > 500)
+        .select("doc_id", "n_chars")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan, plan
+    assert "GreaterThan(n_chars,500)" in plan, plan
+    # ReadSchema carries only the projected+filtered columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "n_chars" in read_schema, plan
+    assert "text" not in read_schema, f"column pruning lost:\n{plan}"
+
+
+def test_cosine_topk_is_take_ordered_not_global_sort(spark):
+    """Brute-force ANN top-k must plan as TakeOrderedAndProject
+    (per-partition heaps + driver merge of k rows), never a full sort."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").head()[0])
+    q = np.round(np.sin(np.arange(dim) * 0.37), 6)
+    plan = plan_of(cosine_topk(emb, q, k=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    for node in ALL_PYTHON_NODES:
+        assert node not in plan, plan
+
+
+def test_exact_dedup_is_single_hash_shuffle(spark):
+    """Exact dedup: one groupBy(digest) exchange; the shuffle key is the
+    digest, never the document body."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(exact_dedup(docs))
+    assert plan.count("Exchange") == 1, plan
+    for node in ALL_PYTHON_NODES:
+        assert node not in plan, plan
+
+
+def test_minhash_lsh_never_plans_a_cross_product(spark):
+    """LSH candidate generation must stay bucket-local — the plan is a
+    groupBy(band key) collect_set + expression-level pair expansion; any
+    CartesianProduct / nested-loop join here is O(n^2) at scale."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(minhash_lsh_pairs(docs, num_hashes=8, bands=4))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "collect_set" in plan, plan  # bucket aggregation, not a self-join
+    # signature computation must appear ONCE (a self-join would plan the
+    # md5/shingle pipeline twice)
+    assert plan.count("md5(") == 1, plan
+    for node in ROW_PYTHON_NODES:
+        assert node not in plan, plan
+
+
+def test_forward_fill_windows_are_per_file_not_global(spark):
+    """The fill window must partition by file — a global orderBy window
+    serializes the whole table through one task at scale."""
+    pdf = pd.DataFrame({
+        "file_id": np.repeat(np.arange(4), 25).astype("int64"),
+        "row_id": np.tile(np.arange(25), 4).astype("int64"),
+        "ch": [None if i % 3 else float(i) for i in range(100)],
+    })
+    out = forward_fill(spark.createDataFrame(pdf), "ch")
+    plan = plan_of(out)
+    assert "windowspecdefinition(file_id" in plan, plan
+    # boundary handoff joins broadcast (tiny per-file frame)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_dfield_udf_is_arrow_batched_not_row_at_a_time(events_sdf):
+    """The one sanctioned Python crossing (M9 grid lookup) must be an
+    Arrow-batched pandas_udf, never row-at-a-time pickling."""
+    dfield = np.stack([
+        np.tile(np.arange(64, dtype=float)[:, None], (1, 64)),
+        np.tile(np.arange(64, dtype=float)[None, :], (64, 1)),
+    ])
+    out = apply_dfield(events_sdf, dfield)
+    plan = plan_of(out)
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
