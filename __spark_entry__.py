@@ -404,13 +404,15 @@ def _q_corr_lorentzian(spark, sf):
     return ev.select("event_id", "tm")
 
 
-def _q_corr_gaussian(spark, sf):
-    ev, _ = apply_energy_correction(
-        _events(spark, sf),
-        {"correction_type": "Gaussian", "center": (1024.0, 1024.0),
-         "amplitude": 2.5, "sigma": 400.0},
-    )
-    return ev.select("event_id", F.round("tm", 6).alias("tm"))
+def _q_dedup_clusters(spark, sf):
+    """Near-dup cluster resolution: LSH candidate pairs -> connected
+    components (hash-min label propagation) -> (doc_id, component) labels.
+    The iterative-join operator the DuckDB oracle reproduces with a
+    recursive CTE."""
+    from sed_binning_spark.pipeline.cluster import connected_components
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf), num_hashes=8, bands=4, shingle_size=3)
+    return connected_components(pairs, id_column="doc_id", component_column="component")
 
 
 def _q_sector_align(spark, sf):
@@ -748,7 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # M6: energy corrections
         "corr_spherical": _q_corr_spherical,
         "corr_lorentzian": _q_corr_lorentzian,
-        "corr_gaussian": _q_corr_gaussian,
+        "dedup_clusters": _q_dedup_clusters,
         # M7/M8: sector alignment + bitwise split
         "sector_align": _q_sector_align,
         "bitwise_split": _q_bitwise_split,
@@ -821,9 +823,6 @@ def oracle_sql() -> dict[str, str]:
     g = 700.0
     lor = (f"{fsql(100000.0 * 2.5 / (g * np.pi))} * ({fsql(g ** 2)} / "
            f"({dx} * {dx} + {dy} * {dy} + {fsql(g ** 2)}) - 1.0)")
-    sg = 400.0
-    gau = (f"{fsql(20000.0 * 2.5 / np.sqrt(2 * np.pi * sg ** 2))} * "
-           f"(exp(-({dx} * {dx} + {dy} * {dy}) / {fsql(2 * sg ** 2)}) - 1.0)")
 
     qn = float(np.sqrt((_QVEC * _QVEC).sum()))
     cos_sql = (
@@ -945,7 +944,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "corr_spherical": f"SELECT event_id, t + {sph} AS tm FROM ({_EV_SQL})",
         "corr_lorentzian": f"SELECT event_id, t + {lor} AS tm FROM ({_EV_SQL})",
-        "corr_gaussian": f"SELECT event_id, round(t + {gau}, 6) AS tm FROM ({_EV_SQL})",
         "sector_align": (
             f"SELECT event_id, CAST(t - {delays_sql}"
             f"[CAST(event_id % 8 AS INTEGER) + 1] AS REAL) AS t_aligned FROM ({_EV_SQL})"
@@ -1043,6 +1041,19 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM "
             f"({lsh_bands}) a JOIN ({lsh_bands}) b "
             f"ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
+        ),
+        # connected components of the LSH pair graph: recursive min-label
+        # closure — the SQL twin of pipeline.cluster.connected_components
+        "dedup_clusters": (
+            f"WITH RECURSIVE lsh_pairs AS ("
+            f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM "
+            f"({lsh_bands}) a JOIN ({lsh_bands}) b "
+            f"ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), "
+            f"edges AS (SELECT id_a AS u, id_b AS v FROM lsh_pairs "
+            f"UNION SELECT id_b, id_a FROM lsh_pairs), "
+            f"reach(u, r) AS (SELECT u, u FROM edges "
+            f"UNION SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u) "
+            f"SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u"
         ),
         "simhash": _simhash_oracle_sql(bits=16),
         "jaccard_pairs": (

@@ -1,0 +1,115 @@
+"""Duplicate-cluster resolution: candidate pairs -> connected components ->
+representative selection.
+
+LSH/SimHash emit candidate PAIRS, but a training-data dedup pass needs
+CLUSTERS: if A~B and B~C, then {A, B, C} is one duplicate class and exactly
+one member survives. The bridge is connected components over the pair
+graph — computed here with iterative hash-min label propagation in plain
+DataFrame ops (joins + groupBy min), the standard MapReduce-era CC shape.
+
+Scale design:
+
+- Each iteration is two shuffles (edge join + label groupBy) keyed on node
+  id; no step ever materializes a component's member list, so a 1e9-node
+  graph with a 1e8-member boilerplate cluster never concentrates on one
+  task (contrast collect_set-based approaches).
+- Label frames are ``localCheckpoint``-ed per iteration — iterative joins
+  otherwise grow the lineage/plan exponentially and re-plan cost dominates
+  by iteration ~10.
+- Convergence: labels only ever decrease, so the label sum is a strictly
+  decreasing progress measure; iteration stops when it stabilizes (one
+  tiny agg action per round). Round count is bounded by the graph
+  diameter, which for dedup graphs is small by construction: clique-ish
+  clusters from full pair expansion (diameter 1) and star pairs around a
+  representative for oversized buckets (diameter 2; see
+  ``dedup._bucket_pairs``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_column: str = "id",
+    component_column: str = "component",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Label every node of the pair graph with the smallest node id of its
+    connected component (hash-min propagation).
+
+    Args:
+        pairs: candidate-pair frame (one row per undirected edge).
+        id_a / id_b: edge endpoint columns.
+        id_column / component_column: output column names.
+        max_iterations: hard stop; raises if propagation has not converged
+            (diameter of a dedup graph should be tiny — non-convergence
+            means the input is not a dedup pair set).
+
+    Returns:
+        DataFrame[id_column, component_column] covering every node that
+        appears in ``pairs`` (isolated documents never show up, matching
+        the "only duplicates need resolution" contract).
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    edges = edges.localCheckpoint(eager=False)
+
+    labels = edges.select("u").distinct().select("u", F.col("u").alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(
+        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]["s"]
+
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels.select(F.col("u").alias("v"), "lbl"), on="v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nl"))
+        )
+        # least() skips NULLs, so isolated-in-this-round nodes keep lbl
+        labels = (
+            labels.join(nbr_min, on="u", how="left")
+            .select("u", F.least("lbl", "nl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
+            return labels.select(
+                F.col("u").alias(id_column), F.col("lbl").alias(component_column),
+            )
+        prev_sum = cur_sum
+
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations; "
+        "the pair graph has a path longer than that — not a dedup pair set?",
+    )
+
+
+def near_dedup_keep_rows(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_column: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every near-duplicate except its cluster representative (the
+    smallest id per connected component of the pair graph).
+
+    The surviving frame = rows not in any pair + one representative per
+    cluster. One broadcast-able anti-join against the (small, duplicates
+    only) victim list when clusters are rare; Spark picks the join strategy
+    from actual sizes via AQE.
+    """
+    comp = connected_components(pairs, id_a, id_b, id_column="__cc_id",
+                                component_column="__cc_comp")
+    victims = comp.where(F.col("__cc_id") != F.col("__cc_comp")).select(
+        F.col("__cc_id").alias(id_column),
+    )
+    return df.join(victims, on=id_column, how="left_anti")
