@@ -1,0 +1,132 @@
+"""Stateful streaming operators: custom per-group state that must survive
+across micro-batches.
+
+Streaming aggregations (``bin_stream``) cover the histogram side; these
+cover the two operators whose semantics are inherently *sequential*:
+
+- :func:`forward_fill_stream` — the streaming twin of
+  ``core.dfops.forward_fill``. Slow-channel columns (temperatures, bias
+  voltages) arrive sparsely; each new micro-batch must seed its leading
+  NULLs with the last value seen in PREVIOUS batches. That carry value is
+  exactly per-group streaming state: ``applyInPandasWithState`` keyed by
+  file/stream id, state = last non-null per column.
+- :func:`exact_dedup_stream` — streaming exact dedup: emit only the first
+  occurrence of each content digest. Spark's ``dropDuplicates`` (state
+  keyed by digest) does this natively; with an event-time watermark the
+  digest state is pruned instead of growing forever.
+
+Scale notes: state lives in the executors' state store, partitioned by the
+group key — per-file carry values are O(files x columns), digest-dedup
+state is O(distinct digests in the watermark horizon). Neither ever
+concentrates on the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def forward_fill_stream(
+    df: DataFrame,
+    columns: str | Sequence[str],
+    file_column: str = "file_id",
+    row_column: str = "row_id",
+) -> DataFrame:
+    """Forward-fill NaN/NULL in ``columns`` across micro-batch boundaries.
+
+    Grouped by ``file_column``; within each micro-batch the group's rows
+    are sorted by ``row_column`` and filled, leading gaps seeded from the
+    carry state left by earlier batches — so the drained stream equals the
+    batch :func:`~sed_binning_spark.core.dfops.forward_fill` whenever
+    micro-batches deliver each file's rows in ``row_column`` order (true
+    for the file-source chunk stream: a DAQ appends chunks in order).
+
+    Fill columns must be double (the carry state is a double per column —
+    matching the instrument use case of float slow-channels).
+    """
+    if isinstance(columns, str):
+        columns = [columns]
+    columns = list(columns)
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise KeyError(f"columns not in dataframe: {missing}")
+    dtypes = dict(df.dtypes)
+    non_double = [c for c in columns if dtypes[c] != "double"]
+    if non_double:
+        raise ValueError(
+            f"forward_fill_stream needs double fill columns, got "
+            f"{{{', '.join(f'{c}: {dtypes[c]}' for c in non_double)}}}",
+        )
+
+    out_schema = df.schema
+    state_schema = StructType(
+        [StructField(f"c{i}", DoubleType(), True) for i in range(len(columns))],
+    )
+    cols = list(columns)
+    row_col = row_column
+
+    def _fill(key, pdf_iter, state):
+        # sanitize state on read: a never-seen column may round-trip as
+        # None OR NaN depending on the state-store serialization
+        carry = (
+            [None if v is None or (isinstance(v, float) and np.isnan(v)) else v
+             for v in state.get]
+            if state.exists
+            else [None] * len(cols)
+        )
+        # concat the group's chunks before sorting: the iterator may split
+        # one group into several frames whose row ranges interleave
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(row_col, ignore_index=True)
+            for i, c in enumerate(cols):
+                filled = pdf[c].ffill()
+                if carry[i] is not None:
+                    filled = filled.fillna(carry[i])
+                pdf[c] = filled
+                last = filled.iloc[-1]
+                if pd.notna(last):
+                    carry[i] = float(last)
+            yield pdf
+        state.update(tuple(carry))
+
+    return (
+        df.groupBy(file_column)
+        .applyInPandasWithState(
+            _fill,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def exact_dedup_stream(
+    df: DataFrame,
+    text_column: str = "text",
+    event_time_column: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: pass through only the FIRST row of each
+    distinct text (by content digest, same md5 as the batch
+    ``pipeline.dedup.exact_dedup``).
+
+    Without ``event_time_column`` the digest state grows with the number of
+    distinct documents (fine for bounded corpora); with it, state older
+    than the watermark horizon is dropped — the unbounded-stream form,
+    which deduplicates within the horizon only.
+    """
+    out = df.withColumn("__digest", F.md5(F.col(text_column)))
+    if event_time_column is not None:
+        out = out.withWatermark(event_time_column, watermark_delay)
+        out = out.dropDuplicatesWithinWatermark(["__digest"])
+    else:
+        out = out.dropDuplicates(["__digest"])
+    return out.drop("__digest")

@@ -92,3 +92,84 @@ def test_stream_binning_windowed_runs(event_files, spark):
         ).agg(F.sum("count")).collect()[0][0]
     )
     assert out["count"].sum() == batch_total
+
+
+# ---------------------------------------------------------------------------
+# stateful operators (streaming/stateful.py)
+
+
+def test_forward_fill_stream_carries_state_across_batches(tmp_path, spark):
+    """Leading NaNs of a later micro-batch must be seeded from the carry
+    state of earlier batches — the whole point of applyInPandasWithState."""
+    from sed_binning_spark.streaming import forward_fill_stream
+
+    root = tmp_path / "ff_in"
+    root.mkdir()
+    # two files (groups), rows split across two chunks; chunk 1 starts with
+    # NaN for both files so the fill value must come from chunk 0's state
+    chunk0 = pd.DataFrame({
+        "file_id": [0, 0, 1, 1],
+        "row_id": [0, 1, 0, 1],
+        "ch": [1.0, np.nan, 5.0, np.nan],
+    })
+    chunk1 = pd.DataFrame({
+        "file_id": [0, 0, 1, 1],
+        "row_id": [2, 3, 2, 3],
+        "ch": [np.nan, 2.0, np.nan, np.nan],
+    })
+    chunk0.to_parquet(root / "chunk_0.parquet")
+    chunk1.to_parquet(root / "chunk_1.parquet")
+
+    stream = stream_events(spark, str(root), max_files_per_trigger=1)
+    q = (
+        forward_fill_stream(stream, "ch")
+        .writeStream.format("memory").queryName("ff_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM ff_stream").toPandas()
+        .sort_values(["file_id", "row_id"]).reset_index(drop=True)
+    )
+    want = (
+        pd.concat([chunk0, chunk1], ignore_index=True)
+        .sort_values(["file_id", "row_id"]).reset_index(drop=True)
+    )
+    want["ch"] = want.groupby("file_id")["ch"].ffill()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_forward_fill_stream_rejects_non_double(spark):
+    from sed_binning_spark.streaming import forward_fill_stream
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"file_id": [0], "row_id": [0], "ch": [1]}),
+    )
+    with pytest.raises(ValueError, match="double"):
+        forward_fill_stream(df, "ch")
+
+
+def test_exact_dedup_stream_drops_cross_batch_duplicates(tmp_path, spark):
+    from sed_binning_spark.streaming import exact_dedup_stream
+
+    root = tmp_path / "dd_in"
+    root.mkdir()
+    pd.DataFrame({"doc_id": [0, 1, 2], "text": ["aa", "bb", "cc"]}).to_parquet(
+        root / "chunk_0.parquet",
+    )
+    pd.DataFrame({"doc_id": [3, 4, 5], "text": ["bb", "dd", "aa"]}).to_parquet(
+        root / "chunk_1.parquet",
+    )
+
+    stream = stream_events(spark, str(root), max_files_per_trigger=1)
+    q = (
+        exact_dedup_stream(stream)
+        .writeStream.format("memory").queryName("dd_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dd_stream").toPandas()
+    # duplicates in a LATER batch lose against the digest state
+    assert sorted(map(tuple, got.values.tolist())) == [
+        (0, "aa"), (1, "bb"), (2, "cc"), (4, "dd"),
+    ]
