@@ -7,16 +7,24 @@ event-scale data.
 
 - :mod:`~sed_binning_spark.pipeline.dedup` — exact dedup (hash groupBy),
   MinHash + LSH banding, SimHash, n-gram Jaccard verification
+- :mod:`~sed_binning_spark.pipeline.cluster` — candidate pairs ->
+  connected components (hash-min label propagation) -> representative
+  selection
 - :mod:`~sed_binning_spark.pipeline.text` — token counting, text quality
   stats, stopword language-ID, document fingerprinting
 - :mod:`~sed_binning_spark.pipeline.similarity` — brute-force cosine top-k
-  (the correctness baseline) and random-hyperplane LSH bucketing (the scale
-  path) over `array<float>` embedding columns
-- :mod:`~sed_binning_spark.pipeline.multimodal` — opaque-binary media
-  column plumbing (schema, batching, Pandas-UDF signatures) with the codec
-  stubbed (image/audio libs are not available in this environment)
+  (the correctness baseline), random-hyperplane LSH bucketing, and IVF
+  (trained coarse quantizer + probed lists) over `array<float>` embedding
+  columns
+- :mod:`~sed_binning_spark.pipeline.multimodal` — binary media columns
+  with pure-NumPy PPM/BMP/WAV codecs behind ``mapInPandas`` (plus a
+  deterministic stub for formats without a bundled decoder)
 """
 
+from sed_binning_spark.pipeline.cluster import (
+    connected_components,
+    near_dedup_keep_rows,
+)
 from sed_binning_spark.pipeline.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -41,6 +49,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "ngram_jaccard",
+    "connected_components",
+    "near_dedup_keep_rows",
     "cosine_topk",
     "cosine_similarity_expr",
     "lsh_bucket_pairs",

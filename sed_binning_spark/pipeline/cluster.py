@@ -16,9 +16,9 @@ Scale design:
 - Label frames are ``localCheckpoint``-ed per iteration — iterative joins
   otherwise grow the lineage/plan exponentially and re-plan cost dominates
   by iteration ~10.
-- Convergence: labels only ever decrease, so the label sum is a strictly
-  decreasing progress measure; iteration stops when it stabilizes (one
-  tiny agg action per round). Round count is bounded by the graph
+- Convergence: labels only ever decrease (in the id type's ordering), so
+  iteration stops on the first round where no row's label improved (one
+  tiny existence probe per round). Round count is bounded by the graph
   diameter, which for dedup graphs is small by construction: clique-ish
   clusters from full pair expansion (diameter 1) and star pairs around a
   representative for oversized buckets (diameter 2; see
@@ -40,7 +40,8 @@ def connected_components(
     max_iterations: int = 25,
 ) -> DataFrame:
     """Label every node of the pair graph with the smallest node id of its
-    connected component (hash-min propagation).
+    connected component (hash-min propagation; ids may be any orderable
+    type — ints, strings — "smallest" follows the type's ordering).
 
     Args:
         pairs: candidate-pair frame (one row per undirected edge).
@@ -61,9 +62,6 @@ def connected_components(
 
     labels = edges.select("u").distinct().select("u", F.col("u").alias("lbl"))
     labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(
-        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s"),
-    ).collect()[0]["s"]
 
     for _ in range(max_iterations):
         nbr_min = (
@@ -71,20 +69,29 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("lbl").alias("nl"))
         )
-        # least() skips NULLs, so isolated-in-this-round nodes keep lbl
-        labels = (
+        # least() skips NULLs, so isolated-in-this-round nodes keep lbl.
+        # __chg marks rows whose label improved; `<` and min/least agree on
+        # ordering for every orderable id type (ints, strings, ...), so the
+        # any-row-changed probe is type-agnostic (a numeric label-sum check
+        # would NULL out on string ids and falsely report convergence).
+        # Superseded label snapshots become unreachable when `labels`
+        # rebinds; the ContextCleaner unpersists their checkpoint RDDs, and
+        # round count is diameter-bounded (1-2 for dedup graphs), so at most
+        # a few snapshots coexist.
+        new_labels = (
             labels.join(nbr_min, on="u", how="left")
-            .select("u", F.least("lbl", "nl").alias("lbl"))
+            .select(
+                "u",
+                F.least("lbl", "nl").alias("lbl"),
+                (F.col("nl") < F.col("lbl")).alias("__chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(
-            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s"),
-        ).collect()[0]["s"]
-        if cur_sum == prev_sum:
+        labels = new_labels.drop("__chg")
+        if new_labels.where(F.col("__chg")).limit(1).count() == 0:
             return labels.select(
                 F.col("u").alias(id_column), F.col("lbl").alias(component_column),
             )
-        prev_sum = cur_sum
 
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations; "

@@ -35,17 +35,21 @@ from pyspark.sql.types import DoubleType, StructField, StructType
 def forward_fill_stream(
     df: DataFrame,
     columns: str | Sequence[str],
-    file_column: str = "file_id",
+    file_column: str | None = "file_id",
     row_column: str = "row_id",
 ) -> DataFrame:
     """Forward-fill NaN/NULL in ``columns`` across micro-batch boundaries.
 
     Grouped by ``file_column``; within each micro-batch the group's rows
     are sorted by ``row_column`` and filled, leading gaps seeded from the
-    carry state left by earlier batches — so the drained stream equals the
-    batch :func:`~sed_binning_spark.core.dfops.forward_fill` whenever
-    micro-batches deliver each file's rows in ``row_column`` order (true
-    for the file-source chunk stream: a DAQ appends chunks in order).
+    carry state left by earlier batches. Each file group fills
+    INDEPENDENTLY — unlike the batch
+    :func:`~sed_binning_spark.core.dfops.forward_fill`, no value crosses
+    from one file into the next (a stream cannot know file N is "before"
+    file N+1 when their batches interleave). For the sequential-acquisition
+    semantics — one logical stream whose chunks arrive in order, carry
+    crossing every boundary — pass ``file_column=None``: all rows share one
+    state and the drained result equals the batch fill in arrival order.
 
     Fill columns must be double (the carry state is a double per column —
     matching the instrument use case of float slow-channels).
@@ -53,6 +57,12 @@ def forward_fill_stream(
     if isinstance(columns, str):
         columns = [columns]
     columns = list(columns)
+    if file_column is None:
+        file_column = "__ff_stream_group"
+        df = df.withColumn(file_column, F.lit(0))
+        return forward_fill_stream(df, columns, file_column, row_column).drop(
+            file_column,
+        )
     missing = [c for c in columns if c not in df.columns]
     if missing:
         raise KeyError(f"columns not in dataframe: {missing}")
@@ -123,10 +133,13 @@ def exact_dedup_stream(
     than the watermark horizon is dropped — the unbounded-stream form,
     which deduplicates within the horizon only.
     """
-    out = df.withColumn("__digest", F.md5(F.col(text_column)))
+    dcol = "__digest"
+    while dcol in df.columns:  # never clobber a caller's column
+        dcol = "_" + dcol
+    out = df.withColumn(dcol, F.md5(F.col(text_column)))
     if event_time_column is not None:
         out = out.withWatermark(event_time_column, watermark_delay)
-        out = out.dropDuplicatesWithinWatermark(["__digest"])
+        out = out.dropDuplicatesWithinWatermark([dcol])
     else:
-        out = out.dropDuplicates(["__digest"])
-    return out.drop("__digest")
+        out = out.dropDuplicates([dcol])
+    return out.drop(dcol)

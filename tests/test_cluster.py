@@ -93,3 +93,14 @@ def test_empty_pairs_keeps_everything(spark):
     out = connected_components(empty)
     assert out.count() == 0
     assert sorted(r["doc_id"] for r in near_dedup_keep_rows(docs, empty).collect()) == [0, 1, 2]
+
+
+def test_string_ids_propagate_correctly(spark):
+    """Convergence must not depend on numeric labels — a label-sum check
+    would NULL out on strings and falsely converge after one round."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": ["a", "b", "c"], "id_b": ["b", "c", "d"]}),
+    )
+    out = connected_components(pairs)
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}

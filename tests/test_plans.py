@@ -27,6 +27,11 @@ from sed_binning_spark.pipeline.similarity import cosine_topk
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
 
+needs_testdata = pytest.mark.skipif(
+    not os.path.exists(f"{SF_DIR}/documents.parquet"),
+    reason="driver testdata not present",
+)
+
 # Any of these in a hot-path plan means rows are crossing the Python
 # boundary. (Arrow nodes are allowed only where a test says so.)
 ROW_PYTHON_NODES = ("BatchEvalPython",)
@@ -89,6 +94,7 @@ def test_workflow_chain_stays_in_jvm(events_sdf):
     assert plan.count("Exchange") == 1, plan
 
 
+@needs_testdata
 def test_parquet_scan_pushes_filter_and_prunes_columns(spark):
     """Predicate pushdown + column pruning must reach the parquet scan:
     a 2-column projection that reads every column is the wrong plan."""
@@ -106,6 +112,7 @@ def test_parquet_scan_pushes_filter_and_prunes_columns(spark):
     assert "text" not in read_schema, f"column pruning lost:\n{plan}"
 
 
+@needs_testdata
 def test_cosine_topk_is_take_ordered_not_global_sort(spark):
     """Brute-force ANN top-k must plan as TakeOrderedAndProject
     (per-partition heaps + driver merge of k rows), never a full sort."""
@@ -118,6 +125,7 @@ def test_cosine_topk_is_take_ordered_not_global_sort(spark):
         assert node not in plan, plan
 
 
+@needs_testdata
 def test_exact_dedup_is_single_hash_shuffle(spark):
     """Exact dedup: one groupBy(digest) exchange; the shuffle key is the
     digest, never the document body."""
@@ -128,6 +136,7 @@ def test_exact_dedup_is_single_hash_shuffle(spark):
         assert node not in plan, plan
 
 
+@needs_testdata
 def test_minhash_lsh_never_plans_a_cross_product(spark):
     """LSH candidate generation must stay bucket-local — the plan is a
     groupBy(band key) collect_set + expression-level pair expansion; any

@@ -173,3 +173,52 @@ def test_exact_dedup_stream_drops_cross_batch_duplicates(tmp_path, spark):
     assert sorted(map(tuple, got.values.tolist())) == [
         (0, "aa"), (1, "bb"), (2, "cc"), (4, "dd"),
     ]
+
+
+def test_forward_fill_stream_global_mode_crosses_file_boundaries(tmp_path, spark):
+    """file_column=None: one sequential stream, carry crosses every chunk
+    boundary (the batch cross-file-handoff semantics, in arrival order)."""
+    from sed_binning_spark.streaming import forward_fill_stream
+
+    root = tmp_path / "ffg_in"
+    root.mkdir()
+    pd.DataFrame({"row_id": [0, 1], "ch": [7.0, np.nan]}).to_parquet(
+        root / "chunk_0.parquet",
+    )
+    # second chunk is ALL NaN: must fill entirely from chunk 0's state
+    pd.DataFrame({"row_id": [2, 3], "ch": [np.nan, np.nan]}).to_parquet(
+        root / "chunk_1.parquet",
+    )
+    stream = stream_events(spark, str(root), max_files_per_trigger=1)
+    q = (
+        forward_fill_stream(stream, "ch", file_column=None)
+        .writeStream.format("memory").queryName("ffg_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM ffg_stream").toPandas()
+        .sort_values("row_id").reset_index(drop=True)
+    )
+    assert list(got.columns) == ["row_id", "ch"]  # helper group column dropped
+    assert got["ch"].tolist() == [7.0, 7.0, 7.0, 7.0]
+
+
+def test_exact_dedup_stream_preserves_user_digest_column(tmp_path, spark):
+    from sed_binning_spark.streaming import exact_dedup_stream
+
+    root = tmp_path / "ddc_in"
+    root.mkdir()
+    pd.DataFrame({
+        "doc_id": [0, 1], "text": ["aa", "aa"], "__digest": ["keep0", "keep1"],
+    }).to_parquet(root / "chunk_0.parquet")
+    stream = stream_events(spark, str(root))
+    q = (
+        exact_dedup_stream(stream)
+        .writeStream.format("memory").queryName("ddc_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ddc_stream").toPandas()
+    assert "__digest" in got.columns          # user column survives
+    assert len(got) == 1 and got["__digest"].iloc[0] in ("keep0", "keep1")
