@@ -107,6 +107,36 @@ def document_fingerprint(
     return df.withColumn(fingerprint_column, F.md5(t))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_column: str = "text",
+    shingle_window: int = 5,
+    winnow_window: int = 4,
+    out_column: str = "winnowed",
+) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken): keep the minimum rolling hash
+    of every ``winnow_window``-length window over the shingle-hash
+    sequence, deduplicated — the standard sublinear fingerprint set that
+    guarantees any shared run of ``shingle_window + winnow_window - 1``
+    tokens between two documents yields at least one common fingerprint.
+
+    Pure expression pipeline over :func:`rolling_hashes`' spans (array HOFs
+    only); output is the sorted distinct fingerprint array.
+    """
+    toks = whitespace_tokens(F.lower(F.col(text_column)))
+    k = F.greatest(F.size(toks) - F.lit(shingle_window - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), k - F.lit(1))
+    hashes = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, shingle_window))),
+    )
+    n_win = F.greatest(F.size(hashes) - F.lit(winnow_window - 1), F.lit(1))
+    win_idx = F.sequence(F.lit(0), n_win - F.lit(1))
+    mins = F.transform(
+        win_idx, lambda i: F.array_min(F.slice(hashes, i + 1, winnow_window)),
+    )
+    return df.withColumn(out_column, F.array_sort(F.array_distinct(mins)))
+
+
 def rolling_hashes(
     df: DataFrame,
     text_column: str = "text",

@@ -150,6 +150,27 @@ def test_rolling_hashes(docs_df):
     assert out.loc[0, "rolling_hashes"][0] == out.loc[1, "rolling_hashes"][0]
 
 
+def test_winnow_fingerprints(docs_df):
+    """Winnowing guarantee: a shared token run of length >= shingle_window
+    + winnow_window - 1 must produce at least one common fingerprint, and
+    the winnowed set is a (deduplicated) subset of the rolling hashes."""
+    from sed_binning_spark.pipeline.text import winnow_fingerprints
+
+    out = (
+        winnow_fingerprints(docs_df, shingle_window=5, winnow_window=2)
+        .toPandas().set_index("doc_id")
+    )
+    rh = rolling_hashes(docs_df, window=5).toPandas().set_index("doc_id")
+    for i in (0, 2, 5):
+        assert set(out.loc[i, "winnowed"]) <= set(rh.loc[i, "rolling_hashes"])
+        assert len(out.loc[i, "winnowed"]) <= len(rh.loc[i, "rolling_hashes"])
+    # docs 0/1 identical -> identical fingerprint sets; doc 2 shares the
+    # long "the quick brown fox jumps over the" prefix run with doc 0
+    assert list(out.loc[0, "winnowed"]) == list(out.loc[1, "winnowed"])
+    assert set(out.loc[0, "winnowed"]) & set(out.loc[2, "winnowed"])
+    assert not set(out.loc[0, "winnowed"]) & set(out.loc[5, "winnowed"])
+
+
 # --------------------------------------------------------------- similarity
 def test_cosine_topk(emb_df):
     rng = np.random.default_rng(4)
