@@ -16,11 +16,15 @@ the reference's real fixtures ``Scan0030_2.h5`` /
   fletcher32
 - datatypes: fixed-point and IEEE-float scalars (little/big endian),
   fixed-size and variable-length strings (attributes)
-- attributes (message 0x000C), including scalar numerics and strings
+- attributes (message 0x000C), including scalar numerics, strings, and
+  NULL-dataspace (h5py.Empty) attributes (read as None)
+- fill values (0x0004/0x0005): unwritten chunks/regions materialize the
+  defined fill instead of assuming zeros
 
-NOT supported: fractal-heap (dense) links/attributes, layout v4 chunk
-indexes, compact layout, compound / array / enum datatypes, szip/n-bit
-filters, dataset regions, writes (see ``hdf5_write`` for the companion
+NOT supported (all raise): fractal-heap (dense) links AND attributes,
+layout v4 chunk indexes, compound / array / enum datatypes, szip/n-bit
+filters, dataset regions, soft/external links, shared (committed)
+datatypes/dataspaces, writes (see ``hdf5_write`` for the companion
 writer). Everything raises a clear ``UnsupportedHDF5`` rather than
 misreading.
 
@@ -75,6 +79,7 @@ class Dataset:
     btree_addr: int = UNDEF
     filters: list[tuple[int, list[int]]] = field(default_factory=list)
     attrs: dict = field(default_factory=dict)
+    fill: bytes | None = None  # raw fill-value bytes (None/empty -> zeros)
 
 
 @dataclass
@@ -123,8 +128,11 @@ class H5File:
 
     # -- public surface -----------------------------------------------------
     def visit(self) -> list[str]:
-        """All dataset paths (depth-first, '/'-separated). Hard links to an
-        ancestor group (legal in HDF5) are walked once, not cycled."""
+        """All dataset paths (depth-first, '/'-separated). Each GROUP object
+        is walked once by address — H5Ovisit semantics: a group hard-linked
+        under two parents lists its subtree under the first path only
+        (matching h5py's ``visit``), and ancestor cycles terminate. Every
+        path remains resolvable via ``read()`` regardless."""
         out: list[str] = []
         seen: set[int] = set()
 
@@ -161,12 +169,12 @@ class H5File:
             return np.frombuffer(ds.compact_data, dtype=dtype).reshape(ds.shape)
         if ds.layout == "contiguous":
             if ds.data_addr == UNDEF:       # allocated lazily, never written
-                return np.zeros(ds.shape, dtype=dtype)
+                return self._background(ds, dtype, ds.shape)
             n = int(np.prod(ds.shape, dtype=np.int64)) if ds.shape else 1
             raw = self._buf[ds.data_addr : ds.data_addr + n * dtype.itemsize]
             return np.frombuffer(raw, dtype=dtype).reshape(ds.shape)
-        # chunked
-        out = np.zeros(ds.shape, dtype=dtype)
+        # chunked: unwritten regions take the dataset's fill value
+        out = self._background(ds, dtype, ds.shape)
         if ds.btree_addr == UNDEF:
             return out
         for offsets, addr, nbytes, filter_mask in self._iter_chunks(
@@ -189,6 +197,17 @@ class H5File:
             if not clipped:
                 out[tuple(sel_out)] = chunk[tuple(sel_in)]
         return out
+
+    @staticmethod
+    def _background(ds: Dataset, dtype: np.dtype, shape) -> np.ndarray:
+        """Array a dataset's unwritten regions materialize as: the fill
+        value when one is defined and non-zero, else zeros (the HDF5
+        default fill)."""
+        fill = ds.fill
+        if fill and len(fill) >= dtype.itemsize and any(fill):
+            val = np.frombuffer(fill[: dtype.itemsize], dtype=dtype)[0]
+            return np.full(shape, val, dtype=dtype)
+        return np.zeros(shape, dtype=dtype)
 
     # -- object headers -----------------------------------------------------
     def _resolve(self, path: str) -> int:
@@ -232,14 +251,14 @@ class H5File:
             pos, remaining = blocks[bi]
             bi += 1
             while remaining >= 8 and len(msgs) < nmsg:
-                mtype, msize, _mflags = struct.unpack_from("<HHB", buf, pos)
+                mtype, msize, mflags = struct.unpack_from("<HHB", buf, pos)
                 body = buf[pos + 8 : pos + 8 + msize]
                 pos += 8 + msize
                 remaining -= 8 + msize
                 if mtype == 0x0010:  # continuation
                     caddr, clen = struct.unpack("<QQ", body[:16])
                     blocks.append((caddr, clen))
-                msgs.append((mtype, body))
+                msgs.append((mtype, body, mflags))
         return msgs
 
     def _messages_v2(self, addr: int) -> list[tuple[int, bytes]]:
@@ -259,9 +278,11 @@ class H5File:
         chunk0 = int.from_bytes(buf[pos : pos + size_width], "little")
         pos += size_width
         tracked = bool(flags & 0x04)  # creation order tracked per message
-        msgs: list[tuple[int, bytes]] = []
-        # each block body ends with a 4-byte checksum (not verified here)
-        blocks = [(pos, chunk0 - 4)]
+        msgs: list[tuple[int, bytes, int]] = []
+        # the chunk-0 size field counts MESSAGE bytes only — libhdf5 encodes
+        # chunk[0].size - H5O_SIZEOF_HDR, and its prefix macro already
+        # includes the trailing 4-byte checksum (not verified here)
+        blocks = [(pos, chunk0)]
         bi = 0
         while bi < len(blocks):
             p, remaining = blocks[bi]
@@ -269,6 +290,7 @@ class H5File:
             while remaining >= 4:
                 mtype = buf[p]
                 msize = struct.unpack_from("<H", buf, p + 1)[0]
+                mflags = buf[p + 3]
                 head = 4 + (2 if tracked else 0)
                 body = buf[p + head : p + head + msize]
                 p += head + msize
@@ -278,21 +300,37 @@ class H5File:
                     if buf[caddr : caddr + 4] != b"OCHK":
                         raise UnsupportedHDF5("bad OCHK signature")
                     blocks.append((caddr + 4, clen - 8))  # sig + checksum
-                msgs.append((mtype, body))
+                msgs.append((mtype, body, mflags))
         return msgs
 
-    def _interpret_messages(self, msgs: list[tuple[int, bytes]]):
+    # message types whose body we interpret inline; a SHARED instance of
+    # one of these (flag bit 1: the body is a shared-message reference into
+    # the SOHM table, not an inline definition) would silently parse as
+    # garbage — raise instead
+    _INTERPRETED = frozenset(
+        {0x0001, 0x0003, 0x0004, 0x0005, 0x0006, 0x0008, 0x000B, 0x000C, 0x0011},
+    )
+
+    def _interpret_messages(self, msgs: list[tuple[int, bytes, int]]):
         attrs: dict = {}
         group: Group | None = None
         links: list[tuple[str, int]] = []
         saw_link_storage = False
         ds: dict = {}
-        for mtype, body in msgs:
+        for mtype, body, mflags in msgs:
+            if (mflags & 0x02) and mtype in self._INTERPRETED:
+                raise UnsupportedHDF5(
+                    f"shared message (type 0x{mtype:04x}) — committed "
+                    "datatypes / shared dataspaces are unsupported",
+                )
             if mtype == 0x0011:  # symbol table -> old-style group
                 btree, heap = struct.unpack_from("<QQ", body, 0)
                 group = Group(btree, heap)
             elif mtype == 0x0001:
-                ds["shape"] = self._parse_dataspace(body)
+                shape = self._parse_dataspace(body)
+                if shape is None:
+                    raise UnsupportedHDF5("NULL-dataspace dataset")
+                ds["shape"] = shape
             elif mtype == 0x0003:
                 ds["dtype"] = self._parse_datatype(body)
             elif mtype == 0x0008:
@@ -302,6 +340,10 @@ class H5File:
             elif mtype == 0x000C:
                 name, value = self._parse_attribute(body)
                 attrs[name] = value
+            elif mtype in (0x0004, 0x0005):  # fill value (old / new)
+                fill = self._parse_fill_value(mtype, body)
+                if fill is not None:
+                    ds["fill"] = fill
             elif mtype == 0x0002:  # link info: compact links OK, dense not
                 saw_link_storage = True
                 flags = body[1]
@@ -309,6 +351,13 @@ class H5File:
                 fheap = struct.unpack_from("<Q", body, p)[0]
                 if fheap != UNDEF:
                     raise UnsupportedHDF5("dense (fractal heap) link storage")
+            elif mtype == 0x0015:  # attribute info: dense attrs live in a
+                # fractal heap we don't parse — silence would lose them
+                flags = body[1]
+                p = 2 + (2 if flags & 0x1 else 0)
+                fheap = struct.unpack_from("<Q", body, p)[0]
+                if fheap != UNDEF:
+                    raise UnsupportedHDF5("dense (fractal heap) attribute storage")
             elif mtype == 0x0006:
                 saw_link_storage = True
                 links.append(self._parse_link(body))
@@ -327,6 +376,7 @@ class H5File:
                 btree_addr=ds.get("btree_addr", UNDEF),
                 filters=ds.get("filters", []),
                 attrs=attrs,
+                fill=ds.get("fill"),
             )
         if saw_link_storage:
             return Group(UNDEF, UNDEF, attrs=attrs, links=sorted(links))
@@ -359,13 +409,38 @@ class H5File:
 
     # -- message parsers ----------------------------------------------------
     @staticmethod
-    def _parse_dataspace(body: bytes) -> tuple[int, ...]:
+    def _parse_fill_value(mtype: int, body: bytes) -> bytes | None:
+        """Fill value messages: 0x0004 (old: size + value) and 0x0005
+        (new: v1/v2 defined-byte form, v3 flags form). None = undefined
+        (reads as zeros, the library default)."""
+        if mtype == 0x0004:
+            size = struct.unpack_from("<I", body, 0)[0]
+            return bytes(body[4 : 4 + size]) or None
+        version = body[0]
+        if version in (1, 2):
+            defined = body[3]
+            if version == 1 or defined:
+                size = struct.unpack_from("<I", body, 4)[0]
+                return bytes(body[8 : 8 + size]) or None
+            return None
+        if version == 3:
+            flags = body[1]
+            if flags & 0x20:  # fill value defined and present
+                size = struct.unpack_from("<I", body, 2)[0]
+                return bytes(body[6 : 6 + size]) or None
+            return None
+        raise UnsupportedHDF5(f"fill value message version {version}")
+
+    @staticmethod
+    def _parse_dataspace(body: bytes) -> tuple[int, ...] | None:
         version = body[0]
         ndims = body[1]
         flags = body[2]
         if version == 1:
             pos = 8
         elif version == 2:
+            if body[3] == 2:  # NULL dataspace (h5py.Empty): no elements
+                return None
             pos = 4
         else:
             raise UnsupportedHDF5(f"dataspace version {version}")
@@ -465,6 +540,8 @@ class H5File:
         pos += dt_size + ((-dt_size) % 8 if version == 1 else 0)
         shape = self._parse_dataspace(body[pos : pos + sp_size])
         pos += sp_size + ((-sp_size) % 8 if version == 1 else 0)
+        if shape is None:  # NULL dataspace (h5py.Empty): no stored value
+            return name, None
         data = body[pos:]
         n = int(np.prod(shape, dtype=np.int64)) if shape else 1
         if dtype.kind in ("int", "uint", "float", "string"):
@@ -553,7 +630,14 @@ class H5File:
         nsyms = struct.unpack_from("<H", buf, addr + 6)[0]
         pos = addr + 8
         for _ in range(nsyms):
-            name_off, obj_addr = struct.unpack_from("<QQ", buf, pos)
+            name_off, obj_addr, cache_type = struct.unpack_from("<QQI", buf, pos)
+            if cache_type == 2:
+                # symbolic link: obj_addr is UNDEF, the target path lives in
+                # the scratch area / local heap — out of scope
+                raise UnsupportedHDF5(
+                    f"soft link {self._local_heap_string(heap, name_off)!r} "
+                    "(symbol-table cache type 2)",
+                )
             out.append((self._local_heap_string(heap, name_off), obj_addr))
             pos += 40  # entry: 8+8+4+4+16
 

@@ -16,7 +16,17 @@ import struct
 import numpy as np
 
 UNDEF = 0xFFFFFFFFFFFFFFFF
-_SNOD_CAP = 8  # 2 * leaf-node k (we advertise k=4 like libhdf5's default)
+
+# The superblock advertises group leaf k=4 and internal k=16 (libhdf5's
+# defaults); libhdf5 trusts those numbers and reads every SNOD / TREE node
+# at its FULL advertised size, so nodes must be emitted padded to exactly
+# these sizes and never hold more than 2k entries.
+_LEAF_K = 4
+_NODE_K = 16
+_SNOD_CAP = 2 * _LEAF_K                       # max symbols per SNOD
+_SNOD_SIZE = 8 + _SNOD_CAP * 40               # header + 2k symbol entries
+_TREE_CAP = 2 * _NODE_K                       # max children per TREE node
+_TREE_SIZE = 24 + (_TREE_CAP + 1) * 8 + _TREE_CAP * 8  # hdr + keys + children
 
 
 class H5Writer:
@@ -119,18 +129,15 @@ class H5Writer:
             batch = children[i : i + _SNOD_CAP]
             _align(buf)
             snod_addrs.append(len(buf))
-            buf += struct.pack("<4sBxH", b"SNOD", 1, len(batch))
+            node = bytearray(struct.pack("<4sBxH", b"SNOD", 1, len(batch)))
             for (name, addr), off in zip(batch, offsets[i : i + _SNOD_CAP]):
-                buf += struct.pack("<QQII16x", off, addr, 0, 0)
+                node += struct.pack("<QQII16x", off, addr, 0, 0)
+            node += b"\x00" * (_SNOD_SIZE - len(node))  # full advertised size
+            buf += node
             snod_key_offsets.append(offsets[min(i + _SNOD_CAP, len(children)) - 1])
 
-        _align(buf)
-        btree_addr = len(buf)
         if children:
-            buf += struct.pack("<4sBBHQQ", b"TREE", 0, 0, len(snod_addrs), UNDEF, UNDEF)
-            buf += struct.pack("<Q", 0)  # low key: empty name at heap offset 0
-            for addr, key_off in zip(snod_addrs, snod_key_offsets):
-                buf += struct.pack("<QQ", addr, key_off)
+            btree_addr = _emit_group_btree(buf, snod_addrs, snod_key_offsets)
         else:
             btree_addr = UNDEF
 
@@ -142,6 +149,53 @@ class H5Writer:
 # -- low-level pieces -------------------------------------------------------
 def _align(buf: bytearray, n: int = 8) -> None:
     buf += b"\x00" * (-len(buf) % n)
+
+
+def _emit_group_btree(
+    buf: bytearray,
+    child_addrs: list[int],
+    child_last_keys: list[int],
+) -> int:
+    """Emit the v1 group B-tree over the SNOD leaf list and return the root
+    node address, growing levels until one node covers everything.
+
+    Every node is padded to the full advertised size (internal k=16 →
+    544 bytes), holds at most 2k children, and same-level nodes are chained
+    through their left/right sibling pointers — the exact on-disk shape
+    libhdf5 assumes when it reads nodes whole and iterates leaf chains.
+    Keys are local-heap name offsets: node key_0 is the previous sibling
+    subtree's last name (0 = the empty name for the leftmost), key_{i+1}
+    child i's last name.
+    """
+    level = 0
+    while True:
+        node_addrs: list[int] = []
+        node_last: list[int] = []
+        prev_key = 0
+        for i in range(0, len(child_addrs), _TREE_CAP):
+            batch_a = child_addrs[i : i + _TREE_CAP]
+            batch_k = child_last_keys[i : i + _TREE_CAP]
+            _align(buf)
+            addr = len(buf)
+            node = bytearray(
+                struct.pack("<4sBBHQQ", b"TREE", 0, level, len(batch_a), UNDEF, UNDEF),
+            )
+            node += struct.pack("<Q", prev_key)
+            for a, k in zip(batch_a, batch_k):
+                node += struct.pack("<QQ", a, k)
+            node += b"\x00" * (_TREE_SIZE - len(node))  # full advertised size
+            buf += node
+            node_addrs.append(addr)
+            node_last.append(batch_k[-1])
+            prev_key = batch_k[-1]
+        for j, a in enumerate(node_addrs):  # sibling chain within the level
+            left = node_addrs[j - 1] if j > 0 else UNDEF
+            right = node_addrs[j + 1] if j + 1 < len(node_addrs) else UNDEF
+            struct.pack_into("<QQ", buf, a + 8, left, right)
+        if len(node_addrs) == 1:
+            return node_addrs[0]
+        child_addrs, child_last_keys = node_addrs, node_last
+        level += 1
 
 
 def _emit_object_header(buf: bytearray, msgs: list[tuple[int, bytes]]) -> int:

@@ -225,7 +225,9 @@ def test_v3_superblock_ohdr_compact_links(tmp_path):
 
     def ohdr(messages):
         body = b"".join(messages)
-        chunk0 = len(body) + 4  # + trailing checksum
+        # libhdf5 convention: the chunk-0 size field counts MESSAGE bytes
+        # only — the trailing 4-byte checksum is part of the header prefix
+        chunk0 = len(body)
         assert chunk0 < 256
         return (b"OHDR" + struct.pack("<BBB", 2, 0, chunk0) + body
                 + b"\x00\x00\x00\x00")
@@ -309,6 +311,134 @@ def test_h5_writer_many_children_snod_chunking(tmp_path):
     assert len(f.visit()) == 23
     for i in range(23):
         np.testing.assert_array_equal(f.read(f"/g/d{i:02d}"), [i])
+
+
+def test_h5_writer_btree_nodes_fit_advertised_sizes(tmp_path):
+    """libhdf5 reads every SNOD/TREE node at the size the superblock
+    advertises (leaf k=4 -> 328 B, internal k=16 -> 544 B) and rejects
+    nodes with more than 2k entries — so the writer must pad nodes to full
+    size, cap entries, and grow B-tree levels for wide groups."""
+    import struct
+
+    from sed_binning_spark.io.hdf5_read import H5File
+    from sed_binning_spark.io.hdf5_write import _SNOD_SIZE, _TREE_SIZE, H5Writer
+
+    w = H5Writer()
+    for i in range(300):  # 38 SNODs -> needs a 2-level B-tree
+        w.add_dataset(f"/g/d{i:03d}", np.array([i], dtype=np.int32))
+    path = str(tmp_path / "wide.h5")
+    w.write(path)
+
+    buf = open(path, "rb").read()
+    n_tree = n_snod = 0
+    levels = set()
+    pos = 0
+    while (pos := buf.find(b"TREE", pos)) != -1:
+        level, entries = buf[pos + 5], struct.unpack_from("<H", buf, pos + 6)[0]
+        assert entries <= 32, "TREE node exceeds 2k entries"
+        assert pos + _TREE_SIZE <= len(buf), "TREE node truncated at EOF"
+        levels.add(level)
+        n_tree += 1
+        pos += 4
+    pos = 0
+    while (pos := buf.find(b"SNOD", pos)) != -1:
+        entries = struct.unpack_from("<H", buf, pos + 6)[0]
+        assert entries <= 8, "SNOD exceeds 2k symbols"
+        assert pos + _SNOD_SIZE <= len(buf), "SNOD truncated at EOF"
+        n_snod += 1
+        pos += 4
+    assert n_snod >= 38 and n_tree >= 3   # 2 leaves + 1 internal for /g
+    assert levels == {0, 1}               # the wide group grew a level
+
+    f = H5File(path)
+    assert len(f.visit()) == 300
+    for i in (0, 137, 299):
+        np.testing.assert_array_equal(f.read(f"/g/d{i:03d}"), [i])
+
+
+def test_fill_value_parsing_and_background():
+    """Fill-value messages (old 0x0004 / new 0x0005 v1-3) parse, and
+    unwritten regions materialize the fill instead of silent zeros."""
+    import struct
+
+    from sed_binning_spark.io.hdf5_read import Dataset, Datatype, H5File
+
+    fill8 = np.float64(-1.5).tobytes()
+    # old-style: size + value
+    assert H5File._parse_fill_value(0x0004, struct.pack("<I", 8) + fill8) == fill8
+    # new v2: defined byte gates the size+value block
+    assert H5File._parse_fill_value(
+        0x0005, bytes([2, 2, 0, 1]) + struct.pack("<I", 8) + fill8,
+    ) == fill8
+    assert H5File._parse_fill_value(0x0005, bytes([2, 2, 0, 0])) is None
+    # new v3: flag bit 5 marks a defined value
+    assert H5File._parse_fill_value(
+        0x0005, bytes([3, 0x20]) + struct.pack("<I", 8) + fill8,
+    ) == fill8
+    assert H5File._parse_fill_value(0x0005, bytes([3, 0x00])) is None
+
+    ds = Dataset(shape=(3,), dtype=Datatype("float", 8, "<"),
+                 layout="chunked", fill=fill8)
+    np.testing.assert_array_equal(
+        H5File._background(ds, np.dtype("<f8"), (3,)), [-1.5, -1.5, -1.5],
+    )
+    ds_nofill = Dataset(shape=(2,), dtype=Datatype("float", 8, "<"),
+                        layout="chunked")
+    np.testing.assert_array_equal(
+        H5File._background(ds_nofill, np.dtype("<f8"), (2,)), [0.0, 0.0],
+    )
+
+
+def test_shared_message_flag_raises():
+    """Flag bit 1 marks a SHARED message (a reference, not an inline
+    definition) — parsing it inline would yield garbage, so it raises."""
+    from sed_binning_spark.io.hdf5_read import H5File, UnsupportedHDF5
+
+    f = H5File.__new__(H5File)  # _interpret_messages needs no file state
+    with pytest.raises(UnsupportedHDF5, match="shared"):
+        f._interpret_messages([(0x0003, b"\x03\x00\x00\x00\x08\x00\x00\x00", 0x02)])
+
+
+def test_null_dataspace_attribute_reads_as_none(tmp_path):
+    """h5py.Empty attributes (v2 NULL dataspace, no data) read as None and
+    must not break the rest of the attribute dict."""
+    import struct
+
+    from sed_binning_spark.io.hdf5_read import H5File
+    from sed_binning_spark.io.hdf5_write import _datatype
+
+    f = H5File.__new__(H5File)
+    nb = b"empty\x00"
+    dt = _datatype(np.dtype("<f8"))
+    sp = bytes([2, 0, 0, 2])  # v2 dataspace, rank 0, type NULL
+    body = struct.pack("<BxHHH", 1, len(nb), len(dt), len(sp))
+    body += nb + b"\x00" * (-len(nb) % 8)
+    body += dt + b"\x00" * (-len(dt) % 8)
+    body += sp + b"\x00" * (-len(sp) % 8)
+    name, value = f._parse_attribute(body)
+    assert name == "empty" and value is None
+
+
+def test_soft_link_raises_clear_error(tmp_path):
+    """A classic-format soft link (SNOD cache type 2, UNDEF header addr)
+    must raise UnsupportedHDF5, not crash with OverflowError."""
+    import struct
+
+    from sed_binning_spark.io.hdf5_read import H5File, UnsupportedHDF5
+    from sed_binning_spark.io.hdf5_write import H5Writer
+
+    w = H5Writer()
+    w.add_dataset("/g/real", np.array([1.0]))
+    path = str(tmp_path / "soft.h5")
+    w.write(path)
+    buf = bytearray(open(path, "rb").read())
+    # patch /g's single SNOD entry into a soft link: cache type 2, UNDEF addr
+    pos = buf.find(b"SNOD")
+    struct.pack_into("<QI", buf, pos + 8 + 8, 2**64 - 1, 2)
+    open(path, "wb").write(bytes(buf))
+    f = H5File(path)
+    with pytest.raises(UnsupportedHDF5, match="soft link"):
+        f.visit()
 
 
 @needs["mpes"]
