@@ -186,19 +186,7 @@ def bin_dataframe(
         raise ValueError(f"combine must be auto|shuffle|driver, got {combine!r}")
     bins, axes, ranges = simplify_binning_arguments(bins, axes, ranges)
 
-    if filters is not None:
-        from sed_binning_spark.core.dfops import apply_filter
-
-        for spec in filters:
-            spec = dict(spec)
-            col = spec.pop("col", None)
-            if col is None:
-                raise ValueError("filter spec requires a 'col' key")
-            lower = spec.pop("lower_bound", -np.inf)
-            upper = spec.pop("upper_bound", np.inf)
-            if spec:
-                raise ValueError(f"unknown filter keys: {sorted(spec)}")
-            df = apply_filter(df, col, lower, upper)
+    df = _apply_prebinning_filters(df, filters)
 
     if jitter is not None:
         df = _apply_binning_jitter(df, jitter, bins, axes, ranges, seed=jitter_seed)
@@ -231,6 +219,9 @@ def bin_dataframe(
         flat = flat * F.lit(shape[d]) + exprs[d]
     group_cols = [flat.alias("__flat")]
     out_names = ["__flat"]
+    dims = list(axes)
+    n_flat = int(np.prod(shape))
+    parts = None
     if return_partitions:
         if partition_column not in df.columns:
             raise KeyError(
@@ -238,9 +229,23 @@ def bin_dataframe(
             )
         group_cols.append(F.col(partition_column).alias("__df_part"))
         out_names.append("__df_part")
-
-    dims = list(axes)
-    n_flat = int(np.prod(shape))
+        # the df_part axis covers EVERY source partition, not just occupied
+        # ones: a file whose events all fall out of range must still yield a
+        # zero histogram slice, or positional pairing downstream (e.g.
+        # bias-series traces vs the biases array) silently misaligns. Also
+        # re-check the driver budget against the REAL allocation — the
+        # prod(bins) guard above doesn't know the partition multiplier.
+        all_parts = (
+            df.select(partition_column).distinct().toPandas()[partition_column].to_numpy()
+        )
+        parts = np.unique(all_parts.astype(np.int64))
+        if n_flat * len(parts) > max_dense_cells:
+            raise ValueError(
+                f"dense per-partition cube of {n_flat} cells x {len(parts)} "
+                f"partitions = {n_flat * len(parts)} values exceeds the "
+                f"driver budget (max_dense_cells={max_dense_cells}). Reduce "
+                "bins or use bin_dataframe_sparse().",
+            )
 
     # Dense-regime short-circuit: per-partition partial histograms collected
     # without a shuffle, summed on the driver (the reference's own physical
@@ -281,7 +286,6 @@ def bin_dataframe(
         part_vals = tbl.column("__df_part").to_numpy(zero_copy_only=False).astype(
             np.int64, copy=False,
         )
-        parts = np.unique(part_vals)
         dims.append("df_part")
         coords = {**coords, "df_part": parts}
         full = np.zeros((n_flat, len(parts)), dtype=np.float32)
@@ -479,15 +483,7 @@ def bin_dataframe_sparse(
     driver memory, and the form the driver's oracle checks compare.
     """
     bins, axes, ranges = simplify_binning_arguments(bins, axes, ranges)
-    if filters is not None:
-        from sed_binning_spark.core.dfops import apply_filter
-
-        for spec in filters:
-            spec = dict(spec)
-            col = spec.pop("col")
-            df = apply_filter(
-                df, col, spec.pop("lower_bound", -np.inf), spec.pop("upper_bound", np.inf),
-            )
+    df = _apply_prebinning_filters(df, filters)
     if jitter is not None:
         df = _apply_binning_jitter(df, jitter, bins, axes, ranges, seed=jitter_seed)
     df, idx_cols, _, exprs = bin_index_columns(df, bins, axes, ranges)
@@ -501,6 +497,27 @@ def bin_dataframe_sparse(
         .agg(F.count(F.lit(1)).alias(count_column))
         .dropna(subset=list(axes))
     )
+
+
+def _apply_prebinning_filters(df: DataFrame, filters: Sequence[dict] | None) -> DataFrame:
+    """Shared pre-binning filter-spec parsing (strict: unknown keys raise,
+    'col' is required) — one validator for both the dense and sparse
+    entry points so the same spec can never be interpreted two ways."""
+    if filters is None:
+        return df
+    from sed_binning_spark.core.dfops import apply_filter
+
+    for spec in filters:
+        spec = dict(spec)
+        col = spec.pop("col", None)
+        if col is None:
+            raise ValueError("filter spec requires a 'col' key")
+        lower = spec.pop("lower_bound", -np.inf)
+        upper = spec.pop("upper_bound", np.inf)
+        if spec:
+            raise ValueError(f"unknown filter keys: {sorted(spec)}")
+        df = apply_filter(df, col, lower, upper)
+    return df
 
 
 def _apply_binning_jitter(df, jitter, bins, axes, ranges, seed=None):
@@ -531,10 +548,14 @@ def _apply_binning_jitter(df, jitter, bins, axes, ranges, seed=None):
             binsize = abs(hi - lo) / bins[d]
         # overwrite the binned column in place (the reference's bin_partition
         # jitters the binned copy, sed/binning/binning.py:152-172) — jitter
-        # into a side column would silently be a no-op for the histogram
+        # into a side column would silently be a no-op for the histogram.
+        # Seeded runs derive a DISTINCT seed per axis (seed + axis index):
+        # one shared seed would make F.rand emit the identical per-row
+        # sequence for every axis, displacing events only along the
+        # diagonal — a different distribution than the unseeded form.
         df = apply_jitter(
             df, cols=[col], cols_jittered=[col], amps=amp * binsize,
-            jitter_type=mode, seed=seed,
+            jitter_type=mode, seed=None if seed is None else seed + d,
         )
     return df
 

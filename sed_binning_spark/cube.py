@@ -48,12 +48,13 @@ class Cube:
             raise ValueError(
                 f"data has {self.data.ndim} dims but {len(self.dims)} axis names given",
             )
-        for ax, centers in zip(self.dims, self.coords.values()):
+        for i, ax in enumerate(self.dims):
+            if ax not in self.coords:
+                raise ValueError(f"axis {ax!r} has no coords entry")
             n = self.coords[ax].shape[0]
-            if self.data.shape[self.dims.index(ax)] != n:
+            if self.data.shape[i] != n:
                 raise ValueError(
-                    f"axis {ax!r}: data extent "
-                    f"{self.data.shape[self.dims.index(ax)]} != {n} coords",
+                    f"axis {ax!r}: data extent {self.data.shape[i]} != {n} coords",
                 )
 
     # -- xarray-like conveniences -------------------------------------------------
@@ -86,13 +87,19 @@ class Cube:
         sed/core/processor.py:2270-2271 divides the cube by a 1-D histogram
         sharing one axis; xarray broadcasts by dimension name)."""
         if isinstance(other, Cube):
-            # Broadcast other over self by matching axis names.
-            shape = [1] * self.ndim
+            # Broadcast other over self by matching axis names: first
+            # TRANSPOSE other's data into self's axis order (a reshape on a
+            # differently-ordered buffer would silently scramble values),
+            # then insert singleton axes for dims other lacks.
             for ax in other.dims:
                 if ax not in self.dims:
                     raise ValueError(f"cannot align: axis {ax!r} not in {self.dims}")
-                shape[self.axis_index(ax)] = other.coords[ax].shape[0]
-            other_arr = other.data.reshape(shape)
+            order = sorted(range(other.ndim), key=lambda i: self.axis_index(other.dims[i]))
+            other_arr = other.data.transpose(order)
+            shape = [
+                other.coords[ax].shape[0] if ax in other.dims else 1 for ax in self.dims
+            ]
+            other_arr = other_arr.reshape(shape)
             return Cube(self.data / other_arr, self.coords, self.dims, self.attrs, self.name)
         return Cube(self.data / other, self.coords, self.dims, self.attrs, self.name)
 

@@ -157,10 +157,17 @@ class SedProcessor:
         column = resolve_alias(column, self._config)
         if column != "index" and column not in self._require_df().columns:
             raise KeyError(f"Column {column} not found in dataframe.")
-        self._apply_symmetric(
-            lambda df: apply_filter(df, column, min_value, max_value),
-            [column] if column != "index" else [],
-        )
+        if column == "index":
+            # event-row bounds are meaningless on the timed (fixed-rate)
+            # frame — filter the event frame only, like the reference
+            self._dataframe = apply_filter(
+                self._require_df(), column, min_value, max_value,
+            )
+        else:
+            self._apply_symmetric(
+                lambda df: apply_filter(df, column, min_value, max_value),
+                [column],
+            )
         self._attributes.add(
             {"filter": {"column": column, "min_value": min_value, "max_value": max_value}},
             "filter", duplicate_policy="append",
@@ -421,6 +428,7 @@ class SedProcessor:
         from pyspark.sql import functions as F
 
         df = self._require_df()
+        timed_df = self._timed_dataframe
         if df_partitions is not None:
             file_col = self._config.get("dataframe", {}).get("file_column", "file_id")
             if file_col not in df.columns:
@@ -428,9 +436,14 @@ class SedProcessor:
                     f"df_partitions needs a {file_col!r} column in the dataframe",
                 )
             if isinstance(df_partitions, int):
-                df = df.filter(F.col(file_col) < df_partitions)
+                pred = F.col(file_col) < df_partitions
             else:
-                df = df.filter(F.col(file_col).isin([int(p) for p in df_partitions]))
+                pred = F.col(file_col).isin([int(p) for p in df_partitions])
+            df = df.filter(pred)
+            # normalization must see the SAME file subset, or counts/second
+            # is biased low by n_total_files / n_selected
+            if timed_df is not None and file_col in timed_df.columns:
+                timed_df = timed_df.filter(pred)
         if axes is not None:
             axes = [resolve_alias(ax, self._config) for ax in axes]
         cube = bin_dataframe(df, bins=bins, axes=axes, ranges=ranges, **kwds)
@@ -449,12 +462,18 @@ class SedProcessor:
                 axis = resolve_alias(normalize_to_acquisition_time, self._config)
                 hist = self.get_normalization_histogram(
                     axis=axis, bin_centers=cube.coords[axis],
+                    timed_dataframe=timed_df, dataframe=df,
                 )
                 self._normalization_histogram = hist
                 normalized = cube / hist
             else:
-                acquisition_time = self.get_elapsed_time()
-                normalized = cube / acquisition_time if acquisition_time > 0 else cube
+                acquisition_time = self.get_elapsed_time(dataframe=df)
+                if acquisition_time <= 0:
+                    raise ValueError(
+                        "Total acquisition time is zero — cannot normalize "
+                        "to counts/second.",
+                    )
+                normalized = cube / acquisition_time
             normalized.attrs["units"] = "counts/second"
             normalized.attrs["long_name"] = "photoelectron counts per second"
             normalized.attrs["metadata"] = self._attributes.metadata
@@ -466,28 +485,36 @@ class SedProcessor:
         axis: str,
         use_time_stamps: bool = False,
         bin_centers: np.ndarray | None = None,
-        **kwds,
+        timed_dataframe: DataFrame | None = None,
+        dataframe: DataFrame | None = None,
     ) -> Cube:
         """A9-A11 (processor.py:2297-2366): timed-df histogram when
-        available (and not forced to timestamps), else timestamp diffs."""
+        available (and not forced to timestamps), else timestamp diffs.
+
+        ``timed_dataframe`` / ``dataframe`` override the stored frames —
+        ``compute(df_partitions=...)`` passes its file-filtered frames so
+        the normalization covers exactly the binned subset.
+        """
         axis = resolve_alias(axis, self._config)
         if bin_centers is None:
             if self._binned is None or axis not in self._binned.coords:
                 raise ValueError("Need computed binned data or explicit bin_centers!")
             bin_centers = self._binned.coords[axis]
-        if not use_time_stamps and self._timed_dataframe is not None:
+        timed = timed_dataframe if timed_dataframe is not None else self._timed_dataframe
+        if not use_time_stamps and timed is not None:
             return normalization_histogram_from_timed_dataframe(
-                self._timed_dataframe, axis, bin_centers,
+                timed, axis, bin_centers,
                 self._config["dataframe"].get("timed_dataframe_unit_time", 0.001),
             )
+        events = dataframe if dataframe is not None else self._require_df()
         ts_col = self._col("time_stamp_alias")
-        if ts_col not in self._require_df().columns:
+        if ts_col not in events.columns:
             raise ValueError(
                 f"Time stamp column {ts_col} not found in dataframe! "
                 "Cannot compute the normalization histogram.",
             )
         return normalization_histogram_from_timestamps(
-            self._require_df(), axis, bin_centers, ts_col,
+            events, axis, bin_centers, ts_col,
         )
 
     def view_event_histogram(
@@ -513,14 +540,14 @@ class SedProcessor:
             self._require_df(), axes, bins=bins, ranges=ranges, partition=dfpid,
         )
 
-    def get_elapsed_time(self) -> float:
+    def get_elapsed_time(self, dataframe: DataFrame | None = None) -> float:
         """Total acquisition time in seconds: the timestamp span of the
         event table (the generic-loader analogue of the reference's
         per-file ms-marker bookkeeping, sed/loader/mpes/loader.py:924-1016)."""
         from pyspark.sql import functions as F
 
         ts_col = self._col("time_stamp_alias")
-        df = self._require_df()
+        df = dataframe if dataframe is not None else self._require_df()
         if ts_col not in df.columns:
             raise ValueError(
                 f"Time stamp column {ts_col} not found; cannot compute elapsed time.",

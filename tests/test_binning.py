@@ -240,3 +240,75 @@ def test_normalization_histogram_from_timed_dataframe(events_df, events_pdf):
     edges = bin_centers_to_bin_edges(centers)
     counts, _ = np.histogram(events_pdf.X.to_numpy(), bins=edges)
     np.testing.assert_allclose(hist.data, counts * 0.001)
+
+
+def test_return_partitions_includes_empty_files(spark):
+    """A source file whose events all fall out of range still gets a zero
+    slice on the df_part axis — positional pairing downstream (bias-series
+    traces vs bias arrays) depends on it."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "t": [10.0, 20.0, 30.0, 999.0, 999.0],   # file 1 entirely out of range
+        "file_id": np.array([0, 0, 0, 1, 1], dtype="int64"),
+    })
+    cube = bin_dataframe(
+        spark.createDataFrame(pdf), bins=[4], axes=["t"], ranges=[(0.0, 40.0)],
+        return_partitions=True,
+    )
+    assert list(cube.coords["df_part"]) == [0, 1]
+    assert cube.data[:, 1].sum() == 0          # empty file -> zero slice
+    assert cube.data[:, 0].sum() == 3
+
+
+def test_return_partitions_respects_driver_budget(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "t": np.linspace(0, 39, 20),
+        "file_id": np.repeat(np.arange(4), 5).astype("int64"),
+    })
+    with pytest.raises(ValueError, match="driver budget"):
+        bin_dataframe(
+            spark.createDataFrame(pdf), bins=[100], axes=["t"],
+            ranges=[(0.0, 40.0)], return_partitions=True, max_dense_cells=150,
+        )
+
+
+def test_seeded_jitter_differs_per_axis(spark, events_df):
+    """A shared seed must NOT produce identical noise on every jittered
+    axis (diagonal-only smearing); per-axis seeds decorrelate them while
+    staying reproducible."""
+    from sed_binning_spark.binning.binning import _apply_binning_jitter
+
+    bins, axes, ranges = [16, 16], ["X", "Y"], [(0.0, 2048.0), (0.0, 2048.0)]
+    out = _apply_binning_jitter(
+        events_df.select("X", "Y"), ["X", "Y"], bins, axes, ranges, seed=42,
+    ).toPandas()
+    orig = events_df.select("X", "Y").toPandas()
+    nx = (out["X"] - orig["X"]).to_numpy()
+    ny = (out["Y"] - orig["Y"]).to_numpy()
+    assert nx.std() > 0 and ny.std() > 0
+    assert not np.allclose(nx, ny)             # decorrelated
+    # reproducible: same seed, same noise
+    out2 = _apply_binning_jitter(
+        events_df.select("X", "Y"), ["X", "Y"], bins, axes, ranges, seed=42,
+    ).toPandas()
+    np.testing.assert_allclose(out["X"], out2["X"])
+
+
+def test_sparse_filters_validate_like_dense(spark, events_df):
+    """Both entry points share one filter-spec validator: unknown keys and
+    missing 'col' raise identically."""
+    from sed_binning_spark.binning.binning import bin_dataframe_sparse
+
+    with pytest.raises(ValueError, match="unknown filter keys"):
+        bin_dataframe_sparse(
+            events_df, bins=[8], axes=["t"], ranges=[(60000.0, 120000.0)],
+            filters=[{"col": "X", "lower": 5}],
+        )
+    with pytest.raises(ValueError, match="'col' key"):
+        bin_dataframe_sparse(
+            events_df, bins=[8], axes=["t"], ranges=[(60000.0, 120000.0)],
+            filters=[{"lower_bound": 5}],
+        )

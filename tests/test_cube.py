@@ -56,3 +56,18 @@ def test_cube_equals():
     b = Cube(np.ones((2,)), {"x": np.arange(2)})
     assert a.equals(b)
     assert not a.equals(Cube(np.zeros((2,)), {"x": np.arange(2)}))
+
+
+def test_cube_division_transposed_dims():
+    """Dividing by a cube whose dims are in a different ORDER must align by
+    name (transpose), not silently reinterpret the buffer."""
+    data = np.arange(6, dtype=float).reshape(2, 3) + 1.0
+    a = Cube(data, {"x": np.arange(2), "y": np.arange(3)}, dims=["x", "y"])
+    b = Cube(data.T.copy(), {"y": np.arange(3), "x": np.arange(2)}, dims=["y", "x"])
+    out = a / b
+    np.testing.assert_array_equal(out.data, np.ones((2, 3)))
+
+
+def test_cube_missing_coords_raises_value_error():
+    with pytest.raises(ValueError, match="no coords entry"):
+        Cube(np.zeros((2, 3)), {"x": np.arange(2)}, dims=["x", "y"])
