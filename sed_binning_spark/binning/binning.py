@@ -378,7 +378,13 @@ def _spill_collect_arrow(df: DataFrame):
     if scratch is None:
         if not spark.sparkContext.master.startswith("local"):
             return df.toArrow()
-        scratch = tempfile.gettempdir()
+        # prefer RAM-backed tmpfs in local mode: every spill through here is
+        # budget-bounded (raw indices <= ~1 GB by _DENSE_ROWS_BUDGET,
+        # occupied cells <= max_dense_cells), and routing the round trip
+        # through /dev/shm removes disk I/O — and its noisy-neighbor
+        # variance on shared hosts — from the hot path entirely
+        shm = "/dev/shm"
+        scratch = shm if os.access(shm, os.W_OK) else tempfile.gettempdir()
     import pyarrow.parquet as pq
 
     path = os.path.join(scratch, f"sed-binning-spill-{uuid.uuid4().hex}")
