@@ -457,7 +457,9 @@ def _range_partitioned_bincount(vals: np.ndarray, n_cells: int) -> np.ndarray:
         return np.bincount(vals, minlength=n_cells)
     from concurrent.futures import ThreadPoolExecutor
 
-    n_threads = 8
+    # measured on 1e8 values x 1e8 cells: 3.8 s @ 8 threads, 3.1 s @ 16,
+    # flat beyond; more threads also ride out neighbor-CPU contention
+    n_threads = min(16, max(2, (os.cpu_count() or 8) // 2))
     bounds = np.linspace(0, n_cells, n_threads + 1).astype(np.int64)
     out = np.empty(n_cells, dtype=np.int64)
 
