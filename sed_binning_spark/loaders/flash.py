@@ -96,9 +96,11 @@ def electron_frames_distributed(
                 yield out
 
     arr_cols = ", ".join(f"`{n}` array<double>" for n in names)
+    # round-robin: exactly one file per task (hashing on path leaves ~1/e
+    # of partitions empty and stragglers reading several files)
     paths_df = spark.createDataFrame(
         [(p,) for p in paths], "path string",
-    ).repartition(len(paths), "path")
+    ).repartition(len(paths))
     return paths_df.mapInPandas(_extract, f"trainId long, {arr_cols}")
 
 
@@ -368,15 +370,24 @@ class FlashLoader(BaseLoader):
             key: out_dir / f"{stem}.{key}.buffer.parquet"
             for key in ("electron", "pulse", "aux", "train")
         }
-        # completeness marker: written LAST and recording WHICH frame kinds
-        # the conversion produced, so (a) a conversion that dies mid-way is
-        # redone rather than served partially, (b) stale buffers from an
-        # older config are never picked up, and (c) a marker whose buffers
-        # were deleted falls back to re-extraction instead of KeyErrors
+        # completeness marker: written LAST and recording the CHANNEL-CONFIG
+        # fingerprint plus WHICH frame kinds the conversion produced, so
+        # (a) a conversion that dies mid-way is redone rather than served
+        # partially, (b) buffers built under a DIFFERENT channel config are
+        # re-extracted instead of silently served without the new columns,
+        # and (c) a marker whose buffers were deleted falls back to
+        # re-extraction instead of KeyErrors
         done_marker = out_dir / f"{stem}.buffers.complete"
+        fingerprint = self._channel_config_fingerprint()
         if done_marker.exists() and not force_recreate:
-            kinds = [k for k in done_marker.read_text().split() if k]
-            if kinds and all(buffer_paths[k].exists() for k in kinds):
+            lines = done_marker.read_text().splitlines()
+            marker_fp = lines[0].strip() if lines else ""
+            kinds = lines[1].split() if len(lines) > 1 else []
+            if (
+                marker_fp == fingerprint
+                and kinds
+                and all(buffer_paths[k].exists() for k in kinds)
+            ):
                 return {
                     k: self.spark.read.parquet(str(buffer_paths[k])) for k in kinds
                 }
@@ -386,8 +397,17 @@ class FlashLoader(BaseLoader):
             bpath = buffer_paths[key]
             frame.write.mode("overwrite").parquet(str(bpath))
             frames[key] = self.spark.read.parquet(str(bpath))
-        done_marker.write_text(" ".join(sorted(frames)))
+        done_marker.write_text(fingerprint + "\n" + " ".join(sorted(frames)))
         return frames
+
+    def _channel_config_fingerprint(self) -> str:
+        """Stable digest of the channel spec that shaped the buffers."""
+        import hashlib
+        import json
+
+        channels = self.config.get("dataframe", {}).get("channels", self.DEFAULT_CHANNELS)
+        blob = json.dumps(channels, sort_keys=True, default=str)
+        return hashlib.md5(blob.encode()).hexdigest()
 
     def h5_to_train_frames(
         self,
@@ -464,6 +484,12 @@ class FlashLoader(BaseLoader):
             idx0 = next(iter(pulse.values()))[0]
             pdf = pd.DataFrame({"trainId": idx0})
             for name, (idx, val) in pulse.items():
+                if not np.array_equal(idx, idx0):
+                    # positional attach would assign this channel's values
+                    # to the wrong trains — same contract as per-electron
+                    raise ValueError(
+                        f"per-pulse channel {name} has a different train index",
+                    )
                 pdf[name] = list(val)
             arr_cols = ", ".join(f"`{n}` array<double>" for n in pulse)
             frames["pulse"] = self.spark.createDataFrame(
@@ -512,7 +538,11 @@ class FlashLoader(BaseLoader):
         with per-pulse arrays (optional), "aux": per-train df with the
         dldAux vector (optional), "train": per-train scalars (optional)}.
         """
-        if train_frames is None:
+        if train_frames is not None:
+            # injected-data path never goes through resolve_paths, which is
+            # what resets + records caller metadata on the file-read path
+            self.metadata = dict(metadata or {})
+        else:
             if files is None and folders is None and runs is None:
                 raise ValueError(
                     "provide files/folders/runs or inject train_frames "
@@ -530,11 +560,21 @@ class FlashLoader(BaseLoader):
             parquet_dir = (
                 self.config.get("core", {}).get("paths", {}).get("data_parquet_dir")
             )
+            # per-file conversions are independent; a small thread pool
+            # overlaps their driver-side HDF5 decode and lets concurrent
+            # Spark jobs (createDataFrame + parquet writes) pipeline through
+            # the scheduler instead of running strictly one file at a time
+            from concurrent.futures import ThreadPoolExecutor
+
+            n_workers = min(4, max(1, len(paths)))
             if parquet_dir:
-                per_file = [
-                    self._train_frames_buffered(p, parquet_dir, force_recreate)
-                    for p in paths
-                ]
+                with ThreadPoolExecutor(n_workers) as ex:
+                    per_file = list(ex.map(
+                        lambda p: self._train_frames_buffered(
+                            p, parquet_dir, force_recreate,
+                        ),
+                        paths,
+                    ))
                 train_frames = {}
                 for frames in per_file:
                     for key, frame in frames.items():
@@ -549,10 +589,13 @@ class FlashLoader(BaseLoader):
                 train_frames = {
                     "electron": self._electron_frames_distributed(paths),
                 }
-                per_file = [
-                    self.h5_to_train_frames(p, formats=("per_pulse", "per_train"))
-                    for p in paths
-                ]
+                with ThreadPoolExecutor(n_workers) as ex:
+                    per_file = list(ex.map(
+                        lambda p: self.h5_to_train_frames(
+                            p, formats=("per_pulse", "per_train"),
+                        ),
+                        paths,
+                    ))
                 for frames in per_file:
                     for key, frame in frames.items():
                         train_frames[key] = (

@@ -349,6 +349,13 @@ class MpesLoader(BaseLoader):
             f = H5File(p)
             names = {q.lstrip("/") for q in f.visit()}
             mm = f.read("/msMarkers") if "msMarkers" in names else None
+            if mm is None and time_stamps:
+                # fail at submit time with the file named — the executor
+                # extraction would otherwise die mid-job with a bare KeyError
+                raise ValueError(
+                    f"time_stamps=True requires an msMarkers dataset, "
+                    f"missing in {p}",
+                )
             markers.append(mm)
             fd = {}
             first_ts = f.attrs("/").get("FirstEventTimeStamp")
@@ -364,9 +371,12 @@ class MpesLoader(BaseLoader):
                 elapsed += elapsed_time_from_markers(mm)
 
         spark = self.spark
+        # round-robin repartition: exactly one file per task. Hashing on
+        # file_id would collide ~1/e of the partitions empty and leave
+        # straggler tasks reading 2-3 files while cores idle.
         paths_df = spark.createDataFrame(
             [(i, p) for i, p in enumerate(paths)], "file_id int, path string",
-        ).repartition(len(paths), "file_id")
+        ).repartition(len(paths))
 
         np_dtype = data_type
         ts_flag = bool(time_stamps)
@@ -481,6 +491,9 @@ class MpesLoader(BaseLoader):
             )
         conf = self.config.get("dataframe", {})
         alias_dict = alias_dict or conf.get("aliases", {})
+        # injected-data path never goes through resolve_paths, which is
+        # what resets + records caller metadata on the other path
+        self.metadata = dict(metadata or {})
 
         event_parts: list[DataFrame] = []
         timed_parts: list[DataFrame] = []
@@ -491,9 +504,10 @@ class MpesLoader(BaseLoader):
             ev = streams_to_dataframe(
                 self.spark,
                 fd["streams"],
-                # per-file stream aliases (the instrument's own Name attrs)
-                # unless the caller/config overrode them
-                alias_dict=alias_dict or fd.get("aliases", {}),
+                # per-file stream aliases (the instrument's own Name attrs),
+                # with caller/config overrides merged ON TOP per stream —
+                # the same merge semantics as the distributed read path
+                alias_dict={**fd.get("aliases", {}), **(alias_dict or {})},
                 time_stamps=time_stamps,
                 ms_marker=marker,
                 start_time=start,

@@ -131,7 +131,9 @@ class SXPLoader(BaseLoader):
         daq = kwds.pop("daq", conf.get("daq", "DA03"))
         prefixes = conf.get("stream_name_prefixes", {"DA03": "RAW-R"})
         postfixes = conf.get("stream_name_postfixes", {"DA03": "-DA03-"})
-        rid = str(run_id).zfill(4) if isinstance(run_id, int) else str(run_id)
+        # pad unconditionally (mpes does too): runs='45' and runs=45 must
+        # both resolve RAW-R0045-*; an already-padded string is unchanged
+        rid = str(run_id).zfill(4)
         if isinstance(folders, str):
             folders = [folders]
         pattern = f"{prefixes[daq]}{rid}{postfixes.get(daq, '')}*.{extension}"
@@ -241,7 +243,11 @@ class SXPLoader(BaseLoader):
         shared flash assembly (sxp/loader.py:800-893 delegates the same
         way). Read modes follow the uniform contract; ``record_frames``
         injects extracted channel frames directly."""
-        if record_frames is None:
+        if record_frames is not None:
+            # injected-data path: record caller metadata like resolve_paths
+            # does on the file-read path
+            self.metadata = dict(metadata or {})
+        else:
             if files is None and folders is None and runs is None:
                 raise ValueError(
                     "provide files/folders/runs or inject record_frames",
@@ -295,9 +301,14 @@ class SXPLoader(BaseLoader):
         frames = dict(record_frames)
         frames["electron"] = chopped
         loader = FlashLoader(self.spark, self.config)
-        return loader.read_dataframe(
-            train_frames=frames, ubid_offset=ubid_offset, **kwds,
+        electron, pulse, meta = loader.read_dataframe(
+            train_frames=frames, ubid_offset=ubid_offset,
+            pulse_array_column=pulse_array_column, **kwds,
         )
+        # keep this loader's bookkeeping (resolve_paths metadata, caller
+        # metadata=) — the fresh delegate starts with an empty dict
+        self.metadata.update(meta)
+        return electron, pulse, self.metadata
 
 
 def explode_chopped_electrons(

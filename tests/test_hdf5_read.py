@@ -447,3 +447,35 @@ def test_extract_bias_from_real_file():
 
     vals = extract_bias_h5([MPES_FX], "@KTOF:Lens:Sample:V")
     np.testing.assert_allclose(vals, [19.3])
+
+
+@needs["flash"]
+def test_flash_buffer_cache_invalidated_by_config_change(spark, tmp_path):
+    """Buffers built under a different channel config must be re-extracted,
+    not silently served without the newly configured columns."""
+    from sed_binning_spark.loaders.flash import FlashLoader
+
+    config = {"core": {"paths": {"data_parquet_dir": str(tmp_path)}}}
+    first = FlashLoader(spark, config=config)
+    first.read_dataframe(files=[FLASH_FX])
+
+    # same config -> cache hit (extractor never called)
+    cached = FlashLoader(spark, config=config)
+    cached.h5_to_train_frames = None
+    cached.read_dataframe(files=[FLASH_FX])
+
+    # changed channel spec (one channel removed) -> fingerprint mismatch
+    # -> re-extraction runs instead of serving the stale buffers
+    from sed_binning_spark.loaders.flash import FlashLoader as FL
+
+    trimmed = {k: v for k, v in FL.DEFAULT_CHANNELS.items() if k != "dldTimeSteps"}
+    changed = FlashLoader(spark, config={
+        **config,
+        "dataframe": {"channels": trimmed},
+    })
+    calls = []
+    orig = changed.h5_to_train_frames
+    changed.h5_to_train_frames = lambda p, **kw: calls.append(p) or orig(p, **kw)
+    electron, _, _ = changed.read_dataframe(files=[FLASH_FX])
+    assert calls, "config change must trigger re-extraction"
+    assert "dldPosX" in electron.columns

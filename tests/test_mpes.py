@@ -138,3 +138,23 @@ def test_mpes_loader_end_to_end(spark):
     rate, secs = loader.get_count_rate(files_data)
     assert len(rate) == len(secs) == 5
     assert loader.get_elapsed_time(files_data) == 5 / 1000.0
+
+
+def test_files_data_alias_merge_matches_distributed_semantics(spark):
+    """Caller/config aliases override PER STREAM on top of the file's own
+    Name aliases — not all-or-nothing (both read paths must agree)."""
+    from sed_binning_spark.loaders.mpes import MpesLoader
+
+    files_data = [{
+        "streams": {
+            "Stream_0": np.arange(5, dtype=np.float32),
+            "Stream_1": np.arange(5, dtype=np.float32) * 2,
+        },
+        "aliases": {"Stream_0": "X", "Stream_1": "Y"},
+    }]
+    ev, _, meta = MpesLoader(spark).read_dataframe(
+        files_data=files_data, alias_dict={"Stream_0": "X2"},
+        metadata={"scan": 42},
+    )
+    assert {"X2", "Y"} <= set(ev.columns)       # override + file alias kept
+    assert meta["scan"] == 42                   # caller metadata preserved

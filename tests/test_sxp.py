@@ -103,3 +103,14 @@ def test_sxp_loader_end_to_end(spark, records):
     assert set(pdf.trainId) == {100, 101, 102, 200, 201}
     assert pdf.groupby("trainId").size().loc[100] == 3
     assert meta["ubid_offset"] == 0
+
+
+def test_run_id_padding_consistent_for_str_and_int(spark, tmp_path):
+    """runs='16' and runs=16 must resolve the same RAW-R0016-* files."""
+    from sed_binning_spark.loaders.sxp import SXPLoader
+
+    (tmp_path / "RAW-R0016-DA03-S00000.h5").write_bytes(b"")
+    loader = SXPLoader(spark)
+    for run in (16, "16", "0016"):
+        files = loader.get_files_from_run_id(run, [str(tmp_path)])
+        assert len(files) == 1 and files[0].endswith("RAW-R0016-DA03-S00000.h5")
