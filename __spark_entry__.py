@@ -517,7 +517,9 @@ def _dfield_oracle_sql() -> str:
         f"SELECT event_id, fr, fc, r0, c0, r0 + 1.0 AS r1, c0 + 1.0 AS c1, "
         f"(r0 >= 0.0 AND r0 <= {lim}.0) AS okr0, (r0 >= -1.0 AND r0 <= {lim - 1}.0) AS okr1, "
         f"(c0 >= 0.0 AND c0 <= {lim}.0) AS okc0, (c0 >= -1.0 AND c0 <= {lim - 1}.0) AS okc1, "
-        f"(X < -0.5 OR X > {fsql(n - 0.5)} OR Y < -0.5 OR Y > {fsql(n - 0.5)}) AS bad "
+        # outside [0, n-1] -> cval 0, scipy's legacy 'constant' mode (the
+        # engine's map_coordinates_bilinear matches this exactly)
+        f"(X < 0.0 OR X > {lim}.0 OR Y < 0.0 OR Y > {lim}.0) AS bad "
         f"FROM (SELECT event_id, X, Y, floor(X) AS r0, floor(Y) AS c0, "
         f"X - floor(X) AS fr, Y - floor(Y) AS fc FROM ({_EV_SQL})))"
     )

@@ -422,6 +422,15 @@ def fit_energy_calibration(
         width = (hi - lo) / 16
         center = t0_max - best[3]
         lo, hi = max(center - width, offsets[0] * 0.1), center + width
+    if not np.isfinite(best[0]):
+        # every t0 candidate rejected (negative d^2): the bias/energy trend
+        # contradicts the model sign. Returning the degenerate d=0 would
+        # silently yield a CONSTANT energy axis downstream.
+        raise ValueError(
+            "energy calibration fit failed: no t0 candidate gives a "
+            "physical (d^2 > 0) solution — check energy_scale "
+            f"({energy_scale!r}) and the sign of the bias series",
+        )
     _, d, e0, t0 = best
 
     # Pin E0 so the reference feature lands exactly at ref_energy

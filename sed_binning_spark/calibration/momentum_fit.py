@@ -102,7 +102,12 @@ def rot_vertex_generator(
     scale = np.asarray(scale, dtype=float)
     out = []
     for k in range(rotsym):
-        ang = -2.0 * np.pi * k / rotsym  # direction=-1 in the reference
+        # rotate WITH the ccw angular ordering pointset_order produces, so
+        # target k pairs with ordered landmark k: verified on the golden
+        # landmark set (13-21 px symmetrization corrections; the opposite
+        # sign paired landmark k with mirrored vertex n-k, dragging points
+        # ~175 px and fitting a reflecting warp)
+        ang = 2.0 * np.pi * k / rotsym
         ca, sa = np.cos(ang), np.sin(ang)
         rot = np.array([[ca, -sa], [sa, ca]])
         out.append(center + scale[k] * (rot @ v0))

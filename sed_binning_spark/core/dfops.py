@@ -24,23 +24,6 @@ ROW_COLUMN = "row_id"
 # ---------------------------------------------------------------------------
 # jitter (M1: sed/core/dfops.py:16-70)
 # ---------------------------------------------------------------------------
-def jitter_expr(
-    col: str | Column,
-    amp: float,
-    jitter_type: str = "uniform",
-    seed: int | None = None,
-) -> Column:
-    """``col + amp * noise`` with uniform U(-1,1) or standard-normal noise."""
-    c = F.col(col) if isinstance(col, str) else col
-    if jitter_type == "uniform":
-        noise = F.rand(seed) * 2.0 - 1.0 if seed is not None else F.rand() * 2.0 - 1.0
-    elif jitter_type == "normal":
-        noise = F.randn(seed) if seed is not None else F.randn()
-    else:
-        raise ValueError("type needs to be one of 'normal', 'uniform'!")
-    return c + F.lit(float(amp)) * noise
-
-
 def apply_jitter(
     df: DataFrame,
     cols: str | Sequence[str],
@@ -218,10 +201,13 @@ def forward_fill(
     for c in columns:
         out = out.withColumn(c, F.last(_nan_to_null(df, c), ignorenulls=True).over(w))
 
-    # phase 2: per-file last non-null -> driver -> running fill across files
+    # phase 2: per-file last non-null -> driver -> running fill across
+    # files. Aggregates over the RAW frame: the last non-null per file is
+    # identical either way, and aggregating `out` would execute the phase-1
+    # sort window once extra just for this collect.
     aggs = [F.max_by(c, F.when(_nan_to_null(df, c).isNotNull(), F.col(row_column))).alias(c)
             for c in columns]
-    boundary = out.groupBy(file_column).agg(*aggs).collect()
+    boundary = df.groupBy(file_column).agg(*aggs).collect()
     boundary = sorted(boundary, key=lambda r: r[file_column])
     carry: dict = {c: None for c in columns}
     rows = []
@@ -252,6 +238,8 @@ def backward_fill(
     if isinstance(columns, str):
         columns = [columns]
     columns = list(columns)
+    if len(columns) == 0:
+        raise ValueError("columns must be a non-empty list of column names!")
     missing = [c for c in columns if c not in df.columns]
     if missing:
         raise KeyError(f"columns not in dataframe: {missing}")
@@ -272,9 +260,12 @@ def backward_fill(
     for c in columns:
         out = out.withColumn(c, F.first(_nan_to_null(df, c), ignorenulls=True).over(w))
 
+    # boundary values aggregate over the RAW frame: the first non-null per
+    # file is identical either way, and aggregating `out` would execute the
+    # phase-1 sort window once extra just for this collect
     aggs = [F.min_by(c, F.when(_nan_to_null(df, c).isNotNull(), F.col(row_column))).alias(c)
             for c in columns]
-    boundary = out.groupBy(file_column).agg(*aggs).collect()
+    boundary = df.groupBy(file_column).agg(*aggs).collect()
     boundary = sorted(boundary, key=lambda r: r[file_column], reverse=True)
     carry: dict = {c: None for c in columns}
     rows = []
@@ -370,14 +361,24 @@ def offset_by_other_columns(
     if len(preserve_mean) != len(offset_columns):
         raise ValueError("preserve_mean and offset_columns must have the same length!")
 
-    # one aggregation pass for every needed mean
+    # one aggregation pass for every needed mean; NaN masks to NULL first
+    # (Spark avg skips NULL but PROPAGATES NaN — the reference's pandas
+    # .mean() skips NaN, and pre-fill slow channels routinely contain NaN)
     need_mean = [
         c for c, r, p in zip(offset_columns, reductions, preserve_mean) if r or p
     ]
     means: dict[str, float] = {}
     if need_mean:
-        row = df.agg(*[F.mean(c).alias(c) for c in need_mean]).collect()[0]
-        means = {c: float(row[c]) for c in need_mean}
+        row = df.agg(
+            *[F.mean(_nan_to_null(df, c)).alias(c) for c in need_mean],
+        ).collect()[0]
+        for c in need_mean:
+            if row[c] is None:
+                raise ValueError(
+                    f"offset column {c!r} has no non-missing values — "
+                    "cannot compute its mean",
+                )
+            means[c] = float(row[c])
 
     expr: Column = F.col(target_column)
     for col, w, red, pm in zip(offset_columns, weights, reductions, preserve_mean):

@@ -256,11 +256,33 @@ def test_generate_inverse_dfield_identity_roundtrip():
 
 
 def test_generate_inverse_dfield_shift():
-    """Forward shift by +3 rows inverts to -3 rows (interior cells)."""
+    """Forward shift by +3 rows inverts to -3 rows (interior cells);
+    bin == detector == grid extent is the degenerate identity raster."""
     h = w = 64
     rr, cc = np.meshgrid(np.arange(h, dtype=float), np.arange(w, dtype=float), indexing="ij")
-    inv = generate_inverse_dfield(rr + 3, cc)
+    inv = generate_inverse_dfield(
+        rr + 3, cc, bin_ranges=((0, h), (0, w)), detector_ranges=((0, h), (0, w)),
+    )
     np.testing.assert_allclose(inv[0][10:50, 10:50], rr[10:50, 10:50] - 3, atol=1e-6)
+
+
+def test_generate_inverse_dfield_scaled_units():
+    """Binned grid smaller than the detector (the standard mpes shape):
+    the inverse field must raster over DETECTOR pixels with binned-axis
+    values, so apply_dfield's raw-coordinate lookups come back in detector
+    units — an identity forward field round-trips X within one bin step."""
+    h = w = 64
+    det = 256  # 4x binning
+    rr, cc = np.meshgrid(np.arange(h, dtype=float), np.arange(w, dtype=float), indexing="ij")
+    inv = generate_inverse_dfield(
+        rr, cc, bin_ranges=((0, det), (0, det)), detector_ranges=((0, det), (0, det)),
+    )
+    assert inv.shape == (2, det, det)
+    xs = np.linspace(20.0, det - 20.0, 9)
+    from sed_binning_spark.calibration.momentum import map_coordinates_bilinear
+
+    got = map_coordinates_bilinear(inv[0], xs, xs)
+    np.testing.assert_allclose(got, xs, atol=det / h)  # one bin step
 
 
 # ------------------------------------------------------------------ delay M11
