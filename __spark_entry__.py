@@ -217,8 +217,10 @@ def _norm_sql(col: str, dim: int) -> str:
 _STOP_SQL = {
     lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in STOPWORDS.items()
 }
-_TOKS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
-_WS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+# list_filter strips the empty token regexp_split emits for blank text,
+# mirroring pipeline.text.whitespace_tokens' array_remove
+_TOKS_SQL = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '')"
+_WS_SQL = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')"
 
 
 # ---------------------------------------------------------------------------

@@ -114,11 +114,15 @@ def parse_config(
     """Merge config layers with the reference's precedence
     (sed/core/config.py:19-141): config > folder > user > system > default.
 
-    Each layer may be a dict, a path to a YAML file, or None. Missing files
-    are skipped silently (as in the reference).
+    Each layer may be a dict, a path to a YAML file, or None. The implicit
+    folder/user/system files are skipped silently when absent (as in the
+    reference); an EXPLICITLY passed ``config`` path that does not exist
+    raises FileNotFoundError — a typo'd path must not silently demote the
+    run to lower-priority configs. ``verify=True`` adds structural checks
+    (sections are mappings, channel specs carry a known format).
     """
 
-    def _as_dict(layer, default_path: str | None = None) -> dict:
+    def _as_dict(layer, default_path: str | None = None, explicit: bool = False) -> dict:
         if layer is None and default_path is not None:
             layer = default_path
         if layer is None:
@@ -128,20 +132,61 @@ def parse_config(
         p = Path(layer)
         if p.exists():
             return load_yaml(p)
+        if explicit:
+            raise FileNotFoundError(f"config file {p} does not exist")
         return {}
 
     layers = [
-        _as_dict(config),
-        _as_dict(folder_config, os.path.join(os.getcwd(), "sed_config.yaml")),
-        _as_dict(user_config, os.path.expanduser("~/.sed/config.yaml")),
-        _as_dict(system_config, "/etc/sed/config.yaml"),
+        _as_dict(config, explicit=True),
+        _as_dict(folder_config, os.path.join(os.getcwd(), "sed_config.yaml"),
+                 explicit=folder_config is not None),
+        _as_dict(user_config, os.path.expanduser("~/.sed/config.yaml"),
+                 explicit=user_config is not None),
+        _as_dict(system_config, "/etc/sed/config.yaml",
+                 explicit=system_config is not None),
         default_config if default_config is not None else DEFAULT_CONFIG,
     ]
     merged: dict = {}
     # lowest priority first so later (higher-priority) layers override
     for layer in reversed(layers):
         merged = deep_merge(merged, layer)
+    if verify:
+        _verify_config(merged)
     return merged
+
+
+def _verify_config(config: dict) -> None:
+    """Structural validation (the reference runs its pydantic config model
+    here): known sections must be mappings, and every channel spec must
+    carry a known format plus an addressable dataset."""
+    for section in ("core", "dataframe", "binning", "histogram", "energy",
+                    "momentum", "delay", "metadata", "nexus"):
+        if section in config and not isinstance(config[section], dict):
+            raise ValueError(
+                f"config section {section!r} must be a mapping, got "
+                f"{type(config[section]).__name__}",
+            )
+    paths = config.get("core", {}).get("paths", {})
+    if paths and not isinstance(paths, dict):
+        raise ValueError("config core.paths must be a mapping")
+    channels = config.get("dataframe", {}).get("channels", {})
+    if channels and not isinstance(channels, dict):
+        raise ValueError("config dataframe.channels must be a mapping")
+    for name, spec in (channels or {}).items():
+        if not isinstance(spec, dict):
+            raise ValueError(f"channel {name!r} spec must be a mapping")
+        fmt = spec.get("format")
+        if fmt not in ("per_electron", "per_pulse", "per_train"):
+            raise ValueError(
+                f"channel {name!r} has invalid format {fmt!r} (expected "
+                "per_electron | per_pulse | per_train)",
+            )
+        if "group_name" not in spec and (
+            "index_key" not in spec or "dataset_key" not in spec
+        ):
+            raise ValueError(
+                f"channel {name!r} needs group_name or index_key+dataset_key",
+            )
 
 
 def resolve_alias(name: str, config: dict) -> str:

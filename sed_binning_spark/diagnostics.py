@@ -63,9 +63,14 @@ def event_histogram_grid(
         for ax in axes:
             aggs += [F.min(ax).alias(f"__lo_{ax}"), F.max(ax).alias(f"__hi_{ax}")]
         row = df.agg(*aggs).collect()[0]
-        ranges = [
-            (float(row[f"__lo_{ax}"]), float(row[f"__hi_{ax}"])) for ax in axes
-        ]
+        ranges = []
+        for ax in axes:
+            lo, hi = row[f"__lo_{ax}"], row[f"__hi_{ax}"]
+            if lo is None or hi is None:  # empty selection / all-NULL column
+                lo, hi = 0.0, 1.0
+            elif float(lo) == float(hi):  # constant column: widen like
+                lo, hi = float(lo) - 0.5, float(hi) + 0.5  # np.histogram
+            ranges.append((float(lo), float(hi)))
     if len(ranges) != len(axes):
         raise ValueError("ranges and axes must have the same length")
 

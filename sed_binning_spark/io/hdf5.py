@@ -146,8 +146,20 @@ def to_npz(data: Cube, faddr: str | Path) -> None:
     payload = {"BinnedData": data.data, "dims": np.array(list(data.dims))}
     for i, dim in enumerate(data.dims):
         payload[f"ax{i}"] = data.coords[dim]
-    payload["attrs_json"] = np.array(json.dumps(data.attrs, default=str))
+    payload["attrs_json"] = np.array(json.dumps(data.attrs, default=_json_meta))
     np.savez_compressed(Path(faddr), **payload)
+
+
+def _json_meta(obj):
+    """JSON fallback that keeps numeric metadata NUMERIC: arrays become
+    lists and numpy scalars plain numbers (default=str would stringify an
+    array as its display text, silently corrupting e.g. calibration
+    coefficient lists on the round trip); everything else degrades to str."""
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if isinstance(obj, np.generic):
+        return obj.item()
+    return str(obj)
 
 
 def load_npz(faddr: str | Path) -> Cube:

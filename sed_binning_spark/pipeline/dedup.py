@@ -173,6 +173,13 @@ def _band_keys_stacked(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
+    # NULL/blank documents carry no content signal; without this filter
+    # they all share the NULL-propagated band key (concat_ws skips NULLs),
+    # forming one degenerate mega-bucket whose members would be
+    # "deduplicated" against each other despite having no text at all
+    df = df.where(
+        F.col(text_column).isNotNull() & (F.trim(F.col(text_column)) != ""),
+    )
     sigs = minhash_signatures(df, text_column, id_column, num_hashes, shingle_size)
     band_cols = [
         F.concat_ws("#", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])

@@ -89,11 +89,18 @@ def cosine_pairs_brute(
     CORRECTNESS oracle only (O(n²); use :func:`lsh_bucket_pairs` at scale).
     Pre-normalizes once so the join condition is a plain dot product."""
     dim = _dim(df, embedding_column)
+    # norm in an inner projection, division in an outer one: inside a
+    # higher-order-function lambda subexpression elimination does not apply
+    # (see dedup.word_shingles' measurement note), so an inline norm_expr
+    # would re-evaluate the O(dim) sum once per element — O(dim^2) per row
     normed = df.select(
         F.col(id_column),
+        F.col(embedding_column),
+        norm_expr(F.col(embedding_column), dim).alias("__n"),
+    ).select(
+        F.col(id_column),
         F.transform(
-            F.col(embedding_column),
-            lambda x: x.cast("double") / norm_expr(F.col(embedding_column), dim),
+            F.col(embedding_column), lambda x: x.cast("double") / F.col("__n"),
         ).alias("__e"),
     )
     a = normed.select(F.col(id_column).alias("id_a"), F.col("__e").alias("__ea"))
@@ -167,7 +174,9 @@ def lsh_bucket_pairs(
     independent sketch keys; same key in ANY table → candidate; candidates
     verified with exact cosine. One shuffle on the bucket key + bucket-local
     pair expansion — the scale path (never all-pairs). Buckets above
-    ``max_bucket_size`` are skipped (skew guard; see dedup._bucket_pairs).
+    ``max_bucket_size`` fall back to O(n) star pairs around one
+    representative (skew guard; see dedup._bucket_pairs) — still
+    cosine-verified, so precision is unaffected.
     """
     from sed_binning_spark.pipeline.dedup import _bucket_pairs
 
@@ -200,10 +209,18 @@ def lsh_bucket_pairs(
 
 
 def _dim(df: DataFrame, embedding_column: str) -> int:
-    """Embedding dimensionality from the first row (plan-time probe)."""
-    row = df.select(F.size(embedding_column).alias("d")).first()
-    if row is None:
-        raise ValueError("empty dataframe; cannot infer embedding dim")
+    """Embedding dimensionality from the first non-null row (plan-time
+    probe); NULL embeddings are skipped rather than crashing the probe."""
+    row = (
+        df.where(F.col(embedding_column).isNotNull())
+        .select(F.size(embedding_column).alias("d"))
+        .first()
+    )
+    if row is None or row["d"] is None:
+        raise ValueError(
+            f"no non-null {embedding_column!r} values; cannot infer "
+            "embedding dimensionality",
+        )
     return int(row["d"])
 
 

@@ -27,7 +27,10 @@ STOPWORDS = {
 
 
 def whitespace_tokens(text: Column) -> Column:
-    return F.split(F.trim(text), r"\s+")
+    # split('') yields [''] — strip the empty token so a blank/whitespace
+    # document counts ZERO tokens (quality filters keyed on token counts
+    # would otherwise see a 1-token document)
+    return F.array_remove(F.split(F.trim(text), r"\s+"), "")
 
 
 def bpe_tokens(text: Column) -> Column:
@@ -51,16 +54,21 @@ def text_stats(
     t = F.col(text_column)
     ws = whitespace_tokens(t)
     stop = STOPWORDS["en"]
+    # NULL-guarded denominators: blank documents have 0 tokens/chars, and
+    # under ANSI mode a bare /0 would abort the whole job — their ratios
+    # are NULL (undefined), not a crash
+    n_ws = F.nullif(F.size(ws).cast("double"), F.lit(0.0))
+    n_ch = F.nullif(F.length(t).cast("double"), F.lit(0))
     return df.withColumns({
         "n_chars": F.length(t),
         "n_ws_tokens": F.size(ws),
         "n_bpe_tokens": F.size(bpe_tokens(t)),
-        "mean_token_len": F.length(F.regexp_replace(t, r"\s+", "")) / F.size(ws).cast("double"),
+        "mean_token_len": F.length(F.regexp_replace(t, r"\s+", "")) / n_ws,
         "punct_ratio": F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9_\s]"), 0))
-        / F.length(t).cast("double"),
+        / n_ch,
         "stopword_ratio": F.size(F.filter(F.transform(ws, F.lower), lambda x: x.isin(*stop)))
-        / F.size(ws).cast("double"),
-        "uniq_token_ratio": F.size(F.array_distinct(ws)) / F.size(ws).cast("double"),
+        / n_ws,
+        "uniq_token_ratio": F.size(F.array_distinct(ws)) / n_ws,
     })
 
 

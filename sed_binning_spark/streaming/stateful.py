@@ -59,6 +59,8 @@ def forward_fill_stream(
     columns = list(columns)
     if file_column is None:
         file_column = "__ff_stream_group"
+        while file_column in df.columns:  # never clobber a caller's column
+            file_column = "_" + file_column
         df = df.withColumn(file_column, F.lit(0))
         return forward_fill_stream(df, columns, file_column, row_column).drop(
             file_column,

@@ -393,3 +393,27 @@ def test_ann_ivf_recall_vs_brute(spark):
 
     full = ivf_topk(df, cents, q, k=10, n_probes=8).toPandas()
     assert list(full.vec_id) == list(brute.vec_id)
+
+
+def test_blank_documents_count_zero_tokens(spark):
+    from sed_binning_spark.pipeline.text import text_stats as _ts
+
+    df = spark.createDataFrame([(0, ""), (1, "   "), (2, "two words")],
+                               "doc_id long, text string")
+    out = _ts(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_ws_tokens"] == 0
+    assert out.loc[1, "n_ws_tokens"] == 0
+    assert out.loc[2, "n_ws_tokens"] == 2
+
+
+def test_null_and_blank_text_never_forms_lsh_pairs(spark):
+    """Missing text is not duplicate text: NULL/blank docs must not collide
+    into a degenerate bucket and dedup each other away."""
+    df = spark.createDataFrame(
+        [(0, None), (1, None), (2, ""), (3, "   "), (4, "real content here"),
+         (5, "real content here")],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           minhash_lsh_pairs(df, num_hashes=8, bands=4).collect()}
+    assert got == {(4, 5)}

@@ -280,3 +280,43 @@ def test_save_workflow_params_round_trip(spark, tmp_path, events_df):
     a = proc.dataframe.select("kx").toPandas()
     b = proc2.dataframe.select("kx").toPandas()
     assert a.equals(b)
+
+
+def test_parse_config_explicit_missing_path_raises(tmp_path):
+    from sed_binning_spark.config import parse_config
+
+    with pytest.raises(FileNotFoundError):
+        parse_config(config=str(tmp_path / "nope.yaml"))
+    # implicit folder/user/system layers still skip silently
+    assert isinstance(parse_config(), dict)
+
+
+def test_parse_config_verify_rejects_bad_channel(tmp_path):
+    from sed_binning_spark.config import parse_config
+
+    bad = {"dataframe": {"channels": {"x": {"format": "per_banana"}}}}
+    with pytest.raises(ValueError, match="invalid format"):
+        parse_config(config=bad, verify=True)
+    ok = {"dataframe": {"channels": {"x": {
+        "format": "per_train", "group_name": "/g/"}}}}
+    assert parse_config(config=ok, verify=True)["dataframe"]["channels"]
+
+
+def test_view_event_histogram_constant_and_empty_columns(spark):
+    """Auto-ranges must widen constant columns and tolerate empty
+    selections instead of crashing (np.histogram semantics)."""
+    import pandas as pd
+
+    from sed_binning_spark.diagnostics import event_histogram_grid
+
+    pdf = pd.DataFrame({
+        "const": np.full(50, 7.0),
+        "normal": np.linspace(0, 10, 50),
+        "file_id": np.zeros(50, dtype="int64"),
+    })
+    out = event_histogram_grid(spark.createDataFrame(pdf), ["const", "normal"],
+                               bins=10, partition=0)
+    assert out["const"][1].sum() == 50          # all rows in the widened range
+    empty = event_histogram_grid(spark.createDataFrame(pdf), ["normal"],
+                                 bins=10, partition=99)  # no such file
+    assert empty["normal"][1].sum() == 0
