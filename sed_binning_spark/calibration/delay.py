@@ -94,6 +94,10 @@ def add_offsets(
             columns = [columns]
         if isinstance(weights, (int, float)):
             weights = [float(weights)] * len(columns)
+        elif len(weights) == 1 and len(columns) > 1:
+            # reference broadcasts a length-1 weights sequence too
+            # (sed/calibrator/delay.py:264-266)
+            weights = [float(weights[0])] * len(columns)
         df = offset_by_other_columns(
             df,
             target_column=delay_column,

@@ -28,10 +28,14 @@ def nexus_payload(
     data: Cube,
     reader: str = "mpes",
     definition: str = "NXmpes",
-    input_files: list[str] | None = None,
+    input_files: str | list[str] | None = None,
 ) -> dict:
     """The converter invocation payload (reader/nxdl/objects), assembled
-    exactly as to_nexus does (sed/io/nexus.py:25-47)."""
+    exactly as to_nexus does (sed/io/nexus.py:25-47). A bare-string
+    ``input_files`` wraps to a one-element list (list(str) would explode
+    the path into characters)."""
+    if isinstance(input_files, (str, Path)):
+        input_files = [str(input_files)]
     return {
         "reader": reader,
         "nxdl": definition,
@@ -45,7 +49,7 @@ def to_nexus(
     faddr: str | Path,
     reader: str = "mpes",
     definition: str = "NXmpes",
-    input_files: list[str] | None = None,
+    input_files: str | list[str] | None = None,
     **kwds,
 ) -> None:
     payload = nexus_payload(data, reader, definition, input_files)

@@ -55,7 +55,12 @@ def to_tiff(data: Cube | np.ndarray, faddr: str | Path, alias_dict: dict | None 
         raise ValueError(f"need at least a 2-D array to write a TIFF, got {arr.ndim}-D")
     arr = arr.astype(np.float32)
     pages = arr.reshape((-1,) + arr.shape[-2:])
-    _write_baseline_tiff(Path(faddr), pages)
+    if pages.shape[0] == 0 or 0 in pages.shape[1:]:
+        # a header pointing at an IFD that was never written is a corrupt
+        # file every reader rejects — fail at write time instead
+        raise ValueError(f"cannot write a TIFF with a zero-length axis: {arr.shape}")
+    # the reference always normalizes the suffix (sed/io/tiff.py:94)
+    _write_baseline_tiff(Path(faddr).with_suffix(".tiff"), pages)
 
 
 def load_tiff(faddr: str | Path) -> np.ndarray:

@@ -49,12 +49,18 @@ class GenericLoader(BaseLoader):
         timed dataframe (None) and no run-id naming scheme, like the
         reference's.
         """
+        # f_start/f_end/f_step slice the resolved path list; every OTHER
+        # keyword is a spark.read option (the reference forwards extra kwds
+        # to dask's read_csv/read_parquet the same way — e.g. sep=';')
+        slice_kwds = {
+            k: kwds.pop(k) for k in ("f_start", "f_end", "f_step") if k in kwds
+        }
         paths = self.resolve_paths(
             files=files, folders=folders, runs=runs, ftype=ftype,
-            metadata=metadata, **kwds,
+            metadata=metadata, **slice_kwds,
         )
 
-        reader = self.spark.read
+        reader = self.spark.read.options(**{k: str(v) for k, v in kwds.items()})
         if ftype == "parquet":
             df = reader.parquet(*paths)
         elif ftype == "csv":
@@ -89,11 +95,21 @@ def add_file_and_row_ids(df: DataFrame, ordered_paths: Sequence[str]) -> DataFra
     order = {os.path.abspath(p): i for i, p in enumerate(ordered_paths)}
     if order:
         mapping = F.create_map(
-            *[x for p, i in order.items() for x in (F.lit("file:" + p), F.lit(i))],
+            *[x for p, i in order.items() for x in (F.lit(p), F.lit(i))],
         )
-        # normalize the URI spark reports (file:/path vs file:///path)
-        norm = F.concat(F.lit("file:"), F.regexp_replace(F.input_file_name(), "^file:/*", "/"))
-        file_expr = mapping[norm]
+        # input_file_name() reports a percent-ENCODED URI (spaces become
+        # %20 etc.) of the ACTUAL file read — for a directory-style parquet
+        # dataset that is an inner part-file, not the path the caller gave.
+        # Decode, normalize the file: scheme to a bare path, then look up
+        # the path itself and its first few ancestors (part-files sit one
+        # level down; hive-partitioned layouts a couple more).
+        decoded = F.url_decode(
+            F.regexp_replace(F.input_file_name(), "^file:/*", "/"),
+        )
+        cands = [decoded]
+        for _ in range(3):
+            cands.append(F.regexp_replace(cands[-1], "/[^/]*$", ""))
+        file_expr = F.coalesce(*[mapping[c] for c in cands])
     else:
         # no path list (non-file-backed input): single pseudo-file
         file_expr = F.lit(0)
@@ -111,6 +127,12 @@ def add_file_and_row_ids(df: DataFrame, ordered_paths: Sequence[str]) -> DataFra
     splits = tagged.groupBy(FILE_COLUMN, "__block").agg(
         F.count(F.lit(1)).alias("__n"), F.min("__mid").alias("__m0"),
     ).collect()
+    unmatched = [r for r in splits if r[FILE_COLUMN] is None]
+    if unmatched:
+        raise ValueError(
+            "some scanned files could not be matched to the provided path "
+            "list (unexpected dataset nesting?) — file_id would be NULL",
+        )
     splits.sort(key=lambda r: (r[FILE_COLUMN], r["__block"]))
     rows = []
     next_base: dict[int, int] = {}

@@ -32,12 +32,17 @@ def gather_files(
     file_sorting: bool = True,
 ) -> list[str]:
     """Collect files by extension from a folder, naturally sorted, sliced by
-    [f_start:f_end:f_step] (gather_files, sed/loader/utils.py:17-55)."""
+    [f_start:f_end:f_step] (gather_files, sed/loader/utils.py:17-55).
+
+    The slice applies only when BOTH f_start and f_end are given — exactly
+    the reference's condition; a lone bound or step must not silently drop
+    files."""
     try:
         files = glob.glob(os.path.join(folder, f"*.{extension.lstrip('.')}"))
         if file_sorting:
             files = sorted(files, key=natural_sort_key)
-        files = files[slice(f_start, f_end, f_step)]
+        if f_start is not None and f_end is not None:
+            files = files[slice(f_start, f_end, f_step)]
     except FileNotFoundError:
         files = []
     return files

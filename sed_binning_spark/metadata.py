@@ -34,14 +34,22 @@ class MetaHandler:
     def add(self, entry: dict, name: str, duplicate_policy: str = "raise") -> None:
         """Record an operation's metadata under ``name``.
 
-        Policies (matching sed/core/metadata.py:38-85): ``raise`` errors on
-        duplicate; ``overwrite`` replaces; ``merge`` deep-merges dicts;
-        ``append`` keeps every version under numbered keys (name, name_1, ...).
+        Policies (matching sed/core/metadata.py:38-85 +
+        complete_dictionary, sed/core/config.py:216-232): ``raise`` errors
+        on duplicate; ``overwrite`` replaces; ``merge`` fills in MISSING
+        keys only (the existing entry wins on conflicts, like the
+        reference's complete_dictionary) and refuses to merge a non-dict
+        over a dict; ``append`` keeps every version under numbered keys
+        (name, name_1, ...). Entries are deep-copied on store so later
+        caller-side mutation cannot rewrite recorded provenance.
         """
+        import copy
+
         if duplicate_policy not in DUPLICATE_POLICIES:
             raise ValueError(
                 f"duplicate_policy must be one of {DUPLICATE_POLICIES}, got {duplicate_policy!r}",
             )
+        entry = copy.deepcopy(entry)
         if name not in self._m:
             self._m[name] = entry
             return
@@ -54,7 +62,12 @@ class MetaHandler:
             self._m[name] = entry
         elif duplicate_policy == "merge":
             if isinstance(self._m[name], dict) and isinstance(entry, dict):
-                self._m[name] = deep_merge(self._m[name], entry)
+                # existing keys win: merge only ADDS what is missing
+                self._m[name] = deep_merge(entry, self._m[name])
+            elif isinstance(self._m[name], dict) or isinstance(entry, dict):
+                raise ValueError(
+                    f"cannot merge entry {name!r}: dict and non-dict",
+                )
             else:
                 self._m[name] = entry
         elif duplicate_policy == "append":

@@ -43,8 +43,11 @@ def test_tiff_imagej_axis_reorder(tmp_path):
     assert [c.dims[i] for i in order] == ["energy", "Y", "X"]
     path = tmp_path / "cube.tif"
     to_tiff(c, path)
-    back = load_tiff(path)
+    # the reference always normalizes the suffix to .tiff (sed/io/tiff.py:94)
+    back = load_tiff(path.with_suffix(".tiff"))
     np.testing.assert_array_equal(back, np.transpose(c.data, order))
+    with pytest.raises(ValueError, match="zero-length"):
+        to_tiff(np.zeros((0, 4, 4)), tmp_path / "empty.tiff")
 
 
 def test_tiff_rejects_1d(tmp_path):

@@ -104,3 +104,33 @@ def test_add_ids_fallback_non_file_df(spark):
     out = add_file_and_row_ids(df, [])
     assert "row_id" in out.columns
     assert out.count() == 10
+
+
+def test_generic_loader_file_ids_with_spaces_and_directories(spark, tmp_path):
+    """input_file_name() reports percent-encoded URIs and inner part-files
+    for directory datasets — both must still map to the caller's path."""
+    import pandas as pd
+
+    from sed_binning_spark.loaders.generic import GenericLoader
+
+    p1 = tmp_path / "a file 1.parquet"          # space -> %20 in the URI
+    pd.DataFrame({"v": [1.0, 2.0]}).to_parquet(p1)
+    # directory-style dataset (what spark.write itself produces)
+    d2 = tmp_path / "b2.parquet"
+    spark.createDataFrame(pd.DataFrame({"v": [3.0, 4.0, 5.0]})) \
+        .coalesce(1).write.parquet(str(d2))
+
+    df, _, _ = GenericLoader(spark).read_dataframe(files=[str(p1), str(d2)])
+    got = df.groupBy("file_id").count().toPandas().set_index("file_id")["count"]
+    assert dict(got) == {0: 2, 1: 3}
+    assert df.where("row_id IS NULL OR file_id IS NULL").count() == 0
+
+
+def test_gather_files_slices_only_with_both_bounds(tmp_path):
+    from sed_binning_spark.loaders.utils import gather_files
+
+    for i in range(5):
+        (tmp_path / f"f{i}.h5").write_bytes(b"")
+    assert len(gather_files(str(tmp_path), "h5", f_start=2)) == 5   # lone bound
+    assert len(gather_files(str(tmp_path), "h5", f_step=2)) == 5    # lone step
+    assert len(gather_files(str(tmp_path), "h5", f_start=1, f_end=4)) == 3
