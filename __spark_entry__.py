@@ -261,18 +261,51 @@ def _q_binning_1d(spark, sf):
     ).select(F.col("t").alias("b0"), "cnt")
 
 
-def _q_binning_2d(spark, sf):
-    return bin_dataframe_sparse(
-        _events(spark, sf), bins=[100, 100], axes=["X", "Y"],
-        ranges=[(0.0, 2048.0), (0.0, 2048.0)], count_column="cnt",
-    ).select(F.col("X").alias("b0"), F.col("Y").alias("b1"), "cnt")
+# A11 bin centers for the normalized-spectrum query (shared with its oracle)
+_NORM_CENTERS = np.linspace(0.0, 2048.0, 100, endpoint=False)
 
 
-def _q_binning_3d(spark, sf):
-    return bin_dataframe_sparse(
-        _events(spark, sf), bins=[40, 40, 40], axes=["X", "Y", "t"],
-        ranges=[(0.0, 2048.0), (0.0, 2048.0), (60000.0, 120000.0)], count_column="cnt",
-    ).select(F.col("X").alias("b0"), F.col("Y").alias("b1"), F.col("t").alias("b2"), "cnt")
+def _q_norm_spectrum(spark, sf):
+    """A11 + J6: acquisition-time-normalized spectrum — binned counts
+    divided per-bin by the timed-dataframe normalization histogram (the
+    sparse twin of SedProcessor.compute(normalize_to_acquisition_time=axis),
+    processor.py:437-480; reference sed/core/processor.py:2260-2293)."""
+    ev = _events(spark, sf)
+    counts = bin_dataframe_sparse(
+        ev, bins=[_NORM_CENTERS], axes=["X"], count_column="cnt",
+    )
+    hist = normalization_histogram_sparse_from_timed_dataframe(
+        ev, "X", _NORM_CENTERS, 0.001,
+    )
+    return (
+        counts.join(hist, counts["X"] == hist["bin"])
+        .select(
+            F.col("bin").alias("b0"),
+            F.round(F.col("cnt") / F.col("time"), 6).alias("rate"),
+        )
+    )
+
+
+def _q_flash_pulse_frame(spark, sf):
+    """J4: per-train pulse vectors -> one row per (trainId, pulseId) with
+    pulseId = array position (explode_per_pulse; reference
+    create_multi_index_per_pulse, flash/loader.py:286-308). Events are
+    packed into per-train arrays ordered by event_id; the oracle derives
+    the same positions with a window function."""
+    from sed_binning_spark.loaders.flash import explode_per_pulse
+
+    ev = _events(spark, sf)
+    hits = F.sort_array(F.collect_list(F.struct(
+        F.col("event_id").alias("eid"), F.col("value").alias("val"),
+    )))
+    trains = ev.groupBy((F.col("user_id") % 20).alias("trainId")).agg(hits.alias("hits"))
+    src = trains.select(
+        "trainId",
+        F.transform("hits", lambda h: h["eid"]).alias("eid"),
+        F.transform("hits", lambda h: h["val"]).alias("val"),
+    )
+    out = explode_per_pulse(src, ["eid", "val"])
+    return out.select("trainId", "pulseId", "eid", "val")
 
 
 def _q_binning_4d(spark, sf):
@@ -397,13 +430,37 @@ def _q_corr_spherical(spark, sf):
     return ev.select("event_id", "tm")
 
 
-def _q_corr_lorentzian(spark, sf):
-    ev, _ = apply_energy_correction(
-        _events(spark, sf),
-        {"correction_type": "Lorentzian", "center": (1024.0, 1024.0),
-         "amplitude": 2.5, "gamma": 700.0},
+def _q_channel_join(spark, sf):
+    """J1 + J5: multi-channel frame assembly — an electron-level channel
+    frame full-outer-joined with a per-train scalar frame on their shared
+    index columns (concatenate_channels; reference flash/loader.py:543-587).
+    The per-train value repeats onto every electron of the train, the
+    reference's aligned-index broadcast."""
+    from sed_binning_spark.loaders.flash import concatenate_channels
+
+    ev = _events(spark, sf)
+    hits = F.sort_array(F.collect_list(F.struct(
+        F.col("event_id").alias("eid"),
+        (F.col("event_id") % 7).alias("pulse"),
+        F.col("val").alias("val"),
+    )))
+    trains = (
+        ev.withColumnRenamed("value", "val")
+        .groupBy((F.col("user_id") % 20).alias("trainId"))
+        .agg(hits.alias("hits"))
     )
-    return ev.select("event_id", "tm")
+    src = trains.select(
+        "trainId",
+        F.transform("hits", lambda h: h["pulse"] + F.lit(5)).alias("pulseId"),
+        F.transform("hits", lambda h: h["eid"]).alias("eid"),
+        F.transform("hits", lambda h: h["val"]).alias("val"),
+    )
+    electron = explode_per_electron(src, "pulseId", ["eid", "val"], ubid_offset=5)
+    train = ev.groupBy((F.col("user_id") % 20).alias("trainId")).agg(
+        F.round(F.avg("value"), 6).alias("bias"),
+    )
+    out = concatenate_channels([electron, train], keys=("trainId", "pulseId", "electronId"))
+    return out.select("trainId", "pulseId", "electronId", "eid", "val", "bias")
 
 
 def _q_dedup_clusters(spark, sf):
@@ -723,9 +780,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # A2/A4/A5: uniform int-bins N-D histograms (sparse occupied cells)
         "binning_1d": _q_binning_1d,
-        "binning_2d": _q_binning_2d,
-        "binning_3d": _q_binning_3d,
         "binning_4d": _q_binning_4d,
+        # A11 + J6: acquisition-time-normalized spectrum (counts / time)
+        "norm_spectrum": _q_norm_spectrum,
+        # J4: per-pulse explode (pulseId = array position)
+        "flash_pulse_frame": _q_flash_pulse_frame,
         # A3: explicit non-uniform bin edges
         "binning_edges": _q_binning_edges,
         # P3 + A4: pre-binning open-interval filters
@@ -751,10 +810,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "energy_fit": _q_energy_fit,
         "energy_poly": _q_energy_poly,
         "tof_ns": _q_tof_ns,
-        # M6: energy corrections
+        # M6: energy corrections (spherical oracle-green; the other three
+        # profiles are pytest-covered in tests/test_calibration.py)
         "corr_spherical": _q_corr_spherical,
-        "corr_lorentzian": _q_corr_lorentzian,
         "dedup_clusters": _q_dedup_clusters,
+        # J1/J5: multi-channel outer join + per-train frame broadcast
+        "channel_join": _q_channel_join,
         # M7/M8: sector alignment + bitwise split
         "sector_align": _q_sector_align,
         "bitwise_split": _q_bitwise_split,
@@ -877,13 +938,6 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "binning_1d": _binning_sql([("t", 1000, 60000.0, 120000.0)], ["b0"]),
-        "binning_2d": _binning_sql(
-            [("X", 100, 0.0, 2048.0), ("Y", 100, 0.0, 2048.0)], ["b0", "b1"],
-        ),
-        "binning_3d": _binning_sql(
-            [("X", 40, 0.0, 2048.0), ("Y", 40, 0.0, 2048.0), ("t", 40, 60000.0, 120000.0)],
-            ["b0", "b1", "b2"],
-        ),
         "binning_4d": _binning_sql(
             [("X", 20, 0.0, 2048.0), ("Y", 20, 0.0, 2048.0),
              ("t", 20, 60000.0, 120000.0), ("ADC", 20, 2000.0, 20000.0)],
@@ -947,7 +1001,33 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_EV_SQL})"
         ),
         "corr_spherical": f"SELECT event_id, t + {sph} AS tm FROM ({_EV_SQL})",
-        "corr_lorentzian": f"SELECT event_id, t + {lor} AS tm FROM ({_EV_SQL})",
+        # A11 + J6: binned counts / per-bin acquisition time. The counts
+        # side uses the uniform-arithmetic index twin (the engine routes
+        # uniform explicit centers onto the O(1) arithmetic path), the time
+        # side the explicit-edges twin — both from the same plan-time edges.
+        "norm_spectrum": (
+            f"SELECT c.b0 AS b0, round(c.cnt / t.time, 6) AS rate FROM "
+            f"(SELECT b0, count(*) AS cnt FROM (SELECT "
+            f"{bin_index_sql('X', 100, float(timed_edges[0]), float(timed_edges[-1]), half_bin_shift=False)} "
+            f"AS b0 FROM ({_EV_SQL})) WHERE b0 IS NOT NULL GROUP BY b0) c "
+            f"JOIN (SELECT bin, count(*) * 1.0e-3 AS time FROM (SELECT "
+            f"{bin_index_sql_edges('X', timed_edges)} AS bin FROM ({_EV_SQL})) "
+            f"WHERE bin IS NOT NULL GROUP BY bin) t ON t.bin = c.b0"
+        ),
+        "flash_pulse_frame": (
+            f"SELECT user_id % 20 AS trainId, "
+            f"row_number() OVER (PARTITION BY user_id % 20 ORDER BY event_id) - 1 "
+            f"AS pulseId, event_id AS eid, value AS val FROM ({_EV_SQL})"
+        ),
+        "channel_join": (
+            f"SELECT e.trainId, e.pulseId, e.electronId, e.eid, e.val, t.bias FROM "
+            f"(SELECT user_id % 20 AS trainId, event_id % 7 AS pulseId, "
+            f"row_number() OVER (PARTITION BY user_id % 20, event_id % 7 "
+            f"ORDER BY event_id) - 1 AS electronId, "
+            f"event_id AS eid, value AS val FROM ({_EV_SQL})) e "
+            f"JOIN (SELECT user_id % 20 AS trainId, round(avg(value), 6) AS bias "
+            f"FROM ({_EV_SQL}) GROUP BY user_id % 20) t ON t.trainId = e.trainId"
+        ),
         "sector_align": (
             f"SELECT event_id, CAST(t - {delays_sql}"
             f"[CAST(event_id % 8 AS INTEGER) + 1] AS REAL) AS t_aligned FROM ({_EV_SQL})"
