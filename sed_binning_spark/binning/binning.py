@@ -137,6 +137,7 @@ def bin_dataframe(
     filters: Sequence[dict] | None = None,
     return_partitions: bool = False,
     partition_column: str = "file_id",
+    partition_values: Sequence[int] | None = None,
     jitter_seed: int | None = None,
     combine: str = "auto",
     max_dense_cells: int = 200_000_000,
@@ -162,6 +163,11 @@ def bin_dataframe(
         return_partitions: append a trailing ``df_part`` axis keyed by
             ``partition_column`` (A8; binning.py:413-421 — used for bias-series
             energy calibration).
+        partition_values: the full set of ``partition_column`` values, when
+            the caller already knows it (e.g. a loader's file list). Skips
+            the distinct() discovery job — which, over a Python-stage
+            loader plan (mapInPandas HDF5 extraction), cannot be
+            column-pruned and would re-decode every file once more.
         jitter_seed: seed for reproducible jitter (the reference is unseeded;
             tests pin this).
         combine: physical strategy for the final histogram:
@@ -235,10 +241,13 @@ def bin_dataframe(
         # bias-series traces vs the biases array) silently misaligns. Also
         # re-check the driver budget against the REAL allocation — the
         # prod(bins) guard above doesn't know the partition multiplier.
-        all_parts = (
-            df.select(partition_column).distinct().toPandas()[partition_column].to_numpy()
-        )
-        parts = np.unique(all_parts.astype(np.int64))
+        if partition_values is not None:
+            parts = np.unique(np.asarray(list(partition_values), dtype=np.int64))
+        else:
+            all_parts = (
+                df.select(partition_column).distinct().toPandas()[partition_column].to_numpy()
+            )
+            parts = np.unique(all_parts.astype(np.int64))
         if n_flat * len(parts) > max_dense_cells:
             raise ValueError(
                 f"dense per-partition cube of {n_flat} cells x {len(parts)} "
@@ -286,6 +295,15 @@ def bin_dataframe(
         part_vals = tbl.column("__df_part").to_numpy(zero_copy_only=False).astype(
             np.int64, copy=False,
         )
+        # caller-declared partition list must actually cover the data, or
+        # the searchsorted scatter below would silently misplace counts
+        if partition_values is not None and part_vals.size:
+            unseen = np.setdiff1d(np.unique(part_vals), parts)
+            if unseen.size:
+                raise ValueError(
+                    f"partition_values is missing {partition_column} values "
+                    f"present in the data: {unseen[:10].tolist()}",
+                )
         dims.append("df_part")
         coords = {**coords, "df_part": parts}
         full = np.zeros((n_flat, len(parts)), dtype=np.float32)

@@ -93,10 +93,15 @@ def bin_bias_series(
     bins: int,
     tof_range: tuple[float, float],
     file_column: str = "file_id",
+    file_ids: Sequence[int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """F1 input cube: one TOF histogram per source file (= per bias voltage)
     from ONE Spark aggregation — the A8 ``return_partitions`` path
     (EnergyCalibrator.bin_data, energy.py:178-270).
+
+    Pass ``file_ids`` when the file list is already known (it always is
+    after a loader read): it skips the distinct() discovery job, which over
+    a raw-instrument mapInPandas plan would re-decode every HDF5 file.
 
     Returns (tof bin centers, traces[file, bin]).
     """
@@ -109,6 +114,7 @@ def bin_bias_series(
         ranges=[tof_range],
         return_partitions=True,
         partition_column=file_column,
+        partition_values=file_ids,
     )
     tof = np.asarray(cube.coords[tof_column], dtype=float)
     traces = np.asarray(cube.data, dtype=float).T  # (file, bin)

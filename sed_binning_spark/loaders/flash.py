@@ -38,6 +38,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sed_binning_spark.loaders.base import BaseLoader
+from sed_binning_spark.loaders.channels import (
+    aligned_array_pdf,
+    array_frame_schema,
+    first_reading_train_pdf,
+    read_channel,
+    train_frame_schema,
+)
 
 MULTI_INDEX = ("trainId", "pulseId", "electronId")
 
@@ -52,56 +59,27 @@ def electron_frames_distributed(
     the built-in HDF5 reader; the driver never materializes event data.
     Shared by the flash and sxp loaders (their channel specs differ only in
     group_name/slice vs dataset_key/index_key addressing)."""
-    import pandas as pd
-
     channels = {k: dict(v) for k, v in channels.items() if v["format"] == "per_electron"}
     if not channels:
         raise ValueError("no per_electron channels configured")
     names = list(channels)
 
-    def _keys(ch: dict) -> tuple[str, str]:
-        if "group_name" in ch:
-            grp = ch["group_name"].rstrip("/")
-            return f"{grp}/index", f"{grp}/value"
-        return ch["index_key"], ch["dataset_key"]
-
     def _extract(batches):
         from sed_binning_spark.io.hdf5_read import H5File
+        from sed_binning_spark.loaders.channels import aligned_array_pdf, read_channel
 
         for pdf in batches:
             for path in pdf["path"]:
                 f = H5File(path)
-                out = None
-                idx0 = None
-                for name in names:
-                    ch = channels[name]
-                    idx_key, ds_key = _keys(ch)
-                    idx = f.read(idx_key).astype(np.int64)
-                    val = f.read(ds_key)
-                    sl = ch.get("slice")
-                    if sl is not None and val.ndim >= 2:
-                        val = val[:, sl, ...]
-                    val = np.asarray(val, dtype=np.float64)
-                    if out is None:
-                        idx0 = idx
-                        out = pd.DataFrame({"trainId": idx})
-                    elif not np.array_equal(idx, idx0):
-                        # positional attach would mis-attribute hits; same
-                        # contract as the driver-side extractor
-                        raise ValueError(
-                            f"per-electron channel {name} in {path} has a "
-                            "different train index",
-                        )
-                    out[name] = list(val)
-                yield out
+                chans = {n: read_channel(f, n, channels[n]) for n in names}
+                yield aligned_array_pdf(chans, "per-electron", context=path)
 
-    arr_cols = ", ".join(f"`{n}` array<double>" for n in names)
     # round-robin: exactly one file per task (hashing on path leaves ~1/e
     # of partitions empty and stragglers reading several files)
     paths_df = spark.createDataFrame(
         [(p,) for p in paths], "path string",
     ).repartition(len(paths))
-    return paths_df.mapInPandas(_extract, f"trainId long, {arr_cols}")
+    return paths_df.mapInPandas(_extract, array_frame_schema(names))
 
 
 def explode_per_electron(
@@ -432,24 +410,11 @@ class FlashLoader(BaseLoader):
         if formats is not None:
             channels = {k: v for k, v in channels.items() if v["format"] in formats}
 
-        def _keys(name: str, ch: dict) -> tuple[str, str]:
-            if "group_name" in ch:
-                grp = ch["group_name"].rstrip("/")
-                ds = "time" if name == "timeStamp" else "value"
-                return f"{grp}/index", f"{grp}/{ds}"
-            return ch["index_key"], ch["dataset_key"]
-
         electron: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         pulse: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         train: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for name, ch in channels.items():
-            idx_key, ds_key = _keys(name, ch)
-            idx = f.read(idx_key).astype(np.int64)
-            val = f.read(ds_key)
-            sl = ch.get("slice")
-            if sl is not None and val.ndim >= 2:
-                val = val[:, sl, ...]
-            val = np.asarray(val, dtype=np.float64)
+            idx, val = read_channel(f, name, ch)
             fmt = ch["format"]
             if fmt == "per_electron":
                 electron[name] = (idx, val)
@@ -462,15 +427,9 @@ class FlashLoader(BaseLoader):
 
         frames: dict[str, DataFrame] = {}
         if electron:
-            idx0 = next(iter(electron.values()))[0]
-            pdf = pd.DataFrame({"trainId": idx0})
-            for name, (idx, val) in electron.items():
-                if not np.array_equal(idx, idx0):
-                    raise ValueError(f"per-electron channel {name} has a different train index")
-                pdf[name] = list(val)
-            arr_cols = ", ".join(f"`{n}` array<double>" for n in electron)
             frames["electron"] = self.spark.createDataFrame(
-                pdf, schema=f"trainId long, {arr_cols}",
+                aligned_array_pdf(electron, "per-electron"),
+                schema=array_frame_schema(electron),
             )
         aux = pulse.pop("dldAux", None)
         if aux is not None:
@@ -481,33 +440,14 @@ class FlashLoader(BaseLoader):
                 pdf, schema="trainId long, dldAux array<double>",
             )
         if pulse:
-            idx0 = next(iter(pulse.values()))[0]
-            pdf = pd.DataFrame({"trainId": idx0})
-            for name, (idx, val) in pulse.items():
-                if not np.array_equal(idx, idx0):
-                    # positional attach would assign this channel's values
-                    # to the wrong trains — same contract as per-electron
-                    raise ValueError(
-                        f"per-pulse channel {name} has a different train index",
-                    )
-                pdf[name] = list(val)
-            arr_cols = ", ".join(f"`{n}` array<double>" for n in pulse)
             frames["pulse"] = self.spark.createDataFrame(
-                pdf, schema=f"trainId long, {arr_cols}",
+                aligned_array_pdf(pulse, "per-pulse"),
+                schema=array_frame_schema(pulse),
             )
         if train:
-            # per-train series may repeat train ids (e.g. encoder readbacks);
-            # keep the first reading per train, outer-merged across channels
-            merged: pd.DataFrame | None = None
-            for name, (idx, val) in train.items():
-                _, first = np.unique(idx, return_index=True)
-                part = pd.DataFrame({"trainId": idx[first], name: val[first]})
-                merged = part if merged is None else merged.merge(
-                    part, on="trainId", how="outer",
-                )
-            cols = ", ".join(f"`{c}` double" for c in merged.columns if c != "trainId")
+            merged = first_reading_train_pdf(train)
             frames["train"] = self.spark.createDataFrame(
-                merged.sort_values("trainId"), schema=f"trainId long, {cols}",
+                merged, schema=train_frame_schema(merged.columns),
             )
         return frames
 

@@ -102,9 +102,15 @@ def add_file_and_row_ids(df: DataFrame, ordered_paths: Sequence[str]) -> DataFra
         # dataset that is an inner part-file, not the path the caller gave.
         # Decode, normalize the file: scheme to a bare path, then look up
         # the path itself and its first few ancestors (part-files sit one
-        # level down; hive-partitioned layouts a couple more).
+        # level down; hive-partitioned layouts a couple more). url_decode
+        # applies FORM decoding ('+' -> space), but the URI encoder leaves
+        # literal '+' unescaped — re-escape it first so '/data/run+1.pq'
+        # survives the round trip.
         decoded = F.url_decode(
-            F.regexp_replace(F.input_file_name(), "^file:/*", "/"),
+            F.regexp_replace(
+                F.regexp_replace(F.input_file_name(), "^file:/*", "/"),
+                r"\+", "%2B",
+            ),
         )
         cands = [decoded]
         for _ in range(3):

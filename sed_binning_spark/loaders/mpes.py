@@ -28,6 +28,7 @@ markers, and emits a second evenly-time-spaced "timed" dataframe
 from __future__ import annotations
 
 import glob as _glob
+import os
 from collections.abc import Sequence
 
 import numpy as np
@@ -234,6 +235,26 @@ def elapsed_time_from_markers(ms_marker: np.ndarray) -> float:
     return len(np.asarray(ms_marker)) / 1000.0
 
 
+def _file_start_time(first_ts, path: str, ms_marker) -> float:
+    """File acquisition start in epoch seconds. Prefer the
+    ``FirstEventTimeStamp`` attribute; when it is absent or unparseable,
+    fall back to the file's mtime minus the acquisition duration (old files
+    predate the attribute; mtime marks the END of the write) — the
+    reference's fallback at mpes loader.py:312-325. Never 0.0: an epoch-0
+    anchor would silently place every event in 1970."""
+    if isinstance(first_ts, str):
+        from datetime import datetime
+
+        try:
+            return datetime.fromisoformat(first_ts).timestamp()
+        except ValueError:
+            pass
+    start = os.path.getmtime(path)
+    if ms_marker is not None:
+        start -= len(np.asarray(ms_marker)) / 1000.0
+    return float(start)
+
+
 # ---------------------------------------------------------------------------
 # S3: run-ID resolution (loader.py:673-715)
 # ---------------------------------------------------------------------------
@@ -297,14 +318,9 @@ class MpesLoader(BaseLoader):
         out: dict = {"streams": streams, "aliases": aliases}
         if "msMarkers" in names:
             out["ms_marker"] = f.read("/msMarkers")
-        first_ts = f.attrs("/").get("FirstEventTimeStamp")
-        if isinstance(first_ts, str):
-            from datetime import datetime
-
-            try:
-                out["start_time"] = datetime.fromisoformat(first_ts).timestamp()
-            except ValueError:
-                pass
+        out["start_time"] = _file_start_time(
+            f.attrs("/").get("FirstEventTimeStamp"), path, out.get("ms_marker"),
+        )
         return out
 
     def _read_distributed(
@@ -357,16 +373,9 @@ class MpesLoader(BaseLoader):
                     f"missing in {p}",
                 )
             markers.append(mm)
-            fd = {}
-            first_ts = f.attrs("/").get("FirstEventTimeStamp")
-            if isinstance(first_ts, str):
-                from datetime import datetime
-
-                try:
-                    fd["start"] = datetime.fromisoformat(first_ts).timestamp()
-                except ValueError:
-                    pass
-            starts.append(float(fd.get("start", 0.0)))
+            starts.append(
+                _file_start_time(f.attrs("/").get("FirstEventTimeStamp"), p, mm),
+            )
             if mm is not None:
                 elapsed += elapsed_time_from_markers(mm)
 

@@ -177,10 +177,14 @@ class SXPLoader(BaseLoader):
         come from ``config["dataframe"]["channels"]`` (reference config
         shape: dataset_key/index_key) with the SXP fixture layout as
         default. ``formats`` restricts which channel formats extract."""
-        import numpy as np
-        import pandas as pd
-
         from sed_binning_spark.io.hdf5_read import H5File
+        from sed_binning_spark.loaders.channels import (
+            aligned_array_pdf,
+            array_frame_schema,
+            first_reading_train_pdf,
+            read_channel,
+            train_frame_schema,
+        )
 
         f = H5File(path)
         channels = self.config.get("dataframe", {}).get("channels", self.DEFAULT_CHANNELS)
@@ -189,8 +193,7 @@ class SXPLoader(BaseLoader):
         electron: dict[str, tuple] = {}
         train: dict[str, tuple] = {}
         for name, ch in channels.items():
-            idx = f.read(ch["index_key"]).astype(np.int64)
-            val = np.asarray(f.read(ch["dataset_key"]), dtype=np.float64)
+            idx, val = read_channel(f, name, ch)
             if ch["format"] == "per_electron":
                 electron[name] = (idx, val)
             elif ch["format"] == "per_train":
@@ -200,27 +203,14 @@ class SXPLoader(BaseLoader):
 
         frames: dict[str, DataFrame] = {}
         if electron:
-            idx0 = next(iter(electron.values()))[0]
-            pdf = pd.DataFrame({"trainId": idx0})
-            for name, (idx, val) in electron.items():
-                if not np.array_equal(idx, idx0):
-                    raise ValueError(f"per-electron channel {name} has a different train index")
-                pdf[name] = list(val)
-            arr_cols = ", ".join(f"`{n}` array<double>" for n in electron)
             frames["electron"] = self.spark.createDataFrame(
-                pdf, schema=f"trainId long, {arr_cols}",
+                aligned_array_pdf(electron, "per-electron"),
+                schema=array_frame_schema(electron),
             )
         if train:
-            merged = None
-            for name, (idx, val) in train.items():
-                _, first = np.unique(idx, return_index=True)
-                part = pd.DataFrame({"trainId": idx[first], name: val[first]})
-                merged = part if merged is None else merged.merge(
-                    part, on="trainId", how="outer",
-                )
-            cols = ", ".join(f"`{c}` double" for c in merged.columns if c != "trainId")
+            merged = first_reading_train_pdf(train)
             frames["train"] = self.spark.createDataFrame(
-                merged.sort_values("trainId"), schema=f"trainId long, {cols}",
+                merged, schema=train_frame_schema(merged.columns),
             )
         return frames
 

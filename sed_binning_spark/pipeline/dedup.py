@@ -176,9 +176,13 @@ def _band_keys_stacked(
     # NULL/blank documents carry no content signal; without this filter
     # they all share the NULL-propagated band key (concat_ws skips NULLs),
     # forming one degenerate mega-bucket whose members would be
-    # "deduplicated" against each other despite having no text at all
+    # "deduplicated" against each other despite having no text at all.
+    # Strip ALL whitespace for the emptiness test — F.trim removes spaces
+    # only, so a '\n'- or '\t'-only document (a routine scraping artifact)
+    # would slip past a trim-based guard and re-form the mega-bucket.
     df = df.where(
-        F.col(text_column).isNotNull() & (F.trim(F.col(text_column)) != ""),
+        F.col(text_column).isNotNull()
+        & (F.regexp_replace(F.col(text_column), r"\s", "") != ""),
     )
     sigs = minhash_signatures(df, text_column, id_column, num_hashes, shingle_size)
     band_cols = [

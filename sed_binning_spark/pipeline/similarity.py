@@ -241,8 +241,21 @@ def ivf_train_centroids(
     """Spherical k-means coarse quantizer trained driver-side on a bounded
     sample (centroid fitting is small-data model estimation, like the
     calibration fits — the corpus itself never leaves the cluster).
-    Returns (n_lists, dim) L2-normalized centroids."""
-    pdf = df.select(embedding_column).limit(int(sample_size)).toPandas()
+    Returns (n_lists, dim) L2-normalized centroids.
+
+    The sample is a seeded random top-k (orderBy(rand).limit — Spark
+    compiles it to TakeOrdered: per-partition top-k + merge, no full sort),
+    NOT a bare limit(): limit takes the first partitions only, and on a
+    corpus parquet written sorted/clustered by source or topic that would
+    train every centroid on one region of embedding space, silently
+    collapsing most of the corpus into one or two lists."""
+    pdf = (
+        df.select(embedding_column)
+        .where(F.col(embedding_column).isNotNull())
+        .orderBy(F.rand(seed))
+        .limit(int(sample_size))
+        .toPandas()
+    )
     x = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf[embedding_column]])
     if len(x) < n_lists:
         raise ValueError(f"sample of {len(x)} rows cannot seed {n_lists} lists")

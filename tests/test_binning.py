@@ -261,6 +261,31 @@ def test_return_partitions_includes_empty_files(spark):
     assert cube.data[:, 0].sum() == 3
 
 
+def test_return_partitions_with_declared_values(spark):
+    """partition_values skips the distinct() discovery job but must produce
+    the identical cube — including zero slices for declared-but-empty
+    partitions — and reject a list that misses observed values."""
+    import pandas as pd
+
+    import pytest as _pytest
+
+    pdf = pd.DataFrame({
+        "t": [10.0, 20.0, 30.0, 35.0],
+        "file_id": np.array([0, 0, 0, 1], dtype="int64"),
+    })
+    df = spark.createDataFrame(pdf)
+    kw = dict(bins=[4], axes=["t"], ranges=[(0.0, 40.0)], return_partitions=True)
+    scanned = bin_dataframe(df, **kw)
+    declared = bin_dataframe(df, partition_values=[0, 1, 2], **kw)
+    assert list(declared.coords["df_part"]) == [0, 1, 2]
+    np.testing.assert_array_equal(
+        declared.data[:, :2], scanned.data,
+    )
+    assert declared.data[:, 2].sum() == 0          # declared-but-empty file
+    with _pytest.raises(ValueError, match="missing file_id values"):
+        bin_dataframe(df, partition_values=[0], **kw)
+
+
 def test_return_partitions_respects_driver_budget(spark):
     import pandas as pd
 

@@ -126,6 +126,21 @@ def test_generic_loader_file_ids_with_spaces_and_directories(spark, tmp_path):
     assert df.where("row_id IS NULL OR file_id IS NULL").count() == 0
 
 
+def test_generic_loader_file_ids_with_plus_in_name(spark, tmp_path):
+    """'+' is legal and unescaped in file URIs, but url_decode form-decodes
+    it to a space — the loader must re-escape before decoding or the
+    file_id mapping misses."""
+    import pandas as pd
+
+    from sed_binning_spark.loaders.generic import GenericLoader
+
+    p = tmp_path / "run+1.parquet"
+    pd.DataFrame({"v": [1.0, 2.0, 3.0]}).to_parquet(p)
+    df, _, _ = GenericLoader(spark).read_dataframe(files=[str(p)])
+    got = df.groupBy("file_id").count().toPandas().set_index("file_id")["count"]
+    assert dict(got) == {0: 3}
+
+
 def test_gather_files_slices_only_with_both_bounds(tmp_path):
     from sed_binning_spark.loaders.utils import gather_files
 

@@ -158,3 +158,24 @@ def test_files_data_alias_merge_matches_distributed_semantics(spark):
     )
     assert {"X2", "Y"} <= set(ev.columns)       # override + file alias kept
     assert meta["scan"] == 42                   # caller metadata preserved
+
+
+def test_file_start_time_mtime_fallback(tmp_path):
+    """Missing/unparseable FirstEventTimeStamp falls back to file mtime
+    minus acquisition duration (reference mpes loader.py:312-325) — never a
+    silent epoch-0 anchor."""
+    import os
+
+    from sed_binning_spark.loaders.mpes import _file_start_time
+
+    p = tmp_path / "scan.h5"
+    p.write_bytes(b"x")
+    mtime = os.path.getmtime(p)
+    marker = np.arange(1, 2001)                 # 2000 ms of acquisition
+
+    assert _file_start_time(None, str(p), marker) == mtime - 2.0
+    assert _file_start_time("not a date", str(p), marker) == mtime - 2.0
+    assert _file_start_time(None, str(p), None) == mtime
+    # attribute wins when parseable
+    got = _file_start_time("2023-01-30T15:38:07.123+00:00", str(p), marker)
+    assert abs(got - 1675093087.123) < 1e-6

@@ -411,7 +411,7 @@ def test_null_and_blank_text_never_forms_lsh_pairs(spark):
     into a degenerate bucket and dedup each other away."""
     df = spark.createDataFrame(
         [(0, None), (1, None), (2, ""), (3, "   "), (4, "real content here"),
-         (5, "real content here")],
+         (5, "real content here"), (6, "\n"), (7, "\t\t"), (8, "\r\n \t")],
         "doc_id long, text string",
     )
     got = {(r["id_a"], r["id_b"]) for r in
