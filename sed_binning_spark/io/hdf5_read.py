@@ -239,13 +239,13 @@ class H5File:
             msgs = self._messages_v1(addr)
         return self._interpret_messages(msgs)
 
-    def _messages_v1(self, addr: int) -> list[tuple[int, bytes]]:
+    def _messages_v1(self, addr: int) -> list[tuple[int, bytes, int]]:
         buf = self._buf
         version, _, nmsg, _refcnt, hdr_size = struct.unpack_from("<BBHII", buf, addr)
         if version != 1:
             raise UnsupportedHDF5(f"object header version {version}")
         blocks = [(addr + 16, hdr_size)]  # 12 bytes + 4 pad to 8-byte align
-        msgs: list[tuple[int, bytes]] = []
+        msgs: list[tuple[int, bytes, int]] = []
         bi = 0
         while bi < len(blocks) and len(msgs) < nmsg:
             pos, remaining = blocks[bi]
@@ -261,7 +261,7 @@ class H5File:
                 msgs.append((mtype, body, mflags))
         return msgs
 
-    def _messages_v2(self, addr: int) -> list[tuple[int, bytes]]:
+    def _messages_v2(self, addr: int) -> list[tuple[int, bytes, int]]:
         """Version-2 ('OHDR') object header: 1-byte message types, variable
         chunk-size field, optional times/attr-phase fields, trailing
         checksum; continuations are 'OCHK' blocks."""

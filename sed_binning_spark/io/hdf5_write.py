@@ -63,6 +63,17 @@ class H5Writer:
         }
 
     def add_attr(self, path: str, name: str, value) -> None:
+        # validate the serialized size NOW: the v1 object-header message
+        # length field is uint16, so an attribute body past 64 KiB would
+        # otherwise surface only at write() time as an opaque struct.error
+        # with no hint which attribute overflowed
+        nbytes = len(_attribute(name, value))
+        if nbytes + (-nbytes % 8) > 0xFFFF:
+            raise ValueError(
+                f"attribute {name!r} at {path!r} serializes to {nbytes} "
+                "bytes, over the 64 KiB HDF5 v1 header-message limit — "
+                "store large arrays as a dataset instead",
+            )
         parts = [p for p in path.strip("/").split("/") if p]
         node = self._root
         for p in parts:

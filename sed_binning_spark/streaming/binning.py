@@ -72,17 +72,33 @@ def bin_stream(
     an endless acquisition stream runs in constant memory.
     """
     bins, axes, ranges = simplify_binning_arguments(bins, axes, ranges)
-    df, idx_cols, _, exprs = bin_index_columns(df, bins, axes, ranges)
+    df, _, _, exprs = bin_index_columns(df, bins, axes, ranges)
     renamed = [e.alias(ax) for e, ax in zip(exprs, axes)]
 
     if event_time_column is not None:
         df = df.withWatermark(event_time_column, watermark_delay)
         win = F.window(F.col(event_time_column), window_duration)
+        w_col = "__w"
+        while w_col in axes:  # never clobber a caller's axis name
+            w_col += "_"
+        # group by the WINDOW STRUCT itself, not __w.start: extracting the
+        # field before the groupBy strips the event-time watermark metadata
+        # (GetStructField drops it), so the state store would never evict
+        # closed windows — unbounded state on an endless stream, and append
+        # mode would refuse to start. Project window_start AFTER the agg.
+        # Rows with NULL event time form a NULL-window group (window(NULL)
+        # is a NULL struct) that belongs to no window — drop it with the
+        # NULL bin-index groups.
         out = (
-            df.select(win.alias("__w"), *renamed)
-            .groupBy(F.col("__w.start").alias("window_start"), *axes)
+            df.select(win.alias(w_col), *renamed)
+            .groupBy(F.col(w_col), *axes)
             .agg(F.count(F.lit(1)).alias(count_column))
-            .dropna(subset=list(axes))
+            .dropna(subset=[w_col, *axes])
+            .select(
+                F.col(f"{w_col}.start").alias("window_start"),
+                *axes,
+                count_column,
+            )
         )
         return out
     # NULL (out-of-range/NaN) indices drop as the post-agg NULL group, the

@@ -68,6 +68,12 @@ def forward_fill_stream(
     missing = [c for c in columns if c not in df.columns]
     if missing:
         raise KeyError(f"columns not in dataframe: {missing}")
+    # validate the sort/group columns too — a typo'd row_column would
+    # otherwise only surface as a bare pandas KeyError inside an executor
+    # task after the streaming query has started
+    for col, role in ((row_column, "row_column"), (file_column, "file_column")):
+        if col not in df.columns:
+            raise KeyError(f"{role} {col!r} not in dataframe columns {df.columns}")
     dtypes = dict(df.dtypes)
     non_double = [c for c in columns if dtypes[c] != "double"]
     if non_double:

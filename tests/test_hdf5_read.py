@@ -479,3 +479,19 @@ def test_flash_buffer_cache_invalidated_by_config_change(spark, tmp_path):
     electron, _, _ = changed.read_dataframe(files=[FLASH_FX])
     assert calls, "config change must trigger re-extraction"
     assert "dldPosX" in electron.columns
+
+
+def test_writer_rejects_oversized_attribute(tmp_path):
+    """The v1 object-header message length is uint16: a >64 KiB attribute
+    must fail loudly at add_attr time, naming the attribute, instead of an
+    opaque struct.error at write()."""
+    import numpy as np
+    import pytest
+
+    from sed_binning_spark.io.hdf5_write import H5Writer
+
+    w = H5Writer()
+    w.add_dataset("/x", np.arange(4.0))
+    with pytest.raises(ValueError, match="64 KiB"):
+        w.add_attr("/x", "big", np.zeros(10_000))
+    w.add_attr("/x", "small", np.zeros(100))  # well under the limit: fine

@@ -222,3 +222,45 @@ def test_exact_dedup_stream_preserves_user_digest_column(tmp_path, spark):
     got = spark.sql("SELECT * FROM ddc_stream").toPandas()
     assert "__digest" in got.columns          # user column survives
     assert len(got) == 1 and got["__digest"].iloc[0] in ("keep0", "keep1")
+
+
+def test_stream_binning_windowed_keeps_watermark(event_files, spark):
+    """The grouping must keep the window struct's event-time watermark tag:
+    append mode refuses to start at all when the watermark is stripped
+    (and update mode would then never evict closed-window state)."""
+    from pyspark.sql import functions as F
+
+    root, _ = event_files
+    stream = stream_events(spark, root).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + (F.col("X") < 1024).cast("int") * 60),
+    )
+    binned = bin_stream(
+        stream, bins=[10], axes=["t"], ranges=[(60000.0, 120000.0)],
+        event_time_column="ts", window_duration="60 seconds",
+    )
+    q = (
+        binned.writeStream.format("memory")
+        .queryName("stream_hist_append")
+        .outputMode("append")          # only legal with a watermarked key
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_binning_windowed_drops_null_event_time(event_files, spark):
+    """Rows with NULL event time belong to no window: they must not form a
+    phantom window_start=NULL aggregate."""
+    from pyspark.sql import functions as F
+
+    root, _ = event_files
+    stream = stream_events(spark, root).withColumn(
+        "ts",
+        F.when(F.col("X") < 1024, F.timestamp_seconds(F.lit(1700000000))),
+    )
+    out = _drain(
+        bin_stream(stream, bins=[10], axes=["t"], ranges=[(60000.0, 120000.0)],
+                   event_time_column="ts", window_duration="60 seconds"),
+        spark, "stream_hist_nullts",
+    )
+    assert out["window_start"].notna().all()
