@@ -52,11 +52,19 @@ DEFAULT_CONFIG: dict = {
 
 
 def deep_merge(base: dict, override: dict) -> dict:
-    """Recursively merge ``override`` into ``base`` (override wins)."""
+    """Recursively merge ``override`` into ``base`` (override wins).
+
+    A None override of an existing dict section is a no-op: a bare
+    ``section:`` line in YAML parses as None, and letting it clobber the
+    whole default section would break every consumer of that section with
+    opaque NoneType errors far from the config.
+    """
     out = copy.deepcopy(base)
     for k, v in override.items():
         if k in out and isinstance(out[k], dict) and isinstance(v, dict):
             out[k] = deep_merge(out[k], v)
+        elif v is None and isinstance(out.get(k), dict):
+            continue
         else:
             out[k] = copy.deepcopy(v)
     return out

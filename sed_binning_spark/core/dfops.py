@@ -52,6 +52,18 @@ def apply_jitter(
         cols_jittered = [c + "_jittered" for c in cols]
     if isinstance(amps, (int, float)):
         amps = [float(amps)] * len(cols)
+    amps = [float(a) for a in amps]
+    # zip would silently truncate a mismatched spec, jittering some columns
+    # with the wrong amplitude and others not at all
+    if len(amps) != len(cols):
+        raise ValueError(
+            f"amps has {len(amps)} entries for {len(cols)} columns",
+        )
+    if len(cols_jittered) != len(cols):
+        raise ValueError(
+            f"cols_jittered has {len(cols_jittered)} entries for "
+            f"{len(cols)} columns",
+        )
 
     # one shared noise column per call, as in the reference
     noise_col = "__jitter_noise"

@@ -94,6 +94,17 @@ class Cube:
             for ax in other.dims:
                 if ax not in self.dims:
                     raise ValueError(f"cannot align: axis {ax!r} not in {self.dims}")
+                # name match is not enough: a histogram built on different
+                # bin centers for the same axis name would divide
+                # positionally, pairing mismatched bins into silently wrong
+                # ratios (xarray would align-by-coordinate here)
+                if other.coords[ax].shape != self.coords[ax].shape or not np.allclose(
+                    other.coords[ax], self.coords[ax], equal_nan=True,
+                ):
+                    raise ValueError(
+                        f"cannot align: axis {ax!r} has different bin "
+                        "centers in the two cubes",
+                    )
             order = sorted(range(other.ndim), key=lambda i: self.axis_index(other.dims[i]))
             other_arr = other.data.transpose(order)
             shape = [
@@ -120,9 +131,13 @@ class Cube:
         )
 
     def equals(self, other: "Cube", rtol: float = 0.0, atol: float = 0.0) -> bool:
-        if self.dims != other.dims:
+        # shape check first: allclose BROADCASTS, so without it a 16-bin vs
+        # 12-bin comparison raises (or a size-1 axis compares wrongly True)
+        if self.dims != other.dims or self.data.shape != other.data.shape:
             return False
         for ax in self.dims:
+            if self.coords[ax].shape != other.coords[ax].shape:
+                return False
             if not np.allclose(self.coords[ax], other.coords[ax], rtol=rtol, atol=atol):
                 return False
         return np.allclose(self.data, other.data, rtol=rtol, atol=atol)

@@ -59,9 +59,16 @@ def event_histogram_grid(
         df = df.filter(F.col(file_column) == int(partition))
 
     if ranges is None:
+        from sed_binning_spark.core.dfops import _nan_to_null
+
+        # NaN masks to NULL first: Spark min/max PROPAGATE NaN (it sorts
+        # greatest), and one NaN row would poison the auto-range into
+        # (lo, NaN) — every bin index NULL, an all-zero histogram returned
+        # silently. np.histogram's auto-range skips NaN; so do we.
         aggs = []
         for ax in axes:
-            aggs += [F.min(ax).alias(f"__lo_{ax}"), F.max(ax).alias(f"__hi_{ax}")]
+            masked = _nan_to_null(df, ax)
+            aggs += [F.min(masked).alias(f"__lo_{ax}"), F.max(masked).alias(f"__hi_{ax}")]
         row = df.agg(*aggs).collect()[0]
         ranges = []
         for ax in axes:

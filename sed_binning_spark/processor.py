@@ -191,9 +191,22 @@ class SedProcessor:
         if amps is None:
             amps = self._config["dataframe"].get("jitter_amps", 0.5)
         df = self._require_df()
-        cols = [c for c in cols if c in df.columns]
-        if not cols:
+        # drop missing columns and their amplitudes TOGETHER — filtering
+        # cols alone would silently re-pair the remaining columns with the
+        # wrong entries of a per-column amps sequence
+        if isinstance(amps, (int, float)):
+            kept = [(c, float(amps)) for c in cols if c in df.columns]
+        else:
+            amps = list(amps)
+            if len(amps) != len(cols):
+                raise ValueError(
+                    f"jitter amps has {len(amps)} entries for {len(cols)} columns",
+                )
+            kept = [(c, float(a)) for c, a in zip(cols, amps) if c in df.columns]
+        if not kept:
             raise ValueError("No valid jitter columns found in dataframe!")
+        cols = [c for c, _ in kept]
+        amps = [a for _, a in kept]
         self._dataframe = apply_jitter(
             df, cols=cols, cols_jittered=cols, amps=amps, seed=seed,
         )
@@ -442,8 +455,18 @@ class SedProcessor:
             df = df.filter(pred)
             # normalization must see the SAME file subset, or counts/second
             # is biased low by n_total_files / n_selected
-            if timed_df is not None and file_col in timed_df.columns:
-                timed_df = timed_df.filter(pred)
+            if timed_df is not None:
+                if file_col in timed_df.columns:
+                    timed_df = timed_df.filter(pred)
+                elif isinstance(normalize_to_acquisition_time, str):
+                    # the per-bin histogram would be built from ALL files'
+                    # acquisition time — exactly the bias the filter above
+                    # prevents on the event side — so refuse loudly
+                    raise ValueError(
+                        f"df_partitions with per-axis normalization needs a "
+                        f"{file_col!r} column in the timed dataframe to "
+                        "restrict it to the same file subset",
+                    )
         if axes is not None:
             axes = [resolve_alias(ax, self._config) for ax in axes]
         cube = bin_dataframe(df, bins=bins, axes=axes, ranges=ranges, **kwds)
@@ -520,24 +543,31 @@ class SedProcessor:
     def view_event_histogram(
         self,
         dfpid: int | None = 0,
-        bins: int | Sequence[int] = 80,
+        bins: int | Sequence[int] | None = None,
         axes: Sequence[str] | None = None,
         ranges: Sequence[tuple[float, float]] | None = None,
     ) -> dict:
         """A12 diagnostics grid data (processor.py:2368-2457): per-axis 1-D
         histograms of one source file. Returns {axis: (centers, counts)};
-        plotting is the caller's concern in this headless engine."""
+        plotting is the caller's concern in this headless engine.
+
+        Config ``histogram`` values fill in ONLY the arguments the caller
+        left unset (None) — an explicit ``bins=`` or ``ranges=`` is never
+        overridden just because ``axes`` came from config."""
         from sed_binning_spark.diagnostics import event_histogram_grid
 
+        hist_conf = self._config.get("histogram", {})
         if axes is None:
-            axes = self._config.get("histogram", {}).get("axes", [])
-            axes = [resolve_alias(ax, self._config) for ax in axes]
-            bins = self._config.get("histogram", {}).get("bins", bins)
-            ranges = self._config.get("histogram", {}).get("ranges", ranges)
+            axes = [resolve_alias(ax, self._config) for ax in hist_conf.get("axes", [])]
+        if bins is None:
+            bins = hist_conf.get("bins", 80)
+        if ranges is None:
+            ranges = hist_conf.get("ranges")
         if not axes:
             raise ValueError("No axes specified and no histogram axes configured!")
         return event_histogram_grid(
             self._require_df(), axes, bins=bins, ranges=ranges, partition=dfpid,
+            file_column=self._config.get("dataframe", {}).get("file_column", "file_id"),
         )
 
     def get_elapsed_time(self, dataframe: DataFrame | None = None) -> float:

@@ -71,3 +71,27 @@ def test_cube_division_transposed_dims():
 def test_cube_missing_coords_raises_value_error():
     with pytest.raises(ValueError, match="no coords entry"):
         Cube(np.zeros((2, 3)), {"x": np.arange(2)}, dims=["x", "y"])
+
+
+def test_cube_equals_different_shapes_is_false():
+    """allclose broadcasts, so equals must shape-check first: 16 vs 12 bins
+    is False (not a raise), and a size-1 axis must not compare True against
+    an N-bin cube by broadcasting."""
+    a = Cube(np.zeros(16), {"x": np.arange(16.0)})
+    b = Cube(np.zeros(12), {"x": np.arange(12.0)})
+    assert not a.equals(b)
+    c = Cube(np.zeros(1), {"x": np.zeros(1)})
+    d = Cube(np.zeros(4), {"x": np.array([0.0, 0.0, 0.0, 0.0])})
+    assert not c.equals(d)
+
+
+def test_cube_division_rejects_mismatched_bin_centers():
+    """Name-matched axes with DIFFERENT bin centers must not divide
+    positionally (silently wrong counts/second) — they raise."""
+    a = Cube(np.ones((4, 3)), {"x": np.arange(4.0), "y": np.arange(3.0)})
+    hist = Cube(np.ones(4), {"x": np.arange(4.0) + 10.0})
+    with pytest.raises(ValueError, match="different bin centers"):
+        a / hist
+    # matching centers still divide fine
+    ok = a / Cube(2.0 * np.ones(4), {"x": np.arange(4.0)})
+    assert float(ok.data.sum()) == 6.0

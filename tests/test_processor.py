@@ -320,3 +320,61 @@ def test_view_event_histogram_constant_and_empty_columns(spark):
     empty = event_histogram_grid(spark.createDataFrame(pdf), ["normal"],
                                  bins=10, partition=99)  # no such file
     assert empty["normal"][1].sum() == 0
+
+
+def test_parse_config_empty_yaml_section_keeps_defaults(tmp_path):
+    """A bare 'dataframe:' line parses as None; it must not clobber the
+    default section (every transform would die on NoneType)."""
+    from sed_binning_spark.config import parse_config
+
+    p = tmp_path / "sed_config.yaml"
+    p.write_text("dataframe:\nbinning:\n")
+    conf = parse_config(folder_config=str(p))
+    assert conf["dataframe"]["x_column"] == "X"
+    assert conf["binning"]["hist_mode"] == "spark"
+
+
+def test_add_jitter_amps_stay_paired_with_columns(spark, events_df):
+    """Dropping a missing jitter column must drop its amplitude too, and a
+    mismatched amps length must raise (zip would silently truncate)."""
+    import pytest as _pytest
+
+    from sed_binning_spark.processor import SedProcessor
+
+    proc = SedProcessor(spark)
+    proc.load(dataframe=events_df)
+    with _pytest.raises(ValueError, match="amps has 3 entries"):
+        proc.add_jitter(cols=["X", "t"], amps=[0.5, 0.5, 2.0])
+    # 'nope' is missing: its amplitude must vanish with it, leaving t at 2.0
+    proc.add_jitter(cols=["X", "nope", "t"], amps=[0.0, 0.5, 2.0], seed=1)
+    meta = proc.attributes.metadata["jitter"]["jitter"]
+    assert meta["cols"] == ["X", "t"]
+    assert meta["amps"] == [0.0, 2.0]
+
+
+def test_view_event_histogram_explicit_bins_beat_config(spark, events_df):
+    """Explicit bins must survive when axes come from config."""
+    from sed_binning_spark.processor import SedProcessor
+
+    proc = SedProcessor(spark, config={"histogram": {"axes": ["@x_column"], "bins": [10]}})
+    proc.load(dataframe=events_df)
+    out = proc.view_event_histogram(dfpid=None, bins=25)
+    centers, counts = out["X"]
+    assert len(centers) == len(counts) == 25
+    # and config bins apply when the caller leaves bins unset
+    out2 = proc.view_event_histogram(dfpid=None)
+    assert len(out2["X"][0]) == 10
+
+
+def test_event_histogram_grid_auto_range_skips_nan(spark):
+    """One NaN row must not poison the auto-range into (lo, NaN)."""
+    import pandas as pd
+
+    from sed_binning_spark.diagnostics import event_histogram_grid
+
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0, np.nan]})
+    centers, counts = event_histogram_grid(
+        spark.createDataFrame(pdf), ["v"], bins=4,
+    )["v"]
+    assert np.isfinite(centers).all()
+    assert counts.sum() == 3
