@@ -239,9 +239,24 @@ def align_dld_sectors(
     if sector_id_column not in df.columns:
         raise KeyError(f"sector column {sector_id_column!r} not in dataframe")
     delays = [float(d) for d in sector_delays]
+    n = len(delays)
     arr = F.array(*[F.lit(d) for d in delays])
-    # element_at is 1-indexed; sector ids are 0-based
-    shifted = F.col(tof_column) - F.element_at(arr, F.col(sector_id_column).cast("int") + 1)
+    sid = F.col(sector_id_column).cast("int")
+    # element_at is 1-indexed; pmod gives numpy's negative-index wrap for
+    # ids in [-n, n-1] (element_at's own negative handling is from-the-end
+    # 1-indexed — off by one vs numpy). Out-of-range ids fail loudly like
+    # the reference's delays[ids] IndexError would, instead of NULLing the
+    # TOF (rows silently vanishing from every downstream histogram).
+    valid = sid.isNotNull() & sid.between(-n, n - 1)
+    lookup = F.when(valid, F.element_at(arr, F.pmod(sid, F.lit(n)) + 1)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"sector id out of range [-{n}, {n - 1}]: "),
+                F.coalesce(sid.cast("string"), F.lit("NULL")),
+            ),
+        ),
+    )
+    shifted = F.col(tof_column) - lookup
     out = df.withColumn(tof_column, shifted.cast("float"))
     return out, {"sector_delays": delays}
 
@@ -319,6 +334,10 @@ def poly_energy_calibration(
         raise ValueError("pos and vals need to have the same number of elements")
     if ref_id >= vals.size:
         ref_id = vals.size - 1
+    if ref_id < 0:
+        # accept negative indices like the reference's scalar pos[ref_id]
+        # (the slice form below would silently be empty for ref_id == -1)
+        ref_id = int(ref_id) % vals.size
 
     polyorder = np.arange(order, 0, -1)
     term_ref = np.array([pos[ref_id] ** p for p in polyorder])
@@ -357,7 +376,7 @@ def fit_energy_calibration(
     energy_scale: str = "kinetic",
     d0: float = 1.0,
     t0_0: float = 1e-6,
-    ref_id: int | None = None,
+    ref_id: int | None = 0,
 ) -> dict:
     """Nonlinear fit of ``E = sign*2.84281e-12*(d/(t - t0))^2 + E0``
     (fit_energy_calibration, energy.py:2090-2224). The reference uses lmfit;
@@ -434,9 +453,10 @@ def fit_energy_calibration(
     _, d, e0, t0 = best
 
     # Pin E0 so the reference feature lands exactly at ref_energy
-    # (energy.py:2205-2216): ref_id selects which landmark is the reference;
-    # default None keeps the last entry.
-    pin = -1 if ref_id is None else int(ref_id)
+    # (energy.py:2205-2216): ref_id selects which landmark is the
+    # reference; the default 0 (first landmark) matches the reference's
+    # signature default — a None passed for compatibility means the same.
+    pin = 0 if ref_id is None else int(ref_id)
     e0 = float(ref_energy - model(d, t0)[pin])
     # the fit runs in ns for conditioning; tof2ev_expr (and the reference's
     # tof2ev, energy.py:2338-2374) work in SECONDS — convert on output so

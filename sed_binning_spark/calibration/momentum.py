@@ -119,10 +119,17 @@ def map_coordinates_bilinear(
     cval=0): bilinear sample of ``grid`` at fractional (rows, cols);
     neighbors outside the grid contribute 0."""
     h, w = grid.shape
-    r0 = np.floor(rows).astype(np.int64)
-    c0 = np.floor(cols).astype(np.int64)
-    fr = rows - r0
-    fc = cols - c0
+    # NaN coordinates are "outside" (flagged via the bad mask below, which
+    # tests the ORIGINAL rows/cols); route them to a harmless off-grid
+    # value first so floor/astype never casts NaN (a per-batch
+    # RuntimeWarning and UB-ish int)
+    finite = np.isfinite(rows) & np.isfinite(cols)
+    safe_rows = np.where(finite, rows, -10.0)
+    safe_cols = np.where(finite, cols, -10.0)
+    r0 = np.floor(safe_rows).astype(np.int64)
+    c0 = np.floor(safe_cols).astype(np.int64)
+    fr = safe_rows - r0
+    fc = safe_cols - c0
     out = np.zeros(rows.shape, dtype=np.float64)
     for dr, dc, wgt in (
         (0, 0, (1 - fr) * (1 - fc)),
@@ -139,8 +146,13 @@ def map_coordinates_bilinear(
     # scipy's legacy 'constant' mode interpolates only strictly inside
     # [0, n-1]; ANY coordinate beyond that is cval (0) with no partial
     # blending (a half-pixel blend band here would pull border-band events
-    # partway toward 0 where the reference zeroes them outright)
-    bad = (rows < 0.0) | (rows > h - 1.0) | (cols < 0.0) | (cols > w - 1.0)
+    # partway toward 0 where the reference zeroes them outright). A NaN
+    # coordinate (e.g. from a NaN-composed deformation field) is likewise
+    # "outside" — the < / > comparisons alone would miss it and leak NaN.
+    bad = (
+        ~np.isfinite(rows) | ~np.isfinite(cols)
+        | (rows < 0.0) | (rows > h - 1.0) | (cols < 0.0) | (cols > w - 1.0)
+    )
     out[bad] = 0.0
     return out
 
@@ -195,12 +207,39 @@ def apply_dfield(
     return out
 
 
+def _dilate4(m: np.ndarray) -> np.ndarray:
+    """Binary dilation with the 4-neighbor cross (no scipy)."""
+    out = m.copy()
+    out[1:, :] |= m[:-1, :]
+    out[:-1, :] |= m[1:, :]
+    out[:, 1:] |= m[:, :-1]
+    out[:, :-1] |= m[:, 1:]
+    return out
+
+
+def _erode4(m: np.ndarray) -> np.ndarray:
+    """Binary erosion with the 4-neighbor cross. Outside the raster counts
+    as FILLED (the standard closing convention), so a region touching the
+    border — the typical full-coverage deformation field — keeps its edge
+    rows and edge seam holes remain fillable."""
+    out = m.copy()
+    out[1:, :] &= m[:-1, :]
+    out[:-1, :] &= m[1:, :]
+    out[:, 1:] &= m[:, :-1]
+    out[:, :-1] &= m[:, 1:]
+    return out
+
+
 def _bilinear_or_nan(grid: np.ndarray, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
     """Bilinear sample with NaN (not cval=0) outside [0, n-1] — for field
-    resampling, where a zero would masquerade as a real coordinate."""
+    resampling, where a zero would masquerade as a real coordinate. NaN
+    coordinates are NaN out too."""
     out = map_coordinates_bilinear(grid, rows, cols)
     h, w = grid.shape
-    bad = (rows < 0.0) | (rows > h - 1.0) | (cols < 0.0) | (cols > w - 1.0)
+    bad = (
+        ~np.isfinite(rows) | ~np.isfinite(cols)
+        | (rows < 0.0) | (rows > h - 1.0) | (cols < 0.0) | (cols > w - 1.0)
+    )
     out[bad] = np.nan
     return out
 
@@ -287,10 +326,22 @@ def generate_inverse_dfield(
     # the same contract as the reference's griddata (linear interpolation,
     # fill_value=nan outside the hull), whose NaNs flow through apply_dfield
     # and are rejected by downstream binning
+    # Only SEAM holes may fill: a morphological closing (radius 2) of the
+    # deposit mask covers gaps enclosed by data — the rounding seams the
+    # nearest-cell deposit leaves — while cells outside the data hull stay
+    # excluded. Without this mask the relaxation crawls up to 8 px past the
+    # hull, fabricating inverse-field values the reference's griddata
+    # (fill_value=nan) correctly leaves NaN.
+    closed = filled
+    for _ in range(2):
+        closed = _dilate4(closed)
+    for _ in range(2):
+        closed = _erode4(closed)
+    fillable = closed & ~filled
     for plane in (0, 1):
         g = inv[plane]
         for _ in range(8):
-            holes = np.isnan(g)
+            holes = np.isnan(g) & fillable
             if not holes.any():
                 break
             acc = np.zeros_like(g)

@@ -308,9 +308,14 @@ def update_deformation(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Compose a new transform onto the running deformation field by
     resampling the old field at the new coordinates (update_deformation,
-    momentum.py:847-869)."""
-    new_r = map_coordinates_bilinear(rdeform, rtrans.ravel(), ctrans.ravel())
-    new_c = map_coordinates_bilinear(cdeform, rtrans.ravel(), ctrans.ravel())
+    momentum.py:847-869). Out-of-field samples are NaN — the reference's
+    map_coordinates(..., cval=np.nan): a zero fill would turn every
+    rotated/translated-out pixel into a real-looking coordinate 0.0 that
+    later poisons the inverse deformation field near the origin."""
+    from sed_binning_spark.calibration.momentum import _bilinear_or_nan
+
+    new_r = _bilinear_or_nan(rdeform, rtrans.ravel(), ctrans.ravel())
+    new_c = _bilinear_or_nan(cdeform, rtrans.ravel(), ctrans.ravel())
     return new_r.reshape(rdeform.shape), new_c.reshape(cdeform.shape)
 
 

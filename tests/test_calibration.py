@@ -356,8 +356,37 @@ def test_fit_energy_calibration_recovers_model():
     pos = np.linspace(65000, 90000, 10)
     t_s = pos * binw
     energies = _TOF2EV_CONST * (d_true / (t_s - t0_true)) ** 2 + e0_true
+    # default ref_id=0 (the reference's default): ref_energy names the
+    # FIRST landmark's energy
     calib = fit_energy_calibration(
-        pos, energies, binwidth, binning, ref_energy=float(energies[-1]),
+        pos, energies, binwidth, binning, ref_energy=float(energies[0]),
     )
     model = _TOF2EV_CONST * (calib["d"] / (t_s - calib["t0"])) ** 2 + calib["E0"]
     np.testing.assert_allclose(model, energies, rtol=1e-4)
+
+
+def test_poly_energy_calibration_negative_ref_id():
+    """ref_id=-1 means 'last trace' (valid scalar index in the reference);
+    the slice-based pin must not silently produce an empty array."""
+    pos = np.linspace(65000, 90000, 8)
+    vals = 30.0 - 0.5 * np.arange(8)
+    calib = poly_energy_calibration(pos, vals, order=2, ref_id=-1, ref_energy=10.0)
+    assert np.isfinite(calib["E0"])
+
+
+def test_align_dld_sectors_id_bounds(spark):
+    """Negative ids wrap numpy-style (delays[-2] = 7th element); ids beyond
+    [-n, n-1] fail loudly instead of silently NULLing the TOF."""
+    import pandas as pd
+    from pyspark.errors import SparkRuntimeException
+
+    delays = [float(i) for i in range(8)]
+    pdf = pd.DataFrame({"t": [100.0, 100.0], "dldSectorID": np.array([-2, 3], dtype="int32")})
+    out, _ = align_dld_sectors(spark.createDataFrame(pdf), delays, tof_column="t")
+    got = {int(r["dldSectorID"]): float(r["t"]) for r in out.collect()}
+    assert got == {-2: 100.0 - 6.0, 3: 100.0 - 3.0}
+
+    bad = pd.DataFrame({"t": [1.0], "dldSectorID": np.array([8], dtype="int32")})
+    out_bad, _ = align_dld_sectors(spark.createDataFrame(bad), delays, tof_column="t")
+    with pytest.raises(SparkRuntimeException, match="out of range"):
+        out_bad.collect()

@@ -304,3 +304,38 @@ def test_inverse_dfield_of_forward_rotation_roundtrips():
     assert np.abs(back_r - rr[inner].ravel()).max() < 1.0
     assert np.abs(back_c - cc[inner].ravel()).max() < 1.0
     assert np.abs(back_r - rr[inner].ravel()).mean() < 0.35
+
+
+def test_update_deformation_nan_outside_field():
+    """Composed deformation fields are NaN where the transform samples
+    outside the source field (reference map_coordinates cval=nan) — a zero
+    fill would alias rotated-out pixels to coordinate 0.0 and poison the
+    inverse field near the origin."""
+    out = pose_adjustment(np.zeros((64, 64)), angle=20.0)
+    rd = out["rdeform_field"]
+    assert np.isnan(rd[0, 0]) and np.isnan(rd[-1, -1])   # rotated-out corners
+    assert np.isfinite(rd[32, 32])                        # center intact
+    # the warped image stays finite (NaN coords sample as cval 0)
+    assert np.isfinite(out["corrected_image"]).all()
+
+
+def test_generate_inverse_dfield_stays_nan_outside_hull():
+    """The seam-hole fill must not extrapolate past the forward field's
+    data hull (reference griddata fill_value=nan): a disk-shaped field
+    leaves the far-outside region NaN."""
+    from sed_binning_spark.calibration.momentum import generate_inverse_dfield
+
+    n = 64
+    rr, cc = np.meshgrid(np.arange(n, dtype=float), np.arange(n, dtype=float),
+                         indexing="ij")
+    inside = (rr - 32) ** 2 + (cc - 32) ** 2 <= 20.0 ** 2
+    fr = np.where(inside, rr, np.nan)
+    fc = np.where(inside, cc, np.nan)
+    inv = generate_inverse_dfield(
+        fr, fc, bin_ranges=((0, n), (0, n)), detector_ranges=((0, n), (0, n)),
+    )
+    # identity inside the disk ...
+    assert abs(inv[0][32, 40] - 32.0) < 1.0
+    # ... NaN well outside it (radius > 26: beyond any seam-closing reach)
+    far = (rr - 32) ** 2 + (cc - 32) ** 2 >= 27.0 ** 2
+    assert np.isnan(inv[0][far]).all() and np.isnan(inv[1][far]).all()
