@@ -76,13 +76,28 @@ class BaseLoader:
         elif folders is not None:
             if isinstance(folders, str):
                 folders = [folders]
+            # forward only the keys gather_files understands: extra kwds
+            # meant for other read modes (e.g. flash's daq=) must not crash
+            # the folder glob with a TypeError
+            gf_kwds = {
+                k: kwds[k]
+                for k in ("f_start", "f_end", "f_step", "file_sorting")
+                if k in kwds
+            }
             paths = []
             for folder in folders:
-                paths.extend(gather_files(os.path.realpath(folder), ftype, **kwds))
+                paths.extend(gather_files(os.path.realpath(folder), ftype, **gf_kwds))
         elif files is not None:
             if isinstance(files, str):
                 files = [files]
             paths = list(files)
+            # same slice contract as gather_files (applies only when both
+            # bounds are given) — silently ignoring the kwds here would
+            # make files= behave differently from folders= for no reason
+            if kwds.get("f_start") is not None and kwds.get("f_end") is not None:
+                paths = paths[
+                    slice(kwds.get("f_start"), kwds.get("f_end"), kwds.get("f_step"))
+                ]
         else:
             raise ValueError("Either folder, file paths, or runs should be provided!")
 

@@ -93,3 +93,13 @@ def train_frame_schema(columns) -> str:
     """Spark schema string for a :func:`first_reading_train_pdf` result."""
     cols = ", ".join(f"`{c}` double" for c in columns if c != "trainId")
     return f"trainId long, {cols}"
+
+
+def union_frame_maps(per_file, into: dict | None = None) -> dict:
+    """Merge per-file ``{kind: DataFrame}`` maps into one map by
+    ``unionByName`` per kind (shared by the flash and sxp read paths)."""
+    out = dict(into or {})
+    for frames in per_file:
+        for key, frame in frames.items():
+            out[key] = frame if key not in out else out[key].unionByName(frame)
+    return out

@@ -208,17 +208,25 @@ def buffer_parquet(
     path: str | Path,
     spark,
     force_recreate: bool = False,
+    expected_columns: Sequence[str] | None = None,
 ) -> DataFrame:
-    """S8: write-once parquet buffer with schema check on reuse
-    (buffer_file_handler, flash/loader.py:643-742). ``df_builder`` is a
-    zero-arg callable producing the DataFrame (only invoked on a cache
-    miss — the expensive HDF5 conversion is skipped when the buffer
-    exists)."""
+    """S8: write-once parquet buffer (buffer_file_handler,
+    flash/loader.py:643-742). ``df_builder`` is a zero-arg callable
+    producing the DataFrame (only invoked on a cache miss — the expensive
+    HDF5 conversion is skipped when the buffer exists). Pass
+    ``expected_columns`` to schema-check a reused buffer via
+    :func:`validate_buffer_schema` (a stale buffer from an older channel
+    config then fails with recreate guidance instead of being served);
+    the loader's own cache (`_train_frames_buffered`) achieves the same
+    with a config-fingerprint marker instead."""
     path = Path(path)
     if force_recreate or not path.exists():
         df = df_builder()
         df.write.mode("overwrite").parquet(str(path))
-    return spark.read.parquet(str(path))
+    out = spark.read.parquet(str(path))
+    if expected_columns is not None:
+        validate_buffer_schema(out, expected_columns)
+    return out
 
 
 def validate_buffer_schema(
@@ -321,7 +329,16 @@ class FlashLoader(BaseLoader):
         "dldTimeSteps": {"format": "per_electron",
                          "group_name": "/uncategorised/FLASH.EXP/HEXTOF.DAQ/DLD1/", "slice": 3},
         "dldAux": {"format": "per_pulse",
-                   "group_name": "/uncategorised/FLASH.EXP/HEXTOF.DAQ/DLD1/", "slice": 4},
+                   "group_name": "/uncategorised/FLASH.EXP/HEXTOF.DAQ/DLD1/", "slice": 4,
+                   # default slice names = the reference example config's
+                   # dldAuxChannels (flash_example_config.yaml:133-140);
+                   # without them the extracted aux vector would be
+                   # silently discarded by combine_aux_channels
+                   "dldAuxChannels": {
+                       "sampleBias": 0, "tofVoltage": 1, "extractorVoltage": 2,
+                       "extractorCurrent": 3, "cryoTemperature": 4,
+                       "sampleTemperature": 5, "dldTimeBinSize": 15,
+                   }},
         "timeStamp": {"format": "per_train",
                       "group_name": "/uncategorised/FLASH.DIAG/TIMINGINFO/"
                                     "TIME1.BUNCH_FIRST_INDEX.1/"},
@@ -507,6 +524,8 @@ class FlashLoader(BaseLoader):
             from concurrent.futures import ThreadPoolExecutor
 
             n_workers = min(4, max(1, len(paths)))
+            from sed_binning_spark.loaders.channels import union_frame_maps
+
             if parquet_dir:
                 with ThreadPoolExecutor(n_workers) as ex:
                     per_file = list(ex.map(
@@ -515,20 +534,11 @@ class FlashLoader(BaseLoader):
                         ),
                         paths,
                     ))
-                train_frames = {}
-                for frames in per_file:
-                    for key, frame in frames.items():
-                        train_frames[key] = (
-                            frame if key not in train_frames
-                            else train_frames[key].unionByName(frame)
-                        )
+                train_frames = union_frame_maps(per_file)
             else:
                 # scale path: bulky per-electron hit arrays extract
                 # executor-side (one task per file); the small per-pulse /
                 # per-train frames read driver-side off header+small pages
-                train_frames = {
-                    "electron": self._electron_frames_distributed(paths),
-                }
                 with ThreadPoolExecutor(n_workers) as ex:
                     per_file = list(ex.map(
                         lambda p: self.h5_to_train_frames(
@@ -536,12 +546,10 @@ class FlashLoader(BaseLoader):
                         ),
                         paths,
                     ))
-                for frames in per_file:
-                    for key, frame in frames.items():
-                        train_frames[key] = (
-                            frame if key not in train_frames
-                            else train_frames[key].unionByName(frame)
-                        )
+                train_frames = union_frame_maps(
+                    per_file,
+                    into={"electron": self._electron_frames_distributed(paths)},
+                )
         conf = self.config.get("dataframe", {})
         if ubid_offset is None:
             ubid_offset = conf.get("ubid_offset", 0)
@@ -566,10 +574,21 @@ class FlashLoader(BaseLoader):
             ))
         if "aux" in train_frames:
             # aux slice names: explicit dataframe.aux_channels, or the
-            # reference config's channels.dldAux.dldAuxChannels spec
+            # dldAuxChannels spec of the channels ACTUALLY in use (config
+            # channels or the built-in defaults — consulting only the
+            # config would silently discard the extracted aux vector on a
+            # default-config run)
+            active_channels = conf.get("channels", self.DEFAULT_CHANNELS)
             aux_channels = conf.get("aux_channels") or (
-                conf.get("channels", {}).get("dldAux", {}).get("dldAuxChannels", {})
+                active_channels.get("dldAux", {}).get("dldAuxChannels", {})
             )
+            if not aux_channels:
+                raise ValueError(
+                    "dldAux was extracted but no aux slice names are "
+                    "configured (dataframe.aux_channels or "
+                    "channels.dldAux.dldAuxChannels) — the aux data would "
+                    "be silently discarded",
+                )
             frames.append(combine_aux_channels(
                 train_frames["aux"], "dldAux", aux_channels,
             ))

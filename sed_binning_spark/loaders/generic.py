@@ -60,11 +60,16 @@ class GenericLoader(BaseLoader):
             metadata=metadata, **slice_kwds,
         )
 
-        reader = self.spark.read.options(**{k: str(v) for k, v in kwds.items()})
+        # format defaults first, caller options LAST so an explicit
+        # header='false' (a headerless CSV) is honored instead of the
+        # default silently eating the first data row as column names
+        opts = {"header": "true", "inferSchema": "true"} if ftype == "csv" else {}
+        opts.update({k: str(v) for k, v in kwds.items()})
+        reader = self.spark.read.options(**opts)
         if ftype == "parquet":
             df = reader.parquet(*paths)
         elif ftype == "csv":
-            df = reader.option("header", "true").option("inferSchema", "true").csv(paths)
+            df = reader.csv(paths)
         else:
             df = reader.json(paths)
 

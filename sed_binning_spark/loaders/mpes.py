@@ -364,6 +364,18 @@ class MpesLoader(BaseLoader):
         for p in paths:
             f = H5File(p)
             names = {q.lstrip("/") for q in f.visit()}
+            # the schema comes from the FIRST file; a later file with a
+            # different stream set must fail here at submit time, named —
+            # missing streams would otherwise die executor-side as a bare
+            # KeyError mid-job, and extra streams would silently vanish
+            file_streams = {n for n in names if n.startswith("Stream_")}
+            if file_streams != set(stream_names):
+                missing = sorted(set(stream_names) - file_streams)
+                extra = sorted(file_streams - set(stream_names))
+                raise ValueError(
+                    f"{p} has a different stream set than {paths[0]}: "
+                    f"missing {missing or 'none'}, extra {extra or 'none'}",
+                )
             mm = f.read("/msMarkers") if "msMarkers" in names else None
             if mm is None and time_stamps:
                 # fail at submit time with the file named — the executor
@@ -556,7 +568,12 @@ class MpesLoader(BaseLoader):
         (mpes loader.py:924-977)."""
         secs_list, rate_list = [], []
         accumulated = 0.0
-        for fd in files_data:
+        for i, fd in enumerate(files_data):
+            if fd.get("ms_marker") is None:
+                raise ValueError(
+                    f"files_data[{i}] has no ms_marker — count rate needs "
+                    "the ms-marker stream",
+                )
             rate, secs = count_rate_from_markers(fd["ms_marker"])
             secs_list.append(accumulated + secs)
             rate_list.append(rate)
@@ -564,4 +581,10 @@ class MpesLoader(BaseLoader):
         return np.concatenate(rate_list), np.concatenate(secs_list)
 
     def get_elapsed_time(self, files_data: Sequence[dict]) -> float:
+        for i, fd in enumerate(files_data):
+            if fd.get("ms_marker") is None:
+                raise ValueError(
+                    f"files_data[{i}] has no ms_marker — elapsed time needs "
+                    "the ms-marker stream",
+                )
         return sum(elapsed_time_from_markers(fd["ms_marker"]) for fd in files_data)

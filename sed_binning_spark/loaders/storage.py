@@ -36,14 +36,19 @@ def save_parquet(df: DataFrame, path: str | Path, mode: str = "overwrite") -> No
 
 def load_parquet(spark: SparkSession, path: str | Path) -> DataFrame:
     """Load a previously saved event table; missing table raises with the
-    reference's guidance (flash/loader.py:796-805)."""
-    path = Path(path)
-    if not path.exists():
+    reference's guidance (flash/loader.py:796-805).
+
+    The local-existence pre-check applies only to plain paths: a URI
+    (s3://, hdfs://, ...) is handed straight to Spark — pathlib would
+    mangle the scheme and ``exists()`` tests the DRIVER's filesystem, so
+    every remote table would "not exist"."""
+    p = str(path)
+    if "://" not in p and not Path(p).exists():
         raise FileNotFoundError(
             "The final parquet dataframe could not be found at "
-            f"{path}. Set 'save_parquet=True' in a prior run to create it.",
+            f"{p}. Set 'save_parquet=True' in a prior run to create it.",
         )
-    return spark.read.parquet(str(path))
+    return spark.read.parquet(p)
 
 
 # ---------------------------------------------------------------------------

@@ -191,11 +191,14 @@ class SXPLoader(BaseLoader):
         if formats is not None:
             channels = {k: v for k, v in channels.items() if v["format"] in formats}
         electron: dict[str, tuple] = {}
+        pulse: dict[str, tuple] = {}
         train: dict[str, tuple] = {}
         for name, ch in channels.items():
             idx, val = read_channel(f, name, ch)
             if ch["format"] == "per_electron":
                 electron[name] = (idx, val)
+            elif ch["format"] == "per_pulse":
+                pulse[name] = (idx, val.reshape(val.shape[0], -1))
             elif ch["format"] == "per_train":
                 train[name] = (idx, val.reshape(val.shape[0], -1)[:, 0])
             else:
@@ -206,6 +209,11 @@ class SXPLoader(BaseLoader):
             frames["electron"] = self.spark.createDataFrame(
                 aligned_array_pdf(electron, "per-electron"),
                 schema=array_frame_schema(electron),
+            )
+        if pulse:
+            frames["pulse"] = self.spark.createDataFrame(
+                aligned_array_pdf(pulse, "per-pulse"),
+                schema=array_frame_schema(pulse),
             )
         if train:
             merged = first_reading_train_pdf(train)
@@ -253,19 +261,28 @@ class SXPLoader(BaseLoader):
             channels = self.config.get("dataframe", {}).get(
                 "channels", self.DEFAULT_CHANNELS,
             )
-            record_frames = {
-                "electron": electron_frames_distributed(self.spark, paths, channels),
-            }
-            per_file = [
-                self.h5_to_record_frames(p, formats=("per_pulse", "per_train"))
-                for p in paths
-            ]
-            for frames in per_file:
-                for key, frame in frames.items():
-                    record_frames[key] = (
-                        frame if key not in record_frames
-                        else record_frames[key].unionByName(frame)
-                    )
+            # overlap per-file driver reads like the flash path does —
+            # the HDF5 decode and per-file createDataFrame jobs pipeline
+            # through a small thread pool instead of running sequentially
+            from concurrent.futures import ThreadPoolExecutor
+
+            from sed_binning_spark.loaders.channels import union_frame_maps
+
+            with ThreadPoolExecutor(min(4, max(1, len(paths)))) as ex:
+                per_file = list(ex.map(
+                    lambda p: self.h5_to_record_frames(
+                        p, formats=("per_pulse", "per_train"),
+                    ),
+                    paths,
+                ))
+            record_frames = union_frame_maps(
+                per_file,
+                into={
+                    "electron": electron_frames_distributed(
+                        self.spark, paths, channels,
+                    ),
+                },
+            )
         conf = self.config.get("dataframe", {})
         if ubid_offset is None:
             ubid_offset = conf.get("ubid_offset", 0)

@@ -149,3 +149,76 @@ def test_gather_files_slices_only_with_both_bounds(tmp_path):
     assert len(gather_files(str(tmp_path), "h5", f_start=2)) == 5   # lone bound
     assert len(gather_files(str(tmp_path), "h5", f_step=2)) == 5    # lone step
     assert len(gather_files(str(tmp_path), "h5", f_start=1, f_end=4)) == 3
+
+
+def test_generic_csv_caller_options_win(spark, tmp_path):
+    """An explicit header='false' must not be overridden by the CSV
+    defaults (which would eat the first data row as column names)."""
+    p = tmp_path / "d.csv"
+    p.write_text("1.0,a\n2.0,b\n3.0,c\n")
+    df, _, _ = GenericLoader(spark).read_dataframe(
+        files=[str(p)], ftype="csv", header="false",
+    )
+    assert df.count() == 3
+
+
+def test_resolve_paths_files_slicing(spark, tmp_path):
+    """files= honors the same both-bounds slice contract as folders=."""
+    import pandas as pd
+
+    paths = []
+    for i in range(5):
+        p = tmp_path / f"f{i}.parquet"
+        pd.DataFrame({"v": [float(i)]}).to_parquet(p)
+        paths.append(str(p))
+    df, _, meta = GenericLoader(spark).read_dataframe(
+        files=paths, f_start=1, f_end=4,
+    )
+    assert meta["file_statistics"]["num_files"] == 3
+    assert df.count() == 3
+
+
+def test_load_parquet_uri_paths_bypass_local_check(spark, tmp_path):
+    """URI-style paths go straight to Spark: pathlib would mangle the
+    scheme and exists() tests the driver's local filesystem."""
+    import pandas as pd
+
+    from sed_binning_spark.loaders.storage import load_parquet, save_parquet
+
+    p = tmp_path / "tbl.parquet"
+    save_parquet(spark.createDataFrame(pd.DataFrame({"v": [1.0, 2.0]})), p)
+    out = load_parquet(spark, f"file://{p}")
+    assert out.count() == 2
+
+
+def test_mpes_distributed_rejects_mismatched_stream_sets(spark, tmp_path):
+    """A file whose Stream_* set differs from the first file's fails at
+    submit time with both files named, not executor-side as a KeyError."""
+    import pytest
+
+    from sed_binning_spark.io.hdf5_write import H5Writer
+    from sed_binning_spark.loaders.mpes import MpesLoader
+
+    def write(path, n_streams):
+        w = H5Writer()
+        for i in range(n_streams):
+            w.add_dataset(f"/Stream_{i}", np.arange(4, dtype="<f4"))
+        w.write(str(path))
+
+    a, b = tmp_path / "a.h5", tmp_path / "b.h5"
+    write(a, 2)
+    write(b, 1)
+    with pytest.raises(ValueError, match="different stream set"):
+        MpesLoader(spark).read_dataframe(files=[str(a), str(b)])
+
+
+def test_mpes_count_rate_requires_markers(spark):
+    import pytest
+
+    from sed_binning_spark.loaders.mpes import MpesLoader
+
+    loader = MpesLoader(spark)
+    with pytest.raises(ValueError, match="no ms_marker"):
+        loader.get_count_rate([{"streams": {}}])
+    with pytest.raises(ValueError, match="no ms_marker"):
+        loader.get_elapsed_time([{"streams": {}}])

@@ -114,3 +114,23 @@ def test_run_id_padding_consistent_for_str_and_int(spark, tmp_path):
     for run in (16, "16", "0016"):
         files = loader.get_files_from_run_id(run, [str(tmp_path)])
         assert len(files) == 1 and files[0].endswith("RAW-R0016-DA03-S00000.h5")
+
+
+def test_sxp_per_pulse_channels_extract(spark, tmp_path):
+    """A per_pulse channel in the sxp config must extract into a 'pulse'
+    frame, not crash with 'unknown channel format'."""
+    from sed_binning_spark.io.hdf5_write import H5Writer
+    from sed_binning_spark.loaders.sxp import SXPLoader
+
+    w = H5Writer()
+    w.add_dataset("/idx", np.arange(3, dtype="<i8"))
+    w.add_dataset("/vals", np.arange(6, dtype="<f8").reshape(3, 2))
+    p = tmp_path / "r.h5"
+    w.write(str(p))
+    loader = SXPLoader(spark, config={"dataframe": {"channels": {
+        "gmd": {"format": "per_pulse", "index_key": "/idx", "dataset_key": "/vals"},
+    }}})
+    frames = loader.h5_to_record_frames(str(p), formats=("per_pulse",))
+    pdf = frames["pulse"].toPandas()
+    assert list(pdf["trainId"]) == [0, 1, 2]
+    assert list(pdf["gmd"][0]) == [0.0, 1.0]
