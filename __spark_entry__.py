@@ -1081,13 +1081,17 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY event_id) - 1 AS electronId, "
             f"event_id AS eid, value AS val FROM ({_EV_SQL})"
         ),
+        # NULL-text rows are excluded from duplicate classes (missing text
+        # is not duplicate text) and all preserved by the keep-rows form
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS kept_id, "
-            "count(*) AS n_dups FROM documents GROUP BY md5(text)"
+            "count(*) AS n_dups FROM documents WHERE text IS NOT NULL "
+            "GROUP BY md5(text)"
         ),
         "dedup_exact_rows": (
-            "SELECT doc_id FROM documents WHERE doc_id IN "
-            "(SELECT min(doc_id) FROM documents GROUP BY md5(text))"
+            "SELECT doc_id FROM documents WHERE text IS NULL OR doc_id IN "
+            "(SELECT min(doc_id) FROM documents WHERE text IS NOT NULL "
+            "GROUP BY md5(text))"
         ),
         "text_stats": (
             f"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "

@@ -363,6 +363,9 @@ def offset_by_other_columns(
         )
     if any(r not in ("mean", None) for r in reductions):
         raise NotImplementedError("Only reductions currently supported is 'mean'!")
+    if len(reductions) != len(offset_columns):
+        # the zip below would silently drop trailing offset columns
+        raise ValueError("reductions and offset_columns must have the same length!")
 
     if isinstance(preserve_mean, bool):
         preserve_mean = [preserve_mean] * len(offset_columns)

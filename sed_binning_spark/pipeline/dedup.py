@@ -49,7 +49,11 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def _tokens(text: Column) -> Column:
-    return F.split(F.trim(F.lower(text)), TOKEN_SPLIT)
+    # strip empty tokens: trim removes spaces only, so a leading '\n' or
+    # '\t' would otherwise inject a '' token that changes the shingle set —
+    # demoting whitespace-variant exact duplicates to weak near-dups (the
+    # DuckDB oracle twin already list_filters empties; this keeps parity)
+    return F.array_remove(F.split(F.trim(F.lower(text)), TOKEN_SPLIT), "")
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -332,8 +336,13 @@ def exact_dedup(
     if keep not in ("min", "max"):
         raise ValueError("keep must be 'min' or 'max'")
     agg = F.min(id_column) if keep == "min" else F.max(id_column)
+    # missing text is not duplicate text: md5(NULL) = NULL would collapse
+    # every NULL-text document into one "duplicate" class (the same
+    # invariant the LSH path guards; exact_dedup_keep_rows preserves the
+    # NULL-text rows themselves)
     return (
-        df.groupBy(F.md5(F.col(text_column)).alias("text_hash"))
+        df.where(F.col(text_column).isNotNull())
+        .groupBy(F.md5(F.col(text_column)).alias("text_hash"))
         .agg(agg.alias("kept_id"), F.count(F.lit(1)).alias("n_dups"))
     )
 
@@ -344,11 +353,15 @@ def exact_dedup_keep_rows(
     id_column: str = "doc_id",
 ) -> DataFrame:
     """Deduplicated full rows: keeps the min-id row per distinct text via a
-    self-semi-join on (digest, min id) — avoids windowing over the corpus."""
+    self-semi-join on (digest, min id) — avoids windowing over the corpus.
+    NULL-text rows are all kept (missing text is not duplicate text)."""
     keepers = exact_dedup(df, text_column, id_column).select(
         F.col("kept_id").alias(id_column),
     )
-    return df.join(keepers, on=id_column, how="left_semi")
+    kept = df.where(F.col(text_column).isNotNull()).join(
+        keepers, on=id_column, how="left_semi",
+    )
+    return kept.unionByName(df.where(F.col(text_column).isNull()))
 
 
 def simhash(

@@ -36,26 +36,35 @@ def dot_expr(col: Column, query: Sequence[float]) -> Column:
     """
     terms = None
     for i, q in enumerate(query):
-        term = F.element_at(col, i + 1).cast("double") * F.lit(float(q))
+        # try_element_at: a ragged/truncated embedding yields NULL (row
+        # excluded downstream) — element_at under Spark 4's default ANSI
+        # mode would abort the whole job on one bad row
+        term = F.try_element_at(col, F.lit(i + 1)).cast("double") * F.lit(float(q))
         terms = term if terms is None else terms + term
     return terms
 
 
 def norm_expr(col: Column, dim: int) -> Column:
-    """Euclidean norm via the same explicit left-to-right sum."""
+    """Euclidean norm via the same explicit left-to-right sum (NULL for
+    rows shorter than ``dim`` — see dot_expr)."""
     acc = None
     for i in range(dim):
-        e = F.element_at(col, i + 1).cast("double")
+        e = F.try_element_at(col, F.lit(i + 1)).cast("double")
         term = e * e
         acc = term if acc is None else acc + term
     return F.sqrt(acc)
 
 
 def cosine_similarity_expr(col: Column, query: Sequence[float]) -> Column:
-    """cos(col, query) with the query norm folded in as a literal."""
+    """cos(col, query) with the query norm folded in as a literal. NULL for
+    zero-norm embeddings (nullif keeps ANSI mode from aborting on /0) —
+    cosine against the zero vector is undefined, and NULL scores drop out
+    of top-k and threshold filters."""
     q = np.asarray(query, dtype=float)
     qnorm = float(np.sqrt((q * q).sum()))
-    return dot_expr(col, query) / (norm_expr(col, len(query)) * F.lit(qnorm))
+    return dot_expr(col, query) / F.nullif(
+        norm_expr(col, len(query)) * F.lit(qnorm), F.lit(0.0),
+    )
 
 
 def cosine_topk(
@@ -96,7 +105,10 @@ def cosine_pairs_brute(
     normed = df.select(
         F.col(id_column),
         F.col(embedding_column),
-        norm_expr(F.col(embedding_column), dim).alias("__n"),
+        # nullif: a zero-norm embedding gets NULL normalized elements ->
+        # NULL cosine -> excluded by the threshold filter (ANSI mode would
+        # otherwise abort the job on the division)
+        F.nullif(norm_expr(F.col(embedding_column), dim), F.lit(0.0)).alias("__n"),
     ).select(
         F.col(id_column),
         F.transform(
@@ -151,10 +163,19 @@ def hyperplane_sketch_udf(planes: np.ndarray, num_tables: int):
     def _sketch_fn(emb):
         if not len(emb):  # empty Arrow batch: asarray([]) would be 1-D
             return pd.Series([], dtype=object)
-        mat = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
-        bits = (mat @ flat) >= 0  # (N, T*P)
-        keys = bits.reshape(len(mat), t, p) @ weights  # (N, T) int bucket ids
-        return pd.Series([[f"{tbl}:{int(k)}" for tbl, k in enumerate(row)] for row in keys])
+        # NULL/ragged embeddings sketch to NULL (explode then drops the
+        # row) — a bare np.asarray over a batch containing None raises
+        # 'inhomogeneous shape' and aborts the whole job
+        rows = [None if e is None else np.asarray(e, dtype=np.float64) for e in emb]
+        ok = [i for i, r in enumerate(rows) if r is not None and r.shape == (dim,)]
+        out = [None] * len(rows)
+        if ok:
+            mat = np.stack([rows[i] for i in ok])
+            bits = (mat @ flat) >= 0  # (N_ok, T*P)
+            keys = bits.reshape(len(ok), t, p) @ weights  # (N_ok, T) buckets
+            for j, i in enumerate(ok):
+                out[i] = [f"{tbl}:{int(k)}" for tbl, k in enumerate(keys[j])]
+        return pd.Series(out, dtype=object)
 
     _sketch_fn.__annotations__ = {"emb": pd.Series, "return": pd.Series}
     return pandas_udf(_sketch_fn, "array<string>")
@@ -203,7 +224,10 @@ def lsh_bucket_pairs(
     na = norm_expr(F.col("__ea"), dim)
     nb = norm_expr(F.col("__eb"), dim)
     return (
-        withe.select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
+        withe.select(
+            "id_a", "id_b",
+            (dot / F.nullif(na * nb, F.lit(0.0))).alias("cosine"),
+        )
         .where(F.col("cosine") > F.lit(float(threshold)))
     )
 
@@ -249,9 +273,13 @@ def ivf_train_centroids(
     corpus parquet written sorted/clustered by source or topic that would
     train every centroid on one region of embedding space, silently
     collapsing most of the corpus into one or two lists."""
+    dim = _dim(df, embedding_column)
     pdf = (
         df.select(embedding_column)
-        .where(F.col(embedding_column).isNotNull())
+        # NULL and ragged embeddings cannot train the quantizer (np.stack
+        # over mixed lengths raises); they are likewise skipped at assign
+        # time, so train/assign see the same population
+        .where(F.col(embedding_column).isNotNull() & (F.size(embedding_column) == dim))
         .orderBy(F.rand(seed))
         .limit(int(sample_size))
         .toPandas()
@@ -286,12 +314,21 @@ def ivf_assign(
 
     cent = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64).T)
 
+    dim = cent.shape[0]
+
     def _assign_fn(emb):
         if not len(emb):  # empty Arrow batch: asarray([]) would be 1-D
-            return pd.Series([], dtype="int32")
-        mat = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(mat @ cent, axis=1).astype(np.int32))
+            return pd.Series([], dtype="Int32")
+        # NULL/ragged embeddings assign to NULL (excluded from every probed
+        # list) instead of crashing the batch's np.asarray
+        rows = [None if e is None else np.asarray(e, dtype=np.float64) for e in emb]
+        ok = [i for i, r in enumerate(rows) if r is not None and r.shape == (dim,)]
+        out = pd.array([None] * len(rows), dtype="Int32")
+        if ok:
+            mat = np.stack([rows[i] for i in ok])
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            out[ok] = np.argmax(mat @ cent, axis=1).astype(np.int32)
+        return pd.Series(out)
 
     _assign_fn.__annotations__ = {"emb": pd.Series, "return": pd.Series}
     _assign = pandas_udf(_assign_fn, "int")

@@ -417,3 +417,62 @@ def test_null_and_blank_text_never_forms_lsh_pairs(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            minhash_lsh_pairs(df, num_hashes=8, bands=4).collect()}
     assert got == {(4, 5)}
+
+
+def test_similarity_survives_dirty_embeddings(spark):
+    """NULL, ragged, and zero-norm embeddings are routine dirty data: every
+    similarity path must skip them, not abort the job (Spark 4 ANSI mode
+    turns /0 and out-of-range element_at into job-killing errors)."""
+    from sed_binning_spark.pipeline.similarity import (
+        cosine_pairs_brute,
+        cosine_topk,
+        ivf_topk,
+        ivf_train_centroids,
+        lsh_bucket_pairs,
+    )
+
+    rows = [(0, [1.0, 2.0]), (1, [1.0, 2.1]), (2, None), (3, [0.5]),
+            (4, [0.0, 0.0]), (5, [2.0, 4.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    top = cosine_topk(df, [1.0, 2.0], k=3).toPandas()
+    assert set(top["vec_id"]) == {0, 5, 1}          # dirty rows excluded
+
+    pairs = cosine_pairs_brute(df, threshold=0.99).toPandas()
+    assert {(r.id_a, r.id_b) for r in pairs.itertuples()} >= {(0, 5)}
+
+    lsh = lsh_bucket_pairs(df, threshold=0.99, num_planes=4, num_tables=2)
+    got = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert all(a not in (2, 3, 4) and b not in (2, 3, 4) for a, b in got)
+
+    cents = ivf_train_centroids(df, n_lists=2, sample_size=4)
+    top_ivf = ivf_topk(df, cents, [1.0, 2.0], k=2, n_probes=2).toPandas()
+    assert len(top_ivf) == 2 and set(top_ivf["vec_id"]) <= {0, 1, 5}
+
+
+def test_exact_dedup_null_text_not_duplicate(spark):
+    """Missing text is not duplicate text: NULL-text rows never form a
+    duplicate class, and keep-rows preserves them all."""
+    from sed_binning_spark.pipeline.dedup import exact_dedup, exact_dedup_keep_rows
+
+    df = spark.createDataFrame(
+        [(0, None), (1, None), (2, "x"), (3, "x")], "doc_id long, text string",
+    )
+    classes = exact_dedup(df).toPandas()
+    assert len(classes) == 1 and int(classes["n_dups"][0]) == 2
+    kept = sorted(r["doc_id"] for r in exact_dedup_keep_rows(df).collect())
+    assert kept == [0, 1, 2]
+
+
+def test_whitespace_variant_docs_have_identical_signatures(spark):
+    """Leading '\\n' (trim strips spaces only) must not change the shingle
+    set: whitespace-variant exact duplicates keep identical signatures."""
+    from sed_binning_spark.pipeline.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "\nalpha beta gamma delta\t")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(df, num_hashes=4).toPandas().set_index("doc_id")
+    for i in range(4):
+        assert sigs.loc[0, f"mh_{i}"] == sigs.loc[1, f"mh_{i}"]
