@@ -722,8 +722,14 @@ def _q_rolling_hashes(spark, sf):
     from sed_binning_spark.pipeline.text import rolling_hashes
 
     out = rolling_hashes(_docs(spark, sf), window=5)
+    # preserve NULL for token-less documents: concat_ws over a NULL array
+    # would silently render '' where the oracle (and the operator) say NULL
     return out.select(
-        "doc_id", F.concat_ws(",", "rolling_hashes").alias("rh_csv"),
+        "doc_id",
+        F.when(
+            F.col("rolling_hashes").isNotNull(),
+            F.concat_ws(",", "rolling_hashes"),
+        ).alias("rh_csv"),
     )
 
 
@@ -1109,8 +1115,12 @@ def oracle_sql() -> dict[str, str]:
             f"AS uniq_token_ratio "
             f"FROM documents"
         ),
+        # NULL text: every stop count is NULL, so without an explicit
+        # branch the CASE would fall through to ELSE 'fr' where the engine
+        # says 'und'
         "lang_id": (
-            f"SELECT doc_id, CASE WHEN greatest({stop_filters['en']}, {stop_filters['de']}, "
+            f"SELECT doc_id, CASE WHEN text IS NULL THEN 'und' "
+            f"WHEN greatest({stop_filters['en']}, {stop_filters['de']}, "
             f"{stop_filters['fr']}) = 0 THEN 'und' "
             f"WHEN {stop_filters['en']} = greatest({stop_filters['en']}, {stop_filters['de']}, "
             f"{stop_filters['fr']}) THEN 'en' "
@@ -1195,8 +1205,12 @@ def _simhash_oracle_sql(bits: int = 16) -> str:
         f"THEN '1' ELSE '0' END)"
         for b in range(bits - 1, -1, -1)
     ]
+    # NULL text propagates to a NULL simhash in the engine; without the
+    # guard the per-bit CASEs would each fall to ELSE '0' and fabricate an
+    # all-zeros bit string for missing documents
     return (
-        f"SELECT doc_id, {' || '.join(terms)} AS simhash FROM ("
+        f"SELECT doc_id, CASE WHEN th IS NULL THEN NULL "
+        f"ELSE {' || '.join(terms)} END AS simhash FROM ("
         f"SELECT doc_id, list_transform({_TOKS_SQL}, "
         f"t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS th FROM documents)"
     )

@@ -25,6 +25,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BEST_OF = 3
 
 
+def _workflow_chain(ev):
+    """The benchmark's 5-step calibrate chain (jitter -> k-axis ->
+    correction -> energy -> delay), shared by the sf-dir and ref-scale
+    blocks so the two benchmarks can never silently drift apart."""
+    import __spark_entry__ as entry_mod
+    from sed_binning_spark.calibration.delay import append_delay_axis
+    from sed_binning_spark.calibration.energy import append_energy_axis, apply_energy_correction
+    from sed_binning_spark.calibration.momentum import append_k_axis
+    from sed_binning_spark.core.dfops import apply_jitter
+
+    df = apply_jitter(ev, cols=["X", "Y", "t"], cols_jittered=["X", "Y", "t"],
+                      amps=0.5, seed=42)
+    df, _ = append_k_axis(df, entry_mod._K_CALIB)
+    df, _ = apply_energy_correction(df, {
+        "correction_type": "spherical", "center": (1024.0, 1024.0),
+        "amplitude": 2.5, "diameter": 3000.0,
+    })
+    df, _ = append_energy_axis(df, {**entry_mod._E_FIT}, tof_column="tm")
+    df, _ = append_delay_axis(df, entry_mod._DELAY_CALIB)
+    return df
+
+
 def _timeit(fn) -> float:
     best = float("inf")
     for _ in range(BEST_OF):
@@ -40,10 +62,6 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
     from sed_binning_spark.binning.binning import bin_dataframe
-    from sed_binning_spark.calibration.delay import append_delay_axis
-    from sed_binning_spark.calibration.energy import append_energy_axis, apply_energy_correction
-    from sed_binning_spark.calibration.momentum import append_k_axis
-    from sed_binning_spark.core.dfops import apply_jitter
     from sed_binning_spark.pipeline.dedup import exact_dedup, minhash_lsh_pairs
     from sed_binning_spark.pipeline.similarity import cosine_topk
     from sed_binning_spark.pipeline.text import text_stats
@@ -76,16 +94,7 @@ def main() -> None:
     # (benchmark_sed.py:114-179; the dfield lookup is replaced by the k-axis
     # linear map — the UDF variant is benchmarked separately in queries())
     def _chain():
-        df = apply_jitter(ev, cols=["X", "Y", "t"], cols_jittered=["X", "Y", "t"],
-                          amps=0.5, seed=42)
-        df, _ = append_k_axis(df, entry_mod._K_CALIB)
-        df, _ = apply_energy_correction(df, {
-            "correction_type": "spherical", "center": (1024.0, 1024.0),
-            "amplitude": 2.5, "diameter": 3000.0,
-        })
-        df, _ = append_energy_axis(df, {**entry_mod._E_FIT}, tof_column="tm")
-        df, _ = append_delay_axis(df, entry_mod._DELAY_CALIB)
-        return df
+        return _workflow_chain(ev)
 
     timings["workflow_1d"] = _timeit(lambda: bin_dataframe(
         _chain(), bins=[1000], axes=["energy"], ranges=[(20.0, 60.0)],
@@ -144,10 +153,6 @@ def _ref_scale_block(spark, n: int) -> dict:
     import __spark_entry__ as entry_mod
     from sed_binning_spark.binning import binning as binning_mod
     from sed_binning_spark.binning.binning import bin_dataframe
-    from sed_binning_spark.calibration.delay import append_delay_axis
-    from sed_binning_spark.calibration.energy import append_energy_axis, apply_energy_correction
-    from sed_binning_spark.calibration.momentum import append_k_axis
-    from sed_binning_spark.core.dfops import apply_jitter
 
     ev = (
         spark.range(n, numPartitions=64)
@@ -189,16 +194,7 @@ def _ref_scale_block(spark, n: int) -> dict:
     ))
 
     def _chain():
-        df = apply_jitter(ev, cols=["X", "Y", "t"], cols_jittered=["X", "Y", "t"],
-                          amps=0.5, seed=42)
-        df, _ = append_k_axis(df, entry_mod._K_CALIB)
-        df, _ = apply_energy_correction(df, {
-            "correction_type": "spherical", "center": (1024.0, 1024.0),
-            "amplitude": 2.5, "diameter": 3000.0,
-        })
-        df, _ = append_energy_axis(df, {**entry_mod._E_FIT}, tof_column="tm")
-        df, _ = append_delay_axis(df, entry_mod._DELAY_CALIB)
-        return df
+        return _workflow_chain(ev)
 
     _best2("workflow_1d", lambda: bin_dataframe(
         _chain(), bins=[1000], axes=["energy"], ranges=[(20.0, 60.0)],

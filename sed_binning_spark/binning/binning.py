@@ -247,6 +247,15 @@ def bin_dataframe(
             all_parts = (
                 df.select(partition_column).distinct().toPandas()[partition_column].to_numpy()
             )
+            # a NULL partition value would astype to INT_MIN without
+            # raising — a bogus all-zero df_part coordinate while the
+            # NULL-partition events silently vanish from the histogram
+            if any(v is None or (isinstance(v, float) and np.isnan(v)) for v in all_parts):
+                raise ValueError(
+                    f"return_partitions: column {partition_column!r} "
+                    "contains NULL values — every event must belong to a "
+                    "partition",
+                )
             parts = np.unique(all_parts.astype(np.int64))
         if n_flat * len(parts) > max_dense_cells:
             raise ValueError(

@@ -44,9 +44,15 @@ def simplify_binning_arguments(
         raise TypeError(f"Cannot interpret axes of type {type(axes)}")
     if not all(isinstance(axis, str) for axis in axes):
         raise TypeError("Axes has to contain only strings!")
+    if len(bins) == 0:
+        # the all(...) form checks below are vacuously true on [], which
+        # would surface as a bare IndexError at bins[0]
+        raise ValueError("bins must name at least one axis to bin")
 
     if all(isinstance(x, tuple) for x in bins):
-        if len(bins[0]) != 3:
+        # validate EVERY tuple: a mixed-length list would pass a
+        # first-element check and die later with a bare IndexError
+        if any(len(t) != 3 for t in bins):
             raise ValueError("Tuples as bins need to have format (start, end, num_bins).")
         ranges = [(t[0], t[1]) for t in bins]
         bins = [t[2] for t in bins]

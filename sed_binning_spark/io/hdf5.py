@@ -134,7 +134,16 @@ def _write_meta_group(grp, meta: dict) -> None:
 def _read_meta_group(grp) -> dict:
     out = {}
     for k, v in grp.items():
-        out[k] = _read_meta_group(v) if hasattr(v, "items") else v[()]
+        if hasattr(v, "items"):
+            out[k] = _read_meta_group(v)
+            continue
+        val = v[()]
+        # h5py hands string datasets back as bytes; the built-in reader
+        # decodes them — normalize so Cube.attrs content does not depend on
+        # which backend happened to read the file
+        if isinstance(val, bytes):
+            val = val.decode("utf-8", errors="replace")
+        out[k] = val
     return out
 
 
@@ -163,7 +172,13 @@ def _json_meta(obj):
 
 
 def load_npz(faddr: str | Path) -> Cube:
-    with np.load(Path(faddr), allow_pickle=False) as z:
+    p = Path(faddr)
+    # np.savez_compressed APPENDS .npz to any path lacking it, np.load does
+    # not — resolve the same way the writer did so to_npz/load_npz
+    # round-trip on the same faddr
+    if not p.exists() and p.suffix != ".npz":
+        p = p.with_name(p.name + ".npz")
+    with np.load(p, allow_pickle=False) as z:
         data = z["BinnedData"]
         dims = [str(d) for d in z["dims"]]
         coords = {dim: z[f"ax{i}"] for i, dim in enumerate(dims)}

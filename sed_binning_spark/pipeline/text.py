@@ -54,15 +54,23 @@ def text_stats(
     t = F.col(text_column)
     ws = whitespace_tokens(t)
     stop = STOPWORDS["en"]
+
+    # size() of a NULL array is ANSI-dependent (-1 under the legacy
+    # non-ANSI setting, NULL under ANSI) — pin the NULL-in-NULL-out
+    # semantics explicitly so counts don't flip to -1 if a session runs
+    # with ANSI disabled
+    def _size(arr: Column) -> Column:
+        return F.when(arr.isNotNull(), F.size(arr))
+
     # NULL-guarded denominators: blank documents have 0 tokens/chars, and
     # under ANSI mode a bare /0 would abort the whole job — their ratios
     # are NULL (undefined), not a crash
-    n_ws = F.nullif(F.size(ws).cast("double"), F.lit(0.0))
+    n_ws = F.nullif(_size(ws).cast("double"), F.lit(0.0))
     n_ch = F.nullif(F.length(t).cast("double"), F.lit(0))
     return df.withColumns({
         "n_chars": F.length(t),
-        "n_ws_tokens": F.size(ws),
-        "n_bpe_tokens": F.size(bpe_tokens(t)),
+        "n_ws_tokens": _size(ws),
+        "n_bpe_tokens": _size(bpe_tokens(t)),
         "mean_token_len": F.length(F.regexp_replace(t, r"\s+", "")) / n_ws,
         "punct_ratio": F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9_\s]"), 0))
         / n_ch,
@@ -110,9 +118,17 @@ def document_fingerprint(
     whitespace/case-variant copies collide — the standard first pass before
     fuzzy dedup."""
     t = F.col(text_column)
-    if normalized:
-        t = F.concat_ws(" ", F.split(F.trim(F.lower(t)), r"\s+"))
-    return df.withColumn(fingerprint_column, F.md5(t))
+    if not normalized:
+        return df.withColumn(fingerprint_column, F.md5(t))  # md5(NULL) = NULL
+    # whitespace_tokens strips empty tokens (a leading '\n' must not change
+    # the fingerprint); NULL/blank documents have no content to fingerprint
+    # and get NULL — concat_ws would otherwise silently turn NULL text into
+    # md5(''), making every missing document "identical"
+    toks = whitespace_tokens(F.lower(t))
+    return df.withColumn(
+        fingerprint_column,
+        F.when(F.size(toks) > 0, F.md5(F.concat_ws(" ", toks))),
+    )
 
 
 def winnow_fingerprints(
@@ -160,5 +176,10 @@ def rolling_hashes(
     idx = F.sequence(F.lit(0), k - F.lit(1))
     return df.withColumn(
         out_column,
-        F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window)))),
+        # token-less (NULL/blank) documents have no windows: NULL, not a
+        # single md5('') hash that would collide every empty document
+        F.when(
+            F.size(toks) > 0,
+            F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window)))),
+        ),
     )

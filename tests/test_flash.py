@@ -169,7 +169,10 @@ def test_explode_per_electron_nan_padded(spark):
         (2, [float("nan")] * 3, [1.0, 2.0, 3.0]),
     ]
     df = spark.createDataFrame(rows, "trainId long, pulseId array<double>, x array<double>")
-    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    # conf.get WITHOUT a fallback returns the EFFECTIVE default ('true' on
+    # Spark 4) — a hardcoded 'false' fallback would restore the session to
+    # non-ANSI for every later test
+    prev = spark.conf.get("spark.sql.ansi.enabled")
     try:
         spark.conf.set("spark.sql.ansi.enabled", "true")
         out = explode_per_electron(df, "pulseId", ["x"], ubid_offset=5).toPandas()

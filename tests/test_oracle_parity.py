@@ -1,0 +1,88 @@
+"""Engine-vs-oracle parity on a DIRTY corpus.
+
+The driver's selfcheck gate runs on its generated documents table, which
+contains no NULL/blank/whitespace-edge text — exactly the rows where
+Spark and DuckDB semantics diverge most easily (md5(NULL), concat_ws over
+NULL arrays, CASE WHEN NULL). This suite re-runs the text-family
+queries() entries against their oracle_sql() twins on a corpus that has
+those rows, so a future regeneration of the driver dataset cannot
+surprise the correctness gate.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+QUERIES = [
+    "text_stats",
+    "lang_id",
+    "fingerprint",
+    "simhash",
+    "rolling_hashes",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "jaccard_pairs",
+    "dedup_exact",
+    "dedup_exact_rows",
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_sf(tmp_path_factory):
+    """An sf-dir whose documents.parquet includes every dirty-text class."""
+    d = tmp_path_factory.mktemp("dirty_sf")
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the very lazy dog"),
+        (3, None),
+        (4, ""),
+        (5, "   "),
+        (6, "\n"),
+        (7, "\t\r\n "),
+        (8, "\nthe quick brown fox jumps over the lazy dog\t"),
+        (9, "short"),
+        (10, "zwei kurze worte"),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracle_con(dirty_sf):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{dirty_sf}/documents.parquet')",
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_dirty_corpus_parity(spark, dirty_sf, oracle_con, name):
+    import __spark_entry__ as entry_mod
+    from tools.selfcheck import value_hash
+
+    sdf = entry_mod.queries()[name](spark, dirty_sf).toPandas()
+    odf = oracle_con.execute(entry_mod.oracle_sql()[name]).df()
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} vs {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns), name
+    if value_hash(sdf) != value_hash(odf):
+        # readable diff: align on doc_id-ish key when present
+        key = next((c for c in ("doc_id", "id_a") if c in sdf.columns), None)
+        if key is not None:
+            s = sdf.sort_values(key).reset_index(drop=True)
+            o = odf.sort_values(key).reset_index(drop=True)
+            for c in sorted(sdf.columns):
+                sv, ov = list(s[c]), list(o[c])
+                if [repr(x) for x in sv] != [repr(x) for x in ov]:
+                    raise AssertionError(f"{name}.{c}: spark={sv} oracle={ov}")
+        raise AssertionError(f"{name}: value mismatch")
