@@ -1181,6 +1181,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_topk": (
             f"SELECT vec_id, {cos_sql} AS score FROM embeddings "
+            f"WHERE ({cos_sql}) IS NOT NULL "
             f"ORDER BY score DESC, vec_id LIMIT 10"
         ),
         "ann_pairs_brute": (

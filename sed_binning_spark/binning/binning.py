@@ -288,11 +288,14 @@ def bin_dataframe(
     # which would duplicate the flat-index expression tree into the filter
     # condition and push the fused stage over the codegen method limit
     # (interpreted fallback: measured 88 s vs 2 s on the workflow chain).
+    # drop only NULL BIN groups here: a NULL __df_part group must survive
+    # to the check below (dropping it too would silently vanish every
+    # NULL-partition event from the per-partition cube)
     agg_df = (
         df.select(*group_cols)
         .groupBy(*[F.col(n) for n in out_names])
         .count()
-        .dropna(subset=out_names)
+        .dropna(subset=["__flat"])
     )
     t1 = _time.perf_counter()
     tbl = _spill_collect_arrow(agg_df) if n_flat >= _SPILL_MIN_CELLS else agg_df.toArrow()
@@ -301,7 +304,16 @@ def bin_dataframe(
     flat_idx = tbl.column("__flat").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     counts = tbl.column("count").to_numpy(zero_copy_only=False).astype(np.float32)
     if return_partitions:
-        part_vals = tbl.column("__df_part").to_numpy(zero_copy_only=False).astype(
+        part_col = tbl.column("__df_part")
+        # NULL partition values reach here regardless of how the partition
+        # list was obtained — every event must belong to a partition, or
+        # it would silently vanish from the per-partition cube
+        if part_col.null_count:
+            raise ValueError(
+                f"return_partitions: column {partition_column!r} contains "
+                "NULL values — every event must belong to a partition",
+            )
+        part_vals = part_col.to_numpy(zero_copy_only=False).astype(
             np.int64, copy=False,
         )
         # caller-declared partition list must actually cover the data, or

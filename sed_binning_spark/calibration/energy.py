@@ -336,8 +336,14 @@ def poly_energy_calibration(
         ref_id = vals.size - 1
     if ref_id < 0:
         # accept negative indices like the reference's scalar pos[ref_id]
-        # (the slice form below would silently be empty for ref_id == -1)
-        ref_id = int(ref_id) % vals.size
+        # (the slice form below would silently be empty for ref_id == -1);
+        # anything below -size is out of range there too and must not wrap
+        # around to a plausible-looking landmark
+        if ref_id < -vals.size:
+            raise ValueError(
+                f"ref_id {ref_id} out of range for {vals.size} landmarks",
+            )
+        ref_id = int(ref_id) + vals.size
 
     polyorder = np.arange(order, 0, -1)
     term_ref = np.array([pos[ref_id] ** p for p in polyorder])

@@ -78,12 +78,19 @@ class BaseLoader:
                 folders = [folders]
             # forward only the keys gather_files understands: extra kwds
             # meant for other read modes (e.g. flash's daq=) must not crash
-            # the folder glob with a TypeError
-            gf_kwds = {
-                k: kwds[k]
-                for k in ("f_start", "f_end", "f_step", "file_sorting")
-                if k in kwds
-            }
+            # the folder glob with a TypeError — but say what was ignored,
+            # or a misspelled f_strt= would silently read every file
+            gf_keys = ("f_start", "f_end", "f_step", "file_sorting")
+            gf_kwds = {k: kwds[k] for k in gf_keys if k in kwds}
+            ignored = sorted(set(kwds) - set(gf_keys))
+            if ignored:
+                import warnings
+
+                warnings.warn(
+                    f"folders= read ignores keyword(s) {ignored} "
+                    f"(gather_files accepts {list(gf_keys)})",
+                    stacklevel=3,
+                )
             paths = []
             for folder in folders:
                 paths.extend(gather_files(os.path.realpath(folder), ftype, **gf_kwds))

@@ -364,17 +364,26 @@ class MpesLoader(BaseLoader):
         for p in paths:
             f = H5File(p)
             names = {q.lstrip("/") for q in f.visit()}
-            # the schema comes from the FIRST file; a later file with a
-            # different stream set must fail here at submit time, named —
-            # missing streams would otherwise die executor-side as a bare
-            # KeyError mid-job, and extra streams would silently vanish
+            # the schema comes from the FIRST file: a later file MISSING
+            # one of its streams must fail here at submit time, named
+            # (executor-side it would die as a bare KeyError mid-job). A
+            # later file with EXTRA streams (a schema superset — e.g. a
+            # diagnostic channel enabled mid-run) still reads; the extras
+            # are warned about, not silently ignored.
             file_streams = {n for n in names if n.startswith("Stream_")}
-            if file_streams != set(stream_names):
-                missing = sorted(set(stream_names) - file_streams)
-                extra = sorted(file_streams - set(stream_names))
+            missing = sorted(set(stream_names) - file_streams)
+            if missing:
                 raise ValueError(
-                    f"{p} has a different stream set than {paths[0]}: "
-                    f"missing {missing or 'none'}, extra {extra or 'none'}",
+                    f"{p} is missing streams present in {paths[0]}: {missing}",
+                )
+            extra = sorted(file_streams - set(stream_names))
+            if extra:
+                import warnings
+
+                warnings.warn(
+                    f"{p} has streams absent from {paths[0]} which will "
+                    f"not be read: {extra}",
+                    stacklevel=2,
                 )
             mm = f.read("/msMarkers") if "msMarkers" in names else None
             if mm is None and time_stamps:

@@ -83,6 +83,10 @@ def cosine_topk(
     score = cosine_similarity_expr(F.col(embedding_column), query)
     return (
         df.select(F.col(id_column), score.alias(score_column))
+        # NULL scores (NULL/ragged/zero-norm embeddings) are not neighbors:
+        # without the filter they'd pad the result whenever k exceeds the
+        # number of scorable rows
+        .where(F.col(score_column).isNotNull())
         .orderBy(F.col(score_column).desc(), F.col(id_column))
         .limit(k)
     )
@@ -233,19 +237,23 @@ def lsh_bucket_pairs(
 
 
 def _dim(df: DataFrame, embedding_column: str) -> int:
-    """Embedding dimensionality from the first non-null row (plan-time
-    probe); NULL embeddings are skipped rather than crashing the probe."""
-    row = (
+    """Embedding dimensionality: the MODE of the sizes in a small prefix
+    sample (plan-time probe). A first-row probe would let one truncated
+    row at the head of the corpus dictate the dimension and silently
+    disqualify every well-formed embedding downstream; NULL embeddings are
+    skipped rather than crashing the probe."""
+    pdf = (
         df.where(F.col(embedding_column).isNotNull())
         .select(F.size(embedding_column).alias("d"))
-        .first()
+        .limit(256)
+        .toPandas()
     )
-    if row is None or row["d"] is None:
+    if len(pdf) == 0:
         raise ValueError(
             f"no non-null {embedding_column!r} values; cannot infer "
             "embedding dimensionality",
         )
-    return int(row["d"])
+    return int(pdf["d"].mode().iloc[0])
 
 
 # ---------------------------------------------------------------------------

@@ -144,7 +144,14 @@ def exact_dedup_stream(
     dcol = "__digest"
     while dcol in df.columns:  # never clobber a caller's column
         dcol = "_" + dcol
-    out = df.withColumn(dcol, F.md5(F.col(text_column)))
+    # missing text is not duplicate text (the batch exact_dedup contract):
+    # md5(NULL) = NULL and dropDuplicates treats NULL == NULL, so without a
+    # per-row unique fallback every NULL-text document after the first
+    # would be silently swallowed as a "duplicate"
+    digest = F.when(
+        F.col(text_column).isNotNull(), F.md5(F.col(text_column)),
+    ).otherwise(F.concat(F.lit("__null__"), F.uuid()))
+    out = df.withColumn(dcol, digest)
     if event_time_column is not None:
         out = out.withWatermark(event_time_column, watermark_delay)
         out = out.dropDuplicatesWithinWatermark([dcol])

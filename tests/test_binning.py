@@ -337,3 +337,22 @@ def test_sparse_filters_validate_like_dense(spark, events_df):
             events_df, bins=[8], axes=["t"], ranges=[(60000.0, 120000.0)],
             filters=[{"lower_bound": 5}],
         )
+
+
+def test_return_partitions_rejects_null_partitions(spark):
+    """NULL partition values must raise on BOTH discovery paths — a silent
+    astype would map NaN to INT_MIN and vanish those events."""
+    import pandas as pd
+
+    import pytest as _pytest
+
+    pdf = pd.DataFrame({
+        "t": [10.0, 20.0],
+        "file_id": pd.array([0, None], dtype="Int64"),
+    })
+    df = spark.createDataFrame(pdf)
+    kw = dict(bins=[4], axes=["t"], ranges=[(0.0, 40.0)], return_partitions=True)
+    with _pytest.raises(ValueError, match="NULL values"):
+        bin_dataframe(df, **kw)
+    with _pytest.raises(ValueError, match="NULL values"):
+        bin_dataframe(df, partition_values=[0, 1], **kw)

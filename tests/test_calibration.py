@@ -390,3 +390,10 @@ def test_align_dld_sectors_id_bounds(spark):
     out_bad, _ = align_dld_sectors(spark.createDataFrame(bad), delays, tof_column="t")
     with pytest.raises(SparkRuntimeException, match="out of range"):
         out_bad.collect()
+
+
+def test_poly_energy_calibration_rejects_far_negative_ref_id():
+    pos = np.linspace(65000, 90000, 8)
+    vals = 30.0 - 0.5 * np.arange(8)
+    with pytest.raises(ValueError, match="out of range"):
+        poly_energy_calibration(pos, vals, order=2, ref_id=-20, ref_energy=10.0)

@@ -208,7 +208,7 @@ def test_mpes_distributed_rejects_mismatched_stream_sets(spark, tmp_path):
     a, b = tmp_path / "a.h5", tmp_path / "b.h5"
     write(a, 2)
     write(b, 1)
-    with pytest.raises(ValueError, match="different stream set"):
+    with pytest.raises(ValueError, match="missing streams"):
         MpesLoader(spark).read_dataframe(files=[str(a), str(b)])
 
 

@@ -435,8 +435,8 @@ def test_similarity_survives_dirty_embeddings(spark):
             (4, [0.0, 0.0]), (5, [2.0, 4.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
-    top = cosine_topk(df, [1.0, 2.0], k=3).toPandas()
-    assert set(top["vec_id"]) == {0, 5, 1}          # dirty rows excluded
+    top = cosine_topk(df, [1.0, 2.0], k=10).toPandas()
+    assert set(top["vec_id"]) == {0, 5, 1}          # dirty rows excluded, not padded
 
     pairs = cosine_pairs_brute(df, threshold=0.99).toPandas()
     assert {(r.id_a, r.id_b) for r in pairs.itertuples()} >= {(0, 5)}
@@ -476,3 +476,13 @@ def test_whitespace_variant_docs_have_identical_signatures(spark):
     sigs = minhash_signatures(df, num_hashes=4).toPandas().set_index("doc_id")
     for i in range(4):
         assert sigs.loc[0, f"mh_{i}"] == sigs.loc[1, f"mh_{i}"]
+
+
+def test_dim_probe_uses_mode_not_first_row(spark):
+    """A truncated embedding at the head of the corpus must not dictate the
+    inferred dimensionality for everyone else."""
+    from sed_binning_spark.pipeline.similarity import _dim
+
+    rows = [(0, [1.0])] + [(i, [float(i), 1.0, 2.0]) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(1)
+    assert _dim(df, "embedding") == 3

@@ -264,3 +264,28 @@ def test_stream_binning_windowed_drops_null_event_time(event_files, spark):
         spark, "stream_hist_nullts",
     )
     assert out["window_start"].notna().all()
+
+
+def test_exact_dedup_stream_null_text_not_duplicate(tmp_path, spark):
+    """Streaming exact dedup matches the batch contract: NULL-text rows all
+    pass through (md5(NULL)=NULL must not collapse them into one class)."""
+    import pandas as pd
+
+    from sed_binning_spark.streaming import exact_dedup_stream
+
+    root = tmp_path / "docs_in"
+    root.mkdir()
+    pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": [None, None, "x", "x"]}) \
+        .to_parquet(root / "chunk_0.parquet")
+    stream = stream_events(spark, str(root))
+    q = (
+        exact_dedup_stream(stream)
+        .writeStream.format("memory").queryName("stream_dedup_null")
+        .outputMode("append")          # dropDuplicates streams use append
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM stream_dedup_null").toPandas()
+    kept = sorted(out["doc_id"])
+    assert kept == [0, 1, 2]
