@@ -103,11 +103,17 @@ def bin_index_sql(
     """
     e0, delta, _ = uniform_bin_params(nbins, float(lo), float(hi), half_bin_shift)
     # same pure-arithmetic 11-decimal round as bin_index_expr, so both
-    # engines evaluate an identical IEEE expression tree
+    # engines evaluate an identical IEEE expression tree. NaN is rejected
+    # EXPLICITLY, like the Spark twin: DuckDB's vectorized column
+    # comparisons are NOT consistent about NaN range checks (a NaN column
+    # value passes `v >= lo AND v <= hi` in some plans while the same
+    # constant-folded literal fails it), so relying on the comparisons
+    # alone is a latent cross-engine divergence.
     raw = f"(CAST({col} AS DOUBLE) - {fsql(e0)}) * {fsql(delta)}"
     j = f"(floor({raw} * 1e11 + 0.5) / 1e11)"
     return (
-        f"CASE WHEN {j} >= 0 AND {j} <= {fsql(nbins)} THEN "
+        f"CASE WHEN NOT isnan(CAST({col} AS DOUBLE)) "
+        f"AND {j} >= 0 AND {j} <= {fsql(nbins)} THEN "
         f"CASE WHEN {j} = {fsql(nbins)} THEN {nbins - 1} "
         f"ELSE CAST(floor({j}) AS BIGINT) END END"
     )
@@ -137,13 +143,19 @@ def bin_index_expr_edges(col: str | Column, edges: np.ndarray) -> Column:
 
 
 def bin_index_sql_edges(col: str, edges: np.ndarray) -> str:
-    """DuckDB twin of :func:`bin_index_expr_edges` (list_filter lambda)."""
+    """DuckDB twin of :func:`bin_index_expr_edges` (list_filter lambda).
+
+    NaN is rejected explicitly: in DuckDB's vectorized execution a NaN
+    column value can pass BOTH range comparisons (while `e <= NaN` is true
+    for every edge), which would classify NaN into the LAST bin where the
+    Spark twin rejects it."""
     edges = np.asarray(edges, dtype=float)
     n = edges.size - 1
     lst = "[" + ", ".join(fsql(e) for e in edges) + "]"
     cnt = f"len(list_filter({lst}, e -> e <= {col}))"
     return (
-        f"CASE WHEN {col} >= {fsql(edges[0])} AND {col} <= {fsql(edges[-1])} "
+        f"CASE WHEN NOT isnan(CAST({col} AS DOUBLE)) "
+        f"AND {col} >= {fsql(edges[0])} AND {col} <= {fsql(edges[-1])} "
         f"THEN CAST(least({cnt} - 1, {n - 1}) AS BIGINT) END"
     )
 

@@ -1,0 +1,92 @@
+"""Engine-vs-oracle parity for event-family queries on a DIRTY event table.
+
+Twin of tests/test_oracle_parity.py for the events side: the driver's
+generated events.parquet has no NaN or NULL measurement values, so the
+NaN-reject semantics of the bin-index expressions and the NaN propagation
+of the calibration formulas are never exercised by the selfcheck gate.
+This suite injects NaN and NULL `value` rows into a copy of the real
+sf0.001 table and re-runs representative queries against their oracles.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+QUERIES = [
+    "binning_1d",
+    "binning_4d",
+    "binning_edges",
+    "binning_filtered",
+    "filter_range",
+    "map_2d",
+    "offsets_per_row",
+    "energy_fit",
+    "energy_poly",
+    "tof_ns",
+    "corr_spherical",
+    "k_axis",
+    "delay_calib",
+    "norm_hist_timed",
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_sf(tmp_path_factory):
+    """sf-dir whose events.parquet is the real sf0.001 table with the first
+    rows' `value` turned into NaN and NULL."""
+    src = Path("/root/testdata/sf0.001/events.parquet")
+    if not src.exists():
+        pytest.skip("driver testdata not present")
+    d = tmp_path_factory.mktemp("dirty_ev")
+    tbl = pq.read_table(src)
+    value = tbl.column("value").to_pylist()
+    value[0] = float("nan")
+    value[1] = None
+    value[2] = float("nan")
+    idx = tbl.schema.get_field_index("value")
+    tbl = tbl.set_column(idx, "value", pa.array(value, type=tbl.schema.field(idx).type))
+    pq.write_table(tbl, d / "events.parquet")
+    # the documents/embeddings tables are not needed by these queries
+    shutil.copy(src.parent / "documents.parquet", d / "documents.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracle_con(dirty_sf):
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{dirty_sf}/{t}.parquet')",
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_dirty_events_parity(spark, dirty_sf, oracle_con, name):
+    import __spark_entry__ as entry_mod
+    from tools.selfcheck import value_hash
+
+    sdf = entry_mod.queries()[name](spark, dirty_sf).toPandas()
+    odf = oracle_con.execute(entry_mod.oracle_sql()[name]).df()
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} vs {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns), name
+    if value_hash(sdf) != value_hash(odf):
+        key = next((c for c in ("event_id", "b0", "bin") if c in sdf.columns), None)
+        if key is not None:
+            s = sdf.sort_values(key).reset_index(drop=True)
+            o = odf.sort_values(key).reset_index(drop=True)
+            for c in sorted(sdf.columns):
+                sv, ov = list(s[c])[:8], list(o[c])[:8]
+                if [repr(x) for x in list(s[c])] != [repr(x) for x in list(o[c])]:
+                    raise AssertionError(f"{name}.{c}: spark={sv} oracle={ov}")
+        raise AssertionError(f"{name}: value mismatch")
