@@ -986,15 +986,20 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT event_id, round(t + (SELECT avg(ADC) FROM ({_EV_SQL})), 6) "
             f"AS t_off FROM ({_EV_SQL})"
         ),
+        # the NaN mask mirrors the engine (and pandas ffill/bfill): a NaN
+        # sample is MISSING and must be filled over, not carried forward —
+        # IGNORE NULLS alone would treat NaN as a real reading
         "forward_fill": (
             f"SELECT event_id, last_value(sv IGNORE NULLS) OVER "
             f"(ORDER BY file_id, row_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv "
-            f"FROM (SELECT *, CASE WHEN event_id % 20 = 0 THEN value END AS sv FROM ({_EV_SQL}))"
+            f"FROM (SELECT *, CASE WHEN event_id % 20 = 0 AND NOT isnan(value) "
+            f"THEN value END AS sv FROM ({_EV_SQL}))"
         ),
         "backward_fill": (
             f"SELECT event_id, first_value(sv IGNORE NULLS) OVER "
             f"(ORDER BY file_id, row_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sv "
-            f"FROM (SELECT *, CASE WHEN event_id % 20 = 0 THEN value END AS sv FROM ({_EV_SQL}))"
+            f"FROM (SELECT *, CASE WHEN event_id % 20 = 0 AND NOT isnan(value) "
+            f"THEN value END AS sv FROM ({_EV_SQL}))"
         ),
         "interp_channel": (
             f"SELECT event_id, {_np_interp_sql('ts_sec', _INTERP_XS, _INTERP_YS)} AS chan "

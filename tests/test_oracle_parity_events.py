@@ -35,7 +35,14 @@ QUERIES = [
     "corr_spherical",
     "k_axis",
     "delay_calib",
+    "delay_flip_offsets",
     "norm_hist_timed",
+    "offsets_per_row",
+    "offsets_mean",
+    "forward_fill",
+    "backward_fill",
+    "interp_channel",
+    "mpes_timestamps",
 ]
 
 
