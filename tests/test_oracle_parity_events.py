@@ -97,3 +97,39 @@ def test_dirty_events_parity(spark, dirty_sf, oracle_con, name):
                 if [repr(x) for x in list(s[c])] != [repr(x) for x in list(o[c])]:
                     raise AssertionError(f"{name}.{c}: spark={sv} oracle={ov}")
         raise AssertionError(f"{name}: value mismatch")
+
+
+@pytest.fixture(scope="module")
+def dirty_emb_sf(tmp_path_factory):
+    """sf-dir whose embeddings.parquet carries NULL, ragged, and zero-norm
+    rows on top of the real sf0.001 table."""
+    src = Path("/root/testdata/sf0.001/embeddings.parquet")
+    if not src.exists():
+        pytest.skip("driver testdata not present")
+    d = tmp_path_factory.mktemp("dirty_emb")
+    tbl = pq.read_table(src)
+    emb = tbl.column("embedding").to_pylist()
+    emb[0] = None
+    emb[1] = emb[1][:3]                  # ragged
+    emb[2] = [0.0] * len(emb[2])         # zero norm
+    idx = tbl.schema.get_field_index("embedding")
+    tbl = tbl.set_column(idx, "embedding", pa.array(emb, type=tbl.schema.field(idx).type))
+    pq.write_table(tbl, d / "embeddings.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["ann_topk", "ann_pairs_brute"])
+def test_dirty_embeddings_parity(spark, dirty_emb_sf, name):
+    import __spark_entry__ as entry_mod
+    from tools.selfcheck import value_hash
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{dirty_emb_sf}/embeddings.parquet')",
+    )
+    sdf = entry_mod.queries()[name](spark, dirty_emb_sf).toPandas()
+    odf = con.execute(entry_mod.oracle_sql()[name]).df()
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} vs {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns), name
+    assert value_hash(sdf) == value_hash(odf), f"{name}: spark=\n{sdf}\noracle=\n{odf}"
