@@ -1,0 +1,140 @@
+"""Property-based CROSS-ENGINE bit-exactness of the bin-index twins.
+
+The correctness gate rests on one invariant: the Spark Column expression
+(:func:`bin_index_expr` / `bin_index_expr_edges`) and its generated DuckDB
+SQL twin classify every double identically — including adversarial values
+(edge±ulp, subnormals, huge magnitudes, NaN, ±inf, NULL). The golden
+selfcheck only exercises the driver's well-behaved data; this suite feeds
+both engines hypothesis-generated hostile doubles and compares the raw
+per-value indexes.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from sed_binning_spark.binning.expressions import (  # noqa: E402
+    bin_index_expr,
+    bin_index_expr_edges,
+    bin_index_sql,
+    bin_index_sql_edges,
+)
+
+_SET = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# hostile inputs: ordinary values, exact edges, edges +- one ulp,
+# non-finite, subnormal, huge
+def _hostile_values(lo: float, hi: float, n: int, rng) -> list:
+    width = (hi - lo) / n
+    vals = [
+        float("nan"), float("inf"), float("-inf"), 0.0, -0.0,
+        5e-324, -5e-324, 1e308, -1e308, None,
+        lo, hi, lo - width / 2, hi - width / 2, (lo + hi) / 2,
+    ]
+    for k in range(n + 1):
+        e = (lo - width / 2) + k * width
+        vals += [e, math.nextafter(e, math.inf), math.nextafter(e, -math.inf)]
+    vals += list(rng.uniform(lo - 2 * width, hi + 2 * width, 40))
+    return [None if v is None else float(v) for v in vals]
+
+
+@st.composite
+def _uniform_case(draw):
+    nbins = draw(st.integers(1, 17))
+    lo = draw(st.floats(-1e5, 1e5, allow_nan=False, allow_infinity=False))
+    width = draw(st.floats(1e-3, 1e3, allow_nan=False, allow_infinity=False))
+    seed = draw(st.integers(0, 2**16))
+    return nbins, lo, lo + nbins * width, seed
+
+
+@given(case=_uniform_case())
+@_SET
+def test_uniform_twin_bit_exact(spark, case):
+    nbins, lo, hi, seed = case
+    rng = np.random.default_rng(seed)
+    vals = _hostile_values(lo, hi, nbins, rng)
+    pdf = pd.DataFrame({"v": pd.array(vals, dtype="float64")})
+
+    sdf = (
+        spark.createDataFrame(pdf)
+        .select(bin_index_expr("v", nbins, lo, hi).alias("b"))
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    odf = con.execute(
+        f"SELECT {bin_index_sql('v', nbins, lo, hi)} AS b FROM t",
+    ).df()
+    s = [None if pd.isna(x) else int(x) for x in sdf["b"]]
+    o = [None if pd.isna(x) else int(x) for x in odf["b"]]
+    assert s == o, (
+        f"divergence for nbins={nbins} lo={lo!r} hi={hi!r}: "
+        + str([(v, a, b) for v, a, b in zip(vals, s, o) if a != b][:5])
+    )
+
+
+@st.composite
+def _edges_case(draw):
+    n_edges = draw(st.integers(2, 12))
+    start = draw(st.floats(-1e5, 1e5, allow_nan=False, allow_infinity=False))
+    steps = draw(
+        st.lists(st.floats(1e-3, 1e3, allow_nan=False), min_size=n_edges - 1,
+                 max_size=n_edges - 1),
+    )
+    seed = draw(st.integers(0, 2**16))
+    edges = [start]
+    for s in steps:
+        edges.append(edges[-1] + s)
+    return np.asarray(edges, dtype=float), seed
+
+
+@given(case=_edges_case())
+@_SET
+def test_edges_twin_bit_exact(spark, case):
+    edges, seed = case
+    rng = np.random.default_rng(seed)
+    lo, hi = float(edges[0]), float(edges[-1])
+    vals = [
+        float("nan"), float("inf"), float("-inf"), None, 0.0,
+        lo, hi, (lo + hi) / 2,
+    ]
+    for e in edges:
+        vals += [float(e), math.nextafter(float(e), math.inf),
+                 math.nextafter(float(e), -math.inf)]
+    span = max(hi - lo, 1.0)
+    vals += list(rng.uniform(lo - span, hi + span, 40))
+    pdf = pd.DataFrame({"v": pd.array(
+        [None if v is None else float(v) for v in vals], dtype="float64",
+    )})
+
+    sdf = (
+        spark.createDataFrame(pdf)
+        .select(bin_index_expr_edges("v", edges).alias("b"))
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    odf = con.execute(
+        f"SELECT {bin_index_sql_edges('v', edges)} AS b FROM t",
+    ).df()
+    s = [None if pd.isna(x) else int(x) for x in sdf["b"]]
+    o = [None if pd.isna(x) else int(x) for x in odf["b"]]
+    assert s == o, (
+        f"divergence for edges={edges.tolist()}: "
+        + str([(v, a, b) for v, a, b in zip(vals, s, o) if a != b][:5])
+    )
