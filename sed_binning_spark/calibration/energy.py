@@ -39,7 +39,13 @@ def tof2ev_expr(
     c = (F.col(t) if isinstance(t, str) else t).cast("double")
     sign = 1.0 if energy_scale == "kinetic" else -1.0
     tof_ns = c * F.lit(float(binwidth)) * F.lit(float(2.0**binning))
-    ratio = F.lit(float(tof_distance)) / (tof_ns - F.lit(float(time_offset)))
+    # try_divide: an event whose TOF lands EXACTLY on the t0 pole gets a
+    # NULL energy (rejected downstream like NaN) — under Spark's default
+    # ANSI mode a plain division would abort the whole job on that one
+    # row, where the reference's numpy evaluates to inf
+    ratio = F.try_divide(
+        F.lit(float(tof_distance)), tof_ns - F.lit(float(time_offset)),
+    )
     return F.lit(_TOF2EV_CONST * sign) * ratio * ratio + F.lit(float(energy_offset))
 
 

@@ -397,3 +397,20 @@ def test_poly_energy_calibration_rejects_far_negative_ref_id():
     vals = 30.0 - 0.5 * np.arange(8)
     with pytest.raises(ValueError, match="out of range"):
         poly_energy_calibration(pos, vals, order=2, ref_id=-20, ref_energy=10.0)
+
+
+def test_tof2ev_pole_yields_null_not_job_abort(spark):
+    """An event whose TOF lands exactly on the t0 pole must not abort the
+    job under ANSI mode: it gets NULL energy (the reference's numpy gives
+    inf there — garbage either way, but the job survives)."""
+    binw, binning, t0 = 4.125e-12, 1, 1e-7
+    pole_t = t0 / (binw * 2**binning)
+    assert pole_t * binw * 2**binning == t0  # exact pole is constructible
+    df = spark.createDataFrame([(pole_t,), (60000.0,)], "t double")
+    out, _ = append_energy_axis(
+        df, {"d": 1.0, "t0": t0, "E0": 0.0, "binwidth": binw,
+             "binning": binning, "calib_type": "fit"},
+    )
+    pdf = out.toPandas().set_index("t")
+    assert np.isnan(pdf.loc[pole_t, "energy"]) or pdf.loc[pole_t, "energy"] is None
+    assert np.isfinite(pdf.loc[60000.0, "energy"])
