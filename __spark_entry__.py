@@ -486,7 +486,12 @@ def _q_sector_align(spark, sf):
 
 def _q_bitwise_split(spark, sf):
     ev = _events(spark, sf).withColumn(
-        "ti", F.floor(F.col("value") * 100.0).cast("bigint"),
+        # NaN must be screened BEFORE floor: Spark's floor(double) returns
+        # a long via (long)Math.floor, collapsing NaN to 0 (the same JVM
+        # trap as the bin index) — try_cast after the fact never sees it
+        "ti", F.when(
+            ~F.isnan(F.col("value") * 100.0), F.floor(F.col("value") * 100.0),
+        ).cast("bigint"),
     )
     ev = split_channel_bitwise(ev, "ti", ["lo", "hi"], 3, types=["tinyint", "int"])
     return ev.select("event_id", "lo", "hi")
@@ -1046,7 +1051,8 @@ def oracle_sql() -> dict[str, str]:
         "bitwise_split": (
             f"SELECT event_id, CAST(ti % 8 AS TINYINT) AS lo, "
             f"CAST(ti >> 3 AS INTEGER) AS hi FROM "
-            f"(SELECT event_id, CAST(floor(value * 100.0) AS BIGINT) AS ti FROM ({_EV_SQL}))"
+            f"(SELECT event_id, TRY_CAST(floor(value * 100.0) AS BIGINT) AS ti "
+            f"FROM ({_EV_SQL}))"
         ),
         "k_axis": f"SELECT event_id, {kx_sql} AS kx, {ky_sql} AS ky FROM ({_EV_SQL})",
         "delay_calib": f"SELECT event_id, {d_sql} AS delay FROM ({_EV_SQL})",

@@ -150,10 +150,14 @@ def combine_aux_channels(
     """J2: slices of one per-train vector → named scalar columns
     (flash/loader.py:414-426). One projection replaces the reference's
     reduce(combine_first) chain."""
+    # try_element_at: an aux vector shorter than the configured slice index
+    # (a facility config naming more slices than this run recorded) yields
+    # NULL for the missing reading — element_at under ANSI mode would abort
+    # the whole job with an opaque INVALID_ARRAY_INDEX
     return df_train.select(
         train_id_column,
         *[
-            F.element_at(F.col(aux_array_column), idx + 1).alias(name)
+            F.try_element_at(F.col(aux_array_column), F.lit(idx + 1)).alias(name)
             for name, idx in aux_channels.items()
         ],
     )

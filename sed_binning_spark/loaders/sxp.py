@@ -44,8 +44,12 @@ def _diff_lt(arr: Column, threshold: int) -> Column:
     )
     return F.filter(
         positions,
+        # try_cast: a NaN-padded entry in the pulse array yields NULL (the
+        # comparison then drops the position) — a plain cast would abort
+        # the job under ANSI mode on the first padded record
         lambda j: (
-            F.element_at(arr, j + 2).cast("int") - F.element_at(arr, j + 1).cast("int")
+            F.element_at(arr, j + 2).try_cast("int")
+            - F.element_at(arr, j + 1).try_cast("int")
         ) < F.lit(threshold),
     )
 

@@ -36,6 +36,7 @@ QUERIES = [
     "k_axis",
     "delay_calib",
     "delay_flip_offsets",
+    "bitwise_split",
     "norm_hist_timed",
     "offsets_per_row",
     "offsets_mean",
