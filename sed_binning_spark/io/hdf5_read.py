@@ -92,6 +92,22 @@ class Group:
     links: list[tuple[str, int]] | None = None
 
 
+def _struct_guard(fn):
+    """Translate bare struct.error from parsing a short/corrupt buffer into
+    a named UnsupportedHDF5 ('truncated or corrupt') at the public surface."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except struct.error as exc:
+            raise UnsupportedHDF5(
+                f"truncated or corrupt HDF5 file ({exc})",
+            ) from exc
+    return wrapper
+
+
 class H5File:
     """Read-only minimal HDF5 file. ``visit()`` lists paths,
     ``dataset(path)`` parses metadata, ``read(path)`` returns the ndarray,
@@ -127,6 +143,7 @@ class H5File:
         self._cache: dict[str, object] = {}
 
     # -- public surface -----------------------------------------------------
+    @_struct_guard
     def visit(self) -> list[str]:
         """All dataset paths (depth-first, '/'-separated). Each GROUP object
         is walked once by address — H5Ovisit semantics: a group hard-linked
@@ -152,15 +169,30 @@ class H5File:
         _walk("", self._root_addr)
         return out
 
+    @_struct_guard
     def dataset(self, path: str) -> Dataset:
         obj = self._object(self._resolve(path))
         if not isinstance(obj, Dataset):
             raise KeyError(f"{path} is a group, not a dataset")
         return obj
 
+    @_struct_guard
     def attrs(self, path: str = "/") -> dict:
         return self._object(self._resolve(path)).attrs
 
+    def _data_slice(self, addr: int, nbytes: int, what: str) -> bytes:
+        """Bounds-checked buffer slice: a region past EOF means a truncated
+        or corrupt file, named as such — bare np.frombuffer/struct errors
+        from a short slice read as library bugs, not file problems."""
+        if addr + nbytes > len(self._buf):
+            raise UnsupportedHDF5(
+                f"truncated or corrupt HDF5 file: {what} at offset {addr} "
+                f"needs {nbytes} bytes but the file has "
+                f"{len(self._buf) - addr} left",
+            )
+        return self._buf[addr : addr + nbytes]
+
+    @_struct_guard
     def read(self, path: str) -> np.ndarray:
         """Materialize a dataset as a numpy array (C order)."""
         ds = self.dataset(path)
@@ -171,7 +203,9 @@ class H5File:
             if ds.data_addr == UNDEF:       # allocated lazily, never written
                 return self._background(ds, dtype, ds.shape)
             n = int(np.prod(ds.shape, dtype=np.int64)) if ds.shape else 1
-            raw = self._buf[ds.data_addr : ds.data_addr + n * dtype.itemsize]
+            raw = self._data_slice(
+                ds.data_addr, n * dtype.itemsize, f"dataset {path} data",
+            )
             return np.frombuffer(raw, dtype=dtype).reshape(ds.shape)
         # chunked: unwritten regions take the dataset's fill value
         out = self._background(ds, dtype, ds.shape)
@@ -180,11 +214,16 @@ class H5File:
         for offsets, addr, nbytes, filter_mask in self._iter_chunks(
             ds.btree_addr, len(ds.shape),
         ):
-            raw = self._buf[addr : addr + nbytes]
+            raw = self._data_slice(addr, nbytes, f"dataset {path} chunk")
             raw = self._defilter(raw, ds.filters, filter_mask, dtype.itemsize)
-            chunk = np.frombuffer(raw, dtype=dtype)[
-                : int(np.prod(ds.chunk_shape, dtype=np.int64))
-            ].reshape(ds.chunk_shape)
+            n_chunk = int(np.prod(ds.chunk_shape, dtype=np.int64))
+            if len(raw) < n_chunk * dtype.itemsize:
+                raise UnsupportedHDF5(
+                    f"truncated or corrupt HDF5 file: dataset {path} chunk "
+                    f"decompressed to {len(raw)} bytes, expected "
+                    f"{n_chunk * dtype.itemsize}",
+                )
+            chunk = np.frombuffer(raw, dtype=dtype)[:n_chunk].reshape(ds.chunk_shape)
             sel_out, sel_in = [], []
             clipped = False
             for dim, (o, c, s) in enumerate(zip(offsets, ds.chunk_shape, ds.shape)):

@@ -5,6 +5,7 @@ tests/loader/test_loaders.py:78-314). Gated on fixture presence."""
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -495,3 +496,24 @@ def test_writer_rejects_oversized_attribute(tmp_path):
     with pytest.raises(ValueError, match="64 KiB"):
         w.add_attr("/x", "big", np.zeros(10_000))
     w.add_attr("/x", "small", np.zeros(100))  # well under the limit: fine
+
+
+def test_reader_names_truncated_files(tmp_path):
+    """Every truncation point of a real instrument file fails with a named
+    UnsupportedHDF5 ('truncated or corrupt'), never a bare struct.error or
+    numpy reshape ValueError that reads as a library bug."""
+    import pytest
+
+    from sed_binning_spark.io.hdf5_read import H5File, UnsupportedHDF5
+
+    src = Path("/root/reference/tests/data/loader/mpes/Scan0030_2.h5")
+    if not src.exists():
+        pytest.skip("reference fixture not present")
+    data = src.read_bytes()
+    for frac in (0.001, 0.01, 0.3, 0.9):
+        p = tmp_path / f"t{frac}.h5"
+        p.write_bytes(data[: int(len(data) * frac)])
+        with pytest.raises(UnsupportedHDF5, match="truncated or corrupt"):
+            f = H5File(str(p))
+            for q in f.visit():
+                f.read(q)
