@@ -486,11 +486,14 @@ def _q_sector_align(spark, sf):
 
 def _q_bitwise_split(spark, sf):
     ev = _events(spark, sf).withColumn(
-        # NaN must be screened BEFORE floor: Spark's floor(double) returns
-        # a long via (long)Math.floor, collapsing NaN to 0 (the same JVM
-        # trap as the bin index) — try_cast after the fact never sees it
+        # Screen BEFORE floor: Spark's floor(double) is (long)Math.floor,
+        # which collapses NaN to 0 and saturates +-inf/huge values to
+        # Long.MAX_VALUE — the downstream int cast would then abort under
+        # ANSI. A bounded range (NaN/inf fail between()) keeps ti small
+        # enough for the tinyint/int split on both engines.
         "ti", F.when(
-            ~F.isnan(F.col("value") * 100.0), F.floor(F.col("value") * 100.0),
+            ~F.isnan(F.col("value")) & F.col("value").between(-1e7, 1e7),
+            F.floor(F.col("value") * 100.0),
         ).cast("bigint"),
     )
     ev = split_channel_bitwise(ev, "ti", ["lo", "hi"], 3, types=["tinyint", "int"])
@@ -1048,10 +1051,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT event_id, CAST(t - {delays_sql}"
             f"[CAST(event_id % 8 AS INTEGER) + 1] AS REAL) AS t_aligned FROM ({_EV_SQL})"
         ),
+        # explicit isnan + bounded range, mirroring the Spark query (NaN
+        # must not rely on DuckDB's inconsistent vectorized comparisons)
         "bitwise_split": (
             f"SELECT event_id, CAST(ti % 8 AS TINYINT) AS lo, "
             f"CAST(ti >> 3 AS INTEGER) AS hi FROM "
-            f"(SELECT event_id, TRY_CAST(floor(value * 100.0) AS BIGINT) AS ti "
+            f"(SELECT event_id, CASE WHEN NOT isnan(CAST(value AS DOUBLE)) "
+            f"AND value BETWEEN -1e7 AND 1e7 "
+            f"THEN CAST(floor(value * 100.0) AS BIGINT) END AS ti "
             f"FROM ({_EV_SQL}))"
         ),
         "k_axis": f"SELECT event_id, {kx_sql} AS kx, {ky_sql} AS ky FROM ({_EV_SQL})",

@@ -126,20 +126,28 @@ class H5File:
                 self._buf = f.read()
         if self._buf[:8] != SIGNATURE:
             raise UnsupportedHDF5("not an HDF5 file (bad signature)")
-        ver = self._buf[8]
-        if ver == 0:
-            if self._buf[13] != 8 or self._buf[14] != 8:
-                raise UnsupportedHDF5("only 8-byte offsets/lengths supported")
-            # root group symbol-table entry starts at 56: link name offset(8),
-            # object header address(8), cache type(4), reserved(4), scratch(16)
-            self._root_addr = struct.unpack_from("<Q", self._buf, 64)[0]
-        elif ver in (2, 3):
-            if self._buf[9] != 8 or self._buf[10] != 8:
-                raise UnsupportedHDF5("only 8-byte offsets/lengths supported")
-            # v2/v3: base, extension, eof, root OBJECT HEADER address
-            self._root_addr = struct.unpack_from("<Q", self._buf, 36)[0]
-        else:
-            raise UnsupportedHDF5(f"superblock version {ver}")
+        try:
+            ver = self._buf[8]
+            if ver == 0:
+                if self._buf[13] != 8 or self._buf[14] != 8:
+                    raise UnsupportedHDF5("only 8-byte offsets/lengths supported")
+                # root group symbol-table entry starts at 56: link name
+                # offset(8), object header address(8), cache type(4),
+                # reserved(4), scratch(16)
+                self._root_addr = struct.unpack_from("<Q", self._buf, 64)[0]
+            elif ver in (2, 3):
+                if self._buf[9] != 8 or self._buf[10] != 8:
+                    raise UnsupportedHDF5("only 8-byte offsets/lengths supported")
+                # v2/v3: base, extension, eof, root OBJECT HEADER address
+                self._root_addr = struct.unpack_from("<Q", self._buf, 36)[0]
+            else:
+                raise UnsupportedHDF5(f"superblock version {ver}")
+        except (struct.error, IndexError) as exc:
+            # file shorter than a superblock: name the truncation instead
+            # of leaking the parser's internal error
+            raise UnsupportedHDF5(
+                f"truncated or corrupt HDF5 file (superblock: {exc})",
+            ) from exc
         self._cache: dict[str, object] = {}
 
     # -- public surface -----------------------------------------------------
@@ -188,7 +196,7 @@ class H5File:
             raise UnsupportedHDF5(
                 f"truncated or corrupt HDF5 file: {what} at offset {addr} "
                 f"needs {nbytes} bytes but the file has "
-                f"{len(self._buf) - addr} left",
+                f"{max(0, len(self._buf) - addr)} left",
             )
         return self._buf[addr : addr + nbytes]
 
@@ -711,7 +719,14 @@ class H5File:
             if filter_mask & (1 << i):
                 continue
             if fid == 1:          # deflate
-                raw = zlib.decompress(raw)
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error as exc:
+                    # bit-flipped/garbage chunk bytes within file bounds:
+                    # name the corruption, don't leak zlib internals
+                    raise UnsupportedHDF5(
+                        f"truncated or corrupt HDF5 file (deflate chunk: {exc})",
+                    ) from exc
             elif fid == 2:        # shuffle
                 size = cd[0] if cd else itemsize
                 arr = np.frombuffer(raw, dtype=np.uint8)

@@ -12,12 +12,16 @@ per-value indexes.
 from __future__ import annotations
 
 import math
+import os
 import sys
+import tempfile
 from pathlib import Path
 
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -53,6 +57,23 @@ def _hostile_values(lo: float, hi: float, n: int, rng) -> list:
     return [None if v is None else float(v) for v in vals]
 
 
+
+
+def _write_vals(vals) -> str:
+    """Round the values through parquet: pyarrow float64 keeps NULL and NaN
+    DISTINCT (a pandas float64 array folds None into NaN, and the nullable
+    Float64 extension folds NaN into NA — either way one of the two dirty
+    classes would silently vanish from the test). A row id pins the order
+    for the positional compare."""
+    d = tempfile.mkdtemp()
+    tbl = pa.table({
+        "rid": pa.array(range(len(vals)), type=pa.int64()),
+        "v": pa.array(vals, type=pa.float64()),
+    })
+    pq.write_table(tbl, os.path.join(d, "part-0.parquet"))
+    return d
+
+
 @st.composite
 def _uniform_case(draw):
     nbins = draw(st.integers(1, 17))
@@ -68,17 +89,19 @@ def test_uniform_twin_bit_exact(spark, case):
     nbins, lo, hi, seed = case
     rng = np.random.default_rng(seed)
     vals = _hostile_values(lo, hi, nbins, rng)
-    pdf = pd.DataFrame({"v": pd.array(vals, dtype="float64")})
+    path = _write_vals(vals)
+
+    import pyspark.sql.functions as F
 
     sdf = (
-        spark.createDataFrame(pdf)
-        .select(bin_index_expr("v", nbins, lo, hi).alias("b"))
-        .toPandas()
+        spark.read.parquet(path)
+        .select(F.col("rid"), bin_index_expr("v", nbins, lo, hi).alias("b"))
+        .toPandas().sort_values("rid").reset_index(drop=True)
     )
     con = duckdb.connect()
-    con.register("t", pdf)
     odf = con.execute(
-        f"SELECT {bin_index_sql('v', nbins, lo, hi)} AS b FROM t",
+        f"SELECT {bin_index_sql('v', nbins, lo, hi)} AS b "
+        f"FROM read_parquet('{path}/*.parquet') ORDER BY rid",
     ).df()
     s = [None if pd.isna(x) else int(x) for x in sdf["b"]]
     o = [None if pd.isna(x) else int(x) for x in odf["b"]]
@@ -118,19 +141,19 @@ def test_edges_twin_bit_exact(spark, case):
                  math.nextafter(float(e), -math.inf)]
     span = max(hi - lo, 1.0)
     vals += list(rng.uniform(lo - span, hi + span, 40))
-    pdf = pd.DataFrame({"v": pd.array(
-        [None if v is None else float(v) for v in vals], dtype="float64",
-    )})
+    path = _write_vals([None if v is None else float(v) for v in vals])
+
+    import pyspark.sql.functions as F
 
     sdf = (
-        spark.createDataFrame(pdf)
-        .select(bin_index_expr_edges("v", edges).alias("b"))
-        .toPandas()
+        spark.read.parquet(path)
+        .select(F.col("rid"), bin_index_expr_edges("v", edges).alias("b"))
+        .toPandas().sort_values("rid").reset_index(drop=True)
     )
     con = duckdb.connect()
-    con.register("t", pdf)
     odf = con.execute(
-        f"SELECT {bin_index_sql_edges('v', edges)} AS b FROM t",
+        f"SELECT {bin_index_sql_edges('v', edges)} AS b "
+        f"FROM read_parquet('{path}/*.parquet') ORDER BY rid",
     ).df()
     s = [None if pd.isna(x) else int(x) for x in sdf["b"]]
     o = [None if pd.isna(x) else int(x) for x in odf["b"]]

@@ -38,7 +38,6 @@ QUERIES = [
     "delay_flip_offsets",
     "bitwise_split",
     "norm_hist_timed",
-    "offsets_per_row",
     "offsets_mean",
     "forward_fill",
     "backward_fill",
@@ -60,6 +59,8 @@ def dirty_sf(tmp_path_factory):
     value[0] = float("nan")
     value[1] = None
     value[2] = float("nan")
+    value[3] = float("inf")     # saturates (long)Math.floor to Long.MAX
+    value[4] = float("-inf")
     idx = tbl.schema.get_field_index("value")
     tbl = tbl.set_column(idx, "value", pa.array(value, type=tbl.schema.field(idx).type))
     pq.write_table(tbl, d / "events.parquet")
