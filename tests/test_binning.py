@@ -157,15 +157,19 @@ def test_binning_jitter_changes_histogram(spark):
     jit = bin_dataframe(
         df, bins=[20], axes=["v"], ranges=[(0.0, 19.0)], jitter=["v"], jitter_seed=5,
     )
-    assert plain.data.sum() == jit.data.sum() or jit.data.sum() <= plain.data.sum()
+    # jitter only displaces events by half a bin: total counts are
+    # preserved up to a small edge loss (a vacuous <= bound would pass
+    # even if jitter silently destroyed every event)
+    assert 0.95 * plain.data.sum() <= jit.data.sum() <= plain.data.sum()
     assert not np.array_equal(plain.data, jit.data)
 
 
 def test_binning_jitter_two_center_axis(spark):
-    """n=2 explicit centers must not crash the uniformity check (ADVICE r1)."""
+    """n=2 explicit centers must not crash the uniformity check (ADVICE r1),
+    and events well inside the range must survive the jitter."""
     df = spark.createDataFrame([(0.4,), (1.2,), (0.9,)], "v double")
     cube = bin_dataframe(df, bins=[np.array([0.5, 1.0])], axes=["v"], jitter=["v"], jitter_seed=1)
-    assert cube.data.sum() <= 3
+    assert 1 <= cube.data.sum() <= 3
 
 
 def test_binning_return_partitions(events_df, events_pdf):
@@ -267,8 +271,6 @@ def test_return_partitions_with_declared_values(spark):
     partitions — and reject a list that misses observed values."""
     import pandas as pd
 
-    import pytest as _pytest
-
     pdf = pd.DataFrame({
         "t": [10.0, 20.0, 30.0, 35.0],
         "file_id": np.array([0, 0, 0, 1], dtype="int64"),
@@ -282,7 +284,7 @@ def test_return_partitions_with_declared_values(spark):
         declared.data[:, :2], scanned.data,
     )
     assert declared.data[:, 2].sum() == 0          # declared-but-empty file
-    with _pytest.raises(ValueError, match="missing file_id values"):
+    with pytest.raises(ValueError, match="missing file_id values"):
         bin_dataframe(df, partition_values=[0], **kw)
 
 
@@ -344,15 +346,13 @@ def test_return_partitions_rejects_null_partitions(spark):
     astype would map NaN to INT_MIN and vanish those events."""
     import pandas as pd
 
-    import pytest as _pytest
-
     pdf = pd.DataFrame({
         "t": [10.0, 20.0],
         "file_id": pd.array([0, None], dtype="Int64"),
     })
     df = spark.createDataFrame(pdf)
     kw = dict(bins=[4], axes=["t"], ranges=[(0.0, 40.0)], return_partitions=True)
-    with _pytest.raises(ValueError, match="NULL values"):
+    with pytest.raises(ValueError, match="NULL values"):
         bin_dataframe(df, **kw)
-    with _pytest.raises(ValueError, match="NULL values"):
+    with pytest.raises(ValueError, match="NULL values"):
         bin_dataframe(df, partition_values=[0, 1], **kw)

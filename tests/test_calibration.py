@@ -160,10 +160,11 @@ def test_split_and_align_sectors(spark):
     delays = [0.0, 1.5, -2.0, 3.25, 0.5, -0.75, 2.0, -1.25]
     aligned, _ = align_dld_sectors(split, delays)
     apdf = aligned.toPandas()
-    oracle = (raw // 8).astype(np.float32) - np.array(delays, dtype=np.float64)[raw % 8].astype(np.float32)
-    np.testing.assert_allclose(np.sort(apdf.dldTimeSteps.to_numpy()),
-                               np.sort((raw // 8) - np.array(delays)[raw % 8]).astype(np.float32),
-                               rtol=1e-6)
+    # engine semantics: subtract in float64, cast the RESULT to float32
+    oracle = ((raw // 8) - np.array(delays, dtype=np.float64)[raw % 8]).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.sort(apdf.dldTimeSteps.to_numpy()), np.sort(oracle),
+    )
     assert dict(aligned.dtypes)["dldTimeSteps"] == "float"
 
 
@@ -225,10 +226,13 @@ def test_apply_dfield_identity(events_df, events_pdf):
     h = w = 256
     rr, cc = np.meshgrid(np.arange(h, dtype=float), np.arange(w, dtype=float), indexing="ij")
     dfield = np.stack([rr, cc])  # identity: cell (r,c) -> (r,c)
+    # sort on the UNIQUE (file_id, row_id) key: row_id repeats across the 4
+    # files, and positional tie alignment would only hold while the UDF
+    # happens to preserve input order
     out = apply_dfield(
         events_df, dfield, detector_ranges=((0, 2048), (0, 2048)),
-    ).toPandas().sort_values("row_id")
-    src = events_pdf.sort_values("row_id")
+    ).toPandas().sort_values(["file_id", "row_id"])
+    src = events_pdf.sort_values(["file_id", "row_id"])
     # events are in [0,2048], grid is 256 cells of step 8: lookup at raw
     # coordinate (unit = grid index) — only coords < 256 land inside
     inside = (src.X < 255) & (src.Y < 255)

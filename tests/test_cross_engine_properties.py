@@ -11,8 +11,10 @@ per-value indexes.
 
 from __future__ import annotations
 
+import atexit
 import math
 import os
+import shutil
 import sys
 import tempfile
 from pathlib import Path
@@ -59,13 +61,20 @@ def _hostile_values(lo: float, hi: float, n: int, rng) -> list:
 
 
 
+_TMP_ROOT = tempfile.mkdtemp(prefix="xengine-props-")
+atexit.register(shutil.rmtree, _TMP_ROOT, True)
+_TMP_SEQ = [0]
+
+
 def _write_vals(vals) -> str:
     """Round the values through parquet: pyarrow float64 keeps NULL and NaN
     DISTINCT (a pandas float64 array folds None into NaN, and the nullable
     Float64 extension folds NaN into NA — either way one of the two dirty
     classes would silently vanish from the test). A row id pins the order
     for the positional compare."""
-    d = tempfile.mkdtemp()
+    _TMP_SEQ[0] += 1
+    d = os.path.join(_TMP_ROOT, str(_TMP_SEQ[0]))
+    os.makedirs(d)
     tbl = pa.table({
         "rid": pa.array(range(len(vals)), type=pa.int64()),
         "v": pa.array(vals, type=pa.float64()),

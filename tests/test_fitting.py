@@ -122,6 +122,9 @@ def test_infer_feature_ranges_matches_reference(fixture_data):
     tn = normspec(traces, smooth=True, span=7, order=1)
     rngs = infer_feature_ranges(tof, tn, (66100.0, 67000.0), ref_id=5)
     binw = tof[1] - tof[0]
+    # zip would silently truncate: a regression returning fewer (even zero)
+    # ranges must fail, not skip the comparisons
+    assert len(rngs) == len(GOLDEN_RANGES)
     for got, want in zip(rngs, GOLDEN_RANGES):
         assert abs(got[0] - want[0]) <= 1.5 * binw
         assert abs(got[1] - want[1]) <= 1.5 * binw

@@ -40,7 +40,6 @@ def test_h5file_reads_mpes_structures():
     assert f.attrs("/")["KTOF:Lens:Sample:V"] == pytest.approx(19.2996, abs=1e-3)
 
 
-@needs["mpes"]
 def test_h5file_rejects_non_hdf5(tmp_path):
     from sed_binning_spark.io.hdf5_read import H5File, UnsupportedHDF5
 

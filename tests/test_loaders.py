@@ -83,18 +83,17 @@ def test_file_and_row_ids_multisplit(spark, tmp_path):
                         "pad": np.random.default_rng(1).uniform(size=n)})
     path = tmp_path / "big.parquet"
     pdf.to_parquet(path, index=False, row_group_size=10_000)
-    # force many small splits so one file spans >1 partition
-    df = (
-        spark.read.option("maxPartitionBytes", 64 * 1024)
-        .parquet(str(path))
-    )
+    # force many small splits so one file spans >1 partition; restore the
+    # PRIOR conf value, not a hardcoded default (a clobbered session conf
+    # would leak into every later test)
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
     try:
         df = spark.read.parquet(str(path))
         assert df.rdd.getNumPartitions() > 1, "test needs a multi-split file"
         out = add_file_and_row_ids(df, [str(path)]).toPandas()
     finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
     np.testing.assert_array_equal(out.row_id.to_numpy(), out.seq.to_numpy())
 
 

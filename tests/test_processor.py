@@ -337,13 +337,11 @@ def test_parse_config_empty_yaml_section_keeps_defaults(tmp_path):
 def test_add_jitter_amps_stay_paired_with_columns(spark, events_df):
     """Dropping a missing jitter column must drop its amplitude too, and a
     mismatched amps length must raise (zip would silently truncate)."""
-    import pytest as _pytest
-
     from sed_binning_spark.processor import SedProcessor
 
     proc = SedProcessor(spark)
     proc.load(dataframe=events_df)
-    with _pytest.raises(ValueError, match="amps has 3 entries"):
+    with pytest.raises(ValueError, match="amps has 3 entries"):
         proc.add_jitter(cols=["X", "t"], amps=[0.5, 0.5, 2.0])
     # 'nope' is missing: its amplitude must vanish with it, leaving t at 2.0
     proc.add_jitter(cols=["X", "nope", "t"], amps=[0.0, 0.5, 2.0], seed=1)

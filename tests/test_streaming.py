@@ -83,7 +83,7 @@ def test_stream_binning_windowed_runs(event_files, spark):
     assert set(out.columns) == {"window_start", "t", "count"}
     assert out["window_start"].nunique() == 2
     in_range = ((pdf.t > 57000) & (pdf.t < 123000)).sum()  # loose sanity bound
-    assert 0 < out["count"].sum() <= len(pdf)
+    assert 0 < out["count"].sum() <= in_range
     # exact: matches the batch histogram total
     batch_total = (
         bin_dataframe_sparse(
