@@ -59,26 +59,19 @@ def _tokens(text: Column) -> Column:
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles: array of space-joined n-token windows.
 
-    Built with transform over an index sequence — pure expression, no
-    Python. Documents shorter than ``n`` tokens yield their full token
-    string as the single shingle.
-
-    Each window is n O(1) element_at lookups, not a slice: slice+concat
-    allocates a sub-array per window and measured ~4x the cost of the rest
-    of the MinHash pipeline combined. element_at past the array end is NULL
-    and concat_ws skips NULLs, which exactly reproduces the short-document
-    (full-token-string) case.
+    Built with n-1 array-level zips against shifted copies — O(tokens)
+    work total with every ``toks`` reference at PROJECTION level, where
+    Spark's subexpression elimination applies. Inside a higher-order
+    lambda it does not: an index-window `slice(toks, i, n)` form re-splits
+    the text once per window and measured 2.6x slower end-to-end on the
+    MinHash cascade despite looking simpler (re-verified; do not "clean
+    this up" into the slice form). zip_with pads the shorter (shifted)
+    side with NULL; keeping the left value reproduces the short-document
+    partial windows, which the final slice drops except for the
+    shorter-than-n full-token-string case. Documents shorter than ``n``
+    tokens yield their full token string as the single shingle.
     """
     toks = _tokens(text)
-    # n-1 array-level zips against shifted copies instead of a slice+concat
-    # per window: O(tokens) work total vs O(tokens*n) sub-array allocations,
-    # and every `toks` reference sits at projection level where Spark's
-    # subexpression elimination applies (inside a higher-order lambda it
-    # does not — an element_at-per-token variant re-split the text per
-    # lookup and measured 2.4x slower than even the slice form). zip_with
-    # pads the shorter (shifted) side with NULL; keeping the left value
-    # reproduces the short-document partial windows, which the final slice
-    # drops except for the shorter-than-n full-token-string case.
     sh = toks
     for j in range(1, n):
         shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - F.lit(j), F.lit(0)))
