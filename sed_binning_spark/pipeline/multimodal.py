@@ -258,6 +258,79 @@ def extract_features(
     )
 
 
+def resize_image(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure NumPy, any channel count)."""
+    h, w = img.shape[:2]
+    ri = np.minimum((np.arange(height) * (h / height)).astype(np.int64), h - 1)
+    ci = np.minimum((np.arange(width) * (w / width)).astype(np.int64), w - 1)
+    return img[ri][:, ci]
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("payload", BinaryType(), True),
+    StructField("mime", StringType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+])
+
+
+def resize_images(
+    df: DataFrame,
+    height: int,
+    width: int,
+    payload_column: str = "payload",
+    id_column: str = "media_id",
+) -> DataFrame:
+    """Resize image payloads to (height, width) with ``mapInPandas``.
+
+    Same partition-local Arrow-batch shape as :func:`extract_features`:
+    payloads never shuffle and never reach the driver. PPM (P6) and
+    uncompressed 24-bit BMP inputs decode with the pure-NumPy codecs,
+    resize nearest-neighbor, and re-encode as PPM (the canonical interop
+    output of this module); non-image or undecodable payloads pass
+    through as NULL with NULL dimensions — one corrupt file must not
+    abort a 100 TB batch.
+    """
+    import pandas as pd
+
+    def _resize_batches(batches):
+        for pdf in batches:
+            out_payload, out_w, out_h = [], [], []
+            for p in pdf[payload_column]:
+                img = None
+                if p is not None:
+                    try:
+                        if bytes(p[:2]) == b"P6":
+                            img = decode_image_ppm(bytes(p))
+                        elif bytes(p[:2]) == b"BM":
+                            img = decode_image_bmp(bytes(p))
+                    except ValueError:
+                        img = None
+                if img is None:
+                    out_payload.append(None)
+                    out_w.append(None)
+                    out_h.append(None)
+                else:
+                    out_payload.append(encode_image_ppm(
+                        resize_image(img, height, width),
+                    ))
+                    out_w.append(width)
+                    out_h.append(height)
+            yield pd.DataFrame({
+                "media_id": pdf[id_column],
+                "payload": out_payload,
+                "mime": ["image/x-portable-pixmap" if p is not None else None
+                         for p in out_payload],
+                "width": pd.array(out_w, dtype="Int32"),
+                "height": pd.array(out_h, dtype="Int32"),
+            })
+
+    return df.select(id_column, payload_column).mapInPandas(
+        _resize_batches, schema=RESIZED_SCHEMA,
+    )
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_ms: int = 1000,

@@ -486,3 +486,40 @@ def test_dim_probe_uses_mode_not_first_row(spark):
     rows = [(0, [1.0])] + [(i, [float(i), 1.0, 2.0]) for i in range(1, 10)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(1)
     assert _dim(df, "embedding") == 3
+
+
+def test_resize_images_distributed(spark):
+    """resize_images: decode -> nearest-neighbor resize -> PPM re-encode via
+    mapInPandas; non-image and corrupt payloads pass through as NULL rows
+    instead of aborting the batch."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.multimodal import (
+        decode_image_ppm,
+        encode_image_ppm,
+        resize_image,
+        resize_images,
+    )
+
+    # pure-numpy kernel: 4x4 gradient -> 2x2 picks the top-left of each block
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    small = resize_image(img, 2, 2)
+    np.testing.assert_array_equal(small, img[::2, ::2])
+    # upscale repeats pixels
+    big = resize_image(small, 4, 4)
+    assert big.shape == (4, 4, 3)
+
+    rows = [
+        (0, bytearray(encode_image_ppm(img))),
+        (1, bytearray(b"not an image")),
+        (2, None),
+        (3, bytearray(b"P6 corrupt header")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = resize_images(df, 2, 2).toPandas().set_index("media_id")
+    got = decode_image_ppm(bytes(out.loc[0, "payload"]))
+    np.testing.assert_array_equal(got, img[::2, ::2])
+    assert out.loc[0, "width"] == 2 and out.loc[0, "height"] == 2
+    assert out.loc[0, "mime"] == "image/x-portable-pixmap"
+    for bad in (1, 2, 3):
+        assert out.loc[bad, "payload"] is None
