@@ -43,6 +43,17 @@ QUERIES = [
     "backward_fill",
     "interp_channel",
     "mpes_timestamps",
+    "mpes_timed",
+    "norm_spectrum",
+    "norm_hist_timestamps",
+    "binning_partitions",
+    "filter_index",
+    "drop_columns",
+    "sector_align",
+    "flash_electron_ids",
+    "sxp_electron_ids",
+    "flash_pulse_frame",
+    "channel_join",
 ]
 
 
