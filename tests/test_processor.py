@@ -376,3 +376,33 @@ def test_event_histogram_grid_auto_range_skips_nan(spark):
     )["v"]
     assert np.isfinite(centers).all()
     assert counts.sum() == 3
+
+
+def test_parse_config_does_not_modify_inputs():
+    """Layer dicts passed to parse_config stay untouched (reference
+    tests/test_config.py:test_load_does_not_modify)."""
+    from sed_binning_spark.config import parse_config
+
+    user = {"dataframe": {"x_column": "custom_x"}}
+    before = {"dataframe": {"x_column": "custom_x"}}
+    merged = parse_config(config=user)
+    assert user == before                          # input unmutated
+    merged["dataframe"]["x_column"] = "poked"
+    assert user == before                          # no aliasing either
+
+
+def test_save_config_merge_and_overwrite(tmp_path):
+    """save_config round trip (reference test_save_dict): merge preserves
+    unrelated sections; overwrite replaces the file."""
+    import numpy as np
+
+    from sed_binning_spark.config import load_yaml, save_config
+
+    p = tmp_path / "sed_config.yaml"
+    save_config({"energy": {"calibration": {"d": np.float64(1.5)}}}, p)
+    save_config({"delay": {"offsets": {"constant": 2.0}}}, p)
+    merged = load_yaml(p)
+    assert merged["energy"]["calibration"]["d"] == 1.5    # preserved + plain type
+    assert merged["delay"]["offsets"]["constant"] == 2.0
+    save_config({"only": 1}, p, overwrite=True)
+    assert load_yaml(p) == {"only": 1}
