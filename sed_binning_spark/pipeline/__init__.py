@@ -37,6 +37,12 @@ from sed_binning_spark.pipeline.similarity import (
     cosine_topk,
     lsh_bucket_pairs,
 )
+from sed_binning_spark.pipeline.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    resize_images,
+)
+from sed_binning_spark.pipeline.similarity import ivf_topk, ivf_train_centroids
 from sed_binning_spark.pipeline.text import (
     document_fingerprint,
     language_id,
@@ -54,7 +60,12 @@ __all__ = [
     "cosine_topk",
     "cosine_similarity_expr",
     "lsh_bucket_pairs",
+    "ivf_train_centroids",
+    "ivf_topk",
     "text_stats",
     "language_id",
     "document_fingerprint",
+    "extract_features",
+    "resize_images",
+    "frame_sample_plan",
 ]
