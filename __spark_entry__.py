@@ -67,7 +67,10 @@ from sed_binning_spark.pipeline.dedup import (
     minhash_signatures,
     simhash,
 )
-from sed_binning_spark.pipeline.multimodal import extract_features, synthesize_media_from_text
+from sed_binning_spark.pipeline.multimodal import (
+    extract_features,
+    synthesize_ppm_media_from_text,
+)
 from sed_binning_spark.pipeline.similarity import (
     cosine_pairs_brute,
     cosine_topk,
@@ -317,6 +320,62 @@ def _q_binning_4d(spark, sf):
              F.col("t").alias("b2"), F.col("ADC").alias("b3"), "cnt")
 
 
+def _q_binning_2d3d(spark, sf):
+    """A2/A4 mid-dimensional coverage: a 2-D and a 3-D sparse histogram of
+    the same frame, unioned with a dims tag (the 2-D half carries a NULL
+    b2) so both plans are cross-engine-checked in one oracle row."""
+    ev = _events(spark, sf)
+    b2 = bin_dataframe_sparse(
+        ev, bins=[40, 40], axes=["X", "Y"],
+        ranges=[(0.0, 2048.0), (0.0, 2048.0)], count_column="cnt",
+    ).select(
+        F.lit("2d").alias("dims"), F.col("X").alias("b0"),
+        F.col("Y").alias("b1"), F.lit(None).cast("bigint").alias("b2"), "cnt",
+    )
+    b3 = bin_dataframe_sparse(
+        ev, bins=[15, 15, 15], axes=["X", "Y", "t"],
+        ranges=[(0.0, 2048.0), (0.0, 2048.0), (60000.0, 120000.0)],
+        count_column="cnt",
+    ).select(
+        F.lit("3d").alias("dims"), F.col("X").alias("b0"),
+        F.col("Y").alias("b1"), F.col("t").alias("b2"), "cnt",
+    )
+    return b2.unionByName(b3)
+
+
+def _q_aux_combine(spark, sf):
+    """J2: one per-train aux vector sliced into named scalar channels
+    (combine_aux_channels; reference flash/loader.py:414-426). The 'probe'
+    slice index exceeds every train's vector length, exercising the
+    try_element_at NULL contract for configs naming more slices than the
+    run recorded."""
+    from sed_binning_spark.loaders.flash import combine_aux_channels
+
+    ev = _events(spark, sf)
+    aux = F.transform(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("event_id").alias("eid"), F.col("value").alias("v"),
+        ))),
+        lambda h: h["v"],
+    )
+    trains = ev.groupBy((F.col("user_id") % 20).alias("trainId")).agg(aux.alias("aux"))
+    return combine_aux_channels(
+        trains, "aux", {"bias": 0, "gain": 2, "probe": 600000},
+    )
+
+
+def _q_diag_grid(spark, sf):
+    """A12: the diagnostics histogram grid in sparse form — every axis
+    binned in ONE scan via explode (event_histogram_grid_sparse)."""
+    from sed_binning_spark.diagnostics import event_histogram_grid_sparse
+
+    return event_histogram_grid_sparse(
+        _events(spark, sf), axes=["X", "Y", "t", "ADC"], bins=40,
+        ranges=[(0.0, 2048.0), (0.0, 2048.0), (60000.0, 120000.0),
+                (2000.0, 20000.0)],
+    )
+
+
 def _q_binning_edges(spark, sf):
     return bin_dataframe_sparse(
         _events(spark, sf), bins=[_NU_CENTERS], axes=["value"], count_column="cnt",
@@ -367,18 +426,22 @@ def _q_map_2d(spark, sf):
     return ev.select("event_id", "Xr", "Yr")
 
 
-def _q_offsets_per_row(spark, sf):
+def _q_offsets(spark, sf):
+    """M12 merged: per-row weighted offsets AND a mean-reduced offset from
+    the same frame (offset_by_other_columns with inplace=False/rename)."""
+    ev = _events(spark, sf)
     ev = offset_by_other_columns(
-        _events(spark, sf), "t", ["ADC", "value"], weights=[2.0, -0.5],
+        ev, "t", ["ADC", "value"], weights=[2.0, -0.5],
+        inplace=False, rename="t_off_row",
     )
-    return ev.select("event_id", F.col("t").alias("t_off"))
-
-
-def _q_offsets_mean(spark, sf):
     ev = offset_by_other_columns(
-        _events(spark, sf), "t", ["ADC"], weights=[1.0], reductions="mean",
+        ev, "t", ["ADC"], weights=[1.0], reductions="mean",
+        inplace=False, rename="t_off_mean",
     )
-    return ev.select("event_id", F.round(F.col("t"), 6).alias("t_off"))
+    return ev.select(
+        "event_id", "t_off_row",
+        F.round(F.col("t_off_mean"), 6).alias("t_off_mean"),
+    )
 
 
 def _q_ffill(spark, sf):
@@ -403,31 +466,54 @@ def _q_interp(spark, sf):
     return ev.select("event_id", "chan")
 
 
-def _q_energy_fit(spark, sf):
-    ev, _ = append_energy_axis(_events(spark, sf), _E_FIT)
-    return ev.select("event_id", "energy")
-
-
-def _q_energy_poly(spark, sf):
+def _q_energy_axes(spark, sf):
+    """M3 + M4 + M5 merged: fit-form energy, poly-form energy, and TOF→ns
+    from the same events frame — three independent calibrated axes, one
+    oracle row."""
+    ev, _ = append_energy_axis(_events(spark, sf), _E_FIT, energy_column="e_fit")
     ev, _ = append_energy_axis(
-        _events(spark, sf),
+        ev,
         {"coeffs": _E_POLY_COEFFS, "E0": _E_POLY_E0, "calib_type": "poly"},
+        energy_column="e_poly",
     )
-    return ev.select("event_id", "energy")
+    ev, _ = append_tof_ns_axis(ev, binwidth=4.125e-12, binning=1)
+    return ev.select("event_id", "e_fit", "e_poly", "t_ns")
 
 
-def _q_tof_ns(spark, sf):
-    ev, _ = append_tof_ns_axis(_events(spark, sf), binwidth=4.125e-12, binning=1)
-    return ev.select("event_id", "t_ns")
-
-
-def _q_corr_spherical(spark, sf):
+def _q_corr_profiles(spark, sf):
+    """M6: all four closed-form energy-correction profiles (reference
+    correction_function, sed/calibrator/energy.py:1670-1782) in one query —
+    spherical / Lorentzian / Lorentzian_asymmetric are pure arithmetic
+    (+ correctly-rounded sqrt), bit-exact cross-engine; the Gaussian uses
+    exp (not correctly rounded in every libm) so its output rounds to 6
+    decimals on both sides."""
+    ev = _events(spark, sf)
+    center = (1024.0, 1024.0)
     ev, _ = apply_energy_correction(
-        _events(spark, sf),
-        {"correction_type": "spherical", "center": (1024.0, 1024.0),
-         "amplitude": 2.5, "diameter": 3000.0},
+        ev, {"correction_type": "spherical", "center": center,
+             "amplitude": 2.5, "diameter": 3000.0},
+        new_tof_column="tm_sph",
     )
-    return ev.select("event_id", "tm")
+    ev, _ = apply_energy_correction(
+        ev, {"correction_type": "Lorentzian", "center": center,
+             "amplitude": 2.5, "gamma": 700.0},
+        new_tof_column="tm_lor",
+    )
+    ev, _ = apply_energy_correction(
+        ev, {"correction_type": "Gaussian", "center": center,
+             "amplitude": 2.5, "sigma": 700.0},
+        new_tof_column="tm_gauss",
+    )
+    ev, _ = apply_energy_correction(
+        ev, {"correction_type": "Lorentzian_asymmetric", "center": center,
+             "amplitude": 2.5, "gamma": 700.0, "gamma2": 500.0,
+             "amplitude2": 1.5},
+        new_tof_column="tm_asym",
+    )
+    return ev.select(
+        "event_id", "tm_sph", "tm_lor",
+        F.round("tm_gauss", 6).alias("tm_gauss"), "tm_asym",
+    )
 
 
 def _q_channel_join(spark, sf):
@@ -757,16 +843,21 @@ def _q_ann_lsh(spark, sf):
 
 
 def _q_multimodal(spark, sf):
-    """Media decode plumbing; the checked output serializes the feature
-    vector to hashable scalars: each float32 element maps back to its exact
-    16-bit source integer (round((v+1)/2*65535) — lossless because the
-    float32 quantization error is ~0.004 of one integer step), csv-joined.
-    The oracle regenerates the same ints from the md5 hex digest."""
-    media = synthesize_media_from_text(_docs(spark, sf))
+    """REAL media decode as the graded path: the payloads are valid binary
+    PPM (P6) images whose pixel bytes are the md5 digest of each document
+    (synthesize_ppm_media_from_text — pure expressions), so the real
+    pure-NumPy codec (decode_payload) runs inside the mapInPandas plan and
+    the DuckDB oracle regenerates the identical pixel statistics from the
+    same md5. The checked projection scales each float32 feature element by
+    1e6 and rounds to an integer: kind/width/height/channels are small
+    exact ints, and the four normalized stats carry float32 precision
+    (~1e-7 abs), far finer than the 1e-6 rounding grain — so both engines
+    land on the same integer deterministically."""
+    media = synthesize_ppm_media_from_text(_docs(spark, sf))
     feats = extract_features(media, feature_dim=8)
     as_int = F.transform(
         "feat",
-        lambda v: F.round((v.cast("double") + F.lit(1.0)) / F.lit(2.0) * F.lit(65535.0), 0)
+        lambda v: F.round(v.cast("double") * F.lit(1e6), 0)
         .cast("bigint").cast("string"),
     )
     return feats.select(
@@ -794,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # A2/A4/A5: uniform int-bins N-D histograms (sparse occupied cells)
         "binning_1d": _q_binning_1d,
+        "binning_2d3d": _q_binning_2d3d,
         "binning_4d": _q_binning_4d,
         # A11 + J6: acquisition-time-normalized spectrum (counts / time)
         "norm_spectrum": _q_norm_spectrum,
@@ -812,24 +904,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_columns": _q_drop_columns,
         # M2: simultaneous 2-D map
         "map_2d": _q_map_2d,
-        # M12: offsets (per-row / mean-reduced)
-        "offsets_per_row": _q_offsets_per_row,
-        "offsets_mean": _q_offsets_mean,
+        # M12: offsets (per-row + mean-reduced, merged)
+        "offsets": _q_offsets,
         # W1/W2: fills
         "forward_fill": _q_ffill,
         "backward_fill": _q_bfill,
         # M13: timestamped-channel interpolation
         "interp_channel": _q_interp,
-        # M3/M4/M5: energy conversions
-        "energy_fit": _q_energy_fit,
-        "energy_poly": _q_energy_poly,
-        "tof_ns": _q_tof_ns,
-        # M6: energy corrections (spherical oracle-green; the other three
-        # profiles are pytest-covered in tests/test_calibration.py)
-        "corr_spherical": _q_corr_spherical,
+        # M3/M4/M5: energy conversions (merged: fit + poly + ns axes)
+        "energy_axes": _q_energy_axes,
+        # M6: all four energy-correction profiles, one merged oracle query
+        "corr_profiles": _q_corr_profiles,
         "dedup_clusters": _q_dedup_clusters,
         # J1/J5: multi-channel outer join + per-train frame broadcast
         "channel_join": _q_channel_join,
+        # J2: aux-channel slices -> named scalars
+        "aux_combine": _q_aux_combine,
+        # A12: diagnostics histogram grid (all axes, one scan)
+        "diag_grid": _q_diag_grid,
         # M7/M8: sector alignment + bitwise split
         "sector_align": _q_sector_align,
         "bitwise_split": _q_bitwise_split,
@@ -902,6 +994,16 @@ def oracle_sql() -> dict[str, str]:
     g = 700.0
     lor = (f"{fsql(100000.0 * 2.5 / (g * np.pi))} * ({fsql(g ** 2)} / "
            f"({dx} * {dx} + {dy} * {dy} + {fsql(g ** 2)}) - 1.0)")
+    sig = 700.0
+    gauss = (f"{fsql(20000.0 * 2.5 / np.sqrt(2 * np.pi * sig ** 2))} * "
+             f"(exp(-({dx} * {dx} + {dy} * {dy}) / {fsql(2 * sig ** 2)}) - 1.0)")
+    g2, a2 = 500.0, 1.5
+    # parenthesized as ONE sum: the engine evaluates t + (c_y + c_x); an
+    # unparenthesized twin would associate (t + c_y) + c_x — off by 1 ulp
+    asym = (f"({fsql(100000.0 * 2.5 / (g * np.pi))} * ({fsql(g ** 2)} / "
+            f"({dy} * {dy} + {fsql(g ** 2)}) - 1.0) + "
+            f"{fsql(100000.0 * a2 / (g2 * np.pi))} * ({fsql(g2 ** 2)} / "
+            f"({dx} * {dx} + {fsql(g2 ** 2)}) - 1.0))")
 
     qn = float(np.sqrt((_QVEC * _QVEC).sum()))
     cos_sql = (
@@ -952,6 +1054,18 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "binning_1d": _binning_sql([("t", 1000, 60000.0, 120000.0)], ["b0"]),
+        "binning_2d3d": (
+            "SELECT '2d' AS dims, b0, b1, CAST(NULL AS BIGINT) AS b2, cnt FROM ("
+            + _binning_sql(
+                [("X", 40, 0.0, 2048.0), ("Y", 40, 0.0, 2048.0)], ["b0", "b1"],
+            )
+            + ") UNION ALL SELECT '3d' AS dims, b0, b1, b2, cnt FROM ("
+            + _binning_sql(
+                [("X", 15, 0.0, 2048.0), ("Y", 15, 0.0, 2048.0),
+                 ("t", 15, 60000.0, 120000.0)], ["b0", "b1", "b2"],
+            )
+            + ")"
+        ),
         "binning_4d": _binning_sql(
             [("X", 20, 0.0, 2048.0), ("Y", 20, 0.0, 2048.0),
              ("t", 20, 60000.0, 120000.0), ("ADC", 20, 2000.0, 20000.0)],
@@ -987,12 +1101,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT event_id, X * {fsql(c)} - Y * {fsql(s)} AS Xr, "
             f"X * {fsql(s)} + Y * {fsql(c)} AS Yr FROM ({_EV_SQL})"
         ),
-        "offsets_per_row": (
-            f"SELECT event_id, t + 2.0 * ADC + -0.5 * value AS t_off FROM ({_EV_SQL})"
-        ),
-        "offsets_mean": (
-            f"SELECT event_id, round(t + (SELECT avg(ADC) FROM ({_EV_SQL})), 6) "
-            f"AS t_off FROM ({_EV_SQL})"
+        "offsets": (
+            f"SELECT event_id, t + 2.0 * ADC + -0.5 * value AS t_off_row, "
+            f"round(t + (SELECT avg(ADC) FROM ({_EV_SQL})), 6) AS t_off_mean "
+            f"FROM ({_EV_SQL})"
         ),
         # the NaN mask mirrors the engine (and pandas ffill/bfill): a NaN
         # sample is MISSING and must be filled over, not carried forward —
@@ -1013,13 +1125,15 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT event_id, {_np_interp_sql('ts_sec', _INTERP_XS, _INTERP_YS)} AS chan "
             f"FROM ({_EV_SQL})"
         ),
-        "energy_fit": f"SELECT event_id, {energy_fit_sql} AS energy FROM ({_EV_SQL})",
-        "energy_poly": f"SELECT event_id, {poly_sql} AS energy FROM ({_EV_SQL})",
-        "tof_ns": (
-            f"SELECT event_id, CAST(t AS DOUBLE) * 1e9 * 4.125e-12 * 2.0 AS t_ns "
+        "energy_axes": (
+            f"SELECT event_id, {energy_fit_sql} AS e_fit, {poly_sql} AS e_poly, "
+            f"CAST(t AS DOUBLE) * 1e9 * 4.125e-12 * 2.0 AS t_ns FROM ({_EV_SQL})"
+        ),
+        "corr_profiles": (
+            f"SELECT event_id, t + {sph} AS tm_sph, t + {lor} AS tm_lor, "
+            f"round(t + {gauss}, 6) AS tm_gauss, t + {asym} AS tm_asym "
             f"FROM ({_EV_SQL})"
         ),
-        "corr_spherical": f"SELECT event_id, t + {sph} AS tm FROM ({_EV_SQL})",
         # A11 + J6: binned counts / per-bin acquisition time. The counts
         # side uses the uniform-arithmetic index twin (the engine routes
         # uniform explicit centers onto the O(1) arithmetic path), the time
@@ -1046,6 +1160,18 @@ def oracle_sql() -> dict[str, str]:
             f"event_id AS eid, value AS val FROM ({_EV_SQL})) e "
             f"JOIN (SELECT user_id % 20 AS trainId, round(avg(value), 6) AS bias "
             f"FROM ({_EV_SQL}) GROUP BY user_id % 20) t ON t.trainId = e.trainId"
+        ),
+        "aux_combine": (
+            f"SELECT trainId, aux[1] AS bias, aux[3] AS gain, aux[600001] AS probe "
+            f"FROM (SELECT user_id % 20 AS trainId, "
+            f"list(value ORDER BY event_id) AS aux FROM ({_EV_SQL}) GROUP BY 1)"
+        ),
+        "diag_grid": " UNION ALL ".join(
+            f"SELECT '{ax}' AS axis, b0, count(*) AS cnt FROM (SELECT "
+            f"{bin_index_sql(ax, 40, lo, hi, half_bin_shift=False)} AS b0 "
+            f"FROM ({_EV_SQL})) WHERE b0 IS NOT NULL GROUP BY b0"
+            for ax, lo, hi in [("X", 0.0, 2048.0), ("Y", 0.0, 2048.0),
+                               ("t", 60000.0, 120000.0), ("ADC", 2000.0, 20000.0)]
         ),
         "sector_align": (
             f"SELECT event_id, CAST(t - {delays_sql}"
@@ -1190,13 +1316,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM documents"
         ),
         "dfield_correction": _dfield_oracle_sql(),
-        "multimodal_features": (
-            "SELECT CAST(doc_id AS BIGINT) AS media_id, "
-            "CAST(strlen(text) AS BIGINT) AS n_bytes, "
-            "array_to_string(list_transform(range(0, 8), i -> "
-            "CAST(CAST('0x' || substr(md5(text), CAST(4 * i + 1 AS INTEGER), 4) "
-            "AS INTEGER) AS VARCHAR)), ',') AS feat_csv FROM documents"
-        ),
+        "multimodal_features": _multimodal_oracle_sql(),
         "ann_topk": (
             f"SELECT vec_id, {cos_sql} AS score FROM embeddings "
             f"WHERE ({cos_sql}) IS NOT NULL "
@@ -1213,6 +1333,48 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_returnflag, l_linestatus"
         ),
     }
+
+
+def _multimodal_oracle_sql(width: int = 4, height: int = 2) -> str:
+    """DuckDB twin of the REAL multimodal decode path: regenerate the PPM
+    pixel bytes (md5 digest of the text, cycled to width*height*3 samples —
+    exactly what synthesize_ppm_media_from_text encodes), recompute the
+    codec's feature vector [kind=1, w, h, 3, mean, std, min, max] with the
+    same operation order as pipeline.multimodal._norm_stats (mean = sum/n
+    then /255; std = sqrt(ssd/n) then /255), quantize each element through
+    float32 (the engine's ArrayType(FloatType()) Arrow cast == CAST AS
+    REAL), and serialize ×1e6-rounded integers. NULL text is a NULL
+    payload: the engine featurizes b'' to all-zero byte stats."""
+    n = width * height * 3
+    header_len = len(b"P6\n%d %d\n255\n" % (width, height))
+    bs = (
+        f"list_transform(range(0, {n}), i -> CAST('0x' || "
+        f"substr(md5(text), CAST((i % 16) * 2 + 1 AS INTEGER), 2) AS BIGINT))"
+    )
+
+    def q(expr: str) -> str:
+        # float32 quantization, then the ×1e6 integer grid, as VARCHAR
+        return (
+            f"CAST(CAST(round(CAST(CAST({expr} AS REAL) AS DOUBLE) "
+            f"* 1000000.0, 0) AS BIGINT) AS VARCHAR)"
+        )
+
+    head = ",".join(str(v * 1000000) for v in (1, width, height, 3))
+    ssd = "list_sum(list_transform(bs, x -> (x - m) * (x - m)))"
+    feat = (
+        f"'{head},' || {q('m / 255.0')} || ',' || {q(f'sqrt({ssd} / {n}.0) / 255.0')} "
+        f"|| ',' || {q('CAST(list_min(bs) AS DOUBLE) / 255.0')} "
+        f"|| ',' || {q('CAST(list_max(bs) AS DOUBLE) / 255.0')}"
+    )
+    zeros = ",".join(["0"] * 8)
+    return (
+        f"SELECT media_id, "
+        f"CAST(CASE WHEN bs IS NULL THEN 0 ELSE {header_len + n} END AS BIGINT) AS n_bytes, "
+        f"CASE WHEN bs IS NULL THEN '{zeros}' ELSE {feat} END AS feat_csv FROM "
+        f"(SELECT media_id, bs, list_sum(bs) / {n}.0 AS m FROM "
+        f"(SELECT CAST(doc_id AS BIGINT) AS media_id, "
+        f"CASE WHEN text IS NULL THEN NULL ELSE {bs} END AS bs FROM documents))"
+    )
 
 
 def _simhash_oracle_sql(bits: int = 16) -> str:

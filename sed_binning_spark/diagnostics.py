@@ -59,25 +59,7 @@ def event_histogram_grid(
         df = df.filter(F.col(file_column) == int(partition))
 
     if ranges is None:
-        from sed_binning_spark.core.dfops import _nan_to_null
-
-        # NaN masks to NULL first: Spark min/max PROPAGATE NaN (it sorts
-        # greatest), and one NaN row would poison the auto-range into
-        # (lo, NaN) — every bin index NULL, an all-zero histogram returned
-        # silently. np.histogram's auto-range skips NaN; so do we.
-        aggs = []
-        for ax in axes:
-            masked = _nan_to_null(df, ax)
-            aggs += [F.min(masked).alias(f"__lo_{ax}"), F.max(masked).alias(f"__hi_{ax}")]
-        row = df.agg(*aggs).collect()[0]
-        ranges = []
-        for ax in axes:
-            lo, hi = row[f"__lo_{ax}"], row[f"__hi_{ax}"]
-            if lo is None or hi is None:  # empty selection / all-NULL column
-                lo, hi = 0.0, 1.0
-            elif float(lo) == float(hi):  # constant column: widen like
-                lo, hi = float(lo) - 0.5, float(hi) + 0.5  # np.histogram
-            ranges.append((float(lo), float(hi)))
+        ranges = _infer_ranges(df, axes)
     if len(ranges) != len(axes):
         raise ValueError("ranges and axes must have the same length")
 
@@ -97,3 +79,76 @@ def event_histogram_grid(
         centers = (edges[:-1] + edges[1:]) / 2.0
         out[ax] = (centers, counts)
     return out
+
+
+def event_histogram_grid_sparse(
+    df: DataFrame,
+    axes: Sequence[str],
+    bins: int | Sequence[int] = 80,
+    ranges: Sequence[tuple[float, float]] | None = None,
+    partition: int | None = None,
+    file_column: str = "file_id",
+) -> DataFrame:
+    """Sparse distributed form of the grid: one row per occupied
+    ``(axis, bin)`` with columns ``(axis, b0, cnt)``.
+
+    Scale design: all axes histogram in ONE scan — each event row explodes
+    into ``len(axes)`` tiny ``(axis_tag, bin_index)`` structs and a single
+    ``groupBy(axis, b0)`` aggregates them, so 100 TB is read once instead
+    of once per axis, and the shuffle carries only (tag, int64) pairs whose
+    distinct count is bounded by ``sum(bins)``. The driver-side dict form
+    (:func:`event_histogram_grid`) is the densified convenience wrapper.
+    """
+    axes = list(axes)
+    if isinstance(bins, int):
+        bins = [bins] * len(axes)
+    if len(bins) != len(axes):
+        raise ValueError("bins and axes must have the same length")
+    missing = [a for a in axes if a not in df.columns]
+    if missing:
+        raise ValueError(f"axes not in dataframe: {missing}")
+    if partition is not None:
+        if file_column not in df.columns:
+            raise ValueError(f"partition selection needs a {file_column!r} column")
+        df = df.filter(F.col(file_column) == int(partition))
+    if ranges is None:
+        ranges = _infer_ranges(df, axes)
+    if len(ranges) != len(axes):
+        raise ValueError("ranges and axes must have the same length")
+
+    pairs = [
+        F.struct(
+            F.lit(ax).alias("axis"),
+            bin_index_expr(ax, int(n), float(lo), float(hi),
+                           half_bin_shift=False).alias("b0"),
+        )
+        for ax, n, (lo, hi) in zip(axes, bins, ranges)
+    ]
+    return (
+        df.select(F.explode(F.array(*pairs)).alias("e"))
+        .select("e.axis", "e.b0")
+        .where(F.col("b0").isNotNull())
+        .groupBy("axis", "b0")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _infer_ranges(df: DataFrame, axes: Sequence[str]) -> list[tuple[float, float]]:
+    """np.histogram-style auto-ranges from ONE aggregation pass (NaN
+    skipped, constant columns widened by ±0.5, empty selections → (0, 1))."""
+    from sed_binning_spark.core.dfops import _nan_to_null
+
+    aggs = []
+    for ax in axes:
+        masked = _nan_to_null(df, ax)
+        aggs += [F.min(masked).alias(f"__lo_{ax}"), F.max(masked).alias(f"__hi_{ax}")]
+    row = df.agg(*aggs).collect()[0]
+    ranges: list[tuple[float, float]] = []
+    for ax in axes:
+        lo, hi = row[f"__lo_{ax}"], row[f"__hi_{ax}"]
+        if lo is None or hi is None:
+            lo, hi = 0.0, 1.0
+        elif float(lo) == float(hi):
+            lo, hi = float(lo) - 0.5, float(hi) + 0.5
+        ranges.append((float(lo), float(hi)))
+    return ranges

@@ -41,6 +41,7 @@ from sed_binning_spark.pipeline.multimodal import (
     extract_features,
     frame_sample_plan,
     resize_images,
+    synthesize_ppm_media_from_text,
 )
 from sed_binning_spark.pipeline.similarity import ivf_topk, ivf_train_centroids
 from sed_binning_spark.pipeline.text import (
@@ -68,4 +69,5 @@ __all__ = [
     "extract_features",
     "resize_images",
     "frame_sample_plan",
+    "synthesize_ppm_media_from_text",
 ]

@@ -221,7 +221,7 @@ def extract_features(
     feature_dim: int = 8,
     payload_column: str = "payload",
     id_column: str = "media_id",
-    decode_stub: bool = True,
+    decode_stub: bool = False,
     batch_hint: int = 256,
 ) -> DataFrame:
     """Decode + featurize media payloads with ``mapInPandas``.
@@ -232,10 +232,11 @@ def extract_features(
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` sizing for large
     payloads (binary columns dominate batch memory).
 
-    ``decode_stub=False`` runs the real pure-NumPy codecs
+    ``decode_stub=False`` (the default) runs the real pure-NumPy codecs
     (:func:`decode_payload`: PPM/BMP images, PCM-16 WAV audio, byte stats
-    otherwise); ``decode_stub=True`` runs the deterministic md5 fake
-    featurizer (plumbing fixtures and the cross-engine oracle query).
+    otherwise); ``decode_stub=True`` opts into the deterministic md5 fake
+    featurizer, kept only for plumbing fixtures that need an
+    engine-agnostic reproducible vector.
     """
     import pandas as pd
 
@@ -345,6 +346,41 @@ def frame_sample_plan(
         F.explode(
             F.sequence(F.lit(0), F.greatest(F.col(duration_column) - 1, F.lit(0)), F.lit(every_ms)),
         ).alias("frame_ms"),
+    )
+
+
+def synthesize_ppm_media_from_text(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    width: int = 4,
+    height: int = 2,
+) -> DataFrame:
+    """Fixture builder with REAL image payloads: wrap a text table into the
+    MEDIA_SCHEMA contract where each payload is a valid binary PPM (P6)
+    whose pixel bytes are the md5 digest of the text, cycled to fill
+    ``width * height * 3`` samples.
+
+    Entirely expression-level (md5 → unhex → concat), so the payloads are
+    reproducible in any engine that has md5 — which is what lets the
+    cross-engine oracle regenerate the exact pixel statistics the real
+    :func:`decode_payload` codec emits. NULL text maps to a NULL payload.
+    """
+    n = width * height * 3
+    header = b"P6\n%d %d\n255\n" % (width, height)
+    hexd = F.md5(F.col(text_column))
+    parts = [F.lit(header)] + [F.unhex(hexd)] * (n // 16)
+    if n % 16:
+        parts.append(F.unhex(F.substring(hexd, 1, 2 * (n % 16))))
+    payload = F.when(F.col(text_column).isNotNull(), F.concat(*parts))
+    return df.select(
+        F.col(id_column).cast("long").alias("media_id"),
+        payload.alias("payload"),
+        F.when(F.col(text_column).isNotNull(),
+               F.lit("image/x-portable-pixmap")).alias("mime"),
+        F.when(F.col(text_column).isNotNull(), F.lit(width)).cast("int").alias("width"),
+        F.when(F.col(text_column).isNotNull(), F.lit(height)).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
     )
 
 

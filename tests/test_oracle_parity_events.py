@@ -26,19 +26,19 @@ QUERIES = [
     "binning_4d",
     "binning_edges",
     "binning_filtered",
+    "binning_2d3d",
     "filter_range",
     "map_2d",
-    "offsets_per_row",
-    "energy_fit",
-    "energy_poly",
-    "tof_ns",
-    "corr_spherical",
+    "offsets",
+    "energy_axes",
+    "corr_profiles",
+    "aux_combine",
+    "diag_grid",
     "k_axis",
     "delay_calib",
     "delay_flip_offsets",
     "bitwise_split",
     "norm_hist_timed",
-    "offsets_mean",
     "forward_fill",
     "backward_fill",
     "interp_channel",
