@@ -21,7 +21,9 @@ import os
 import shutil
 import tempfile
 import uuid
+import warnings
 from collections.abc import Sequence
+from functools import reduce
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -288,14 +290,21 @@ def bin_dataframe(
     # which would duplicate the flat-index expression tree into the filter
     # condition and push the fused stage over the codegen method limit
     # (interpreted fallback: measured 88 s vs 2 s on the workflow chain).
-    # drop only NULL BIN groups here: a NULL __df_part group must survive
+    # The guard must reference the aggregated count: a bare
+    # isnotnull(__flat) — dropna(subset) included — is a deterministic
+    # predicate over a grouping column, so Catalyst PUSHES IT BELOW the
+    # aggregate and re-inlines the tree anyway (measured 0.97 s vs 0.24 s
+    # on the sf0.1 workflow chain). `count < 0` is never true but is not
+    # statically foldable and makes the disjunction non-splittable, pinning
+    # the filter above the aggregate, where it scans only occupied cells.
+    # Drop only NULL BIN groups here: a NULL __df_part group must survive
     # to the check below (dropping it too would silently vanish every
     # NULL-partition event from the per-partition cube)
     agg_df = (
         df.select(*group_cols)
         .groupBy(*[F.col(n) for n in out_names])
         .count()
-        .dropna(subset=["__flat"])
+        .where(F.col("__flat").isNotNull() | (F.col("count") < 0))
     )
     t1 = _time.perf_counter()
     tbl = _spill_collect_arrow(agg_df) if n_flat >= _SPILL_MIN_CELLS else agg_df.toArrow()
@@ -360,6 +369,18 @@ def _choose_combine(df: DataFrame, combine: str, n_cells: int) -> str:
     return "shuffle"
 
 
+# Below this estimated input size the shuffle plan is trivially cheap, so
+# the routing count() (a pruned re-scan, ~0.2 s of fixed job overhead at toy
+# scale) costs more than any routing win — skip it. 256 MiB is ~2 orders of
+# magnitude under where the dense-driver path starts mattering.
+_ROUTE_PROBE_MIN_BYTES = 256 << 20
+
+# memoized routing counts keyed by the plan's semantic hash: workflow-style
+# callers re-bin the same extraction chain repeatedly (1-D preview, then
+# 4-D), and the underlying files of an analysis session are immutable
+_ROUTE_COUNT_CACHE: dict[int, int] = {}
+
+
 def _cheap_row_estimate(df: DataFrame) -> int | None:
     """Row count for routing, but only when it is cheap to obtain.
 
@@ -369,7 +390,10 @@ def _cheap_row_estimate(df: DataFrame) -> int | None:
     (mapInPandas loaders, pandas_udf transforms) cannot be pruned — a count
     would re-run the whole extraction, doubling ingest cost — so routing
     returns None there and the caller takes the always-safe shuffle plan
-    (callers who know better can force combine='driver')."""
+    (callers who know better can force combine='driver'). Tiny inputs
+    (estimated bytes < _ROUTE_PROBE_MIN_BYTES) also return None: at that
+    size the probe job itself dominates, and the shuffle plan is the right
+    answer regardless of the exact row count."""
     try:
         qe = df._jdf.queryExecution()
         spark = df.sparkSession
@@ -378,11 +402,17 @@ def _cheap_row_estimate(df: DataFrame) -> int | None:
         # selectivity estimate, and an underestimate here would route a
         # huge input onto the driver-memory-bounded dense path
         cbo = spark.conf.get("spark.sql.cbo.enabled", "false") == "true"
+        stats = qe.optimizedPlan().stats()
         if not cbo:
-            stats_rows = qe.optimizedPlan().stats().rowCount()
+            stats_rows = stats.rowCount()
             if stats_rows.isDefined():
                 got = stats_rows.get()  # Py4J may hand back int or scala BigInt
                 return int(got if isinstance(got, int) else got.longValue())
+        # sizeInBytes always has a value (file-size-derived for scans,
+        # Long.MaxValue when unknown — which safely fails this tiny-gate)
+        size = stats.sizeInBytes()
+        if int(size if isinstance(size, int) else size.longValue()) < _ROUTE_PROBE_MIN_BYTES:
+            return None
         # Python stages only reliably show in the PHYSICAL plan (a
         # pandas_udf expression prints as its function name in the logical
         # plan, with no recognizable marker)
@@ -393,7 +423,18 @@ def _cheap_row_estimate(df: DataFrame) -> int | None:
                     "ArrowEvalPython", "BatchEvalPython", "PythonMapInArrow")
     if any(tok in plan_str for tok in python_nodes):
         return None
-    return df.count()
+    try:
+        key = df.semanticHash()
+    except Exception:
+        key = None
+    if key is not None and key in _ROUTE_COUNT_CACHE:
+        return _ROUTE_COUNT_CACHE[key]
+    rows = df.count()
+    if key is not None:
+        if len(_ROUTE_COUNT_CACHE) > 256:
+            _ROUTE_COUNT_CACHE.clear()
+        _ROUTE_COUNT_CACHE[key] = rows
+    return rows
 
 
 def _spill_collect_arrow(df: DataFrame):
@@ -416,6 +457,14 @@ def _spill_collect_arrow(df: DataFrame):
     scratch = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
     if scratch is None:
         if not spark.sparkContext.master.startswith("local"):
+            warnings.warn(
+                "SPARK_GRAFT_SCRATCH_DIR is not set on a non-local master: "
+                "falling back to the single-socket Arrow collect (~50 MB/s). "
+                "Point SPARK_GRAFT_SCRATCH_DIR at storage shared by driver "
+                "and executors to restore the parallel spill path.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             return df.toArrow()
         # prefer RAM-backed tmpfs in local mode: every spill through here is
         # budget-bounded (raw indices <= ~1 GB by _DENSE_ROWS_BUDGET,
@@ -538,11 +587,15 @@ def bin_dataframe_sparse(
     # NULL indices drop as post-agg groups, not a pre-agg filter — a filter
     # would re-inline every index expression tree into its condition and can
     # push the fused stage past the codegen method limit (see bin_dataframe).
+    # The `count < 0` disjunct (never true, not foldable) stops Catalyst
+    # from pushing the isnotnull conjunction below the aggregate, which
+    # would re-create exactly that pre-agg filter (see bin_dataframe).
+    not_null = reduce(lambda a, b: a & b, [F.col(ax).isNotNull() for ax in axes])
     return (
         df.select(*renamed)
         .groupBy(*axes)
         .agg(F.count(F.lit(1)).alias(count_column))
-        .dropna(subset=list(axes))
+        .where(not_null | (F.col(count_column) < 0))
     )
 
 

@@ -356,3 +356,80 @@ def test_return_partitions_rejects_null_partitions(spark):
         bin_dataframe(df, **kw)
     with pytest.raises(ValueError, match="NULL values"):
         bin_dataframe(df, partition_values=[0, 1], **kw)
+
+
+def test_routing_probe_skips_tiny_inputs(spark, tmp_path):
+    """The auto-router must not pay a count() job on toy-scale input: a
+    small parquet scan (far below _ROUTE_PROBE_MIN_BYTES) returns None from
+    the cheap estimate, so _choose_combine takes the shuffle plan without
+    touching the data."""
+    from sed_binning_spark.binning import binning as binning_mod
+
+    p = str(tmp_path / "tiny.parquet")
+    spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS v").write.parquet(p)
+    df = spark.read.parquet(p)
+
+    cls = type(df)  # Spark 4: the classic DataFrame subclass owns count()
+    calls = []
+    orig = cls.count
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    cls.count = counting
+    try:
+        assert binning_mod._cheap_row_estimate(df) is None
+        assert binning_mod._choose_combine(df, "auto", 10**8) == "shuffle"
+    finally:
+        cls.count = orig
+    assert calls == []
+
+
+def test_routing_probe_memoizes_counts(spark, tmp_path):
+    """When the probe must count (big uncached input is simulated by
+    dropping the byte gate; a parquet scan has no exact stats rowCount),
+    repeated routing of the same plan reuses the memoized count instead of
+    re-running the job."""
+    from sed_binning_spark.binning import binning as binning_mod
+
+    p = str(tmp_path / "memo.parquet")
+    spark.range(5000).selectExpr("CAST(id AS DOUBLE) AS v").write.parquet(p)
+    df = spark.read.parquet(p)
+
+    cls = type(df)  # Spark 4: the classic DataFrame subclass owns count()
+    calls = []
+    orig = cls.count
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    old_gate = binning_mod._ROUTE_PROBE_MIN_BYTES
+    cls.count = counting
+    binning_mod._ROUTE_PROBE_MIN_BYTES = 0
+    binning_mod._ROUTE_COUNT_CACHE.clear()
+    try:
+        assert binning_mod._cheap_row_estimate(df) == 5000
+        assert binning_mod._cheap_row_estimate(df) == 5000
+    finally:
+        cls.count = orig
+        binning_mod._ROUTE_PROBE_MIN_BYTES = old_gate
+        binning_mod._ROUTE_COUNT_CACHE.clear()
+    assert len(calls) == 1
+
+
+def test_spill_fallback_warns_on_cluster_without_scratch(spark, monkeypatch):
+    """On a non-local master with no SPARK_GRAFT_SCRATCH_DIR the spill
+    collect silently degrades to the single-socket Arrow collect — it must
+    say so, naming the env var."""
+    import pyspark
+
+    from sed_binning_spark.binning.binning import _spill_collect_arrow
+
+    monkeypatch.delenv("SPARK_GRAFT_SCRATCH_DIR", raising=False)
+    monkeypatch.setattr(spark.sparkContext, "master", "spark://fake-cluster:7077")
+    df = spark.range(10).selectExpr("CAST(id AS INT) AS cell")
+    with pytest.warns(RuntimeWarning, match="SPARK_GRAFT_SCRATCH_DIR"):
+        tbl = _spill_collect_arrow(df)
+    assert tbl.num_rows == 10
