@@ -449,7 +449,7 @@ class FlashLoader(BaseLoader):
         frames: dict[str, DataFrame] = {}
         if electron:
             frames["electron"] = self.spark.createDataFrame(
-                aligned_array_pdf(electron, "per-electron"),
+                aligned_array_pdf(electron, "per-electron", context=path),
                 schema=array_frame_schema(electron),
             )
         aux = pulse.pop("dldAux", None)
@@ -462,7 +462,7 @@ class FlashLoader(BaseLoader):
             )
         if pulse:
             frames["pulse"] = self.spark.createDataFrame(
-                aligned_array_pdf(pulse, "per-pulse"),
+                aligned_array_pdf(pulse, "per-pulse", context=path),
                 schema=array_frame_schema(pulse),
             )
         if train:

@@ -211,12 +211,12 @@ class SXPLoader(BaseLoader):
         frames: dict[str, DataFrame] = {}
         if electron:
             frames["electron"] = self.spark.createDataFrame(
-                aligned_array_pdf(electron, "per-electron"),
+                aligned_array_pdf(electron, "per-electron", context=path),
                 schema=array_frame_schema(electron),
             )
         if pulse:
             frames["pulse"] = self.spark.createDataFrame(
-                aligned_array_pdf(pulse, "per-pulse"),
+                aligned_array_pdf(pulse, "per-pulse", context=path),
                 schema=array_frame_schema(pulse),
             )
         if train:

@@ -247,23 +247,33 @@ def lsh_bucket_pairs(
 
 
 def _dim(df: DataFrame, embedding_column: str) -> int:
-    """Embedding dimensionality: the MODE of the sizes in a small prefix
-    sample (plan-time probe). A first-row probe would let one truncated
+    """Embedding dimensionality: the MODE of the sizes over a bounded
+    prefix (plan-time probe). A first-row probe would let one truncated
     row at the head of the corpus dictate the dimension and silently
     disqualify every well-formed embedding downstream; NULL embeddings are
-    skipped rather than crashing the probe."""
-    pdf = (
+    skipped rather than crashing the probe.
+
+    The mode aggregates 64k rows (deterministic tie-break: higher count,
+    then larger size), so a corrupted head REGION — not just a few rows —
+    cannot dictate the inferred dimension; the limit keeps the probe from
+    scanning a 100 TB corpus at plan time (a fully order-independent probe
+    would need that full scan; callers with adversarially ordered data can
+    pass the dimension explicitly where the API accepts it)."""
+    rows = (
         df.where(F.col(embedding_column).isNotNull())
         .select(F.size(embedding_column).alias("d"))
-        .limit(256)
-        .toPandas()
+        .limit(65536)
+        .groupBy("d")
+        .count()
+        .orderBy(F.desc("count"), F.desc("d"))
+        .take(1)
     )
-    if len(pdf) == 0:
+    if not rows:
         raise ValueError(
             f"no non-null {embedding_column!r} values; cannot infer "
             "embedding dimensionality",
         )
-    return int(pdf["d"].mode().iloc[0])
+    return int(rows[0]["d"])
 
 
 # ---------------------------------------------------------------------------

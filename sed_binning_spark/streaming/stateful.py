@@ -146,11 +146,22 @@ def exact_dedup_stream(
         dcol = "_" + dcol
     # missing text is not duplicate text (the batch exact_dedup contract):
     # md5(NULL) = NULL and dropDuplicates treats NULL == NULL, so without a
-    # per-row unique fallback every NULL-text document after the first
-    # would be silently swallowed as a "duplicate"
+    # per-row fallback every NULL-text document after the first would be
+    # silently swallowed as a "duplicate". The fallback must be
+    # DETERMINISTIC (not uuid()/rand()): on a failed-and-replayed
+    # micro-batch a non-deterministic key gives the same row a fresh dedup
+    # state key, so the replay re-emits it to a non-idempotent sink. Derive
+    # it from the row's other columns instead; two NULL-text rows identical
+    # in every other column are indistinguishable and collapse, which is
+    # the only replay-safe reading of "keep NULL-text rows".
+    other = [c for c in df.columns if c != text_column]
+    null_key = (
+        F.concat(F.lit("__null__"), F.md5(F.to_json(F.struct(*other))))
+        if other else F.lit("__null__")
+    )
     digest = F.when(
         F.col(text_column).isNotNull(), F.md5(F.col(text_column)),
-    ).otherwise(F.concat(F.lit("__null__"), F.uuid()))
+    ).otherwise(null_key)
     out = df.withColumn(dcol, digest)
     if event_time_column is not None:
         out = out.withWatermark(event_time_column, watermark_delay)

@@ -221,3 +221,19 @@ def test_mpes_count_rate_requires_markers(spark):
         loader.get_count_rate([{"streams": {}}])
     with pytest.raises(ValueError, match="no ms_marker"):
         loader.get_elapsed_time([{"streams": {}}])
+
+
+def test_aligned_array_pdf_error_names_file():
+    """A train-index mismatch in a multi-file read must say WHICH file
+    diverged (ADVICE r5: driver-side flash/sxp paths passed no context)."""
+    import numpy as np
+    import pytest
+
+    from sed_binning_spark.loaders.channels import aligned_array_pdf
+
+    chans = {
+        "a": (np.array([1, 2, 3]), np.array([0.1, 0.2, 0.3])),
+        "b": (np.array([1, 2, 4]), np.array([0.1, 0.2, 0.3])),
+    }
+    with pytest.raises(ValueError, match="run_0042.h5"):
+        aligned_array_pdf(chans, "per-pulse", context="/data/run_0042.h5")

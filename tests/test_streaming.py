@@ -289,3 +289,20 @@ def test_exact_dedup_stream_null_text_not_duplicate(tmp_path, spark):
     out = spark.sql("SELECT * FROM stream_dedup_null").toPandas()
     kept = sorted(out["doc_id"])
     assert kept == [0, 1, 2]
+
+
+def test_exact_dedup_stream_null_key_is_deterministic(spark):
+    """The NULL-text fallback digest must be derived from the row (not
+    uuid()/rand()): on a replayed micro-batch a non-deterministic key gives
+    the same row a fresh state key and the replay re-emits it. Assert the
+    plan carries no non-deterministic expression."""
+    from sed_binning_spark.streaming import exact_dedup_stream
+
+    df = spark.createDataFrame(
+        [(0, None), (1, None), (2, "x")], "doc_id long, text string",
+    )
+    out = exact_dedup_stream(df)
+    plan = out._jdf.queryExecution().analyzed().toString().lower()
+    assert "uuid" not in plan and "rand(" not in plan
+    # batch semantics unchanged: NULL-text rows with distinct ids all pass
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 1, 2]
