@@ -673,26 +673,31 @@ def normalization_histogram_sparse_from_timestamps(
     one row per occupied bin with the summed per-event dt."""
     from pyspark.sql.window import Window
 
-    part_col, row_col = order_columns
-    if part_col in df.columns:
-        w = Window.partitionBy(part_col).orderBy(row_col)
-        # last timestamp per file -> driver -> previous-file handoff
+    # order_columns = (*partition keys, row column): multiple keys — e.g.
+    # ("file_id", "split_id", "row_id") from add_file_and_row_ids — window
+    # per scan split so one giant file does not serialize into a single
+    # sort task; the handoff below is lexicographic in the key tuple.
+    *part_cols, row_col = order_columns
+    if part_cols and all(p in df.columns for p in part_cols):
+        w = Window.partitionBy(*part_cols).orderBy(row_col)
+        # last timestamp per key -> driver -> previous-key handoff
         per_file = (
-            df.groupBy(part_col)
+            df.groupBy(*part_cols)
             .agg(F.max_by(time_stamp_column, row_col).alias("__last_ts"))
             .collect()
         )
-        per_file.sort(key=lambda r: r[part_col])
+        per_file.sort(key=lambda r: tuple(r[p] for p in part_cols))
         handoff = []
         prev = None
         for r in per_file:
-            handoff.append((r[part_col], prev))
+            handoff.append((*[r[p] for p in part_cols], prev))
             prev = r["__last_ts"]
         dtypes = dict(df.dtypes)
+        key_schema = ", ".join(f"{p} {dtypes[p]}" for p in part_cols)
         bdf = df.sparkSession.createDataFrame(
-            handoff, schema=f"{part_col} {dtypes[part_col]}, __prev_ts {dtypes[time_stamp_column]}",
+            handoff, schema=f"{key_schema}, __prev_ts {dtypes[time_stamp_column]}",
         )
-        df = df.join(F.broadcast(bdf), on=part_col, how="left")
+        df = df.join(F.broadcast(bdf), on=list(part_cols), how="left")
         prev_ts = F.coalesce(F.lag(time_stamp_column).over(w), F.col("__prev_ts"))
     else:
         w = Window.orderBy(row_col)

@@ -168,10 +168,31 @@ def add_time_stamped_data(
 # ---------------------------------------------------------------------------
 # fills (W1/W2: dfops.py:196-315)
 # ---------------------------------------------------------------------------
+def _fill_keys(df: DataFrame, file_column: str | Sequence[str]) -> list[str] | None:
+    """Resolve the fill's window-partition keys.
+
+    ``file_column`` may be one column or a sequence — e.g. ``("file_id",
+    "split_id")`` minted by :func:`~sed_binning_spark.loaders.generic.
+    add_file_and_row_ids` — so a single multi-TB file windows per SCAN
+    SPLIT instead of serializing into one sort task; the boundary handoff
+    below works identically because row order is lexicographic in the key
+    tuple. Returns None (global-window mode) when the leading key is
+    absent; a missing TRAILING key raises, never silently degrades."""
+    keys = [file_column] if isinstance(file_column, str) else list(file_column)
+    if not keys:
+        raise ValueError("file_column must name at least one column")
+    if keys[0] not in df.columns:
+        return None
+    missing = [k for k in keys[1:] if k not in df.columns]
+    if missing:
+        raise KeyError(f"window key columns not in dataframe: {missing}")
+    return keys
+
+
 def forward_fill(
     df: DataFrame,
     columns: str | Sequence[str],
-    file_column: str = FILE_COLUMN,
+    file_column: str | Sequence[str] = FILE_COLUMN,
     row_column: str = ROW_COLUMN,
 ) -> DataFrame:
     """Forward-fill NaN/NULL values in event order, crossing file boundaries
@@ -184,7 +205,9 @@ def forward_fill(
     files; (2) per-file LAST non-null value — a tiny aggregate collected to
     the driver, forward-filled across the file sequence there; (3) broadcast
     the per-file boundary value back and coalesce. Net cost: one small agg +
-    one broadcast join, no global sort.
+    one broadcast join, no global sort. ``file_column`` may be a sequence
+    of keys (e.g. ``("file_id", "split_id")``) to sub-divide giant files by
+    scan split with the same handoff.
     """
     if isinstance(columns, str):
         columns = [columns]
@@ -195,7 +218,8 @@ def forward_fill(
     if missing:
         raise KeyError(f"columns not in dataframe: {missing}")
 
-    if file_column not in df.columns:
+    keys = _fill_keys(df, file_column)
+    if keys is None:
         # single ordered stream: plain global window (small data / tests)
         w = Window.orderBy(row_column).rowsBetween(Window.unboundedPreceding, 0)
         out = df
@@ -203,9 +227,9 @@ def forward_fill(
             out = out.withColumn(c, F.last(_nan_to_null(df, c), ignorenulls=True).over(w))
         return out
 
-    # phase 1: parallel per-file fill
+    # phase 1: parallel per-file (or per-split) fill
     w = (
-        Window.partitionBy(file_column)
+        Window.partitionBy(*keys)
         .orderBy(row_column)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -213,14 +237,14 @@ def forward_fill(
     for c in columns:
         out = out.withColumn(c, F.last(_nan_to_null(df, c), ignorenulls=True).over(w))
 
-    # phase 2: per-file last non-null -> driver -> running fill across
-    # files. Aggregates over the RAW frame: the last non-null per file is
-    # identical either way, and aggregating `out` would execute the phase-1
-    # sort window once extra just for this collect.
+    # phase 2: per-key last non-null -> driver -> running fill across the
+    # key sequence. Aggregates over the RAW frame: the last non-null per
+    # key is identical either way, and aggregating `out` would execute the
+    # phase-1 sort window once extra just for this collect.
     aggs = [F.max_by(c, F.when(_nan_to_null(df, c).isNotNull(), F.col(row_column))).alias(c)
             for c in columns]
-    boundary = df.groupBy(file_column).agg(*aggs).collect()
-    boundary = sorted(boundary, key=lambda r: r[file_column])
+    boundary = df.groupBy(*keys).agg(*aggs).collect()
+    boundary = sorted(boundary, key=lambda r: tuple(r[k] for k in keys))
     carry: dict = {c: None for c in columns}
     rows = []
     for r in boundary:
@@ -228,12 +252,12 @@ def forward_fill(
         for c in columns:
             if r[c] is not None:
                 carry[c] = r[c]
-        rows.append((r[file_column], *[prev[c] for c in columns]))
+        rows.append((*[r[k] for k in keys], *[prev[c] for c in columns]))
 
-    bdf = _boundary_df(df, file_column, columns, rows, "__ff_")
+    bdf = _boundary_df(df, keys, columns, rows, "__ff_")
 
     # phase 3: broadcast the boundary values, coalesce into leading nulls
-    out = out.join(F.broadcast(bdf), on=file_column, how="left")
+    out = out.join(F.broadcast(bdf), on=keys, how="left")
     for c in columns:
         out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__ff_{c}")))
     return out.drop(*[f"__ff_{c}" for c in columns])
@@ -242,7 +266,7 @@ def forward_fill(
 def backward_fill(
     df: DataFrame,
     columns: str | Sequence[str],
-    file_column: str = FILE_COLUMN,
+    file_column: str | Sequence[str] = FILE_COLUMN,
     row_column: str = ROW_COLUMN,
 ) -> DataFrame:
     """Backward-fill (mirror of :func:`forward_fill`; reference
@@ -256,7 +280,8 @@ def backward_fill(
     if missing:
         raise KeyError(f"columns not in dataframe: {missing}")
 
-    if file_column not in df.columns:
+    keys = _fill_keys(df, file_column)
+    if keys is None:
         w = Window.orderBy(row_column).rowsBetween(0, Window.unboundedFollowing)
         out = df
         for c in columns:
@@ -264,7 +289,7 @@ def backward_fill(
         return out
 
     w = (
-        Window.partitionBy(file_column)
+        Window.partitionBy(*keys)
         .orderBy(row_column)
         .rowsBetween(0, Window.unboundedFollowing)
     )
@@ -273,12 +298,12 @@ def backward_fill(
         out = out.withColumn(c, F.first(_nan_to_null(df, c), ignorenulls=True).over(w))
 
     # boundary values aggregate over the RAW frame: the first non-null per
-    # file is identical either way, and aggregating `out` would execute the
+    # key is identical either way, and aggregating `out` would execute the
     # phase-1 sort window once extra just for this collect
     aggs = [F.min_by(c, F.when(_nan_to_null(df, c).isNotNull(), F.col(row_column))).alias(c)
             for c in columns]
-    boundary = df.groupBy(file_column).agg(*aggs).collect()
-    boundary = sorted(boundary, key=lambda r: r[file_column], reverse=True)
+    boundary = df.groupBy(*keys).agg(*aggs).collect()
+    boundary = sorted(boundary, key=lambda r: tuple(r[k] for k in keys), reverse=True)
     carry: dict = {c: None for c in columns}
     rows = []
     for r in boundary:
@@ -286,25 +311,25 @@ def backward_fill(
         for c in columns:
             if r[c] is not None:
                 carry[c] = r[c]
-        rows.append((r[file_column], *[nxt[c] for c in columns]))
+        rows.append((*[r[k] for k in keys], *[nxt[c] for c in columns]))
 
-    bdf = _boundary_df(df, file_column, columns, rows, "__bf_")
-    out = out.join(F.broadcast(bdf), on=file_column, how="left")
+    bdf = _boundary_df(df, keys, columns, rows, "__bf_")
+    out = out.join(F.broadcast(bdf), on=keys, how="left")
     for c in columns:
         out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__bf_{c}")))
     return out.drop(*[f"__bf_{c}" for c in columns])
 
 
-def _boundary_df(df: DataFrame, file_column: str, columns: Sequence[str],
+def _boundary_df(df: DataFrame, key_columns: Sequence[str], columns: Sequence[str],
                  rows: list[tuple], prefix: str) -> DataFrame:
-    """Tiny per-file boundary-value frame typed from the REAL column types
+    """Tiny per-key boundary-value frame typed from the REAL column types
     (ints, timestamps, strings all fill losslessly — the reference's
     forward_fill_lazy is type-agnostic too)."""
     from pyspark.sql.types import StructField, StructType
 
     fields = {f.name: f for f in df.schema.fields}
     schema = StructType(
-        [StructField(file_column, fields[file_column].dataType, True)]
+        [StructField(k, fields[k].dataType, True) for k in key_columns]
         + [StructField(f"{prefix}{c}", fields[c].dataType, True) for c in columns],
     )
     return df.sparkSession.createDataFrame(rows, schema=schema)

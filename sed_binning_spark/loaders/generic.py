@@ -82,9 +82,20 @@ class GenericLoader(BaseLoader):
         return df, None, self.metadata
 
 
-def add_file_and_row_ids(df: DataFrame, ordered_paths: Sequence[str]) -> DataFrame:
+def add_file_and_row_ids(
+    df: DataFrame,
+    ordered_paths: Sequence[str],
+    split_column: str | None = None,
+) -> DataFrame:
     """Mint (file_id, row_id): file_id = index of the source file in the
     given order; row_id = stable, physically-ordered in-file row index.
+
+    With ``split_column``, also mint the scan-split ordinal within each
+    file (0, 1, ... ordered by byte offset). Sequential operators (fills,
+    time-deltas) can then window on ``(file_id, split_id)`` instead of the
+    whole file, so one pathological multi-TB file no longer serializes into
+    a single sort task — the boundary-handoff trick extends across splits
+    exactly as it does across files.
 
     Scale design (no shuffle of event data): each scan SPLIT is identified by
     ``(file, _metadata.file_block_start)``; a tiny aggregation counts rows per
@@ -132,7 +143,10 @@ def add_file_and_row_ids(df: DataFrame, ordered_paths: Sequence[str]) -> DataFra
         # not a file-backed dataframe (tests over createDataFrame): fall back
         # to a per-file window — small data by construction
         w = Window.partitionBy(FILE_COLUMN).orderBy(F.monotonically_increasing_id())
-        return df.withColumn(ROW_COLUMN, F.row_number().over(w).cast("bigint") - 1)
+        out = df.withColumn(ROW_COLUMN, F.row_number().over(w).cast("bigint") - 1)
+        if split_column is not None:
+            out = out.withColumn(split_column, F.lit(0).cast("int"))
+        return out
 
     tagged = tagged.withColumn("__mid", F.monotonically_increasing_id())
     splits = tagged.groupBy(FILE_COLUMN, "__block").agg(
@@ -147,17 +161,24 @@ def add_file_and_row_ids(df: DataFrame, ordered_paths: Sequence[str]) -> DataFra
     splits.sort(key=lambda r: (r[FILE_COLUMN], r["__block"]))
     rows = []
     next_base: dict[int, int] = {}
+    next_ord: dict[int, int] = {}
     for r in splits:
         fid = r[FILE_COLUMN]
         base = next_base.get(fid, 0)
-        rows.append((fid, r["__block"], base, r["__m0"]))
+        ordinal = next_ord.get(fid, 0)
+        rows.append((fid, r["__block"], base, r["__m0"], ordinal))
         next_base[fid] = base + r["__n"]
+        next_ord[fid] = ordinal + 1
 
     bdf = df.sparkSession.createDataFrame(
-        rows, schema=f"{FILE_COLUMN} int, __block long, __base long, __m0 long",
+        rows,
+        schema=(f"{FILE_COLUMN} int, __block long, __base long, __m0 long, "
+                f"__split int"),
     )
     out = tagged.join(F.broadcast(bdf), on=[FILE_COLUMN, "__block"], how="left")
     out = out.withColumn(
         ROW_COLUMN, (F.col("__base") + F.col("__mid") - F.col("__m0")).cast("bigint"),
     )
-    return out.drop("__block", "__mid", "__base", "__m0")
+    if split_column is not None:
+        out = out.withColumn(split_column, F.col("__split"))
+    return out.drop("__block", "__mid", "__base", "__m0", "__split")

@@ -237,3 +237,44 @@ def test_aligned_array_pdf_error_names_file():
     }
     with pytest.raises(ValueError, match="run_0042.h5"):
         aligned_array_pdf(chans, "per-pulse", context="/data/run_0042.h5")
+
+
+def test_add_file_and_row_ids_mints_split_ordinals(spark, tmp_path):
+    """split_column mints the per-file scan-split ordinal: with a small
+    maxPartitionBytes one parquet file really is read as several splits,
+    row_id stays globally ordered within the file, and split ordinals are
+    contiguous from 0 in row order."""
+    import numpy as np
+    import pandas as pd
+
+    from sed_binning_spark.loaders.generic import add_file_and_row_ids
+
+    p = str(tmp_path / "big.parquet")
+    n = 200_000
+    # several row groups: a split only yields rows when a row-group START
+    # falls inside it, so one giant row group would collapse to one
+    # populated split no matter the byte-range splitting
+    pd.DataFrame({"v": np.random.default_rng(0).random(n)}).to_parquet(
+        p, compression=None, row_group_size=20_000,
+    )
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024))
+    try:
+        df = spark.read.parquet(p)
+        out = add_file_and_row_ids(df, [p], split_column="split_id").toPandas()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert len(out) == n
+    assert sorted(out["row_id"]) == list(range(n))
+    out = out.sort_values("row_id", ignore_index=True)
+    splits = out["split_id"].to_numpy()
+    assert splits[0] == 0
+    assert (np.diff(splits) >= 0).all()          # ordinal follows row order
+    assert splits.max() >= 1, "expected the file to scan as multiple splits"
+    # without split_column the schema is unchanged (back-compat)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024))
+    try:
+        cols = add_file_and_row_ids(spark.read.parquet(p), [p]).columns
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert "split_id" not in cols
