@@ -16,6 +16,7 @@
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import zipfile
@@ -76,12 +77,23 @@ class CopyTool:
 # S11: dataset fetcher
 # ---------------------------------------------------------------------------
 class DatasetFetcher:
-    """Minimal example-dataset manager (sed/dataset/dataset.py:28-416):
-    named datasets resolve to an URL, are fetched once into ``data_dir``,
-    unzipped when they are zip archives, and recorded in a JSON registry so
-    repeat calls are cache hits."""
+    """Example-dataset manager (sed/dataset/dataset.py:28-416): named
+    datasets resolve to a URL (file://, http://, https:// — plain urllib,
+    no extra dependency), are fetched once into ``data_dir``, checksum-
+    verified, unzipped when they are zip archives, and recorded in a JSON
+    state file so repeat calls are cache hits.
 
-    def __init__(self, data_dir: str | Path, registry: dict[str, str] | None = None):
+    Registry values are either a bare URL string or a dict::
+
+        {"url": "https://...", "sha256": "<hex digest>"}
+
+    With ``sha256`` the download is verified before use; a mismatch deletes
+    the corrupt file and raises (a truncated mirror must never be recorded
+    as a good cache entry). The state file tracks the extracted member list
+    of zip datasets, mirroring the reference's subdir/file tracking.
+    """
+
+    def __init__(self, data_dir: str | Path, registry: dict | None = None):
         self.data_dir = Path(data_dir)
         self.data_dir.mkdir(parents=True, exist_ok=True)
         self.registry = dict(registry or {})
@@ -92,36 +104,62 @@ class DatasetFetcher:
             return json.loads(self._state_file.read_text())
         return {}
 
-    def _record(self, name: str, path: str) -> None:
+    def _record(self, name: str, entry: dict) -> None:
         state = self._state()
-        state[name] = {"path": path}
+        state[name] = entry
         self._state_file.write_text(json.dumps(state, indent=2))
 
-    def get(self, name: str, force_download: bool = False) -> str:
-        """Fetch (or reuse) a named dataset; returns its local directory."""
+    def _spec(self, name: str) -> dict:
         if name not in self.registry:
             raise KeyError(
                 f"unknown dataset {name!r}; available: {sorted(self.registry)}",
             )
+        spec = self.registry[name]
+        if isinstance(spec, str):
+            return {"url": spec}
+        spec = dict(spec)
+        if "url" not in spec:
+            raise ValueError(f"dataset {name!r} registry entry has no 'url'")
+        return spec
+
+    def get(self, name: str, force_download: bool = False) -> str:
+        """Fetch (or reuse) a named dataset; returns its local directory."""
+        spec = self._spec(name)
         state = self._state()
         if name in state and not force_download:
             existing = Path(state[name]["path"])
             if existing.exists():
                 return str(existing)
-        url = self.registry[name]
+        url = spec["url"]
         target_dir = self.data_dir / name
         target_dir.mkdir(parents=True, exist_ok=True)
-        fname = os.path.basename(url) or f"{name}.bin"
+        fname = os.path.basename(url.split("?", 1)[0]) or f"{name}.bin"
         target = target_dir / fname
+        digest = hashlib.sha256()
         with urlopen(url) as resp, open(target, "wb") as out:
             while True:
                 chunk = resp.read(1 << 20)
                 if not chunk:
                     break
+                digest.update(chunk)
                 out.write(chunk)
+        expected = spec.get("sha256")
+        if expected is not None and digest.hexdigest() != expected.lower():
+            got = digest.hexdigest()
+            target.unlink(missing_ok=True)
+            raise ValueError(
+                f"checksum mismatch for dataset {name!r} from {url}: "
+                f"expected sha256 {expected}, got {got} — download "
+                "discarded, not recorded",
+            )
+        entry = {"path": str(target_dir), "url": url, "sha256": digest.hexdigest()}
         if zipfile.is_zipfile(target):
             with zipfile.ZipFile(target) as zf:
+                members = zf.namelist()
                 zf.extractall(target_dir)
             target.unlink()
-        self._record(name, str(target_dir))
+            entry["files"] = sorted(members)
+        else:
+            entry["files"] = [fname]
+        self._record(name, entry)
         return str(target_dir)

@@ -55,3 +55,51 @@ def test_extract_bias_values():
     np.testing.assert_array_equal(out, [12.35, 13.0])
     with pytest.raises(KeyError, match="bias key"):
         extract_bias_values([{}], "@missing")
+
+
+def test_dataset_fetcher_http_mocked_with_checksum(tmp_path, monkeypatch):
+    """HTTP(S) fetch path, network-mocked: the fetcher streams through
+    urlopen (so http needs no extra code path), verifies the declared
+    sha256, records the extracted member list, and rejects a corrupted
+    download without recording it."""
+    import hashlib
+    import io
+    import json
+
+    from sed_binning_spark.loaders import storage as storage_mod
+
+    payload = io.BytesIO()
+    with zipfile.ZipFile(payload, "w") as zf:
+        zf.writestr("inner/data.csv", "a,b\n1,2\n")
+    blob = payload.getvalue()
+    good_sha = hashlib.sha256(blob).hexdigest()
+
+    served: dict[str, bytes] = {"https://example.invalid/ds.zip": blob}
+    calls = []
+
+    def fake_urlopen(url):
+        calls.append(url)
+        return io.BytesIO(served[url])
+
+    monkeypatch.setattr(storage_mod, "urlopen", fake_urlopen)
+    fetcher = storage_mod.DatasetFetcher(
+        tmp_path / "store",
+        registry={
+            "ds": {"url": "https://example.invalid/ds.zip", "sha256": good_sha},
+            "bad": {"url": "https://example.invalid/ds.zip",
+                    "sha256": "0" * 64},
+        },
+    )
+    d = fetcher.get("ds")
+    assert (tmp_path / "store" / "ds" / "inner" / "data.csv").exists()
+    state = json.loads((tmp_path / "store" / "datasets.json").read_text())
+    assert state["ds"]["files"] == ["inner/data.csv"]
+    assert state["ds"]["sha256"] == good_sha
+    # cache hit: no second network call
+    assert fetcher.get("ds") == d
+    assert len(calls) == 1
+
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        fetcher.get("bad")
+    assert "bad" not in json.loads((tmp_path / "store" / "datasets.json").read_text())
+    assert not (tmp_path / "store" / "bad" / "ds.zip").exists()
