@@ -375,10 +375,14 @@ def _choose_combine(df: DataFrame, combine: str, n_cells: int) -> str:
 # magnitude under where the dense-driver path starts mattering.
 _ROUTE_PROBE_MIN_BYTES = 256 << 20
 
-# memoized routing counts keyed by the plan's semantic hash: workflow-style
-# callers re-bin the same extraction chain repeatedly (1-D preview, then
-# 4-D), and the underlying files of an analysis session are immutable
-_ROUTE_COUNT_CACHE: dict[int, int] = {}
+# memoized routing counts keyed by (plan semantic hash, estimated input
+# bytes): workflow-style callers re-bin the same extraction chain
+# repeatedly (1-D preview, then 4-D). The size component invalidates the
+# entry when the same path is re-read after new part-files land (a fresh
+# read re-lists the directory, so sizeInBytes grows while the semantic
+# hash stays equal — a stale small count must not route a grown input onto
+# the driver-memory-bounded dense path) and de-risks 32-bit hash collisions
+_ROUTE_COUNT_CACHE: dict[tuple[int, int], int] = {}
 
 
 def _cheap_row_estimate(df: DataFrame) -> int | None:
@@ -411,7 +415,8 @@ def _cheap_row_estimate(df: DataFrame) -> int | None:
         # sizeInBytes always has a value (file-size-derived for scans,
         # Long.MaxValue when unknown — which safely fails this tiny-gate)
         size = stats.sizeInBytes()
-        if int(size if isinstance(size, int) else size.longValue()) < _ROUTE_PROBE_MIN_BYTES:
+        size = int(size if isinstance(size, int) else size.longValue())
+        if size < _ROUTE_PROBE_MIN_BYTES:
             return None
         # Python stages only reliably show in the PHYSICAL plan (a
         # pandas_udf expression prints as its function name in the logical
@@ -424,7 +429,7 @@ def _cheap_row_estimate(df: DataFrame) -> int | None:
     if any(tok in plan_str for tok in python_nodes):
         return None
     try:
-        key = df.semanticHash()
+        key = (df.semanticHash(), size)
     except Exception:
         key = None
     if key is not None and key in _ROUTE_COUNT_CACHE:
@@ -677,8 +682,17 @@ def normalization_histogram_sparse_from_timestamps(
     # ("file_id", "split_id", "row_id") from add_file_and_row_ids — window
     # per scan split so one giant file does not serialize into a single
     # sort task; the handoff below is lexicographic in the key tuple.
+    # Only the LEADING key may be absent (global-window mode for keyless
+    # test frames); a missing trailing key raises like dfops._fill_keys —
+    # silently degrading to a global window would order lag() by a
+    # per-file row_id whose ties across files make dt nondeterministic.
     *part_cols, row_col = order_columns
-    if part_cols and all(p in df.columns for p in part_cols):
+    keyed = bool(part_cols) and part_cols[0] in df.columns
+    if keyed:
+        missing = [p for p in part_cols[1:] if p not in df.columns]
+        if missing:
+            raise KeyError(f"order_columns not in dataframe: {missing}")
+    if keyed:
         w = Window.partitionBy(*part_cols).orderBy(row_col)
         # last timestamp per key -> driver -> previous-key handoff
         per_file = (

@@ -44,24 +44,7 @@ def event_histogram_grid(
     Returns:
         {axis: (bin_centers, counts)} with float64 centers, int64 counts.
     """
-    axes = list(axes)
-    if isinstance(bins, int):
-        bins = [bins] * len(axes)
-    if len(bins) != len(axes):
-        raise ValueError("bins and axes must have the same length")
-    missing = [a for a in axes if a not in df.columns]
-    if missing:
-        raise ValueError(f"axes not in dataframe: {missing}")
-
-    if partition is not None:
-        if file_column not in df.columns:
-            raise ValueError(f"partition selection needs a {file_column!r} column")
-        df = df.filter(F.col(file_column) == int(partition))
-
-    if ranges is None:
-        ranges = _infer_ranges(df, axes)
-    if len(ranges) != len(axes):
-        raise ValueError("ranges and axes must have the same length")
+    df, axes, bins, ranges = _grid_args(df, axes, bins, ranges, partition, file_column)
 
     out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for ax, n, (lo, hi) in zip(axes, bins, ranges):
@@ -99,22 +82,7 @@ def event_histogram_grid_sparse(
     distinct count is bounded by ``sum(bins)``. The driver-side dict form
     (:func:`event_histogram_grid`) is the densified convenience wrapper.
     """
-    axes = list(axes)
-    if isinstance(bins, int):
-        bins = [bins] * len(axes)
-    if len(bins) != len(axes):
-        raise ValueError("bins and axes must have the same length")
-    missing = [a for a in axes if a not in df.columns]
-    if missing:
-        raise ValueError(f"axes not in dataframe: {missing}")
-    if partition is not None:
-        if file_column not in df.columns:
-            raise ValueError(f"partition selection needs a {file_column!r} column")
-        df = df.filter(F.col(file_column) == int(partition))
-    if ranges is None:
-        ranges = _infer_ranges(df, axes)
-    if len(ranges) != len(axes):
-        raise ValueError("ranges and axes must have the same length")
+    df, axes, bins, ranges = _grid_args(df, axes, bins, ranges, partition, file_column)
 
     pairs = [
         F.struct(
@@ -131,6 +99,28 @@ def event_histogram_grid_sparse(
         .groupBy("axis", "b0")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def _grid_args(df, axes, bins, ranges, partition, file_column):
+    """Shared grid-argument validation: broadcast int bins, check lengths
+    and axis presence, apply the partition filter, infer missing ranges."""
+    axes = list(axes)
+    if isinstance(bins, int):
+        bins = [bins] * len(axes)
+    if len(bins) != len(axes):
+        raise ValueError("bins and axes must have the same length")
+    missing = [a for a in axes if a not in df.columns]
+    if missing:
+        raise ValueError(f"axes not in dataframe: {missing}")
+    if partition is not None:
+        if file_column not in df.columns:
+            raise ValueError(f"partition selection needs a {file_column!r} column")
+        df = df.filter(F.col(file_column) == int(partition))
+    if ranges is None:
+        ranges = _infer_ranges(df, axes)
+    if len(ranges) != len(axes):
+        raise ValueError("ranges and axes must have the same length")
+    return df, axes, bins, ranges
 
 
 def _infer_ranges(df: DataFrame, axes: Sequence[str]) -> list[tuple[float, float]]:

@@ -127,8 +127,17 @@ class DatasetFetcher:
         spec = self._spec(name)
         state = self._state()
         if name in state and not force_download:
-            existing = Path(state[name]["path"])
-            if existing.exists():
+            entry = state[name]
+            existing = Path(entry["path"])
+            # a cache hit must still match the CURRENT registry spec: a
+            # registry update (new mirror URL, corrected checksum after a
+            # bad upstream archive) invalidates the entry, otherwise users
+            # keep computing on the stale download forever
+            url_ok = entry.get("url") in (None, spec["url"])
+            sha_ok = spec.get("sha256") is None or (
+                entry.get("sha256") == spec["sha256"].lower()
+            )
+            if existing.exists() and url_ok and sha_ok:
                 return str(existing)
         url = spec["url"]
         target_dir = self.data_dir / name
