@@ -54,6 +54,7 @@ from sed_binning_spark.core.dfops import (
     apply_jitter,
     backward_fill,
     drop_column,
+    drop_nan_rows,
     forward_fill,
     map_columns_2d,
     offset_by_other_columns,
@@ -69,6 +70,7 @@ from sed_binning_spark.pipeline.dedup import (
 )
 from sed_binning_spark.pipeline.multimodal import (
     extract_features,
+    frame_sample_plan,
     synthesize_ppm_media_from_text,
 )
 from sed_binning_spark.pipeline.similarity import (
@@ -76,7 +78,13 @@ from sed_binning_spark.pipeline.similarity import (
     cosine_topk,
     lsh_bucket_pairs,
 )
-from sed_binning_spark.pipeline.text import STOPWORDS, document_fingerprint, language_id, text_stats
+from sed_binning_spark.pipeline.text import (
+    STOPWORDS,
+    document_fingerprint,
+    language_id,
+    quality_score,
+    text_stats,
+)
 from sed_binning_spark.sqlgen import fsql
 
 # ---------------------------------------------------------------------------
@@ -400,22 +408,17 @@ def _q_binning_partitions(spark, sf):
     )
 
 
-def _q_filter_range(spark, sf):
+def _q_filters(spark, sf):
+    """P1 merged: value-range filter (strict open interval) chained with an
+    index filter — both predicate paths of apply_filter in one plan."""
     ev = apply_filter(_events(spark, sf), "value", 100.0, 400.0)
+    ev = apply_filter(ev, "index", upper_bound=5000.0)
     return ev.select("event_id", "value")
 
 
-def _q_filter_index(spark, sf):
-    ev = apply_filter(_events(spark, sf), "index", upper_bound=500.0)
-    return ev.select("event_id")
-
-
-def _q_drop_columns(spark, sf):
-    ev = drop_column(_events(spark, sf), ["props", "event_type", "ts"])
-    return ev
-
-
-def _q_map_2d(spark, sf):
+def _q_map_drop(spark, sf):
+    """M2 + P4 merged: 2-D rotation map, then drop the payload columns the
+    downstream analysis never reads."""
     th = 0.25
     c, s = float(np.cos(th)), float(np.sin(th))
 
@@ -423,7 +426,19 @@ def _q_map_2d(spark, sf):
         return (x * F.lit(c) - y * F.lit(s), x * F.lit(s) + y * F.lit(c))
 
     ev = map_columns_2d(_events(spark, sf), rot, "X", "Y", "Xr", "Yr")
-    return ev.select("event_id", "Xr", "Yr")
+    ev = drop_column(ev, ["props", "event_type", "ts", "X", "Y"])
+    return ev.select("event_id", "user_id", "value", "Xr", "Yr")
+
+
+def _q_nan_drop(spark, sf):
+    """P5: electron-frame dropna — NULL and float-NaN rows both rejected
+    (sed/loader/flash/loader.py:822-824)."""
+    ev = _events(spark, sf).withColumns({
+        "sv1": F.when(F.col("event_id") % 7 != 0, F.col("value")),
+        "sv2": F.when(F.col("event_id") % 11 == 0, F.lit(float("nan")))
+        .otherwise(F.col("ADC")),
+    })
+    return drop_nan_rows(ev, ["sv1", "sv2"]).select("event_id", "sv1", "sv2")
 
 
 def _q_offsets(spark, sf):
@@ -444,18 +459,17 @@ def _q_offsets(spark, sf):
     )
 
 
-def _q_ffill(spark, sf):
-    ev = _events(spark, sf).withColumn(
-        "sv", F.when(F.col("event_id") % 20 == 0, F.col("value")),
-    )
-    return forward_fill(ev, ["sv"]).select("event_id", "sv")
-
-
-def _q_bfill(spark, sf):
-    ev = _events(spark, sf).withColumn(
-        "sv", F.when(F.col("event_id") % 20 == 0, F.col("value")),
-    )
-    return backward_fill(ev, ["sv"]).select("event_id", "sv")
+def _q_fills(spark, sf):
+    """W1 + W2 merged: forward fill one sparse channel and backward fill
+    another from the same frame (both directions of the per-file window +
+    boundary-handoff machinery in one plan)."""
+    ev = _events(spark, sf).withColumns({
+        "sv_f": F.when(F.col("event_id") % 20 == 0, F.col("value")),
+        "sv_b": F.when(F.col("event_id") % 17 == 0, F.col("ADC")),
+    })
+    ev = forward_fill(ev, ["sv_f"])
+    ev = backward_fill(ev, ["sv_b"])
+    return ev.select("event_id", "sv_f", "sv_b")
 
 
 def _q_interp(spark, sf):
@@ -780,6 +794,25 @@ def _q_lang_id(spark, sf):
     return language_id(_docs(spark, sf)).select("doc_id", "lang_pred")
 
 
+def _q_quality(spark, sf):
+    """Gopher-style quality scoring: five heuristic rules folded into one
+    score + keep flag (pure expressions over text_stats)."""
+    out = quality_score(_docs(spark, sf))
+    return out.select(
+        "doc_id", F.round("quality", 6).alias("quality"), "keep",
+    )
+
+
+def _q_frame_sample(spark, sf):
+    """Video frame-sample plan: one row per (media, frame timestamp) via
+    sequence+explode; duration synthesized from the document length."""
+    media = _docs(spark, sf).select(
+        "doc_id", F.col("n_chars").alias("duration_ms"),
+    )
+    out = frame_sample_plan(media, every_ms=25, id_column="doc_id")
+    return out.select("doc_id", F.col("frame_ms").cast("bigint").alias("frame_ms"))
+
+
 def _q_fingerprint(spark, sf):
     return document_fingerprint(_docs(spark, sf)).select("doc_id", "fingerprint")
 
@@ -897,18 +930,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binning_filtered": _q_binning_filtered,
         # A8: per-partition histogram stack
         "binning_partitions": _q_binning_partitions,
-        # P1: range filter / index filter
-        "filter_range": _q_filter_range,
-        "filter_index": _q_filter_index,
-        # P4: drop columns
-        "drop_columns": _q_drop_columns,
-        # M2: simultaneous 2-D map
-        "map_2d": _q_map_2d,
+        # P1 merged: range filter + index filter in one plan
+        "filters": _q_filters,
+        # M2 + P4 merged: 2-D map then drop columns
+        "map_drop": _q_map_drop,
+        # P5: NULL/NaN row drop (electron-frame dropna)
+        "nan_drop": _q_nan_drop,
         # M12: offsets (per-row + mean-reduced, merged)
         "offsets": _q_offsets,
-        # W1/W2: fills
-        "forward_fill": _q_ffill,
-        "backward_fill": _q_bfill,
+        # W1 + W2 merged: forward and backward fills in one plan
+        "fills": _q_fills,
         # M13: timestamped-channel interpolation
         "interp_channel": _q_interp,
         # M3/M4/M5: energy conversions (merged: fit + poly + ns axes)
@@ -946,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_rows": _q_dedup_rows,
         "text_stats": _q_text_stats,
+        "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "minhash_signatures": _q_minhash,
@@ -957,6 +989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pairs_brute": _q_ann_pairs,
         "ann_pairs_lsh": _q_ann_lsh,
         "multimodal_features": _q_multimodal,
+        # frame-sample plan (sequence+explode half of video decode)
+        "frame_sample": _q_frame_sample,
         # generic relational surface (the driver records at most 50 queries;
         # a 51st entry silently gets no CORRECTNESS row, so keep this dict
         # at <= 50)
@@ -1088,18 +1122,21 @@ def oracle_sql() -> dict[str, str]:
             f"{bin_index_sql('t', 100, 60000.0, 120000.0)} AS b0, file_id "
             f"FROM ({_EV_SQL})) WHERE b0 IS NOT NULL GROUP BY b0, file_id"
         ),
-        "filter_range": (
+        "filters": (
             f"SELECT event_id, value FROM ({_EV_SQL}) "
-            f"WHERE value > 100.0 AND value < 400.0"
+            f"WHERE value > 100.0 AND value < 400.0 AND row_id < 5000.0"
         ),
-        "filter_index": f"SELECT event_id FROM ({_EV_SQL}) WHERE row_id < 500.0",
-        "drop_columns": (
-            f"SELECT event_id, user_id, value, X, Y, t, ADC, ts_sec, file_id, row_id "
-            f"FROM ({_EV_SQL})"
-        ),
-        "map_2d": (
-            f"SELECT event_id, X * {fsql(c)} - Y * {fsql(s)} AS Xr, "
+        "map_drop": (
+            f"SELECT event_id, user_id, value, "
+            f"X * {fsql(c)} - Y * {fsql(s)} AS Xr, "
             f"X * {fsql(s)} + Y * {fsql(c)} AS Yr FROM ({_EV_SQL})"
+        ),
+        "nan_drop": (
+            f"SELECT event_id, sv1, sv2 FROM (SELECT event_id, "
+            f"CASE WHEN event_id % 7 <> 0 THEN value END AS sv1, "
+            f"CASE WHEN event_id % 11 = 0 THEN 'NaN'::DOUBLE ELSE ADC END AS sv2 "
+            f"FROM ({_EV_SQL})) WHERE sv1 IS NOT NULL AND NOT isnan(sv1) "
+            f"AND sv2 IS NOT NULL AND NOT isnan(sv2)"
         ),
         "offsets": (
             f"SELECT event_id, t + 2.0 * ADC + -0.5 * value AS t_off_row, "
@@ -1109,17 +1146,15 @@ def oracle_sql() -> dict[str, str]:
         # the NaN mask mirrors the engine (and pandas ffill/bfill): a NaN
         # sample is MISSING and must be filled over, not carried forward —
         # IGNORE NULLS alone would treat NaN as a real reading
-        "forward_fill": (
-            f"SELECT event_id, last_value(sv IGNORE NULLS) OVER "
-            f"(ORDER BY file_id, row_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv "
+        "fills": (
+            f"SELECT event_id, last_value(sv_f IGNORE NULLS) OVER "
+            f"(ORDER BY file_id, row_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv_f, "
+            f"first_value(sv_b IGNORE NULLS) OVER "
+            f"(ORDER BY file_id, row_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sv_b "
             f"FROM (SELECT *, CASE WHEN event_id % 20 = 0 AND NOT isnan(value) "
-            f"THEN value END AS sv FROM ({_EV_SQL}))"
-        ),
-        "backward_fill": (
-            f"SELECT event_id, first_value(sv IGNORE NULLS) OVER "
-            f"(ORDER BY file_id, row_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sv "
-            f"FROM (SELECT *, CASE WHEN event_id % 20 = 0 AND NOT isnan(value) "
-            f"THEN value END AS sv FROM ({_EV_SQL}))"
+            f"THEN value END AS sv_f, "
+            f"CASE WHEN event_id % 17 = 0 AND NOT isnan(ADC) THEN ADC END AS sv_b "
+            f"FROM ({_EV_SQL}))"
         ),
         "interp_channel": (
             f"SELECT event_id, {_np_interp_sql('ts_sec', _INTERP_XS, _INTERP_YS)} AS chan "
@@ -1258,6 +1293,37 @@ def oracle_sql() -> dict[str, str]:
             f"round(len(list_distinct({_WS_SQL})) / CAST(len({_WS_SQL}) AS DOUBLE), 6) "
             f"AS uniq_token_ratio "
             f"FROM documents"
+        ),
+        # every ratio is int/int division of identical counts, so the rule
+        # comparisons are bit-identical across engines; NULL rules (blank
+        # doc) fail via coalesce(false) exactly like the engine
+        "quality_score": (
+            f"SELECT doc_id, round(("
+            f"CAST(coalesce(n_ws BETWEEN 20 AND 100000, false) AS INT) + "
+            f"CAST(coalesce(mtl BETWEEN 3.0 AND 10.0, false) AS INT) + "
+            f"CAST(coalesce(punct <= 0.2, false) AS INT) + "
+            f"CAST(coalesce(stop >= 0.01, false) AS INT) + "
+            f"CAST(coalesce(uniq >= 0.45, false) AS INT)) / 5.0, 6) AS quality, "
+            f"(CAST(coalesce(n_ws BETWEEN 20 AND 100000, false) AS INT) + "
+            f"CAST(coalesce(mtl BETWEEN 3.0 AND 10.0, false) AS INT) + "
+            f"CAST(coalesce(punct <= 0.2, false) AS INT) + "
+            f"CAST(coalesce(stop >= 0.01, false) AS INT) + "
+            f"CAST(coalesce(uniq >= 0.45, false) AS INT)) / 5.0 >= 0.8 AS keep "
+            f"FROM (SELECT doc_id, len({_WS_SQL}) AS n_ws, "
+            f"length(regexp_replace(text, '\\s+', '', 'g')) "
+            f"/ CAST(nullif(len({_WS_SQL}), 0) AS DOUBLE) AS mtl, "
+            f"len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) "
+            f"/ CAST(nullif(length(text), 0) AS DOUBLE) AS punct, "
+            f"len(list_filter(list_transform({_WS_SQL}, x -> lower(x)), "
+            f"x -> x IN ({_STOP_SQL['en']}))) "
+            f"/ CAST(nullif(len({_WS_SQL}), 0) AS DOUBLE) AS stop, "
+            f"len(list_distinct({_WS_SQL})) "
+            f"/ CAST(nullif(len({_WS_SQL}), 0) AS DOUBLE) AS uniq "
+            f"FROM documents)"
+        ),
+        "frame_sample": (
+            "SELECT doc_id, CAST(unnest(generate_series(0, "
+            "greatest(n_chars - 1, 0), 25)) AS BIGINT) AS frame_ms FROM documents"
         ),
         # NULL text: every stop count is NULL, so without an explicit
         # branch the CASE would fall through to ELSE 'fr' where the engine

@@ -47,6 +47,7 @@ from sed_binning_spark.pipeline.similarity import ivf_topk, ivf_train_centroids
 from sed_binning_spark.pipeline.text import (
     document_fingerprint,
     language_id,
+    quality_score,
     text_stats,
 )
 
@@ -64,6 +65,7 @@ __all__ = [
     "ivf_train_centroids",
     "ivf_topk",
     "text_stats",
+    "quality_score",
     "language_id",
     "document_fingerprint",
     "extract_features",

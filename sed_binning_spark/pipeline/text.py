@@ -80,6 +80,43 @@ def text_stats(
     })
 
 
+def quality_score(
+    df: DataFrame,
+    text_column: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    mean_token_len_range: tuple[float, float] = (3.0, 10.0),
+    max_punct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.01,
+    min_uniq_token_ratio: float = 0.45,
+    keep_threshold: float = 0.8,
+) -> DataFrame:
+    """Gopher-style document quality score: five heuristic rules over the
+    :func:`text_stats` statistics (token-count window, mean token length,
+    punctuation density, stopword presence, repetition), each worth 1/5 of
+    ``quality`` ∈ [0, 1]; ``keep`` is ``quality >= keep_threshold``.
+
+    A rule whose statistic is undefined (NULL/blank document → NULL ratio)
+    FAILS rather than propagating NULL — an empty document must never be
+    kept by a filter keyed on this flag. Pure Column expressions, stays in
+    whole-stage codegen; at 100 TB this is a map-only pass with the text
+    column pruned to one scan."""
+    stats = text_stats(df, text_column=text_column)
+    lo_mtl, hi_mtl = mean_token_len_range
+    rules = [
+        F.col("n_ws_tokens").between(min_tokens, max_tokens),
+        F.col("mean_token_len").between(lo_mtl, hi_mtl),
+        F.col("punct_ratio") <= max_punct_ratio,
+        F.col("stopword_ratio") >= min_stopword_ratio,
+        F.col("uniq_token_ratio") >= min_uniq_token_ratio,
+    ]
+    score = sum(
+        (F.coalesce(r, F.lit(False)).cast("int") for r in rules), F.lit(0),
+    ) / float(len(rules))
+    stats = stats.withColumn("quality", score)
+    return stats.withColumn("keep", F.col("quality") >= keep_threshold)
+
+
 def language_id(
     df: DataFrame,
     text_column: str = "text",

@@ -14,6 +14,7 @@ from sed_binning_spark.core.dfops import (
     apply_jitter,
     backward_fill,
     drop_column,
+    drop_nan_rows,
     forward_fill,
     map_columns_2d,
     offset_by_other_columns,
@@ -50,6 +51,30 @@ def test_jitter_inplace_and_errors(events_df):
         apply_jitter(events_df, cols=None)
     with pytest.raises(ValueError, match="'normal', 'uniform'"):
         apply_jitter(events_df, cols=["X"], jitter_type="bogus")
+
+
+# -------------------------------------------------------------------- dropna
+def test_drop_nan_rows_null_and_nan(spark):
+    """Both NULL and float NaN reject the row (P5 dropna semantics,
+    sed/loader/flash/loader.py:822-824); other columns never consulted."""
+    pdf = pd.DataFrame({
+        "id": [0, 1, 2, 3, 4],
+        "a": [1.0, np.nan, 3.0, None, 5.0],
+        "b": [1.0, 2.0, None, 4.0, 5.0],
+    })
+    df = spark.createDataFrame(pdf)
+    out = drop_nan_rows(df, ["a", "b"]).toPandas()
+    assert sorted(out["id"]) == [0, 4]
+    # single-column subset keeps rows dirty only elsewhere
+    out_a = drop_nan_rows(df, "a").toPandas()
+    assert sorted(out_a["id"]) == [0, 2, 4]
+    # non-float columns: NULL check only, no isnan on strings
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"id": [0, 1], "s": ["x", None]}),
+    )
+    assert drop_nan_rows(df2, ["s"]).count() == 1
+    with pytest.raises(KeyError, match="missing"):
+        drop_nan_rows(df, ["nope"])
 
 
 # ---------------------------------------------------------------------- filter

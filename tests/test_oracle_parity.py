@@ -22,6 +22,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 QUERIES = [
     "text_stats",
+    "quality_score",
+    "frame_sample",
     "lang_id",
     "fingerprint",
     "simhash",
@@ -51,9 +53,12 @@ def dirty_sf(tmp_path_factory):
         (9, "short"),
         (10, "zwei kurze worte"),
     ]
-    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
-        d / "documents.parquet",
-    )
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    # the driver table carries a precomputed n_chars used by frame_sample
+    # as the media duration; NULL text -> NULL duration (media row dropped
+    # by both engines), empty text -> duration 0 (a single frame at t=0)
+    pdf["n_chars"] = pdf["text"].str.len().astype("Int64")
+    pdf.to_parquet(d / "documents.parquet")
     return str(d)
 
 

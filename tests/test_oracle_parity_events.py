@@ -27,8 +27,9 @@ QUERIES = [
     "binning_edges",
     "binning_filtered",
     "binning_2d3d",
-    "filter_range",
-    "map_2d",
+    "filters",
+    "map_drop",
+    "nan_drop",
     "offsets",
     "energy_axes",
     "corr_profiles",
@@ -39,16 +40,13 @@ QUERIES = [
     "delay_flip_offsets",
     "bitwise_split",
     "norm_hist_timed",
-    "forward_fill",
-    "backward_fill",
+    "fills",
     "interp_channel",
     "mpes_timestamps",
     "mpes_timed",
     "norm_spectrum",
     "norm_hist_timestamps",
     "binning_partitions",
-    "filter_index",
-    "drop_columns",
     "sector_align",
     "flash_electron_ids",
     "sxp_electron_ids",

@@ -30,6 +30,7 @@ from sed_binning_spark.pipeline.similarity import (
 from sed_binning_spark.pipeline.text import (
     document_fingerprint,
     language_id,
+    quality_score,
     rolling_hashes,
     text_stats,
 )
@@ -128,6 +129,40 @@ def test_text_stats(docs_df):
     assert r.stopword_ratio == pytest.approx(2 / 9)  # "the" twice
     assert 0 <= r.punct_ratio < 0.05
     assert r.uniq_token_ratio == pytest.approx(8 / 9)
+
+
+def test_quality_score_rules(docs_df):
+    out = quality_score(docs_df).toPandas().set_index("doc_id")
+    # doc 0: 9 tokens (fails the >=20 window), mean_token_len 4.0,
+    # no punctuation, stopwords present, 8/9 unique -> 4/5 rules pass
+    assert out.loc[0, "quality"] == pytest.approx(0.8)
+    assert bool(out.loc[0, "keep"])
+    assert ((out["quality"] >= 0) & (out["quality"] <= 1)).all()
+
+
+def test_quality_score_degenerate_docs(spark):
+    """NULL/blank/repetitive documents must be scored low, never NULL —
+    an empty doc must not sneak past a keep-flag filter."""
+    df = spark.createDataFrame(
+        [(0, None), (1, "   "), (2, "spam " * 50), (3, "!!! ??? ... ;;; :::")],
+        "doc_id long, text string",
+    )
+    out = quality_score(df).toPandas().set_index("doc_id")
+    assert out["quality"].notna().all()
+    assert out.loc[0, "quality"] == 0.0 and not bool(out.loc[0, "keep"])
+    # whitespace-only: every token-based rule fails (only the punctuation
+    # rule can pass on its 3 blank chars) — never kept
+    assert out.loc[1, "quality"] <= 0.2 and not bool(out.loc[1, "keep"])
+    # 50x-repeated token: uniq ratio 1/50 fails the repetition rule
+    assert not bool(out.loc[2, "keep"])
+    # pure punctuation: punct_ratio ~0.75 and no stopwords
+    assert not bool(out.loc[3, "keep"])
+    # thresholds are parameters: relax everything and the spam doc passes
+    lax = quality_score(
+        df, min_tokens=1, min_uniq_token_ratio=0.0, min_stopword_ratio=0.0,
+        mean_token_len_range=(1.0, 100.0),
+    ).toPandas().set_index("doc_id")
+    assert bool(lax.loc[2, "keep"])
 
 
 def test_language_id(docs_df):
