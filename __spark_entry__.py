@@ -412,7 +412,9 @@ def _q_filters(spark, sf):
     """P1 merged: value-range filter (strict open interval) chained with an
     index filter — both predicate paths of apply_filter in one plan."""
     ev = apply_filter(_events(spark, sf), "value", 100.0, 400.0)
-    ev = apply_filter(ev, "index", upper_bound=5000.0)
+    # bound chosen below the sf0.001 row count so the index predicate also
+    # bites in the dirty-events parity suite, not just at the sf0.01 gate
+    ev = apply_filter(ev, "index", upper_bound=500.0)
     return ev.select("event_id", "value")
 
 
@@ -1124,7 +1126,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "filters": (
             f"SELECT event_id, value FROM ({_EV_SQL}) "
-            f"WHERE value > 100.0 AND value < 400.0 AND row_id < 5000.0"
+            f"WHERE value > 100.0 AND value < 400.0 AND row_id < 500.0"
         ),
         "map_drop": (
             f"SELECT event_id, user_id, value, "
@@ -1298,17 +1300,13 @@ def oracle_sql() -> dict[str, str]:
         # comparisons are bit-identical across engines; NULL rules (blank
         # doc) fail via coalesce(false) exactly like the engine
         "quality_score": (
-            f"SELECT doc_id, round(("
+            f"SELECT doc_id, round(n_rules / 5.0, 6) AS quality, "
+            f"n_rules / 5.0 >= 0.8 AS keep FROM (SELECT doc_id, "
             f"CAST(coalesce(n_ws BETWEEN 20 AND 100000, false) AS INT) + "
             f"CAST(coalesce(mtl BETWEEN 3.0 AND 10.0, false) AS INT) + "
             f"CAST(coalesce(punct <= 0.2, false) AS INT) + "
             f"CAST(coalesce(stop >= 0.01, false) AS INT) + "
-            f"CAST(coalesce(uniq >= 0.45, false) AS INT)) / 5.0, 6) AS quality, "
-            f"(CAST(coalesce(n_ws BETWEEN 20 AND 100000, false) AS INT) + "
-            f"CAST(coalesce(mtl BETWEEN 3.0 AND 10.0, false) AS INT) + "
-            f"CAST(coalesce(punct <= 0.2, false) AS INT) + "
-            f"CAST(coalesce(stop >= 0.01, false) AS INT) + "
-            f"CAST(coalesce(uniq >= 0.45, false) AS INT)) / 5.0 >= 0.8 AS keep "
+            f"CAST(coalesce(uniq >= 0.45, false) AS INT) AS n_rules "
             f"FROM (SELECT doc_id, len({_WS_SQL}) AS n_ws, "
             f"length(regexp_replace(text, '\\s+', '', 'g')) "
             f"/ CAST(nullif(len({_WS_SQL}), 0) AS DOUBLE) AS mtl, "
@@ -1319,11 +1317,16 @@ def oracle_sql() -> dict[str, str]:
             f"/ CAST(nullif(len({_WS_SQL}), 0) AS DOUBLE) AS stop, "
             f"len(list_distinct({_WS_SQL})) "
             f"/ CAST(nullif(len({_WS_SQL}), 0) AS DOUBLE) AS uniq "
-            f"FROM documents)"
+            f"FROM documents))"
         ),
+        # NULL duration (NULL n_chars) is dropped, mirroring the engine's
+        # explicit filter — greatest() skips NULLs in both engines, so
+        # without the WHERE an unknown-duration row would fabricate a
+        # frame at t=0
         "frame_sample": (
             "SELECT doc_id, CAST(unnest(generate_series(0, "
-            "greatest(n_chars - 1, 0), 25)) AS BIGINT) AS frame_ms FROM documents"
+            "greatest(n_chars - 1, 0), 25)) AS BIGINT) AS frame_ms "
+            "FROM documents WHERE n_chars IS NOT NULL"
         ),
         # NULL text: every stop count is NULL, so without an explicit
         # branch the CASE would fall through to ELSE 'fr' where the engine

@@ -92,21 +92,15 @@ def drop_nan_rows(df: DataFrame, columns: str | Sequence[str]) -> DataFrame:
     """Drop rows where ANY of ``columns`` is NULL or float NaN — the P5
     electron-frame cleanup (``dataframe.dropna(subset=per_electron_cols)``,
     sed/loader/flash/loader.py:822-824, sed/loader/sxp/loader.py:877).
-    Pandas ``dropna`` treats NaN and None identically; Spark keeps them
-    distinct, so both are rejected explicitly. Pure-predicate filter: pushes
-    to the scan, no shuffle."""
+    Spark's ``DataFrame.dropna`` already matches pandas here — it rejects
+    both NULL and float NaN over the subset — so after validating the
+    column names this delegates to it. Pure-predicate filter: pushes to
+    the scan, no shuffle."""
     cols = [columns] if isinstance(columns, str) else list(columns)
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise KeyError(f"Cannot dropna on missing columns: {missing}")
-    dtypes = dict(df.dtypes)
-    cond = F.lit(True)
-    for c in cols:
-        keep = F.col(c).isNotNull()
-        if dtypes[c] in ("float", "double"):
-            keep = keep & ~F.isnan(F.col(c))
-        cond = cond & keep
-    return df.filter(cond)
+    return df.dropna(how="any", subset=cols)
 
 
 def apply_filter(

@@ -340,8 +340,12 @@ def frame_sample_plan(
 ) -> DataFrame:
     """Video frame-sampling plan: one row per (media, frame timestamp)
     via sequence+explode — the pure-expression half of frame extraction
-    (the decode of each frame goes through :func:`extract_features`)."""
-    return df.select(
+    (the decode of each frame goes through :func:`extract_features`).
+
+    Media with NULL duration are dropped: ``greatest`` skips NULLs, so
+    without the explicit filter an unknown-duration row would fabricate a
+    single frame at t=0 instead of sampling nothing."""
+    return df.filter(F.col(duration_column).isNotNull()).select(
         F.col(id_column),
         F.explode(
             F.sequence(F.lit(0), F.greatest(F.col(duration_column) - 1, F.lit(0)), F.lit(every_ms)),
