@@ -525,10 +525,18 @@ def _dense_driver_histogram(df: DataFrame, flat, n_cells: int) -> np.ndarray:
     t0 = _time.perf_counter()
     tbl = _spill_collect_arrow(df.select(cell))
     t1 = _time.perf_counter()
-    vals = tbl.column("cell").to_numpy(zero_copy_only=False)
-    if vals.size == 0:
+    col = tbl.column("cell")
+    if len(col) == 0:
         return np.zeros(n_cells, dtype=np.float32)
-    hist = _range_partitioned_bincount(vals, n_cells + 1)[:n_cells].astype(np.float32)
+    if n_cells + 1 < _VALUE_CHUNK_MAX_CELLS and len(col) >= 4_000_000:
+        # small-cell regime: skip the full-column concat too — bincount the
+        # parquet row-group chunks directly (sentinel keeps them mask-free,
+        # so each to_numpy is zero-copy)
+        arrays = [c.to_numpy(zero_copy_only=False) for c in col.chunks]
+        hist = _value_chunked_bincount(arrays, n_cells + 1)[:n_cells].astype(np.float32)
+    else:
+        vals = col.to_numpy(zero_copy_only=False)
+        hist = _range_partitioned_bincount(vals, n_cells + 1)[:n_cells].astype(np.float32)
     LAST_RUN_INFO.update(
         spill_collect_s=round(t1 - t0, 3),
         bincount_s=round(_time.perf_counter() - t1, 3),
@@ -546,8 +554,10 @@ def _range_partitioned_bincount(vals: np.ndarray, n_cells: int) -> np.ndarray:
     and the extra full scans are sequential reads the memory system is good
     at. Small inputs take the plain single call.
     """
-    if vals.size < 4_000_000 or n_cells < 1_000_000:
+    if vals.size < 4_000_000:
         return np.bincount(vals, minlength=n_cells)
+    if n_cells < _VALUE_CHUNK_MAX_CELLS:
+        return _value_chunked_bincount([vals], n_cells)
     from concurrent.futures import ThreadPoolExecutor
 
     # measured on 1e8 values x 1e8 cells: 3.8 s @ 8 threads, 3.1 s @ 16,
@@ -564,6 +574,42 @@ def _range_partitioned_bincount(vals: np.ndarray, n_cells: int) -> np.ndarray:
     with ThreadPoolExecutor(n_threads) as ex:
         list(ex.map(_work, range(n_threads)))
     return out
+
+
+# strategy crossover measured at 1e8 values: value-chunked 0.2/1.1/0.6/8.4 s
+# vs range-partitioned 3.8(single)/3.1/0.8/0.8 s at 160k/1M/4M/16M cells —
+# private per-thread accumulators win while they stay cache-resident, full
+# rescans win once the accumulator itself is the working set
+_VALUE_CHUNK_MAX_CELLS = 8_000_000
+
+
+def _value_chunked_bincount(arrays: Sequence[np.ndarray], n_cells: int) -> np.ndarray:
+    """Histogram for the SMALL-cell regime (accumulator fits in cache).
+
+    The dual of :func:`_range_partitioned_bincount`: when ``n_cells`` is
+    small each thread owns a private cache-resident accumulator and
+    bincounts its own slice of the VALUES, and the partials sum at the end
+    (the classic map-side-combine shape, driver edition). Measured at 1e8
+    values x 160k cells: 3.8 s single np.bincount -> 0.2 s at 16 threads.
+    Range-partitioning would be wrong here — 16 threads re-scanning 400 MB
+    each to fill 10k-cell slices is all scan and no win.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    work: list[np.ndarray] = []
+    for a in arrays:
+        if a.size > 8_000_000:
+            work.extend(np.array_split(a, a.size // 4_000_000))
+        elif a.size:
+            work.append(a)
+    if not work:
+        return np.zeros(n_cells, dtype=np.int64)
+    if len(work) == 1:
+        return np.bincount(work[0], minlength=n_cells)
+    n_threads = min(16, max(2, (os.cpu_count() or 8) // 2))
+    with ThreadPoolExecutor(n_threads) as ex:
+        parts = list(ex.map(lambda ch: np.bincount(ch, minlength=n_cells), work))
+    return np.sum(parts, axis=0)
 
 
 def bin_dataframe_sparse(
