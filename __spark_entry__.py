@@ -21,6 +21,8 @@ engines; events.ts is TIMESTAMP(NANOS) → int64 ns):
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 import numpy as np
@@ -59,7 +61,8 @@ from sed_binning_spark.core.dfops import (
     map_columns_2d,
     offset_by_other_columns,
 )
-from sed_binning_spark.loaders.flash import explode_per_electron
+from sed_binning_spark.loaders.flash import explode_per_electron, split_electron_pulse_frames
+from sed_binning_spark.loaders.storage import load_parquet, save_parquet
 from sed_binning_spark.loaders.utils import split_channel_bitwise
 from sed_binning_spark.pipeline.dedup import (
     exact_dedup,
@@ -772,11 +775,15 @@ def _q_sxp_electron_ids(spark, sf):
 # ---- pipeline / LLM-data operators ----------------------------------------
 
 def _q_dedup_exact(spark, sf):
-    return exact_dedup(_docs(spark, sf))
-
-
-def _q_dedup_rows(spark, sf):
-    return exact_dedup_keep_rows(_docs(spark, sf)).select("doc_id")
+    """Exact dedup, both grains merged: the surviving rows (keep_rows —
+    NULL-text rows all retained) annotated with their digest-class
+    duplicate count (exact_dedup)."""
+    docs = _docs(spark, sf)
+    classes = exact_dedup(docs).select(
+        F.col("kept_id").alias("doc_id"), "n_dups",
+    )
+    kept = exact_dedup_keep_rows(docs).select("doc_id")
+    return kept.join(classes, on="doc_id", how="left")
 
 
 def _q_text_stats(spark, sf):
@@ -815,8 +822,11 @@ def _q_frame_sample(spark, sf):
     return out.select("doc_id", F.col("frame_ms").cast("bigint").alias("frame_ms"))
 
 
-def _q_fingerprint(spark, sf):
-    return document_fingerprint(_docs(spark, sf)).select("doc_id", "fingerprint")
+def _q_doc_hashes(spark, sf):
+    """Document hashing merged: winnowing fingerprint + 16-bit SimHash
+    sketch from the same scan (both pure-expression operators)."""
+    out = simhash(document_fingerprint(_docs(spark, sf)), bits=16)
+    return out.select("doc_id", "fingerprint", "simhash")
 
 
 def _q_minhash(spark, sf):
@@ -830,8 +840,29 @@ def _q_minhash_lsh(spark, sf):
     )
 
 
-def _q_simhash(spark, sf):
-    return simhash(_docs(spark, sf), bits=16).select("doc_id", "simhash")
+def _q_pulse_projection(spark, sf):
+    """P6: pulse-frame projection — keep per-pulse/train channels at
+    electronId 0, NULL, or NaN (sed/loader/flash/loader.py:825-830)."""
+    ev = _events(spark, sf).select(
+        "event_id",
+        F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("dldPosX"),
+        F.when(F.col("event_id") % 13 == 0, F.lit(float("nan")))
+        .otherwise((F.col("event_id") % 3).cast("double")).alias("electronId"),
+        F.col("ADC").alias("pulseADC"),
+    )
+    _, pulse = split_electron_pulse_frames(ev, ["dldPosX"])
+    return pulse
+
+
+def _q_storage_roundtrip(spark, sf):
+    """S9: combined-parquet save + load round-trip — the returned frame is
+    what a later session would read back."""
+    ev = _events(spark, sf).select("event_id", "user_id", "value")
+    path = os.path.join(
+        tempfile.gettempdir(), "sed_binning_spark_s9_roundtrip.parquet",
+    )
+    save_parquet(ev, path)
+    return load_parquet(spark, path)
 
 
 def _q_jaccard_pairs(spark, sf):
@@ -976,15 +1007,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jitter": _q_jitter,
         "dfield_correction": _q_dfield,
         # LLM-pipeline operators
+        # merged: digest classes + surviving rows in one result
         "dedup_exact": _q_dedup_exact,
-        "dedup_exact_rows": _q_dedup_rows,
         "text_stats": _q_text_stats,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
-        "fingerprint": _q_fingerprint,
+        # merged: winnowing fingerprint + simhash sketch
+        "doc_hashes": _q_doc_hashes,
         "minhash_signatures": _q_minhash,
         "minhash_lsh_pairs": _q_minhash_lsh,
-        "simhash": _q_simhash,
+        # P6: pulse-frame projection; S9: parquet round-trip
+        "pulse_projection": _q_pulse_projection,
+        "storage_roundtrip": _q_storage_roundtrip,
         "jaccard_pairs": _q_jaccard_pairs,
         "rolling_hashes": _q_rolling_hashes,
         "ann_topk": _q_ann_topk,
@@ -1271,14 +1305,13 @@ def oracle_sql() -> dict[str, str]:
         # NULL-text rows are excluded from duplicate classes (missing text
         # is not duplicate text) and all preserved by the keep-rows form
         "dedup_exact": (
-            "SELECT md5(text) AS text_hash, min(doc_id) AS kept_id, "
-            "count(*) AS n_dups FROM documents WHERE text IS NOT NULL "
-            "GROUP BY md5(text)"
-        ),
-        "dedup_exact_rows": (
-            "SELECT doc_id FROM documents WHERE text IS NULL OR doc_id IN "
+            "SELECT k.doc_id, c.n_dups FROM "
+            "(SELECT doc_id FROM documents WHERE text IS NULL OR doc_id IN "
             "(SELECT min(doc_id) FROM documents WHERE text IS NOT NULL "
-            "GROUP BY md5(text))"
+            "GROUP BY md5(text))) k LEFT JOIN "
+            "(SELECT min(doc_id) AS doc_id, count(*) AS n_dups "
+            "FROM documents WHERE text IS NOT NULL GROUP BY md5(text)) c "
+            "ON c.doc_id = k.doc_id"
         ),
         "text_stats": (
             f"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
@@ -1340,9 +1373,11 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN {stop_filters['de']} = greatest({stop_filters['en']}, {stop_filters['de']}, "
             f"{stop_filters['fr']}) THEN 'de' ELSE 'fr' END AS lang_pred FROM documents"
         ),
-        "fingerprint": (
-            f"SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fingerprint "
-            f"FROM documents"
+        "doc_hashes": (
+            f"SELECT f.doc_id, f.fingerprint, s.simhash FROM "
+            f"(SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fingerprint "
+            f"FROM documents) f JOIN ({_simhash_oracle_sql(bits=16)}) s "
+            f"ON s.doc_id = f.doc_id"
         ),
         "minhash_signatures": (
             f"SELECT doc_id, {mh(0)} AS mh_0, {mh(1)} AS mh_1, "
@@ -1366,7 +1401,19 @@ def oracle_sql() -> dict[str, str]:
             f"UNION SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u) "
             f"SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u"
         ),
-        "simhash": _simhash_oracle_sql(bits=16),
+        # NaN electronId: NaN = 0 is false, the isnan branch keeps it
+        "pulse_projection": (
+            f"SELECT event_id, electronId, pulseADC FROM (SELECT event_id, "
+            f"CASE WHEN event_id % 13 = 0 THEN 'NaN'::DOUBLE "
+            f"ELSE CAST(event_id % 3 AS DOUBLE) END AS electronId, "
+            f"ADC AS pulseADC FROM ({_EV_SQL})) "
+            f"WHERE electronId = 0 OR electronId IS NULL OR isnan(electronId)"
+        ),
+        # round-trip identity: what load_parquet reads back must equal the
+        # frame save_parquet was given
+        "storage_roundtrip": (
+            f"SELECT event_id, user_id, value FROM ({_EV_SQL})"
+        ),
         "jaccard_pairs": (
             f"SELECT p.id_a, p.id_b, round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
             f" / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard FROM "

@@ -25,14 +25,12 @@ QUERIES = [
     "quality_score",
     "frame_sample",
     "lang_id",
-    "fingerprint",
-    "simhash",
+    "doc_hashes",
     "rolling_hashes",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "jaccard_pairs",
     "dedup_exact",
-    "dedup_exact_rows",
 ]
 
 

@@ -51,6 +51,8 @@ QUERIES = [
     "flash_electron_ids",
     "sxp_electron_ids",
     "flash_pulse_frame",
+    "pulse_projection",
+    "storage_roundtrip",
     "channel_join",
 ]
 
