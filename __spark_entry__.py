@@ -846,7 +846,9 @@ def _q_pulse_projection(spark, sf):
     ev = _events(spark, sf).select(
         "event_id",
         F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("dldPosX"),
+        # all three keep-branches represented: NaN, NULL, and literal 0
         F.when(F.col("event_id") % 13 == 0, F.lit(float("nan")))
+        .when(F.col("event_id") % 17 == 0, F.lit(None).cast("double"))
         .otherwise((F.col("event_id") % 3).cast("double")).alias("electronId"),
         F.col("ADC").alias("pulseADC"),
     )
@@ -856,10 +858,19 @@ def _q_pulse_projection(spark, sf):
 
 def _q_storage_roundtrip(spark, sf):
     """S9: combined-parquet save + load round-trip — the returned frame is
-    what a later session would read back."""
+    what a later session would read back.
+
+    The target path is keyed on (sf dir, pid): two processes (driver gate +
+    selfcheck) or two sf dirs in one session never overwrite each other
+    while a lazy reader is still open on the path. Size is bounded: each
+    (pid, sf) pair reuses its one overwrite-mode dataset."""
+    import hashlib
+
     ev = _events(spark, sf).select("event_id", "user_id", "value")
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
     path = os.path.join(
-        tempfile.gettempdir(), "sed_binning_spark_s9_roundtrip.parquet",
+        tempfile.gettempdir(),
+        f"sed_binning_spark_s9_{tag}_{os.getpid()}.parquet",
     )
     save_parquet(ev, path)
     return load_parquet(spark, path)
@@ -1405,6 +1416,7 @@ def oracle_sql() -> dict[str, str]:
         "pulse_projection": (
             f"SELECT event_id, electronId, pulseADC FROM (SELECT event_id, "
             f"CASE WHEN event_id % 13 = 0 THEN 'NaN'::DOUBLE "
+            f"WHEN event_id % 17 = 0 THEN NULL "
             f"ELSE CAST(event_id % 3 AS DOUBLE) END AS electronId, "
             f"ADC AS pulseADC FROM ({_EV_SQL})) "
             f"WHERE electronId = 0 OR electronId IS NULL OR isnan(electronId)"
