@@ -183,7 +183,9 @@ def _ref_scale_block(spark, n: int) -> dict:
         # without it the first query measured eats all JIT cost and e.g.
         # binning_1d times slower than the strictly-harder workflow_1d
         binning_mod.LAST_RUN_INFO.clear()  # don't attribute stale phases
-        series = [_run(fn) for _ in range(3)]
+        # warm-up + best-of-3: host noise swings single runs up to ~2x,
+        # and the driver records exactly one bench per round
+        series = [_run(fn) for _ in range(4)]
         runs[name] = [round(t, 3) for t in series]
         best[name] = round(min(series[1:]), 3)
         phases[name] = dict(binning_mod.LAST_RUN_INFO)
