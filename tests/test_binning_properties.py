@@ -106,3 +106,27 @@ def test_nan_and_null_always_rejected_property(spark, nbins, lo, width):
     df = spark.createDataFrame(rows, "v double")
     cube = bin_dataframe(df, bins=[nbins], axes=["v"], ranges=[(lo, lo + width)])
     assert float(cube.data.sum()) == 1.0  # only the real value lands
+
+
+@given(
+    n_vals=st.integers(0, 50_000),
+    n_cells=st.integers(1, 300_000),
+    seed=st.integers(0, 2**31),
+    n_chunks=st.integers(1, 5),
+)
+@settings(max_examples=20, deadline=None)
+def test_driver_bincount_strategies_agree(n_vals, n_cells, seed, n_chunks):
+    """Both driver histogram strategies must equal plain np.bincount for
+    any value distribution, chunking, and cell count (the size thresholds
+    only pick WHICH runs, never change the result)."""
+    from sed_binning_spark.binning.binning import (
+        _range_partitioned_bincount,
+        _value_chunked_bincount,
+    )
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, n_cells, n_vals, dtype=np.int64)
+    want = np.bincount(vals, minlength=n_cells)
+    arrays = np.array_split(vals, n_chunks)
+    np.testing.assert_array_equal(_value_chunked_bincount(arrays, n_cells), want)
+    np.testing.assert_array_equal(_range_partitioned_bincount(vals, n_cells), want)
