@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sed_binning_spark.binning.binning import (
+    bin_dataframe,
     bin_dataframe_sparse,
     normalization_histogram_sparse_from_timed_dataframe,
     normalization_histogram_sparse_from_timestamps,
@@ -388,18 +389,45 @@ def _q_diag_grid(spark, sf):
 
 
 def _q_binning_edges(spark, sf):
+    """A3 + P3 merged: explicit non-uniform bin edges over a pre-binning
+    strict-open-interval filter chain."""
     return bin_dataframe_sparse(
         _events(spark, sf), bins=[_NU_CENTERS], axes=["value"], count_column="cnt",
+        filters=[{"col": "ADC", "lower_bound": 5000.0, "upper_bound": 15000.0}],
     ).select(F.col("value").alias("b0"), "cnt")
 
 
-def _q_binning_filtered(spark, sf):
-    return bin_dataframe_sparse(
-        _events(spark, sf), bins=[50, 50], axes=["X", "Y"],
+def _q_sink_roundtrip(spark, sf):
+    """K1 + K2 + K4: bin a 2-D cube, write it through the extension
+    dispatcher with the built-in TIFF and HDF5 writers, read both back,
+    and return the HDF5 round-trip as occupied cells — gated against the
+    binning oracle, so any writer/reader corruption of values or axis
+    order turns the row red. The TIFF payload (values only, ImageJ axis
+    order) is cross-checked in-query against the HDF5 round-trip."""
+    import hashlib
+
+    from sed_binning_spark.io.dispatch import save
+    from sed_binning_spark.io.hdf5 import load_h5
+    from sed_binning_spark.io.tiff import _imagej_axis_order, load_tiff
+
+    cube = bin_dataframe(
+        _events(spark, sf), bins=[30, 30], axes=["X", "Y"],
         ranges=[(0.0, 2048.0), (0.0, 2048.0)],
-        filters=[{"col": "ADC", "lower_bound": 5000.0, "upper_bound": 15000.0}],
-        count_column="cnt",
-    ).select(F.col("X").alias("b0"), F.col("Y").alias("b1"), "cnt")
+    )
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"sed_binning_spark_sink_{tag}_{os.getpid()}",
+    )
+    save(cube, base + ".h5")
+    save(cube, base + ".tiff")
+    back = load_h5(base + ".h5")
+    tif = load_tiff(base + ".tiff")
+    want_tif = np.transpose(back.data, _imagej_axis_order(back.dims)).astype(np.float32)
+    if not np.array_equal(tif.reshape(want_tif.shape), want_tif):
+        raise ValueError("TIFF round-trip diverged from the HDF5 round-trip")
+    ii, jj = np.nonzero(back.data)
+    rows = [(int(i), int(j), int(back.data[i, j])) for i, j in zip(ii, jj)]
+    return spark.createDataFrame(rows, "b0 int, b1 int, cnt bigint")
 
 
 def _q_binning_partitions(spark, sf):
@@ -968,10 +996,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "norm_spectrum": _q_norm_spectrum,
         # J4: per-pulse explode (pulseId = array position)
         "flash_pulse_frame": _q_flash_pulse_frame,
-        # A3: explicit non-uniform bin edges
+        # A3 + P3 merged: explicit non-uniform edges over pre-binning filters
         "binning_edges": _q_binning_edges,
-        # P3 + A4: pre-binning open-interval filters
-        "binning_filtered": _q_binning_filtered,
+        # K1 + K2 + K4: TIFF/HDF5 sink round-trip gated by the binning oracle
+        "sink_roundtrip": _q_sink_roundtrip,
         # A8: per-partition histogram stack
         "binning_partitions": _q_binning_partitions,
         # P1 merged: range filter + index filter in one plan
@@ -1154,14 +1182,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "binning_edges": (
             f"SELECT b0, count(*) AS cnt FROM (SELECT "
-            f"{bin_index_sql_edges('value', nu_edges)} AS b0 FROM ({_EV_SQL})) "
+            f"{bin_index_sql_edges('value', nu_edges)} AS b0 FROM ({_EV_SQL}) "
+            f"WHERE ADC > 5000.0 AND ADC < 15000.0) "
             f"WHERE b0 IS NOT NULL GROUP BY b0"
         ),
-        "binning_filtered": (
+        # the sink round-trip result must equal the histogram the writers
+        # were handed — the oracle is the plain binning SQL
+        "sink_roundtrip": (
             f"SELECT b0, b1, count(*) AS cnt FROM (SELECT "
-            f"{bin_index_sql('X', 50, 0.0, 2048.0)} AS b0, "
-            f"{bin_index_sql('Y', 50, 0.0, 2048.0)} AS b1 "
-            f"FROM ({_EV_SQL}) WHERE ADC > 5000.0 AND ADC < 15000.0) "
+            f"{bin_index_sql('X', 30, 0.0, 2048.0)} AS b0, "
+            f"{bin_index_sql('Y', 30, 0.0, 2048.0)} AS b1 "
+            f"FROM ({_EV_SQL})) "
             f"WHERE b0 IS NOT NULL AND b1 IS NOT NULL GROUP BY b0, b1"
         ),
         "binning_partitions": (

@@ -25,7 +25,7 @@ QUERIES = [
     "binning_1d",
     "binning_4d",
     "binning_edges",
-    "binning_filtered",
+    "sink_roundtrip",
     "binning_2d3d",
     "filters",
     "map_drop",
