@@ -398,16 +398,18 @@ def _q_binning_edges(spark, sf):
 
 
 def _q_sink_roundtrip(spark, sf):
-    """K1 + K2 + K4: bin a 2-D cube, write it through the extension
-    dispatcher with the built-in TIFF and HDF5 writers, read both back,
-    and return the HDF5 round-trip as occupied cells — gated against the
-    binning oracle, so any writer/reader corruption of values or axis
-    order turns the row red. The TIFF payload (values only, ImageJ axis
-    order) is cross-checked in-query against the HDF5 round-trip."""
+    """K1 + K2 + K3 + K4: bin a 2-D cube, write it through the extension
+    dispatcher with the built-in TIFF, HDF5, and NeXus writers, read all
+    three back, and return the HDF5 round-trip as occupied cells — gated
+    against the binning oracle, so any writer/reader corruption of values
+    or axis order turns the row red. The TIFF payload (values only,
+    ImageJ axis order) and the NXdata signal block are cross-checked
+    in-query against the HDF5 round-trip."""
     import hashlib
 
     from sed_binning_spark.io.dispatch import save
     from sed_binning_spark.io.hdf5 import load_h5
+    from sed_binning_spark.io.hdf5_read import H5File
     from sed_binning_spark.io.tiff import _imagej_axis_order, load_tiff
 
     cube = bin_dataframe(
@@ -420,11 +422,15 @@ def _q_sink_roundtrip(spark, sf):
     )
     save(cube, base + ".h5")
     save(cube, base + ".tiff")
+    save(cube, base + ".nxs")
     back = load_h5(base + ".h5")
     tif = load_tiff(base + ".tiff")
     want_tif = np.transpose(back.data, _imagej_axis_order(back.dims)).astype(np.float32)
     if not np.array_equal(tif.reshape(want_tif.shape), want_tif):
         raise ValueError("TIFF round-trip diverged from the HDF5 round-trip")
+    nx = H5File(base + ".nxs").read("/entry/data/data")
+    if not np.array_equal(np.asarray(nx), back.data):
+        raise ValueError("NeXus round-trip diverged from the HDF5 round-trip")
     ii, jj = np.nonzero(back.data)
     rows = [(int(i), int(j), int(back.data[i, j])) for i, j in zip(ii, jj)]
     return spark.createDataFrame(rows, "b0 int, b1 int, cnt bigint")
@@ -998,7 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flash_pulse_frame": _q_flash_pulse_frame,
         # A3 + P3 merged: explicit non-uniform edges over pre-binning filters
         "binning_edges": _q_binning_edges,
-        # K1 + K2 + K4: TIFF/HDF5 sink round-trip gated by the binning oracle
+        # K1-K4: TIFF/HDF5/NeXus sink round-trip gated by the binning oracle
         "sink_roundtrip": _q_sink_roundtrip,
         # A8: per-partition histogram stack
         "binning_partitions": _q_binning_partitions,
