@@ -156,6 +156,44 @@ def minhash_lsh_pairs(
     return _bucket_pairs(stacked, ["band", "key"], id_column, max_bucket_size, oversized)
 
 
+def _has_content(text_column: str):
+    """Non-NULL text with at least one non-whitespace character."""
+    return F.col(text_column).isNotNull() & (
+        F.regexp_replace(F.col(text_column), r"\s", "") != ""
+    )
+
+
+def append_band_keys(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Append wide-form LSH band keys ``band_0..band_{bands-1}`` — pure
+    per-row expressions (no shuffle, no explode), so the frame is
+    stream-safe. NULL/blank documents get NULL keys (an equi-join on a
+    NULL key matches nothing, which is the correct "no content signal"
+    reading); batch bucketing filters them out before stacking instead.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_column, id_column, num_hashes, shingle_size)
+    has_content = _has_content(text_column)
+    out = sigs.withColumns({
+        f"band_{b}": F.when(
+            has_content,
+            F.concat_ws("#", *[
+                F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+            ]),
+        )
+        for b in range(bands)
+    })
+    return out.drop(*[f"mh_{i}" for i in range(num_hashes)])
+
+
 def _band_keys_stacked(
     df: DataFrame,
     text_column: str,
@@ -167,9 +205,6 @@ def _band_keys_stacked(
     """Long-form (id, band, key) frame of LSH band keys — one shuffle covers
     all bands; signatures are computed ONCE (a self-join would evaluate the
     md5 pipeline twice)."""
-    if num_hashes % bands != 0:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
     # NULL/blank documents carry no content signal; without this filter
     # they all share the NULL-propagated band key (concat_ws skips NULLs),
     # forming one degenerate mega-bucket whose members would be
@@ -177,17 +212,10 @@ def _band_keys_stacked(
     # Strip ALL whitespace for the emptiness test — F.trim removes spaces
     # only, so a '\n'- or '\t'-only document (a routine scraping artifact)
     # would slip past a trim-based guard and re-form the mega-bucket.
-    df = df.where(
-        F.col(text_column).isNotNull()
-        & (F.regexp_replace(F.col(text_column), r"\s", "") != ""),
-    )
-    sigs = minhash_signatures(df, text_column, id_column, num_hashes, shingle_size)
-    band_cols = [
-        F.concat_ws("#", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
-        .alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    keyed = sigs.select(F.col(id_column), *band_cols)
+    df = df.where(_has_content(text_column))
+    keyed = append_band_keys(
+        df, text_column, id_column, num_hashes, bands, shingle_size,
+    ).select(F.col(id_column), *[f"band_{b}" for b in range(bands)])
     return keyed.select(
         id_column,
         F.explode(

@@ -169,3 +169,59 @@ def exact_dedup_stream(
     else:
         out = out.dropDuplicates([dcol])
     return out.drop(dcol)
+
+
+def minhash_dedup_stream(
+    stream: DataFrame,
+    corpus: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_size: int = 3,
+    broadcast_corpus: bool = True,
+) -> DataFrame:
+    """Flag documents that near-duplicate a STATIC reference corpus at
+    ingest time (the "don't re-crawl what we already have" gate).
+
+    Band keys are appended to the stream side as pure per-row expressions
+    (``pipeline.dedup.append_band_keys`` — no shuffle, no state), then one
+    LEFT equi-join per band probes the corpus's precomputed
+    ``(band key -> min id)`` lookup. Stream-static equi-joins are
+    STATELESS in Structured Streaming — no state store, no watermark
+    needed, throughput stays map-like.
+
+    Returns the stream's rows plus ``dup_of``: the smallest corpus id
+    sharing any band key, NULL when nothing collides (including NULL/blank
+    text, whose band keys are NULL and therefore never match).
+
+    At 100 TB: the lookup carries ``bands`` short strings per corpus doc —
+    broadcast it while it fits (default); for a corpus too large to
+    broadcast, ``broadcast_corpus=False`` shuffle-joins instead, which
+    Structured Streaming also supports against static sides. The same
+    function works on a batch ``stream`` frame unchanged (the joins are
+    identical), which is how the batch-equivalence test pins it.
+    """
+    from pyspark.sql.functions import broadcast as _broadcast
+
+    from sed_binning_spark.pipeline.dedup import _band_keys_stacked, append_band_keys
+
+    s = append_band_keys(
+        stream, text_column, id_column, num_hashes, bands, shingle_size,
+    )
+    lut = _band_keys_stacked(
+        corpus, text_column, id_column, num_hashes, bands, shingle_size,
+    ).groupBy("band", "key").agg(F.min(id_column).alias("__dup"))
+    out = s
+    for b in range(bands):
+        lut_b = lut.where(F.col("band") == b).select(
+            F.col("key").alias(f"band_{b}"), F.col("__dup").alias(f"__dup_{b}"),
+        )
+        if broadcast_corpus:
+            lut_b = _broadcast(lut_b)
+        out = out.join(lut_b, on=f"band_{b}", how="left")
+    dup = F.least(*[F.col(f"__dup_{b}") for b in range(bands)])
+    return out.withColumn("dup_of", dup).drop(
+        *[f"band_{b}" for b in range(bands)],
+        *[f"__dup_{b}" for b in range(bands)],
+    )

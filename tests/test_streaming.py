@@ -306,3 +306,60 @@ def test_exact_dedup_stream_null_key_is_deterministic(spark):
     assert "uuid" not in plan and "rand(" not in plan
     # batch semantics unchanged: NULL-text rows with distinct ids all pass
     assert sorted(r["doc_id"] for r in out.collect()) == [0, 1, 2]
+
+
+def test_minhash_dedup_stream_flags_near_dups_of_static_corpus(tmp_path, spark):
+    """Stream docs near-duplicating a static corpus get dup_of = min
+    matching corpus id; novel / NULL / blank docs pass through NULL.
+    Stateless stream-static joins, so append mode needs no watermark."""
+    from sed_binning_spark.streaming import minhash_dedup_stream
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "the quick brown fox jumps over the lazy dog"),  # dup class
+            (102, "completely different content about spark query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),   # exact hit
+        (1, "an entirely novel document with fresh words only"),
+        (2, None),                                            # NULL text
+        (3, "  \n\t "),                                       # blank text
+    ]
+    root = tmp_path / "mh_in"
+    root.mkdir()
+    pd.DataFrame(rows[:2], columns=["doc_id", "text"]).to_parquet(
+        root / "chunk_0.parquet",
+    )
+    pd.DataFrame(rows[2:], columns=["doc_id", "text"]).to_parquet(
+        root / "chunk_1.parquet",
+    )
+
+    stream = stream_events(spark, str(root), max_files_per_trigger=1)
+    q = (
+        minhash_dedup_stream(stream, corpus)
+        .writeStream.format("memory").queryName("mh_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT doc_id, dup_of FROM mh_stream")
+        .toPandas().set_index("doc_id")["dup_of"]
+    )
+    assert got.loc[0] == 100  # min id of the matching dup class
+    assert pd.isna(got.loc[1]) and pd.isna(got.loc[2]) and pd.isna(got.loc[3])
+
+    # batch equivalence: the same function on a batch frame gives the
+    # same flags (the joins are identical plans)
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    bt = (
+        minhash_dedup_stream(batch, corpus)
+        .toPandas().set_index("doc_id")["dup_of"]
+    )
+    assert bt.loc[0] == 100 and pd.isna(bt.loc[1])
+    # column order/passthrough preserved
+    assert list(minhash_dedup_stream(batch, corpus).columns) == [
+        "doc_id", "text", "dup_of",
+    ]
