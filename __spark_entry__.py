@@ -410,8 +410,11 @@ def _q_sink_roundtrip(spark, sf):
     from sed_binning_spark.io.dispatch import save
     from sed_binning_spark.io.hdf5 import load_h5
     from sed_binning_spark.io.hdf5_read import H5File
+    from sed_binning_spark.io.nexus import _write_basic_nxmpes
     from sed_binning_spark.io.tiff import _imagej_axis_order, load_tiff
 
+    # float32 is the sinks' native cube dtype; counts stay exact below
+    # 2^24 per cell, far above any gate sf for this 30x30 grid
     cube = bin_dataframe(
         _events(spark, sf), bins=[30, 30], axes=["X", "Y"],
         ranges=[(0.0, 2048.0), (0.0, 2048.0)],
@@ -420,17 +423,30 @@ def _q_sink_roundtrip(spark, sf):
     base = os.path.join(
         tempfile.gettempdir(), f"sed_binning_spark_sink_{tag}_{os.getpid()}",
     )
-    save(cube, base + ".h5")
-    save(cube, base + ".tiff")
-    save(cube, base + ".nxs")
-    back = load_h5(base + ".h5")
-    tif = load_tiff(base + ".tiff")
-    want_tif = np.transpose(back.data, _imagej_axis_order(back.dims)).astype(np.float32)
-    if not np.array_equal(tif.reshape(want_tif.shape), want_tif):
-        raise ValueError("TIFF round-trip diverged from the HDF5 round-trip")
-    nx = H5File(base + ".nxs").read("/entry/data/data")
-    if not np.array_equal(np.asarray(nx), back.data):
-        raise ValueError("NeXus round-trip diverged from the HDF5 round-trip")
+    paths = [base + ".h5", base + ".tiff", base + ".nxs"]
+    try:
+        save(cube, paths[0])
+        save(cube, paths[1])
+        # force the structural fallback writer: with pynxtools importable
+        # the dispatcher would route to its DataConverter, whose layout
+        # this read-back does not (and should not) depend on
+        _write_basic_nxmpes(cube, paths[2], "NXmpes")
+        back = load_h5(paths[0])
+        tif = load_tiff(paths[1])
+        want_tif = np.transpose(
+            back.data, _imagej_axis_order(back.dims),
+        ).astype(np.float32)
+        if not np.array_equal(tif.reshape(want_tif.shape), want_tif):
+            raise ValueError("TIFF round-trip diverged from the HDF5 round-trip")
+        nx = H5File(paths[2]).read("/entry/data/data")
+        if not np.array_equal(np.asarray(nx), back.data):
+            raise ValueError("NeXus round-trip diverged from the HDF5 round-trip")
+    finally:
+        for p in paths:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
     ii, jj = np.nonzero(back.data)
     rows = [(int(i), int(j), int(back.data[i, j])) for i, j in zip(ii, jj)]
     return spark.createDataFrame(rows, "b0 int, b1 int, cnt bigint")

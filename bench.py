@@ -149,7 +149,7 @@ def _ref_scale_block(spark, n: int) -> dict:
 
     Timing protocol mirrors the reference (in-memory table, clock covers
     only the histogram computation, one DISCARDED warm-up run — JIT/codegen
-    compilation — then best-of-2); BASELINE.md targets: binning_1d 3.02 s,
+    compilation — then best-of-3); BASELINE.md targets: binning_1d 3.02 s,
     binning_4d 9.21 s, workflow_1d 17.06 s, workflow_4d 21.42 s at 1e8
     rows. The emitted block also carries every raw run (warm-up included)
     and the physical-plan phase breakdown of the last run per query, so
@@ -178,7 +178,7 @@ def _ref_scale_block(spark, n: int) -> dict:
     runs = {}
     phases = {}
 
-    def _best2(name, fn):
+    def _best_of(name, fn):
         # run 0 is a discarded warm-up (codegen compilation, page cache);
         # without it the first query measured eats all JIT cost and e.g.
         # binning_1d times slower than the strictly-harder workflow_1d
@@ -195,10 +195,10 @@ def _ref_scale_block(spark, n: int) -> dict:
         fn()
         return time.perf_counter() - t0
 
-    _best2("binning_1d", lambda: bin_dataframe(
+    _best_of("binning_1d", lambda: bin_dataframe(
         ev, bins=[1000], axes=["t"], ranges=[(60000.0, 120000.0)],
     ))
-    _best2("binning_4d", lambda: bin_dataframe(
+    _best_of("binning_4d", lambda: bin_dataframe(
         ev, bins=[100, 100, 100, 100], axes=["X", "Y", "t", "ADC"],
         ranges=[(0.0, 2048.0), (0.0, 2048.0), (60000.0, 120000.0), (2000.0, 20000.0)],
     ))
@@ -206,10 +206,10 @@ def _ref_scale_block(spark, n: int) -> dict:
     def _chain():
         return _workflow_chain(ev)
 
-    _best2("workflow_1d", lambda: bin_dataframe(
+    _best_of("workflow_1d", lambda: bin_dataframe(
         _chain(), bins=[1000], axes=["energy"], ranges=[(20.0, 60.0)],
     ))
-    _best2("workflow_4d", lambda: bin_dataframe(
+    _best_of("workflow_4d", lambda: bin_dataframe(
         _chain(), bins=[100, 100, 100, 100], axes=["kx", "ky", "energy", "delay"],
         ranges=[(-12.0, 12.0), (-12.0, 12.0), (20.0, 60.0), (-6.0, 6.0)],
     ))
@@ -220,7 +220,7 @@ def _ref_scale_block(spark, n: int) -> dict:
     from sed_binning_spark.calibration.momentum_fit import transform_fields
 
     fr, fc = transform_fields((512, 512), "rotation", angle=5.0)
-    _best2("inv_dfield", lambda: generate_inverse_dfield(
+    _best_of("inv_dfield", lambda: generate_inverse_dfield(
         fr, fc, bin_ranges=((0, 512), (0, 512)),
         detector_ranges=((0, 2048), (0, 2048)),
     ))

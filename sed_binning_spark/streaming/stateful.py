@@ -212,6 +212,11 @@ def minhash_dedup_stream(
     lut = _band_keys_stacked(
         corpus, text_column, id_column, num_hashes, bands, shingle_size,
     ).groupBy("band", "key").agg(F.min(id_column).alias("__dup"))
+    # Structured Streaming re-evaluates the static join side EVERY trigger;
+    # without this persist each micro-batch would re-run the corpus-wide
+    # shingle+md5+minhash scan and the (band,key) aggregation shuffle just
+    # to rebuild an unchanged lookup
+    lut = lut.persist()
     out = s
     for b in range(bands):
         lut_b = lut.where(F.col("band") == b).select(
@@ -220,7 +225,9 @@ def minhash_dedup_stream(
         if broadcast_corpus:
             lut_b = _broadcast(lut_b)
         out = out.join(lut_b, on=f"band_{b}", how="left")
-    dup = F.least(*[F.col(f"__dup_{b}") for b in range(bands)])
+    # F.least asserts on a single column — bands=1 is a legitimate config
+    dup_cols = [F.col(f"__dup_{b}") for b in range(bands)]
+    dup = dup_cols[0] if bands == 1 else F.least(*dup_cols)
     return out.withColumn("dup_of", dup).drop(
         *[f"band_{b}" for b in range(bands)],
         *[f"__dup_{b}" for b in range(bands)],

@@ -130,3 +130,33 @@ def test_driver_bincount_strategies_agree(n_vals, n_cells, seed, n_chunks):
     arrays = np.array_split(vals, n_chunks)
     np.testing.assert_array_equal(_value_chunked_bincount(arrays, n_cells), want)
     np.testing.assert_array_equal(_range_partitioned_bincount(vals, n_cells), want)
+
+
+def test_driver_bincount_threaded_paths_agree():
+    """Sizes chosen to actually REACH both threaded implementations (the
+    hypothesis variant above stays below the size thresholds): a 9M-value
+    array splits inside _value_chunked_bincount, and 9M cells puts
+    _range_partitioned_bincount on its bounds/slice ThreadPool branch —
+    pinning the thread-boundary arithmetic against plain np.bincount."""
+    from sed_binning_spark.binning.binning import (
+        _VALUE_CHUNK_MAX_CELLS,
+        _range_partitioned_bincount,
+        _value_chunked_bincount,
+    )
+
+    rng = np.random.default_rng(11)
+    n_cells_small = 100_000
+    vals = rng.integers(0, n_cells_small, 9_000_000, dtype=np.int64)
+    assert n_cells_small < _VALUE_CHUNK_MAX_CELLS  # value-chunked regime
+    want = np.bincount(vals, minlength=n_cells_small)
+    np.testing.assert_array_equal(
+        _value_chunked_bincount([vals], n_cells_small), want,
+    )
+
+    n_cells_big = 9_000_000
+    vals_big = rng.integers(0, n_cells_big, 5_000_000, dtype=np.int64)
+    assert n_cells_big >= _VALUE_CHUNK_MAX_CELLS  # range-partitioned regime
+    want_big = np.bincount(vals_big, minlength=n_cells_big)
+    np.testing.assert_array_equal(
+        _range_partitioned_bincount(vals_big, n_cells_big), want_big,
+    )
