@@ -1498,14 +1498,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dfield_correction": _dfield_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
+        # NaN reject mirrors the engine: NaN sorts above every real double
+        # in DESC order in BOTH engines, so a NaN-poisoned embedding would
+        # otherwise take the #1 slot
         "ann_topk": (
             f"SELECT vec_id, {cos_sql} AS score FROM embeddings "
-            f"WHERE ({cos_sql}) IS NOT NULL "
+            f"WHERE ({cos_sql}) IS NOT NULL AND NOT isnan({cos_sql}) "
             f"ORDER BY score DESC, vec_id LIMIT 10"
         ),
         "ann_pairs_brute": (
             f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b "
-            f"WHERE a.vec_id < b.vec_id AND ({_pair_cos_sql()}) > 0.45e0"
+            f"WHERE a.vec_id < b.vec_id AND NOT isnan({_pair_cos_sql()}) "
+            f"AND ({_pair_cos_sql()}) > 0.45e0"
         ),
         "lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "

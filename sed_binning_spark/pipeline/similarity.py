@@ -95,8 +95,13 @@ def cosine_topk(
         df.select(F.col(id_column), score.alias(score_column))
         # NULL scores (NULL/ragged/zero-norm embeddings) are not neighbors:
         # without the filter they'd pad the result whenever k exceeds the
-        # number of scorable rows
-        .where(F.col(score_column).isNotNull())
+        # number of scorable rows. NaN scores (a NaN element anywhere in
+        # the vector) must ALSO be rejected explicitly — NaN is non-NULL
+        # and sorts ABOVE every real double in descending order, so a
+        # single NaN-poisoned embedding would occupy the #1 neighbor slot
+        .where(
+            F.col(score_column).isNotNull() & ~F.isnan(F.col(score_column)),
+        )
         .orderBy(F.col(score_column).desc(), F.col(id_column))
         .limit(k)
     )
@@ -125,8 +130,13 @@ def cosine_pairs_brute(
         F.nullif(norm_expr(F.col(embedding_column), dim), F.lit(0.0)).alias("__n"),
     ).select(
         F.col(id_column),
+        # slice to dim BEFORE normalizing: a longer-than-dim row uses its
+        # first dim elements (the dot_expr/topk contract) — an unsliced
+        # array would zip_with NULL-padding against dim-length partners,
+        # silently NULLing every pair the long row participates in
         F.transform(
-            F.col(embedding_column), lambda x: x.cast("double") / F.col("__n"),
+            F.slice(F.col(embedding_column), 1, dim),
+            lambda x: x.cast("double") / F.col("__n"),
         ).alias("__e"),
     )
     a = normed.select(F.col(id_column).alias("id_a"), F.col("__e").alias("__ea"))
@@ -140,7 +150,13 @@ def cosine_pairs_brute(
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", dot)
-        .where(F.col("cosine") > F.lit(float(threshold)))
+        # NaN similarity (a NaN element in either vector) compares GREATER
+        # than any threshold under both engines' total-order semantics —
+        # reject it explicitly, a poisoned vector is not "similar"
+        .where(
+            ~F.isnan(F.col("cosine"))
+            & (F.col("cosine") > F.lit(float(threshold)))
+        )
         .select("id_a", "id_b", "cosine")
     )
 
@@ -242,7 +258,13 @@ def lsh_bucket_pairs(
             "id_a", "id_b",
             (dot / F.nullif(na * nb, F.lit(0.0))).alias("cosine"),
         )
-        .where(F.col("cosine") > F.lit(float(threshold)))
+        # NaN similarity (a NaN element in either vector) compares GREATER
+        # than any threshold under both engines' total-order semantics —
+        # reject it explicitly, a poisoned vector is not "similar"
+        .where(
+            ~F.isnan(F.col("cosine"))
+            & (F.col("cosine") > F.lit(float(threshold)))
+        )
     )
 
 
