@@ -467,7 +467,7 @@ def test_similarity_survives_dirty_embeddings(spark):
     )
 
     rows = [(0, [1.0, 2.0]), (1, [1.0, 2.1]), (2, None), (3, [0.5]),
-            (4, [0.0, 0.0]), (5, [2.0, 4.0])]
+            (4, [0.0, 0.0]), (5, [2.0, 4.0]), (6, [float("nan"), 2.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
     top = cosine_topk(df, [1.0, 2.0], k=10).toPandas()
@@ -475,10 +475,11 @@ def test_similarity_survives_dirty_embeddings(spark):
 
     pairs = cosine_pairs_brute(df, threshold=0.99).toPandas()
     assert {(r.id_a, r.id_b) for r in pairs.itertuples()} >= {(0, 5)}
+    assert 6 not in set(pairs["id_a"]) | set(pairs["id_b"])  # NaN never "similar"
 
     lsh = lsh_bucket_pairs(df, threshold=0.99, num_planes=4, num_tables=2)
     got = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
-    assert all(a not in (2, 3, 4) and b not in (2, 3, 4) for a, b in got)
+    assert all(a not in (2, 3, 4, 6) and b not in (2, 3, 4, 6) for a, b in got)
 
     cents = ivf_train_centroids(df, n_lists=2, sample_size=4)
     top_ivf = ivf_topk(df, cents, [1.0, 2.0], k=2, n_probes=2).toPandas()
