@@ -39,6 +39,31 @@ DEFAULT_CONFIG: dict = {
         "timed_dataframe_unit_time": 0.001,
         "jitter_cols": ["@x_column", "@y_column", "@tof_column"],
         "jitter_amps": 0.5,
+        # TOF bin width in seconds and the power-of-two binning factor of
+        # the stored tof column (reference sed/config/default.yaml:33-35)
+        "tof_binwidth": 4.125e-12,
+        "tof_binning": 1,
+    },
+    # momentum correction/calibration defaults
+    # (reference sed/config/default.yaml:79-97)
+    "momentum": {
+        "axes": ["@x_column", "@y_column", "@tof_column"],
+        "bins": [512, 512, 300],
+        "ranges": [[-256, 1792], [-256, 1792], [132000, 138000]],
+        "detector_ranges": [[0, 2048], [0, 2048]],
+        "center_pixel": [256, 256],
+        "rotation_symmetry": 6,
+    },
+    # energy calibration defaults (reference sed/config/default.yaml:44-56)
+    "energy": {
+        "bins": 1000,
+        "ranges": [100000, 150000],
+        "normalize": True,
+        "normalize_span": 7,
+        "normalize_order": 1,
+        "peak_window": 7,
+        "calibration_method": "lmfit",
+        "energy_scale": "kinetic",
     },
     "binning": {
         "hist_mode": "spark",

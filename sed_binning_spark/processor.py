@@ -593,9 +593,436 @@ class SedProcessor:
     # keys like flip_delay_axis at section level); flat boxes (the offset
     # metas) are wrapped under the subsection so the file matches the
     # reference's config layout and round-trips
+    # -------------------------------------------------- misc facade parity
+    def add_attribute(self, attributes: dict, name: str, **kwds) -> None:
+        """Add an entry to the metadata tree (add_attribute,
+        sed/core/processor.py:274-286)."""
+        self._attributes.add(attributes, name, **kwds)
+
+    @property
+    def files(self) -> list[str]:
+        """Resolved input files of the last loader read (files property,
+        sed/core/processor.py:296-303); empty for direct-DataFrame loads."""
+        return list(getattr(self.loader, "files", []) or [])
+
+    @property
+    def normalization_histogram(self):
+        """The cached normalization histogram, if one was computed
+        (sed/core/processor.py:328-340)."""
+        return self._normalization_histogram
+
+    @property
+    def normalized(self):
+        """The last computed histogram divided by the cached normalization
+        histogram (normalized property, sed/core/processor.py:342-364)."""
+        if self._binned is None:
+            raise ValueError("No binned data available, run compute() first.")
+        if self._normalization_histogram is None:
+            raise ValueError(
+                "No normalization histogram available, generate it with "
+                "get_normalization_histogram() first.",
+            )
+        return self._binned / self._normalization_histogram
+
+    def cpy(self, path: str | Path) -> str:
+        """Mirror-copy hook (cpy, sed/core/processor.py:250-272): on a
+        distributed filesystem the scheduler reads data-local, so this is
+        the identity CopyTool."""
+        from sed_binning_spark.loaders.storage import CopyTool
+
+        return CopyTool().copy(str(path))
+
+    def pre_binning(
+        self,
+        df_partitions: int | Sequence[int] = 100,
+        axes: Sequence[str] | None = None,
+        bins: Sequence[int] | None = None,
+        ranges: Sequence[tuple[float, float]] | None = None,
+        **kwds,
+    ):
+        """Initial momentum-space binning with config defaults
+        (pre_binning, sed/core/processor.py:2076-2123): the cube feature
+        detection and warp estimation operate on."""
+        if axes is None:
+            axes = list(self._config["momentum"]["axes"])
+        axes = [
+            self._config["dataframe"].get(ax[1:]) if ax.startswith("@") else ax
+            for ax in axes
+        ]
+        if bins is None:
+            bins = list(self._config["momentum"]["bins"])
+        if ranges is None:
+            ranges_ = list(self._config["momentum"]["ranges"])
+            ranges_[2] = (
+                np.asarray(ranges_[2], dtype=float)
+                / 2 ** (self._config["dataframe"]["tof_binning"] - 1)
+            )
+            ranges = [tuple(map(float, v)) for v in ranges_]
+        return self.compute(
+            bins=bins, axes=axes, ranges=ranges,
+            df_partitions=df_partitions, **kwds,
+        )
+
+    def bin_and_load_momentum_calibration(
+        self,
+        df_partitions: int | Sequence[int] = 100,
+        axes: Sequence[str] | None = None,
+        bins: Sequence[int] | None = None,
+        ranges: Sequence[tuple[float, float]] | None = None,
+        plane: int = 0,
+        width: int = 5,
+        **kwds,
+    ) -> np.ndarray:
+        """Headless twin of bin_and_load_momentum_calibration
+        (sed/core/processor.py:495-532): pre-bin, slice the (plane, width)
+        TOF window, and return the 2-D momentum image the interactive tool
+        would display — downstream feature detection takes it directly."""
+        cube = self.pre_binning(
+            df_partitions=df_partitions, axes=axes, bins=bins, ranges=ranges,
+            **kwds,
+        )
+        data = np.asarray(cube.data, dtype=float)
+        if data.ndim == 3:
+            lo, hi = plane, min(plane + width, data.shape[2])
+            data = data[:, :, lo:hi].sum(axis=2)
+        self._attributes.add(
+            {"plane": plane, "width": width}, "momentum_prebin_slice",
+            duplicate_policy="overwrite",
+        )
+        return data
+
+    # ---------------------------------- energy-calibration workflow (F1-F4)
+    def load_bias_series(
+        self,
+        data_files: Sequence[str] | None = None,
+        binned_data: tuple[np.ndarray, np.ndarray] | None = None,
+        biases: np.ndarray | None = None,
+        bias_key: str | None = None,
+        bins: int = 1000,
+        tof_range: tuple[float, float] | None = None,
+        normalize: bool = True,
+        span: int = 7,
+        order: int = 1,
+    ) -> "SedProcessor":
+        """F1 (load_bias_series, sed/core/processor.py:1127-1218,
+        headless): one TOF histogram per source file (= per bias voltage)
+        from a single partition-stacked aggregation, optionally
+        savgol-normalized for the correspondence step."""
+        from pyspark.sql import functions as F
+
+        from sed_binning_spark.calibration.fitting import (
+            bin_bias_series,
+            extract_bias_h5,
+            normspec,
+        )
+
+        if data_files is not None:
+            self.load(files=list(data_files))
+        if binned_data is not None:
+            tof, traces = (np.asarray(a, dtype=float) for a in binned_data)
+        else:
+            df = self._require_df()
+            tof_col = self._col("tof_column")
+            if tof_range is None:
+                row = df.agg(
+                    F.min(tof_col).alias("lo"), F.max(tof_col).alias("hi"),
+                ).collect()[0]
+                tof_range = (float(row["lo"]), float(row["hi"]))
+            tof, traces = bin_bias_series(df, tof_col, bins, tof_range)
+        if biases is None and bias_key is not None:
+            biases = extract_bias_h5(self.files, bias_key)
+        self._bias_tof = tof
+        self._bias_traces = traces
+        self._bias_traces_normed = (
+            normspec(traces, smooth=True, span=span, order=order)
+            if normalize else normspec(traces)
+        )
+        self._biases = None if biases is None else np.asarray(biases, dtype=float)
+        return self
+
+    def find_bias_peaks(
+        self,
+        ranges: Sequence[tuple[float, float]] | tuple[float, float],
+        ref_id: int = 0,
+        infer_others: bool = True,
+        peak_window: int = 7,
+    ) -> np.ndarray:
+        """F2 + F3 (find_bias_peaks, sed/core/processor.py:1220-1291,
+        headless): carry the reference trace's feature range to every
+        other trace by exact-DTW alignment, then take the first peak
+        inside each range."""
+        from sed_binning_spark.calibration.fitting import (
+            infer_feature_ranges,
+            peaksearch,
+        )
+
+        if getattr(self, "_bias_traces_normed", None) is None:
+            raise ValueError("Load a bias series first (load_bias_series).")
+        if infer_others:
+            all_ranges = infer_feature_ranges(
+                self._bias_tof, self._bias_traces_normed,
+                tuple(ranges), ref_id=ref_id,
+            )
+        else:
+            all_ranges = list(ranges)
+            if len(all_ranges) != len(self._bias_traces_normed):
+                raise ValueError(
+                    "infer_others=False needs one range per trace "
+                    f"({len(self._bias_traces_normed)}), got {len(all_ranges)}.",
+                )
+        self._bias_peaks = peaksearch(
+            self._bias_traces_normed, self._bias_tof, all_ranges,
+            pkwindow=peak_window,
+        )
+        return self._bias_peaks
+
+    def calibrate_energy_axis(
+        self,
+        ref_id: int = 0,
+        ref_energy: float | None = None,
+        method: str | None = None,
+        energy_scale: str | None = None,
+        **kwds,
+    ) -> dict:
+        """F4 (calibrate_energy_axis, sed/core/processor.py:1293-1384,
+        headless): fit the TOF→energy calibration from the detected bias
+        peaks and stash it where append_energy_axis and
+        save_energy_calibration pick it up."""
+        from sed_binning_spark.calibration.fitting import calibrate_energy
+
+        if getattr(self, "_bias_peaks", None) is None:
+            raise ValueError("Find bias peaks first (find_bias_peaks).")
+        if self._biases is None:
+            raise ValueError(
+                "Bias values are missing: pass biases/bias_key to "
+                "load_bias_series.",
+            )
+        method = method or self._config["energy"].get("calibration_method", "lmfit")
+        energy_scale = energy_scale or self._config["energy"].get(
+            "energy_scale", "kinetic",
+        )
+        # peaks carry (position, amplitude); the calibration consumes the
+        # TOF positions (reference sed/calibrator/energy.py:561-562)
+        calibration = calibrate_energy(
+            self._bias_peaks[:, 0], self._biases, t=self._bias_tof,
+            ref_id=ref_id, ref_energy=ref_energy, method=method,
+            energy_scale=energy_scale,
+            binwidth=self._config["dataframe"]["tof_binwidth"],
+            binning=self._config["dataframe"]["tof_binning"],
+            **kwds,
+        )
+        self._attributes.add(
+            {"calibration": calibration}, "energy_calibration",
+            duplicate_policy="overwrite",
+        )
+        return calibration
+
+    # -------------------------------- momentum-calibration workflow (F5-F9)
+    def define_features(
+        self,
+        image: np.ndarray | None = None,
+        features: np.ndarray | None = None,
+        rotation_symmetry: int = 6,
+        auto_detect: bool = False,
+        **kwds,
+    ) -> np.ndarray:
+        """F5 (define_features, sed/core/processor.py:534-585, headless):
+        take landmark coordinates directly, or auto-detect them on the
+        momentum image with the 2-D peak detector."""
+        from sed_binning_spark.calibration.momentum_fit import peakdetect2d
+
+        if features is None:
+            if not auto_detect:
+                raise ValueError(
+                    "Headless define_features needs explicit features= or "
+                    "auto_detect=True.",
+                )
+            if image is None:
+                raise ValueError("auto_detect=True requires image=.")
+            features = peakdetect2d(np.asarray(image, dtype=float), **kwds)
+        features = np.asarray(features, dtype=float)
+        self._mom_features = features
+        self._mom_rotsym = int(rotation_symmetry)
+        self._attributes.add(
+            {"features": features.tolist(), "rotation_symmetry": rotation_symmetry},
+            "momentum_features", duplicate_policy="overwrite",
+        )
+        return features
+
+    def generate_splinewarp(
+        self,
+        image: np.ndarray,
+        use_center: bool = True,
+        **kwds,
+    ) -> dict:
+        """F6 (generate_splinewarp, sed/core/processor.py:587-673,
+        headless): thin-plate-spline warp from the defined landmarks to the
+        ideal rotation-symmetric target set."""
+        from sed_binning_spark.calibration.momentum_fit import spline_warp_estimate
+
+        if getattr(self, "_mom_features", None) is None:
+            raise ValueError("Define features first (define_features).")
+        result = spline_warp_estimate(
+            np.asarray(image, dtype=float), self._mom_features,
+            rotsym=self._mom_rotsym, use_center=use_center, **kwds,
+        )
+        self._splinewarp = result
+        self._attributes.add(
+            {"correction": {
+                k: v for k, v in result.items()
+                if k not in ("rdeform_field", "cdeform_field", "corrected_image")
+            }},
+            "momentum_correction", duplicate_policy="overwrite",
+        )
+        return result
+
+    def pose_adjustment(
+        self,
+        image: np.ndarray | None = None,
+        scale: float = 1.0,
+        xtrans: float = 0.0,
+        ytrans: float = 0.0,
+        angle: float = 0.0,
+        use_correction: bool = True,
+        **kwds,
+    ) -> dict:
+        """F7 (pose_adjustment, sed/core/processor.py:675-833, headless):
+        compose scale/translate/rotate onto the current deformation fields
+        (the splinewarp's, when one was generated)."""
+        from sed_binning_spark.calibration.momentum_fit import pose_adjustment
+
+        warp = getattr(self, "_splinewarp", None) if use_correction else None
+        if image is None and warp is not None:
+            image = warp["corrected_image"]
+        if image is None:
+            raise ValueError("pose_adjustment needs image= or a splinewarp.")
+        result = pose_adjustment(
+            np.asarray(image, dtype=float),
+            rdeform=None if warp is None else warp["rdeform_field"],
+            cdeform=None if warp is None else warp["cdeform_field"],
+            scale=scale, xtrans=xtrans, ytrans=ytrans, angle=angle, **kwds,
+        )
+        if warp is not None:
+            warp["rdeform_field"] = result["rdeform_field"]
+            warp["cdeform_field"] = result["cdeform_field"]
+        self._attributes.add(
+            {"scale": scale, "xtrans": xtrans, "ytrans": ytrans, "angle": angle},
+            "momentum_pose", duplicate_policy="overwrite",
+        )
+        return result
+
+    def calibrate_momentum_axes(
+        self,
+        point_a,
+        point_b=None,
+        k_distance: float | None = None,
+        k_coord_a=None,
+        k_coord_b=(0.0, 0.0),
+        equiscale: bool = True,
+        **kwds,
+    ) -> dict:
+        """F9 (calibrate_momentum_axes, sed/core/processor.py:835-905,
+        headless): pixel→k linear calibration from two symmetry points,
+        stashed where apply_momentum_calibration and
+        save_momentum_calibration pick it up."""
+        from sed_binning_spark.calibration.momentum_fit import calibrate_momentum
+
+        if point_b is None:
+            point_b = self._config["momentum"]["center_pixel"]
+        calibration = calibrate_momentum(
+            point_a, point_b, k_distance=k_distance,
+            k_coord_a=k_coord_a, k_coord_b=k_coord_b,
+            equiscale=equiscale, **kwds,
+        )
+        self._attributes.add(
+            {"calibration": calibration}, "momentum_calibration",
+            duplicate_policy="overwrite",
+        )
+        return calibration
+
+    def adjust_energy_correction(
+        self,
+        correction_type: str | None = None,
+        amplitude: float | None = None,
+        center: tuple[float, float] | None = None,
+        apply: bool = False,
+        **kwds,
+    ) -> dict:
+        """F11 headless (adjust_energy_correction,
+        sed/core/processor.py:987-1069): the interactive sliders are out of
+        scope (SURVEY §2.7) — this assembles the correction dict from
+        arguments/config, stores it for save_energy_correction, and applies
+        it when asked."""
+        section = self._config.get("energy", {}).get("correction", {})
+        correction = {
+            **section,
+            **kwds,
+            "correction_type": correction_type
+            or section.get("correction_type", "spherical"),
+        }
+        if amplitude is not None:
+            correction["amplitude"] = amplitude
+        if center is not None:
+            correction["center"] = tuple(center)
+        for key in ("amplitude", "center"):
+            if key not in correction:
+                raise ValueError(
+                    f"energy correction needs {key!r}: pass it or set "
+                    f"config['energy']['correction'][{key!r}].",
+                )
+        self._attributes.add(
+            {"correction": correction}, "energy_correction",
+            duplicate_policy="overwrite",
+        )
+        if apply:
+            self.apply_energy_correction(correction)
+        return correction
+
+    # ------------------------------------------ per-section config persists
+    def _save_workflow_section(
+        self, attr: str, filename: str | Path, overwrite: bool,
+    ) -> dict:
+        """One section of save_workflow_params — the reference's
+        save_energy_calibration-style helpers each persist exactly one
+        calibration dict (sed/core/processor.py:1386-1427 and siblings)."""
+        from sed_binning_spark.config import save_config
+
+        if attr not in self._attributes:
+            raise ValueError(f"No {attr} parameters to save!")
+        section, sub = self._WORKFLOW_PARAM_SECTIONS[attr]
+        box = self._attributes[attr]
+        payload = {section: dict(box) if sub in box else {sub: dict(box)}}
+        save_config(payload, filename, overwrite=overwrite)
+        return payload
+
+    def save_energy_calibration(self, filename="sed_config.yaml", overwrite=False):
+        return self._save_workflow_section("energy_calibration", filename, overwrite)
+
+    def save_energy_correction(self, filename="sed_config.yaml", overwrite=False):
+        return self._save_workflow_section("energy_correction", filename, overwrite)
+
+    def save_energy_offset(self, filename="sed_config.yaml", overwrite=False):
+        return self._save_workflow_section("energy_offset", filename, overwrite)
+
+    def save_momentum_calibration(self, filename="sed_config.yaml", overwrite=False):
+        return self._save_workflow_section("momentum_calibration", filename, overwrite)
+
+    def save_splinewarp(self, filename="sed_config.yaml", overwrite=False):
+        return self._save_workflow_section("momentum_correction", filename, overwrite)
+
+    def save_transformations(self, filename="sed_config.yaml", overwrite=False):
+        return self._save_workflow_section("momentum_pose", filename, overwrite)
+
+    def save_delay_calibration(self, filename="sed_config.yaml", overwrite=False):
+        return self._save_workflow_section("delay_calibration", filename, overwrite)
+
+    def save_delay_offsets(self, filename="sed_config.yaml", overwrite=False):
+        return self._save_workflow_section("delay_offset", filename, overwrite)
+
     _WORKFLOW_PARAM_SECTIONS = {
         "momentum_calibration": ("momentum", "calibration"),
         "momentum_correction": ("momentum", "correction"),
+        "momentum_pose": ("momentum", "transformations"),
         "energy_calibration": ("energy", "calibration"),
         "energy_correction": ("energy", "correction"),
         "energy_offset": ("energy", "offsets"),

@@ -406,3 +406,107 @@ def test_save_config_merge_and_overwrite(tmp_path):
     assert merged["delay"]["offsets"]["constant"] == 2.0
     save_config({"only": 1}, p, overwrite=True)
     assert load_yaml(p) == {"only": 1}
+
+
+# ---------------------------------------------- headless fit-workflow facade
+def test_energy_calibration_facade(spark, tmp_path):
+    """F1-F4 through the processor facade (headless twins of the
+    reference's load_bias_series -> find_bias_peaks ->
+    calibrate_energy_axis -> save_energy_calibration chain,
+    sed/core/processor.py:1127-1427)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    rows = []
+    centers = [70000.0, 74000.0, 78000.0]
+    for fid, center in enumerate(centers):
+        t = rng.normal(center, 1200, 4000)
+        rows.append(pd.DataFrame({"t": t, "file_id": fid}))
+    p = SedProcessor(spark=spark, dataframe=spark.createDataFrame(pd.concat(rows)))
+    p.load_bias_series(
+        biases=np.array([20.0, 24.0, 28.0]),
+        bins=150, tof_range=(60000.0, 90000.0),
+    )
+    peaks = p.find_bias_peaks(ranges=(66000.0, 74000.0), ref_id=0)
+    assert peaks.shape == (3, 2)
+    for (pos, _amp), center in zip(peaks, centers):
+        assert abs(pos - center) < 1200
+    calib = p.calibrate_energy_axis(ref_id=0, ref_energy=-0.5, method="lmfit")
+    assert "coeffs" in calib or "d" in calib or "calib" in str(calib.keys())
+    out = p.save_energy_calibration(tmp_path / "cfg.yaml")
+    assert "calibration" in out["energy"]
+    # guard rails
+    q = SedProcessor(spark=spark)
+    with pytest.raises(ValueError, match="bias series"):
+        q.find_bias_peaks(ranges=(0.0, 1.0))
+    with pytest.raises(ValueError, match="peaks"):
+        q.calibrate_energy_axis(ref_energy=0.0)
+
+
+def test_momentum_calibration_facade(spark, tmp_path):
+    """F5-F7 + F9 through the processor facade: landmarks -> splinewarp ->
+    pose adjustment -> two-point k calibration -> per-section saves."""
+    p = SedProcessor(spark=spark)
+    # an ideal hexagon on a synthetic intensity map
+    feats = np.array([
+        [128.0 + 60 * np.cos(a), 128.0 + 60 * np.sin(a)]
+        for a in np.linspace(0, 2 * np.pi, 7)[:-1]
+    ])
+    got = p.define_features(features=feats, rotation_symmetry=6)
+    assert got.shape == (6, 2)
+    img = np.zeros((256, 256))
+    for r, c in feats:
+        img[int(r), int(c)] = 1.0
+    warp = p.generate_splinewarp(img)
+    assert warp["rdeform_field"].shape == (256, 256)
+    pose = p.pose_adjustment(scale=1.05, xtrans=2.0, angle=5.0)
+    assert pose["rdeform_field"].shape == (256, 256)
+    calib = p.calibrate_momentum_axes(
+        point_a=(188.0, 128.0), point_b=(128.0, 128.0),
+        k_distance=1.2, shape=(256, 256),
+        bin_ranges=[(0.0, 256.0), (0.0, 256.0)],
+    )
+    assert "kx_scale" in calib or "rstart" in calib
+    for saver in ("save_momentum_calibration", "save_splinewarp",
+                  "save_transformations"):
+        out = getattr(p, saver)(tmp_path / f"{saver}.yaml")
+        assert "momentum" in out
+    # auto-detect path: peaks of the synthetic map recover the landmarks
+    auto = p.define_features(image=img, auto_detect=True, radius=8)
+    assert len(auto) >= 6
+    with pytest.raises(ValueError, match="features= or"):
+        SedProcessor(spark=spark).define_features(image=img)
+
+
+def test_misc_facade_parity(spark, events_df, tmp_path):
+    """files / cpy / add_attribute / normalized / pre_binning facade."""
+    p = SedProcessor(spark=spark, dataframe=events_df)
+    assert p.files == []                       # direct-DataFrame load
+    assert p.cpy("/some/path") == "/some/path" # identity mirror
+    p.add_attribute({"sample": "WSe2"}, "experiment")
+    assert p.attributes["experiment"]["sample"] == "WSe2"
+    with pytest.raises(ValueError, match="binned"):
+        _ = p.normalized
+    img = p.bin_and_load_momentum_calibration(
+        axes=["X", "Y", "t"], bins=[16, 16, 4],
+        ranges=[(0.0, 2048.0), (0.0, 2048.0), (60000.0, 120000.0)],
+        plane=0, width=4,
+    )
+    assert img.shape == (16, 16) and img.sum() > 0
+
+
+def test_adjust_energy_correction_headless(spark, events_df, tmp_path):
+    """F11 headless: assemble + stash + optionally apply the correction."""
+    p = SedProcessor(spark=spark, dataframe=events_df)
+    corr = p.adjust_energy_correction(
+        correction_type="spherical", amplitude=2.5,
+        center=(1024.0, 1024.0), diameter=3000.0, apply=True,
+    )
+    assert corr["correction_type"] == "spherical"
+    assert "tm" in p.dataframe.columns
+    out = p.save_energy_correction(tmp_path / "c.yaml")
+    assert out["energy"]["correction"]["amplitude"] == 2.5
+    with pytest.raises(ValueError, match="amplitude"):
+        SedProcessor(spark=spark, dataframe=events_df).adjust_energy_correction(
+            center=(1.0, 1.0),
+        )
