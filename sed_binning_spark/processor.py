@@ -645,10 +645,8 @@ class SedProcessor:
         detection and warp estimation operate on."""
         if axes is None:
             axes = list(self._config["momentum"]["axes"])
-        axes = [
-            self._config["dataframe"].get(ax[1:]) if ax.startswith("@") else ax
-            for ax in axes
-        ]
+        # @-aliases pass straight through: compute() resolves them with
+        # resolve_alias, which raises a clear error for an unbound role
         if bins is None:
             bins = list(self._config["momentum"]["bins"])
         if ranges is None:
@@ -683,8 +681,11 @@ class SedProcessor:
         )
         data = np.asarray(cube.data, dtype=float)
         if data.ndim == 3:
-            lo, hi = plane, min(plane + width, data.shape[2])
-            data = data[:, :, lo:hi].sum(axis=2)
+            if not 0 <= plane < data.shape[2]:
+                raise ValueError(
+                    f"plane {plane} out of range for {data.shape[2]} TOF bins",
+                )
+            data = data[:, :, plane:min(plane + width, data.shape[2])].sum(axis=2)
         self._attributes.add(
             {"plane": plane, "width": width}, "momentum_prebin_slice",
             duplicate_policy="overwrite",
@@ -698,16 +699,17 @@ class SedProcessor:
         binned_data: tuple[np.ndarray, np.ndarray] | None = None,
         biases: np.ndarray | None = None,
         bias_key: str | None = None,
-        bins: int = 1000,
+        bins: int | None = None,
         tof_range: tuple[float, float] | None = None,
-        normalize: bool = True,
-        span: int = 7,
-        order: int = 1,
+        normalize: bool | None = None,
+        span: int | None = None,
+        order: int | None = None,
     ) -> "SedProcessor":
         """F1 (load_bias_series, sed/core/processor.py:1127-1218,
         headless): one TOF histogram per source file (= per bias voltage)
         from a single partition-stacked aggregation, optionally
-        savgol-normalized for the correspondence step."""
+        savgol-normalized for the correspondence step. Unset arguments
+        fall back to config["energy"] exactly like the reference."""
         from pyspark.sql import functions as F
 
         from sed_binning_spark.calibration.fitting import (
@@ -716,6 +718,11 @@ class SedProcessor:
             normspec,
         )
 
+        energy_cfg = self._config.get("energy", {})
+        bins = int(energy_cfg.get("bins", 1000)) if bins is None else int(bins)
+        normalize = bool(energy_cfg.get("normalize", True)) if normalize is None else normalize
+        span = int(energy_cfg.get("normalize_span", 7)) if span is None else int(span)
+        order = int(energy_cfg.get("normalize_order", 1)) if order is None else int(order)
         if data_files is not None:
             self.load(files=list(data_files))
         if binned_data is not None:
@@ -728,16 +735,29 @@ class SedProcessor:
                     F.min(tof_col).alias("lo"), F.max(tof_col).alias("hi"),
                 ).collect()[0]
                 tof_range = (float(row["lo"]), float(row["hi"]))
-            tof, traces = bin_bias_series(df, tof_col, bins, tof_range)
+            tof, traces = bin_bias_series(
+                df, tof_col, bins, tof_range,
+                file_column=self._config["dataframe"].get("file_column", "file_id"),
+                # after a loader read the ids are range(n_files) by
+                # construction — skip the distinct() discovery job, which
+                # over a raw-instrument plan would re-decode every file
+                file_ids=list(range(len(self.files))) if self.files else None,
+            )
         if biases is None and bias_key is not None:
             biases = extract_bias_h5(self.files, bias_key)
         self._bias_tof = tof
         self._bias_traces = traces
+        # normalize=False keeps the RAW traces (reference behavior): a
+        # forced max-normalization would turn an all-zero trace into NaNs
         self._bias_traces_normed = (
             normspec(traces, smooth=True, span=span, order=order)
-            if normalize else normspec(traces)
+            if normalize else np.asarray(traces, dtype=float)
         )
         self._biases = None if biases is None else np.asarray(biases, dtype=float)
+        # a NEW series invalidates peaks found on the previous one —
+        # without this, calibrate_energy_axis would silently pair the old
+        # series' peaks with the new biases
+        self._bias_peaks = None
         return self
 
     def find_bias_peaks(
@@ -745,7 +765,7 @@ class SedProcessor:
         ranges: Sequence[tuple[float, float]] | tuple[float, float],
         ref_id: int = 0,
         infer_others: bool = True,
-        peak_window: int = 7,
+        peak_window: int | None = None,
     ) -> np.ndarray:
         """F2 + F3 (find_bias_peaks, sed/core/processor.py:1220-1291,
         headless): carry the reference trace's feature range to every
@@ -758,6 +778,8 @@ class SedProcessor:
 
         if getattr(self, "_bias_traces_normed", None) is None:
             raise ValueError("Load a bias series first (load_bias_series).")
+        if peak_window is None:
+            peak_window = int(self._config.get("energy", {}).get("peak_window", 7))
         if infer_others:
             all_ranges = infer_feature_ranges(
                 self._bias_tof, self._bias_traces_normed,
@@ -822,7 +844,7 @@ class SedProcessor:
         self,
         image: np.ndarray | None = None,
         features: np.ndarray | None = None,
-        rotation_symmetry: int = 6,
+        rotation_symmetry: int | None = None,
         auto_detect: bool = False,
         **kwds,
     ) -> np.ndarray:
@@ -831,6 +853,10 @@ class SedProcessor:
         momentum image with the 2-D peak detector."""
         from sed_binning_spark.calibration.momentum_fit import peakdetect2d
 
+        if rotation_symmetry is None:
+            rotation_symmetry = int(
+                self._config["momentum"].get("rotation_symmetry", 6),
+            )
         if features is None:
             if not auto_detect:
                 raise ValueError(
@@ -867,6 +893,11 @@ class SedProcessor:
             rotsym=self._mom_rotsym, use_center=use_center, **kwds,
         )
         self._splinewarp = result
+        # keep the RAW image: the deformation fields map output pixels back
+        # to ORIGINAL-image coordinates, so pose_adjustment must re-warp
+        # the original, never the already-corrected image (double warp)
+        self._mom_image = np.asarray(image, dtype=float)
+        self._pose_params = {"scale": 1.0, "xtrans": 0.0, "ytrans": 0.0, "angle": 0.0}
         self._attributes.add(
             {"correction": {
                 k: v for k, v in result.items()
@@ -893,7 +924,10 @@ class SedProcessor:
 
         warp = getattr(self, "_splinewarp", None) if use_correction else None
         if image is None and warp is not None:
-            image = warp["corrected_image"]
+            # the ORIGINAL pre-binned image: the composed fields already
+            # include the splinewarp, so warping the corrected image would
+            # apply the TPS correction twice
+            image = getattr(self, "_mom_image", None)
         if image is None:
             raise ValueError("pose_adjustment needs image= or a splinewarp.")
         result = pose_adjustment(
@@ -905,9 +939,25 @@ class SedProcessor:
         if warp is not None:
             warp["rdeform_field"] = result["rdeform_field"]
             warp["cdeform_field"] = result["cdeform_field"]
+            warp["corrected_image"] = result.get(
+                "corrected_image", warp.get("corrected_image"),
+            )
+        # CUMULATIVE parameters: repeated calls compose onto the fields, so
+        # the persisted transform must compose too — an overwrite would
+        # make save_transformations silently drop every earlier call
+        params = getattr(
+            self, "_pose_params",
+            {"scale": 1.0, "xtrans": 0.0, "ytrans": 0.0, "angle": 0.0},
+        )
+        params = {
+            "scale": params["scale"] * scale,
+            "xtrans": params["xtrans"] + xtrans,
+            "ytrans": params["ytrans"] + ytrans,
+            "angle": params["angle"] + angle,
+        }
+        self._pose_params = params
         self._attributes.add(
-            {"scale": scale, "xtrans": xtrans, "ytrans": ytrans, "angle": angle},
-            "momentum_pose", duplicate_policy="overwrite",
+            dict(params), "momentum_pose", duplicate_policy="overwrite",
         )
         return result
 
@@ -929,6 +979,10 @@ class SedProcessor:
 
         if point_b is None:
             point_b = self._config["momentum"]["center_pixel"]
+        kwds.setdefault(
+            "bin_ranges",
+            [tuple(map(float, r)) for r in self._config["momentum"]["detector_ranges"]],
+        )
         calibration = calibrate_momentum(
             point_a, point_b, k_distance=k_distance,
             k_coord_a=k_coord_a, k_coord_b=k_coord_b,
@@ -979,6 +1033,19 @@ class SedProcessor:
         return correction
 
     # ------------------------------------------ per-section config persists
+    # fit-derived diagnostics that must NOT round-trip through config
+    # (the reference excludes them too): per-bin axes and least-squares
+    # matrices are reproducible from the parameters and bloat the YAML
+    _DERIVED_CALIB_KEYS = frozenset(
+        {"axis", "Tmat", "bvec", "kx_axis", "ky_axis", "extent", "residual"},
+    )
+
+    def _strip_derived(self, box: dict) -> dict:
+        return {
+            k: (self._strip_derived(v) if isinstance(v, dict) else v)
+            for k, v in box.items() if k not in self._DERIVED_CALIB_KEYS
+        }
+
     def _save_workflow_section(
         self, attr: str, filename: str | Path, overwrite: bool,
     ) -> dict:
@@ -990,7 +1057,7 @@ class SedProcessor:
         if attr not in self._attributes:
             raise ValueError(f"No {attr} parameters to save!")
         section, sub = self._WORKFLOW_PARAM_SECTIONS[attr]
-        box = self._attributes[attr]
+        box = self._strip_derived(self._attributes[attr])
         payload = {section: dict(box) if sub in box else {sub: dict(box)}}
         save_config(payload, filename, overwrite=overwrite)
         return payload
@@ -1048,6 +1115,7 @@ class SedProcessor:
             box = self._attributes[attr]
             if not isinstance(box, dict):
                 continue
+            box = self._strip_derived(box)
             sec = out.setdefault(section, {})
             if sub in box:
                 sec[sub] = box[sub]

@@ -510,3 +510,61 @@ def test_adjust_energy_correction_headless(spark, events_df, tmp_path):
         SedProcessor(spark=spark, dataframe=events_df).adjust_energy_correction(
             center=(1.0, 1.0),
         )
+
+
+def test_pose_adjustment_composes_not_double_warps(spark):
+    """An identity pose after splinewarp must reproduce the splinewarp's
+    own corrected image (the fields map to ORIGINAL coordinates — feeding
+    the corrected image back in would apply the TPS twice), and repeated
+    poses must persist CUMULATIVE parameters."""
+    p = SedProcessor(spark=spark)
+    feats = np.array([
+        [128.0 + 60 * np.cos(a), 128.0 + 60 * np.sin(a)]
+        for a in np.linspace(0, 2 * np.pi, 7)[:-1]
+    ])
+    p.define_features(features=feats, rotation_symmetry=6)
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0.0, 1.0, (256, 256))
+    warp = p.generate_splinewarp(img)
+    golden = warp["corrected_image"].copy()
+    ident = p.pose_adjustment()  # no scale/trans/rotation
+    np.testing.assert_allclose(ident["corrected_image"], golden, atol=1e-9)
+    p.pose_adjustment(scale=1.05)
+    p.pose_adjustment(angle=5.0, xtrans=2.0)
+    pose = p.attributes["momentum_pose"]
+    assert pose["scale"] == pytest.approx(1.05)
+    assert pose["angle"] == pytest.approx(5.0)
+    assert pose["xtrans"] == pytest.approx(2.0)
+
+
+def test_new_bias_series_invalidates_old_peaks(spark):
+    """Loading a new bias series must clear peaks found on the old one —
+    calibrating old peaks against new biases would be silently wrong."""
+    tof = np.linspace(60000.0, 90000.0, 200)
+    traces = np.exp(-((tof - 70000.0) ** 2) / (2 * 1200.0**2))[None, :].repeat(3, 0)
+    for i in range(3):
+        traces[i] = np.exp(-((tof - (70000.0 + 4000 * i)) ** 2) / (2 * 1200.0**2))
+    p = SedProcessor(spark=spark)
+    p.load_bias_series(binned_data=(tof, traces), biases=np.array([20.0, 24.0, 28.0]))
+    p.find_bias_peaks(ranges=(66000.0, 74000.0))
+    p.load_bias_series(binned_data=(tof, traces[::-1]), biases=np.array([28.0, 24.0, 20.0]))
+    with pytest.raises(ValueError, match="peaks"):
+        p.calibrate_energy_axis(ref_energy=-0.5)
+
+
+def test_saved_calibration_excludes_derived_arrays(spark, tmp_path):
+    """save_energy_calibration must not dump the per-bin 'axis' (or the
+    lstsq matrices) into the YAML — they bloat the config and round-trip
+    back as junk keys."""
+    tof = np.linspace(60000.0, 90000.0, 200)
+    traces = np.stack([
+        np.exp(-((tof - (70000.0 + 4000 * i)) ** 2) / (2 * 1200.0**2))
+        for i in range(3)
+    ])
+    p = SedProcessor(spark=spark)
+    p.load_bias_series(binned_data=(tof, traces), biases=np.array([20.0, 24.0, 28.0]))
+    p.find_bias_peaks(ranges=(66000.0, 74000.0))
+    calib = p.calibrate_energy_axis(ref_energy=-0.5)
+    assert "axis" in calib  # the in-memory dict keeps the diagnostics
+    out = p.save_energy_calibration(tmp_path / "cfg.yaml")
+    assert "axis" not in out["energy"]["calibration"]
