@@ -84,15 +84,34 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.slice(sh, 1, k)
 
 
-def shingle_hash_expr(shingles: Column) -> Column:
-    """28-bit integer base hash per shingle: md5 hex prefix (7 chars) as int.
+def shingle_hash_expr(shingles: Column, hash_function: str = "md5") -> Column:
+    """28-bit integer base hash per shingle.
 
     One digest per shingle — the expensive step, computed exactly once; all
     k MinHash values derive from this array via cheap integer arithmetic.
+
+    ``hash_function``:
+
+    - ``"md5"`` (default) — hex-prefix of md5, reproducible in any engine
+      with an md5 function; this is what the cross-engine oracle pins.
+    - ``"xxhash64"`` — Spark's native non-cryptographic hash, several times
+      cheaper per shingle; the 100 TB production choice when cross-engine
+      bit-reproducibility of the SIGNATURES is not required (pair/cluster
+      results remain deterministic within Spark).
     """
-    return F.transform(
-        shingles,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint"),
+    if hash_function == "md5":
+        return F.transform(
+            shingles,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint"),
+        )
+    if hash_function == "xxhash64":
+        # fold to the same 28-bit non-negative domain the affine maps expect
+        return F.transform(
+            shingles,
+            lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 28)).cast("bigint"),
+        )
+    raise ValueError(
+        f"hash_function must be 'md5' or 'xxhash64', got {hash_function!r}",
     )
 
 
@@ -112,10 +131,15 @@ def minhash_signatures(
     id_column: str = "doc_id",
     num_hashes: int = 8,
     shingle_size: int = 3,
+    hash_function: str = "md5",
 ) -> DataFrame:
     """Append ``mh_0..mh_{k-1}`` (bigint) MinHash signature columns (per-row
-    expressions only — scales linearly, no shuffle)."""
-    hs = shingle_hash_expr(word_shingles(F.col(text_column), shingle_size))
+    expressions only — scales linearly, no shuffle). ``hash_function``:
+    see :func:`shingle_hash_expr` — ``"xxhash64"`` is the cheap production
+    choice, ``"md5"`` the engine-portable default."""
+    hs = shingle_hash_expr(
+        word_shingles(F.col(text_column), shingle_size), hash_function,
+    )
     out = df.withColumn("__hs", hs)
     for i, (a, b) in enumerate(minhash_params(num_hashes)):
         out = out.withColumn(f"mh_{i}", minhash_expr(F.col("__hs"), a, b))
@@ -131,6 +155,7 @@ def minhash_lsh_pairs(
     shingle_size: int = 3,
     max_bucket_size: int = 1024,
     oversized: str = "star",
+    hash_function: str = "md5",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
@@ -152,6 +177,7 @@ def minhash_lsh_pairs(
     """
     stacked = _band_keys_stacked(
         df, text_column, id_column, num_hashes, bands, shingle_size,
+        hash_function,
     )
     return _bucket_pairs(stacked, ["band", "key"], id_column, max_bucket_size, oversized)
 
@@ -170,6 +196,7 @@ def append_band_keys(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_size: int = 3,
+    hash_function: str = "md5",
 ) -> DataFrame:
     """Append wide-form LSH band keys ``band_0..band_{bands-1}`` — pure
     per-row expressions (no shuffle, no explode), so the frame is
@@ -180,7 +207,9 @@ def append_band_keys(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_column, id_column, num_hashes, shingle_size)
+    sigs = minhash_signatures(
+        df, text_column, id_column, num_hashes, shingle_size, hash_function,
+    )
     has_content = _has_content(text_column)
     out = sigs.withColumns({
         f"band_{b}": F.when(
@@ -201,6 +230,7 @@ def _band_keys_stacked(
     num_hashes: int,
     bands: int,
     shingle_size: int,
+    hash_function: str = "md5",
 ) -> DataFrame:
     """Long-form (id, band, key) frame of LSH band keys — one shuffle covers
     all bands; signatures are computed ONCE (a self-join would evaluate the
@@ -215,6 +245,7 @@ def _band_keys_stacked(
     df = df.where(_has_content(text_column))
     keyed = append_band_keys(
         df, text_column, id_column, num_hashes, bands, shingle_size,
+        hash_function,
     ).select(F.col(id_column), *[f"band_{b}" for b in range(bands)])
     return keyed.select(
         id_column,

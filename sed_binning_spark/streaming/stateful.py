@@ -180,6 +180,7 @@ def minhash_dedup_stream(
     bands: int = 4,
     shingle_size: int = 3,
     broadcast_corpus: bool = True,
+    hash_function: str = "md5",
 ) -> DataFrame:
     """Flag documents that near-duplicate a STATIC reference corpus at
     ingest time (the "don't re-crawl what we already have" gate).
@@ -208,9 +209,11 @@ def minhash_dedup_stream(
 
     s = append_band_keys(
         stream, text_column, id_column, num_hashes, bands, shingle_size,
+        hash_function,
     )
     lut = _band_keys_stacked(
         corpus, text_column, id_column, num_hashes, bands, shingle_size,
+        hash_function,
     ).groupBy("band", "key").agg(F.min(id_column).alias("__dup"))
     # Structured Streaming re-evaluates the static join side EVERY trigger;
     # without this persist each micro-batch would re-run the corpus-wide

