@@ -1180,8 +1180,20 @@ def oracle_sql() -> dict[str, str]:
 
     stop_filters = {
         lang: f"len(list_filter({toks}, x -> x IN ({_STOP_SQL[lang]})))"
-        for lang in ("en", "de", "fr")
+        for lang in STOPWORDS
     }
+    # language_id's tie-break is STOPWORDS dict order (first listed wins a
+    # tied max score), so the CASE must test languages in the same order
+    _stop_max = f"greatest({', '.join(stop_filters.values())})"
+    _lang_cases = " ".join(
+        f"WHEN {stop_filters[lang]} = {_stop_max} THEN '{lang}'"
+        for lang in STOPWORDS
+    )
+    lang_id_sql = (
+        f"SELECT doc_id, CASE WHEN text IS NULL THEN 'und' "
+        f"WHEN {_stop_max} = 0 THEN 'und' "
+        f"{_lang_cases} ELSE 'und' END AS lang_pred FROM documents"
+    )
 
     return {
         "binning_1d": _binning_sql([("t", 1000, 60000.0, 120000.0)], ["b0"]),
@@ -1425,18 +1437,10 @@ def oracle_sql() -> dict[str, str]:
             "greatest(n_chars - 1, 0), 25)) AS BIGINT) AS frame_ms "
             "FROM documents WHERE n_chars IS NOT NULL"
         ),
-        # NULL text: every stop count is NULL, so without an explicit
-        # branch the CASE would fall through to ELSE 'fr' where the engine
-        # says 'und'
-        "lang_id": (
-            f"SELECT doc_id, CASE WHEN text IS NULL THEN 'und' "
-            f"WHEN greatest({stop_filters['en']}, {stop_filters['de']}, "
-            f"{stop_filters['fr']}) = 0 THEN 'und' "
-            f"WHEN {stop_filters['en']} = greatest({stop_filters['en']}, {stop_filters['de']}, "
-            f"{stop_filters['fr']}) THEN 'en' "
-            f"WHEN {stop_filters['de']} = greatest({stop_filters['en']}, {stop_filters['de']}, "
-            f"{stop_filters['fr']}) THEN 'de' ELSE 'fr' END AS lang_pred FROM documents"
-        ),
+        # NULL text: every stop count is NULL, so an explicit branch is
+        # needed — the CASE would otherwise fall through to ELSE where the
+        # engine says 'und'
+        "lang_id": lang_id_sql,
         "doc_hashes": (
             f"SELECT f.doc_id, f.fingerprint, s.simhash FROM "
             f"(SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fingerprint "

@@ -19,10 +19,14 @@ BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
 # Tiny high-frequency stopword lists for the n-gram/stopword language
 # heuristic. Deliberately small: the heuristic is a ratio detector, not a
 # classifier; extend per deployment.
+# dict order is the tie-break priority (first entry wins a tied score)
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
     "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "los", "las", "y", "es", "en", "por", "con", "para", "del"],
+    "it": ["il", "lo", "gli", "di", "che", "per", "della", "sono", "una", "anche"],
+    "pt": ["o", "os", "as", "um", "uma", "com", "para", "por", "dos", "mais"],
 }
 
 
