@@ -23,6 +23,7 @@ event-scale data.
 
 from sed_binning_spark.pipeline.cluster import (
     connected_components,
+    embedding_dedup,
     near_dedup_keep_rows,
 )
 from sed_binning_spark.pipeline.dedup import (
@@ -58,6 +59,7 @@ __all__ = [
     "simhash",
     "ngram_jaccard",
     "connected_components",
+    "embedding_dedup",
     "near_dedup_keep_rows",
     "cosine_topk",
     "cosine_similarity_expr",

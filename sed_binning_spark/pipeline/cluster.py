@@ -120,3 +120,47 @@ def near_dedup_keep_rows(
         F.col("__cc_id").alias(id_column),
     )
     return df.join(victims, on=id_column, how="left_anti")
+
+
+def embedding_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    exact: bool = False,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate removal: rows whose embeddings are
+    more than ``threshold`` cosine-similar collapse to one representative
+    (smallest id per connected component).
+
+    The candidate generator is :func:`~sed_binning_spark.pipeline.
+    similarity.lsh_bucket_pairs` (hyperplane LSH, one shuffle, skew-guarded
+    — the 100 TB path; tune via ``lsh_kwargs``: num_planes/num_tables/seed/
+    max_bucket_size). ``exact=True`` swaps in the O(n²)
+    :func:`~sed_binning_spark.pipeline.similarity.cosine_pairs_brute` —
+    the correctness oracle, for small frames and tests only.
+
+    Composition twin of the text-side MinHash cascade
+    (``minhash_lsh_pairs`` → ``near_dedup_keep_rows``); reference has no
+    counterpart (sed-binning has no embedding columns) — this is part of
+    the training-data-pipeline extension surface (SURVEY §7 phase 6).
+    """
+    from sed_binning_spark.pipeline.similarity import (
+        cosine_pairs_brute,
+        lsh_bucket_pairs,
+    )
+
+    if exact:
+        pairs = cosine_pairs_brute(
+            df, threshold, embedding_column=embedding_column,
+            id_column=id_column,
+        )
+    else:
+        pairs = lsh_bucket_pairs(
+            df, threshold, embedding_column=embedding_column,
+            id_column=id_column, **lsh_kwargs,
+        )
+    return near_dedup_keep_rows(
+        df, pairs.select("id_a", "id_b"), id_column=id_column,
+    )

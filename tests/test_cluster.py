@@ -104,3 +104,43 @@ def test_string_ids_propagate_correctly(spark):
     out = connected_components(pairs)
     got = {r["id"]: r["component"] for r in out.collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def _emb_docs(spark):
+    # three exact-direction groups + one orthogonal singleton + one
+    # NaN-poisoned vector (must never be "similar" to anything)
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0, 0.0]),     # same direction as 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 3.0, 0.0, 0.0]),     # same direction as 2
+        (4, [0.0, 0.0, 1.0, 0.0]),     # singleton
+        (5, [float("nan"), 1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+
+
+def test_embedding_dedup_exact(spark):
+    from sed_binning_spark.pipeline.cluster import embedding_dedup
+
+    kept = sorted(
+        r["vec_id"]
+        for r in embedding_dedup(_emb_docs(spark), 0.99, exact=True).collect()
+    )
+    # 1 collapses into 0, 3 into 2; 4 survives alone; NaN row 5 survives
+    assert kept == [0, 2, 4, 5]
+
+
+def test_embedding_dedup_lsh_matches_exact(spark):
+    """The LSH path may MISS pairs (approximate recall) but must never
+    invent one: with enough tables on orthogonal vectors it finds all."""
+    from sed_binning_spark.pipeline.cluster import embedding_dedup
+
+    docs = _emb_docs(spark)
+    kept = sorted(
+        r["vec_id"]
+        for r in embedding_dedup(
+            docs, 0.99, num_planes=8, num_tables=8, seed=7,
+        ).collect()
+    )
+    assert kept == [0, 2, 4, 5]
