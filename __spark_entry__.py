@@ -77,9 +77,12 @@ from sed_binning_spark.pipeline.multimodal import (
     frame_sample_plan,
     synthesize_ppm_media_from_text,
 )
+from sed_binning_spark.pipeline.cluster import embedding_dedup
 from sed_binning_spark.pipeline.similarity import (
     cosine_pairs_brute,
     cosine_topk,
+    ivf_topk,
+    ivf_train_centroids,
     lsh_bucket_pairs,
 )
 from sed_binning_spark.pipeline.text import (
@@ -661,16 +664,19 @@ def _q_k_axis(spark, sf):
 
 
 def _q_delay(spark, sf):
+    """One row covers M11 AND the M12 offset chain: the calibrated delay
+    plus the flipped-and-offset delay, from the same base frame (merged
+    from two former rows to free a driver query slot)."""
     ev, _ = append_delay_axis(_events(spark, sf), _DELAY_CALIB)
-    return ev.select("event_id", "delay")
-
-
-def _q_delay_flip_offsets(spark, sf):
-    ev, _ = append_delay_axis(_events(spark, sf), _DELAY_CALIB)
+    ev = ev.withColumn("__delay_cal", F.col("delay"))
     ev, _ = delay_add_offsets(
         ev, columns="value", weights=0.001, constant=2.5, flip_delay_axis=True,
     )
-    return ev.select("event_id", "delay")
+    return ev.select(
+        "event_id",
+        F.col("__delay_cal").alias("delay"),
+        F.col("delay").alias("delay_fo"),
+    )
 
 
 def _q_norm_hist_timed(spark, sf):
@@ -955,11 +961,34 @@ def _q_rolling_hashes(spark, sf):
 
 
 def _q_ann_topk(spark, sf):
-    return cosine_topk(_embeds(spark, sf), _QVEC, k=10)
+    """BOTH ANN paths against one oracle: brute-force cosine top-k, and
+    IVF with every list probed — full probe makes IVF exact (the probe
+    filter keeps all assignable rows and the in-list scorer IS
+    cosine_topk's fold), so its scores are bit-identical to brute and the
+    whole train→assign→probe machinery gets hash-level verification."""
+    emb = _embeds(spark, sf)
+    brute = cosine_topk(emb, _QVEC, k=10).select(
+        F.lit("brute").alias("path"), "vec_id", "score",
+    )
+    cents = ivf_train_centroids(emb, n_lists=8, seed=42)
+    ivf = ivf_topk(emb, cents, _QVEC, k=10, n_probes=8).select(
+        F.lit("ivf_full_probe").alias("path"), "vec_id", "score",
+    )
+    return brute.unionByName(ivf)
 
 
 def _q_ann_pairs(spark, sf):
     return cosine_pairs_brute(_embeds(spark, sf), 0.45).select("id_a", "id_b")
+
+
+def _q_embedding_dedup_rows(spark, sf):
+    """Embedding-cosine near-dedup, exact path: vectors above 0.45 cosine
+    collapse to the smallest vec_id per connected component; survivors
+    returned. Exercises cosine_pairs_brute -> connected_components ->
+    near_dedup_keep_rows in one chain (the LSH candidate path of the same
+    composition is approximate by design and covered by ann_pairs_lsh)."""
+    emb = _embeds(spark, sf)
+    return embedding_dedup(emb, 0.45, exact=True).select("vec_id")
 
 
 def _q_ann_lsh(spark, sf):
@@ -1052,8 +1081,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitwise_split": _q_bitwise_split,
         # M10/M11: momentum + delay calibration
         "k_axis": _q_k_axis,
+        # M11 + M12 offset chain, merged (frees a slot for the embedding
+        # near-dedup composition below)
         "delay_calib": _q_delay,
-        "delay_flip_offsets": _q_delay_flip_offsets,
         # A9/A10: normalization histograms
         "norm_hist_timed": _q_norm_hist_timed,
         "norm_hist_timestamps": _q_norm_hist_ts,
@@ -1085,6 +1115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_pairs_brute": _q_ann_pairs,
         "ann_pairs_lsh": _q_ann_lsh,
+        # embedding-cosine near-dedup: brute pairs -> connected components
+        # -> representative keep-rows, against a recursive-CTE oracle
+        "embedding_dedup_rows": _q_embedding_dedup_rows,
         "multimodal_features": _q_multimodal,
         # frame-sample plan (sequence+explode half of video decode)
         "frame_sample": _q_frame_sample,
@@ -1335,9 +1368,9 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_EV_SQL}))"
         ),
         "k_axis": f"SELECT event_id, {kx_sql} AS kx, {ky_sql} AS ky FROM ({_EV_SQL})",
-        "delay_calib": f"SELECT event_id, {d_sql} AS delay FROM ({_EV_SQL})",
-        "delay_flip_offsets": (
-            f"SELECT event_id, -(({d_sql}) + 0.001 * value + 2.5) AS delay FROM ({_EV_SQL})"
+        "delay_calib": (
+            f"SELECT event_id, {d_sql} AS delay, "
+            f"-(({d_sql}) + 0.001 * value + 2.5) AS delay_fo FROM ({_EV_SQL})"
         ),
         "norm_hist_timed": (
             f"SELECT bin, count(*) * 1.0e-3 AS time FROM (SELECT "
@@ -1505,15 +1538,34 @@ def oracle_sql() -> dict[str, str]:
         # NaN reject mirrors the engine: NaN sorts above every real double
         # in DESC order in BOTH engines, so a NaN-poisoned embedding would
         # otherwise take the #1 slot
+        # one top-10 CTE, emitted under both path labels: full-probe IVF
+        # is exact, so both engine paths must hash-match the same rows
         "ann_topk": (
-            f"SELECT vec_id, {cos_sql} AS score FROM embeddings "
+            f"WITH topk AS (SELECT vec_id, {cos_sql} AS score FROM embeddings "
             f"WHERE ({cos_sql}) IS NOT NULL AND NOT isnan({cos_sql}) "
-            f"ORDER BY score DESC, vec_id LIMIT 10"
+            f"ORDER BY score DESC, vec_id LIMIT 10) "
+            f"SELECT 'brute' AS path, vec_id, score FROM topk "
+            f"UNION ALL SELECT 'ivf_full_probe' AS path, vec_id, score FROM topk"
         ),
         "ann_pairs_brute": (
             f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b "
             f"WHERE a.vec_id < b.vec_id AND NOT isnan({_pair_cos_sql()}) "
             f"AND ({_pair_cos_sql()}) > 0.45e0"
+        ),
+        # recursive min-label closure over the brute pair graph, then drop
+        # every non-representative — the SQL twin of embedding_dedup(exact)
+        "embedding_dedup_rows": (
+            f"WITH RECURSIVE cos_pairs AS ("
+            f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b "
+            f"WHERE a.vec_id < b.vec_id AND NOT isnan({_pair_cos_sql()}) "
+            f"AND ({_pair_cos_sql()}) > 0.45e0), "
+            f"edges AS (SELECT id_a AS u, id_b AS v FROM cos_pairs "
+            f"UNION SELECT id_b, id_a FROM cos_pairs), "
+            f"reach(u, r) AS (SELECT u, u FROM edges "
+            f"UNION SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u), "
+            f"victims AS (SELECT u FROM reach GROUP BY u HAVING u != min(r)) "
+            f"SELECT vec_id FROM embeddings "
+            f"WHERE vec_id NOT IN (SELECT u FROM victims)"
         ),
         "lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
