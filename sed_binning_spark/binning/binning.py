@@ -528,15 +528,20 @@ def _dense_driver_histogram(df: DataFrame, flat, n_cells: int) -> np.ndarray:
     col = tbl.column("cell")
     if len(col) == 0:
         return np.zeros(n_cells, dtype=np.float32)
+    # both regimes bincount the parquet row-group chunks directly (sentinel
+    # keeps them mask-free, so each to_numpy is a zero-copy view of the
+    # arrow buffer): a full-column to_numpy concat is a fresh 400 MB
+    # allocation whose page faults cost 2-14 s beside the JVM — more than
+    # the bincount itself
+    arrays = [c.to_numpy(zero_copy_only=False) for c in col.chunks]
     if n_cells + 1 < _VALUE_CHUNK_MAX_CELLS and len(col) >= 4_000_000:
-        # small-cell regime: skip the full-column concat too — bincount the
-        # parquet row-group chunks directly (sentinel keeps them mask-free,
-        # so each to_numpy is zero-copy)
-        arrays = [c.to_numpy(zero_copy_only=False) for c in col.chunks]
         hist = _value_chunked_bincount(arrays, n_cells + 1)[:n_cells].astype(np.float32)
     else:
-        vals = col.to_numpy(zero_copy_only=False)
-        hist = _range_partitioned_bincount(vals, n_cells + 1)[:n_cells].astype(np.float32)
+        # reuse_workspace: the slice is copied by the astype immediately,
+        # so the next call overwriting the shared accumulator is safe
+        hist = _range_partitioned_bincount(
+            arrays, n_cells + 1, reuse_workspace=True,
+        )[:n_cells].astype(np.float32)
     LAST_RUN_INFO.update(
         spill_collect_s=round(t1 - t0, 3),
         bincount_s=round(_time.perf_counter() - t1, 3),
@@ -544,32 +549,100 @@ def _dense_driver_histogram(df: DataFrame, flat, n_cells: int) -> np.ndarray:
     return hist
 
 
-def _range_partitioned_bincount(vals: np.ndarray, n_cells: int) -> np.ndarray:
+# Reused accumulator for the large-cell bincount (single slot, driver-side
+# single-caller). An 800 MB np.empty is ~free to ALLOCATE but the kernel
+# then zero-faults every page on first write, and freeing returns the
+# mmap'd block so the next run faults it all over again; under memory
+# pressure (the Spark JVM + page cache share the host) those faults
+# serialize on mmap_lock and were measured turning a 0.9 s bincount into
+# 5-37 s (sys-time dominated). Reusing one buffer caps the retained
+# footprint at max_dense_cells * 8 B (the documented ~1 GB driver budget
+# for the dense regime) and makes the run time stable.
+_BINCOUNT_WORKSPACE: dict = {}
+
+
+def _range_partitioned_bincount(
+    vals, n_cells: int, reuse_workspace: bool = False,
+) -> np.ndarray:
     """Histogram of int values — np.bincount, threaded over cell ranges.
 
-    A single np.bincount over 1e8 random values into 1e8 cells is ~18 s of
-    TLB/cache misses; giving each thread a contiguous slice of the CELL
-    range (each scans all values, keeps its own) is ~2.7 s on 32 cores —
-    numpy releases the GIL, the per-thread accumulator region is ~100 MB,
-    and the extra full scans are sequential reads the memory system is good
-    at. Small inputs take the plain single call.
+    ``vals`` is one array or a sequence of arrays (e.g. zero-copy views of
+    parquet row-group chunks — passing chunks directly avoids a full-column
+    concat, a fresh 400 MB allocation at ref scale whose page faults cost
+    more than the histogram). A single np.bincount over 1e8 random values
+    into 1e8 cells is ~18 s of TLB/cache misses; giving each thread a
+    contiguous slice of the CELL range (each scans all values, keeps its
+    own) is ~2.7 s on 32 cores — numpy releases the GIL, the per-thread
+    accumulator region is ~100 MB, and the extra full scans are sequential
+    reads the memory system is good at. Small inputs take the plain single
+    call.
+
+    Each thread masks the values in bounded pieces (not one full-size
+    boolean mask each): 16 threads x 2 x len(vals) bool temporaries were
+    ~4 GB of per-run mmap/munmap churn whose page-fault kernel time
+    dominated wall clock under memory pressure; bounded pieces keep the
+    live temporaries to a few MB per thread, which glibc serves from the
+    arena free lists without touching the kernel.
+
+    ``reuse_workspace=True`` (the dense-driver path) additionally reuses
+    the module-level output accumulator across calls — the RETURNED ARRAY
+    IS INVALIDATED BY THE NEXT CALL; callers must copy (the caller casts
+    to float32 immediately). Default off so tests/external callers keep
+    value semantics.
     """
-    if vals.size < 4_000_000:
-        return np.bincount(vals, minlength=n_cells)
+    arrays = [vals] if isinstance(vals, np.ndarray) else [a for a in vals if a.size]
+    total = sum(a.size for a in arrays)
+    if total < 4_000_000:
+        if not arrays:
+            return np.zeros(n_cells, dtype=np.int64)
+        joined = arrays[0] if len(arrays) == 1 else np.concatenate(arrays)
+        return np.bincount(joined, minlength=n_cells)
     if n_cells < _VALUE_CHUNK_MAX_CELLS:
-        return _value_chunked_bincount([vals], n_cells)
+        return _value_chunked_bincount(arrays, n_cells)
     from concurrent.futures import ThreadPoolExecutor
+
+    # the threaded scan wants ONE contiguous array (per-chunk numpy ops on
+    # hundreds of row-group views cost more than they save); when reusing,
+    # concatenate into the retained values buffer so the 400 MB copy hits
+    # already-mapped pages instead of fresh kernel-zeroed ones
+    if len(arrays) == 1:
+        flat = arrays[0]
+    elif reuse_workspace:
+        buf = _BINCOUNT_WORKSPACE.get("vals")
+        if buf is None or buf.size < total or buf.dtype != arrays[0].dtype:
+            buf = np.empty(total, dtype=arrays[0].dtype)
+            _BINCOUNT_WORKSPACE["vals"] = buf
+        flat = np.concatenate(arrays, out=buf[:total])
+    else:
+        flat = np.concatenate(arrays)
 
     # measured on 1e8 values x 1e8 cells: 3.8 s @ 8 threads, 3.1 s @ 16,
     # flat beyond; more threads also ride out neighbor-CPU contention
     n_threads = min(16, max(2, (os.cpu_count() or 8) // 2))
     bounds = np.linspace(0, n_cells, n_threads + 1).astype(np.int64)
-    out = np.empty(n_cells, dtype=np.int64)
+    if reuse_workspace:
+        out = _BINCOUNT_WORKSPACE.get("out")
+        if out is None or out.size < n_cells:
+            out = np.empty(max(n_cells, 1), dtype=np.int64)
+            _BINCOUNT_WORKSPACE["out"] = out
+        out = out[:n_cells]
+    else:
+        out = np.empty(n_cells, dtype=np.int64)
+    piece = 8_000_000
 
     def _work(i: int) -> None:
         lo, hi = int(bounds[i]), int(bounds[i + 1])
-        sel = vals[(vals >= lo) & (vals < hi)]
-        out[lo:hi] = np.bincount(sel - lo, minlength=hi - lo)
+        picks = []
+        for s in range(0, flat.size, piece):
+            v = flat[s:s + piece]
+            m = (v >= lo) & (v < hi)
+            sel = v[m]
+            np.subtract(sel, lo, out=sel)
+            picks.append(sel)
+        joined = picks[0] if len(picks) == 1 else np.concatenate(picks)
+        # full-slice assignment (bincount pads to exactly hi-lo), so the
+        # reused accumulator never needs zeroing
+        out[lo:hi] = np.bincount(joined, minlength=hi - lo)
 
     with ThreadPoolExecutor(n_threads) as ex:
         list(ex.map(_work, range(n_threads)))

@@ -130,6 +130,11 @@ def test_driver_bincount_strategies_agree(n_vals, n_cells, seed, n_chunks):
     arrays = np.array_split(vals, n_chunks)
     np.testing.assert_array_equal(_value_chunked_bincount(arrays, n_cells), want)
     np.testing.assert_array_equal(_range_partitioned_bincount(vals, n_cells), want)
+    # chunked input (arrow row-group views) and the reused-workspace
+    # accumulator must be invisible to the result
+    np.testing.assert_array_equal(
+        _range_partitioned_bincount(arrays, n_cells, reuse_workspace=True), want,
+    )
 
 
 def test_driver_bincount_threaded_paths_agree():
