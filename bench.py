@@ -149,7 +149,9 @@ def _ref_scale_block(spark, n: int) -> dict:
 
     Timing protocol mirrors the reference (in-memory table, clock covers
     only the histogram computation, one DISCARDED warm-up run — JIT/codegen
-    compilation — then best-of-3); BASELINE.md targets: binning_1d 3.02 s,
+    compilation — then adaptive best-of-N: at least 2 measured runs,
+    continuing until the two fastest agree within 25% or 6 measured runs);
+    BASELINE.md targets: binning_1d 3.02 s,
     binning_4d 9.21 s, workflow_1d 17.06 s, workflow_4d 21.42 s at 1e8
     rows. The emitted block also carries every raw run (warm-up included)
     and the physical-plan phase breakdown of the last run per query, so

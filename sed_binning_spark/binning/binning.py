@@ -549,16 +549,25 @@ def _dense_driver_histogram(df: DataFrame, flat, n_cells: int) -> np.ndarray:
     return hist
 
 
-# Reused accumulator for the large-cell bincount (single slot, driver-side
+# Reused buffers for the large-cell bincount (single slot, driver-side
 # single-caller). An 800 MB np.empty is ~free to ALLOCATE but the kernel
 # then zero-faults every page on first write, and freeing returns the
 # mmap'd block so the next run faults it all over again; under memory
 # pressure (the Spark JVM + page cache share the host) those faults
 # serialize on mmap_lock and were measured turning a 0.9 s bincount into
-# 5-37 s (sys-time dominated). Reusing one buffer caps the retained
-# footprint at max_dense_cells * 8 B (the documented ~1 GB driver budget
-# for the dense regime) and makes the run time stable.
+# 5-37 s (sys-time dominated). Retained footprint: the "out" accumulator
+# (n_cells * 8 B, <= max_dense_cells -> ~1.6 GB worst case) plus the
+# "vals" concat buffer (rows * itemsize, <= _DENSE_ROWS_BUDGET int32 ->
+# ~1 GB worst case) — both bounded by the dense-path routing guards and
+# releasable via release_bincount_workspace() on long-lived drivers.
 _BINCOUNT_WORKSPACE: dict = {}
+
+
+def release_bincount_workspace() -> None:
+    """Free the retained dense-path bincount buffers (see
+    ``_BINCOUNT_WORKSPACE``): worst case ~2.6 GB held between dense binning
+    calls. Call from a long-lived driver after a binning burst."""
+    _BINCOUNT_WORKSPACE.clear()
 
 
 def _range_partitioned_bincount(

@@ -369,9 +369,13 @@ def ivf_assign(
     def _assign_fn(emb):
         if not len(emb):  # empty Arrow batch: asarray([]) would be 1-D
             return pd.Series([], dtype="Int32")
-        # NULL/ragged embeddings assign to NULL (excluded from every probed
-        # list) instead of crashing the batch's np.asarray
+        # NULL/short embeddings assign to NULL (excluded from every probed
+        # list) instead of crashing the batch's np.asarray; longer-than-dim
+        # rows use their first dim elements — the dot_expr/cosine_topk
+        # contract, so a full probe keeps exactly the rows brute scores
         rows = [None if e is None else np.asarray(e, dtype=np.float64) for e in emb]
+        rows = [r[:dim] if r is not None and r.ndim == 1 and r.size >= dim else r
+                for r in rows]
         ok = [i for i, r in enumerate(rows) if r is not None and r.shape == (dim,)]
         out = pd.array([None] * len(rows), dtype="Int32")
         if ok:

@@ -165,3 +165,33 @@ def test_driver_bincount_threaded_paths_agree():
     np.testing.assert_array_equal(
         _range_partitioned_bincount(vals_big, n_cells_big), want_big,
     )
+
+
+def test_threaded_bincount_workspace_reuse_is_invisible():
+    """The production dense-driver call shape — CHUNKED arrays (arrow
+    row-group views) + reuse_workspace=True on the THREADED branch — must
+    be value-identical to np.bincount across consecutive calls that
+    shrink n_cells, change dtype, and change totals: the retained 'out'
+    and 'vals' buffers are larger than the live region on later calls, so
+    any missed slice-assignment or stale-byte reuse shows up as a count
+    from a previous run."""
+    from sed_binning_spark.binning.binning import (
+        _VALUE_CHUNK_MAX_CELLS,
+        _range_partitioned_bincount,
+        release_bincount_workspace,
+    )
+
+    release_bincount_workspace()
+    rng = np.random.default_rng(5)
+    cases = [
+        (9_500_000, 12_000_000, np.int64),   # seeds the workspace
+        (5_000_000, 9_000_000, np.int32),    # smaller + dtype switch
+        (4_000_001, 8_000_001, np.int32),    # shrink again, odd sizes
+    ]
+    for n_vals, n_cells, dtype in cases:
+        assert n_cells >= _VALUE_CHUNK_MAX_CELLS
+        vals = rng.integers(0, n_cells, n_vals).astype(dtype)
+        chunks = np.array_split(vals, 37)
+        got = _range_partitioned_bincount(chunks, n_cells, reuse_workspace=True)
+        np.testing.assert_array_equal(got, np.bincount(vals, minlength=n_cells))
+    release_bincount_workspace()

@@ -36,8 +36,7 @@ QUERIES = [
     "aux_combine",
     "diag_grid",
     "k_axis",
-    "delay_calib",
-    "delay_flip_offsets",
+    "delay_calib",  # merged row: calibrated delay + flipped-offset delay_fo
     "bitwise_split",
     "norm_hist_timed",
     "fills",
