@@ -679,19 +679,44 @@ def _q_delay(spark, sf):
     )
 
 
-def _q_norm_hist_timed(spark, sf):
-    centers = np.linspace(0.0, 2048.0, 100, endpoint=False)
-    return normalization_histogram_sparse_from_timed_dataframe(
-        _events(spark, sf), "X", centers, 0.001,
+def _q_norm_hists(spark, sf):
+    """A9 + A10 in one row (merged to free a slot for bias_normspec): the
+    timed-dataframe and timestamp-difference normalization histograms,
+    union-labeled by source."""
+    centers_t = np.linspace(0.0, 2048.0, 100, endpoint=False)
+    timed = normalization_histogram_sparse_from_timed_dataframe(
+        _events(spark, sf), "X", centers_t, 0.001,
+    ).select(F.lit("timed").alias("src"), "bin", "time")
+    centers_s = np.linspace(0.0, 2048.0, 50, endpoint=False)
+    ts = normalization_histogram_sparse_from_timestamps(
+        _events(spark, sf), "X", centers_s, "ts_sec",
+    ).select(
+        F.lit("timestamps").alias("src"), "bin",
+        F.round("time", 6).alias("time"),
     )
+    return timed.unionByName(ts)
 
 
-def _q_norm_hist_ts(spark, sf):
-    centers = np.linspace(0.0, 2048.0, 50, endpoint=False)
-    out = normalization_histogram_sparse_from_timestamps(
-        _events(spark, sf), "X", centers, "ts_sec",
-    )
-    return out.select("bin", F.round("time", 6).alias("time"))
+def _q_bias_normspec(spark, sf):
+    """F1: bias-series traces + per-spectrum max normalization (smoothing
+    off) — bin_bias_series (the A8 partition-stacked cube) feeding
+    normspec on the driver, emitted as (file_id, bin, norm) rows.
+    Zero-count cells are dropped to align with the sparse SQL twin. The
+    cube's float32 counts are exact integers and normspec divides in
+    float64, so norm is bit-identical to the oracle's double division."""
+    from sed_binning_spark.calibration.fitting import bin_bias_series, normspec
+
+    ev = _events(spark, sf)
+    ids = [r[0] for r in ev.select("file_id").distinct().orderBy("file_id").collect()]
+    tof, traces = bin_bias_series(ev, "t", 120, (60000.0, 120000.0), file_ids=ids)
+    normed = normspec(traces)
+    rows = [
+        (int(f), int(b), float(normed[i, b]))
+        for i, f in enumerate(ids)
+        for b in range(traces.shape[1])
+        if traces[i, b] > 0
+    ]
+    return spark.createDataFrame(rows, "file_id bigint, bin bigint, norm double")
 
 
 def _q_jitter(spark, sf):
@@ -1085,8 +1110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dedup composition below)
         "delay_calib": _q_delay,
         # A9/A10: normalization histograms
-        "norm_hist_timed": _q_norm_hist_timed,
-        "norm_hist_timestamps": _q_norm_hist_ts,
+        # A9/A10 normalization histograms, merged; F1 bias-series normspec
+        "norm_hists": _q_norm_hists,
+        "bias_normspec": _q_bias_normspec,
         # S4/S5: mpes ms-marker timestamp synthesis + timed dataframe
         "mpes_timestamps": _q_mpes_timestamps,
         "mpes_timed": _q_mpes_timed,
@@ -1372,16 +1398,24 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT event_id, {d_sql} AS delay, "
             f"-(({d_sql}) + 0.001 * value + 2.5) AS delay_fo FROM ({_EV_SQL})"
         ),
-        "norm_hist_timed": (
-            f"SELECT bin, count(*) * 1.0e-3 AS time FROM (SELECT "
+        "norm_hists": (
+            f"SELECT 'timed' AS src, bin, count(*) * 1.0e-3 AS time FROM (SELECT "
             f"{bin_index_sql_edges('X', timed_edges)} AS bin FROM ({_EV_SQL})) "
-            f"WHERE bin IS NOT NULL GROUP BY bin"
-        ),
-        "norm_hist_timestamps": (
-            f"SELECT bin, round(sum(dt), 6) AS time FROM (SELECT "
+            f"WHERE bin IS NOT NULL GROUP BY bin "
+            f"UNION ALL "
+            f"SELECT 'timestamps' AS src, bin, round(sum(dt), 6) AS time FROM (SELECT "
             f"{bin_index_sql_edges('X', ts_edges)} AS bin, "
             f"ts_sec - lag(ts_sec) OVER (ORDER BY file_id, row_id) AS dt "
             f"FROM ({_EV_SQL})) WHERE bin IS NOT NULL AND dt IS NOT NULL GROUP BY bin"
+        ),
+        # F1 twin: per-file histogram + per-file max normalization (the
+        # window max sees only in-range bins, matching normspec's cube)
+        "bias_normspec": (
+            f"WITH h AS (SELECT file_id, bin, count(*) AS cnt FROM (SELECT "
+            f"file_id, {bin_index_sql('t', 120, 60000.0, 120000.0)} AS bin "
+            f"FROM ({_EV_SQL})) WHERE bin IS NOT NULL GROUP BY file_id, bin) "
+            f"SELECT file_id, bin, CAST(cnt AS DOUBLE) / "
+            f"CAST(max(cnt) OVER (PARTITION BY file_id) AS DOUBLE) AS norm FROM h"
         ),
         "sxp_electron_ids": (
             "SELECT CAST(100000 * (rec + 1) + i // 4 AS BIGINT) AS trainId, "

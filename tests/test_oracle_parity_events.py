@@ -38,13 +38,13 @@ QUERIES = [
     "k_axis",
     "delay_calib",  # merged row: calibrated delay + flipped-offset delay_fo
     "bitwise_split",
-    "norm_hist_timed",
+    "norm_hists",  # merged row: timed + timestamp normalization histograms
+    "bias_normspec",
     "fills",
     "interp_channel",
     "mpes_timestamps",
     "mpes_timed",
     "norm_spectrum",
-    "norm_hist_timestamps",
     "binning_partitions",
     "sector_align",
     "flash_electron_ids",
