@@ -465,13 +465,19 @@ def _q_binning_partitions(spark, sf):
 
 
 def _q_filters(spark, sf):
-    """P1 merged: value-range filter (strict open interval) chained with an
-    index filter — both predicate paths of apply_filter in one plan."""
-    ev = apply_filter(_events(spark, sf), "value", 100.0, 400.0)
+    """P1+P2 merged: value-range filter (strict open interval) chained with
+    an index filter — both predicate paths of apply_filter — applied
+    through the SedProcessor facade (P2, reference sed/core/processor.py:
+    449-487) so the wrapper's alias resolution / missing-column /
+    index-frame routing sits on the cross-engine gate, not only pytest."""
+    from sed_binning_spark.processor import SedProcessor
+
+    proc = SedProcessor(spark=spark, dataframe=_events(spark, sf))
+    proc.filter_column("value", 100.0, 400.0)
     # bound chosen below the sf0.001 row count so the index predicate also
     # bites in the dirty-events parity suite, not just at the sf0.01 gate
-    ev = apply_filter(ev, "index", upper_bound=500.0)
-    return ev.select("event_id", "value")
+    proc.filter_column("index", max_value=500.0)
+    return proc.dataframe.select("event_id", "value")
 
 
 def _q_map_drop(spark, sf):
