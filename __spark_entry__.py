@@ -1025,8 +1025,19 @@ def _q_embedding_dedup_rows(spark, sf):
 def _q_ann_lsh(spark, sf):
     """Banding tuned for the 0.45 threshold: P(plane agrees) ~ 0.65, so 4
     planes x 12 tables gives 1-(1-0.65^4)^12 ~ 0.91 theoretical recall
-    (measured 1.0 vs brute force at sf0.01 — tests/test_pipeline.py)."""
-    return lsh_bucket_pairs(_embeds(spark, sf), 0.45, num_planes=4, num_tables=12)
+    (measured 1.0 vs brute force at sf0.01 — tests/test_pipeline.py).
+
+    Oracle-backed despite being "approximate": given the seeded hyperplane
+    set the verified pair set is fully deterministic, so the DuckDB twin
+    (:func:`_lsh_pairs_oracle_sql`) regenerates the same planes and
+    replicates bucket -> candidate -> exact-cosine verify. The skew guard
+    is lifted here (its star-pair degradation is load-dependent and pinned
+    separately by tests/test_dedup.py) so the twin's full within-bucket
+    expansion is exact at every SF."""
+    return lsh_bucket_pairs(
+        _embeds(spark, sf), 0.45, num_planes=4, num_tables=12,
+        max_bucket_size=1_000_000,
+    ).select("id_a", "id_b")
 
 
 def _q_multimodal(spark, sf):
@@ -1592,6 +1603,7 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE a.vec_id < b.vec_id AND NOT isnan({_pair_cos_sql()}) "
             f"AND ({_pair_cos_sql()}) > 0.45e0"
         ),
+        "ann_pairs_lsh": _lsh_pairs_oracle_sql(),
         # recursive min-label closure over the brute pair graph, then drop
         # every non-representative — the SQL twin of embedding_dedup(exact)
         "embedding_dedup_rows": (
@@ -1675,6 +1687,64 @@ def _simhash_oracle_sql(bits: int = 16) -> str:
         f"ELSE {' || '.join(terms)} END AS simhash FROM ("
         f"SELECT doc_id, list_transform({_TOKS_SQL}, "
         f"t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS th FROM documents)"
+    )
+
+
+def _lsh_pairs_oracle_sql(
+    threshold: float = 0.45,
+    num_planes: int = 4,
+    num_tables: int = 12,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of lsh_bucket_pairs (pipeline/similarity.py): regenerate
+    the seeded hyperplanes with the identical numpy generator call and
+    inline them as double literals, then replicate the pipeline exactly —
+    sign-bit bucket per table, distinct within-bucket candidate pairs
+    (id_a < id_b), exact-cosine verification above the threshold.
+
+    Engine-parity notes, all verified by the dirty-embeddings suite:
+
+    - Only exactly-``dim``-length vectors sketch (the UDF requires
+      shape == (dim,)); ``len(embedding) = dim`` is the SQL equivalent.
+    - The sketch dots are BLAS (pairwise summation) in Spark and a
+      left-associated chain here, so a dot within ~1 ulp of 0 could bucket
+      differently — but a bucket flip only perturbs CANDIDATES, and the
+      output is the cosine-VERIFIED subset, which both engines compute
+      bit-identically (same fold order as _pair_cos_sql).
+    - NaN-element vectors: numpy ``NaN >= 0`` is False (bucket 0), DuckDB
+      NaN sorts above everything (bucket 2^P-1). Their candidates differ,
+      but every pair touching a NaN vector has NaN cosine and dies at the
+      verify, so the verified sets agree.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, num_planes, dim))
+    weights = [1 << (num_planes - 1 - p) for p in range(num_planes)]
+    selects = []
+    for t in range(num_tables):
+        bits = []
+        for p in range(num_planes):
+            dot = " + ".join(
+                f"CAST(embedding[{i + 1}] AS DOUBLE) * {fsql(planes[t, p, i])}"
+                for i in range(dim)
+            )
+            bits.append(f"CASE WHEN ({dot}) >= 0 THEN {weights[p]} ELSE 0 END")
+        selects.append(
+            f"SELECT vec_id, {t} AS tbl, {' + '.join(bits)} AS bucket FROM emb"
+        )
+    keys = " UNION ALL ".join(selects)
+    return (
+        f"WITH emb AS (SELECT vec_id, embedding FROM embeddings "
+        f"WHERE embedding IS NOT NULL AND len(embedding) = {dim}), "
+        f"keys AS ({keys}), "
+        f"cand AS (SELECT DISTINCT ka.vec_id AS id_a, kb.vec_id AS id_b "
+        f"FROM keys ka JOIN keys kb ON ka.tbl = kb.tbl "
+        f"AND ka.bucket = kb.bucket AND ka.vec_id < kb.vec_id) "
+        f"SELECT c.id_a, c.id_b FROM cand c "
+        f"JOIN embeddings a ON a.vec_id = c.id_a "
+        f"JOIN embeddings b ON b.vec_id = c.id_b "
+        f"WHERE NOT isnan({_pair_cos_sql()}) "
+        f"AND ({_pair_cos_sql()}) > {fsql(threshold)}"
     )
 
 

@@ -24,7 +24,7 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-QUERIES = ["ann_topk", "ann_pairs_brute"]
+QUERIES = ["ann_topk", "ann_pairs_brute", "ann_pairs_lsh"]
 
 
 @pytest.fixture(scope="module")
