@@ -53,7 +53,6 @@ from sed_binning_spark.calibration.energy import (
 from sed_binning_spark.calibration.momentum import append_k_axis, apply_dfield, k_coordinate_sql
 from sed_binning_spark.core.dfops import (
     add_time_stamped_data,
-    apply_filter,
     apply_jitter,
     backward_fill,
     drop_column,
@@ -715,6 +714,10 @@ def _q_bias_normspec(spark, sf):
     ev = _events(spark, sf)
     ids = [r[0] for r in ev.select("file_id").distinct().orderBy("file_id").collect()]
     tof, traces = bin_bias_series(ev, "t", 120, (60000.0, 120000.0), file_ids=ids)
+    # "exact integers" holds only below float32's 2^24 contiguous-integer
+    # range; beyond it the cube count would round and the bit-exact claim
+    # vs the oracle's integer division breaks — guard rather than diverge
+    assert traces.max() < 2**24, "float32 cube counts no longer exact"
     normed = normspec(traces)
     rows = [
         (int(f), int(b), float(normed[i, b]))
