@@ -91,7 +91,7 @@ from sed_binning_spark.pipeline.text import (
     quality_score,
     text_stats,
 )
-from sed_binning_spark.sqlgen import fsql
+from sed_binning_spark.sqlgen import fsql, hex_to_bigint_sql
 
 # ---------------------------------------------------------------------------
 # shared derivations (Spark + SQL twins from the same literals)
@@ -729,7 +729,16 @@ def _q_bias_normspec(spark, sf):
 
 
 def _q_jitter(spark, sf):
-    ev = apply_jitter(_events(spark, sf), cols=["X", "Y"], amps=0.5, seed=7)
+    """M1 with the counter-based draw (method='hash'): noise is 52 mantissa
+    bits of md5(file_id:row_id:seed), so the draw is partition-layout- and
+    retry-independent — the reproducible jitter at scale — and the DuckDB
+    twin regenerates it bit-exactly (every step after the hex parse is an
+    exact power-of-two scale or a single shared IEEE rounding). The
+    reference-faithful rand() draw (method='rand', random by design) is
+    distribution-pinned by tests/test_dfops.py instead."""
+    ev = apply_jitter(
+        _events(spark, sf), cols=["X", "Y"], amps=0.5, seed=7, method="hash",
+    )
     return ev.select("event_id", "X_jittered", "Y_jittered")
 
 
@@ -1307,6 +1316,17 @@ def oracle_sql() -> dict[str, str]:
             f"{bin_index_sql('Y', 30, 0.0, 2048.0)} AS b1 "
             f"FROM ({_EV_SQL})) "
             f"WHERE b0 IS NOT NULL AND b1 IS NOT NULL GROUP BY b0, b1"
+        ),
+        # M1 hash-jitter twin: md5(file_id:row_id:7) -> 52-bit lane ->
+        # exact /2^52 scale; every arithmetic step is either exact or a
+        # single IEEE rounding shared by both engines
+        "jitter": (
+            f"SELECT event_id, X + 0.5e0 * noise AS X_jittered, "
+            f"Y + 0.5e0 * noise AS Y_jittered FROM (SELECT event_id, X, Y, "
+            f"CAST({hex_to_bigint_sql('hx', 1)} AS DOUBLE) "
+            f"/ 4503599627370496e0 * 2e0 - 1e0 AS noise FROM ("
+            f"SELECT event_id, X, Y, md5(CAST(file_id AS VARCHAR) || ':' || "
+            f"CAST(row_id AS VARCHAR) || ':7') AS hx FROM ({_EV_SQL})))"
         ),
         "binning_partitions": (
             f"SELECT b0, file_id, count(*) AS cnt FROM (SELECT "

@@ -10,6 +10,7 @@ two-phase per-file + boundary-handoff strategy that shuffles nothing big.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 import numpy as np
@@ -31,6 +32,8 @@ def apply_jitter(
     amps: float | Sequence[float] = 0.5,
     jitter_type: str = "uniform",
     seed: int | None = None,
+    method: str = "rand",
+    key_columns: Sequence[str] = (FILE_COLUMN, ROW_COLUMN),
 ) -> DataFrame:
     """Add jitter to one or more columns (sed/core/dfops.py:16-70).
 
@@ -39,11 +42,32 @@ def apply_jitter(
     amplitude 0.5 = half a digitization step, de-aliasing integer-quantized
     coordinates before histogramming. ``seed`` makes the draw reproducible
     (the reference is unseeded; our tests pin seeds).
+
+    ``method`` picks the noise source:
+
+    - ``"rand"`` (default, the reference's semantics): Spark's rand/randn.
+      Cheapest (one xorshift per row, no hashing), but the values depend on
+      the PARTITION LAYOUT — the same seed re-draws differently after AQE
+      coalescing, a different file split, or a cluster resize, so a cached
+      downstream result is not reproducible across runs.
+    - ``"hash"``: counter-based draw — 52 explicit mantissa bits of
+      ``md5(key_columns, seed)`` per row (Box–Muller over two 52-bit
+      lanes of the same digest for ``jitter_type="normal"``). Layout- and
+      retry-independent: the same row gets the same noise on any
+      partitioning, any engine, any rerun — the reproducible choice for
+      incremental pipelines at scale, and reproducible in SQL by any
+      engine with md5 (the jitter oracle twin). Costs one md5 per row;
+      requires ``key_columns`` (default ``(file_id, row_id)``, minted by
+      every loader) to identify rows. Rows with a NULL key draw NULL
+      noise (strict concat): a row that cannot be identified cannot be
+      reproducibly jittered.
     """
     if cols is None:
         raise ValueError("cols needs to be provided!")
     if jitter_type not in ("uniform", "normal"):
         raise ValueError("type needs to be one of 'normal', 'uniform'!")
+    if method not in ("rand", "hash"):
+        raise ValueError("method needs to be one of 'rand', 'hash'!")
     if isinstance(cols, str):
         cols = [cols]
     if isinstance(cols_jittered, str):
@@ -67,7 +91,33 @@ def apply_jitter(
 
     # one shared noise column per call, as in the reference
     noise_col = "__jitter_noise"
-    if jitter_type == "uniform":
+    if method == "hash":
+        missing = [k for k in key_columns if k not in df.columns]
+        if missing:
+            raise ValueError(
+                f"method='hash' needs key columns to identify rows; "
+                f"missing from dataframe: {missing}",
+            )
+        # strict concat (not concat_ws): a NULL key must yield NULL noise,
+        # not silently collapse onto another row's key string
+        hx = F.md5(F.concat(
+            *[x for k in key_columns for x in (F.col(k).cast("string"), F.lit(":"))],
+            F.lit(str(int(seed or 0))),
+        ))
+        # 13 hex chars = 52 bits: the largest integer count that is still
+        # EXACT in a double, so u = n / 2^52 is one exact division and any
+        # engine that parses the same hex lands on the same double
+        two52 = float(1 << 52)
+        n1 = F.conv(F.substring(hx, 1, 13), 16, 10).cast("double")
+        if jitter_type == "uniform":
+            noise = n1 / F.lit(two52) * 2.0 - 1.0
+        else:
+            # Box–Muller over two independent 52-bit lanes of the digest;
+            # +0.5 keeps u1 strictly inside (0,1) so log never sees 0
+            u1 = (n1 + 0.5) / F.lit(two52)
+            u2 = F.conv(F.substring(hx, 14, 13), 16, 10).cast("double") / F.lit(two52)
+            noise = F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * math.pi * u2)
+    elif jitter_type == "uniform":
         noise = (F.rand(seed) if seed is not None else F.rand()) * 2.0 - 1.0
     else:
         noise = F.randn(seed) if seed is not None else F.randn()

@@ -44,6 +44,54 @@ def test_jitter_normal_type(events_df):
     assert 0.9 < d.std() < 1.1
 
 
+def test_jitter_hash_layout_invariant(events_df):
+    """method='hash' draws from md5(file_id:row_id:seed): the same row gets
+    the same noise under ANY partition layout — the property rand(seed)
+    lacks (its draw depends on the partition index)."""
+    out1 = (
+        apply_jitter(events_df, cols=["X"], amps=0.5, seed=9, method="hash")
+        .select("file_id", "row_id", "X_jittered").toPandas()
+        .sort_values(["file_id", "row_id"]).reset_index(drop=True)
+    )
+    out2 = (
+        apply_jitter(events_df.repartition(17, "X"), cols=["X"], amps=0.5,
+                     seed=9, method="hash")
+        .select("file_id", "row_id", "X_jittered").toPandas()
+        .sort_values(["file_id", "row_id"]).reset_index(drop=True)
+    )
+    assert (out1["X_jittered"] == out2["X_jittered"]).all()
+    d = out1["X_jittered"] - out1.merge(
+        apply_jitter(events_df, cols=["X"], amps=0.5, seed=9, method="hash")
+        .select("file_id", "row_id", "X").toPandas(),
+        on=["file_id", "row_id"],
+    )["X"]
+    assert (d.abs() <= 0.5).all() and d.abs().mean() > 0.1  # still uniform
+
+
+def test_jitter_hash_normal_and_errors(events_df):
+    out = apply_jitter(events_df, cols=["X"], amps=1.0, jitter_type="normal",
+                       seed=3, method="hash").toPandas()
+    d = out["X_jittered"] - out["X"]
+    assert abs(d.mean()) < 0.05
+    assert 0.9 < d.std() < 1.1
+    with pytest.raises(ValueError, match="missing from dataframe"):
+        apply_jitter(events_df.drop("row_id"), cols=["X"], method="hash")
+    with pytest.raises(ValueError, match="'rand', 'hash'"):
+        apply_jitter(events_df, cols=["X"], method="bogus")
+
+
+def test_jitter_hash_null_key_draws_null(spark):
+    """A row whose key is NULL cannot be reproducibly identified — it must
+    draw NULL noise, not silently collapse onto a neighbour's key."""
+    df = spark.createDataFrame(
+        [(0, 0, 1.0), (0, None, 2.0)], "file_id int, row_id int, X double",
+    )
+    out = apply_jitter(df, cols=["X"], amps=0.5, seed=1, method="hash").toPandas()
+    jit = out.set_index("X")["X_jittered"]
+    assert jit[1.0] == jit[1.0] and jit[1.0] is not None  # real draw
+    assert pd.isna(jit[2.0])
+
+
 def test_jitter_inplace_and_errors(events_df):
     out = apply_jitter(events_df, cols="X", cols_jittered="X", amps=0.5, seed=4)
     assert "X_jittered" not in out.columns

@@ -40,6 +40,7 @@ QUERIES = [
     "bitwise_split",
     "norm_hists",  # merged row: timed + timestamp normalization histograms
     "bias_normspec",
+    "jitter",  # method='hash': deterministic md5 draw, oracle-twinnable
     "fills",
     "interp_channel",
     "mpes_timestamps",
