@@ -903,11 +903,35 @@ def _q_lang_id(spark, sf):
 
 
 def _q_quality(spark, sf):
-    """Gopher-style quality scoring: five heuristic rules folded into one
-    score + keep flag (pure expressions over text_stats)."""
-    out = quality_score(_docs(spark, sf))
+    """Text-curation row, merged: Gopher-style quality score + keep flag
+    over the raw text, PLUS the PII audit/redaction pass (pii_stats,
+    scrub_pii, dup_line_stats) over a deterministic PII-laden twin text —
+    the corpus has no URLs/emails/IPs/phones, so spans are synthesized from
+    doc_id by expression (the synthesize_ppm trick) and both engines
+    regenerate the identical input. The scrubbed text is checked as its
+    md5, proving the regexp_replace chains mask identical spans."""
+    from sed_binning_spark.pipeline.text import dup_line_stats, pii_stats, scrub_pii
+
+    docs = _docs(spark, sf).withColumn(
+        "pii_text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com via http://ex.com/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" from 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(" tel +1 555-010-9876"),
+            F.lit("\nrepeat line\nrepeat line"),
+        ),
+    )
+    docs = scrub_pii(
+        dup_line_stats(pii_stats(docs, "pii_text"), "pii_text"), "pii_text",
+    )
+    out = quality_score(docs)
     return out.select(
         "doc_id", F.round("quality", 6).alias("quality"), "keep",
+        "n_url", "n_email", "n_ip", "n_phone", "dup_line_ratio",
+        F.md5("text_scrubbed").alias("scrub_md5"),
     )
 
 
@@ -1517,13 +1541,16 @@ def oracle_sql() -> dict[str, str]:
         # doc) fail via coalesce(false) exactly like the engine
         "quality_score": (
             f"SELECT doc_id, round(n_rules / 5.0, 6) AS quality, "
-            f"n_rules / 5.0 >= 0.8 AS keep FROM (SELECT doc_id, "
+            f"n_rules / 5.0 >= 0.8 AS keep, "
+            f"n_url, n_email, n_ip, n_phone, dup_line_ratio, scrub_md5 "
+            f"FROM (SELECT doc_id, {_pii_audit_sql()}, "
             f"CAST(coalesce(n_ws BETWEEN 20 AND 100000, false) AS INT) + "
             f"CAST(coalesce(mtl BETWEEN 3.0 AND 10.0, false) AS INT) + "
             f"CAST(coalesce(punct <= 0.2, false) AS INT) + "
             f"CAST(coalesce(stop >= 0.01, false) AS INT) + "
             f"CAST(coalesce(uniq >= 0.45, false) AS INT) AS n_rules "
-            f"FROM (SELECT doc_id, len({_WS_SQL}) AS n_ws, "
+            f"FROM (SELECT doc_id, {_PII_TEXT_SQL} AS pii_text, "
+            f"len({_WS_SQL}) AS n_ws, "
             f"length(regexp_replace(text, '\\s+', '', 'g')) "
             f"/ CAST(nullif(len({_WS_SQL}), 0) AS DOUBLE) AS mtl, "
             f"len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) "
@@ -1711,6 +1738,43 @@ def _simhash_oracle_sql(bits: int = 16) -> str:
         f"SELECT doc_id, list_transform({_TOKS_SQL}, "
         f"t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS th FROM documents)"
     )
+
+
+# Deterministic PII-laden twin text (SQL side of _q_quality's synthesis):
+# the corpus itself contains no URLs/emails/IPs/phones.
+_PII_TEXT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com via http://ex.com/' || CAST(doc_id AS VARCHAR) || "
+    "' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+    "' tel +1 555-010-9876' || chr(10) || 'repeat line' || chr(10) || "
+    "'repeat line'"
+)
+
+
+def _pii_audit_sql() -> str:
+    """Columns of the PII audit twin (over ``pii_text`` from the inner
+    SELECT): span counts per PII_PATTERNS on the raw text, the Gopher
+    duplicate-line ratio, and md5 of the scrub chain applied in the same
+    fixed pattern order as pipeline.text.scrub_pii. The patterns are the
+    PII_PATTERNS literals themselves — written in the Java-regex/RE2
+    common dialect precisely so one string drives both engines."""
+    from sed_binning_spark.pipeline.text import PII_PATTERNS
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(pii_text, '{p}')) AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    lines = "list_filter(string_split(pii_text, chr(10)), x -> trim(x) != '')"
+    dup = (
+        f"CASE WHEN pii_text IS NULL THEN NULL "
+        f"WHEN len({lines}) >= 2 THEN 1.0e0 - "
+        f"len(list_distinct({lines})) / CAST(len({lines}) AS DOUBLE) "
+        f"ELSE 0.0e0 END AS dup_line_ratio"
+    )
+    scrub = "pii_text"
+    for k, p in PII_PATTERNS.items():
+        scrub = f"regexp_replace({scrub}, '{p}', '<{k.upper()}>', 'g')"
+    return f"{counts}, {dup}, md5({scrub}) AS scrub_md5"
 
 
 def _lsh_pairs_oracle_sql(

@@ -224,3 +224,72 @@ def rolling_hashes(
             F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window)))),
         ),
     )
+
+
+# ---------------------------------------------------------------- PII / URLs
+
+# Detection patterns in the COMMON dialect of Java regex (Spark) and RE2
+# (DuckDB/Go/Rust scanners): character classes, bounded quantifiers, \b —
+# no backreferences or lookaround, so every engine in a mixed pipeline
+# masks the same spans. Dict order IS the scrub order: URLs first (a URL's
+# userinfo part would otherwise surface as an email match), then emails,
+# then the purely numeric shapes.
+PII_PATTERNS = {
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d\- ]{7,}\d",
+}
+
+
+def pii_stats(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """Per-document counts of URL / email / IPv4 / phone-like spans
+    (``n_url``/``n_email``/``n_ip``/``n_phone``), counted independently on
+    the RAW text (a URL embedding an address counts as both — the counts
+    answer "how much of this shape is present", not "what would scrubbing
+    remove"). Heuristic by design: ``phone`` is any 9+-digit dash/space
+    run, which also fires on ids — a recall-first audit signal, not a
+    validator. NULL text → NULL counts."""
+    t = F.col(text_column)
+    return df.withColumns({
+        f"n_{k}": F.when(
+            t.isNotNull(), F.size(F.regexp_extract_all(t, F.lit(p), 0)),
+        )
+        for k, p in PII_PATTERNS.items()
+    })
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_column: str = "text",
+    scrubbed_column: str = "text_scrubbed",
+) -> DataFrame:
+    """Mask every PII span with its typed placeholder (``<URL>``,
+    ``<EMAIL>``, ``<IP>``, ``<PHONE>``), applying the patterns in the
+    PII_PATTERNS order — the standard pre-training redaction pass. Pure
+    regexp_replace chain: map-only, no shuffle, text scanned once."""
+    t = F.col(text_column)
+    for k, p in PII_PATTERNS.items():
+        t = F.regexp_replace(t, p, f"<{k.upper()}>")
+    return df.withColumn(scrubbed_column, t)
+
+
+def dup_line_stats(
+    df: DataFrame,
+    text_column: str = "text",
+) -> DataFrame:
+    """Gopher-style duplicate-line signal: ``dup_line_ratio`` = fraction of
+    non-blank lines that are repeats of an earlier line (0.0 = all lines
+    distinct). Documents with fewer than 2 non-blank lines score 0.0 —
+    "no repetition", not "undefined" — matching the reference rule's
+    intent that single-line docs pass; NULL text stays NULL."""
+    lines = F.filter(
+        F.split(F.col(text_column), "\n"),
+        lambda x: F.trim(x) != "",
+    )
+    n = F.size(lines)
+    ratio = F.when(n >= 2, 1.0 - F.size(F.array_distinct(lines)) / n.cast("double"))
+    return df.withColumn(
+        "dup_line_ratio",
+        F.when(F.col(text_column).isNotNull(), F.coalesce(ratio, F.lit(0.0))),
+    )

@@ -575,3 +575,52 @@ def test_minhash_xxhash64_production_mode(docs_df):
     assert (0, 1) in md5_pairs
     with pytest.raises(ValueError, match="xxhash64"):
         minhash_signatures(docs_df, hash_function="fnv")
+
+
+# ----------------------------------------------------------- PII / dup lines
+def test_pii_stats_and_scrub(spark):
+    from sed_binning_spark.pipeline.text import pii_stats, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at bob@host.org or visit https://h.io/x?q=1 now"),
+            (1, "server 192.168.0.1 phone +49 30-1234-5678 done"),
+            (2, "plain text with no sensitive spans at all"),
+            (3, None),
+            # URL with userinfo: must be masked ONCE as a URL, the
+            # embedded address must not leak a second <EMAIL> mask
+            (4, "ftp-ish https://user@pw.example.com/path end"),
+        ],
+        "doc_id int, text string",
+    )
+    out = scrub_pii(pii_stats(df), ).orderBy("doc_id").toPandas()
+    assert list(out["n_url"].fillna(-1)) == [1, 0, 0, -1, 1]
+    assert list(out["n_email"].fillna(-1)) == [1, 0, 0, -1, 1]  # raw counts both
+    assert list(out["n_ip"].fillna(-1)) == [0, 1, 0, -1, 0]
+    assert list(out["n_phone"].fillna(-1)) == [0, 1, 0, -1, 0]
+    s = list(out["text_scrubbed"])
+    assert s[0] == "mail me at <EMAIL> or visit <URL> now"
+    assert s[1] == "server <IP> phone <PHONE> done"
+    assert s[2] == "plain text with no sensitive spans at all"
+    assert s[3] is None
+    assert s[4] == "ftp-ish <URL> end"  # scrub order: url before email
+
+
+def test_dup_line_stats(spark):
+    from sed_binning_spark.pipeline.text import dup_line_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "a\nb\na\n\n  \n"),   # blanks ignored; 3 lines, 2 distinct
+            (1, "single line"),        # <2 lines -> 0.0, not NULL
+            (2, "x\nx\nx"),            # all repeats
+            (3, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = dup_line_stats(df).orderBy("doc_id").toPandas()
+    r = list(out["dup_line_ratio"])
+    assert abs(r[0] - (1 - 2 / 3)) < 1e-12
+    assert r[1] == 0.0
+    assert abs(r[2] - (1 - 1 / 3)) < 1e-12
+    assert pd.isna(r[3])
