@@ -85,10 +85,14 @@ from sed_binning_spark.pipeline.similarity import (
     lsh_bucket_pairs,
 )
 from sed_binning_spark.pipeline.text import (
+    PII_PATTERNS,
     STOPWORDS,
     document_fingerprint,
+    dup_line_stats,
     language_id,
+    pii_stats,
     quality_score,
+    scrub_pii,
     text_stats,
 )
 from sed_binning_spark.sqlgen import fsql, hex_to_bigint_sql
@@ -910,8 +914,6 @@ def _q_quality(spark, sf):
     doc_id by expression (the synthesize_ppm trick) and both engines
     regenerate the identical input. The scrubbed text is checked as its
     md5, proving the regexp_replace chains mask identical spans."""
-    from sed_binning_spark.pipeline.text import dup_line_stats, pii_stats, scrub_pii
-
     docs = _docs(spark, sf).withColumn(
         "pii_text",
         F.concat(
@@ -1341,16 +1343,20 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_EV_SQL})) "
             f"WHERE b0 IS NOT NULL AND b1 IS NOT NULL GROUP BY b0, b1"
         ),
-        # M1 hash-jitter twin: md5(file_id:row_id:7) -> 52-bit lane ->
-        # exact /2^52 scale; every arithmetic step is either exact or a
-        # single IEEE rounding shared by both engines
+        # M1 hash-jitter twin: md5 over the length-prefixed key encoding
+        # ("len:value;" per key column + seed) -> 52-bit lane -> exact
+        # /2^52 scale; every arithmetic step is either exact or a single
+        # IEEE rounding shared by both engines
         "jitter": (
             f"SELECT event_id, X + 0.5e0 * noise AS X_jittered, "
             f"Y + 0.5e0 * noise AS Y_jittered FROM (SELECT event_id, X, Y, "
             f"CAST({hex_to_bigint_sql('hx', 1)} AS DOUBLE) "
             f"/ 4503599627370496e0 * 2e0 - 1e0 AS noise FROM ("
-            f"SELECT event_id, X, Y, md5(CAST(file_id AS VARCHAR) || ':' || "
-            f"CAST(row_id AS VARCHAR) || ':7') AS hx FROM ({_EV_SQL})))"
+            f"SELECT event_id, X, Y, md5("
+            f"CAST(length(CAST(file_id AS VARCHAR)) AS VARCHAR) || ':' || "
+            f"CAST(file_id AS VARCHAR) || ';' || "
+            f"CAST(length(CAST(row_id AS VARCHAR)) AS VARCHAR) || ':' || "
+            f"CAST(row_id AS VARCHAR) || ';7') AS hx FROM ({_EV_SQL})))"
         ),
         "binning_partitions": (
             f"SELECT b0, file_id, count(*) AS cnt FROM (SELECT "
@@ -1758,8 +1764,6 @@ def _pii_audit_sql() -> str:
     fixed pattern order as pipeline.text.scrub_pii. The patterns are the
     PII_PATTERNS literals themselves — written in the Java-regex/RE2
     common dialect precisely so one string drives both engines."""
-    from sed_binning_spark.pipeline.text import PII_PATTERNS
-
     counts = ", ".join(
         f"len(regexp_extract_all(pii_text, '{p}')) AS n_{k}"
         for k, p in PII_PATTERNS.items()

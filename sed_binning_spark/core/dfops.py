@@ -99,11 +99,15 @@ def apply_jitter(
                 f"missing from dataframe: {missing}",
             )
         # strict concat (not concat_ws): a NULL key must yield NULL noise,
-        # not silently collapse onto another row's key string
-        hx = F.md5(F.concat(
-            *[x for k in key_columns for x in (F.col(k).cast("string"), F.lit(":"))],
-            F.lit(str(int(seed or 0))),
-        ))
+        # not silently collapse onto another row's key string. Each field
+        # is LENGTH-PREFIXED so the encoding is injective — with a bare
+        # ':' separator, string keys ('x:y','z') and ('x','y:z') would
+        # hash identically and draw the same noise
+        parts: list[Column] = []
+        for k in key_columns:
+            s = F.col(k).cast("string")
+            parts += [F.length(s).cast("string"), F.lit(":"), s, F.lit(";")]
+        hx = F.md5(F.concat(*parts, F.lit(str(int(seed or 0)))))
         # 13 hex chars = 52 bits: the largest integer count that is still
         # EXACT in a double, so u = n / 2^52 is one exact division and any
         # engine that parses the same hex lands on the same double

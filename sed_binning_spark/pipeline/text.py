@@ -230,12 +230,15 @@ def rolling_hashes(
 
 # Detection patterns in the COMMON dialect of Java regex (Spark) and RE2
 # (DuckDB/Go/Rust scanners): character classes, bounded quantifiers, \b —
-# no backreferences or lookaround, so every engine in a mixed pipeline
-# masks the same spans. Dict order IS the scrub order: URLs first (a URL's
-# userinfo part would otherwise surface as an email match), then emails,
-# then the purely numeric shapes.
+# no backreferences, no lookaround, and NO \s/\S (Java's \s includes
+# vertical tab \x0B, RE2's does not — the one place the dialects' shared
+# syntax diverges in MEANING; whitespace is spelled as an explicit class
+# instead) — so every engine in a mixed pipeline masks the same spans.
+# Dict order IS the scrub order: URLs first (a URL's userinfo part would
+# otherwise surface as an email match), then emails, then the purely
+# numeric shapes.
 PII_PATTERNS = {
-    "url": r"https?://[^\s]+",
+    "url": r"https?://[^ \t\n\x0B\f\r]+",
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
     "phone": r"\+?\d[\d\- ]{7,}\d",
@@ -267,7 +270,8 @@ def scrub_pii(
     """Mask every PII span with its typed placeholder (``<URL>``,
     ``<EMAIL>``, ``<IP>``, ``<PHONE>``), applying the patterns in the
     PII_PATTERNS order — the standard pre-training redaction pass. Pure
-    regexp_replace chain: map-only, no shuffle, text scanned once."""
+    regexp_replace chain: map-only, no shuffle, one pipeline stage (the
+    text is regex-scanned once PER PATTERN — four passes)."""
     t = F.col(text_column)
     for k, p in PII_PATTERNS.items():
         t = F.regexp_replace(t, p, f"<{k.upper()}>")
