@@ -179,10 +179,12 @@ class SedProcessor:
         cols: Sequence[str] | None = None,
         amps: float | Sequence[float] | None = None,
         seed: int | None = None,
+        method: str = "rand",
     ) -> "SedProcessor":
         """M1 (processor.py:1956-2005): jitter the configured columns in
         place (event df only — the timed frame is not jittered in the
-        reference either)."""
+        reference either). ``method="hash"`` selects the counter-based
+        layout-independent draw (see core.dfops.apply_jitter)."""
         from sed_binning_spark.core.dfops import apply_jitter
 
         if cols is None:
@@ -209,6 +211,7 @@ class SedProcessor:
         amps = [a for _, a in kept]
         self._dataframe = apply_jitter(
             df, cols=cols, cols_jittered=cols, amps=amps, seed=seed,
+            method=method,
         )
         self._attributes.add({"jitter": {"cols": cols, "amps": amps}},
                              "jitter", duplicate_policy="append")
