@@ -336,3 +336,34 @@ def test_offset_errors(events_df):
         offset_by_other_columns(events_df, "t", ["ADC"], [1.0], reductions="median")
     with pytest.raises(TypeError):
         offset_by_other_columns(events_df, "t", ["ADC"], [1.0], preserve_mean=[1])
+
+
+def test_jitter_hash_key_encoding_is_injective(spark):
+    """The review-found collision: with a bare ':' separator, string keys
+    ('x:y','z') and ('x','y:z') hash identically. The length-prefixed
+    encoding must give them DIFFERENT noise, and every draw must equal the
+    documented spec md5('len:val;' per key + seed) recomputed in Python."""
+    import hashlib
+
+    rows = [
+        (0, "x:y", "z", 1.0),
+        (1, "x", "y:z", 1.0),    # the ambiguous twin under a ':' join
+        (2, "x;1:", ";", 1.0),   # separator chars inside values
+        (3, "", "", 1.0),        # empty strings still keyed (len 0)
+    ]
+    df = spark.createDataFrame(rows, "i int, a string, b string, X double")
+    out = (
+        apply_jitter(df, cols=["X"], amps=1.0, seed=5, method="hash",
+                     key_columns=("a", "b"))
+        .orderBy("i").toPandas()
+    )
+    noise = (out["X_jittered"] - out["X"]).tolist()
+    assert len(set(noise)) == len(noise), "key encoding collided"
+
+    def spec(a, b, seed=5):
+        enc = f"{len(a)}:{a};{len(b)}:{b};{seed}"
+        n = int(hashlib.md5(enc.encode()).hexdigest()[:13], 16)
+        return n / float(1 << 52) * 2.0 - 1.0
+
+    for (_, a, b, _), got in zip(rows, noise):
+        assert got == spec(a, b), (a, b)

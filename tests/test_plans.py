@@ -179,3 +179,24 @@ def test_dfield_udf_is_arrow_batched_not_row_at_a_time(events_sdf):
     plan = plan_of(out)
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_text_curation_chain_stays_in_jvm(spark):
+    """pii_stats + scrub_pii + dup_line_stats + quality_score compose into
+    pure regexp/array expressions — zero Python nodes, zero shuffles: one
+    map-only pass over the text column."""
+    from sed_binning_spark.pipeline.text import (
+        dup_line_stats,
+        pii_stats,
+        quality_score,
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a http://x.io b\nc\nc")], "doc_id int, text string",
+    )
+    out = quality_score(dup_line_stats(scrub_pii(pii_stats(df))))
+    plan = plan_of(out)
+    for node in ALL_PYTHON_NODES:
+        assert node not in plan, f"Python boundary in text curation:\n{plan}"
+    assert "Exchange" not in plan, plan
