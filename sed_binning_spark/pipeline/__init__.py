@@ -11,7 +11,9 @@ event-scale data.
   connected components (hash-min label propagation) -> representative
   selection
 - :mod:`~sed_binning_spark.pipeline.text` — token counting, text quality
-  stats, stopword language-ID, document fingerprinting
+  stats, stopword language-ID, document fingerprinting, PII audit +
+  redaction (URL/email/IPv4/phone in the Java-regex/RE2 common dialect),
+  duplicate-line repetition signal
 - :mod:`~sed_binning_spark.pipeline.similarity` — brute-force cosine top-k
   (the correctness baseline), random-hyperplane LSH bucketing, and IVF
   (trained coarse quantizer + probed lists) over `array<float>` embedding
@@ -47,8 +49,11 @@ from sed_binning_spark.pipeline.multimodal import (
 from sed_binning_spark.pipeline.similarity import ivf_topk, ivf_train_centroids
 from sed_binning_spark.pipeline.text import (
     document_fingerprint,
+    dup_line_stats,
     language_id,
+    pii_stats,
     quality_score,
+    scrub_pii,
     text_stats,
 )
 
@@ -70,6 +75,9 @@ __all__ = [
     "quality_score",
     "language_id",
     "document_fingerprint",
+    "pii_stats",
+    "scrub_pii",
+    "dup_line_stats",
     "extract_features",
     "resize_images",
     "frame_sample_plan",
