@@ -25,6 +25,51 @@ ROW_COLUMN = "row_id"
 # ---------------------------------------------------------------------------
 # jitter (M1: sed/core/dfops.py:16-70)
 # ---------------------------------------------------------------------------
+def _hash_key_digest(df: DataFrame, key_columns: Sequence[str], seed: int) -> Column:
+    """md5 hex digest of the row key: the shared entropy source behind
+    every counter-based ("hash") draw in the engine (jitter noise,
+    deterministic sampling, corpus splits).
+
+    Strict concat (not concat_ws): a NULL key must yield a NULL digest,
+    not silently collapse onto another row's key string. Each field is
+    LENGTH-PREFIXED so the encoding is injective — with a bare ':'
+    separator, string keys ('x:y','z') and ('x','y:z') would hash
+    identically and draw the same value."""
+    missing = [k for k in key_columns if k not in df.columns]
+    if missing:
+        raise ValueError(
+            f"method='hash' needs key columns to identify rows; "
+            f"missing from dataframe: {missing}",
+        )
+    parts: list[Column] = []
+    for k in key_columns:
+        s = F.col(k).cast("string")
+        parts += [F.length(s).cast("string"), F.lit(":"), s, F.lit(";")]
+    return F.md5(F.concat(*parts, F.lit(str(int(seed)))))
+
+
+def hash_uniform(
+    df: DataFrame,
+    key_columns: Sequence[str] = (FILE_COLUMN, ROW_COLUMN),
+    seed: int = 0,
+) -> Column:
+    """Deterministic per-row U[0,1) draw: the first 52 bits (13 hex chars)
+    of md5 over the length-prefixed key encoding, divided by 2^52.
+
+    52 bits is the largest hex count whose integer range stays EXACT in a
+    double, so the division is one exact power-of-two scale and any engine
+    that parses the same hex lands on the same double (the SQL twin is
+    sqlgen.hex_to_bigint_sql / 2^52). Unlike F.rand(seed), the value is a
+    pure function of the row key: independent of partition layout, task
+    retries, cluster size, and engine — which is what makes hash-keyed
+    jitter, sampling, and split assignment reproducible at 100 TB. Rows
+    with any NULL key draw NULL."""
+    n = F.conv(
+        F.substring(_hash_key_digest(df, key_columns, seed), 1, 13), 16, 10,
+    ).cast("double")
+    return n / F.lit(float(1 << 52))
+
+
 def apply_jitter(
     df: DataFrame,
     cols: str | Sequence[str],
@@ -92,30 +137,12 @@ def apply_jitter(
     # one shared noise column per call, as in the reference
     noise_col = "__jitter_noise"
     if method == "hash":
-        missing = [k for k in key_columns if k not in df.columns]
-        if missing:
-            raise ValueError(
-                f"method='hash' needs key columns to identify rows; "
-                f"missing from dataframe: {missing}",
-            )
-        # strict concat (not concat_ws): a NULL key must yield NULL noise,
-        # not silently collapse onto another row's key string. Each field
-        # is LENGTH-PREFIXED so the encoding is injective — with a bare
-        # ':' separator, string keys ('x:y','z') and ('x','y:z') would
-        # hash identically and draw the same noise
-        parts: list[Column] = []
-        for k in key_columns:
-            s = F.col(k).cast("string")
-            parts += [F.length(s).cast("string"), F.lit(":"), s, F.lit(";")]
-        hx = F.md5(F.concat(*parts, F.lit(str(int(seed or 0)))))
-        # 13 hex chars = 52 bits: the largest integer count that is still
-        # EXACT in a double, so u = n / 2^52 is one exact division and any
-        # engine that parses the same hex lands on the same double
-        two52 = float(1 << 52)
-        n1 = F.conv(F.substring(hx, 1, 13), 16, 10).cast("double")
         if jitter_type == "uniform":
-            noise = n1 / F.lit(two52) * 2.0 - 1.0
+            noise = hash_uniform(df, key_columns, seed or 0) * 2.0 - 1.0
         else:
+            two52 = float(1 << 52)
+            hx = _hash_key_digest(df, key_columns, seed or 0)
+            n1 = F.conv(F.substring(hx, 1, 13), 16, 10).cast("double")
             # Box–Muller over two independent 52-bit lanes of the digest;
             # +0.5 keeps u1 strictly inside (0,1) so log never sees 0
             u1 = (n1 + 0.5) / F.lit(two52)

@@ -21,6 +21,9 @@ event-scale data.
 - :mod:`~sed_binning_spark.pipeline.multimodal` — binary media columns
   with pure-NumPy PPM/BMP/WAV codecs behind ``mapInPandas`` (plus a
   deterministic stub for formats without a bundled decoder)
+- :mod:`~sed_binning_spark.pipeline.sample` — deterministic (hash-keyed)
+  sampling, per-stratum corpus-mixing rates, leak-proof train/val/test
+  split assignment — reproducible on any partition layout or engine
 """
 
 from sed_binning_spark.pipeline.cluster import (
@@ -45,6 +48,11 @@ from sed_binning_spark.pipeline.multimodal import (
     frame_sample_plan,
     resize_images,
     synthesize_ppm_media_from_text,
+)
+from sed_binning_spark.pipeline.sample import (
+    assign_splits,
+    deterministic_sample,
+    stratified_sample,
 )
 from sed_binning_spark.pipeline.similarity import ivf_topk, ivf_train_centroids
 from sed_binning_spark.pipeline.text import (
@@ -78,6 +86,9 @@ __all__ = [
     "pii_stats",
     "scrub_pii",
     "dup_line_stats",
+    "deterministic_sample",
+    "stratified_sample",
+    "assign_splits",
     "extract_features",
     "resize_images",
     "frame_sample_plan",

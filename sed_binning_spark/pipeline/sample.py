@@ -1,0 +1,111 @@
+"""Deterministic sampling and corpus splitting for training-data curation.
+
+Every function here draws from :func:`~sed_binning_spark.core.dfops.
+hash_uniform` — a per-row U[0,1) that is a pure function of the row key
+(md5, length-prefixed encoding) — instead of ``df.sample``/``sampleBy``
+(whose Bernoulli draw depends on partition layout and re-rolls on task
+retry). Consequences that matter at 100 TB:
+
+- **Reproducible**: the same row lands in the same sample/split on any
+  cluster size, any partitioning, any engine — a rebuilt pipeline stage
+  yields the identical corpus, so downstream caches stay valid.
+- **Nested**: a 1% sample is a strict subset of a 10% sample at the same
+  (seed, keys) — ``u < 0.01`` implies ``u < 0.10`` — so scaling a data
+  ablation up never discards previously selected rows.
+- **Leak-proof splits**: train/holdout assignment is a disjoint partition
+  of [0,1); keying by a GROUP column (e.g. a document's source domain)
+  puts the whole group in one split — the standard guard against
+  train/test contamination via near-duplicates within a group.
+
+All pure Column expressions (md5 + conv), map-only, no shuffle, no RNG
+state. Rows with a NULL key draw NULL and fall out of every sample and
+split — an unidentifiable row cannot be reproducibly assigned.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sed_binning_spark.core.dfops import FILE_COLUMN, ROW_COLUMN, hash_uniform
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_columns: Sequence[str] = (FILE_COLUMN, ROW_COLUMN),
+    seed: int = 0,
+) -> DataFrame:
+    """Keep the rows whose hash-uniform draw falls below ``fraction``.
+
+    Exact-rate on the key distribution's randomness (Bernoulli per row,
+    like ``df.sample`` — the row COUNT is binomial, not exact), but
+    membership is layout/retry/engine-independent and nested across
+    fractions at the same seed."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(hash_uniform(df, key_columns, seed) < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_column: str,
+    fractions: Mapping[str, float],
+    key_columns: Sequence[str] = (FILE_COLUMN, ROW_COLUMN),
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum sampling rates (the deterministic ``sampleBy``): a row
+    in stratum ``s`` survives iff its draw < ``fractions[s]``. Strata not
+    named in ``fractions`` get ``default_fraction`` (0.0 = dropped — the
+    sampleBy convention); a NULL stratum uses ``default_fraction`` too.
+    This is how corpus mixing weights are applied (e.g. upweight curated
+    sources, downsample crawl)."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    thresh = F.lit(float(default_fraction))
+    for s, f in fractions.items():
+        thresh = F.when(F.col(strata_column) == F.lit(s), F.lit(float(f))).otherwise(thresh)
+    return df.filter(hash_uniform(df, key_columns, seed) < thresh)
+
+
+def assign_splits(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    key_columns: Sequence[str] = (FILE_COLUMN, ROW_COLUMN),
+    seed: int = 0,
+    split_column: str = "split",
+) -> DataFrame:
+    """Label every keyed row with a split name ('train'/'val'/...): the
+    [0,1) line is cut at the cumulative weights, in the mapping's order,
+    and the row's draw picks its interval — disjoint and exhaustive by
+    construction. Weights must sum to 1 (within 1e-9).
+
+    Key by a GROUP column (document source, url domain, dedup-cluster
+    representative) to keep correlated rows in one split; rows with a NULL
+    key get a NULL label — filter or route them explicitly rather than
+    letting leakage-prone rows default into 'train'."""
+    total = float(sum(weights.values()))
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("split weights must be non-negative")
+    u = hash_uniform(df, key_columns, seed)
+    names = list(weights)
+    # a row belongs to the first interval whose upper cut exceeds its draw;
+    # the last split takes everything below 1.0 (guarded on a real draw so
+    # NULL-key rows stay NULL instead of defaulting into it)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += float(weights[name])
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.when(u.isNotNull(), F.lit(names[-1]))
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_column, expr)

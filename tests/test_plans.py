@@ -200,3 +200,21 @@ def test_text_curation_chain_stays_in_jvm(spark):
     for node in ALL_PYTHON_NODES:
         assert node not in plan, f"Python boundary in text curation:\n{plan}"
     assert "Exchange" not in plan, plan
+
+
+def test_sampling_and_splits_are_map_only(spark):
+    """Hash-keyed sampling/split assignment must compile to pure JVM
+    expressions: no Python boundary, no shuffle, no rand() (whose
+    partition-index seeding is the thing being designed around)."""
+    from sed_binning_spark.pipeline.sample import assign_splits, deterministic_sample
+
+    df = spark.createDataFrame([(0, 0, 1.0)], "file_id int, row_id int, x double")
+    out = assign_splits(
+        deterministic_sample(df, 0.5, seed=1),
+        {"train": 0.9, "val": 0.1}, seed=2,
+    )
+    plan = plan_of(out)
+    for node in ALL_PYTHON_NODES:
+        assert node not in plan, f"Python boundary in sampling plan:\n{plan}"
+    assert "Exchange" not in plan, plan
+    assert "rand(" not in plan, plan
