@@ -1344,7 +1344,7 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE b0 IS NOT NULL AND b1 IS NOT NULL GROUP BY b0, b1"
         ),
         # M1 hash-jitter twin: md5 over the length-prefixed key encoding
-        # ("len:value;" per key column + seed) -> 52-bit lane -> exact
+        # ("len:value;" per key column + the operator domain tag + seed) -> 52-bit lane -> exact
         # /2^52 scale; every arithmetic step is either exact or a single
         # IEEE rounding shared by both engines
         "jitter": (
@@ -1356,7 +1356,7 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(length(CAST(file_id AS VARCHAR)) AS VARCHAR) || ':' || "
             f"CAST(file_id AS VARCHAR) || ';' || "
             f"CAST(length(CAST(row_id AS VARCHAR)) AS VARCHAR) || ':' || "
-            f"CAST(row_id AS VARCHAR) || ';7') AS hx FROM ({_EV_SQL})))"
+            f"CAST(row_id AS VARCHAR) || ';jitter:7') AS hx FROM ({_EV_SQL})))"
         ),
         "binning_partitions": (
             f"SELECT b0, file_id, count(*) AS cnt FROM (SELECT "

@@ -25,7 +25,9 @@ ROW_COLUMN = "row_id"
 # ---------------------------------------------------------------------------
 # jitter (M1: sed/core/dfops.py:16-70)
 # ---------------------------------------------------------------------------
-def _hash_key_digest(df: DataFrame, key_columns: Sequence[str], seed: int) -> Column:
+def _hash_key_digest(
+    df: DataFrame, key_columns: Sequence[str], seed: int, domain: str,
+) -> Column:
     """md5 hex digest of the row key: the shared entropy source behind
     every counter-based ("hash") draw in the engine (jitter noise,
     deterministic sampling, corpus splits).
@@ -34,27 +36,39 @@ def _hash_key_digest(df: DataFrame, key_columns: Sequence[str], seed: int) -> Co
     not silently collapse onto another row's key string. Each field is
     LENGTH-PREFIXED so the encoding is injective — with a bare ':'
     separator, string keys ('x:y','z') and ('x','y:z') would hash
-    identically and draw the same value."""
+    identically and draw the same value.
+
+    ``domain`` is the operator tag salted into the digest ("jitter",
+    "sample", "split", ...): without it, every hash-keyed operator at the
+    same (keys, seed) would read the SAME u per row, so composed operators
+    become perfectly correlated — e.g. a 10% sample followed by an
+    80/10/10 split would put every surviving row (u < 0.1) into 'train',
+    and jitter on that sample would draw only from the bottom of its
+    range. Same domain = intentionally shared randomness (what gives
+    samples their nesting across fractions); different domains =
+    independent draws."""
     missing = [k for k in key_columns if k not in df.columns]
     if missing:
         raise ValueError(
-            f"method='hash' needs key columns to identify rows; "
+            f"hash-keyed draws need key columns to identify rows; "
             f"missing from dataframe: {missing}",
         )
     parts: list[Column] = []
     for k in key_columns:
         s = F.col(k).cast("string")
         parts += [F.length(s).cast("string"), F.lit(":"), s, F.lit(";")]
-    return F.md5(F.concat(*parts, F.lit(str(int(seed)))))
+    return F.md5(F.concat(*parts, F.lit(f"{domain}:{int(seed)}")))
 
 
 def hash_uniform(
     df: DataFrame,
     key_columns: Sequence[str] = (FILE_COLUMN, ROW_COLUMN),
     seed: int = 0,
+    domain: str = "uniform",
 ) -> Column:
     """Deterministic per-row U[0,1) draw: the first 52 bits (13 hex chars)
-    of md5 over the length-prefixed key encoding, divided by 2^52.
+    of md5 over the length-prefixed key encoding (plus the operator
+    ``domain`` tag — see :func:`_hash_key_digest`), divided by 2^52.
 
     52 bits is the largest hex count whose integer range stays EXACT in a
     double, so the division is one exact power-of-two scale and any engine
@@ -65,7 +79,8 @@ def hash_uniform(
     jitter, sampling, and split assignment reproducible at 100 TB. Rows
     with any NULL key draw NULL."""
     n = F.conv(
-        F.substring(_hash_key_digest(df, key_columns, seed), 1, 13), 16, 10,
+        F.substring(_hash_key_digest(df, key_columns, seed, domain), 1, 13),
+        16, 10,
     ).cast("double")
     return n / F.lit(float(1 << 52))
 
@@ -138,10 +153,10 @@ def apply_jitter(
     noise_col = "__jitter_noise"
     if method == "hash":
         if jitter_type == "uniform":
-            noise = hash_uniform(df, key_columns, seed or 0) * 2.0 - 1.0
+            noise = hash_uniform(df, key_columns, seed or 0, "jitter") * 2.0 - 1.0
         else:
             two52 = float(1 << 52)
-            hx = _hash_key_digest(df, key_columns, seed or 0)
+            hx = _hash_key_digest(df, key_columns, seed or 0, "jitter")
             n1 = F.conv(F.substring(hx, 1, 13), 16, 10).cast("double")
             # Box–Muller over two independent 52-bit lanes of the digest;
             # +0.5 keeps u1 strictly inside (0,1) so log never sees 0

@@ -17,8 +17,12 @@ retry). Consequences that matter at 100 TB:
   puts the whole group in one split — the standard guard against
   train/test contamination via near-duplicates within a group.
 
-All pure Column expressions (md5 + conv), map-only, no shuffle, no RNG
-state. Rows with a NULL key draw NULL and fall out of every sample and
+Each operator salts its own domain tag into the digest ("sample",
+"strata", "split"; jitter uses "jitter"), so composing them at the same
+(keys, seed) still yields independent draws — while calls of the SAME
+operator share randomness, which is what makes samples nest across
+fractions. All pure Column expressions (md5 + conv), map-only, no
+shuffle, no RNG state. Rows with a NULL key draw NULL and fall out of every sample and
 split — an unidentifiable row cannot be reproducibly assigned.
 """
 
@@ -46,7 +50,7 @@ def deterministic_sample(
     fractions at the same seed."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return df.filter(hash_uniform(df, key_columns, seed) < F.lit(float(fraction)))
+    return df.filter(hash_uniform(df, key_columns, seed, "sample") < F.lit(float(fraction)))
 
 
 def stratified_sample(
@@ -68,10 +72,15 @@ def stratified_sample(
             raise ValueError(f"fraction for stratum {s!r} must be in [0, 1], got {f}")
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    if strata_column not in df.columns:
+        raise ValueError(
+            f"strata column {strata_column!r} not in dataframe "
+            f"(columns: {df.columns})",
+        )
     thresh = F.lit(float(default_fraction))
     for s, f in fractions.items():
         thresh = F.when(F.col(strata_column) == F.lit(s), F.lit(float(f))).otherwise(thresh)
-    return df.filter(hash_uniform(df, key_columns, seed) < thresh)
+    return df.filter(hash_uniform(df, key_columns, seed, "strata") < thresh)
 
 
 def assign_splits(
@@ -95,7 +104,7 @@ def assign_splits(
         raise ValueError(f"split weights must sum to 1, got {total}")
     if any(w < 0 for w in weights.values()):
         raise ValueError("split weights must be non-negative")
-    u = hash_uniform(df, key_columns, seed)
+    u = hash_uniform(df, key_columns, seed, "split")
     names = list(weights)
     # a row belongs to the first interval whose upper cut exceeds its draw;
     # the last split takes everything below 1.0 (guarded on a real draw so

@@ -342,7 +342,8 @@ def test_jitter_hash_key_encoding_is_injective(spark):
     """The review-found collision: with a bare ':' separator, string keys
     ('x:y','z') and ('x','y:z') hash identically. The length-prefixed
     encoding must give them DIFFERENT noise, and every draw must equal the
-    documented spec md5('len:val;' per key + seed) recomputed in Python."""
+    documented spec md5('len:val;' per key + 'jitter:<seed>') recomputed
+    in Python."""
     import hashlib
 
     rows = [
@@ -361,7 +362,7 @@ def test_jitter_hash_key_encoding_is_injective(spark):
     assert len(set(noise)) == len(noise), "key encoding collided"
 
     def spec(a, b, seed=5):
-        enc = f"{len(a)}:{a};{len(b)}:{b};{seed}"
+        enc = f"{len(a)}:{a};{len(b)}:{b};jitter:{seed}"
         n = int(hashlib.md5(enc.encode()).hexdigest()[:13], 16)
         return n / float(1 << 52) * 2.0 - 1.0
 

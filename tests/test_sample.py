@@ -30,7 +30,7 @@ needs_testdata = pytest.mark.skipif(
 
 def _u(event_id, seed=0):
     """The documented draw spec, reimplemented from scratch."""
-    enc = f"{len(str(event_id))}:{event_id};{seed}"
+    enc = f"{len(str(event_id))}:{event_id};sample:{seed}"
     return int(hashlib.md5(enc.encode()).hexdigest()[:13], 16) / float(1 << 52)
 
 
@@ -66,7 +66,7 @@ def test_sample_draw_matches_duckdb_twin(spark):
     ).select("event_id").toPandas()["event_id"])
     hx = (
         "md5(CAST(length(CAST(event_id AS VARCHAR)) AS VARCHAR) || ':' || "
-        "CAST(event_id AS VARCHAR) || ';7')"
+        "CAST(event_id AS VARCHAR) || ';sample:7')"
     )
     want = duckdb.connect().execute(
         f"SELECT event_id FROM read_parquet('{EV}') "
@@ -123,3 +123,21 @@ def test_null_key_rows_fall_out(spark):
     assert deterministic_sample(df, 1.0).count() == 1  # NULL key never kept
     lab = assign_splits(df, {"train": 1.0}).toPandas().set_index("row_id")["split"]
     assert lab[0] == "train" and pd.isna(lab[1])
+
+
+def test_composed_operators_draw_independently(spark):
+    """The review-demonstrated hazard: without per-operator domain salts,
+    a 10% sample followed by an 80/10/10 split puts EVERY surviving row in
+    'train' (u < 0.1 < 0.8), and hash-jitter on that sample draws only
+    from the bottom of its range. Domain tags must decorrelate them."""
+    from sed_binning_spark.core.dfops import apply_jitter
+
+    rows = [(0, i, float(i)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "file_id int, row_id int, X double")
+    sampled = deterministic_sample(df, 0.1)           # default seed on BOTH
+    out = assign_splits(sampled, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = out.groupBy("split").count().toPandas().set_index("split")["count"]
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+    jit = apply_jitter(sampled, cols=["X"], amps=0.5, seed=0, method="hash").toPandas()
+    d = jit["X_jittered"] - jit["X"]
+    assert d.min() < -0.25 and d.max() > 0.25  # spans the range, not a sliver
