@@ -363,3 +363,43 @@ def test_minhash_dedup_stream_flags_near_dups_of_static_corpus(tmp_path, spark):
     assert list(minhash_dedup_stream(batch, corpus).columns) == [
         "doc_id", "text", "dup_of",
     ]
+
+
+def test_curation_chain_runs_unchanged_on_a_stream(tmp_path, spark):
+    """The curation operators (hash sampling, split assignment, PII scrub,
+    quality stats) are stateless Column expressions, so the SAME calls must
+    run on a readStream frame and emit exactly the batch result once the
+    stream drains — the 'one pipeline, batch or streaming' contract."""
+    from sed_binning_spark.pipeline.sample import assign_splits, deterministic_sample
+    from sed_binning_spark.pipeline.text import scrub_pii
+
+    root = tmp_path / "docs_in"
+    root.mkdir()
+    for i in range(3):
+        pd.DataFrame({
+            "doc_id": range(100 * i, 100 * (i + 1)),
+            "text": [f"doc {j} mail u{j}@x.io" for j in range(100 * i, 100 * (i + 1))],
+        }).to_parquet(root / f"chunk_{i}.parquet")
+
+    def chain(df):
+        out = deterministic_sample(df, 0.5, key_columns=("doc_id",), seed=3)
+        out = assign_splits(out, {"train": 0.9, "holdout": 0.1},
+                            key_columns=("doc_id",), seed=4)
+        return scrub_pii(out).select("doc_id", "split", "text_scrubbed")
+
+    batch = chain(spark.read.parquet(str(root))).toPandas()
+    stream_in = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(str(root))
+    )
+    q = (
+        chain(stream_in).writeStream.format("memory")
+        .queryName("curation_stream").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM curation_stream").toPandas()
+    b = batch.sort_values("doc_id").reset_index(drop=True)
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    assert len(b) and b.equals(g)
+    assert (b["text_scrubbed"].str.contains("<EMAIL>")).all()
