@@ -33,6 +33,7 @@ from sed_binning_spark.pipeline.cluster import (
 )
 from sed_binning_spark.pipeline.dedup import (
     exact_dedup,
+    exact_dedup_keep_rows,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard,
@@ -67,6 +68,7 @@ from sed_binning_spark.pipeline.text import (
 
 __all__ = [
     "exact_dedup",
+    "exact_dedup_keep_rows",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
