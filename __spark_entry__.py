@@ -1574,8 +1574,8 @@ def oracle_sql() -> dict[str, str]:
         # frame at t=0
         "frame_sample": (
             "SELECT doc_id, CAST(unnest(generate_series(0, "
-            "greatest(n_chars - 1, 0), 25)) AS BIGINT) AS frame_ms "
-            "FROM documents WHERE n_chars IS NOT NULL"
+            "n_chars - 1, 25)) AS BIGINT) AS frame_ms "
+            "FROM documents WHERE n_chars > 0"
         ),
         # NULL text: every stop count is NULL, so an explicit branch is
         # needed — the CASE would otherwise fall through to ELSE where the
@@ -1735,11 +1735,14 @@ def _simhash_oracle_sql(bits: int = 16) -> str:
         f"THEN '1' ELSE '0' END)"
         for b in range(bits - 1, -1, -1)
     ]
-    # NULL text propagates to a NULL simhash in the engine; without the
-    # guard the per-bit CASEs would each fall to ELSE '0' and fabricate an
-    # all-zeros bit string for missing documents
+    # NULL text propagates to a NULL simhash in the engine, and so does
+    # whitespace-only text (len(th) = 0 — the engine's _has_content guard):
+    # without either branch the per-bit CASEs would each fall to ELSE '0'
+    # and fabricate one shared all-zeros signature for every no-content
+    # document, the degenerate mega-bucket block-equality joins must never
+    # see
     return (
-        f"SELECT doc_id, CASE WHEN th IS NULL THEN NULL "
+        f"SELECT doc_id, CASE WHEN th IS NULL OR len(th) = 0 THEN NULL "
         f"ELSE {' || '.join(terms)} END AS simhash FROM ("
         f"SELECT doc_id, list_transform({_TOKS_SQL}, "
         f"t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS th FROM documents)"
@@ -1768,7 +1771,7 @@ def _pii_audit_sql() -> str:
         f"len(regexp_extract_all(pii_text, '{p}')) AS n_{k}"
         for k, p in PII_PATTERNS.items()
     )
-    lines = "list_filter(string_split(pii_text, chr(10)), x -> trim(x) != '')"
+    lines = "list_filter(string_split(pii_text, chr(10)), x -> regexp_replace(x, '[ \t\x0B\f\r]', '', 'g') != '')"
     dup = (
         f"CASE WHEN pii_text IS NULL THEN NULL "
         f"WHEN len({lines}) >= 2 THEN 1.0e0 - "
@@ -1796,8 +1799,10 @@ def _lsh_pairs_oracle_sql(
 
     Engine-parity notes, all verified by the dirty-embeddings suite:
 
-    - Only exactly-``dim``-length vectors sketch (the UDF requires
-      shape == (dim,)); ``len(embedding) = dim`` is the SQL equivalent.
+    - Vectors of at least ``dim`` elements sketch on their first ``dim``
+      (the package-wide longer-than-dim contract); shorter rows are
+      dropped. ``len(embedding) >= dim`` is the SQL equivalent, and the
+      bucket dots below read ``embedding[1..dim]`` like every other twin.
     - The sketch dots are BLAS (pairwise summation) in Spark and a
       left-associated chain here, so a dot within ~1 ulp of 0 could bucket
       differently — but a bucket flip only perturbs CANDIDATES, and the
@@ -1826,7 +1831,7 @@ def _lsh_pairs_oracle_sql(
     keys = " UNION ALL ".join(selects)
     return (
         f"WITH emb AS (SELECT vec_id, embedding FROM embeddings "
-        f"WHERE embedding IS NOT NULL AND len(embedding) = {dim}), "
+        f"WHERE embedding IS NOT NULL AND len(embedding) >= {dim}), "
         f"keys AS ({keys}), "
         f"cand AS (SELECT DISTINCT ka.vec_id AS id_a, kb.vec_id AS id_b "
         f"FROM keys ka JOIN keys kb ON ka.tbl = kb.tbl "

@@ -30,7 +30,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT = r"\s+"
+from sed_binning_spark.pipeline.text import whitespace_tokens
+
 
 # Universal-hash family parameters: p Mersenne prime; (a_i, b_i) drawn once
 # from a fixed-seed PRNG so Spark and the SQL oracle share the same plan-time
@@ -49,11 +50,11 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def _tokens(text: Column) -> Column:
-    # strip empty tokens: trim removes spaces only, so a leading '\n' or
-    # '\t' would otherwise inject a '' token that changes the shingle set —
-    # demoting whitespace-variant exact duplicates to weak near-dups (the
-    # DuckDB oracle twin already list_filters empties; this keeps parity)
-    return F.array_remove(F.split(F.trim(F.lower(text)), TOKEN_SPLIT), "")
+    # one tokenizer for the whole package: text.whitespace_tokens strips
+    # the empty tokens a leading '\n'/'\t' would inject (which would change
+    # the shingle set, demoting whitespace-variant exact duplicates to weak
+    # near-dups); dedup additionally case-folds
+    return whitespace_tokens(F.lower(text))
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -266,15 +267,18 @@ def minhash_lsh_bucket_stats(
     bands: int = 4,
     shingle_size: int = 3,
     max_bucket_size: int = 1024,
+    hash_function: str = "md5",
 ) -> DataFrame:
     """Skew-guard observability on the PUBLIC corpus surface: one row with
     total bucket count, the number of buckets over ``max_bucket_size``
     (these emit star pairs instead of full pair expansion), their member
     total, and the largest bucket. Same parameters as
-    :func:`minhash_lsh_pairs`, so the numbers describe exactly what that
-    call does."""
+    :func:`minhash_lsh_pairs` — INCLUDING ``hash_function``, since an
+    xxhash64 run forms different buckets than the md5 default and the
+    stats must describe the bucketing the pairs call actually used."""
     stacked = _band_keys_stacked(
         df, text_column, id_column, num_hashes, bands, shingle_size,
+        hash_function,
     )
     return oversized_bucket_stats(stacked, ["band", "key"], id_column, max_bucket_size)
 
@@ -365,8 +369,18 @@ def ngram_jaccard(
         .join(sh.withColumnRenamed(id_column, "id_b").withColumnRenamed("__sh", "__sb"), "id_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("__sa", "__sb"))
-            / F.size(F.array_union("__sa", "__sb")).cast("double"),
+            # guarded like every other ratio in the package: a NULL-text
+            # side must yield NULL (legacy sizeOfNull would otherwise score
+            # -1/-1 = 1.0, a false perfect duplicate), and two no-shingle
+            # docs must yield NULL, not an ANSI divide-by-zero abort
+            F.when(
+                F.col("__sa").isNotNull() & F.col("__sb").isNotNull(),
+                F.size(F.array_intersect("__sa", "__sb"))
+                / F.nullif(
+                    F.size(F.array_union("__sa", "__sb")).cast("double"),
+                    F.lit(0.0),
+                ),
+            ),
         )
         .drop("__sa", "__sb")
     )
@@ -430,6 +444,12 @@ def simhash(
     as a ``bits``-length bit string (MSB first); near-dup candidates are
     documents whose simhash differs in few bits (compare via block equality
     joins, not pairwise distance).
+
+    No-content documents (NULL or whitespace-only text) get a NULL simhash
+    rather than the all-zero vote vector's '000…0': under block-equality
+    candidate generation, N blank scraping artifacts sharing one signature
+    would form exactly the degenerate no-content mega-bucket the LSH band
+    path screens with its content filter — and NULL never equi-joins.
     """
     if not 1 <= bits <= 32:
         raise ValueError("bits must be in [1, 32]")
@@ -465,4 +485,6 @@ def simhash(
         ),
         "",
     )
-    return hashed.withColumn("simhash", bitstr).drop("__th")
+    return hashed.withColumn(
+        "simhash", F.when(_has_content(text_column), bitstr),
+    ).drop("__th")

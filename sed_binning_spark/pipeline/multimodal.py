@@ -306,8 +306,16 @@ def resize_images(
                             img = decode_image_ppm(bytes(p))
                         elif bytes(p[:2]) == b"BM":
                             img = decode_image_bmp(bytes(p))
-                    except ValueError:
+                    except (ValueError, struct.error):
+                        # same catch set as decode_payload: a truncated BMP
+                        # header raises struct.error, not ValueError — ONE
+                        # corrupt payload must not abort the batch
                         img = None
+                if img is not None and img.size == 0:
+                    # a syntactically valid 0x0 image has nothing to
+                    # resample (the nearest-neighbor index math would
+                    # index an empty axis) — treat as undecodable
+                    img = None
                 if img is None:
                     out_payload.append(None)
                     out_w.append(None)
@@ -342,13 +350,15 @@ def frame_sample_plan(
     via sequence+explode — the pure-expression half of frame extraction
     (the decode of each frame goes through :func:`extract_features`).
 
-    Media with NULL duration are dropped: ``greatest`` skips NULLs, so
+    Media with NULL duration are dropped (``greatest`` skips NULLs, so
     without the explicit filter an unknown-duration row would fabricate a
-    single frame at t=0 instead of sampling nothing."""
-    return df.filter(F.col(duration_column).isNotNull()).select(
+    single frame at t=0) — and so are zero/negative durations: a 0 ms
+    video contains no frames, and a corrupt negative duration must not
+    sample a frame that does not exist."""
+    return df.filter(F.col(duration_column) > 0).select(
         F.col(id_column),
         F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col(duration_column) - 1, F.lit(0)), F.lit(every_ms)),
+            F.sequence(F.lit(0), F.col(duration_column) - 1, F.lit(every_ms)),
         ).alias("frame_ms"),
     )
 

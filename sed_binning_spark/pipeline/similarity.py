@@ -193,10 +193,17 @@ def hyperplane_sketch_udf(planes: np.ndarray, num_tables: int):
     def _sketch_fn(emb):
         if not len(emb):  # empty Arrow batch: asarray([]) would be 1-D
             return pd.Series([], dtype=object)
-        # NULL/ragged embeddings sketch to NULL (explode then drops the
+        # NULL/short embeddings sketch to NULL (explode then drops the
         # row) — a bare np.asarray over a batch containing None raises
-        # 'inhomogeneous shape' and aborts the whole job
-        rows = [None if e is None else np.asarray(e, dtype=np.float64) for e in emb]
+        # 'inhomogeneous shape' and aborts the whole job. Longer-than-dim
+        # rows use their first dim elements, the package-wide contract
+        # (dot_expr/cosine_pairs_brute/ivf_assign all slice): without the
+        # slice the LSH path would silently miss duplicates the exact
+        # oracle finds
+        rows = [
+            None if e is None else np.asarray(e, dtype=np.float64)[:dim]
+            for e in emb
+        ]
         ok = [i for i, r in enumerate(rows) if r is not None and r.shape == (dim,)]
         out = [None] * len(rows)
         if ok:
@@ -246,8 +253,13 @@ def lsh_bucket_pairs(
         cand.join(sides.withColumnRenamed(id_column, "id_a").withColumnRenamed("__e", "__ea"), "id_a")
         .join(sides.withColumnRenamed(id_column, "id_b").withColumnRenamed("__e", "__eb"), "id_b")
     )
+    # slice both sides to dim: a longer-than-dim candidate zip_with'd
+    # against a dim-length partner would NULL-pad and NULL the whole dot
     dot = F.aggregate(
-        F.zip_with("__ea", "__eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(
+            F.slice("__ea", 1, dim), F.slice("__eb", 1, dim),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )

@@ -287,9 +287,14 @@ def dup_line_stats(
     distinct). Documents with fewer than 2 non-blank lines score 0.0 —
     "no repetition", not "undefined" — matching the reference rule's
     intent that single-line docs pass; NULL text stays NULL."""
+    # blank = nothing but intra-line whitespace, spelled as an explicit
+    # class (NOT trim, which strips spaces only — a CRLF document's '\r'
+    # carrier lines would count as repeated non-blank lines and inflate
+    # the ratio toward 0.5; NOT \s, whose meaning differs between Java
+    # regex and RE2 on \x0B)
     lines = F.filter(
         F.split(F.col(text_column), "\n"),
-        lambda x: F.trim(x) != "",
+        lambda x: F.regexp_replace(x, r"[ \t\x0B\f\r]", "") != "",
     )
     n = F.size(lines)
     ratio = F.when(n >= 2, 1.0 - F.size(F.array_distinct(lines)) / n.cast("double"))

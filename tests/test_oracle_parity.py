@@ -53,9 +53,10 @@ def dirty_sf(tmp_path_factory):
     ]
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
     # the driver table carries a precomputed n_chars used by frame_sample
-    # as the media duration; NULL text -> NULL duration (row dropped by the
-    # plan's explicit NULL filter — greatest() alone would skip the NULL and
-    # fabricate a frame at t=0), empty text -> duration 0 (one frame at t=0)
+    # as the media duration; NULL text -> NULL duration and empty text ->
+    # duration 0, and BOTH sample nothing (duration > 0 filter): a 0 ms
+    # video has no frames, and greatest() alone would skip the NULL and
+    # fabricate a frame at t=0
     pdf["n_chars"] = pdf["text"].str.len().astype("Int64")
     pdf.to_parquet(d / "documents.parquet")
     return str(d)

@@ -95,7 +95,7 @@ def test_pii_twins_agree(spark, texts):
         f"len(regexp_extract_all(text, '{p}')) AS n_{k}"
         for k, p in PII_PATTERNS.items()
     )
-    lines = "list_filter(string_split(text, chr(10)), x -> trim(x) != '')"
+    lines = "list_filter(string_split(text, chr(10)), x -> regexp_replace(x, '[ \t\x0B\f\r]', '', 'g') != '')"
     scrub = "text"
     for k, p in PII_PATTERNS.items():
         scrub = f"regexp_replace({scrub}, '{p}', '<{k.upper()}>', 'g')"

@@ -615,6 +615,10 @@ def test_dup_line_stats(spark):
             (1, "single line"),        # <2 lines -> 0.0, not NULL
             (2, "x\nx\nx"),            # all repeats
             (3, None),
+            # CRLF: the '\r' carrier lines between paragraphs are BLANK,
+            # not repeated content — 3 distinct lines, ratio 0.0 (a trim-
+            # based blank test would score 0.4 and flunk clean documents)
+            (4, "p1\r\n\r\np2\r\n\r\np3"),
         ],
         "doc_id int, text string",
     )
@@ -624,3 +628,24 @@ def test_dup_line_stats(spark):
     assert r[1] == 0.0
     assert abs(r[2] - (1 - 1 / 3)) < 1e-12
     assert pd.isna(r[3])
+    assert r[4] == 0.0
+
+
+def test_resize_images_survives_truncated_and_empty_payloads(spark):
+    """A truncated BMP header (struct.error, not ValueError) and a valid
+    0x0 PPM must both degrade to NULL — never abort the mapInPandas job."""
+    from sed_binning_spark.pipeline.multimodal import encode_image_ppm, resize_images
+
+    good = encode_image_ppm(np.full((4, 4, 3), 7, dtype=np.uint8))
+    rows = [
+        (0, bytearray(good)),
+        (1, bytearray(b"BM" + b"\x00" * 8)),      # truncated header
+        (2, bytearray(b"P6\n0 0\n255\n")),        # zero-size image
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = resize_images(df, 2, 2).orderBy("media_id").toPandas()
+    assert out.loc[0, "payload"] is not None and out.loc[0, "width"] == 2
+    assert out.loc[1, "payload"] is None
+    assert out.loc[2, "payload"] is None
+    assert out.loc[3, "payload"] is None
