@@ -18,11 +18,12 @@ per tumbling window, late rows folded in until the watermark passes.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sed_binning_spark.binning.binning import bin_index_columns
+from sed_binning_spark.binning.binning import bin_dataframe_sparse, bin_index_columns
 from sed_binning_spark.binning.utils import simplify_binning_arguments
 
 
@@ -72,40 +73,55 @@ def bin_stream(
     an endless acquisition stream runs in constant memory.
     """
     bins, axes, ranges = simplify_binning_arguments(bins, axes, ranges)
+    if count_column in axes:
+        raise ValueError(
+            f"count_column {count_column!r} collides with an axis name; "
+            f"the output would carry two {count_column!r} columns",
+        )
+    if event_time_column is None:
+        # the non-windowed streaming histogram IS the batch sparse plan —
+        # expression-only, so it compiles unchanged on a streaming frame,
+        # including the post-agg NULL-group filter pinned with the
+        # `| (count < 0)` disjunct (a dropna(subset) here would be pushed
+        # below the aggregate by Catalyst, re-inlining every bin-index
+        # expression tree pre-agg: measured 4x wall-clock and a codegen
+        # method-limit blowup in the batch module)
+        return bin_dataframe_sparse(
+            df, bins=bins, axes=axes, ranges=ranges, count_column=count_column,
+        )
+
+    if "window_start" in axes or count_column == "window_start":
+        raise ValueError(
+            "'window_start' is reserved for the windowed output column",
+        )
     df, _, _, exprs = bin_index_columns(df, bins, axes, ranges)
     renamed = [e.alias(ax) for e, ax in zip(exprs, axes)]
-
-    if event_time_column is not None:
-        df = df.withWatermark(event_time_column, watermark_delay)
-        win = F.window(F.col(event_time_column), window_duration)
-        w_col = "__w"
-        while w_col in axes:  # never clobber a caller's axis name
-            w_col += "_"
-        # group by the WINDOW STRUCT itself, not __w.start: extracting the
-        # field before the groupBy strips the event-time watermark metadata
-        # (GetStructField drops it), so the state store would never evict
-        # closed windows — unbounded state on an endless stream, and append
-        # mode would refuse to start. Project window_start AFTER the agg.
-        # Rows with NULL event time form a NULL-window group (window(NULL)
-        # is a NULL struct) that belongs to no window — drop it with the
-        # NULL bin-index groups.
-        out = (
-            df.select(win.alias(w_col), *renamed)
-            .groupBy(F.col(w_col), *axes)
-            .agg(F.count(F.lit(1)).alias(count_column))
-            .dropna(subset=[w_col, *axes])
-            .select(
-                F.col(f"{w_col}.start").alias("window_start"),
-                *axes,
-                count_column,
-            )
-        )
-        return out
-    # NULL (out-of-range/NaN) indices drop as the post-agg NULL group, the
-    # same codegen-safe pattern as the batch path (see bin_dataframe)
+    df = df.withWatermark(event_time_column, watermark_delay)
+    win = F.window(F.col(event_time_column), window_duration)
+    w_col = "__w"
+    while w_col in axes:  # never clobber a caller's axis name
+        w_col += "_"
+    # group by the WINDOW STRUCT itself, not __w.start: extracting the
+    # field before the groupBy strips the event-time watermark metadata
+    # (GetStructField drops it), so the state store would never evict
+    # closed windows — unbounded state on an endless stream, and append
+    # mode would refuse to start. Project window_start AFTER the agg.
+    # Rows with NULL event time form a NULL-window group (window(NULL)
+    # is a NULL struct) that belongs to no window — drop it with the
+    # NULL bin-index groups, via the same post-agg pinned filter as the
+    # batch path (dropna(subset) would be pushed below the aggregate).
+    not_null = reduce(
+        lambda a, b: a & b,
+        [F.col(c).isNotNull() for c in (w_col, *axes)],
+    )
     return (
-        df.select(*renamed)
-        .groupBy(*axes)
+        df.select(win.alias(w_col), *renamed)
+        .groupBy(F.col(w_col), *axes)
         .agg(F.count(F.lit(1)).alias(count_column))
-        .dropna(subset=list(axes))
+        .where(not_null | (F.col(count_column) < 0))
+        .select(
+            F.col(f"{w_col}.start").alias("window_start"),
+            *axes,
+            count_column,
+        )
     )

@@ -36,7 +36,7 @@ def forward_fill_stream(
     df: DataFrame,
     columns: str | Sequence[str],
     file_column: str | None = "file_id",
-    row_column: str = "row_id",
+    row_column: str | Sequence[str] = "row_id",
 ) -> DataFrame:
     """Forward-fill NaN/NULL in ``columns`` across micro-batch boundaries.
 
@@ -49,7 +49,15 @@ def forward_fill_stream(
     file N+1 when their batches interleave). For the sequential-acquisition
     semantics — one logical stream whose chunks arrive in order, carry
     crossing every boundary — pass ``file_column=None``: all rows share one
-    state and the drained result equals the batch fill in arrival order.
+    state and the drained result equals the batch fill in that order.
+
+    ``row_column`` may be a SEQUENCE of columns and must totally order the
+    rows WITHIN one state group: the loaders mint ``row_id`` restarting at
+    0 per file, so with ``file_column=None`` over loader-minted chunks pass
+    ``row_column=("file_id", "row_id")`` — sorting by the per-file index
+    alone would interleave two files that land in one micro-batch and fill
+    from the wrong rows. The sort is stable (mergesort), so equal keys keep
+    their input order deterministically rather than shuffle-arrival order.
 
     Fill columns must be double (the carry state is a double per column —
     matching the instrument use case of float slow-channels).
@@ -57,12 +65,13 @@ def forward_fill_stream(
     if isinstance(columns, str):
         columns = [columns]
     columns = list(columns)
+    row_columns = [row_column] if isinstance(row_column, str) else list(row_column)
     if file_column is None:
         file_column = "__ff_stream_group"
         while file_column in df.columns:  # never clobber a caller's column
             file_column = "_" + file_column
         df = df.withColumn(file_column, F.lit(0))
-        return forward_fill_stream(df, columns, file_column, row_column).drop(
+        return forward_fill_stream(df, columns, file_column, row_columns).drop(
             file_column,
         )
     missing = [c for c in columns if c not in df.columns]
@@ -71,7 +80,10 @@ def forward_fill_stream(
     # validate the sort/group columns too — a typo'd row_column would
     # otherwise only surface as a bare pandas KeyError inside an executor
     # task after the streaming query has started
-    for col, role in ((row_column, "row_column"), (file_column, "file_column")):
+    for col, role in (
+        *[(rc, "row_column") for rc in row_columns],
+        (file_column, "file_column"),
+    ):
         if col not in df.columns:
             raise KeyError(f"{role} {col!r} not in dataframe columns {df.columns}")
     dtypes = dict(df.dtypes)
@@ -87,7 +99,7 @@ def forward_fill_stream(
         [StructField(f"c{i}", DoubleType(), True) for i in range(len(columns))],
     )
     cols = list(columns)
-    row_col = row_column
+    row_cols = row_columns
 
     def _fill(key, pdf_iter, state):
         # sanitize state on read: a never-seen column may round-trip as
@@ -102,7 +114,8 @@ def forward_fill_stream(
         # one group into several frames whose row ranges interleave
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         if len(pdf):
-            pdf = pdf.sort_values(row_col, ignore_index=True)
+            # stable sort: equal keys keep concat order deterministically
+            pdf = pdf.sort_values(row_cols, ignore_index=True, kind="mergesort")
             for i, c in enumerate(cols):
                 filled = pdf[c].ffill()
                 if carry[i] is not None:
@@ -131,6 +144,7 @@ def exact_dedup_stream(
     text_column: str = "text",
     event_time_column: str | None = None,
     watermark_delay: str = "10 minutes",
+    keep_min_column: str | None = None,
 ) -> DataFrame:
     """Streaming exact dedup: pass through only the FIRST row of each
     distinct text (by content digest, same md5 as the batch
@@ -140,7 +154,24 @@ def exact_dedup_stream(
     distinct documents (fine for bounded corpora); with it, state older
     than the watermark horizon is dropped — the unbounded-stream form,
     which deduplicates within the horizon only.
+
+    When BOTH duplicates land in the same micro-batch, ``dropDuplicates``
+    keeps an arbitrary shuffle-order-dependent winner — a replayed failed
+    batch can emit a DIFFERENT row to a non-idempotent sink, and the
+    result diverges from the batch ``exact_dedup``'s deterministic
+    ``min(doc_id)``. Pass ``keep_min_column`` (e.g. ``"doc_id"``) to pin
+    the in-batch winner to the row with the smallest value in that column
+    via per-digest state (``applyInPandasWithState``); this form does not
+    combine with ``event_time_column`` (its digest state is unpruned —
+    bounded corpora only).
     """
+    if keep_min_column is not None:
+        if event_time_column is not None:
+            raise ValueError(
+                "keep_min_column does not combine with event_time_column "
+                "(the per-digest state has no watermark pruning)",
+            )
+        return _exact_dedup_stream_keep_min(df, text_column, keep_min_column)
     dcol = "__digest"
     while dcol in df.columns:  # never clobber a caller's column
         dcol = "_" + dcol
@@ -171,6 +202,57 @@ def exact_dedup_stream(
     return out.drop(dcol)
 
 
+def _exact_dedup_stream_keep_min(
+    df: DataFrame, text_column: str, keep_min_column: str,
+) -> DataFrame:
+    """Deterministic-winner streaming dedup: state keyed by content digest
+    (one 'seen' byte per digest); the first micro-batch containing a digest
+    emits ONLY its min-``keep_min_column`` row — partitioning- and
+    replay-independent — and every later batch emits nothing for it."""
+    from pyspark.sql.types import IntegerType
+
+    if keep_min_column not in df.columns:
+        raise KeyError(
+            f"keep_min_column {keep_min_column!r} not in dataframe "
+            f"columns {df.columns}",
+        )
+    dcol = "__digest"
+    while dcol in df.columns:
+        dcol = "_" + dcol
+    other = [c for c in df.columns if c != text_column]
+    null_key = (
+        F.concat(F.lit("__null__"), F.md5(F.to_json(F.struct(*other))))
+        if other else F.lit("__null__")
+    )
+    digest = F.when(
+        F.col(text_column).isNotNull(), F.md5(F.col(text_column)),
+    ).otherwise(null_key)
+    keyed = df.withColumn(dcol, digest)
+    out_schema = df.schema
+    state_schema = StructType([StructField("seen", IntegerType(), True)])
+    out_cols = list(df.columns)
+    kcol = keep_min_column
+
+    def _dedup(key, pdf_iter, state):
+        if not state.exists:
+            pdf = pd.concat(list(pdf_iter), ignore_index=True)
+            if len(pdf):
+                winner = pdf.loc[[pdf[kcol].idxmin()], out_cols]
+                yield winner
+                state.update((1,))
+        else:
+            for _ in pdf_iter:  # drain: later occurrences emit nothing
+                pass
+
+    return keyed.groupBy(dcol).applyInPandasWithState(
+        _dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def minhash_dedup_stream(
     stream: DataFrame,
     corpus: DataFrame,
@@ -181,6 +263,7 @@ def minhash_dedup_stream(
     shingle_size: int = 3,
     broadcast_corpus: bool = True,
     hash_function: str = "md5",
+    persist_lookup: bool = True,
 ) -> DataFrame:
     """Flag documents that near-duplicate a STATIC reference corpus at
     ingest time (the "don't re-crawl what we already have" gate).
@@ -207,6 +290,21 @@ def minhash_dedup_stream(
 
     from sed_binning_spark.pipeline.dedup import _band_keys_stacked, append_band_keys
 
+    # the band-key columns are working columns of THIS gate: a caller frame
+    # already carrying one (or a previous gate's dup_of) would be silently
+    # clobbered by append_band_keys' withColumns and then dropped — refuse
+    # loudly instead (the module's never-clobber discipline)
+    reserved = (
+        [f"band_{b}" for b in range(bands)]
+        + [f"__dup_{b}" for b in range(bands)]
+        + ["dup_of"]
+    )
+    clash = [c for c in stream.columns if c in reserved]
+    if clash:
+        raise ValueError(
+            f"stream columns {clash} collide with minhash_dedup_stream's "
+            f"working/output columns; rename them before the gate",
+        )
     s = append_band_keys(
         stream, text_column, id_column, num_hashes, bands, shingle_size,
         hash_function,
@@ -218,8 +316,12 @@ def minhash_dedup_stream(
     # Structured Streaming re-evaluates the static join side EVERY trigger;
     # without this persist each micro-batch would re-run the corpus-wide
     # shingle+md5+minhash scan and the (band,key) aggregation shuffle just
-    # to rebuild an unchanged lookup
-    lut = lut.persist()
+    # to rebuild an unchanged lookup. The cache entry lives until
+    # spark.catalog.clearCache() — a long-lived driver constructing many
+    # gates (one per corpus refresh) should pass persist_lookup=False or
+    # clear the cache between them.
+    if persist_lookup:
+        lut = lut.persist()
     out = s
     for b in range(bands):
         lut_b = lut.where(F.col("band") == b).select(

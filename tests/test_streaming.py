@@ -403,3 +403,91 @@ def test_curation_chain_runs_unchanged_on_a_stream(tmp_path, spark):
     g = got.sort_values("doc_id").reset_index(drop=True)
     assert len(b) and b.equals(g)
     assert (b["text_scrubbed"].str.contains("<EMAIL>")).all()
+
+
+def test_exact_dedup_stream_keep_min_is_deterministic(tmp_path, spark):
+    """With keep_min_column, the in-batch winner is the min-id row under
+    ANY partitioning (dropDuplicates alone keeps a shuffle-order-dependent
+    winner), and later batches still drop cross-batch duplicates."""
+    from sed_binning_spark.streaming.stateful import exact_dedup_stream
+
+    root = tmp_path / "dedup_min_in"
+    root.mkdir()
+    pd.DataFrame({
+        "doc_id": [5, 1, 9, 3],
+        "text": ["same", "same", "same", "other"],
+    }).to_parquet(root / "chunk_0.parquet")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1).parquet(str(root))
+    )
+    q = (
+        exact_dedup_stream(stream, keep_min_column="doc_id")
+        .writeStream.format("memory").queryName("dedup_min")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_min").toPandas()
+    assert sorted(got["doc_id"]) == [1, 3]  # min of the dup class, not 5
+    # second batch: the digest is already seen -> nothing re-emitted
+    pd.DataFrame({"doc_id": [0], "text": ["same"]}).to_parquet(root / "chunk_1.parquet")
+    q2 = (
+        exact_dedup_stream(stream, keep_min_column="doc_id")
+        .writeStream.format("memory").queryName("dedup_min2")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q2.awaitTermination(120)
+    with pytest.raises(ValueError, match="does not combine"):
+        exact_dedup_stream(stream, keep_min_column="doc_id",
+                           event_time_column="ts")
+
+
+def test_minhash_gate_refuses_colliding_columns(spark):
+    from sed_binning_spark.streaming.stateful import minhash_dedup_stream
+
+    corpus = spark.createDataFrame([(0, "ref text")], "doc_id long, text string")
+    stream = spark.createDataFrame(
+        [(1, "x", "meta")], "doc_id long, text string, band_0 string",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        minhash_dedup_stream(stream, corpus)
+
+
+def test_forward_fill_stream_global_multi_column_order(tmp_path, spark):
+    """Global mode over loader-minted chunks: row_id restarts per file, so
+    ordering must be (file_id, row_id) — the fill then matches the batch
+    fill over the concatenated files in that order."""
+    import numpy as np
+
+    from sed_binning_spark.streaming.stateful import forward_fill_stream
+
+    root = tmp_path / "ffg_in"
+    root.mkdir()
+    # file 0: value set at row 0 then NaNs; file 1: all NaN -> must fill
+    # from file 0's LAST row (3.0), not an interleaved row
+    pd.DataFrame({
+        "file_id": [0, 0, 0], "row_id": [0, 1, 2],
+        "v": [1.0, np.nan, 3.0],
+    }).to_parquet(root / "chunk_0.parquet")
+    pd.DataFrame({
+        "file_id": [1, 1], "row_id": [0, 1], "v": [np.nan, np.nan],
+    }).to_parquet(root / "chunk_1.parquet")
+    stream = (
+        spark.readStream.schema("file_id bigint, row_id bigint, v double")
+        .parquet(str(root))  # one trigger spans BOTH files
+    )
+    out = forward_fill_stream(
+        stream, "v", file_column=None, row_column=("file_id", "row_id"),
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ffg")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT * FROM ffg").toPandas()
+        .sort_values(["file_id", "row_id"]).reset_index(drop=True)
+    )
+    assert list(got["v"]) == [1.0, 1.0, 3.0, 3.0, 3.0]
