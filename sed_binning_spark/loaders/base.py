@@ -68,6 +68,18 @@ class BaseLoader:
                 runs = [runs]
             self.runs = list(runs)
             search = folders if folders is not None else self._run_search_folders()
+            # the slice kwds only apply to folders=/files= reads; the run
+            # resolvers accept **kwds and would silently drop them — say so
+            # (a user passing f_end=2 expects 2 files, not all of the run)
+            slice_like = [k for k in ("f_start", "f_end", "f_step") if k in kwds]
+            if slice_like:
+                import warnings
+
+                warnings.warn(
+                    f"runs= read ignores {slice_like}: run resolution "
+                    f"selects every file of the run by id, not by slice",
+                    stacklevel=3,
+                )
             paths: list[str] = []
             for run in runs:
                 paths.extend(

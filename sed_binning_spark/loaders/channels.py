@@ -65,7 +65,11 @@ def aligned_array_pdf(chans: dict[str, tuple[np.ndarray, np.ndarray]], kind: str
                 f"{kind} channel {name}{where} has a different train index",
             )
         pdf[name] = list(val)
-    return pdf
+    # a repeated train id in the index dataset is a repeated READBACK of
+    # the same train (the case first_reading_train_pdf handles for scalar
+    # channels): keep the first reading, or the outer join on trainId
+    # downstream would silently multiply every event row of that train
+    return pdf[~pdf["trainId"].duplicated(keep="first")].reset_index(drop=True)
 
 
 def array_frame_schema(names) -> str:

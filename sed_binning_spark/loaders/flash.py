@@ -359,14 +359,20 @@ class FlashLoader(BaseLoader):
         force_recreate: bool = False,
     ) -> dict[str, DataFrame]:
         """Per-file parquet buffer cache around :meth:`h5_to_train_frames`:
-        one ``{stem}.{key}.buffer.parquet`` per frame kind; on reuse the set
-        of buffer files defines which frame kinds exist, so the raw HDF5 is
-        never re-opened."""
+        one ``{stem}.{tag}.{key}.buffer.parquet`` per frame kind; on reuse
+        the set of buffer files defines which frame kinds exist, so the raw
+        HDF5 is never re-opened. The cache key carries a short digest of
+        the ABSOLUTE source path, not just the basename: two equally-named
+        files from different raw-data folders must not race each other's
+        overwrite or serve each other's events."""
+        import hashlib
+
         stem = Path(path).stem
+        tag = hashlib.md5(str(Path(path).resolve()).encode()).hexdigest()[:8]
         out_dir = Path(parquet_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         buffer_paths = {
-            key: out_dir / f"{stem}.{key}.buffer.parquet"
+            key: out_dir / f"{stem}.{tag}.{key}.buffer.parquet"
             for key in ("electron", "pulse", "aux", "train")
         }
         # completeness marker: written LAST and recording the CHANNEL-CONFIG
@@ -376,7 +382,7 @@ class FlashLoader(BaseLoader):
         # re-extracted instead of silently served without the new columns,
         # and (c) a marker whose buffers were deleted falls back to
         # re-extraction instead of KeyErrors
-        done_marker = out_dir / f"{stem}.buffers.complete"
+        done_marker = out_dir / f"{stem}.{tag}.buffers.complete"
         fingerprint = self._channel_config_fingerprint()
         if done_marker.exists() and not force_recreate:
             lines = done_marker.read_text().splitlines()
@@ -457,6 +463,9 @@ class FlashLoader(BaseLoader):
             idx, val = aux
             pdf = pd.DataFrame({"trainId": idx})
             pdf["dldAux"] = list(val)
+            # repeated readbacks keep the first, like every train-indexed
+            # frame — a duplicate here would multiply joined event rows
+            pdf = pdf[~pdf["trainId"].duplicated(keep="first")]
             frames["aux"] = self.spark.createDataFrame(
                 pdf, schema="trainId long, dldAux array<double>",
             )

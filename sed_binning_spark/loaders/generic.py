@@ -49,11 +49,16 @@ class GenericLoader(BaseLoader):
         timed dataframe (None) and no run-id naming scheme, like the
         reference's.
         """
-        # f_start/f_end/f_step slice the resolved path list; every OTHER
-        # keyword is a spark.read option (the reference forwards extra kwds
-        # to dask's read_csv/read_parquet the same way — e.g. sep=';')
+        # f_start/f_end/f_step/file_sorting configure path resolution;
+        # every OTHER keyword is a spark.read option (the reference
+        # forwards extra kwds to dask's read_csv/read_parquet the same way
+        # — e.g. sep=';'). file_sorting must be popped here like the other
+        # loaders do via resolve_paths, or it would silently become a bogus
+        # spark.read option while gather_files still sorts
         slice_kwds = {
-            k: kwds.pop(k) for k in ("f_start", "f_end", "f_step") if k in kwds
+            k: kwds.pop(k)
+            for k in ("f_start", "f_end", "f_step", "file_sorting")
+            if k in kwds
         }
         paths = self.resolve_paths(
             files=files, folders=folders, runs=runs, ftype=ftype,
@@ -148,8 +153,14 @@ def add_file_and_row_ids(
             out = out.withColumn(split_column, F.lit(0).cast("int"))
         return out
 
+    # the split key must carry the PHYSICAL file path, not just
+    # (file_id, block): a directory-style dataset maps several part-files
+    # to one file_id, and every part-file starts at block 0 — keyed
+    # without the path, two part-files would merge into one offset group
+    # and row_id would silently corrupt (min(__mid) taken across files)
+    tagged = tagged.withColumn("__path", F.col("_metadata.file_path"))
     tagged = tagged.withColumn("__mid", F.monotonically_increasing_id())
-    splits = tagged.groupBy(FILE_COLUMN, "__block").agg(
+    splits = tagged.groupBy(FILE_COLUMN, "__path", "__block").agg(
         F.count(F.lit(1)).alias("__n"), F.min("__mid").alias("__m0"),
     ).collect()
     unmatched = [r for r in splits if r[FILE_COLUMN] is None]
@@ -158,7 +169,9 @@ def add_file_and_row_ids(
             "some scanned files could not be matched to the provided path "
             "list (unexpected dataset nesting?) — file_id would be NULL",
         )
-    splits.sort(key=lambda r: (r[FILE_COLUMN], r["__block"]))
+    # in-file order across a directory dataset's part-files: lexicographic
+    # part-file name (part-00000 < part-00001), then byte offset within it
+    splits.sort(key=lambda r: (r[FILE_COLUMN], r["__path"], r["__block"]))
     rows = []
     next_base: dict[int, int] = {}
     next_ord: dict[int, int] = {}
@@ -166,19 +179,33 @@ def add_file_and_row_ids(
         fid = r[FILE_COLUMN]
         base = next_base.get(fid, 0)
         ordinal = next_ord.get(fid, 0)
-        rows.append((fid, r["__block"], base, r["__m0"], ordinal))
+        rows.append((fid, r["__path"], r["__block"], base, r["__m0"], ordinal))
         next_base[fid] = base + r["__n"]
         next_ord[fid] = ordinal + 1
 
     bdf = df.sparkSession.createDataFrame(
         rows,
-        schema=(f"{FILE_COLUMN} int, __block long, __base long, __m0 long, "
-                f"__split int"),
+        schema=(f"{FILE_COLUMN} int, __path string, __block long, __base long, "
+                f"__m0 long, __split int"),
     )
-    out = tagged.join(F.broadcast(bdf), on=[FILE_COLUMN, "__block"], how="left")
+    out = tagged.join(
+        F.broadcast(bdf), on=[FILE_COLUMN, "__path", "__block"], how="left",
+    )
+    # a split present in the output scan but absent from the offset collect
+    # (the input changed between the two jobs, or split planning diverged)
+    # would otherwise mint silently-NULL row_ids that downstream windows
+    # order arbitrarily — fail loudly, naming the file
+    base = F.when(
+        F.col("__base").isNull(),
+        F.raise_error(F.concat(
+            F.lit("scan split missing from the row-offset map (input "
+                  "changed between planning and execution?): "),
+            F.input_file_name(),
+        )),
+    ).otherwise(F.col("__base"))
     out = out.withColumn(
-        ROW_COLUMN, (F.col("__base") + F.col("__mid") - F.col("__m0")).cast("bigint"),
+        ROW_COLUMN, (base + F.col("__mid") - F.col("__m0")).cast("bigint"),
     )
     if split_column is not None:
         out = out.withColumn(split_column, F.col("__split"))
-    return out.drop("__block", "__mid", "__base", "__m0", "__split")
+    return out.drop("__path", "__block", "__mid", "__base", "__m0", "__split")

@@ -421,6 +421,16 @@ class MpesLoader(BaseLoader):
                     n = None
                     for sname, cname in zip(stream_names, out_cols):
                         arr = f.read("/" + sname).astype(np_dtype)
+                        # the driver pre-pass validates stream PRESENCE;
+                        # a truncated file can still carry streams of
+                        # unequal length — fail naming the file, not with
+                        # pandas' anonymous 'arrays must be same length'
+                        if n is not None and len(arr) != n:
+                            raise ValueError(
+                                f"stream {sname!r} in {path} has "
+                                f"{len(arr)} rows but an earlier stream "
+                                f"has {n} (truncated file?)",
+                            )
                         cols[cname] = arr
                         n = len(arr)
                     out = pd.DataFrame(cols)

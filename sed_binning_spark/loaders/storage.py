@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import zipfile
 from pathlib import Path
 from urllib.request import urlopen
@@ -141,6 +142,11 @@ class DatasetFetcher:
                 return str(existing)
         url = spec["url"]
         target_dir = self.data_dir / name
+        # re-downloads (version bump, checksum change) must not leave the
+        # previous archive's extracted members mixed into the directory —
+        # a consumer globbing the dataset dir would read old + new data
+        if target_dir.exists():
+            shutil.rmtree(target_dir)
         target_dir.mkdir(parents=True, exist_ok=True)
         fname = os.path.basename(url.split("?", 1)[0]) or f"{name}.bin"
         target = target_dir / fname

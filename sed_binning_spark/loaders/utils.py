@@ -36,15 +36,22 @@ def gather_files(
 
     The slice applies only when BOTH f_start and f_end are given — exactly
     the reference's condition; a lone bound or step must not silently drop
-    files."""
-    try:
-        files = glob.glob(os.path.join(folder, f"*.{extension.lstrip('.')}"))
-        if file_sorting:
-            files = sorted(files, key=natural_sort_key)
-        if f_start is not None and f_end is not None:
-            files = files[slice(f_start, f_end, f_step)]
-    except FileNotFoundError:
-        files = []
+    files.
+
+    A nonexistent folder warns by name and yields [] (the reference wraps
+    the glob in a FileNotFoundError handler that glob can never raise, so
+    its empty result is indistinguishable from a typo'd path — here the
+    warning says which it was before the generic 'no files found' error)."""
+    if folder and not os.path.isdir(folder):
+        import warnings
+
+        warnings.warn(f"folder {folder!r} does not exist", stacklevel=2)
+        return []
+    files = glob.glob(os.path.join(folder, f"*.{extension.lstrip('.')}"))
+    if file_sorting:
+        files = sorted(files, key=natural_sort_key)
+    if f_start is not None and f_end is not None:
+        files = files[slice(f_start, f_end, f_step)]
     return files
 
 
@@ -72,7 +79,16 @@ def split_channel_bitwise(
     if not isinstance(bit_mask, (int, np.integer)) or isinstance(bit_mask, bool) or bit_mask < 0:
         raise ValueError("bit_mask must be a positive. integer")
     if types is None:
-        types = ["tinyint" if bit_mask < 8 else "smallint", "int"]
+        # the low column holds values < 2^bit_mask: a signed smallint only
+        # fits through bit_mask 15. The reference defaults int16 for every
+        # mask >= 8 and numpy silently WRAPS beyond 15; under Spark's ANSI
+        # mode the same cast would abort the job — widen the default
+        # instead (deliberate deviation: silent wraparound is the one
+        # reference behavior not worth reproducing)
+        types = [
+            "tinyint" if bit_mask < 8 else "smallint" if bit_mask < 16 else "int",
+            "int",
+        ]
     elif len(types) != 2:
         raise ValueError("Exactly two types must be given.")
     c = F.col(input_column).cast("bigint")

@@ -278,3 +278,77 @@ def test_add_file_and_row_ids_mints_split_ordinals(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     assert "split_id" not in cols
+
+
+def test_directory_dataset_with_multiple_part_files_row_ids(spark, tmp_path):
+    """A directory dataset maps SEVERAL physical part-files to one file_id,
+    every part-file starting at block 0 — the split key must include the
+    physical path or the part-files merge into one offset group and row_id
+    silently corrupts (review-found)."""
+    import pandas as pd
+
+    from sed_binning_spark.loaders.generic import GenericLoader
+
+    d = tmp_path / "multi.parquet"
+    spark.createDataFrame(
+        pd.DataFrame({"v": [float(i) for i in range(40)]}),
+    ).repartition(3).write.parquet(str(d))
+    n_parts = len(list(d.glob("part-*.parquet")))
+    assert n_parts >= 2  # the scenario under test
+
+    df, _, _ = GenericLoader(spark).read_dataframe(files=[str(d)])
+    got = df.select("file_id", "row_id").toPandas()
+    assert (got["file_id"] == 0).all()
+    # contiguous, duplicate-free 0..N-1 within the logical file
+    assert sorted(got["row_id"]) == list(range(40))
+
+
+def test_generic_loader_honors_file_sorting_kwarg(spark, tmp_path):
+    import pandas as pd
+
+    from sed_binning_spark.loaders.generic import GenericLoader
+
+    for name in ("b.parquet", "a.parquet"):
+        pd.DataFrame({"v": [1.0]}).to_parquet(tmp_path / name)
+    _, _, meta = GenericLoader(spark).read_dataframe(
+        folders=str(tmp_path), file_sorting=True,
+    )
+    assert [p.split("/")[-1] for p in meta["files"]] == ["a.parquet", "b.parquet"]
+
+
+def test_split_channel_bitwise_wide_mask_default_type(spark):
+    """bit_mask >= 16 must default the low column to int: the reference's
+    int16 default silently wraps under numpy and would ABORT under Spark's
+    ANSI mode (deliberate deviation from reference wraparound)."""
+    from sed_binning_spark.loaders.utils import split_channel_bitwise
+
+    df = spark.createDataFrame([(40000,)], "x long")
+    out = split_channel_bitwise(df, "x", ["lo", "hi"], bit_mask=16).collect()[0]
+    assert out["lo"] == 40000 and out["hi"] == 0
+
+
+def test_duplicated_train_readback_keeps_first(spark):
+    """A repeated train id in an index dataset is a repeated readback: the
+    assembled frame keeps the first reading, or the outer join on trainId
+    would multiply every event row of that train (review-found)."""
+    import numpy as np
+
+    from sed_binning_spark.loaders.channels import aligned_array_pdf
+
+    idx = np.array([100, 101, 101, 102], dtype=np.int64)
+    val = np.array([[1.0], [2.0], [99.0], [3.0]])
+    pdf = aligned_array_pdf({"ch": (idx, val)}, "per-pulse")
+    assert list(pdf["trainId"]) == [100, 101, 102]
+    assert [v[0] for v in pdf["ch"]] == [1.0, 2.0, 3.0]
+
+
+def test_gather_files_warns_on_missing_folder(tmp_path):
+    import warnings as _w
+
+    from sed_binning_spark.loaders.utils import gather_files
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = gather_files(str(tmp_path / "typo-dir"), "parquet")
+    assert out == []
+    assert any("does not exist" in str(r.message) for r in rec)
