@@ -87,7 +87,14 @@ def load_h5(faddr: str | Path, mode: str = "r") -> Cube:
                     node = node.setdefault(g, {})
                 val = fh.read(p)
                 if val.dtype.kind == "S":
-                    node[leaf] = bytes(val.ravel()[0]).decode("utf-8", "replace")
+                    # decode EVERY element: a string-array value (file
+                    # lists, run ids) must survive the round trip, not
+                    # collapse to its first entry
+                    decoded = [
+                        bytes(b).decode("utf-8", "replace")
+                        for b in val.ravel()
+                    ]
+                    node[leaf] = decoded[0] if val.ndim == 0 else decoded
                 else:
                     node[leaf] = val.item() if val.ndim == 0 else val
         return Cube(data, coords, dims, attrs)
@@ -138,11 +145,14 @@ def _read_meta_group(grp) -> dict:
             out[k] = _read_meta_group(v)
             continue
         val = v[()]
-        # h5py hands string datasets back as bytes; the built-in reader
-        # decodes them — normalize so Cube.attrs content does not depend on
-        # which backend happened to read the file
+        # h5py hands string datasets back as bytes — scalars AND arrays;
+        # the built-in reader decodes them — normalize both shapes so
+        # Cube.attrs content does not depend on which backend happened to
+        # read the file
         if isinstance(val, bytes):
             val = val.decode("utf-8", errors="replace")
+        elif isinstance(val, np.ndarray) and val.dtype.kind == "S":
+            val = [bytes(b).decode("utf-8", "replace") for b in val.ravel()]
         out[k] = val
     return out
 

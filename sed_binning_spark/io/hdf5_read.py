@@ -202,11 +202,21 @@ class H5File:
 
     @_struct_guard
     def read(self, path: str) -> np.ndarray:
-        """Materialize a dataset as a numpy array (C order)."""
+        """Materialize a dataset as a numpy array (C order).
+
+        Always WRITABLE, matching h5py's read semantics: a bare
+        ``np.frombuffer`` view of the file bytes is read-only, and user
+        code doing in-place math on loaded data (``cube.data *= norm``)
+        would crash only when this backend — not h5py — happened to read
+        the file. The copy costs one memcpy on the fast layouts; the
+        chunked path assembles a fresh array anyway."""
         ds = self.dataset(path)
         dtype = ds.dtype.np_dtype
         if ds.layout == "compact":
-            return np.frombuffer(ds.compact_data, dtype=dtype).reshape(ds.shape)
+            return (
+                np.frombuffer(ds.compact_data, dtype=dtype)
+                .reshape(ds.shape).copy()
+            )
         if ds.layout == "contiguous":
             if ds.data_addr == UNDEF:       # allocated lazily, never written
                 return self._background(ds, dtype, ds.shape)
@@ -214,7 +224,7 @@ class H5File:
             raw = self._data_slice(
                 ds.data_addr, n * dtype.itemsize, f"dataset {path} data",
             )
-            return np.frombuffer(raw, dtype=dtype).reshape(ds.shape)
+            return np.frombuffer(raw, dtype=dtype).reshape(ds.shape).copy()
         # chunked: unwritten regions take the dataset's fill value
         out = self._background(ds, dtype, ds.shape)
         if ds.btree_addr == UNDEF:

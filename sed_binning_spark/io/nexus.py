@@ -64,6 +64,15 @@ def _write_basic_nxmpes(data: Cube, faddr: str | Path, definition: str) -> None:
     NXdata with signal/axes wiring (the layout load paths key on)."""
     from sed_binning_spark.io.hdf5_write import H5Writer
 
+    if "data" in data.dims:
+        # the NXdata signal dataset lives at /entry/data/data; an axis
+        # literally named 'data' would overwrite it with its coordinate
+        # array and every NeXus browser would show axis values as the
+        # signal — refuse rather than corrupt
+        raise ValueError(
+            "an axis named 'data' collides with the NXdata signal dataset; "
+            "rename the dimension before writing NeXus",
+        )
     w = H5Writer()
     w.add_group("/entry")
     w.add_attr("/entry", "NX_class", "NXentry")

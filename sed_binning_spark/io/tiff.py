@@ -115,7 +115,16 @@ def _read_baseline_tiff(path: Path) -> np.ndarray:
         raise ValueError("not a little-endian TIFF")
     (ifd_off,) = struct.unpack_from("<I", buf, 4)
     pages = []
+    seen_ifds: set[int] = set()
     while ifd_off:
+        # a corrupt next-IFD pointer aiming back at an earlier offset would
+        # otherwise loop forever appending pages — fail like the HDF5
+        # reader does on corruption, naming the defect
+        if ifd_off in seen_ifds:
+            raise ValueError(
+                f"corrupt TIFF: IFD chain cycles back to offset {ifd_off}",
+            )
+        seen_ifds.add(ifd_off)
         (n_ent,) = struct.unpack_from("<H", buf, ifd_off)
         tags = {}
         for i in range(n_ent):
@@ -125,8 +134,17 @@ def _read_baseline_tiff(path: Path) -> np.ndarray:
             tags[tag] = val
         w, h = tags[_TAG_WIDTH], tags[_TAG_LENGTH]
         off, nbytes = tags[_TAG_STRIP_OFFSETS], tags[_TAG_STRIP_BYTES]
-        if tags.get(_TAG_COMPRESSION, 1) != 1 or tags.get(_TAG_SAMPLE_FORMAT, 1) != 3:
-            raise ValueError("only uncompressed float32 TIFFs are supported")
+        # BitsPerSample/SamplesPerPixel must be validated too: slicing a
+        # float64 or RGB strip as single-sample f4 silently yields garbage
+        if (
+            tags.get(_TAG_COMPRESSION, 1) != 1
+            or tags.get(_TAG_SAMPLE_FORMAT, 1) != 3
+            or tags.get(_TAG_BPS, 32) != 32
+            or tags.get(_TAG_SPP, 1) != 1
+        ):
+            raise ValueError(
+                "only uncompressed single-sample float32 TIFFs are supported",
+            )
         page = np.frombuffer(buf, dtype="<f4", count=h * w, offset=off).reshape(h, w)
         pages.append(page)
         (ifd_off,) = struct.unpack_from("<I", buf, ifd_off + 2 + 12 * n_ent)

@@ -109,3 +109,76 @@ def test_nexus_payload_and_basic_file(tmp_path):
     assert d["signal"] == "data" and list(d["axes"]) == ["kx", "ky"]
     np.testing.assert_array_equal(f.read("/entry/data/data"), c.data)
     np.testing.assert_array_equal(f.read("/entry/data/kx"), c.coords["kx"])
+
+
+# ----------------------------------------------------- review regressions
+def test_string_array_metadata_roundtrip(tmp_path):
+    """A list-of-strings metadata value must survive to_h5/load_h5 intact
+    on BOTH backends (the pure reader used to keep only element 0)."""
+    from sed_binning_spark.cube import Cube
+    from sed_binning_spark.io.hdf5 import load_h5, to_h5
+
+    c = Cube(
+        np.ones((2,), dtype=np.float32), {"x": np.array([0.0, 1.0])}, ("x",),
+        attrs={"files": ["a.h5", "b.h5", "c.h5"], "one": "scalar"},
+    )
+    p = tmp_path / "meta.h5"
+    to_h5(c, p)
+    back = load_h5(p)
+    assert list(back.attrs["files"]) == ["a.h5", "b.h5", "c.h5"]
+    assert back.attrs["one"] == "scalar"
+
+
+def test_loaded_cube_data_is_writable(tmp_path):
+    """h5py read semantics: loaded arrays are writable — in-place math
+    (acquisition-time normalization) must not crash on the pure backend."""
+    from sed_binning_spark.cube import Cube
+    from sed_binning_spark.io.hdf5 import load_h5, to_h5
+
+    c = Cube(np.ones((3,), dtype=np.float32), {"x": np.arange(3.0)}, ("x",))
+    p = tmp_path / "w.h5"
+    to_h5(c, p)
+    back = load_h5(p)
+    back.data *= 2.0  # raises ValueError on a frombuffer view
+    assert float(back.data.sum()) == 6.0
+
+
+def test_tiff_reader_rejects_ifd_cycle_and_wrong_sample_layout(tmp_path):
+    import struct
+
+    from sed_binning_spark.io.tiff import _read_baseline_tiff, to_tiff
+    from sed_binning_spark.cube import Cube
+
+    c = Cube(np.ones((2, 2), dtype=np.float32),
+             {"x": np.arange(2.0), "y": np.arange(2.0)}, ("x", "y"))
+    p = tmp_path / "ok.tiff"
+    to_tiff(c, p)
+    buf = bytearray(p.read_bytes())
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    (n_ent,) = struct.unpack_from("<H", buf, ifd_off)
+    # corrupt the next-IFD pointer to loop back to the first IFD
+    struct.pack_into("<I", buf, ifd_off + 2 + 12 * n_ent, ifd_off)
+    bad = tmp_path / "cycle.tiff"
+    bad.write_bytes(bytes(buf))
+    with pytest.raises(ValueError, match="cycle"):
+        _read_baseline_tiff(bad)
+    # rewrite BitsPerSample to 64: must be rejected, not misread as f4
+    buf2 = bytearray(p.read_bytes())
+    for i in range(n_ent):
+        tag, typ, cnt, val = struct.unpack_from("<HHII", buf2, ifd_off + 2 + 12 * i)
+        if tag == 258:
+            struct.pack_into("<HHII", buf2, ifd_off + 2 + 12 * i, tag, typ, cnt, 64)
+    bad2 = tmp_path / "f64.tiff"
+    bad2.write_bytes(bytes(buf2))
+    with pytest.raises(ValueError, match="float32"):
+        _read_baseline_tiff(bad2)
+
+
+def test_nexus_rejects_axis_named_data(tmp_path):
+    from sed_binning_spark.cube import Cube
+    from sed_binning_spark.io.nexus import _write_basic_nxmpes
+
+    c = Cube(np.ones((2, 2), dtype=np.float32),
+             {"data": np.arange(2.0), "y": np.arange(2.0)}, ("data", "y"))
+    with pytest.raises(ValueError, match="collides"):
+        _write_basic_nxmpes(c, tmp_path / "x.nxs", "NXmpes")
