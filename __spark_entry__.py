@@ -68,7 +68,6 @@ from sed_binning_spark.pipeline.dedup import (
     exact_dedup,
     exact_dedup_keep_rows,
     minhash_lsh_pairs,
-    minhash_signatures,
     simhash,
 )
 from sed_binning_spark.pipeline.multimodal import (
@@ -954,9 +953,26 @@ def _q_doc_hashes(spark, sf):
     return out.select("doc_id", "fingerprint", "simhash")
 
 
-def _q_minhash(spark, sf):
-    out = minhash_signatures(_docs(spark, sf), num_hashes=4, shingle_size=3)
-    return out.select("doc_id", "mh_0", "mh_1", "mh_2", "mh_3")
+def _q_seq_pack(spark, sf):
+    """Sequence packing manifest (pipeline.pack.pack_chunks): documents
+    hashed onto 8 independent shard streams, concat-and-chunk layout at a
+    64-token budget. Signatures/offsets are pure window cumsums — the
+    DuckDB twin reproduces the manifest bit-for-bit."""
+    from sed_binning_spark.pipeline.pack import pack_chunks
+
+    return pack_chunks(_docs(spark, sf), seq_tokens=64, n_shards=8)
+
+
+def _q_decontam(spark, sf):
+    """Benchmark decontamination (pipeline.decontam.contamination_stats):
+    every 10th document plays the evaluation suite; the rest are the
+    training corpus, scanned for shared distinct 5-grams."""
+    from sed_binning_spark.pipeline.decontam import contamination_stats
+
+    docs = _docs(spark, sf)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    return contamination_stats(train, bench, n=5, min_matches=2)
 
 
 def _q_minhash_lsh(spark, sf):
@@ -1101,22 +1117,6 @@ def _q_multimodal(spark, sf):
     )
 
 
-# ---- generic relational (free with Spark; evidences the SQL surface) ------
-
-def _q_lineitem_agg(spark, sf):
-    df = spark.read.parquet(f"{sf}/lineitem.parquet")
-    return (
-        df.where(F.col("l_quantity") < 45.0)
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 2)
-            .alias("sum_disc_price"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-    )
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # A2/A4/A5: uniform int-bins N-D histograms (sparse occupied cells)
@@ -1186,7 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         # merged: winnowing fingerprint + simhash sketch
         "doc_hashes": _q_doc_hashes,
-        "minhash_signatures": _q_minhash,
+        "seq_pack": _q_seq_pack,
         "minhash_lsh_pairs": _q_minhash_lsh,
         # P6: pulse-frame projection; S9: parquet round-trip
         "pulse_projection": _q_pulse_projection,
@@ -1205,7 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # generic relational surface (the driver records at most 50 queries;
         # a 51st entry silently gets no CORRECTNESS row, so keep this dict
         # at <= 50)
-        "lineitem_agg": _q_lineitem_agg,
+        "decontam_stats": _q_decontam,
     }
 
 
@@ -1260,6 +1260,14 @@ def oracle_sql() -> dict[str, str]:
         f"list_transform(range(1, greatest(len({toks}) - 2, 1) + 1), "
         f"i -> array_to_string({toks}[i:i+2], ' '))"
     )
+    # decontamination 5-gram digests: empty token list must yield [] (the
+    # engine's word_shingles does), not the [''] a bare range(1,2) produces
+    shingle5 = (
+        f"CASE WHEN len({toks}) = 0 THEN [] ELSE "
+        f"list_transform(range(1, greatest(len({toks}) - 4, 1) + 1), "
+        f"i -> array_to_string({toks}[i:i+4], ' ')) END"
+    )
+    decontam_grams = f"list_distinct(list_transform({shingle5}, s -> md5(s)))"
 
     # Universal-hash MinHash twin: one md5 per shingle (28-bit hex-prefix
     # int), k affine maps (a*h + b) mod p — same plan-time (a, b, p)
@@ -1587,9 +1595,31 @@ def oracle_sql() -> dict[str, str]:
             f"FROM documents) f JOIN ({_simhash_oracle_sql(bits=16)}) s "
             f"ON s.doc_id = f.doc_id"
         ),
-        "minhash_signatures": (
-            f"SELECT doc_id, {mh(0)} AS mh_0, {mh(1)} AS mh_1, "
-            f"{mh(2)} AS mh_2, {mh(3)} AS mh_3 FROM {hs_docs}"
+        # pack_chunks twin: md5 length-prefixed key -> 52-bit lane -> exact
+        # /2^52 uniform -> shard; the layout is a per-shard window cumsum
+        # over doc_id order and the slice arithmetic is pure int64
+        "seq_pack": (
+            "WITH d AS (SELECT doc_id, "
+            f"CAST(len({_WS_SQL}) AS BIGINT) AS n_tokens, "
+            "CAST(floor(CAST("
+            + hex_to_bigint_sql(
+                "md5(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' || "
+                "CAST(doc_id AS VARCHAR) || ';pack:0')", 1)
+            + " AS DOUBLE) / 4503599627370496e0 * 8e0) AS INT) AS shard "
+            "FROM documents), "
+            "laid AS (SELECT shard, doc_id, n_tokens, "
+            "CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e "
+            "FROM d WHERE shard IS NOT NULL AND n_tokens > 0), "
+            "ex AS (SELECT shard, doc_id, n_tokens, e - n_tokens AS s, e, "
+            "unnest(generate_series((e - n_tokens) // 64, (e - 1) // 64)) AS seq_id "
+            "FROM laid) "
+            "SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id, n_tokens, "
+            "CAST(greatest(s, seq_id * 64) - s AS BIGINT) AS slice_start, "
+            "CAST(least(e, (seq_id + 1) * 64) - greatest(s, seq_id * 64) AS BIGINT) "
+            "AS slice_len, "
+            "CAST(greatest(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_offset "
+            "FROM ex"
         ),
         "minhash_lsh_pairs": (
             f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM "
@@ -1675,11 +1705,21 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vec_id FROM embeddings "
             f"WHERE vec_id NOT IN (SELECT u FROM victims)"
         ),
-        "lineitem_agg": (
-            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
-            "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price, "
-            "count(*) AS n_rows FROM lineitem WHERE l_quantity < 45.0 "
-            "GROUP BY l_returnflag, l_linestatus"
+        # contamination_stats twin: distinct md5 5-gram digests per side,
+        # benchmark = every 10th document; a gram-less (blank/NULL text)
+        # training document still reports one row with zero matches
+        "decontam_stats": (
+            f"WITH dg AS (SELECT doc_id, {decontam_grams} AS grams "
+            "FROM documents WHERE doc_id % 10 != 0), "
+            "bg AS (SELECT DISTINCT gram FROM (SELECT unnest("
+            f"{decontam_grams}) AS gram FROM documents WHERE doc_id % 10 = 0)), "
+            "hits AS (SELECT doc_id, count(*) AS m FROM "
+            "(SELECT doc_id, unnest(grams) AS gram FROM dg) t "
+            "JOIN bg USING (gram) GROUP BY doc_id) "
+            "SELECT dg.doc_id, CAST(coalesce(len(dg.grams), 0) AS BIGINT) AS n_grams, "
+            "CAST(coalesce(h.m, 0) AS BIGINT) AS n_matched, "
+            "coalesce(h.m, 0) >= 2 AS contaminated "
+            "FROM dg LEFT JOIN hits h USING (doc_id)"
         ),
     }
 

@@ -55,6 +55,12 @@ from sed_binning_spark.pipeline.sample import (
     deterministic_sample,
     stratified_sample,
 )
+from sed_binning_spark.pipeline.pack import pack_chunks, pack_stats
+from sed_binning_spark.pipeline.decontam import (
+    contamination_pairs,
+    contamination_stats,
+    decontaminate,
+)
 from sed_binning_spark.pipeline.similarity import ivf_topk, ivf_train_centroids
 from sed_binning_spark.pipeline.text import (
     document_fingerprint,
@@ -91,6 +97,11 @@ __all__ = [
     "deterministic_sample",
     "stratified_sample",
     "assign_splits",
+    "pack_chunks",
+    "pack_stats",
+    "contamination_pairs",
+    "contamination_stats",
+    "decontaminate",
     "extract_features",
     "resize_images",
     "frame_sample_plan",

@@ -1,0 +1,168 @@
+"""Sequence packing: lay documents out into fixed-token-budget training
+sequences (the "concat-and-chunk" step of an LLM pre-training pipeline).
+
+Training consumes fixed-length sequences (e.g. 4096 tokens); documents
+come in arbitrary lengths. The standard high-throughput layout is to
+concatenate documents into one token stream and cut it every
+``seq_tokens`` tokens — zero padding waste, documents may span a cut. At
+100 TB a SINGLE stream is a global sort (one reducer owns the running
+offset), so this module shards first:
+
+- each document is hashed (:func:`~sed_binning_spark.core.dfops.
+  hash_uniform`, domain ``"pack"``) onto one of ``n_shards`` independent
+  streams — deterministic, layout/retry/engine-independent, uniform (so
+  shard skew is O(sqrt) sampling noise, not data-dependent);
+- each shard is packed independently: ONE shuffle (hash partition +
+  in-shard sort by document id), after which every sequence boundary is a
+  pure window cumulative sum — no running state, no driver loop;
+- the output is a *manifest* — (shard, seq_id, doc slice) rows — not the
+  materialized token arrays: the expensive token payload never shuffles,
+  and a writer task can assemble the actual sequences for its shard by
+  joining the manifest back to the token store partition-locally.
+
+Determinism contract: document ids must be unique (the in-shard order is
+``ORDER BY id``; a duplicate id would make the layout tie-dependent).
+Rows with a NULL id or a NULL/zero token count contribute nothing to any
+stream and emit no manifest rows — an unidentifiable or empty document
+has no position in a reproducible layout.
+
+Reference: this operator has no counterpart in sed-binning (it is part of
+the LLM-curation extension surface, like pipeline.dedup / pipeline.text);
+the packing semantics follow the standard concat-and-chunk scheme of
+GPT-style pre-training data loaders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sed_binning_spark.core.dfops import hash_uniform
+from sed_binning_spark.pipeline.text import whitespace_tokens
+
+PACK_DOMAIN = "pack"
+
+
+def pack_chunks(
+    df: DataFrame,
+    seq_tokens: int,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    token_column: str | None = None,
+    n_shards: int = 32,
+    seed: int = 0,
+) -> DataFrame:
+    """Assign every document to its training-sequence slices.
+
+    Returns the packing manifest, one row per (document, sequence it
+    touches):
+
+    - ``shard`` (int) — independent stream the document was hashed into;
+    - ``seq_id`` (bigint) — sequence index within the shard; sequence
+      ``s`` covers shard-stream tokens ``[s*seq_tokens, (s+1)*seq_tokens)``;
+    - ``<id_column>`` — the document;
+    - ``n_tokens`` (bigint) — the document's total token count;
+    - ``slice_start`` / ``slice_len`` (bigint) — the token range OF THE
+      DOCUMENT that lands in this sequence (0-based);
+    - ``seq_offset`` (bigint) — where that slice starts WITHIN the
+      sequence.
+
+    ``token_column`` supplies a precomputed token count (the production
+    path: real BPE counts from the tokenizer run); when absent, whitespace
+    tokens of ``text_column`` are counted (engine-portable, used by the
+    cross-engine oracle). ``seq_tokens`` is the fixed sequence budget;
+    every sequence except the tail of each shard is exactly full.
+
+    Scale: one shuffle (window over ``shard``); per-document output rows
+    are bounded by ``ceil(n_tokens / seq_tokens) + 1``; nothing but ids
+    and integer offsets ever moves.
+    """
+    if seq_tokens <= 0:
+        raise ValueError(f"seq_tokens must be positive, got {seq_tokens}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if id_column not in df.columns:
+        raise ValueError(
+            f"id column {id_column!r} not in dataframe (columns: {df.columns})",
+        )
+    if token_column is not None:
+        if token_column not in df.columns:
+            raise ValueError(
+                f"token column {token_column!r} not in dataframe "
+                f"(columns: {df.columns})",
+            )
+        n_tok = F.col(token_column).cast("bigint")
+    else:
+        if text_column not in df.columns:
+            raise ValueError(
+                f"text column {text_column!r} not in dataframe "
+                f"(columns: {df.columns})",
+            )
+        n_tok = F.size(whitespace_tokens(F.col(text_column))).cast("bigint")
+
+    shard = F.floor(
+        hash_uniform(df, [id_column], seed, PACK_DOMAIN) * F.lit(int(n_shards)),
+    ).cast("int")
+    docs = (
+        df.select(
+            F.col(id_column),
+            n_tok.alias("n_tokens"),
+            shard.alias("shard"),
+        )
+        # NULL id -> NULL draw -> no reproducible position; empty docs
+        # occupy zero stream tokens and would only emit degenerate slices
+        .where(F.col("shard").isNotNull() & (F.col("n_tokens") > 0))
+    )
+
+    w = Window.partitionBy("shard").orderBy(id_column)
+    laid = docs.select(
+        "shard",
+        id_column,
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start"),
+        F.sum("n_tokens").over(w).alias("end"),
+    )
+
+    budget = F.lit(int(seq_tokens))
+    seq = F.col("seq_id")
+    seq_lo = seq * budget  # first stream token of this sequence
+    overlap_lo = F.greatest(F.col("start"), seq_lo)
+    overlap_hi = F.least(F.col("end"), seq_lo + budget)
+    return (
+        laid.select(
+            "shard",
+            id_column,
+            "n_tokens",
+            "start",
+            "end",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("start") / budget),
+                    F.floor((F.col("end") - 1) / budget),
+                ),
+            ).alias("seq_id"),
+        )
+        .select(
+            "shard",
+            seq.cast("bigint").alias("seq_id"),
+            id_column,
+            "n_tokens",
+            (overlap_lo - F.col("start")).cast("bigint").alias("slice_start"),
+            (overlap_hi - overlap_lo).cast("bigint").alias("slice_len"),
+            (overlap_lo - seq_lo).cast("bigint").alias("seq_offset"),
+        )
+    )
+
+
+def pack_stats(manifest: DataFrame, seq_tokens: int) -> DataFrame:
+    """Per-sequence fill accounting over a :func:`pack_chunks` manifest:
+    ``(shard, seq_id, n_docs, filled_tokens, fill_ratio)``. Every sequence
+    except each shard's tail should report ``fill_ratio = 1.0`` — the
+    invariant a packing regression test pins."""
+    if seq_tokens <= 0:
+        raise ValueError(f"seq_tokens must be positive, got {seq_tokens}")
+    return manifest.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("slice_len").alias("filled_tokens"),
+        (F.sum("slice_len") / F.lit(float(seq_tokens))).alias("fill_ratio"),
+    )

@@ -1,0 +1,233 @@
+"""Sequence packing (pipeline.pack) and benchmark decontamination
+(pipeline.decontam): manifest invariants against a pure-Python packing
+reimplementation, fill accounting, determinism across partition layouts,
+and GPT-3-style n-gram overlap semantics incl. blank/NULL/short-document
+edges."""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from sed_binning_spark.pipeline.decontam import (
+    contamination_pairs,
+    contamination_stats,
+    decontaminate,
+)
+from sed_binning_spark.pipeline.pack import pack_chunks, pack_stats
+
+
+# ---------------------------------------------------------------------------
+# pure-Python reference of the packing layout
+# ---------------------------------------------------------------------------
+def _ref_uniform(key, seed, domain="pack"):
+    s = str(key)
+    hx = hashlib.md5(f"{len(s)}:{s};{domain}:{seed}".encode()).hexdigest()
+    return int(hx[:13], 16) / float(1 << 52)
+
+
+def _ref_pack(docs, budget, n_shards, seed=0):
+    """docs: list[(id, n_tokens)] -> set of manifest tuples."""
+    shards = {}
+    for did, nt in docs:
+        if did is None or nt is None or nt <= 0:
+            continue
+        sh = int(_ref_uniform(did, seed) * n_shards)
+        shards.setdefault(sh, []).append((did, nt))
+    out = set()
+    for sh, members in shards.items():
+        pos = 0
+        for did, nt in sorted(members):
+            start, end = pos, pos + nt
+            for s in range(start // budget, (end - 1) // budget + 1):
+                lo, hi = max(start, s * budget), min(end, (s + 1) * budget)
+                out.add((sh, s, did, nt, lo - start, hi - lo, lo - s * budget))
+            pos = end
+    return out
+
+
+def _docs_df(spark, rows, num_partitions=None):
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_tok long")
+    return df.repartition(num_partitions) if num_partitions else df
+
+
+ROWS = [
+    (1, "a b c d e", 5),
+    (2, "one two three", 3),
+    (3, " ".join(f"t{i}" for i in range(23)), 23),
+    (4, "x", 1),
+    (5, None, None),       # NULL text -> no tokens -> no manifest rows
+    (6, "   ", 0),         # blank -> zero tokens -> no manifest rows
+    (7, "p q r s t u v w", 8),
+    (8, " ".join(f"z{i}" for i in range(40)), 40),
+]
+
+
+def test_pack_matches_reference_layout(spark):
+    got = {
+        tuple(r)
+        for r in pack_chunks(
+            _docs_df(spark, ROWS), seq_tokens=8, n_shards=4,
+        ).collect()
+    }
+    want = _ref_pack([(r[0], r[2]) for r in ROWS], budget=8, n_shards=4)
+    assert got == want
+    assert got  # non-degenerate
+
+
+def test_pack_token_column_equals_text_count(spark):
+    df = _docs_df(spark, ROWS)
+    via_text = {tuple(r) for r in pack_chunks(df, 8, n_shards=4).collect()}
+    via_col = {
+        tuple(r)
+        for r in pack_chunks(df, 8, token_column="n_tok", n_shards=4).collect()
+    }
+    assert via_text == via_col
+
+
+def test_pack_layout_independent_of_partitioning(spark):
+    a = {tuple(r) for r in pack_chunks(_docs_df(spark, ROWS), 8, n_shards=4).collect()}
+    b = {
+        tuple(r)
+        for r in pack_chunks(_docs_df(spark, ROWS, num_partitions=7), 8, n_shards=4).collect()
+    }
+    assert a == b
+
+
+def test_pack_stream_invariants(spark):
+    """Within every shard: slices tile the token stream exactly — every
+    sequence before the tail is full, slices of one doc cover [0, n_tokens),
+    and per-sequence offsets+lengths tile [0, budget)."""
+    budget = 8
+    man = pack_chunks(_docs_df(spark, ROWS), budget, n_shards=2).collect()
+    by_doc = {}
+    by_seq = {}
+    for r in man:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        by_seq.setdefault((r.shard, r.seq_id), []).append(r)
+    for did, rows in by_doc.items():
+        rows = sorted(rows, key=lambda r: r.slice_start)
+        assert rows[0].slice_start == 0
+        for a, b in zip(rows, rows[1:]):
+            assert a.slice_start + a.slice_len == b.slice_start
+        assert rows[-1].slice_start + rows[-1].slice_len == rows[0].n_tokens
+    for (sh, sq), rows in by_seq.items():
+        rows = sorted(rows, key=lambda r: r.seq_offset)
+        assert rows[0].seq_offset == 0
+        for a, b in zip(rows, rows[1:]):
+            assert a.seq_offset + a.slice_len == b.seq_offset
+        filled = sum(r.slice_len for r in rows)
+        tail = sq == max(s for (s2, s) in by_seq if s2 == sh)
+        assert filled == budget or tail
+
+
+def test_pack_stats_full_except_tail(spark):
+    budget = 8
+    man = pack_chunks(_docs_df(spark, ROWS), budget, n_shards=2)
+    stats = pack_stats(man, budget).collect()
+    by_shard_last = {}
+    for r in stats:
+        by_shard_last[r.shard] = max(by_shard_last.get(r.shard, -1), r.seq_id)
+    for r in stats:
+        if r.seq_id != by_shard_last[r.shard]:
+            assert r.filled_tokens == budget and r.fill_ratio == 1.0
+        else:
+            assert 0 < r.filled_tokens <= budget
+
+
+def test_pack_validation(spark):
+    df = _docs_df(spark, ROWS)
+    with pytest.raises(ValueError, match="seq_tokens"):
+        pack_chunks(df, 0)
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_chunks(df, 8, n_shards=0)
+    with pytest.raises(ValueError, match="id column"):
+        pack_chunks(df, 8, id_column="nope")
+    with pytest.raises(ValueError, match="token column"):
+        pack_chunks(df, 8, token_column="nope")
+    with pytest.raises(ValueError, match="text column"):
+        pack_chunks(df.drop("text"), 8)
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+BENCH = [
+    (100, "the quick brown fox jumps over the lazy dog"),
+    (101, "pack my box with five dozen liquor jugs"),
+    (102, None),
+]
+
+TRAIN = [
+    # contains bench 100's exact 5-gram "quick brown fox jumps over"
+    (1, "intro text then the QUICK Brown fox jumps over and more"),
+    # clean
+    (2, "completely unrelated content about spark window functions"),
+    # contains two distinct 5-grams of bench 101
+    (3, "pack my box with five dozen liquor jugs it said"),
+    (4, None),
+    (5, "short doc"),  # shorter than n -> full-string shingle, no match
+]
+
+
+def test_contamination_stats_flags_overlaps(spark):
+    docs = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    bench = spark.createDataFrame(BENCH, "bench_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_matched, r.contaminated)
+        for r in contamination_stats(docs, bench, n=5).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}  # every doc reports, incl. NULL text
+    assert got[1][2] and got[1][1] >= 1          # case-folded 5-gram hit
+    assert got[2] == (got[2][0], 0, False)
+    assert got[3][1] >= 2 and got[3][2]
+    assert got[4] == (0, 0, False)               # NULL text: 0 grams
+    assert got[5] == (1, 0, False)               # short doc: 1 full-string gram
+
+
+def test_contamination_pairs_attribution(spark):
+    docs = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    bench = spark.createDataFrame(BENCH, "bench_id long, text string")
+    pairs = {
+        (r.doc_id, r.bench_id): r.n_matched
+        for r in contamination_pairs(docs, bench, n=5).collect()
+    }
+    assert all(did in (1, 3) for did, _ in pairs)
+    assert pairs[(1, 100)] >= 1
+    assert pairs[(3, 101)] >= 2
+    assert (3, 100) not in pairs
+
+
+def test_decontaminate_drops_only_flagged(spark):
+    docs = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    bench = spark.createDataFrame(BENCH, "bench_id long, text string")
+    kept = sorted(
+        r.doc_id for r in decontaminate(docs, bench, n=5).collect()
+    )
+    assert kept == [2, 4, 5]
+    # min_matches=2 spares doc 1 (single shared gram region < 2 grams is
+    # possible; recompute expectation from the stats instead of guessing)
+    stats = {
+        r.doc_id: r.n_matched
+        for r in contamination_stats(docs, bench, n=5).collect()
+    }
+    kept2 = sorted(
+        r.doc_id for r in decontaminate(docs, bench, n=5, min_matches=2).collect()
+    )
+    assert kept2 == sorted(d for d, m in stats.items() if m < 2)
+
+
+def test_decontaminate_validation(spark):
+    docs = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    bench = spark.createDataFrame(BENCH, "bench_id long, text string")
+    with pytest.raises(ValueError, match="docs text column"):
+        contamination_stats(docs.drop("text"), bench)
+    with pytest.raises(ValueError, match="benchmark id column"):
+        contamination_pairs(docs, bench, bench_id_column="nope")
+    with pytest.raises(ValueError, match="min_matches"):
+        contamination_stats(docs, bench, min_matches=0)
