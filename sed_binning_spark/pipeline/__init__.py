@@ -68,6 +68,7 @@ from sed_binning_spark.pipeline.text import (
     language_id,
     pii_stats,
     quality_score,
+    repetition_stats,
     scrub_pii,
     text_stats,
 )
@@ -94,6 +95,7 @@ __all__ = [
     "pii_stats",
     "scrub_pii",
     "dup_line_stats",
+    "repetition_stats",
     "deterministic_sample",
     "stratified_sample",
     "assign_splits",

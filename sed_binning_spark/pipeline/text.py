@@ -302,3 +302,87 @@ def dup_line_stats(
         "dup_line_ratio",
         F.when(F.col(text_column).isNotNull(), F.coalesce(ratio, F.lit(0.0))),
     )
+
+
+def _run_length_fold(sorted_shingles: Column) -> Column:
+    """Fold a SORTED shingle array into repetition aggregates: a struct of
+    ``best`` (occurrence count of the most frequent shingle), ``blen``
+    (that shingle's character length) and ``dup`` (total characters
+    ``count*len`` over shingles occurring more than once).
+
+    Sorting turns "frequency of the mode" into "longest run of equal
+    neighbours", which one left fold computes with O(1) state — no
+    per-document map, no explode/shuffle, stays in codegen. Ties on the
+    max count resolve to the FIRST shingle in sort order (strict ``>``
+    never displaces an earlier winner) — deterministic and reproducible
+    by a ``min(gram)``-among-argmax SQL twin. The empty-string ``prev``
+    sentinel cannot collide: shingles join non-empty tokens."""
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("blen"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.when(new_run > acc["best"], new_run).otherwise(acc["best"]).alias("best"),
+            F.when(new_run > acc["best"], F.length(x).cast("long"))
+            .otherwise(acc["blen"]).alias("blen"),
+            (
+                acc["dup"]
+                # a run's chars enter dup the moment it becomes a duplicate
+                # (2x the length then), then one length per further repeat
+                + F.when(new_run == 2, 2 * F.length(x).cast("long"))
+                .when(new_run > 2, F.length(x).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("dup"),
+        )
+
+    return F.aggregate(sorted_shingles, acc0, merge)
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_column: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Gopher-style n-gram repetition signals (Rae et al. 2021, table A1),
+    completing the rule set next to :func:`dup_line_stats`:
+
+    - ``top_{n}gram_char_frac`` (n in ``top_ns``): characters attributable
+      to the single most frequent word ``n``-gram — ``count * len(gram)``,
+      capped at the document length (overlapping occurrences can exceed
+      it), divided by ``length(text)``;
+    - ``dup_{n}gram_char_frac`` (n in ``dup_ns``): same, summed over every
+      ``n``-gram occurring more than once.
+
+    Pure expression fold over the sorted shingle array (see
+    :func:`_run_length_fold`) — map-only at any scale. NULL text yields
+    NULL fractions (matching :func:`dup_line_stats`); blank or
+    shorter-than-``n`` documents yield 0.0 (the single partial-window
+    shingle occurs once, so nothing repeats). Filter like Gopher:
+    ``top_2gram_char_frac <= 0.2 AND dup_5gram_char_frac <= 0.15 ...``.
+    """
+    from sed_binning_spark.pipeline.dedup import word_shingles
+
+    text = F.col(text_column)
+    n_chars = F.length(text).cast("double")
+    out = df
+    for n, kind in [(n, "top") for n in top_ns] + [(n, "dup") for n in dup_ns]:
+        agg = _run_length_fold(F.array_sort(word_shingles(text, n)))
+        chars = agg["best"] * agg["blen"] if kind == "top" else agg["dup"]
+        frac = F.when(
+            n_chars > 0,
+            F.least(chars.cast("double"), n_chars) / n_chars,
+        ).otherwise(F.lit(0.0))
+        out = out.withColumn(
+            f"{kind}_{n}gram_char_frac",
+            F.when(text.isNotNull(), frac),
+        )
+    return out

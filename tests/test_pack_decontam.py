@@ -68,14 +68,20 @@ ROWS = [
 ]
 
 
-def test_pack_matches_reference_layout(spark):
+@pytest.mark.parametrize(
+    "budget,n_shards,seed",
+    [(8, 4, 0), (5, 1, 0), (64, 16, 0), (8, 4, 7), (1, 3, 1)],
+)
+def test_pack_matches_reference_layout(spark, budget, n_shards, seed):
     got = {
         tuple(r)
         for r in pack_chunks(
-            _docs_df(spark, ROWS), seq_tokens=8, n_shards=4,
+            _docs_df(spark, ROWS), seq_tokens=budget, n_shards=n_shards, seed=seed,
         ).collect()
     }
-    want = _ref_pack([(r[0], r[2]) for r in ROWS], budget=8, n_shards=4)
+    want = _ref_pack(
+        [(r[0], r[2]) for r in ROWS], budget=budget, n_shards=n_shards, seed=seed,
+    )
     assert got == want
     assert got  # non-degenerate
 
@@ -231,3 +237,111 @@ def test_decontaminate_validation(spark):
         contamination_pairs(docs, bench, bench_id_column="nope")
     with pytest.raises(ValueError, match="min_matches"):
         contamination_stats(docs, bench, min_matches=0)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (pipeline.text.repetition_stats)
+# ---------------------------------------------------------------------------
+from collections import Counter
+
+from sed_binning_spark.pipeline.text import repetition_stats
+
+
+def _ref_repetition(text, n, kind):
+    if text is None:
+        return None
+    toks = text.lower().split()
+    if len(toks) == 0 or len(text) == 0:
+        return 0.0
+    if len(toks) < n:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    counts = Counter(grams)
+    if kind == "top":
+        best = max(counts.values())
+        # tie-break: first in sort order = min gram string among argmax
+        blen = len(min(g for g, c in counts.items() if c == best))
+        chars = best * blen
+    else:
+        chars = sum(c * len(g) for g, c in counts.items() if c > 1)
+    return min(float(chars), float(len(text))) / len(text)
+
+
+REP_DOCS = [
+    (1, "spam spam spam spam spam"),
+    (2, "the cat sat on the mat and the cat sat on the rug"),
+    (3, "all distinct words here today"),
+    (4, None),
+    (5, ""),
+    (6, "  \t "),
+    (7, "tie tie bye bye zz"),     # 2-gram tie: 'bye bye' vs 'tie tie'
+    (8, "short"),                   # shorter than every n
+]
+
+
+def test_repetition_stats_matches_reference(spark):
+    df = spark.createDataFrame(REP_DOCS, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in repetition_stats(df).collect()}
+    for did, text in REP_DOCS:
+        for n in (2, 3, 4):
+            want = _ref_repetition(text, n, "top")
+            have = got[did][f"top_{n}gram_char_frac"]
+            assert (have is None) == (want is None), (did, n)
+            if want is not None:
+                assert abs(have - want) < 1e-12, (did, n, have, want)
+        for n in (5, 6, 7, 8, 9, 10):
+            want = _ref_repetition(text, n, "dup")
+            have = got[did][f"dup_{n}gram_char_frac"]
+            assert (have is None) == (want is None), (did, n)
+            if want is not None:
+                assert abs(have - want) < 1e-12, (did, n, have, want)
+
+
+@pytest.mark.parametrize("kind,n", [("top", 2), ("dup", 5)])
+def test_repetition_stats_duckdb_parity(spark, kind, n):
+    """Cross-engine: the fold's (count, tie-broken length / dup chars)
+    equals a DuckDB group-by formulation over the driver documents table."""
+    import duckdb
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    if not Path(path).exists():
+        pytest.skip("driver testdata not present")
+    df = spark.read.parquet(path)
+    col = f"{kind}_{n}gram_char_frac"
+    got = {
+        r.doc_id: r[col]
+        for r in repetition_stats(df, top_ns=(n,), dup_ns=(n,)).collect()
+    }
+    toks = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '')"
+    grams = (
+        f"CASE WHEN len({toks}) = 0 THEN [] ELSE "
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')) END"
+    )
+    if kind == "top":
+        # tie-break = first gram in sort order among the argmax counts
+        chars = (
+            "(SELECT max(cnt) * length(min(g) FILTER (cnt = max_cnt)) FROM "
+            "(SELECT g, count(*) AS cnt, max(count(*)) OVER () AS max_cnt "
+            "FROM unnest(grams) AS t(g) GROUP BY g))"
+        )
+    else:
+        chars = (
+            "(SELECT coalesce(sum(cnt * length(g)), 0) FROM "
+            "(SELECT g, count(*) AS cnt FROM unnest(grams) AS t(g) GROUP BY g) "
+            "WHERE cnt > 1)"
+        )
+    sql = (
+        f"SELECT doc_id, CASE WHEN text IS NULL THEN NULL "
+        f"WHEN length(text) = 0 OR len(grams) = 0 THEN 0.0 "
+        f"ELSE least(CAST({chars} AS DOUBLE), length(text)) / length(text) END AS frac "
+        f"FROM (SELECT doc_id, text, {grams} AS grams FROM read_parquet('{path}'))"
+    )
+    want = {row[0]: row[1] for row in duckdb.connect().execute(sql).fetchall()}
+    assert set(got) == set(want)
+    for did in got:
+        if want[did] is None:
+            assert got[did] is None, did
+        else:
+            assert got[did] is not None and abs(got[did] - want[did]) < 1e-12, did
