@@ -112,7 +112,11 @@ def contamination_stats(
         ngram_digests(F.col(text_column), n).alias("grams"),
     ).select(
         id_column,
-        F.coalesce(F.size("grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+        # NULL-pinned size (same pattern as text_stats): under a legacy
+        # non-ANSI session size(NULL) is -1, not NULL, so guard explicitly
+        F.coalesce(
+            F.when(F.col("grams").isNotNull(), F.size("grams")), F.lit(0),
+        ).cast("bigint").alias("n_grams"),
         # explode_outer keeps gram-less (blank/NULL text) documents as one
         # NULL-gram row so they survive into the aggregate with 0 matches
         F.explode_outer("grams").alias("gram"),

@@ -21,7 +21,8 @@ offset), so this module shards first:
   joining the manifest back to the token store partition-locally.
 
 Determinism contract: document ids must be unique (the in-shard order is
-``ORDER BY id``; a duplicate id would make the layout tie-dependent).
+``ORDER BY id``; a duplicate id would make the layout tie-dependent) —
+:func:`pack_chunks` raises at execution time if the contract is violated.
 Rows with a NULL id or a NULL/zero token count contribute nothing to any
 stream and emit no manifest rows — an unidentifiable or empty document
 has no position in a reproducible layout.
@@ -114,13 +115,33 @@ def pack_chunks(
         .where(F.col("shard").isNotNull() & (F.col("n_tokens") > 0))
     )
 
-    w = Window.partitionBy("shard").orderBy(id_column)
+    # ROWS frame pinned explicitly: the default RANGE frame would give tied
+    # rows (duplicate ids) identical cumulative sums — silently overlapping
+    # slices — and diverge from the DuckDB twin's ROWS formulation
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_column)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # loud guard for the unique-id contract: duplicate ids make the in-shard
+    # order tie-dependent (an irreproducible layout), so fail instead of
+    # corrupting it; same (shard)-clustering, so no extra shuffle
+    n_same = F.count(F.lit(1)).over(Window.partitionBy("shard", id_column))
+    cum = F.when(n_same == 1, F.sum("n_tokens").over(w)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("pack_chunks: duplicate document id "),
+                F.col(id_column).cast("string"),
+                F.lit(" violates the unique-id layout contract"),
+            ),
+        ).cast("bigint"),
+    )
     laid = docs.select(
         "shard",
         id_column,
         "n_tokens",
-        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start"),
-        F.sum("n_tokens").over(w).alias("end"),
+        (cum - F.col("n_tokens")).alias("start"),
+        cum.alias("end"),
     )
 
     budget = F.lit(int(seq_tokens))

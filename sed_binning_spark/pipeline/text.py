@@ -308,7 +308,8 @@ def _run_length_fold(sorted_shingles: Column) -> Column:
     """Fold a SORTED shingle array into repetition aggregates: a struct of
     ``best`` (occurrence count of the most frequent shingle), ``blen``
     (that shingle's character length) and ``dup`` (total characters
-    ``count*len`` over shingles occurring more than once).
+    ``(count-1)*len`` over shingles occurring more than once — repeat
+    occurrences only, the Gopher/DataTrove convention).
 
     Sorting turns "frequency of the mode" into "longest run of equal
     neighbours", which one left fold computes with O(1) state — no
@@ -335,10 +336,10 @@ def _run_length_fold(sorted_shingles: Column) -> Column:
             .otherwise(acc["blen"]).alias("blen"),
             (
                 acc["dup"]
-                # a run's chars enter dup the moment it becomes a duplicate
-                # (2x the length then), then one length per further repeat
-                + F.when(new_run == 2, 2 * F.length(x).cast("long"))
-                .when(new_run > 2, F.length(x).cast("long"))
+                # (count-1)*len: only REPEAT occurrences count, matching the
+                # common Gopher implementations (DataTrove/NeMo) — the first
+                # occurrence of a later-duplicated gram contributes nothing
+                + F.when(new_run >= 2, F.length(x).cast("long"))
                 .otherwise(F.lit(0).cast("long"))
             ).alias("dup"),
         )
@@ -359,26 +360,32 @@ def repetition_stats(
       to the single most frequent word ``n``-gram — ``count * len(gram)``,
       capped at the document length (overlapping occurrences can exceed
       it), divided by ``length(text)``;
-    - ``dup_{n}gram_char_frac`` (n in ``dup_ns``): same, summed over every
-      ``n``-gram occurring more than once.
+    - ``dup_{n}gram_char_frac`` (n in ``dup_ns``): characters in REPEAT
+      occurrences — ``(count-1) * len(gram)`` summed over every ``n``-gram
+      occurring more than once (the Gopher/DataTrove convention: the first
+      occurrence is not a duplicate).
 
     Pure expression fold over the sorted shingle array (see
     :func:`_run_length_fold`) — map-only at any scale. NULL text yields
     NULL fractions (matching :func:`dup_line_stats`); blank or
-    shorter-than-``n`` documents yield 0.0 (the single partial-window
-    shingle occurs once, so nothing repeats). Filter like Gopher:
-    ``top_2gram_char_frac <= 0.2 AND dup_5gram_char_frac <= 0.15 ...``.
+    shorter-than-``n`` documents yield 0.0 for BOTH signal families (a
+    document with no full ``n``-gram has no repetition evidence, so it
+    passes Gopher-style filters — matching implementations that skip such
+    documents rather than scoring their single partial shingle). Filter
+    like Gopher: ``top_2gram_char_frac <= 0.2 AND dup_5gram_char_frac <=
+    0.15 ...``.
     """
     from sed_binning_spark.pipeline.dedup import word_shingles
 
     text = F.col(text_column)
     n_chars = F.length(text).cast("double")
+    n_toks = F.size(whitespace_tokens(text)).cast("long")
     out = df
     for n, kind in [(n, "top") for n in top_ns] + [(n, "dup") for n in dup_ns]:
         agg = _run_length_fold(F.array_sort(word_shingles(text, n)))
         chars = agg["best"] * agg["blen"] if kind == "top" else agg["dup"]
         frac = F.when(
-            n_chars > 0,
+            (n_chars > 0) & (n_toks >= n),
             F.least(chars.cast("double"), n_chars) / n_chars,
         ).otherwise(F.lit(0.0))
         out = out.withColumn(

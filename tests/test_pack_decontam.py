@@ -160,6 +160,24 @@ def test_pack_validation(spark):
         pack_chunks(df.drop("text"), 8)
 
 
+def test_pack_duplicate_ids_fail_loudly(spark):
+    """The unique-id layout contract is enforced at execution time: a
+    duplicate id raises instead of silently producing a tie-dependent
+    (and overlap-corrupted) layout."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException, SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [("a", "one two three"), ("a", "four five"), ("b", "six")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(
+        (Py4JJavaError, SparkRuntimeException, PythonException),
+        match="duplicate document id",
+    ):
+        pack_chunks(df, 4, n_shards=1).collect()
+
+
 # ---------------------------------------------------------------------------
 # decontamination
 # ---------------------------------------------------------------------------
@@ -251,12 +269,10 @@ def _ref_repetition(text, n, kind):
     if text is None:
         return None
     toks = text.lower().split()
-    if len(toks) == 0 or len(text) == 0:
+    # Gopher/DataTrove convention: no full n-gram -> no repetition evidence
+    if len(toks) < n or len(text) == 0:
         return 0.0
-    if len(toks) < n:
-        grams = [" ".join(toks)]
-    else:
-        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
     counts = Counter(grams)
     if kind == "top":
         best = max(counts.values())
@@ -264,7 +280,8 @@ def _ref_repetition(text, n, kind):
         blen = len(min(g for g, c in counts.items() if c == best))
         chars = best * blen
     else:
-        chars = sum(c * len(g) for g, c in counts.items() if c > 1)
+        # repeat occurrences only: (count - 1) * len
+        chars = sum((c - 1) * len(g) for g, c in counts.items() if c > 1)
     return min(float(chars), float(len(text))) / len(text)
 
 
@@ -315,8 +332,8 @@ def test_repetition_stats_duckdb_parity(spark, kind, n):
     }
     toks = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '')"
     grams = (
-        f"CASE WHEN len({toks}) = 0 THEN [] ELSE "
-        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"CASE WHEN len({toks}) < {n} THEN [] ELSE "
+        f"list_transform(range(1, len({toks}) - {n - 1} + 1), "
         f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')) END"
     )
     if kind == "top":
@@ -327,8 +344,9 @@ def test_repetition_stats_duckdb_parity(spark, kind, n):
             "FROM unnest(grams) AS t(g) GROUP BY g))"
         )
     else:
+        # repeat occurrences only: (count - 1) * len
         chars = (
-            "(SELECT coalesce(sum(cnt * length(g)), 0) FROM "
+            "(SELECT coalesce(sum((cnt - 1) * length(g)), 0) FROM "
             "(SELECT g, count(*) AS cnt FROM unnest(grams) AS t(g) GROUP BY g) "
             "WHERE cnt > 1)"
         )
