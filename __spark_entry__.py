@@ -243,6 +243,40 @@ _TOKS_SQL = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> 
 _WS_SQL = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')"
 
 
+def _grams_sql(n: int) -> str:
+    """DuckDB twin of pipeline.dedup.word_shingles restricted to full
+    windows (docs with < n tokens yield [], matching repetition_stats'
+    no-full-n-gram gate)."""
+    return (
+        f"CASE WHEN len({_TOKS_SQL}) < {n} THEN [] ELSE "
+        f"list_transform(range(1, len({_TOKS_SQL}) - {n - 1} + 1), "
+        f"i -> array_to_string({_TOKS_SQL}[i:i+{n - 1}], ' ')) END"
+    )
+
+
+def _rep_frac_sql(col: str, kind: str) -> str:
+    """Twin of one repetition_stats column over a grams-list column:
+    per-document group-by + (argmax with min-gram tie-break | (count-1)*len
+    sum), capped at the document length."""
+    if kind == "top":
+        chars = (
+            "(SELECT max(cnt) * length(min(g) FILTER (cnt = max_cnt)) FROM "
+            f"(SELECT g, count(*) AS cnt, max(count(*)) OVER () AS max_cnt "
+            f"FROM unnest({col}) AS t(g) GROUP BY g))"
+        )
+    else:
+        chars = (
+            f"(SELECT coalesce(sum((cnt - 1) * length(g)), 0) FROM "
+            f"(SELECT g, count(*) AS cnt FROM unnest({col}) AS t(g) GROUP BY g) "
+            f"WHERE cnt > 1)"
+        )
+    return (
+        f"CASE WHEN text IS NULL THEN NULL "
+        f"WHEN length(text) = 0 OR len({col}) = 0 THEN 0.0e0 "
+        f"ELSE round(least(CAST({chars} AS DOUBLE), length(text)) / length(text), 6) END"
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship chain on sf0.001
 # ---------------------------------------------------------------------------
@@ -889,7 +923,13 @@ def _q_dedup_exact(spark, sf):
 
 
 def _q_text_stats(spark, sf):
-    out = text_stats(_docs(spark, sf))
+    """Scalar text statistics merged with the Gopher n-gram repetition
+    signals (pipeline.text.repetition_stats): top-2-gram and dup-5-gram
+    character fractions from the sorted-shingle fold, checked against a
+    per-document group-by twin."""
+    from sed_binning_spark.pipeline.text import repetition_stats
+
+    out = repetition_stats(text_stats(_docs(spark, sf)), top_ns=(2,), dup_ns=(5,))
     return out.select(
         "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"),
         F.col("n_ws_tokens").cast("bigint").alias("n_ws_tokens"),
@@ -898,11 +938,19 @@ def _q_text_stats(spark, sf):
         F.round("punct_ratio", 6).alias("punct_ratio"),
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
         F.round("uniq_token_ratio", 6).alias("uniq_token_ratio"),
+        F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
+        F.round("dup_5gram_char_frac", 6).alias("dup_5gram_char_frac"),
     )
 
 
 def _q_lang_id(spark, sf):
-    return language_id(_docs(spark, sf)).select("doc_id", "lang_pred")
+    """Stopword language-ID merged with the corpus unigram LM score
+    (pipeline.lm.unigram_logprob): self-scored add-1 model, exact
+    integer micro-nat mean — the DuckDB twin rebuilds the same model."""
+    from sed_binning_spark.pipeline.lm import unigram_logprob
+
+    out = unigram_logprob(language_id(_docs(spark, sf)))
+    return out.select("doc_id", "lang_pred", "unigram_logprob")
 
 
 def _q_quality(spark, sf):
@@ -1316,6 +1364,20 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN {_stop_max} = 0 THEN 'und' "
         f"{_lang_cases} ELSE 'und' END AS lang_pred FROM documents"
     )
+    # unigram_logprob twin: self-scored add-1 model; per-token log-probs
+    # quantized to integer micro-nats, so the mean is an exact int sum /
+    # (m * 1e6) on both engines (sum(BIGINT) is HUGEINT in DuckDB — CAST)
+    lang_lm_sql = (
+        f"WITH tk AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents), "
+        "model AS (SELECT token, count(*) AS n FROM tk GROUP BY token), "
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS vocab FROM model), "
+        "lut AS (SELECT token, CAST(round(ln((n + 1.0) / (total + 1.0 * (vocab + 1))) "
+        "* 1e6, 0) AS BIGINT) AS lm FROM model, tot), "
+        "agg AS (SELECT doc_id, CAST(sum(lm) AS BIGINT) AS s, count(*) AS m "
+        "FROM tk JOIN lut USING (token) GROUP BY doc_id) "
+        f"SELECT l.doc_id, l.lang_pred, CAST(s AS DOUBLE) / (m * 1e6) AS unigram_logprob "
+        f"FROM ({lang_id_sql}) l LEFT JOIN agg ON agg.doc_id = l.doc_id"
+    )
 
     return {
         "binning_1d": _binning_sql([("t", 1000, 60000.0, 120000.0)], ["b0"]),
@@ -1547,8 +1609,11 @@ def oracle_sql() -> dict[str, str]:
             f"x -> x IN ({_STOP_SQL['en']}))) / CAST(len({_WS_SQL}) AS DOUBLE), 6) "
             f"AS stopword_ratio, "
             f"round(len(list_distinct({_WS_SQL})) / CAST(len({_WS_SQL}) AS DOUBLE), 6) "
-            f"AS uniq_token_ratio "
-            f"FROM documents"
+            f"AS uniq_token_ratio, "
+            f"{_rep_frac_sql('grams2', 'top')} AS top_2gram_char_frac, "
+            f"{_rep_frac_sql('grams5', 'dup')} AS dup_5gram_char_frac "
+            f"FROM (SELECT doc_id, text, {_grams_sql(2)} AS grams2, "
+            f"{_grams_sql(5)} AS grams5 FROM documents)"
         ),
         # every ratio is int/int division of identical counts, so the rule
         # comparisons are bit-identical across engines; NULL rules (blank
@@ -1588,7 +1653,7 @@ def oracle_sql() -> dict[str, str]:
         # NULL text: every stop count is NULL, so an explicit branch is
         # needed — the CASE would otherwise fall through to ELSE where the
         # engine says 'und'
-        "lang_id": lang_id_sql,
+        "lang_id": lang_lm_sql,
         "doc_hashes": (
             f"SELECT f.doc_id, f.fingerprint, s.simhash FROM "
             f"(SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fingerprint "

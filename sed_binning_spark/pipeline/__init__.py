@@ -24,6 +24,9 @@ event-scale data.
 - :mod:`~sed_binning_spark.pipeline.sample` — deterministic (hash-keyed)
   sampling, per-stratum corpus-mixing rates, leak-proof train/val/test
   split assignment — reproducible on any partition layout or engine
+- :mod:`~sed_binning_spark.pipeline.lm` — corpus unigram language-model
+  scoring (CCNet-style quality proxy): token counts + per-document mean
+  log-probability from exact integer micro-nat sums
 """
 
 from sed_binning_spark.pipeline.cluster import (
@@ -61,6 +64,7 @@ from sed_binning_spark.pipeline.decontam import (
     contamination_stats,
     decontaminate,
 )
+from sed_binning_spark.pipeline.lm import unigram_logprob, unigram_model
 from sed_binning_spark.pipeline.similarity import ivf_topk, ivf_train_centroids
 from sed_binning_spark.pipeline.text import (
     document_fingerprint,
@@ -104,6 +108,8 @@ __all__ = [
     "contamination_pairs",
     "contamination_stats",
     "decontaminate",
+    "unigram_model",
+    "unigram_logprob",
     "extract_features",
     "resize_images",
     "frame_sample_plan",

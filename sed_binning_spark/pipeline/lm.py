@@ -1,0 +1,155 @@
+"""Corpus unigram language-model scoring — the classic LM-based quality
+proxy for training-data curation (CCNet buckets web documents by LM
+score; Gopher/RefinedWeb-style pipelines use the same signal to rank or
+filter). A full KenLM is out of scope for a pure-Spark engine, but the
+unigram restriction captures the load-bearing part of the signal — "is
+this document made of words the corpus actually uses?" — and is exactly
+expressible as two DataFrame aggregations:
+
+1. :func:`unigram_model` — token occurrence counts over the corpus: one
+   ``groupBy(token)`` with map-side partial aggregation (the shuffle
+   carries ``(token, partial count)``, never documents).
+2. :func:`unigram_logprob` — per-document mean token log-probability
+   under Laplace smoothing: explode tokens, equi-join the model
+   (broadcast when it fits, sort-merge otherwise), one ``groupBy(doc)``
+   over integer partial sums.
+
+Determinism contract (the repo-wide cross-engine convention): the mean
+is computed from per-token log-probabilities quantized to integer
+micro-nats (``round(ln(p) * 1e6)`` as int64). Integer sums are exact and
+order-independent, so the score is bit-stable across partitionings,
+retries, and engines — a raw ``avg(double)`` would depend on the
+floating-point summation order.
+
+100 TB notes: a web-scale corpus has an enormous unique-token tail
+(typos, URLs, ids); ``min_count`` prunes the model — pruned tokens score
+as out-of-vocabulary, which is what a quality signal wants (hapax junk
+should look improbable, and the Laplace OOV mass prices it). The model
+is the only driver-side materialization and only through a scalar
+``agg`` (total/vocab); the per-token LUT stays a DataFrame.
+
+Reference: this operator has no counterpart in sed-binning (LLM-curation
+extension surface, like pipeline.dedup / pipeline.text); semantics follow
+the standard add-alpha unigram LM of the CCNet line of work.
+"""
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sed_binning_spark.pipeline.text import whitespace_tokens
+
+
+def _lm_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens — the dedup-family tokenizer (case
+    folded so 'The'/'the' are one LM event), empty tokens stripped."""
+    return whitespace_tokens(F.lower(text))
+
+
+def unigram_model(
+    df: DataFrame,
+    text_column: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Token occurrence counts ``(token, n)`` over the corpus.
+
+    One shuffle (``groupBy(token)``, partial-aggregated map-side). Tokens
+    with fewer than ``min_count`` occurrences are dropped from the model
+    — they score as OOV downstream, which both bounds the model size on
+    heavy-tailed corpora and makes hapax junk look improbable.
+    """
+    if text_column not in df.columns:
+        raise ValueError(
+            f"text column {text_column!r} not in dataframe (columns: {df.columns})",
+        )
+    if min_count <= 0:
+        raise ValueError(f"min_count must be positive, got {min_count}")
+    model = (
+        df.select(F.explode(_lm_tokens(F.col(text_column))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_count > 1:
+        model = model.where(F.col("n") >= int(min_count))
+    return model
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    alpha: float = 1.0,
+    min_count: int = 1,
+    broadcast_model: bool = True,
+    output_column: str = "unigram_logprob",
+) -> DataFrame:
+    """Append the per-document mean token log-probability under an
+    add-``alpha`` (Laplace) unigram model.
+
+    ``p(token) = (n + alpha) / (total + alpha * (vocab + 1))`` for model
+    tokens; unseen tokens take the same formula at ``n = 0`` (the ``+1``
+    in the denominator is the OOV class). The document score is the mean
+    of ``ln p`` over its tokens, computed exactly from integer micro-nat
+    partial sums (see module docstring). NULL or token-less text yields
+    NULL — no tokens, no evidence.
+
+    ``model`` defaults to :func:`unigram_model` over ``docs`` itself (the
+    self-scoring setup); pass a model built on a reference corpus to
+    score against external statistics — the usual CCNet arrangement.
+    ``broadcast_model=True`` broadcast-joins the token LUT (right for
+    pruned vocabularies up to ~100M tokens); set it False to let the
+    optimizer pick a shuffle join for giant models.
+    """
+    if id_column not in docs.columns:
+        raise ValueError(
+            f"id column {id_column!r} not in dataframe (columns: {docs.columns})",
+        )
+    if text_column not in docs.columns:
+        raise ValueError(
+            f"text column {text_column!r} not in dataframe (columns: {docs.columns})",
+        )
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    if model is None:
+        model = unigram_model(docs, text_column, min_count=min_count)
+    if "token" not in model.columns or "n" not in model.columns:
+        raise ValueError(
+            f"model must have (token, n) columns, got {model.columns}",
+        )
+
+    # scalar aggregate (accepted driver-side pattern): two int64s
+    tot = model.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
+        F.count(F.lit(1)).alias("vocab"),
+    ).collect()[0]
+    total, vocab = int(tot.total), int(tot.vocab)
+    denom = float(total) + float(alpha) * float(vocab + 1)
+
+    logp_micro = F.round(
+        F.log((F.col("n").cast("double") + F.lit(float(alpha))) / F.lit(denom)) * 1e6,
+    ).cast("long")
+    lut = model.select("token", logp_micro.alias("logp_micro"))
+    if broadcast_model:
+        lut = F.broadcast(lut)
+    oov_micro = int(round(math.log(float(alpha) / denom) * 1e6))
+
+    toks = docs.select(
+        F.col(id_column),
+        F.explode(_lm_tokens(F.col(text_column))).alias("token"),
+    )
+    scored = (
+        toks.join(lut, "token", "left")
+        .groupBy(id_column)
+        .agg(
+            F.sum(F.coalesce("logp_micro", F.lit(oov_micro))).alias("_lm_s"),
+            F.count(F.lit(1)).alias("_lm_m"),
+        )
+        .select(
+            id_column,
+            (F.col("_lm_s").cast("double") / (F.col("_lm_m") * F.lit(1e6)))
+            .alias(output_column),
+        )
+    )
+    return docs.join(scored, on=id_column, how="left")

@@ -1,0 +1,152 @@
+"""Unigram LM scoring (pipeline.lm): reference parity, OOV pricing,
+pruning, determinism across partitionings, and DuckDB cross-engine
+parity on the driver documents table."""
+
+import math
+from pathlib import Path
+
+import pytest
+
+from sed_binning_spark.pipeline.lm import unigram_logprob, unigram_model
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat"),
+    (3, "zzz unseen token soup"),
+    (4, None),
+    (5, ""),
+    (6, "  \t "),
+    (7, "THE The the"),  # case folding: all one LM event
+]
+
+
+def _ref_scores(corpus, docs, alpha=1.0, min_count=1):
+    """Pure-Python reference: add-alpha unigram LM, micro-nat exact mean."""
+    from collections import Counter
+
+    counts = Counter()
+    for _, text in corpus:
+        if text:
+            counts.update(text.lower().split())
+    counts = {t: n for t, n in counts.items() if n >= min_count}
+    total, vocab = sum(counts.values()), len(counts)
+    denom = total + alpha * (vocab + 1)
+    out = {}
+    for did, text in docs:
+        toks = text.lower().split() if text else []
+        if text is None or not toks:
+            out[did] = None
+            continue
+        micro = [
+            round(math.log((counts.get(t, 0) + alpha) / denom) * 1e6)
+            for t in toks
+        ]
+        out[did] = sum(micro) / (len(micro) * 1e6)
+    return out
+
+
+def test_self_scoring_matches_reference(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r.doc_id: r.unigram_logprob for r in unigram_logprob(df).collect()}
+    want = _ref_scores(DOCS, DOCS)
+    assert set(got) == set(want)
+    for did in got:
+        if want[did] is None:
+            assert got[did] is None, did
+        else:
+            assert abs(got[did] - want[did]) < 1e-12, did
+
+
+def test_external_model_prices_oov(spark):
+    """Scoring against a model from a DIFFERENT corpus: unseen tokens get
+    the alpha/denom OOV mass, so an all-OOV document scores strictly
+    below any in-vocabulary one."""
+    corpus = [(100, "aa bb aa bb aa")]
+    model = unigram_model(
+        spark.createDataFrame(corpus, "doc_id long, text string"),
+    )
+    docs = [(1, "aa bb"), (2, "qq ww")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.unigram_logprob
+        for r in unigram_logprob(df, model=model).collect()
+    }
+    want = _ref_scores(corpus, docs)
+    for did in got:
+        assert abs(got[did] - want[did]) < 1e-12, did
+    assert got[2] < got[1]
+
+
+def test_min_count_prunes_to_oov(spark):
+    """min_count drops hapax tokens from the model; they then score as
+    OOV — matching a reference model pruned the same way."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r.doc_id: r.unigram_logprob
+        for r in unigram_logprob(df, min_count=2).collect()
+    }
+    want = _ref_scores(DOCS, DOCS, min_count=2)
+    for did in got:
+        if want[did] is None:
+            assert got[did] is None, did
+        else:
+            assert abs(got[did] - want[did]) < 1e-12, did
+
+
+def test_partitioning_invariance(spark):
+    """Integer micro-nat sums make the score exactly layout-independent."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    a = {r.doc_id: r.unigram_logprob for r in unigram_logprob(df).collect()}
+    b = {
+        r.doc_id: r.unigram_logprob
+        for r in unigram_logprob(df.repartition(7), broadcast_model=False).collect()
+    }
+    assert a == b
+
+
+def test_validation(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="text column"):
+        unigram_logprob(df, text_column="nope")
+    with pytest.raises(ValueError, match="id column"):
+        unigram_logprob(df, id_column="nope")
+    with pytest.raises(ValueError, match="alpha"):
+        unigram_logprob(df, alpha=0.0)
+    with pytest.raises(ValueError, match="min_count"):
+        unigram_model(df, min_count=0)
+    with pytest.raises(ValueError, match="model must have"):
+        unigram_logprob(df, model=df)
+
+
+def test_duckdb_parity(spark):
+    """Cross-engine: the Spark score equals a DuckDB twin built from the
+    same micro-nat formulation over the driver documents table."""
+    import duckdb
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    if not Path(path).exists():
+        pytest.skip("driver testdata not present")
+    df = spark.read.parquet(path)
+    got = {r.doc_id: r.unigram_logprob for r in unigram_logprob(df).collect()}
+    toks = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '')"
+    sql = f"""
+    WITH tk AS (SELECT doc_id, unnest({toks}) AS token
+                FROM read_parquet('{path}')),
+    model AS (SELECT token, count(*) AS n FROM tk GROUP BY token),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS vocab FROM model),
+    lut AS (SELECT token,
+                   CAST(round(ln((n + 1.0) / (total + 1.0 * (vocab + 1))) * 1e6, 0)
+                        AS BIGINT) AS lm
+            FROM model, tot),
+    agg AS (SELECT doc_id, CAST(sum(lm) AS BIGINT) AS s, count(*) AS m
+            FROM tk JOIN lut USING (token) GROUP BY doc_id)
+    SELECT d.doc_id, CAST(s AS DOUBLE) / (m * 1e6) AS lp
+    FROM read_parquet('{path}') d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    """
+    want = {row[0]: row[1] for row in duckdb.connect().execute(sql).fetchall()}
+    assert set(got) == set(want)
+    for did in got:
+        if want[did] is None:
+            assert got[did] is None, did
+        else:
+            assert got[did] == want[did], did
