@@ -911,15 +911,36 @@ def _q_sxp_electron_ids(spark, sf):
 # ---- pipeline / LLM-data operators ----------------------------------------
 
 def _q_dedup_exact(spark, sf):
-    """Exact dedup, both grains merged: the surviving rows (keep_rows —
-    NULL-text rows all retained) annotated with their digest-class
-    duplicate count (exact_dedup)."""
+    """Exact dedup, all three grains merged: the surviving rows (keep_rows
+    — NULL-text rows all retained) annotated with their digest-class
+    duplicate count (exact_dedup), PLUS the segment-grain pass
+    (pipeline.dedup.dedup_segments) over a synthesized paragraph twin —
+    the corpus has no newlines, so a shared header and a per-(doc_id%5)
+    group paragraph are appended by expression on both engines; the
+    reassembled text is checked as its md5."""
+    from sed_binning_spark.pipeline.dedup import dedup_segments
+
     docs = _docs(spark, sf)
     classes = exact_dedup(docs).select(
         F.col("kept_id").alias("doc_id"), "n_dups",
     )
     kept = exact_dedup_keep_rows(docs).select("doc_id")
-    return kept.join(classes, on="doc_id", how="left")
+    para = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("shared header\n\n"), F.col("text"), F.lit("\n\ngroup "),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    pcols = dedup_segments(para).select(
+        "doc_id",
+        F.md5("text_dedup").alias("para_md5"),
+        F.col("n_removed").alias("para_removed"),
+    )
+    return (
+        kept.join(classes, on="doc_id", how="left")
+        .join(pcols, on="doc_id", how="left")
+    )
 
 
 def _q_text_stats(spark, sf):
@@ -1586,15 +1607,39 @@ def oracle_sql() -> dict[str, str]:
             f"event_id AS eid, value AS val FROM ({_EV_SQL})"
         ),
         # NULL-text rows are excluded from duplicate classes (missing text
-        # is not duplicate text) and all preserved by the keep-rows form
+        # is not duplicate text) and all preserved by the keep-rows form;
+        # the para* CTE chain is the dedup_segments twin over the
+        # synthesized paragraph text (keep-first = row_number over
+        # (doc_id, pos), reassembly = ORDER BY pos string_agg)
         "dedup_exact": (
-            "SELECT k.doc_id, c.n_dups FROM "
+            "WITH pbase AS (SELECT doc_id, 'shared header' || chr(10) || chr(10) "
+            "|| text || chr(10) || chr(10) || 'group ' || "
+            "CAST(doc_id % 5 AS VARCHAR) AS ptext FROM documents), "
+            "plists AS (SELECT doc_id, ptext, list_filter("
+            "regexp_split_to_array(ptext, '\n{2,}'), "
+            "s -> regexp_replace(s, '[ \t\x0B\f\r\n]', '', 'g') != '') AS l "
+            "FROM pbase), "
+            "psegs AS (SELECT doc_id, u.pos, u.seg FROM (SELECT doc_id, "
+            "unnest(list_transform(range(1, len(l) + 1), "
+            "i -> {'pos': i, 'seg': l[i]})) AS u FROM plists)), "
+            "pkept AS (SELECT doc_id, pos, seg FROM (SELECT doc_id, pos, seg, "
+            "row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn "
+            "FROM psegs) WHERE rn = 1), "
+            "pagg AS (SELECT doc_id, string_agg(seg, chr(10) || chr(10) "
+            "ORDER BY pos) AS td, count(*) AS nk FROM pkept GROUP BY doc_id), "
+            "para AS (SELECT l.doc_id, CASE WHEN l.ptext IS NULL THEN NULL "
+            "ELSE md5(coalesce(td, '')) END AS para_md5, "
+            "CAST(CASE WHEN l.ptext IS NULL THEN 0 "
+            "ELSE len(l.l) - coalesce(nk, 0) END AS BIGINT) AS para_removed "
+            "FROM plists l LEFT JOIN pagg ON pagg.doc_id = l.doc_id) "
+            "SELECT k.doc_id, c.n_dups, para.para_md5, para.para_removed FROM "
             "(SELECT doc_id FROM documents WHERE text IS NULL OR doc_id IN "
             "(SELECT min(doc_id) FROM documents WHERE text IS NOT NULL "
             "GROUP BY md5(text))) k LEFT JOIN "
             "(SELECT min(doc_id) AS doc_id, count(*) AS n_dups "
             "FROM documents WHERE text IS NOT NULL GROUP BY md5(text)) c "
-            "ON c.doc_id = k.doc_id"
+            "ON c.doc_id = k.doc_id "
+            "LEFT JOIN para ON para.doc_id = k.doc_id"
         ),
         "text_stats": (
             f"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "

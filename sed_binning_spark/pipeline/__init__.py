@@ -35,11 +35,13 @@ from sed_binning_spark.pipeline.cluster import (
     near_dedup_keep_rows,
 )
 from sed_binning_spark.pipeline.dedup import (
+    dedup_segments,
     exact_dedup,
     exact_dedup_keep_rows,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard,
+    segment_array,
     simhash,
 )
 from sed_binning_spark.pipeline.similarity import (
@@ -80,6 +82,8 @@ from sed_binning_spark.pipeline.text import (
 __all__ = [
     "exact_dedup",
     "exact_dedup_keep_rows",
+    "dedup_segments",
+    "segment_array",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",

@@ -488,3 +488,128 @@ def simhash(
     return hashed.withColumn(
         "simhash", F.when(_has_content(text_column), bitstr),
     ).drop("__th")
+
+
+# ---------------------------------------------------------------------------
+# segment-level exact dedup (paragraph / line granularity)
+# ---------------------------------------------------------------------------
+
+_SEG_SEPARATORS = {"paragraph": "\n{2,}", "line": "\n"}
+_SEG_JOINERS = {"paragraph": "\n\n", "line": "\n"}
+# blank = nothing but whitespace, spelled as an explicit class (the same
+# rationale as dup_line_stats: trim strips spaces only, \s differs between
+# Java regex and RE2 on \x0B); \n included because a paragraph split on
+# blank lines can leave single newlines inside a residue segment
+_SEG_BLANK_CLASS = "[ \t\x0B\f\r\n]"
+
+
+def segment_array(text: Column, granularity: str = "paragraph") -> Column:
+    """Split ``text`` into non-blank segments: paragraphs (split on runs
+    of 2+ newlines — blank-line separation) or lines (split on single
+    newlines). Blank segments are separator residue, not content."""
+    if granularity not in _SEG_SEPARATORS:
+        raise ValueError(
+            f"granularity must be one of {sorted(_SEG_SEPARATORS)}, "
+            f"got {granularity!r}",
+        )
+    return F.filter(
+        F.split(text, _SEG_SEPARATORS[granularity]),
+        lambda x: F.regexp_replace(x, _SEG_BLANK_CLASS, "") != "",
+    )
+
+
+def dedup_segments(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    granularity: str = "paragraph",
+) -> DataFrame:
+    """Corpus-wide exact SEGMENT dedup — the RefinedWeb / MassiveText
+    "remove duplicated paragraphs/lines, keep the documents" pass that
+    document-grain :func:`exact_dedup` cannot express (boilerplate headers,
+    navigation bars and repeated disclaimers duplicate across documents
+    whose bodies are unique).
+
+    Every occurrence of an identical segment except the globally FIRST one
+    (minimum ``(id, position)`` — deterministic on any layout) is removed;
+    each document's surviving segments are reassembled in original order.
+    Output = the input row plus:
+
+    - ``text_dedup`` — the reassembled text (NULL for NULL input text;
+      ``''`` when every segment was blank or removed);
+    - ``n_segments`` — the document's non-blank segment count (0 for NULL
+      text);
+    - ``n_kept`` / ``n_removed`` — split of ``n_segments``.
+
+    Scale design: ONE segment-keyed shuffle — ``groupBy(segment)`` with a
+    ``min(struct(id, pos))`` that partial-aggregates map-side, so a
+    boilerplate segment occurring a billion times collapses to one row per
+    map task before it travels (this is why it is an aggregation, not a
+    window: a window over the segment key would ship every occurrence to
+    one reducer). The winners ARE the surviving (id, pos, segment) rows —
+    no join back — and reassembly is one ``groupBy(id)`` whose
+    ``array_sort(collect_list(struct(pos, seg)))`` makes the rebuilt text
+    independent of row arrival order. Rows with NULL id cannot
+    reproducibly win and pass through untouched (``text_dedup`` NULL).
+    Document ids must be unique (reassembly groups by id).
+    """
+    for col, what in [(text_column, "text"), (id_column, "id")]:
+        if col not in df.columns:
+            raise ValueError(
+                f"{what} column {col!r} not in dataframe (columns: {df.columns})",
+            )
+    segs_expr = segment_array(F.col(text_column), granularity)
+    joiner = _SEG_JOINERS[granularity]
+
+    segs = df.where(F.col(id_column).isNotNull()).select(
+        F.col(id_column),
+        F.posexplode(segs_expr).alias("pos", "seg"),
+    )
+    winners = segs.groupBy("seg").agg(
+        F.min(F.struct(F.col(id_column), F.col("pos"))).alias("w"),
+    )
+    assembled = (
+        winners.select(
+            F.col(f"w.{id_column}").alias(id_column),
+            F.col("w.pos").alias("pos"),
+            "seg",
+        )
+        .groupBy(id_column)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                joiner,
+            ).alias("__text_dedup"),
+            F.count(F.lit(1)).alias("__n_kept"),
+        )
+    )
+    text = F.col(text_column)
+    # NULL-id rows do not participate (cannot reproducibly win), so they
+    # count like NULL text: 0 segments, nothing kept or removed
+    n_segments = F.when(
+        text.isNotNull() & F.col(id_column).isNotNull(), F.size(segs_expr),
+    ).otherwise(F.lit(0))
+    out = df.join(assembled, on=id_column, how="left")
+    n_kept = F.when(
+        text.isNotNull() & F.col(id_column).isNotNull(),
+        F.coalesce(F.col("__n_kept"), F.lit(0)),
+    ).otherwise(F.lit(0))
+    return (
+        out.withColumn(
+            "text_dedup",
+            F.when(
+                text.isNotNull() & F.col(id_column).isNotNull(),
+                F.coalesce(F.col("__text_dedup"), F.lit("")),
+            ),
+        )
+        .withColumn("n_segments", n_segments.cast("bigint"))
+        .withColumn("n_kept", n_kept.cast("bigint"))
+        .withColumn(
+            "n_removed",
+            (n_segments - n_kept).cast("bigint"),
+        )
+        .drop("__text_dedup", "__n_kept")
+    )
