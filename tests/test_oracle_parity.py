@@ -20,6 +20,8 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+# minhash_signatures was rotated out of queries() for seq_pack/decontam
+# (round 6); its expression is exercised transitively by minhash_lsh_pairs
 QUERIES = [
     "text_stats",
     "quality_score",
@@ -27,7 +29,8 @@ QUERIES = [
     "lang_id",
     "doc_hashes",
     "rolling_hashes",
-    "minhash_signatures",
+    "seq_pack",
+    "decontam_stats",
     "minhash_lsh_pairs",
     "jaccard_pairs",
     "dedup_exact",
