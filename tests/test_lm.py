@@ -150,3 +150,40 @@ def test_duckdb_parity(spark):
             assert got[did] is None, did
         else:
             assert got[did] == want[did], did
+
+
+# ---------------------------------------------------------------------------
+# property test (hypothesis): fuzzed corpora vs the pure-Python reference
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SET = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_WORD = st.sampled_from(["aa", "bb", "cc", "dd", "AA", "Bb"])
+_TEXT = st.lists(_WORD, min_size=0, max_size=8).map(" ".join)
+
+
+@_SET
+@given(
+    texts=st.lists(st.one_of(st.none(), _TEXT), min_size=1, max_size=8),
+    min_count=st.integers(1, 3),
+)
+def test_logprob_property(spark, texts, min_count):
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.unigram_logprob
+        for r in unigram_logprob(df, min_count=min_count).collect()
+    }
+    want = _ref_scores(docs, docs, min_count=min_count)
+    assert set(got) == set(want)
+    for did in got:
+        if want[did] is None:
+            assert got[did] is None, did
+        else:
+            assert abs(got[did] - want[did]) < 1e-12, did

@@ -169,3 +169,45 @@ def test_duckdb_parity(spark):
     """
     want = {tuple(row) for row in duckdb.connect().execute(sql).fetchall()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): idempotence + reference parity on fuzzed docs
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SET = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# segments drawn from a tiny alphabet so cross-doc collisions are common;
+# whitespace-only entries exercise the blank-residue filter
+_SEG = st.sampled_from(["aa", "bb b", "cc", "  ", "", "d\re", "f"])
+_DOC = st.lists(_SEG, min_size=0, max_size=6).map(lambda p: "\n\n".join(p))
+
+
+@_SET
+@given(texts=st.lists(st.one_of(st.none(), _DOC), min_size=1, max_size=10))
+def test_segment_dedup_idempotent_and_matches_reference(spark, texts):
+    """(1) equals the pure-Python keep-first reference on arbitrary corpora
+    and (2) is idempotent: survivors are globally unique, so a second pass
+    removes nothing."""
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dedup_segments(df)
+    got = {
+        r.doc_id: (r.text_dedup, r.n_segments, r.n_kept, r.n_removed)
+        for r in out.collect()
+    }
+    assert got == _ref(docs)
+
+    again = dedup_segments(
+        out.select("doc_id", out.text_dedup.alias("text")),
+    )
+    for r in again.collect():
+        first = got[r.doc_id]
+        assert r.text_dedup == first[0], r.doc_id
+        assert r.n_removed == 0, r.doc_id
