@@ -122,6 +122,29 @@ def main() -> None:
         lambda: text_stats(docs).agg(F.sum("n_ws_tokens")).collect(),
     )
 
+    # --- curation extras: timed but NOT in headline_total, so the headline
+    # series stays comparable across rounds while the newer operators still
+    # get a recorded number every round
+    from sed_binning_spark.pipeline.dedup import dedup_segments
+    from sed_binning_spark.pipeline.lm import unigram_logprob
+    from sed_binning_spark.pipeline.pack import pack_chunks
+
+    para = docs.select(
+        "doc_id",
+        F.concat_ws("\n\n", "text", F.lit("shared"), "text").alias("text"),
+    )
+    extras = {
+        "dedup_segments": _timeit(
+            lambda: dedup_segments(para).agg(F.sum("n_removed")).collect(),
+        ),
+        "unigram_logprob": _timeit(
+            lambda: unigram_logprob(docs).agg(F.sum("unigram_logprob")).collect(),
+        ),
+        "seq_pack": _timeit(
+            lambda: pack_chunks(docs, seq_tokens=512, n_shards=32).count(),
+        ),
+    }
+
     # --- matched-scale block: the reference's OWN synthetic workload
     # (benchmark_sed.py:26-33 — 1e8 uniform rows, X/Y∈[0,2048],
     # t∈[60000,120000], ADC∈[2000,20000]) so the BASELINE.md numbers can be
@@ -137,6 +160,7 @@ def main() -> None:
         "value": round(total, 4),
         "unit": "sec",
         "queries": {k: round(v, 4) for k, v in timings.items()},
+        "extras": {k: round(v, 4) for k, v in extras.items()},
         "sf": sf_dir,
         "n_events": n_events,
         "events_per_sec_1d": round(n_events / timings["binning_1d"]),

@@ -381,11 +381,18 @@ def test_curation_chain_runs_unchanged_on_a_stream(tmp_path, spark):
             "text": [f"doc {j} mail u{j}@x.io" for j in range(100 * i, 100 * (i + 1))],
         }).to_parquet(root / f"chunk_{i}.parquet")
 
+    from sed_binning_spark.pipeline.text import repetition_stats
+
     def chain(df):
         out = deterministic_sample(df, 0.5, key_columns=("doc_id",), seed=3)
         out = assign_splits(out, {"train": 0.9, "holdout": 0.1},
                             key_columns=("doc_id",), seed=4)
-        return scrub_pii(out).select("doc_id", "split", "text_scrubbed")
+        # repetition_stats is a per-row fold — stateless, stream-safe
+        out = repetition_stats(out, top_ns=(2,), dup_ns=(5,))
+        return scrub_pii(out).select(
+            "doc_id", "split", "text_scrubbed",
+            "top_2gram_char_frac", "dup_5gram_char_frac",
+        )
 
     batch = chain(spark.read.parquet(str(root))).toPandas()
     stream_in = (
