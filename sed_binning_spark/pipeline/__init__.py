@@ -59,12 +59,18 @@ from sed_binning_spark.pipeline.sample import (
     assign_splits,
     deterministic_sample,
     stratified_sample,
+    temperature_rates,
 )
 from sed_binning_spark.pipeline.pack import pack_chunks, pack_stats
 from sed_binning_spark.pipeline.decontam import (
     contamination_pairs,
     contamination_stats,
     decontaminate,
+)
+from sed_binning_spark.pipeline.filters import (
+    badword_stats,
+    filter_badwords,
+    filter_by_blocklist,
 )
 from sed_binning_spark.pipeline.lm import unigram_logprob, unigram_model
 from sed_binning_spark.pipeline.similarity import ivf_topk, ivf_train_centroids
@@ -106,6 +112,7 @@ __all__ = [
     "repetition_stats",
     "deterministic_sample",
     "stratified_sample",
+    "temperature_rates",
     "assign_splits",
     "pack_chunks",
     "pack_stats",
@@ -114,6 +121,9 @@ __all__ = [
     "decontaminate",
     "unigram_model",
     "unigram_logprob",
+    "badword_stats",
+    "filter_badwords",
+    "filter_by_blocklist",
     "extract_features",
     "resize_images",
     "frame_sample_plan",

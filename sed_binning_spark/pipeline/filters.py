@@ -1,0 +1,180 @@
+"""Blocklist and badword filtering — the C4-style content gates.
+
+Two distinct shapes, each with the right physical plan:
+
+- :func:`filter_by_blocklist` — drop (or keep) rows whose KEY column
+  (source, url domain, license tag) appears in a blocklist: one
+  broadcast ``left_anti``/``left_semi`` join. The blocklist side is by
+  definition tiny next to the corpus; the corpus side never shuffles.
+- :func:`badword_stats` / :func:`filter_badwords` — the C4 "bad words"
+  text gate: score every document by how much of it matches a word
+  list. For list sizes that fit a literal array (the real-world case —
+  C4's per-language lists are ~1-2k entries) the scan is MAP-ONLY:
+  membership tests run inside codegen against an inlined array, no
+  explode, no shuffle, and the filter decision pushes down with the
+  scan. Above the literal cutoff the operator switches to
+  explode + broadcast join + one ``groupBy(id)`` — same result, one
+  shuffle of (id, int) rows.
+
+Matching is on the dedup-family token stream (lowercased whitespace
+tokens), so 'Word' and 'word' match the same list entry and the SQL twin
+is the shared ``_TOKS_SQL`` tokenizer.
+
+Reference: no sed-binning counterpart (LLM-curation extension surface);
+semantics follow the C4 badwords filter (Raffel et al. 2020) and the
+standard URL/domain blocklist pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sed_binning_spark.pipeline.dedup import _tokens
+
+# above this the inlined-literal membership array stops being the right
+# plan (expression-tree size, per-row linear scans) and the explode+join
+# path takes over
+LITERAL_WORDLIST_MAX = 512
+
+
+def filter_by_blocklist(
+    df: DataFrame,
+    blocked: DataFrame | Sequence[str],
+    column: str,
+    keep: str = "unblocked",
+) -> DataFrame:
+    """Keep the rows whose ``column`` value is absent from (``keep=
+    'unblocked'``, the filter form) or present in (``keep='blocked'``,
+    the audit form) the blocklist.
+
+    ``blocked`` is a one-column DataFrame or a plain sequence of values.
+    One broadcast semi/anti join — the corpus side stays map-only. NULL
+    values never match a blocklist entry (SQL join semantics), so NULL
+    rows survive the filter form; route them explicitly if a missing key
+    should block.
+    """
+    if column not in df.columns:
+        raise ValueError(
+            f"column {column!r} not in dataframe (columns: {df.columns})",
+        )
+    if keep not in ("unblocked", "blocked"):
+        raise ValueError(f"keep must be 'unblocked' or 'blocked', got {keep!r}")
+    if isinstance(blocked, DataFrame):
+        if len(blocked.columns) != 1:
+            raise ValueError(
+                f"blocklist dataframe must have exactly one column, "
+                f"got {blocked.columns}",
+            )
+        bl = blocked.toDF(column).distinct()
+    else:
+        spark = df.sparkSession
+        bl = spark.createDataFrame(
+            [(v,) for v in blocked], schema=df.select(column).schema,
+        ).distinct()
+    how = "left_anti" if keep == "unblocked" else "left_semi"
+    return df.join(F.broadcast(bl), on=column, how=how)
+
+
+def badword_stats(
+    df: DataFrame,
+    words: Sequence[str],
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    method: str = "auto",
+) -> DataFrame:
+    """Append the C4-style badword signals:
+
+    - ``n_badword_tokens`` — occurrences of list words among the
+      document's (lowercased) tokens;
+    - ``badword_frac`` — that count over the token count (0.0 for a
+      token-less document — no tokens, no evidence);
+
+    NULL text yields NULL stats (the text-family convention).
+    ``method='literal'`` inlines the (lowercased, deduplicated) list as
+    an array literal — map-only, refused above ``LITERAL_WORDLIST_MAX``
+    entries; ``'join'`` explodes tokens against a broadcast word table
+    (one ``groupBy(id)`` shuffle of int rows); ``'auto'`` picks by list
+    size. Both produce identical results on any layout — except rows
+    with a NULL id, which the join path cannot attribute counts to
+    (they report 0): give every document a real id before gating on its
+    content.
+    """
+    for col, what in [(text_column, "text"), (id_column, "id")]:
+        if col not in df.columns:
+            raise ValueError(
+                f"{what} column {col!r} not in dataframe (columns: {df.columns})",
+            )
+    if method not in ("auto", "literal", "join"):
+        raise ValueError(
+            f"method must be 'auto', 'literal' or 'join', got {method!r}",
+        )
+    vocab = sorted({w.lower() for w in words if w})
+    if not vocab:
+        raise ValueError("badword list is empty")
+    if method == "auto":
+        method = "literal" if len(vocab) <= LITERAL_WORDLIST_MAX else "join"
+    if method == "literal" and len(vocab) > LITERAL_WORDLIST_MAX:
+        raise ValueError(
+            f"literal method refused for {len(vocab)} words "
+            f"(> {LITERAL_WORDLIST_MAX}); use method='join'",
+        )
+
+    text = F.col(text_column)
+    toks = _tokens(text)
+    n_toks = F.size(toks).cast("bigint")
+
+    if method == "literal":
+        wl = F.array(*[F.lit(w) for w in vocab])
+        n_bad = F.size(F.filter(toks, lambda t: F.array_contains(wl, t))).cast("bigint")
+        out = df.withColumn(
+            "n_badword_tokens", F.when(text.isNotNull(), n_bad),
+        )
+    else:
+        spark = df.sparkSession
+        wtab = F.broadcast(
+            spark.createDataFrame([(w,) for w in vocab], "__bw string"),
+        )
+        hits = (
+            df.where(text.isNotNull() & F.col(id_column).isNotNull())
+            .select(F.col(id_column), F.explode(toks).alias("__tok"))
+            .join(wtab, F.col("__tok") == F.col("__bw"), "inner")
+            .groupBy(id_column)
+            .agg(F.count(F.lit(1)).alias("__n_bad"))
+        )
+        out = df.join(hits, on=id_column, how="left").withColumn(
+            "n_badword_tokens",
+            F.when(text.isNotNull(), F.coalesce(F.col("__n_bad"), F.lit(0))),
+        ).drop("__n_bad")
+    return out.withColumn(
+        "badword_frac",
+        F.when(
+            text.isNotNull(),
+            F.coalesce(
+                F.col("n_badword_tokens") / F.when(n_toks > 0, n_toks.cast("double")),
+                F.lit(0.0),
+            ),
+        ),
+    )
+
+
+def filter_badwords(
+    df: DataFrame,
+    words: Sequence[str],
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    max_frac: float = 0.0,
+    method: str = "auto",
+) -> DataFrame:
+    """Drop documents whose badword fraction exceeds ``max_frac`` (the C4
+    default 0.0 = any hit blocks). NULL-text rows pass — missing text is
+    not bad text; gate them elsewhere if needed."""
+    if not 0.0 <= max_frac <= 1.0:
+        raise ValueError(f"max_frac must be in [0, 1], got {max_frac}")
+    scored = badword_stats(df, words, text_column, id_column, method=method)
+    kept = scored.where(
+        F.col(text_column).isNull() | (F.col("badword_frac") <= F.lit(float(max_frac))),
+    )
+    return kept.drop("n_badword_tokens", "badword_frac")

@@ -118,3 +118,58 @@ def assign_splits(
     last = F.when(u.isNotNull(), F.lit(names[-1]))
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_column, expr)
+
+
+def temperature_rates(
+    df: DataFrame,
+    strata_column: str,
+    alpha: float,
+    target_rows: int | None = None,
+) -> dict[str, float]:
+    """Per-stratum sampling fractions for temperature-based corpus mixing
+    (the standard multilingual/multi-source recipe: sampling probability
+    ``q_s ∝ (n_s/N)^alpha``) — feed the result to :func:`stratified_sample`.
+
+    ``alpha=1`` reproduces the natural distribution, ``alpha=0`` weights
+    every stratum equally, values in between up-weight the tail without
+    drowning the head. The returned fraction for stratum ``s`` is
+    ``q_s * T / n_s`` where ``T`` is the expected output row count:
+    ``target_rows`` when given (fractions above 1 are capped — Bernoulli
+    keep-filters cannot upsample; a capped stratum needs dataset
+    repetition instead, which the cap makes visible as a shortfall), else
+    the LARGEST ``T`` with no fraction above 1 (``min_s n_s/q_s`` — the
+    maximal no-upsampling corpus).
+
+    Driver-side by design: stratum cardinality (sources, languages) is
+    tiny next to the corpus, so this is one ``groupBy(strata).count()``
+    collect of a handful of rows. Deterministic given the corpus: no RNG
+    here — the randomness stays in :func:`stratified_sample`'s hash draw.
+    NULL strata are ignored (they take ``default_fraction`` downstream).
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if target_rows is not None and target_rows <= 0:
+        raise ValueError(f"target_rows must be positive, got {target_rows}")
+    if strata_column not in df.columns:
+        raise ValueError(
+            f"strata column {strata_column!r} not in dataframe "
+            f"(columns: {df.columns})",
+        )
+    counts = {
+        r[0]: int(r[1])
+        for r in df.where(F.col(strata_column).isNotNull())
+        .groupBy(strata_column)
+        .count()
+        .collect()
+    }
+    if not counts:
+        return {}
+    n_total = sum(counts.values())
+    weights = {s: (n / n_total) ** float(alpha) for s, n in counts.items()}
+    z = sum(weights.values())
+    q = {s: w / z for s, w in weights.items()}
+    if target_rows is None:
+        t = min(counts[s] / q[s] for s in counts)
+    else:
+        t = float(target_rows)
+    return {s: min(1.0, q[s] * t / counts[s]) for s in counts}

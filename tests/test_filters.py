@@ -1,0 +1,167 @@
+"""Blocklist / badword filtering (pipeline.filters) and temperature
+mixing rates (pipeline.sample.temperature_rates)."""
+
+from pathlib import Path
+
+import pytest
+
+from sed_binning_spark.pipeline.filters import (
+    LITERAL_WORDLIST_MAX,
+    badword_stats,
+    filter_badwords,
+    filter_by_blocklist,
+)
+from sed_binning_spark.pipeline.sample import stratified_sample, temperature_rates
+
+DOCS = [
+    (1, "the quick brown fox", "crawl"),
+    (2, "BAD word and another bad WORD", "crawl"),
+    (3, "clean text only", "curated"),
+    (4, None, "crawl"),
+    (5, "", "blockedsrc"),
+    (6, "bad", "curated"),
+]
+BAD = ["bad", "word"]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def test_blocklist_filter_and_audit(spark):
+    df = _df(spark)
+    kept = filter_by_blocklist(df, ["blockedsrc"], "source")
+    assert {r.doc_id for r in kept.collect()} == {1, 2, 3, 4, 6}
+    blocked = filter_by_blocklist(df, ["blockedsrc"], "source", keep="blocked")
+    assert {r.doc_id for r in blocked.collect()} == {5}
+    # DataFrame-shaped blocklist behaves identically
+    bl = spark.createDataFrame([("blockedsrc",)], "v string")
+    assert filter_by_blocklist(df, bl, "source").count() == 5
+    # NULL key never matches: the row survives the filter form
+    withnull = spark.createDataFrame(
+        [(9, "t", None)], "doc_id long, text string, source string",
+    )
+    assert filter_by_blocklist(withnull, ["x"], "source").count() == 1
+
+
+@pytest.mark.parametrize("method", ["literal", "join"])
+def test_badword_stats(spark, method):
+    got = {
+        r.doc_id: (r.n_badword_tokens, r.badword_frac)
+        for r in badword_stats(_df(spark), BAD, method=method).collect()
+    }
+    assert got[1] == (0, 0.0)
+    assert got[2] == (4, 4 / 6)     # case-folded: BAD, word, bad, WORD
+    assert got[3] == (0, 0.0)
+    assert got[4] == (None, None)   # NULL text -> NULL stats
+    assert got[5] == (0, 0.0)       # blank: no tokens, no evidence
+    assert got[6] == (1, 1.0)
+
+
+def test_methods_agree_and_are_layout_independent(spark):
+    df = _df(spark)
+    a = {tuple(r) for r in badword_stats(df, BAD, method="literal").collect()}
+    b = {tuple(r) for r in badword_stats(df.repartition(5), BAD, method="join").collect()}
+    assert a == b
+
+
+def test_filter_badwords(spark):
+    df = _df(spark)
+    kept = {r.doc_id for r in filter_badwords(df, BAD).collect()}
+    assert kept == {1, 3, 4, 5}     # any hit blocks; NULL text passes
+    loose = {r.doc_id for r in filter_badwords(df, BAD, max_frac=0.7).collect()}
+    assert loose == {1, 2, 3, 4, 5}  # doc 2 at 0.667 passes, doc 6 at 1.0 not
+
+
+def test_filters_validation(spark):
+    df = _df(spark)
+    with pytest.raises(ValueError, match="column"):
+        filter_by_blocklist(df, ["x"], "nope")
+    with pytest.raises(ValueError, match="keep"):
+        filter_by_blocklist(df, ["x"], "source", keep="both")
+    with pytest.raises(ValueError, match="one column"):
+        filter_by_blocklist(df, df, "source")
+    with pytest.raises(ValueError, match="empty"):
+        badword_stats(df, [])
+    with pytest.raises(ValueError, match="literal method refused"):
+        badword_stats(df, [f"w{i}" for i in range(LITERAL_WORDLIST_MAX + 1)],
+                      method="literal")
+    with pytest.raises(ValueError, match="max_frac"):
+        filter_badwords(df, BAD, max_frac=1.5)
+
+
+def test_badwords_duckdb_parity(spark):
+    """Cross-engine badword counts over the driver documents table, with
+    list words injected into every 3rd document by expression."""
+    import duckdb
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    if not Path(path).exists():
+        pytest.skip("driver testdata not present")
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" BAD word bad")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    got = {
+        r.doc_id: (r.n_badword_tokens, r.badword_frac)
+        for r in badword_stats(df, BAD).collect()
+    }
+    toks = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '')"
+    sql = f"""
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE
+             len(list_filter({toks}, t -> t IN ('bad', 'word'))) END AS n_bad,
+           CASE WHEN text IS NULL THEN NULL
+                WHEN len({toks}) = 0 THEN 0.0e0 ELSE
+             len(list_filter({toks}, t -> t IN ('bad', 'word')))
+             / CAST(len({toks}) AS DOUBLE) END AS frac
+    FROM (SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN text || ' BAD word bad'
+                      ELSE text END AS text
+          FROM read_parquet('{path}'))
+    """
+    want = {row[0]: (row[1], row[2]) for row in duckdb.connect().execute(sql).fetchall()}
+    assert set(got) == set(want)
+    for did in got:
+        assert got[did] == want[did], did
+
+
+def test_temperature_rates(spark):
+    rows = [(i, "big") for i in range(90)] + [(1000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    # alpha=1: natural distribution -> every stratum keeps everything at
+    # the maximal no-upsampling T (=N)
+    r1 = temperature_rates(df, "source", alpha=1.0)
+    assert r1 == {"big": 1.0, "small": 1.0}
+
+    # alpha=0: uniform target -> the small stratum is the binding
+    # constraint; big is downsampled to match it
+    r0 = temperature_rates(df, "source", alpha=0.0)
+    assert r0["small"] == 1.0
+    assert abs(r0["big"] - 10 / 90) < 1e-12
+
+    # explicit target: expected output size ~= target_rows
+    rt = temperature_rates(df, "source", alpha=0.5, target_rows=50)
+    expected = sum(rt[s] * n for s, n in [("big", 90), ("small", 10)])
+    assert expected <= 50 + 1e-9
+    kept = stratified_sample(df, "source", rt, key_columns=("doc_id",), seed=7)
+    assert 0 < kept.count() <= 100
+
+    # capping is visible: a tiny stratum at a huge target saturates at 1.0
+    rcap = temperature_rates(df, "source", alpha=0.0, target_rows=10_000)
+    assert rcap["small"] == 1.0
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_rates(df, "source", alpha=-1)
+    with pytest.raises(ValueError, match="target_rows"):
+        temperature_rates(df, "source", alpha=1.0, target_rows=0)
+    with pytest.raises(ValueError, match="strata column"):
+        temperature_rates(df, "nope", alpha=1.0)
+    empty = spark.createDataFrame([], "doc_id long, source string")
+    assert temperature_rates(empty, "source", alpha=1.0) == {}
