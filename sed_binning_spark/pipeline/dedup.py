@@ -551,7 +551,9 @@ def dedup_segments(
     ``array_sort(collect_list(struct(pos, seg)))`` makes the rebuilt text
     independent of row arrival order. Rows with NULL id cannot
     reproducibly win and pass through untouched (``text_dedup`` NULL).
-    Document ids must be unique (reassembly groups by id).
+    Document ids must be unique — a duplicate id raises at execution time
+    (via an id-only broadcast check) instead of silently interleaving two
+    documents' segments into one reassembled text.
     """
     for col, what in [(text_column, "text"), (id_column, "id")]:
         if col not in df.columns:
@@ -592,7 +594,20 @@ def dedup_segments(
     n_segments = F.when(
         text.isNotNull() & F.col(id_column).isNotNull(), F.size(segs_expr),
     ).otherwise(F.lit(0))
-    out = df.join(assembled, on=id_column, how="left")
+    # loud guard for the unique-id contract (the same posture as
+    # pack_chunks): duplicate ids would interleave two documents' segments
+    # into one reassembled text and double join rows — corrupt silently.
+    # The check is an id-only aggregation (map-side combined, shuffles
+    # distinct ids, never text) broadcast back onto the output.
+    dup_ids = (
+        df.where(F.col(id_column).isNotNull())
+        .groupBy(id_column)
+        .agg(F.count(F.lit(1)).alias("__n_rows"))
+        .where(F.col("__n_rows") > 1)
+    )
+    out = df.join(assembled, on=id_column, how="left").join(
+        F.broadcast(dup_ids), on=id_column, how="left",
+    )
     n_kept = F.when(
         text.isNotNull() & F.col(id_column).isNotNull(),
         F.coalesce(F.col("__n_kept"), F.lit(0)),
@@ -601,6 +616,15 @@ def dedup_segments(
         out.withColumn(
             "text_dedup",
             F.when(
+                F.col("__n_rows").isNotNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("dedup_segments: duplicate document id "),
+                        F.col(id_column).cast("string"),
+                        F.lit(" violates the unique-id contract"),
+                    ),
+                ).cast("string"),
+            ).when(
                 text.isNotNull() & F.col(id_column).isNotNull(),
                 F.coalesce(F.col("__text_dedup"), F.lit("")),
             ),
@@ -611,5 +635,5 @@ def dedup_segments(
             "n_removed",
             (n_segments - n_kept).cast("bigint"),
         )
-        .drop("__text_dedup", "__n_kept")
+        .drop("__text_dedup", "__n_kept", "__n_rows")
     )

@@ -92,15 +92,16 @@ def badword_stats(
     - ``badword_frac`` — that count over the token count (0.0 for a
       token-less document — no tokens, no evidence);
 
-    NULL text yields NULL stats (the text-family convention).
+    NULL text yields NULL stats (the text-family convention), and so does
+    a NULL id: the document grain is the id, and the join path cannot
+    attribute counts to an unidentifiable row — the literal path pins the
+    same NULL so the two methods are interchangeable on ANY input (an
+    'auto' flip at the list-size cutoff must never change results).
     ``method='literal'`` inlines the (lowercased, deduplicated) list as
     an array literal — map-only, refused above ``LITERAL_WORDLIST_MAX``
     entries; ``'join'`` explodes tokens against a broadcast word table
     (one ``groupBy(id)`` shuffle of int rows); ``'auto'`` picks by list
-    size. Both produce identical results on any layout — except rows
-    with a NULL id, which the join path cannot attribute counts to
-    (they report 0): give every document a real id before gating on its
-    content.
+    size.
     """
     for col, what in [(text_column, "text"), (id_column, "id")]:
         if col not in df.columns:
@@ -123,14 +124,16 @@ def badword_stats(
         )
 
     text = F.col(text_column)
+    rid = F.col(id_column)
     toks = _tokens(text)
     n_toks = F.size(toks).cast("bigint")
+    scored_row = text.isNotNull() & rid.isNotNull()
 
     if method == "literal":
         wl = F.array(*[F.lit(w) for w in vocab])
         n_bad = F.size(F.filter(toks, lambda t: F.array_contains(wl, t))).cast("bigint")
         out = df.withColumn(
-            "n_badword_tokens", F.when(text.isNotNull(), n_bad),
+            "n_badword_tokens", F.when(scored_row, n_bad),
         )
     else:
         spark = df.sparkSession
@@ -138,20 +141,20 @@ def badword_stats(
             spark.createDataFrame([(w,) for w in vocab], "__bw string"),
         )
         hits = (
-            df.where(text.isNotNull() & F.col(id_column).isNotNull())
-            .select(F.col(id_column), F.explode(toks).alias("__tok"))
+            df.where(scored_row)
+            .select(rid, F.explode(toks).alias("__tok"))
             .join(wtab, F.col("__tok") == F.col("__bw"), "inner")
             .groupBy(id_column)
             .agg(F.count(F.lit(1)).alias("__n_bad"))
         )
         out = df.join(hits, on=id_column, how="left").withColumn(
             "n_badword_tokens",
-            F.when(text.isNotNull(), F.coalesce(F.col("__n_bad"), F.lit(0))),
+            F.when(scored_row, F.coalesce(F.col("__n_bad"), F.lit(0))),
         ).drop("__n_bad")
     return out.withColumn(
         "badword_frac",
         F.when(
-            text.isNotNull(),
+            scored_row,
             F.coalesce(
                 F.col("n_badword_tokens") / F.when(n_toks > 0, n_toks.cast("double")),
                 F.lit(0.0),
@@ -169,12 +172,14 @@ def filter_badwords(
     method: str = "auto",
 ) -> DataFrame:
     """Drop documents whose badword fraction exceeds ``max_frac`` (the C4
-    default 0.0 = any hit blocks). NULL-text rows pass — missing text is
-    not bad text; gate them elsewhere if needed."""
+    default 0.0 = any hit blocks). Unscored rows pass — NULL text is not
+    bad text and a NULL id has no attributable stats (identical under
+    both methods); gate them elsewhere if needed."""
     if not 0.0 <= max_frac <= 1.0:
         raise ValueError(f"max_frac must be in [0, 1], got {max_frac}")
     scored = badword_stats(df, words, text_column, id_column, method=method)
     kept = scored.where(
-        F.col(text_column).isNull() | (F.col("badword_frac") <= F.lit(float(max_frac))),
+        F.col("badword_frac").isNull()
+        | (F.col("badword_frac") <= F.lit(float(max_frac))),
     )
     return kept.drop("n_badword_tokens", "badword_frac")

@@ -24,27 +24,24 @@ floating-point summation order.
 100 TB notes: a web-scale corpus has an enormous unique-token tail
 (typos, URLs, ids); ``min_count`` prunes the model — pruned tokens score
 as out-of-vocabulary, which is what a quality signal wants (hapax junk
-should look improbable, and the Laplace OOV mass prices it). The model
-is the only driver-side materialization and only through a scalar
-``agg`` (total/vocab); the per-token LUT stays a DataFrame.
+should look improbable, and the Laplace OOV mass prices it). Nothing
+touches the driver: total/vocab ride along as a broadcast one-row cross
+join, and the totals branch shares the LUT branch's ``groupBy(token)``
+exchange (ReuseExchange), so the self-scored form aggregates the corpus
+token stream exactly once.
 
 Reference: this operator has no counterpart in sed-binning (LLM-curation
 extension surface, like pipeline.dedup / pipeline.text); semantics follow
 the standard add-alpha unigram LM of the CCNet line of work.
 """
 
-import math
-
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sed_binning_spark.pipeline.text import whitespace_tokens
-
-
-def _lm_tokens(text: Column) -> Column:
-    """Lowercased whitespace tokens — the dedup-family tokenizer (case
-    folded so 'The'/'the' are one LM event), empty tokens stripped."""
-    return whitespace_tokens(F.lower(text))
+# THE package tokenizer (case-folded, empty-token stripped) — one
+# definition, shared with dedup/filters, so the _TOKS_SQL DuckDB twin
+# stays in lock-step for every token-keyed operator
+from sed_binning_spark.pipeline.dedup import _tokens as _lm_tokens
 
 
 def unigram_model(
@@ -119,31 +116,36 @@ def unigram_logprob(
             f"model must have (token, n) columns, got {model.columns}",
         )
 
-    # scalar aggregate (accepted driver-side pattern): two int64s
-    tot = model.agg(
-        F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
-        F.count(F.lit(1)).alias("vocab"),
-    ).collect()[0]
-    total, vocab = int(tot.total), int(tot.vocab)
-    denom = float(total) + float(alpha) * float(vocab + 1)
+    # total/vocab ride along as a broadcast 1-row cross join instead of a
+    # driver collect: the whole score stays ONE lazy plan, and because the
+    # totals branch and the LUT branch share the identical groupBy(token)
+    # exchange, Spark's ReuseExchange evaluates the model aggregation once
+    # (a collect here would run the corpus-wide token shuffle twice)
+    totals = F.broadcast(
+        model.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("double").alias("__lm_total"),
+            F.count(F.lit(1)).cast("double").alias("__lm_vocab"),
+        ),
+    )
+    denom = F.col("__lm_total") + F.lit(float(alpha)) * (F.col("__lm_vocab") + 1.0)
 
     logp_micro = F.round(
-        F.log((F.col("n").cast("double") + F.lit(float(alpha))) / F.lit(denom)) * 1e6,
+        F.log((F.col("n").cast("double") + F.lit(float(alpha))) / denom) * 1e6,
     ).cast("long")
-    lut = model.select("token", logp_micro.alias("logp_micro"))
+    lut = model.crossJoin(totals).select("token", logp_micro.alias("logp_micro"))
     if broadcast_model:
         lut = F.broadcast(lut)
-    oov_micro = int(round(math.log(float(alpha) / denom) * 1e6))
+    oov_micro = F.round(F.log(F.lit(float(alpha)) / denom) * 1e6).cast("long")
 
     toks = docs.select(
         F.col(id_column),
         F.explode(_lm_tokens(F.col(text_column))).alias("token"),
-    )
+    ).crossJoin(totals)
     scored = (
         toks.join(lut, "token", "left")
         .groupBy(id_column)
         .agg(
-            F.sum(F.coalesce("logp_micro", F.lit(oov_micro))).alias("_lm_s"),
+            F.sum(F.coalesce(F.col("logp_micro"), oov_micro)).alias("_lm_s"),
             F.count(F.lit(1)).alias("_lm_m"),
         )
         .select(

@@ -167,9 +167,21 @@ def temperature_rates(
     n_total = sum(counts.values())
     weights = {s: (n / n_total) ** float(alpha) for s, n in counts.items()}
     z = sum(weights.values())
+    if z == 0.0:
+        # (n_s/N)^alpha underflowed for EVERY stratum (enormous alpha on
+        # tiny shares) — no distribution exists; fail with the cause
+        raise ValueError(
+            f"alpha={alpha} underflows every stratum weight to 0.0 — "
+            f"use a smaller alpha",
+        )
     q = {s: w / z for s, w in weights.items()}
     if target_rows is None:
-        t = min(counts[s] / q[s] for s in counts)
+        # strata whose weight underflowed to 0 sample at 0.0 and cannot
+        # bind the no-upsampling constraint
+        t = min(counts[s] / q[s] for s in counts if q[s] > 0.0)
     else:
         t = float(target_rows)
-    return {s: min(1.0, q[s] * t / counts[s]) for s in counts}
+    return {
+        s: min(1.0, q[s] * t / counts[s]) if q[s] > 0.0 else 0.0
+        for s in counts
+    }

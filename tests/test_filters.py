@@ -165,3 +165,31 @@ def test_temperature_rates(spark):
         temperature_rates(df, "nope", alpha=1.0)
     empty = spark.createDataFrame([], "doc_id long, source string")
     assert temperature_rates(empty, "source", alpha=1.0) == {}
+
+
+def test_null_id_stats_identical_across_methods(spark):
+    """NULL-id rows get NULL stats under BOTH methods, so the 'auto'
+    list-size flip can never change which documents pass the gate."""
+    df = spark.createDataFrame(
+        [(None, "bad bad bad"), (1, "bad")], "doc_id long, text string",
+    )
+    for method in ("literal", "join"):
+        got = {
+            r.doc_id: (r.n_badword_tokens, r.badword_frac)
+            for r in badword_stats(df, BAD, method=method).collect()
+        }
+        assert got[None] == (None, None), method
+        assert got[1] == (1, 1.0), method
+        kept = {r.doc_id for r in filter_badwords(df, BAD, method=method).collect()}
+        assert kept == {None}, method  # unscored passes, scored hit drops
+
+
+def test_temperature_rates_underflow(spark):
+    """A stratum whose weight underflows at huge alpha samples at 0.0
+    rather than crashing the rate computation; all-underflow raises."""
+    rows = (
+        [(i, "big") for i in range(99999)] + [(-1, "tiny")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    r = temperature_rates(df, "source", alpha=5000.0)
+    assert r["tiny"] == 0.0 and r["big"] == 1.0

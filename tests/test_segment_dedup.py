@@ -211,3 +211,19 @@ def test_segment_dedup_idempotent_and_matches_reference(spark, texts):
         first = got[r.doc_id]
         assert r.text_dedup == first[0], r.doc_id
         assert r.n_removed == 0, r.doc_id
+
+
+def test_duplicate_ids_fail_loudly(spark):
+    """The unique-id contract raises at execution time instead of
+    interleaving two documents' segments into one reassembled text."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException, SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(1, "aa\n\nbb"), (1, "cc"), (2, "dd")], "doc_id long, text string",
+    )
+    with pytest.raises(
+        (Py4JJavaError, SparkRuntimeException, PythonException),
+        match="duplicate document id",
+    ):
+        dedup_segments(df).collect()
