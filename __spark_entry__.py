@@ -1023,13 +1023,20 @@ def _q_doc_hashes(spark, sf):
 
 
 def _q_seq_pack(spark, sf):
-    """Sequence packing manifest (pipeline.pack.pack_chunks): documents
-    hashed onto 8 independent shard streams, concat-and-chunk layout at a
-    64-token budget. Signatures/offsets are pure window cumsums — the
-    DuckDB twin reproduces the manifest bit-for-bit."""
-    from sed_binning_spark.pipeline.pack import pack_chunks
+    """Sequence packing, manifest + assembly merged: pack_chunks lays
+    documents onto 8 shard streams at a 64-token budget, pack_sequences
+    rebuilds the actual sequences, and every manifest row carries the md5
+    of its assembled sequence — the DuckDB twin reproduces layout AND
+    token stream bit-for-bit."""
+    from sed_binning_spark.pipeline.pack import pack_chunks, pack_sequences
 
-    return pack_chunks(_docs(spark, sf), seq_tokens=64, n_shards=8)
+    docs = _docs(spark, sf)
+    man = pack_chunks(docs, seq_tokens=64, n_shards=8)
+    seqs = pack_sequences(man, docs).select(
+        "shard", "seq_id",
+        F.md5(F.concat_ws(" ", "tokens")).alias("seq_md5"),
+    )
+    return man.join(seqs, on=["shard", "seq_id"], how="left")
 
 
 def _q_decontam(spark, sf):
@@ -1723,13 +1730,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM d WHERE shard IS NOT NULL AND n_tokens > 0), "
             "ex AS (SELECT shard, doc_id, n_tokens, e - n_tokens AS s, e, "
             "unnest(generate_series((e - n_tokens) // 64, (e - 1) // 64)) AS seq_id "
-            "FROM laid) "
-            "SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id, n_tokens, "
+            "FROM laid), "
+            "mani AS (SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id, "
+            "n_tokens, "
             "CAST(greatest(s, seq_id * 64) - s AS BIGINT) AS slice_start, "
             "CAST(least(e, (seq_id + 1) * 64) - greatest(s, seq_id * 64) AS BIGINT) "
             "AS slice_len, "
             "CAST(greatest(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_offset "
-            "FROM ex"
+            "FROM ex), "
+            # pack_sequences twin: slice each doc's token array, reassemble
+            # per (shard, seq_id) in seq_offset order, hash the stream
+            "sl AS (SELECT m.shard, m.seq_id, m.seq_offset, "
+            "t.toks[m.slice_start + 1 : m.slice_start + m.slice_len] AS sl "
+            f"FROM mani m JOIN (SELECT doc_id, {_WS_SQL} AS toks "
+            "FROM documents) t ON t.doc_id = m.doc_id), "
+            "seqs AS (SELECT shard, seq_id, md5(array_to_string("
+            "flatten(list(sl ORDER BY seq_offset)), ' ')) AS seq_md5 "
+            "FROM sl GROUP BY shard, seq_id) "
+            "SELECT m.*, q.seq_md5 FROM mani m LEFT JOIN seqs q "
+            "ON q.shard = m.shard AND q.seq_id = m.seq_id"
         ),
         "minhash_lsh_pairs": (
             f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM "

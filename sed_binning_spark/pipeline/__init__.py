@@ -61,7 +61,7 @@ from sed_binning_spark.pipeline.sample import (
     stratified_sample,
     temperature_rates,
 )
-from sed_binning_spark.pipeline.pack import pack_chunks, pack_stats
+from sed_binning_spark.pipeline.pack import pack_chunks, pack_sequences, pack_stats
 from sed_binning_spark.pipeline.decontam import (
     contamination_pairs,
     contamination_stats,
@@ -115,6 +115,7 @@ __all__ = [
     "temperature_rates",
     "assign_splits",
     "pack_chunks",
+    "pack_sequences",
     "pack_stats",
     "contamination_pairs",
     "contamination_stats",

@@ -187,3 +187,89 @@ def pack_stats(manifest: DataFrame, seq_tokens: int) -> DataFrame:
         F.sum("slice_len").alias("filled_tokens"),
         (F.sum("slice_len") / F.lit(float(seq_tokens))).alias("fill_ratio"),
     )
+
+
+def pack_sequences(
+    manifest: DataFrame,
+    docs: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    token_array_column: str | None = None,
+) -> DataFrame:
+    """Assemble the actual training sequences from a :func:`pack_chunks`
+    manifest — the "writer" half of concat-and-chunk:
+    ``(shard, seq_id, tokens, n_docs, n_tokens)``, one row per sequence,
+    ``tokens`` being the documents' slices concatenated in stream order.
+
+    ``token_array_column`` names a real tokenizer's output
+    (``array<...>``) on ``docs``; when absent the whitespace tokens of
+    ``text_column`` are used — which is exactly the count
+    :func:`pack_chunks` laid out with, so every slice lands in bounds.
+    With a custom token array, pass the SAME tokenization to BOTH calls
+    (via ``token_column``) — the manifest's offsets are only meaningful
+    against the counts they were computed from.
+
+    Scale: the token payload moves exactly twice and only where it must —
+    one id-keyed equi-join attaching each document's tokens to its
+    manifest rows (a document spans ≤ ``ceil(n/seq_tokens)+1`` sequences,
+    and ``slice()`` cuts the array BEFORE the next shuffle, so a document
+    crossing a boundary ships each token once, not per-sequence), then
+    one ``groupBy(shard, seq_id)`` whose sorted ``collect_list`` rebuilds
+    the sequence deterministically on any layout. No window, no driver
+    state; sequence rows are bounded by ``seq_tokens`` elements each.
+    """
+    for col, what, frame in [
+        (id_column, "id", manifest),
+        ("slice_start", "slice_start", manifest),
+        (id_column, "id", docs),
+    ]:
+        if col not in frame.columns:
+            raise ValueError(
+                f"{what} column {col!r} not in dataframe (columns: {frame.columns})",
+            )
+    if token_array_column is not None:
+        if token_array_column not in docs.columns:
+            raise ValueError(
+                f"token array column {token_array_column!r} not in dataframe "
+                f"(columns: {docs.columns})",
+            )
+        toks = F.col(token_array_column)
+    else:
+        if text_column not in docs.columns:
+            raise ValueError(
+                f"text column {text_column!r} not in dataframe "
+                f"(columns: {docs.columns})",
+            )
+        toks = whitespace_tokens(F.col(text_column))
+
+    token_side = docs.select(F.col(id_column), toks.alias("__toks"))
+    sliced = manifest.join(token_side, on=id_column, how="inner").select(
+        "shard",
+        "seq_id",
+        "seq_offset",
+        # slice() is 1-based; the manifest's slice_start is 0-based
+        F.slice(
+            F.col("__toks"),
+            (F.col("slice_start") + 1).cast("int"),
+            F.col("slice_len").cast("int"),
+        ).alias("__slice"),
+    )
+    return (
+        sliced.groupBy("shard", "seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq_offset", "__slice"))),
+                    lambda s: s["__slice"],
+                ),
+            ).alias("tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "shard",
+            "seq_id",
+            "tokens",
+            "n_docs",
+            F.size("tokens").cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -363,3 +363,77 @@ def test_repetition_stats_duckdb_parity(spark, kind, n):
             assert got[did] is None, did
         else:
             assert got[did] is not None and abs(got[did] - want[did]) < 1e-12, did
+
+
+# ---------------------------------------------------------------------------
+# sequence assembly (pipeline.pack.pack_sequences)
+# ---------------------------------------------------------------------------
+from sed_binning_spark.pipeline.pack import pack_sequences
+
+
+def test_pack_sequences_rebuilds_the_exact_stream(spark):
+    """Concatenating each shard's sequences in seq_id order must equal
+    concatenating its documents' tokens in id order — the manifest and
+    the assembly agree token-for-token; every non-tail sequence is
+    exactly full."""
+    budget = 7
+    df = _docs_df(spark, ROWS)
+    man = pack_chunks(df, budget, n_shards=3)
+    seqs = pack_sequences(man, df).collect()
+
+    # rebuild each shard stream from the assembled sequences
+    got_streams = {}
+    max_seq = {}
+    for r in sorted(seqs, key=lambda r: (r.shard, r.seq_id)):
+        got_streams.setdefault(r.shard, []).extend(r.tokens)
+        max_seq[r.shard] = max(max_seq.get(r.shard, -1), r.seq_id)
+        assert r.n_tokens == len(r.tokens)
+    for r in seqs:
+        if r.seq_id != max_seq[r.shard]:
+            assert r.n_tokens == budget, (r.shard, r.seq_id)
+        else:
+            assert 0 < r.n_tokens <= budget
+
+    # reference stream: per-shard doc order by id, whitespace tokens
+    shard_of = {
+        r[0]: r[1] for r in man.select("doc_id", "shard").distinct().collect()
+    }
+    want_streams = {}
+    for did, text, _ in sorted(ROWS):
+        toks = (text or "").split()
+        if did in shard_of and toks:
+            want_streams.setdefault(shard_of[did], []).extend(toks)
+    assert got_streams == want_streams
+
+
+def test_pack_sequences_token_array_column(spark):
+    """A precomputed token array (the real-tokenizer path) assembles
+    identically when pack_chunks laid out with the matching counts."""
+    from pyspark.sql import functions as F
+
+    df = _docs_df(spark, ROWS).withColumn(
+        "toks", F.split(F.trim(F.col("text")), "\\s+",),
+    ).withColumn(
+        "toks", F.filter(F.col("toks"), lambda x: x != ""),
+    ).withColumn("n_tok", F.size("toks"))
+    man = pack_chunks(df, 8, token_column="n_tok", n_shards=2)
+    via_text = {
+        (r.shard, r.seq_id, tuple(r.tokens))
+        for r in pack_sequences(man, df).collect()
+    }
+    via_array = {
+        (r.shard, r.seq_id, tuple(r.tokens))
+        for r in pack_sequences(man, df, token_array_column="toks").collect()
+    }
+    assert via_text == via_array and via_text
+
+
+def test_pack_sequences_validation(spark):
+    df = _docs_df(spark, ROWS)
+    man = pack_chunks(df, 8)
+    with pytest.raises(ValueError, match="token array column"):
+        pack_sequences(man, df, token_array_column="nope")
+    with pytest.raises(ValueError, match="text column"):
+        pack_sequences(man, df.drop("text"))
+    with pytest.raises(ValueError, match="slice_start"):
+        pack_sequences(df, df)
