@@ -45,13 +45,22 @@ def filter_by_blocklist(
     blocked: DataFrame | Sequence[str],
     column: str,
     keep: str = "unblocked",
+    match: str = "exact",
 ) -> DataFrame:
     """Keep the rows whose ``column`` value is absent from (``keep=
     'unblocked'``, the filter form) or present in (``keep='blocked'``,
     the audit form) the blocklist.
 
     ``blocked`` is a one-column DataFrame or a plain sequence of values.
-    One broadcast semi/anti join — the corpus side stays map-only. NULL
+    ``match='exact'`` joins on the value itself; ``match='domain'``
+    treats values as dotted hostnames and matches on ANY label suffix —
+    blocking ``evil.com`` also blocks ``www.evil.com`` (the standard
+    URL-blocklist semantics). Matching is case-folded in domain mode
+    (hostnames are case-insensitive), exact in exact mode.
+
+    One broadcast semi/anti join either way — the corpus side stays
+    map-only (domain mode explodes each row's ≤ label-count suffixes
+    first, then the broadcast join prunes them; nothing shuffles). NULL
     values never match a blocklist entry (SQL join semantics), so NULL
     rows survive the filter form; route them explicitly if a missing key
     should block.
@@ -62,20 +71,54 @@ def filter_by_blocklist(
         )
     if keep not in ("unblocked", "blocked"):
         raise ValueError(f"keep must be 'unblocked' or 'blocked', got {keep!r}")
+    if match not in ("exact", "domain"):
+        raise ValueError(f"match must be 'exact' or 'domain', got {match!r}")
     if isinstance(blocked, DataFrame):
         if len(blocked.columns) != 1:
             raise ValueError(
                 f"blocklist dataframe must have exactly one column, "
                 f"got {blocked.columns}",
             )
-        bl = blocked.toDF(column).distinct()
+        bl = blocked.toDF("__bl")
     else:
         spark = df.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
         bl = spark.createDataFrame(
-            [(v,) for v in blocked], schema=df.select(column).schema,
-        ).distinct()
-    how = "left_anti" if keep == "unblocked" else "left_semi"
-    return df.join(F.broadcast(bl), on=column, how=how)
+            [(v,) for v in blocked],
+            StructType([StructField("__bl", df.schema[column].dataType)]),
+        )
+    anti = keep == "unblocked"
+
+    if match == "exact":
+        bl = bl.distinct()
+        how = "left_anti" if anti else "left_semi"
+        return df.join(
+            F.broadcast(bl), on=df[column] == F.col("__bl"), how=how,
+        )
+
+    # domain mode: a host matches if any dot-suffix of its labels equals a
+    # blocklist entry; the suffix set is built per row (bounded by the
+    # label count), pruned by the broadcast join, and collapsed to the
+    # DISTINCT matching host values — bounded by the blocked host
+    # vocabulary, not the corpus. The final join is left to AQE: with the
+    # usual few blocked hosts it broadcasts; a pathological match set
+    # degrades to one host-keyed shuffle instead of a driver OOM.
+    bl = bl.select(F.lower(F.trim(F.col("__bl"))).alias("__bl")).distinct()
+    labels = F.split(F.lower(F.trim(df[column])), r"\.")
+    n_lab = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n_lab),
+        lambda i: F.array_join(F.slice(labels, n_lab - i + 1, i), "."),
+    )
+    hit = (
+        df.select(df[column].alias("__key"), F.explode(suffixes).alias("__sfx"))
+        .join(F.broadcast(bl), on=F.col("__sfx") == F.col("__bl"), how="left_semi")
+        .select(F.col("__key"))
+        .distinct()
+    )
+    how = "left_anti" if anti else "left_semi"
+    return df.join(hit, on=df[column] == F.col("__key"), how=how)
 
 
 def badword_stats(

@@ -193,3 +193,33 @@ def test_temperature_rates_underflow(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string")
     r = temperature_rates(df, "source", alpha=5000.0)
     assert r["tiny"] == 0.0 and r["big"] == 1.0
+
+
+def test_blocklist_domain_suffix_matching(spark):
+    """Domain mode blocks a host when any label suffix hits the list —
+    the standard URL-blocklist semantics — case-folded, and never
+    matching on partial labels ('notevil.com' is not 'evil.com')."""
+    rows = [
+        (1, "WWW.Evil.COM"),
+        (2, "evil.com"),
+        (3, "notevil.com"),
+        (4, "evil.com.safe.org"),   # 'evil.com' is NOT a label suffix here
+        (5, "sub.deep.evil.com"),
+        (6, None),
+        (7, "good.org"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    kept = {
+        r.doc_id
+        for r in filter_by_blocklist(df, ["evil.com"], "host", match="domain").collect()
+    }
+    assert kept == {3, 4, 6, 7}
+    audit = {
+        r.doc_id
+        for r in filter_by_blocklist(
+            df, ["evil.com"], "host", keep="blocked", match="domain",
+        ).collect()
+    }
+    assert audit == {1, 2, 5}
+    with pytest.raises(ValueError, match="match"):
+        filter_by_blocklist(df, ["x"], "host", match="regex")

@@ -218,3 +218,75 @@ def test_sampling_and_splits_are_map_only(spark):
         assert node not in plan, f"Python boundary in sampling plan:\n{plan}"
     assert "Exchange" not in plan, plan
     assert "rand(" not in plan, plan
+
+
+@needs_testdata
+def test_segment_dedup_combines_map_side_and_never_windows_on_segment(spark):
+    """The keep-first winner must be a partial-aggregated min (a window
+    over the segment key would ship every occurrence of a boilerplate
+    segment to one reducer), the reassembly one id-keyed aggregation,
+    and no Python anywhere."""
+    from sed_binning_spark.pipeline.dedup import dedup_segments
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(dedup_segments(docs))
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for node in ALL_PYTHON_NODES:
+        assert node not in plan, plan
+
+
+@needs_testdata
+def test_unigram_logprob_reuses_the_token_exchange(spark):
+    """The self-scored LM must evaluate the corpus token aggregation ONCE:
+    the totals branch reuses the LUT branch's groupBy(token) exchange
+    instead of recomputing it, and the LUT reaches the scorer as a
+    broadcast."""
+    from sed_binning_spark.pipeline.lm import unigram_logprob
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = unigram_logprob(docs)
+    df.collect()  # AQE finalizes the executed plan
+    plan = plan_of(df)
+    assert "ReusedExchange" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    for node in ALL_PYTHON_NODES:
+        assert node not in plan, plan
+
+
+def test_badword_literal_path_is_map_only(spark):
+    """The literal word list compiles to in-codegen membership tests:
+    no Python boundary, no shuffle, no join."""
+    from sed_binning_spark.pipeline.filters import badword_stats
+
+    df = spark.createDataFrame([(0, "a bad b")], "doc_id int, text string")
+    plan = plan_of(badword_stats(df, ["bad", "worse"], method="literal"))
+    for node in ALL_PYTHON_NODES:
+        assert node not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+@needs_testdata
+def test_pack_sequences_slices_before_the_sequence_shuffle(spark):
+    """Token slices must be cut in the projection BEFORE the
+    groupBy(shard, seq_id) exchange — a document crossing a boundary
+    ships each token once; and reassembly is an aggregation, not a
+    window."""
+    from sed_binning_spark.pipeline.pack import pack_chunks, pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    man = pack_chunks(docs, seq_tokens=64, n_shards=8)
+    plan = plan_of(pack_sequences(man, docs))
+    assert "slice(" in plan, plan
+    # reassembly ADDS NO exchange: hash(shard) from the manifest's layout
+    # window already satisfies the (shard, seq_id) clustering, so the
+    # partial aggregate sits directly on the slice projection
+    assert "hashpartitioning(shard, seq_id" not in plan, plan
+    assert "partial_collect_list" in plan, plan
+    slice_pos = plan.index("slice(")
+    agg_pos = plan.index("partial_collect_list")
+    assert agg_pos < slice_pos, plan  # plan prints top-down: slice below agg
+    for node in ALL_PYTHON_NODES:
+        assert node not in plan, plan
