@@ -55,13 +55,18 @@ def filter_by_blocklist(
     ``match='exact'`` joins on the value itself; ``match='domain'``
     treats values as dotted hostnames and matches on ANY label suffix —
     blocking ``evil.com`` also blocks ``www.evil.com`` (the standard
-    URL-blocklist semantics). Matching is case-folded in domain mode
-    (hostnames are case-insensitive), exact in exact mode.
+    URL-blocklist semantics). Domain matching is case-folded and strips
+    one trailing dot on both sides (the FQDN form ``evil.com.`` is the
+    same host); exact mode matches the value verbatim.
 
-    One broadcast semi/anti join either way — the corpus side stays
-    map-only (domain mode explodes each row's ≤ label-count suffixes
-    first, then the broadcast join prunes them; nothing shuffles). NULL
-    values never match a blocklist entry (SQL join semantics), so NULL
+    The corpus is scanned ONCE in every mode. Exact: one broadcast
+    semi/anti join. Domain with a literal-sized sequence (≤
+    ``LITERAL_WORDLIST_MAX``): the list is inlined and the suffix test
+    runs in codegen — map-only, no join at all. Domain with a DataFrame
+    (or larger) blocklist: a broadcast nested-loop semi/anti join on
+    ``array_contains(suffixes, entry)`` — still one corpus pass and no
+    shuffle; per-row cost is linear in the blocklist size, so pass giant
+    lists as a DataFrame deliberately. NULL values never match, so NULL
     rows survive the filter form; route them explicitly if a missing key
     should block.
     """
@@ -73,52 +78,66 @@ def filter_by_blocklist(
         raise ValueError(f"keep must be 'unblocked' or 'blocked', got {keep!r}")
     if match not in ("exact", "domain"):
         raise ValueError(f"match must be 'exact' or 'domain', got {match!r}")
-    if isinstance(blocked, DataFrame):
-        if len(blocked.columns) != 1:
-            raise ValueError(
-                f"blocklist dataframe must have exactly one column, "
-                f"got {blocked.columns}",
-            )
-        bl = blocked.toDF("__bl")
-    else:
-        spark = df.sparkSession
-        from pyspark.sql.types import StructField, StructType
-
-        bl = spark.createDataFrame(
-            [(v,) for v in blocked],
-            StructType([StructField("__bl", df.schema[column].dataType)]),
+    if isinstance(blocked, DataFrame) and len(blocked.columns) != 1:
+        raise ValueError(
+            f"blocklist dataframe must have exactly one column, "
+            f"got {blocked.columns}",
         )
     anti = keep == "unblocked"
+    how = "left_anti" if anti else "left_semi"
 
     if match == "exact":
-        bl = bl.distinct()
-        how = "left_anti" if anti else "left_semi"
-        return df.join(
-            F.broadcast(bl), on=df[column] == F.col("__bl"), how=how,
-        )
+        if isinstance(blocked, DataFrame):
+            bl = blocked.toDF("__bl").distinct()
+        else:
+            from pyspark.sql.types import StructField, StructType
 
-    # domain mode: a host matches if any dot-suffix of its labels equals a
-    # blocklist entry; the suffix set is built per row (bounded by the
-    # label count), pruned by the broadcast join, and collapsed to the
-    # DISTINCT matching host values — bounded by the blocked host
-    # vocabulary, not the corpus. The final join is left to AQE: with the
-    # usual few blocked hosts it broadcasts; a pathological match set
-    # degrades to one host-keyed shuffle instead of a driver OOM.
-    bl = bl.select(F.lower(F.trim(F.col("__bl"))).alias("__bl")).distinct()
-    labels = F.split(F.lower(F.trim(df[column])), r"\.")
+            bl = df.sparkSession.createDataFrame(
+                [(v,) for v in blocked],
+                StructType([StructField("__bl", df.schema[column].dataType)]),
+            ).distinct()
+        # DataFrame-qualified right side: unambiguous even if df itself
+        # carries a '__bl' column
+        return df.join(F.broadcast(bl), on=df[column] == bl["__bl"], how=how)
+
+    # domain mode: a host matches when any dot-suffix of its labels
+    # equals a (normalized) blocklist entry; the suffix array is built
+    # per row, bounded by the label count
+    def _norm(c):
+        return F.regexp_replace(F.lower(F.trim(c)), r"\.$", "")
+
+    labels = F.split(_norm(df[column].cast("string")), r"\.")
     n_lab = F.size(labels)
     suffixes = F.transform(
         F.sequence(F.lit(1), n_lab),
         lambda i: F.array_join(F.slice(labels, n_lab - i + 1, i), "."),
     )
-    hit = (
-        df.select(df[column].alias("__key"), F.explode(suffixes).alias("__sfx"))
-        .join(F.broadcast(bl), on=F.col("__sfx") == F.col("__bl"), how="left_semi")
-        .select(F.col("__key"))
-        .distinct()
+
+    if not isinstance(blocked, DataFrame) and len(blocked) <= LITERAL_WORDLIST_MAX:
+        # map-only: inlined list, suffix membership in codegen, no join
+        vocab = sorted({
+            v.strip().lower().rstrip(".") for v in blocked if v and v.strip(".")
+        })
+        if not vocab:
+            raise ValueError("domain blocklist is empty")
+        lit = F.array(*[F.lit(w) for w in vocab])
+        is_hit = F.coalesce(
+            F.exists(suffixes, lambda s: F.array_contains(lit, s)), F.lit(False),
+        )
+        return df.where(~is_hit if anti else is_hit)
+
+    # one corpus pass, broadcast nested-loop semi/anti: each row tests its
+    # suffix array against the broadcast entries — no second scan of df,
+    # no shuffle (the double-scan distinct/join formulation this replaces
+    # read the corpus twice)
+    if isinstance(blocked, DataFrame):
+        bl = blocked.toDF("__bl")
+    else:
+        bl = df.sparkSession.createDataFrame([(v,) for v in blocked], "__bl string")
+    bl = bl.select(_norm(F.col("__bl").cast("string")).alias("__bl")).distinct()
+    return df.join(
+        F.broadcast(bl), on=F.array_contains(suffixes, bl["__bl"]), how=how,
     )
-    how = "left_anti" if anti else "left_semi"
-    return df.join(hit, on=df[column] == F.col("__key"), how=how)
 
 
 def badword_stats(

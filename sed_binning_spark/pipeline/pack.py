@@ -243,16 +243,64 @@ def pack_sequences(
         toks = whitespace_tokens(F.col(text_column))
 
     token_side = docs.select(F.col(id_column), toks.alias("__toks"))
-    sliced = manifest.join(token_side, on=id_column, how="inner").select(
-        "shard",
-        "seq_id",
-        "seq_offset",
-        # slice() is 1-based; the manifest's slice_start is 0-based
-        F.slice(
-            F.col("__toks"),
-            (F.col("slice_start") + 1).cast("int"),
-            F.col("slice_len").cast("int"),
-        ).alias("__slice"),
+    tok_type = token_side.schema["__toks"].dataType.simpleString()
+    # loud guards (the pack_chunks posture — corrupt training sequences
+    # must never ship silently): a manifest doc missing from `docs` would
+    # leave a hole, a duplicate id would duplicate its slice, and a token
+    # array shorter than the laid-out count (wrong tokenization passed to
+    # one of the two calls) would silently clamp. The dup check is an
+    # id-only aggregation broadcast back; the others are row-local.
+    dup_ids = (
+        token_side.groupBy(id_column)
+        .agg(F.count(F.lit(1)).alias("__n_rows"))
+        .where(F.col("__n_rows") > 1)
+    )
+    # slice() is 1-based; the manifest's slice_start is 0-based
+    cut = F.slice(
+        F.col("__toks"),
+        (F.col("slice_start") + 1).cast("int"),
+        F.col("slice_len").cast("int"),
+    )
+    checked = (
+        F.when(
+            F.col("__n_rows").isNotNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("pack_sequences: duplicate document id "),
+                    F.col(id_column).cast("string"),
+                    F.lit(" in docs"),
+                ),
+            ).cast(tok_type),
+        )
+        .when(
+            F.col("__toks").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("pack_sequences: document "),
+                    F.col(id_column).cast("string"),
+                    F.lit(" is in the manifest but missing from docs "
+                          "(or has NULL tokens)"),
+                ),
+            ).cast(tok_type),
+        )
+        .when(
+            F.size(cut) != F.col("slice_len"),
+            F.raise_error(
+                F.concat(
+                    F.lit("pack_sequences: document "),
+                    F.col(id_column).cast("string"),
+                    F.lit(" token array is shorter than the manifest's "
+                          "layout — pass the SAME tokenization to "
+                          "pack_chunks and pack_sequences"),
+                ),
+            ).cast(tok_type),
+        )
+        .otherwise(cut)
+    )
+    sliced = (
+        manifest.join(token_side, on=id_column, how="left")
+        .join(F.broadcast(dup_ids), on=id_column, how="left")
+        .select("shard", "seq_id", "seq_offset", checked.alias("__slice"))
     )
     return (
         sliced.groupBy("shard", "seq_id")

@@ -223,3 +223,38 @@ def test_blocklist_domain_suffix_matching(spark):
     assert audit == {1, 2, 5}
     with pytest.raises(ValueError, match="match"):
         filter_by_blocklist(df, ["x"], "host", match="regex")
+
+
+def test_domain_mode_normalizes_fqdn_dots_and_methods_agree(spark):
+    """Trailing-dot (FQDN) hosts and blocklist entries match each other,
+    and the literal map-only path agrees with the DataFrame
+    broadcast-join path row for row."""
+    rows = [
+        (1, "evil.com."),            # FQDN form of a blocked host
+        (2, "www.evil.com"),
+        (3, "good.org."),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    for bl in (["evil.com"], ["EVIL.com."]):
+        via_literal = {
+            r.doc_id
+            for r in filter_by_blocklist(df, bl, "host", match="domain").collect()
+        }
+        bdf = spark.createDataFrame([(v,) for v in bl], "v string")
+        via_df = {
+            r.doc_id
+            for r in filter_by_blocklist(df, bdf, "host", match="domain").collect()
+        }
+        assert via_literal == via_df == {3, 4}, bl
+
+
+def test_blocklist_survives_colliding_temp_column(spark):
+    """A corpus frame that already has a '__bl' column must not break the
+    qualified join references."""
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "blockedsrc", "y")],
+        "doc_id long, source string, __bl string",
+    )
+    kept = {r.doc_id for r in filter_by_blocklist(df, ["blockedsrc"], "source").collect()}
+    assert kept == {1}

@@ -437,3 +437,28 @@ def test_pack_sequences_validation(spark):
         pack_sequences(man, df.drop("text"))
     with pytest.raises(ValueError, match="slice_start"):
         pack_sequences(df, df)
+
+
+def test_pack_sequences_guards_fail_loudly(spark):
+    """Manifest/docs mismatches must raise, never ship corrupt sequences:
+    a doc missing from docs, a token array shorter than the layout
+    (mismatched tokenization), and a duplicated doc id."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException, SparkRuntimeException
+
+    SparkErrs = (Py4JJavaError, SparkRuntimeException, PythonException)
+    df = _docs_df(spark, ROWS)
+    man = pack_chunks(df, 8, n_shards=2)
+
+    with pytest.raises(SparkErrs, match="missing from docs"):
+        pack_sequences(man, df.where("doc_id <> 3"), ).collect()
+
+    from pyspark.sql import functions as F
+    short = df.withColumn(
+        "toks", F.slice(F.split(F.trim("text"), r"\s+"), 1, 2),
+    )
+    with pytest.raises(SparkErrs, match="shorter than the manifest"):
+        pack_sequences(man, short, token_array_column="toks").collect()
+
+    with pytest.raises(SparkErrs, match="duplicate document id"):
+        pack_sequences(man, df.union(df.where("doc_id = 1"))).collect()

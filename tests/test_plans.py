@@ -280,9 +280,15 @@ def test_pack_sequences_slices_before_the_sequence_shuffle(spark):
     man = pack_chunks(docs, seq_tokens=64, n_shards=8)
     plan = plan_of(pack_sequences(man, docs))
     assert "slice(" in plan, plan
-    # reassembly ADDS NO exchange: hash(shard) from the manifest's layout
-    # window already satisfies the (shard, seq_id) clustering, so the
-    # partial aggregate sits directly on the slice projection
+    # scope: this pins the BROADCAST-join regime (test-scale docs fit the
+    # autoBroadcast threshold). In it, reassembly adds no exchange —
+    # hash(shard) from the manifest's layout window already satisfies the
+    # (shard, seq_id) clustering, so the partial aggregate sits directly
+    # on the slice projection. At production scale the id-keyed join is
+    # an SMJ and a repartition is legitimate (pack.py's 'payload moves
+    # exactly twice'); if this first assert ever trips, the regime
+    # changed, not the operator.
+    assert "BroadcastHashJoin" in plan, plan
     assert "hashpartitioning(shard, seq_id" not in plan, plan
     assert "partial_collect_list" in plan, plan
     slice_pos = plan.index("slice(")
