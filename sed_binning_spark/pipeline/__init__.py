@@ -62,6 +62,7 @@ from sed_binning_spark.pipeline.sample import (
     temperature_rates,
 )
 from sed_binning_spark.pipeline.pack import pack_chunks, pack_sequences, pack_stats
+from sed_binning_spark.pipeline.report import corpus_report
 from sed_binning_spark.pipeline.decontam import (
     contamination_pairs,
     contamination_stats,
@@ -125,6 +126,7 @@ __all__ = [
     "badword_stats",
     "filter_badwords",
     "filter_by_blocklist",
+    "corpus_report",
     "extract_features",
     "resize_images",
     "frame_sample_plan",
