@@ -42,19 +42,37 @@ from pyspark.sql import functions as F
 # definition, shared with dedup/filters, so the _TOKS_SQL DuckDB twin
 # stays in lock-step for every token-keyed operator
 from sed_binning_spark.pipeline.dedup import _tokens as _lm_tokens
+from sed_binning_spark.pipeline.dedup import word_shingles
+
+
+def _lm_grams(text, n: int):
+    """The LM event stream: lowercased tokens (``n=1``) or word n-grams.
+    Documents with no full n-gram emit NO events (the shorter-than-n
+    partial window word_shingles keeps for dedup recall is not an n-gram
+    observation — same gate as repetition_stats)."""
+    if n == 1:
+        return _lm_tokens(text)
+    return F.when(
+        F.size(_lm_tokens(text)) >= n, word_shingles(text, n),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def unigram_model(
     df: DataFrame,
     text_column: str = "text",
     min_count: int = 1,
+    n: int = 1,
 ) -> DataFrame:
-    """Token occurrence counts ``(token, n)`` over the corpus.
+    """Gram occurrence counts ``(token, n)`` over the corpus — unigrams
+    by default, word n-grams with ``n > 1`` (a bigram model is a much
+    sharper fluency proxy at ~vocabulary² model size; the scoring
+    machinery is identical).
 
-    One shuffle (``groupBy(token)``, partial-aggregated map-side). Tokens
+    One shuffle (``groupBy(token)``, partial-aggregated map-side). Grams
     with fewer than ``min_count`` occurrences are dropped from the model
     — they score as OOV downstream, which both bounds the model size on
-    heavy-tailed corpora and makes hapax junk look improbable.
+    heavy-tailed corpora and makes hapax junk look improbable (prune
+    harder as ``n`` grows).
     """
     if text_column not in df.columns:
         raise ValueError(
@@ -62,8 +80,10 @@ def unigram_model(
         )
     if min_count <= 0:
         raise ValueError(f"min_count must be positive, got {min_count}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     model = (
-        df.select(F.explode(_lm_tokens(F.col(text_column))).alias("token"))
+        df.select(F.explode(_lm_grams(F.col(text_column), n)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -81,22 +101,24 @@ def unigram_logprob(
     min_count: int = 1,
     broadcast_model: bool = True,
     output_column: str = "unigram_logprob",
+    n: int = 1,
 ) -> DataFrame:
-    """Append the per-document mean token log-probability under an
-    add-``alpha`` (Laplace) unigram model.
+    """Append the per-document mean gram log-probability under an
+    add-``alpha`` (Laplace) n-gram model (unigram by default).
 
-    ``p(token) = (n + alpha) / (total + alpha * (vocab + 1))`` for model
-    tokens; unseen tokens take the same formula at ``n = 0`` (the ``+1``
+    ``p(gram) = (cnt + alpha) / (total + alpha * (vocab + 1))`` for model
+    grams; unseen grams take the same formula at ``cnt = 0`` (the ``+1``
     in the denominator is the OOV class). The document score is the mean
-    of ``ln p`` over its tokens, computed exactly from integer micro-nat
-    partial sums (see module docstring). NULL or token-less text yields
-    NULL — no tokens, no evidence.
+    of ``ln p`` over its grams, computed exactly from integer micro-nat
+    partial sums (see module docstring). NULL text or a document with no
+    full n-gram yields NULL — no events, no evidence.
 
-    ``model`` defaults to :func:`unigram_model` over ``docs`` itself (the
-    self-scoring setup); pass a model built on a reference corpus to
-    score against external statistics — the usual CCNet arrangement.
-    ``broadcast_model=True`` broadcast-joins the token LUT (right for
-    pruned vocabularies up to ~100M tokens); set it False to let the
+    ``model`` defaults to :func:`unigram_model` over ``docs`` itself at
+    the same ``n`` (the self-scoring setup); pass a model built on a
+    reference corpus to score against external statistics — the usual
+    CCNet arrangement (and pass the n the model was built with).
+    ``broadcast_model=True`` broadcast-joins the gram LUT (right for
+    pruned vocabularies up to ~100M entries); set it False to let the
     optimizer pick a shuffle join for giant models.
     """
     if id_column not in docs.columns:
@@ -109,8 +131,10 @@ def unigram_logprob(
         )
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     if model is None:
-        model = unigram_model(docs, text_column, min_count=min_count)
+        model = unigram_model(docs, text_column, min_count=min_count, n=n)
     if "token" not in model.columns or "n" not in model.columns:
         raise ValueError(
             f"model must have (token, n) columns, got {model.columns}",
@@ -139,7 +163,7 @@ def unigram_logprob(
 
     toks = docs.select(
         F.col(id_column),
-        F.explode(_lm_tokens(F.col(text_column))).alias("token"),
+        F.explode(_lm_grams(F.col(text_column), n)).alias("token"),
     ).crossJoin(totals)
     scored = (
         toks.join(lut, "token", "left")

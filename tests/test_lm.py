@@ -187,3 +187,63 @@ def test_logprob_property(spark, texts, min_count):
             assert got[did] is None, did
         else:
             assert abs(got[did] - want[did]) < 1e-12, did
+
+
+# ---------------------------------------------------------------------------
+# n-gram models (n > 1)
+# ---------------------------------------------------------------------------
+def _ref_ngram_scores(corpus, docs, n, alpha=1.0, min_count=1):
+    from collections import Counter
+
+    def grams(text):
+        toks = text.lower().split() if text else []
+        if len(toks) < n:
+            return []
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    counts = Counter(g for _, t in corpus for g in grams(t))
+    counts = {g: c for g, c in counts.items() if c >= min_count}
+    total, vocab = sum(counts.values()), len(counts)
+    denom = total + alpha * (vocab + 1)
+    out = {}
+    for did, text in docs:
+        gs = grams(text)
+        if text is None or not gs:
+            out[did] = None
+            continue
+        micro = [
+            round(math.log((counts.get(g, 0) + alpha) / denom) * 1e6) for g in gs
+        ]
+        out[did] = sum(micro) / (len(micro) * 1e6)
+    return out
+
+
+def test_bigram_scoring_matches_reference(spark):
+    """n=2: repeated bigrams score high, novel word orders score low, and
+    docs without a full bigram (or NULL) get NULL — the shorter-than-n
+    partial shingle is not an LM event."""
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat again"),
+        (3, "mat the on sat cat the"),   # same unigrams, novel bigrams
+        (4, "single"),                    # no full bigram -> NULL
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.unigram_logprob for r in unigram_logprob(df, n=2).collect()
+    }
+    want = _ref_ngram_scores(docs, docs, n=2)
+    assert set(got) == set(want)
+    for did in got:
+        if want[did] is None:
+            assert got[did] is None, did
+        else:
+            assert abs(got[did] - want[did]) < 1e-12, did
+    assert got[3] < got[2]  # novel word order is less probable
+
+    with pytest.raises(ValueError, match="n must be"):
+        unigram_logprob(df, n=0)
+    with pytest.raises(ValueError, match="n must be"):
+        unigram_model(df, n=0)
