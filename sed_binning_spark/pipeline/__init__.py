@@ -83,6 +83,7 @@ from sed_binning_spark.pipeline.text import (
     quality_score,
     repetition_stats,
     scrub_pii,
+    strip_html,
     text_stats,
 )
 
@@ -109,6 +110,7 @@ __all__ = [
     "document_fingerprint",
     "pii_stats",
     "scrub_pii",
+    "strip_html",
     "dup_line_stats",
     "repetition_stats",
     "deterministic_sample",

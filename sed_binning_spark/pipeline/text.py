@@ -393,3 +393,64 @@ def repetition_stats(
             F.when(text.isNotNull(), frac),
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# HTML stripping (raw crawl -> text)
+# ---------------------------------------------------------------------------
+
+# Patterns written in the Java-regex ∩ RE2 dialect (same discipline as
+# PII_PATTERNS): inline (?is) flags and lazy quantifiers are common to
+# both; NO backreferences (RE2 has none), so script and style get
+# separate patterns instead of <(script|style)>...</\1>.
+HTML_STRIP_PATTERNS = (
+    r"(?is)<script\b[^>]*>.*?</script\s*>",
+    r"(?is)<style\b[^>]*>.*?</style\s*>",
+    r"(?s)<!--.*?-->",
+    r"(?s)</?[A-Za-z][^>]*>",
+)
+# decoded in THIS order; &amp; must be LAST — decoding it earlier would
+# turn double-encoded '&amp;lt;' into '&lt;' and then into '<' (a
+# classic double-decode); amp-last leaves exactly one level decoded
+HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(
+    df: DataFrame,
+    text_column: str = "text",
+    output_column: str = "text_clean",
+) -> DataFrame:
+    """Regex-based HTML → text for raw crawl input: drop script/style
+    payloads and comments, strip tags, decode the common named entities
+    (one level, amp-last), then normalize whitespace — runs of spaces/
+    tabs/CR collapse to one space, 3+ newlines collapse to a blank line
+    (PARAGRAPH STRUCTURE SURVIVES, so downstream ``dedup_segments``
+    still sees paragraphs), and the result is trimmed.
+
+    Pure ``regexp_replace``/``replace`` chain — map-only, one pipeline
+    stage, no shuffle; NULL text stays NULL. Regex-based stripping has
+    the standard documented limits (a literal ``>`` inside an attribute
+    value ends the tag early); it is the C4/CCNet-grade cleanup, not a
+    browser-grade parser.
+    """
+    if text_column not in df.columns:
+        raise ValueError(
+            f"text column {text_column!r} not in dataframe (columns: {df.columns})",
+        )
+    t = F.col(text_column)
+    for p in HTML_STRIP_PATTERNS:
+        t = F.regexp_replace(t, p, " ")
+    for ent, ch in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, r"[ \t\x0B\f]+", " ")
+    t = F.regexp_replace(t, r" ?\r?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    return df.withColumn(output_column, F.trim(t))
