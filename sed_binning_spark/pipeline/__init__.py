@@ -78,6 +78,7 @@ from sed_binning_spark.pipeline.similarity import ivf_topk, ivf_train_centroids
 from sed_binning_spark.pipeline.text import (
     document_fingerprint,
     dup_line_stats,
+    dup_segment_stats,
     language_id,
     pii_stats,
     quality_score,
@@ -112,6 +113,7 @@ __all__ = [
     "scrub_pii",
     "strip_html",
     "dup_line_stats",
+    "dup_segment_stats",
     "repetition_stats",
     "deterministic_sample",
     "stratified_sample",

@@ -304,12 +304,65 @@ def dup_line_stats(
     )
 
 
+def dup_segment_stats(
+    df: DataFrame,
+    text_column: str = "text",
+    granularities: tuple[str, ...] = ("line", "paragraph"),
+) -> DataFrame:
+    """The duplicate-SEGMENT half of Gopher's repetition table (Rae et
+    al. 2021, A1) — completes :func:`dup_line_stats` (which keeps its
+    original ratio for compatibility) with the four standard signals:
+
+    - ``dup_line_frac`` / ``dup_para_frac`` — repeat occurrences of an
+      identical non-blank line/paragraph over the segment count
+      (``sum(count-1) / n``);
+    - ``dup_line_char_frac`` / ``dup_para_char_frac`` — characters in
+      those repeat occurrences (``(count-1)*len``) over ``length(text)``.
+
+    Segmentation is :func:`~sed_binning_spark.pipeline.dedup.
+    segment_array` (shared with ``dedup_segments``: blank residue
+    dropped, paragraphs split on blank lines). Same conventions as the
+    n-gram signals: NULL text → NULL; blank text or a single segment →
+    0.0 ("no repetition", not "undefined"). One map-only fold per
+    granularity over the sorted segment array — no explode, no shuffle.
+    """
+    from sed_binning_spark.pipeline.dedup import segment_array
+
+    names = {"line": "line", "paragraph": "para"}
+    for g in granularities:
+        if g not in names:
+            raise ValueError(
+                f"granularities must be drawn from {sorted(names)}, got {g!r}",
+            )
+    text = F.col(text_column)
+    n_chars = F.length(text).cast("double")
+    out = df
+    for g in granularities:
+        segs = segment_array(text, g)
+        agg = _run_length_fold(F.array_sort(segs))
+        n = F.size(segs)
+        frac = F.when(
+            n >= 2, agg["dupn"].cast("double") / n.cast("double"),
+        ).otherwise(F.lit(0.0))
+        char_frac = F.when(
+            (n >= 2) & (n_chars > 0),
+            F.least(agg["dup"].cast("double"), n_chars) / n_chars,
+        ).otherwise(F.lit(0.0))
+        out = out.withColumn(
+            f"dup_{names[g]}_frac", F.when(text.isNotNull(), frac),
+        ).withColumn(
+            f"dup_{names[g]}_char_frac", F.when(text.isNotNull(), char_frac),
+        )
+    return out
+
+
 def _run_length_fold(sorted_shingles: Column) -> Column:
     """Fold a SORTED shingle array into repetition aggregates: a struct of
     ``best`` (occurrence count of the most frequent shingle), ``blen``
-    (that shingle's character length) and ``dup`` (total characters
+    (that shingle's character length), ``dup`` (total characters
     ``(count-1)*len`` over shingles occurring more than once — repeat
-    occurrences only, the Gopher/DataTrove convention).
+    occurrences only, the Gopher/DataTrove convention) and ``dupn``
+    (the repeat-occurrence count, ``sum(count-1)``).
 
     Sorting turns "frequency of the mode" into "longest run of equal
     neighbours", which one left fold computes with O(1) state — no
@@ -324,10 +377,12 @@ def _run_length_fold(sorted_shingles: Column) -> Column:
         F.lit(0).cast("long").alias("best"),
         F.lit(0).cast("long").alias("blen"),
         F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("dupn"),
     )
 
     def merge(acc: Column, x: Column) -> Column:
         new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        is_repeat = new_run >= 2
         return F.struct(
             x.alias("prev"),
             new_run.alias("run"),
@@ -339,9 +394,15 @@ def _run_length_fold(sorted_shingles: Column) -> Column:
                 # (count-1)*len: only REPEAT occurrences count, matching the
                 # common Gopher implementations (DataTrove/NeMo) — the first
                 # occurrence of a later-duplicated gram contributes nothing
-                + F.when(new_run >= 2, F.length(x).cast("long"))
+                + F.when(is_repeat, F.length(x).cast("long"))
                 .otherwise(F.lit(0).cast("long"))
             ).alias("dup"),
+            # repeat-occurrence COUNT (sum of count-1), same convention
+            (
+                acc["dupn"]
+                + F.when(is_repeat, F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("dupn"),
         )
 
     return F.aggregate(sorted_shingles, acc0, merge)

@@ -462,3 +462,123 @@ def test_pack_sequences_guards_fail_loudly(spark):
 
     with pytest.raises(SparkErrs, match="duplicate document id"):
         pack_sequences(man, df.union(df.where("doc_id = 1"))).collect()
+
+
+# ---------------------------------------------------------------------------
+# duplicate-segment fractions (pipeline.text.dup_segment_stats)
+# ---------------------------------------------------------------------------
+from sed_binning_spark.pipeline.text import dup_segment_stats
+
+DUPSEG_DOCS = [
+    (1, "a\na\nb\n\nc c\n\na\na"),     # lines: a,a,b,c c,a,a ; paras: 'a\na\nb', 'c c', 'a\na'
+    (2, "x\n\nx\n\ny"),                 # para 'x' duplicated once
+    (3, "only one line"),
+    (4, None),
+    (5, ""),
+    (6, "p\np"),                        # one para, two dup lines
+]
+
+
+def _ref_dupseg(text, granularity):
+    import re
+    from collections import Counter
+
+    if text is None:
+        return (None, None)
+    sep = r"\n{2,}" if granularity == "paragraph" else r"\n"
+    segs = [
+        s for s in re.split(sep, text)
+        if re.sub(r"[ \t\x0B\f\r\n]", "", s) != ""
+    ]
+    if len(segs) < 2:
+        return (0.0, 0.0)
+    counts = Counter(segs)
+    dupn = sum(c - 1 for c in counts.values() if c > 1)
+    dupc = sum((c - 1) * len(s) for s, c in counts.items() if c > 1)
+    cf = 0.0 if len(text) == 0 else min(float(dupc), float(len(text))) / len(text)
+    return (dupn / len(segs), cf)
+
+
+def test_dup_segment_stats_matches_reference(spark):
+    df = spark.createDataFrame(DUPSEG_DOCS, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in dup_segment_stats(df).collect()}
+    for did, text in DUPSEG_DOCS:
+        for g, tag in [("line", "line"), ("paragraph", "para")]:
+            wf, wc = _ref_dupseg(text, g)
+            hf = got[did][f"dup_{tag}_frac"]
+            hc = got[did][f"dup_{tag}_char_frac"]
+            if wf is None:
+                assert hf is None and hc is None, (did, g)
+            else:
+                assert abs(hf - wf) < 1e-12, (did, g, hf, wf)
+                assert abs(hc - wc) < 1e-12, (did, g, hc, wc)
+    with pytest.raises(ValueError, match="granularities"):
+        dup_segment_stats(df, granularities=("sentence",))
+
+
+def test_dup_segment_stats_duckdb_parity(spark):
+    """Cross-engine over a line/paragraph-laden twin of the driver
+    documents table."""
+    import duckdb
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    if not Path(path).exists():
+        pytest.skip("driver testdata not present")
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path).select(
+        "doc_id",
+        F.concat(
+            F.lit("header\n"), F.col("text"), F.lit("\nheader\n\nP\n\nP\n\n"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    got = {
+        r.doc_id: (r.dup_line_frac, r.dup_line_char_frac,
+                   r.dup_para_frac, r.dup_para_char_frac)
+        for r in dup_segment_stats(df).collect()
+    }
+    blank = "[ \t\x0B\f\r\n]"
+
+    def segs(sep):
+        return (
+            f"list_filter(regexp_split_to_array(text, '{sep}'), "
+            f"s -> regexp_replace(s, '{blank}', '', 'g') != '')"
+        )
+
+    def dual(seglist):
+        return (
+            f"(SELECT coalesce(sum(cnt - 1), 0) FROM (SELECT s, count(*) AS cnt "
+            f"FROM unnest({seglist}) AS t(s) GROUP BY s) WHERE cnt > 1)",
+            f"(SELECT coalesce(sum((cnt - 1) * length(s)), 0) FROM (SELECT s, "
+            f"count(*) AS cnt FROM unnest({seglist}) AS t(s) GROUP BY s) WHERE cnt > 1)",
+        )
+
+    cols = []
+    for sep, tag in [(r"\n", "line"), (r"\n{2,}", "para")]:
+        dn, dc = dual("l_" + tag)
+        cols.append(
+            f"CASE WHEN text IS NULL THEN NULL WHEN len(l_{tag}) < 2 THEN 0.0e0 "
+            f"ELSE CAST({dn} AS DOUBLE) / len(l_{tag}) END AS dup_{tag}_frac",
+        )
+        cols.append(
+            f"CASE WHEN text IS NULL THEN NULL "
+            f"WHEN len(l_{tag}) < 2 OR length(text) = 0 THEN 0.0e0 "
+            f"ELSE least(CAST({dc} AS DOUBLE), length(text)) / length(text) "
+            f"END AS dup_{tag}_char_frac",
+        )
+    sql = (
+        f"SELECT doc_id, {', '.join(cols)} FROM (SELECT doc_id, text, "
+        f"{segs(chr(92) + 'n')} AS l_line, {segs(chr(92) + 'n{2,}')} AS l_para "
+        f"FROM (SELECT doc_id, 'header' || chr(10) || text || chr(10) || 'header' "
+        f"|| chr(10) || chr(10) || 'P' || chr(10) || chr(10) || 'P' || chr(10) || chr(10) "
+        f"|| text AS text FROM read_parquet('{path}')))"
+    )
+    want = {row[0]: tuple(row[1:]) for row in duckdb.connect().execute(sql).fetchall()}
+    assert set(got) == set(want)
+    for did in got:
+        for a, b in zip(got[did], want[did]):
+            if b is None:
+                assert a is None, did
+            else:
+                assert a is not None and abs(a - b) < 1e-12, (did, a, b)
