@@ -33,6 +33,7 @@ def corpus_report(
     strata_column: str | None = None,
     exact: bool = False,
     accuracy: int = 10_000,
+    null_stratum: str = "__null__",
 ) -> DataFrame:
     """Summarize a document corpus in one aggregation pass.
 
@@ -51,8 +52,10 @@ def corpus_report(
 
     Scale: one ``groupBy`` whose every aggregate partial-combines
     map-side (counts, sums, t-digest merge); the output is one row per
-    stratum × metric. NULL strata report under the ``'__null__'``
-    stratum rather than vanishing.
+    stratum × metric. NULL strata report under the ``null_stratum``
+    sentinel rather than vanishing — if the stratum column can contain
+    that literal string, pass a sentinel it cannot (the function raises
+    nothing on collision; the two groups would silently merge).
     """
     if text_column not in df.columns:
         raise ValueError(
@@ -76,7 +79,7 @@ def corpus_report(
         tiles = F.percentile_approx(n_toks, pcts, F.lit(int(accuracy)))
 
     stratum = (
-        F.coalesce(F.col(strata_column).cast("string"), F.lit("__null__"))
+        F.coalesce(F.col(strata_column).cast("string"), F.lit(str(null_stratum)))
         if strata_column is not None
         else F.lit("__all__")
     )

@@ -463,11 +463,23 @@ def repetition_stats(
 # Patterns written in the Java-regex ∩ RE2 dialect (same discipline as
 # PII_PATTERNS): inline (?is) flags and lazy quantifiers are common to
 # both; NO backreferences (RE2 has none), so script and style get
-# separate patterns instead of <(script|style)>...</\1>.
+# separate patterns instead of <(script|style)>...</\1>; NO \s (its
+# meaning differs between the engines on \x0B) — whitespace is the
+# explicit class. Order matters and is part of the contract:
+# comments/CDATA go FIRST (a commented-out '<script>' opener must not
+# start a script span that swallows real body text), then closed
+# script/style pairs, then UNCLOSED script/style openers to
+# end-of-document (truncated crawl captures must not leak raw JS into
+# the text), then declarations (<!DOCTYPE ...>), then generic tags.
+_HTML_WS = " \t\x0B\f\r\n"
 HTML_STRIP_PATTERNS = (
-    r"(?is)<script\b[^>]*>.*?</script\s*>",
-    r"(?is)<style\b[^>]*>.*?</style\s*>",
     r"(?s)<!--.*?-->",
+    r"(?s)<!\[CDATA\[.*?\]\]>",
+    rf"(?is)<script\b[^>]*>.*?</script[{_HTML_WS}]*>",
+    rf"(?is)<style\b[^>]*>.*?</style[{_HTML_WS}]*>",
+    r"(?is)<script\b[^>]*>.*",
+    r"(?is)<style\b[^>]*>.*",
+    r"(?s)<![^>]*>",
     r"(?s)</?[A-Za-z][^>]*>",
 )
 # decoded in THIS order; &amp; must be LAST — decoding it earlier would
@@ -489,18 +501,22 @@ def strip_html(
     text_column: str = "text",
     output_column: str = "text_clean",
 ) -> DataFrame:
-    """Regex-based HTML → text for raw crawl input: drop script/style
-    payloads and comments, strip tags, decode the common named entities
-    (one level, amp-last), then normalize whitespace — runs of spaces/
-    tabs/CR collapse to one space, 3+ newlines collapse to a blank line
-    (PARAGRAPH STRUCTURE SURVIVES, so downstream ``dedup_segments``
-    still sees paragraphs), and the result is trimmed.
+    """Regex-based HTML → text for raw crawl input: drop comments/CDATA,
+    script/style payloads (incl. unclosed ones to end-of-document),
+    declarations and tags, decode the common named entities (one level,
+    amp-last), then normalize whitespace — CRLF and bare-CR line endings
+    become ``\\n`` first (old-Mac line structure survives), runs of
+    spaces/tabs collapse to one space, 3+ newlines collapse to a blank
+    line (PARAGRAPH STRUCTURE SURVIVES, so downstream ``dedup_segments``
+    still sees paragraphs), and the result is trimmed of every
+    whitespace class (not just spaces).
 
     Pure ``regexp_replace``/``replace`` chain — map-only, one pipeline
     stage, no shuffle; NULL text stays NULL. Regex-based stripping has
     the standard documented limits (a literal ``>`` inside an attribute
-    value ends the tag early); it is the C4/CCNet-grade cleanup, not a
-    browser-grade parser.
+    value ends the tag early, and a ``</script>`` literal inside a JS
+    string closes the script span); it is the C4/CCNet-grade cleanup,
+    not a browser-grade parser.
     """
     if text_column not in df.columns:
         raise ValueError(
@@ -511,7 +527,9 @@ def strip_html(
         t = F.regexp_replace(t, p, " ")
     for ent, ch in HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, r"\r\n?", "\n")
     t = F.regexp_replace(t, r"[ \t\x0B\f]+", " ")
-    t = F.regexp_replace(t, r" ?\r?\n ?", "\n")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
     t = F.regexp_replace(t, r"\n{3,}", "\n\n")
-    return df.withColumn(output_column, F.trim(t))
+    t = F.regexp_replace(t, r"^[ \t\x0B\f\r\n]+|[ \t\x0B\f\r\n]+$", "")
+    return df.withColumn(output_column, t)

@@ -104,3 +104,16 @@ def test_exact_percentiles_duckdb_parity(spark):
         assert got[(stratum, "total_tokens")] == tot, stratum
         assert got[(stratum, "tokens_p50")] == pytest.approx(p50, abs=1e-9), stratum
         assert got[(stratum, "tokens_p99")] == pytest.approx(p99, abs=1e-9), stratum
+
+
+def test_null_stratum_sentinel_is_configurable(spark):
+    """A corpus whose stratum column contains the literal '__null__' can
+    pick a non-colliding sentinel for the NULL group."""
+    df = spark.createDataFrame(
+        [(1, "a b", "__null__"), (2, "c", None)],
+        "doc_id long, text string, source string",
+    )
+    got = _rows(corpus_report(df, strata_column="source", exact=True,
+                              null_stratum="<NULL>"))
+    assert got[("__null__", "n_docs")] == 1.0   # the real value, unmerged
+    assert got[("<NULL>", "n_docs")] == 1.0     # the NULL group

@@ -21,6 +21,19 @@ CASES = [
     (10, "", ""),
     (11, "<br/>line1<br/>line2", "line1 line2"),
     (12, "5 < 6 and x > y", "5 < 6 and x > y"),  # bare comparators: not tags
+    # comments strip BEFORE scripts: a commented-out opener must not
+    # start a script span that swallows real body text
+    (13, "<!-- <script> note -->keep me<script>x()</script>done", "keep me done"),
+    # an unclosed script (truncated crawl capture) must not leak raw JS
+    (14, "<p>truncated</p><script>var secret=1;", "truncated"),
+    (15, "seen<style>b{}", "seen"),  # unclosed style strips to EOF
+    # declarations and CDATA
+    (16, "<!DOCTYPE html><p>hi</p>", "hi"),
+    (17, "a<![CDATA[ <b>raw</b> ]]>b", "a b"),
+    # CR handling: CRLF and old-Mac line endings become \n (so paragraph
+    # and line structure survive), and trim strips every whitespace class
+    (18, "l1\r\nl2\r\rl3", "l1\nl2\n\nl3"),
+    (19, "  hello\n", "hello"),
 ]
 
 
@@ -67,9 +80,13 @@ def test_strip_html_duckdb_parity(spark):
     for ent, ch in HTML_ENTITIES:
         sql_ch = ch.replace("'", "''")
         expr = f"replace({expr}, '{ent}', '{sql_ch}')"
+    expr = f"regexp_replace({expr}, '\r\n?', chr(10), 'g')"
     expr = f"regexp_replace({expr}, '[ \t\x0B\f]+', ' ', 'g')"
-    expr = f"regexp_replace({expr}, ' ?\r?\n ?', chr(10), 'g')"
+    expr = f"regexp_replace({expr}, ' ?\n ?', chr(10), 'g')"
     expr = f"regexp_replace({expr}, '\n{{3,}}', chr(10) || chr(10), 'g')"
+    expr = (
+        f"regexp_replace({expr}, '^[ \t\x0B\f\r\n]+|[ \t\x0B\f\r\n]+$', '', 'g')"
+    )
     sql = (
         f"SELECT doc_id, trim({expr}) AS text_clean FROM "
         f"(SELECT doc_id, '<html><head><style>b{{}}</style></head><body><h1>T&amp;C</h1><p>' "
