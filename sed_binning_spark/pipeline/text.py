@@ -472,15 +472,26 @@ def repetition_stats(
 # end-of-document (truncated crawl captures must not leak raw JS into
 # the text), then declarations (<!DOCTYPE ...>), then generic tags.
 _HTML_WS = " \t\x0B\f\r\n"
+# paragraph-level elements: their tags become BLANK LINES so real HTML
+# paragraph structure reaches segment-grain dedup (a '<p>' corpus has no
+# literal '\n\n' anywhere — replacing block tags with spaces would fuse
+# every page into one paragraph and make dedup_segments a no-op); <br>
+# becomes a single newline (line break, not a paragraph break)
+_HTML_BLOCK_TAGS = (
+    "p|div|li|ul|ol|dl|dt|dd|h1|h2|h3|h4|h5|h6|tr|table|thead|tbody|"
+    "blockquote|pre|section|article|aside|header|footer|nav|figure|form|hr"
+)
 HTML_STRIP_PATTERNS = (
-    r"(?s)<!--.*?-->",
-    r"(?s)<!\[CDATA\[.*?\]\]>",
-    rf"(?is)<script\b[^>]*>.*?</script[{_HTML_WS}]*>",
-    rf"(?is)<style\b[^>]*>.*?</style[{_HTML_WS}]*>",
-    r"(?is)<script\b[^>]*>.*",
-    r"(?is)<style\b[^>]*>.*",
-    r"(?s)<![^>]*>",
-    r"(?s)</?[A-Za-z][^>]*>",
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<!\[CDATA\[.*?\]\]>", " "),
+    (rf"(?is)<script\b[^>]*>.*?</script[{_HTML_WS}]*>", " "),
+    (rf"(?is)<style\b[^>]*>.*?</style[{_HTML_WS}]*>", " "),
+    (r"(?is)<script\b[^>]*>.*", " "),
+    (r"(?is)<style\b[^>]*>.*", " "),
+    (r"(?s)<![^>]*>", " "),
+    (rf"(?is)</?(?:{_HTML_BLOCK_TAGS})\b[^>]*>", "\n\n"),
+    (r"(?is)<br\b[^>]*>", "\n"),
+    (r"(?s)</?[A-Za-z][^>]*>", " "),
 )
 # decoded in THIS order; &amp; must be LAST — decoding it earlier would
 # turn double-encoded '&amp;lt;' into '&lt;' and then into '<' (a
@@ -502,14 +513,16 @@ def strip_html(
     output_column: str = "text_clean",
 ) -> DataFrame:
     """Regex-based HTML → text for raw crawl input: drop comments/CDATA,
-    script/style payloads (incl. unclosed ones to end-of-document),
-    declarations and tags, decode the common named entities (one level,
-    amp-last), then normalize whitespace — CRLF and bare-CR line endings
-    become ``\\n`` first (old-Mac line structure survives), runs of
-    spaces/tabs collapse to one space, 3+ newlines collapse to a blank
-    line (PARAGRAPH STRUCTURE SURVIVES, so downstream ``dedup_segments``
-    still sees paragraphs), and the result is trimmed of every
-    whitespace class (not just spaces).
+    script/style payloads (incl. unclosed ones to end-of-document) and
+    declarations; BLOCK-level tags (``<p>``, ``<div>``, headings, list
+    items, ...) become blank lines and ``<br>`` a newline — real HTML
+    paragraph structure reaches ``dedup_segments``, which sees nothing
+    if tags collapse to spaces — while inline tags become spaces; decode
+    the common named entities (one level, amp-last); then normalize
+    whitespace — CRLF and bare-CR line endings become ``\\n`` first
+    (old-Mac line structure survives), runs of spaces/tabs collapse to
+    one space, 3+ newlines collapse to a blank line, and the result is
+    trimmed of every whitespace class (not just spaces).
 
     Pure ``regexp_replace``/``replace`` chain — map-only, one pipeline
     stage, no shuffle; NULL text stays NULL. Regex-based stripping has
@@ -523,8 +536,8 @@ def strip_html(
             f"text column {text_column!r} not in dataframe (columns: {df.columns})",
         )
     t = F.col(text_column)
-    for p in HTML_STRIP_PATTERNS:
-        t = F.regexp_replace(t, p, " ")
+    for p, repl in HTML_STRIP_PATTERNS:
+        t = F.regexp_replace(t, p, repl)
     for ent, ch in HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(ch))
     t = F.regexp_replace(t, r"\r\n?", "\n")

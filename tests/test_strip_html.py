@@ -19,7 +19,10 @@ CASES = [
     (8, "no markup at all", "no markup at all"),
     (9, None, None),
     (10, "", ""),
-    (11, "<br/>line1<br/>line2", "line1 line2"),
+    (11, "<br/>line1<br/>line2", "line1\nline2"),  # br = line break
+    # block tags carry the paragraph structure a crawl page actually has
+    (20, "<p>body</p><p>footer</p>", "body\n\nfooter"),
+    (21, "<div>a</div><span>b</span><div>c</div>", "a\n\nb\n\nc"),
     (12, "5 < 6 and x > y", "5 < 6 and x > y"),  # bare comparators: not tags
     # comments strip BEFORE scripts: a commented-out opener must not
     # start a script span that swallows real body text
@@ -75,8 +78,9 @@ def test_strip_html_duckdb_parity(spark):
     got = {r.doc_id: r.text_clean for r in strip_html(df).collect()}
 
     expr = "text"
-    for p in HTML_STRIP_PATTERNS:
-        expr = f"regexp_replace({expr}, '{p}', ' ', 'g')"
+    for p, repl in HTML_STRIP_PATTERNS:
+        sql_repl = repl.replace("\n", "' || chr(10) || '")
+        expr = f"regexp_replace({expr}, '{p}', '{sql_repl}', 'g')"
     for ent, ch in HTML_ENTITIES:
         sql_ch = ch.replace("'", "''")
         expr = f"replace({expr}, '{ent}', '{sql_ch}')"
