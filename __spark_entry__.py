@@ -994,13 +994,23 @@ def _q_quality(spark, sf):
             F.lit("\nrepeat line\nrepeat line"),
         ),
     )
+    from sed_binning_spark.pipeline.filters import badword_stats
+    from sed_binning_spark.pipeline.text import dup_segment_stats
+
     docs = scrub_pii(
         dup_line_stats(pii_stats(docs, "pii_text"), "pii_text"), "pii_text",
     )
+    # duplicate-segment fractions + badword count over the same pii twin
+    # (it carries the duplicated 'repeat line' pair by construction)
+    docs = dup_segment_stats(docs, "pii_text", granularities=("line",))
+    docs = badword_stats(docs, ["repeat", "contact"], text_column="pii_text")
     out = quality_score(docs)
     return out.select(
         "doc_id", F.round("quality", 6).alias("quality"), "keep",
         "n_url", "n_email", "n_ip", "n_phone", "dup_line_ratio",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        "n_badword_tokens",
         F.md5("text_scrubbed").alias("scrub_md5"),
     )
 
@@ -1017,9 +1027,28 @@ def _q_frame_sample(spark, sf):
 
 def _q_doc_hashes(spark, sf):
     """Document hashing merged: winnowing fingerprint + 16-bit SimHash
-    sketch from the same scan (both pure-expression operators)."""
-    out = simhash(document_fingerprint(_docs(spark, sf)), bits=16)
-    return out.select("doc_id", "fingerprint", "simhash")
+    sketch from the same scan (both pure-expression operators), PLUS the
+    HTML→text extraction checked as the md5 of strip_html over an
+    HTML-wrapped twin (doctype + block/inline tags + entity + script) —
+    both engines run the identical pattern chain."""
+    from sed_binning_spark.pipeline.text import strip_html
+
+    docs = _docs(spark, sf)
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<!DOCTYPE html><p>"), F.col("text"),
+            F.lit("</p><br>x &amp; y<script>s()</script>"),
+        ).alias("text"),
+    )
+    clean = strip_html(html).select(
+        "doc_id", F.md5("text_clean").alias("clean_md5"),
+    )
+    out = simhash(document_fingerprint(docs), bits=16)
+    return (
+        out.select("doc_id", "fingerprint", "simhash")
+        .join(clean, on="doc_id", how="left")
+    )
 
 
 def _q_seq_pack(spark, sf):
@@ -1673,7 +1702,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": (
             f"SELECT doc_id, round(n_rules / 5.0, 6) AS quality, "
             f"n_rules / 5.0 >= 0.8 AS keep, "
-            f"n_url, n_email, n_ip, n_phone, dup_line_ratio, scrub_md5 "
+            f"n_url, n_email, n_ip, n_phone, dup_line_ratio, "
+            f"dup_line_frac, dup_line_char_frac, n_badword_tokens, scrub_md5 "
             f"FROM (SELECT doc_id, {_pii_audit_sql()}, "
             f"CAST(coalesce(n_ws BETWEEN 20 AND 100000, false) AS INT) + "
             f"CAST(coalesce(mtl BETWEEN 3.0 AND 10.0, false) AS INT) + "
@@ -1707,10 +1737,14 @@ def oracle_sql() -> dict[str, str]:
         # engine says 'und'
         "lang_id": lang_lm_sql,
         "doc_hashes": (
-            f"SELECT f.doc_id, f.fingerprint, s.simhash FROM "
+            f"SELECT f.doc_id, f.fingerprint, s.simhash, c.clean_md5 FROM "
             f"(SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fingerprint "
             f"FROM documents) f JOIN ({_simhash_oracle_sql(bits=16)}) s "
-            f"ON s.doc_id = f.doc_id"
+            f"ON s.doc_id = f.doc_id "
+            f"LEFT JOIN (SELECT doc_id, md5({_strip_html_sql('htext')}) AS clean_md5 "
+            f"FROM (SELECT doc_id, '<!DOCTYPE html><p>' || text || "
+            f"'</p><br>x &amp; y<script>s()</script>' AS htext FROM documents)) c "
+            f"ON c.doc_id = f.doc_id"
         ),
         # pack_chunks twin: md5 length-prefixed key -> 52-bit lane -> exact
         # /2^52 uniform -> shard; the layout is a per-shard window cumsum
@@ -1929,6 +1963,25 @@ _PII_TEXT_SQL = (
 )
 
 
+def _strip_html_sql(expr: str) -> str:
+    """DuckDB twin of pipeline.text.strip_html: the SAME pattern/entity
+    chain (Java-regex ∩ RE2 dialect) applied to a SQL expression."""
+    from sed_binning_spark.pipeline.text import HTML_ENTITIES, HTML_STRIP_PATTERNS
+
+    for p, repl in HTML_STRIP_PATTERNS:
+        sql_repl = repl.replace("\n", "' || chr(10) || '")
+        expr = f"regexp_replace({expr}, '{p}', '{sql_repl}', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        sql_ch = ch.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{sql_ch}')"
+    expr = f"regexp_replace({expr}, '\r\n?', chr(10), 'g')"
+    expr = f"regexp_replace({expr}, '[ \t\x0B\f]+', ' ', 'g')"
+    expr = f"regexp_replace({expr}, ' ?\n ?', chr(10), 'g')"
+    expr = f"regexp_replace({expr}, '\n{{3,}}', chr(10) || chr(10), 'g')"
+    expr = f"regexp_replace({expr}, '^[ \t\x0B\f\r\n]+|[ \t\x0B\f\r\n]+$', '', 'g')"
+    return expr
+
+
 def _pii_audit_sql() -> str:
     """Columns of the PII audit twin (over ``pii_text`` from the inner
     SELECT): span counts per PII_PATTERNS on the raw text, the Gopher
@@ -1947,10 +2000,41 @@ def _pii_audit_sql() -> str:
         f"len(list_distinct({lines})) / CAST(len({lines}) AS DOUBLE) "
         f"ELSE 0.0e0 END AS dup_line_ratio"
     )
+    # dup_segment_stats twins: repeat-occurrence count / chars over the
+    # per-line group-by, (count-1) convention, char frac capped at length
+    dupn = (
+        f"(SELECT coalesce(sum(cnt - 1), 0) FROM (SELECT s, count(*) AS cnt "
+        f"FROM unnest({lines}) AS t(s) GROUP BY s) WHERE cnt > 1)"
+    )
+    dupc = (
+        f"(SELECT coalesce(sum((cnt - 1) * length(s)), 0) FROM (SELECT s, "
+        f"count(*) AS cnt FROM unnest({lines}) AS t(s) GROUP BY s) WHERE cnt > 1)"
+    )
+    dup_frac = (
+        f"CASE WHEN pii_text IS NULL THEN NULL WHEN len({lines}) < 2 THEN 0.0e0 "
+        f"ELSE round(CAST({dupn} AS DOUBLE) / len({lines}), 6) END AS dup_line_frac"
+    )
+    dup_char = (
+        f"CASE WHEN pii_text IS NULL THEN NULL "
+        f"WHEN len({lines}) < 2 OR length(pii_text) = 0 THEN 0.0e0 "
+        f"ELSE round(least(CAST({dupc} AS DOUBLE), length(pii_text)) "
+        f"/ length(pii_text), 6) END AS dup_line_char_frac"
+    )
+    # badword_stats twin over the dedup-family (lowercased) tokenizer
+    ptoks = ("list_filter(regexp_split_to_array(trim(lower(pii_text)), '\\s+'), "
+             "x -> x != '')")
+    badw = (
+        f"CASE WHEN pii_text IS NULL THEN NULL ELSE CAST(len(list_filter("
+        f"{ptoks}, t -> t IN ('repeat', 'contact'))) AS BIGINT) "
+        f"END AS n_badword_tokens"
+    )
     scrub = "pii_text"
     for k, p in PII_PATTERNS.items():
         scrub = f"regexp_replace({scrub}, '{p}', '<{k.upper()}>', 'g')"
-    return f"{counts}, {dup}, md5({scrub}) AS scrub_md5"
+    return (
+        f"{counts}, {dup}, {dup_frac}, {dup_char}, {badw}, "
+        f"md5({scrub}) AS scrub_md5"
+    )
 
 
 def _lsh_pairs_oracle_sql(
