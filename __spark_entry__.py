@@ -239,7 +239,17 @@ _STOP_SQL = {
 }
 # list_filter strips the empty token regexp_split emits for blank text,
 # mirroring pipeline.text.whitespace_tokens' array_remove
-_TOKS_SQL = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '')"
+def _toks_sql(col: str = "text") -> str:
+    """THE dedup-family tokenizer twin (lowercased, empty-token
+    stripped), parameterized by column so every oracle uses ONE
+    definition."""
+    return (
+        f"list_filter(regexp_split_to_array(trim(lower({col})), '\\s+'), "
+        f"x -> x != '')"
+    )
+
+
+_TOKS_SQL = _toks_sql()
 _WS_SQL = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')"
 
 
@@ -1033,21 +1043,20 @@ def _q_doc_hashes(spark, sf):
     both engines run the identical pattern chain."""
     from sed_binning_spark.pipeline.text import strip_html
 
-    docs = _docs(spark, sf)
-    html = docs.select(
-        "doc_id",
+    # one frame, one scan: strip_html is map-only and column-addressed,
+    # so the HTML twin is just another column — no self-join
+    docs = _docs(spark, sf).withColumn(
+        "htext",
         F.concat(
             F.lit("<!DOCTYPE html><p>"), F.col("text"),
             F.lit("</p><br>x &amp; y<script>s()</script>"),
-        ).alias("text"),
+        ),
     )
-    clean = strip_html(html).select(
-        "doc_id", F.md5("text_clean").alias("clean_md5"),
-    )
+    docs = strip_html(docs, text_column="htext", output_column="text_clean")
     out = simhash(document_fingerprint(docs), bits=16)
-    return (
-        out.select("doc_id", "fingerprint", "simhash")
-        .join(clean, on="doc_id", how="left")
+    return out.select(
+        "doc_id", "fingerprint", "simhash",
+        F.md5("text_clean").alias("clean_md5"),
     )
 
 
@@ -2021,8 +2030,7 @@ def _pii_audit_sql() -> str:
         f"/ length(pii_text), 6) END AS dup_line_char_frac"
     )
     # badword_stats twin over the dedup-family (lowercased) tokenizer
-    ptoks = ("list_filter(regexp_split_to_array(trim(lower(pii_text)), '\\s+'), "
-             "x -> x != '')")
+    ptoks = _toks_sql("pii_text")
     badw = (
         f"CASE WHEN pii_text IS NULL THEN NULL ELSE CAST(len(list_filter("
         f"{ptoks}, t -> t IN ('repeat', 'contact'))) AS BIGINT) "

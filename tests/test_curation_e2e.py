@@ -83,6 +83,10 @@ def test_full_chain_runs_and_is_layout_deterministic(spark):
     base = spark.read.parquet(f"{SF}/documents.parquet")
     docs_a, man_a, seqs_a, report_a = _chain(spark, base)
     docs_b, man_b, seqs_b, _ = _chain(spark, base.repartition(7))
+    # several actions per frame below — cache so the LSH/dedup/packing
+    # lineage executes once per layout, not once per assertion
+    for frame in (docs_a, docs_b, man_a, man_b):
+        frame.persist()
 
     a = {tuple(r) for r in docs_a.select("doc_id", "split", "quality",
                                          "unigram_logprob", "lang_pred").collect()}

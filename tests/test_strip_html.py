@@ -61,9 +61,11 @@ def test_strip_html_duckdb_parity(spark):
     path = "/root/testdata/sf0.001/documents.parquet"
     if not Path(path).exists():
         pytest.skip("driver testdata not present")
+    import sys
+
     from pyspark.sql import functions as F
 
-    from sed_binning_spark.pipeline.text import HTML_ENTITIES, HTML_STRIP_PATTERNS
+    sys.path.insert(0, "/root/repo")
 
     df = spark.read.parquet(path).select(
         "doc_id",
@@ -77,22 +79,12 @@ def test_strip_html_duckdb_parity(spark):
     )
     got = {r.doc_id: r.text_clean for r in strip_html(df).collect()}
 
-    expr = "text"
-    for p, repl in HTML_STRIP_PATTERNS:
-        sql_repl = repl.replace("\n", "' || chr(10) || '")
-        expr = f"regexp_replace({expr}, '{p}', '{sql_repl}', 'g')"
-    for ent, ch in HTML_ENTITIES:
-        sql_ch = ch.replace("'", "''")
-        expr = f"replace({expr}, '{ent}', '{sql_ch}')"
-    expr = f"regexp_replace({expr}, '\r\n?', chr(10), 'g')"
-    expr = f"regexp_replace({expr}, '[ \t\x0B\f]+', ' ', 'g')"
-    expr = f"regexp_replace({expr}, ' ?\n ?', chr(10), 'g')"
-    expr = f"regexp_replace({expr}, '\n{{3,}}', chr(10) || chr(10), 'g')"
-    expr = (
-        f"regexp_replace({expr}, '^[ \t\x0B\f\r\n]+|[ \t\x0B\f\r\n]+$', '', 'g')"
-    )
+    # ONE source of truth for the SQL twin: the driver oracle's builder
+    from __spark_entry__ import _strip_html_sql
+
+    expr = _strip_html_sql("text")
     sql = (
-        f"SELECT doc_id, trim({expr}) AS text_clean FROM "
+        f"SELECT doc_id, {expr} AS text_clean FROM "
         f"(SELECT doc_id, '<html><head><style>b{{}}</style></head><body><h1>T&amp;C</h1><p>' "
         f"|| text || '</p><script>if (1 > 0) {{ x(); }}</script>&nbsp;<i>tail ' "
         f"|| CAST(doc_id AS VARCHAR) || '</i></body></html>' AS text "
