@@ -977,11 +977,31 @@ def _q_text_stats(spark, sf):
 def _q_lang_id(spark, sf):
     """Stopword language-ID merged with the corpus unigram LM score
     (pipeline.lm.unigram_logprob): self-scored add-1 model, exact
-    integer micro-nat mean — the DuckDB twin rebuilds the same model."""
+    integer micro-nat mean — the DuckDB twin rebuilds the same model.
+    Also carries the domain-mode blocklist audit (pipeline.filters.
+    filter_by_blocklist keep='blocked') as a flag: a synthetic host
+    'hN.data.example' is minted from doc_id (schema-independent — the
+    dirty-corpus suite has no source column) and the blocklist names two
+    of the twenty host groups, exercising the suffix-match path."""
+    from sed_binning_spark.pipeline.filters import filter_by_blocklist
     from sed_binning_spark.pipeline.lm import unigram_logprob
 
-    out = unigram_logprob(language_id(_docs(spark, sf)))
-    return out.select("doc_id", "lang_pred", "unigram_logprob")
+    docs = _docs(spark, sf).withColumn(
+        "host",
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".data.example"),
+        ),
+    )
+    blocked = filter_by_blocklist(
+        docs, ["h3.data.example", "h7.data.example"], "host",
+        keep="blocked", match="domain",
+    ).select("doc_id", F.lit(True).alias("__hit"))
+    out = unigram_logprob(language_id(docs)).join(blocked, "doc_id", "left")
+    return out.select(
+        "doc_id", "lang_pred", "unigram_logprob",
+        F.coalesce(F.col("__hit"), F.lit(False)).alias("src_blocked"),
+    )
 
 
 def _q_quality(spark, sf):
@@ -1066,7 +1086,7 @@ def _q_seq_pack(spark, sf):
     rebuilds the actual sequences, and every manifest row carries the md5
     of its assembled sequence — the DuckDB twin reproduces layout AND
     token stream bit-for-bit."""
-    from sed_binning_spark.pipeline.pack import pack_chunks, pack_sequences
+    from sed_binning_spark.pipeline.pack import pack_chunks, pack_sequences, pack_stats
 
     docs = _docs(spark, sf)
     man = pack_chunks(docs, seq_tokens=64, n_shards=8)
@@ -1074,7 +1094,14 @@ def _q_seq_pack(spark, sf):
         "shard", "seq_id",
         F.md5(F.concat_ws(" ", "tokens")).alias("seq_md5"),
     )
-    return man.join(seqs, on=["shard", "seq_id"], how="left")
+    # fill accounting rides along too (fill_ratio is n/64 — exact binary)
+    stats = pack_stats(man, 64).select(
+        "shard", "seq_id", "filled_tokens", "fill_ratio",
+    )
+    return (
+        man.join(seqs, on=["shard", "seq_id"], how="left")
+        .join(stats, on=["shard", "seq_id"], how="left")
+    )
 
 
 def _q_decontam(spark, sf):
@@ -1441,7 +1468,11 @@ def oracle_sql() -> dict[str, str]:
         "* 1e6, 0) AS BIGINT) AS lm FROM model, tot), "
         "agg AS (SELECT doc_id, CAST(sum(lm) AS BIGINT) AS s, count(*) AS m "
         "FROM tk JOIN lut USING (token) GROUP BY doc_id) "
-        f"SELECT l.doc_id, l.lang_pred, CAST(s AS DOUBLE) / (m * 1e6) AS unigram_logprob "
+        f"SELECT l.doc_id, l.lang_pred, CAST(s AS DOUBLE) / (m * 1e6) AS unigram_logprob, "
+        # blocklist-audit twin: the full host equals the entry iff the
+        # group index is 3 or 7 (the entries are complete hosts, so a
+        # label-suffix hit is exactly an equality hit here)
+        f"l.doc_id % 20 IN (3, 7) AS src_blocked "
         f"FROM ({lang_id_sql}) l LEFT JOIN agg ON agg.doc_id = l.doc_id"
     )
 
@@ -1789,9 +1820,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) t ON t.doc_id = m.doc_id), "
             "seqs AS (SELECT shard, seq_id, md5(array_to_string("
             "flatten(list(sl ORDER BY seq_offset)), ' ')) AS seq_md5 "
-            "FROM sl GROUP BY shard, seq_id) "
-            "SELECT m.*, q.seq_md5 FROM mani m LEFT JOIN seqs q "
-            "ON q.shard = m.shard AND q.seq_id = m.seq_id"
+            "FROM sl GROUP BY shard, seq_id), "
+            "pstat AS (SELECT shard, seq_id, "
+            "CAST(sum(slice_len) AS BIGINT) AS filled_tokens, "
+            "CAST(sum(slice_len) AS DOUBLE) / 64 AS fill_ratio "
+            "FROM mani GROUP BY shard, seq_id) "
+            "SELECT m.*, q.seq_md5, p.filled_tokens, p.fill_ratio "
+            "FROM mani m LEFT JOIN seqs q "
+            "ON q.shard = m.shard AND q.seq_id = m.seq_id "
+            "LEFT JOIN pstat p ON p.shard = m.shard AND p.seq_id = m.seq_id"
         ),
         "minhash_lsh_pairs": (
             f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM "
