@@ -242,15 +242,19 @@ _STOP_SQL = {
 def _toks_sql(col: str = "text") -> str:
     """THE dedup-family tokenizer twin (lowercased, empty-token
     stripped), parameterized by column so every oracle uses ONE
-    definition."""
+    definition. The whitespace class is explicit — RE2's \\s excludes
+    \\x0B while Java's includes it, so \\s+ here would tokenize
+    vertical-tab documents differently from the engine."""
     return (
-        f"list_filter(regexp_split_to_array(trim(lower({col})), '\\s+'), "
-        f"x -> x != '')"
+        f"list_filter(regexp_split_to_array(trim(lower({col})), "
+        f"'{_WS_CLASS}+'), x -> x != '')"
     )
 
 
+_WS_CLASS = "[ \t\n\x0B\f\r]"  # == Java regex \s, explicit for RE2
 _TOKS_SQL = _toks_sql()
-_WS_SQL = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')"
+_WS_SQL = ("list_filter(regexp_split_to_array(trim(text), "
+           f"'{_WS_CLASS}+'), x -> x != '')")
 
 
 def _grams_sql(n: int) -> str:
@@ -1720,11 +1724,11 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": (
             f"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
             f"CAST(len({_WS_SQL}) AS BIGINT) AS n_ws_tokens, "
-            f"CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) "
+            f"CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_" + _WS_CLASS[1:-1] + "]')) AS BIGINT) "
             f"AS n_bpe_tokens, "
-            f"round(length(regexp_replace(text, '\\s+', '', 'g')) "
+            f"round(length(regexp_replace(text, '{_WS_CLASS}+', '', 'g')) "
             f"/ CAST(len({_WS_SQL}) AS DOUBLE), 6) AS mean_token_len, "
-            f"round(len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) "
+            f"round(len(regexp_extract_all(text, '[^A-Za-z0-9_" + _WS_CLASS[1:-1] + "]')) "
             f"/ CAST(length(text) AS DOUBLE), 6) AS punct_ratio, "
             f"round(len(list_filter(list_transform({_WS_SQL}, x -> lower(x)), "
             f"x -> x IN ({_STOP_SQL['en']}))) / CAST(len({_WS_SQL}) AS DOUBLE), 6) "
@@ -1752,9 +1756,9 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(coalesce(uniq >= 0.45, false) AS INT) AS n_rules "
             f"FROM (SELECT doc_id, {_PII_TEXT_SQL} AS pii_text, "
             f"len({_WS_SQL}) AS n_ws, "
-            f"length(regexp_replace(text, '\\s+', '', 'g')) "
+            f"length(regexp_replace(text, '{_WS_CLASS}+', '', 'g')) "
             f"/ CAST(nullif(len({_WS_SQL}), 0) AS DOUBLE) AS mtl, "
-            f"len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) "
+            f"len(regexp_extract_all(text, '[^A-Za-z0-9_" + _WS_CLASS[1:-1] + "]')) "
             f"/ CAST(nullif(length(text), 0) AS DOUBLE) AS punct, "
             f"len(list_filter(list_transform({_WS_SQL}, x -> lower(x)), "
             f"x -> x IN ({_STOP_SQL['en']}))) "

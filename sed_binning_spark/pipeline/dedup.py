@@ -186,7 +186,8 @@ def minhash_lsh_pairs(
 def _has_content(text_column: str):
     """Non-NULL text with at least one non-whitespace character."""
     return F.col(text_column).isNotNull() & (
-        F.regexp_replace(F.col(text_column), r"\s", "") != ""
+        # explicit class == Java \s (RE2 \s excludes \x0B)
+        F.regexp_replace(F.col(text_column), "[ \t\n\x0B\f\r]", "") != ""
     )
 
 

@@ -12,9 +12,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# THE whitespace class, spelled explicitly: identical to Java regex \s,
+# but RE2 (DuckDB) \s EXCLUDES \x0B — every tokenizer and its SQL twin
+# must use this class, never \s, or the two engines tokenize
+# vertical-tab documents differently.
+WHITESPACE_CLASS = " \t\n\x0B\f\r"
+
 # BPE-ish tokenization: word pieces OR single non-space punctuation — the
 # standard pre-tokenizer shape (letters/digits runs split from punctuation).
-BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+BPE_TOKEN_RE = rf"[A-Za-z0-9_]+|[^A-Za-z0-9_{WHITESPACE_CLASS}]"
 
 # Tiny high-frequency stopword lists for the n-gram/stopword language
 # heuristic. Deliberately small: the heuristic is a ratio detector, not a
@@ -34,7 +40,7 @@ def whitespace_tokens(text: Column) -> Column:
     # split('') yields [''] — strip the empty token so a blank/whitespace
     # document counts ZERO tokens (quality filters keyed on token counts
     # would otherwise see a 1-token document)
-    return F.array_remove(F.split(F.trim(text), r"\s+"), "")
+    return F.array_remove(F.split(F.trim(text), f"[{WHITESPACE_CLASS}]+"), "")
 
 
 def bpe_tokens(text: Column) -> Column:
@@ -75,8 +81,9 @@ def text_stats(
         "n_chars": F.length(t),
         "n_ws_tokens": _size(ws),
         "n_bpe_tokens": _size(bpe_tokens(t)),
-        "mean_token_len": F.length(F.regexp_replace(t, r"\s+", "")) / n_ws,
-        "punct_ratio": F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9_\s]"), 0))
+        "mean_token_len": F.length(F.regexp_replace(t, f"[{WHITESPACE_CLASS}]+", "")) / n_ws,
+        "punct_ratio": F.size(F.regexp_extract_all(
+            t, F.lit(f"[^A-Za-z0-9_{WHITESPACE_CLASS}]"), 0))
         / n_ch,
         "stopword_ratio": F.size(F.filter(F.transform(ws, F.lower), lambda x: x.isin(*stop)))
         / n_ws,

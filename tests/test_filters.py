@@ -111,7 +111,9 @@ def test_badwords_duckdb_parity(spark):
         r.doc_id: (r.n_badword_tokens, r.badword_frac)
         for r in badword_stats(df, BAD).collect()
     }
-    toks = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '')"
+    from __spark_entry__ import _toks_sql
+
+    toks = _toks_sql("text")
     sql = f"""
     SELECT doc_id,
            CASE WHEN text IS NULL THEN NULL ELSE

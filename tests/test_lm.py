@@ -128,7 +128,9 @@ def test_duckdb_parity(spark):
         pytest.skip("driver testdata not present")
     df = spark.read.parquet(path)
     got = {r.doc_id: r.unigram_logprob for r in unigram_logprob(df).collect()}
-    toks = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '')"
+    from __spark_entry__ import _toks_sql
+
+    toks = _toks_sql("text")
     sql = f"""
     WITH tk AS (SELECT doc_id, unnest({toks}) AS token
                 FROM read_parquet('{path}')),

@@ -53,6 +53,20 @@ def dirty_sf(tmp_path_factory):
         (8, "\nthe quick brown fox jumps over the lazy dog\t"),
         (9, "short"),
         (10, "zwei kurze worte"),
+        # unicode classes the engines DO agree on (verified): accents,
+        # CJK, emoji/ZWJ, ß simple folding, CRLF, vertical tab (the \x0B
+        # tokenizer-class fix), very long tokens, presentation ligatures.
+        # Deliberately ABSENT: Turkish İ (U+0130) — JVM full case mapping
+        # lowers it to 'i' + COMBINING DOT ABOVE while DuckDB/utf8proc
+        # simple-maps to 'i'; see test_known_case_folding_divergence.
+        (11, "café résumé naïve"),
+        (12, "日本語 の テスト 文書 です"),
+        (13, "emoji 🎉 test 👍🏽 family 👨‍👩‍👧"),
+        (14, "straße GROSS Straße"),
+        (15, "mixed\r\nCRLF\r\nlines"),
+        (16, "vertical\x0Btab doc"),
+        (17, "a" * 5000 + " end"),
+        (18, "ﬁ ligature ﬂ"),
     ]
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
     # the driver table carries a precomputed n_chars used by frame_sample
@@ -95,3 +109,27 @@ def test_dirty_corpus_parity(spark, dirty_sf, oracle_con, name):
                 if [repr(x) for x in sv] != [repr(x) for x in ov]:
                     raise AssertionError(f"{name}.{c}: spark={sv} oracle={ov}")
         raise AssertionError(f"{name}: value mismatch")
+
+
+def test_known_case_folding_divergence(spark):
+    """DOCUMENTED ENGINE LIMIT, pinned so a behavior change in either
+    engine is noticed: the JVM lowercases Turkish İ (U+0130) with the
+    FULL Unicode mapping ('i' + U+0307 COMBINING DOT ABOVE, one extra
+    code point) while DuckDB/utf8proc uses the SIMPLE mapping ('i').
+    Any case-folded operator (dedup tokens, fingerprints, LM grams)
+    therefore diverges cross-engine on İ-bearing text — such characters
+    must stay out of oracle fixtures, and mixed-engine deployments must
+    case-fold upstream if they matter."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    s = (
+        spark.createDataFrame([("İ",)], "t string")
+        .select(F.lower("t")).collect()[0][0]
+    )
+    d = duckdb.connect().execute("SELECT lower('İ')").fetchone()[0]
+    assert s == "i̇" and d == "i", (
+        f"case-folding behavior changed (spark={s!r}, duck={d!r}) — "
+        f"revisit the oracle-fixture guidance in this test's docstring"
+    )

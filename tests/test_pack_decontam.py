@@ -330,7 +330,9 @@ def test_repetition_stats_duckdb_parity(spark, kind, n):
         r.doc_id: r[col]
         for r in repetition_stats(df, top_ns=(n,), dup_ns=(n,)).collect()
     }
-    toks = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '')"
+    from __spark_entry__ import _toks_sql
+
+    toks = _toks_sql("text")
     grams = (
         f"CASE WHEN len({toks}) < {n} THEN [] ELSE "
         f"list_transform(range(1, len({toks}) - {n - 1} + 1), "

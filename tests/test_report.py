@@ -90,7 +90,9 @@ def test_exact_percentiles_duckdb_parity(spark):
         pytest.skip("driver testdata not present")
     df = spark.read.parquet(path)
     got = _rows(corpus_report(df, strata_column="lang", exact=True))
-    toks = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')"
+    from __spark_entry__ import _WS_SQL
+
+    toks = _WS_SQL
     sql = f"""
     SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS stratum,
            count(*) AS n_docs,
