@@ -24,9 +24,19 @@ event-scale data.
 - :mod:`~sed_binning_spark.pipeline.sample` — deterministic (hash-keyed)
   sampling, per-stratum corpus-mixing rates, leak-proof train/val/test
   split assignment — reproducible on any partition layout or engine
-- :mod:`~sed_binning_spark.pipeline.lm` — corpus unigram language-model
-  scoring (CCNet-style quality proxy): token counts + per-document mean
+- :mod:`~sed_binning_spark.pipeline.lm` — corpus n-gram language-model
+  scoring (CCNet-style quality proxy): gram counts + per-document mean
   log-probability from exact integer micro-nat sums
+- :mod:`~sed_binning_spark.pipeline.filters` — C4-style content gates:
+  key blocklists (exact or domain-suffix, broadcast anti-join) and
+  badword scoring/filtering (codegen literal list or explode+join)
+- :mod:`~sed_binning_spark.pipeline.decontam` — GPT-3-style benchmark
+  decontamination (distinct md5 word-n-gram overlap, broadcast bench)
+- :mod:`~sed_binning_spark.pipeline.pack` — fixed-token-budget sequence
+  packing: hash-sharded concat-and-chunk manifest, fill accounting, and
+  slice-before-shuffle sequence assembly
+- :mod:`~sed_binning_spark.pipeline.report` — one-pass corpus telemetry
+  (counts/totals/percentiles per stratum; t-digest or exact)
 """
 
 from sed_binning_spark.pipeline.cluster import (

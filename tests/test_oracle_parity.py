@@ -67,6 +67,9 @@ def dirty_sf(tmp_path_factory):
         (16, "vertical\x0Btab doc"),
         (17, "a" * 5000 + " end"),
         (18, "ﬁ ligature ﬂ"),
+        # NBSP is NOT whitespace to either engine's tokenizer (it is to
+        # python str.split — keep it out of python-reference fixtures)
+        (19, "non breaking space"),
     ]
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
     # the driver table carries a precomputed n_chars used by frame_sample
