@@ -524,6 +524,7 @@ def dedup_segments(
     text_column: str = "text",
     id_column: str = "doc_id",
     granularity: str = "paragraph",
+    check_unique_ids: bool = True,
 ) -> DataFrame:
     """Corpus-wide exact SEGMENT dedup — the RefinedWeb / MassiveText
     "remove duplicated paragraphs/lines, keep the documents" pass that
@@ -555,6 +556,10 @@ def dedup_segments(
     Document ids must be unique — a duplicate id raises at execution time
     (via an id-only broadcast check) instead of silently interleaving two
     documents' segments into one reassembled text.
+    ``check_unique_ids=False`` skips that guard — an extra id-only corpus
+    aggregation per call — for pipelines that already validated id
+    uniqueness upstream (e.g. a nightly rerun whose ids come from a
+    uniqueness-enforcing store); the default stays loud.
     """
     for col, what in [(text_column, "text"), (id_column, "id")]:
         if col not in df.columns:
@@ -599,16 +604,21 @@ def dedup_segments(
     # pack_chunks): duplicate ids would interleave two documents' segments
     # into one reassembled text and double join rows — corrupt silently.
     # The check is an id-only aggregation (map-side combined, shuffles
-    # distinct ids, never text) broadcast back onto the output.
-    dup_ids = (
-        df.where(F.col(id_column).isNotNull())
-        .groupBy(id_column)
-        .agg(F.count(F.lit(1)).alias("__n_rows"))
-        .where(F.col("__n_rows") > 1)
-    )
-    out = df.join(assembled, on=id_column, how="left").join(
-        F.broadcast(dup_ids), on=id_column, how="left",
-    )
+    # distinct ids, never text) broadcast back onto the output — limit()ed
+    # so a pervasively-duplicated corpus still fails by raising on the
+    # first matched id rather than OOMing the broadcast itself.
+    out = df.join(assembled, on=id_column, how="left")
+    if check_unique_ids:
+        dup_ids = (
+            df.where(F.col(id_column).isNotNull())
+            .groupBy(id_column)
+            .agg(F.count(F.lit(1)).alias("__n_rows"))
+            .where(F.col("__n_rows") > 1)
+            .limit(1000)
+        )
+        out = out.join(F.broadcast(dup_ids), on=id_column, how="left")
+    else:
+        out = out.withColumn("__n_rows", F.lit(None).cast("bigint"))
     n_kept = F.when(
         text.isNotNull() & F.col(id_column).isNotNull(),
         F.coalesce(F.col("__n_kept"), F.lit(0)),

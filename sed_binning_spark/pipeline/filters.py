@@ -63,12 +63,16 @@ def filter_by_blocklist(
     semi/anti join. Domain with a literal-sized sequence (≤
     ``LITERAL_WORDLIST_MAX``): the list is inlined and the suffix test
     runs in codegen — map-only, no join at all. Domain with a DataFrame
-    (or larger) blocklist: a broadcast nested-loop semi/anti join on
-    ``array_contains(suffixes, entry)`` — still one corpus pass and no
-    shuffle; per-row cost is linear in the blocklist size, so pass giant
-    lists as a DataFrame deliberately. NULL values never match, so NULL
-    rows survive the filter form; route them explicitly if a missing key
-    should block.
+    (or larger) blocklist: one broadcast HASH equi-join per distinct
+    label depth present in the blocklist (real domain lists have 2-3 —
+    ``evil.com`` vs ``ads.evil.com``), each probing the row's
+    same-depth suffix in O(1); per-row cost is independent of blocklist
+    size, the corpus never shuffles, and a giant list costs only its
+    broadcast. NULL values never match, so NULL rows survive the filter
+    form; route them explicitly if a missing key should block. Both
+    domain paths normalize entries identically (spaces trimmed, one
+    trailing dot removed, case-folded, empties dropped), so the plan
+    choice can never change results.
     """
     if column not in df.columns:
         raise ValueError(
@@ -114,10 +118,20 @@ def filter_by_blocklist(
     )
 
     if not isinstance(blocked, DataFrame) and len(blocked) <= LITERAL_WORDLIST_MAX:
-        # map-only: inlined list, suffix membership in codegen, no join
-        vocab = sorted({
-            v.strip().lower().rstrip(".") for v in blocked if v and v.strip(".")
-        })
+        # map-only: inlined list, suffix membership in codegen, no join.
+        # Normalization is the exact Python twin of _norm: trim SPACES
+        # only (F.trim semantics, not str.strip's all-whitespace), fold
+        # case, remove exactly ONE trailing dot, drop empties.
+        vocab = set()
+        for v in blocked:
+            if v is None:
+                continue
+            w = str(v).strip(" ").lower()
+            if w.endswith("."):
+                w = w[:-1]
+            if w:
+                vocab.add(w)
+        vocab = sorted(vocab)
         if not vocab:
             raise ValueError("domain blocklist is empty")
         lit = F.array(*[F.lit(w) for w in vocab])
@@ -126,18 +140,55 @@ def filter_by_blocklist(
         )
         return df.where(~is_hit if anti else is_hit)
 
-    # one corpus pass, broadcast nested-loop semi/anti: each row tests its
-    # suffix array against the broadcast entries — no second scan of df,
-    # no shuffle (the double-scan distinct/join formulation this replaces
-    # read the corpus twice)
+    # one corpus pass, one broadcast HASH equi-join per distinct label
+    # depth in the blocklist: a host's depth-d suffix can only equal a
+    # depth-d entry, so each join probes a hash table in O(1) — never a
+    # BroadcastNestedLoopJoin scanning the whole list per row. The depth
+    # probe aggregates only the (small) blocklist side at plan time; the
+    # corpus never shuffles. Entries are distinct per depth, so the left
+    # joins preserve row count exactly.
     if isinstance(blocked, DataFrame):
         bl = blocked.toDF("__bl")
     else:
         bl = df.sparkSession.createDataFrame([(v,) for v in blocked], "__bl string")
-    bl = bl.select(_norm(F.col("__bl").cast("string")).alias("__bl")).distinct()
-    return df.join(
-        F.broadcast(bl), on=F.array_contains(suffixes, bl["__bl"]), how=how,
+    bl = (
+        bl.select(_norm(F.col("__bl").cast("string")).alias("__bl"))
+        .where(F.col("__bl") != "")
+        .distinct()
+        .withColumn("__d", F.size(F.split(F.col("__bl"), r"\.")))
     )
+    depths = sorted(r[0] for r in bl.select("__d").distinct().collect())
+    if len(depths) > 64:
+        raise ValueError(
+            f"domain blocklist has {len(depths)} distinct label depths — "
+            "not a hostname blocklist; use match='exact'",
+        )
+    joined = df
+    hit_cols: list[str] = []
+    for d in depths:
+        sfx, key, mk = f"__sfx{d}", f"__blkey{d}", f"__blhit{d}"
+        while sfx in joined.columns or key in joined.columns or mk in joined.columns:
+            sfx, key, mk = "_" + sfx, "_" + key, "_" + mk
+        bld = bl.where(F.col("__d") == d).select(
+            F.col("__bl").alias(key), F.lit(True).alias(mk),
+        )
+        joined = (
+            joined.withColumn(
+                sfx,
+                F.when(
+                    n_lab >= d,
+                    F.array_join(F.slice(labels, n_lab - d + 1, d), "."),
+                ),
+            )
+            .join(F.broadcast(bld), on=F.col(sfx) == F.col(key), how="left")
+            .drop(sfx, key)
+        )
+        hit_cols.append(mk)
+    if hit_cols:
+        is_hit = F.coalesce(*[F.col(c) for c in hit_cols], F.lit(False))
+    else:
+        is_hit = F.lit(False)
+    return joined.where(~is_hit if anti else is_hit).drop(*hit_cols)
 
 
 def badword_stats(
@@ -157,8 +208,13 @@ def badword_stats(
     NULL text yields NULL stats (the text-family convention), and so does
     a NULL id: the document grain is the id, and the join path cannot
     attribute counts to an unidentifiable row — the literal path pins the
-    same NULL so the two methods are interchangeable on ANY input (an
-    'auto' flip at the list-size cutoff must never change results).
+    same NULL so the two methods agree row for row on every input they
+    both accept. Duplicate ids break that: the join path's ``groupBy(id)``
+    would credit each row with the id's COMBINED count, so it enforces the
+    unique-id contract loudly (``raise_error`` via an id-only broadcast
+    check, the pack_chunks posture) — an 'auto' flip at the list-size
+    cutoff therefore either matches the literal result exactly or raises;
+    it can never silently change scores.
     ``method='literal'`` inlines the (lowercased, deduplicated) list as
     an array literal — map-only, refused above ``LITERAL_WORDLIST_MAX``
     entries; ``'join'`` explodes tokens against a broadcast word table
@@ -202,6 +258,16 @@ def badword_stats(
         wtab = F.broadcast(
             spark.createDataFrame([(w,) for w in vocab], "__bw string"),
         )
+        # unique-id guard: groupBy(id) would credit each duplicate-id row
+        # with the COMBINED count — raise instead of silently diverging
+        # from the literal path. Id-only aggregation, limit()ed broadcast.
+        dup_ids = (
+            df.where(rid.isNotNull())
+            .groupBy(id_column)
+            .agg(F.count(F.lit(1)).alias("__n_dup"))
+            .where(F.col("__n_dup") > 1)
+            .limit(1000)
+        )
         hits = (
             df.where(scored_row)
             .select(rid, F.explode(toks).alias("__tok"))
@@ -209,10 +275,25 @@ def badword_stats(
             .groupBy(id_column)
             .agg(F.count(F.lit(1)).alias("__n_bad"))
         )
-        out = df.join(hits, on=id_column, how="left").withColumn(
-            "n_badword_tokens",
-            F.when(scored_row, F.coalesce(F.col("__n_bad"), F.lit(0))),
-        ).drop("__n_bad")
+        out = (
+            df.join(hits, on=id_column, how="left")
+            .join(F.broadcast(dup_ids), on=id_column, how="left")
+            .withColumn(
+                "n_badword_tokens",
+                F.when(
+                    F.col("__n_dup").isNotNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit("badword_stats: duplicate document id "),
+                            rid.cast("string"),
+                            F.lit(" violates the unique-id contract of "
+                                  "the join method"),
+                        ),
+                    ).cast("bigint"),
+                ).when(scored_row, F.coalesce(F.col("__n_bad"), F.lit(0))),
+            )
+            .drop("__n_bad", "__n_dup")
+        )
     return out.withColumn(
         "badword_frac",
         F.when(

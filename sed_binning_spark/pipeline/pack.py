@@ -195,6 +195,7 @@ def pack_sequences(
     text_column: str = "text",
     id_column: str = "doc_id",
     token_array_column: str | None = None,
+    check_unique_ids: bool = True,
 ) -> DataFrame:
     """Assemble the actual training sequences from a :func:`pack_chunks`
     manifest — the "writer" half of concat-and-chunk:
@@ -217,10 +218,19 @@ def pack_sequences(
     one ``groupBy(shard, seq_id)`` whose sorted ``collect_list`` rebuilds
     the sequence deterministically on any layout. No window, no driver
     state; sequence rows are bounded by ``seq_tokens`` elements each.
+
+    ``check_unique_ids=False`` skips the duplicate-id guard — an id-only
+    aggregation over ``docs`` plus a broadcast join — for pipelines that
+    have already validated id uniqueness upstream (e.g. a nightly rerun
+    after :func:`pack_chunks`, whose own guard raised on the same
+    contract). The default stays loud. The tokenization-mismatch guard
+    (token array length ≠ the manifest's ``n_tokens``, in EITHER
+    direction) is row-local and always on.
     """
     for col, what, frame in [
         (id_column, "id", manifest),
         ("slice_start", "slice_start", manifest),
+        ("n_tokens", "n_tokens", manifest),
         (id_column, "id", docs),
     ]:
         if col not in frame.columns:
@@ -247,22 +257,48 @@ def pack_sequences(
     # loud guards (the pack_chunks posture — corrupt training sequences
     # must never ship silently): a manifest doc missing from `docs` would
     # leave a hole, a duplicate id would duplicate its slice, and a token
-    # array shorter than the laid-out count (wrong tokenization passed to
-    # one of the two calls) would silently clamp. The dup check is an
-    # id-only aggregation broadcast back; the others are row-local.
-    dup_ids = (
-        token_side.groupBy(id_column)
-        .agg(F.count(F.lit(1)).alias("__n_rows"))
-        .where(F.col("__n_rows") > 1)
-    )
+    # array whose length differs from the laid-out n_tokens — in EITHER
+    # direction: shorter silently clamps, longer silently drops the
+    # document's tail — means a different tokenization reached the two
+    # calls. The dup check is an id-only aggregation broadcast back
+    # (limit()ed so a pervasively-duplicated corpus fails by raising, not
+    # by OOMing the broadcast); the others are row-local.
     # slice() is 1-based; the manifest's slice_start is 0-based
     cut = F.slice(
         F.col("__toks"),
         (F.col("slice_start") + 1).cast("int"),
         F.col("slice_len").cast("int"),
     )
-    checked = (
-        F.when(
+    checked = F.when(
+        F.col("__toks").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("pack_sequences: document "),
+                F.col(id_column).cast("string"),
+                F.lit(" is in the manifest but missing from docs "
+                      "(or has NULL tokens)"),
+            ),
+        ).cast(tok_type),
+    ).when(
+        F.size(F.col("__toks")).cast("bigint") != F.col("n_tokens"),
+        F.raise_error(
+            F.concat(
+                F.lit("pack_sequences: document "),
+                F.col(id_column).cast("string"),
+                F.lit(" token array length does not match the manifest's "
+                      "n_tokens layout — pass the SAME tokenization to "
+                      "pack_chunks and pack_sequences"),
+            ),
+        ).cast(tok_type),
+    ).otherwise(cut)
+    if check_unique_ids:
+        dup_ids = (
+            token_side.groupBy(id_column)
+            .agg(F.count(F.lit(1)).alias("__n_rows"))
+            .where(F.col("__n_rows") > 1)
+            .limit(1000)
+        )
+        checked = F.when(
             F.col("__n_rows").isNotNull(),
             F.raise_error(
                 F.concat(
@@ -271,36 +307,12 @@ def pack_sequences(
                     F.lit(" in docs"),
                 ),
             ).cast(tok_type),
-        )
-        .when(
-            F.col("__toks").isNull(),
-            F.raise_error(
-                F.concat(
-                    F.lit("pack_sequences: document "),
-                    F.col(id_column).cast("string"),
-                    F.lit(" is in the manifest but missing from docs "
-                          "(or has NULL tokens)"),
-                ),
-            ).cast(tok_type),
-        )
-        .when(
-            F.size(cut) != F.col("slice_len"),
-            F.raise_error(
-                F.concat(
-                    F.lit("pack_sequences: document "),
-                    F.col(id_column).cast("string"),
-                    F.lit(" token array is shorter than the manifest's "
-                          "layout — pass the SAME tokenization to "
-                          "pack_chunks and pack_sequences"),
-                ),
-            ).cast(tok_type),
-        )
-        .otherwise(cut)
-    )
-    sliced = (
-        manifest.join(token_side, on=id_column, how="left")
-        .join(F.broadcast(dup_ids), on=id_column, how="left")
-        .select("shard", "seq_id", "seq_offset", checked.alias("__slice"))
+        ).otherwise(checked)
+    joined = manifest.join(token_side, on=id_column, how="left")
+    if check_unique_ids:
+        joined = joined.join(F.broadcast(dup_ids), on=id_column, how="left")
+    sliced = joined.select(
+        "shard", "seq_id", "seq_offset", checked.alias("__slice"),
     )
     return (
         sliced.groupBy("shard", "seq_id")

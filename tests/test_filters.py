@@ -251,6 +251,100 @@ def test_domain_mode_normalizes_fqdn_dots_and_methods_agree(spark):
         assert via_literal == via_df == {3, 4}, bl
 
 
+def test_domain_dataframe_path_is_hash_join_and_matches_literal(spark):
+    """The DataFrame/large-list domain path must plan BroadcastHashJoin
+    equi-joins (one per distinct entry depth), never a
+    BroadcastNestedLoopJoin scanning the whole list per row — and must
+    agree with the literal path row for row on NULL / FQDN / nested
+    subdomain / odd-whitespace corpora."""
+    rows = [
+        (1, "www.evil.com"),
+        (2, "evil.com"),
+        (3, "notevil.com"),
+        (4, "evil.com.safe.org"),
+        (5, "a.b.deep.sub.evil.com"),
+        (6, None),
+        (7, "good.org."),
+        (8, "ADS.Tracker.NET"),
+        (9, ""),
+        (10, "tracker.net"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    bl = ["evil.com", "ads.tracker.net.", " Good.ORG ", "evil.com..", ""]
+    bdf = spark.createDataFrame([(v,) for v in bl], "v string")
+
+    out = filter_by_blocklist(df, bdf, "host", match="domain")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+    via_df = {r.doc_id for r in out.collect()}
+    via_lit = {
+        r.doc_id
+        for r in filter_by_blocklist(df, bl, "host", match="domain").collect()
+    }
+    # evil.com blocks 1,2,5; ads.tracker.net blocks 8 (depth 3, not 10);
+    # good.org (trimmed) blocks 7 (FQDN); 'evil.com..' normalizes to
+    # 'evil.com.' and matches nothing; '' is dropped from the list
+    assert via_df == via_lit == {3, 4, 6, 9, 10}
+    audit_df = {
+        r.doc_id
+        for r in filter_by_blocklist(
+            df, bdf, "host", keep="blocked", match="domain",
+        ).collect()
+    }
+    audit_lit = {
+        r.doc_id
+        for r in filter_by_blocklist(
+            df, bl, "host", keep="blocked", match="domain",
+        ).collect()
+    }
+    assert audit_df == audit_lit == {1, 2, 5, 7, 8}
+    # row count preserved exactly (filter + audit partition the corpus)
+    assert len(via_df) + len(audit_df) == len(rows)
+
+
+def test_domain_paths_normalize_entries_identically(spark):
+    """ADVICE r7: tab-padded entries and multi-trailing-dot entries must
+    match the same rows on both plan paths (trim spaces only, remove
+    exactly one trailing dot) — the list-size plan flip can never change
+    results."""
+    rows = [(1, "evil.com"), (2, "evil.com."), (3, "x.evil.com"), (4, "\tevil.com")]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    for entry in ["evil.com", " evil.com. ", "evil.com..", "\tevil.com"]:
+        bdf = spark.createDataFrame([(entry,)], "v string")
+        via_lit = {
+            r.doc_id
+            for r in filter_by_blocklist(df, [entry], "host", match="domain").collect()
+        }
+        via_df = {
+            r.doc_id
+            for r in filter_by_blocklist(df, bdf, "host", match="domain").collect()
+        }
+        assert via_lit == via_df, entry
+
+
+def test_badword_join_method_raises_on_duplicate_ids(spark):
+    """ADVICE r7: the join path's groupBy(id) would credit a duplicated
+    id's rows with the combined count — it must raise instead, so the
+    'auto' plan flip can never silently change scores."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException, SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(1, "bad text"), (1, "clean here"), (2, "fine")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(
+        (Py4JJavaError, SparkRuntimeException, PythonException),
+        match="duplicate document id",
+    ):
+        badword_stats(df, BAD, method="join").collect()
+    # the literal path scores per row and accepts the same corpus
+    got = badword_stats(df, BAD, method="literal").collect()
+    assert len(got) == 3
+
+
 def test_blocklist_survives_colliding_temp_column(spark):
     """A corpus frame that already has a '__bl' column must not break the
     qualified join references."""

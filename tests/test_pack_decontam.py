@@ -443,8 +443,9 @@ def test_pack_sequences_validation(spark):
 
 def test_pack_sequences_guards_fail_loudly(spark):
     """Manifest/docs mismatches must raise, never ship corrupt sequences:
-    a doc missing from docs, a token array shorter than the layout
-    (mismatched tokenization), and a duplicated doc id."""
+    a doc missing from docs, a token array shorter OR longer than the
+    layout (mismatched tokenization in either direction), and a
+    duplicated doc id."""
     from py4j.protocol import Py4JJavaError
     from pyspark.errors import PythonException, SparkRuntimeException
 
@@ -459,11 +460,53 @@ def test_pack_sequences_guards_fail_loudly(spark):
     short = df.withColumn(
         "toks", F.slice(F.split(F.trim("text"), r"\s+"), 1, 2),
     )
-    with pytest.raises(SparkErrs, match="shorter than the manifest"):
+    with pytest.raises(SparkErrs, match="does not match the manifest"):
         pack_sequences(man, short, token_array_column="toks").collect()
+
+    # LONGER than the layout must raise too: the old one-sided size(cut)
+    # check passed silently and dropped each document's tail tokens
+    longer = df.withColumn(
+        "toks",
+        F.concat(F.split(F.trim("text"), r"\s+"), F.array(F.lit("x"), F.lit("y"))),
+    )
+    with pytest.raises(SparkErrs, match="does not match the manifest"):
+        pack_sequences(man, longer, token_array_column="toks").collect()
 
     with pytest.raises(SparkErrs, match="duplicate document id"):
         pack_sequences(man, df.union(df.where("doc_id = 1"))).collect()
+
+
+def test_pack_sequences_check_unique_ids_flag(spark):
+    """check_unique_ids=False skips the id-only guard aggregation (no
+    groupBy over docs ids in the plan) but assembles identically on a
+    valid corpus; the other guards stay on."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException, SparkRuntimeException
+
+    df = _docs_df(spark, ROWS)
+    man = pack_chunks(df, 8, n_shards=2)
+    guarded = pack_sequences(man, df)
+    unguarded = pack_sequences(man, df, check_unique_ids=False)
+    assert sorted(
+        (r.shard, r.seq_id, tuple(r.tokens), r.n_docs, r.n_tokens)
+        for r in guarded.collect()
+    ) == sorted(
+        (r.shard, r.seq_id, tuple(r.tokens), r.n_docs, r.n_tokens)
+        for r in unguarded.collect()
+    )
+    # the guard is one extra aggregate pair (partial+final) over ids —
+    # absent when disabled
+    on = guarded._jdf.queryExecution().executedPlan().toString()
+    off = unguarded._jdf.queryExecution().executedPlan().toString()
+    assert on.count("HashAggregate") > off.count("HashAggregate")
+    # missing-doc guard still fires without the dup check
+    with pytest.raises(
+        (Py4JJavaError, SparkRuntimeException, PythonException),
+        match="missing from docs",
+    ):
+        pack_sequences(
+            man, df.where("doc_id <> 3"), check_unique_ids=False,
+        ).collect()
 
 
 # ---------------------------------------------------------------------------

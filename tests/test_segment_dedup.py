@@ -227,3 +227,23 @@ def test_duplicate_ids_fail_loudly(spark):
         match="duplicate document id",
     ):
         dedup_segments(df).collect()
+
+
+def test_check_unique_ids_flag_skips_the_guard_aggregation(spark):
+    """check_unique_ids=False drops the id-only guard pass (one fewer
+    aggregate pair in the plan) and returns identical results on a valid
+    corpus — the escape hatch for pipelines that validated ids upstream."""
+    df = spark.createDataFrame(
+        [(1, "aa\n\nbb"), (2, "aa\n\ncc"), (3, None)],
+        "doc_id long, text string",
+    )
+    guarded = dedup_segments(df)
+    unguarded = dedup_segments(df, check_unique_ids=False)
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, unguarded.collect()),
+    )
+    on = guarded._jdf.queryExecution().executedPlan().toString()
+    off = unguarded._jdf.queryExecution().executedPlan().toString()
+    assert on.count("HashAggregate") > off.count("HashAggregate")
+    # with the flag off, the guard branch constant-folds away entirely
+    assert "raise_error" not in off.lower()
