@@ -1143,14 +1143,37 @@ def _q_pulse_projection(spark, sf):
 
 
 def _q_storage_roundtrip(spark, sf):
-    """S9: combined-parquet save + load round-trip — the returned frame is
-    what a later session would read back.
+    """S9+S8+J7 merged: combined-parquet save + load round-trip, the
+    write-once buffer cache with schema validation, and the multi-path
+    file concat — the returned frame is what a later session would read
+    back from BOTH copies of the buffer.
 
-    The target path is keyed on (sf dir, pid): two processes (driver gate +
-    selfcheck) or two sf dirs in one session never overwrite each other
+    - S9 (save/load): the first ``buffer_parquet`` call force-builds the
+      dataset via ``save_parquet``'s writer path (reference
+      sed/core/dfops.py save semantics).
+    - S8 (buffer cache, reference sed/loader/flash/loader.py:643-742):
+      the second call's builder RAISES if invoked — returning data at all
+      proves the cache hit — and ``expected_columns`` routes the read
+      through ``validate_buffer_schema`` (success path). The mismatch
+      path (stale buffer from an older channel config) is exercised
+      in-query: the emitted ``buffer_ok`` column is only True when a
+      wrong-schema validation raised ValueError with the reference's
+      force_recreate guidance.
+    - J7 (file concat, reference sed/loader/*/loader.py multi-file read):
+      the buffer directory is copied and BOTH paths are read through
+      ``GenericLoader`` in one scan; ``file_id`` attributes every row to
+      its source file, so the oracle's UNION ALL verifies the concat
+      row-for-row.
+
+    The target path is keyed on (sf dir, pid): two processes (driver gate
+    + selfcheck) or two sf dirs in one session never overwrite each other
     while a lazy reader is still open on the path. Size is bounded: each
     (pid, sf) pair reuses its one overwrite-mode dataset."""
     import hashlib
+    import shutil
+
+    from sed_binning_spark.loaders.flash import buffer_parquet, validate_buffer_schema
+    from sed_binning_spark.loaders.generic import GenericLoader
 
     ev = _events(spark, sf).select("event_id", "user_id", "value")
     tag = hashlib.md5(sf.encode()).hexdigest()[:8]
@@ -1158,8 +1181,31 @@ def _q_storage_roundtrip(spark, sf):
         tempfile.gettempdir(),
         f"sed_binning_spark_s9_{tag}_{os.getpid()}.parquet",
     )
-    save_parquet(ev, path)
-    return load_parquet(spark, path)
+    buffer_parquet(lambda: ev, path, spark, force_recreate=True)
+
+    def _must_not_build():
+        raise AssertionError("buffer cache miss on an existing buffer")
+
+    cached = buffer_parquet(
+        _must_not_build, path, spark,
+        expected_columns=["event_id", "user_id", "value"],
+    )
+    ok = False
+    try:
+        validate_buffer_schema(cached, ["event_id", "user_id", "dldPosX"])
+    except ValueError as exc:
+        ok = "force_recreate" in str(exc) and "dldPosX" in str(exc)
+
+    path2 = path[:-8] + "_copy.parquet"
+    shutil.rmtree(path2, ignore_errors=True)
+    shutil.copytree(path, path2)
+    df, _, meta = GenericLoader(spark).read_dataframe(files=[path, path2])
+    assert meta["file_statistics"]["num_files"] == 2
+    return df.select(
+        "event_id", "user_id", "value",
+        F.col("file_id").alias("src_file"),
+        F.lit(bool(ok)).alias("buffer_ok"),
+    )
 
 
 def _q_jaccard_pairs(spark, sf):
@@ -1861,10 +1907,14 @@ def oracle_sql() -> dict[str, str]:
             f"ADC AS pulseADC FROM ({_EV_SQL})) "
             f"WHERE electronId = 0 OR electronId IS NULL OR isnan(electronId)"
         ),
-        # round-trip identity: what load_parquet reads back must equal the
-        # frame save_parquet was given
+        # round-trip identity: what the buffer cache reads back must equal
+        # the frame it was given — twice, once per concatenated path, with
+        # file attribution; buffer_ok pins the S8 schema-validation raise
         "storage_roundtrip": (
-            f"SELECT event_id, user_id, value FROM ({_EV_SQL})"
+            f"SELECT event_id, user_id, value, 0 AS src_file, TRUE AS buffer_ok "
+            f"FROM ({_EV_SQL}) UNION ALL "
+            f"SELECT event_id, user_id, value, 1 AS src_file, TRUE AS buffer_ok "
+            f"FROM ({_EV_SQL})"
         ),
         "jaccard_pairs": (
             f"SELECT p.id_a, p.id_b, round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"

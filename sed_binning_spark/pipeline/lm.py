@@ -57,16 +57,42 @@ def _lm_grams(text, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _array_grams(arr, n: int):
+    """Gram stream over a PRECOMPUTED token array (a real tokenizer's
+    output — BPE ids or subword strings): elements stringified, n-grams
+    joined on the unit separator (token strings may themselves contain
+    spaces, unlike the whitespace-tokenizer path). Same no-full-n-gram
+    gate as :func:`_lm_grams`; a NULL array emits no events."""
+    a = F.transform(arr, lambda x: x.cast("string"))
+    if n == 1:
+        return a
+    m = F.size(a)
+    return F.when(
+        m >= n,
+        F.transform(
+            F.sequence(F.lit(1), m - n + 1),
+            lambda i: F.array_join(F.slice(a, i, n), "\x1f"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def unigram_model(
     df: DataFrame,
     text_column: str = "text",
     min_count: int = 1,
     n: int = 1,
+    token_array_column: str | None = None,
 ) -> DataFrame:
     """Gram occurrence counts ``(token, n)`` over the corpus — unigrams
     by default, word n-grams with ``n > 1`` (a bigram model is a much
     sharper fluency proxy at ~vocabulary² model size; the scoring
     machinery is identical).
+
+    ``token_array_column`` names a precomputed tokenizer output
+    (``array<int>`` BPE ids or ``array<string>`` subwords) to build the
+    model over instead of the whitespace tokenization of ``text_column``
+    — the production hook for scoring with a real tokenizer's vocabulary
+    (pass the SAME column to :func:`unigram_logprob`).
 
     One shuffle (``groupBy(token)``, partial-aggregated map-side). Grams
     with fewer than ``min_count`` occurrences are dropped from the model
@@ -74,7 +100,13 @@ def unigram_model(
     heavy-tailed corpora and makes hapax junk look improbable (prune
     harder as ``n`` grows).
     """
-    if text_column not in df.columns:
+    if token_array_column is not None:
+        if token_array_column not in df.columns:
+            raise ValueError(
+                f"token array column {token_array_column!r} not in dataframe "
+                f"(columns: {df.columns})",
+            )
+    elif text_column not in df.columns:
         raise ValueError(
             f"text column {text_column!r} not in dataframe (columns: {df.columns})",
         )
@@ -82,8 +114,13 @@ def unigram_model(
         raise ValueError(f"min_count must be positive, got {min_count}")
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    grams = (
+        _array_grams(F.col(token_array_column), n)
+        if token_array_column is not None
+        else _lm_grams(F.col(text_column), n)
+    )
     model = (
-        df.select(F.explode(_lm_grams(F.col(text_column), n)).alias("token"))
+        df.select(F.explode(grams).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -102,6 +139,7 @@ def unigram_logprob(
     broadcast_model: bool = True,
     output_column: str = "unigram_logprob",
     n: int = 1,
+    token_array_column: str | None = None,
 ) -> DataFrame:
     """Append the per-document mean gram log-probability under an
     add-``alpha`` (Laplace) n-gram model (unigram by default).
@@ -120,12 +158,23 @@ def unigram_logprob(
     ``broadcast_model=True`` broadcast-joins the gram LUT (right for
     pruned vocabularies up to ~100M entries); set it False to let the
     optimizer pick a shuffle join for giant models.
+
+    ``token_array_column`` scores a precomputed tokenizer output instead
+    of the whitespace tokens of ``text_column`` (see
+    :func:`unigram_model`); a NULL array yields a NULL score, like NULL
+    text on the text path.
     """
     if id_column not in docs.columns:
         raise ValueError(
             f"id column {id_column!r} not in dataframe (columns: {docs.columns})",
         )
-    if text_column not in docs.columns:
+    if token_array_column is not None:
+        if token_array_column not in docs.columns:
+            raise ValueError(
+                f"token array column {token_array_column!r} not in dataframe "
+                f"(columns: {docs.columns})",
+            )
+    elif text_column not in docs.columns:
         raise ValueError(
             f"text column {text_column!r} not in dataframe (columns: {docs.columns})",
         )
@@ -134,7 +183,10 @@ def unigram_logprob(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if model is None:
-        model = unigram_model(docs, text_column, min_count=min_count, n=n)
+        model = unigram_model(
+            docs, text_column, min_count=min_count, n=n,
+            token_array_column=token_array_column,
+        )
     if "token" not in model.columns or "n" not in model.columns:
         raise ValueError(
             f"model must have (token, n) columns, got {model.columns}",
@@ -161,9 +213,14 @@ def unigram_logprob(
         lut = F.broadcast(lut)
     oov_micro = F.round(F.log(F.lit(float(alpha)) / denom) * 1e6).cast("long")
 
+    doc_grams = (
+        _array_grams(F.col(token_array_column), n)
+        if token_array_column is not None
+        else _lm_grams(F.col(text_column), n)
+    )
     toks = docs.select(
         F.col(id_column),
-        F.explode(_lm_grams(F.col(text_column), n)).alias("token"),
+        F.explode(doc_grams).alias("token"),
     ).crossJoin(totals)
     scored = (
         toks.join(lut, "token", "left")
