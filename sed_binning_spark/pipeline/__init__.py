@@ -83,7 +83,11 @@ from sed_binning_spark.pipeline.filters import (
     filter_badwords,
     filter_by_blocklist,
 )
-from sed_binning_spark.pipeline.lm import unigram_logprob, unigram_model
+from sed_binning_spark.pipeline.lm import (
+    unigram_logprob,
+    unigram_logprob_rowwise,
+    unigram_model,
+)
 from sed_binning_spark.pipeline.similarity import ivf_topk, ivf_train_centroids
 from sed_binning_spark.pipeline.text import (
     document_fingerprint,
@@ -137,6 +141,7 @@ __all__ = [
     "decontaminate",
     "unigram_model",
     "unigram_logprob",
+    "unigram_logprob_rowwise",
     "badword_stats",
     "filter_badwords",
     "filter_by_blocklist",

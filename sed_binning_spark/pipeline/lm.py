@@ -236,3 +236,90 @@ def unigram_logprob(
         )
     )
     return docs.join(scored, on=id_column, how="left")
+
+
+def unigram_logprob_rowwise(
+    docs: DataFrame,
+    model: DataFrame,
+    text_column: str = "text",
+    alpha: float = 1.0,
+    output_column: str = "unigram_logprob",
+    n: int = 1,
+    token_array_column: str | None = None,
+) -> DataFrame:
+    """Row-local LM scoring against a PRECOMPUTED model — the map-only
+    twin of :func:`unigram_logprob` for frames where a ``groupBy(id)``
+    is unavailable or unwanted: STREAMING ingest gates (a streaming
+    aggregation would need a watermark and holds state; this is
+    stateless and append-safe, so ``readStream → score → filter →
+    writeStream`` just works) and batch corpora where one row IS one
+    document and the extra exchange isn't worth it.
+
+    Same score, bit-for-bit: gram extraction stays JVM-side (the exact
+    ``_lm_grams``/``_array_grams`` expressions — tokenization dialects
+    never enter Python), and the Arrow-batched UDF only looks each gram
+    up in the broadcast ``token → micro-nat`` table and integer-sums,
+    reproducing ``unigram_logprob``'s quantized mean exactly (pinned by
+    the batch-equivalence tests). The model LUT is collected and
+    broadcast — the same pruned-vocabulary contract as
+    ``broadcast_model=True``; self-scoring is impossible here by
+    construction (a stream cannot aggregate its own future), so
+    ``model`` is required.
+    """
+    import math
+
+    import pandas as pd
+
+    if token_array_column is not None:
+        if token_array_column not in docs.columns:
+            raise ValueError(
+                f"token array column {token_array_column!r} not in dataframe "
+                f"(columns: {docs.columns})",
+            )
+    elif text_column not in docs.columns:
+        raise ValueError(
+            f"text column {text_column!r} not in dataframe (columns: {docs.columns})",
+        )
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if "token" not in model.columns or "n" not in model.columns:
+        raise ValueError(
+            f"model must have (token, n) columns, got {model.columns}",
+        )
+
+    rows = model.select("token", "n").collect()  # pruned-vocab contract
+    total = float(sum(r["n"] for r in rows))
+    vocab = float(len(rows))
+    denom = total + float(alpha) * (vocab + 1.0)
+
+    def _micro(p: float) -> int:
+        # HALF_UP like F.round: ln p < 0 always (p < 1 by construction)
+        return -int(math.floor(-math.log(p) * 1e6 + 0.5))
+
+    lut = {r["token"]: _micro((r["n"] + alpha) / denom) for r in rows}
+    oov = _micro(alpha / denom)
+    blut = docs.sparkSession.sparkContext.broadcast(lut)
+
+    def _score(grams: pd.Series) -> pd.Series:
+        tab = blut.value
+        out = []
+        for gs in grams:
+            if gs is None or len(gs) == 0:
+                out.append(None)
+                continue
+            s = 0
+            for g in gs:
+                s += tab.get(g, oov)
+            out.append(s / (len(gs) * 1e6))
+        return pd.Series(out, dtype="float64")
+
+    _score.__annotations__ = {"grams": pd.Series, "return": pd.Series}
+    score_udf = F.pandas_udf(_score, "double")
+    grams = (
+        _array_grams(F.col(token_array_column), n)
+        if token_array_column is not None
+        else _lm_grams(F.col(text_column), n)
+    )
+    return docs.withColumn(output_column, score_udf(grams))

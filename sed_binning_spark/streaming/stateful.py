@@ -337,3 +337,157 @@ def minhash_dedup_stream(
         *[f"band_{b}" for b in range(bands)],
         *[f"__dup_{b}" for b in range(bands)],
     )
+
+
+def _delay_to_ms(delay: str) -> int:
+    """Parse the common '10 minutes' CalendarInterval shorthand into ms
+    (seconds/minutes/hours/days — the units watermark delays use)."""
+    parts = delay.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"cannot parse delay {delay!r} (want 'N unit')")
+    n = float(parts[0])
+    unit = parts[1].rstrip("s").lower()
+    scale = {"millisecond": 1, "second": 1000, "minute": 60_000,
+             "hour": 3_600_000, "day": 86_400_000}.get(unit)
+    if scale is None:
+        raise ValueError(f"cannot parse delay unit in {delay!r}")
+    return int(n * scale)
+
+
+def dedup_segments_stream(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    granularity: str = "paragraph",
+    event_time_column: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of :func:`~sed_binning_spark.pipeline.dedup.
+    dedup_segments`' winner pass: emit each distinct segment's keep-first
+    occurrence as an ``(id, pos, seg)`` row — the surviving-segment stream.
+
+    State is keyed by the segment digest (``applyInPandasWithState``, one
+    'seen' flag per distinct segment): the first micro-batch containing a
+    segment emits exactly its min-``(id, pos)`` occurrence — the batch
+    operator's deterministic winner, partitioning- and replay-independent —
+    and every later sighting emits nothing. Drained over a bounded corpus
+    this equals the batch ``dedup_segments`` winner set exactly (the
+    batch-equivalence pin), modulo ARRIVAL order deciding "first" when the
+    same segment lands in two different micro-batches: a stream cannot know
+    a later chunk carried a smaller id, exactly like
+    ``exact_dedup_stream``'s contract.
+
+    Without ``event_time_column`` the per-segment state grows with the
+    number of distinct segments (bounded corpora only); with it, a state
+    entry is dropped once the watermark passes its LAST sighting plus
+    ``watermark_delay`` — the unbounded-stream form, deduplicating within
+    the horizon only (a boilerplate segment that keeps recurring keeps its
+    state alive, which is what boilerplate removal wants).
+
+    Rows with NULL id are excluded (they cannot reproducibly win — the
+    batch contract); blank segments are separator residue, not content.
+    Reassembly of surviving documents is a SINK-side batch concern:
+    :func:`reassemble_segments` on the drained output (a per-document
+    groupBy cannot follow per-segment state inside one streaming query
+    without a second stateful stage).
+    """
+    from pyspark.sql.types import IntegerType, LongType, StringType
+
+    from sed_binning_spark.pipeline.dedup import segment_array
+
+    for col, what in [(text_column, "text"), (id_column, "id")]:
+        if col not in df.columns:
+            raise ValueError(
+                f"{what} column {col!r} not in dataframe (columns: {df.columns})",
+            )
+    cols = [F.col(id_column)]
+    if event_time_column is not None:
+        if event_time_column not in df.columns:
+            raise ValueError(
+                f"event time column {event_time_column!r} not in dataframe "
+                f"(columns: {df.columns})",
+            )
+        cols.append(F.col(event_time_column))
+    segs = (
+        df.where(F.col(id_column).isNotNull())
+        .select(
+            *cols,
+            F.posexplode(segment_array(F.col(text_column), granularity)).alias(
+                "pos", "seg",
+            ),
+        )
+        .withColumn("__seg_d", F.md5(F.col("seg")))
+    )
+    if event_time_column is not None:
+        segs = segs.withWatermark(event_time_column, watermark_delay)
+        ttl_ms = _delay_to_ms(watermark_delay)
+
+    id_type = df.schema[id_column].dataType
+    out_schema = StructType([
+        StructField(id_column, id_type, True),
+        StructField("pos", IntegerType(), True),
+        StructField("seg", StringType(), True),
+    ])
+    state_schema = StructType([StructField("seen", IntegerType(), True)])
+    out_cols = [id_column, "pos", "seg"]
+    idc = id_column
+    timed = event_time_column is not None
+
+    etc = event_time_column
+
+    def _keep_first(key, pdf_iter, state):
+        if timed and state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if not state.exists and len(pdf):
+            order = pdf.sort_values([idc, "pos"], kind="mergesort")
+            yield order.iloc[[0]][out_cols]
+            state.update((1,))
+        # else: later sightings emit nothing — but still refresh below
+        if timed and len(pdf):
+            # refresh from the batch's max EVENT time on every sighting
+            # (recurring boilerplate stays deduped); anchored on event time
+            # — the current watermark is 0 on the first batch, which would
+            # expire everything immediately. max_event + ttl is always
+            # ahead of the watermark because the watermark itself trails
+            # max_event by the same delay.
+            ts_max = pd.Timestamp(pdf[etc].max())
+            state.setTimeoutTimestamp(int(ts_max.value // 1_000_000) + ttl_ms)
+
+    return segs.groupBy("__seg_d").applyInPandasWithState(
+        _keep_first,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout" if timed else "NoTimeout",
+    )
+
+
+def reassemble_segments(
+    winners: DataFrame,
+    id_column: str = "doc_id",
+    granularity: str = "paragraph",
+) -> DataFrame:
+    """Rebuild ``(id, text_dedup, n_kept)`` from a surviving-segment frame
+    — the sink-side batch half of :func:`dedup_segments_stream` (one
+    ``groupBy(id)``; ``array_sort(collect_list(struct(pos, seg)))`` makes
+    the rebuilt text independent of row order, exactly like the batch
+    operator's reassembly)."""
+    from sed_binning_spark.pipeline.dedup import _SEG_JOINERS
+
+    if granularity not in _SEG_JOINERS:
+        raise ValueError(
+            f"granularity must be one of {sorted(_SEG_JOINERS)}, "
+            f"got {granularity!r}",
+        )
+    return winners.groupBy(id_column).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            _SEG_JOINERS[granularity],
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )

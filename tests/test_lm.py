@@ -249,3 +249,59 @@ def test_bigram_scoring_matches_reference(spark):
         unigram_logprob(df, n=0)
     with pytest.raises(ValueError, match="n must be"):
         unigram_model(df, n=0)
+
+
+def test_rowwise_scoring_matches_the_aggregation_path(spark):
+    """unigram_logprob_rowwise (map-only, broadcast-LUT UDF) must equal
+    unigram_logprob (explode + join + groupBy) bit-for-bit on the same
+    external model — unigrams and bigrams, text and token-array paths,
+    NULL/short docs included."""
+    from sed_binning_spark.pipeline.lm import (
+        unigram_logprob,
+        unigram_logprob_rowwise,
+        unigram_model,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", [3, 1, 4, 1, 5]),
+            (2, "the dog", [9, 2]),
+            (3, "zz unseen words only", [42]),
+            (4, None, None),
+            (5, "", []),
+            (6, "single", [7]),
+        ],
+        "doc_id long, text string, ids array<int>",
+    )
+    ref = spark.createDataFrame(
+        [(1, "the cat sat on the mat and the dog sat", [3, 1, 4, 1, 5, 9, 2, 3, 1])],
+        "doc_id long, text string, ids array<int>",
+    )
+    for kwargs in (
+        {"n": 1},
+        {"n": 2},
+        {"n": 1, "token_array_column": "ids"},
+        {"n": 2, "token_array_column": "ids"},
+    ):
+        model = unigram_model(
+            ref, n=kwargs["n"],
+            token_array_column=kwargs.get("token_array_column"),
+        )
+        agg = {
+            r.doc_id: r.unigram_logprob
+            for r in unigram_logprob(docs, model=model, **kwargs).collect()
+        }
+        row = {
+            r.doc_id: r.unigram_logprob
+            for r in unigram_logprob_rowwise(docs, model, **kwargs).collect()
+        }
+        assert agg == row, kwargs
+
+
+def test_rowwise_requires_a_model_frame(spark):
+    from sed_binning_spark.pipeline.lm import unigram_logprob_rowwise
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    bad = spark.createDataFrame([("a", 1)], "word string, cnt long")
+    with pytest.raises(ValueError, match="token"):
+        unigram_logprob_rowwise(docs, bad)

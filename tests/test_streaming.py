@@ -498,3 +498,143 @@ def test_forward_fill_stream_global_multi_column_order(tmp_path, spark):
         .sort_values(["file_id", "row_id"]).reset_index(drop=True)
     )
     assert list(got["v"]) == [1.0, 1.0, 3.0, 3.0, 3.0]
+
+
+def test_dedup_segments_stream_matches_batch_winners(tmp_path, spark):
+    """Drained keep-first segment winners equal the batch dedup_segments
+    winner set when arrival order agrees with id order (crawl-order ids),
+    and sink-side reassembly rebuilds the batch operator's text_dedup."""
+    from sed_binning_spark.pipeline.dedup import dedup_segments
+    from sed_binning_spark.streaming import dedup_segments_stream, reassemble_segments
+
+    root = tmp_path / "segdd_in"
+    root.mkdir()
+    chunk0 = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["A\n\nB", "B\n\nC"],
+    })
+    chunk1 = pd.DataFrame({
+        "doc_id": [3, 4],
+        # A and C repeat from chunk 0; D and E are new; doc 4 also repeats
+        # its own paragraph (in-batch dup at a later pos)
+        "text": ["A\n\nD\n\nC", "E\n\nE"],
+    })
+    chunk0.to_parquet(root / "chunk_0.parquet")
+    chunk1.to_parquet(root / "chunk_1.parquet")
+
+    stream = stream_events(spark, str(root), max_files_per_trigger=1)
+    q = (
+        dedup_segments_stream(stream)
+        .writeStream.format("memory").queryName("segdd_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.pos, r.seg)
+        for r in spark.sql("SELECT * FROM segdd_stream").collect()
+    }
+    assert got == {
+        (1, 0, "A"), (1, 1, "B"), (2, 1, "C"), (3, 1, "D"), (4, 0, "E"),
+    }
+
+    # sink-side reassembly == the batch operator's text_dedup
+    batch = spark.createDataFrame(
+        pd.concat([chunk0, chunk1], ignore_index=True),
+    )
+    want = {
+        r.doc_id: r.text_dedup
+        for r in dedup_segments(batch).collect()
+        if r.n_kept > 0
+    }
+    winners = spark.sql("SELECT * FROM segdd_stream")
+    rebuilt = {
+        r.doc_id: r.text_dedup for r in reassemble_segments(winners).collect()
+    }
+    assert rebuilt == want
+
+
+def test_dedup_segments_stream_watermark_prunes_state(tmp_path, spark):
+    """With an event-time column, segment state expires once the watermark
+    passes its last sighting + delay: an old segment recurring AFTER the
+    horizon is emitted again (dedup within the horizon only)."""
+    from sed_binning_spark.streaming import dedup_segments_stream
+
+    root = tmp_path / "segttl_in"
+    root.mkdir()
+    # tz-aware (instant) timestamps: a watermark needs TIMESTAMP, and the
+    # parquet reader maps naive µs to TIMESTAMP_NTZ
+    t = pd.Timestamp("2026-01-01 10:00:00", tz="UTC")
+    mins = pd.Timedelta(minutes=1)
+    # X first seen at 10:00; later chunks advance the watermark (delay 10
+    # min) past X's horizon WITHOUT carrying X (state removal needs a
+    # batch where the timed-out group has no data), then X returns
+    chunks = [
+        pd.DataFrame({"doc_id": [1], "text": ["X"], "ts": [t]}),
+        pd.DataFrame({"doc_id": [2], "text": ["Y"], "ts": [t + 90 * mins]}),
+        pd.DataFrame({"doc_id": [3], "text": ["Z"], "ts": [t + 100 * mins]}),
+        pd.DataFrame({"doc_id": [4], "text": ["X"], "ts": [t + 110 * mins]}),
+    ]
+    for i, c in enumerate(chunks):
+        # µs timestamps: the engine session reads NANOS columns as bigint
+        # (nanosAsLong), which a watermark cannot ride on
+        c.to_parquet(
+            root / f"chunk_{i}.parquet",
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+
+    stream = stream_events(spark, str(root), max_files_per_trigger=1)
+    q = (
+        dedup_segments_stream(
+            stream, event_time_column="ts", watermark_delay="10 minutes",
+        )
+        .writeStream.format("memory").queryName("segttl_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.doc_id, r.seg)
+        for r in spark.sql("SELECT * FROM segttl_stream").collect()
+    )
+    # X appears TWICE: its first state expired before doc 4 arrived
+    assert got == [(1, "X"), (2, "Y"), (3, "Z"), (4, "X")]
+
+
+def test_rowwise_lm_scoring_runs_on_a_stream(tmp_path, spark):
+    """The map-only LM scorer is stateless and append-safe: a drained
+    stream scores identically to the batch frame — the ingest-time
+    quality gate (readStream -> score -> filter -> writeStream)."""
+    from sed_binning_spark.pipeline.lm import (
+        unigram_logprob_rowwise,
+        unigram_model,
+    )
+
+    root = tmp_path / "lmrow_in"
+    root.mkdir()
+    pd.DataFrame({"doc_id": [1, 2], "text": ["the cat sat", "zz qq"]}).to_parquet(
+        root / "chunk_0.parquet",
+    )
+    pd.DataFrame({"doc_id": [3], "text": ["the cat"]}).to_parquet(
+        root / "chunk_1.parquet",
+    )
+    ref = spark.createDataFrame(
+        [(0, "the cat sat on the mat")], "doc_id long, text string",
+    )
+    model = unigram_model(ref)
+
+    stream = stream_events(spark, str(root), max_files_per_trigger=1)
+    q = (
+        unigram_logprob_rowwise(stream, model)
+        .writeStream.format("memory").queryName("lmrow_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r.unigram_logprob
+        for r in spark.sql("SELECT * FROM lmrow_stream").collect()
+    }
+    batch = spark.read.parquet(str(root))
+    want = {
+        r.doc_id: r.unigram_logprob
+        for r in unigram_logprob_rowwise(batch, model).collect()
+    }
+    assert got == want and got[1] > got[2]  # in-vocab beats junk
