@@ -195,8 +195,10 @@ def _ref_scale_block(spark, n: int) -> dict:
 
     BASELINE.md targets: binning_1d 3.02 s, binning_4d 9.21 s,
     workflow_1d 17.06 s, workflow_4d 21.42 s at 1e8 rows. Emitted keys:
-    "queries" = per-query cluster median; "runs" = the converged 3-run
-    cluster each median came from (spread ≤ 1.3x by construction);
+    "queries" = per-query cluster median; "runs" = the 3-run fastest
+    cluster each median came from (spread ≤ 1.3x when "converged"[query]
+    is true; a host too noisy to converge within 8 runs is flagged false
+    so a consumer never mistakes cluster spread for signal);
     "all_runs" = every measured run including the tail outliers the
     cluster excluded; "warmups" = the two discards; "phases" = the
     physical-plan phase breakdown of the last run per query, so
@@ -226,6 +228,7 @@ def _ref_scale_block(spark, n: int) -> dict:
     runs = {}
     all_runs = {}
     warmups = {}
+    converged = {}
     phases = {}
 
     def _best_of(name, fn):
@@ -243,6 +246,7 @@ def _ref_scale_block(spark, n: int) -> dict:
         all_runs[name] = [round(t, 3) for t in series]
         cluster = sorted(series)[:3]
         runs[name] = [round(t, 3) for t in cluster]
+        converged[name] = cluster[2] <= cluster[0] * 1.30
         best[name] = round(statistics.median(cluster), 3)
         phases[name] = dict(binning_mod.LAST_RUN_INFO)
 
@@ -288,6 +292,7 @@ def _ref_scale_block(spark, n: int) -> dict:
         "runs": runs,
         "all_runs": all_runs,
         "warmups": warmups,
+        "converged": converged,
         "phases": phases,
         "events_per_sec_1d": round(n / best["binning_1d"]),
         "baseline_ref": {"binning_1d": 3.0176, "binning_4d": 9.2103,

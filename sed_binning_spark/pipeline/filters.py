@@ -158,6 +158,10 @@ def filter_by_blocklist(
         .withColumn("__d", F.size(F.split(F.col("__bl"), r"\.")))
     )
     depths = sorted(r[0] for r in bl.select("__d").distinct().collect())
+    if not depths:
+        # the literal path raises on a list that normalizes to nothing; the
+        # plan flip must not turn that into a silent match-nothing filter
+        raise ValueError("domain blocklist is empty")
     if len(depths) > 64:
         raise ValueError(
             f"domain blocklist has {len(depths)} distinct label depths — "
@@ -184,10 +188,7 @@ def filter_by_blocklist(
             .drop(sfx, key)
         )
         hit_cols.append(mk)
-    if hit_cols:
-        is_hit = F.coalesce(*[F.col(c) for c in hit_cols], F.lit(False))
-    else:
-        is_hit = F.lit(False)
+    is_hit = F.coalesce(*[F.col(c) for c in hit_cols], F.lit(False))
     return joined.where(~is_hit if anti else is_hit).drop(*hit_cols)
 
 

@@ -255,19 +255,28 @@ def unigram_logprob_rowwise(
     writeStream`` just works) and batch corpora where one row IS one
     document and the extra exchange isn't worth it.
 
-    Same score, bit-for-bit: gram extraction stays JVM-side (the exact
-    ``_lm_grams``/``_array_grams`` expressions — tokenization dialects
-    never enter Python), and the Arrow-batched UDF only looks each gram
-    up in the broadcast ``token → micro-nat`` table and integer-sums,
-    reproducing ``unigram_logprob``'s quantized mean exactly (pinned by
-    the batch-equivalence tests). The model LUT is collected and
-    broadcast — the same pruned-vocabulary contract as
+    Same score, bit-for-bit, at the row grain: gram extraction stays
+    JVM-side (the exact ``_lm_grams``/``_array_grams`` expressions —
+    tokenization dialects never enter Python), the per-token micro-nat
+    quantization is COMPUTED BY THE JVM with ``unigram_logprob``'s own
+    ``F.log``/``F.round`` expressions and only then collected (so no
+    Python-``math.log``-vs-``Math.log`` last-ulp divergence can flip a
+    HALF_UP rounding), and the Arrow-batched UDF only looks each gram up
+    in the broadcast ``token → micro-nat`` table and integer-sums —
+    pinned bit-equal by the batch-equivalence tests. The model LUT is
+    collected and broadcast — the same pruned-vocabulary contract as
     ``broadcast_model=True``; self-scoring is impossible here by
     construction (a stream cannot aggregate its own future), so
     ``model`` is required.
-    """
-    import math
 
+    Grain caveat vs :func:`unigram_logprob`: that path scores per
+    DOCUMENT ID (``groupBy(id)`` + join back — a NULL id gets a NULL
+    score, duplicate-id rows share one pooled score), while this one
+    scores each ROW independently and never reads an id. On the
+    unique-non-NULL-id corpora every other operator's contract assumes,
+    the two are identical; on dirty ids the rowwise per-row semantics is
+    the safer of the two.
+    """
     import pandas as pd
 
     if token_array_column is not None:
@@ -289,17 +298,29 @@ def unigram_logprob_rowwise(
             f"model must have (token, n) columns, got {model.columns}",
         )
 
-    rows = model.select("token", "n").collect()  # pruned-vocab contract
-    total = float(sum(r["n"] for r in rows))
-    vocab = float(len(rows))
-    denom = total + float(alpha) * (vocab + 1.0)
-
-    def _micro(p: float) -> int:
-        # HALF_UP like F.round: ln p < 0 always (p < 1 by construction)
-        return -int(math.floor(-math.log(p) * 1e6 + 0.5))
-
-    lut = {r["token"]: _micro((r["n"] + alpha) / denom) for r in rows}
-    oov = _micro(alpha / denom)
+    # the LUT rides unigram_logprob's OWN expressions (one model pass:
+    # grand-total window over the collected aggregation is tiny — the
+    # pruned-vocab contract), so the quantization is the JVM's, verbatim
+    totals = F.broadcast(
+        model.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("double").alias("__lm_total"),
+            F.count(F.lit(1)).cast("double").alias("__lm_vocab"),
+        ),
+    )
+    denom = F.col("__lm_total") + F.lit(float(alpha)) * (F.col("__lm_vocab") + 1.0)
+    logp_micro = F.round(
+        F.log((F.col("n").cast("double") + F.lit(float(alpha))) / denom) * 1e6,
+    ).cast("long")
+    oov_micro_col = F.round(F.log(F.lit(float(alpha)) / denom) * 1e6).cast("long")
+    rows = (
+        model.crossJoin(totals)
+        .select("token", logp_micro.alias("__m"), oov_micro_col.alias("__oov"))
+        .collect()  # pruned-vocab contract; ONE model pass, oov rides along
+    )
+    lut = {r["token"]: r["__m"] for r in rows}
+    # empty model: denom = alpha*(0+1), so p_oov = 1 and ln = 0 — exactly
+    # what the batch path's totals row yields
+    oov = rows[0]["__oov"] if rows else 0
     blut = docs.sparkSession.sparkContext.broadcast(lut)
 
     def _score(grams: pd.Series) -> pd.Series:

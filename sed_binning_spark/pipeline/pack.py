@@ -256,13 +256,18 @@ def pack_sequences(
     tok_type = token_side.schema["__toks"].dataType.simpleString()
     # loud guards (the pack_chunks posture — corrupt training sequences
     # must never ship silently): a manifest doc missing from `docs` would
-    # leave a hole, a duplicate id would duplicate its slice, and a token
+    # leave a hole, a duplicate id would duplicate its slice, a token
     # array whose length differs from the laid-out n_tokens — in EITHER
     # direction: shorter silently clamps, longer silently drops the
     # document's tail — means a different tokenization reached the two
-    # calls. The dup check is an id-only aggregation broadcast back
-    # (limit()ed so a pervasively-duplicated corpus fails by raising, not
-    # by OOMing the broadcast); the others are row-local.
+    # calls, and a slice the array cannot fully serve (an internally
+    # inconsistent or NULL-n_tokens manifest row that the length check
+    # alone would miss) would ship a clipped sequence. The dup check is an
+    # id-only aggregation broadcast back (limit()ed so a
+    # pervasively-duplicated corpus fails by raising, not by OOMing the
+    # broadcast); the others are row-local. The length comparison is
+    # null-SAFE so a NULL n_tokens raises instead of skipping both
+    # branches.
     # slice() is 1-based; the manifest's slice_start is 0-based
     cut = F.slice(
         F.col("__toks"),
@@ -280,7 +285,7 @@ def pack_sequences(
             ),
         ).cast(tok_type),
     ).when(
-        F.size(F.col("__toks")).cast("bigint") != F.col("n_tokens"),
+        ~F.size(F.col("__toks")).cast("bigint").eqNullSafe(F.col("n_tokens")),
         F.raise_error(
             F.concat(
                 F.lit("pack_sequences: document "),
@@ -288,6 +293,16 @@ def pack_sequences(
                 F.lit(" token array length does not match the manifest's "
                       "n_tokens layout — pass the SAME tokenization to "
                       "pack_chunks and pack_sequences"),
+            ),
+        ).cast(tok_type),
+    ).when(
+        F.size(cut).cast("bigint") != F.col("slice_len"),
+        F.raise_error(
+            F.concat(
+                F.lit("pack_sequences: document "),
+                F.col(id_column).cast("string"),
+                F.lit(" manifest slice is out of the token array's bounds "
+                      "(inconsistent slice_start/slice_len/n_tokens row)"),
             ),
         ).cast(tok_type),
     ).otherwise(cut)

@@ -428,32 +428,70 @@ def dedup_segments_stream(
         StructField("pos", IntegerType(), True),
         StructField("seg", StringType(), True),
     ])
-    state_schema = StructType([StructField("seen", IntegerType(), True)])
+    # anchor_ms = the max event time ever seen for this segment — the
+    # monotonic base of the timeout (a LATE-but-accepted re-sighting must
+    # never shorten the horizon an earlier sighting established)
+    state_schema = StructType([
+        StructField("seen", IntegerType(), True),
+        StructField("anchor_ms", LongType(), True),
+    ])
     out_cols = [id_column, "pos", "seg"]
     idc = id_column
     timed = event_time_column is not None
-
     etc = event_time_column
 
     def _keep_first(key, pdf_iter, state):
         if timed and state.hasTimedOut:
             state.remove()
             return
-        pdf = pd.concat(list(pdf_iter), ignore_index=True)
-        if not state.exists and len(pdf):
-            order = pdf.sort_values([idc, "pos"], kind="mergesort")
-            yield order.iloc[[0]][out_cols]
-            state.update((1,))
-        # else: later sightings emit nothing — but still refresh below
-        if timed and len(pdf):
-            # refresh from the batch's max EVENT time on every sighting
-            # (recurring boilerplate stays deduped); anchored on event time
-            # — the current watermark is 0 on the first batch, which would
-            # expire everything immediately. max_event + ttl is always
-            # ahead of the watermark because the watermark itself trails
-            # max_event by the same delay.
-            ts_max = pd.Timestamp(pdf[etc].max())
-            state.setTimeoutTimestamp(int(ts_max.value // 1_000_000) + ttl_ms)
+        # fold chunk-by-chunk: the hottest boilerplate segment can occur
+        # millions of times in ONE micro-batch and every occurrence lands
+        # in this group — never materialize the whole group (the streaming
+        # analogue of the batch twin's map-side partial min(struct)).
+        # Per-chunk work: one sort index + one max; memory stays bounded
+        # by the Arrow batch size.
+        emitted = state.exists
+        best = None  # (id, pos, seg) of the min-(id, pos) occurrence
+        ts_max_ms = None
+        seen_any = False
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            seen_any = True
+            if timed:
+                ts = pdf[etc].dropna()
+                if len(ts):
+                    m = int(pd.Timestamp(ts.max()).value // 1_000_000)
+                    ts_max_ms = m if ts_max_ms is None else max(ts_max_ms, m)
+            if not emitted:
+                i = pdf.sort_values([idc, "pos"], kind="mergesort").index[0]
+                cand = (pdf[idc][i], int(pdf["pos"][i]), pdf["seg"][i])
+                if best is None or (cand[0], cand[1]) < (best[0], best[1]):
+                    best = cand
+        if best is not None:
+            yield pd.DataFrame([best], columns=out_cols)
+        if not seen_any:
+            return
+        if timed:
+            # monotonic refresh: max of the previous anchor and this
+            # batch's max event time (recurring boilerplate stays deduped;
+            # a late duplicate can only extend, never shorten). Anchored on
+            # EVENT time — the current watermark is 0 on the first batch,
+            # which would expire everything immediately; max_event + ttl is
+            # always ahead of the watermark because the watermark itself
+            # trails max_event by the same delay. All-NULL event times fall
+            # back to watermark + ttl (degenerate rows; soonest legal
+            # expiry).
+            prev = state.get[1] if state.exists else None
+            cands = [v for v in (prev, ts_max_ms) if v is not None]
+            anchor = max(cands) if cands else None
+            state.update((1, anchor))
+            state.setTimeoutTimestamp(
+                (anchor if anchor is not None else state.getCurrentWatermarkMs())
+                + ttl_ms,
+            )
+        elif not emitted:
+            state.update((1, None))
 
     return segs.groupBy("__seg_d").applyInPandasWithState(
         _keep_first,

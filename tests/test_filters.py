@@ -354,3 +354,20 @@ def test_blocklist_survives_colliding_temp_column(spark):
     )
     kept = {r.doc_id for r in filter_by_blocklist(df, ["blockedsrc"], "source").collect()}
     assert kept == {1}
+
+
+def test_domain_blocklist_empty_after_normalization_raises_on_both_paths(spark):
+    """A list that normalizes to nothing raises on the literal AND the
+    join path — the plan flip must not turn a loud error into a silent
+    match-nothing filter."""
+    df = spark.createDataFrame([(1, "a.example")], "doc_id long, host string")
+    garbage = [" ", ".", "", None]
+    with pytest.raises(ValueError, match="empty"):
+        filter_by_blocklist(df, garbage, "host", match="domain")
+    big_garbage = garbage * 200  # > LITERAL_WORDLIST_MAX entries
+    assert len(big_garbage) > LITERAL_WORDLIST_MAX
+    with pytest.raises(ValueError, match="empty"):
+        filter_by_blocklist(df, big_garbage, "host", match="domain")
+    bdf = spark.createDataFrame([(v,) for v in garbage], "v string")
+    with pytest.raises(ValueError, match="empty"):
+        filter_by_blocklist(df, bdf, "host", match="domain")

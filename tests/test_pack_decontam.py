@@ -627,3 +627,29 @@ def test_dup_segment_stats_duckdb_parity(spark):
                 assert a is None, did
             else:
                 assert a is not None and abs(a - b) < 1e-12, (did, a, b)
+
+
+def test_pack_sequences_rejects_inconsistent_manifest_rows(spark):
+    """A manifest row whose slice exceeds its own token array (or whose
+    n_tokens is NULL) must raise — the length check alone would pass a
+    corrupted row whose n_tokens still matches the array."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException, SparkRuntimeException
+    from pyspark.sql import functions as F
+
+    SparkErrs = (Py4JJavaError, SparkRuntimeException, PythonException)
+    df = _docs_df(spark, ROWS)
+    man = pack_chunks(df, 8, n_shards=2)
+
+    # shift slice_start beyond the array's tail: size matches n_tokens,
+    # but the slice cannot be served in full
+    corrupted = man.withColumn("slice_start", F.col("slice_start") + 3)
+    with pytest.raises(SparkErrs, match="out of the token array's bounds"):
+        pack_sequences(corrupted, df).collect()
+
+    # NULL n_tokens must raise, not skip both guards
+    nulled = man.withColumn(
+        "n_tokens", F.lit(None).cast("bigint"),
+    )
+    with pytest.raises(SparkErrs, match="does not match the manifest"):
+        pack_sequences(nulled, df).collect()
