@@ -1159,11 +1159,17 @@ def _q_storage_roundtrip(spark, sf):
       in-query: the emitted ``buffer_ok`` column is only True when a
       wrong-schema validation raised ValueError with the reference's
       force_recreate guidance.
-    - J7 (file concat, reference sed/loader/*/loader.py multi-file read):
-      the buffer directory is copied and BOTH paths are read through
-      ``GenericLoader`` in one scan; ``file_id`` attributes every row to
-      its source file, so the oracle's UNION ALL verifies the concat
-      row-for-row.
+    - J7 (file concat, reference sed/loader/*/loader.py multi-file read)
+      + S2 (file discovery with NATURAL sort, reference
+      sed/loader/utils.py:17-55): the round-tripped frame is split
+      even/odd by event_id into ``part2.parquet`` / ``part10.parquet``
+      (Arrow-written — Arrow preserves the NULL-vs-NaN distinction the
+      dirty-fixture suite checks, where pandas would conflate them) and
+      read back through ``GenericLoader(folders=...)`` in one scan.
+      Natural sort orders part2 BEFORE part10, so even rows get
+      ``file_id`` 0 and odd rows 1; a lexical sort ("part10" < "part2")
+      would swap the attribution and fail the oracle's
+      ``event_id % 2 = src_file`` hash.
 
     The target path is keyed on (sf dir, pid): two processes (driver gate
     + selfcheck) or two sf dirs in one session never overwrite each other
@@ -1196,10 +1202,17 @@ def _q_storage_roundtrip(spark, sf):
     except ValueError as exc:
         ok = "force_recreate" in str(exc) and "dldPosX" in str(exc)
 
-    path2 = path[:-8] + "_copy.parquet"
-    shutil.rmtree(path2, ignore_errors=True)
-    shutil.copytree(path, path2)
-    df, _, meta = GenericLoader(spark).read_dataframe(files=[path, path2])
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = cached.toArrow()  # bounded: the gate-scale event table
+    even = pc.fill_null(pc.equal(pc.bit_wise_and(tbl.column("event_id"), 1), 0), True)
+    d2 = path[:-8] + "_parts"
+    shutil.rmtree(d2, ignore_errors=True)
+    os.makedirs(d2)
+    pq.write_table(tbl.filter(even), os.path.join(d2, "part2.parquet"))
+    pq.write_table(tbl.filter(pc.invert(even)), os.path.join(d2, "part10.parquet"))
+    df, _, meta = GenericLoader(spark).read_dataframe(folders=d2)
     assert meta["file_statistics"]["num_files"] == 2
     return df.select(
         "event_id", "user_id", "value",
@@ -1908,12 +1921,12 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE electronId = 0 OR electronId IS NULL OR isnan(electronId)"
         ),
         # round-trip identity: what the buffer cache reads back must equal
-        # the frame it was given — twice, once per concatenated path, with
-        # file attribution; buffer_ok pins the S8 schema-validation raise
+        # the frame it was given; src_file pins the NATURAL file-sort
+        # (part2 before part10 — a lexical sort swaps even/odd attribution
+        # and fails the hash); buffer_ok pins the S8 schema-validation raise
         "storage_roundtrip": (
-            f"SELECT event_id, user_id, value, 0 AS src_file, TRUE AS buffer_ok "
-            f"FROM ({_EV_SQL}) UNION ALL "
-            f"SELECT event_id, user_id, value, 1 AS src_file, TRUE AS buffer_ok "
+            f"SELECT event_id, user_id, value, "
+            f"CAST(event_id % 2 AS INT) AS src_file, TRUE AS buffer_ok "
             f"FROM ({_EV_SQL})"
         ),
         "jaccard_pairs": (
