@@ -371,3 +371,54 @@ def test_domain_blocklist_empty_after_normalization_raises_on_both_paths(spark):
     bdf = spark.createDataFrame([(v,) for v in garbage], "v string")
     with pytest.raises(ValueError, match="empty"):
         filter_by_blocklist(df, bdf, "host", match="domain")
+
+
+def test_domain_paths_agree_on_hostile_hostnames_property(spark):
+    """Property: on arbitrary host/entry strings (dots in odd places,
+    whitespace, case, empty labels, FQDN dots), the literal codegen path
+    and the per-depth hash-join path keep exactly the same rows."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    label = st.text(
+        alphabet="aB.  \t-0", min_size=0, max_size=6,  # '.' inside entries too
+    )
+
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        hosts=st.lists(label, min_size=1, max_size=8),
+        entries=st.lists(label, min_size=1, max_size=5),
+    )
+    def run(hosts, entries):
+        norm = []
+        for v in entries:
+            w = v.strip(" ").lower()
+            if w.endswith("."):
+                w = w[:-1]
+            if w:
+                norm.append(w)
+        if not norm:
+            return  # both paths raise on empty-after-norm (pinned elsewhere)
+        df = spark.createDataFrame(
+            [(i, h) for i, h in enumerate(hosts)], "doc_id long, host string",
+        )
+        bdf = spark.createDataFrame([(v,) for v in entries], "v string")
+        for keep in ("unblocked", "blocked"):
+            via_lit = {
+                r.doc_id
+                for r in filter_by_blocklist(
+                    df, entries, "host", keep=keep, match="domain",
+                ).collect()
+            }
+            via_df = {
+                r.doc_id
+                for r in filter_by_blocklist(
+                    df, bdf, "host", keep=keep, match="domain",
+                ).collect()
+            }
+            assert via_lit == via_df, (hosts, entries, keep)
+
+    run()
