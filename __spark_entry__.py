@@ -855,11 +855,43 @@ _MPES_START = 1.65e9
 
 def _q_mpes_timestamps(spark, sf):
     """S4 timestamp synthesis: per-event epoch seconds from ms markers
-    (searchsorted-right of the event index, Arrow-batched UDF)."""
-    from sed_binning_spark.loaders.mpes import append_event_timestamps
+    (searchsorted-right of the event index, Arrow-batched UDF).
+
+    Also carries S3 (run-ID resolution, reference mpes loader.py:673-715)
+    as a flag: a scratch dir is seeded with Scan0030_{2,10}.h5, a nested
+    Scan0030_5.h5, and decoys (other run, other extension); ``runs_ok``
+    is True only when ``get_files_from_run_id(30)`` returns exactly the
+    run's files in NATURAL order (Scan0030_2 before Scan0030_10 —
+    lexical would swap them), recurses into subdirs, skips the decoys,
+    and raises FileNotFoundError on a missing run."""
+    from sed_binning_spark.loaders.mpes import (
+        append_event_timestamps,
+        get_files_from_run_id,
+    )
+
+    d = os.path.join(
+        tempfile.gettempdir(), f"sed_binning_spark_s3_{os.getpid()}",
+    )
+    os.makedirs(os.path.join(d, "sub"), exist_ok=True)
+    for name in (
+        "Scan0030_2.h5", "Scan0030_10.h5",      # natural vs lexical order
+        os.path.join("sub", "Scan0030_5.h5"),   # recursion
+        "Scan0031_1.h5", "Scan0030_1.txt",      # decoys: other run / ext
+    ):
+        with open(os.path.join(d, name), "w"):
+            pass
+    got = [os.path.relpath(p, d) for p in get_files_from_run_id(30, d)]
+    ok = got == [
+        "Scan0030_2.h5", "Scan0030_10.h5", os.path.join("sub", "Scan0030_5.h5"),
+    ]
+    try:
+        get_files_from_run_id(99, d)
+        ok = False
+    except FileNotFoundError:
+        pass
 
     ev = append_event_timestamps(_events(spark, sf), _MS_MARKERS, _MPES_START)
-    return ev.select("event_id", "timeStamps")
+    return ev.select("event_id", "timeStamps", F.lit(bool(ok)).alias("runs_ok"))
 
 
 def _q_mpes_timed(spark, sf):
@@ -1727,10 +1759,12 @@ def oracle_sql() -> dict[str, str]:
             "count(*) OVER (PARTITION BY user_id % 10) AS n "
             f"FROM ({_EV_SQL})) WHERE i % 4 < 3 AND 4 * (i // 4) + 3 <= n - 2"
         ),
+        # runs_ok pins the S3 run-ID resolver (pattern glob + natural
+        # sort + recursion + decoy rejection + missing-run raise)
         "mpes_timestamps": (
             f"SELECT event_id, {fsql(_MPES_START)} + len(list_filter("
             f"[{', '.join(str(int(m)) for m in _MS_MARKERS)}], m -> m <= row_id)) "
-            f"/ 1000.0 AS timeStamps FROM ({_EV_SQL})"
+            f"/ 1000.0 AS timeStamps, TRUE AS runs_ok FROM ({_EV_SQL})"
         ),
         "mpes_timed": (
             f"SELECT CAST(m.i AS BIGINT) AS ms_id, e.value, e.X, "
