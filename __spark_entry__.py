@@ -1266,10 +1266,18 @@ def _q_jaccard_pairs(spark, sf):
 
 def _q_rolling_hashes(spark, sf):
     """Winnowing-style rolling fingerprints, csv-serialized for the
-    canonicalizer."""
+    canonicalizer — PLUS the exact-substring dedup built on the same
+    window machinery (pipeline.dedup.dedup_substrings, the ExactSubstr
+    pass of Lee et al. 2022): ``text_subdedup`` is the document rebuilt
+    without tokens covered by any non-first duplicated 5-token window,
+    ``n_sub_removed`` the removed-token count. The oracle replays the
+    whole cascade — strict windows, global min-(id, start) winners,
+    covered-token removal — in SQL."""
+    from sed_binning_spark.pipeline.dedup import dedup_substrings
     from sed_binning_spark.pipeline.text import rolling_hashes
 
     out = rolling_hashes(_docs(spark, sf), window=5)
+    out = dedup_substrings(out, window=5)
     # preserve NULL for token-less documents: concat_ws over a NULL array
     # would silently render '' where the oracle (and the operator) say NULL
     return out.select(
@@ -1278,6 +1286,8 @@ def _q_rolling_hashes(spark, sf):
             F.col("rolling_hashes").isNotNull(),
             F.concat_ws(",", "rolling_hashes"),
         ).alias("rh_csv"),
+        F.col("text_dedup").alias("text_subdedup"),
+        F.col("n_removed_tokens").alias("n_sub_removed"),
     )
 
 
@@ -1974,11 +1984,42 @@ def oracle_sql() -> dict[str, str]:
             f"JOIN (SELECT doc_id, list_distinct({shingle}) AS sh FROM documents) sb "
             f"ON sb.doc_id = p.id_b"
         ),
+        # rh_csv = winnowing fingerprints (lowercased dedup tokens,
+        # partial windows for short docs); text_subdedup/n_sub_removed =
+        # ExactSubstr twin on RAW tokens with STRICT 5-token windows:
+        # rank-1 per window hash is the global keep-first winner, losers'
+        # starts mark covered tokens, the doc rebuilds from survivors
         "rolling_hashes": (
-            f"SELECT doc_id, array_to_string(list_transform("
+            "WITH tkd AS (SELECT doc_id, text, "
+            f"{_WS_SQL} AS tk FROM documents), "
+            "occ AS (SELECT doc_id, u.i - 1 AS s, "
+            "md5(array_to_string(tk[u.i:u.i+4], ' ')) AS h "
+            "FROM tkd, UNNEST(range(1, len(tk) - 3)) AS u(i) "
+            "WHERE len(tk) >= 5), "
+            "lose AS (SELECT doc_id, s FROM (SELECT doc_id, s, "
+            "row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn "
+            "FROM occ) WHERE rn > 1), "
+            "dup AS (SELECT doc_id, list_sort(list(s)) AS ds "
+            "FROM lose GROUP BY doc_id) "
+            "SELECT t.doc_id, "
+            f"array_to_string(list_transform("
             f"range(1, greatest(len({toks}) - 4, 1) + 1), "
-            f"i -> md5(array_to_string({toks}[i:i+4], ' '))), ',') AS rh_csv "
-            f"FROM documents"
+            f"i -> md5(array_to_string({toks}[i:i+4], ' '))), ',') AS rh_csv, "
+            # coalesce: DuckDB array_to_string([]) is NULL where Spark
+            # concat_ws([]) is '' — a fully-deduplicated doc must be ''
+            "CASE WHEN t.text IS NULL THEN NULL ELSE coalesce(array_to_string("
+            "list_filter(list_transform(range(1, len(tk) + 1), i -> "
+            "CASE WHEN len(list_filter(coalesce(d.ds, CAST([] AS BIGINT[])), "
+            "x -> x <= i - 1 AND i - 1 <= x + 4)) > 0 THEN NULL "
+            "ELSE tk[CAST(i AS INT)] END), v -> v IS NOT NULL), ' '), '') END "
+            "AS text_subdedup, "
+            "CASE WHEN t.text IS NULL THEN 0 ELSE CAST(len(tk) AS BIGINT) - "
+            "len(list_filter(list_transform(range(1, len(tk) + 1), i -> "
+            "CASE WHEN len(list_filter(coalesce(d.ds, CAST([] AS BIGINT[])), "
+            "x -> x <= i - 1 AND i - 1 <= x + 4)) > 0 THEN NULL "
+            "ELSE tk[CAST(i AS INT)] END), v -> v IS NOT NULL)) END "
+            "AS n_sub_removed "
+            "FROM tkd t LEFT JOIN dup d USING (doc_id)"
         ),
         "dfield_correction": _dfield_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),

@@ -125,7 +125,7 @@ def main() -> None:
     # --- curation extras: timed but NOT in headline_total, so the headline
     # series stays comparable across rounds while the newer operators still
     # get a recorded number every round
-    from sed_binning_spark.pipeline.dedup import dedup_segments
+    from sed_binning_spark.pipeline.dedup import dedup_segments, dedup_substrings
     from sed_binning_spark.pipeline.lm import unigram_logprob
     from sed_binning_spark.pipeline.pack import pack_chunks, pack_sequences
 
@@ -136,6 +136,10 @@ def main() -> None:
     extras = {
         "dedup_segments": _timeit(
             lambda: dedup_segments(para).agg(F.sum("n_removed")).collect(),
+        ),
+        "dedup_substrings": _timeit(
+            lambda: dedup_substrings(docs, window=5)
+            .agg(F.sum("n_removed_tokens")).collect(),
         ),
         "unigram_logprob": _timeit(
             lambda: unigram_logprob(docs).agg(F.sum("unigram_logprob")).collect(),

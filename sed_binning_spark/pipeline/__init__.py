@@ -46,6 +46,7 @@ from sed_binning_spark.pipeline.cluster import (
 )
 from sed_binning_spark.pipeline.dedup import (
     dedup_segments,
+    dedup_substrings,
     exact_dedup,
     exact_dedup_keep_rows,
     minhash_lsh_pairs,
@@ -106,6 +107,7 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_keep_rows",
     "dedup_segments",
+    "dedup_substrings",
     "segment_array",
     "minhash_signatures",
     "minhash_lsh_pairs",

@@ -648,3 +648,219 @@ def dedup_segments(
         )
         .drop("__text_dedup", "__n_kept", "__n_rows")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (token-window granularity)
+# ---------------------------------------------------------------------------
+
+
+def dedup_substrings(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    window: int = 50,
+    check_unique_ids: bool = True,
+    hash_function: str = "md5",
+) -> DataFrame:
+    """Corpus-wide EXACT-SUBSTRING dedup at token-window granularity — the
+    ExactSubstr pass of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): any span of ``window`` consecutive
+    tokens that occurs more than once in the corpus keeps only its
+    globally-FIRST occurrence (minimum ``(id, start)`` — deterministic on
+    any layout); every token covered by a non-first duplicated window is
+    removed and the document is rebuilt from the surviving tokens.
+
+    This is the grain between :func:`exact_dedup` (whole documents) and
+    :func:`dedup_segments` (structural paragraphs/lines): it catches
+    long verbatim quotes, licence blocks and templated passages embedded
+    mid-document, where no paragraph boundary exists. Unlike the
+    lowercased dedup-family tokenizer, matching here is on the RAW
+    whitespace tokens — ExactSubstr is byte-exact, and the rebuilt text
+    must preserve case. Rebuilding joins surviving tokens with single
+    spaces (original intra-text whitespace is not preserved — the same
+    normalization a whitespace tokenizer implies).
+
+    Output = the input row plus:
+
+    - ``text_dedup`` — surviving tokens joined by ``' '`` (NULL for NULL
+      input text; the full token-normalized text when nothing matched);
+    - ``n_tokens`` — the document's token count (0 for NULL text);
+    - ``n_removed_tokens`` — tokens removed as duplicated-span coverage.
+
+    Documents shorter than ``window`` tokens emit no windows and are
+    never touched (ExactSubstr's minimum-match length). Rows with NULL id
+    cannot reproducibly win and pass through untouched (``text_dedup``
+    NULL, like :func:`dedup_segments`).
+
+    Scale design: ONE window-hash-keyed shuffle — ``groupBy(md5(span))``
+    with a map-side-combined ``min(struct(id, start))``, so a boilerplate
+    window occurring a billion times collapses to one row per map task
+    before it travels — and NO occurrence-level join at all: every window
+    occurrence is either its hash's winner or a loser, so a document's
+    loser starts are simply its full start range MINUS its winning starts
+    (``array_except``, computed row-locally after one id-keyed
+    aggregation of winner starts). The window/md5 pipeline therefore runs
+    ONCE (plan-pinned), and nothing occurrence-grained ever shuffles.
+    Covered-token removal is expression-level: the sorted duplicate
+    starts fold into DISJOINT merged intervals (``F.aggregate`` — O(dups)
+    fold), and each token tests membership against those few intervals,
+    so a fully-templated document costs O(n_tokens), not
+    O(n_tokens × dups). ``hash_function="md5"`` (default) keys windows on
+    the 128-bit digest — collision-negligible at 10^12+ windows and
+    reproducible by the cross-engine oracle; ``"xxhash64"`` is several
+    times cheaper per window but 64-bit, so at 10^12 windows a handful of
+    birthday collisions would each falsely remove one window-length span
+    (~1e-8 of the corpus) — acceptable for curation throughput runs, not
+    for the exactness gate.
+
+    ``check_unique_ids=False`` skips the duplicate-id guard (an id-only
+    corpus aggregation; duplicate ids would apply BOTH rows' duplicated
+    spans to each copy — corrupt silently) for pipelines that validated
+    ids upstream; the default stays loud.
+    """
+    for col, what in [(text_column, "text"), (id_column, "id")]:
+        if col not in df.columns:
+            raise ValueError(
+                f"{what} column {col!r} not in dataframe (columns: {df.columns})",
+            )
+    if window < 2:
+        raise ValueError(f"window must be >= 2 tokens, got {window}")
+    if hash_function not in ("md5", "xxhash64"):
+        raise ValueError(
+            f"hash_function must be 'md5' or 'xxhash64', got {hash_function!r}",
+        )
+    w = int(window)
+    text = F.col(text_column)
+    toks_expr = whitespace_tokens(text)
+    hash_fn = F.md5 if hash_function == "md5" else F.xxhash64
+
+    # materialize the token array BEFORE the per-window lambda: slicing
+    # the raw tokenizer expression inside the lambda would re-split the
+    # text once per window (the word_shingles docstring's measured 2.6x
+    # antipattern); a bound column attribute is sliced for free
+    tk = F.col("__tk")
+    win_hashes = F.when(
+        F.size(tk) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - w),
+            lambda i: hash_fn(F.concat_ws(" ", F.slice(tk, i + 1, w))),
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<string>" if hash_function == "md5" else "array<bigint>",
+        ),
+    )
+
+    occ = (
+        df.where(F.col(id_column).isNotNull() & text.isNotNull())
+        .select(F.col(id_column), toks_expr.alias("__tk"))
+        .select(
+            F.col(id_column),
+            F.posexplode(win_hashes).alias("start", "h"),
+        )
+    )
+    winners = occ.groupBy("h").agg(
+        F.min(F.struct(F.col(id_column), F.col("start"))).alias("w"),
+    )
+    # per-document WINNING starts (every occurrence is either its hash's
+    # winner or a loser, so losers are derivable row-locally below)
+    win_starts = (
+        winners.select(
+            F.col(f"w.{id_column}").alias(id_column),
+            F.col("w.start").alias("start"),
+        )
+        .groupBy(id_column)
+        .agg(F.collect_list("start").alias("__win_starts"))
+    )
+
+    out = df.join(win_starts, on=id_column, how="left")
+    if check_unique_ids:
+        dup_ids = (
+            df.where(F.col(id_column).isNotNull())
+            .groupBy(id_column)
+            .agg(F.count(F.lit(1)).alias("__n_rows_ss"))
+            .where(F.col("__n_rows_ss") > 1)
+            .limit(1000)
+        )
+        out = out.join(F.broadcast(dup_ids), on=id_column, how="left")
+    else:
+        out = out.withColumn("__n_rows_ss", F.lit(None).cast("bigint"))
+
+    # materialize the output-side token array and the merged spans as
+    # COLUMNS before the per-token filter: an expression referenced
+    # inside a higher-order lambda re-evaluates per ELEMENT, so an
+    # un-materialized spans fold would cost O(n_tokens x dups) per row
+    # instead of O(dups) once
+    out = out.withColumn("__tk2", toks_expr)
+    tk2 = F.col("__tk2")
+    # loser starts = the document's full window-start range minus its
+    # winning starts — row-local, no occurrence shuffle
+    all_starts = F.when(
+        F.size(tk2) >= w,
+        F.sequence(F.lit(0), F.size(tk2) - w),
+    ).otherwise(F.array().cast("array<int>"))
+    dup_starts = F.array_sort(
+        F.array_except(
+            all_starts,
+            F.coalesce(F.col("__win_starts"), F.array().cast("array<int>")),
+        ),
+    )
+    # sorted starts -> disjoint merged [lo, hi] token intervals: one
+    # sequential fold, each step extends the last interval or opens a new
+    # one (starts are sorted, so only the last interval can absorb)
+    empty_spans = F.array().cast("array<struct<lo: bigint, hi: bigint>>")
+    out = out.withColumn("__spans", F.aggregate(
+        dup_starts,
+        empty_spans,
+        lambda acc, d: F.when(
+            (F.size(acc) > 0)
+            & (d.cast("bigint") <= F.element_at(acc, -1)["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["lo"].alias("lo"),
+                    F.greatest(
+                        F.element_at(acc, -1)["hi"],
+                        d.cast("bigint") + (w - 1),
+                    ).alias("hi"),
+                )),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(
+                d.cast("bigint").alias("lo"),
+                (d.cast("bigint") + (w - 1)).alias("hi"),
+            ))),
+        ),
+    ))
+    kept = F.filter(
+        tk2,
+        lambda t, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (s["lo"] <= i.cast("bigint")) & (i.cast("bigint") <= s["hi"]),
+        ),
+    )
+    scored = text.isNotNull() & F.col(id_column).isNotNull()
+    n_tokens = F.when(scored, F.size(tk2)).otherwise(F.lit(0))
+    return (
+        out.withColumn(
+            "text_dedup",
+            F.when(
+                F.col("__n_rows_ss").isNotNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("dedup_substrings: duplicate document id "),
+                        F.col(id_column).cast("string"),
+                        F.lit(" violates the unique-id contract"),
+                    ),
+                ).cast("string"),
+            ).when(scored, F.concat_ws(" ", kept)),
+        )
+        .withColumn("n_tokens", n_tokens.cast("bigint"))
+        .withColumn(
+            "n_removed_tokens",
+            F.when(scored, F.size(tk2) - F.size(kept))
+            .otherwise(F.lit(0)).cast("bigint"),
+        )
+        .drop("__win_starts", "__n_rows_ss", "__tk2", "__spans")
+    )

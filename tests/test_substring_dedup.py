@@ -1,0 +1,149 @@
+"""Exact-substring dedup (pipeline.dedup.dedup_substrings): ExactSubstr
+semantics (Lee et al. 2022) against a pure-Python reference — global
+keep-first per duplicated token window, covered-token removal, rebuild —
+plus layout invariance, the unique-id guard, and the plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sed_binning_spark.pipeline.dedup import dedup_substrings
+
+
+def _ref(rows, w):
+    toks = {
+        did: (text.split() if text is not None else None) for did, text in rows
+    }
+    occ = {}
+    for did, tk in sorted(toks.items()):
+        if tk is None or len(tk) < w:
+            continue
+        for s in range(len(tk) - w + 1):
+            occ.setdefault(" ".join(tk[s:s + w]), []).append((did, s))
+    out = {}
+    for did, tk in toks.items():
+        if tk is None:
+            out[did] = (None, 0, 0)
+            continue
+        covered = set()
+        for key, places in occ.items():
+            winner = min(places)
+            for (d, s) in places:
+                if d == did and (d, s) != winner:
+                    covered.update(range(s, s + w))
+        kept = [t for i, t in enumerate(tk) if i not in covered]
+        out[did] = (" ".join(kept), len(tk), len(tk) - len(kept))
+    return out
+
+
+ROWS = [
+    (1, "A B C D E unique tail one"),
+    (2, "x y A B C D E z"),              # embeds doc 1's window
+    (3, "A B C D E"),                     # exactly one window, duplicated
+    (4, "short doc"),                     # < window: untouched
+    (5, None),
+    (6, "A B C D E A B C D E"),           # self-repetition
+    (7, "p q r s t u v w p q r s t"),     # overlapping self-dup windows
+    (8, "x y A B C D E z"),               # exact duplicate of doc 2
+    (9, ""),                              # blank: zero tokens
+]
+
+
+@pytest.mark.parametrize("w", [2, 3, 5])
+def test_matches_reference(spark, w):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_dedup, r.n_tokens, r.n_removed_tokens)
+        for r in dedup_substrings(df, window=w).collect()
+    }
+    assert got == _ref(ROWS, w)
+
+
+def test_layout_invariance(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    a = {tuple(r) for r in dedup_substrings(df, window=3).collect()}
+    b = {
+        tuple(r)
+        for r in dedup_substrings(df.repartition(7), window=3).collect()
+    }
+    assert a == b
+
+
+def test_null_id_passes_through_and_validation(spark):
+    df = spark.createDataFrame(
+        [(None, "A B C D E"), (1, "A B C D E")], "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text_dedup for r in dedup_substrings(df, window=5).collect()}
+    # the NULL-id row never participates: doc 1 is the only occurrence
+    assert got[1] == "A B C D E" and got[None] is None
+    with pytest.raises(ValueError, match="window"):
+        dedup_substrings(df, window=1)
+    with pytest.raises(ValueError, match="text column"):
+        dedup_substrings(df.drop("text"), window=5)
+
+
+def test_duplicate_ids_fail_loudly_and_flag_skips(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException, SparkRuntimeException
+
+    dup = spark.createDataFrame(
+        [(1, "a b c"), (1, "d e f"), (2, "g h i")], "doc_id long, text string",
+    )
+    with pytest.raises(
+        (Py4JJavaError, SparkRuntimeException, PythonException),
+        match="duplicate document id",
+    ):
+        dedup_substrings(dup, window=2).collect()
+
+    clean = spark.createDataFrame(ROWS, "doc_id long, text string")
+    guarded = dedup_substrings(clean, window=3)
+    unguarded = dedup_substrings(clean, window=3, check_unique_ids=False)
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, unguarded.collect()),
+    )
+    on = guarded._jdf.queryExecution().executedPlan().toString()
+    off = unguarded._jdf.queryExecution().executedPlan().toString()
+    assert on.count("HashAggregate") > off.count("HashAggregate")
+
+
+def test_plan_shape_is_one_hash_shuffle_and_no_python(spark):
+    """Winner selection partial-aggregates map-side on the window hash;
+    the window/md5 pipeline runs ONCE (losers derive row-locally from
+    all-starts minus winning starts — no occurrence-level join); nothing
+    crosses the Python boundary, and no window function appears (a window
+    over the hash key would serialize hot windows)."""
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    plan = (
+        dedup_substrings(df, window=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_min" in plan, plan
+    assert plan.count("md5(") == 1, plan
+    assert "Window" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+
+
+def test_idempotence(spark):
+    """Re-running over the deduped text removes nothing further."""
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    once = dedup_substrings(df, window=3).select(
+        "doc_id", F.col("text_dedup").alias("text"),
+    )
+    twice = dedup_substrings(once, window=3)
+    assert twice.agg(F.sum("n_removed_tokens")).first()[0] == 0
+
+
+def test_xxhash_path_matches_md5_on_real_text(spark):
+    """The cheap production hash gives identical results on collision-free
+    corpora (any divergence would be a birthday collision, impossible at
+    fixture scale)."""
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    a = sorted(map(tuple, dedup_substrings(df, window=3).collect()))
+    b = sorted(map(tuple, dedup_substrings(
+        df, window=3, hash_function="xxhash64",
+    ).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="hash_function"):
+        dedup_substrings(df, window=3, hash_function="sha1")
