@@ -869,10 +869,15 @@ def _q_mpes_timestamps(spark, sf):
         get_files_from_run_id,
     )
 
+    import shutil
+
     d = os.path.join(
         tempfile.gettempdir(), f"sed_binning_spark_s3_{os.getpid()}",
     )
-    os.makedirs(os.path.join(d, "sub"), exist_ok=True)
+    # clear first: stale Scan* debris (pid reuse, older layouts) would
+    # silently flip runs_ok and fail the gate as a phantom regression
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(os.path.join(d, "sub"))
     for name in (
         "Scan0030_2.h5", "Scan0030_10.h5",      # natural vs lexical order
         os.path.join("sub", "Scan0030_5.h5"),   # recursion

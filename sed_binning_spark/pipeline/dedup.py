@@ -49,6 +49,25 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
+def duplicate_id_frame(
+    df: DataFrame, id_column: str, count_column: str = "__n_rows",
+) -> DataFrame:
+    """The shared unique-id-contract detector (dedup_segments,
+    dedup_substrings, pack_sequences): ids occurring on more than one row.
+    Id-only aggregation — map-side combined, shuffles distinct ids, never
+    payloads — and ``limit()``-bounded so a pervasively-duplicated corpus
+    still fails by RAISING on the first broadcast-joined hit rather than
+    OOMing the guard broadcast itself. NULL ids are not duplicates (they
+    are excluded or NULL-scored by every caller's own contract)."""
+    return (
+        df.where(F.col(id_column).isNotNull())
+        .groupBy(id_column)
+        .agg(F.count(F.lit(1)).alias(count_column))
+        .where(F.col(count_column) > 1)
+        .limit(1000)
+    )
+
+
 def _tokens(text: Column) -> Column:
     # one tokenizer for the whole package: text.whitespace_tokens strips
     # the empty tokens a leading '\n'/'\t' would inject (which would change
@@ -609,13 +628,7 @@ def dedup_segments(
     # first matched id rather than OOMing the broadcast itself.
     out = df.join(assembled, on=id_column, how="left")
     if check_unique_ids:
-        dup_ids = (
-            df.where(F.col(id_column).isNotNull())
-            .groupBy(id_column)
-            .agg(F.count(F.lit(1)).alias("__n_rows"))
-            .where(F.col("__n_rows") > 1)
-            .limit(1000)
-        )
+        dup_ids = duplicate_id_frame(df, id_column)
         out = out.join(F.broadcast(dup_ids), on=id_column, how="left")
     else:
         out = out.withColumn("__n_rows", F.lit(None).cast("bigint"))
@@ -776,13 +789,7 @@ def dedup_substrings(
 
     out = df.join(win_starts, on=id_column, how="left")
     if check_unique_ids:
-        dup_ids = (
-            df.where(F.col(id_column).isNotNull())
-            .groupBy(id_column)
-            .agg(F.count(F.lit(1)).alias("__n_rows_ss"))
-            .where(F.col("__n_rows_ss") > 1)
-            .limit(1000)
-        )
+        dup_ids = duplicate_id_frame(df, id_column, "__n_rows_ss")
         out = out.join(F.broadcast(dup_ids), on=id_column, how="left")
     else:
         out = out.withColumn("__n_rows_ss", F.lit(None).cast("bigint"))

@@ -262,13 +262,9 @@ def badword_stats(
         # unique-id guard: groupBy(id) would credit each duplicate-id row
         # with the COMBINED count — raise instead of silently diverging
         # from the literal path. Id-only aggregation, limit()ed broadcast.
-        dup_ids = (
-            df.where(rid.isNotNull())
-            .groupBy(id_column)
-            .agg(F.count(F.lit(1)).alias("__n_dup"))
-            .where(F.col("__n_dup") > 1)
-            .limit(1000)
-        )
+        from sed_binning_spark.pipeline.dedup import duplicate_id_frame
+
+        dup_ids = duplicate_id_frame(df, id_column, "__n_dup")
         hits = (
             df.where(scored_row)
             .select(rid, F.explode(toks).alias("__tok"))

@@ -307,12 +307,9 @@ def pack_sequences(
         ).cast(tok_type),
     ).otherwise(cut)
     if check_unique_ids:
-        dup_ids = (
-            token_side.groupBy(id_column)
-            .agg(F.count(F.lit(1)).alias("__n_rows"))
-            .where(F.col("__n_rows") > 1)
-            .limit(1000)
-        )
+        from sed_binning_spark.pipeline.dedup import duplicate_id_frame
+
+        dup_ids = duplicate_id_frame(token_side, id_column)
         checked = F.when(
             F.col("__n_rows").isNotNull(),
             F.raise_error(
