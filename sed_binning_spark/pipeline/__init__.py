@@ -45,6 +45,7 @@ from sed_binning_spark.pipeline.cluster import (
     near_dedup_keep_rows,
 )
 from sed_binning_spark.pipeline.dedup import (
+    apply_substring_winners,
     dedup_segments,
     dedup_substrings,
     exact_dedup,
@@ -108,6 +109,7 @@ __all__ = [
     "exact_dedup_keep_rows",
     "dedup_segments",
     "dedup_substrings",
+    "apply_substring_winners",
     "segment_array",
     "minhash_signatures",
     "minhash_lsh_pairs",

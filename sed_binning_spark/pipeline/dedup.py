@@ -775,16 +775,54 @@ def dedup_substrings(
     )
     winners = occ.groupBy("h").agg(
         F.min(F.struct(F.col(id_column), F.col("start"))).alias("w"),
+    ).select(
+        F.col(f"w.{id_column}").alias(id_column),
+        F.col("w.start").alias("start"),
     )
+    return apply_substring_winners(
+        df, winners,
+        text_column=text_column, id_column=id_column, window=w,
+        check_unique_ids=check_unique_ids,
+    )
+
+
+def apply_substring_winners(
+    df: DataFrame,
+    winners: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    window: int = 50,
+    check_unique_ids: bool = True,
+) -> DataFrame:
+    """Rebuild documents from an ``(id, start)`` winner frame — the second
+    phase of :func:`dedup_substrings`, exposed for the streaming twin: a
+    drained ``dedup_substrings_stream`` output is exactly such a frame,
+    and this applies it to the batch corpus at the sink. Every window
+    occurrence is either its hash's winner or a loser, so each document's
+    loser starts derive row-locally as its full window-start range MINUS
+    its winning starts (``array_except``) — nothing occurrence-grained
+    ever shuffles. Pass the SAME ``window`` the winners were computed
+    with; the output columns are :func:`dedup_substrings`'s."""
+    for col, what in [(text_column, "text"), (id_column, "id")]:
+        if col not in df.columns:
+            raise ValueError(
+                f"{what} column {col!r} not in dataframe (columns: {df.columns})",
+            )
+    if window < 2:
+        raise ValueError(f"window must be >= 2 tokens, got {window}")
+    if id_column not in winners.columns or "start" not in winners.columns:
+        raise ValueError(
+            f"winners must have ({id_column!r}, 'start') columns, "
+            f"got {winners.columns}",
+        )
+    w = int(window)
+    text = F.col(text_column)
+    toks_expr = whitespace_tokens(text)
+
     # per-document WINNING starts (every occurrence is either its hash's
     # winner or a loser, so losers are derivable row-locally below)
-    win_starts = (
-        winners.select(
-            F.col(f"w.{id_column}").alias(id_column),
-            F.col("w.start").alias("start"),
-        )
-        .groupBy(id_column)
-        .agg(F.collect_list("start").alias("__win_starts"))
+    win_starts = winners.groupBy(id_column).agg(
+        F.collect_list("start").cast("array<int>").alias("__win_starts"),
     )
 
     out = df.join(win_starts, on=id_column, how="left")

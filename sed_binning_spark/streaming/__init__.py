@@ -1,6 +1,7 @@
 from sed_binning_spark.streaming.binning import bin_stream, stream_events
 from sed_binning_spark.streaming.stateful import (
     dedup_segments_stream,
+    dedup_substrings_stream,
     exact_dedup_stream,
     forward_fill_stream,
     minhash_dedup_stream,
@@ -10,6 +11,7 @@ from sed_binning_spark.streaming.stateful import (
 __all__ = [
     "bin_stream",
     "dedup_segments_stream",
+    "dedup_substrings_stream",
     "exact_dedup_stream",
     "forward_fill_stream",
     "minhash_dedup_stream",

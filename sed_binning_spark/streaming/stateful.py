@@ -418,40 +418,61 @@ def dedup_segments_stream(
         )
         .withColumn("__seg_d", F.md5(F.col("seg")))
     )
-    if event_time_column is not None:
-        segs = segs.withWatermark(event_time_column, watermark_delay)
-        ttl_ms = _delay_to_ms(watermark_delay)
-
     id_type = df.schema[id_column].dataType
     out_schema = StructType([
         StructField(id_column, id_type, True),
         StructField("pos", IntegerType(), True),
         StructField("seg", StringType(), True),
     ])
-    # anchor_ms = the max event time ever seen for this segment — the
+    return _keep_first_stream(
+        segs, "__seg_d", id_column, "pos", out_schema,
+        event_time_column, watermark_delay,
+    )
+
+
+def _keep_first_stream(
+    keyed: DataFrame,
+    key_column: str,
+    id_column: str,
+    pos_column: str,
+    out_schema: StructType,
+    event_time_column: str | None,
+    watermark_delay: str,
+) -> DataFrame:
+    """The shared keep-first state machine of the dedup stream twins
+    (segments, substrings): per distinct ``key_column`` value, the first
+    micro-batch emits its min-``(id, pos)`` occurrence's ``out_schema``
+    columns and every later sighting emits nothing; with an event-time
+    column, state expires at the watermark horizon past the LAST sighting
+    (monotonic anchor). The group fold never materializes the group —
+    bounded by the Arrow batch size even when the hottest boilerplate key
+    occurs millions of times in one micro-batch."""
+    from pyspark.sql.types import IntegerType, LongType
+
+    timed = event_time_column is not None
+    if timed:
+        keyed = keyed.withWatermark(event_time_column, watermark_delay)
+        ttl_ms = _delay_to_ms(watermark_delay)
+    # anchor_ms = the max event time ever seen for this key — the
     # monotonic base of the timeout (a LATE-but-accepted re-sighting must
     # never shorten the horizon an earlier sighting established)
     state_schema = StructType([
         StructField("seen", IntegerType(), True),
         StructField("anchor_ms", LongType(), True),
     ])
-    out_cols = [id_column, "pos", "seg"]
-    idc = id_column
-    timed = event_time_column is not None
+    out_cols = [f.name for f in out_schema.fields]
+    idc, posc = id_column, pos_column
     etc = event_time_column
 
     def _keep_first(key, pdf_iter, state):
         if timed and state.hasTimedOut:
             state.remove()
             return
-        # fold chunk-by-chunk: the hottest boilerplate segment can occur
-        # millions of times in ONE micro-batch and every occurrence lands
-        # in this group — never materialize the whole group (the streaming
-        # analogue of the batch twin's map-side partial min(struct)).
-        # Per-chunk work: one sort index + one max; memory stays bounded
-        # by the Arrow batch size.
+        # fold chunk-by-chunk: per-chunk work is one sort index + one max;
+        # memory stays bounded by the Arrow batch size (the streaming
+        # analogue of the batch twins' map-side partial min(struct))
         emitted = state.exists
-        best = None  # (id, pos, seg) of the min-(id, pos) occurrence
+        best = None  # out_cols tuple of the min-(id, pos) occurrence
         ts_max_ms = None
         seen_any = False
         for pdf in pdf_iter:
@@ -464,12 +485,13 @@ def dedup_segments_stream(
                     m = int(pd.Timestamp(ts.max()).value // 1_000_000)
                     ts_max_ms = m if ts_max_ms is None else max(ts_max_ms, m)
             if not emitted:
-                i = pdf.sort_values([idc, "pos"], kind="mergesort").index[0]
-                cand = (pdf[idc][i], int(pdf["pos"][i]), pdf["seg"][i])
-                if best is None or (cand[0], cand[1]) < (best[0], best[1]):
-                    best = cand
+                i = pdf.sort_values([idc, posc], kind="mergesort").index[0]
+                cand = tuple(pdf[c][i] for c in out_cols)
+                ko = (cand[out_cols.index(idc)], cand[out_cols.index(posc)])
+                if best is None or ko < best[0]:
+                    best = (ko, cand)
         if best is not None:
-            yield pd.DataFrame([best], columns=out_cols)
+            yield pd.DataFrame([best[1]], columns=out_cols)
         if not seen_any:
             return
         if timed:
@@ -493,12 +515,89 @@ def dedup_segments_stream(
         elif not emitted:
             state.update((1, None))
 
-    return segs.groupBy("__seg_d").applyInPandasWithState(
+    return keyed.groupBy(key_column).applyInPandasWithState(
         _keep_first,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf="EventTimeTimeout" if timed else "NoTimeout",
+    )
+
+
+def dedup_substrings_stream(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    window: int = 50,
+    event_time_column: str | None = None,
+    watermark_delay: str = "10 minutes",
+    hash_function: str = "md5",
+) -> DataFrame:
+    """Streaming twin of :func:`~sed_binning_spark.pipeline.dedup.
+    dedup_substrings`' winner pass: emit each distinct ``window``-token
+    span's keep-first occurrence as an ``(id, start)`` row.
+
+    Same state machine and contracts as :func:`dedup_segments_stream`
+    (keyed by the window hash; arrival order decides "first" across
+    micro-batches, min-``(id, start)`` within one; watermark-pruned
+    monotonic horizons with ``event_time_column``). Documents shorter
+    than ``window`` tokens emit no windows. Apply the drained winners to
+    the corpus at the sink with :func:`~sed_binning_spark.pipeline.dedup.
+    apply_substring_winners` (the batch operator's own second phase) to
+    rebuild the deduplicated texts.
+    """
+    from pyspark.sql.types import IntegerType
+
+    from sed_binning_spark.pipeline.text import whitespace_tokens
+
+    for col, what in [(text_column, "text"), (id_column, "id")]:
+        if col not in df.columns:
+            raise ValueError(
+                f"{what} column {col!r} not in dataframe (columns: {df.columns})",
+            )
+    if window < 2:
+        raise ValueError(f"window must be >= 2 tokens, got {window}")
+    if hash_function not in ("md5", "xxhash64"):
+        raise ValueError(
+            f"hash_function must be 'md5' or 'xxhash64', got {hash_function!r}",
+        )
+    w = int(window)
+    hash_fn = F.md5 if hash_function == "md5" else F.xxhash64
+    tk = F.col("__tk")
+    win_hashes = F.when(
+        F.size(tk) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - w),
+            lambda i: hash_fn(F.concat_ws(" ", F.slice(tk, i + 1, w))),
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<string>" if hash_function == "md5" else "array<bigint>",
+        ),
+    )
+    cols = [F.col(id_column)]
+    if event_time_column is not None:
+        if event_time_column not in df.columns:
+            raise ValueError(
+                f"event time column {event_time_column!r} not in dataframe "
+                f"(columns: {df.columns})",
+            )
+        cols.append(F.col(event_time_column))
+    occ = (
+        df.where(F.col(id_column).isNotNull() & F.col(text_column).isNotNull())
+        .select(*cols, whitespace_tokens(F.col(text_column)).alias("__tk"))
+        .select(
+            *[c for c in (id_column, event_time_column) if c is not None],
+            F.posexplode(win_hashes).alias("start", "__win_d"),
+        )
+    )
+    out_schema = StructType([
+        StructField(id_column, df.schema[id_column].dataType, True),
+        StructField("start", IntegerType(), True),
+    ])
+    return _keep_first_stream(
+        occ, "__win_d", id_column, "start", out_schema,
+        event_time_column, watermark_delay,
     )
 
 

@@ -638,3 +638,56 @@ def test_rowwise_lm_scoring_runs_on_a_stream(tmp_path, spark):
         for r in unigram_logprob_rowwise(batch, model).collect()
     }
     assert got == want and got[1] > got[2]  # in-vocab beats junk
+
+
+def test_dedup_substrings_stream_matches_batch_with_sink_rebuild(tmp_path, spark):
+    """Drained keep-first window winners, applied to the corpus via
+    apply_substring_winners, reproduce the batch dedup_substrings output
+    when arrival order agrees with id order (crawl-order ids)."""
+    from sed_binning_spark.pipeline.dedup import (
+        apply_substring_winners,
+        dedup_substrings,
+    )
+    from sed_binning_spark.streaming import dedup_substrings_stream
+
+    root = tmp_path / "subdd_in"
+    root.mkdir()
+    chunk0 = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["A B C D E unique tail", "x y A B C D E z"],
+    })
+    chunk1 = pd.DataFrame({
+        "doc_id": [3, 4],
+        "text": ["A B C D E", "fresh words only here"],
+    })
+    chunk0.to_parquet(root / "chunk_0.parquet")
+    chunk1.to_parquet(root / "chunk_1.parquet")
+
+    stream = stream_events(spark, str(root), max_files_per_trigger=1)
+    q = (
+        dedup_substrings_stream(stream, window=5)
+        .writeStream.format("memory").queryName("subdd_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    winners = spark.sql("SELECT * FROM subdd_stream")
+    # doc 1 wins its three windows; doc 2's "A B C D E" window (start 2)
+    # loses to (1, 0) in the same batch; doc 3's only window loses across
+    # batches; doc 4 is shorter than the window and emits none
+    assert {(r.doc_id, r.start) for r in winners.collect()} == {
+        (1, 0), (1, 1), (1, 2), (2, 0), (2, 1), (2, 3),
+    }
+
+    batch = spark.createDataFrame(
+        pd.concat([chunk0, chunk1], ignore_index=True),
+    )
+    via_stream = {
+        r.doc_id: (r.text_dedup, r.n_removed_tokens)
+        for r in apply_substring_winners(batch, winners, window=5).collect()
+    }
+    via_batch = {
+        r.doc_id: (r.text_dedup, r.n_removed_tokens)
+        for r in dedup_substrings(batch, window=5).collect()
+    }
+    assert via_stream == via_batch
+    assert via_stream[3] == ("", 5)  # doc 3 fully covered by doc 1's window
