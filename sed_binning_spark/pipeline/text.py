@@ -195,18 +195,32 @@ def winnow_fingerprints(
     Pure expression pipeline over :func:`rolling_hashes`' spans (array HOFs
     only); output is the sorted distinct fingerprint array.
     """
-    toks = whitespace_tokens(F.lower(F.col(text_column)))
+    # tokens AND the hash sequence materialize as columns before the
+    # per-window lambdas: an expression referenced inside a higher-order
+    # lambda re-evaluates per ELEMENT, so the un-materialized form
+    # re-split the text per shingle and re-hashed the whole sequence per
+    # winnow window (O(n^2) md5 calls)
+    tmp_t, tmp_h = "__wn_tk", "__wn_h"
+    while tmp_t in df.columns or tmp_h in df.columns:
+        tmp_t, tmp_h = "_" + tmp_t, "_" + tmp_h
+    toks = F.col(tmp_t)
     k = F.greatest(F.size(toks) - F.lit(shingle_window - 1), F.lit(1))
     idx = F.sequence(F.lit(0), k - F.lit(1))
-    hashes = F.transform(
-        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, shingle_window))),
-    )
+    hashes = F.col(tmp_h)
     n_win = F.greatest(F.size(hashes) - F.lit(winnow_window - 1), F.lit(1))
     win_idx = F.sequence(F.lit(0), n_win - F.lit(1))
     mins = F.transform(
         win_idx, lambda i: F.array_min(F.slice(hashes, i + 1, winnow_window)),
     )
-    return df.withColumn(out_column, F.array_sort(F.array_distinct(mins)))
+    return (
+        df.withColumn(tmp_t, whitespace_tokens(F.lower(F.col(text_column))))
+        .withColumn(tmp_h, F.transform(
+            idx,
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, shingle_window))),
+        ))
+        .withColumn(out_column, F.array_sort(F.array_distinct(mins)))
+        .drop(tmp_t, tmp_h)
+    )
 
 
 def rolling_hashes(
@@ -217,12 +231,20 @@ def rolling_hashes(
 ) -> DataFrame:
     """Winnowing-style rolling fingerprints: md5 of each ``window``-token
     span (the shingle-hash sequence used for local-similarity detection).
-    Per-row expression; downstream winnowing (min per window) composes with
-    array HOFs."""
-    toks = whitespace_tokens(F.lower(F.col(text_column)))
+    Per-row expression; downstream winnowing (:func:`winnow_fingerprints`)
+    composes with array HOFs."""
+    tmp = "__rh_tk"
+    while tmp in df.columns:
+        tmp = "_" + tmp
+    # tokens materialize as a column BEFORE the per-window lambda: slicing
+    # the tokenizer expression inside the lambda re-splits the text once
+    # per window (the word_shingles docstring's measured antipattern)
+    toks = F.col(tmp)
     k = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))
     idx = F.sequence(F.lit(0), k - F.lit(1))
     return df.withColumn(
+        tmp, whitespace_tokens(F.lower(F.col(text_column))),
+    ).withColumn(
         out_column,
         # token-less (NULL/blank) documents have no windows: NULL, not a
         # single md5('') hash that would collide every empty document
@@ -230,7 +252,7 @@ def rolling_hashes(
             F.size(toks) > 0,
             F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window)))),
         ),
-    )
+    ).drop(tmp)
 
 
 # ---------------------------------------------------------------- PII / URLs
