@@ -62,16 +62,24 @@ def _array_grams(arr, n: int):
     output — BPE ids or subword strings): elements stringified, n-grams
     joined on the unit separator (token strings may themselves contain
     spaces, unlike the whitespace-tokenizer path). Same no-full-n-gram
-    gate as :func:`_lm_grams`; a NULL array emits no events."""
-    a = F.transform(arr, lambda x: x.cast("string"))
+    gate as :func:`_lm_grams`; a NULL array emits no events.
+
+    ``arr`` must be a bound COLUMN (all callers pass ``F.col``): the
+    window lambda slices it per gram, and an expression there would
+    re-evaluate per element. The full-array stringify happens per SLICE
+    (w elements), not once over a derived array referenced in the lambda
+    — that form re-built the whole stringified array per gram (O(n²))."""
     if n == 1:
-        return a
-    m = F.size(a)
+        return F.transform(arr, lambda x: x.cast("string"))
+    m = F.size(arr)
     return F.when(
         m >= n,
         F.transform(
             F.sequence(F.lit(1), m - n + 1),
-            lambda i: F.array_join(F.slice(a, i, n), "\x1f"),
+            lambda i: F.array_join(
+                F.transform(F.slice(arr, i, n), lambda x: x.cast("string")),
+                "\x1f",
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
