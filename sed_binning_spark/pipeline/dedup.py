@@ -668,6 +668,35 @@ def dedup_segments(
 # ---------------------------------------------------------------------------
 
 
+def _window_hashes(tk, window: int, hash_function: str):
+    """The window-hash pipeline shared BYTE-IDENTICALLY by
+    :func:`dedup_substrings` and the streaming twin (stream winners are
+    only applicable to the batch corpus via
+    :func:`apply_substring_winners` because both sides hash windows with
+    exactly this expression). ``tk`` must be a bound token-array COLUMN —
+    the per-window lambda slices it, and an expression there would
+    re-evaluate per element."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2 tokens, got {window}")
+    if hash_function not in ("md5", "xxhash64"):
+        raise ValueError(
+            f"hash_function must be 'md5' or 'xxhash64', got {hash_function!r}",
+        )
+    w = int(window)
+    hash_fn = F.md5 if hash_function == "md5" else F.xxhash64
+    return F.when(
+        F.size(tk) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - w),
+            lambda i: hash_fn(F.concat_ws(" ", F.slice(tk, i + 1, w))),
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<string>" if hash_function == "md5" else "array<bigint>",
+        ),
+    )
+
+
 def dedup_substrings(
     df: DataFrame,
     text_column: str = "text",
@@ -737,33 +766,13 @@ def dedup_substrings(
             raise ValueError(
                 f"{what} column {col!r} not in dataframe (columns: {df.columns})",
             )
-    if window < 2:
-        raise ValueError(f"window must be >= 2 tokens, got {window}")
-    if hash_function not in ("md5", "xxhash64"):
-        raise ValueError(
-            f"hash_function must be 'md5' or 'xxhash64', got {hash_function!r}",
-        )
     w = int(window)
     text = F.col(text_column)
     toks_expr = whitespace_tokens(text)
-    hash_fn = F.md5 if hash_function == "md5" else F.xxhash64
-
-    # materialize the token array BEFORE the per-window lambda: slicing
-    # the raw tokenizer expression inside the lambda would re-split the
-    # text once per window (the word_shingles docstring's measured 2.6x
-    # antipattern); a bound column attribute is sliced for free
-    tk = F.col("__tk")
-    win_hashes = F.when(
-        F.size(tk) >= w,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tk) - w),
-            lambda i: hash_fn(F.concat_ws(" ", F.slice(tk, i + 1, w))),
-        ),
-    ).otherwise(
-        F.array().cast(
-            "array<string>" if hash_function == "md5" else "array<bigint>",
-        ),
-    )
+    # the token array materializes as a column BEFORE the per-window
+    # lambda (the word_shingles docstring's measured 2.6x antipattern);
+    # a bound column attribute is sliced for free
+    win_hashes = _window_hashes(F.col("__tk"), w, hash_function)
 
     occ = (
         df.where(F.col(id_column).isNotNull() & text.isNotNull())
@@ -802,7 +811,17 @@ def apply_substring_winners(
     loser starts derive row-locally as its full window-start range MINUS
     its winning starts (``array_except``) — nothing occurrence-grained
     ever shuffles. Pass the SAME ``window`` the winners were computed
-    with; the output columns are :func:`dedup_substrings`'s."""
+    with; the output columns are :func:`dedup_substrings`'s.
+
+    CONTRACT — ``df`` must be exactly the corpus whose windows competed
+    for the winners: a document with ≥ ``window`` tokens and NO winners
+    row is treated as all-windows-lost and rebuilt EMPTY, because
+    "participated and lost everywhere" and "never participated" are
+    indistinguishable from the winner frame alone. A doc the stream never
+    saw (late data dropped by the watermark, a partial drain, a corpus
+    superset) would therefore be silently emptied — exclude such rows
+    from ``df`` (or route them through a fresh batch ``dedup_substrings``
+    pass) before applying."""
     for col, what in [(text_column, "text"), (id_column, "id")]:
         if col not in df.columns:
             raise ValueError(

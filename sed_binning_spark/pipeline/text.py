@@ -218,7 +218,16 @@ def winnow_fingerprints(
             idx,
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, shingle_window))),
         ))
-        .withColumn(out_column, F.array_sort(F.array_distinct(mins)))
+        .withColumn(
+            out_column,
+            # token-less (NULL/blank) documents have no fingerprints: NULL,
+            # not a shared [md5('')] that would pair every empty document
+            # with every other in a fingerprint-overlap similarity join —
+            # the same guard rolling_hashes pins
+            F.when(
+                F.size(toks) > 0, F.array_sort(F.array_distinct(mins)),
+            ),
+        )
         .drop(tmp_t, tmp_h)
     )
 

@@ -391,7 +391,7 @@ def dedup_segments_stream(
     groupBy cannot follow per-segment state inside one streaming query
     without a second stateful stage).
     """
-    from pyspark.sql.types import IntegerType, LongType, StringType
+    from pyspark.sql.types import IntegerType, StringType
 
     from sed_binning_spark.pipeline.dedup import segment_array
 
@@ -548,6 +548,7 @@ def dedup_substrings_stream(
     """
     from pyspark.sql.types import IntegerType
 
+    from sed_binning_spark.pipeline.dedup import _window_hashes
     from sed_binning_spark.pipeline.text import whitespace_tokens
 
     for col, what in [(text_column, "text"), (id_column, "id")]:
@@ -555,26 +556,10 @@ def dedup_substrings_stream(
             raise ValueError(
                 f"{what} column {col!r} not in dataframe (columns: {df.columns})",
             )
-    if window < 2:
-        raise ValueError(f"window must be >= 2 tokens, got {window}")
-    if hash_function not in ("md5", "xxhash64"):
-        raise ValueError(
-            f"hash_function must be 'md5' or 'xxhash64', got {hash_function!r}",
-        )
     w = int(window)
-    hash_fn = F.md5 if hash_function == "md5" else F.xxhash64
-    tk = F.col("__tk")
-    win_hashes = F.when(
-        F.size(tk) >= w,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tk) - w),
-            lambda i: hash_fn(F.concat_ws(" ", F.slice(tk, i + 1, w))),
-        ),
-    ).otherwise(
-        F.array().cast(
-            "array<string>" if hash_function == "md5" else "array<bigint>",
-        ),
-    )
+    # the SHARED window-hash pipeline: stream winners are only applicable
+    # to the batch corpus because both sides hash with the same expression
+    win_hashes = _window_hashes(F.col("__tk"), w, hash_function)
     cols = [F.col(id_column)]
     if event_time_column is not None:
         if event_time_column not in df.columns:

@@ -649,3 +649,21 @@ def test_resize_images_survives_truncated_and_empty_payloads(spark):
     assert out.loc[1, "payload"] is None
     assert out.loc[2, "payload"] is None
     assert out.loc[3, "payload"] is None
+
+
+def test_winnow_blank_docs_have_no_fingerprints(spark):
+    """NULL/blank documents must fingerprint as NULL — a shared [md5('')]
+    would pair every empty document with every other in any
+    fingerprint-overlap similarity join (the rolling_hashes guard)."""
+    from sed_binning_spark.pipeline.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, " \t "), (4, "real text content here now")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.winnowed
+        for r in winnow_fingerprints(df, shingle_window=3, winnow_window=2).collect()
+    }
+    assert got[1] is None and got[2] is None and got[3] is None
+    assert got[4]
