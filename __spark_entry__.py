@@ -1180,10 +1180,11 @@ def _q_pulse_projection(spark, sf):
 
 
 def _q_storage_roundtrip(spark, sf):
-    """S9+S8+J7 merged: combined-parquet save + load round-trip, the
-    write-once buffer cache with schema validation, and the multi-path
-    file concat — the returned frame is what a later session would read
-    back from BOTH copies of the buffer.
+    """S9+S8+J7+S2+S11 merged: combined-parquet save + load round-trip,
+    the write-once buffer cache with schema validation, the multi-path
+    file concat with natural-sort attribution, and the dataset fetcher —
+    the returned frame is what a later session would read back from BOTH
+    copies of the buffer.
 
     - S9 (save/load): the first ``buffer_parquet`` call force-builds the
       dataset via ``save_parquet``'s writer path (reference
@@ -1251,10 +1252,44 @@ def _q_storage_roundtrip(spark, sf):
     pq.write_table(tbl.filter(pc.invert(even)), os.path.join(d2, "part10.parquet"))
     df, _, meta = GenericLoader(spark).read_dataframe(folders=d2)
     assert meta["file_statistics"]["num_files"] == 2
+
+    # S11 (dataset fetcher, reference sed/dataset/dataset.py:28-416):
+    # file:// download + sha256 verification, cache hit proven by
+    # DELETING the source before the second get (only the recorded cache
+    # can serve it), and the corrupt-checksum raise — all local, no
+    # network at the gate (the HTTP(S) path shares this code and is
+    # covered by network-mocked pytest).
+    import hashlib as _hl
+
+    from sed_binning_spark.loaders.storage import DatasetFetcher
+
+    payload = f"sed-binning dataset fixture {tag}".encode()
+    src = path[:-8] + "_dlsrc.bin"
+    with open(src, "wb") as fh:
+        fh.write(payload)
+    sha = _hl.sha256(payload).hexdigest()
+    dl_dir = path[:-8] + "_ds"
+    shutil.rmtree(dl_dir, ignore_errors=True)
+    fetcher = DatasetFetcher(dl_dir, {
+        "good": {"url": "file://" + src, "sha256": sha},
+        "corrupt": {"url": "file://" + src, "sha256": "0" * 64},
+    })
+    p1 = fetcher.get("good")
+    with open(os.path.join(p1, os.path.basename(src)), "rb") as fh:
+        dl_ok = fh.read() == payload
+    try:
+        fetcher.get("corrupt")
+        dl_ok = False
+    except ValueError as exc:
+        dl_ok = dl_ok and "checksum mismatch" in str(exc)
+    os.remove(src)  # second get must be served by the cache alone
+    dl_ok = dl_ok and fetcher.get("good") == p1
+
     return df.select(
         "event_id", "user_id", "value",
         F.col("file_id").alias("src_file"),
         F.lit(bool(ok)).alias("buffer_ok"),
+        F.lit(bool(dl_ok)).alias("download_ok"),
     )
 
 
@@ -1975,8 +2010,8 @@ def oracle_sql() -> dict[str, str]:
         # and fails the hash); buffer_ok pins the S8 schema-validation raise
         "storage_roundtrip": (
             f"SELECT event_id, user_id, value, "
-            f"CAST(event_id % 2 AS INT) AS src_file, TRUE AS buffer_ok "
-            f"FROM ({_EV_SQL})"
+            f"CAST(event_id % 2 AS INT) AS src_file, TRUE AS buffer_ok, "
+            f"TRUE AS download_ok FROM ({_EV_SQL})"
         ),
         "jaccard_pairs": (
             f"SELECT p.id_a, p.id_b, round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
