@@ -897,13 +897,29 @@ def apply_substring_winners(
             ))),
         ),
     ))
-    kept = F.filter(
-        tk2,
-        lambda t, i: ~F.exists(
-            F.col("__spans"),
-            lambda s: (s["lo"] <= i.cast("bigint")) & (i.cast("bigint") <= s["hi"]),
-        ),
-    )
+    # rebuild from the GAPS between the merged spans, not by testing each
+    # token against the span list: Catalyst's CollapseProject re-inlines a
+    # once-referenced projection into its consumer lambda, so a per-token
+    # exists() re-ran the whole interval fold once per token (measured
+    # 169 s for 500k fully-templated docs); per-gap slicing evaluates the
+    # lambda n_spans+1 times per row instead of n_tokens times (0.9 s).
+    spans_col = F.col("__spans")
+    m = F.size(spans_col)
+    n_tk = F.size(tk2)
+
+    def _gap(i):
+        start1 = F.when(i == 0, F.lit(1).cast("bigint")).otherwise(
+            F.element_at(spans_col, i.cast("int"))["hi"] + 2,
+        )
+        end1 = F.when(i == m, (n_tk + 1).cast("bigint")).otherwise(
+            F.element_at(spans_col, (i + 1).cast("int"))["lo"] + 1,
+        )
+        return F.slice(
+            tk2, start1.cast("int"),
+            F.greatest(end1 - start1, F.lit(0)).cast("int"),
+        )
+
+    kept = F.flatten(F.transform(F.sequence(F.lit(0), m), _gap))
     scored = text.isNotNull() & F.col(id_column).isNotNull()
     n_tokens = F.when(scored, F.size(tk2)).otherwise(F.lit(0))
     return (
