@@ -1259,15 +1259,13 @@ def _q_storage_roundtrip(spark, sf):
     # can serve it), and the corrupt-checksum raise — all local, no
     # network at the gate (the HTTP(S) path shares this code and is
     # covered by network-mocked pytest).
-    import hashlib as _hl
-
     from sed_binning_spark.loaders.storage import DatasetFetcher
 
     payload = f"sed-binning dataset fixture {tag}".encode()
     src = path[:-8] + "_dlsrc.bin"
     with open(src, "wb") as fh:
         fh.write(payload)
-    sha = _hl.sha256(payload).hexdigest()
+    sha = hashlib.sha256(payload).hexdigest()
     dl_dir = path[:-8] + "_ds"
     shutil.rmtree(dl_dir, ignore_errors=True)
     fetcher = DatasetFetcher(dl_dir, {

@@ -91,15 +91,12 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     shorter-than-n full-token-string case. Documents shorter than ``n``
     tokens yield their full token string as the single shingle.
     """
+    from sed_binning_spark.pipeline.text import shifted_zip_fold
+
     toks = _tokens(text)
-    sh = toks
-    for j in range(1, n):
-        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - F.lit(j), F.lit(0)))
-        sh = F.zip_with(
-            sh,
-            shifted,
-            lambda a, b: F.when(b.isNull(), a).otherwise(F.concat(a, F.lit(" "), b)),
-        )
+    sh = shifted_zip_fold(
+        toks, n, lambda a, b: F.concat(a, F.lit(" "), b),
+    )
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     return F.slice(sh, 1, k)
 
