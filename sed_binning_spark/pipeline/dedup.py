@@ -694,6 +694,55 @@ def _window_hashes(tk, window: int, hash_function: str):
     )
 
 
+_SUBSTR_HASH_FUNCTIONS = ("md5", "xxhash64", "rolling")
+
+
+def _occ_window_explode(
+    base: DataFrame,
+    id_cols: list,
+    window: int,
+    hash_function: str,
+    hash_alias: str,
+) -> DataFrame:
+    """One ``(id..., start, hash)`` row per window occurrence, from a
+    frame carrying the token array as a bound ``__tk`` column — the
+    occurrence builder shared BYTE-IDENTICALLY by
+    :func:`dedup_substrings` and the streaming twin (stream winners are
+    only applicable to the batch corpus because both sides hash windows
+    through exactly this path). ``md5``/``xxhash64`` hash each window
+    from scratch (expression-level, O(n·w) digest bytes); ``rolling`` is
+    the Rabin-Karp O(n + n·log w) path
+    (:func:`~sed_binning_spark.pipeline.text.rk_window_hashes`) — 62-bit,
+    so collision-equivalent to xxhash64 but several times cheaper, and
+    cross-engine reproducible (DuckDB twin in ``sqlgen``) where xxhash64
+    is Spark-only."""
+    if hash_function not in _SUBSTR_HASH_FUNCTIONS:
+        raise ValueError(
+            f"hash_function must be one of {_SUBSTR_HASH_FUNCTIONS}, "
+            f"got {hash_function!r}",
+        )
+    if window < 2:
+        raise ValueError(f"window must be >= 2 tokens, got {window}")
+    if hash_function == "rolling":
+        from sed_binning_spark.pipeline.text import rk_window_hashes
+
+        base = rk_window_hashes(base, "__tk", "__wh", int(window))
+        win = F.col("__wh")
+    else:
+        win = _window_hashes(F.col("__tk"), int(window), hash_function)
+    # posexplode_OUTER, then drop the one NULL row each window-less
+    # document emits: the non-outer form triggers InferFiltersFromGenerate,
+    # whose size(input) > 0 filter gets predicate-pushed through the
+    # hash-pipeline Projects with full expression substitution — the
+    # whole tokenize+hash tree re-evaluated per ROW inside the Filter
+    # (measured 8x on the rolling path, whose layered zips multiply the
+    # substitution). A filter on the GENERATED attribute cannot be
+    # pushed below the Generate, so this shape hashes exactly once.
+    return base.select(
+        *id_cols, F.posexplode_outer(win).alias("start", hash_alias),
+    ).where(F.col(hash_alias).isNotNull())
+
+
 def dedup_substrings(
     df: DataFrame,
     text_column: str = "text",
@@ -751,7 +800,14 @@ def dedup_substrings(
     times cheaper per window but 64-bit, so at 10^12 windows a handful of
     birthday collisions would each falsely remove one window-length span
     (~1e-8 of the corpus) — acceptable for curation throughput runs, not
-    for the exactness gate.
+    for the exactness gate. ``"rolling"`` is the Rabin-Karp path
+    (:func:`~sed_binning_spark.pipeline.text.rk_window_hashes`): one md5
+    per TOKEN plus O(log window) whole-array multiply-add-mod zips
+    instead of one digest per WINDOW — the throughput choice for large
+    windows (ExactSubstr's canonical w=50 hashes 50× fewer digest bytes),
+    62-bit so collision-equivalent to xxhash64, and unlike xxhash64
+    reproducible by the cross-engine oracle
+    (:func:`~sed_binning_spark.sqlgen.rk_window_hashes_sql`).
 
     ``check_unique_ids=False`` skips the duplicate-id guard (an id-only
     corpus aggregation; duplicate ids would apply BOTH rows' duplicated
@@ -767,17 +823,12 @@ def dedup_substrings(
     text = F.col(text_column)
     toks_expr = whitespace_tokens(text)
     # the token array materializes as a column BEFORE the per-window
-    # lambda (the word_shingles docstring's measured 2.6x antipattern);
+    # hashing (the word_shingles docstring's measured 2.6x antipattern);
     # a bound column attribute is sliced for free
-    win_hashes = _window_hashes(F.col("__tk"), w, hash_function)
-
-    occ = (
+    occ = _occ_window_explode(
         df.where(F.col(id_column).isNotNull() & text.isNotNull())
-        .select(F.col(id_column), toks_expr.alias("__tk"))
-        .select(
-            F.col(id_column),
-            F.posexplode(win_hashes).alias("start", "h"),
-        )
+        .select(F.col(id_column), toks_expr.alias("__tk")),
+        [F.col(id_column)], w, hash_function, "h",
     )
     winners = occ.groupBy("h").agg(
         F.min(F.struct(F.col(id_column), F.col("start"))).alias("w"),
@@ -867,31 +918,39 @@ def apply_substring_winners(
             F.coalesce(F.col("__win_starts"), F.array().cast("array<int>")),
         ),
     )
-    # sorted starts -> disjoint merged [lo, hi] token intervals: one
-    # sequential fold, each step extends the last interval or opens a new
-    # one (starts are sorted, so only the last interval can absorb)
-    empty_spans = F.array().cast("array<struct<lo: bigint, hi: bigint>>")
-    out = out.withColumn("__spans", F.aggregate(
-        dup_starts,
-        empty_spans,
-        lambda acc, d: F.when(
-            (F.size(acc) > 0)
-            & (d.cast("bigint") <= F.element_at(acc, -1)["hi"] + 1),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(F.struct(
-                    F.element_at(acc, -1)["lo"].alias("lo"),
-                    F.greatest(
-                        F.element_at(acc, -1)["hi"],
-                        d.cast("bigint") + (w - 1),
-                    ).alias("hi"),
-                )),
-            ),
-        ).otherwise(
-            F.concat(acc, F.array(F.struct(
-                d.cast("bigint").alias("lo"),
-                (d.cast("bigint") + (w - 1)).alias("hi"),
-            ))),
+    # sorted starts -> disjoint merged [lo, hi] token intervals. All
+    # intervals share width w and starts are sorted, so interval i merges
+    # into its predecessor exactly when d_i <= d_{i-1} + w — span
+    # boundaries are the BREAK positions (d_i > d_{i-1} + w), computable
+    # with one shifted zip + filters at projection level. The obvious
+    # sequential F.aggregate fold is semantically identical but each step
+    # re-copies the accumulator array (slice + concat + struct per dup
+    # start) — measured 14 s of a 24 s apply pass at 2M docs vs ~2 s for
+    # this shape.
+    out = out.withColumn("__dup", dup_starts)
+    dup = F.col("__dup")
+    n_dup = F.size(dup)
+    # __dup and __breaks materialize as columns referenced >= 2 times so
+    # CollapseProject cannot re-inline them into consumer lambdas
+    out = out.withColumn("__breaks", F.filter(
+        F.zip_with(
+            F.slice(dup, 2, F.greatest(n_dup - 1, F.lit(0))),
+            F.slice(dup, 1, F.greatest(n_dup - 1, F.lit(0))),
+            lambda c, p: F.struct(c.alias("c"), p.alias("p")),
+        ),
+        lambda s: s["c"] > s["p"] + w,
+    ))
+    breaks = F.col("__breaks")
+    span_los = F.concat(F.slice(dup, 1, 1), F.transform(breaks, lambda s: s["c"]))
+    span_his = F.concat(
+        F.transform(breaks, lambda s: s["p"] + (w - 1)),
+        F.when(n_dup > 0, F.array(F.element_at(dup, -1) + (w - 1)))
+        .otherwise(F.array().cast("array<int>")),
+    )
+    out = out.withColumn("__spans", F.zip_with(
+        span_los, span_his,
+        lambda lo, hi: F.struct(
+            lo.cast("bigint").alias("lo"), hi.cast("bigint").alias("hi"),
         ),
     ))
     # rebuild from the GAPS between the merged spans, not by testing each
@@ -939,5 +998,8 @@ def apply_substring_winners(
             F.when(scored, F.size(tk2) - F.size(kept))
             .otherwise(F.lit(0)).cast("bigint"),
         )
-        .drop("__win_starts", "__n_rows_ss", "__tk2", "__spans")
+        .drop(
+            "__win_starts", "__n_rows_ss", "__tk2", "__dup", "__breaks",
+            "__spans",
+        )
     )

@@ -70,6 +70,201 @@ def shifted_zip_fold(arr, n: int, combine):
     return acc
 
 
+# ------------------------------------------------------- Rabin-Karp hashing
+
+# Double 31-bit polynomial rolling hash: two independent tracks, each a
+# left fold H = (...((h_0*B + h_1)*B + h_2)...) mod M over per-TOKEN hash
+# residues, combined into one 62-bit value (track1 * 2^31 + track2).
+# 31-bit moduli keep every product a*B < 2^62 inside checked BIGINT
+# arithmetic in BOTH engines (DuckDB raises on 64-bit overflow); the
+# combined 62 bits match the xxhash64 collision profile — the throughput
+# alternative to per-window md5 (which stays the collision-audited
+# default for exactness gates; see dedup.dedup_substrings).
+RK_MOD1 = 2147483647  # 2^31 - 1 (Mersenne prime)
+RK_MOD2 = 2147483629  # 2^31 - 19 (prime)
+RK_BASE1 = 1000003
+RK_BASE2 = 1000033
+_RK_COMBINE = 2147483648  # 2^31: track1 * this + track2 < 2^62
+
+
+def _rk_token_residues(md5s: Column, track: int) -> Column:
+    """Per-token residue array for one track, from ONE md5 digest per
+    token: hex chars 1-13 mod RK_MOD1 (track 1) or 14-26 mod RK_MOD2
+    (track 2) — 13 hex chars = 52 bits, the cross-engine-portable bigint
+    width; the two slices are independent bits of the same digest, so one
+    digest feeds both tracks."""
+    start, mod = (1, RK_MOD1) if track == 1 else (14, RK_MOD2)
+    return F.transform(
+        md5s,
+        lambda m: F.conv(F.substring(m, start, 13), 16, 10).cast("long") % mod,
+    )
+
+
+def _rk_zip(left: Column, right: Column, shift: int, block: int, track: int) -> Column:
+    """One doubling/combine step on one track's primitive bigint array:
+    entry j of the result hashes the concatenation of left's window at j
+    with right's ``block``-token window starting ``shift`` tokens later —
+    ``(H_left * B^block + H_right) mod M``. ``zip_with`` NULL-pads the
+    shorter shifted side and NULL propagates through the arithmetic, so
+    entries whose window runs past the end come out NULL (sliced off by
+    the caller). Primitive long arrays, not struct<a,b> arrays: struct
+    element allocation and per-layer UnsafeArrayData serialization
+    measured ~15% slower than two primitive-track zips."""
+    base, mod = (RK_BASE1, RK_MOD1) if track == 1 else (RK_BASE2, RK_MOD2)
+    p = pow(base, block, mod)
+    shifted = F.slice(right, shift + 1, F.greatest(F.size(right) - shift, F.lit(0)))
+    return F.zip_with(left, shifted, lambda x, y: (x * p + y) % mod)
+
+
+def rk_window_hashes(
+    df: DataFrame,
+    token_column: str,
+    out_column: str,
+    window: int,
+) -> DataFrame:
+    """Rabin-Karp rolling hash of every ``window``-token span of
+    ``token_column`` — the O(n + n·log w) replacement for hashing each
+    window from scratch (md5-per-window is O(n·w) digest bytes and was
+    the measured dominant cost of the substring/winnow family; see
+    SCALE.md). One md5 per TOKEN, then binary-doubling ``zip_with`` folds:
+    level k holds the hash of every k-token window, level 2k is one
+    element-wise combine of level k with its k-shifted self, and the
+    final width assembles from ``window``'s set bits — O(log w) whole-array
+    zips total, each a multiply-add-mod per element.
+
+    Appends ``out_column`` (``array<bigint>``): entry j = the 62-bit
+    combined hash of tokens [j, j+window); documents with fewer than
+    ``window`` tokens get an EMPTY array (the dedup-family "no windows"
+    shape — wrap with a NULL guard where token-less docs must stay NULL).
+    The value is engine-portable: the DuckDB twin
+    (:func:`sed_binning_spark.sqlgen.rk_window_hashes_sql`) computes the
+    identical polynomial with a per-window left fold.
+
+    Two data-flow rules keep the layer stack cheap (each measured on the
+    2M-doc SCALE.md corpus):
+
+    - Each doubling level materializes as a temp COLUMN, not a nested
+      expression: expression-level chaining would duplicate the whole
+      tree once per level (levels reference their input twice —
+      accumulator and shifted copy), while a column referenced >= 2
+      times survives CollapseProject (see SCALE.md's HOF-recompute
+      notes).
+    - NOTHING after the first layer references the token (or md5) array:
+      the final slice sizes itself on the level-1 residue column, so
+      column pruning drops the ~1 KB-per-row token strings after one
+      layer instead of serializing them through every level's UnsafeRow
+      (measured 6x: 15.5 s -> 2.4 s for the 500k-doc occurrence frame).
+    """
+    w = int(window)
+    if w < 1:
+        raise ValueError(f"window must be >= 1 token, got {window}")
+    if token_column not in df.columns:
+        raise ValueError(
+            f"token column {token_column!r} not in dataframe "
+            f"(columns: {df.columns})",
+        )
+    pre = "__rk"
+    while any(c.startswith(pre) for c in df.columns):
+        pre = "_" + pre
+    # one md5 per token, dead (pruned) after the residue layer; the
+    # residue arrays are primitive longs from here on
+    temps = [f"{pre}_m"]
+    df = df.withColumn(f"{pre}_m", F.transform(F.col(token_column), F.md5))
+    for t in (1, 2):
+        temps.append(f"{pre}_t{t}_1")
+        df = df.withColumn(
+            f"{pre}_t{t}_1", _rk_token_residues(F.col(f"{pre}_m"), t),
+        )
+    levels = {1: f"{pre}_t{{t}}_1"}
+    k = 1
+    while k * 2 <= w:
+        for t in (1, 2):
+            temps.append(f"{pre}_t{t}_{k * 2}")
+            df = df.withColumn(
+                f"{pre}_t{t}_{k * 2}",
+                _rk_zip(
+                    F.col(levels[k].format(t=t)),
+                    F.col(levels[k].format(t=t)), k, k, t,
+                ),
+            )
+        k *= 2
+        levels[k] = f"{pre}_t{{t}}_{k}"
+    bits = [1 << i for i in range(w.bit_length()) if w >> i & 1][::-1]
+    acc_name, covered = levels[bits[0]], bits[0]
+    for b in bits[1:]:
+        nxt = f"{pre}_t{{t}}_c{covered + b}"
+        for t in (1, 2):
+            temps.append(nxt.format(t=t))
+            df = df.withColumn(
+                nxt.format(t=t),
+                _rk_zip(
+                    F.col(acc_name.format(t=t)),
+                    F.col(levels[b].format(t=t)), covered, b, t,
+                ),
+            )
+        covered += b
+        acc_name = nxt
+    n = F.size(F.col(levels[1].format(t=1)))
+    valid = F.greatest(n - (w - 1), F.lit(0))
+    out = F.when(
+        n >= w,
+        F.zip_with(
+            F.slice(F.col(acc_name.format(t=1)), 1, valid),
+            F.slice(F.col(acc_name.format(t=2)), 1, valid),
+            lambda a, b: a * F.lit(_RK_COMBINE) + b,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.withColumn(out_column, out).drop(*temps)
+
+
+def _rk_whole_doc_hash(tk: Column) -> Column:
+    """62-bit Rabin-Karp hash of the WHOLE token array — one scalar
+    ``F.aggregate`` left fold (O(n), scalar accumulator, no array
+    copying). Equals :func:`rk_window_hashes` with ``window=len(tk)``:
+    the fold seeds at 0 and ``0·B + h_0 = h_0``, so the leading zero
+    vanishes and both forms compute the identical polynomial."""
+    init = F.struct(
+        F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b"),
+    )
+    folded = F.aggregate(
+        F.transform(tk, F.md5), init,
+        lambda acc, m: F.struct(
+            ((acc["a"] * RK_BASE1
+              + F.conv(F.substring(m, 1, 13), 16, 10).cast("long") % RK_MOD1)
+             % RK_MOD1).alias("a"),
+            ((acc["b"] * RK_BASE2
+              + F.conv(F.substring(m, 14, 13), 16, 10).cast("long") % RK_MOD2)
+             % RK_MOD2).alias("b"),
+        ),
+    )
+    return folded["a"] * F.lit(_RK_COMBINE) + folded["b"]
+
+
+def _rk_hash_sequence(
+    df: DataFrame,
+    token_column: str,
+    out_column: str,
+    window: int,
+) -> DataFrame:
+    """Winnow-family rolling-hash sequence: :func:`rk_window_hashes` for
+    documents with >= ``window`` tokens, and the single whole-document
+    partial window for shorter non-empty documents — the same
+    partial-window rule the md5 path applies (``k = max(n - w + 1, 1)``),
+    so short documents still fingerprint. Token-less documents get NULL.
+    The partial branch sits under a ``when()`` (codegen if/else), so its
+    per-token fold only ever runs for sub-window rows."""
+    strict = "__rks"
+    while strict in df.columns:
+        strict = "_" + strict
+    df = rk_window_hashes(df, token_column, strict, window)
+    tk = F.col(token_column)
+    return df.withColumn(
+        out_column,
+        F.when(F.size(tk) >= int(window), F.col(strict))
+        .when(F.size(tk) > 0, F.array(_rk_whole_doc_hash(tk))),
+    ).drop(strict)
+
+
 def text_stats(
     df: DataFrame,
     text_column: str = "text",
@@ -207,6 +402,7 @@ def winnow_fingerprints(
     shingle_window: int = 5,
     winnow_window: int = 4,
     out_column: str = "winnowed",
+    hash_function: str = "md5",
 ) -> DataFrame:
     """Winnowing (Schleimer/Wilkerson/Aiken): keep the minimum rolling hash
     of every ``winnow_window``-length window over the shingle-hash
@@ -216,11 +412,22 @@ def winnow_fingerprints(
 
     Pure expression pipeline over :func:`rolling_hashes`' spans (array HOFs
     only); output is the sorted distinct fingerprint array.
+
+    ``hash_function="md5"`` (default) yields hex-string fingerprints;
+    ``"rolling"`` routes the shingle hashing through the Rabin-Karp path
+    (:func:`rk_window_hashes` — one md5 per token, O(log w) zips) and
+    yields 62-bit BIGINT fingerprints. Winnowing's min-per-window and
+    the shared-run guarantee are hash-value-agnostic, so both forms are
+    valid winnow fingerprints — they just don't mix across corpora.
     """
     if shingle_window < 1 or winnow_window < 1:
         raise ValueError(
             f"shingle_window and winnow_window must be >= 1, got "
             f"{shingle_window} and {winnow_window}",
+        )
+    if hash_function not in ("md5", "rolling"):
+        raise ValueError(
+            f"hash_function must be 'md5' or 'rolling', got {hash_function!r}",
         )
     # tokens AND the hash sequence materialize as columns before the
     # per-window lambdas: an expression referenced inside a higher-order
@@ -240,13 +447,16 @@ def winnow_fingerprints(
     # drops the partial trailing windows except the
     # fewer-hashes-than-window single window
     mins = F.slice(shifted_zip_fold(hashes, winnow_window, F.least), 1, n_win)
-    return (
-        df.withColumn(tmp_t, whitespace_tokens(F.lower(F.col(text_column))))
-        .withColumn(tmp_h, F.transform(
+    df = df.withColumn(tmp_t, whitespace_tokens(F.lower(F.col(text_column))))
+    if hash_function == "rolling":
+        df = _rk_hash_sequence(df, tmp_t, tmp_h, shingle_window)
+    else:
+        df = df.withColumn(tmp_h, F.transform(
             idx,
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, shingle_window))),
         ))
-        .withColumn(
+    return (
+        df.withColumn(
             out_column,
             # token-less (NULL/blank) documents have no fingerprints: NULL,
             # not a shared [md5('')] that would pair every empty document
@@ -265,23 +475,39 @@ def rolling_hashes(
     text_column: str = "text",
     window: int = 5,
     out_column: str = "rolling_hashes",
+    hash_function: str = "md5",
 ) -> DataFrame:
-    """Winnowing-style rolling fingerprints: md5 of each ``window``-token
+    """Winnowing-style rolling fingerprints: a hash of each ``window``-token
     span (the shingle-hash sequence used for local-similarity detection).
     Per-row expression; downstream winnowing (:func:`winnow_fingerprints`)
-    composes with array HOFs."""
+    composes with array HOFs. Documents shorter than ``window`` tokens
+    yield ONE partial whole-document window; token-less documents yield
+    NULL.
+
+    ``hash_function="md5"`` (default) digests each span from scratch —
+    32-hex-char fingerprints, O(n·w) digest bytes. ``"rolling"`` is the
+    Rabin-Karp path (:func:`rk_window_hashes`): 62-bit BIGINT
+    fingerprints from one md5 per token plus O(log w) whole-array
+    multiply-add-mod zips — the throughput choice for large windows, with
+    an exact DuckDB twin (:func:`~sed_binning_spark.sqlgen.
+    rk_window_hashes_sql`)."""
+    if hash_function not in ("md5", "rolling"):
+        raise ValueError(
+            f"hash_function must be 'md5' or 'rolling', got {hash_function!r}",
+        )
     tmp = "__rh_tk"
     while tmp in df.columns:
         tmp = "_" + tmp
     # tokens materialize as a column BEFORE the per-window lambda: slicing
     # the tokenizer expression inside the lambda re-splits the text once
     # per window (the word_shingles docstring's measured antipattern)
+    df = df.withColumn(tmp, whitespace_tokens(F.lower(F.col(text_column))))
+    if hash_function == "rolling":
+        return _rk_hash_sequence(df, tmp, out_column, window).drop(tmp)
     toks = F.col(tmp)
     k = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))
     idx = F.sequence(F.lit(0), k - F.lit(1))
     return df.withColumn(
-        tmp, whitespace_tokens(F.lower(F.col(text_column))),
-    ).withColumn(
         out_column,
         # token-less (NULL/blank) documents have no windows: NULL, not a
         # single md5('') hash that would collide every empty document

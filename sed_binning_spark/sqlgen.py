@@ -45,3 +45,40 @@ def hex_to_bigint_sql(hex_expr: str, start: int, n_chars: int = 13) -> str:
         for j in range(n_chars)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def rk_window_hashes_sql(tk_expr: str, window: int) -> str:
+    """DuckDB twin of :func:`pipeline.text.rk_window_hashes`: the 62-bit
+    combined double-31-bit Rabin-Karp polynomial hash of every ``window``-
+    token span of the VARCHAR[] expression ``tk_expr``, as a BIGINT[]
+    (empty for sub-window documents — the same shape the Spark side
+    emits). Computed the direct O(n*w) way — one ``list_reduce`` left
+    fold per window per track — which is the definitional form of the
+    polynomial the Spark side assembles with O(log w) doubling zips; the
+    oracle runs at tiny scale, so the asymptotic gap is irrelevant and
+    the redundancy is the point (an independent evaluation order must
+    agree value-for-value). ``list_reduce`` raises on empty input, so the
+    ``len >= window`` guard is load-bearing, not cosmetic."""
+    from sed_binning_spark.pipeline.text import (
+        RK_BASE1, RK_BASE2, RK_MOD1, RK_MOD2, _RK_COMBINE,
+    )
+    w = int(window)
+    if w < 1:
+        raise ValueError(f"window must be >= 1 token, got {window}")
+
+    def track(start: int, base: int, mod: int) -> str:
+        tok_h = f"({hex_to_bigint_sql('md5(t)', start, 13)} % {mod})"
+        return (
+            f"list_reduce(list_transform(({tk_expr})[j:j+{w - 1}], "
+            f"t -> {tok_h}), (a, b) -> (a * {base} + b) % {mod})"
+        )
+
+    h = (
+        f"{track(1, RK_BASE1, RK_MOD1)} * {_RK_COMBINE} "
+        f"+ {track(14, RK_BASE2, RK_MOD2)}"
+    )
+    return (
+        f"CASE WHEN len({tk_expr}) >= {w} THEN "
+        f"list_transform(range(1, len({tk_expr}) - {w - 2}), j -> {h}) "
+        f"ELSE CAST([] AS BIGINT[]) END"
+    )

@@ -548,7 +548,7 @@ def dedup_substrings_stream(
     """
     from pyspark.sql.types import IntegerType
 
-    from sed_binning_spark.pipeline.dedup import _window_hashes
+    from sed_binning_spark.pipeline.dedup import _occ_window_explode
     from sed_binning_spark.pipeline.text import whitespace_tokens
 
     for col, what in [(text_column, "text"), (id_column, "id")]:
@@ -557,9 +557,6 @@ def dedup_substrings_stream(
                 f"{what} column {col!r} not in dataframe (columns: {df.columns})",
             )
     w = int(window)
-    # the SHARED window-hash pipeline: stream winners are only applicable
-    # to the batch corpus because both sides hash with the same expression
-    win_hashes = _window_hashes(F.col("__tk"), w, hash_function)
     cols = [F.col(id_column)]
     if event_time_column is not None:
         if event_time_column not in df.columns:
@@ -568,13 +565,13 @@ def dedup_substrings_stream(
                 f"(columns: {df.columns})",
             )
         cols.append(F.col(event_time_column))
-    occ = (
+    # the SHARED occurrence builder: stream winners are only applicable
+    # to the batch corpus because both sides hash through the same path
+    occ = _occ_window_explode(
         df.where(F.col(id_column).isNotNull() & F.col(text_column).isNotNull())
-        .select(*cols, whitespace_tokens(F.col(text_column)).alias("__tk"))
-        .select(
-            *[c for c in (id_column, event_time_column) if c is not None],
-            F.posexplode(win_hashes).alias("start", "__win_d"),
-        )
+        .select(*cols, whitespace_tokens(F.col(text_column)).alias("__tk")),
+        [F.col(c) for c in (id_column, event_time_column) if c is not None],
+        w, hash_function, "__win_d",
     )
     out_schema = StructType([
         StructField(id_column, df.schema[id_column].dataType, True),
