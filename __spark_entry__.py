@@ -94,7 +94,12 @@ from sed_binning_spark.pipeline.text import (
     scrub_pii,
     text_stats,
 )
-from sed_binning_spark.sqlgen import fsql, hex_to_bigint_sql
+from sed_binning_spark.sqlgen import (
+    fsql,
+    hex_to_bigint_sql,
+    rk_whole_doc_hash_sql,
+    rk_window_hashes_sql,
+)
 
 # ---------------------------------------------------------------------------
 # shared derivations (Spark + SQL twins from the same literals)
@@ -1310,12 +1315,25 @@ def _q_rolling_hashes(spark, sf):
     without tokens covered by any non-first duplicated 5-token window,
     ``n_sub_removed`` the removed-token count. The oracle replays the
     whole cascade — strict windows, global min-(id, start) winners,
-    covered-token removal — in SQL."""
+    covered-token removal — in SQL.
+
+    Both hash paths sit on the gate: ``rh_csv`` is the md5-per-window
+    form; ``rh_roll_csv`` is the Rabin-Karp rolling form
+    (pipeline.text.rk_window_hashes — one md5 per token, doubling zips,
+    whole-doc partial window for short docs), whose 62-bit values the
+    oracle recomputes with an independent per-window left fold
+    (sqlgen.rk_window_hashes_sql). The dedup runs hash_function="rolling"
+    while the oracle groups windows by their md5 — a deliberate cross
+    check: the rebuilt text only hash-matches if Rabin-Karp window
+    equality agrees with md5 window equality occurrence-for-occurrence."""
     from sed_binning_spark.pipeline.dedup import dedup_substrings
     from sed_binning_spark.pipeline.text import rolling_hashes
 
     out = rolling_hashes(_docs(spark, sf), window=5)
-    out = dedup_substrings(out, window=5)
+    out = rolling_hashes(
+        out, window=5, out_column="rh_roll", hash_function="rolling",
+    )
+    out = dedup_substrings(out, window=5, hash_function="rolling")
     # preserve NULL for token-less documents: concat_ws over a NULL array
     # would silently render '' where the oracle (and the operator) say NULL
     return out.select(
@@ -1324,6 +1342,12 @@ def _q_rolling_hashes(spark, sf):
             F.col("rolling_hashes").isNotNull(),
             F.concat_ws(",", "rolling_hashes"),
         ).alias("rh_csv"),
+        F.when(
+            F.col("rh_roll").isNotNull(),
+            F.concat_ws(
+                ",", F.transform(F.col("rh_roll"), lambda x: x.cast("string")),
+            ),
+        ).alias("rh_roll_csv"),
         F.col("text_dedup").alias("text_subdedup"),
         F.col("n_removed_tokens").alias("n_sub_removed"),
     )
@@ -2043,6 +2067,15 @@ def oracle_sql() -> dict[str, str]:
             f"array_to_string(list_transform("
             f"range(1, greatest(len({toks}) - 4, 1) + 1), "
             f"i -> md5(array_to_string({toks}[i:i+4], ' '))), ',') AS rh_csv, "
+            # the Rabin-Karp form, value-exact: full windows via the
+            # independent per-window left fold, the single whole-doc
+            # partial window for 1..4-token docs, NULL for token-less
+            f"CASE WHEN len({toks}) >= 5 THEN array_to_string("
+            f"list_transform({rk_window_hashes_sql(toks, 5)}, "
+            f"x -> CAST(x AS VARCHAR)), ',') "
+            f"WHEN len({toks}) > 0 THEN "
+            f"CAST({rk_whole_doc_hash_sql(toks)} AS VARCHAR) "
+            f"END AS rh_roll_csv, "
             # coalesce: DuckDB array_to_string([]) is NULL where Spark
             # concat_ws([]) is '' — a fully-deduplicated doc must be ''
             "CASE WHEN t.text IS NULL THEN NULL ELSE coalesce(array_to_string("

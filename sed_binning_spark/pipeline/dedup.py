@@ -850,6 +850,7 @@ def apply_substring_winners(
     id_column: str = "doc_id",
     window: int = 50,
     check_unique_ids: bool = True,
+    strict: bool = False,
 ) -> DataFrame:
     """Rebuild documents from an ``(id, start)`` winner frame — the second
     phase of :func:`dedup_substrings`, exposed for the streaming twin: a
@@ -869,7 +870,21 @@ def apply_substring_winners(
     saw (late data dropped by the watermark, a partial drain, a corpus
     superset) would therefore be silently emptied — exclude such rows
     from ``df`` (or route them through a fresh batch ``dedup_substrings``
-    pass) before applying."""
+    pass) before applying.
+
+    ``strict=True`` turns that silent emptying into a loud
+    ``raise_error``: any ≥ ``window``-token document with NO winners row
+    aborts the job instead of rebuilding empty. A document that
+    participated always wins the hashes only it owns, so under a COMPLETE
+    winner frame the only docs without a row are those whose every window
+    is also held (and won) by an earlier document — exact full
+    duplicates. Strict mode therefore trades tolerance of full duplicates
+    for detection of partial frames: it is the right setting when
+    applying a DRAINED STREAM to a batch corpus (where a missed document
+    means watermark loss or a corpus mismatch, and silently emptying it
+    destroys data), and the wrong one for corpora that legitimately
+    contain verbatim copies (the batch :func:`dedup_substrings` keeps the
+    default, which rebuilds those empty by design)."""
     for col, what in [(text_column, "text"), (id_column, "id")]:
         if col not in df.columns:
             raise ValueError(
@@ -978,10 +993,28 @@ def apply_substring_winners(
     kept = F.flatten(F.transform(F.sequence(F.lit(0), m), _gap))
     scored = text.isNotNull() & F.col(id_column).isNotNull()
     n_tokens = F.when(scored, F.size(tk2)).otherwise(F.lit(0))
+    chain = F.when(F.lit(False), F.lit(None).cast("string"))
+    if strict:
+        # loud partial-frame detection: a windowed doc with no winners row
+        # (raise_error in a when() branch cast to the branch type — the
+        # unique-id guards' posture)
+        chain = chain.when(
+            scored & (F.size(tk2) >= w) & F.col("__win_starts").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("apply_substring_winners(strict=True): document "),
+                    F.col(id_column).cast("string"),
+                    F.lit(
+                        " has windows but no winners row — partial winner "
+                        "frame or exact full duplicate",
+                    ),
+                ),
+            ).cast("string"),
+        )
     return (
         out.withColumn(
             "text_dedup",
-            F.when(
+            chain.when(
                 F.col("__n_rows_ss").isNotNull(),
                 F.raise_error(
                     F.concat(
@@ -1003,3 +1036,41 @@ def apply_substring_winners(
             "__spans",
         )
     )
+
+
+def oversized_window_stats(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    window: int = 50,
+    max_occurrences: int = 1024,
+    hash_function: str = "md5",
+) -> DataFrame:
+    """Skew-guard observability for :func:`dedup_substrings`' window-hash
+    shuffle — the ExactSubstr twin of :func:`minhash_lsh_bucket_stats`:
+    one row with the distinct-window count, how many window hashes occur
+    more than ``max_occurrences`` times, their occurrence total, and the
+    hottest hash's count. The winner aggregation map-side-combines hot
+    hashes, so a boilerplate window with 10^9 occurrences costs one row
+    per map task rather than 10^9 shuffled rows — but its winner row
+    still concentrates on one reducer, and the APPLY side of every one of
+    those documents rebuilds around it; run this (same ``window`` and
+    ``hash_function`` as the dedup call — a rolling run hashes windows
+    differently than md5 and the stats must describe the keys the dedup
+    actually shuffles) to see hot windows before committing a 100 TB
+    pass. One extra occurrence-frame aggregation; no effect on the dedup
+    plan itself."""
+    for col, what in [(text_column, "text"), (id_column, "id")]:
+        if col not in df.columns:
+            raise ValueError(
+                f"{what} column {col!r} not in dataframe (columns: {df.columns})",
+            )
+    occ = _occ_window_explode(
+        df.where(F.col(id_column).isNotNull() & F.col(text_column).isNotNull())
+        .select(
+            F.col(id_column),
+            whitespace_tokens(F.col(text_column)).alias("__tk"),
+        ),
+        [F.col(id_column)], int(window), hash_function, "h",
+    )
+    return oversized_bucket_stats(occ, ["h"], id_column, int(max_occurrences))

@@ -82,3 +82,27 @@ def rk_window_hashes_sql(tk_expr: str, window: int) -> str:
         f"list_transform(range(1, len({tk_expr}) - {w - 2}), j -> {h}) "
         f"ELSE CAST([] AS BIGINT[]) END"
     )
+
+
+def rk_whole_doc_hash_sql(tk_expr: str) -> str:
+    """DuckDB twin of :func:`pipeline.text._rk_whole_doc_hash`: the 62-bit
+    Rabin-Karp hash of the WHOLE token array (the single partial window
+    the winnow family emits for sub-window documents). ``list_reduce``
+    seeds with the first element where the Spark fold seeds 0 — identical
+    polynomials, since ``0*B + h_0 = h_0``. Raises on empty lists like
+    every ``list_reduce``; callers guard ``len > 0``."""
+    from sed_binning_spark.pipeline.text import (
+        RK_BASE1, RK_BASE2, RK_MOD1, RK_MOD2, _RK_COMBINE,
+    )
+
+    def track(start: int, base: int, mod: int) -> str:
+        tok_h = f"({hex_to_bigint_sql('md5(t)', start, 13)} % {mod})"
+        return (
+            f"list_reduce(list_transform({tk_expr}, t -> {tok_h}), "
+            f"(a, b) -> (a * {base} + b) % {mod})"
+        )
+
+    return (
+        f"({track(1, RK_BASE1, RK_MOD1)} * {_RK_COMBINE} "
+        f"+ {track(14, RK_BASE2, RK_MOD2)})"
+    )

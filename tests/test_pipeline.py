@@ -179,23 +179,55 @@ def test_fingerprint_normalization(docs_df):
     assert raw.loc[0, "fingerprint"] != raw.loc[6, "fingerprint"]
 
 
-def test_rolling_hashes(docs_df):
-    out = rolling_hashes(docs_df, window=5).toPandas().set_index("doc_id")
+@pytest.mark.parametrize("hf", ["md5", "rolling"])
+def test_rolling_hashes(docs_df, hf):
+    out = (
+        rolling_hashes(docs_df, window=5, hash_function=hf)
+        .toPandas().set_index("doc_id")
+    )
     assert len(out.loc[0, "rolling_hashes"]) == 9 - 5 + 1
     assert out.loc[0, "rolling_hashes"][0] == out.loc[1, "rolling_hashes"][0]
 
 
-def test_winnow_fingerprints(docs_df):
+def test_rolling_hashes_partial_and_null_semantics(spark):
+    """Both hash forms share the winnow-family edge contract: one partial
+    whole-document window below the window width, NULL for token-less
+    documents (never a shared hash that would collide every blank doc)."""
+    df = spark.createDataFrame(
+        [(0, "just three tokens"), (1, ""), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    for hf in ("md5", "rolling"):
+        out = (
+            rolling_hashes(df, window=5, hash_function=hf)
+            .toPandas().set_index("doc_id")
+        )
+        assert len(out.loc[0, "rolling_hashes"]) == 1
+        for i in (1, 2, 3):
+            assert out.loc[i, "rolling_hashes"] is None
+    with pytest.raises(ValueError, match="hash_function"):
+        rolling_hashes(df, hash_function="sha1")
+
+
+@pytest.mark.parametrize("hf", ["md5", "rolling"])
+def test_winnow_fingerprints(docs_df, hf):
     """Winnowing guarantee: a shared token run of length >= shingle_window
     + winnow_window - 1 must produce at least one common fingerprint, and
-    the winnowed set is a (deduplicated) subset of the rolling hashes."""
+    the winnowed set is a (deduplicated) subset of the rolling hashes.
+    Hash-value-agnostic — both the md5 and Rabin-Karp forms must satisfy
+    it."""
     from sed_binning_spark.pipeline.text import winnow_fingerprints
 
     out = (
-        winnow_fingerprints(docs_df, shingle_window=5, winnow_window=2)
+        winnow_fingerprints(
+            docs_df, shingle_window=5, winnow_window=2, hash_function=hf,
+        )
         .toPandas().set_index("doc_id")
     )
-    rh = rolling_hashes(docs_df, window=5).toPandas().set_index("doc_id")
+    rh = (
+        rolling_hashes(docs_df, window=5, hash_function=hf)
+        .toPandas().set_index("doc_id")
+    )
     for i in (0, 2, 5):
         assert set(out.loc[i, "winnowed"]) <= set(rh.loc[i, "rolling_hashes"])
         assert len(out.loc[i, "winnowed"]) <= len(rh.loc[i, "rolling_hashes"])

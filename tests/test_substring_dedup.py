@@ -147,3 +147,141 @@ def test_xxhash_path_matches_md5_on_real_text(spark):
     assert a == b
     with pytest.raises(ValueError, match="hash_function"):
         dedup_substrings(df, window=3, hash_function="sha1")
+
+
+def test_rolling_path_matches_md5_on_real_text(spark):
+    """The Rabin-Karp path (one md5 per token + doubling zips) forms the
+    same duplicate classes as per-window md5 on collision-free corpora."""
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    a = sorted(map(tuple, dedup_substrings(df, window=3).collect()))
+    b = sorted(map(tuple, dedup_substrings(
+        df, window=3, hash_function="rolling",
+    ).collect()))
+    assert a == b
+
+
+def test_rolling_plan_shape(spark):
+    """The rolling path keeps the batch contract: one map-side-combined
+    winner shuffle, md5 evaluated exactly once per token array (the
+    residue layer), no InferFiltersFromGenerate re-evaluation of the hash
+    pipeline inside a Filter, nothing in Python."""
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    plan = (
+        dedup_substrings(df, window=3, hash_function="rolling")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_min" in plan, plan
+    assert plan.count("md5(") == 1, plan
+    assert "Window" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+
+
+@pytest.mark.parametrize("w", [1, 2, 3, 5, 7, 50])
+def test_rk_window_hashes_cross_engine(spark, w):
+    """The doubling-zip Spark form and the per-window left-fold DuckDB
+    form compute the identical 62-bit polynomial for every window width
+    shape (single bit, w-1 partial tails, multi-bit combines)."""
+    import duckdb
+
+    from sed_binning_spark.pipeline.text import (
+        rk_window_hashes, whitespace_tokens,
+    )
+    from sed_binning_spark.sqlgen import rk_window_hashes_sql
+
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog the quick fox"),
+        ("b", "one two three four five"),
+        ("c", "tiny"),
+        ("d", ""),
+        ("e", None),
+        ("f", " ".join(f"t{i % 7}" for i in range(130))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r.doc_id: r.wh
+        for r in rk_window_hashes(
+            df.select("doc_id", whitespace_tokens(F.col("text")).alias("tk")),
+            "tk", "wh", w,
+        ).select("doc_id", "wh").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join("(?, ?)" for _ in rows) + ") v(doc_id, text)",
+        [x for r in rows for x in r],
+    )
+    want = {
+        d: (list(v) if v is not None else None)
+        for d, v in con.execute(
+            "SELECT doc_id, " + rk_window_hashes_sql("tk", w)
+            + " AS wh FROM (SELECT doc_id, list_filter(string_split_regex("
+            "trim(text), '[ \t\n\x0b\f\r]+'), x -> x != '') AS tk FROM t)",
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_strict_raises_on_partial_winner_frame(spark):
+    """strict=True aborts when a windowed doc has no winners row (a
+    corpus-superset / partial-drain mismatch); the default silently
+    rebuilds it empty per the documented contract."""
+    from pyspark.sql.utils import PythonException
+
+    from sed_binning_spark.pipeline.dedup import apply_substring_winners
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "p q r s t u")], "doc_id long, text string",
+    )
+    # winners drained from a run that never saw doc 2
+    winners = spark.createDataFrame(
+        [(1, s) for s in range(4)], "doc_id long, start int",
+    )
+    lax = {
+        r.doc_id: r.text_dedup
+        for r in apply_substring_winners(corpus, winners, window=3).collect()
+    }
+    assert lax == {1: "a b c d e f", 2: ""}
+    with pytest.raises(Exception, match="no winners row"):
+        apply_substring_winners(
+            corpus, winners, window=3, strict=True,
+        ).collect()
+    # a COMPLETE frame over a unique corpus passes strict untouched
+    from sed_binning_spark.pipeline.dedup import dedup_substrings as dd
+    full = spark.createDataFrame(
+        [(1, s) for s in range(4)] + [(2, s) for s in range(4)],
+        "doc_id long, start int",
+    )
+    ok = {
+        r.doc_id: r.text_dedup
+        for r in apply_substring_winners(
+            corpus, full, window=3, strict=True,
+        ).collect()
+    }
+    assert ok == {1: "a b c d e f", 2: "p q r s t u"}
+
+
+def test_oversized_window_stats(spark):
+    """The skew probe counts hot window hashes above the threshold the
+    way minhash_lsh_bucket_stats counts hot LSH buckets."""
+    from sed_binning_spark.pipeline.dedup import oversized_window_stats
+
+    rows = [(i, "A B C D unique%d" % i) for i in range(10)] + [
+        (100, "x y z w"), (101, None), (102, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # w=3: 'A B C'/'B C D' occur 10x each; 'C D unique%d' unique; x y z/y z w once
+    row = oversized_window_stats(
+        df, window=3, max_occurrences=5,
+    ).first()
+    assert row.n_oversized_buckets == 2
+    assert row.n_oversized_members == 20
+    assert row.max_bucket_size_seen == 10
+    # distinct hashes: 2 hot + 10 unique + 2 from doc 100
+    assert row.n_buckets == 14
+    # the stats describe the keys the dedup actually shuffles: rolling
+    # forms the same classes here
+    roll = oversized_window_stats(
+        df, window=3, max_occurrences=5, hash_function="rolling",
+    ).first()
+    assert tuple(roll) == tuple(row)
