@@ -73,6 +73,8 @@ from sed_binning_spark.pipeline.dedup import (
 from sed_binning_spark.pipeline.multimodal import (
     extract_features,
     frame_sample_plan,
+    png_fixture_n_bytes,
+    synthesize_png_media_from_text,
     synthesize_ppm_media_from_text,
 )
 from sed_binning_spark.pipeline.cluster import embedding_dedup
@@ -1403,17 +1405,25 @@ def _q_ann_lsh(spark, sf):
 
 
 def _q_multimodal(spark, sf):
-    """REAL media decode as the graded path: the payloads are valid binary
-    PPM (P6) images whose pixel bytes are the md5 digest of each document
-    (synthesize_ppm_media_from_text — pure expressions), so the real
-    pure-NumPy codec (decode_payload) runs inside the mapInPandas plan and
-    the DuckDB oracle regenerates the identical pixel statistics from the
-    same md5. The checked projection scales each float32 feature element by
-    1e6 and rounds to an integer: kind/width/height/channels are small
-    exact ints, and the four normalized stats carry float32 precision
-    (~1e-7 abs), far finer than the 1e-6 rounding grain — so both engines
-    land on the same integer deterministically."""
-    media = synthesize_ppm_media_from_text(_docs(spark, sf))
+    """REAL media decode as the graded path: even-id documents become
+    valid binary PPM (P6) payloads, odd-id documents valid PNG payloads
+    (stored-deflate blocks, expression-built container), both wrapping
+    the SAME raster — the md5 digest of the text cycled over the pixels —
+    so the real pure-stdlib codecs (decode_payload: PPM parse, PNG
+    inflate + unfilter) run inside the mapInPandas plan and the DuckDB
+    oracle regenerates the identical pixel statistics from the same md5,
+    with per-container closed-form n_bytes. The checked projection scales
+    each float32 feature element by 1e6 and rounds to an integer:
+    kind/width/height/channels are small exact ints, and the four
+    normalized stats carry float32 precision (~1e-7 abs), far finer than
+    the 1e-6 rounding grain — so both engines land on the same integer
+    deterministically."""
+    docs = _docs(spark, sf)
+    media = synthesize_ppm_media_from_text(
+        docs.where(F.col("doc_id") % 2 == 0),
+    ).unionByName(synthesize_png_media_from_text(
+        docs.where(F.col("doc_id") % 2 == 1),
+    ))
     feats = extract_features(media, feature_dim=8)
     as_int = F.transform(
         "feat",
@@ -2178,9 +2188,17 @@ def _multimodal_oracle_sql(width: int = 4, height: int = 2) -> str:
         f"|| ',' || {q('CAST(list_max(bs) AS DOUBLE) / 255.0')}"
     )
     zeros = ",".join(["0"] * 8)
+    # container by id parity (the Spark side unions PPM for even ids and
+    # PNG for odd): features are raster-determined and identical; only the
+    # byte count depends on the wrapper, both closed-form
+    n_bytes = (
+        f"CASE WHEN bs IS NULL THEN 0 "
+        f"WHEN media_id % 2 = 0 THEN {header_len + n} "
+        f"ELSE {png_fixture_n_bytes(width, height)} END"
+    )
     return (
         f"SELECT media_id, "
-        f"CAST(CASE WHEN bs IS NULL THEN 0 ELSE {header_len + n} END AS BIGINT) AS n_bytes, "
+        f"CAST({n_bytes} AS BIGINT) AS n_bytes, "
         f"CASE WHEN bs IS NULL THEN '{zeros}' ELSE {feat} END AS feat_csv FROM "
         f"(SELECT media_id, bs, list_sum(bs) / {n}.0 AS m FROM "
         f"(SELECT CAST(doc_id AS BIGINT) AS media_id, "

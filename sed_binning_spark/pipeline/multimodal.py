@@ -5,13 +5,14 @@ The Spark-side architecture — schema contract, Arrow batch shape,
 mapInPandas partition-parallel decode, metadata projection — is shared by
 two decode modes:
 
-- ``decode_stub=False`` (real): pure-NumPy codecs for PPM (P6) images,
-  uncompressed 24-bit BMP images, and PCM-16 WAV audio, dispatched by
-  payload magic bytes; any other payload gets honest byte-statistics
-  features. No image/audio libraries exist in this environment, so these
-  formats were chosen because their containers are fully decodable with
-  struct/NumPy alone; a Pillow/soundfile codec drops into
-  :func:`decode_payload` without touching the distributed plan.
+- ``decode_stub=False`` (real): pure-stdlib/NumPy codecs for PNG images
+  (zlib inflate + filter reconstruction — the dominant real-corpus
+  format), PPM (P6) and uncompressed 24-bit BMP images, and PCM-16 WAV
+  audio, dispatched by payload magic bytes; any other payload gets honest
+  byte-statistics features. No image/audio libraries exist in this
+  environment, so the codecs are containers fully decodable with
+  zlib/struct/NumPy alone; a Pillow/soundfile codec (JPEG etc.) drops
+  into :func:`decode_payload` without touching the distributed plan.
 - ``decode_stub=True`` (fixture): a deterministic md5-seeded fake
   featurizer, kept for plumbing tests and the SQL-oracle query (the fake
   is reproducible in any engine with md5; real pixel stats are not).
@@ -21,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -139,6 +141,163 @@ def decode_audio_wav(data: bytes) -> tuple[np.ndarray, int]:
     return samples[:n].reshape(-1, n_channels), sample_rate
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_image_png(data: bytes) -> np.ndarray:
+    """Decode a PNG (bit depth 8, color types 0/2/3/4/6, non-interlaced,
+    all five scanline filters) into an (h, w, channels) uint8 array —
+    critical chunks only (IHDR/PLTE/IDAT/IEND), stdlib zlib for the IDAT
+    inflate, NumPy for the per-row unfiltering. Palette images (type 3)
+    resolve through PLTE to RGB. Interlaced (Adam7), 16-bit, and 1/2/4-bit
+    payloads raise ValueError — loud refusal, not silent corruption (the
+    posture of io/hdf5_read's UnsupportedHDF5)."""
+    if not data.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = len(PNG_SIG), None, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, comp={comp})")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color}")
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension PNG")
+    bpp = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * bpp
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline data length mismatch")
+    img = _png_unfilter(raw, h, stride, bpp)
+    img = img.reshape(h, w, bpp)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        idx = img[..., 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        img = plte[idx]
+    return img
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters. Rows are sequential (each
+    needs the prior reconstructed row); within a row, None/Up are whole-
+    row vector ops, Sub is a lane-wise modular cumsum, and Average/Paeth
+    — genuinely sequential in x — fall back to a per-byte loop (correct
+    first; a real-corpus deployment swaps in a C codec behind the same
+    decode_payload dispatch)."""
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for r in range(h):
+        ft = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int64)
+        pos += 1 + stride
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub
+            rec = row.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(row[lane::bpp]) % 256
+        elif ft == 2:  # Up
+            rec = (row + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ft == 3:
+                    rec[x] = (row[x] + (a + b) // 2) % 256
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body)))
+
+
+def encode_image_png(
+    img: np.ndarray,
+    filters: list[int] | None = None,
+    level: int = 6,
+) -> bytes:
+    """Inverse of :func:`decode_image_png` for (h, w, {1,2,3,4}-channel)
+    uint8 arrays (color type from the channel count). ``filters`` picks
+    the per-row filter type (cycled; default all-0) — the knob the
+    decode-parity tests use to exercise every unfilter path. ``level=0``
+    emits STORED deflate blocks, whose byte count is a closed-form
+    function of the raster size (what the expression-level fixture
+    synthesizer mirrors)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, ch = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    filters = filters or [0]
+    lines = []
+    prev = np.zeros((w, ch), dtype=np.int64)
+    for r in range(h):
+        ft = filters[r % len(filters)]
+        rec = img[r].astype(np.int64)
+        flat, pflat = rec.reshape(-1), prev.reshape(-1)
+        left = np.concatenate([np.zeros(ch, np.int64), flat[:-ch]])
+        pleft = np.concatenate([np.zeros(ch, np.int64), pflat[:-ch]])
+        if ft == 0:
+            filt = flat
+        elif ft == 1:
+            filt = (flat - left) % 256
+        elif ft == 2:
+            filt = (flat - pflat) % 256
+        elif ft == 3:
+            filt = (flat - (left + pflat) // 2) % 256
+        elif ft == 4:
+            p = left + pflat - pleft
+            pa, pb, pc = abs(p - left), abs(p - pflat), abs(p - pleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, pflat, pleft),
+            )
+            filt = (flat - pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        lines.append(bytes([ft]) + filt.astype(np.uint8).tobytes())
+        prev = rec
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), level))
+            + _png_chunk(b"IEND", b""))
+
+
 def encode_image_ppm(img: np.ndarray) -> bytes:
     """Inverse of :func:`decode_image_ppm` (test fixtures / sink side)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
@@ -168,27 +327,32 @@ def decode_payload(payload: bytes, dim: int) -> list[float]:
     ``[kind, d1, d2, d3, mean, std, min, max]`` (normalized stats) padded/
     truncated to ``dim``.
 
-    - image (PPM/BMP): kind=1, dims=(w, h, channels), pixel stats / 255
+    - image (PNG/PPM/BMP): kind=1, dims=(w, h, channels), pixel stats / 255
     - audio (WAV):     kind=2, dims=(n_samples, rate, channels), stats / 32768
     - anything else:   kind=0, dims=(n_bytes, 0, 0), byte stats / 255
     """
     payload = payload or b""
     vec = None
     try:
-        if payload.startswith(b"P6") or payload.startswith(b"BM"):
-            img = (decode_image_ppm(payload) if payload.startswith(b"P6")
-                   else decode_image_bmp(payload))
+        if payload.startswith((b"P6", b"BM", PNG_SIG)):
+            if payload.startswith(b"P6"):
+                img = decode_image_ppm(payload)
+            elif payload.startswith(b"BM"):
+                img = decode_image_bmp(payload)
+            else:
+                img = decode_image_png(payload)
             h, w, ch = img.shape
             vec = [KIND_IMAGE, float(w), float(h), float(ch), *_norm_stats(img, 255.0)]
         elif payload.startswith(b"RIFF"):
             samples, rate = decode_audio_wav(payload)
             vec = [KIND_AUDIO, float(samples.shape[0]), float(rate),
                    float(samples.shape[1]), *_norm_stats(samples, 32768.0)]
-    except (ValueError, ZeroDivisionError, struct.error):
+    except (ValueError, ZeroDivisionError, struct.error, zlib.error):
         # magic matched but the container is truncated/unsupported (16-bit
-        # PPM, 8/32-bpp BMP, float WAV, RIFF-but-AVI, zero channels...):
-        # ONE bad payload must not kill a corpus-wide mapInPandas job —
-        # fall through to honest byte statistics, as documented
+        # PPM, 8/32-bpp BMP, interlaced/16-bit PNG, corrupt IDAT stream,
+        # float WAV, RIFF-but-AVI, zero channels...): ONE bad payload must
+        # not kill a corpus-wide mapInPandas job — fall through to honest
+        # byte statistics, as documented
         vec = None
     if vec is None:
         arr = np.frombuffer(payload, dtype=np.uint8)
@@ -392,6 +556,100 @@ def synthesize_ppm_media_from_text(
         payload.alias("payload"),
         F.when(F.col(text_column).isNotNull(),
                F.lit("image/x-portable-pixmap")).alias("mime"),
+        F.when(F.col(text_column).isNotNull(), F.lit(width)).cast("int").alias("width"),
+        F.when(F.col(text_column).isNotNull(), F.lit(height)).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
+def png_fixture_n_bytes(width: int, height: int) -> int:
+    """Closed-form payload size of :func:`synthesize_png_media_from_text`:
+    signature + IHDR chunk + one IDAT chunk wrapping a single STORED
+    deflate block + IEND — deterministic because stored blocks do not
+    compress (a zlib-level choice would tie the byte count to the zlib
+    implementation and break the cross-engine oracle)."""
+    raw_len = height * (1 + width * 3)
+    data_len = 2 + 5 + raw_len + 4  # zlib hdr + block hdr + raw + adler
+    return 8 + 25 + (12 + data_len) + 12
+
+
+def synthesize_png_media_from_text(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    width: int = 4,
+    height: int = 2,
+) -> DataFrame:
+    """Fixture builder with REAL PNG payloads, entirely expression-level:
+    each payload is a valid 8-bit RGB PNG whose pixels are the md5 digest
+    of the text cycled to ``width*height*3`` samples — the same raster
+    :func:`synthesize_ppm_media_from_text` wraps, so the decoded features
+    are identical and only the container differs. The IDAT stream is one
+    STORED deflate block (zlib header ``78 01``, final-stored block
+    header, raw scanlines, adler32), so the payload length is the closed
+    form :func:`png_fixture_n_bytes` and every byte is a deterministic
+    function of md5(text): the scanlines slice a cycled hex string, the
+    adler32 sums are plan-time weighted sums of per-sample ``conv()``
+    byte values (no aggregation), and the chunk CRC is ``F.crc32``. That
+    determinism is what lets the DuckDB oracle predict both the features
+    AND ``n_bytes`` without parsing a container."""
+    n = width * height * 3
+    raw_len = height * (1 + width * 3)
+    if raw_len >= 65535:
+        raise ValueError("fixture raster too large for one stored block")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    hexd = F.md5(F.col(text_column))
+    reps = -(-n // 16)  # ceil: md5 is 16 bytes / 32 hex chars
+    full_hex = F.substring(F.concat(*([hexd] * reps)), 1, 2 * n)
+
+    def sample(j: int):  # byte value of pixel sample j (plan-time index)
+        return F.conv(F.substring(hexd, (j % 16) * 2 + 1, 2), 16, 10).cast("long")
+
+    # raw scanlines: filter byte 0 + the row's pixel bytes, as BINARY
+    rows = []
+    for r in range(height):
+        rows.append(F.lit(b"\x00"))
+        rows.append(F.unhex(
+            F.substring(full_hex, r * width * 3 * 2 + 1, width * 3 * 2),
+        ))
+    raw = F.concat(*rows)
+    # adler32 over the raw bytes: s1 = 1 + sum(b); s2 = n + sum of s1
+    # prefixes = raw_len + sum((raw_len - i) * b_i) over 0-based i; filter
+    # bytes contribute 0 — all plan-time weighted sums, no aggregate
+    vals = []  # (0-based position in raw, sample index)
+    pos = 0
+    for r in range(height):
+        pos += 1  # filter byte, value 0
+        for k in range(width * 3):
+            vals.append((pos, r * width * 3 + k))
+            pos += 1
+    s1 = (sum((sample(j) for _, j in vals), F.lit(1).cast("long"))) % 65521
+    s2 = (sum(
+        (sample(j) * (raw_len - p) for p, j in vals),
+        F.lit(raw_len).cast("long"),
+    )) % 65521
+    adler = F.unhex(F.lpad(F.hex(s2 * F.lit(65536) + s1), 8, "0"))
+    data = F.concat(
+        F.lit(b"\x78\x01"),  # zlib header (32K window, no preset dict)
+        F.lit(b"\x01" + struct.pack("<HH", raw_len, raw_len ^ 0xFFFF)),
+        raw, adler,
+    )
+    data_len = 2 + 5 + raw_len + 4
+    idat = F.concat(
+        F.lit(struct.pack(">I", data_len) + b"IDAT"),
+        data,
+        F.unhex(F.lpad(F.hex(F.crc32(F.concat(F.lit(b"IDAT"), data))), 8, "0")),
+    )
+    payload = F.when(F.col(text_column).isNotNull(), F.concat(
+        F.lit(PNG_SIG + _png_chunk(b"IHDR", ihdr)),
+        idat,
+        F.lit(_png_chunk(b"IEND", b"")),
+    ))
+    return df.select(
+        F.col(id_column).cast("long").alias("media_id"),
+        payload.alias("payload"),
+        F.when(F.col(text_column).isNotNull(),
+               F.lit("image/png")).alias("mime"),
         F.when(F.col(text_column).isNotNull(), F.lit(width)).cast("int").alias("width"),
         F.when(F.col(text_column).isNotNull(), F.lit(height)).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
