@@ -640,10 +640,14 @@ def test_rowwise_lm_scoring_runs_on_a_stream(tmp_path, spark):
     assert got == want and got[1] > got[2]  # in-vocab beats junk
 
 
-def test_dedup_substrings_stream_matches_batch_with_sink_rebuild(tmp_path, spark):
+@pytest.mark.parametrize("hf", ["md5", "rolling"])
+def test_dedup_substrings_stream_matches_batch_with_sink_rebuild(tmp_path, spark, hf):
     """Drained keep-first window winners, applied to the corpus via
     apply_substring_winners, reproduce the batch dedup_substrings output
-    when arrival order agrees with id order (crawl-order ids)."""
+    when arrival order agrees with id order (crawl-order ids) — under
+    both the md5 and the Rabin-Karp window-hash paths (the winner set is
+    hash-value-independent, and the rolling path's layered zip pipeline
+    must behave inside a streaming micro-batch plan too)."""
     from sed_binning_spark.pipeline.dedup import (
         apply_substring_winners,
         dedup_substrings,
@@ -665,12 +669,12 @@ def test_dedup_substrings_stream_matches_batch_with_sink_rebuild(tmp_path, spark
 
     stream = stream_events(spark, str(root), max_files_per_trigger=1)
     q = (
-        dedup_substrings_stream(stream, window=5)
-        .writeStream.format("memory").queryName("subdd_stream")
+        dedup_substrings_stream(stream, window=5, hash_function=hf)
+        .writeStream.format("memory").queryName(f"subdd_stream_{hf}")
         .outputMode("append").trigger(availableNow=True).start()
     )
     q.awaitTermination(120)
-    winners = spark.sql("SELECT * FROM subdd_stream")
+    winners = spark.sql(f"SELECT * FROM subdd_stream_{hf}")
     # doc 1 wins its three windows; doc 2's "A B C D E" window (start 2)
     # loses to (1, 0) in the same batch; doc 3's only window loses across
     # batches; doc 4 is shorter than the window and emits none
@@ -687,7 +691,7 @@ def test_dedup_substrings_stream_matches_batch_with_sink_rebuild(tmp_path, spark
     }
     via_batch = {
         r.doc_id: (r.text_dedup, r.n_removed_tokens)
-        for r in dedup_substrings(batch, window=5).collect()
+        for r in dedup_substrings(batch, window=5, hash_function=hf).collect()
     }
     assert via_stream == via_batch
     assert via_stream[3] == ("", 5)  # doc 3 fully covered by doc 1's window
