@@ -1483,15 +1483,24 @@ def _q_rolling_hashes(spark, sf):
     (sqlgen.rk_window_hashes_sql). The dedup runs hash_function="rolling"
     while the oracle groups windows by their md5 — a deliberate cross
     check: the rebuilt text only hash-matches if Rabin-Karp window
-    equality agrees with md5 window equality occurrence-for-occurrence."""
+    equality agrees with md5 window equality occurrence-for-occurrence.
+    ``n_submd5_removed`` keeps the md5 winner path ITSELF on the gate too
+    (a second dedup run under the default hash — without it, a
+    regression confined to the md5 window expression would only be
+    caught by pytest, not by the exactness-gate oracle)."""
     from sed_binning_spark.pipeline.dedup import dedup_substrings
     from sed_binning_spark.pipeline.text import rolling_hashes
 
-    out = rolling_hashes(_docs(spark, sf), window=5)
+    docs = _docs(spark, sf)
+    md5_removed = dedup_substrings(docs, window=5).select(
+        "doc_id", F.col("n_removed_tokens").alias("n_submd5_removed"),
+    )
+    out = rolling_hashes(docs, window=5)
     out = rolling_hashes(
         out, window=5, out_column="rh_roll", hash_function="rolling",
     )
     out = dedup_substrings(out, window=5, hash_function="rolling")
+    out = out.join(md5_removed, on="doc_id", how="left")
     # preserve NULL for token-less documents: concat_ws over a NULL array
     # would silently render '' where the oracle (and the operator) say NULL
     return out.select(
@@ -1508,6 +1517,9 @@ def _q_rolling_hashes(spark, sf):
         ).alias("rh_roll_csv"),
         F.col("text_dedup").alias("text_subdedup"),
         F.col("n_removed_tokens").alias("n_sub_removed"),
+        # NULL-id rows can't join their md5 run back (they pass through
+        # every dedup untouched — 0 removed by contract on both engines)
+        F.coalesce(F.col("n_submd5_removed"), F.lit(0)).alias("n_submd5_removed"),
     )
 
 
@@ -2292,7 +2304,15 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN len(list_filter(coalesce(d.ds, CAST([] AS BIGINT[])), "
             "x -> x <= i - 1 AND i - 1 <= x + 4)) > 0 THEN NULL "
             "ELSE tk[CAST(i AS INT)] END), v -> v IS NOT NULL)) END "
-            "AS n_sub_removed "
+            "AS n_sub_removed, "
+            # the md5-path dedup run must remove the same token count —
+            # the md5 replay above IS its oracle, emitted twice on purpose
+            "CASE WHEN t.text IS NULL THEN 0 ELSE CAST(len(tk) AS BIGINT) - "
+            "len(list_filter(list_transform(range(1, len(tk) + 1), i -> "
+            "CASE WHEN len(list_filter(coalesce(d.ds, CAST([] AS BIGINT[])), "
+            "x -> x <= i - 1 AND i - 1 <= x + 4)) > 0 THEN NULL "
+            "ELSE tk[CAST(i AS INT)] END), v -> v IS NOT NULL)) END "
+            "AS n_submd5_removed "
             "FROM tkd t LEFT JOIN dup d USING (doc_id)"
         ),
         "dfield_correction": _dfield_oracle_sql(),

@@ -672,13 +672,9 @@ def _window_hashes(tk, window: int, hash_function: str):
     :func:`apply_substring_winners` because both sides hash windows with
     exactly this expression). ``tk`` must be a bound token-array COLUMN —
     the per-window lambda slices it, and an expression there would
-    re-evaluate per element."""
-    if window < 2:
-        raise ValueError(f"window must be >= 2 tokens, got {window}")
-    if hash_function not in ("md5", "xxhash64"):
-        raise ValueError(
-            f"hash_function must be 'md5' or 'xxhash64', got {hash_function!r}",
-        )
+    re-evaluate per element. Arguments are validated by the sole caller
+    (:func:`_occ_window_explode`), which owns the window and
+    hash-function contract for all three hash paths."""
     w = int(window)
     hash_fn = F.md5 if hash_function == "md5" else F.xxhash64
     return F.when(

@@ -164,6 +164,8 @@ def decode_image_png(data: bytes) -> np.ndarray:
         if len(body) != length:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"IHDR must be 13 bytes, got {len(body)}")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"PLTE":
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
@@ -263,6 +265,10 @@ def encode_image_png(
     if img.ndim == 2:
         img = img[..., None]
     h, w, ch = img.shape
+    if ch not in (1, 2, 3, 4):
+        raise ValueError(
+            f"unsupported channel count {ch} (PNG color types cover 1-4)",
+        )
     color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     filters = filters or [0]
@@ -563,13 +569,17 @@ def synthesize_ppm_media_from_text(
 
 
 def png_fixture_n_bytes(width: int, height: int) -> int:
-    """Closed-form payload size of :func:`synthesize_png_media_from_text`:
-    signature + IHDR chunk + one IDAT chunk wrapping a single STORED
-    deflate block + IEND — deterministic because stored blocks do not
-    compress (a zlib-level choice would tie the byte count to the zlib
-    implementation and break the cross-engine oracle)."""
+    """Closed-form payload size of a PNG wrapping STORED deflate blocks:
+    signature + IHDR chunk + one IDAT chunk + IEND — deterministic
+    because stored blocks do not compress (a zlib-level choice would tie
+    the byte count to the zlib implementation and break the cross-engine
+    oracle). Multi-block rasters (> 65535 scanline bytes) pay one 5-byte
+    stored-block header per block, matching ``zlib.compress(data, 0)`` —
+    though :func:`synthesize_png_media_from_text` itself only emits
+    single-block fixtures."""
     raw_len = height * (1 + width * 3)
-    data_len = 2 + 5 + raw_len + 4  # zlib hdr + block hdr + raw + adler
+    n_blocks = max(1, -(-raw_len // 65535))
+    data_len = 2 + 5 * n_blocks + raw_len + 4  # zlib hdr + blocks + adler
     return 8 + 25 + (12 + data_len) + 12
 
 
