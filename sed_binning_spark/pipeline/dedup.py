@@ -826,16 +826,59 @@ def dedup_substrings(
         .select(F.col(id_column), toks_expr.alias("__tk")),
         [F.col(id_column)], w, hash_function, "h",
     )
-    winners = occ.groupBy("h").agg(
-        F.min(F.struct(F.col(id_column), F.col("start"))).alias("w"),
-    ).select(
-        F.col(f"w.{id_column}").alias(id_column),
-        F.col("w.start").alias("start"),
-    )
+    winners = _keep_first_winners(occ, df.schema[id_column].dataType, id_column)
     return apply_substring_winners(
         df, winners,
         text_column=text_column, id_column=id_column, window=w,
         check_unique_ids=check_unique_ids,
+    )
+
+
+# packed winner encoding: id * 2^23 + start. 23 bits of start caps a
+# document at ~8.4M tokens; 40 bits of id keeps the product below 2^63.
+_PACK_START_BITS = 23
+_PACK_ID_LIMIT = 1 << 40
+
+
+def _keep_first_winners(occ: DataFrame, id_type, id_column: str) -> DataFrame:
+    """The global keep-first selection: min (id, start) per window hash.
+
+    Spark's HashAggregate requires an UnsafeRow-MUTABLE aggregation
+    buffer (fixed-width primitives); ``min(struct(id, start))`` and
+    ``min(string)`` both fall back to SortAggregate, which SORTS the full
+    occurrence stream twice (partial + final) — measured as the dominant
+    dedup_substrings cost once hashing went rolling. For integral ids the
+    lexicographic (id, start) order is exactly the numeric order of
+    ``id * 2^23 + start`` (start < 2^23 by construction of the guard), so
+    the winner reduces to ``min(BIGINT)`` — hash-aggregated, no sorts —
+    and unpacks losslessly. Ids >= 2^40 or documents with >= 2^23 tokens
+    raise loudly (raise_error in the packing expression) rather than
+    silently mis-ranking; non-integral ids keep the struct-min
+    SortAggregate path, whose ordering works for any orderable type."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        idc = F.col(id_column).cast("long")
+        packed = F.when(
+            (idc < 0) | (idc >= _PACK_ID_LIMIT)
+            | (F.col("start") >= (1 << _PACK_START_BITS)),
+            F.raise_error(F.concat(
+                F.lit(
+                    "dedup_substrings: document id out of [0, 2^40) or "
+                    ">= 2^23 tokens — winner packing would mis-rank; id ",
+                ),
+                idc.cast("string"),
+            )).cast("long"),
+        ).otherwise(idc * F.lit(1 << _PACK_START_BITS) + F.col("start"))
+        return occ.groupBy("h").agg(F.min(packed).alias("p")).select(
+            F.shiftright("p", _PACK_START_BITS).cast(id_type).alias(id_column),
+            (F.col("p") % F.lit(1 << _PACK_START_BITS)).cast("int").alias("start"),
+        )
+    return occ.groupBy("h").agg(
+        F.min(F.struct(F.col(id_column), F.col("start"))).alias("w"),
+    ).select(
+        F.col(f"w.{id_column}").alias(id_column),
+        F.col("w.start").alias("start"),
     )
 
 

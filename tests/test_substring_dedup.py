@@ -285,3 +285,45 @@ def test_oversized_window_stats(spark):
         df, window=3, max_occurrences=5, hash_function="rolling",
     ).first()
     assert tuple(roll) == tuple(row)
+
+
+def test_packed_winner_selection_hash_aggregates(spark):
+    """Integral ids pack (id, start) into one bigint so the winner
+    selection HashAggregates; string ids keep the struct-min
+    SortAggregate path; both orders agree."""
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    plan = (
+        dedup_substrings(df, window=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortAggregate" not in plan, plan
+    sdf = spark.createDataFrame(
+        [(str(i), t) for i, t in ROWS], "doc_id string, text string",
+    )
+    splan = (
+        dedup_substrings(sdf, window=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortAggregate" in splan, splan
+    # identical decisions across the two paths (single-digit string ids
+    # sort like their numeric values)
+    got_l = {r.doc_id: (r.text_dedup, r.n_removed_tokens)
+             for r in dedup_substrings(df, window=3).collect()}
+    got_s = {int(r.doc_id): (r.text_dedup, r.n_removed_tokens)
+             for r in dedup_substrings(sdf, window=3).collect()}
+    assert got_l == got_s
+
+
+def test_packed_winner_selection_range_guards(spark):
+    """Ids outside [0, 2^40) abort loudly instead of silently mis-ranking
+    the packed winner order."""
+    df = spark.createDataFrame(
+        [(1 << 40, "a b c d"), (1, "a b c d")], "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="winner packing"):
+        dedup_substrings(df, window=3).collect()
+    neg = spark.createDataFrame(
+        [(-1, "a b c d"), (1, "a b c d")], "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="winner packing"):
+        dedup_substrings(neg, window=3).collect()
