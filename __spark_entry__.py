@@ -197,6 +197,14 @@ _K_CALIB = {
     "kx_scale": 0.0102, "ky_scale": 0.0097, "rstep": 1.0, "cstep": 1.0,
 }
 
+# F5/F6 probe landmarks: a distorted integer-pixel hexagon whose centroid
+# is exactly (32, 32), plus that center as the 7th spike for the F5 image.
+# Spacing > 2x the detection radius so each spike is the strict maximum of
+# its own neighborhood.
+_F56_FEATURES = [
+    (12, 32), (22, 49), (42, 50), (52, 32), (42, 14), (22, 15), (32, 32),
+]
+
 # delay calibration literals (M11)
 _DELAY_CALIB = {"adc_range": (2000.0, 20000.0), "delay_range": (-5.0, 5.0)}
 
@@ -731,8 +739,35 @@ def _q_k_axis(spark, sf):
     expected constants written as literals in the SQL text — deliberately
     not derived by calling the estimator — so any regression in the
     two-point solve moves the Spark columns off the frozen values and
-    fails the hash."""
-    from sed_binning_spark.calibration.momentum_fit import calibrate_momentum
+    fails the hash.
+
+    The remaining momentum-fit estimators ride as constant VALUE columns
+    (computed once at query-build time; oracle literals derived from the
+    CONSTRUCTION with plain trigonometry, never by calling the code
+    under test):
+
+    - F5 ``feat_csv``: peakdetect2d over a synthetic spike image must
+      return exactly the spike pixels, in scan order.
+    - F6 ``targ_csv``/``tps_csv``: spline_warp_estimate's ideal target
+      set must be the hand-rotated hexagon (pins pointset ordering +
+      rot_vertex_generator), and the fitted thin-plate spline evaluated
+      AT the targets must reproduce the sources exactly (TPS
+      interpolates its landmarks — pins tps_fit/tps_eval).
+    - F7 ``pose_csv``: the pose-adjustment deformation fields probed at
+      two pixels under pure translation / scaling / rotation must equal
+      the closed-form inverse maps.
+    - F8 ``invd_ok``: the scatter-and-relax inverse of a translation
+      deformation field must invert it within the e2e 2 px tolerance.
+    """
+    from sed_binning_spark.calibration.momentum import generate_inverse_dfield
+    from sed_binning_spark.calibration.momentum_fit import (
+        calibrate_momentum,
+        peakdetect2d,
+        pose_adjustment,
+        spline_warp_estimate,
+        tps_eval,
+        tps_fit,
+    )
 
     ev, _ = append_k_axis(_events(spark, sf), _K_CALIB)
     cal2 = calibrate_momentum(
@@ -741,7 +776,51 @@ def _q_k_axis(spark, sf):
         bin_ranges=((0.0, 2048.0), (0.0, 2048.0)),
     )
     ev, _ = append_k_axis(ev, cal2, new_x_column="kx2", new_y_column="ky2")
-    return ev.select("event_id", "kx", "ky", "kx2", "ky2")
+
+    def _csv(arr):
+        return ",".join(f"{v:.6f}" for v in np.asarray(arr, float).ravel())
+
+    # F5: spikes at the (distorted-hexagon + center) pixels; radius 5
+    # keeps every spike the strict maximum of its own neighborhood
+    feats = _F56_FEATURES
+    img = np.zeros((64, 64))
+    for r, c in feats:
+        img[int(r), int(c)] = 100.0
+    feat_csv = _csv(peakdetect2d(img, radius=5, threshold_rel=0.5))
+
+    # F6: warp estimate over the distorted hexagon (center inferred)
+    res = spline_warp_estimate(img, np.asarray(feats[:6], float), rotsym=6)
+    targ_csv = _csv(res["target_points"])
+    spline = tps_fit(res["target_points"], res["reference_points"])
+    tps_csv = _csv(np.round(tps_eval(spline, res["target_points"]), 6) + 0.0)
+
+    # F7: one probe pair per elementary transform
+    probes = [(10, 20), (40, 50)]
+    vals = []
+    for kw in ({"xtrans": 3.0, "ytrans": -2.0}, {"scale": 2.0}, {"angle": 90.0}):
+        pose = pose_adjustment(img, **kw)
+        for r, c in probes:
+            vals += [pose["rdeform_field"][r, c], pose["cdeform_field"][r, c]]
+    pose_csv = _csv(np.round(np.asarray(vals), 6) + 0.0)
+
+    # F8: inverse of the translation field maps (y, x) -> (y+3, x-2)
+    rr, cc = np.meshgrid(np.arange(64.0), np.arange(64.0), indexing="ij")
+    inv = generate_inverse_dfield(
+        rr - 3.0, cc + 2.0, ((0, 64), (0, 64)), ((0, 64), (0, 64)),
+    )
+    invd_ok = bool(all(
+        abs(inv[0, r, c] - (r + 3)) <= 2.0 and abs(inv[1, r, c] - (c - 2)) <= 2.0
+        for r, c in ((20, 20), (30, 30), (40, 25))
+    ))
+
+    return ev.select(
+        "event_id", "kx", "ky", "kx2", "ky2",
+        F.lit(feat_csv).alias("feat_csv"),
+        F.lit(targ_csv).alias("targ_csv"),
+        F.lit(tps_csv).alias("tps_csv"),
+        F.lit(pose_csv).alias("pose_csv"),
+        F.lit(invd_ok).alias("invd_ok"),
+    )
 
 
 def _q_delay(spark, sf):
@@ -1715,6 +1794,38 @@ def oracle_sql() -> dict[str, str]:
         power = f"({power}) * CAST(t AS DOUBLE)"
     poly_sql = f"{poly_sql} + {fsql(_E_POLY_E0)}"
     kx_sql, ky_sql = k_coordinate_sql("X", "Y", **_K_CALIB)
+
+    # F5-F8 twins: expected values recomputed here from the probe
+    # CONSTRUCTION with plain numpy arithmetic (centroid, arctan2 sort,
+    # rotation matrices) — independent of peakdetect2d/pointset_order/
+    # rot_vertex_generator/tps_fit, which is the point of the check.
+    def _csvf(a):
+        return ",".join(f"{v:.6f}" for v in np.asarray(a, float).ravel())
+
+    _pts = np.asarray(_F56_FEATURES, dtype=float)
+    _feat_lit = _csvf(sorted(map(tuple, _pts)))  # row-major scan order
+    _cen = _pts[:6].mean(axis=0)
+    _outer = _pts[:6][np.argsort(
+        np.arctan2(_pts[:6, 1] - _cen[1], _pts[:6, 0] - _cen[0]),
+    )]
+    _v0 = _outer[0] - _cen
+    _targ_lit = _csvf([
+        _cen + np.array([
+            [np.cos(2 * np.pi * k / 6), -np.sin(2 * np.pi * k / 6)],
+            [np.sin(2 * np.pi * k / 6), np.cos(2 * np.pi * k / 6)],
+        ]) @ _v0
+        for k in range(6)
+    ] + [_cen])
+    _tps_lit = _csvf(np.vstack([_outer, _cen]))
+    # hand-derived inverse maps at probes (10,20)/(40,50), 64x64 image,
+    # center (31.5, 31.5): translation (r-3, c+2); scale 2 pulls halfway
+    # to the center; rotation 90 deg swaps the centered offsets
+    _pose_lit = _csvf([
+        7, 22, 37, 52,
+        20.75, 25.75, 35.75, 40.75,
+        43, 10, 13, 40,
+    ])
+
     # F9 twin: FROZEN expected constants of the two-point momentum
     # calibration (point_a=(308,345), point_b=(256,256), k_distance=1.8,
     # k_coord_b=(0.2,-0.1), shape=(512,512), bin_ranges=((0,2048),)*2) —
@@ -1990,7 +2101,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "k_axis": (
             f"SELECT event_id, {kx_sql} AS kx, {ky_sql} AS ky, "
-            f"{kx2_sql} AS kx2, {ky2_sql} AS ky2 FROM ({_EV_SQL})"
+            f"{kx2_sql} AS kx2, {ky2_sql} AS ky2, "
+            f"'{_feat_lit}' AS feat_csv, '{_targ_lit}' AS targ_csv, "
+            f"'{_tps_lit}' AS tps_csv, '{_pose_lit}' AS pose_csv, "
+            f"TRUE AS invd_ok FROM ({_EV_SQL})"
         ),
         "delay_calib": (
             f"SELECT event_id, {d_sql} AS delay, "
