@@ -141,6 +141,12 @@ def main() -> None:
             lambda: dedup_substrings(docs, window=5)
             .agg(F.sum("n_removed_tokens")).collect(),
         ),
+        # the Rabin-Karp throughput path of the same operator (round 9):
+        # one md5 per TOKEN + O(log w) zips instead of md5 per window
+        "dedup_substrings_rolling": _timeit(
+            lambda: dedup_substrings(docs, window=5, hash_function="rolling")
+            .agg(F.sum("n_removed_tokens")).collect(),
+        ),
         "unigram_logprob": _timeit(
             lambda: unigram_logprob(docs).agg(F.sum("unigram_logprob")).collect(),
         ),
