@@ -746,6 +746,7 @@ def dedup_substrings(
     window: int = 50,
     check_unique_ids: bool = True,
     hash_function: str = "md5",
+    winner_packing: bool = True,
 ) -> DataFrame:
     """Corpus-wide EXACT-SUBSTRING dedup at token-window granularity — the
     ExactSubstr pass of Lee et al. 2022 ("Deduplicating Training Data
@@ -809,6 +810,17 @@ def dedup_substrings(
     corpus aggregation; duplicate ids would apply BOTH rows' duplicated
     spans to each copy — corrupt silently) for pipelines that validated
     ids upstream; the default stays loud.
+
+    ``winner_packing`` (default True): for INTEGRAL id columns the winner
+    selection packs ``(id, start)`` into one bigint so it hash-aggregates
+    instead of sort-aggregating the full occurrence stream (see
+    :func:`_keep_first_winners`). The packed domain is ids in [0, 2^40)
+    and documents under 2^23 (~8.4M) tokens — outside it the job ABORTS
+    loudly rather than mis-ranking. Corpora with negative/huge numeric
+    ids or pathologically long documents should pass
+    ``winner_packing=False`` to keep the sort-based struct-min path,
+    which orders correctly for any values. String and other
+    non-integral ids always use the struct path.
     """
     for col, what in [(text_column, "text"), (id_column, "id")]:
         if col not in df.columns:
@@ -826,7 +838,9 @@ def dedup_substrings(
         .select(F.col(id_column), toks_expr.alias("__tk")),
         [F.col(id_column)], w, hash_function, "h",
     )
-    winners = _keep_first_winners(occ, df.schema[id_column].dataType, id_column)
+    winners = _keep_first_winners(
+        occ, df.schema[id_column].dataType, id_column, packing=winner_packing,
+    )
     return apply_substring_winners(
         df, winners,
         text_column=text_column, id_column=id_column, window=w,
@@ -840,7 +854,9 @@ _PACK_START_BITS = 23
 _PACK_ID_LIMIT = 1 << 40
 
 
-def _keep_first_winners(occ: DataFrame, id_type, id_column: str) -> DataFrame:
+def _keep_first_winners(
+    occ: DataFrame, id_type, id_column: str, packing: bool = True,
+) -> DataFrame:
     """The global keep-first selection: min (id, start) per window hash.
 
     Spark's HashAggregate requires an UnsafeRow-MUTABLE aggregation
@@ -857,7 +873,7 @@ def _keep_first_winners(occ: DataFrame, id_type, id_column: str) -> DataFrame:
     SortAggregate path, whose ordering works for any orderable type."""
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
-    if isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+    if packing and isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
         idc = F.col(id_column).cast("long")
         packed = F.when(
             (idc < 0) | (idc >= _PACK_ID_LIMIT)

@@ -569,17 +569,25 @@ def synthesize_ppm_media_from_text(
 
 
 def png_fixture_n_bytes(width: int, height: int) -> int:
-    """Closed-form payload size of a PNG wrapping STORED deflate blocks:
-    signature + IHDR chunk + one IDAT chunk + IEND — deterministic
-    because stored blocks do not compress (a zlib-level choice would tie
-    the byte count to the zlib implementation and break the cross-engine
-    oracle). Multi-block rasters (> 65535 scanline bytes) pay one 5-byte
-    stored-block header per block, matching ``zlib.compress(data, 0)`` —
-    though :func:`synthesize_png_media_from_text` itself only emits
-    single-block fixtures."""
+    """Closed-form payload size of :func:`synthesize_png_media_from_text`:
+    signature + IHDR chunk + one IDAT chunk wrapping a single STORED
+    deflate block + IEND — deterministic because stored blocks do not
+    compress (a zlib-level choice would tie the byte count to the zlib
+    implementation and break the cross-engine oracle). Rasters too large
+    for one stored block RAISE, exactly like the synthesizer: zlib's own
+    multi-block chunking is irregular AND implementation-dependent
+    (verified: 1.2.13 caps the first block at 65531 bytes, not 65535), so
+    there is no honest closed form beyond this domain. NB this sizes the
+    SYNTHESIZER's hand-framed stream; ``encode_image_png(level=0)`` goes
+    through ``zlib.compress`` and agrees only up to zlib's own block cap
+    (raw_len <= 65531 on 1.2.13)."""
     raw_len = height * (1 + width * 3)
-    n_blocks = max(1, -(-raw_len // 65535))
-    data_len = 2 + 5 * n_blocks + raw_len + 4  # zlib hdr + blocks + adler
+    if raw_len >= 65535:
+        raise ValueError(
+            f"raster of {raw_len} scanline bytes exceeds one stored "
+            "deflate block — no closed-form size exists",
+        )
+    data_len = 2 + 5 + raw_len + 4  # zlib hdr + block hdr + raw + adler
     return 8 + 25 + (12 + data_len) + 12
 
 

@@ -327,3 +327,37 @@ def test_packed_winner_selection_range_guards(spark):
     )
     with pytest.raises(Exception, match="winner packing"):
         dedup_substrings(neg, window=3).collect()
+
+
+def test_winner_packing_opt_out(spark):
+    """winner_packing=False keeps the struct-min sort path even for
+    integral ids — the escape hatch for negative/huge numeric ids —
+    and produces identical results (here a negative id that the packed
+    path would refuse)."""
+    df = spark.createDataFrame(
+        [(-5, "a b c d e f"), (1, "a b c d e f")], "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text_dedup, r.n_removed_tokens)
+        for r in dedup_substrings(
+            df, window=3, winner_packing=False,
+        ).collect()
+    }
+    # -5 < 1 so the negative id wins everything; doc 1 is fully covered
+    assert got == {-5: ("a b c d e f", 0), 1: ("", 6)}
+    plan = (
+        dedup_substrings(df, window=3, winner_packing=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortAggregate" in plan, plan
+
+
+def test_png_fixture_n_bytes_domain():
+    """The closed form covers exactly the single-stored-block domain and
+    refuses beyond it (zlib's multi-block chunking is irregular and
+    implementation-dependent — there is no honest formula)."""
+    from sed_binning_spark.pipeline.multimodal import png_fixture_n_bytes
+
+    assert png_fixture_n_bytes(4, 2) == 94
+    with pytest.raises(ValueError, match="stored deflate block"):
+        png_fixture_n_bytes(21845, 1)  # raw_len 65536 > one block
