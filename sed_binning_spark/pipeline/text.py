@@ -251,18 +251,30 @@ def _rk_hash_sequence(
     partial window for shorter non-empty documents — the same
     partial-window rule the md5 path applies (``k = max(n - w + 1, 1)``),
     so short documents still fingerprint. Token-less documents get NULL.
-    The partial branch sits under a ``when()`` (codegen if/else), so its
-    per-token fold only ever runs for sub-window rows."""
-    strict = "__rks"
-    while strict in df.columns:
-        strict = "_" + strict
-    df = rk_window_hashes(df, token_column, strict, window)
+
+    The token count and the partial whole-document hash are captured as
+    FIRST-layer columns (the partial fold under a ``when()``, so it only
+    runs for sub-window rows): nothing after layer 1 references the token
+    array, which lets column pruning drop the ~1 KB-per-row strings
+    before the zip layers instead of serializing them through every one
+    (the same data-flow rule :func:`rk_window_hashes` documents)."""
+    strict, n_col, part = "__rks", "__rks_n", "__rks_p"
+    while any(c in df.columns for c in (strict, n_col, part)):
+        strict, n_col, part = "_" + strict, "_" + n_col, "_" + part
     tk = F.col(token_column)
+    w = int(window)
+    df = df.withColumn(n_col, F.size(tk)).withColumn(
+        part,
+        F.when(
+            (F.size(tk) > 0) & (F.size(tk) < w), _rk_whole_doc_hash(tk),
+        ),
+    )
+    df = rk_window_hashes(df, token_column, strict, window)
+    n = F.col(n_col)
     return df.withColumn(
         out_column,
-        F.when(F.size(tk) >= int(window), F.col(strict))
-        .when(F.size(tk) > 0, F.array(_rk_whole_doc_hash(tk))),
-    ).drop(strict)
+        F.when(n >= w, F.col(strict)).when(n > 0, F.array(F.col(part))),
+    ).drop(strict, n_col, part)
 
 
 def text_stats(
@@ -455,16 +467,19 @@ def winnow_fingerprints(
             idx,
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, shingle_window))),
         ))
+    # token-less (NULL/blank) documents have no fingerprints: NULL, not a
+    # shared [md5('')] that would pair every empty document with every
+    # other in a fingerprint-overlap similarity join — the same guard
+    # rolling_hashes pins. The rolling hash sequence already encodes
+    # token-less as NULL, so its guard reads the HASH column — keeping
+    # the token array out of every post-layer projection (the
+    # rk_window_hashes payload-pruning rule); the md5 path's hashes are
+    # never NULL, so it guards on the token count directly.
+    guard = hashes.isNotNull() if hash_function == "rolling" else F.size(toks) > 0
     return (
         df.withColumn(
             out_column,
-            # token-less (NULL/blank) documents have no fingerprints: NULL,
-            # not a shared [md5('')] that would pair every empty document
-            # with every other in a fingerprint-overlap similarity join —
-            # the same guard rolling_hashes pins
-            F.when(
-                F.size(toks) > 0, F.array_sort(F.array_distinct(mins)),
-            ),
+            F.when(guard, F.array_sort(F.array_distinct(mins))),
         )
         .drop(tmp_t, tmp_h)
     )
