@@ -1,0 +1,561 @@
+"""Baseline JPEG (ITU-T T.81) codec in pure NumPy + stdlib — the decode
+half of the multimodal image surface for real crawl corpora (JPEG + PNG
+dominate), written from the public specification like the PNG codec
+(no image library exists in this environment; a Pillow codec drops into
+``multimodal.decode_payload`` without touching the distributed plan).
+
+Scope — the baseline profile that covers the overwhelming majority of web
+JPEGs:
+
+- decode: baseline sequential DCT, 8-bit, Huffman entropy coding, 1 or 3
+  components, 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, restart markers,
+  JFIF/EXIF APPn segments skipped. Progressive (SOF2), arithmetic coding,
+  12-bit, and hierarchical profiles raise ValueError — loud refusal, the
+  multimodal dispatch degrades them to byte statistics.
+- encode: the fixture/round-trip half — 4:4:4 or grayscale, Annex K
+  standard Huffman tables, quality-scaled Annex K quantization tables.
+  JPEG is lossy; the tests assert reconstruction within the quantization
+  error bound, not byte equality.
+
+The hot path stays NumPy-vectorized where the format allows: the IDCT is
+one ``D.T @ block @ D`` matmul over all blocks at once, dequantization and
+color conversion are whole-image array ops; only the Huffman bit-walk is
+a Python loop (inherent — variable-length codes have a serial data
+dependency), which is fine for the mapInPandas featurizer whose per-batch
+cost is bounded by Arrow batch sizing.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- constants
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# Annex K.1 quantization tables (luminance, chrominance)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]).reshape(8, 8)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]).reshape(8, 8)
+
+# Annex K.3 typical Huffman tables: (bits[1..16], values)
+HT_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HT_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# orthonormal DCT-II matrix: forward block DCT = D @ B @ D.T
+_DCT = np.array([
+    [(np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+     * np.cos((2 * n + 1) * k * np.pi / 16) for n in range(8)]
+    for k in range(8)
+])
+
+
+# ---------------------------------------------------------------- bitstream
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    unstuffing; RSTn markers are surfaced to the caller for predictor
+    resets."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                # pad with 1-bits past the end (T.81 F.2.2.5 allows the
+                # final code to be completed with padding)
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    # restart marker: caller resyncs via sync_restart()
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                else:
+                    # EOI or next segment — pad
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Skip to just past the next RSTn marker and clear bit state."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected restart marker, hit end of scan")
+
+
+def _build_huffman(bits, values) -> dict:
+    """(length, code) -> symbol decode table per T.81 Annex C."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _decode_symbol(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 sign extension of a t-bit magnitude."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# ------------------------------------------------------------------- decode
+
+def decode_image_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG into an (h, w, 3) RGB or (h, w, 1) gray
+    uint8 array. Raises ValueError for non-baseline profiles (progressive,
+    arithmetic, 12-bit) and malformed streams."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables not supported")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[ZIGZAG] = np.frombuffer(body[p : p + 64], np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                p += 64
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                values = list(body[p + 17 : p + 17 + n])
+                huff[(tc, th)] = _build_huffman(bits, values)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8:
+                raise ValueError(f"{prec}-bit JPEG not supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline JPEG (SOF marker 0x{marker:02X}) not supported",
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append({**comp, "dc": tdta >> 4, "ac": tdta & 0x0F})
+            return _decode_scan(
+                data, pos + 2 + seglen, frame, scan, qt, huff,
+                restart_interval,
+            )
+        pos += 2 + seglen
+    raise ValueError("no SOS scan found")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
+    h, w = frame["h"], frame["w"]
+    if h == 0 or w == 0:
+        raise ValueError("zero-dimension JPEG")
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in scan:
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        if (0, c["dc"]) not in huff or (1, c["ac"]) not in huff:
+            raise ValueError("missing Huffman table")
+        c["blocks"] = np.zeros(
+            (mcuy * c["v"], mcux * c["h"], 8, 8), dtype=np.float64,
+        )
+    reader = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c in scan}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.sync_restart()
+                pred = {c["id"]: 0 for c in scan}
+            for c in scan:
+                dc_tab, ac_tab = huff[(0, c["dc"])], huff[(1, c["ac"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = _decode_block(reader, dc_tab, ac_tab)
+                        pred[c["id"]] += blk[0]
+                        blk[0] = pred[c["id"]]
+                        c["blocks"][my * c["v"] + by, mx * c["h"] + bx] = (
+                            blk.reshape(8, 8)[...]
+                        )
+            mcu_count += 1
+    planes = []
+    for c in scan:
+        blocks = c["blocks"] * qt[c["tq"]]  # dequantize (broadcast 8x8)
+        # one vectorized IDCT over every block: D.T @ B @ D
+        spatial = np.einsum("ij,mnjk,kl->mnil", _DCT.T, blocks, _DCT)
+        nby, nbx = spatial.shape[:2]
+        plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        plane = np.clip(np.round(plane + 128.0), 0, 255)
+        # upsample to full resolution by pixel replication
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8)[..., None]
+    if len(planes) != 3:
+        raise ValueError(f"{len(planes)}-component JPEG not supported")
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_block(reader, dc_tab, ac_tab) -> np.ndarray:
+    blk = np.zeros(64, dtype=np.float64)
+    t = _decode_symbol(reader, dc_tab)
+    blk[0] = _extend(reader.receive(t), t)
+    k = 1
+    while k < 64:
+        rs = _decode_symbol(reader, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC coefficient index out of range")
+        blk[ZIGZAG[k]] = _extend(reader.receive(s), s)
+        k += 1
+    return blk
+
+
+# ------------------------------------------------------------------- encode
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _encode_tables(bits, values) -> dict:
+    """symbol -> (code, length) per Annex C."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category t, t-bit code) for a coefficient value."""
+    t = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+    code = v if v >= 0 else v + (1 << t) - 1
+    return t, code
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of an Annex K table."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _encode_block(writer, blk, qtab, dc_tab, ac_tab, pred: int) -> int:
+    coef = _DCT @ (blk - 128.0) @ _DCT.T
+    q = np.round(coef / qtab).astype(np.int64)
+    zz = q.reshape(64)[ZIGZAG]  # natural order -> zigzag scan
+    diff = int(zz[0]) - pred
+    t, code = _magnitude(diff)
+    writer.write(*dc_tab[t])
+    if t:
+        writer.write(code, t)
+    run = 0
+    last_nz = max(np.nonzero(zz)[0], default=0)
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            writer.write(*ac_tab[0xF0])  # ZRL
+            run -= 16
+        t, code = _magnitude(v)
+        writer.write(*ac_tab[(run << 4) | t])
+        writer.write(code, t)
+        run = 0
+    if last_nz < 63:
+        writer.write(*ac_tab[0x00])  # EOB
+    return int(zz[0])
+
+
+def encode_image_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w) / (h, w, 1) gray uint8 array as
+    a baseline JPEG with Annex K Huffman tables — the fixture/round-trip
+    half of :func:`decode_image_jpeg`. ``subsampling``: "444" (one block
+    per component per MCU) or "420" (2x2 luma blocks per MCU, chroma
+    averaged 2x2 — the dominant web-JPEG layout, and the decoder path
+    worth exercising). ``restart_interval`` > 0 emits DRI + RSTn markers
+    every that many MCUs (predictor resets, the other real-corpus
+    decoder path)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, nc = img.shape
+    if nc not in (1, 3):
+        raise ValueError(f"unsupported channel count {nc}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    f = img.astype(np.float64)
+    if nc == 3:
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [f[..., 0]]
+    qts = [_scaled_qt(QT_LUMA, quality), _scaled_qt(QT_CHROMA, quality)]
+
+    sub = subsampling == "420" and nc == 3
+    samp = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * nc
+    hmax = max(s[0] for s in samp[:nc])
+    vmax = max(s[1] for s in samp[:nc])
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    comps = []
+    for ci in range(nc):
+        plane = planes[ci]
+        if sub and ci > 0:
+            # average 2x2 (pad odd dims by edge replication first)
+            pe = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+            plane = pe.reshape(pe.shape[0] // 2, 2, pe.shape[1] // 2, 2).mean((1, 3))
+        ch, cv = samp[ci]
+        want_h, want_w = mcuy * cv * 8, mcux * ch * 8
+        plane = np.pad(
+            plane,
+            ((0, want_h - plane.shape[0]), (0, want_w - plane.shape[1])),
+            mode="edge",
+        )
+        comps.append({
+            "plane": plane, "h": ch, "v": cv, "tq": min(ci, 1),
+            "dc": 0x00 if ci == 0 else 0x01, "ac": 0x10 if ci == 0 else 0x11,
+            "pred": 0,
+        })
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tq in range(min(nc, 2)):
+        zz = qts[tq].reshape(64)[ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz.tobytes()
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci, c in enumerate(comps):
+        out += bytes([ci + 1, (c["h"] << 4) | c["v"], c["tq"]])
+    hts = [(0x00, HT_DC_LUMA), (0x10, HT_AC_LUMA)]
+    if nc == 3:
+        hts += [(0x01, HT_DC_CHROMA), (0x11, HT_AC_CHROMA)]
+    enc_tabs = {}
+    for tcth, (bits, values) in hts:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(values))
+        out += bytes([tcth]) + bytes(bits) + bytes(values)
+        enc_tabs[tcth] = _encode_tables(bits, values)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci, c in enumerate(comps):
+        out += bytes([ci + 1, (c["dc"] << 4) | (c["ac"] & 0x0F)])
+    out += bytes([0, 63, 0])
+
+    writer = _BitWriter()
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                writer.flush()
+                out += writer.out
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                writer = _BitWriter()
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        r0 = (my * c["v"] + by) * 8
+                        c0 = (mx * c["h"] + bx) * 8
+                        c["pred"] = _encode_block(
+                            writer, c["plane"][r0:r0 + 8, c0:c0 + 8],
+                            qts[c["tq"]], enc_tabs[c["dc"]],
+                            enc_tabs[c["ac"]], c["pred"],
+                        )
+            mcu_count += 1
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

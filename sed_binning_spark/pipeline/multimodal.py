@@ -5,14 +5,16 @@ The Spark-side architecture — schema contract, Arrow batch shape,
 mapInPandas partition-parallel decode, metadata projection — is shared by
 two decode modes:
 
-- ``decode_stub=False`` (real): pure-stdlib/NumPy codecs for PNG images
-  (zlib inflate + filter reconstruction — the dominant real-corpus
-  format), PPM (P6) and uncompressed 24-bit BMP images, and PCM-16 WAV
-  audio, dispatched by payload magic bytes; any other payload gets honest
-  byte-statistics features. No image/audio libraries exist in this
-  environment, so the codecs are containers fully decodable with
-  zlib/struct/NumPy alone; a Pillow/soundfile codec (JPEG etc.) drops
-  into :func:`decode_payload` without touching the distributed plan.
+- ``decode_stub=False`` (real): pure-stdlib/NumPy codecs for baseline
+  JPEG (Huffman + IDCT + chroma upsampling, ``pipeline.jpeg``) and PNG
+  (zlib inflate + filter reconstruction) — the two formats that dominate
+  real crawl corpora — plus PPM (P6), uncompressed 24-bit BMP, and
+  PCM-16 WAV audio, dispatched by payload magic bytes; any other payload
+  gets honest byte-statistics features. No image/audio libraries exist
+  in this environment, so every codec is written from the public
+  specification with zlib/struct/NumPy alone; a Pillow/soundfile codec
+  drops into :func:`decode_payload` without touching the distributed
+  plan.
 - ``decode_stub=True`` (fixture): a deterministic md5-seeded fake
   featurizer, kept for plumbing tests and the SQL-oracle query (the fake
   is reproducible in any engine with md5; real pixel stats are not).
@@ -333,20 +335,24 @@ def decode_payload(payload: bytes, dim: int) -> list[float]:
     ``[kind, d1, d2, d3, mean, std, min, max]`` (normalized stats) padded/
     truncated to ``dim``.
 
-    - image (PNG/PPM/BMP): kind=1, dims=(w, h, channels), pixel stats / 255
+    - image (JPEG/PNG/PPM/BMP): kind=1, dims=(w, h, channels), stats / 255
     - audio (WAV):     kind=2, dims=(n_samples, rate, channels), stats / 32768
     - anything else:   kind=0, dims=(n_bytes, 0, 0), byte stats / 255
     """
     payload = payload or b""
     vec = None
     try:
-        if payload.startswith((b"P6", b"BM", PNG_SIG)):
+        if payload.startswith((b"P6", b"BM", PNG_SIG, b"\xff\xd8\xff")):
             if payload.startswith(b"P6"):
                 img = decode_image_ppm(payload)
             elif payload.startswith(b"BM"):
                 img = decode_image_bmp(payload)
-            else:
+            elif payload.startswith(PNG_SIG):
                 img = decode_image_png(payload)
+            else:
+                from sed_binning_spark.pipeline.jpeg import decode_image_jpeg
+
+                img = decode_image_jpeg(payload)
             h, w, ch = img.shape
             vec = [KIND_IMAGE, float(w), float(h), float(ch), *_norm_stats(img, 255.0)]
         elif payload.startswith(b"RIFF"):

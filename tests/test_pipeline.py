@@ -807,3 +807,84 @@ def test_png_fixture_synthesis_matches_ppm(spark):
             decode_image_png(bytes(png[mid])), decode_image_ppm(bytes(ppm[mid])),
         )
         assert decode_payload(bytes(png[mid]), 8) == decode_payload(bytes(ppm[mid]), 8)
+
+
+# -------------------------------------------------------------------- jpeg
+def test_jpeg_roundtrip_within_quantization_error():
+    """Baseline JPEG decode(encode(x)) reconstructs within the lossy
+    bound: exact for flat blocks (DC-only spectra), small mean error for
+    smooth gradients, bounded error for noise — across 4:4:4, 4:2:0,
+    grayscale, non-multiple-of-8 dims, and restart intervals."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.jpeg import (
+        decode_image_jpeg,
+        encode_image_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    flat = np.zeros((24, 40, 3), np.uint8)
+    flat[..., 0], flat[..., 1], flat[..., 2] = 180, 90, 30
+    assert np.array_equal(
+        decode_image_jpeg(encode_image_jpeg(flat, quality=100)), flat,
+    )
+
+    yy, xx = np.meshgrid(np.arange(64), np.arange(48), indexing="ij")
+    grad = np.stack([yy * 2, xx * 2, yy + xx], -1).astype(np.uint8)
+    for kwds in ({}, {"subsampling": "420"}, {"restart_interval": 3},
+                 {"subsampling": "420", "restart_interval": 2}):
+        out = decode_image_jpeg(encode_image_jpeg(grad, quality=95, **kwds))
+        assert out.shape == grad.shape
+        assert np.abs(out.astype(int) - grad.astype(int)).mean() < 2.0, kwds
+
+    noise = rng.integers(0, 256, (33, 41, 3), dtype=np.uint8)
+    out = decode_image_jpeg(encode_image_jpeg(noise, quality=90))
+    assert out.shape == noise.shape
+    assert np.abs(out.astype(int) - noise.astype(int)).mean() < 12.0
+
+    gray = rng.integers(0, 256, (17, 19), dtype=np.uint8)
+    out = decode_image_jpeg(encode_image_jpeg(gray, quality=95))
+    assert out.shape == (17, 19, 1)
+    assert np.abs(out[..., 0].astype(int) - gray.astype(int)).mean() < 8.0
+
+
+def test_jpeg_restart_stream_equals_plain():
+    """DRI/RSTn predictor resets must not change the decoded pixels."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.jpeg import (
+        decode_image_jpeg,
+        encode_image_jpeg,
+    )
+
+    yy, xx = np.meshgrid(np.arange(64), np.arange(48), indexing="ij")
+    grad = np.stack([yy * 2, xx * 2, yy + xx], -1).astype(np.uint8)
+    plain = decode_image_jpeg(encode_image_jpeg(grad, quality=95))
+    with_rst = decode_image_jpeg(
+        encode_image_jpeg(grad, quality=95, restart_interval=3),
+    )
+    assert np.array_equal(plain, with_rst)
+
+
+def test_jpeg_refusals_and_dispatch():
+    """Non-baseline profiles raise ValueError; decode_payload dispatches
+    JPEG magic to the codec and degrades corrupt streams to byte stats."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.jpeg import (
+        decode_image_jpeg,
+        encode_image_jpeg,
+    )
+    from sed_binning_spark.pipeline.multimodal import decode_payload
+
+    img = np.full((16, 24, 3), 128, np.uint8)
+    good = encode_image_jpeg(img)
+    vec = decode_payload(good, 8)
+    assert vec[:4] == [1.0, 24.0, 16.0, 3.0]
+    assert vec[4] == pytest.approx(128.0 / 255.0, abs=1e-2)
+
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_image_jpeg(progressive)
+    for bad in (progressive, good[:40], b"\xff\xd8\xff" + b"junk"):
+        assert decode_payload(bad, 8)[0] == 0.0
