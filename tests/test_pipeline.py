@@ -329,12 +329,17 @@ def test_multimodal_real_decode_end_to_end(spark):
 
     from sed_binning_spark.pipeline.multimodal import encode_audio_wav, encode_image_ppm
 
+    from sed_binning_spark.pipeline.jpeg import encode_image_jpeg
+    from sed_binning_spark.pipeline.multimodal import encode_image_png
+
     img = np.full((4, 6, 3), 128, dtype=np.uint8)
     wav = encode_audio_wav(np.zeros(100, dtype=np.int16), 16000)
     rows = [
         (1, bytearray(encode_image_ppm(img)), "image/x-portable-pixmap"),
         (2, bytearray(wav), "audio/wav"),
         (3, bytearray(b"just some text"), "text/plain"),
+        (4, bytearray(encode_image_jpeg(img)), "image/jpeg"),
+        (5, bytearray(encode_image_png(img)), "image/png"),
     ]
     media = spark.createDataFrame(rows, "media_id long, payload binary, mime string")
     feats = (
@@ -344,6 +349,10 @@ def test_multimodal_real_decode_end_to_end(spark):
     assert feats.loc[1, "feat"][0] == 1.0 and feats.loc[1, "feat"][1] == 6.0
     assert feats.loc[2, "feat"][0] == 2.0 and feats.loc[2, "feat"][2] == 16000.0
     assert feats.loc[3, "feat"][0] == 0.0 and feats.loc[3, "feat"][1] == 14.0
+    # all four image containers agree on dims; jpeg flat-block decode is
+    # exact so the stats match the ppm leg too
+    for mid in (4, 5):
+        assert list(feats.loc[mid, "feat"]) == list(feats.loc[1, "feat"]), mid
 
 
 def test_frame_sample_plan(docs_df):
