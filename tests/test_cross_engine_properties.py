@@ -170,3 +170,64 @@ def test_edges_twin_bit_exact(spark, case):
         f"divergence for edges={edges.tolist()}: "
         + str([(v, a, b) for v, a, b in zip(vals, s, o) if a != b][:5])
     )
+
+
+# --------------------------------------------------------------- Rabin-Karp
+def _rk_reference(tokens: list, window: int) -> list:
+    """Pure-Python definitional form of the double-track polynomial the
+    doubling-zip pipeline assembles: per-token md5 residues, left fold
+    (a*B + b) mod M per window per track, combined h1*2^31 + h2."""
+    import hashlib
+
+    from sed_binning_spark.pipeline.text import (
+        RK_BASE1,
+        RK_BASE2,
+        RK_MOD1,
+        RK_MOD2,
+        _RK_COMBINE,
+    )
+
+    res = []
+    digs = [hashlib.md5(t.encode()).hexdigest() for t in tokens]
+    t1 = [int(d[0:13], 16) % RK_MOD1 for d in digs]
+    t2 = [int(d[13:26], 16) % RK_MOD2 for d in digs]
+    for j in range(len(tokens) - window + 1):
+        h1 = h2 = 0
+        for k in range(window):
+            h1 = (h1 * RK_BASE1 + t1[j + k]) % RK_MOD1
+            h2 = (h2 * RK_BASE2 + t2[j + k]) % RK_MOD2
+        res.append(h1 * _RK_COMBINE + h2)
+    return res
+
+
+@given(
+    tokens=st.lists(
+        st.text(alphabet="abXY9 é", min_size=0, max_size=4),
+        min_size=0, max_size=40,
+    ),
+    window=st.integers(1, 12),
+)
+@_SET
+def test_rk_window_hashes_match_python_reference(spark, tokens, window):
+    """The O(log w) binary-doubling zip composition must equal the
+    definitional per-window left fold for EVERY window width shape
+    (single set bit, multi-bit combines, w > n partials) on arbitrary
+    token content — including empty and whitespace-bearing strings, which
+    the whitespace tokenizer strips before hashing."""
+    import pyspark.sql.functions as F
+
+    from sed_binning_spark.pipeline.text import (
+        rk_window_hashes,
+        whitespace_tokens,
+    )
+
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = rk_window_hashes(
+        df.select("doc_id", whitespace_tokens(F.col("text")).alias("tk")),
+        "tk", "wh", window,
+    ).select("wh").first().wh
+    # the tokenizer strips empty tokens; mirror it for the reference
+    toks = [t for t in text.strip().split() if t]
+    want = _rk_reference(toks, window) if len(toks) >= window else []
+    assert list(got) == want
