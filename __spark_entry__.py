@@ -966,15 +966,19 @@ def _q_bias_normspec(spark, sf):
     )
     cal = {int(ids[i]): round(float(calib["axis"][i]), 6) for i in range(k)}
 
-    # ---- F10: bias voltage from the real instrument file's h5 attrs
-    try:
-        vals = extract_bias_h5(
-            ["/root/reference/tests/data/loader/mpes/Scan0030_2.h5"],
-            "@KTOF:Lens:Sample:V",
-        )
-        bias_h5_ok = bool(np.allclose(vals, [19.3]))
-    except Exception:
-        bias_h5_ok = False
+    # ---- F10: bias voltage from h5 root attrs, via the vendored fixture
+    # (tests/data/bias_fixture.h5, written by io/hdf5_write with the same
+    # attribute key/value as the real instrument file — the REAL file read
+    # is pinned by tests/test_hdf5_read.py:446). Repo-relative and no
+    # try/except: a missing fixture raises loudly at query-build time
+    # instead of silently flipping the gate to False and masquerading as
+    # a hash mismatch.
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "data", "bias_fixture.h5",
+    )
+    vals = extract_bias_h5([fixture], "@KTOF:Lens:Sample:V")
+    bias_h5_ok = bool(np.allclose(vals, [19.3]))
 
     rows = [
         (int(f), int(b), float(normed[i, b]), cal.get(int(f)),

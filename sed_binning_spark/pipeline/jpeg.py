@@ -216,10 +216,17 @@ def _extend(v: int, t: int) -> int:
 
 # ------------------------------------------------------------------- decode
 
-def decode_image_jpeg(data: bytes) -> np.ndarray:
+def decode_image_jpeg(data: bytes, max_pixels: int | None = None) -> np.ndarray:
     """Decode a baseline JPEG into an (h, w, 3) RGB or (h, w, 1) gray
-    uint8 array. Raises ValueError for non-baseline profiles (progressive,
-    arithmetic, 12-bit) and malformed streams."""
+    uint8 array. Raises ValueError for non-baseline profiles (arithmetic,
+    12-bit, hierarchical) and malformed streams.
+
+    ``max_pixels`` (default :data:`MAX_PIXELS`, 64 MP) bounds the declared
+    raster before any block allocation. The Huffman bit-walk is a serial
+    pure-Python loop, so the budget bounds CPU as well as memory — callers
+    in a latency-sensitive context (the mapInPandas featurizer) pass a
+    much smaller budget and degrade oversized-but-valid images to byte
+    statistics rather than stalling a task for minutes."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -274,7 +281,16 @@ def decode_image_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+                ch, cv = hv >> 4, hv & 0x0F
+                # T.81 B.2.2: sampling factors are 1-4. A zero factor
+                # would otherwise surface as ZeroDivisionError deep in
+                # the MCU geometry instead of a typed refusal.
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(
+                        f"invalid SOF sampling factors {ch}x{cv} "
+                        f"for component {cid} (spec range 1-4)",
+                    )
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -306,7 +322,7 @@ def decode_image_jpeg(data: bytes) -> np.ndarray:
                 scan.append({**matches[0], "dc": tdta >> 4, "ac": tdta & 0x0F})
             return _decode_scan(
                 data, pos + 2 + seglen, frame, scan, qt, huff,
-                restart_interval,
+                restart_interval, max_pixels,
             )
         pos += 2 + seglen
     raise ValueError("no SOS scan found")
@@ -318,13 +334,15 @@ def decode_image_jpeg(data: bytes) -> np.ndarray:
 MAX_PIXELS = 64 * 1024 * 1024
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
+def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval,
+                 max_pixels=None):
     h, w = frame["h"], frame["w"]
     if h == 0 or w == 0:
         raise ValueError("zero-dimension JPEG")
-    if h * w > MAX_PIXELS:
+    budget = MAX_PIXELS if max_pixels is None else max_pixels
+    if h * w > budget:
         raise ValueError(
-            f"declared raster {w}x{h} exceeds the {MAX_PIXELS}-pixel "
+            f"declared raster {w}x{h} exceeds the {budget}-pixel "
             "decode budget",
         )
     hmax = max(c["h"] for c in scan)

@@ -144,18 +144,36 @@ def decode_audio_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# Decode budgets, checked against the header-declared raster BEFORE any
+# allocation or inflate. MAX_PIXELS (64 MP, matching pipeline/jpeg.py)
+# is the direct-caller ceiling; FEATURIZER_MAX_PIXELS is the much tighter
+# budget decode_payload passes inside the mapInPandas featurizer — the
+# pure-Python entropy/filter loops are serial, so an adversarial
+# valid-looking 64 MP image would stall a task for minutes while feature
+# extraction never needs full-resolution rasters. Oversized-but-valid
+# payloads degrade to byte statistics, same as malformed ones.
+MAX_PIXELS = 64 * 1024 * 1024
+FEATURIZER_MAX_PIXELS = 4 * 1024 * 1024
 # color type -> samples per pixel (bit depth 8 only)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def decode_image_png(data: bytes) -> np.ndarray:
+def decode_image_png(data: bytes, max_pixels: int | None = None) -> np.ndarray:
     """Decode a PNG (bit depth 8, color types 0/2/3/4/6, non-interlaced,
     all five scanline filters) into an (h, w, channels) uint8 array —
     critical chunks only (IHDR/PLTE/IDAT/IEND), stdlib zlib for the IDAT
     inflate, NumPy for the per-row unfiltering. Palette images (type 3)
     resolve through PLTE to RGB. Interlaced (Adam7), 16-bit, and 1/2/4-bit
     payloads raise ValueError — loud refusal, not silent corruption (the
-    posture of io/hdf5_read's UnsupportedHDF5)."""
+    posture of io/hdf5_read's UnsupportedHDF5).
+
+    ``max_pixels`` (default :data:`MAX_PIXELS`) bounds w*h BEFORE any
+    allocation or inflate: IHDR precedes IDAT, so a crafted 65535x65535
+    header (or a deflate bomb whose stream inflates past the geometry the
+    header promised) is refused without ever materializing the payload —
+    the decompress runs incrementally via ``zlib.decompressobj`` capped at
+    the expected scanline total, never trusting the compressed stream."""
     if not data.startswith(PNG_SIG):
         raise ValueError("not a PNG payload")
     pos, ihdr, plte, idat = len(PNG_SIG), None, None, []
@@ -187,10 +205,23 @@ def decode_image_png(data: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG color type {color}")
     if w == 0 or h == 0:
         raise ValueError("zero-dimension PNG")
+    budget = MAX_PIXELS if max_pixels is None else max_pixels
+    if w * h > budget:
+        raise ValueError(
+            f"declared raster {w}x{h} exceeds the {budget}-pixel "
+            "decode budget",
+        )
     bpp = _PNG_CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))
     stride = w * bpp
-    if len(raw) != h * (1 + stride):
+    expected = h * (1 + stride)
+    # Incremental bounded inflate: decompressobj(max_length=...) caps the
+    # output at the geometry IHDR promised, so a deflate bomb stops at
+    # `expected` bytes instead of allocating its full expansion.
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), expected)
+    if dec.unconsumed_tail or (not dec.eof and dec.decompress(b"", 1)):
+        raise ValueError("IDAT stream inflates past the declared raster")
+    if len(raw) != expected:
         raise ValueError("PNG scanline data length mismatch")
     img = _png_unfilter(raw, h, stride, bpp)
     img = img.reshape(h, w, bpp)
@@ -348,11 +379,11 @@ def decode_payload(payload: bytes, dim: int) -> list[float]:
             elif payload.startswith(b"BM"):
                 img = decode_image_bmp(payload)
             elif payload.startswith(PNG_SIG):
-                img = decode_image_png(payload)
+                img = decode_image_png(payload, max_pixels=FEATURIZER_MAX_PIXELS)
             else:
                 from sed_binning_spark.pipeline.jpeg import decode_image_jpeg
 
-                img = decode_image_jpeg(payload)
+                img = decode_image_jpeg(payload, max_pixels=FEATURIZER_MAX_PIXELS)
             h, w, ch = img.shape
             vec = [KIND_IMAGE, float(w), float(h), float(ch), *_norm_stats(img, 255.0)]
         elif payload.startswith(b"RIFF"):

@@ -897,3 +897,87 @@ def test_jpeg_refusals_and_dispatch():
         decode_image_jpeg(progressive)
     for bad in (progressive, good[:40], b"\xff\xd8\xff" + b"junk"):
         assert decode_payload(bad, 8)[0] == 0.0
+
+
+def test_png_decode_budget_refuses_before_allocation():
+    """A crafted IHDR declaring a huge raster is refused from the header
+    alone (IHDR precedes IDAT), and a deflate bomb whose stream inflates
+    past the declared geometry stops at the cap instead of materializing
+    its full expansion — both degrade to byte stats via decode_payload."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.multimodal import (
+        _png_chunk,
+        PNG_SIG,
+        decode_image_png,
+        decode_payload,
+        encode_image_png,
+    )
+
+    # 65535 x 65535 declared: > MAX_PIXELS, refused before any inflate
+    huge = (PNG_SIG
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 16))
+            + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="decode budget"):
+        decode_image_png(huge)
+    assert decode_payload(huge, 8)[0] == 0.0
+
+    # declared 2x2 gray but the IDAT stream inflates to ~1 MB: the
+    # bounded decompressobj stops at the expected scanline total
+    bomb = (PNG_SIG
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 20)))
+            + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="inflates past"):
+        decode_image_png(bomb)
+    assert decode_payload(bomb, 8)[0] == 0.0
+
+    # per-call budget: a valid 4x4 image refuses under max_pixels=8 with
+    # the same typed error the featurizer catches
+    small = encode_image_png(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(ValueError, match="decode budget"):
+        decode_image_png(small, max_pixels=8)
+    assert decode_image_png(small).shape == (4, 4, 3)
+
+
+def test_jpeg_sampling_factor_and_budget_validation():
+    """Zero SOF sampling factors raise a typed ValueError (not
+    ZeroDivisionError deep in MCU geometry), and the per-call pixel
+    budget bounds CPU for the featurizer context."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.jpeg import (
+        decode_image_jpeg,
+        encode_image_jpeg,
+    )
+    from sed_binning_spark.pipeline import multimodal
+    from sed_binning_spark.pipeline.multimodal import decode_payload
+
+    img = np.full((16, 16, 3), 90, np.uint8)
+    good = encode_image_jpeg(img)
+
+    # corrupt the SOF component sampling byte to 0x00 (h=v=0)
+    sof_at = good.index(b"\xff\xc0")
+    body_at = sof_at + 4  # marker + length
+    comp0_hv = body_at + 6 + 1  # precision,h16,w16,nc then id
+    assert good[comp0_hv] in (0x11, 0x21, 0x22), "fixture layout changed"
+    corrupt = good[:comp0_hv] + b"\x00" + good[comp0_hv + 1:]
+    with pytest.raises(ValueError, match="sampling factors"):
+        decode_image_jpeg(corrupt)
+    assert decode_payload(corrupt, 8)[0] == 0.0
+
+    # per-call budget refusal on a valid-but-oversized raster
+    with pytest.raises(ValueError, match="decode budget"):
+        decode_image_jpeg(good, max_pixels=64)
+    assert decode_image_jpeg(good).shape == (16, 16, 3)
+
+    # the featurizer context uses the tight budget: shrink it and the
+    # same valid JPEG degrades to byte statistics instead of stalling
+    orig = multimodal.FEATURIZER_MAX_PIXELS
+    try:
+        multimodal.FEATURIZER_MAX_PIXELS = 64
+        assert decode_payload(good, 8)[0] == 0.0
+    finally:
+        multimodal.FEATURIZER_MAX_PIXELS = orig
+    assert decode_payload(good, 8)[0] == 1.0
