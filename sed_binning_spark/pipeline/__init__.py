@@ -46,6 +46,7 @@ from sed_binning_spark.pipeline.cluster import (
 )
 from sed_binning_spark.pipeline.dedup import (
     apply_substring_winners,
+    substring_winner_manifest,
     dedup_segments,
     dedup_substrings,
     exact_dedup,
@@ -110,6 +111,7 @@ __all__ = [
     "dedup_segments",
     "dedup_substrings",
     "apply_substring_winners",
+    "substring_winner_manifest",
     "segment_array",
     "minhash_signatures",
     "minhash_lsh_pairs",

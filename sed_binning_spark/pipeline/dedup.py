@@ -747,6 +747,7 @@ def dedup_substrings(
     check_unique_ids: bool = True,
     hash_function: str = "md5",
     winner_packing: bool = True,
+    loser_filtered: bool = False,
 ) -> DataFrame:
     """Corpus-wide EXACT-SUBSTRING dedup at token-window granularity — the
     ExactSubstr pass of Lee et al. 2022 ("Deduplicating Training Data
@@ -844,7 +845,7 @@ def dedup_substrings(
     return apply_substring_winners(
         df, winners,
         text_column=text_column, id_column=id_column, window=w,
-        check_unique_ids=check_unique_ids,
+        check_unique_ids=check_unique_ids, loser_filtered=loser_filtered,
     )
 
 
@@ -898,6 +899,61 @@ def _keep_first_winners(
     )
 
 
+def substring_winner_manifest(
+    df: DataFrame,
+    winners: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    window: int = 50,
+) -> DataFrame:
+    """Per-document participation manifest for a winner frame —
+    ``(id, n_windows, n_windows_won)`` for every document that emitted at
+    least one ``window``-token window into the competition. Compute it
+    when the winner frame is KNOWN COMPLETE (right after the batch
+    :func:`dedup_substrings` winner pass, or after a stream drain you
+    trust) and persist it next to the winners; a later
+    :func:`apply_substring_winners` call with ``strict=True`` and this
+    manifest can then tell apart the two cases a bare winner frame cannot:
+
+    - a document with 0 wins whose manifest row says ``n_windows_won=0``
+      is a legitimate exact full duplicate — rebuild it empty;
+    - a document whose manifest row is MISSING, or whose observed corpus
+      window count or winner-frame win count disagrees with the manifest,
+      proves a partial drain / corpus mismatch — abort loudly.
+
+    Cost: one row-local corpus projection (tokenize, count windows — no
+    shuffle of text) plus one map-side-combined count over the winner
+    frame, joined on slim ``(id, int)`` rows.
+    """
+    for col, what in [(text_column, "text"), (id_column, "id")]:
+        if col not in df.columns:
+            raise ValueError(
+                f"{what} column {col!r} not in dataframe (columns: {df.columns})",
+            )
+    if window < 2:
+        raise ValueError(f"window must be >= 2 tokens, got {window}")
+    w = int(window)
+    text = F.col(text_column)
+    nw = (
+        df.where(F.col(id_column).isNotNull() & text.isNotNull())
+        .select(
+            F.col(id_column),
+            F.greatest(
+                F.size(whitespace_tokens(text)) - (w - 1), F.lit(0),
+            ).cast("int").alias("n_windows"),
+        )
+        .where(F.col("n_windows") > 0)
+    )
+    wc = winners.groupBy(id_column).agg(
+        F.count(F.lit(1)).cast("int").alias("__wins"),
+    )
+    return nw.join(wc, on=id_column, how="left").select(
+        id_column,
+        "n_windows",
+        F.coalesce(F.col("__wins"), F.lit(0)).alias("n_windows_won"),
+    )
+
+
 def apply_substring_winners(
     df: DataFrame,
     winners: DataFrame,
@@ -906,6 +962,8 @@ def apply_substring_winners(
     window: int = 50,
     check_unique_ids: bool = True,
     strict: bool = False,
+    manifest: DataFrame | None = None,
+    loser_filtered: bool = False,
 ) -> DataFrame:
     """Rebuild documents from an ``(id, start)`` winner frame — the second
     phase of :func:`dedup_substrings`, exposed for the streaming twin: a
@@ -916,6 +974,31 @@ def apply_substring_winners(
     its winning starts (``array_except``) — nothing occurrence-grained
     ever shuffles. Pass the SAME ``window`` the winners were computed
     with; the output columns are :func:`dedup_substrings`'s.
+
+    Plan choice (``loser_filtered``, default False — MEASURED, see
+    SCALE.md "loser-filtered apply matrix"): the default joins every
+    document against its collected winner starts in one corpus-side join.
+    ``loser_filtered=True`` instead derives a LOSERS-ONLY build side
+    first — ONE aggregation over the winner frame collects each
+    document's winning starts AND win count (a single consumer: the
+    expensive window-hash subtree is never re-executed for a second
+    derived frame; a two-consumer draft measured 3x slower), a row-local
+    corpus projection counts each document's windows (tokenize only; no
+    text shuffles), and their join keeps only documents with fewer wins
+    than windows; a no-match corpus row is then an untouched document and
+    rebuilds as a row-local pass-through. That shrinks the corpus join's
+    build side to the losers, at the price of one extra corpus tokenize
+    pass and one slim per-doc join — which at single-node bench scale
+    (2M docs, ~400 MB of text, where a corpus shuffle is a memcpy) makes
+    it 0-30% SLOWER at every duplication rate measured, so it is NOT the
+    default. Its regime is a multi-TB mostly-clean corpus on a real
+    cluster, where the avoided full-text exchange dominates everything
+    the option adds; measure on a sample before flipping it. (Two
+    rejected designs, for the record: deriving loser occurrences by
+    re-joining the occurrence stream on the window hash re-sorts the full
+    occurrence frame and concentrates hot-hash skew — 6x slower on a
+    90%-duplicated corpus; broadcasting the loser frame by hint forces
+    its subtree through the driver and saved nothing.)
 
     CONTRACT — ``df`` must be exactly the corpus whose windows competed
     for the winners: a document with ≥ ``window`` tokens and NO winners
@@ -933,13 +1016,25 @@ def apply_substring_winners(
     participated always wins the hashes only it owns, so under a COMPLETE
     winner frame the only docs without a row are those whose every window
     is also held (and won) by an earlier document — exact full
-    duplicates. Strict mode therefore trades tolerance of full duplicates
-    for detection of partial frames: it is the right setting when
-    applying a DRAINED STREAM to a batch corpus (where a missed document
-    means watermark loss or a corpus mismatch, and silently emptying it
-    destroys data), and the wrong one for corpora that legitimately
-    contain verbatim copies (the batch :func:`dedup_substrings` keeps the
-    default, which rebuilds those empty by design)."""
+    duplicates. Strict mode without a manifest therefore trades tolerance
+    of full duplicates for detection of partial frames.
+
+    ``manifest`` (requires ``strict=True`` and the default
+    ``loser_filtered=True``) resolves that trade: pass the
+    ``(id, n_windows, n_windows_won)`` frame
+    :func:`substring_winner_manifest` computed while the winner frame was
+    known complete, and the raise becomes exact — a document aborts the
+    job only when its manifest row is MISSING (it never participated: a
+    drain or corpus mismatch) or when the observed corpus window count /
+    winner-frame win count disagrees with the manifest (the corpus or the
+    winner frame changed since the manifest was cut). A document with a
+    matching ``n_windows_won = 0`` row is a legitimate exact full
+    duplicate and rebuilds empty without raising — strict mode stays
+    usable on corpora that contain verbatim copies, which is exactly
+    where substring dedup matters. The manifest costs one slim
+    ``(id, int, int)`` join; every comparison is row-local (the observed
+    win count is the size of the collected winner-start array, the
+    observed window count comes from the bound token array)."""
     for col, what in [(text_column, "text"), (id_column, "id")]:
         if col not in df.columns:
             raise ValueError(
@@ -952,29 +1047,180 @@ def apply_substring_winners(
             f"winners must have ({id_column!r}, 'start') columns, "
             f"got {winners.columns}",
         )
+    if manifest is not None:
+        if not strict:
+            raise ValueError("manifest requires strict=True")
+        for c in (id_column, "n_windows", "n_windows_won"):
+            if c not in manifest.columns:
+                raise ValueError(
+                    f"manifest must have ({id_column!r}, 'n_windows', "
+                    f"'n_windows_won') columns, got {manifest.columns}",
+                )
     w = int(window)
     text = F.col(text_column)
     toks_expr = whitespace_tokens(text)
+    scored = text.isNotNull() & F.col(id_column).isNotNull()
 
-    # per-document WINNING starts (every occurrence is either its hash's
-    # winner or a loser, so losers are derivable row-locally below)
-    win_starts = winners.groupBy(id_column).agg(
-        F.collect_list("start").cast("array<int>").alias("__win_starts"),
-    )
-
-    out = df.join(win_starts, on=id_column, how="left")
     if check_unique_ids:
         dup_ids = duplicate_id_frame(df, id_column, "__n_rows_ss")
-        out = out.join(F.broadcast(dup_ids), on=id_column, how="left")
+        base = df.join(F.broadcast(dup_ids), on=id_column, how="left")
     else:
-        out = out.withColumn("__n_rows_ss", F.lit(None).cast("bigint"))
+        base = df.withColumn("__n_rows_ss", F.lit(None).cast("bigint"))
+    base_cols = [id_column] + [c for c in df.columns if c != id_column]
 
-    # materialize the output-side token array and the merged spans as
-    # COLUMNS before the per-token filter: an expression referenced
-    # inside a higher-order lambda re-evaluates per ELEMENT, so an
-    # un-materialized spans fold would cost O(n_tokens x dups) per row
-    # instead of O(dups) once
+    # the raise chain shared by every leg: a when() cascade whose raise
+    # branches fire before the scored rebuild (cast to the branch type —
+    # the unique-id guards' posture)
+    unique_raise = F.raise_error(F.concat(
+        F.lit("dedup_substrings: duplicate document id "),
+        F.col(id_column).cast("string"),
+        F.lit(" violates the unique-id contract"),
+    )).cast("string")
+
+    if not loser_filtered:
+        win_starts = winners.groupBy(id_column).agg(
+            F.collect_list("start").cast("array<int>").alias("__win_starts"),
+        )
+        out = base.join(win_starts, on=id_column, how="left")
+        if manifest is not None:
+            out = out.join(
+                manifest.select(
+                    F.col(id_column),
+                    F.col("n_windows").cast("int").alias("__m_windows"),
+                    F.col("n_windows_won").cast("int").alias("__m_won"),
+                ),
+                on=id_column, how="left",
+            )
+        out = out.withColumn("__tk2", toks_expr)
+        tk2 = F.col("__tk2")
+        chain = F.when(F.lit(False), F.lit(None).cast("string"))
+        if strict and manifest is not None:
+            # every check is row-local: observed window count from the
+            # bound token array, observed win count from the collected
+            # winner starts — the manifest join is the only added cost
+            windowed = scored & (F.size(tk2) >= w)
+            n_windows_obs = (F.size(tk2) - (w - 1)).cast("int")
+            n_wins_obs = F.size(
+                F.coalesce(F.col("__win_starts"), F.array().cast("array<int>")),
+            ).cast("int")
+            chain = chain.when(
+                windowed & F.col("__m_windows").isNull(),
+                _strict_raise(id_column,
+                              "has windows but NO manifest row — it never "
+                              "participated (partial drain or corpus "
+                              "mismatch)"),
+            ).when(
+                windowed & (F.col("__m_windows") != n_windows_obs),
+                _strict_raise(id_column,
+                              "corpus window count disagrees with the "
+                              "manifest — the corpus changed since the "
+                              "manifest was cut"),
+            ).when(
+                windowed & (n_wins_obs != F.col("__m_won")),
+                _strict_raise(id_column,
+                              "winner-frame win count disagrees with the "
+                              "manifest — partial winner frame"),
+            )
+        elif strict:
+            chain = chain.when(
+                scored & (F.size(tk2) >= w)
+                & F.col("__win_starts").isNull(),
+                _strict_raise(id_column,
+                              "no winners row — partial winner frame or "
+                              "exact full duplicate"),
+            )
+        chain = chain.when(F.col("__n_rows_ss").isNotNull(), unique_raise)
+        return _substring_rebuild(out, base_cols, id_column, w, chain, scored)
+
+    # ---- loser-filtered plan: ONE consumer of the winner frame, one
+    # corpus-side join against a losers-only build side
+    per_doc = winners.groupBy(id_column).agg(
+        F.collect_list("start").cast("array<int>").alias("__win_starts"),
+        F.count(F.lit(1)).cast("int").alias("__n_wins"),
+    )
+    n_windows_expr = F.greatest(
+        F.size(toks_expr) - (w - 1), F.lit(0),
+    ).cast("int")
+    nw = (
+        df.where(F.col(id_column).isNotNull() & text.isNotNull())
+        .select(F.col(id_column), n_windows_expr.alias("__n_windows"))
+        .where(F.col("__n_windows") > 0)
+    )
+    losers = nw.join(per_doc, on=id_column, how="left").where(
+        F.coalesce(F.col("__n_wins"), F.lit(0)) < F.col("__n_windows"),
+    )
+    if manifest is not None:
+        man = manifest.select(
+            F.col(id_column),
+            F.col("n_windows").cast("int").alias("__m_windows"),
+            F.col("n_windows_won").cast("int").alias("__m_won"),
+        )
+        losers = losers.join(man, on=id_column, how="left")
+
+    out = base.join(losers, on=id_column, how="left")
     out = out.withColumn("__tk2", toks_expr)
+    chain = F.when(F.lit(False), F.lit(None).cast("string"))
+    if strict and manifest is not None:
+        loser_row = F.col("__n_windows").isNotNull()
+        chain = chain.when(
+            loser_row & F.col("__m_windows").isNull(),
+            _strict_raise(id_column,
+                          "lost windows but has NO manifest row — it never "
+                          "participated (partial drain or corpus mismatch)"),
+        ).when(
+            loser_row & (F.col("__m_windows") != F.col("__n_windows")),
+            _strict_raise(id_column,
+                          "corpus window count disagrees with the manifest "
+                          "— the corpus changed since the manifest was cut"),
+        ).when(
+            loser_row
+            & (F.coalesce(F.col("__n_wins"), F.lit(0)) != F.col("__m_won")),
+            _strict_raise(id_column,
+                          "winner-frame win count disagrees with the "
+                          "manifest — partial winner frame"),
+        )
+    elif strict:
+        chain = chain.when(
+            F.col("__n_windows").isNotNull() & F.col("__n_wins").isNull(),
+            _strict_raise(id_column,
+                          "has windows but no winners row — partial winner "
+                          "frame or exact full duplicate"),
+        )
+    chain = chain.when(F.col("__n_rows_ss").isNotNull(), unique_raise)
+    return _substring_rebuild(out, base_cols, id_column, w, chain, scored,
+                              loser_gated=True)
+
+
+def _strict_raise(id_column: str, why: str):
+    return F.raise_error(F.concat(
+        F.lit("apply_substring_winners(strict=True): document "),
+        F.col(id_column).cast("string"),
+        F.lit(" " + why),
+    )).cast("string")
+
+
+def _substring_rebuild(
+    out: DataFrame,
+    out_cols: list[str],
+    id_column: str,
+    w: int,
+    chain,
+    scored,
+    loser_gated: bool = False,
+) -> DataFrame:
+    """The interval-rebuild machinery shared by both apply plans: from a
+    frame with bound ``__tk2`` (token array) and ``__win_starts`` columns,
+    derive loser starts row-locally, merge them into disjoint spans, slice
+    the survivors out of the gaps, and emit ``out_cols`` plus the three
+    output columns (``chain`` is the caller's raise cascade, continued
+    with the scored rebuild).
+
+    ``loser_gated=True`` flips the null-row meaning: the frame was joined
+    against a LOSERS-ONLY build side, so a row with no match
+    (``__n_windows`` NULL) is an untouched document — zero loser starts —
+    rather than an all-windows-lost one. The downstream machinery then
+    degenerates row-locally (empty spans, one full-array gap slice), so
+    untouched rows cost one token-array copy, not the interval fold."""
     tk2 = F.col("__tk2")
     # loser starts = the document's full window-start range minus its
     # winning starts — row-local, no occurrence shuffle
@@ -988,6 +1234,10 @@ def apply_substring_winners(
             F.coalesce(F.col("__win_starts"), F.array().cast("array<int>")),
         ),
     )
+    if loser_gated:
+        dup_starts = F.when(
+            F.col("__n_windows").isNotNull(), dup_starts,
+        ).otherwise(F.array().cast("array<int>"))
     # sorted starts -> disjoint merged [lo, hi] token intervals. All
     # intervals share width w and starts are sorted, so interval i merges
     # into its predecessor exactly when d_i <= d_{i-1} + w — span
@@ -1046,51 +1296,25 @@ def apply_substring_winners(
         )
 
     kept = F.flatten(F.transform(F.sequence(F.lit(0), m), _gap))
-    scored = text.isNotNull() & F.col(id_column).isNotNull()
-    n_tokens = F.when(scored, F.size(tk2)).otherwise(F.lit(0))
-    chain = F.when(F.lit(False), F.lit(None).cast("string"))
-    if strict:
-        # loud partial-frame detection: a windowed doc with no winners row
-        # (raise_error in a when() branch cast to the branch type — the
-        # unique-id guards' posture)
-        chain = chain.when(
-            scored & (F.size(tk2) >= w) & F.col("__win_starts").isNull(),
-            F.raise_error(
-                F.concat(
-                    F.lit("apply_substring_winners(strict=True): document "),
-                    F.col(id_column).cast("string"),
-                    F.lit(
-                        " has windows but no winners row — partial winner "
-                        "frame or exact full duplicate",
-                    ),
-                ),
-            ).cast("string"),
-        )
-    return (
-        out.withColumn(
-            "text_dedup",
-            chain.when(
-                F.col("__n_rows_ss").isNotNull(),
-                F.raise_error(
-                    F.concat(
-                        F.lit("dedup_substrings: duplicate document id "),
-                        F.col(id_column).cast("string"),
-                        F.lit(" violates the unique-id contract"),
-                    ),
-                ).cast("string"),
-            ).when(scored, F.concat_ws(" ", kept)),
-        )
-        .withColumn("n_tokens", n_tokens.cast("bigint"))
-        .withColumn(
-            "n_removed_tokens",
-            F.when(scored, F.size(tk2) - F.size(kept))
-            .otherwise(F.lit(0)).cast("bigint"),
-        )
-        .drop(
-            "__win_starts", "__n_rows_ss", "__tk2", "__dup", "__breaks",
-            "__spans",
-        )
-    )
+    return out.select(_with_output_columns(out_cols, {
+        "text_dedup": chain.when(scored, F.concat_ws(" ", kept)),
+        "n_tokens": F.when(scored, F.size(tk2)).otherwise(F.lit(0))
+        .cast("bigint"),
+        "n_removed_tokens": F.when(scored, F.size(tk2) - F.size(kept))
+        .otherwise(F.lit(0)).cast("bigint"),
+    }))
+
+
+def _with_output_columns(cols: list[str], outputs: dict) -> list:
+    """withColumn-compatible projection list: an output column whose name
+    already exists in ``cols`` REPLACES it at its original position
+    (re-applying dedup_substrings to its own output must overwrite, not
+    duplicate); the rest append in ``outputs`` order."""
+    outputs = dict(outputs)
+    sel = [
+        outputs.pop(c).alias(c) if c in outputs else F.col(c) for c in cols
+    ]
+    return sel + [expr.alias(name) for name, expr in outputs.items()]
 
 
 def oversized_window_stats(

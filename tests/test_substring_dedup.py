@@ -361,3 +361,186 @@ def test_png_fixture_n_bytes_domain():
     assert png_fixture_n_bytes(4, 2) == 94
     with pytest.raises(ValueError, match="stored deflate block"):
         png_fixture_n_bytes(21845, 1)  # raw_len 65536 > one block
+
+
+def test_loser_filtered_plan_matches_default(spark):
+    """loser_filtered=True (the cluster-scale plan: corpus joins a
+    losers-only build side, untouched docs pass through row-locally)
+    produces byte-identical output to the default single-join plan on a
+    corpus mixing full duplicates, partial overlaps, clean docs, short
+    docs, NULL id and NULL text."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # full dup
+        (3, "intro words the quick brown fox jumps over closing words"),
+        (4, "completely unique text with no shared windows at all"),
+        (5, "too short"),
+        (6, None),
+        (None, "null id never wins anything here"),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for hf in ("md5", "rolling"):
+        a = sorted(
+            map(tuple, dedup_substrings(df, window=3, hash_function=hf)
+                .collect()),
+            key=lambda t: (t[0] is None, t[0]),
+        )
+        b = sorted(
+            map(tuple, dedup_substrings(
+                df, window=3, hash_function=hf, loser_filtered=True,
+            ).collect()),
+            key=lambda t: (t[0] is None, t[0]),
+        )
+        assert a == b, hf
+    # and through the public apply with an externally supplied frame
+    from sed_binning_spark.pipeline.dedup import apply_substring_winners
+
+    winners = spark.createDataFrame(
+        [(1, s) for s in range(7)] + [(3, 0), (3, 1), (3, 7), (3, 8)],
+        "doc_id long, start int",
+    )
+    corpus = spark.createDataFrame(rows[:4], "doc_id long, text string")
+    a = sorted(map(tuple, apply_substring_winners(
+        corpus, winners, window=3).collect()))
+    b = sorted(map(tuple, apply_substring_winners(
+        corpus, winners, window=3, loser_filtered=True).collect()))
+    assert a == b
+
+
+def test_loser_filtered_plan_shape(spark):
+    """The loser-filtered plan keeps the batch contract (no Python, no
+    window functions, map-side-combined winner selection) and its corpus
+    join is keyed on the filtered loser frame."""
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    plan = (
+        dedup_substrings(df, window=3, loser_filtered=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+    # the loser filter gates the corpus join's build side
+    assert "__n_windows" in plan, plan
+
+
+def test_substring_winner_manifest(spark):
+    """The manifest counts every participating doc's windows and wins —
+    including zero-win full duplicates, and excluding short/NULL docs."""
+    from sed_binning_spark.pipeline.dedup import (
+        dedup_substrings as _,  # noqa: F401 (import parity)
+        substring_winner_manifest,
+    )
+    from sed_binning_spark.pipeline.dedup import (
+        _keep_first_winners, _occ_window_explode,
+    )
+    from sed_binning_spark.pipeline.text import whitespace_tokens
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e"),       # full dup: participates, wins 0
+        (3, "x y z a b c"),     # wins its unique windows, loses 'a b c'
+        (4, "uv"),              # too short: no manifest row
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    occ = _occ_window_explode(
+        df.where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", whitespace_tokens(F.col("text")).alias("__tk")),
+        [F.col("doc_id")], 3, "md5", "h",
+    )
+    winners = _keep_first_winners(occ, df.schema["doc_id"].dataType, "doc_id")
+    man = {
+        r.doc_id: (r.n_windows, r.n_windows_won)
+        for r in substring_winner_manifest(df, winners, window=3).collect()
+    }
+    assert man == {1: (3, 3), 2: (3, 0), 3: (4, 3)}
+
+
+def test_strict_manifest_distinguishes_full_dup_from_drain(spark):
+    """With a manifest, strict mode keeps working on corpora that contain
+    exact full duplicates (the case bare strict false-positives on), and
+    still aborts on a genuinely partial winner frame, a missing manifest
+    row, and a corpus edited since the manifest was cut."""
+    from sed_binning_spark.pipeline.dedup import (
+        _keep_first_winners, _occ_window_explode, apply_substring_winners,
+        substring_winner_manifest,
+    )
+    from sed_binning_spark.pipeline.text import whitespace_tokens
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e"),       # exact full duplicate of doc 1
+        (3, "p q r s t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _winners(frame):
+        occ = _occ_window_explode(
+            frame.where(
+                F.col("doc_id").isNotNull() & F.col("text").isNotNull(),
+            ).select(
+                "doc_id", whitespace_tokens(F.col("text")).alias("__tk"),
+            ),
+            [F.col("doc_id")], 3, "md5", "h",
+        )
+        return _keep_first_winners(occ, frame.schema["doc_id"].dataType,
+                                   "doc_id")
+
+    winners = _winners(df)
+    manifest = substring_winner_manifest(df, winners, window=3)
+
+    for lf in (False, True):
+        # bare strict false-positives on the full duplicate...
+        with pytest.raises(Exception, match="no winners row"):
+            apply_substring_winners(
+                df, winners, window=3, strict=True, loser_filtered=lf,
+            ).collect()
+        # ...the manifest resolves it: doc 2 rebuilds empty, no raise
+        got = {
+            r.doc_id: r.text_dedup
+            for r in apply_substring_winners(
+                df, winners, window=3, strict=True, manifest=manifest,
+                loser_filtered=lf,
+            ).collect()
+        }
+        assert got == {1: "a b c d e", 2: "", 3: "p q r s t"}
+
+        # partial frame: drop doc 3's winner rows -> win-count mismatch
+        partial = winners.where(F.col("doc_id") != 3)
+        with pytest.raises(Exception, match="disagrees with the manifest"):
+            apply_substring_winners(
+                df, partial, window=3, strict=True, manifest=manifest,
+                loser_filtered=lf,
+            ).collect()
+
+        # corpus superset: doc 4 never participated -> no manifest row
+        wider = spark.createDataFrame(
+            rows + [(4, "never seen by the stream at all")],
+            "doc_id long, text string",
+        )
+        with pytest.raises(Exception, match="NO manifest row"):
+            apply_substring_winners(
+                wider, winners, window=3, strict=True, manifest=manifest,
+                loser_filtered=lf,
+            ).collect()
+
+        # corpus edited since the manifest was cut: doc 3 grew a token
+        edited = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e"), (3, "p q r s t EXTRA")],
+            "doc_id long, text string",
+        )
+        with pytest.raises(Exception, match="corpus window count"):
+            apply_substring_winners(
+                edited, winners, window=3, strict=True, manifest=manifest,
+                loser_filtered=lf,
+            ).collect()
+
+    with pytest.raises(ValueError, match="strict"):
+        apply_substring_winners(df, winners, window=3, manifest=manifest)
+    with pytest.raises(ValueError, match="manifest must have"):
+        apply_substring_winners(
+            df, winners, window=3, strict=True,
+            manifest=manifest.drop("n_windows_won"),
+        )
