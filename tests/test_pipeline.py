@@ -981,3 +981,37 @@ def test_jpeg_sampling_factor_and_budget_validation():
     finally:
         multimodal.FEATURIZER_MAX_PIXELS = orig
     assert decode_payload(good, 8)[0] == 1.0
+
+
+def test_ann_ivf_low_probe_recall_on_clustered_data(spark):
+    """The low-probe regime IVF exists for: on clustered embeddings
+    (Gaussian blobs — the realistic shape; the embeddings.parquet fixture
+    is near-uniform, where low-probe recall is structurally poor), probing
+    2 of 8 lists must recover >= 0.9 of the exact top-10 for a query near
+    a blob center. This pins centroid training AND probe routing: a
+    regression in either (bad seeding, unnormalized centroids, wrong
+    argsort direction) collapses recall long before the full-probe
+    hash-equality test notices."""
+    from sed_binning_spark.pipeline.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    rng = np.random.default_rng(1234)
+    dim, per = 16, 250
+    centers = rng.normal(size=(8, dim)) * 4.0
+    rows = []
+    for b, c in enumerate(centers):
+        pts = c + rng.normal(size=(per, dim)) * 0.3
+        rows += [(b * per + i, pts[i].tolist()) for i in range(per)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = ivf_train_centroids(df, n_lists=8, sample_size=1024, seed=5)
+    # a query just off the third blob's center
+    q = (centers[3] + rng.normal(size=dim) * 0.1).tolist()
+    brute = cosine_topk(df, q, k=10).toPandas()
+    for n_probes, floor in ((1, 0.9), (2, 0.9)):
+        ivf = ivf_topk(df, cents, q, k=10, n_probes=n_probes).toPandas()
+        recall = len(set(ivf.vec_id) & set(brute.vec_id)) / 10
+        assert recall >= floor, (n_probes, recall)

@@ -544,3 +544,26 @@ def test_strict_manifest_distinguishes_full_dup_from_drain(spark):
             df, winners, window=3, strict=True,
             manifest=manifest.drop("n_windows_won"),
         )
+
+
+def test_hot_hash_winner_is_layout_independent(spark):
+    """A single boilerplate window occurring in every document (the
+    hot-hash skew case) selects the same global keep-first winner on any
+    partition layout — the two-phase shape is Spark's own partial_min
+    HashAggregate (one surviving row per map task per hash, pinned by
+    test_plan_shape), so no explicit salting stage is needed."""
+    rows = [(i, f"lead{i} HOT SPAN HERE tail{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = None
+    for parts in (1, 7, 32):
+        got = {
+            r.doc_id: (r.text_dedup, r.n_removed_tokens)
+            for r in dedup_substrings(
+                df.repartition(parts), window=3,
+            ).collect()
+        }
+        # doc 0 keeps the hot span; every other doc loses exactly it
+        assert got[0] == ("lead0 HOT SPAN HERE tail0", 0)
+        assert all(got[i] == (f"lead{i} tail{i}", 3) for i in range(1, 500))
+        expected = expected or got
+        assert got == expected
