@@ -7,15 +7,22 @@ dominate), written from the public specification like the PNG codec
 Scope — the baseline profile that covers the overwhelming majority of web
 JPEGs:
 
-- decode: baseline sequential DCT, 8-bit, Huffman entropy coding, 1 or 3
+- decode: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2 —
+  spectral selection + successive approximation per T.81 Annex G, the
+  other large web-JPEG population), 8-bit, Huffman entropy coding, 1 or 3
   components, 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, restart markers,
-  JFIF/EXIF APPn segments skipped. Progressive (SOF2), arithmetic coding,
-  12-bit, and hierarchical profiles raise ValueError — loud refusal, the
-  multimodal dispatch degrades them to byte statistics.
-- encode: the fixture/round-trip half — 4:4:4 or grayscale, Annex K
-  standard Huffman tables, quality-scaled Annex K quantization tables.
-  JPEG is lossy; the tests assert reconstruction within the quantization
-  error bound, not byte equality.
+  JFIF/EXIF APPn segments skipped. Arithmetic coding, 12-bit,
+  hierarchical, and lossless profiles raise ValueError — loud refusal,
+  the multimodal dispatch degrades them to byte statistics.
+- encode: the fixture/round-trip half — baseline (4:4:4/4:2:0/gray,
+  Annex K tables) plus a progressive encoder emitting a
+  libjpeg-style scan script (interleaved DC first + refinement,
+  per-component spectral AC bands with two successive-approximation
+  refinement levels, cross-block EOB runs, optional restarts) so the
+  progressive decode paths are exercised by spec-built fixtures. JPEG is
+  lossy; round-trip tests assert reconstruction within the quantization
+  error bound, while progressive-vs-baseline parity is EXACT (both forms
+  carry identical quantized coefficients).
 
 The hot path stays NumPy-vectorized where the format allows: the IDCT is
 one ``D.T @ block @ D`` matmul over all blocks at once, dequantization and
@@ -274,7 +281,7 @@ def decode_image_jpeg(data: bytes, max_pixels: int | None = None) -> np.ndarray:
                     raise ValueError("DHT declares more codes than present")
                 huff[(tc, th)] = _build_huffman(bits, values)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise ValueError(f"{prec}-bit JPEG not supported")
@@ -291,17 +298,26 @@ def decode_image_jpeg(data: bytes, max_pixels: int | None = None) -> np.ndarray:
                         f"for component {cid} (spec range 1-4)",
                     )
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02X}) not supported",
+                f"unsupported JPEG profile (SOF marker 0x{marker:02X}: "
+                "lossless/arithmetic/hierarchical)",
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if frame["progressive"]:
+                if "coef" not in frame:
+                    _alloc_progressive(frame, max_pixels)
+                pos = _progressive_sos(
+                    data, pos, seglen, frame, huff, restart_interval,
+                )
+                continue
             ns = body[0]
             if ns != len(frame["comps"]):
                 # multi-scan (non-interleaved) baseline is legal but rare;
@@ -325,6 +341,8 @@ def decode_image_jpeg(data: bytes, max_pixels: int | None = None) -> np.ndarray:
                 restart_interval, max_pixels,
             )
         pos += 2 + seglen
+    if frame is not None and frame.get("progressive") and "coef" in frame:
+        return _reconstruct_progressive(frame, qt)
     raise ValueError("no SOS scan found")
 
 
@@ -376,8 +394,15 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval,
                             blk.reshape(8, 8)[...]
                         )
             mcu_count += 1
+    return _reconstruct(scan, qt, hmax, vmax, h, w)
+
+
+def _reconstruct(comps, qt, hmax, vmax, h, w) -> np.ndarray:
+    """Dequantize + IDCT + upsample + color-convert per-component natural
+    (nby, nbx, 8, 8) coefficient blocks — the tail shared by the baseline
+    single-scan path and the progressive multi-scan accumulator."""
     planes = []
-    for c in scan:
+    for c in comps:
         blocks = c["blocks"] * qt[c["tq"]]  # dequantize (broadcast 8x8)
         # one vectorized IDCT over every block: D.T @ B @ D
         spatial = np.einsum("ij,mnjk,kl->mnil", _DCT.T, blocks, _DCT)
@@ -399,6 +424,232 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval,
         y + 1.772 * cb,
     ], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# -------------------------------------------------------- progressive decode
+#
+# T.81 Annex G: the frame's quantized coefficients arrive over MULTIPLE
+# scans — spectral selection (each scan carries one zigzag band [Ss, Se])
+# crossed with successive approximation (the first scan of a band carries
+# the coefficients' high bits, value >> Al; each refinement scan appends
+# one bit at position Al = Ah - 1). DC bands may be interleaved across
+# components; AC bands are always single-component and walk that
+# component's OWN ceil(dim/8) block grid, not the MCU-padded one.
+# Coefficients accumulate zigzag-ordered in int32 until EOI, then one
+# shared _reconstruct pass dequantizes and inverts.
+
+def _alloc_progressive(frame, max_pixels) -> None:
+    h, w = frame["h"], frame["w"]
+    if h == 0 or w == 0:
+        raise ValueError("zero-dimension JPEG")
+    budget = MAX_PIXELS if max_pixels is None else max_pixels
+    if h * w > budget:
+        raise ValueError(
+            f"declared raster {w}x{h} exceeds the {budget}-pixel "
+            "decode budget",
+        )
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"] = -(-w // (8 * hmax))
+    frame["mcuy"] = -(-h // (8 * vmax))
+    frame["coef"] = {}
+    for c in frame["comps"]:
+        # MCU-padded grid (interleaved DC scans cover padding blocks);
+        # non-interleaved scans address only the top-left bh x bw region
+        c["coef"] = np.zeros(
+            (frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64),
+            dtype=np.int32,
+        )
+        comp_w = -(-(w * c["h"]) // hmax)
+        comp_h = -(-(h * c["v"]) // vmax)
+        c["bw"] = -(-comp_w // 8)
+        c["bh"] = -(-comp_h // 8)
+        frame["coef"][c["id"]] = c
+
+
+def _progressive_sos(data, pos, seglen, frame, huff, restart_interval) -> int:
+    """Decode one progressive scan; returns the offset of the next marker
+    after the entropy-coded data."""
+    body = data[pos + 4 : pos + 2 + seglen]
+    ns = body[0]
+    if len(body) < 4 + 2 * ns:
+        raise ValueError("truncated SOS header")
+    scomps = []
+    for i in range(ns):
+        cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+        if cs not in frame["coef"]:
+            raise ValueError(f"scan selects unknown component {cs}")
+        scomps.append((frame["coef"][cs], tdta >> 4, tdta & 0x0F))
+    ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if al > 13 or (ah and ah != al + 1):
+        raise ValueError(f"invalid successive approximation Ah={ah} Al={al}")
+    reader = _BitReader(data, pos + 2 + seglen)
+    if ss == 0:
+        if se != 0:
+            raise ValueError(
+                "progressive scan mixes DC and AC coefficients (Ss=0 "
+                f"with Se={se})",
+            )
+        _prog_dc_scan(reader, scomps, frame, ah, al, restart_interval, huff)
+    else:
+        if ns != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if not (ss <= se <= 63):
+            raise ValueError(f"invalid spectral band [{ss}, {se}]")
+        comp, _, ac_id = scomps[0]
+        if (1, ac_id) not in huff:
+            raise ValueError("missing Huffman table")
+        _prog_ac_scan(reader, comp, huff[(1, ac_id)], ss, se, ah, al,
+                      restart_interval)
+    # advance to the next marker (skipping any stray RSTn)
+    p = reader.pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00 \
+                and not (0xD0 <= data[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return n
+
+
+def _prog_dc_scan(reader, scomps, frame, ah, al, ri, huff) -> None:
+    if ah == 0:
+        for _, dc_id, _unused in scomps:
+            if (0, dc_id) not in huff:
+                raise ValueError("missing Huffman table")
+    pred = {c["id"]: 0 for c, _, _ in scomps}
+    mcu_count = 0
+
+    def _one(c, dc_id, by, bx):
+        blk = c["coef"][by, bx]
+        if ah == 0:
+            t = _decode_symbol(reader, huff[(0, dc_id)])
+            pred[c["id"]] += _extend(reader.receive(t), t)
+            blk[0] = pred[c["id"]] << al
+        elif reader.read_bit():
+            blk[0] = int(blk[0]) | (1 << al)
+
+    if len(scomps) > 1:
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                if ri and mcu_count and mcu_count % ri == 0:
+                    reader.sync_restart()
+                    pred = {c["id"]: 0 for c, _, _ in scomps}
+                for c, dc_id, _unused in scomps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            _one(c, dc_id, my * c["v"] + by, mx * c["h"] + bx)
+                mcu_count += 1
+    else:
+        # single-component DC scan: the MCU is one data unit over the
+        # component's own block grid
+        c, dc_id, _unused = scomps[0]
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                if ri and mcu_count and mcu_count % ri == 0:
+                    reader.sync_restart()
+                    pred = {c["id"]: 0}
+                _one(c, dc_id, by, bx)
+                mcu_count += 1
+
+
+def _prog_ac_scan(reader, c, ac_tab, ss, se, ah, al, ri) -> None:
+    eobrun = 0
+    mcu_count = 0
+    decode_one = _prog_ac_refine if ah else _prog_ac_first
+    for by in range(c["bh"]):
+        for bx in range(c["bw"]):
+            if ri and mcu_count and mcu_count % ri == 0:
+                reader.sync_restart()
+                eobrun = 0
+            eobrun = decode_one(
+                reader, c["coef"][by, bx], ac_tab, ss, se, al, eobrun,
+            )
+            mcu_count += 1
+
+
+def _prog_ac_first(reader, blk, ac_tab, ss, se, al, eobrun) -> int:
+    """First scan of an AC band (T.81 G.2.2): baseline run/size coding of
+    value >> Al, plus EOBn codes carrying a run of all-zero-band blocks."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(reader, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            return (1 << r) + reader.receive(r) - 1  # EOBn
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index out of range")
+        blk[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(reader, blk, ac_tab, ss, se, al, eobrun) -> int:
+    """Refinement scan of an AC band (T.81 G.1.2.3 decode): newly
+    significant coefficients arrive as run/1 codes whose zero-run counts
+    only ZERO-HISTORY positions; every already-significant coefficient
+    passed over reads one correction bit appending magnitude bit Al."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(reader, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) + reader.receive(r)
+                    break
+                val = 0  # ZRL: sixteen zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "refinement scan carries a multi-bit coefficient",
+                    )
+                val = p1 if reader.read_bit() else -p1
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if reader.read_bit() and not (v & p1):
+                        blk[k] = v + (p1 if v > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(blk[k])
+            if v != 0 and reader.read_bit() and not (v & p1):
+                blk[k] = v + (p1 if v > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, qt) -> np.ndarray:
+    comps = []
+    for c in frame["comps"]:
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        zz = c["coef"]
+        nat = np.zeros_like(zz)
+        nat[:, :, ZIGZAG] = zz
+        comps.append({**c, "blocks": nat.reshape(*zz.shape[:2], 8, 8)
+                      .astype(np.float64)})
+    return _reconstruct(comps, qt, frame["hmax"], frame["vmax"],
+                        frame["h"], frame["w"])
+
 
 
 def _decode_block(reader, dc_tab, ac_tab) -> np.ndarray:
@@ -504,20 +755,10 @@ def _encode_block(writer, blk, qtab, dc_tab, ac_tab, pred: int) -> int:
     return int(zz[0])
 
 
-def encode_image_jpeg(
-    img: np.ndarray,
-    quality: int = 90,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an (h, w, 3) RGB or (h, w) / (h, w, 1) gray uint8 array as
-    a baseline JPEG with Annex K Huffman tables — the fixture/round-trip
-    half of :func:`decode_image_jpeg`. ``subsampling``: "444" (one block
-    per component per MCU) or "420" (2x2 luma blocks per MCU, chroma
-    averaged 2x2 — the dominant web-JPEG layout, and the decoder path
-    worth exercising). ``restart_interval`` > 0 emits DRI + RSTn markers
-    every that many MCUs (predictor resets, the other real-corpus
-    decoder path)."""
+def _prep_encode(img, quality, subsampling):
+    """Shared encoder front half: color-convert, subsample, MCU-pad, pick
+    quantization tables. Returns (h, w, nc, comps, qts, hmax, vmax,
+    mcux, mcuy) with per-component padded planes and table assignments."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[..., None]
@@ -562,6 +803,26 @@ def encode_image_jpeg(
             "dc": 0x00 if ci == 0 else 0x01, "ac": 0x10 if ci == 0 else 0x11,
             "pred": 0,
         })
+    return h, w, nc, comps, qts, hmax, vmax, mcux, mcuy
+
+
+def encode_image_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w) / (h, w, 1) gray uint8 array as
+    a baseline JPEG with Annex K Huffman tables — the fixture/round-trip
+    half of :func:`decode_image_jpeg`. ``subsampling``: "444" (one block
+    per component per MCU) or "420" (2x2 luma blocks per MCU, chroma
+    averaged 2x2 — the dominant web-JPEG layout, and the decoder path
+    worth exercising). ``restart_interval`` > 0 emits DRI + RSTn markers
+    every that many MCUs (predictor resets, the other real-corpus
+    decoder path)."""
+    h, w, nc, comps, qts, hmax, vmax, mcux, mcuy = _prep_encode(
+        img, quality, subsampling,
+    )
 
     out = bytearray(b"\xff\xd8")  # SOI
     for tq in range(min(nc, 2)):
@@ -612,4 +873,239 @@ def encode_image_jpeg(
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+# -------------------------------------------------------- progressive encode
+#
+# Fixture-grade progressive encoder: a libjpeg-style scan script
+# (interleaved DC first scan at Al=1 + DC refinement; per-component AC
+# spectral bands [1,5] and [6,63] first-coded at Al=2, then two full-band
+# refinement passes at Al=1 and Al=0) with genuine cross-block EOB runs
+# and buffered correction bits, so every decoder path in Annex G gets
+# exercised. Compression is not the point: the AC scans use a flat custom
+# Huffman table covering EVERY symbol progressive coding can emit (Annex
+# K's AC tables lack the EOBn>0 codes), all at 8 bits.
+
+_PROG_DC_HT = ([0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+               list(range(12)))
+_PROG_AC_SYMS = (
+    [n << 4 for n in range(15)]            # EOB0..EOB14
+    + [0xF0]                               # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_HT = (
+    [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMS), 0, 0, 0, 0, 0, 0, 0, 0],
+    list(_PROG_AC_SYMS),
+)
+
+
+class _ProgACState:
+    """Cross-block EOB-run + buffered-correction-bit accumulator (the
+    encoder dual of the decoder's persistent ``eobrun``)."""
+
+    def __init__(self, writer, ac_tab):
+        self.writer = writer
+        self.ac_tab = ac_tab
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            n = self.eobrun.bit_length() - 1
+            self.writer.write(*self.ac_tab[n << 4])
+            if n:
+                self.writer.write(self.eobrun - (1 << n), n)
+            self.eobrun = 0
+        for b in self.bits:
+            self.writer.write(b, 1)
+        self.bits = []
+
+    def bump_eob(self, correction_bits) -> None:
+        self.eobrun += 1
+        self.bits.extend(correction_bits)
+        if self.eobrun == 0x7FFF:
+            self.flush_eobrun()
+
+
+def _enc_ac_first_block(state, zz, ss, se, al) -> None:
+    band = [int(v) for v in zz[ss : se + 1]]
+    mags = [(abs(v) >> al) for v in band]
+    if not any(mags):
+        state.bump_eob(())
+        return
+    state.flush_eobrun()
+    last = max(i for i, m in enumerate(mags) if m)
+    r = 0
+    for i in range(last + 1):
+        m = mags[i]
+        if m == 0:
+            r += 1
+            continue
+        while r > 15:
+            state.writer.write(*state.ac_tab[0xF0])
+            r -= 16
+        s = m.bit_length()
+        state.writer.write(*state.ac_tab[(r << 4) | s])
+        code = m if band[i] > 0 else (1 << s) - 1 - m
+        state.writer.write(code, s)
+        r = 0
+    if last < se - ss:
+        state.bump_eob(())
+
+
+def _enc_ac_refine_block(state, zz, ss, se, al) -> None:
+    band = [int(v) for v in zz[ss : se + 1]]
+    mags = [(abs(v) >> al) for v in band]
+    newly = [i for i, m in enumerate(mags) if m == 1]
+    eob = (max(newly) + 1) if newly else 0  # first index past the last new bit
+    r = 0
+    pending: list[int] = []  # correction bits awaiting the next symbol
+    for i in range(len(band)):
+        m = mags[i]
+        if m == 0:
+            r += 1
+            continue
+        while r > 15 and i < eob:
+            state.flush_eobrun()
+            state.writer.write(*state.ac_tab[0xF0])
+            r -= 16
+            for b in pending:
+                state.writer.write(b, 1)
+            pending = []
+        if m > 1:  # already significant: one correction bit
+            pending.append(m & 1)
+            continue
+        state.flush_eobrun()
+        state.writer.write(*state.ac_tab[(r << 4) | 1])
+        state.writer.write(1 if band[i] > 0 else 0, 1)
+        for b in pending:
+            state.writer.write(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        state.bump_eob(pending)
+
+
+def encode_image_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode as a progressive (SOF2) JPEG carrying the SAME quantized
+    coefficients as :func:`encode_image_jpeg` at equal ``quality`` and
+    ``subsampling`` — so ``decode(progressive) == decode(baseline)``
+    EXACTLY, which is what the parity tests pin. ``restart_interval`` > 0
+    emits DRI once and RSTn markers every that many MCUs inside every
+    scan (data units for non-interleaved scans), resetting DC predictors
+    and EOB runs."""
+    h, w, nc, comps, qts, hmax, vmax, mcux, mcuy = _prep_encode(
+        img, quality, subsampling,
+    )
+    # quantized zigzag coefficients, whole-plane vectorized
+    for c in comps:
+        plane = c["plane"]
+        nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = np.einsum("ij,mnjk,kl->mnil", _DCT, blocks, _DCT.T)
+        q = np.round(coef / qts[c["tq"]]).astype(np.int64)
+        c["zz"] = q.reshape(nby, nbx, 64)[:, :, ZIGZAG]
+        comp_w = -(-(w * c["h"]) // hmax)
+        comp_h = -(-(h * c["v"]) // vmax)
+        c["bw"], c["bh"] = -(-comp_w // 8), -(-comp_h // 8)
+
+    out = bytearray(b"\xff\xd8")
+    for tq in range(min(nc, 2)):
+        zzq = qts[tq].reshape(64)[ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zzq.tobytes()
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci, c in enumerate(comps):
+        out += bytes([ci + 1, (c["h"] << 4) | c["v"], c["tq"]])
+    enc_tabs = {}
+    for tcth, (bits, values) in [(0x00, _PROG_DC_HT), (0x10, _PROG_AC_HT)]:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(values))
+        out += bytes([tcth]) + bytes(bits) + bytes(values)
+        enc_tabs[tcth] = _encode_tables(bits, values)
+    dc_tab, ac_tab = enc_tabs[0x00], enc_tabs[0x10]
+
+    def sos_header(scomps, ss, se, ah, al):
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scomps), len(scomps))
+        for ci in scomps:
+            hdr += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
+        return hdr + bytes([ss, se, (ah << 4) | al])
+
+    rst_holder = [0]
+
+    def restart(writer, flushers=()):
+        for f in flushers:
+            f()
+        writer.flush()
+        nonlocal_out = bytes(writer.out)
+        writer.out = bytearray()
+        writer.nbits = 0
+        writer.acc = 0
+        return nonlocal_out + bytes([0xFF, 0xD0 + rst_holder[0] % 8])
+
+    # ---- scan 1: interleaved DC first, Al=1
+    for dc_al, dc_ah in ((1, 0), (0, 1)):
+        out += sos_header(list(range(nc)), 0, 0, dc_ah, dc_al)
+        writer = _BitWriter()
+        preds = [0] * nc
+        mcu_count = 0
+        rst_holder[0] = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count \
+                        and mcu_count % restart_interval == 0:
+                    out += restart(writer)
+                    rst_holder[0] += 1
+                    preds = [0] * nc
+                for ci, c in enumerate(comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            v = int(c["zz"][my * c["v"] + by,
+                                            mx * c["h"] + bx, 0])
+                            if dc_ah == 0:
+                                d = (v >> dc_al) - preds[ci]
+                                preds[ci] = v >> dc_al
+                                t, code = _magnitude(d)
+                                writer.write(*dc_tab[t])
+                                if t:
+                                    writer.write(code, t)
+                            else:
+                                writer.write((v >> dc_al) & 1, 1)
+                mcu_count += 1
+        writer.flush()
+        out += writer.out
+        # ---- AC scans between the two DC scans (DC refine goes last)
+        if dc_ah == 0:
+            ac_scans = []
+            for ci in range(nc):
+                ac_scans += [(ci, 1, 5, 0, 2), (ci, 6, 63, 0, 2)]
+            for ci in range(nc):
+                ac_scans += [(ci, 1, 63, 2, 1)]
+            for ci in range(nc):
+                ac_scans += [(ci, 1, 63, 1, 0)]
+            for ci, ss, se, ah, al in ac_scans:
+                c = comps[ci]
+                out += sos_header([ci], ss, se, ah, al)
+                writer = _BitWriter()
+                state = _ProgACState(writer, ac_tab)
+                enc = _enc_ac_refine_block if ah else _enc_ac_first_block
+                mcu_count = 0
+                rst_holder[0] = 0
+                for by in range(c["bh"]):
+                    for bx in range(c["bw"]):
+                        if restart_interval and mcu_count \
+                                and mcu_count % restart_interval == 0:
+                            out += restart(writer, (state.flush_eobrun,))
+                            rst_holder[0] += 1
+                        enc(state, c["zz"][by, bx], ss, se, al)
+                        mcu_count += 1
+                state.flush_eobrun()
+                writer.flush()
+                out += writer.out
+    out += b"\xff\xd9"
     return bytes(out)

@@ -6,7 +6,8 @@ mapInPandas partition-parallel decode, metadata projection — is shared by
 two decode modes:
 
 - ``decode_stub=False`` (real): pure-stdlib/NumPy codecs for baseline
-  JPEG (Huffman + IDCT + chroma upsampling, ``pipeline.jpeg``) and PNG
+  AND progressive JPEG (Huffman + IDCT + chroma upsampling,
+  ``pipeline.jpeg``) and PNG
   (zlib inflate + filter reconstruction) — the two formats that dominate
   real crawl corpora — plus PPM (P6), uncompressed 24-bit BMP, and
   PCM-16 WAV audio, dispatched by payload magic bytes; any other payload
@@ -394,7 +395,7 @@ def decode_payload(payload: bytes, dim: int) -> list[float]:
             IndexError, MemoryError):
         # magic matched but the container is truncated/unsupported (16-bit
         # PPM, 8/32-bpp BMP, interlaced/16-bit PNG, corrupt IDAT stream,
-        # progressive/bit-flipped JPEG, float WAV, RIFF-but-AVI, zero
+        # arithmetic/bit-flipped JPEG, float WAV, RIFF-but-AVI, zero
         # channels...): ONE bad payload must not kill a corpus-wide
         # mapInPandas job — fall through to honest byte statistics, as
         # documented. IndexError/MemoryError belong here too: corrupt

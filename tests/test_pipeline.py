@@ -329,7 +329,9 @@ def test_multimodal_real_decode_end_to_end(spark):
 
     from sed_binning_spark.pipeline.multimodal import encode_audio_wav, encode_image_ppm
 
-    from sed_binning_spark.pipeline.jpeg import encode_image_jpeg
+    from sed_binning_spark.pipeline.jpeg import (
+        encode_image_jpeg, encode_image_jpeg_progressive,
+    )
     from sed_binning_spark.pipeline.multimodal import encode_image_png
 
     img = np.full((4, 6, 3), 128, dtype=np.uint8)
@@ -340,6 +342,7 @@ def test_multimodal_real_decode_end_to_end(spark):
         (3, bytearray(b"just some text"), "text/plain"),
         (4, bytearray(encode_image_jpeg(img)), "image/jpeg"),
         (5, bytearray(encode_image_png(img)), "image/png"),
+        (6, bytearray(encode_image_jpeg_progressive(img)), "image/jpeg"),
     ]
     media = spark.createDataFrame(rows, "media_id long, payload binary, mime string")
     feats = (
@@ -349,9 +352,9 @@ def test_multimodal_real_decode_end_to_end(spark):
     assert feats.loc[1, "feat"][0] == 1.0 and feats.loc[1, "feat"][1] == 6.0
     assert feats.loc[2, "feat"][0] == 2.0 and feats.loc[2, "feat"][2] == 16000.0
     assert feats.loc[3, "feat"][0] == 0.0 and feats.loc[3, "feat"][1] == 14.0
-    # all four image containers agree on dims; jpeg flat-block decode is
-    # exact so the stats match the ppm leg too
-    for mid in (4, 5):
+    # all five image containers agree on dims; flat-block jpeg decode
+    # (baseline AND progressive) is exact so the stats match the ppm leg
+    for mid in (4, 5, 6):
         assert list(feats.loc[mid, "feat"]) == list(feats.loc[1, "feat"]), mid
 
 
@@ -892,10 +895,15 @@ def test_jpeg_refusals_and_dispatch():
     assert vec[:4] == [1.0, 24.0, 16.0, 3.0]
     assert vec[4] == pytest.approx(128.0 / 255.0, abs=1e-2)
 
-    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="non-baseline"):
-        decode_image_jpeg(progressive)
-    for bad in (progressive, good[:40], b"\xff\xd8\xff" + b"junk"):
+    arithmetic = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(ValueError, match="unsupported JPEG profile"):
+        decode_image_jpeg(arithmetic)
+    # a baseline stream relabeled SOF2 is MALFORMED progressive (its scan
+    # header mixes DC and AC bands) — typed refusal, then degradation
+    mislabeled = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="mixes DC and AC"):
+        decode_image_jpeg(mislabeled)
+    for bad in (arithmetic, mislabeled, good[:40], b"\xff\xd8\xff" + b"junk"):
         assert decode_payload(bad, 8)[0] == 0.0
 
 
@@ -1015,3 +1023,74 @@ def test_ann_ivf_low_probe_recall_on_clustered_data(spark):
         ivf = ivf_topk(df, cents, q, k=10, n_probes=n_probes).toPandas()
         recall = len(set(ivf.vec_id) & set(brute.vec_id)) / 10
         assert recall >= floor, (n_probes, recall)
+
+
+def test_jpeg_progressive_exact_parity_with_baseline():
+    """Progressive (SOF2) and baseline encodings of the same image at the
+    same quality carry IDENTICAL quantized coefficients, so their decodes
+    must agree byte-for-byte — across subsampling layouts (non-interleaved
+    scans walk each component's own block grid), restart intervals (DC
+    predictor and EOB-run resets), spectral bands, both successive-
+    approximation refinement levels, and the cross-block EOB-run path
+    (flat images collapse whole AC bands to zero)."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.jpeg import (
+        decode_image_jpeg,
+        encode_image_jpeg,
+        encode_image_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    cases = [
+        ((np.clip(rng.normal(128, 50, (24, 33, 3)), 0, 255)).astype(np.uint8),
+         75, "444", 0),
+        ((np.clip(rng.normal(128, 50, (17, 16, 3)), 0, 255)).astype(np.uint8),
+         30, "420", 0),
+        ((np.clip(rng.normal(128, 50, (40, 56, 3)), 0, 255)).astype(np.uint8),
+         95, "420", 3),
+        ((rng.integers(0, 256, (7, 9, 3))).astype(np.uint8), 60, "420", 2),
+        (np.full((32, 48), 130, np.uint8), 85, "444", 0),   # EOB runs > 1
+        (np.full((32, 48), 130, np.uint8), 85, "444", 4),   # ...across RSTs
+        (np.array([[[200, 10, 30]]], np.uint8), 90, "444", 0),
+    ]
+    for img, q, sub, ri in cases:
+        base = decode_image_jpeg(encode_image_jpeg(
+            img, quality=q, subsampling=sub, restart_interval=ri,
+        ))
+        prog = decode_image_jpeg(encode_image_jpeg_progressive(
+            img, quality=q, subsampling=sub, restart_interval=ri,
+        ))
+        assert np.array_equal(base, prog), (img.shape, q, sub, ri)
+
+
+def test_jpeg_progressive_malformed_degrades():
+    """Corrupt progressive payloads raise typed errors from the codec and
+    degrade to byte statistics through decode_payload — same posture as
+    the baseline and PNG paths."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.jpeg import (
+        decode_image_jpeg, encode_image_jpeg_progressive,
+    )
+    from sed_binning_spark.pipeline.multimodal import decode_payload
+
+    img = (np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3))
+    good = encode_image_jpeg_progressive(img, quality=80)
+    assert decode_payload(good, 8)[0] == 1.0
+
+    # truncate mid-scan: the bit reader pads past the end, producing
+    # either garbage Huffman codes or a short coefficient store — both
+    # typed failures, never a crash
+    for cut in (len(good) // 3, len(good) // 2, len(good) - 10):
+        assert decode_payload(good[:cut], 8)[0] in (0.0, 1.0)
+
+    # a scan header mixing DC and AC bands (Ss=0, Se=63) refuses loudly
+    sos_at = good.index(b"\xff\xda")
+    (slen,) = struct.unpack_from(">H", good, sos_at + 2)
+    hdr = bytearray(good[sos_at : sos_at + 2 + slen])
+    hdr[-3], hdr[-2] = 0, 63
+    bad = good[:sos_at] + bytes(hdr) + good[sos_at + 2 + slen:]
+    with pytest.raises(ValueError, match="mixes DC and AC"):
+        decode_image_jpeg(bad)
+    assert decode_payload(bad, 8)[0] == 0.0
