@@ -160,14 +160,26 @@ FEATURIZER_MAX_PIXELS = 4 * 1024 * 1024
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_image_png(data: bytes, max_pixels: int | None = None) -> np.ndarray:
-    """Decode a PNG (bit depth 8, color types 0/2/3/4/6, non-interlaced,
-    all five scanline filters) into an (h, w, channels) uint8 array —
-    critical chunks only (IHDR/PLTE/IDAT/IEND), stdlib zlib for the IDAT
-    inflate, NumPy for the per-row unfiltering. Palette images (type 3)
-    resolve through PLTE to RGB. Interlaced (Adam7), 16-bit, and 1/2/4-bit
-    payloads raise ValueError — loud refusal, not silent corruption (the
-    posture of io/hdf5_read's UnsupportedHDF5).
+    """Decode a PNG (bit depth 8 or 16, color types 0/2/3/4/6, sequential
+    or Adam7-interlaced, all five scanline filters) into an
+    (h, w, channels) uint8 array — critical chunks only
+    (IHDR/PLTE/IDAT/IEND), stdlib zlib for the IDAT inflate, NumPy for the
+    per-row unfiltering. Palette images (type 3) resolve through PLTE to
+    RGB. 16-bit samples reduce to their high byte (the featurizer
+    contract is uint8 rasters; RFC 2083's sample depth scaling). Adam7
+    decodes each of the seven passes as an independent filtered image
+    (PNG filters never cross pass boundaries) scattered into the output
+    grid by strided assignment; passes emptied by small rasters carry no
+    scanlines. 1/2/4-bit payloads raise ValueError — loud refusal, not
+    silent corruption (the posture of io/hdf5_read's UnsupportedHDF5).
 
     ``max_pixels`` (default :data:`MAX_PIXELS`) bounds w*h BEFORE any
     allocation or inflate: IHDR precedes IDAT, so a crafted 65535x65535
@@ -198,12 +210,14 @@ def decode_image_png(data: bytes, max_pixels: int | None = None) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0:
+    if depth not in (8, 16) or comp != 0 or filt != 0:
         raise ValueError(f"unsupported PNG (depth={depth}, comp={comp})")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG color type {color}")
+    if color == 3 and depth == 16:
+        raise ValueError("16-bit palette PNG is not a legal combination")
     if w == 0 or h == 0:
         raise ValueError("zero-dimension PNG")
     budget = MAX_PIXELS if max_pixels is None else max_pixels
@@ -212,9 +226,17 @@ def decode_image_png(data: bytes, max_pixels: int | None = None) -> np.ndarray:
             f"declared raster {w}x{h} exceeds the {budget}-pixel "
             "decode budget",
         )
-    bpp = _PNG_CHANNELS[color]
-    stride = w * bpp
-    expected = h * (1 + stride)
+    nch = _PNG_CHANNELS[color]
+    bpp = nch * (depth // 8)  # filter unit: BYTES per pixel
+    if interlace:
+        passes = [
+            (x0, y0, xs, ys, -(-(w - x0) // xs), -(-(h - y0) // ys))
+            for x0, y0, xs, ys in _ADAM7
+            if x0 < w and y0 < h
+        ]
+        expected = sum(ph * (1 + pw * bpp) for _, _, _, _, pw, ph in passes)
+    else:
+        expected = h * (1 + w * bpp)
     # Incremental bounded inflate: decompressobj(max_length=...) caps the
     # output at the geometry IHDR promised, so a deflate bomb stops at
     # `expected` bytes instead of allocating its full expansion.
@@ -224,8 +246,22 @@ def decode_image_png(data: bytes, max_pixels: int | None = None) -> np.ndarray:
         raise ValueError("IDAT stream inflates past the declared raster")
     if len(raw) != expected:
         raise ValueError("PNG scanline data length mismatch")
-    img = _png_unfilter(raw, h, stride, bpp)
-    img = img.reshape(h, w, bpp)
+    if interlace:
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, xs, ys, pw, ph in passes:
+            if pw == 0 or ph == 0:
+                continue
+            seg = ph * (1 + pw * bpp)
+            sub = _png_unfilter(raw[off : off + seg], ph, pw * bpp, bpp)
+            img[y0::ys, x0::xs] = sub.reshape(ph, pw, bpp)
+            off += seg
+    else:
+        img = _png_unfilter(raw, h, w * bpp, bpp).reshape(h, w, bpp)
+    if depth == 16:
+        # big-endian sample pairs -> high byte (RFC 2083 sample depth
+        # rescaling truncation; exact for values of the form v*257)
+        img = img.reshape(h, w, nch, 2)[..., 0]
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
@@ -283,19 +319,63 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body)))
 
 
+def _png_filter_rows(byts: np.ndarray, bpp: int, filters: list[int]) -> bytes:
+    """Forward-filter a (rows, stride) byte matrix into PNG scanlines
+    (filter byte + filtered row each) — the per-pass unit: PNG filters
+    never cross Adam7 pass boundaries, so each pass filters as an
+    independent image."""
+    nrows, stride = byts.shape
+    lines = []
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(nrows):
+        ft = filters[r % len(filters)]
+        flat = byts[r].astype(np.int64)
+        left = np.concatenate([np.zeros(bpp, np.int64), flat[:-bpp]]) \
+            if stride > bpp else np.zeros(stride, np.int64)
+        pleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]]) \
+            if stride > bpp else np.zeros(stride, np.int64)
+        if ft == 0:
+            filt = flat
+        elif ft == 1:
+            filt = (flat - left) % 256
+        elif ft == 2:
+            filt = (flat - prev) % 256
+        elif ft == 3:
+            filt = (flat - (left + prev) // 2) % 256
+        elif ft == 4:
+            p = left + prev - pleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - pleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, pleft),
+            )
+            filt = (flat - pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        lines.append(bytes([ft]) + filt.astype(np.uint8).tobytes())
+        prev = flat
+    return b"".join(lines)
+
+
 def encode_image_png(
     img: np.ndarray,
     filters: list[int] | None = None,
     level: int = 6,
+    interlace: bool = False,
 ) -> bytes:
     """Inverse of :func:`decode_image_png` for (h, w, {1,2,3,4}-channel)
-    uint8 arrays (color type from the channel count). ``filters`` picks
-    the per-row filter type (cycled; default all-0) — the knob the
-    decode-parity tests use to exercise every unfilter path. ``level=0``
-    emits STORED deflate blocks, whose byte count is a closed-form
-    function of the raster size (what the expression-level fixture
-    synthesizer mirrors)."""
-    img = np.ascontiguousarray(img, dtype=np.uint8)
+    arrays (color type from the channel count; uint8 writes bit depth 8,
+    uint16 writes big-endian bit depth 16). ``filters`` picks the per-row
+    filter type (cycled; default all-0) — the knob the decode-parity
+    tests use to exercise every unfilter path. ``interlace=True`` emits
+    Adam7 passes, each filtered independently. ``level=0`` emits STORED
+    deflate blocks, whose byte count is a closed-form function of the
+    raster size (what the expression-level fixture synthesizer
+    mirrors)."""
+    img = np.asarray(img)
+    depth = 16 if img.dtype == np.uint16 else 8
+    img = np.ascontiguousarray(
+        img, dtype=np.uint16 if depth == 16 else np.uint8,
+    )
     if img.ndim == 2:
         img = img[..., None]
     h, w, ch = img.shape
@@ -304,37 +384,29 @@ def encode_image_png(
             f"unsupported channel count {ch} (PNG color types cover 1-4)",
         )
     color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    bpp = ch * (depth // 8)
+    # (h, w*bpp) byte matrix; 16-bit samples expand big-endian
+    byts = img.astype(">u2").view(np.uint8).reshape(h, w * bpp) \
+        if depth == 16 else img.reshape(h, w * bpp)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0,
+                       1 if interlace else 0)
     filters = filters or [0]
-    lines = []
-    prev = np.zeros((w, ch), dtype=np.int64)
-    for r in range(h):
-        ft = filters[r % len(filters)]
-        rec = img[r].astype(np.int64)
-        flat, pflat = rec.reshape(-1), prev.reshape(-1)
-        left = np.concatenate([np.zeros(ch, np.int64), flat[:-ch]])
-        pleft = np.concatenate([np.zeros(ch, np.int64), pflat[:-ch]])
-        if ft == 0:
-            filt = flat
-        elif ft == 1:
-            filt = (flat - left) % 256
-        elif ft == 2:
-            filt = (flat - pflat) % 256
-        elif ft == 3:
-            filt = (flat - (left + pflat) // 2) % 256
-        elif ft == 4:
-            p = left + pflat - pleft
-            pa, pb, pc = abs(p - left), abs(p - pflat), abs(p - pleft)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, pflat, pleft),
-            )
-            filt = (flat - pred) % 256
-        else:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        lines.append(bytes([ft]) + filt.astype(np.uint8).tobytes())
-        prev = rec
+    if interlace:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = img[y0::ys, x0::xs]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            sb = sub.astype(">u2").view(np.uint8).reshape(ph, pw * bpp) \
+                if depth == 16 else sub.reshape(ph, pw * bpp)
+            parts.append(_png_filter_rows(np.ascontiguousarray(sb), bpp,
+                                          filters))
+        payload = b"".join(parts)
+    else:
+        payload = _png_filter_rows(byts, bpp, filters)
     return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), level))
+            + _png_chunk(b"IDAT", zlib.compress(payload, level))
             + _png_chunk(b"IEND", b""))
 
 

@@ -779,11 +779,14 @@ def test_png_refusals_degrade_to_byte_stats():
 
     img = np.zeros((2, 2, 3), np.uint8)
     good = encode_image_png(img)
-    interlaced = good.replace(
+    # an IHDR relabeled Adam7 over a sequential IDAT layout is CORRUPT
+    # (pass geometry disagrees with the stream length) — interlace itself
+    # decodes now, so this pins the mismatch detection, not a refusal
+    mislabeled = good.replace(
         _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)),
         _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)),
     )
-    for bad in (PNG_SIG + b"garbage", good[:30], interlaced,
+    for bad in (PNG_SIG + b"garbage", good[:30], mislabeled,
                 good.replace(b"IDAT", b"IDAX")):
         with pytest.raises((ValueError, zlib.error)):
             decode_image_png(bad)
@@ -1094,3 +1097,49 @@ def test_jpeg_progressive_malformed_degrades():
     with pytest.raises(ValueError, match="mixes DC and AC"):
         decode_image_jpeg(bad)
     assert decode_payload(bad, 8)[0] == 0.0
+
+
+def test_png_interlaced_and_16bit_roundtrip():
+    """Adam7 passes round-trip exactly for every color type, filter, and
+    raster small enough to empty some passes; 16-bit samples reduce to
+    their high byte (values of the form v*257 survive exactly), plain and
+    interlaced."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.multimodal import (
+        decode_image_png, encode_image_png,
+    )
+
+    rng = np.random.default_rng(3)
+    for shape in ((1, 1, 1), (2, 2, 3), (3, 3, 4), (5, 7, 2), (9, 13, 1),
+                  (16, 17, 4)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        for filt in ([0], [4], [0, 1, 2, 3, 4]):
+            got = decode_image_png(
+                encode_image_png(img, filters=filt, interlace=True),
+            )
+            assert np.array_equal(got, img), (shape, filt)
+        im16 = img.astype(np.uint16) * 257
+        for inter in (False, True):
+            got = decode_image_png(
+                encode_image_png(im16, filters=[0, 4], interlace=inter),
+            )
+            assert np.array_equal(got, img), (shape, inter)
+    # interlaced parity with the sequential container on the same raster
+    img = rng.integers(0, 256, (24, 31, 3)).astype(np.uint8)
+    a = decode_image_png(encode_image_png(img))
+    b = decode_image_png(encode_image_png(img, interlace=True))
+    assert np.array_equal(a, b)
+    # 16-bit high-byte reduction is truncation: low-byte noise vanishes
+    noisy = (img.astype(np.uint16) << 8) | rng.integers(0, 256, img.shape)
+    assert np.array_equal(
+        decode_image_png(encode_image_png(noisy.astype(np.uint16))), img,
+    )
+    # 16-bit palette is not a legal combination; 1/2/4-bit still refuse
+    from sed_binning_spark.pipeline.multimodal import _png_chunk, PNG_SIG
+    bad = (PNG_SIG
+           + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+           + _png_chunk(b"IDAT", zlib.compress(b"\x00\x11" * 2))
+           + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_image_png(bad)
