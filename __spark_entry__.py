@@ -1657,13 +1657,16 @@ def _q_ann_lsh(spark, sf):
 
 def _q_multimodal(spark, sf):
     """REAL media decode as the graded path: even-id documents become
-    valid binary PPM (P6) payloads, odd-id documents valid PNG payloads
-    (stored-deflate blocks, expression-built container), both wrapping
-    the SAME raster — the md5 digest of the text cycled over the pixels —
-    so the real pure-stdlib codecs (decode_payload: PPM parse, PNG
-    inflate + unfilter) run inside the mapInPandas plan and the DuckDB
-    oracle regenerates the identical pixel statistics from the same md5,
-    with per-container closed-form n_bytes. The checked projection scales
+    valid binary PPM (P6) payloads; ids % 4 == 1 valid sequential PNG and
+    ids % 4 == 3 valid Adam7-INTERLACED PNG (stored-deflate blocks,
+    expression-built containers; the interlaced layout is a plan-time
+    pixel permutation of the same raster), all wrapping the SAME pixels —
+    the md5 digest of the text cycled over the samples — so the real
+    pure-stdlib codecs (decode_payload: PPM parse, PNG inflate +
+    sequential AND per-pass unfilter + pass scatter) run inside the
+    mapInPandas plan and the DuckDB oracle regenerates the identical
+    pixel statistics from the same md5, with per-container closed-form
+    n_bytes. The checked projection scales
     each float32 feature element by 1e6 and rounds to an integer:
     kind/width/height/channels are small exact ints, and the four
     normalized stats carry float32 precision (~1e-7 abs), far finer than
@@ -1673,7 +1676,9 @@ def _q_multimodal(spark, sf):
     media = synthesize_ppm_media_from_text(
         docs.where(F.col("doc_id") % 2 == 0),
     ).unionByName(synthesize_png_media_from_text(
-        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 4 == 1),
+    )).unionByName(synthesize_png_media_from_text(
+        docs.where(F.col("doc_id") % 4 == 3), interlace=True,
     ))
     feats = extract_features(media, feature_dim=8)
     as_int = F.transform(
@@ -2519,13 +2524,15 @@ def _multimodal_oracle_sql(width: int = 4, height: int = 2) -> str:
         f"|| ',' || {q('CAST(list_max(bs) AS DOUBLE) / 255.0')}"
     )
     zeros = ",".join(["0"] * 8)
-    # container by id parity (the Spark side unions PPM for even ids and
-    # PNG for odd): features are raster-determined and identical; only the
-    # byte count depends on the wrapper, both closed-form
+    # container by id class (the Spark side unions PPM for even ids,
+    # sequential PNG for ids % 4 == 1, Adam7-interlaced PNG for
+    # ids % 4 == 3): features are raster-determined and identical; only
+    # the byte count depends on the wrapper, all three closed-form
     n_bytes = (
         f"CASE WHEN bs IS NULL THEN 0 "
         f"WHEN media_id % 2 = 0 THEN {header_len + n} "
-        f"ELSE {png_fixture_n_bytes(width, height)} END"
+        f"WHEN media_id % 4 = 1 THEN {png_fixture_n_bytes(width, height)} "
+        f"ELSE {png_fixture_n_bytes(width, height, interlace=True)} END"
     )
     return (
         f"SELECT media_id, "

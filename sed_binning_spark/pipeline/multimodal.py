@@ -682,7 +682,24 @@ def synthesize_ppm_media_from_text(
     )
 
 
-def png_fixture_n_bytes(width: int, height: int) -> int:
+def _png_fixture_rows(width: int, height: int, interlace: bool):
+    """Scanline layout of the expression-built PNG fixture: a list of
+    rows, each a list of pixel indices (y*width + x). Sequential = the
+    natural raster; interlaced = the Adam7 pass permutation, computed at
+    plan time (the fixture dimensions are plan constants, so the
+    container's byte layout is a fixed permutation of the same samples)."""
+    if not interlace:
+        return [[r * width + x for x in range(width)] for r in range(height)]
+    rows = []
+    for x0, y0, xs, ys in _ADAM7:
+        if x0 >= width or y0 >= height:
+            continue
+        for y in range(y0, height, ys):
+            rows.append([y * width + x for x in range(x0, width, xs)])
+    return rows
+
+
+def png_fixture_n_bytes(width: int, height: int, interlace: bool = False) -> int:
     """Closed-form payload size of :func:`synthesize_png_media_from_text`:
     signature + IHDR chunk + one IDAT chunk wrapping a single STORED
     deflate block + IEND — deterministic because stored blocks do not
@@ -694,8 +711,11 @@ def png_fixture_n_bytes(width: int, height: int) -> int:
     there is no honest closed form beyond this domain. NB this sizes the
     SYNTHESIZER's hand-framed stream; ``encode_image_png(level=0)`` goes
     through ``zlib.compress`` and agrees only up to zlib's own block cap
-    (raw_len <= 65531 on 1.2.13)."""
-    raw_len = height * (1 + width * 3)
+    (raw_len <= 65531 on 1.2.13). ``interlace`` sizes the Adam7 layout —
+    same samples, one filter byte per PASS row."""
+    raw_len = sum(
+        1 + 3 * len(row) for row in _png_fixture_rows(width, height, interlace)
+    )
     if raw_len >= 65535:
         raise ValueError(
             f"raster of {raw_len} scanline bytes exceeds one stored "
@@ -711,6 +731,7 @@ def synthesize_png_media_from_text(
     id_column: str = "doc_id",
     width: int = 4,
     height: int = 2,
+    interlace: bool = False,
 ) -> DataFrame:
     """Fixture builder with REAL PNG payloads, entirely expression-level:
     each payload is a valid 8-bit RGB PNG whose pixels are the md5 digest
@@ -724,12 +745,19 @@ def synthesize_png_media_from_text(
     adler32 sums are plan-time weighted sums of per-sample ``conv()``
     byte values (no aggregation), and the chunk CRC is ``F.crc32``. That
     determinism is what lets the DuckDB oracle predict both the features
-    AND ``n_bytes`` without parsing a container."""
+    AND ``n_bytes`` without parsing a container. ``interlace=True`` emits
+    the Adam7 layout — the SAME samples as the sequential container under
+    a plan-time pixel permutation (the fixture dimensions are constants),
+    so the decoded features stay identical and only the byte layout and
+    closed-form length change; this puts the interlaced decode path on
+    the oracle gate without the oracle ever parsing a container."""
     n = width * height * 3
-    raw_len = height * (1 + width * 3)
+    layout = _png_fixture_rows(width, height, interlace)
+    raw_len = sum(1 + 3 * len(row) for row in layout)
     if raw_len >= 65535:
         raise ValueError("fixture raster too large for one stored block")
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0,
+                       1 if interlace else 0)
     hexd = F.md5(F.col(text_column))
     reps = -(-n // 16)  # ceil: md5 is 16 bytes / 32 hex chars
     full_hex = F.substring(F.concat(*([hexd] * reps)), 1, 2 * n)
@@ -737,24 +765,31 @@ def synthesize_png_media_from_text(
     def sample(j: int):  # byte value of pixel sample j (plan-time index)
         return F.conv(F.substring(hexd, (j % 16) * 2 + 1, 2), 16, 10).cast("long")
 
-    # raw scanlines: filter byte 0 + the row's pixel bytes, as BINARY
+    # raw scanlines: filter byte 0 + the row's pixel bytes, as BINARY.
+    # Consecutive pixels slice full_hex in one substring; the interlaced
+    # permutation slices per pixel (plan-time constant positions).
     rows = []
-    for r in range(height):
+    for row in layout:
         rows.append(F.lit(b"\x00"))
-        rows.append(F.unhex(
-            F.substring(full_hex, r * width * 3 * 2 + 1, width * 3 * 2),
-        ))
+        runs = [[row[0]]]
+        for p in row[1:]:
+            (runs[-1].append(p) if p == runs[-1][-1] + 1 else runs.append([p]))
+        for run in runs:
+            rows.append(F.unhex(
+                F.substring(full_hex, run[0] * 6 + 1, 6 * len(run)),
+            ))
     raw = F.concat(*rows)
     # adler32 over the raw bytes: s1 = 1 + sum(b); s2 = n + sum of s1
     # prefixes = raw_len + sum((raw_len - i) * b_i) over 0-based i; filter
     # bytes contribute 0 — all plan-time weighted sums, no aggregate
     vals = []  # (0-based position in raw, sample index)
     pos = 0
-    for r in range(height):
+    for row in layout:
         pos += 1  # filter byte, value 0
-        for k in range(width * 3):
-            vals.append((pos, r * width * 3 + k))
-            pos += 1
+        for p in row:
+            for k in range(3):
+                vals.append((pos, p * 3 + k))
+                pos += 1
     s1 = (sum((sample(j) for _, j in vals), F.lit(1).cast("long"))) % 65521
     s2 = (sum(
         (sample(j) * (raw_len - p) for p, j in vals),
