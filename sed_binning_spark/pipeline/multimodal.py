@@ -167,19 +167,43 @@ _ADAM7 = (
 )
 
 
+def _png_unpack_bits(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(nrows, stride_bytes) packed scanlines -> (nrows, w) sample values,
+    MSB-first within each byte (PNG packing for bit depths 1/2/4)."""
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    groups = bits.reshape(bits.shape[0], w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (groups * weights).sum(axis=2).astype(np.uint8)
+
+
+def _png_pack_bits(vals: np.ndarray, depth: int) -> np.ndarray:
+    """(nrows, w) sample values -> (nrows, ceil(w*depth/8)) packed bytes
+    (the encoder dual of :func:`_png_unpack_bits`)."""
+    nrows, w = vals.shape
+    weights = np.arange(depth - 1, -1, -1)
+    bits = ((vals[..., None] >> weights) & 1).astype(np.uint8)
+    bits = bits.reshape(nrows, w * depth)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    return np.packbits(bits, axis=1)
+
+
 def decode_image_png(data: bytes, max_pixels: int | None = None) -> np.ndarray:
-    """Decode a PNG (bit depth 8 or 16, color types 0/2/3/4/6, sequential
+    """Decode a PNG (every legal bit depth 1/2/4/8/16 of color types
+    0/2/3/4/6, sequential
     or Adam7-interlaced, all five scanline filters) into an
     (h, w, channels) uint8 array — critical chunks only
     (IHDR/PLTE/IDAT/IEND), stdlib zlib for the IDAT inflate, NumPy for the
     per-row unfiltering. Palette images (type 3) resolve through PLTE to
     RGB. 16-bit samples reduce to their high byte (the featurizer
-    contract is uint8 rasters; RFC 2083's sample depth scaling). Adam7
-    decodes each of the seven passes as an independent filtered image
-    (PNG filters never cross pass boundaries) scattered into the output
-    grid by strided assignment; passes emptied by small rasters carry no
-    scanlines. 1/2/4-bit payloads raise ValueError — loud refusal, not
-    silent corruption (the posture of io/hdf5_read's UnsupportedHDF5).
+    contract is uint8 rasters; RFC 2083's sample depth scaling); 1/2/4-bit
+    grayscale rescales exactly (255/(2^d - 1) is integral). Adam7 decodes
+    each of the seven passes as an independent filtered image (PNG
+    filters never cross pass boundaries) scattered into the output grid
+    by strided assignment; passes emptied by small rasters carry no
+    scanlines. Sub-byte scanlines pack samples MSB-first with the filter
+    unit pinned at one byte, per the spec.
 
     ``max_pixels`` (default :data:`MAX_PIXELS`) bounds w*h BEFORE any
     allocation or inflate: IHDR precedes IDAT, so a crafted 65535x65535
@@ -210,7 +234,7 @@ def decode_image_png(data: bytes, max_pixels: int | None = None) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth not in (8, 16) or comp != 0 or filt != 0:
+    if depth not in (1, 2, 4, 8, 16) or comp != 0 or filt != 0:
         raise ValueError(f"unsupported PNG (depth={depth}, comp={comp})")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
@@ -218,6 +242,11 @@ def decode_image_png(data: bytes, max_pixels: int | None = None) -> np.ndarray:
         raise ValueError(f"unsupported PNG color type {color}")
     if color == 3 and depth == 16:
         raise ValueError("16-bit palette PNG is not a legal combination")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(
+            f"PNG bit depth {depth} is only legal for grayscale/palette, "
+            f"not color type {color}",
+        )
     if w == 0 or h == 0:
         raise ValueError("zero-dimension PNG")
     budget = MAX_PIXELS if max_pixels is None else max_pixels
@@ -227,16 +256,22 @@ def decode_image_png(data: bytes, max_pixels: int | None = None) -> np.ndarray:
             "decode budget",
         )
     nch = _PNG_CHANNELS[color]
-    bpp = nch * (depth // 8)  # filter unit: BYTES per pixel
+    # filter unit (bytes per pixel, min 1) and per-row byte stride: the
+    # PNG filters operate on BYTES, so sub-byte depths filter at bpp=1
+    bpp = max(nch * depth // 8, 1)
+
+    def _stride(pw: int) -> int:
+        return -(-pw * nch * depth // 8)
+
     if interlace:
         passes = [
             (x0, y0, xs, ys, -(-(w - x0) // xs), -(-(h - y0) // ys))
             for x0, y0, xs, ys in _ADAM7
             if x0 < w and y0 < h
         ]
-        expected = sum(ph * (1 + pw * bpp) for _, _, _, _, pw, ph in passes)
+        expected = sum(ph * (1 + _stride(pw)) for _, _, _, _, pw, ph in passes)
     else:
-        expected = h * (1 + w * bpp)
+        expected = h * (1 + _stride(w))
     # Incremental bounded inflate: decompressobj(max_length=...) caps the
     # output at the geometry IHDR promised, so a deflate bomb stops at
     # `expected` bytes instead of allocating its full expansion.
@@ -246,22 +281,31 @@ def decode_image_png(data: bytes, max_pixels: int | None = None) -> np.ndarray:
         raise ValueError("IDAT stream inflates past the declared raster")
     if len(raw) != expected:
         raise ValueError("PNG scanline data length mismatch")
+    def _subimage(seg: bytes, ph: int, pw: int) -> np.ndarray:
+        rows = _png_unfilter(seg, ph, _stride(pw), bpp)
+        if depth < 8:
+            return _png_unpack_bits(rows, pw, depth)[..., None]
+        return rows.reshape(ph, pw, nch * (depth // 8))
+
+    nbytes_px = 1 if depth < 8 else nch * (depth // 8)
     if interlace:
-        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        img = np.zeros((h, w, nbytes_px), dtype=np.uint8)
         off = 0
         for x0, y0, xs, ys, pw, ph in passes:
             if pw == 0 or ph == 0:
                 continue
-            seg = ph * (1 + pw * bpp)
-            sub = _png_unfilter(raw[off : off + seg], ph, pw * bpp, bpp)
-            img[y0::ys, x0::xs] = sub.reshape(ph, pw, bpp)
+            seg = ph * (1 + _stride(pw))
+            img[y0::ys, x0::xs] = _subimage(raw[off : off + seg], ph, pw)
             off += seg
     else:
-        img = _png_unfilter(raw, h, w * bpp, bpp).reshape(h, w, bpp)
+        img = _subimage(raw, h, w)
     if depth == 16:
         # big-endian sample pairs -> high byte (RFC 2083 sample depth
         # rescaling truncation; exact for values of the form v*257)
         img = img.reshape(h, w, nch, 2)[..., 0]
+    elif depth < 8 and color == 0:
+        # exact sample-depth rescale: 255/(2^d - 1) is an integer
+        img = img * np.uint8(255 // ((1 << depth) - 1))
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
@@ -361,6 +405,8 @@ def encode_image_png(
     filters: list[int] | None = None,
     level: int = 6,
     interlace: bool = False,
+    bit_depth: int | None = None,
+    palette: np.ndarray | None = None,
 ) -> bytes:
     """Inverse of :func:`decode_image_png` for (h, w, {1,2,3,4}-channel)
     arrays (color type from the channel count; uint8 writes bit depth 8,
@@ -369,9 +415,64 @@ def encode_image_png(
     tests use to exercise every unfilter path. ``interlace=True`` emits
     Adam7 passes, each filtered independently. ``level=0`` emits STORED
     deflate blocks, whose byte count is a closed-form function of the
-    raster size (what the expression-level fixture synthesizer
-    mirrors)."""
+    raster size (what the expression-level fixture synthesizer mirrors).
+
+    ``palette`` (an (n, 3) uint8 array) writes color type 3: ``img`` is
+    then an (h, w) index raster packed at ``bit_depth`` (1/2/4/8,
+    default the smallest that fits the palette). ``bit_depth`` without a
+    palette writes sub-byte GRAYSCALE (type 0): samples must be in
+    [0, 2^depth)."""
     img = np.asarray(img)
+    if palette is not None or (bit_depth is not None and bit_depth < 8):
+        if img.ndim == 3 and img.shape[2] == 1:
+            img = img[..., 0]
+        if img.ndim != 2:
+            raise ValueError("palette/sub-byte PNG takes an (h, w) raster")
+        img = np.ascontiguousarray(img, dtype=np.uint8)
+        h, w = img.shape
+        if palette is not None:
+            palette = np.ascontiguousarray(palette, dtype=np.uint8)
+            if palette.ndim != 2 or palette.shape[1] != 3 \
+                    or not 1 <= palette.shape[0] <= 256:
+                raise ValueError("palette must be (1..256, 3) uint8")
+            color = 3
+            if bit_depth is None:
+                need = max(int(img.max(initial=0)).bit_length(), 1)
+                bit_depth = next(d for d in (1, 2, 4, 8) if d >= need)
+        else:
+            color = 0
+        depth = int(bit_depth)
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"bit_depth must be 1/2/4/8, got {depth}")
+        if int(img.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"sample out of range for bit depth {depth}")
+
+        def _rows(sub: np.ndarray) -> np.ndarray:
+            if depth == 8:
+                return sub
+            return _png_pack_bits(sub, depth)
+
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0,
+                           1 if interlace else 0)
+        filters = filters or [0]
+        if interlace:
+            parts = [
+                _png_filter_rows(
+                    _rows(np.ascontiguousarray(img[y0::ys, x0::xs])), 1,
+                    filters,
+                )
+                for x0, y0, xs, ys in _ADAM7
+                if img[y0::ys, x0::xs].size
+            ]
+            payload = b"".join(parts)
+        else:
+            payload = _png_filter_rows(_rows(img), 1, filters)
+        plte = (_png_chunk(b"PLTE", palette.tobytes())
+                if palette is not None else b"")
+        return (PNG_SIG + _png_chunk(b"IHDR", ihdr) + plte
+                + _png_chunk(b"IDAT", zlib.compress(payload, level))
+                + _png_chunk(b"IEND", b""))
+
     depth = 16 if img.dtype == np.uint16 else 8
     img = np.ascontiguousarray(
         img, dtype=np.uint16 if depth == 16 else np.uint8,

@@ -1135,11 +1135,55 @@ def test_png_interlaced_and_16bit_roundtrip():
     assert np.array_equal(
         decode_image_png(encode_image_png(noisy.astype(np.uint16))), img,
     )
-    # 16-bit palette is not a legal combination; 1/2/4-bit still refuse
+    # sub-byte depths are legal ONLY for grayscale/palette: a crafted
+    # 4-bit TRUECOLOR header refuses loudly (16-bit palette likewise)
     from sed_binning_spark.pipeline.multimodal import _png_chunk, PNG_SIG
     bad = (PNG_SIG
-           + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+           + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0))
            + _png_chunk(b"IDAT", zlib.compress(b"\x00\x11" * 2))
            + _png_chunk(b"IEND", b""))
-    with pytest.raises(ValueError, match="unsupported PNG"):
+    with pytest.raises(ValueError, match="only legal for grayscale"):
         decode_image_png(bad)
+
+
+def test_png_low_bit_depth_roundtrip():
+    """1/2/4-bit grayscale rescales exactly (255/(2^d - 1) is integral)
+    and 1/2/4/8-bit palette resolves through PLTE — sequential and Adam7,
+    every filter, including rasters whose pass rows pack to partial
+    bytes. This closes the PNG bit-depth matrix: every legal
+    depth x color-type combination now decodes."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.multimodal import (
+        decode_image_png, encode_image_png,
+    )
+
+    rng = np.random.default_rng(9)
+    for depth in (1, 2, 4):
+        scale = 255 // ((1 << depth) - 1)
+        for shape in ((1, 1), (2, 3), (9, 13)):
+            v = rng.integers(0, 1 << depth, shape).astype(np.uint8)
+            for inter in (False, True):
+                got = decode_image_png(encode_image_png(
+                    v, filters=[0, 1, 2, 3, 4], interlace=inter,
+                    bit_depth=depth,
+                ))
+                assert np.array_equal(got, (v * scale)[..., None]), \
+                    (depth, shape, inter)
+    for depth in (1, 2, 4, 8):
+        npal = 1 << depth
+        pal = rng.integers(0, 256, (npal, 3)).astype(np.uint8)
+        idx = rng.integers(0, npal, (9, 13)).astype(np.uint8)
+        for inter in (False, True):
+            got = decode_image_png(encode_image_png(
+                idx, palette=pal, bit_depth=depth, interlace=inter,
+                filters=[0, 2],
+            ))
+            assert np.array_equal(got, pal[idx]), (depth, inter)
+    # auto bit depth picks the smallest that fits the palette
+    auto = encode_image_png(np.array([[0, 3]], np.uint8),
+                            palette=pal[:4])
+    assert auto[24] == 2  # IHDR bit-depth byte
+    # out-of-range samples refuse at encode time
+    with pytest.raises(ValueError, match="out of range"):
+        encode_image_png(np.array([[4]], np.uint8), bit_depth=2)
