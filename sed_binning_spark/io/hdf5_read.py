@@ -21,12 +21,17 @@ the reference's real fixtures ``Scan0030_2.h5`` /
 - fill values (0x0004/0x0005): unwritten chunks/regions materialize the
   defined fill instead of assuming zeros
 
+- compound, enum (decoded as their base integers), and array datatypes
+  (including nested members), surfacing as numpy structured dtypes
+- soft links (symbol-table cache type 2 and v1 link messages), absolute
+  or relative, cycle-guarded; dangling links list as absent and raise
+  KeyError only when followed
+
 NOT supported (all raise): fractal-heap (dense) links AND attributes,
-layout v4 chunk indexes, compound / array / enum datatypes, szip/n-bit
-filters, dataset regions, soft/external links, shared (committed)
-datatypes/dataspaces, writes (see ``hdf5_write`` for the companion
-writer). Everything raises a clear ``UnsupportedHDF5`` rather than
-misreading.
+layout v4 chunk indexes, szip/n-bit filters, dataset regions, external
+links, shared (committed) datatypes/dataspaces, vlen members inside
+compounds, writes (see ``hdf5_write`` for the companion writer).
+Everything raises a clear ``UnsupportedHDF5`` rather than misreading.
 
 The point: a facility user's raw files open end-to-end on any executor
 with only numpy + stdlib zlib — the byte-read is no longer gated on an
@@ -52,9 +57,15 @@ class UnsupportedHDF5(Exception):
 
 @dataclass
 class Datatype:
-    kind: str          # "int" | "uint" | "float" | "string" | "vlen_str"
+    kind: str          # "int"|"uint"|"float"|"string"|"vlen_str"|"compound"|"enum"|"array"
     size: int
     byteorder: str     # "<" | ">"
+    # compound: (name, byte offset, member Datatype) triples
+    members: list | None = None
+    # array: element dimensions
+    shape: tuple | None = None
+    # enum/array: the underlying Datatype
+    base: "Datatype | None" = None
 
     @property
     def np_dtype(self) -> np.dtype:
@@ -64,7 +75,25 @@ class Datatype:
             return np.dtype(f"{self.byteorder}{'i' if self.kind == 'int' else 'u'}{self.size}")
         if self.kind == "string":
             return np.dtype(f"S{self.size}")
+        if self.kind == "enum":
+            return self.base.np_dtype
+        if self.kind == "array":
+            return np.dtype((self.base.np_dtype, self.shape))
+        if self.kind == "compound":
+            return np.dtype({
+                "names": [n for n, _, _ in self.members],
+                "formats": [m.np_dtype for _, _, m in self.members],
+                "offsets": [o for _, o, _ in self.members],
+                "itemsize": self.size,
+            })
         raise UnsupportedHDF5(f"no numpy dtype for {self.kind}")
+
+
+@dataclass
+class SoftLink:
+    """A symbolic link's target path — resolved lazily at traversal time
+    (HDF5 permits dangling soft links; only following one must fail)."""
+    target: str
 
 
 @dataclass
@@ -168,6 +197,12 @@ class H5File:
             obj = self._object(addr)
             if isinstance(obj, Group):
                 for name, child in self._group_entries(obj):
+                    if isinstance(child, SoftLink):
+                        # H5Ovisit semantics (h5py .visit): soft links are
+                        # not followed during traversal — their targets
+                        # list under their hard path, and read() resolves
+                        # the link path on demand
+                        continue
                     p = f"{prefix}/{name}"
                     if isinstance(self._object(child), Group):
                         _walk(p, child)
@@ -267,16 +302,28 @@ class H5File:
         return np.zeros(shape, dtype=dtype)
 
     # -- object headers -----------------------------------------------------
-    def _resolve(self, path: str) -> int:
+    def _resolve(self, path: str, _depth: int = 0) -> int:
+        """Walk ``path`` from the root, following soft links (absolute
+        targets restart at the root; relative ones resolve against the
+        link's parent group), with a depth guard so a link cycle raises
+        instead of recursing forever."""
+        if _depth > 16:
+            raise UnsupportedHDF5(f"soft-link chain too deep at {path!r}")
         addr = self._root_addr
-        for part in path.strip("/").split("/"):
-            if not part:
-                continue
+        parts = [p for p in path.strip("/").split("/") if p]
+        for i, part in enumerate(parts):
             obj = self._object(addr)
             if not isinstance(obj, Group):
                 raise KeyError(f"{part!r}: parent is not a group")
             for name, child in self._group_entries(obj):
                 if name == part:
+                    if isinstance(child, SoftLink):
+                        t = child.target
+                        if not t.startswith("/"):
+                            t = "/".join(parts[:i] + [t])
+                        return self._resolve(
+                            "/".join([t] + parts[i + 1 :]), _depth + 1,
+                        )
                     addr = child
                     break
             else:
@@ -460,8 +507,14 @@ class H5File:
         pos += len_width
         name = body[pos : pos + name_len].decode("utf-8")
         pos += name_len
+        if link_type == 1:  # soft: 2-byte length + target path
+            (tlen,) = struct.unpack_from("<H", body, pos)
+            target = body[pos + 2 : pos + 2 + tlen].decode("utf-8")
+            return name, SoftLink(target)
         if link_type != 0:
-            raise UnsupportedHDF5(f"link type {link_type} (hard links only)")
+            raise UnsupportedHDF5(
+                f"link type {link_type} (hard and soft links only)",
+            )
         return name, struct.unpack_from("<Q", body, pos)[0]
 
     # -- message parsers ----------------------------------------------------
@@ -504,24 +557,84 @@ class H5File:
         dims = struct.unpack_from(f"<{ndims}Q", body, pos)
         return tuple(int(d) for d in dims)  # ignore max dims (flags & 1)
 
-    @staticmethod
-    def _parse_datatype(body: bytes) -> Datatype:
-        cls_ver = body[0]
+    @classmethod
+    def _parse_datatype(cls_, body: bytes) -> Datatype:
+        return cls_._parse_datatype_at(body, 0)[0]
+
+    @classmethod
+    def _parse_datatype_at(cls_, body: bytes, pos: int) -> tuple[Datatype, int]:
+        """Parse one (possibly nested) datatype message at ``pos``; returns
+        (Datatype, position after the encoding) — the consumed length is
+        what lets compound members, enum bases, and array elements nest."""
+        cls_ver = body[pos]
         cls = cls_ver & 0x0F
-        bits0 = body[1]
-        size = struct.unpack_from("<I", body, 4)[0]
+        version = cls_ver >> 4
+        bits0, bits1 = body[pos + 1], body[pos + 2]
+        size = struct.unpack_from("<I", body, pos + 4)[0]
         byteorder = ">" if (bits0 & 1) else "<"
-        if cls == 0:  # fixed-point
+        p = pos + 8
+        if cls == 0:  # fixed-point: bit offset + precision properties
             signed = bool(bits0 & 0x08)
-            return Datatype("int" if signed else "uint", size, byteorder)
-        if cls == 1:  # floating point
-            return Datatype("float", size, byteorder)
-        if cls == 3:  # string (fixed length)
-            return Datatype("string", size, "<")
-        if cls == 9:  # variable length
-            base_cls = body[8] & 0x0F if len(body) > 8 else -1
-            kind = "vlen_str" if (bits0 & 0x0F) == 1 or base_cls == 3 else "vlen"
-            return Datatype(kind, size, "<")
+            return Datatype("int" if signed else "uint", size, byteorder), p + 4
+        if cls == 1:  # floating point: 12 property bytes
+            return Datatype("float", size, byteorder), p + 12
+        if cls == 3:  # string (fixed length): no properties
+            return Datatype("string", size, "<"), p
+        if cls == 9:  # variable length: base datatype follows
+            base, p2 = cls_._parse_datatype_at(body, p)
+            kind = "vlen_str" if (bits0 & 0x0F) == 1 or base.kind == "string" \
+                else "vlen"
+            return Datatype(kind, size, "<"), p2
+        if cls == 6:  # compound
+            nmembers = bits0 | (bits1 << 8)
+            members = []
+            for _ in range(nmembers):
+                if version == 3:
+                    end = body.index(b"\x00", p)
+                    name = body[p:end].decode("utf-8")
+                    p = end + 1
+                    # offset width = minimum bytes representing `size`
+                    ow = max((int(size).bit_length() + 7) // 8, 1)
+                    off = int.from_bytes(body[p : p + ow], "little")
+                    p += ow
+                else:
+                    end = body.index(b"\x00", p)
+                    name = body[p:end].decode("utf-8")
+                    p += (end - p) // 8 * 8 + 8  # null-padded to 8
+                    (off,) = struct.unpack_from("<I", body, p)
+                    p += 4
+                    if version == 1:
+                        ndims = body[p]
+                        p += 1 + 3 + 4 + 4 + 16  # dims/perm scratch (v1 only)
+                        if ndims:
+                            raise UnsupportedHDF5(
+                                "v1 compound member with dimensions "
+                                "(use an array datatype)",
+                            )
+                mt, p = cls_._parse_datatype_at(body, p)
+                members.append((name, off, mt))
+            return Datatype("compound", size, "<", members=members), p
+        if cls == 8:  # enum: base type, then named values
+            base, p = cls_._parse_datatype_at(body, p)
+            nmembers = bits0 | (bits1 << 8)
+            for _ in range(nmembers):
+                end = body.index(b"\x00", p)
+                p = (end + 1 if version == 3
+                     else p + (end - p) // 8 * 8 + 8)  # v1/2 pad names to 8
+            p += nmembers * base.size  # values (decoded data keeps the ints)
+            return Datatype("enum", size, base.byteorder, base=base), p
+        if cls == 10:  # array
+            ndims = body[p]
+            p += 1 if version == 3 else 4  # v2: 3 reserved bytes
+            dims = struct.unpack_from(f"<{ndims}I", body, p)
+            p += 4 * ndims
+            if version == 2:
+                p += 4 * ndims  # permutation indices (always identity)
+            base, p = cls_._parse_datatype_at(body, p)
+            return Datatype(
+                "array", size, base.byteorder,
+                shape=tuple(int(d) for d in dims), base=base,
+            ), p
         raise UnsupportedHDF5(f"datatype class {cls}")
 
     @staticmethod
@@ -689,13 +802,15 @@ class H5File:
         for _ in range(nsyms):
             name_off, obj_addr, cache_type = struct.unpack_from("<QQI", buf, pos)
             if cache_type == 2:
-                # symbolic link: obj_addr is UNDEF, the target path lives in
-                # the scratch area / local heap — out of scope
-                raise UnsupportedHDF5(
-                    f"soft link {self._local_heap_string(heap, name_off)!r} "
-                    "(symbol-table cache type 2)",
-                )
-            out.append((self._local_heap_string(heap, name_off), obj_addr))
+                # symbolic link: obj_addr is undefined; the first 4 scratch
+                # bytes hold the local-heap offset of the target path
+                (toff,) = struct.unpack_from("<I", buf, pos + 24)
+                out.append((
+                    self._local_heap_string(heap, name_off),
+                    SoftLink(self._local_heap_string(heap, toff)),
+                ))
+            else:
+                out.append((self._local_heap_string(heap, name_off), obj_addr))
             pos += 40  # entry: 8+8+4+4+16
 
     # -- chunk B-tree (node type 1) -----------------------------------------

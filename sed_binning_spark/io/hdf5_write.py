@@ -1,10 +1,11 @@
 """Minimal pure-Python HDF5 writer — the inverse of
 :mod:`sed_binning_spark.io.hdf5_read` for the engine's own outputs.
 
-Writes classic (superblock v0) files limited to what the cube sink needs:
-nested groups (v1 B-tree + local heap + SNOD symbol tables), CONTIGUOUS
-datasets of native numeric or fixed-length string type, and numeric /
-string attributes. Datasets are uncompressed and unchunked by design — the
+Writes classic (superblock v0) files limited to what the cube sink and
+the reader's fixture tests need: nested groups (v1 B-tree + local heap +
+SNOD symbol tables), CONTIGUOUS datasets of native numeric, fixed-length
+string, or COMPOUND (structured, incl. array members) type, soft links
+(symbol-table cache type 2), and numeric / string attributes. Datasets are uncompressed and unchunked by design — the
 cubes this serializes are driver-sized, and the simple layout keeps every
 structure inside the subset the companion reader (and libhdf5) understands.
 """
@@ -62,6 +63,16 @@ class H5Writer:
             "__kind__": "dataset", "__attrs__": {}, "__data__": arr,
         }
 
+    def add_softlink(self, path: str, target: str) -> None:
+        """Symbolic link at ``path`` pointing at ``target`` (absolute or
+        relative HDF5 path) — classic symbol-table form: cache type 2,
+        undefined header address, target string in the local heap."""
+        parts = [p for p in path.strip("/").split("/") if p]
+        parent = self._group(parts[:-1])
+        parent["__children__"][parts[-1]] = {
+            "__kind__": "softlink", "__target__": target,
+        }
+
     def add_attr(self, path: str, name: str, value) -> None:
         # validate the serialized size NOW: the v1 object-header message
         # length field is uint16, so an attribute body past 64 KiB would
@@ -98,7 +109,9 @@ class H5Writer:
         with open(path, "wb") as f:
             f.write(buf)
 
-    def _emit(self, buf: bytearray, node: dict) -> int:
+    def _emit(self, buf: bytearray, node: dict):
+        if node["__kind__"] == "softlink":
+            return ("soft", node["__target__"])
         if node["__kind__"] == "dataset":
             return self._emit_dataset(buf, node["__data__"], node["__attrs__"])
         children = [
@@ -121,13 +134,21 @@ class H5Writer:
         return _emit_object_header(buf, msgs)
 
     def _emit_group(self, buf: bytearray, children, attrs: dict) -> int:
-        # local heap: offset 0 holds the empty name (the B-tree's low key)
+        # local heap: offset 0 holds the empty name (the B-tree's low key);
+        # names first, then soft-link target strings
         heap_data = bytearray(8)
         offsets = []
         for name, _ in children:
             offsets.append(len(heap_data))
             nb = name.encode("utf-8") + b"\x00"
             heap_data += nb + b"\x00" * (-len(nb) % 8)
+        target_offsets = {}
+        for _, addr in children:
+            if isinstance(addr, tuple) and addr[0] == "soft" \
+                    and addr[1] not in target_offsets:
+                target_offsets[addr[1]] = len(heap_data)
+                tb = addr[1].encode("utf-8") + b"\x00"
+                heap_data += tb + b"\x00" * (-len(tb) % 8)
         _align(buf)
         heap_addr = len(buf)
         data_addr = heap_addr + 32
@@ -142,7 +163,13 @@ class H5Writer:
             snod_addrs.append(len(buf))
             node = bytearray(struct.pack("<4sBxH", b"SNOD", 1, len(batch)))
             for (name, addr), off in zip(batch, offsets[i : i + _SNOD_CAP]):
-                node += struct.pack("<QQII16x", off, addr, 0, 0)
+                if isinstance(addr, tuple) and addr[0] == "soft":
+                    node += struct.pack(
+                        "<QQIII12x", off, UNDEF, 2, 0,
+                        target_offsets[addr[1]],
+                    )
+                else:
+                    node += struct.pack("<QQII16x", off, addr, 0, 0)
             node += b"\x00" * (_SNOD_SIZE - len(node))  # full advertised size
             buf += node
             snod_key_offsets.append(offsets[min(i + _SNOD_CAP, len(children)) - 1])
@@ -245,6 +272,32 @@ def _datatype(dtype: np.dtype) -> bytes:
     if dtype.kind == "S":
         head = struct.pack("<B3BI", 0x13, 0, 0, 0, dtype.itemsize)
         return head
+    if dtype.kind == "V" and dtype.names:
+        # compound datatype message, version 1 (classic): per member a
+        # null-padded name, 4-byte offset, the v1 dims scratch (zeros —
+        # subarray members encode as array datatypes instead), then the
+        # member's own datatype message
+        nm = len(dtype.names)
+        out = bytearray(
+            struct.pack("<B3BI", 0x16, nm & 0xFF, (nm >> 8) & 0xFF, 0,
+                        dtype.itemsize),
+        )
+        for name in dtype.names:
+            fdt, off = dtype.fields[name][:2]
+            nb = name.encode("ascii") + b"\x00"
+            out += nb + b"\x00" * (-len(nb) % 8)
+            out += struct.pack("<IB3xII", off, 0, 0, 0)
+            out += struct.pack("<4I", 0, 0, 0, 0)
+            if fdt.subdtype is not None:  # array member (class 10, v2)
+                base, shape = fdt.subdtype
+                out += struct.pack("<B3BI", 0x2A, 0, 0, 0, fdt.itemsize)
+                out += struct.pack("<B3x", len(shape))
+                out += struct.pack(f"<{len(shape)}I", *shape)
+                out += struct.pack(f"<{len(shape)}I", *([0] * len(shape)))
+                out += _datatype(base)
+            else:
+                out += _datatype(fdt)
+        return bytes(out)
     raise ValueError(f"unsupported dtype {dtype}")
 
 
@@ -274,6 +327,19 @@ def _as_h5_array(value) -> np.ndarray:
         arr = np.char.encode(arr, "utf-8")
     elif arr.dtype.kind in ("i", "u", "f"):
         arr = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
+    elif arr.dtype.kind == "V" and arr.dtype.names:
+        # structured records -> HDF5 compound; members little-endian
+        arr = arr.astype(
+            np.dtype({
+                "names": list(arr.dtype.names),
+                "formats": [
+                    (arr.dtype.fields[n][0].base.newbyteorder("<"),
+                     arr.dtype.fields[n][0].shape)
+                    for n in arr.dtype.names
+                ],
+            }),
+            copy=False,
+        )
     elif arr.dtype.kind != "S":
         raise ValueError(f"unsupported value type {arr.dtype}")
     # NOT ascontiguousarray: that would promote 0-d scalars to 1-d

@@ -419,26 +419,73 @@ def test_null_dataspace_attribute_reads_as_none(tmp_path):
     assert name == "empty" and value is None
 
 
-def test_soft_link_raises_clear_error(tmp_path):
-    """A classic-format soft link (SNOD cache type 2, UNDEF header addr)
-    must raise UnsupportedHDF5, not crash with OverflowError."""
-    import struct
-
+def test_soft_links_resolve_and_guard(tmp_path):
+    """Classic-format soft links (SNOD cache type 2, target path in the
+    local heap): absolute and relative targets resolve through read(),
+    visit() skips links (H5Ovisit semantics — targets list under their
+    hard path), a dangling link raises KeyError only when FOLLOWED, and a
+    link cycle raises UnsupportedHDF5 instead of recursing forever."""
     from sed_binning_spark.io.hdf5_read import H5File, UnsupportedHDF5
     from sed_binning_spark.io.hdf5_write import H5Writer
 
     w = H5Writer()
-    w.add_dataset("/g/real", np.array([1.0]))
+    w.add_dataset("/g/real", np.array([1.0, 2.0]))
+    w.add_softlink("/g/alias", "/g/real")
+    w.add_softlink("/g/rel", "real")
+    w.add_softlink("/top", "/g")
+    w.add_softlink("/g/dangling", "/nowhere")
+    w.add_softlink("/g/loop_a", "/g/loop_b")
+    w.add_softlink("/g/loop_b", "/g/loop_a")
     path = str(tmp_path / "soft.h5")
     w.write(path)
-    buf = bytearray(open(path, "rb").read())
-    # patch /g's single SNOD entry into a soft link: cache type 2, UNDEF addr
-    pos = buf.find(b"SNOD")
-    struct.pack_into("<QI", buf, pos + 8 + 8, 2**64 - 1, 2)
-    open(path, "wb").write(bytes(buf))
     f = H5File(path)
-    with pytest.raises(UnsupportedHDF5, match="soft link"):
-        f.visit()
+    assert f.visit() == ["/g/real"]
+    np.testing.assert_array_equal(f.read("/g/alias"), [1.0, 2.0])
+    np.testing.assert_array_equal(f.read("/g/rel"), [1.0, 2.0])
+    # a link to a GROUP resolves mid-path
+    np.testing.assert_array_equal(f.read("/top/real"), [1.0, 2.0])
+    with pytest.raises(KeyError, match="nowhere"):
+        f.read("/g/dangling")
+    with pytest.raises(UnsupportedHDF5, match="chain too deep"):
+        f.read("/g/loop_a")
+
+
+def test_compound_dataset_round_trip(tmp_path):
+    """Compound datatypes (the beamline-metadata table shape) surface as
+    numpy structured dtypes, including array members and mixed widths;
+    chunk-free contiguous layout, written by the engine's own writer."""
+    from sed_binning_spark.io.hdf5_read import H5File
+    from sed_binning_spark.io.hdf5_write import H5Writer
+
+    rec = np.zeros(5, dtype=[("ts", "<f8"), ("flag", "<i2"),
+                             ("pos", "<f4", (3,)), ("tag", "S4")])
+    rec["ts"] = np.arange(5) * 1.5
+    rec["flag"] = [1, -2, 3, -4, 5]
+    rec["pos"] = np.arange(15).reshape(5, 3)
+    rec["tag"] = [b"a", b"bb", b"ccc", b"dddd", b""]
+    w = H5Writer()
+    w.add_dataset("/tbl/records", rec)
+    path = str(tmp_path / "cmp.h5")
+    w.write(path)
+    got = H5File(path).read("/tbl/records")
+    assert got.dtype.names == ("ts", "flag", "pos", "tag")
+    for n in rec.dtype.names:
+        np.testing.assert_array_equal(got[n], rec[n])
+
+
+def test_enum_datatype_parses_to_base_integers():
+    """Enum datatype messages (class 8) decode as their base integer type
+    — spec-constructed v1 message (names padded to 8) over int16."""
+    import struct
+
+    from sed_binning_spark.io.hdf5_read import H5File
+
+    base = struct.pack("<B3BI", 0x10, 0x08, 0, 0, 2) + struct.pack("<HH", 0, 16)
+    names = b"LOW" + b"\x00" * 5 + b"HIGH" + b"\x00" * 4
+    values = struct.pack("<hh", 0, 1)
+    msg = struct.pack("<B3BI", 0x18, 2, 0, 0, 2) + base + names + values
+    dt = H5File._parse_datatype(msg)
+    assert dt.kind == "enum" and dt.np_dtype == np.dtype("<i2")
 
 
 @needs["mpes"]
