@@ -1019,8 +1019,9 @@ def apply_substring_winners(
     duplicates. Strict mode without a manifest therefore trades tolerance
     of full duplicates for detection of partial frames.
 
-    ``manifest`` (requires ``strict=True`` and the default
-    ``loser_filtered=True``) resolves that trade: pass the
+    ``manifest`` (requires ``strict=True``; works under either plan —
+    note ``loser_filtered`` defaults to False) resolves that trade: pass
+    the
     ``(id, n_windows, n_windows_won)`` frame
     :func:`substring_winner_manifest` computed while the winner frame was
     known complete, and the raise becomes exact — a document aborts the
@@ -1146,16 +1147,30 @@ def apply_substring_winners(
         .select(F.col(id_column), n_windows_expr.alias("__n_windows"))
         .where(F.col("__n_windows") > 0)
     )
-    losers = nw.join(per_doc, on=id_column, how="left").where(
-        F.coalesce(F.col("__n_wins"), F.lit(0)) < F.col("__n_windows"),
-    )
+    checked = nw.join(per_doc, on=id_column, how="left")
+    lost = F.coalesce(F.col("__n_wins"), F.lit(0)) < F.col("__n_windows")
     if manifest is not None:
+        # the build side must include every document a manifest check
+        # could FIRE on, not just losers: a doc whose text shrank since
+        # the manifest was cut can show wins >= windows (it is no loser)
+        # yet must still abort — so disagreement with the manifest joins
+        # the build side alongside genuine losers. On a healthy corpus
+        # the extra rows are exactly zero; on a corrupted one they exist
+        # to raise.
         man = manifest.select(
             F.col(id_column),
             F.col("n_windows").cast("int").alias("__m_windows"),
             F.col("n_windows_won").cast("int").alias("__m_won"),
         )
-        losers = losers.join(man, on=id_column, how="left")
+        checked = checked.join(man, on=id_column, how="left")
+        losers = checked.where(
+            lost
+            | F.col("__m_windows").isNull()
+            | (F.col("__m_windows") != F.col("__n_windows"))
+            | (F.coalesce(F.col("__n_wins"), F.lit(0)) != F.col("__m_won")),
+        )
+    else:
+        losers = checked.where(lost)
 
     out = base.join(losers, on=id_column, how="left")
     out = out.withColumn("__tk2", toks_expr)

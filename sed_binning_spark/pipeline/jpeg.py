@@ -314,6 +314,16 @@ def decode_image_jpeg(data: bytes, max_pixels: int | None = None) -> np.ndarray:
             if frame["progressive"]:
                 if "coef" not in frame:
                     _alloc_progressive(frame, max_pixels)
+                frame["n_scans"] = frame.get("n_scans", 0) + 1
+                if frame["n_scans"] > MAX_PROGRESSIVE_SCANS:
+                    # each scan is a full Python walk of a block grid, and
+                    # a ~20-byte EOBn-only scan is valid — without a cap,
+                    # a crafted payload packs thousands of scans and the
+                    # pixel budget no longer bounds CPU
+                    raise ValueError(
+                        f"more than {MAX_PROGRESSIVE_SCANS} progressive "
+                        "scans — crafted or pathological stream",
+                    )
                 pos = _progressive_sos(
                     data, pos, seglen, frame, huff, restart_interval,
                 )
@@ -345,6 +355,11 @@ def decode_image_jpeg(data: bytes, max_pixels: int | None = None) -> np.ndarray:
         return _reconstruct_progressive(frame, qt)
     raise ValueError("no SOS scan found")
 
+
+# Generous ceiling on progressive scan count: a real encoder's script is
+# ~10 scans (libjpeg's default); the theoretical spec maximum for a sane
+# successive-approximation ladder over 3 components stays well under this.
+MAX_PROGRESSIVE_SCANS = 120
 
 # Featurizer-context decode budget: a corrupt few-hundred-byte header can
 # otherwise declare 65500x65500 and trigger a ~100 GB block allocation
@@ -525,7 +540,7 @@ def _prog_dc_scan(reader, scomps, frame, ah, al, ri, huff) -> None:
     def _one(c, dc_id, by, bx):
         blk = c["coef"][by, bx]
         if ah == 0:
-            t = _decode_symbol(reader, huff[(0, dc_id)])
+            t = _dc_category(reader, huff[(0, dc_id)])
             pred[c["id"]] += _extend(reader.receive(t), t)
             blk[0] = pred[c["id"]] << al
         elif reader.read_bit():
@@ -587,6 +602,8 @@ def _prog_ac_first(reader, blk, ac_tab, ss, se, al, eobrun) -> int:
         k += r
         if k > se:
             raise ValueError("AC coefficient index out of range")
+        if s > _MAX_AC_CATEGORY:
+            raise ValueError(f"AC magnitude category {s} out of 8-bit range")
         blk[k] = _extend(reader.receive(s), s) << al
         k += 1
     return 0
@@ -652,9 +669,25 @@ def _reconstruct_progressive(frame, qt) -> np.ndarray:
 
 
 
+# T.81 tables F.1/F.2: for 8-bit precision the DC difference category is
+# at most 11 and the AC magnitude category at most 10. A corrupt Huffman
+# table can map a code to any byte, and receive(200) would build a
+# ~2^200 Python int whose int32 store raises OverflowError — an exception
+# class the featurizer's degrade tuple rightly does not catch.
+_MAX_DC_CATEGORY = 11
+_MAX_AC_CATEGORY = 10
+
+
+def _dc_category(reader, dc_tab) -> int:
+    t = _decode_symbol(reader, dc_tab)
+    if t > _MAX_DC_CATEGORY:
+        raise ValueError(f"DC difference category {t} out of 8-bit range")
+    return t
+
+
 def _decode_block(reader, dc_tab, ac_tab) -> np.ndarray:
     blk = np.zeros(64, dtype=np.float64)
-    t = _decode_symbol(reader, dc_tab)
+    t = _dc_category(reader, dc_tab)
     blk[0] = _extend(reader.receive(t), t)
     k = 1
     while k < 64:
@@ -668,6 +701,8 @@ def _decode_block(reader, dc_tab, ac_tab) -> np.ndarray:
         k += r
         if k > 63:
             raise ValueError("AC coefficient index out of range")
+        if s > _MAX_AC_CATEGORY:
+            raise ValueError(f"AC magnitude category {s} out of 8-bit range")
         blk[ZIGZAG[k]] = _extend(reader.receive(s), s)
         k += 1
     return blk
@@ -727,10 +762,20 @@ def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
 
 
-def _encode_block(writer, blk, qtab, dc_tab, ac_tab, pred: int) -> int:
+def _quantized_zigzag_block(blk, qtab) -> np.ndarray:
+    """Forward DCT + quantize + zigzag for ONE block — the single
+    quantization path shared by the baseline and progressive encoders.
+    It must be shared: a whole-plane einsum sums in a different order
+    than per-block matmuls, and coefficients landing on exact .5
+    quantization ties (common for integer inputs) then round apart,
+    breaking the byte-exact progressive/baseline parity the tests pin."""
     coef = _DCT @ (blk - 128.0) @ _DCT.T
     q = np.round(coef / qtab).astype(np.int64)
-    zz = q.reshape(64)[ZIGZAG]  # natural order -> zigzag scan
+    return q.reshape(64)[ZIGZAG]  # natural order -> zigzag scan
+
+
+def _encode_block(writer, blk, qtab, dc_tab, ac_tab, pred: int) -> int:
+    zz = _quantized_zigzag_block(blk, qtab)
     diff = int(zz[0]) - pred
     t, code = _magnitude(diff)
     writer.write(*dc_tab[t])
@@ -1002,14 +1047,21 @@ def encode_image_jpeg_progressive(
     h, w, nc, comps, qts, hmax, vmax, mcux, mcuy = _prep_encode(
         img, quality, subsampling,
     )
-    # quantized zigzag coefficients, whole-plane vectorized
+    # quantized zigzag coefficients — per block through the SAME
+    # _quantized_zigzag_block path as the baseline encoder (see its
+    # docstring: a whole-plane einsum rounds .5 quantization ties
+    # differently and breaks the byte-exact parity contract)
     for c in comps:
         plane = c["plane"]
         nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
-        blocks = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
-        coef = np.einsum("ij,mnjk,kl->mnil", _DCT, blocks, _DCT.T)
-        q = np.round(coef / qts[c["tq"]]).astype(np.int64)
-        c["zz"] = q.reshape(nby, nbx, 64)[:, :, ZIGZAG]
+        zz = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                zz[by, bx] = _quantized_zigzag_block(
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    qts[c["tq"]],
+                )
+        c["zz"] = zz
         comp_w = -(-(w * c["h"]) // hmax)
         comp_h = -(-(h * c["v"]) // vmax)
         c["bw"], c["bh"] = -(-comp_w // 8), -(-comp_h // 8)

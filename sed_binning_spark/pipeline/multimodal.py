@@ -147,14 +147,16 @@ def decode_audio_wav(data: bytes) -> tuple[np.ndarray, int]:
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 # Decode budgets, checked against the header-declared raster BEFORE any
-# allocation or inflate. MAX_PIXELS (64 MP, matching pipeline/jpeg.py)
-# is the direct-caller ceiling; FEATURIZER_MAX_PIXELS is the much tighter
-# budget decode_payload passes inside the mapInPandas featurizer — the
-# pure-Python entropy/filter loops are serial, so an adversarial
-# valid-looking 64 MP image would stall a task for minutes while feature
-# extraction never needs full-resolution rasters. Oversized-but-valid
-# payloads degrade to byte statistics, same as malformed ones.
-MAX_PIXELS = 64 * 1024 * 1024
+# allocation or inflate. MAX_PIXELS (64 MP, imported so the PNG and JPEG
+# ceilings cannot drift apart) is the direct-caller ceiling;
+# FEATURIZER_MAX_PIXELS is the much tighter budget decode_payload passes
+# inside the mapInPandas featurizer — the pure-Python entropy/filter
+# loops are serial, so an adversarial valid-looking 64 MP image would
+# stall a task for minutes while feature extraction never needs
+# full-resolution rasters. Oversized-but-valid payloads degrade to byte
+# statistics, same as malformed ones.
+from sed_binning_spark.pipeline.jpeg import MAX_PIXELS  # noqa: E402
+
 FEATURIZER_MAX_PIXELS = 4 * 1024 * 1024
 # color type -> samples per pixel (bit depth 8 only)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}

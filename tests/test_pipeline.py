@@ -1187,3 +1187,37 @@ def test_png_low_bit_depth_roundtrip():
     # out-of-range samples refuse at encode time
     with pytest.raises(ValueError, match="out of range"):
         encode_image_png(np.array([[4]], np.uint8), bit_depth=2)
+
+
+def test_jpeg_adversarial_tables_and_scan_floods_stay_typed():
+    """Regression (round-10 review): a Huffman table mapping a code to an
+    out-of-range magnitude category must raise ValueError — not build a
+    2^200 Python int whose int32 store raises OverflowError past the
+    featurizer's degrade tuple — and a payload packing hundreds of
+    ~20-byte EOB-only scans must refuse rather than stall a task (the
+    pixel budget alone does not bound progressive CPU)."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.jpeg import (
+        decode_image_jpeg,
+        encode_image_jpeg,
+        encode_image_jpeg_progressive,
+    )
+    from sed_binning_spark.pipeline.multimodal import decode_payload
+
+    img = np.full((16, 16, 3), 90, np.uint8)
+    for enc in (encode_image_jpeg, encode_image_jpeg_progressive):
+        good = enc(img)
+        i = good.index(b"\xff\xc4")
+        bad = bytearray(good)
+        bad[i + 4 + 17] = 200  # DC values[0]: what category-0 codes map to
+        with pytest.raises(ValueError, match="category 200"):
+            decode_image_jpeg(bytes(bad))
+        assert decode_payload(bytes(bad), 8)[0] == 0.0
+
+    good = encode_image_jpeg_progressive(img)
+    sos, eoi = good.index(b"\xff\xda"), good.rindex(b"\xff\xd9")
+    flood = good[:eoi] + good[sos:eoi] * 200 + b"\xff\xd9"
+    with pytest.raises(ValueError, match="progressive scans"):
+        decode_image_jpeg(flood)
+    assert decode_payload(flood, 8)[0] == 0.0

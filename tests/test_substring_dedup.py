@@ -624,3 +624,36 @@ def test_dedup_substrings_property_invariance(spark):
                 assert n_tok - n_rm == len(dedup.split()) if dedup else n_tok == n_rm
 
     _run()
+
+
+def test_strict_manifest_catches_shrunken_corpus_in_loser_plan(spark):
+    """Regression (round-10 review): a document whose text SHRANK since
+    the manifest was cut can show wins >= windows — it is not a loser, so
+    the loser-filtered build side must include manifest disagreements
+    explicitly or the check silently never fires."""
+    from sed_binning_spark.pipeline.dedup import (
+        _keep_first_winners, _occ_window_explode, apply_substring_winners,
+        substring_winner_manifest,
+    )
+    from sed_binning_spark.pipeline.text import whitespace_tokens
+
+    orig = spark.createDataFrame(
+        [(1, "a b c d e"), (3, "p q r s t u")], "doc_id long, text string",
+    )
+    occ = _occ_window_explode(
+        orig.select("doc_id", whitespace_tokens(F.col("text")).alias("__tk")),
+        [F.col("doc_id")], 3, "md5", "h",
+    )
+    winners = _keep_first_winners(occ, orig.schema["doc_id"].dataType,
+                                  "doc_id")
+    manifest = substring_winner_manifest(orig, winners, window=3)
+    shrunk = spark.createDataFrame(
+        [(1, "a b c d e"), (3, "p q r s t")],  # doc 3 lost a token
+        "doc_id long, text string",
+    )
+    for lf in (False, True):
+        with pytest.raises(Exception, match="corpus window count"):
+            apply_substring_winners(
+                shrunk, winners, window=3, strict=True, manifest=manifest,
+                loser_filtered=lf,
+            ).collect()
