@@ -47,6 +47,7 @@ from sed_binning_spark.pipeline.cluster import (
 from sed_binning_spark.pipeline.dedup import (
     apply_substring_winners,
     substring_winner_manifest,
+    substring_winners,
     dedup_segments,
     dedup_substrings,
     exact_dedup,
@@ -112,6 +113,7 @@ __all__ = [
     "dedup_substrings",
     "apply_substring_winners",
     "substring_winner_manifest",
+    "substring_winners",
     "segment_array",
     "minhash_signatures",
     "minhash_lsh_pairs",

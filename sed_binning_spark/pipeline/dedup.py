@@ -823,6 +823,33 @@ def dedup_substrings(
     which orders correctly for any values. String and other
     non-integral ids always use the struct path.
     """
+    winners = substring_winners(
+        df, text_column=text_column, id_column=id_column, window=window,
+        hash_function=hash_function, winner_packing=winner_packing,
+    )
+    return apply_substring_winners(
+        df, winners,
+        text_column=text_column, id_column=id_column, window=int(window),
+        check_unique_ids=check_unique_ids, loser_filtered=loser_filtered,
+    )
+
+
+def substring_winners(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    window: int = 50,
+    hash_function: str = "md5",
+    winner_packing: bool = True,
+) -> DataFrame:
+    """The winner pass of :func:`dedup_substrings` alone: the global
+    keep-first ``(id, start)`` row per distinct ``window``-token span —
+    the batch twin of ``dedup_substrings_stream``'s drained output, and
+    the frame to PERSIST for the manifest workflow (compute winners once,
+    cut :func:`substring_winner_manifest` while the frame is known
+    complete, re-apply later via :func:`apply_substring_winners` with
+    ``strict=True``). One map-side-combined window-hash shuffle; see
+    :func:`dedup_substrings` for the hashing and packing contracts."""
     for col, what in [(text_column, "text"), (id_column, "id")]:
         if col not in df.columns:
             raise ValueError(
@@ -839,13 +866,8 @@ def dedup_substrings(
         .select(F.col(id_column), toks_expr.alias("__tk")),
         [F.col(id_column)], w, hash_function, "h",
     )
-    winners = _keep_first_winners(
+    return _keep_first_winners(
         occ, df.schema[id_column].dataType, id_column, packing=winner_packing,
-    )
-    return apply_substring_winners(
-        df, winners,
-        text_column=text_column, id_column=id_column, window=w,
-        check_unique_ids=check_unique_ids, loser_filtered=loser_filtered,
     )
 
 

@@ -657,3 +657,20 @@ def test_strict_manifest_catches_shrunken_corpus_in_loser_plan(spark):
                 shrunk, winners, window=3, strict=True, manifest=manifest,
                 loser_filtered=lf,
             ).collect()
+
+
+def test_substring_winners_public_api_matches_stream_contract(spark):
+    """substring_winners (the persistable batch winner pass) feeds
+    apply_substring_winners to reproduce dedup_substrings exactly — the
+    round-trip the curation guide's manifest workflow relies on."""
+    from sed_binning_spark.pipeline.dedup import (
+        apply_substring_winners, substring_winners,
+    )
+
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    winners = substring_winners(df, window=3)
+    assert set(winners.columns) == {"doc_id", "start"}
+    via_api = sorted(map(tuple, apply_substring_winners(
+        df, winners, window=3).collect()))
+    direct = sorted(map(tuple, dedup_substrings(df, window=3).collect()))
+    assert via_api == direct
