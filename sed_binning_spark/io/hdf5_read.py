@@ -13,7 +13,8 @@ the reference's real fixtures ``Scan0030_2.h5`` /
   messages in the header); dense link storage (fractal heap) raises
 - datasets: contiguous and chunked layouts (layout message v3); chunk
   index = v1 B-tree (node type 1); filters deflate (zlib), shuffle,
-  fletcher32
+  fletcher32, and LZF (h5py's built-in filter 32000 — pure-Python
+  decoder from the public liblzf stream format)
 - datatypes: fixed-point and IEEE-float scalars (little/big endian),
   fixed-size and variable-length strings (attributes)
 - attributes (message 0x000C), including scalar numerics, strings, and
@@ -861,6 +862,100 @@ class H5File:
                 )
             elif fid == 3:        # fletcher32: trailing 4-byte checksum
                 raw = raw[:-4]
+            elif fid == 32000:    # LZF (h5py's built-in filter)
+                raw = _lzf_decompress(raw)
             else:
                 raise UnsupportedHDF5(f"filter id {fid}")
         return raw
+
+
+def _lzf_decompress(data: bytes) -> bytes:
+    """Pure-Python LZF decompression (h5py's built-in filter, id 32000;
+    the liblzf stream format is public: a control byte < 0x20 introduces
+    a literal run of ctrl+1 bytes, anything else a back-reference of
+    length (ctrl >> 5) [+ one extension byte when 7] + 2 at distance
+    ((ctrl & 0x1f) << 8 | next) + 1). Back-references may self-overlap
+    (run-length encoding), so they copy byte-ranged with an explicit
+    overlap loop; literal runs are slice copies. h5py stores chunks the
+    filter could not shrink UNCOMPRESSED with the chunk's filter-mask bit
+    set, so only genuine LZF streams reach here."""
+    out = bytearray()
+    pos, n = 0, len(data)
+    try:
+        while pos < n:
+            ctrl = data[pos]
+            pos += 1
+            if ctrl < 0x20:  # literal run
+                out += data[pos : pos + ctrl + 1]
+                if pos + ctrl + 1 > n:
+                    raise IndexError
+                pos += ctrl + 1
+            else:
+                length = ctrl >> 5
+                if length == 7:
+                    length += data[pos]
+                    pos += 1
+                length += 2
+                ref = len(out) - (((ctrl & 0x1F) << 8) | data[pos]) - 1
+                pos += 1
+                if ref < 0:
+                    raise IndexError
+                while length > 0:  # overlap-safe: copy what exists so far
+                    take = min(length, len(out) - ref)
+                    out += out[ref : ref + take]
+                    ref += take
+                    length -= take
+    except IndexError as exc:
+        raise UnsupportedHDF5(
+            "truncated or corrupt HDF5 file (LZF chunk reads past its "
+            "bounds)",
+        ) from exc
+    return bytes(out)
+
+
+def _lzf_compress(data: bytes) -> bytes:
+    """Greedy LZF compression (the encoder half, for fixtures and the
+    writer's tests): hash-chained longest-match search emitting the same
+    stream grammar _lzf_decompress reads. Format-compatible with liblzf,
+    not byte-identical to it — any valid stream decodes the same."""
+    out = bytearray()
+    lit = bytearray()
+    table: dict[bytes, int] = {}
+    pos, n = 0, len(data)
+
+    def flush_literals() -> None:
+        i = 0
+        while i < len(lit):
+            run = lit[i : i + 32]
+            out.append(len(run) - 1)
+            out.extend(run)
+            i += 32
+        lit.clear()
+
+    while pos < n:
+        key = bytes(data[pos : pos + 3])
+        ref = table.get(key) if len(key) == 3 else None
+        if ref is not None and 0 <= pos - ref - 1 < (1 << 13):
+            length = 3
+            limit = min(n - pos, 264)  # max encodable: 7 + 255 + 2
+            while length < limit and data[ref + length] == data[pos + length]:
+                length += 1
+            flush_literals()
+            dist = pos - ref - 1
+            ctl_len = length - 2
+            if ctl_len < 7:
+                out.append((ctl_len << 5) | (dist >> 8))
+            else:
+                out.append((7 << 5) | (dist >> 8))
+                out.append(ctl_len - 7)
+            out.append(dist & 0xFF)
+            for k in range(pos, min(pos + length, n - 2)):
+                table[bytes(data[k : k + 3])] = k
+            pos += length
+        else:
+            if len(key) == 3:
+                table[key] = pos
+            lit.append(data[pos])
+            pos += 1
+    flush_literals()
+    return bytes(out)

@@ -563,3 +563,42 @@ def test_reader_names_truncated_files(tmp_path):
             f = H5File(str(p))
             for q in f.visit():
                 f.read(q)
+
+
+def test_lzf_filter_roundtrip_and_pipeline():
+    """LZF (filter 32000, h5py's built-in): the pure-Python decoder
+    inverts the greedy encoder for adversarial byte streams (empty,
+    incompressible, all-zero, short-period RLE that forces overlapping
+    back-references), composes with shuffle in pipeline order, and
+    truncated/corrupt streams raise the named corruption error."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sed_binning_spark.io.hdf5_read import (
+        H5File, UnsupportedHDF5, _lzf_compress, _lzf_decompress,
+    )
+
+    for c in (b"", b"a", b"abc" * 500, b"\x00" * 4096, b"ab" * 3000,
+              bytes(range(256)) * 40):
+        assert _lzf_decompress(_lzf_compress(c)) == c
+
+    @given(st.binary(max_size=5000), st.integers(1, 5))
+    @settings(max_examples=50, deadline=None)
+    def _prop(data, period):
+        blob = data + (data[:period] or b"x") * 40 + data
+        assert _lzf_decompress(_lzf_compress(blob)) == blob
+
+    _prop()
+
+    values = np.arange(1000, dtype="<i4")
+    shuffled = np.frombuffer(values.tobytes(), np.uint8).reshape(-1, 4).T.tobytes()
+    out = H5File._defilter(_lzf_compress(shuffled), [(2, [4]), (32000, [])], 0, 4)
+    np.testing.assert_array_equal(np.frombuffer(out, "<i4"), values)
+    # filter_mask bit set = chunk stored raw (what h5py does when LZF
+    # cannot shrink it)
+    raw = H5File._defilter(shuffled, [(2, [4]), (32000, [])], 2, 4)
+    np.testing.assert_array_equal(np.frombuffer(raw, "<i4"), values)
+
+    for bad in (b"\xff\xff", b"\x05ab", b"\x00"):
+        with pytest.raises(UnsupportedHDF5, match="LZF"):
+            _lzf_decompress(bad)
