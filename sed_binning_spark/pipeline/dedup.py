@@ -855,6 +855,8 @@ def substring_winners(
             raise ValueError(
                 f"{what} column {col!r} not in dataframe (columns: {df.columns})",
             )
+    if window < 2:
+        raise ValueError(f"window must be >= 2 tokens, got {window}")
     w = int(window)
     text = F.col(text_column)
     toks_expr = whitespace_tokens(text)
@@ -1089,6 +1091,32 @@ def apply_substring_winners(
         base = df.join(F.broadcast(dup_ids), on=id_column, how="left")
     else:
         base = df.withColumn("__n_rows_ss", F.lit(None).cast("bigint"))
+    if manifest is not None:
+        # manifest-side orphan guard: a document that shrank BELOW the
+        # window, had its text nulled, or was deleted outright leaves the
+        # corpus's windowed projection entirely — no corpus row can carry
+        # its mismatch, so the check must come FROM the manifest: any
+        # manifest doc with no windowed corpus doc raises (via a
+        # broadcast 0-or-1-row flag joined onto every output row; an
+        # entirely empty output cannot raise — row-level guards need a
+        # row to fire on).
+        nw_guard = (
+            df.where(F.col(id_column).isNotNull() & text.isNotNull())
+            .select(F.col(id_column))
+            .where(F.size(toks_expr) >= w)
+        )
+        orphan = F.broadcast(
+            manifest.select(F.col(id_column))
+            .join(nw_guard, on=id_column, how="left_anti")
+            .limit(1)
+            .select(
+                F.lit(1).alias("__mguard"),
+                F.col(id_column).cast("string").alias("__orphan_id"),
+            ),
+        )
+        base = base.withColumn("__mguard", F.lit(1)).join(
+            orphan, on="__mguard", how="left",
+        ).drop("__mguard")
     base_cols = [id_column] + [c for c in df.columns if c != id_column]
 
     # the raise chain shared by every leg: a when() cascade whose raise
@@ -1099,6 +1127,22 @@ def apply_substring_winners(
         F.col(id_column).cast("string"),
         F.lit(" violates the unique-id contract"),
     )).cast("string")
+
+    def _orphan_chain(chain):
+        if manifest is None:
+            return chain
+        return chain.when(
+            F.col("__orphan_id").isNotNull(),
+            F.raise_error(F.concat(
+                F.lit("apply_substring_winners(strict=True): document "),
+                F.col("__orphan_id"),
+                F.lit(
+                    " is in the manifest but has no windows in this "
+                    "corpus — it shrank below the window, lost its text, "
+                    "or was deleted since the manifest was cut",
+                ),
+            )).cast("string"),
+        )
 
     if not loser_filtered:
         win_starts = winners.groupBy(id_column).agg(
@@ -1116,7 +1160,7 @@ def apply_substring_winners(
             )
         out = out.withColumn("__tk2", toks_expr)
         tk2 = F.col("__tk2")
-        chain = F.when(F.lit(False), F.lit(None).cast("string"))
+        chain = _orphan_chain(F.when(F.lit(False), F.lit(None).cast("string")))
         if strict and manifest is not None:
             # every check is row-local: observed window count from the
             # bound token array, observed win count from the collected
@@ -1196,7 +1240,7 @@ def apply_substring_winners(
 
     out = base.join(losers, on=id_column, how="left")
     out = out.withColumn("__tk2", toks_expr)
-    chain = F.when(F.lit(False), F.lit(None).cast("string"))
+    chain = _orphan_chain(F.when(F.lit(False), F.lit(None).cast("string")))
     if strict and manifest is not None:
         loser_row = F.col("__n_windows").isNotNull()
         chain = chain.when(

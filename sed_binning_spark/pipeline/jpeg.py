@@ -282,6 +282,12 @@ def decode_image_jpeg(data: bytes, max_pixels: int | None = None) -> np.ndarray:
                 huff[(tc, th)] = _build_huffman(bits, values)
                 p += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if frame is not None:
+                # T.81 allows ONE frame per image. Accepting a second SOF
+                # would also reset the progressive scan-count cap
+                # (n_scans lives on the frame), reopening the scan-flood
+                # CPU hole the cap closes.
+                raise ValueError("multiple SOF markers in one image")
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise ValueError(f"{prec}-bit JPEG not supported")

@@ -1221,3 +1221,14 @@ def test_jpeg_adversarial_tables_and_scan_floods_stay_typed():
     with pytest.raises(ValueError, match="progressive scans"):
         decode_image_jpeg(flood)
     assert decode_payload(flood, 8)[0] == 0.0
+
+    # repeating the whole SOF+scan block must not reset the scan cap
+    # (T.81 allows one frame per image; a second SOF refuses)
+    sof = good.index(b"\xff\xc2")
+    (slen,) = struct.unpack_from(">H", good, sof + 2)
+    sof_flood = (good[:eoi]
+                 + (good[sof : sof + 2 + slen] + good[sos:eoi]) * 40
+                 + b"\xff\xd9")
+    with pytest.raises(ValueError, match="multiple SOF"):
+        decode_image_jpeg(sof_flood)
+    assert decode_payload(sof_flood, 8)[0] == 0.0

@@ -464,10 +464,9 @@ def test_strict_manifest_distinguishes_full_dup_from_drain(spark):
     still aborts on a genuinely partial winner frame, a missing manifest
     row, and a corpus edited since the manifest was cut."""
     from sed_binning_spark.pipeline.dedup import (
-        _keep_first_winners, _occ_window_explode, apply_substring_winners,
-        substring_winner_manifest,
+        apply_substring_winners, substring_winner_manifest,
+        substring_winners,
     )
-    from sed_binning_spark.pipeline.text import whitespace_tokens
 
     rows = [
         (1, "a b c d e"),
@@ -475,20 +474,7 @@ def test_strict_manifest_distinguishes_full_dup_from_drain(spark):
         (3, "p q r s t"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-
-    def _winners(frame):
-        occ = _occ_window_explode(
-            frame.where(
-                F.col("doc_id").isNotNull() & F.col("text").isNotNull(),
-            ).select(
-                "doc_id", whitespace_tokens(F.col("text")).alias("__tk"),
-            ),
-            [F.col("doc_id")], 3, "md5", "h",
-        )
-        return _keep_first_winners(occ, frame.schema["doc_id"].dataType,
-                                   "doc_id")
-
-    winners = _winners(df)
+    winners = substring_winners(df, window=3)
     manifest = substring_winner_manifest(df, winners, window=3)
 
     for lf in (False, True):
@@ -632,20 +618,14 @@ def test_strict_manifest_catches_shrunken_corpus_in_loser_plan(spark):
     the loser-filtered build side must include manifest disagreements
     explicitly or the check silently never fires."""
     from sed_binning_spark.pipeline.dedup import (
-        _keep_first_winners, _occ_window_explode, apply_substring_winners,
-        substring_winner_manifest,
+        apply_substring_winners, substring_winner_manifest,
+        substring_winners,
     )
-    from sed_binning_spark.pipeline.text import whitespace_tokens
 
     orig = spark.createDataFrame(
         [(1, "a b c d e"), (3, "p q r s t u")], "doc_id long, text string",
     )
-    occ = _occ_window_explode(
-        orig.select("doc_id", whitespace_tokens(F.col("text")).alias("__tk")),
-        [F.col("doc_id")], 3, "md5", "h",
-    )
-    winners = _keep_first_winners(occ, orig.schema["doc_id"].dataType,
-                                  "doc_id")
+    winners = substring_winners(orig, window=3)
     manifest = substring_winner_manifest(orig, winners, window=3)
     shrunk = spark.createDataFrame(
         [(1, "a b c d e"), (3, "p q r s t")],  # doc 3 lost a token
@@ -657,6 +637,25 @@ def test_strict_manifest_catches_shrunken_corpus_in_loser_plan(spark):
                 shrunk, winners, window=3, strict=True, manifest=manifest,
                 loser_filtered=lf,
             ).collect()
+    # a doc that shrank BELOW the window, lost its text, or was deleted
+    # leaves the corpus's windowed projection entirely — no corpus row
+    # carries its mismatch, so the MANIFEST-side orphan guard must raise
+    cases = [
+        [(1, "a b c d e"), (3, "p q")],    # below window
+        [(1, "a b c d e"), (3, None)],     # text nulled
+        [(1, "a b c d e")],                # deleted outright
+    ]
+    for lf in (False, True):
+        for rows in cases:
+            bad = spark.createDataFrame(rows, "doc_id long, text string")
+            with pytest.raises(Exception, match="no windows in this corpus"):
+                apply_substring_winners(
+                    bad, winners, window=3, strict=True, manifest=manifest,
+                    loser_filtered=lf,
+                ).collect()
+    # the new public API validates its window like its siblings
+    with pytest.raises(ValueError, match="window"):
+        substring_winners(orig, window=1)
 
 
 def test_substring_winners_public_api_matches_stream_contract(spark):
