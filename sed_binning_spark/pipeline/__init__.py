@@ -63,6 +63,7 @@ from sed_binning_spark.pipeline.similarity import (
     cosine_topk,
     lsh_bucket_pairs,
 )
+from sed_binning_spark.pipeline.bpe import bpe_encode, bpe_train, bpe_vocab
 from sed_binning_spark.pipeline.multimodal import (
     extract_features,
     frame_sample_plan,
@@ -112,6 +113,9 @@ __all__ = [
     "dedup_segments",
     "dedup_substrings",
     "apply_substring_winners",
+    "bpe_train",
+    "bpe_encode",
+    "bpe_vocab",
     "substring_winner_manifest",
     "substring_winners",
     "segment_array",

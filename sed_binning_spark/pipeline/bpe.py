@@ -1,0 +1,193 @@
+"""Byte-pair-encoding tokenizer: driver-trained, cluster-applied.
+
+The engine's packing/LM/token-budget operators all accept precomputed
+token arrays (``token_array_column``), so any external tokenizer plugs
+in — but a pipeline should also be self-sufficient when no tokenizer
+artifact exists yet. This module provides the classic BPE of Sennrich et
+al. 2016 ("Neural Machine Translation of Rare Words with Subword
+Units") in the repo's standard estimation split:
+
+- :func:`bpe_train` fits the merge table DRIVER-SIDE on a bounded seeded
+  sample (the :func:`~sed_binning_spark.pipeline.similarity.
+  ivf_train_centroids` posture: model estimation is small-data, the
+  corpus itself never leaves the cluster). The sample is a seeded random
+  top-k — ``orderBy(rand(seed)).limit`` compiles to TakeOrdered — NOT a
+  bare ``limit()``, which would train the vocabulary on whatever
+  partitions happen to come first in a source-clustered corpus.
+- :func:`bpe_encode` applies the merges cluster-side as one map-only
+  Arrow-batched ``pandas_udf`` over the shared regex pre-tokenizer
+  (:data:`~sed_binning_spark.pipeline.text.BPE_TOKEN_RE`): merge ranks
+  broadcast with the closure, a per-batch word→subwords memo exploits
+  the Zipfian word distribution (cache hits dominate on real text), no
+  shuffle, no driver traffic. This is a legitimate Python crossing under
+  the §2.9 UDF policy — iterative rank-ordered pair merging is not
+  expressible as Catalyst expressions.
+
+Token convention (Sennrich): each pre-token's character sequence gets an
+``</w>`` end-of-word marker appended to its last symbol before merging,
+so subwords like ``"ing</w>"`` mark word ends and
+``concat(tokens).replace("</w>", " ")`` reconstructs the pre-token
+stream exactly — pinned by the round-trip property test. Determinism:
+merge selection breaks count ties by lexicographic pair order, so a
+(sample, seed, num_merges) triple always yields the same table on any
+machine; the output token arrays feed ``pack_sequences`` /
+``unigram_model`` via their ``token_array_column`` hook.
+
+No reference counterpart (LLM-curation extension surface, like
+pipeline.dedup / pipeline.lm).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sed_binning_spark.pipeline.text import BPE_TOKEN_RE
+
+_EOW = "</w>"
+
+
+def bpe_train(
+    df: DataFrame,
+    text_column: str = "text",
+    num_merges: int = 1000,
+    sample_size: int = 50_000,
+    seed: int = 42,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from a seeded bounded sample of the
+    corpus; returns the ordered merge list (rank = position). Training
+    stops early when no pair occurs twice — merging hapax pairs would
+    just memorize the sample."""
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    if text_column not in df.columns:
+        raise ValueError(
+            f"text column {text_column!r} not in dataframe "
+            f"(columns: {df.columns})",
+        )
+    pdf = (
+        df.select(F.col(text_column).alias("t"))
+        .where(F.col("t").isNotNull())
+        .orderBy(F.rand(seed))
+        .limit(int(sample_size))
+        .select(F.regexp_extract_all("t", F.lit(BPE_TOKEN_RE), 0).alias("w"))
+        .toPandas()
+    )
+    word_freq: Counter = Counter()
+    for words in pdf["w"]:
+        word_freq.update(words)
+    # word -> tuple of symbols (chars, last char carrying the </w> marker)
+    vocab: dict[tuple[str, ...], int] = {}
+    for word, freq in word_freq.items():
+        syms = tuple(word[:-1]) + (word[-1] + _EOW,)
+        vocab[syms] = vocab.get(syms, 0) + freq
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(num_merges)):
+        pairs: Counter = Counter()
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq
+        if not pairs:
+            break
+        # deterministic: highest count, ties to the lexicographically
+        # smallest pair — (sample, seed, num_merges) pins the table
+        best, n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0]),
+        )
+        if n < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, freq in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and syms[i] == best[0] and syms[i + 1] == best[1]):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merges to one pre-token, lowest-rank pair first (the classic
+    greedy BPE application order — identical to training order, so a
+    trained word re-encodes to its training-time segmentation)."""
+    syms = list(word[:-1]) + [word[-1] + _EOW]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_column: str = "text",
+    output_column: str = "bpe_tokens",
+) -> DataFrame:
+    """Append ``output_column`` (``array<string>`` subword tokens, word
+    ends marked ``</w>``) — map-only: regex pre-tokenization is a
+    Catalyst expression, the merge application an Arrow-batched
+    ``pandas_udf`` with a per-batch word memo. NULL text encodes to a
+    NULL array. Feed the result to ``pack_sequences(...,
+    token_array_column=...)`` or ``unigram_model(...,
+    token_array_column=...)``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if text_column not in df.columns:
+        raise ValueError(
+            f"text column {text_column!r} not in dataframe "
+            f"(columns: {df.columns})",
+        )
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    def _encode_fn(words):
+        memo: dict[str, list[str]] = {}
+        out = []
+        for ws in words:
+            if ws is None:
+                out.append(None)
+                continue
+            toks: list[str] = []
+            for w in ws:
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = _encode_word(w, ranks)
+                toks.extend(got)
+            out.append(toks)
+        return pd.Series(out)
+
+    _encode_fn.__annotations__ = {"words": pd.Series, "return": pd.Series}
+    _encode = pandas_udf(_encode_fn, "array<string>")
+    pre = F.when(
+        F.col(text_column).isNotNull(),
+        F.regexp_extract_all(F.col(text_column), F.lit(BPE_TOKEN_RE), 0),
+    )
+    return df.withColumn(output_column, _encode(pre))
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
+    """The merged-symbol vocabulary a merge table induces (one entry per
+    merge, in rank order) — what a packing/embedding stage sizes by.
+    Single characters and unseen-character fallbacks are open-class by
+    construction (BPE never fails to encode; unknown characters pass
+    through as single-symbol tokens)."""
+    return [a + b for a, b in merges]
