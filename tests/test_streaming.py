@@ -695,3 +695,52 @@ def test_dedup_substrings_stream_matches_batch_with_sink_rebuild(tmp_path, spark
     }
     assert via_stream == via_batch
     assert via_stream[3] == ("", 5)  # doc 3 fully covered by doc 1's window
+
+
+def test_extract_features_runs_on_a_structured_stream(tmp_path, spark):
+    """The multimodal featurizer is a stateless mapInPandas stage, so the
+    SAME plan ingests a live media stream unchanged: real codec decode
+    (PNG + PPM + byte-stats fallback) per micro-batch, one batch per
+    file, results identical to the batch run over the union."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.multimodal import (
+        FEATURE_SCHEMA,
+        encode_image_png,
+        encode_image_ppm,
+        extract_features,
+    )
+
+    img = np.full((3, 5, 3), 64, np.uint8)
+    root = tmp_path / "media_in"
+    root.mkdir()
+    pd.DataFrame({
+        "media_id": [0, 1],
+        "payload": [bytes(encode_image_ppm(img)), b"plain text"],
+    }).to_parquet(root / "chunk_0.parquet")
+    pd.DataFrame({
+        "media_id": [2],
+        "payload": [bytes(encode_image_png(img, interlace=True))],
+    }).to_parquet(root / "chunk_1.parquet")
+
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1).parquet(str(root))
+    )
+    q = (
+        extract_features(stream, feature_dim=8)
+        .writeStream.format("memory").queryName("media_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM media_stream").toPandas()
+           .set_index("media_id").sort_index())
+    batch = (extract_features(
+        spark.read.parquet(str(root)), feature_dim=8,
+    ).toPandas().set_index("media_id").sort_index())
+    assert list(got.index) == [0, 1, 2]
+    for mid in got.index:
+        assert list(got.loc[mid, "feat"]) == list(batch.loc[mid, "feat"])
+    # PNG (interlaced) and PPM decode to the same raster stats
+    assert list(got.loc[2, "feat"]) == list(got.loc[0, "feat"])
+    assert got.loc[1, "feat"][0] == 0.0  # byte-stats fallback
