@@ -39,12 +39,13 @@ pipeline.dedup / pipeline.lm).
 
 from __future__ import annotations
 
+import heapq
 from collections import Counter
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sed_binning_spark.pipeline.text import BPE_TOKEN_RE
+from sed_binning_spark.pipeline.text import bpe_tokens
 
 _EOW = "</w>"
 
@@ -67,42 +68,64 @@ def bpe_train(
             f"text column {text_column!r} not in dataframe "
             f"(columns: {df.columns})",
         )
+    # the corpus never leaves the cluster: the seeded sample explodes and
+    # aggregates to a (word, count) histogram CLUSTER-SIDE, and only that
+    # few-MB unique-word table reaches the driver — a naive toPandas of
+    # the token arrays would ship GBs for the documented 200k-doc sample
     pdf = (
         df.select(F.col(text_column).alias("t"))
         .where(F.col("t").isNotNull())
         .orderBy(F.rand(seed))
         .limit(int(sample_size))
-        .select(F.regexp_extract_all("t", F.lit(BPE_TOKEN_RE), 0).alias("w"))
+        .select(F.explode(bpe_tokens(F.col("t"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
         .toPandas()
     )
-    word_freq: Counter = Counter()
-    for words in pdf["w"]:
-        word_freq.update(words)
-    # word -> tuple of symbols (chars, last char carrying the </w> marker)
-    vocab: dict[tuple[str, ...], int] = {}
-    for word, freq in word_freq.items():
-        syms = tuple(word[:-1]) + (word[-1] + _EOW,)
-        vocab[syms] = vocab.get(syms, 0) + freq
+
+    # word index -> (mutable symbol list, freq); incremental pair stats
+    # (pair -> count, pair -> containing-word set) with a lazy max-heap:
+    # the Sennrich reference structure. A rescan-everything loop is
+    # O(num_merges x total symbols) — hours of driver time at the
+    # documented 32k merges; this is O(touched words) per merge.
+    words: list[list[str]] = []
+    freqs: list[int] = []
+    for word, freq in zip(pdf["w"], pdf["n"]):
+        words.append(list(word[:-1]) + [word[-1] + _EOW])
+        freqs.append(int(freq))
+
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(words):
+        f = freqs[wi]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += f
+            pair_words.setdefault(p, set()).add(wi)
+    # heap entries are (-count, pair); stale entries are skipped lazily
+    # by checking against the live count. Determinism: highest count,
+    # ties to the lexicographically smallest pair — (sample, seed,
+    # num_merges) pins the table.
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
 
     merges: list[tuple[str, str]] = []
-    for _ in range(int(num_merges)):
-        pairs: Counter = Counter()
-        for syms, freq in vocab.items():
-            for a, b in zip(syms, syms[1:]):
-                pairs[(a, b)] += freq
-        if not pairs:
-            break
-        # deterministic: highest count, ties to the lexicographically
-        # smallest pair — (sample, seed, num_merges) pins the table
-        best, n = min(
-            pairs.items(), key=lambda kv: (-kv[1], kv[0]),
-        )
-        if n < 2:
-            break
+    while len(merges) < int(num_merges) and heap:
+        negc, best = heapq.heappop(heap)
+        if pair_counts.get(best, 0) != -negc:
+            continue  # stale
+        if -negc < 2:
+            break  # merging hapax pairs would just memorize the sample
         merges.append(best)
         merged = best[0] + best[1]
-        new_vocab: dict[tuple[str, ...], int] = {}
-        for syms, freq in vocab.items():
+        touched: set[tuple[str, str]] = set()
+        for wi in list(pair_words.get(best, ())):
+            syms, f = words[wi], freqs[wi]
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= f
+                touched.add(p)
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(wi)
             out = []
             i = 0
             while i < len(syms):
@@ -113,9 +136,18 @@ def bpe_train(
                 else:
                     out.append(syms[i])
                     i += 1
-            key = tuple(out)
-            new_vocab[key] = new_vocab.get(key, 0) + freq
-        vocab = new_vocab
+            words[wi] = out
+            for p in zip(out, out[1:]):
+                pair_counts[p] += f
+                touched.add(p)
+                pair_words.setdefault(p, set()).add(wi)
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c <= 0:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
+            else:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 
@@ -158,6 +190,7 @@ def bpe_encode(
             f"(columns: {df.columns})",
         )
     ranks = {tuple(p): i for i, p in enumerate(merges)}
+    pre = bpe_tokens(F.col(text_column))
 
     def _encode_fn(words):
         memo: dict[str, list[str]] = {}
@@ -177,17 +210,19 @@ def bpe_encode(
 
     _encode_fn.__annotations__ = {"words": pd.Series, "return": pd.Series}
     _encode = pandas_udf(_encode_fn, "array<string>")
-    pre = F.when(
-        F.col(text_column).isNotNull(),
-        F.regexp_extract_all(F.col(text_column), F.lit(BPE_TOKEN_RE), 0),
-    )
     return df.withColumn(output_column, _encode(pre))
 
 
 def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
-    """The merged-symbol vocabulary a merge table induces (one entry per
-    merge, in rank order) — what a packing/embedding stage sizes by.
-    Single characters and unseen-character fallbacks are open-class by
-    construction (BPE never fails to encode; unknown characters pass
-    through as single-symbol tokens)."""
-    return [a + b for a, b in merges]
+    """The vocabulary a merge table induces: the BASE symbols its merges
+    were built from (single characters and their ``</w>`` forms, sorted)
+    followed by the merged symbols in rank order. The encoder's output is
+    drawn from this list EXCEPT for characters the training sample never
+    saw — BPE never fails to encode, so unseen characters pass through as
+    single-symbol tokens; an id table built from this vocabulary still
+    needs one UNK/byte-fallback row for them."""
+    results = {a + b for a, b in merges}
+    bases = sorted({
+        s for pair in merges for s in pair if s not in results
+    })
+    return bases + [a + b for a, b in merges]

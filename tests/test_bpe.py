@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import re
 
-import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -32,11 +31,18 @@ def test_bpe_train_learns_the_classic_example(spark):
     assert merges == bpe_train(df, num_merges=50, sample_size=100, seed=1)
     # 'est</w>' must assemble within the first few merges (newest+widest
     # dominate the pair counts)
-    vocab = bpe_vocab(merges)
-    assert any(v.endswith("est</w>") for v in vocab[:6]), vocab
-    assert any(v == "low" or v == "lo" for v in vocab[:8]), vocab
+    merged = [a + b for a, b in merges]
+    assert any(v.endswith("est</w>") for v in merged[:6]), merged
+    assert any(v == "low" or v == "lo" for v in merged[:8]), merged
     # early stop: far fewer merges than requested on this tiny corpus
     assert len(merges) < 50
+    # the induced vocabulary = base symbols (sorted) then merges in rank
+    # order — an id table sized by it covers every trained symbol
+    vocab = bpe_vocab(merges)
+    assert vocab[len(vocab) - len(merged):] == merged
+    bases = vocab[: len(vocab) - len(merged)]
+    assert bases == sorted(bases)
+    assert all(len(b) == 1 or b.endswith("</w>") for b in bases), bases
 
 
 def test_bpe_encode_round_trips_and_matches_training(spark):

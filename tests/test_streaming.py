@@ -705,7 +705,6 @@ def test_extract_features_runs_on_a_structured_stream(tmp_path, spark):
     import numpy as np
 
     from sed_binning_spark.pipeline.multimodal import (
-        FEATURE_SCHEMA,
         encode_image_png,
         encode_image_ppm,
         extract_features,
