@@ -116,30 +116,76 @@ def decode_image_bmp(data: bytes) -> np.ndarray:
     return img[..., ::-1]  # BGR -> RGB
 
 
+# WAVE_FORMAT_EXTENSIBLE SubFormat GUID tail (the leading 2 bytes carry
+# the actual format code)
+_WAV_GUID_TAIL = bytes.fromhex("000000001000800000aa00389b71")
+
+
 def decode_audio_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode a PCM-16 RIFF/WAVE payload into ((n_samples, n_channels)
-    int16 array, sample_rate). Walks the chunk list properly (fmt/data can
-    be preceded by LIST etc.; chunk sizes pad to even)."""
+    """Decode a RIFF/WAVE payload into ((n_samples, n_channels) int16
+    array, sample_rate) — every value rescaled to the int16 range so the
+    featurizer's normalization contract holds for all source formats:
+
+    - PCM (format 1): 8-bit unsigned (offset-binary), 16-bit, 24-bit,
+      and 32-bit signed integers (wider widths keep their high 16 bits);
+    - IEEE float (format 3): 32- and 64-bit, clipped to [-1, 1] then
+      scaled by 32767;
+    - WAVE_FORMAT_EXTENSIBLE (format 0xFFFE): the real format comes from
+      the SubFormat GUID's leading code, dispatched to the above.
+
+    Walks the chunk list properly (fmt/data can be preceded by LIST
+    etc.; chunk sizes pad to even); anything else refuses loudly and
+    degrades to byte stats through decode_payload."""
     if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, raw = 12, None, None
+    pos, fmt, ext, raw = 12, None, b"", None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            ext = bytes(body[16:])
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)
     if fmt is None or raw is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise ValueError("only PCM-16 WAV supported")
     if n_channels < 1:
         raise ValueError("WAV fmt chunk declares zero channels")
-    samples = np.frombuffer(raw, dtype="<i2")
+    if audio_format == 0xFFFE:  # extensible: real format in the GUID
+        if len(ext) < 24 or ext[10:24] != _WAV_GUID_TAIL:
+            raise ValueError("WAVE_FORMAT_EXTENSIBLE with unknown SubFormat")
+        audio_format = struct.unpack_from("<H", ext, 8)[0]
+    if audio_format == 1:  # integer PCM
+        if bits == 16:
+            samples = np.frombuffer(raw, dtype="<i2")
+        elif bits == 8:
+            samples = ((np.frombuffer(raw, np.uint8).astype(np.int16) - 128)
+                       << 8)
+        elif bits == 24:
+            b3 = np.frombuffer(raw, np.uint8)
+            b3 = b3[: b3.size // 3 * 3].reshape(-1, 3).astype(np.int32)
+            v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+            v = (v ^ 0x800000) - 0x800000  # sign-extend 24 -> 32
+            samples = (v >> 8).astype(np.int16)
+        elif bits == 32:
+            samples = (np.frombuffer(raw, dtype="<i4") >> 16).astype(np.int16)
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            f = np.frombuffer(raw, dtype="<f4")
+        elif bits == 64:
+            f = np.frombuffer(raw, dtype="<f8")
+        else:
+            raise ValueError(f"unsupported float bit depth {bits}")
+        f = np.nan_to_num(f.astype(np.float64), nan=0.0,
+                          posinf=1.0, neginf=-1.0)
+        samples = np.round(np.clip(f, -1.0, 1.0) * 32767.0).astype(np.int16)
+    else:
+        raise ValueError(f"unsupported WAV format code {audio_format}")
     n = samples.size // n_channels * n_channels
     return samples[:n].reshape(-1, n_channels), sample_rate
 
@@ -520,15 +566,51 @@ def encode_image_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
 
 
-def encode_audio_wav(samples: np.ndarray, sample_rate: int) -> bytes:
-    """Inverse of :func:`decode_audio_wav`: minimal PCM-16 WAV container."""
+def encode_audio_wav(
+    samples: np.ndarray,
+    sample_rate: int,
+    fmt: str = "pcm16",
+) -> bytes:
+    """Inverse of :func:`decode_audio_wav` for fixtures: ``fmt`` picks the
+    container variant — "pcm16" (default), "pcm8", "pcm24", "pcm32",
+    "float32", "float64", or "ext-pcm16" (WAVE_FORMAT_EXTENSIBLE wrapping
+    16-bit PCM). Integer inputs are int16 values scaled up to the target
+    width; float formats take the int16 values / 32767."""
     s = np.ascontiguousarray(np.atleast_2d(samples.T).T, dtype="<i2")
     n_channels = s.shape[1] if s.ndim == 2 else 1
-    raw = s.tobytes()
-    byte_rate = sample_rate * n_channels * 2
-    hdr = b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
-    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_channels, sample_rate,
-                                 byte_rate, n_channels * 2, 16)
+    if fmt == "pcm16" or fmt == "ext-pcm16":
+        raw, code, bits = s.tobytes(), 1, 16
+    elif fmt == "pcm8":
+        raw = ((s.astype(np.int32) >> 8) + 128).astype(np.uint8).tobytes()
+        code, bits = 1, 8
+    elif fmt == "pcm24":
+        v = (s.astype(np.int32) << 8).reshape(-1)
+        b = np.zeros((v.size, 3), np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        raw, code, bits = b.tobytes(), 1, 24
+    elif fmt == "pcm32":
+        raw = (s.astype(np.int32) << 16).astype("<i4").tobytes()
+        code, bits = 1, 32
+    elif fmt in ("float32", "float64"):
+        f = s.astype(np.float64) / 32767.0
+        raw = f.astype("<f4" if fmt == "float32" else "<f8").tobytes()
+        code, bits = 3, 32 if fmt == "float32" else 64
+    else:
+        raise ValueError(f"unknown WAV fixture format {fmt!r}")
+    width = bits // 8
+    byte_rate = sample_rate * n_channels * width
+    if fmt == "ext-pcm16":
+        fmt_body = struct.pack("<HHIIHH", 0xFFFE, n_channels, sample_rate,
+                               byte_rate, n_channels * width, bits)
+        fmt_body += struct.pack("<HHI", 22, bits, 0)
+        fmt_body += struct.pack("<H", 1) + _WAV_GUID_TAIL
+    else:
+        fmt_body = struct.pack("<HHIIHH", code, n_channels, sample_rate,
+                               byte_rate, n_channels * width, bits)
+    hdr = b"RIFF" + struct.pack("<I", 20 + len(fmt_body) + len(raw)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
     hdr += b"data" + struct.pack("<I", len(raw))
     return hdr + raw
 

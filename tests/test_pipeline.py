@@ -1232,3 +1232,40 @@ def test_jpeg_adversarial_tables_and_scan_floods_stay_typed():
     with pytest.raises(ValueError, match="multiple SOF"):
         decode_image_jpeg(sof_flood)
     assert decode_payload(sof_flood, 8)[0] == 0.0
+
+
+def test_wav_format_matrix_roundtrips():
+    """decode_audio_wav covers the real audio-corpus container matrix —
+    8/16/24/32-bit PCM, float32/float64, WAVE_FORMAT_EXTENSIBLE — all
+    rescaled to the int16 featurizer contract; float specials (NaN/inf)
+    clamp instead of poisoning the stats; unknown codes degrade."""
+    import struct as st
+
+    import numpy as np
+
+    from sed_binning_spark.pipeline.multimodal import (
+        decode_audio_wav, decode_payload, encode_audio_wav,
+    )
+
+    rng = np.random.default_rng(6)
+    base = rng.integers(-32768, 32768, (400, 2)).astype(np.int16)
+    exact = {"pcm16", "ext-pcm16", "pcm24", "pcm32", "float64"}
+    for fmt in ("pcm16", "ext-pcm16", "pcm24", "pcm32", "pcm8",
+                "float32", "float64"):
+        got, rate = decode_audio_wav(encode_audio_wav(base, 22050, fmt=fmt))
+        assert rate == 22050 and got.shape == base.shape, fmt
+        err = np.abs(got.astype(int) - base.astype(int)).max()
+        assert err == 0 if fmt in exact else err <= 256, (fmt, err)
+        vec = decode_payload(encode_audio_wav(base, 22050, fmt=fmt), 8)
+        assert vec[0] == 2.0 and vec[1] == 400.0 and vec[2] == 22050.0, fmt
+
+    f = bytearray(encode_audio_wav(base[:4], 8000, fmt="float32"))
+    f[-16:-12] = st.pack("<f", float("nan"))
+    got, _ = decode_audio_wav(bytes(f))
+    assert got.ravel()[-4] == 0  # NaN -> silence, not a poisoned mean
+
+    bad = bytearray(encode_audio_wav(base, 8000))
+    st.pack_into("<H", bad, bad.index(b"fmt ") + 8 + 14, 12)  # 12-bit PCM
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_audio_wav(bytes(bad))
+    assert decode_payload(bytes(bad), 8)[0] == 0.0
