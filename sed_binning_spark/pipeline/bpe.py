@@ -216,11 +216,15 @@ def bpe_encode(
 def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
     """The vocabulary a merge table induces: the BASE symbols its merges
     were built from (single characters and their ``</w>`` forms, sorted)
-    followed by the merged symbols in rank order. The encoder's output is
-    drawn from this list EXCEPT for characters the training sample never
-    saw — BPE never fails to encode, so unseen characters pass through as
-    single-symbol tokens; an id table built from this vocabulary still
-    needs one UNK/byte-fallback row for them."""
+    followed by the merged symbols in rank order. Coverage contract: the
+    encoder's MULTI-character outputs are exactly the merged symbols, but
+    SINGLE-symbol outputs are open-class — characters the sample never
+    saw, and also in-sample symbols that never participated in any merge
+    (a high-frequency standalone word like ``"a"`` emits ``"a</w>"``,
+    which forms zero pairs and so never enters the merge table unless
+    some longer word merges it). An id table built from this list
+    therefore needs a character-level fallback for single-symbol tokens
+    generally, not just an UNK row for unseen characters."""
     results = {a + b for a, b in merges}
     bases = sorted({
         s for pair in merges for s in pair if s not in results

@@ -10,7 +10,7 @@ two decode modes:
   ``pipeline.jpeg``) and PNG
   (zlib inflate + filter reconstruction) — the two formats that dominate
   real crawl corpora — plus PPM (P6), uncompressed 24-bit BMP, and
-  PCM-16 WAV audio, dispatched by payload magic bytes; any other payload
+  WAV audio (the PCM/float/extensible matrix, one int16 contract), dispatched by payload magic bytes; any other payload
   gets honest byte-statistics features. No image/audio libraries exist
   in this environment, so every codec is written from the public
   specification with zlib/struct/NumPy alone; a Pillow/soundfile codec
@@ -702,7 +702,7 @@ def extract_features(
     payloads (binary columns dominate batch memory).
 
     ``decode_stub=False`` (the default) runs the real pure-NumPy codecs
-    (:func:`decode_payload`: PPM/BMP images, PCM-16 WAV audio, byte stats
+    (:func:`decode_payload`: PPM/BMP images, WAV audio (the PCM/float/extensible matrix, one int16 contract), byte stats
     otherwise); ``decode_stub=True`` opts into the deterministic md5 fake
     featurizer, kept only for plumbing fixtures that need an
     engine-agnostic reproducible vector.

@@ -1248,7 +1248,10 @@ def test_wav_format_matrix_roundtrips():
     )
 
     rng = np.random.default_rng(6)
-    base = rng.integers(-32768, 32768, (400, 2)).astype(np.int16)
+    # -32767 floor, NOT -32768: the float fixtures encode s/32767, so
+    # full-scale-negative would land at -1.0000305, clip, and decode to
+    # -32767 — a seed-dependent off-by-one trap for the exact set
+    base = rng.integers(-32767, 32768, (400, 2)).astype(np.int16)
     exact = {"pcm16", "ext-pcm16", "pcm24", "pcm32", "float64"}
     for fmt in ("pcm16", "ext-pcm16", "pcm24", "pcm32", "pcm8",
                 "float32", "float64"):
