@@ -9,8 +9,9 @@ the reference's real fixtures ``Scan0030_2.h5`` /
   offsets/lengths
 - object headers v1 (+ continuation blocks) and v2 (``OHDR``/``OCHK``)
 - groups: old-style v1 B-tree (node type 0) over SNOD symbol-table nodes
-  with names in a local heap, and new-style COMPACT link storage (link
-  messages in the header); dense link storage (fractal heap) raises
+  with names in a local heap; new-style COMPACT link storage (link
+  messages in the header); and new-style DENSE link storage (fractal
+  heap + type-5 name-index v2 B-tree, enumerated leaf-by-leaf)
 - datasets: contiguous and chunked layouts (layout message v3); chunk
   index = v1 B-tree (node type 1); filters deflate (zlib), shuffle,
   fletcher32, and LZF (h5py's built-in filter 32000 — pure-Python
@@ -18,7 +19,9 @@ the reference's real fixtures ``Scan0030_2.h5`` /
 - datatypes: fixed-point and IEEE-float scalars (little/big endian),
   fixed-size and variable-length strings (attributes)
 - attributes (message 0x000C), including scalar numerics, strings, and
-  NULL-dataspace (h5py.Empty) attributes (read as None)
+  NULL-dataspace (h5py.Empty) attributes (read as None); DENSE attribute
+  storage (message 0x0015: fractal heap + type-8 name-index v2 B-tree),
+  with v2 B-tree / fractal-heap checksums (Jenkins lookup3) verified
 - fill values (0x0004/0x0005): unwritten chunks/regions materialize the
   defined fill instead of assuming zeros
 
@@ -28,10 +31,11 @@ the reference's real fixtures ``Scan0030_2.h5`` /
   or relative, cycle-guarded; dangling links list as absent and raise
   KeyError only when followed
 
-NOT supported (all raise): fractal-heap (dense) links AND attributes,
-layout v4 chunk indexes, szip/n-bit filters, dataset regions, external
-links, shared (committed) datatypes/dataspaces, vlen members inside
-compounds, writes (see ``hdf5_write`` for the companion writer).
+NOT supported (all raise): layout v4 chunk indexes, szip/n-bit filters,
+dataset regions, external links, shared (committed) datatypes/dataspaces,
+vlen members inside compounds, filtered/huge/tiny/multi-level fractal
+heaps, v2 B-trees deeper than two levels, writes (see ``hdf5_write`` for
+the companion writer).
 Everything raises a clear ``UnsupportedHDF5`` rather than misreading.
 
 The point: a facility user's raw files open end-to-end on any executor
@@ -136,6 +140,192 @@ def _struct_guard(fn):
                 f"truncated or corrupt HDF5 file ({exc})",
             ) from exc
     return wrapper
+
+
+_M32 = 0xFFFFFFFF
+
+
+def _rot32(x: int, k: int) -> int:
+    return ((x << k) | (x >> (32 - k))) & _M32
+
+
+def jenkins_lookup3(data: bytes, init: int = 0) -> int:
+    """Bob Jenkins' lookup3 ``hashlittle`` (public domain, lookup3.c) —
+    the checksum/name-hash function every post-1.8 HDF5 metadata structure
+    uses (libhdf5's H5_checksum_lookup3). Pure Python over 12-byte blocks;
+    these are tiny metadata buffers, never event data."""
+    a = b = c = (0xDEADBEEF + len(data) + init) & _M32
+    i, length = 0, len(data)
+    while length > 12:
+        a = (a + int.from_bytes(data[i : i + 4], "little")) & _M32
+        b = (b + int.from_bytes(data[i + 4 : i + 8], "little")) & _M32
+        c = (c + int.from_bytes(data[i + 8 : i + 12], "little")) & _M32
+        a = (a - c) & _M32; a ^= _rot32(c, 4); c = (c + b) & _M32
+        b = (b - a) & _M32; b ^= _rot32(a, 6); a = (a + c) & _M32
+        c = (c - b) & _M32; c ^= _rot32(b, 8); b = (b + a) & _M32
+        a = (a - c) & _M32; a ^= _rot32(c, 16); c = (c + b) & _M32
+        b = (b - a) & _M32; b ^= _rot32(a, 19); a = (a + c) & _M32
+        c = (c - b) & _M32; c ^= _rot32(b, 4); b = (b + a) & _M32
+        i += 12
+        length -= 12
+    if length == 0:
+        return c  # lookup3's switch returns c untouched for an empty tail
+    tail = bytes(data[i : i + length]) + b"\x00" * (12 - length)
+    a = (a + int.from_bytes(tail[0:4], "little")) & _M32
+    b = (b + int.from_bytes(tail[4:8], "little")) & _M32
+    c = (c + int.from_bytes(tail[8:12], "little")) & _M32
+    c ^= b; c = (c - _rot32(b, 14)) & _M32
+    a ^= c; a = (a - _rot32(c, 11)) & _M32
+    b ^= a; b = (b - _rot32(a, 25)) & _M32
+    c ^= b; c = (c - _rot32(b, 16)) & _M32
+    a ^= c; a = (a - _rot32(c, 4)) & _M32
+    b ^= a; b = (b - _rot32(a, 14)) & _M32
+    c ^= b; c = (c - _rot32(b, 24)) & _M32
+    return c
+
+
+def _min_bytes(n: int) -> int:
+    """Least number of bytes that can represent ``n`` (≥1) — the sizing
+    rule the format spec uses for fractal-heap ID length fields and v2
+    B-tree child record counts."""
+    return max(1, (int(n).bit_length() + 7) // 8)
+
+
+def _verify_checksum(buf, addr: int, used: int, what: str) -> None:
+    """Trailing lookup3 checksum check for post-1.8 metadata blocks (the
+    stored sum sits immediately after the ``used`` content bytes)."""
+    (stored,) = struct.unpack_from("<I", buf, addr + used)
+    if jenkins_lookup3(buf[addr : addr + used]) != stored:
+        raise UnsupportedHDF5(
+            f"truncated or corrupt HDF5 file ({what} checksum mismatch)",
+        )
+
+
+class _FractalHeap:
+    """Managed-object fractal heap (format spec III.G: 'FRHP' header, then
+    a root direct block 'FHDB' or one root indirect block 'FHIB' over
+    direct blocks) — the storage behind dense links and dense attributes.
+    Those only ever hold small serialized messages, so the exotic reaches
+    of the structure raise instead of parsing: filtered heaps, huge/tiny
+    heap IDs, and indirect-block CHILDREN (a root indirect block's direct
+    rows already span width * (2*max_direct - start) bytes ≈ 0.5 MiB of
+    link messages at libhdf5's defaults)."""
+
+    def __init__(self, buf, addr: int) -> None:
+        if buf[addr : addr + 4] != b"FRHP":
+            raise UnsupportedHDF5("bad fractal heap signature")
+        if buf[addr + 4] != 0:
+            raise UnsupportedHDF5(f"fractal heap version {buf[addr + 4]}")
+        self.id_len, filter_len = struct.unpack_from("<HH", buf, addr + 5)
+        self.flags = buf[addr + 9]
+        (self.max_managed,) = struct.unpack_from("<I", buf, addr + 10)
+        # fixed 8-byte statistics block: next-huge-id, huge B-tree addr,
+        # free space, free-space-manager addr, managed space, allocated
+        # space, iterator offset, object/huge/tiny counts and sizes
+        (self.managed_space,) = struct.unpack_from("<Q", buf, addr + 46)
+        (self.width,) = struct.unpack_from("<H", buf, addr + 110)
+        self.start_size, self.max_direct = struct.unpack_from(
+            "<QQ", buf, addr + 112,
+        )
+        (self.max_heap_bits,) = struct.unpack_from("<H", buf, addr + 128)
+        (self.root_addr,) = struct.unpack_from("<Q", buf, addr + 132)
+        (self.root_rows,) = struct.unpack_from("<H", buf, addr + 140)
+        _verify_checksum(buf, addr, 142, "fractal heap header")
+        if filter_len:
+            raise UnsupportedHDF5("filtered fractal heap")
+        self.offset_size = (self.max_heap_bits + 7) // 8
+        self.length_size = _min_bytes(self.max_managed)
+        if 1 + self.offset_size + self.length_size > self.id_len:
+            raise UnsupportedHDF5("fractal heap ID narrower than its fields")
+        self.max_direct_rows = (
+            self.max_direct.bit_length() - self.start_size.bit_length() + 2
+        )
+        self._buf = buf
+        self._addr = addr
+
+    def read(self, heap_id: bytes) -> bytes:
+        vt = heap_id[0]
+        if vt >> 6:
+            raise UnsupportedHDF5(f"fractal heap ID version {vt >> 6}")
+        if (vt >> 4) & 0x3:
+            raise UnsupportedHDF5("huge/tiny fractal heap object")
+        off = int.from_bytes(heap_id[1 : 1 + self.offset_size], "little")
+        length = int.from_bytes(
+            heap_id[1 + self.offset_size:
+                    1 + self.offset_size + self.length_size],
+            "little",
+        )
+        baddr, boff, bsize = self._locate(off)
+        buf = self._buf
+        if buf[baddr : baddr + 4] != b"FHDB":
+            raise UnsupportedHDF5("bad fractal heap direct-block signature")
+        back = struct.unpack_from("<Q", buf, baddr + 5)[0]
+        stored_off = int.from_bytes(
+            buf[baddr + 13 : baddr + 13 + self.offset_size], "little",
+        )
+        if back != self._addr or stored_off != boff:
+            raise UnsupportedHDF5(
+                "truncated or corrupt HDF5 file (direct block does not "
+                "match its doubling-table slot)",
+            )
+        if self.flags & 0x02:
+            csum_at = 13 + self.offset_size
+            block = bytearray(buf[baddr : baddr + bsize])
+            (stored,) = struct.unpack_from("<I", block, csum_at)
+            struct.pack_into("<I", block, csum_at, 0)
+            if jenkins_lookup3(bytes(block)) != stored:
+                raise UnsupportedHDF5(
+                    "truncated or corrupt HDF5 file (fractal heap direct "
+                    "block checksum mismatch)",
+                )
+        if off + length > boff + bsize:
+            raise UnsupportedHDF5(
+                "truncated or corrupt HDF5 file (heap object overruns its "
+                "direct block)",
+            )
+        p = baddr + (off - boff)
+        return bytes(buf[p : p + length])
+
+    def _locate(self, off: int) -> tuple[int, int, int]:
+        """Map a heap-space offset to (file addr, heap offset, size) of the
+        direct block containing it, via the doubling table: rows 0 and 1
+        hold ``width`` starting-size blocks, row r ≥ 2 holds ``width``
+        blocks of ``start << (r - 1)`` bytes."""
+        if self.root_rows == 0:
+            # root IS a single direct block covering all managed space
+            return self.root_addr, 0, self.managed_space
+        buf = self._buf
+        a = self.root_addr
+        if buf[a : a + 4] != b"FHIB":
+            raise UnsupportedHDF5("bad fractal heap indirect-block signature")
+        if self.root_rows > self.max_direct_rows:
+            raise UnsupportedHDF5(
+                "multi-level fractal heap (indirect-block children)",
+            )
+        entries = a + 13 + self.offset_size
+        _verify_checksum(
+            buf, a, 13 + self.offset_size + self.root_rows * self.width * 8,
+            "fractal heap indirect block",
+        )
+        base = 0
+        for row in range(self.root_rows):
+            size = self.start_size if row < 2 else self.start_size << (row - 1)
+            span = self.width * size
+            if off < base + span:
+                idx = (off - base) // size
+                p = entries + (row * self.width + idx) * 8
+                baddr = struct.unpack_from("<Q", buf, p)[0]
+                if baddr == UNDEF:
+                    raise UnsupportedHDF5(
+                        "truncated or corrupt HDF5 file (heap offset in an "
+                        "unallocated direct block)",
+                    )
+                return baddr, base + idx * size, size
+            base += span
+        raise UnsupportedHDF5(
+            "truncated or corrupt HDF5 file (heap offset beyond the root "
+            "indirect block's rows)",
+        )
 
 
 class H5File:
@@ -449,20 +639,21 @@ class H5File:
                 fill = self._parse_fill_value(mtype, body)
                 if fill is not None:
                     ds["fill"] = fill
-            elif mtype == 0x0002:  # link info: compact links OK, dense not
+            elif mtype == 0x0002:  # link info: compact (0x0006 msgs follow)
+                # or dense (fractal heap + name-index v2 B-tree)
                 saw_link_storage = True
                 flags = body[1]
                 p = 2 + (8 if flags & 0x1 else 0)
-                fheap = struct.unpack_from("<Q", body, p)[0]
+                fheap, name_bt = struct.unpack_from("<QQ", body, p)
                 if fheap != UNDEF:
-                    raise UnsupportedHDF5("dense (fractal heap) link storage")
+                    links.extend(self._dense_links(fheap, name_bt))
             elif mtype == 0x0015:  # attribute info: dense attrs live in a
-                # fractal heap we don't parse — silence would lose them
+                # fractal heap keyed by the type-8 name-index B-tree
                 flags = body[1]
                 p = 2 + (2 if flags & 0x1 else 0)
-                fheap = struct.unpack_from("<Q", body, p)[0]
+                fheap, name_bt = struct.unpack_from("<QQ", body, p)
                 if fheap != UNDEF:
-                    raise UnsupportedHDF5("dense (fractal heap) attribute storage")
+                    attrs.update(self._dense_attrs(fheap, name_bt))
             elif mtype == 0x0006:
                 saw_link_storage = True
                 links.append(self._parse_link(body))
@@ -813,6 +1004,105 @@ class H5File:
             else:
                 out.append((self._local_heap_string(heap, name_off), obj_addr))
             pos += 40  # entry: 8+8+4+4+16
+
+    # -- dense (fractal heap) link / attribute storage ----------------------
+    def _dense_links(self, fheap_addr: int, btree_addr: int):
+        """Dense link storage: the name-index v2 B-tree (type 5, records =
+        4-byte name hash + fractal heap ID) enumerates every link; each
+        heap object is a serialized link message (same wire format as
+        header message 0x0006)."""
+        heap = _FractalHeap(self._buf, fheap_addr)
+        out = []
+        for rec in self._v2_btree_records(btree_addr, expected_type=5):
+            out.append(self._parse_link(heap.read(rec[4 : 4 + heap.id_len])))
+        return out
+
+    def _dense_attrs(self, fheap_addr: int, btree_addr: int) -> dict:
+        """Dense attribute storage: type-8 records are an 8-byte heap ID,
+        1-byte message flags, 4-byte creation order, 4-byte name hash; the
+        heap objects are attribute messages (0x000C bodies, version 3 in
+        libhdf5-written files)."""
+        heap = _FractalHeap(self._buf, fheap_addr)
+        if heap.id_len > 8:
+            raise UnsupportedHDF5(
+                f"dense attribute heap ID length {heap.id_len} overruns the "
+                "8-byte record field",
+            )
+        attrs: dict = {}
+        for rec in self._v2_btree_records(btree_addr, expected_type=8):
+            if rec[8] & 0x02:  # shared-message flag on the stored message
+                raise UnsupportedHDF5("shared dense attribute message")
+            name, value = self._parse_attribute(heap.read(rec[: heap.id_len]))
+            attrs[name] = value
+        return attrs
+
+    def _v2_btree_records(self, addr: int, expected_type: int) -> list[bytes]:
+        """Walk a version-2 B-tree ('BTHD' header over 'BTIN'/'BTLF' nodes)
+        and return every record in tree order. Depths 0 and 1 only: a
+        512-byte node holds ~45 link records, so two levels already index
+        ~2000 links per group; anything deeper raises. Checksums (trailing
+        lookup3 over the used prefix, libhdf5's serialization) verify."""
+        buf = self._buf
+        if buf[addr : addr + 4] != b"BTHD":
+            raise UnsupportedHDF5("bad v2 B-tree header signature")
+        if buf[addr + 4] != 0:
+            raise UnsupportedHDF5(f"v2 B-tree version {buf[addr + 4]}")
+        btype = buf[addr + 5]
+        if btype != expected_type:
+            raise UnsupportedHDF5(
+                f"v2 B-tree type {btype} where type {expected_type} expected",
+            )
+        node_size, record_size, depth = struct.unpack_from("<IHH", buf, addr + 6)
+        root_addr, root_nrec = struct.unpack_from("<QH", buf, addr + 16)
+        _verify_checksum(buf, addr, 34, "v2 B-tree header")
+        out: list[bytes] = []
+        if root_addr == UNDEF:
+            return out
+        if depth == 0:
+            self._v2_leaf(root_addr, root_nrec, record_size, btype, out)
+            return out
+        if depth > 1:
+            raise UnsupportedHDF5(f"v2 B-tree depth {depth} (0 or 1 supported)")
+        if buf[root_addr : root_addr + 4] != b"BTIN":
+            raise UnsupportedHDF5("bad v2 B-tree internal-node signature")
+        if buf[root_addr + 4] != 0 or buf[root_addr + 5] != btype:
+            raise UnsupportedHDF5("v2 B-tree internal node version/type mismatch")
+        # child-pointer record counts are sized for the most records a
+        # LEAF child can hold (spec III.A.2) — prefix 6 + trailing sum 4
+        leaf_cap = (node_size - 10) // record_size
+        nrec_width = _min_bytes(leaf_cap)
+        rec_base = root_addr + 6
+        ptr_base = rec_base + root_nrec * record_size
+        used = 6 + root_nrec * record_size + (root_nrec + 1) * (8 + nrec_width)
+        _verify_checksum(buf, root_addr, used, "v2 B-tree internal node")
+        for i in range(root_nrec + 1):
+            p = ptr_base + i * (8 + nrec_width)
+            child = struct.unpack_from("<Q", buf, p)[0]
+            child_nrec = int.from_bytes(
+                buf[p + 8 : p + 8 + nrec_width], "little",
+            )
+            self._v2_leaf(child, child_nrec, record_size, btype, out)
+            if i < root_nrec:
+                out.append(bytes(
+                    buf[rec_base + i * record_size:
+                        rec_base + (i + 1) * record_size],
+                ))
+        return out
+
+    def _v2_leaf(
+        self, addr: int, nrec: int, record_size: int, btype: int, out: list,
+    ) -> None:
+        buf = self._buf
+        if buf[addr : addr + 4] != b"BTLF":
+            raise UnsupportedHDF5("bad v2 B-tree leaf signature")
+        if buf[addr + 4] != 0 or buf[addr + 5] != btype:
+            raise UnsupportedHDF5("v2 B-tree leaf version/type mismatch")
+        _verify_checksum(buf, addr, 6 + nrec * record_size, "v2 B-tree leaf")
+        for i in range(nrec):
+            out.append(bytes(
+                buf[addr + 6 + i * record_size:
+                    addr + 6 + (i + 1) * record_size],
+            ))
 
     # -- chunk B-tree (node type 1) -----------------------------------------
     def _iter_chunks(self, addr: int, ndims: int):

@@ -8,6 +8,14 @@ string, or COMPOUND (structured, incl. array members) type, soft links
 (symbol-table cache type 2), and numeric / string attributes. Datasets are uncompressed and unchunked by design — the
 cubes this serializes are driver-sized, and the simple layout keeps every
 structure inside the subset the companion reader (and libhdf5) understands.
+
+``dense_links=True`` / ``dense_attrs=True`` switch groups and attribute
+sets to the post-1.8 DENSE layout (fractal heap 'FRHP'/'FHDB'/'FHIB' +
+name-index v2 B-tree 'BTHD'/'BTIN'/'BTLF', format spec III.A.2/III.G) —
+the layout h5py emits once a group exceeds its compact-storage phase
+thresholds. Name hashes and node checksums are Jenkins lookup3, matching
+libhdf5's H5_checksum_lookup3. Primary use: spec-built fixtures for the
+reader's dense-storage path, since this container has no h5py.
 """
 
 from __future__ import annotations
@@ -15,6 +23,8 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+from sed_binning_spark.io.hdf5_read import jenkins_lookup3
 
 UNDEF = 0xFFFFFFFFFFFFFFFF
 
@@ -35,8 +45,11 @@ class H5Writer:
     (paths are '/'-separated; intermediate groups auto-create), then
     :meth:`write` the file."""
 
-    def __init__(self) -> None:
+    def __init__(self, *, dense_links: bool = False,
+                 dense_attrs: bool = False) -> None:
         self._root: dict = {"__kind__": "group", "__attrs__": {}, "__children__": {}}
+        self._dense_links = dense_links
+        self._dense_attrs = dense_attrs
 
     # -- tree building ------------------------------------------------------
     def _group(self, parts: list[str], create: bool = True) -> dict:
@@ -130,10 +143,52 @@ class H5Writer:
             (0x0003, _datatype(arr.dtype)),
             (0x0008, struct.pack("<BBQQ", 3, 1, data_addr, len(raw))),
         ]
-        msgs += [(0x000C, _attribute(n, v)) for n, v in attrs.items()]
+        msgs += self._attr_msgs(buf, attrs)
+        return _emit_object_header(buf, msgs)
+
+    def _attr_msgs(self, buf: bytearray, attrs: dict) -> list[tuple[int, bytes]]:
+        """Attribute messages for an object header: one compact 0x000C per
+        attribute, or (``dense_attrs``) a single 0x0015 Attribute Info
+        pointing at a fractal heap of version-3 attribute messages keyed
+        by a type-8 name-index v2 B-tree."""
+        if not (self._dense_attrs and attrs):
+            return [(0x000C, _attribute(n, v)) for n, v in attrs.items()]
+        bodies = [_attribute_v3(n, v) for n, v in attrs.items()]
+        heap_addr, ids = _emit_fractal_heap(buf, bodies, max_heap_bits=40)
+        recs = []
+        for corder, ((name, _), hid) in enumerate(zip(attrs.items(), ids)):
+            h = jenkins_lookup3(name.encode("utf-8"))
+            hid8 = hid + b"\x00" * (8 - len(hid))
+            recs.append((h, hid8 + b"\x00" + struct.pack("<II", corder, h)))
+        recs.sort()
+        bt = _emit_v2_btree(buf, 8, 17, [r for _, r in recs])
+        return [(0x0015, struct.pack("<BBQQ", 0, 0, heap_addr, bt))]
+
+    def _emit_group_dense(self, buf: bytearray, children, attrs: dict) -> int:
+        """New-style dense group: hard/soft link messages live in a fractal
+        heap, enumerated through the type-5 (hash, heap ID) name-index
+        B-tree; the header carries only the Link Info message."""
+        if children:
+            bodies = [_link_message(n, a) for n, a in children]
+            heap_addr, ids = _emit_fractal_heap(buf, bodies, max_heap_bits=32)
+            recs = sorted(
+                (jenkins_lookup3(name.encode("utf-8")), hid)
+                for (name, _), hid in zip(children, ids)
+            )
+            record_size = 4 + len(ids[0])
+            bt = _emit_v2_btree(
+                buf, 5, record_size,
+                [struct.pack("<I", h) + hid for h, hid in recs],
+            )
+            msgs = [(0x0002, struct.pack("<BBQQ", 0, 0, heap_addr, bt))]
+        else:
+            msgs = [(0x0002, struct.pack("<BBQQ", 0, 0, UNDEF, UNDEF))]
+        msgs += self._attr_msgs(buf, attrs)
         return _emit_object_header(buf, msgs)
 
     def _emit_group(self, buf: bytearray, children, attrs: dict) -> int:
+        if self._dense_links:
+            return self._emit_group_dense(buf, children, attrs)
         # local heap: offset 0 holds the empty name (the B-tree's low key);
         # names first, then soft-link target strings
         heap_data = bytearray(8)
@@ -180,7 +235,7 @@ class H5Writer:
             btree_addr = UNDEF
 
         msgs = [(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]
-        msgs += [(0x000C, _attribute(n, v)) for n, v in attrs.items()]
+        msgs += self._attr_msgs(buf, attrs)
         return _emit_object_header(buf, msgs)
 
 
@@ -234,6 +289,224 @@ def _emit_group_btree(
             return node_addrs[0]
         child_addrs, child_last_keys = node_addrs, node_last
         level += 1
+
+
+def _link_message(name: str, addr) -> bytes:
+    """Serialized link message (0x0006 wire format, version 1) — the byte
+    form dense link storage keeps in its fractal heap. Hard links carry
+    the object-header address; soft links the target path."""
+    nb = name.encode("utf-8")
+    if not 1 <= len(nb) <= 255:
+        raise ValueError(f"link name {name!r} must encode to 1-255 bytes")
+    if isinstance(addr, tuple) and addr[0] == "soft":
+        tb = addr[1].encode("utf-8")
+        return (bytes([1, 0x08, 1, len(nb)]) + nb
+                + struct.pack("<H", len(tb)) + tb)
+    return bytes([1, 0x00, len(nb)]) + nb + struct.pack("<Q", addr)
+
+
+def _attribute_v3(name: str, value) -> bytes:
+    """Version-3 attribute message (1-byte charset, unpadded name/datatype/
+    dataspace blocks) — the form libhdf5 stores in dense attribute heaps."""
+    arr = _as_h5_array(value)
+    nb = name.encode("utf-8") + b"\x00"
+    dt = _datatype(arr.dtype)
+    sp = _dataspace(arr.shape if arr.shape else ())
+    return (struct.pack("<BBHHHB", 3, 0, len(nb), len(dt), len(sp), 0)
+            + nb + dt + sp + arr.tobytes())
+
+
+# fractal-heap doubling-table geometry (libhdf5's dense-storage defaults):
+# 4 blocks per row, 512-byte starting blocks doubling up to 64 KiB
+_FH_WIDTH = 4
+_FH_START = 512
+_FH_MAX_DIRECT = 65536
+_FH_MAX_MANAGED = 4096
+_FH_MAX_ROWS = _FH_MAX_DIRECT.bit_length() - _FH_START.bit_length() + 2
+
+
+def _fh_row_size(row: int) -> int:
+    return _FH_START if row < 2 else _FH_START << (row - 1)
+
+
+def _emit_fractal_heap(
+    buf: bytearray, objects: list[bytes], max_heap_bits: int,
+) -> tuple[int, list[bytes]]:
+    """Emit a managed-object fractal heap holding ``objects`` and return
+    (header address, per-object heap IDs). Objects pack greedily into
+    consecutive doubling-table direct blocks (objects never span blocks);
+    a single starting-size block stays the ROOT DIRECT BLOCK, anything
+    more gets a root indirect block whose unused slots are UNDEF. Direct
+    blocks are checksummed (header flag 0x02) the way libhdf5 writes
+    them: lookup3 over the whole block with the checksum field zeroed."""
+    if not objects:
+        raise ValueError("fractal heap needs at least one object")
+    offset_size = (max_heap_bits + 7) // 8
+    length_size = max(1, (_FH_MAX_MANAGED.bit_length() + 7) // 8)
+    id_len = 1 + offset_size + length_size
+    hdr_size = 13 + offset_size + 4  # FHDB header incl. checksum field
+
+    blocks: list[list] = []  # [heap_off, size, [(off_in_block, obj)], cursor]
+
+    def new_block() -> None:
+        b = len(blocks)
+        row = b // _FH_WIDTH
+        if row >= _FH_MAX_ROWS:
+            raise ValueError(
+                "fractal heap fixture writer: objects exceed the root "
+                "indirect block's direct-row capacity",
+            )
+        heap_off = blocks[-1][0] + blocks[-1][1] if blocks else 0
+        blocks.append([heap_off, _fh_row_size(row), [], hdr_size])
+
+    ids: list[bytes] = []
+    new_block()
+    for obj in objects:
+        if len(obj) > _FH_MAX_MANAGED:
+            raise ValueError(
+                f"heap object of {len(obj)} bytes exceeds the "
+                f"{_FH_MAX_MANAGED}-byte managed-object ceiling",
+            )
+        while blocks[-1][3] + len(obj) > blocks[-1][1]:
+            new_block()
+        blk = blocks[-1]
+        ids.append(
+            bytes([0])  # version 0, type 0 (managed)
+            + (blk[0] + blk[3]).to_bytes(offset_size, "little")
+            + len(obj).to_bytes(length_size, "little"),
+        )
+        blk[2].append((blk[3], obj))
+        blk[3] += len(obj)
+
+    _align(buf)
+    hdr_addr = len(buf)
+    buf += b"\x00" * 146  # fixed unfiltered header size; patched below
+    block_addrs: list[int] = []
+    for heap_off, size, items, _cursor in blocks:
+        if not items:  # skipped over by a too-big object: never allocated
+            block_addrs.append(UNDEF)
+            continue
+        _align(buf)
+        addr = len(buf)
+        blk = bytearray(size)
+        blk[0:4] = b"FHDB"
+        struct.pack_into("<Q", blk, 5, hdr_addr)
+        blk[13 : 13 + offset_size] = heap_off.to_bytes(offset_size, "little")
+        for off_in, obj in items:
+            blk[off_in : off_in + len(obj)] = obj
+        struct.pack_into(
+            "<I", blk, 13 + offset_size, jenkins_lookup3(bytes(blk)),
+        )
+        buf += blk
+        block_addrs.append(addr)
+
+    if len(blocks) == 1:
+        root_addr, root_rows = block_addrs[0], 0
+        managed_space = blocks[0][1]
+    else:
+        nrows = (len(blocks) + _FH_WIDTH - 1) // _FH_WIDTH
+        _align(buf)
+        root_addr = len(buf)
+        fhib = bytearray(
+            b"FHIB\x00" + struct.pack("<Q", hdr_addr)
+            + (0).to_bytes(offset_size, "little"),
+        )
+        entries = block_addrs + [UNDEF] * (nrows * _FH_WIDTH - len(blocks))
+        for a in entries:
+            fhib += struct.pack("<Q", a)
+        fhib += struct.pack("<I", jenkins_lookup3(bytes(fhib)))
+        buf += fhib
+        root_rows = nrows
+        managed_space = sum(
+            _FH_WIDTH * _fh_row_size(r) for r in range(nrows)
+        )
+
+    next_off = blocks[-1][0] + blocks[-1][3]
+    hdr = bytearray(146)
+    hdr[0:4] = b"FRHP"
+    struct.pack_into("<HHB", hdr, 5, id_len, 0, 0x02)
+    struct.pack_into("<I", hdr, 10, _FH_MAX_MANAGED)
+    struct.pack_into("<QQ", hdr, 14, 0, UNDEF)  # next huge ID, huge B-tree
+    struct.pack_into("<QQ", hdr, 30, managed_space - next_off, UNDEF)
+    struct.pack_into("<QQ", hdr, 46, managed_space, managed_space)
+    struct.pack_into("<QQ", hdr, 62, next_off, len(objects))
+    # huge/tiny sizes and counts (offsets 78-110) stay zero
+    struct.pack_into("<H", hdr, 110, _FH_WIDTH)
+    struct.pack_into("<QQ", hdr, 112, _FH_START, _FH_MAX_DIRECT)
+    struct.pack_into("<HH", hdr, 128, max_heap_bits, 1)
+    struct.pack_into("<Q", hdr, 132, root_addr)
+    struct.pack_into("<H", hdr, 140, root_rows)
+    struct.pack_into("<I", hdr, 142, jenkins_lookup3(bytes(hdr[:142])))
+    buf[hdr_addr : hdr_addr + 146] = hdr
+    return hdr_addr, ids
+
+
+def _emit_v2_btree(
+    buf: bytearray, btype: int, record_size: int, records: list[bytes],
+) -> int:
+    """Emit a v2 B-tree over pre-sorted fixed-size records and return the
+    'BTHD' header address. One leaf when the records fit, else a depth-1
+    tree: separator records live in the root internal node, the rest
+    split evenly across leaves — the shape libhdf5 builds for dense
+    groups up to ~2000 links. Node checksums cover the used prefix."""
+    node_size = 512
+    leaf_cap = (node_size - 10) // record_size
+    nrec_width = max(1, (leaf_cap.bit_length() + 7) // 8)
+    if len(records) <= leaf_cap:
+        leaves, seps = [records], []
+    else:
+        k = 2
+        while len(records) - (k - 1) > k * leaf_cap:
+            k += 1
+        int_cap = (node_size - 10 - (8 + nrec_width)) // (
+            record_size + 8 + nrec_width
+        )
+        if k - 1 > int_cap:
+            raise ValueError(
+                "v2 B-tree fixture writer: record count needs depth > 1",
+            )
+        n_leaf = len(records) - (k - 1)
+        base, extra = divmod(n_leaf, k)
+        leaves, seps = [], []
+        pos = 0
+        for i in range(k):
+            take = base + (1 if i < extra else 0)
+            leaves.append(records[pos : pos + take])
+            pos += take
+            if i < k - 1:
+                seps.append(records[pos])
+                pos += 1
+
+    leaf_addrs = []
+    for leaf in leaves:
+        _align(buf)
+        leaf_addrs.append(len(buf))
+        node = bytearray(b"BTLF" + bytes([0, btype])) + b"".join(leaf)
+        node += struct.pack("<I", jenkins_lookup3(bytes(node)))
+        buf += node + b"\x00" * (node_size - len(node))
+    if len(leaves) == 1:
+        root_addr, root_nrec, depth = leaf_addrs[0], len(leaves[0]), 0
+    else:
+        _align(buf)
+        root_addr = len(buf)
+        node = bytearray(b"BTIN" + bytes([0, btype])) + b"".join(seps)
+        for a, leaf in zip(leaf_addrs, leaves):
+            node += struct.pack("<Q", a) + len(leaf).to_bytes(
+                nrec_width, "little",
+            )
+        node += struct.pack("<I", jenkins_lookup3(bytes(node)))
+        buf += node + b"\x00" * (node_size - len(node))
+        root_nrec, depth = len(seps), 1
+    _align(buf)
+    addr = len(buf)
+    hdr = bytearray(struct.pack(
+        "<4sBBIHHBB", b"BTHD", 0, btype, node_size, record_size, depth,
+        100, 40,  # split / merge percents (libhdf5 defaults)
+    ))
+    hdr += struct.pack("<QHQ", root_addr, root_nrec, len(records))
+    hdr += struct.pack("<I", jenkins_lookup3(bytes(hdr)))
+    buf += hdr
+    return addr
 
 
 def _emit_object_header(buf: bytearray, msgs: list[tuple[int, bytes]]) -> int:
