@@ -7,8 +7,9 @@ two decode modes:
 
 - ``decode_stub=False`` (real): pure-stdlib/NumPy codecs for baseline
   AND progressive JPEG (Huffman + IDCT + chroma upsampling,
-  ``pipeline.jpeg``) and PNG
-  (zlib inflate + filter reconstruction) — the two formats that dominate
+  ``pipeline.jpeg``), PNG
+  (zlib inflate + filter reconstruction), and GIF87a/89a (LZW + interlace
+  + transparency) — the three formats that dominate
   real crawl corpora — plus PPM (P6), uncompressed 24-bit BMP, and
   WAV audio (the PCM/float/extensible matrix, one int16 contract), dispatched by payload magic bytes; any other payload
   gets honest byte-statistics features. No image/audio libraries exist
@@ -615,6 +616,305 @@ def encode_audio_wav(
     return hdr + raw
 
 
+# ------------------------------------------------------------- GIF codec
+# GIF87a/89a (CompuServe spec + W3C GIF89a specification): LZW-compressed
+# indexed color, optional Adam-free 4-pass row interlacing, global/local
+# palettes, GCE transparency. Third of the big three web image formats
+# after JPEG/PNG.
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # row interlace (start, step)
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, expected: int) -> bytes:
+    """GIF-flavor LZW: variable code width starting at ``min_code + 1``,
+    LSB-first bit packing, CLEAR/EOI codes, dictionary capped at 4096
+    (deferred-clear streams keep emitting at 12 bits). Stops at EOI or
+    once ``expected`` pixels are out (some encoders omit EOI)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code + 1
+    acc = bits = pos = 0
+    prev: bytes | None = None
+    out = bytearray()
+    while len(out) < expected:
+        while bits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            del table[clear + 2:]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("corrupt GIF LZW stream (first code not "
+                                 "a literal)")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # the KwKwK case: code defined by itself
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt GIF LZW stream (code beyond table)")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("GIF LZW stream ended before the frame filled")
+    return bytes(out[:expected])
+
+
+def _gif_lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """Greedy LZW encoder mirroring :func:`_gif_lzw_decode`'s table/width
+    state transition exactly (the decoder appends one entry per code
+    AFTER the first post-clear code; width bumps track that count)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    width = min_code + 1
+    acc = bits = 0
+    out = bytearray()
+    dec_len = clear + 2      # decoder's table length
+    emitted_since_clear = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, bits, width, dec_len, emitted_since_clear
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+        if code == clear:
+            width = min_code + 1
+            dec_len = clear + 2
+            emitted_since_clear = 0
+            return
+        emitted_since_clear += 1
+        if emitted_since_clear > 1 and dec_len < 4096:
+            dec_len += 1
+            if dec_len >= (1 << width) and width < 12:
+                width += 1
+
+    emit(clear)
+    cur = b""
+    for b in indices:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code <= 4095:
+            table[nxt] = next_code
+            next_code += 1
+        cur = bytes([b])
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_image_gif(data: bytes, max_pixels: int | None = None) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/GIF89a into an (h, w, 3) uint8
+    array — (h, w, 4) when the frame's graphic-control extension declares
+    a transparent index (alpha 0 at those pixels). The frame composes onto
+    the logical screen: regions outside a smaller frame rectangle fill
+    with the global background color. Interlaced frames reorder through
+    the four-pass row schedule. Later animation frames are ignored by
+    design — feature extraction wants one raster, not a timeline.
+
+    ``max_pixels`` (default :data:`MAX_PIXELS`) bounds the logical screen
+    BEFORE any allocation or LZW walk, same posture as the PNG/JPEG
+    decoders: the LZW loop is serial Python, so the featurizer passes the
+    tighter :data:`FEATURIZER_MAX_PIXELS`."""
+    budget = MAX_PIXELS if max_pixels is None else max_pixels
+    if data[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF87a/GIF89a stream")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    if sw == 0 or sh == 0:
+        raise ValueError("GIF declares a zero-size logical screen")
+    if sw * sh > budget:
+        raise ValueError(
+            f"GIF logical screen {sw}x{sh} exceeds the {budget}-pixel "
+            "decode budget",
+        )
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
+        if gct.size != 3 * n:
+            raise ValueError("truncated GIF global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    transparent = None
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF stream ended before any image data")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            raise ValueError("GIF trailer before any image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            if pos >= len(data):
+                raise ValueError("truncated GIF extension")
+            label = data[pos]
+            pos += 1
+            subs = []
+            while True:
+                if pos >= len(data):
+                    raise ValueError("truncated GIF extension sub-blocks")
+                n = data[pos]
+                pos += 1
+                if n == 0:
+                    break
+                subs.append(data[pos : pos + n])
+                pos += n
+            if label == 0xF9 and subs and len(subs[0]) >= 4:
+                flags = subs[0][0]
+                if flags & 0x01:
+                    transparent = subs[0][3]
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block introducer 0x{block:02X}")
+        break
+    left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", data, pos)
+    pos += 9
+    if fw == 0 or fh == 0:
+        raise ValueError("GIF frame has zero size")
+    if left + fw > sw or top + fh > sh:
+        raise ValueError("GIF frame rectangle overruns the logical screen")
+    palette = gct
+    if fpacked & 0x80:  # local color table overrides
+        n = 2 << (fpacked & 0x07)
+        palette = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
+        if palette.size != 3 * n:
+            raise ValueError("truncated GIF local color table")
+        palette = palette.reshape(n, 3)
+        pos += 3 * n
+    if palette is None:
+        raise ValueError("GIF frame has neither global nor local palette")
+    if pos >= len(data):
+        raise ValueError("truncated GIF image data")
+    min_code = data[pos]
+    pos += 1
+    if not 2 <= min_code <= 11:
+        raise ValueError(f"GIF LZW minimum code size {min_code} out of range")
+    chunks = []
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated GIF image sub-blocks")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            break
+        chunks.append(data[pos : pos + n])
+        pos += n
+    idx = np.frombuffer(
+        _gif_lzw_decode(b"".join(chunks), min_code, fw * fh), np.uint8,
+    )
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("GIF pixel index beyond its color table")
+    rows = idx.reshape(fh, fw)
+    if fpacked & 0x40:  # interlaced: rows arrive in the 4-pass order
+        ordered = np.empty_like(rows)
+        src = 0
+        for start, step in _GIF_PASSES:
+            n = len(range(start, fh, step))
+            ordered[start::step] = rows[src : src + n]
+            src += n
+        rows = ordered
+    channels = 3 if transparent is None else 4
+    out = np.zeros((sh, sw, channels), np.uint8)
+    if gct is not None and bg_idx < len(gct):
+        out[..., :3] = gct[bg_idx]
+    if channels == 4:
+        out[..., 3] = 255
+        out[top : top + fh, left : left + fw, 3] = np.where(
+            rows == transparent, 0, 255,
+        )
+    out[top : top + fh, left : left + fw, :3] = palette[rows]
+    return out
+
+
+def encode_image_gif(
+    img: np.ndarray,
+    interlace: bool = False,
+    transparent_color: tuple[int, int, int] | None = None,
+    frame_offset: tuple[int, int] = (0, 0),
+    screen_size: tuple[int, int] | None = None,
+    local_palette: bool = False,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 array as GIF89a (fixture synthesizer for
+    the decoder, like the PNG/JPEG pairs — real LZW, so streams are
+    representative). The palette is built from the image's distinct
+    colors (> 256 raises: quantization is a corpus-prep concern, not a
+    container one). ``transparent_color`` marks that palette entry
+    transparent via a GCE; ``frame_offset``/``screen_size`` place the
+    frame on a larger logical screen; ``local_palette`` stores the table
+    on the frame instead of the screen."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_image_gif wants (h, w, 3) uint8")
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} distinct colors; GIF caps at 256")
+    depth = max(2, int(len(colors) - 1).bit_length())  # table size 2^depth
+    table = np.zeros((1 << depth, 3), np.uint8)
+    table[: len(colors)] = colors
+    rows = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        rows = np.concatenate([rows[s::p] for s, p in _GIF_PASSES], axis=0)
+    left, top = frame_offset
+    sw, sh = screen_size if screen_size else (left + w, top + h)
+    if left + w > sw or top + h > sh:
+        raise ValueError("frame does not fit the requested logical screen")
+    out = bytearray(b"GIF89a")
+    gct_flag = 0 if local_palette else 0x80 | (depth - 1)
+    out += struct.pack("<HHBBB", sw, sh, gct_flag, 0, 0)
+    if not local_palette:
+        out += table.tobytes()
+    if transparent_color is not None:
+        match = np.where((colors == np.array(transparent_color)).all(axis=1))[0]
+        if match.size == 0:
+            raise ValueError("transparent_color is not in the image")
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, int(match[0]), 0])
+    fpacked = (0x80 | (depth - 1)) if local_palette else 0
+    if interlace:
+        fpacked |= 0x40
+    out += b"\x2C" + struct.pack("<HHHHB", left, top, w, h, fpacked)
+    if local_palette:
+        out += table.tobytes()
+    min_code = depth
+    out += bytes([min_code])
+    lzw = _gif_lzw_encode(rows.tobytes(), min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
 # feature-vector kind codes (element 0 of the real feature vector)
 KIND_OTHER, KIND_IMAGE, KIND_AUDIO = 0.0, 1.0, 2.0
 
@@ -631,11 +931,15 @@ def decode_payload(payload: bytes, dim: int) -> list[float]:
     payload = payload or b""
     vec = None
     try:
-        if payload.startswith((b"P6", b"BM", PNG_SIG, b"\xff\xd8\xff")):
+        if payload.startswith((b"P6", b"BM", PNG_SIG, b"\xff\xd8\xff",
+                               *GIF_SIGS)):
             if payload.startswith(b"P6"):
                 img = decode_image_ppm(payload)
             elif payload.startswith(b"BM"):
                 img = decode_image_bmp(payload)
+            elif payload.startswith(GIF_SIGS):
+                img = decode_image_gif(payload,
+                                       max_pixels=FEATURIZER_MAX_PIXELS)
             elif payload.startswith(PNG_SIG):
                 img = decode_image_png(payload, max_pixels=FEATURIZER_MAX_PIXELS)
             else:

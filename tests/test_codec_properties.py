@@ -97,3 +97,60 @@ def test_jpeg_progressive_parity_property(img, quality, sub, restart):
         img, quality=quality, subsampling=sub, restart_interval=restart,
     ))
     np.testing.assert_array_equal(base, prog)
+
+
+@st.composite
+def _paletted_raster(draw, max_side=24):
+    """Random raster drawn from a ≤256-color palette — the domain GIF's
+    container can hold losslessly (quantization is out of codec scope)."""
+    h = draw(st.integers(1, max_side))
+    w = draw(st.integers(1, max_side))
+    ncolors = draw(st.integers(1, 256))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, (ncolors, 3)).astype(np.uint8)
+    return palette[rng.integers(0, ncolors, (h, w))]
+
+
+@given(
+    img=_paletted_raster(),
+    interlace=st.booleans(),
+    local_palette=st.booleans(),
+    offset=st.tuples(st.integers(0, 9), st.integers(0, 9)),
+)
+@_SET
+def test_gif_roundtrip_property(img, interlace, local_palette, offset):
+    from sed_binning_spark.pipeline.multimodal import (
+        decode_image_gif, encode_image_gif,
+    )
+
+    left, top = offset
+    h, w = img.shape[:2]
+    blob = encode_image_gif(
+        img, interlace=interlace, local_palette=local_palette,
+        frame_offset=(left, top), screen_size=(left + w, top + h),
+    )
+    got = decode_image_gif(blob)
+    assert got.shape == (top + h, left + w, 3)
+    np.testing.assert_array_equal(got[top:, left:], img)
+
+
+@given(
+    data=st.binary(max_size=3000),
+    min_code=st.integers(2, 8),
+    period=st.integers(1, 64),
+)
+@_SET
+def test_gif_lzw_roundtrip_property(data, min_code, period):
+    """The LZW pair must invert over adversarial index streams, including
+    short-period repetition that drives dictionary growth through the
+    width bumps (and, for long inputs, to the 4096 deferred-clear cap)."""
+    from sed_binning_spark.pipeline.multimodal import (
+        _gif_lzw_decode, _gif_lzw_encode,
+    )
+
+    mask = (1 << min_code) - 1
+    vals = bytes(b & mask for b in data)
+    stream = vals + (vals[:period] or b"\x00") * 200 + vals
+    enc = _gif_lzw_encode(stream, min_code)
+    assert _gif_lzw_decode(enc, min_code, len(stream)) == stream

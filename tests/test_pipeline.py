@@ -332,7 +332,9 @@ def test_multimodal_real_decode_end_to_end(spark):
     from sed_binning_spark.pipeline.jpeg import (
         encode_image_jpeg, encode_image_jpeg_progressive,
     )
-    from sed_binning_spark.pipeline.multimodal import encode_image_png
+    from sed_binning_spark.pipeline.multimodal import (
+        encode_image_gif, encode_image_png,
+    )
 
     img = np.full((4, 6, 3), 128, dtype=np.uint8)
     wav = encode_audio_wav(np.zeros(100, dtype=np.int16), 16000)
@@ -343,6 +345,8 @@ def test_multimodal_real_decode_end_to_end(spark):
         (4, bytearray(encode_image_jpeg(img)), "image/jpeg"),
         (5, bytearray(encode_image_png(img)), "image/png"),
         (6, bytearray(encode_image_jpeg_progressive(img)), "image/jpeg"),
+        (7, bytearray(encode_image_gif(img)), "image/gif"),
+        (8, bytearray(encode_image_gif(img, interlace=True)), "image/gif"),
     ]
     media = spark.createDataFrame(rows, "media_id long, payload binary, mime string")
     feats = (
@@ -352,9 +356,10 @@ def test_multimodal_real_decode_end_to_end(spark):
     assert feats.loc[1, "feat"][0] == 1.0 and feats.loc[1, "feat"][1] == 6.0
     assert feats.loc[2, "feat"][0] == 2.0 and feats.loc[2, "feat"][2] == 16000.0
     assert feats.loc[3, "feat"][0] == 0.0 and feats.loc[3, "feat"][1] == 14.0
-    # all five image containers agree on dims; flat-block jpeg decode
-    # (baseline AND progressive) is exact so the stats match the ppm leg
-    for mid in (4, 5, 6):
+    # all seven image containers agree on dims; flat-block jpeg decode
+    # (baseline AND progressive) and the lossless gif legs are exact so
+    # the stats match the ppm leg
+    for mid in (4, 5, 6, 7, 8):
         assert list(feats.loc[mid, "feat"]) == list(feats.loc[1, "feat"]), mid
 
 
@@ -1272,3 +1277,95 @@ def test_wav_format_matrix_roundtrips():
     with pytest.raises(ValueError, match="bit depth"):
         decode_audio_wav(bytes(bad))
     assert decode_payload(bytes(bad), 8)[0] == 0.0
+
+
+def test_gif_known_raster_and_composition():
+    """Pointwise GIF pins: a hand-checkable raster round-trips, a frame
+    smaller than the logical screen composes over the global background
+    color, local palettes override the global one, and transparency
+    produces an alpha channel with 0 only at the transparent index."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.multimodal import (
+        decode_image_gif, encode_image_gif,
+    )
+
+    red, blue = (255, 0, 0), (0, 0, 255)
+    img = np.zeros((2, 3, 3), np.uint8)
+    img[0] = red
+    img[1] = blue
+    got = decode_image_gif(encode_image_gif(img))
+    np.testing.assert_array_equal(got, img)
+
+    # offset frame on a larger screen: outside the frame = background,
+    # which is palette entry 0 (red, the first distinct color by order)
+    blob = encode_image_gif(img, frame_offset=(2, 1), screen_size=(6, 4))
+    got = decode_image_gif(blob)
+    assert got.shape == (4, 6, 3)
+    np.testing.assert_array_equal(got[1:3, 2:5], img)
+    bg = got[0, 0]
+    np.testing.assert_array_equal(got[3, :], np.tile(bg, (6, 1)))
+
+    # local palette: colors still reconstruct exactly
+    got = decode_image_gif(encode_image_gif(img, local_palette=True))
+    np.testing.assert_array_equal(got, img)
+
+    # transparency: RGBA out, alpha 0 exactly on the transparent color
+    got = decode_image_gif(encode_image_gif(img, transparent_color=red))
+    assert got.shape == (2, 3, 4)
+    assert (got[0, :, 3] == 0).all() and (got[1, :, 3] == 255).all()
+    np.testing.assert_array_equal(got[..., :3], img)
+
+
+def test_gif_refusals_degrade_to_byte_stats():
+    """Malformed/oversized GIFs raise typed ValueError at the codec and
+    degrade to kind-0 byte statistics through decode_payload — a crafted
+    payload cannot kill the featurizer job."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from sed_binning_spark.pipeline.multimodal import (
+        decode_image_gif, decode_payload, encode_image_gif,
+    )
+
+    img = np.full((3, 3, 3), 7, np.uint8)
+    good = encode_image_gif(img)
+
+    oversized = b"GIF89a" + struct.pack("<HHBBB", 60000, 60000, 0, 0, 0)
+    with pytest.raises(ValueError, match="decode budget"):
+        decode_image_gif(oversized)
+    truncated = good[: len(good) // 2]
+    with pytest.raises(ValueError):
+        decode_image_gif(truncated)
+    no_palette = bytearray(good)
+    # clear the GCT flag but keep the table bytes: frame then has no palette
+    no_palette[10] &= 0x7F
+    zero_size = b"GIF89a" + struct.pack("<HHBBB", 0, 5, 0, 0, 0)
+    for bad in (oversized, truncated, bytes(no_palette), zero_size,
+                b"GIF89a", good[:13]):
+        vec = decode_payload(bad, 8)
+        assert vec[0] == 0.0, bad[:16]
+    # the good payload still classifies as an image after all that
+    assert decode_payload(good, 8)[0] == 1.0
+
+
+def test_gif_animation_first_frame_only():
+    """Multi-frame GIFs decode their first frame; trailing frames and
+    inter-frame extensions are ignored by design."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.multimodal import (
+        decode_image_gif, encode_image_gif,
+    )
+
+    a = np.full((4, 4, 3), 10, np.uint8)
+    b = np.full((4, 4, 3), 200, np.uint8)
+    blob_a, blob_b = encode_image_gif(a), encode_image_gif(b)
+    # splice frame B's descriptor+data (everything past the 13-byte header
+    # and 12-byte global table, before the trailer) after frame A's data
+    tail_b = blob_b[13 + 12 : -1]
+    multi = blob_a[:-1] + tail_b + b"\x3B"
+    got = decode_image_gif(multi)
+    np.testing.assert_array_equal(got, a)
