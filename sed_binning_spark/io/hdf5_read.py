@@ -242,6 +242,10 @@ class _FractalHeap:
         )
         self._buf = buf
         self._addr = addr
+        # blocks whose checksum already verified this session — dense
+        # enumeration reads every object, so without this each read would
+        # re-hash its whole (up to 64 KiB) block in the Python lookup3 loop
+        self._verified: set[int] = set()
 
     def read(self, heap_id: bytes) -> bytes:
         vt = heap_id[0]
@@ -268,7 +272,7 @@ class _FractalHeap:
                 "truncated or corrupt HDF5 file (direct block does not "
                 "match its doubling-table slot)",
             )
-        if self.flags & 0x02:
+        if self.flags & 0x02 and baddr not in self._verified:
             csum_at = 13 + self.offset_size
             block = bytearray(buf[baddr : baddr + bsize])
             (stored,) = struct.unpack_from("<I", block, csum_at)
@@ -278,6 +282,7 @@ class _FractalHeap:
                     "truncated or corrupt HDF5 file (fractal heap direct "
                     "block checksum mismatch)",
                 )
+            self._verified.add(baddr)
         if off + length > boff + bsize:
             raise UnsupportedHDF5(
                 "truncated or corrupt HDF5 file (heap object overruns its "
@@ -303,10 +308,13 @@ class _FractalHeap:
                 "multi-level fractal heap (indirect-block children)",
             )
         entries = a + 13 + self.offset_size
-        _verify_checksum(
-            buf, a, 13 + self.offset_size + self.root_rows * self.width * 8,
-            "fractal heap indirect block",
-        )
+        if a not in self._verified:
+            _verify_checksum(
+                buf, a,
+                13 + self.offset_size + self.root_rows * self.width * 8,
+                "fractal heap indirect block",
+            )
+            self._verified.add(a)
         base = 0
         for row in range(self.root_rows):
             size = self.start_size if row < 2 else self.start_size << (row - 1)

@@ -24,7 +24,7 @@ import struct
 
 import numpy as np
 
-from sed_binning_spark.io.hdf5_read import jenkins_lookup3
+from sed_binning_spark.io.hdf5_read import _min_bytes, jenkins_lookup3
 
 UNDEF = 0xFFFFFFFFFFFFFFFF
 
@@ -342,7 +342,7 @@ def _emit_fractal_heap(
     if not objects:
         raise ValueError("fractal heap needs at least one object")
     offset_size = (max_heap_bits + 7) // 8
-    length_size = max(1, (_FH_MAX_MANAGED.bit_length() + 7) // 8)
+    length_size = _min_bytes(_FH_MAX_MANAGED)  # reader's sizing rule
     id_len = 1 + offset_size + length_size
     hdr_size = 13 + offset_size + 4  # FHDB header incl. checksum field
 
@@ -451,7 +451,7 @@ def _emit_v2_btree(
     groups up to ~2000 links. Node checksums cover the used prefix."""
     node_size = 512
     leaf_cap = (node_size - 10) // record_size
-    nrec_width = max(1, (leaf_cap.bit_length() + 7) // 8)
+    nrec_width = _min_bytes(leaf_cap)  # must match the reader's sizing
     if len(records) <= leaf_cap:
         leaves, seps = [records], []
     else:

@@ -796,6 +796,8 @@ def decode_image_gif(data: bytes, max_pixels: int | None = None) -> np.ndarray:
         if block != 0x2C:
             raise ValueError(f"unknown GIF block introducer 0x{block:02X}")
         break
+    if pos + 9 > len(data):
+        raise ValueError("truncated GIF image descriptor")
     left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", data, pos)
     pos += 9
     if fw == 0 or fh == 0:

@@ -1298,13 +1298,14 @@ def test_gif_known_raster_and_composition():
     np.testing.assert_array_equal(got, img)
 
     # offset frame on a larger screen: outside the frame = background,
-    # which is palette entry 0 (red, the first distinct color by order)
+    # which is palette entry 0 — np.unique sorts rows, so blue (0,0,255)
+    # sorts before red (255,0,0)
     blob = encode_image_gif(img, frame_offset=(2, 1), screen_size=(6, 4))
     got = decode_image_gif(blob)
     assert got.shape == (4, 6, 3)
     np.testing.assert_array_equal(got[1:3, 2:5], img)
-    bg = got[0, 0]
-    np.testing.assert_array_equal(got[3, :], np.tile(bg, (6, 1)))
+    np.testing.assert_array_equal(got[0, 0], np.array(blue, np.uint8))
+    np.testing.assert_array_equal(got[3, :], np.tile(blue, (6, 1)))
 
     # local palette: colors still reconstruct exactly
     got = decode_image_gif(encode_image_gif(img, local_palette=True))
