@@ -73,7 +73,9 @@ from sed_binning_spark.pipeline.dedup import (
 from sed_binning_spark.pipeline.multimodal import (
     extract_features,
     frame_sample_plan,
+    gif_fixture_n_bytes,
     png_fixture_n_bytes,
+    synthesize_gif_media_from_text,
     synthesize_png_media_from_text,
     synthesize_ppm_media_from_text,
 )
@@ -1656,17 +1658,23 @@ def _q_ann_lsh(spark, sf):
 
 
 def _q_multimodal(spark, sf):
-    """REAL media decode as the graded path: even-id documents become
-    valid binary PPM (P6) payloads; ids % 4 == 1 valid sequential PNG and
+    """REAL media decode as the graded path: ids % 4 == 0 documents become
+    valid binary PPM (P6) payloads; ids % 4 == 2 valid GIF89a (a
+    grayscale strip over a constant 256-gray palette, LZW stream built
+    byte-for-byte in plan expressions via the CLEAR-per-7-literals
+    9-bit alignment trick); ids % 4 == 1 valid sequential PNG and
     ids % 4 == 3 valid Adam7-INTERLACED PNG (stored-deflate blocks,
     expression-built containers; the interlaced layout is a plan-time
-    pixel permutation of the same raster), all wrapping the SAME pixels —
-    the md5 digest of the text cycled over the samples — so the real
+    pixel permutation of the same raster), all wrapping the SAME samples —
+    the md5 digest of the text cycled over them — so the real
     pure-stdlib codecs (decode_payload: PPM parse, PNG inflate +
-    sequential AND per-pass unfilter + pass scatter) run inside the
+    sequential AND per-pass unfilter + pass scatter, GIF LZW walk +
+    palette resolve) run inside the
     mapInPandas plan and the DuckDB oracle regenerates the identical
     pixel statistics from the same md5, with per-container closed-form
-    n_bytes. The checked projection scales
+    n_bytes (the GIF leg's grayscale triplication leaves every normalized
+    statistic equal; only dims and byte count differ). The checked
+    projection scales
     each float32 feature element by 1e6 and rounds to an integer:
     kind/width/height/channels are small exact ints, and the four
     normalized stats carry float32 precision (~1e-7 abs), far finer than
@@ -1674,8 +1682,10 @@ def _q_multimodal(spark, sf):
     deterministically."""
     docs = _docs(spark, sf)
     media = synthesize_ppm_media_from_text(
-        docs.where(F.col("doc_id") % 2 == 0),
-    ).unionByName(synthesize_png_media_from_text(
+        docs.where(F.col("doc_id") % 4 == 0),
+    ).unionByName(synthesize_gif_media_from_text(
+        docs.where(F.col("doc_id") % 4 == 2),
+    )).unionByName(synthesize_png_media_from_text(
         docs.where(F.col("doc_id") % 4 == 1),
     )).unionByName(synthesize_png_media_from_text(
         docs.where(F.col("doc_id") % 4 == 3), interlace=True,
@@ -2493,9 +2503,9 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _multimodal_oracle_sql(width: int = 4, height: int = 2) -> str:
-    """DuckDB twin of the REAL multimodal decode path: regenerate the PPM
-    pixel bytes (md5 digest of the text, cycled to width*height*3 samples —
-    exactly what synthesize_ppm_media_from_text encodes), recompute the
+    """DuckDB twin of the REAL multimodal decode path: regenerate the
+    pixel samples (md5 digest of the text, cycled to width*height*3 —
+    exactly what the PPM/PNG/GIF synthesizers encode), recompute the
     codec's feature vector [kind=1, w, h, 3, mean, std, min, max] with the
     same operation order as pipeline.multimodal._norm_stats (mean = sum/n
     then /255; std = sqrt(ssd/n) then /255), quantize each element through
@@ -2517,20 +2527,30 @@ def _multimodal_oracle_sql(width: int = 4, height: int = 2) -> str:
         )
 
     head = ",".join(str(v * 1000000) for v in (1, width, height, 3))
+    # the GIF leg is an n-wide 1-tall grayscale strip: each sample
+    # triplicates through the (v,v,v) palette, which leaves the
+    # normalized mean/std/min/max of the value distribution identical —
+    # only the reported dims change
+    gif_head = ",".join(str(v * 1000000) for v in (1, n, 1, 3))
     ssd = "list_sum(list_transform(bs, x -> (x - m) * (x - m)))"
+    head_case = (
+        f"CASE WHEN media_id % 4 = 2 THEN '{gif_head},' ELSE '{head},' END"
+    )
     feat = (
-        f"'{head},' || {q('m / 255.0')} || ',' || {q(f'sqrt({ssd} / {n}.0) / 255.0')} "
+        f"{head_case} || {q('m / 255.0')} || ',' || {q(f'sqrt({ssd} / {n}.0) / 255.0')} "
         f"|| ',' || {q('CAST(list_min(bs) AS DOUBLE) / 255.0')} "
         f"|| ',' || {q('CAST(list_max(bs) AS DOUBLE) / 255.0')}"
     )
     zeros = ",".join(["0"] * 8)
-    # container by id class (the Spark side unions PPM for even ids,
-    # sequential PNG for ids % 4 == 1, Adam7-interlaced PNG for
-    # ids % 4 == 3): features are raster-determined and identical; only
-    # the byte count depends on the wrapper, all three closed-form
+    # container by id class (the Spark side unions PPM for ids % 4 == 0,
+    # GIF89a for ids % 4 == 2, sequential PNG for ids % 4 == 1,
+    # Adam7-interlaced PNG for ids % 4 == 3): features are
+    # raster-determined and identical up to the GIF dims; only
+    # the byte count depends on the wrapper, all four closed-form
     n_bytes = (
         f"CASE WHEN bs IS NULL THEN 0 "
-        f"WHEN media_id % 2 = 0 THEN {header_len + n} "
+        f"WHEN media_id % 4 = 0 THEN {header_len + n} "
+        f"WHEN media_id % 4 = 2 THEN {gif_fixture_n_bytes(width, height)} "
         f"WHEN media_id % 4 = 1 THEN {png_fixture_n_bytes(width, height)} "
         f"ELSE {png_fixture_n_bytes(width, height, interlace=True)} END"
     )

@@ -1314,6 +1314,92 @@ def synthesize_png_media_from_text(
     )
 
 
+def _gif_fixture_codes(n: int) -> list:
+    """LZW code sequence of the expression-built GIF fixture: a CLEAR
+    before every run of ≤7 literals keeps each (CLEAR + 7 literal) group
+    at exactly 8 nine-bit codes = 9 BYTES, so the variable-width bit
+    packing becomes a plan-time byte layout (the dictionary never reaches
+    512 entries between clears, so the code width is pinned at 9)."""
+    codes: list = []
+    for g in range(0, n, 7):
+        codes.append(256)  # CLEAR
+        codes.extend(("s", j) for j in range(g, min(g + 7, n)))
+    codes.append(257)  # EOI
+    return codes
+
+
+def gif_fixture_n_bytes(width: int, height: int) -> int:
+    """Closed-form payload size of :func:`synthesize_gif_media_from_text`:
+    header + logical screen descriptor + 256-entry grayscale table +
+    image descriptor + min-code byte + one sub-block of the fixed-layout
+    LZW stream + terminator + trailer."""
+    n = width * height * 3
+    lzw_len = (9 * len(_gif_fixture_codes(n)) + 7) // 8
+    return 6 + 7 + 768 + 10 + 1 + 1 + lzw_len + 1 + 1
+
+
+def synthesize_gif_media_from_text(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    width: int = 4,
+    height: int = 2,
+) -> DataFrame:
+    """Fixture builder with REAL GIF payloads, entirely expression-level:
+    each payload is a valid GIF89a whose raster is an ``n = width*height*3``
+    × 1 GRAYSCALE strip over a constant 256-gray palette, one pixel per
+    md5-cycled sample byte — so the decoded RGB raster is each sample
+    triplicated, and every normalized statistic (mean/std/min/max over
+    the value distribution) equals the PPM/PNG legs' exactly; only the
+    dims and the closed-form :func:`gif_fixture_n_bytes` differ. The LZW
+    stream needs no encoder in the plan: a CLEAR before every 7 literals
+    pins the code width at 9 bits and byte-aligns each group, so every
+    stream byte is a two-code shift/mask expression over md5 nibbles
+    (constant-folded where both codes are CLEAR/EOI). This puts the GIF
+    decode path — a real LZW walk — on the cross-engine oracle gate
+    without the oracle ever parsing a container."""
+    n = width * height * 3
+    codes = _gif_fixture_codes(n)
+    lzw_len = (9 * len(codes) + 7) // 8
+    if lzw_len > 255:
+        raise ValueError("fixture LZW stream exceeds one GIF sub-block")
+    hexd = F.md5(F.col(text_column))
+
+    def sample(j: int):
+        return F.conv(F.substring(hexd, (j % 16) * 2 + 1, 2), 16, 10).cast("long")
+
+    def code_col(k: int):
+        if k >= len(codes):
+            return F.lit(0).cast("long")  # zero pad bits after EOI
+        c = codes[k]
+        return F.lit(c).cast("long") if isinstance(c, int) else sample(c[1])
+
+    byte_hex = []
+    for i in range(lzw_len):
+        k1, s = divmod(8 * i, 9)  # LSB-first: byte i holds bits [8i, 8i+8)
+        b = (F.shiftright(code_col(k1), s)
+             + F.shiftleft(code_col(k1 + 1), 9 - s)).bitwiseAND(F.lit(255))
+        byte_hex.append(F.lpad(F.hex(b), 2, "0"))
+    lzw = F.unhex(F.concat(*byte_hex))
+    gct = bytes(b for v in range(256) for b in (v, v, v))
+    head = (b"GIF89a" + struct.pack("<HHBBB", n, 1, 0xF7, 0, 0) + gct
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, n, 1, 0)
+            + bytes([8, lzw_len]))
+    payload = F.when(
+        F.col(text_column).isNotNull(),
+        F.concat(F.lit(head), lzw, F.lit(b"\x00\x3B")),
+    )
+    return df.select(
+        F.col(id_column).cast("long").alias("media_id"),
+        payload.alias("payload"),
+        F.when(F.col(text_column).isNotNull(),
+               F.lit("image/gif")).alias("mime"),
+        F.when(F.col(text_column).isNotNull(), F.lit(n)).cast("int").alias("width"),
+        F.when(F.col(text_column).isNotNull(), F.lit(1)).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
 def synthesize_media_from_text(
     df: DataFrame,
     text_column: str = "text",

@@ -1370,3 +1370,42 @@ def test_gif_animation_first_frame_only():
     multi = blob_a[:-1] + tail_b + b"\x3B"
     got = decode_image_gif(multi)
     np.testing.assert_array_equal(got, a)
+
+
+def test_gif_fixture_synthesis_matches_ppm(spark):
+    """The expression-built GIF fixture (9-bit LZW groups byte-aligned by
+    a CLEAR per 7 literals, constant grayscale palette) is a VALID
+    container: the pure-Python codec decodes it to the PPM fixture's
+    samples triplicated across a 24x1 strip, the payload length is the
+    closed form, and the normalized statistics agree with the PPM leg
+    element-for-element (dims differ by construction)."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.multimodal import (
+        decode_image_gif,
+        decode_image_ppm,
+        decode_payload,
+        gif_fixture_n_bytes,
+        synthesize_gif_media_from_text,
+        synthesize_ppm_media_from_text,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "another document"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    gif = {r.media_id: r.payload for r in synthesize_gif_media_from_text(df).collect()}
+    ppm = {r.media_id: r.payload for r in synthesize_ppm_media_from_text(df).collect()}
+    assert gif[3] is None
+    for mid in (1, 2, 4):
+        assert len(gif[mid]) == gif_fixture_n_bytes(4, 2)
+        raster = decode_image_gif(bytes(gif[mid]))
+        samples = decode_image_ppm(bytes(ppm[mid])).reshape(-1)
+        assert raster.shape == (1, 24, 3)
+        # grayscale palette: every channel carries the sample value
+        for ch in range(3):
+            assert np.array_equal(raster[0, :, ch], samples)
+        g, p = (decode_payload(bytes(x[mid]), 8) for x in (gif, ppm))
+        assert g[0] == p[0] == 1.0
+        assert (g[1], g[2]) == (24.0, 1.0) and (p[1], p[2]) == (4.0, 2.0)
+        assert g[3:] == p[3:]  # normalized stats identical
