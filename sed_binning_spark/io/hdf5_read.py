@@ -12,10 +12,12 @@ the reference's real fixtures ``Scan0030_2.h5`` /
   with names in a local heap; new-style COMPACT link storage (link
   messages in the header); and new-style DENSE link storage (fractal
   heap + type-5 name-index v2 B-tree, enumerated leaf-by-leaf)
-- datasets: contiguous and chunked layouts (layout message v3); chunk
-  index = v1 B-tree (node type 1); filters deflate (zlib), shuffle,
-  fletcher32, and LZF (h5py's built-in filter 32000 — pure-Python
-  decoder from the public liblzf stream format)
+- datasets: contiguous and chunked layouts (layout message v3 AND v4);
+  chunk indexes: v1 B-tree (node type 1), and the "latest"-format v4
+  flavors single-chunk, implicit, and fixed array (FAHD/FADB, filtered
+  and unfiltered clients, checksums verified); filters deflate (zlib),
+  shuffle, fletcher32, and LZF (h5py's built-in filter 32000 —
+  pure-Python decoder from the public liblzf stream format)
 - datatypes: fixed-point and IEEE-float scalars (little/big endian),
   fixed-size and variable-length strings (attributes)
 - attributes (message 0x000C), including scalar numerics, strings, and
@@ -31,11 +33,12 @@ the reference's real fixtures ``Scan0030_2.h5`` /
   or relative, cycle-guarded; dangling links list as absent and raise
   KeyError only when followed
 
-NOT supported (all raise): layout v4 chunk indexes, szip/n-bit filters,
-dataset regions, external links, shared (committed) datatypes/dataspaces,
-vlen members inside compounds, filtered/huge/tiny/multi-level fractal
-heaps, v2 B-trees deeper than two levels, writes (see ``hdf5_write`` for
-the companion writer).
+NOT supported (all raise): extensible-array / v2-B-tree chunk indexes
+(unlimited-dimension datasets) and paged fixed arrays, szip/n-bit
+filters, dataset regions, external links, shared (committed)
+datatypes/dataspaces, vlen members inside compounds,
+filtered/huge/tiny/multi-level fractal heaps, v2 B-trees deeper than two
+levels, writes (see ``hdf5_write`` for the companion writer).
 Everything raises a clear ``UnsupportedHDF5`` rather than misreading.
 
 The point: a facility user's raw files open end-to-end on any executor
@@ -110,10 +113,15 @@ class Dataset:
     data_size: int = 0
     compact_data: bytes = b""
     chunk_shape: tuple[int, ...] = ()
-    btree_addr: int = UNDEF
+    btree_addr: int = UNDEF      # chunk index address (any index flavor)
     filters: list[tuple[int, list[int]]] = field(default_factory=list)
     attrs: dict = field(default_factory=dict)
     fill: bytes | None = None  # raw fill-value bytes (None/empty -> zeros)
+    # layout-v4 chunk indexing: "btree1" (v3 message), "single",
+    # "implicit", or "fixed" (fixed array); aux carries the single-chunk
+    # (filtered size, filter mask) pair when the message declares one
+    chunk_index: str = "btree1"
+    chunk_aux: tuple = ()
 
 
 @dataclass
@@ -463,9 +471,11 @@ class H5File:
         out = self._background(ds, dtype, ds.shape)
         if ds.btree_addr == UNDEF:
             return out
-        for offsets, addr, nbytes, filter_mask in self._iter_chunks(
-            ds.btree_addr, len(ds.shape),
-        ):
+        if ds.chunk_index == "btree1":
+            chunks = self._iter_chunks(ds.btree_addr, len(ds.shape))
+        else:
+            chunks = self._iter_chunks_v4(ds, dtype.itemsize)
+        for offsets, addr, nbytes, filter_mask in chunks:
             raw = self._data_slice(addr, nbytes, f"dataset {path} chunk")
             raw = self._defilter(raw, ds.filters, filter_mask, dtype.itemsize)
             n_chunk = int(np.prod(ds.chunk_shape, dtype=np.int64))
@@ -681,6 +691,8 @@ class H5File:
                 filters=ds.get("filters", []),
                 attrs=attrs,
                 fill=ds.get("fill"),
+                chunk_index=ds.get("chunk_index", "btree1"),
+                chunk_aux=ds.get("chunk_aux", ()),
             )
         if saw_link_storage:
             return Group(UNDEF, UNDEF, attrs=attrs, links=sorted(links))
@@ -840,7 +852,7 @@ class H5File:
     @staticmethod
     def _parse_layout(body: bytes) -> dict:
         version = body[0]
-        if version != 3:
+        if version not in (3, 4):
             raise UnsupportedHDF5(f"data layout message version {version}")
         layout_class = body[1]
         if layout_class == 0:  # compact
@@ -849,7 +861,9 @@ class H5File:
         if layout_class == 1:  # contiguous
             addr, size = struct.unpack_from("<QQ", body, 2)
             return {"layout": "contiguous", "data_addr": addr, "data_size": size}
-        if layout_class == 2:  # chunked
+        if layout_class != 2:
+            raise UnsupportedHDF5(f"layout class {layout_class}")
+        if version == 3:  # chunked, v1 B-tree index
             ndims = body[2]
             dims = struct.unpack_from(f"<Q{ndims}I", body, 3)
             btree = dims[0]
@@ -859,7 +873,42 @@ class H5File:
                 "btree_addr": btree,
                 "chunk_shape": tuple(int(d) for d in dims[1:-1]),
             }
-        raise UnsupportedHDF5(f"layout class {layout_class}")
+        # version 4 chunked ("latest" format): chunk dims (no element-size
+        # entry), then one of five chunk index flavors + the index address
+        flags = body[2]
+        ndims = body[3]
+        enc = body[4]
+        dims = tuple(
+            int.from_bytes(body[5 + i * enc : 5 + (i + 1) * enc], "little")
+            for i in range(ndims)
+        )
+        p = 5 + ndims * enc
+        itype = body[p]
+        p += 1
+        out = {"layout": "chunked", "chunk_shape": dims}
+        if itype == 1:  # single chunk
+            out["chunk_index"] = "single"
+            if flags & 0x02:  # filtered single chunk: size + mask inline
+                size, mask = struct.unpack_from("<QI", body, p)
+                p += 12
+                out["chunk_aux"] = (int(size), int(mask))
+        elif itype == 2:  # implicit: chunks contiguous in C grid order
+            out["chunk_index"] = "implicit"
+        elif itype == 3:  # fixed array
+            out["chunk_index"] = "fixed"
+            p += 1  # page bits (the header restates them)
+        elif itype == 4:
+            raise UnsupportedHDF5(
+                "extensible-array chunk index (unlimited-dimension dataset)",
+            )
+        elif itype == 5:
+            raise UnsupportedHDF5(
+                "v2 B-tree chunk index (multi-unlimited-dimension dataset)",
+            )
+        else:
+            raise UnsupportedHDF5(f"chunk index type {itype}")
+        (out["btree_addr"],) = struct.unpack_from("<Q", body, p)
+        return out
 
     @staticmethod
     def _parse_filters(body: bytes) -> list[tuple[int, list[int]]]:
@@ -1133,6 +1182,99 @@ class H5File:
                 yield tuple(int(o) for o in offsets), child, nbytes, fmask
             else:
                 yield from self._iter_chunks(child, ndims)
+
+    # -- layout-v4 chunk indexes ---------------------------------------------
+    def _chunk_grid(self, ds: Dataset) -> list[int]:
+        return [
+            -(-s // c) for s, c in zip(ds.shape, ds.chunk_shape)
+        ]
+
+    @staticmethod
+    def _grid_offsets(i: int, grid: list[int], chunk_shape) -> tuple:
+        """Chunk linear index (C order over the chunk grid) -> element
+        offsets, the addressing every v4 index flavor shares."""
+        offs = []
+        for g, c in zip(reversed(grid), reversed(chunk_shape)):
+            offs.append((i % g) * c)
+            i //= g
+        return tuple(reversed(offs))
+
+    def _iter_chunks_v4(self, ds: Dataset, itemsize: int):
+        """Chunk records from a layout-v4 index: single chunk (the address
+        in the message, size/mask inline when filtered), implicit
+        (chunks contiguous in C grid order, unfiltered by spec), or a
+        fixed array ('FAHD' header + 'FADB' element block; client 0 =
+        bare addresses, client 1 = address + stored size + filter mask).
+        Paged fixed arrays (element count past the data block's page
+        threshold) raise — a page walk is mechanical but unexercisable
+        here, and silence would skip chunks."""
+        nominal = int(np.prod(ds.chunk_shape, dtype=np.int64)) * itemsize
+        if ds.chunk_index == "single":
+            if ds.chunk_aux:
+                size, mask = ds.chunk_aux
+            else:
+                size, mask = nominal, 0
+            yield tuple(0 for _ in ds.shape), ds.btree_addr, size, mask
+            return
+        grid = self._chunk_grid(ds)
+        nchunks = int(np.prod(grid, dtype=np.int64))
+        if ds.chunk_index == "implicit":
+            for i in range(nchunks):
+                yield (self._grid_offsets(i, grid, ds.chunk_shape),
+                       ds.btree_addr + i * nominal, nominal, 0)
+            return
+        if ds.chunk_index != "fixed":
+            raise UnsupportedHDF5(f"chunk index {ds.chunk_index!r}")
+        buf = self._buf
+        addr = ds.btree_addr
+        if buf[addr : addr + 4] != b"FAHD":
+            raise UnsupportedHDF5("bad fixed-array header signature")
+        if buf[addr + 4] != 0:
+            raise UnsupportedHDF5(f"fixed array version {buf[addr + 4]}")
+        client = buf[addr + 5]
+        entry_size = buf[addr + 6]
+        page_bits = buf[addr + 7]
+        nelmts, dblk = struct.unpack_from("<QQ", buf, addr + 8)
+        _verify_checksum(buf, addr, 24, "fixed-array header")
+        if client not in (0, 1):
+            raise UnsupportedHDF5(f"fixed array client {client}")
+        if nelmts > (1 << page_bits):
+            raise UnsupportedHDF5(
+                f"paged fixed array ({nelmts} entries over the "
+                f"{1 << page_bits}-entry page threshold)",
+            )
+        if dblk == UNDEF:
+            return
+        if buf[dblk : dblk + 4] != b"FADB":
+            raise UnsupportedHDF5("bad fixed-array data block signature")
+        if buf[dblk + 4] != 0 or buf[dblk + 5] != client:
+            raise UnsupportedHDF5("fixed-array data block version/client "
+                                  "mismatch")
+        if struct.unpack_from("<Q", buf, dblk + 6)[0] != addr:
+            raise UnsupportedHDF5(
+                "truncated or corrupt HDF5 file (fixed-array data block "
+                "does not point back at its header)",
+            )
+        base = dblk + 14
+        _verify_checksum(buf, dblk, 14 + int(nelmts) * entry_size,
+                         "fixed-array data block")
+        if nelmts != nchunks:
+            raise UnsupportedHDF5(
+                f"fixed array holds {nelmts} entries for a {nchunks}-chunk "
+                "grid",
+            )
+        for i in range(int(nelmts)):
+            e = buf[base + i * entry_size : base + (i + 1) * entry_size]
+            (caddr,) = struct.unpack_from("<Q", e, 0)
+            if caddr == UNDEF:
+                continue
+            if client == 0:
+                size, mask = nominal, 0
+            else:
+                size = int.from_bytes(e[8 : entry_size - 4], "little")
+                (mask,) = struct.unpack_from("<I", e, entry_size - 4)
+            yield (self._grid_offsets(i, grid, ds.chunk_shape),
+                   caddr, size, mask)
 
     # -- filters ------------------------------------------------------------
     @staticmethod

@@ -5,9 +5,12 @@ Writes classic (superblock v0) files limited to what the cube sink and
 the reader's fixture tests need: nested groups (v1 B-tree + local heap +
 SNOD symbol tables), CONTIGUOUS datasets of native numeric, fixed-length
 string, or COMPOUND (structured, incl. array members) type, soft links
-(symbol-table cache type 2), and numeric / string attributes. Datasets are uncompressed and unchunked by design — the
+(symbol-table cache type 2), and numeric / string attributes. Datasets default to uncompressed contiguous — the
 cubes this serializes are driver-sized, and the simple layout keeps every
 structure inside the subset the companion reader (and libhdf5) understands.
+``add_dataset(chunks=...)`` opts into CHUNKED layout-v4 messages (fixed
+array / single chunk / implicit indexes, optional per-chunk deflate) —
+fixture surface for the reader's "latest"-format chunk-index paths.
 
 ``dense_links=True`` / ``dense_attrs=True`` switch groups and attribute
 sets to the post-1.8 DENSE layout (fractal heap 'FRHP'/'FHDB'/'FHIB' +
@@ -68,12 +71,36 @@ class H5Writer:
     def add_group(self, path: str) -> None:
         self._group([p for p in path.strip("/").split("/") if p])
 
-    def add_dataset(self, path: str, data) -> None:
+    def add_dataset(self, path: str, data, *, chunks: tuple | None = None,
+                    chunk_index: str = "fixed", deflate: bool = False) -> None:
+        """``chunks`` switches the dataset to a CHUNKED layout-v4 message
+        (the post-1.10 "latest" format) indexed by ``chunk_index``:
+        "fixed" (fixed array, libhdf5's default for fixed-shape chunked
+        data), "single" (one chunk covering the whole dataset), or
+        "implicit" (chunks contiguous in C grid order — no filters by
+        spec). ``deflate`` zlib-compresses each chunk and records the
+        filter pipeline."""
         parts = [p for p in path.strip("/").split("/") if p]
         parent = self._group(parts[:-1])
         arr = _as_h5_array(data)
+        if chunks is not None:
+            chunks = tuple(int(c) for c in chunks)
+            if len(chunks) != arr.ndim or any(c < 1 for c in chunks):
+                raise ValueError(f"chunks {chunks} do not fit rank-{arr.ndim}")
+            if chunk_index not in ("fixed", "single", "implicit"):
+                raise ValueError(f"unknown chunk index {chunk_index!r}")
+            if chunk_index == "single" and any(
+                c < s for c, s in zip(chunks, arr.shape)
+            ):
+                raise ValueError("single-chunk index needs one covering chunk")
+            if chunk_index == "implicit" and deflate:
+                raise ValueError("implicit indexing forbids filters (spec)")
+        elif deflate:
+            raise ValueError("deflate requires a chunked layout")
         parent["__children__"][parts[-1]] = {
             "__kind__": "dataset", "__attrs__": {}, "__data__": arr,
+            "__chunks__": chunks, "__index__": chunk_index,
+            "__deflate__": deflate,
         }
 
     def add_softlink(self, path: str, target: str) -> None:
@@ -126,25 +153,116 @@ class H5Writer:
         if node["__kind__"] == "softlink":
             return ("soft", node["__target__"])
         if node["__kind__"] == "dataset":
-            return self._emit_dataset(buf, node["__data__"], node["__attrs__"])
+            return self._emit_dataset(buf, node)
         children = [
             (name, self._emit(buf, child))
             for name, child in sorted(node["__children__"].items())
         ]
         return self._emit_group(buf, children, node["__attrs__"])
 
-    def _emit_dataset(self, buf: bytearray, arr: np.ndarray, attrs: dict) -> int:
-        _align(buf)
-        data_addr = len(buf)
-        raw = arr.tobytes()
-        buf += raw
+    def _emit_dataset(self, buf: bytearray, node: dict) -> int:
+        arr, attrs = node["__data__"], node["__attrs__"]
+        chunks = node.get("__chunks__")
         msgs = [
             (0x0001, _dataspace(arr.shape)),
             (0x0003, _datatype(arr.dtype)),
-            (0x0008, struct.pack("<BBQQ", 3, 1, data_addr, len(raw))),
         ]
+        if chunks is None:
+            _align(buf)
+            data_addr = len(buf)
+            raw = arr.tobytes()
+            buf += raw
+            msgs.append((0x0008, struct.pack("<BBQQ", 3, 1, data_addr, len(raw))))
+        else:
+            msgs += self._emit_chunked(
+                buf, arr, chunks, node["__index__"], node["__deflate__"],
+            )
         msgs += self._attr_msgs(buf, attrs)
         return _emit_object_header(buf, msgs)
+
+    @staticmethod
+    def _emit_chunked(
+        buf: bytearray, arr: np.ndarray, chunks: tuple,
+        index: str, deflate: bool,
+    ) -> list[tuple[int, bytes]]:
+        """Chunked layout-v4 emission: full-size (edge-padded) chunk
+        buffers in C grid order, optionally deflated, indexed by a
+        single-chunk message, an implicit contiguous run, or a fixed
+        array ('FAHD' + 'FADB', client 1 when filtered). Returns the
+        layout (+ filter pipeline) messages."""
+        import zlib
+
+        grid = [-(-s // c) for s, c in zip(arr.shape, chunks)]
+        nchunks = int(np.prod(grid)) if grid else 1
+        blobs = []
+        for i in range(nchunks):
+            offs, rem = [], i
+            for g in reversed(grid):
+                offs.append(rem % g)
+                rem //= g
+            offs = offs[::-1]
+            block = np.zeros(chunks, dtype=arr.dtype)
+            sel = tuple(
+                slice(o * c, min((o + 1) * c, s))
+                for o, c, s in zip(offs, chunks, arr.shape)
+            )
+            block[tuple(slice(0, s.stop - s.start) for s in sel)] = arr[sel]
+            raw = block.tobytes()
+            blobs.append(zlib.compress(raw, 6) if deflate else raw)
+
+        if index == "implicit":  # back-to-back, addresses are arithmetic
+            _align(buf)
+            base = len(buf)
+            for b in blobs:
+                buf += b
+            index_addr, itype, extra, flags = base, 2, b"", 0
+        else:
+            addrs = []
+            for b in blobs:
+                _align(buf)
+                addrs.append(len(buf))
+                buf += b
+            if index == "single":
+                itype, flags = 1, 0
+                extra = b""
+                if deflate:
+                    flags = 0x02
+                    extra = struct.pack("<QI", len(blobs[0]), 0)
+                index_addr = addrs[0]
+            else:  # fixed array
+                client = 1 if deflate else 0
+                size_len = _min_bytes(max(len(b) for b in blobs))
+                entry_size = 8 if client == 0 else 8 + size_len + 4
+                page_bits = max(10, nchunks.bit_length())
+                _align(buf)
+                index_addr = len(buf)
+                buf += b"\x00" * 28  # FAHD placeholder, patched below
+                _align(buf)
+                dblk = len(buf)
+                fadb = bytearray(b"FADB" + bytes([0, client])
+                                 + struct.pack("<Q", index_addr))
+                for a, b in zip(addrs, blobs):
+                    fadb += struct.pack("<Q", a)
+                    if client == 1:
+                        fadb += len(b).to_bytes(size_len, "little")
+                        fadb += struct.pack("<I", 0)  # filter mask
+                fadb += struct.pack("<I", jenkins_lookup3(bytes(fadb)))
+                buf += fadb
+                fahd = bytearray(b"FAHD" + bytes([0, client, entry_size,
+                                                  page_bits]))
+                fahd += struct.pack("<QQ", nchunks, dblk)
+                fahd += struct.pack("<I", jenkins_lookup3(bytes(fahd)))
+                buf[index_addr : index_addr + 28] = fahd
+                itype, extra, flags = 3, bytes([page_bits]), 0
+        body = bytes([4, 2, flags, arr.ndim, 8])
+        for c in chunks:
+            body += struct.pack("<Q", c)
+        body += bytes([itype]) + extra + struct.pack("<Q", index_addr)
+        msgs = [(0x0008, body)]
+        if deflate:
+            msgs.append((0x000B, bytes([2, 1])
+                         + struct.pack("<HHHI", 1, 0, 1, 6)))
+        return msgs
 
     def _attr_msgs(self, buf: bytearray, attrs: dict) -> list[tuple[int, bytes]]:
         """Attribute messages for an object header: one compact 0x000C per
