@@ -14,10 +14,13 @@ the reference's real fixtures ``Scan0030_2.h5`` /
   heap + type-5 name-index v2 B-tree, enumerated leaf-by-leaf)
 - datasets: contiguous and chunked layouts (layout message v3 AND v4);
   chunk indexes: v1 B-tree (node type 1), and the "latest"-format v4
-  flavors single-chunk, implicit, and fixed array (FAHD/FADB, filtered
-  and unfiltered clients, checksums verified); filters deflate (zlib),
-  shuffle, fletcher32, and LZF (h5py's built-in filter 32000 —
-  pure-Python decoder from the public liblzf stream format)
+  flavors single-chunk, implicit, fixed array (FAHD/FADB), and
+  extensible array (EAHD/EAIB/EASB/EADB — the one-unlimited-dimension
+  index, walked generation by generation with every block offset
+  cross-checked), filtered and unfiltered clients, checksums verified;
+  filters deflate (zlib), shuffle, fletcher32, and LZF (h5py's built-in
+  filter 32000 — pure-Python decoder from the public liblzf stream
+  format)
 - datatypes: fixed-point and IEEE-float scalars (little/big endian),
   fixed-size and variable-length strings (attributes)
 - attributes (message 0x000C), including scalar numerics, strings, and
@@ -33,12 +36,12 @@ the reference's real fixtures ``Scan0030_2.h5`` /
   or relative, cycle-guarded; dangling links list as absent and raise
   KeyError only when followed
 
-NOT supported (all raise): extensible-array / v2-B-tree chunk indexes
-(unlimited-dimension datasets) and paged fixed arrays, szip/n-bit
-filters, dataset regions, external links, shared (committed)
-datatypes/dataspaces, vlen members inside compounds,
-filtered/huge/tiny/multi-level fractal heaps, v2 B-trees deeper than two
-levels, writes (see ``hdf5_write`` for the companion writer).
+NOT supported (all raise): v2-B-tree chunk indexes (multiple unlimited
+dimensions), paged fixed/extensible arrays, szip/n-bit filters, dataset
+regions, external links, shared (committed) datatypes/dataspaces, vlen
+members inside compounds, filtered/huge/tiny/multi-level fractal heaps,
+v2 B-trees deeper than two levels, writes (see ``hdf5_write`` for the
+companion writer).
 Everything raises a clear ``UnsupportedHDF5`` rather than misreading.
 
 The point: a facility user's raw files open end-to-end on any executor
@@ -897,10 +900,13 @@ class H5File:
         elif itype == 3:  # fixed array
             out["chunk_index"] = "fixed"
             p += 1  # page bits (the header restates them)
-        elif itype == 4:
-            raise UnsupportedHDF5(
-                "extensible-array chunk index (unlimited-dimension dataset)",
-            )
+        elif itype == 4:  # extensible array (one unlimited dimension)
+            out["chunk_index"] = "extensible"
+            # creation params: max-nelmts bits, index-block elements,
+            # secondary-block min pointers, data-block min elements,
+            # page bits — the EAHD header restates them (cross-checked)
+            out["chunk_aux"] = tuple(body[p : p + 5])
+            p += 5
         elif itype == 5:
             raise UnsupportedHDF5(
                 "v2 B-tree chunk index (multi-unlimited-dimension dataset)",
@@ -1209,6 +1215,9 @@ class H5File:
         threshold) raise — a page walk is mechanical but unexercisable
         here, and silence would skip chunks."""
         nominal = int(np.prod(ds.chunk_shape, dtype=np.int64)) * itemsize
+        if ds.chunk_index == "extensible":
+            yield from self._iter_extensible(ds, nominal)
+            return
         if ds.chunk_index == "single":
             if ds.chunk_aux:
                 size, mask = ds.chunk_aux
@@ -1275,6 +1284,189 @@ class H5File:
                 (mask,) = struct.unpack_from("<I", e, entry_size - 4)
             yield (self._grid_offsets(i, grid, ds.chunk_shape),
                    caddr, size, mask)
+
+    def _iter_extensible(self, ds: Dataset, nominal: int):
+        """Chunk records from an extensible-array index ('EAHD' header,
+        'EAIB' index block, 'EASB' super blocks, 'EADB' data blocks) —
+        the v4 flavor libhdf5 picks for ONE unlimited dimension. The
+        element space is: ``idx_elmts`` records directly in the index
+        block, then super-block generations where generation s holds
+        2^(s//2) data blocks of ``min_elmts * 2^((s+1)//2)`` records; the
+        index block embeds the data-block pointers of generations below
+        2*log2(min_ptrs) and points at the later generations' super
+        blocks. Every block's stored array offset is cross-checked
+        against the walk (a geometry disagreement raises — never a
+        misread), paged data blocks raise, and all checksums verify."""
+        buf = self._buf
+        a = ds.btree_addr
+        if buf[a : a + 4] != b"EAHD":
+            raise UnsupportedHDF5("bad extensible-array header signature")
+        if buf[a + 4] != 0:
+            raise UnsupportedHDF5(f"extensible array version {buf[a + 4]}")
+        client = buf[a + 5]
+        if client not in (0, 1):
+            raise UnsupportedHDF5(f"extensible array client {client}")
+        elt_size = buf[a + 6]
+        max_bits, idx_elmts, min_elmts, min_ptrs, page_bits = buf[a + 7 : a + 12]
+        _verify_checksum(buf, a, 68, "extensible-array header")
+        if ds.chunk_aux and tuple(ds.chunk_aux) != (
+            max_bits, idx_elmts, min_ptrs, min_elmts, page_bits,
+        ):
+            raise UnsupportedHDF5(
+                "truncated or corrupt HDF5 file (extensible-array header "
+                "disagrees with the layout message's creation parameters)",
+            )
+        (iblk,) = struct.unpack_from("<Q", buf, a + 60)
+        if client == 0 and elt_size != 8:
+            raise UnsupportedHDF5(
+                f"extensible array element size {elt_size} for bare chunks",
+            )
+        if client == 1 and elt_size < 13:
+            raise UnsupportedHDF5(
+                f"extensible array element size {elt_size} cannot hold "
+                "address + size + filter mask",
+            )
+        grid = self._chunk_grid(ds)
+        nchunks = int(np.prod(grid, dtype=np.int64))
+        nsblks = max_bits - (min_elmts.bit_length() - 1)
+        first = 2 * (min_ptrs.bit_length() - 1)
+        arr_off_size = (max_bits + 7) // 8
+
+        def record(e: bytes, i: int):
+            (caddr,) = struct.unpack_from("<Q", e, 0)
+            if caddr == UNDEF or i >= nchunks:
+                return None
+            if client == 0:
+                size, mask = nominal, 0
+            else:
+                size = int.from_bytes(e[8 : elt_size - 4], "little")
+                (mask,) = struct.unpack_from("<I", e, elt_size - 4)
+            return (self._grid_offsets(i, grid, ds.chunk_shape),
+                    caddr, size, mask)
+
+        if iblk == UNDEF:
+            return
+        if buf[iblk : iblk + 4] != b"EAIB":
+            raise UnsupportedHDF5("bad extensible-array index block signature")
+        if buf[iblk + 4] != 0 or buf[iblk + 5] != client:
+            raise UnsupportedHDF5("extensible-array index block "
+                                  "version/client mismatch")
+        if struct.unpack_from("<Q", buf, iblk + 6)[0] != a:
+            raise UnsupportedHDF5(
+                "truncated or corrupt HDF5 file (index block does not point "
+                "back at its extensible-array header)",
+            )
+        iblk_nptrs = sum(1 << (s // 2) for s in range(min(first, nsblks)))
+        n_sblk_ptrs = max(nsblks - first, 0)
+        used = 14 + idx_elmts * elt_size + (iblk_nptrs + n_sblk_ptrs) * 8
+        _verify_checksum(buf, iblk, used, "extensible-array index block")
+        elems_at = iblk + 14
+        dptr_at = elems_at + idx_elmts * elt_size
+        sptr_at = dptr_at + iblk_nptrs * 8
+
+        for k in range(min(idx_elmts, nchunks)):
+            rec = record(buf[elems_at + k * elt_size:
+                             elems_at + (k + 1) * elt_size], k)
+            if rec:
+                yield rec
+
+        def read_dblk(addr: int, start: int, count: int):
+            if buf[addr : addr + 4] != b"EADB":
+                raise UnsupportedHDF5(
+                    "bad extensible-array data block signature",
+                )
+            if buf[addr + 4] != 0 or buf[addr + 5] != client:
+                raise UnsupportedHDF5("extensible-array data block "
+                                      "version/client mismatch")
+            if struct.unpack_from("<Q", buf, addr + 6)[0] != a:
+                raise UnsupportedHDF5(
+                    "truncated or corrupt HDF5 file (data block does not "
+                    "point back at its extensible-array header)",
+                )
+            stored = int.from_bytes(
+                buf[addr + 14 : addr + 14 + arr_off_size], "little",
+            )
+            if stored != start:
+                raise UnsupportedHDF5(
+                    "truncated or corrupt HDF5 file (extensible-array data "
+                    f"block offset {stored} where the walk expected {start})",
+                )
+            base = addr + 14 + arr_off_size
+            _verify_checksum(buf, addr, 14 + arr_off_size + count * elt_size,
+                             "extensible-array data block")
+            for k in range(count):
+                rec = record(buf[base + k * elt_size:
+                                 base + (k + 1) * elt_size], start + k)
+                if rec:
+                    yield rec
+
+        elem_idx = idx_elmts
+        dptr_seen = 0
+        for s in range(nsblks):
+            if elem_idx >= nchunks:
+                return
+            ndblks = 1 << (s // 2)
+            dblk_n = min_elmts << ((s + 1) // 2)
+            if s < first:  # data-block pointers embedded in the index block
+                for d in range(ndblks):
+                    if elem_idx >= nchunks:
+                        return
+                    (daddr,) = struct.unpack_from(
+                        "<Q", buf, dptr_at + (dptr_seen + d) * 8,
+                    )
+                    if daddr != UNDEF:
+                        if dblk_n > (1 << page_bits):
+                            raise UnsupportedHDF5(
+                                "paged extensible-array data block",
+                            )
+                        yield from read_dblk(daddr, elem_idx, dblk_n)
+                    elem_idx += dblk_n
+                dptr_seen += ndblks
+                continue
+            (saddr,) = struct.unpack_from(
+                "<Q", buf, sptr_at + (s - first) * 8,
+            )
+            if saddr == UNDEF:
+                elem_idx += ndblks * dblk_n
+                continue
+            if buf[saddr : saddr + 4] != b"EASB":
+                raise UnsupportedHDF5(
+                    "bad extensible-array super block signature",
+                )
+            if buf[saddr + 4] != 0 or buf[saddr + 5] != client:
+                raise UnsupportedHDF5("extensible-array super block "
+                                      "version/client mismatch")
+            if struct.unpack_from("<Q", buf, saddr + 6)[0] != a:
+                raise UnsupportedHDF5(
+                    "truncated or corrupt HDF5 file (super block does not "
+                    "point back at its extensible-array header)",
+                )
+            stored = int.from_bytes(
+                buf[saddr + 14 : saddr + 14 + arr_off_size], "little",
+            )
+            if stored != elem_idx:
+                raise UnsupportedHDF5(
+                    "truncated or corrupt HDF5 file (extensible-array super "
+                    f"block offset {stored} where the walk expected "
+                    f"{elem_idx})",
+                )
+            if dblk_n > (1 << page_bits):
+                raise UnsupportedHDF5("paged extensible-array data block")
+            sbase = saddr + 14 + arr_off_size
+            _verify_checksum(buf, saddr, 14 + arr_off_size + ndblks * 8,
+                             "extensible-array super block")
+            for d in range(ndblks):
+                if elem_idx >= nchunks:
+                    return
+                (daddr,) = struct.unpack_from("<Q", buf, sbase + d * 8)
+                if daddr != UNDEF:
+                    yield from read_dblk(daddr, elem_idx, dblk_n)
+                elem_idx += dblk_n
+        if elem_idx < nchunks:
+            raise UnsupportedHDF5(
+                f"extensible array exhausted its {nsblks} super-block "
+                f"generations before covering {nchunks} chunks",
+            )
 
     # -- filters ------------------------------------------------------------
     @staticmethod

@@ -9,8 +9,9 @@ string, or COMPOUND (structured, incl. array members) type, soft links
 cubes this serializes are driver-sized, and the simple layout keeps every
 structure inside the subset the companion reader (and libhdf5) understands.
 ``add_dataset(chunks=...)`` opts into CHUNKED layout-v4 messages (fixed
-array / single chunk / implicit indexes, optional per-chunk deflate) —
-fixture surface for the reader's "latest"-format chunk-index paths.
+array / extensible array / single chunk / implicit indexes, optional
+per-chunk deflate) — fixture surface for the reader's "latest"-format
+chunk-index paths.
 
 ``dense_links=True`` / ``dense_attrs=True`` switch groups and attribute
 sets to the post-1.8 DENSE layout (fractal heap 'FRHP'/'FHDB'/'FHIB' +
@@ -87,7 +88,8 @@ class H5Writer:
             chunks = tuple(int(c) for c in chunks)
             if len(chunks) != arr.ndim or any(c < 1 for c in chunks):
                 raise ValueError(f"chunks {chunks} do not fit rank-{arr.ndim}")
-            if chunk_index not in ("fixed", "single", "implicit"):
+            if chunk_index not in ("fixed", "single", "implicit",
+                                   "extensible"):
                 raise ValueError(f"unknown chunk index {chunk_index!r}")
             if chunk_index == "single" and any(
                 c < s for c, s in zip(chunks, arr.shape)
@@ -229,6 +231,11 @@ class H5Writer:
                     flags = 0x02
                     extra = struct.pack("<QI", len(blobs[0]), 0)
                 index_addr = addrs[0]
+            elif index == "extensible":
+                index_addr, extra = _emit_extensible_array(
+                    buf, addrs, blobs, deflate,
+                )
+                itype, flags = 4, 0
             else:  # fixed array
                 client = 1 if deflate else 0
                 size_len = _min_bytes(max(len(b) for b in blobs))
@@ -625,6 +632,118 @@ def _emit_v2_btree(
     hdr += struct.pack("<I", jenkins_lookup3(bytes(hdr)))
     buf += hdr
     return addr
+
+
+# extensible-array creation parameters (libhdf5's chunk-index defaults):
+# 32-bit element space, 4 elements in the index block, 16-element minimum
+# data blocks, 4-pointer minimum super blocks, 1024-element pages
+_EA_MAX_BITS = 32
+_EA_IDX_ELMTS = 4
+_EA_MIN_ELMTS = 16
+_EA_MIN_PTRS = 4
+_EA_PAGE_BITS = 10
+
+
+def _emit_extensible_array(
+    buf: bytearray, addrs: list[int], blobs: list[bytes], deflate: bool,
+) -> tuple[int, bytes]:
+    """Emit an extensible-array chunk index over already-written chunks
+    and return (EAHD address, the layout message's creation-parameter
+    bytes). Mirrors the reader's generation walk: ``idx_elmts`` records
+    in the index block, then generation s = 2^(s//2) data blocks of
+    ``min_elmts << ((s+1)//2)`` records, generations past
+    2*log2(min_ptrs) behind super blocks; unallocated record and pointer
+    slots are UNDEF."""
+    client = 1 if deflate else 0
+    size_len = _min_bytes(max(len(b) for b in blobs)) if deflate else 0
+    elt_size = 8 if client == 0 else 12 + size_len
+    arr_off_size = (_EA_MAX_BITS + 7) // 8
+    nsblks = _EA_MAX_BITS - (_EA_MIN_ELMTS.bit_length() - 1)
+    first = 2 * (_EA_MIN_PTRS.bit_length() - 1)
+    iblk_nptrs = sum(1 << (s // 2) for s in range(min(first, nsblks)))
+    nchunks = len(addrs)
+
+    def element(i: int) -> bytes:
+        if i >= nchunks:
+            return struct.pack("<Q", UNDEF) + b"\x00" * (elt_size - 8)
+        e = struct.pack("<Q", addrs[i])
+        if client == 1:
+            e += len(blobs[i]).to_bytes(size_len, "little")
+            e += struct.pack("<I", 0)  # filter mask
+        return e
+
+    _align(buf)
+    hdr_addr = len(buf)
+    buf += b"\x00" * 72  # EAHD placeholder, patched below
+
+    def block_prefix(sig: bytes, offset: int) -> bytearray:
+        return bytearray(
+            sig + bytes([0, client]) + struct.pack("<Q", hdr_addr)
+            + offset.to_bytes(arr_off_size, "little"),
+        )
+
+    elem_idx = _EA_IDX_ELMTS
+    dblk_addrs: list[int] = []       # embedded-generation data blocks
+    sblk_addrs: list[int] = []       # one per generation >= first
+    ndblks_emitted = 0
+    for s in range(nsblks):
+        if elem_idx >= nchunks:
+            break
+        ndblks = 1 << (s // 2)
+        dblk_n = _EA_MIN_ELMTS << ((s + 1) // 2)
+        gen_start = elem_idx
+        gen_dblks: list[int] = []
+        for _ in range(ndblks):
+            if elem_idx >= nchunks:
+                gen_dblks.append(UNDEF)
+                continue
+            _align(buf)
+            daddr = len(buf)
+            node = block_prefix(b"EADB", elem_idx)
+            for k in range(dblk_n):
+                node += element(elem_idx + k)
+            node += struct.pack("<I", jenkins_lookup3(bytes(node)))
+            buf += node
+            gen_dblks.append(daddr)
+            ndblks_emitted += 1
+            elem_idx += dblk_n
+        if s < first:
+            dblk_addrs += gen_dblks
+        else:
+            _align(buf)
+            saddr = len(buf)
+            node = block_prefix(b"EASB", gen_start)
+            for a in gen_dblks:
+                node += struct.pack("<Q", a)
+            node += struct.pack("<I", jenkins_lookup3(bytes(node)))
+            buf += node
+            sblk_addrs.append(saddr)
+
+    _align(buf)
+    iblk_addr = len(buf)
+    node = bytearray(b"EAIB" + bytes([0, client])
+                     + struct.pack("<Q", hdr_addr))
+    for i in range(_EA_IDX_ELMTS):
+        node += element(i)
+    dblk_addrs += [UNDEF] * (iblk_nptrs - len(dblk_addrs))
+    sblk_addrs += [UNDEF] * (nsblks - first - len(sblk_addrs))
+    for a in dblk_addrs + sblk_addrs:
+        node += struct.pack("<Q", a)
+    node += struct.pack("<I", jenkins_lookup3(bytes(node)))
+    buf += node
+
+    hdr = bytearray(b"EAHD" + bytes([
+        0, client, elt_size, _EA_MAX_BITS, _EA_IDX_ELMTS,
+        _EA_MIN_ELMTS, _EA_MIN_PTRS, _EA_PAGE_BITS,
+    ]))
+    hdr += struct.pack("<QQQQQQ", len(sblk_addrs), 0, ndblks_emitted, 0,
+                       nchunks, nchunks)
+    hdr += struct.pack("<Q", iblk_addr)
+    hdr += struct.pack("<I", jenkins_lookup3(bytes(hdr)))
+    buf[hdr_addr : hdr_addr + 72] = hdr
+    extra = bytes([_EA_MAX_BITS, _EA_IDX_ELMTS, _EA_MIN_PTRS,
+                   _EA_MIN_ELMTS, _EA_PAGE_BITS])
+    return hdr_addr, extra
 
 
 def _emit_object_header(buf: bytearray, msgs: list[tuple[int, bytes]]) -> int:

@@ -801,17 +801,77 @@ def test_layout_v4_fixed_array_corruption_and_refusals(tmp_path):
         q.write_bytes(bytes(bad))
         with pytest.raises(UnsupportedHDF5, match="checksum mismatch"):
             H5File(str(q)).read("/only")
-    # extensible array (type 4) / v2 B-tree (type 5) indexes refuse by
-    # name: patch the layout message's index-type byte. The v4 chunked
+    # the v2 B-tree chunk index (type 5) and unknown index types refuse
+    # by name: patch the layout message's index-type byte. The v4 chunked
     # message body for this file is 4,2,flags,1,8 + 8-byte dim + type 3.
     bad = bytearray(good)
     at = bad.find(bytes([4, 2, 0, 1, 8]) + (32).to_bytes(8, "little"))
     assert at > 0, "layout message not found"
     ty_at = at + 5 + 8
     assert bad[ty_at] == 3
-    for ty, msg in ((4, "extensible-array"), (5, "v2 B-tree chunk")):
+    for ty, msg in ((5, "v2 B-tree chunk"), (9, "chunk index type 9")):
         bad[ty_at] = ty
         q = tmp_path / f"idx{ty}.h5"
         q.write_bytes(bytes(bad))
         with pytest.raises(UnsupportedHDF5, match=msg):
             H5File(str(q)).dataset("/only")
+
+
+def test_layout_v4_extensible_array_round_trip(tmp_path):
+    """Extensible-array chunk index (the v4 flavor for ONE unlimited
+    dimension): chunk counts chosen to land in each structural regime —
+    records directly in the index block (3), embedded data-block
+    pointers (30), secondary blocks (300), several doubling generations
+    (2500) — each both bare (client 0) and deflated (client 1), plus a
+    2-D grid with edge-partial chunks."""
+    from sed_binning_spark.io.hdf5_read import H5File
+    from sed_binning_spark.io.hdf5_write import H5Writer
+
+    rng = np.random.default_rng(11)
+    cases = []
+    for nchunks, tag in [(3, "direct"), (30, "embedded"),
+                         (300, "super"), (2500, "many")]:
+        arr = rng.integers(-9999, 9999, size=nchunks * 8).astype("<i4")
+        cases.append((tag, arr, dict(chunks=(8,), chunk_index="extensible")))
+        cases.append((tag + "_z", arr,
+                      dict(chunks=(8,), chunk_index="extensible",
+                           deflate=True)))
+    arr2d = rng.integers(0, 100, size=(50, 17)).astype("<i8")
+    cases.append(("two_d", arr2d,
+                  dict(chunks=(7, 4), chunk_index="extensible",
+                       deflate=True)))
+    w = H5Writer()
+    for name, a, kw in cases:
+        w.add_dataset("/" + name, a, **kw)
+    p = tmp_path / "ea.h5"
+    w.write(str(p))
+    f = H5File(str(p))
+    for name, a, kw in cases:
+        np.testing.assert_array_equal(f.read("/" + name), a, err_msg=name)
+        assert f.dataset("/" + name).chunk_index == "extensible"
+    raw = p.read_bytes()
+    for sig in (b"EAHD", b"EAIB", b"EASB", b"EADB"):
+        assert sig in raw, sig
+
+
+def test_layout_v4_extensible_array_corruption(tmp_path):
+    """A flipped byte inside any extensible-array structure surfaces as a
+    named corruption error (checksum mismatch or a block-offset
+    disagreement with the generation walk), never a silent misread."""
+    from sed_binning_spark.io.hdf5_read import H5File, UnsupportedHDF5
+    from sed_binning_spark.io.hdf5_write import H5Writer
+
+    w = H5Writer()
+    w.add_dataset("/x", np.arange(2400, dtype="<i4"), chunks=(8,),
+                  chunk_index="extensible")
+    p = tmp_path / "one.h5"
+    w.write(str(p))
+    good = p.read_bytes()
+    for sig in (b"EAHD", b"EAIB", b"EASB", b"EADB"):
+        bad = bytearray(good)
+        bad[bad.find(sig) + 16] ^= 0xFF
+        q = tmp_path / f"bad_{sig.decode().lower()}.h5"
+        q.write_bytes(bytes(bad))
+        with pytest.raises(UnsupportedHDF5,
+                           match="checksum mismatch|where the walk expected"):
+            H5File(str(q)).read("/x")
