@@ -14,10 +14,12 @@ the reference's real fixtures ``Scan0030_2.h5`` /
   heap + type-5 name-index v2 B-tree, enumerated leaf-by-leaf)
 - datasets: contiguous and chunked layouts (layout message v3 AND v4);
   chunk indexes: v1 B-tree (node type 1), and the "latest"-format v4
-  flavors single-chunk, implicit, fixed array (FAHD/FADB), and
+  flavors single-chunk, implicit, fixed array (FAHD/FADB),
   extensible array (EAHD/EAIB/EASB/EADB — the one-unlimited-dimension
   index, walked generation by generation with every block offset
-  cross-checked), filtered and unfiltered clients, checksums verified;
+  cross-checked), and v2 B-tree (record types 10/11, scaled grid
+  offsets — several unlimited dimensions), filtered and unfiltered
+  clients, checksums verified;
   filters deflate (zlib), shuffle, fletcher32, and LZF (h5py's built-in
   filter 32000 — pure-Python decoder from the public liblzf stream
   format)
@@ -36,12 +38,11 @@ the reference's real fixtures ``Scan0030_2.h5`` /
   or relative, cycle-guarded; dangling links list as absent and raise
   KeyError only when followed
 
-NOT supported (all raise): v2-B-tree chunk indexes (multiple unlimited
-dimensions), paged fixed/extensible arrays, szip/n-bit filters, dataset
-regions, external links, shared (committed) datatypes/dataspaces, vlen
-members inside compounds, filtered/huge/tiny/multi-level fractal heaps,
-v2 B-trees deeper than two levels, writes (see ``hdf5_write`` for the
-companion writer).
+NOT supported (all raise): paged fixed/extensible arrays, szip/n-bit
+filters, dataset regions, external links, shared (committed)
+datatypes/dataspaces, vlen members inside compounds,
+filtered/huge/tiny/multi-level fractal heaps, v2 B-trees deeper than two
+levels, writes (see ``hdf5_write`` for the companion writer).
 Everything raises a clear ``UnsupportedHDF5`` rather than misreading.
 
 The point: a facility user's raw files open end-to-end on any executor
@@ -907,10 +908,9 @@ class H5File:
             # page bits — the EAHD header restates them (cross-checked)
             out["chunk_aux"] = tuple(body[p : p + 5])
             p += 5
-        elif itype == 5:
-            raise UnsupportedHDF5(
-                "v2 B-tree chunk index (multi-unlimited-dimension dataset)",
-            )
+        elif itype == 5:  # v2 B-tree (several unlimited dimensions)
+            out["chunk_index"] = "btree2"
+            p += 6  # node size (4) + split/merge percents (restated by BTHD)
         else:
             raise UnsupportedHDF5(f"chunk index type {itype}")
         (out["btree_addr"],) = struct.unpack_from("<Q", body, p)
@@ -1218,6 +1218,9 @@ class H5File:
         if ds.chunk_index == "extensible":
             yield from self._iter_extensible(ds, nominal)
             return
+        if ds.chunk_index == "btree2":
+            yield from self._iter_btree2_chunks(ds, nominal)
+            return
         if ds.chunk_index == "single":
             if ds.chunk_aux:
                 size, mask = ds.chunk_aux
@@ -1284,6 +1287,50 @@ class H5File:
                 (mask,) = struct.unpack_from("<I", e, entry_size - 4)
             yield (self._grid_offsets(i, grid, ds.chunk_shape),
                    caddr, size, mask)
+
+    def _iter_btree2_chunks(self, ds: Dataset, nominal: int):
+        """Chunk records from a v2 B-tree index (types 10/11 — several
+        unlimited dimensions): each record is the chunk address, then
+        (filtered only) stored size + filter mask, then the chunk's
+        SCALED offsets (grid coordinates, 8 bytes each); the filtered
+        record's size-field width falls out of the header's record size.
+        Reuses the dense-storage v2 B-tree walker (depths 0-1,
+        checksums verified)."""
+        buf = self._buf
+        ndims = len(ds.shape)
+        btype = buf[ds.btree_addr + 5] if \
+            buf[ds.btree_addr : ds.btree_addr + 4] == b"BTHD" else -1
+        if btype not in (10, 11):
+            raise UnsupportedHDF5(
+                f"v2 B-tree chunk index with record type {btype}",
+            )
+        (record_size,) = struct.unpack_from("<H", buf, ds.btree_addr + 10)
+        size_len = 0 if btype == 10 else record_size - 12 - 8 * ndims
+        if record_size != 8 + size_len + (4 if btype == 11 else 0) + 8 * ndims:
+            raise UnsupportedHDF5(
+                f"v2 B-tree chunk record size {record_size} does not fit "
+                f"a rank-{ndims} chunk record",
+            )
+        for rec in self._v2_btree_records(ds.btree_addr, expected_type=btype):
+            (caddr,) = struct.unpack_from("<Q", rec, 0)
+            if caddr == UNDEF:
+                continue
+            if btype == 10:
+                size, mask, p = nominal, 0, 8
+            else:
+                size = int.from_bytes(rec[8 : 8 + size_len], "little")
+                (mask,) = struct.unpack_from("<I", rec, 8 + size_len)
+                p = 12 + size_len
+            scaled = struct.unpack_from(f"<{ndims}Q", rec, p)
+            offsets = tuple(
+                int(o) * c for o, c in zip(scaled, ds.chunk_shape)
+            )
+            if any(o >= s for o, s in zip(offsets, ds.shape)):
+                raise UnsupportedHDF5(
+                    "truncated or corrupt HDF5 file (chunk record beyond "
+                    "the dataset extent)",
+                )
+            yield offsets, caddr, size, mask
 
     def _iter_extensible(self, ds: Dataset, nominal: int):
         """Chunk records from an extensible-array index ('EAHD' header,

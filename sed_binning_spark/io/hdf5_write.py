@@ -9,9 +9,10 @@ string, or COMPOUND (structured, incl. array members) type, soft links
 cubes this serializes are driver-sized, and the simple layout keeps every
 structure inside the subset the companion reader (and libhdf5) understands.
 ``add_dataset(chunks=...)`` opts into CHUNKED layout-v4 messages (fixed
-array / extensible array / single chunk / implicit indexes, optional
-per-chunk deflate) — fixture surface for the reader's "latest"-format
-chunk-index paths.
+array / extensible array / v2 B-tree / single chunk / implicit indexes,
+optional per-chunk deflate) — fixture surface for the reader's
+"latest"-format chunk-index paths, covering all five index types the
+format defines.
 
 ``dense_links=True`` / ``dense_attrs=True`` switch groups and attribute
 sets to the post-1.8 DENSE layout (fractal heap 'FRHP'/'FHDB'/'FHIB' +
@@ -89,7 +90,7 @@ class H5Writer:
             if len(chunks) != arr.ndim or any(c < 1 for c in chunks):
                 raise ValueError(f"chunks {chunks} do not fit rank-{arr.ndim}")
             if chunk_index not in ("fixed", "single", "implicit",
-                                   "extensible"):
+                                   "extensible", "btree2"):
                 raise ValueError(f"unknown chunk index {chunk_index!r}")
             if chunk_index == "single" and any(
                 c < s for c, s in zip(chunks, arr.shape)
@@ -236,6 +237,29 @@ class H5Writer:
                     buf, addrs, blobs, deflate,
                 )
                 itype, flags = 4, 0
+            elif index == "btree2":
+                # records in C grid order = lexicographic scaled offsets,
+                # the v2 B-tree's chunk sort order
+                btype = 11 if deflate else 10
+                size_len = _min_bytes(max(len(b) for b in blobs)) \
+                    if deflate else 0
+                records = []
+                for i, (a, b) in enumerate(zip(addrs, blobs)):
+                    rec = struct.pack("<Q", a)
+                    if deflate:
+                        rec += len(b).to_bytes(size_len, "little")
+                        rec += struct.pack("<I", 0)
+                    offs, rem = [], i
+                    for g in reversed(grid):
+                        offs.append(rem % g)
+                        rem //= g
+                    for o in reversed(offs):
+                        rec += struct.pack("<Q", o)
+                    records.append(rec)
+                index_addr = _emit_v2_btree(
+                    buf, btype, len(records[0]), records,
+                )
+                itype, extra, flags = 5, struct.pack("<IBB", 512, 100, 40), 0
             else:  # fixed array
                 client = 1 if deflate else 0
                 size_len = _min_bytes(max(len(b) for b in blobs))
