@@ -801,19 +801,19 @@ def test_layout_v4_fixed_array_corruption_and_refusals(tmp_path):
         q.write_bytes(bytes(bad))
         with pytest.raises(UnsupportedHDF5, match="checksum mismatch"):
             H5File(str(q)).read("/only")
-    # the v2 B-tree chunk index (type 5) and unknown index types refuse
-    # by name: patch the layout message's index-type byte. The v4 chunked
-    # message body for this file is 4,2,flags,1,8 + 8-byte dim + type 3.
+    # unknown index types refuse by name (all five defined types are now
+    # implemented): patch the layout message's index-type byte. The v4
+    # chunked message body for this file is 4,2,flags,1,8 + dim + type 3.
     bad = bytearray(good)
     at = bad.find(bytes([4, 2, 0, 1, 8]) + (32).to_bytes(8, "little"))
     assert at > 0, "layout message not found"
     ty_at = at + 5 + 8
     assert bad[ty_at] == 3
-    for ty, msg in ((5, "v2 B-tree chunk"), (9, "chunk index type 9")):
+    for ty in (0, 9):
         bad[ty_at] = ty
         q = tmp_path / f"idx{ty}.h5"
         q.write_bytes(bytes(bad))
-        with pytest.raises(UnsupportedHDF5, match=msg):
+        with pytest.raises(UnsupportedHDF5, match=f"chunk index type {ty}"):
             H5File(str(q)).dataset("/only")
 
 
