@@ -122,10 +122,13 @@ class Dataset:
     attrs: dict = field(default_factory=dict)
     fill: bytes | None = None  # raw fill-value bytes (None/empty -> zeros)
     # layout-v4 chunk indexing: "btree1" (v3 message), "single",
-    # "implicit", or "fixed" (fixed array); aux carries the single-chunk
-    # (filtered size, filter mask) pair when the message declares one
+    # "implicit", "fixed" (fixed array), "extensible", or "btree2"; aux
+    # carries the single-chunk (filtered size, filter mask) pair or the
+    # extensible array's creation parameters
     chunk_index: str = "btree1"
     chunk_aux: tuple = ()
+    chunk_elem_size: int = 0   # v4 message's trailing element-size dim
+    chunk_flags: int = 0       # v4 message flags byte
 
 
 @dataclass
@@ -201,6 +204,17 @@ def _min_bytes(n: int) -> int:
     rule the format spec uses for fractal-heap ID length fields and v2
     B-tree child record counts."""
     return max(1, (int(n).bit_length() + 7) // 8)
+
+
+def _grid_coords(i: int, grid) -> tuple:
+    """Linear chunk index (C order over the chunk grid) -> grid
+    coordinates — the addressing rule every chunk index flavor shares
+    (and the writer mirrors)."""
+    coords = []
+    for g in reversed(grid):
+        coords.append(i % g)
+        i //= g
+    return tuple(reversed(coords))
 
 
 def _verify_checksum(buf, addr: int, used: int, what: str) -> None:
@@ -473,6 +487,25 @@ class H5File:
             return np.frombuffer(raw, dtype=dtype).reshape(ds.shape).copy()
         # chunked: unwritten regions take the dataset's fill value
         out = self._background(ds, dtype, ds.shape)
+        if ds.chunk_elem_size and ds.chunk_elem_size != dtype.itemsize:
+            raise UnsupportedHDF5(
+                f"truncated or corrupt HDF5 file: dataset {path} layout "
+                f"declares {ds.chunk_elem_size}-byte elements but the "
+                f"datatype is {dtype.itemsize} bytes",
+            )
+        if ds.chunk_flags & 0x01 and ds.filters:
+            # H5D_CHUNK_DONT_FILTER_PARTIAL_CHUNKS: edge chunks are stored
+            # raw while interior chunks are filtered — defiltering them
+            # uniformly would scramble edges, so refuse
+            raise UnsupportedHDF5(
+                "unfiltered-partial-edge-chunks option with a filter "
+                "pipeline",
+            )
+        if ds.chunk_index == "implicit" and ds.filters:
+            raise UnsupportedHDF5(
+                "implicit chunk index with a filter pipeline (the format "
+                "forbids filters on implicit chunks)",
+            )
         if ds.btree_addr == UNDEF:
             return out
         if ds.chunk_index == "btree1":
@@ -697,6 +730,8 @@ class H5File:
                 fill=ds.get("fill"),
                 chunk_index=ds.get("chunk_index", "btree1"),
                 chunk_aux=ds.get("chunk_aux", ()),
+                chunk_elem_size=ds.get("chunk_elem_size", 0),
+                chunk_flags=ds.get("chunk_flags", 0),
             )
         if saw_link_storage:
             return Group(UNDEF, UNDEF, attrs=attrs, links=sorted(links))
@@ -877,11 +912,17 @@ class H5File:
                 "btree_addr": btree,
                 "chunk_shape": tuple(int(d) for d in dims[1:-1]),
             }
-        # version 4 chunked ("latest" format): chunk dims (no element-size
-        # entry), then one of five chunk index flavors + the index address
+        # version 4 chunked ("latest" format): rank+1 dims where the LAST
+        # entry is the datatype size (same internal layout libhdf5 keeps
+        # for v3), then one of five chunk index flavors + the index address
         flags = body[2]
         ndims = body[3]
         enc = body[4]
+        if ndims < 2:
+            raise UnsupportedHDF5(
+                f"v4 chunked layout with dimensionality {ndims} (needs the "
+                "trailing element-size entry)",
+            )
         dims = tuple(
             int.from_bytes(body[5 + i * enc : 5 + (i + 1) * enc], "little")
             for i in range(ndims)
@@ -889,7 +930,12 @@ class H5File:
         p = 5 + ndims * enc
         itype = body[p]
         p += 1
-        out = {"layout": "chunked", "chunk_shape": dims}
+        out = {
+            "layout": "chunked",
+            "chunk_shape": dims[:-1],
+            "chunk_elem_size": int(dims[-1]),
+            "chunk_flags": flags,
+        }
         if itype == 1:  # single chunk
             out["chunk_index"] = "single"
             if flags & 0x02:  # filtered single chunk: size + mask inline
@@ -1197,13 +1243,11 @@ class H5File:
 
     @staticmethod
     def _grid_offsets(i: int, grid: list[int], chunk_shape) -> tuple:
-        """Chunk linear index (C order over the chunk grid) -> element
-        offsets, the addressing every v4 index flavor shares."""
-        offs = []
-        for g, c in zip(reversed(grid), reversed(chunk_shape)):
-            offs.append((i % g) * c)
-            i //= g
-        return tuple(reversed(offs))
+        """Chunk linear index -> element offsets (grid coords scaled by
+        the chunk shape)."""
+        return tuple(
+            g * c for g, c in zip(_grid_coords(i, grid), chunk_shape)
+        )
 
     def _iter_chunks_v4(self, ds: Dataset, itemsize: int):
         """Chunk records from a layout-v4 index: single chunk (the address
@@ -1306,7 +1350,9 @@ class H5File:
             )
         (record_size,) = struct.unpack_from("<H", buf, ds.btree_addr + 10)
         size_len = 0 if btype == 10 else record_size - 12 - 8 * ndims
-        if record_size != 8 + size_len + (4 if btype == 11 else 0) + 8 * ndims:
+        if (btype == 10 and record_size != 8 + 8 * ndims) or (
+            btype == 11 and size_len < 1
+        ):
             raise UnsupportedHDF5(
                 f"v2 B-tree chunk record size {record_size} does not fit "
                 f"a rank-{ndims} chunk record",

@@ -29,7 +29,11 @@ import struct
 
 import numpy as np
 
-from sed_binning_spark.io.hdf5_read import _min_bytes, jenkins_lookup3
+from sed_binning_spark.io.hdf5_read import (
+    _grid_coords,
+    _min_bytes,
+    jenkins_lookup3,
+)
 
 UNDEF = 0xFFFFFFFFFFFFFFFF
 
@@ -197,13 +201,11 @@ class H5Writer:
 
         grid = [-(-s // c) for s, c in zip(arr.shape, chunks)]
         nchunks = int(np.prod(grid)) if grid else 1
+        if any(g == 0 for g in grid):
+            nchunks = 0
         blobs = []
         for i in range(nchunks):
-            offs, rem = [], i
-            for g in reversed(grid):
-                offs.append(rem % g)
-                rem //= g
-            offs = offs[::-1]
+            offs = _grid_coords(i, grid)
             block = np.zeros(chunks, dtype=arr.dtype)
             sel = tuple(
                 slice(o * c, min((o + 1) * c, s))
@@ -213,7 +215,20 @@ class H5Writer:
             raw = block.tobytes()
             blobs.append(zlib.compress(raw, 6) if deflate else raw)
 
-        if index == "implicit":  # back-to-back, addresses are arithmetic
+        if not blobs:
+            # zero-size dataset: no chunks exist; record the index flavor
+            # with an undefined address (the reader returns background fill)
+            itype, extra = {
+                "single": (1, b""),
+                "implicit": (2, b""),
+                "fixed": (3, bytes([10])),
+                "extensible": (4, bytes([_EA_MAX_BITS, _EA_IDX_ELMTS,
+                                         _EA_MIN_PTRS, _EA_MIN_ELMTS,
+                                         _EA_PAGE_BITS])),
+                "btree2": (5, struct.pack("<IBB", 512, 100, 40)),
+            }[index]
+            index_addr, flags = UNDEF, 0
+        elif index == "implicit":  # back-to-back, addresses are arithmetic
             _align(buf)
             base = len(buf)
             for b in blobs:
@@ -249,11 +264,7 @@ class H5Writer:
                     if deflate:
                         rec += len(b).to_bytes(size_len, "little")
                         rec += struct.pack("<I", 0)
-                    offs, rem = [], i
-                    for g in reversed(grid):
-                        offs.append(rem % g)
-                        rem //= g
-                    for o in reversed(offs):
+                    for o in _grid_coords(i, grid):
                         rec += struct.pack("<Q", o)
                     records.append(rec)
                 index_addr = _emit_v2_btree(
@@ -285,8 +296,10 @@ class H5Writer:
                 fahd += struct.pack("<I", jenkins_lookup3(bytes(fahd)))
                 buf[index_addr : index_addr + 28] = fahd
                 itype, extra, flags = 3, bytes([page_bits]), 0
-        body = bytes([4, 2, flags, arr.ndim, 8])
-        for c in chunks:
+        # dimensionality is rank + 1: libhdf5 keeps the datatype size as
+        # the trailing chunk "dimension" in v4 exactly as in v3
+        body = bytes([4, 2, flags, arr.ndim + 1, 8])
+        for c in (*chunks, arr.dtype.itemsize):
             body += struct.pack("<Q", c)
         body += bytes([itype]) + extra + struct.pack("<Q", index_addr)
         msgs = [(0x0008, body)]
@@ -715,6 +728,13 @@ def _emit_extensible_array(
             break
         ndblks = 1 << (s // 2)
         dblk_n = _EA_MIN_ELMTS << ((s + 1) // 2)
+        if dblk_n > (1 << _EA_PAGE_BITS):
+            raise ValueError(
+                f"extensible-array fixture writer: generation {s} needs "
+                f"{dblk_n}-element data blocks past the "
+                f"{1 << _EA_PAGE_BITS}-element page threshold (paging "
+                "unimplemented) — use a fixed-array index instead",
+            )
         gen_start = elem_idx
         gen_dblks: list[int] = []
         for _ in range(ndblks):

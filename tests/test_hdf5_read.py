@@ -803,11 +803,13 @@ def test_layout_v4_fixed_array_corruption_and_refusals(tmp_path):
             H5File(str(q)).read("/only")
     # unknown index types refuse by name (all five defined types are now
     # implemented): patch the layout message's index-type byte. The v4
-    # chunked message body for this file is 4,2,flags,1,8 + dim + type 3.
+    # chunked message body for this file is 4,2,flags,2,8 + the chunk dim
+    # and the trailing element-size dim + type 3.
     bad = bytearray(good)
-    at = bad.find(bytes([4, 2, 0, 1, 8]) + (32).to_bytes(8, "little"))
+    at = bad.find(bytes([4, 2, 0, 2, 8]) + (32).to_bytes(8, "little")
+                  + (4).to_bytes(8, "little"))
     assert at > 0, "layout message not found"
-    ty_at = at + 5 + 8
+    ty_at = at + 5 + 16
     assert bad[ty_at] == 3
     for ty in (0, 9):
         bad[ty_at] = ty
