@@ -38,11 +38,13 @@ the reference's real fixtures ``Scan0030_2.h5`` /
   or relative, cycle-guarded; dangling links list as absent and raise
   KeyError only when followed
 
-NOT supported (all raise): paged fixed/extensible arrays, szip/n-bit
-filters, dataset regions, external links, shared (committed)
+NOT supported (all raise): paged extensible-array data blocks, szip/
+n-bit filters, dataset regions, external links, shared (committed)
 datatypes/dataspaces, vlen members inside compounds,
 filtered/huge/tiny/multi-level fractal heaps, v2 B-trees deeper than two
-levels, writes (see ``hdf5_write`` for the companion writer).
+levels, writes (see ``hdf5_write`` for the companion writer). Paged
+FIXED arrays (chunk counts past the 1024-element page threshold) ARE
+supported.
 Everything raises a clear ``UnsupportedHDF5`` rather than misreading.
 
 The point: a facility user's raw files open end-to-end on any executor
@@ -1294,11 +1296,6 @@ class H5File:
         _verify_checksum(buf, addr, 24, "fixed-array header")
         if client not in (0, 1):
             raise UnsupportedHDF5(f"fixed array client {client}")
-        if nelmts > (1 << page_bits):
-            raise UnsupportedHDF5(
-                f"paged fixed array ({nelmts} entries over the "
-                f"{1 << page_bits}-entry page threshold)",
-            )
         if dblk == UNDEF:
             return
         if buf[dblk : dblk + 4] != b"FADB":
@@ -1311,26 +1308,49 @@ class H5File:
                 "truncated or corrupt HDF5 file (fixed-array data block "
                 "does not point back at its header)",
             )
-        base = dblk + 14
-        _verify_checksum(buf, dblk, 14 + int(nelmts) * entry_size,
-                         "fixed-array data block")
         if nelmts != nchunks:
             raise UnsupportedHDF5(
                 f"fixed array holds {nelmts} entries for a {nchunks}-chunk "
                 "grid",
             )
-        for i in range(int(nelmts)):
-            e = buf[base + i * entry_size : base + (i + 1) * entry_size]
-            (caddr,) = struct.unpack_from("<Q", e, 0)
-            if caddr == UNDEF:
-                continue
-            if client == 0:
-                size, mask = nominal, 0
-            else:
-                size = int.from_bytes(e[8 : entry_size - 4], "little")
-                (mask,) = struct.unpack_from("<I", e, entry_size - 4)
-            yield (self._grid_offsets(i, grid, ds.chunk_shape),
-                   caddr, size, mask)
+        nelmts = int(nelmts)
+
+        def entries(base: int, start: int, count: int):
+            for k in range(count):
+                e = buf[base + k * entry_size : base + (k + 1) * entry_size]
+                (caddr,) = struct.unpack_from("<Q", e, 0)
+                if caddr == UNDEF:
+                    continue
+                if client == 0:
+                    size, mask = nominal, 0
+                else:
+                    size = int.from_bytes(e[8 : entry_size - 4], "little")
+                    (mask,) = struct.unpack_from("<I", e, entry_size - 4)
+                yield (self._grid_offsets(start + k, grid, ds.chunk_shape),
+                       caddr, size, mask)
+
+        page_n = 1 << page_bits
+        if nelmts <= page_n:
+            _verify_checksum(buf, dblk, 14 + nelmts * entry_size,
+                             "fixed-array data block")
+            yield from entries(dblk + 14, 0, nelmts)
+            return
+        # paged data block: prefix holds only the page bitmap; the pages
+        # (page_n elements each, last one truncated, own trailing
+        # checksums) sit back-to-back right after the block
+        npages = -(-nelmts // page_n)
+        bitmap_bytes = (npages + 7) // 8
+        _verify_checksum(buf, dblk, 14 + bitmap_bytes,
+                         "fixed-array data block")
+        bitmap = buf[dblk + 14 : dblk + 14 + bitmap_bytes]
+        page_addr = dblk + 14 + bitmap_bytes + 4
+        for pg in range(npages):
+            count = min(page_n, nelmts - pg * page_n)
+            if bitmap[pg // 8] & (1 << (pg % 8)):
+                _verify_checksum(buf, page_addr, count * entry_size,
+                                 "fixed-array data block page")
+                yield from entries(page_addr, pg * page_n, count)
+            page_addr += count * entry_size + 4
 
     def _iter_btree2_chunks(self, ds: Dataset, nominal: int):
         """Chunk records from a v2 B-tree index (types 10/11 — several

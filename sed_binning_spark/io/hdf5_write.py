@@ -275,7 +275,15 @@ class H5Writer:
                 client = 1 if deflate else 0
                 size_len = _min_bytes(max(len(b) for b in blobs))
                 entry_size = 8 if client == 0 else 8 + size_len + 4
-                page_bits = max(10, nchunks.bit_length())
+                page_bits = 10  # libhdf5's default 1024-element pages
+
+                def fa_entry(i: int) -> bytes:
+                    e = struct.pack("<Q", addrs[i])
+                    if client == 1:
+                        e += len(blobs[i]).to_bytes(size_len, "little")
+                        e += struct.pack("<I", 0)  # filter mask
+                    return e
+
                 _align(buf)
                 index_addr = len(buf)
                 buf += b"\x00" * 28  # FAHD placeholder, patched below
@@ -283,13 +291,32 @@ class H5Writer:
                 dblk = len(buf)
                 fadb = bytearray(b"FADB" + bytes([0, client])
                                  + struct.pack("<Q", index_addr))
-                for a, b in zip(addrs, blobs):
-                    fadb += struct.pack("<Q", a)
-                    if client == 1:
-                        fadb += len(b).to_bytes(size_len, "little")
-                        fadb += struct.pack("<I", 0)  # filter mask
-                fadb += struct.pack("<I", jenkins_lookup3(bytes(fadb)))
-                buf += fadb
+                page_n = 1 << page_bits
+                if nchunks <= page_n:
+                    for i in range(nchunks):
+                        fadb += fa_entry(i)
+                    fadb += struct.pack("<I", jenkins_lookup3(bytes(fadb)))
+                    buf += fadb
+                else:
+                    # paged: the block itself holds only the page bitmap
+                    # (all pages initialized); pages follow back-to-back,
+                    # each with its own trailing checksum
+                    npages = -(-nchunks // page_n)
+                    bitmap = bytearray((npages + 7) // 8)
+                    for pg in range(npages):
+                        bitmap[pg // 8] |= 1 << (pg % 8)
+                    fadb += bitmap
+                    fadb += struct.pack("<I", jenkins_lookup3(bytes(fadb)))
+                    buf += fadb
+                    for pg in range(npages):
+                        count = min(page_n, nchunks - pg * page_n)
+                        page = bytearray()
+                        for i in range(pg * page_n, pg * page_n + count):
+                            page += fa_entry(i)
+                        page += struct.pack(
+                            "<I", jenkins_lookup3(bytes(page)),
+                        )
+                        buf += page
                 fahd = bytearray(b"FAHD" + bytes([0, client, entry_size,
                                                   page_bits]))
                 fahd += struct.pack("<QQ", nchunks, dblk)

@@ -931,3 +931,39 @@ def test_layout_v4_btree2_chunk_index(tmp_path):
     bad.write_bytes(bytes(raw))
     with pytest.raises(UnsupportedHDF5, match="beyond the dataset extent"):
         H5File(str(bad)).read("/x")
+
+
+def test_layout_v4_paged_fixed_array(tmp_path):
+    """Fixed arrays past 2^page_bits entries page their data block: the
+    prefix holds only the page bitmap, the 1024-element pages follow
+    back-to-back with their own checksums. 3000 chunks (3 pages, last
+    truncated) round-trip bare and deflated; exactly 1024 chunks stays
+    non-paged (the boundary); a flipped page byte raises the named
+    corruption error."""
+    from sed_binning_spark.io.hdf5_read import H5File, UnsupportedHDF5
+    from sed_binning_spark.io.hdf5_write import H5Writer
+
+    rng = np.random.default_rng(9)
+    a1 = rng.integers(-100, 100, size=3000 * 4).astype("<i2")
+    a2 = rng.standard_normal(1024 * 4).astype("<f4")
+    w = H5Writer()
+    w.add_dataset("/paged", a1, chunks=(4,))
+    w.add_dataset("/paged_z", a1, chunks=(4,), deflate=True)
+    w.add_dataset("/boundary", a2, chunks=(4,))
+    p = tmp_path / "paged.h5"
+    w.write(str(p))
+    f = H5File(str(p))
+    np.testing.assert_array_equal(f.read("/paged"), a1)
+    np.testing.assert_array_equal(f.read("/paged_z"), a1)
+    np.testing.assert_array_equal(f.read("/boundary"), a2)
+
+    raw = bytearray(p.read_bytes())
+    # find the PAGED data block: its prefix is 14 bytes + 1 bitmap byte +
+    # 4 checksum; corrupt an element byte inside the first page
+    at = raw.find(b"FADB")
+    raw[at + 14 + 1 + 4 + 50] ^= 0xFF
+    bad = tmp_path / "bad.h5"
+    bad.write_bytes(bytes(raw))
+    with pytest.raises(UnsupportedHDF5, match="checksum mismatch"):
+        for name in ("/paged", "/paged_z", "/boundary"):
+            H5File(str(bad)).read(name)
