@@ -37,6 +37,9 @@ event-scale data.
   slice-before-shuffle sequence assembly
 - :mod:`~sed_binning_spark.pipeline.report` — one-pass corpus telemetry
   (counts/totals/percentiles per stratum; t-digest or exact)
+- :mod:`~sed_binning_spark.pipeline.warc` — crawl ingestion: WARC/1.0
+  archives (per-record gzip members, chunked/content-encoded HTTP) to
+  the documents table, one streaming task per file
 """
 
 from sed_binning_spark.pipeline.cluster import (
@@ -94,6 +97,11 @@ from sed_binning_spark.pipeline.lm import (
     unigram_model,
 )
 from sed_binning_spark.pipeline.similarity import ivf_topk, ivf_train_centroids
+from sed_binning_spark.pipeline.warc import (
+    read_warc,
+    warc_to_documents,
+    write_warc,
+)
 from sed_binning_spark.pipeline.text import (
     document_fingerprint,
     dup_line_stats,
@@ -157,6 +165,9 @@ __all__ = [
     "badword_stats",
     "filter_badwords",
     "filter_by_blocklist",
+    "read_warc",
+    "warc_to_documents",
+    "write_warc",
     "corpus_report",
     "extract_features",
     "resize_images",

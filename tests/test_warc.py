@@ -1,0 +1,165 @@
+"""WARC ingestion: spec-built fixtures (per-record gzip members, chunked
+and content-encoded HTTP) through the streaming parser, the distributed
+mapInPandas reader, and the documents projection that feeds the rest of
+the curation pipeline."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from sed_binning_spark.pipeline.warc import (
+    _dechunk,
+    http_response,
+    iter_warc_records,
+    open_warc,
+    read_warc,
+    split_http_response,
+    warc_to_documents,
+    write_warc,
+)
+
+BODY = ("<html><body><p>Hello &amp; welcome</p>"
+        "<script>x<1</script><p>Second para</p></body></html>").encode()
+CLEAN = "Hello & welcome\n\nSecond para"
+
+
+def _fixture_records():
+    return [
+        dict(type="warcinfo", payload=b"software: fixture",
+             content_type="application/warc-fields"),
+        dict(type="response", url="http://a.example/plain",
+             payload=http_response(BODY)),
+        dict(type="response", url="http://a.example/chunked",
+             payload=http_response(BODY, chunked=True)),
+        dict(type="response", url="http://a.example/gz",
+             payload=http_response(BODY, gzip_body=True)),
+        dict(type="response", url="http://a.example/404",
+             payload=http_response(b"gone", status=404)),
+        dict(type="request", url="http://a.example/plain",
+             payload=b"GET /plain HTTP/1.1\r\n\r\n",
+             content_type="application/http; msgtype=request"),
+        dict(type="response", url="http://a.example/img",
+             payload=http_response(b"\x89PNG\x00", content_type="image/png")),
+    ]
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_warc_parser_round_trip(tmp_path, compress):
+    """Every framing the fixture writer emits parses back: plain and
+    per-record-gzip containers; identity, chunked, and gzip-encoded HTTP
+    bodies all reduce to the same bytes."""
+    p = tmp_path / ("t.warc.gz" if compress else "t.warc")
+    write_warc(str(p), _fixture_records(), compress=compress)
+    with open_warc(str(p)) as f:
+        got = list(iter_warc_records(f))
+    assert [h["warc-type"] for h, _ in got] == [
+        "warcinfo", "response", "response", "response", "response",
+        "request", "response",
+    ]
+    for idx in (1, 2, 3):
+        status, headers, body = split_http_response(got[idx][1])
+        assert status == 200 and body == BODY, idx
+        assert headers["content-type"].startswith("text/html")
+    status, _, body = split_http_response(got[4][1])
+    assert status == 404 and body == b"gone"
+    # non-HTTP payloads pass through untouched
+    assert split_http_response(got[0][1]) == (None, {}, b"software: fixture")
+
+
+def test_warc_parser_malformed(tmp_path):
+    """Framing defects raise named ValueErrors; a truncated chunked body
+    keeps the prefix instead of dropping the page."""
+    p = tmp_path / "t.warc"
+    write_warc(str(p), _fixture_records()[:2], compress=False)
+    raw = p.read_bytes()
+
+    q = tmp_path / "trunc.warc"
+    q.write_bytes(raw[:-30])
+    with pytest.raises(ValueError, match="truncated WARC record"):
+        with open_warc(str(q)) as f:
+            list(iter_warc_records(f))
+
+    q.write_bytes(b"NOT A WARC\r\n" + raw)
+    with pytest.raises(ValueError, match="version line"):
+        with open_warc(str(q)) as f:
+            list(iter_warc_records(f))
+
+    # chunked body cut mid-chunk: prefix survives
+    assert _dechunk(b"5\r\nhello\r\n5\r\nwo") == b"hellowo"[:7]
+    assert _dechunk(b"zz\r\njunk") == b""
+    # broken gzip content-encoding degrades to the raw bytes
+    broken = http_response(b"x", gzip_body=True)[:-1] + b"\x00"
+    status, _, body = split_http_response(broken)
+    assert status == 200 and body  # evidence kept, no raise
+
+
+def test_read_warc_distributed_and_documents(spark, tmp_path):
+    """read_warc fans one task per file and warc_to_documents yields the
+    documents shape: 2xx text responses only, UTF-8 decoded, HTML
+    stripped, deterministic distinct doc_ids — composing directly with
+    the downstream dedup/quality operators."""
+    paths = []
+    for fi in range(3):
+        recs = [
+            dict(type="response", url=f"http://site{fi}.example/{i}",
+                 payload=http_response(
+                     BODY, chunked=(i % 2 == 0), gzip_body=(i % 3 == 0),
+                 ))
+            for i in range(5)
+        ] + _fixture_records()
+        p = tmp_path / f"f{fi}.warc.gz"
+        write_warc(str(p), recs)
+        paths.append(str(p))
+    wdf = read_warc(spark, paths)
+    assert wdf.rdd.getNumPartitions() == 3
+    rows = wdf.count()
+    assert rows == 3 * (5 + 7)
+    docs = warc_to_documents(wdf)
+    got = docs.collect()
+    # per file: 5 site pages + plain/chunked/gz from the fixture set
+    # (404, request, warcinfo, and the PNG are gated out)
+    assert len(got) == 3 * (5 + 3)
+    assert all(r["text"] == CLEAN for r in got)
+    assert len({r["doc_id"] for r in got}) == len(got)
+
+    from sed_binning_spark.pipeline.dedup import exact_dedup
+    from sed_binning_spark.pipeline.text import text_stats
+
+    assert text_stats(docs).count() == len(got)
+    assert exact_dedup(docs).count() == 1  # all pages share one body
+
+
+def test_read_warc_empty_paths():
+    with pytest.raises(ValueError, match="at least one path"):
+        read_warc(None, [])
+
+
+def test_warc_gzip_members_stream_independently(tmp_path):
+    """The .warc.gz framing really is one gzip member per record (what
+    lets a reader resume mid-file at scale): splitting the file at
+    member boundaries yields parseable halves."""
+    p = tmp_path / "t.warc.gz"
+    recs = _fixture_records()
+    write_warc(str(p), recs)
+    raw = p.read_bytes()
+    # count gzip magic occurrences at member starts by re-splitting
+    first = gzip.compress(b"")  # noqa: F841 (documentation of intent)
+    offsets = []
+    pos = 0
+    while True:
+        at = raw.find(b"\x1f\x8b\x08", pos)
+        if at < 0:
+            break
+        offsets.append(at)
+        pos = at + 1
+    assert len(offsets) >= len(recs)  # one member (at least) per record
+    half = tmp_path / "half.warc.gz"
+    half.write_bytes(raw[offsets[2]:])
+    with open_warc(str(half)) as f:
+        tail = list(iter_warc_records(f))
+    assert [h["warc-type"] for h, _ in tail] == [
+        h["warc-type"] for h, _ in
+        [(r, None) for r in ({"warc-type": x["type"]} for x in recs[2:])]
+    ]
