@@ -40,6 +40,9 @@ event-scale data.
 - :mod:`~sed_binning_spark.pipeline.warc` — crawl ingestion: WARC/1.0
   archives (per-record gzip members, chunked/content-encoded HTTP) to
   the documents table, one streaming task per file
+- :mod:`~sed_binning_spark.pipeline.url` — URL canonicalization
+  (tracking-param strip, default-port/fragment drop, sorted query) and
+  URL-keyed dedup, all ``try_parse_url`` expressions
 """
 
 from sed_binning_spark.pipeline.cluster import (
@@ -97,6 +100,11 @@ from sed_binning_spark.pipeline.lm import (
     unigram_model,
 )
 from sed_binning_spark.pipeline.similarity import ivf_topk, ivf_train_centroids
+from sed_binning_spark.pipeline.url import (
+    canonical_url_expr,
+    canonicalize_urls,
+    dedup_by_url,
+)
 from sed_binning_spark.pipeline.warc import (
     read_warc,
     warc_to_documents,
@@ -168,6 +176,9 @@ __all__ = [
     "read_warc",
     "warc_to_documents",
     "write_warc",
+    "canonical_url_expr",
+    "canonicalize_urls",
+    "dedup_by_url",
     "corpus_report",
     "extract_features",
     "resize_images",

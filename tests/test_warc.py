@@ -163,3 +163,60 @@ def test_warc_gzip_members_stream_independently(tmp_path):
         h["warc-type"] for h, _ in
         [(r, None) for r in ({"warc-type": x["type"]} for x in recs[2:])]
     ]
+
+
+def test_url_canonicalization(spark):
+    """Canonical-URL pins: scheme/host case, default-port drop, empty
+    path, tracking-param strip with surviving params SORTED, fragment
+    drop, unparseable passthrough, NULL passthrough — checked against an
+    independent Python urllib reconstruction of the same rules."""
+    from urllib.parse import urlsplit
+
+    from sed_binning_spark.pipeline.url import (
+        TRACKING_PARAM_REGEX, canonicalize_urls, dedup_by_url,
+    )
+    import re
+
+    urls = [
+        "HTTP://Example.COM:80/a?utm_source=x&b=2&a=1#frag",
+        "http://example.com/a?a=1&b=2",
+        "https://Example.com:443/",
+        "https://example.com",
+        "https://example.com:8443/x",
+        "http://example.com/a?utm_source=y&b=2&a=1",
+        "ftp://Host.net:21/f",
+        "http://h.io/p?fbclid=abc&gclid=x",
+        "http://h.io/p?keep=1&ref=tw#x",
+    ]
+    rows = [(i, u) for i, u in enumerate(urls)] + [(97, "not a url"),
+                                                   (98, "/relative/only"),
+                                                   (99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["canonical_url"]
+           for r in canonicalize_urls(df).collect()}
+
+    def reference(u):
+        s = urlsplit(u)
+        default = {"http": 80, "https": 443, "ftp": 21}.get(s.scheme.lower())
+        port = f":{s.port}" if s.port and s.port != default else ""
+        params = sorted(
+            p for p in s.query.split("&")
+            if p and not re.match(TRACKING_PARAM_REGEX, p)
+        )
+        q = "?" + "&".join(params) if params else ""
+        return (f"{s.scheme.lower()}://{s.hostname}{port}"
+                f"{s.path or '/'}{q}")
+
+    for i, u in enumerate(urls):
+        assert got[i] == reference(u), (u, got[i], reference(u))
+    assert got[97] == "not a url" and got[98] == "/relative/only"
+    assert got[99] is None
+
+    d = {r["canonical_url"]: (r["kept_id"], r["n_dups"])
+         for r in dedup_by_url(df).collect()}
+    # urls 0, 1, 5 all canonicalize to http://example.com/a?a=1&b=2
+    assert d["http://example.com/a?a=1&b=2"] == (0, 3)
+    # 2 and 3 collapse to https://example.com/
+    assert d["https://example.com/"] == (2, 2)
+    # NULL url excluded entirely
+    assert sum(n for _, n in d.values()) == 11
