@@ -1346,7 +1346,8 @@ class H5File:
         page_addr = dblk + 14 + bitmap_bytes + 4
         for pg in range(npages):
             count = min(page_n, nelmts - pg * page_n)
-            if bitmap[pg // 8] & (1 << (pg % 8)):
+            # libhdf5's H5VM_bit_get numbers bit 0 as the byte's HIGH bit
+            if bitmap[pg // 8] & (0x80 >> (pg % 8)):
                 _verify_checksum(buf, page_addr, count * entry_size,
                                  "fixed-array data block page")
                 yield from entries(page_addr, pg * page_n, count)

@@ -304,7 +304,8 @@ class H5Writer:
                     npages = -(-nchunks // page_n)
                     bitmap = bytearray((npages + 7) // 8)
                     for pg in range(npages):
-                        bitmap[pg // 8] |= 1 << (pg % 8)
+                        # H5VM_bit_set order: bit 0 = the byte's HIGH bit
+                        bitmap[pg // 8] |= 0x80 >> (pg % 8)
                     fadb += bitmap
                     fadb += struct.pack("<I", jenkins_lookup3(bytes(fadb)))
                     buf += fadb

@@ -15,13 +15,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # query parameters that identify a CLICK, not a page — the standard
-# tracking families (Google Analytics utm_*, click ids, referral tags)
+# tracking families (Google Analytics utm_*, click ids, referral tags).
+# Bare ``ref=`` is deliberately NOT here: sites use it to select
+# branches/versions/variants, so stripping it would merge distinct pages
 TRACKING_PARAM_REGEX = (
     r"^(utm_[a-z]+|fbclid|gclid|dclid|msclkid|mc_eid|mc_cid|igshid|"
-    r"_ga|ref|ref_src|spm|yclid)="
+    r"_ga|ref_src|spm|yclid)="
 )
 
-_DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21}
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
 
 
 def canonical_url_expr(
@@ -50,11 +52,10 @@ def canonical_url_expr(
     host = F.lower(F.try_parse_url(url, F.lit("HOST")))
     authority = F.try_parse_url(url, F.lit("AUTHORITY"))
     port = F.regexp_extract(authority, r":(\d+)$", 1)
-    default_port = F.when(
-        proto == "http", F.lit("80"),
-    ).when(proto == "https", F.lit("443")).when(
-        proto == "ftp", F.lit("21"),
-    ).otherwise(F.lit(""))
+    default_port: Column = F.lit("")
+    for scheme, dport in _DEFAULT_PORTS.items():
+        default_port = F.when(proto == scheme, F.lit(dport)) \
+            .otherwise(default_port)
     port_part = F.when(
         (port == "") | (port == default_port), F.lit(""),
     ).otherwise(F.concat(F.lit(":"), port))

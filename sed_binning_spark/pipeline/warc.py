@@ -96,6 +96,22 @@ def iter_warc_records(fobj) -> Iterator[tuple[dict, bytes]]:
         yield headers, payload
 
 
+class _OwningGzipFile(gzip.GzipFile):
+    """GzipFile that closes the raw file object it wraps — GzipFile's own
+    close() leaves a caller-provided fileobj open, which would leak one
+    fd per archive on a long-lived executor."""
+
+    def __init__(self, raw) -> None:
+        self._raw = raw
+        super().__init__(fileobj=raw)
+
+    def close(self) -> None:
+        try:
+            super().close()
+        finally:
+            self._raw.close()
+
+
 def open_warc(path: str):
     """Binary stream of a WARC file — transparently de-gzips (Python's
     gzip module reads the concatenated per-record members crawl archives
@@ -104,7 +120,7 @@ def open_warc(path: str):
     magic = f.read(2)
     f.seek(0)
     if magic == b"\x1f\x8b":
-        return gzip.GzipFile(fileobj=f)
+        return _OwningGzipFile(f)
     return f
 
 
@@ -182,8 +198,10 @@ def _record_row(path: str, i: int, headers: dict, payload: bytes) -> tuple:
     if wtype == "response" and ctype.startswith("application/http"):
         status, http_headers, body = split_http_response(payload)
         ctype = http_headers.get("content-type", ctype)
+    # media-type tokens are case-insensitive (RFC 9110) and real crawls
+    # contain Text/HTML — normalize so the documents gate matches
     return (path, i, wtype, url, date, status,
-            ctype.split(";")[0].strip() or None, bytearray(body))
+            ctype.split(";")[0].strip().lower() or None, bytearray(body))
 
 
 # ------------------------------------------------------- distributed read
@@ -207,7 +225,10 @@ def read_warc(
     if not paths:
         raise ValueError("read_warc needs at least one path")
     pdf = spark.createDataFrame([(p,) for p in paths], "path string")
-    pdf = pdf.repartition(len(paths), "path")
+    # round-robin (NOT repartition(n, "path"): hash partitioning collides
+    # paths into shared tasks and leaves others empty — measured [1,0,2]
+    # for 3 paths — while round-robin deals exactly one file per task)
+    pdf = pdf.repartition(len(paths))
 
     def parse(batches):
         import pandas as pd
@@ -253,10 +274,14 @@ def warc_to_documents(
         & F.col("content_type").isin(*content_types)
         & F.col("payload").isNotNull(),
     )
+    # NOT F.decode(payload, 'UTF-8'): under Spark 4's default ANSI mode
+    # that raises MALFORMED_CHARACTER_CODING on the first latin-1 page of
+    # a real crawl. Binary -> string reinterprets the bytes, and
+    # make_valid_utf8 substitutes U+FFFD for invalid sequences.
     docs = kept.select(
         F.xxhash64("path", "record_index", "url", "date").alias("doc_id"),
         "url",
-        F.decode("payload", "UTF-8").alias("text"),
+        F.make_valid_utf8(F.col("payload").cast("string")).alias("text"),
     )
     if strip_markup:
         docs = strip_html(docs, "text", "text").select("doc_id", "url", "text")

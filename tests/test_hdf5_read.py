@@ -957,13 +957,20 @@ def test_layout_v4_paged_fixed_array(tmp_path):
     np.testing.assert_array_equal(f.read("/paged_z"), a1)
     np.testing.assert_array_equal(f.read("/boundary"), a2)
 
-    raw = bytearray(p.read_bytes())
-    # find the PAGED data block: its prefix is 14 bytes + 1 bitmap byte +
-    # 4 checksum; corrupt an element byte inside the first page
+    # single-dataset file: structural pins on the paged block itself
+    w2 = H5Writer()
+    w2.add_dataset("/x", a1, chunks=(4,))
+    q = tmp_path / "one.h5"
+    w2.write(str(q))
+    raw = bytearray(q.read_bytes())
     at = raw.find(b"FADB")
+    # 3 pages, all initialized: libhdf5's H5VM_bit_set numbers bit 0 as
+    # the HIGH bit, so the bitmap byte must be 0b1110_0000
+    assert raw[at + 14] == 0xE0, hex(raw[at + 14])
+    # corrupt an element byte inside the first page (prefix 14 + bitmap 1
+    # + block checksum 4, then page entries)
     raw[at + 14 + 1 + 4 + 50] ^= 0xFF
     bad = tmp_path / "bad.h5"
     bad.write_bytes(bytes(raw))
     with pytest.raises(UnsupportedHDF5, match="checksum mismatch"):
-        for name in ("/paged", "/paged_z", "/boundary"):
-            H5File(str(bad)).read(name)
+        H5File(str(bad)).read("/x")

@@ -42,6 +42,12 @@ def _fixture_records():
              content_type="application/http; msgtype=request"),
         dict(type="response", url="http://a.example/img",
              payload=http_response(b"\x89PNG\x00", content_type="image/png")),
+        # mixed-case media type (RFC 9110: tokens are case-insensitive)
+        # and a latin-1 body (must become U+FFFD, not a job abort under
+        # Spark 4's ANSI decode)
+        dict(type="response", url="http://a.example/latin1",
+             payload=http_response(b"<p>caf\xe9</p>",
+                                   content_type="Text/HTML")),
     ]
 
 
@@ -56,7 +62,7 @@ def test_warc_parser_round_trip(tmp_path, compress):
         got = list(iter_warc_records(f))
     assert [h["warc-type"] for h, _ in got] == [
         "warcinfo", "response", "response", "response", "response",
-        "request", "response",
+        "request", "response", "response",
     ]
     for idx in (1, 2, 3):
         status, headers, body = split_http_response(got[idx][1])
@@ -114,21 +120,30 @@ def test_read_warc_distributed_and_documents(spark, tmp_path):
         paths.append(str(p))
     wdf = read_warc(spark, paths)
     assert wdf.rdd.getNumPartitions() == 3
+    # round-robin really deals ONE file per task (hash partitioning left
+    # tasks empty: measured [1,0,2] before the fix)
+    per_part = wdf.select("path").rdd.glom().map(
+        lambda rows: len({r["path"] for r in rows}),
+    ).collect()
+    assert sorted(per_part) == [1, 1, 1], per_part
     rows = wdf.count()
-    assert rows == 3 * (5 + 7)
+    assert rows == 3 * (5 + 8)
     docs = warc_to_documents(wdf)
     got = docs.collect()
-    # per file: 5 site pages + plain/chunked/gz from the fixture set
-    # (404, request, warcinfo, and the PNG are gated out)
-    assert len(got) == 3 * (5 + 3)
-    assert all(r["text"] == CLEAN for r in got)
+    # per file: 5 site pages + plain/chunked/gz + the mixed-case latin-1
+    # page (404, request, warcinfo, and the PNG are gated out)
+    assert len(got) == 3 * (5 + 4)
+    by_url = {r["url"]: r["text"] for r in got}
+    assert by_url["http://a.example/latin1"] == "caf�"
+    assert all(r["text"] in (CLEAN, "caf�") for r in got)
     assert len({r["doc_id"] for r in got}) == len(got)
 
     from sed_binning_spark.pipeline.dedup import exact_dedup
     from sed_binning_spark.pipeline.text import text_stats
 
     assert text_stats(docs).count() == len(got)
-    assert exact_dedup(docs).count() == 1  # all pages share one body
+    # every page shares one of two bodies (CLEAN html vs the latin-1 one)
+    assert exact_dedup(docs).count() == 2
 
 
 def test_read_warc_empty_paths():
