@@ -10,7 +10,7 @@ two decode modes:
   ``pipeline.jpeg``), PNG
   (zlib inflate + filter reconstruction), and GIF87a/89a (LZW + interlace
   + transparency) — the three formats that dominate
-  real crawl corpora — plus PPM (P6), uncompressed 24-bit BMP, and
+  real crawl corpora — plus PPM (P6), uncompressed 8/24/32-bit BMP, and
   WAV audio (the PCM/float/extensible matrix, one int16 contract), dispatched by payload magic bytes; any other payload
   gets honest byte-statistics features. No image/audio libraries exist
   in this environment, so every codec is written from the public
@@ -94,27 +94,61 @@ def decode_image_ppm(data: bytes) -> np.ndarray:
     return pix.reshape(h, w, 3)
 
 
-def decode_image_bmp(data: bytes) -> np.ndarray:
-    """Decode an uncompressed 24-bit BMP into an (h, w, 3) uint8 RGB array
-    (handles the 4-byte row padding and bottom-up row order)."""
+def decode_image_bmp(data: bytes, max_pixels: int | None = None) -> np.ndarray:
+    """Decode an uncompressed BMP — 8-bit palette, 24-bit BGR, or 32-bit
+    BGRX — into an (h, w, 3) uint8 RGB array (4-byte row padding,
+    bottom-up row order, palette resolved through the BGRA color table;
+    the 32-bit fourth byte is padding/ignored per the classic DIB
+    contract). RLE/bitfields compression and other depths raise.
+    ``max_pixels`` (default :data:`MAX_PIXELS`) bounds w*h before any
+    allocation, matching the other decoders."""
+    budget = MAX_PIXELS if max_pixels is None else max_pixels
     if not data.startswith(b"BM"):
         raise ValueError("not a BMP payload")
+    if len(data) < 54:  # file header (14) + BITMAPINFOHEADER (40)
+        raise ValueError("truncated BMP header")
     pixel_offset = struct.unpack_from("<I", data, 10)[0]
+    header_size = struct.unpack_from("<I", data, 14)[0]
     w, h = struct.unpack_from("<ii", data, 18)
     bpp = struct.unpack_from("<H", data, 28)[0]
     compression = struct.unpack_from("<I", data, 30)[0]
-    if bpp != 24 or compression != 0:
-        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
     bottom_up = h > 0
     h = abs(h)
-    stride = (w * 3 + 3) // 4 * 4
-    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=pixel_offset)
-    if rows.size != stride * h:
+    if w <= 0 or h == 0:
+        raise ValueError("BMP declares a zero-size raster")
+    if w * h > budget:
+        raise ValueError(
+            f"BMP raster {w}x{h} exceeds the {budget}-pixel decode budget",
+        )
+    if compression != 0 or bpp not in (8, 24, 32):
+        raise ValueError(
+            f"only uncompressed 8/24/32-bit BMP supported "
+            f"(bpp={bpp}, compression={compression})",
+        )
+    stride = (w * bpp // 8 + 3) // 4 * 4
+    if pixel_offset + stride * h > len(data):
         raise ValueError("truncated BMP pixel data")
-    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h,
+                         offset=pixel_offset).reshape(h, stride)
+    if bpp == 8:
+        (nclr,) = struct.unpack_from("<I", data, 46)
+        nclr = nclr or 256
+        pal = np.frombuffer(data, np.uint8, count=4 * nclr,
+                            offset=14 + header_size)
+        if pal.size != 4 * nclr:
+            raise ValueError("truncated BMP color table")
+        pal = pal.reshape(nclr, 4)[:, 2::-1]  # BGRX quads -> RGB
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= nclr:
+            raise ValueError("BMP pixel index beyond its color table")
+        img = pal[idx]
+    elif bpp == 24:
+        img = rows[:, : w * 3].reshape(h, w, 3)[..., ::-1]
+    else:  # 32-bit BGRX
+        img = rows[:, : w * 4].reshape(h, w, 4)[..., 2::-1]
     if bottom_up:
         img = img[::-1]
-    return img[..., ::-1]  # BGR -> RGB
+    return np.ascontiguousarray(img)
 
 
 # WAVE_FORMAT_EXTENSIBLE SubFormat GUID tail (the leading 2 bytes carry
@@ -938,7 +972,8 @@ def decode_payload(payload: bytes, dim: int) -> list[float]:
             if payload.startswith(b"P6"):
                 img = decode_image_ppm(payload)
             elif payload.startswith(b"BM"):
-                img = decode_image_bmp(payload)
+                img = decode_image_bmp(payload,
+                                       max_pixels=FEATURIZER_MAX_PIXELS)
             elif payload.startswith(GIF_SIGS):
                 img = decode_image_gif(payload,
                                        max_pixels=FEATURIZER_MAX_PIXELS)
@@ -1062,7 +1097,7 @@ def resize_images(
 
     Same partition-local Arrow-batch shape as :func:`extract_features`:
     payloads never shuffle and never reach the driver. PPM (P6) and
-    uncompressed 24-bit BMP inputs decode with the pure-NumPy codecs,
+    uncompressed 8/24/32-bit BMP inputs decode with the pure-NumPy codecs,
     resize nearest-neighbor, and re-encode as PPM (the canonical interop
     output of this module); non-image or undecodable payloads pass
     through as NULL with NULL dimensions — one corrupt file must not

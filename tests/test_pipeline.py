@@ -1409,3 +1409,80 @@ def test_gif_fixture_synthesis_matches_ppm(spark):
         assert g[0] == p[0] == 1.0
         assert (g[1], g[2]) == (24.0, 1.0) and (p[1], p[2]) == (4.0, 2.0)
         assert g[3:] == p[3:]  # normalized stats identical
+
+
+def test_bmp_palette_and_32bit_decode():
+    """BMP depth matrix beyond the classic 24-bit: 8-bit palette rows
+    resolve through the BGRX color table, 32-bit BGRX drops its padding
+    byte, top-down (negative height) rows stay in order, and the typed
+    refusals (budget, out-of-table index, RLE) degrade to byte stats in
+    decode_payload."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from sed_binning_spark.pipeline.multimodal import (
+        decode_image_bmp, decode_payload,
+    )
+
+    def make_bmp(img, bpp, bottom_up=True, palette=None, compression=0):
+        h, w = img.shape[:2]
+        if bpp == 8:
+            stride = (w + 3) // 4 * 4
+            table = b"".join(bytes([b, g, r, 0]) for r, g, b in palette)
+            rows = np.zeros((h, stride), np.uint8)
+            rows[:, :w] = img
+        elif bpp == 24:
+            stride = (w * 3 + 3) // 4 * 4
+            table = b""
+            rows = np.zeros((h, stride), np.uint8)
+            rows[:, : w * 3] = img[..., ::-1].reshape(h, w * 3)
+        else:
+            stride = w * 4
+            table = b""
+            rgba = np.concatenate(
+                [img[..., ::-1], np.full((h, w, 1), 7, np.uint8)], axis=2,
+            )
+            rows = rgba.reshape(h, stride)
+        if bottom_up:
+            rows = rows[::-1]
+        off = 14 + 40 + len(table)
+        hdr = b"BM" + struct.pack("<IHHI", off + rows.size, 0, 0, off)
+        hdr += struct.pack(
+            "<IiiHHIIiiII", 40, w, h if bottom_up else -h, 1, bpp,
+            compression, rows.size, 2835, 2835, len(table) // 4, 0,
+        )
+        return hdr + table + rows.tobytes()
+
+    rng = np.random.default_rng(2)
+    rgb = rng.integers(0, 256, (13, 7, 3)).astype(np.uint8)
+    for bu in (True, False):
+        np.testing.assert_array_equal(
+            decode_image_bmp(make_bmp(rgb, 24, bu)), rgb)
+        np.testing.assert_array_equal(
+            decode_image_bmp(make_bmp(rgb, 32, bu)), rgb)
+    pal = rng.integers(0, 256, (200, 3)).astype(np.uint8)
+    idx = rng.integers(0, 200, (13, 7)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        decode_image_bmp(make_bmp(idx, 8, palette=pal)), pal[idx])
+    vec = decode_payload(make_bmp(idx, 8, palette=pal), 8)
+    assert vec[0] == 1.0 and (vec[1], vec[2]) == (7.0, 13.0)
+
+    with pytest.raises(ValueError, match="decode budget"):
+        decode_image_bmp(
+            b"BM" + b"\x00" * 12 + struct.pack("<Iii", 40, 60000, 60000)
+            + b"\x00" * 28)
+    with pytest.raises(ValueError, match="truncated BMP header"):
+        decode_image_bmp(b"BM" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="beyond its color table"):
+        decode_image_bmp(make_bmp(np.full((4, 4), 201, np.uint8), 8,
+                                  palette=pal))
+    with pytest.raises(ValueError, match="compression"):
+        decode_image_bmp(make_bmp(idx, 8, palette=pal, compression=1))
+    for bad in (
+        make_bmp(np.full((4, 4), 201, np.uint8), 8, palette=pal),
+        make_bmp(idx, 8, palette=pal, compression=1),
+        make_bmp(rgb, 24)[:-20],
+    ):
+        assert decode_payload(bad, 8)[0] == 0.0
