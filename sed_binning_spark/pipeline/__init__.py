@@ -43,6 +43,9 @@ event-scale data.
 - :mod:`~sed_binning_spark.pipeline.url` — URL canonicalization
   (tracking-param strip, default-port/fragment drop, sorted query) and
   URL-keyed dedup, all ``try_parse_url`` expressions
+- :mod:`~sed_binning_spark.pipeline.classifier` — trainable quality
+  classifier (CCNet pattern): driver-fit logistic regression over the
+  Gopher statistics, applied as one codegen expression
 """
 
 from sed_binning_spark.pipeline.cluster import (
@@ -100,6 +103,10 @@ from sed_binning_spark.pipeline.lm import (
     unigram_model,
 )
 from sed_binning_spark.pipeline.similarity import ivf_topk, ivf_train_centroids
+from sed_binning_spark.pipeline.classifier import (
+    quality_classifier_apply,
+    quality_classifier_fit,
+)
 from sed_binning_spark.pipeline.url import (
     canonical_url_expr,
     canonicalize_urls,
@@ -179,6 +186,8 @@ __all__ = [
     "canonical_url_expr",
     "canonicalize_urls",
     "dedup_by_url",
+    "quality_classifier_fit",
+    "quality_classifier_apply",
     "corpus_report",
     "extract_features",
     "resize_images",

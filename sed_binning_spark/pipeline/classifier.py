@@ -1,0 +1,150 @@
+"""Trainable document-quality classifier — the CCNet/LLaMA-pipeline
+pattern (a model fit on "pages I trust" vs "raw crawl" gating the
+corpus), in the same driver-fit / cluster-applied architecture as the
+BPE tokenizer:
+
+- :func:`quality_classifier_fit` collects a BOUNDED sample of
+  :func:`~sed_binning_spark.pipeline.text.text_stats` FEATURES (never
+  text) to the driver and fits a standardized logistic regression with
+  deterministic full-batch gradient descent — plain NumPy, no ML
+  runtime, reproducible bit-for-bit.
+- :func:`quality_classifier_apply` scores any corpus with a pure Column
+  expression (standardize → dot product → sigmoid): map-only, inside
+  whole-stage codegen, zero Python in the hot path. At 100 TB the model
+  is a dozen floats baked into the plan — nothing is broadcast, nothing
+  shuffles.
+
+The linear model over the Gopher statistics is the honest built-in; a
+fastText/transformer scorer drops into the same fit/apply seam as a
+pandas UDF without touching callers.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sed_binning_spark.pipeline.text import text_stats
+
+# text_stats columns the model consumes; counts go through log1p so a
+# 100-token page and a 10k-token page differ by units, not thousands
+FEATURE_COLUMNS = (
+    "n_chars", "n_ws_tokens", "mean_token_len",
+    "punct_ratio", "stopword_ratio", "uniq_token_ratio",
+)
+_LOG_FEATURES = frozenset({"n_chars", "n_ws_tokens"})
+
+
+def _feature_exprs(text_column: str) -> list[Column]:
+    return [
+        F.log1p(F.col(c)) if c in _LOG_FEATURES else F.col(c)
+        for c in FEATURE_COLUMNS
+    ]
+
+
+def _collect_features(
+    df: DataFrame, text_column: str, max_rows: int,
+) -> np.ndarray:
+    """Driver-side feature matrix, capped at ``max_rows`` by a
+    DETERMINISTIC hash draw on the text (same posture as pipeline.sample:
+    reproducible on any partition layout). NULL-stat rows (blank docs)
+    drop — they carry no signal either class wants."""
+    stats = text_stats(df, text_column=text_column).select(
+        *[e.alias(f"f{i}") for i, e in enumerate(_feature_exprs(text_column))],
+    ).na.drop()
+    frac_order = F.conv(F.substring(F.md5(F.concat_ws(
+        "\x00", *[F.col(f"f{i}") for i in range(len(FEATURE_COLUMNS))],
+    )), 1, 15), 16, 10).cast("long")
+    pdf = stats.orderBy(frac_order).limit(max_rows).toPandas()
+    if pdf.empty:
+        raise ValueError("no usable training rows (all stats NULL?)")
+    return pdf.to_numpy(dtype=np.float64)
+
+
+def quality_classifier_fit(
+    positive: DataFrame,
+    negative: DataFrame,
+    text_column: str = "text",
+    max_rows_per_class: int = 50_000,
+    iters: int = 300,
+    lr: float = 0.5,
+    l2: float = 1e-3,
+) -> dict:
+    """Fit the quality model: ``positive`` = documents like the corpus
+    you want (wiki/books/reference pages), ``negative`` = raw crawl.
+    Returns a JSON-serializable dict (features, standardization, weights,
+    bias) that :func:`quality_classifier_apply` bakes into a plan."""
+    xp = _collect_features(positive, text_column, max_rows_per_class)
+    xn = _collect_features(negative, text_column, max_rows_per_class)
+    x = np.vstack([xp, xn])
+    y = np.concatenate([np.ones(len(xp)), np.zeros(len(xn))])
+    mean = x.mean(axis=0)
+    std = x.std(axis=0)
+    std[std == 0] = 1.0
+    xs = (x - mean) / std
+    w = np.zeros(xs.shape[1])
+    b = 0.0
+    n = len(y)
+    for _ in range(iters):  # deterministic full-batch GD
+        z = xs @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (xs.T @ g / n + l2 * w)
+        b -= lr * float(g.mean())
+    p = 1.0 / (1.0 + np.exp(-(xs @ w + b)))
+    return {
+        "features": list(FEATURE_COLUMNS),
+        "log_features": sorted(_LOG_FEATURES),
+        "mean": mean.tolist(),
+        "std": std.tolist(),
+        "weights": w.tolist(),
+        "bias": b,
+        "train_accuracy": float(((p >= 0.5) == y).mean()),
+        "n_train": int(n),
+    }
+
+
+def quality_classifier_apply(
+    df: DataFrame,
+    model: dict,
+    text_column: str = "text",
+    output_column: str = "quality_prob",
+    keep_threshold: float | None = None,
+) -> DataFrame:
+    """Score every document with the fitted model as ONE map-only
+    expression: the text statistics, standardization, dot product, and
+    sigmoid all fold into the same whole-stage-codegen pass. A document
+    whose statistic is undefined (blank text) contributes that feature
+    at the training mean (z-term 0) — and a NULL text scores NULL.
+    ``keep_threshold`` adds a boolean ``keep`` column."""
+    if list(model["features"]) != list(FEATURE_COLUMNS):
+        raise ValueError(
+            f"model features {model['features']} do not match this "
+            f"build's {list(FEATURE_COLUMNS)}",
+        )
+    stats = text_stats(df, text_column=text_column)
+    z: Column = F.lit(float(model["bias"]))
+    for expr, m, s, w in zip(
+        _feature_exprs(text_column), model["mean"], model["std"],
+        model["weights"],
+    ):
+        if not math.isfinite(m) or not math.isfinite(s) or s == 0:
+            raise ValueError("model standardization is degenerate")
+        z = z + F.coalesce(
+            (expr - F.lit(float(m))) / F.lit(float(s)), F.lit(0.0),
+        ) * F.lit(float(w))
+    prob = F.when(
+        F.col(text_column).isNotNull(),
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-z)),
+    )
+    out = stats.withColumn(output_column, prob) \
+        .select(*df.columns, output_column)
+    if keep_threshold is not None:
+        out = out.withColumn(
+            "keep", F.coalesce(F.col(output_column) >= keep_threshold,
+                               F.lit(False)),
+        )
+    return out

@@ -1486,3 +1486,64 @@ def test_bmp_palette_and_32bit_decode():
         make_bmp(rgb, 24)[:-20],
     ):
         assert decode_payload(bad, 8)[0] == 0.0
+
+
+def test_quality_classifier_fit_apply(spark):
+    """Driver-fit / cluster-applied quality classifier: separable
+    synthetic corpora (word-like English vs punctuation noise) train to
+    >95% accuracy with a JSON-serializable model; apply is one map-only
+    expression (no Python in the executed plan), NULL text scores NULL
+    with keep=False, and the model is deterministic across fits."""
+    import json
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sed_binning_spark.pipeline.classifier import (
+        quality_classifier_apply,
+        quality_classifier_fit,
+    )
+
+    random.seed(4)
+    words = ["the", "quick", "brown", "fox", "jumps", "over", "lazy",
+             "dog", "and", "it", "was", "a", "bright", "cold", "day"]
+    good = [(i, " ".join(random.choices(words, k=random.randint(30, 120)))
+             + ".") for i in range(300)]
+    junk = [(i, "".join(random.choices(
+        "!@#$%^&*()[]{}<>~|0123456789ab ", k=random.randint(20, 200))))
+        for i in range(300)]
+    pos = spark.createDataFrame(good, "doc_id long, text string")
+    neg = spark.createDataFrame(junk, "doc_id long, text string")
+    model = quality_classifier_fit(pos, neg, max_rows_per_class=300)
+    assert model["train_accuracy"] > 0.95
+    json.loads(json.dumps(model))  # plan-portable
+    model2 = quality_classifier_fit(pos, neg, max_rows_per_class=300)
+    assert model2 == model  # deterministic end to end
+
+    both = pos.unionByName(neg.withColumn("doc_id", neg.doc_id + 1000))
+    scored = quality_classifier_apply(both, model, keep_threshold=0.5)
+    assert scored.columns == ["doc_id", "text", "quality_prob", "keep"]
+    rates = {
+        r["is_good"]: r["rate"] for r in scored.groupBy(
+            (F.col("doc_id") < 1000).alias("is_good"),
+        ).agg(F.avg(F.col("keep").cast("int")).alias("rate")).collect()
+    }
+    assert rates[True] > 0.95 and rates[False] < 0.05
+
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+    nulls = spark.createDataFrame([(1, None), (2, "")],
+                                  "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           quality_classifier_apply(nulls, model, keep_threshold=0.5)
+           .collect()}
+    assert got[1]["quality_prob"] is None and got[1]["keep"] is False
+    assert got[2]["keep"] is False  # blank doc scores at feature means
+
+    # a model from a different feature build refuses loudly
+    import pytest
+
+    bad = dict(model, features=["nope"])
+    with pytest.raises(ValueError, match="do not match"):
+        quality_classifier_apply(both, bad)
