@@ -38,7 +38,7 @@ FEATURE_COLUMNS = (
 _LOG_FEATURES = frozenset({"n_chars", "n_ws_tokens"})
 
 
-def _feature_exprs(text_column: str) -> list[Column]:
+def _feature_exprs() -> list[Column]:
     return [
         F.log1p(F.col(c)) if c in _LOG_FEATURES else F.col(c)
         for c in FEATURE_COLUMNS
@@ -47,21 +47,27 @@ def _feature_exprs(text_column: str) -> list[Column]:
 
 def _collect_features(
     df: DataFrame, text_column: str, max_rows: int,
-) -> np.ndarray:
-    """Driver-side feature matrix, capped at ``max_rows`` by a
-    DETERMINISTIC hash draw on the text (same posture as pipeline.sample:
-    reproducible on any partition layout). NULL-stat rows (blank docs)
-    drop — they carry no signal either class wants."""
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side (feature matrix, occurrence weights): DISTINCT feature
+    vectors with their counts, capped at ``max_rows`` vectors keeping the
+    heaviest (hash of the vector as the deterministic tie-break). The
+    weights make duplicate-heavy classes — a raw-crawl negative frame is
+    mostly recrawls of the same boilerplate — contribute proportionally
+    without a 100k-duplicate page either flooding or vanishing from a
+    row-capped sample; the aggregation is layout-independent, so the fit
+    is reproducible anywhere. NULL-stat rows (blank docs) drop — they
+    carry no signal either class wants."""
     stats = text_stats(df, text_column=text_column).select(
-        *[e.alias(f"f{i}") for i, e in enumerate(_feature_exprs(text_column))],
+        *[e.alias(f"f{i}") for i, e in enumerate(_feature_exprs())],
     ).na.drop()
-    frac_order = F.conv(F.substring(F.md5(F.concat_ws(
-        "\x00", *[F.col(f"f{i}") for i in range(len(FEATURE_COLUMNS))],
-    )), 1, 15), 16, 10).cast("long")
-    pdf = stats.orderBy(frac_order).limit(max_rows).toPandas()
+    fcols = [f"f{i}" for i in range(len(FEATURE_COLUMNS))]
+    agg = stats.groupBy(*fcols).agg(F.count(F.lit(1)).alias("wt"))
+    tie = F.md5(F.concat_ws("\x00", *fcols))
+    pdf = agg.orderBy(F.desc("wt"), tie).limit(max_rows).toPandas()
     if pdf.empty:
         raise ValueError("no usable training rows (all stats NULL?)")
-    return pdf.to_numpy(dtype=np.float64)
+    return (pdf[fcols].to_numpy(dtype=np.float64),
+            pdf["wt"].to_numpy(dtype=np.float64))
 
 
 def quality_classifier_fit(
@@ -77,23 +83,26 @@ def quality_classifier_fit(
     you want (wiki/books/reference pages), ``negative`` = raw crawl.
     Returns a JSON-serializable dict (features, standardization, weights,
     bias) that :func:`quality_classifier_apply` bakes into a plan."""
-    xp = _collect_features(positive, text_column, max_rows_per_class)
-    xn = _collect_features(negative, text_column, max_rows_per_class)
+    xp, wp = _collect_features(positive, text_column, max_rows_per_class)
+    xn, wn = _collect_features(negative, text_column, max_rows_per_class)
     x = np.vstack([xp, xn])
     y = np.concatenate([np.ones(len(xp)), np.zeros(len(xn))])
-    mean = x.mean(axis=0)
-    std = x.std(axis=0)
+    # occurrence-weighted, with each CLASS normalized to equal total mass
+    # so an imbalanced crawl does not drown the trusted reference
+    wt = np.concatenate([wp / wp.sum(), wn / wn.sum()])
+    wt /= wt.sum()
+    mean = (x * wt[:, None]).sum(axis=0)
+    std = np.sqrt((((x - mean) ** 2) * wt[:, None]).sum(axis=0))
     std[std == 0] = 1.0
     xs = (x - mean) / std
     w = np.zeros(xs.shape[1])
     b = 0.0
-    n = len(y)
-    for _ in range(iters):  # deterministic full-batch GD
+    for _ in range(iters):  # deterministic full-batch weighted GD
         z = xs @ w + b
         p = 1.0 / (1.0 + np.exp(-z))
-        g = p - y
-        w -= lr * (xs.T @ g / n + l2 * w)
-        b -= lr * float(g.mean())
+        g = (p - y) * wt
+        w -= lr * (xs.T @ g + l2 * w)
+        b -= lr * float(g.sum())
     p = 1.0 / (1.0 + np.exp(-(xs @ w + b)))
     return {
         "features": list(FEATURE_COLUMNS),
@@ -102,8 +111,8 @@ def quality_classifier_fit(
         "std": std.tolist(),
         "weights": w.tolist(),
         "bias": b,
-        "train_accuracy": float(((p >= 0.5) == y).mean()),
-        "n_train": int(n),
+        "train_accuracy": float((((p >= 0.5) == y) * wt).sum()),
+        "n_train": int(len(y)),
     }
 
 
@@ -120,15 +129,17 @@ def quality_classifier_apply(
     whose statistic is undefined (blank text) contributes that feature
     at the training mean (z-term 0) — and a NULL text scores NULL.
     ``keep_threshold`` adds a boolean ``keep`` column."""
-    if list(model["features"]) != list(FEATURE_COLUMNS):
+    if list(model["features"]) != list(FEATURE_COLUMNS) or \
+            list(model.get("log_features", [])) != sorted(_LOG_FEATURES):
         raise ValueError(
-            f"model features {model['features']} do not match this "
-            f"build's {list(FEATURE_COLUMNS)}",
+            f"model features {model['features']} "
+            f"(log: {model.get('log_features')}) do not match this "
+            f"build's {list(FEATURE_COLUMNS)} (log: {sorted(_LOG_FEATURES)})",
         )
     stats = text_stats(df, text_column=text_column)
     z: Column = F.lit(float(model["bias"]))
     for expr, m, s, w in zip(
-        _feature_exprs(text_column), model["mean"], model["std"],
+        _feature_exprs(), model["mean"], model["std"],
         model["weights"],
     ):
         if not math.isfinite(m) or not math.isfinite(s) or s == 0:

@@ -133,10 +133,12 @@ def decode_image_bmp(data: bytes, max_pixels: int | None = None) -> np.ndarray:
     if bpp == 8:
         (nclr,) = struct.unpack_from("<I", data, 46)
         nclr = nclr or 256
+        if 14 + header_size + 4 * nclr > len(data):
+            # checked BEFORE frombuffer, whose own error names buffers,
+            # not the container structure
+            raise ValueError("truncated BMP color table")
         pal = np.frombuffer(data, np.uint8, count=4 * nclr,
                             offset=14 + header_size)
-        if pal.size != 4 * nclr:
-            raise ValueError("truncated BMP color table")
         pal = pal.reshape(nclr, 4)[:, 2::-1]  # BGRX quads -> RGB
         idx = rows[:, :w]
         if int(idx.max(initial=0)) >= nclr:
@@ -992,8 +994,8 @@ def decode_payload(payload: bytes, dim: int) -> list[float]:
     except (ValueError, ZeroDivisionError, struct.error, zlib.error,
             IndexError, MemoryError):
         # magic matched but the container is truncated/unsupported (16-bit
-        # PPM, 8/32-bpp BMP, interlaced/16-bit PNG, corrupt IDAT stream,
-        # arithmetic/bit-flipped JPEG, float WAV, RIFF-but-AVI, zero
+        # PPM, RLE/1/4-bpp BMP, corrupt IDAT stream,
+        # arithmetic/bit-flipped JPEG, RIFF-but-AVI, zero
         # channels...): ONE bad payload must not kill a corpus-wide
         # mapInPandas job — fall through to honest byte statistics, as
         # documented. IndexError/MemoryError belong here too: corrupt

@@ -195,7 +195,7 @@ def _record_row(path: str, i: int, headers: dict, payload: bytes) -> tuple:
     date = headers.get("warc-date")
     status, http_headers, body = (None, {}, payload)
     ctype = headers.get("content-type", "")
-    if wtype == "response" and ctype.startswith("application/http"):
+    if wtype == "response" and ctype.lower().startswith("application/http"):
         status, http_headers, body = split_http_response(payload)
         ctype = http_headers.get("content-type", ctype)
     # media-type tokens are case-insensitive (RFC 9110) and real crawls
@@ -224,11 +224,15 @@ def read_warc(
     client without touching the plan)."""
     if not paths:
         raise ValueError("read_warc needs at least one path")
-    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
-    # round-robin (NOT repartition(n, "path"): hash partitioning collides
-    # paths into shared tasks and leaves others empty — measured [1,0,2]
-    # for 3 paths — while round-robin deals exactly one file per task)
-    pdf = pdf.repartition(len(paths))
+    # one path per RDD slice, GUARANTEED: parallelize with numSlices =
+    # len(paths) deals elements deterministically. Neither
+    # repartition(n, "path") (hash collisions leave tasks empty, measured
+    # [1,0,2] for 3 paths) nor repartition(n) (round-robin starts at a
+    # random per-partition offset, measured [0,0,0,1,4] for 5) does.
+    rdd = spark.sparkContext.parallelize(
+        [(p,) for p in paths], numSlices=len(paths),
+    )
+    pdf = spark.createDataFrame(rdd, "path string")
 
     def parse(batches):
         import pandas as pd
