@@ -15,9 +15,10 @@ event-scale data.
   redaction (URL/email/IPv4/phone in the Java-regex/RE2 common dialect),
   duplicate-line repetition signal
 - :mod:`~sed_binning_spark.pipeline.similarity` — brute-force cosine top-k
-  (the correctness baseline), random-hyperplane LSH bucketing, and IVF
-  (trained coarse quantizer + probed lists) over `array<float>` embedding
-  columns
+  (the correctness baseline), random-hyperplane LSH bucketing, IVF
+  (trained coarse quantizer + probed lists), and one-pass distributed
+  PCA (moment reduction + driver eigh, optional whitening) over
+  `array<float>` embedding columns
 - :mod:`~sed_binning_spark.pipeline.multimodal` — binary media columns
   with pure-NumPy PPM/BMP/WAV codecs behind ``mapInPandas`` (plus a
   deterministic stub for formats without a bundled decoder)
@@ -102,7 +103,12 @@ from sed_binning_spark.pipeline.lm import (
     unigram_logprob_rowwise,
     unigram_model,
 )
-from sed_binning_spark.pipeline.similarity import ivf_topk, ivf_train_centroids
+from sed_binning_spark.pipeline.similarity import (
+    ivf_topk,
+    ivf_train_centroids,
+    pca_apply,
+    pca_fit,
+)
 from sed_binning_spark.pipeline.classifier import (
     quality_classifier_apply,
     quality_classifier_fit,
@@ -154,6 +160,8 @@ __all__ = [
     "lsh_bucket_pairs",
     "ivf_train_centroids",
     "ivf_topk",
+    "pca_fit",
+    "pca_apply",
     "text_stats",
     "quality_score",
     "language_id",

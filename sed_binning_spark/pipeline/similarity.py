@@ -427,3 +427,132 @@ def ivf_topk(
         probed, query, k=k,
         embedding_column=embedding_column, id_column=id_column,
     )
+
+
+# --------------------------------------------------------------------- PCA
+def pca_fit(
+    df: DataFrame,
+    k: int,
+    embedding_column: str = "embedding",
+    whiten: bool = False,
+) -> dict:
+    """Fit a PCA projection over an embedding column in ONE distributed
+    pass: each partition reduces to its exact moment sums (count, sum
+    vector, sum of outer products — one BLAS ``m.T @ m`` per Arrow
+    batch) through ``mapInPandas``; the driver combines the
+    per-partition rows (d x d numbers, independent of corpus size) and
+    eigendecomposes the d x d covariance. No embedding is ever
+    collected. Eigenvector signs are pinned (largest-|component| entry
+    positive) so the model is deterministic up to float summation order.
+    NULL or wrong-length embeddings are skipped, matching the package
+    contract. Returns a JSON-serializable model for :func:`pca_apply`:
+    mean, components (k x d, variance-descending), explained variance
+    and its ratio. ``whiten=True`` scales each output axis to unit
+    variance — the standard preprocessing before cosine LSH/IVF so no
+    single high-variance axis dominates every bucket boundary."""
+    import pandas as pd
+
+    d = _dim(df, embedding_column)
+    if not 1 <= k <= d:
+        raise ValueError(f"k={k} outside 1..{d}")
+
+    def partial(batches):
+        s = np.zeros(d)
+        ss = np.zeros((d, d))
+        n = 0
+        for pdf in batches:
+            rows = [
+                np.asarray(e, dtype=np.float64)[:d]
+                for e in pdf[embedding_column]
+                if e is not None and len(e) >= d
+            ]
+            if rows:
+                m = np.stack(rows)
+                s += m.sum(axis=0)
+                ss += m.T @ m
+                n += len(rows)
+        yield pd.DataFrame({
+            "n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()],
+        })
+
+    parts = df.select(embedding_column).mapInPandas(
+        partial, schema="n long, s array<double>, ss array<double>",
+    ).collect()
+    n = sum(r["n"] for r in parts)
+    if n < 2:
+        raise ValueError(f"PCA needs at least 2 usable embeddings, got {n}")
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    ss = np.sum([np.asarray(r["ss"]).reshape(d, d) for r in parts], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    var = np.maximum(evals[order], 0.0)
+    # sign convention: the largest-magnitude entry of each component is
+    # positive (eigh's signs are arbitrary)
+    for row in comps:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    total = float(np.maximum(evals, 0.0).sum()) or 1.0
+    return {
+        "dim": d,
+        "k": int(k),
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained_variance": var.tolist(),
+        "explained_variance_ratio": (var / total).tolist(),
+        "whiten": bool(whiten),
+        "n_fit": int(n),
+    }
+
+
+def pca_apply(
+    df: DataFrame,
+    model: dict,
+    embedding_column: str = "embedding",
+    output_column: str = "embedding_pca",
+) -> DataFrame:
+    """Project embeddings through a fitted PCA model — one BLAS matmul
+    per Arrow batch ((N, d) @ (d, k)), the same vectorized shape as the
+    LSH sketch UDF. NULL/short embeddings project to NULL. The output is
+    ``array<float>`` of length k, drop-in for every downstream ANN /
+    clustering operator."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    d, k = int(model["dim"]), int(model["k"])
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    proj = np.asarray(model["components"], dtype=np.float64).T  # (d, k)
+    if mean.shape != (d,) or proj.shape != (d, k):
+        raise ValueError("PCA model fields disagree with its dim/k")
+    if model.get("whiten"):
+        scale = np.sqrt(np.maximum(
+            np.asarray(model["explained_variance"], dtype=np.float64),
+            1e-12,
+        ))
+        proj = proj / scale[None, :]
+
+    def _project(emb):
+        if not len(emb):
+            return pd.Series([], dtype=object)
+        rows = [
+            None if e is None or len(e) < d
+            else np.asarray(e, dtype=np.float64)[:d]
+            for e in emb
+        ]
+        ok = [i for i, r in enumerate(rows) if r is not None]
+        out = [None] * len(rows)
+        if ok:
+            mat = np.stack([rows[i] for i in ok])
+            red = (mat - mean) @ proj
+            for j, i in enumerate(ok):
+                out[i] = [float(v) for v in red[j]]
+        return pd.Series(out, dtype=object)
+
+    _project.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return df.withColumn(
+        output_column, pandas_udf(_project, "array<float>")(
+            F.col(embedding_column),
+        ),
+    )

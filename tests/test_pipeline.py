@@ -1547,3 +1547,67 @@ def test_quality_classifier_fit_apply(spark):
     bad = dict(model, features=["nope"])
     with pytest.raises(ValueError, match="do not match"):
         quality_classifier_apply(both, bad)
+
+
+def test_pca_fit_apply(spark):
+    """Distributed PCA: the one-pass moment reduction recovers a planted
+    dominant axis (cos > 0.99 vs both the ground truth and a numpy eigh
+    on the collected data), projection matches the driver-side matmul,
+    whitening unit-scales the output variances, the fit is
+    layout-independent up to float summation order, and NULL/short
+    embeddings skip (fit) or project to NULL (apply)."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.similarity import pca_apply, pca_fit
+
+    rng = np.random.default_rng(0)
+    d, n = 16, 3000
+    axis = rng.standard_normal(d)
+    axis /= np.linalg.norm(axis)
+    data = ((rng.standard_normal((n, 1)) * 5.0) @ axis[None, :]
+            + rng.standard_normal((n, d)) * 0.3)
+    rows = [(i, [float(x) for x in data[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = pca_fit(df, k=4)
+    c0 = np.asarray(model["components"][0])
+    assert abs(float(c0 @ axis)) > 0.99
+    assert model["explained_variance_ratio"][0] > 0.8
+
+    x32 = data.astype(np.float32).astype(np.float64)
+    ev, evec = np.linalg.eigh(np.cov(x32.T, bias=True))
+    assert abs(float(c0 @ evec[:, -1])) > 0.9999
+
+    mean = np.asarray(model["mean"])
+    comps = np.asarray(model["components"])
+    got = pca_apply(df, model).orderBy("vec_id").limit(5).collect()
+    for r in got:
+        expect = (x32[r["vec_id"]] - mean) @ comps.T
+        np.testing.assert_allclose(
+            np.asarray(r["embedding_pca"], np.float64), expect, atol=1e-4,
+        )
+
+    m1 = pca_fit(df.repartition(1), k=4)
+    np.testing.assert_allclose(m1["components"], model["components"],
+                               atol=1e-8)
+
+    wmodel = pca_fit(df, k=2, whiten=True)
+    wout = np.asarray(
+        [r["embedding_pca"] for r in pca_apply(df, wmodel).collect()],
+        dtype=np.float64,
+    )
+    np.testing.assert_allclose(wout.var(axis=0), [1.0, 1.0], rtol=0.05)
+
+    nd = spark.createDataFrame(
+        [(1, None), (2, [1.0] * d), (3, [1.0] * 3)],
+        "vec_id long, embedding array<float>",
+    )
+    by_id = {r["vec_id"]: r["embedding_pca"]
+             for r in pca_apply(nd, model).collect()}
+    assert by_id[1] is None and by_id[3] is None and len(by_id[2]) == 4
+
+    import pytest
+
+    with pytest.raises(ValueError, match="outside"):
+        pca_fit(df, k=0)
+    with pytest.raises(ValueError, match="at least 2"):
+        pca_fit(nd.where("vec_id = 2"), k=2)  # one usable row
