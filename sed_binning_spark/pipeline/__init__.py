@@ -16,8 +16,9 @@ event-scale data.
   duplicate-line repetition signal
 - :mod:`~sed_binning_spark.pipeline.similarity` — brute-force cosine top-k
   (the correctness baseline), random-hyperplane LSH bucketing, IVF
-  (trained coarse quantizer + probed lists), and one-pass distributed
-  PCA (moment reduction + driver eigh, optional whitening) over
+  (trained coarse quantizer + probed lists), one-pass distributed
+  PCA (moment reduction + driver eigh, optional whitening), and product
+  quantization (per-subspace codebooks, asymmetric-distance top-k) over
   `array<float>` embedding columns
 - :mod:`~sed_binning_spark.pipeline.multimodal` — binary media columns
   with pure-NumPy PPM/BMP/WAV codecs behind ``mapInPandas`` (plus a
@@ -108,6 +109,9 @@ from sed_binning_spark.pipeline.similarity import (
     ivf_train_centroids,
     pca_apply,
     pca_fit,
+    pq_encode,
+    pq_topk,
+    pq_train,
 )
 from sed_binning_spark.pipeline.classifier import (
     quality_classifier_apply,
@@ -162,6 +166,9 @@ __all__ = [
     "ivf_topk",
     "pca_fit",
     "pca_apply",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
     "text_stats",
     "quality_score",
     "language_id",

@@ -556,3 +556,187 @@ def pca_apply(
             F.col(embedding_column),
         ),
     )
+
+
+# ------------------------------------------------- product quantization
+def _kmeans_l2(x: np.ndarray, k: int, iters: int,
+               rng: np.random.Generator) -> np.ndarray:
+    """Plain Lloyd k-means (L2) with seeded kmeans++ init and
+    farthest-point reseeding for emptied clusters — deterministic for a
+    given rng state. Small-data driver-side model estimation only."""
+    n = len(x)
+    cent = np.empty((k, x.shape[1]))
+    cent[0] = x[rng.integers(n)]
+    d2 = ((x - cent[0]) ** 2).sum(axis=1)
+    for c in range(1, k):  # kmeans++: sample proportional to distance²
+        probs = d2 / max(d2.sum(), 1e-12)
+        cent[c] = x[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, ((x - cent[c]) ** 2).sum(axis=1))
+    for _ in range(iters):
+        d2all = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2all.argmin(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+            else:  # reseed an empty cluster to the worst-served point
+                cent[c] = x[d2all.min(axis=1).argmax()]
+    return cent
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    codes: int = 256,
+    embedding_column: str = "embedding",
+    sample_size: int = 65536,
+    iterations: int = 20,
+    seed: int = 42,
+) -> dict:
+    """Train a product quantizer: split the embedding into ``m``
+    contiguous subspaces and fit a ``codes``-entry L2 k-means codebook
+    per subspace on a bounded seeded sample (driver-side model
+    estimation, the ivf_train_centroids posture — the corpus never
+    leaves the cluster). A d-dim float32 vector compresses to ``m``
+    bytes: 32x at d=64/m=8, which is what makes a 100 TB embedding
+    corpus searchable from memory. Returns a JSON-serializable model
+    for :func:`pq_encode` / :func:`pq_topk`."""
+    dim = _dim(df, embedding_column)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    if not 2 <= codes <= 256:
+        raise ValueError("codes must be in 2..256 (one byte per subspace)")
+    sub = dim // m
+    pdf = (
+        df.select(embedding_column)
+        .where(F.col(embedding_column).isNotNull()
+               & (F.size(embedding_column) == dim))
+        .orderBy(F.rand(seed))
+        .limit(int(sample_size))
+        .toPandas()
+    )
+    x = np.asarray(
+        [np.asarray(e, dtype=np.float64) for e in pdf[embedding_column]],
+    )
+    if len(x) < codes:
+        raise ValueError(
+            f"sample of {len(x)} rows cannot seed {codes} codes",
+        )
+    rng = np.random.default_rng(seed)
+    books = [
+        _kmeans_l2(x[:, s * sub : (s + 1) * sub], codes, iterations, rng)
+        for s in range(m)
+    ]
+    return {
+        "dim": dim,
+        "m": int(m),
+        "sub_dim": sub,
+        "codes": int(codes),
+        "codebooks": [b.tolist() for b in books],  # (m, codes, sub_dim)
+    }
+
+
+def pq_encode(
+    df: DataFrame,
+    model: dict,
+    embedding_column: str = "embedding",
+    output_column: str = "pq_code",
+) -> DataFrame:
+    """Quantize embeddings to their per-subspace nearest-codeword ids
+    (``array<int>`` of length m, each 0..codes-1) — one vectorized
+    distance computation per Arrow batch per subspace; NULL/ragged
+    embeddings encode to NULL. The encoded column is what a 100 TB
+    deployment PERSISTS; the float vectors become cold storage."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    dim, m, sub = model["dim"], model["m"], model["sub_dim"]
+    books = np.asarray(model["codebooks"], dtype=np.float64)
+    # ||c||² per codeword, precomputed once per executor closure
+    norms = (books ** 2).sum(axis=2)  # (m, codes)
+
+    def _encode(emb):
+        if not len(emb):
+            return pd.Series([], dtype=object)
+        rows = [
+            None if e is None or len(e) != dim
+            else np.asarray(e, dtype=np.float64)
+            for e in emb
+        ]
+        ok = [i for i, r in enumerate(rows) if r is not None]
+        out = [None] * len(rows)
+        if ok:
+            mat = np.stack([rows[i] for i in ok]).reshape(len(ok), m, sub)
+            codes_out = np.empty((len(ok), m), dtype=np.int64)
+            for s in range(m):
+                # argmin ||v - c||² = argmin (||c||² - 2 v·c)
+                ip = mat[:, s, :] @ books[s].T  # (N, codes)
+                codes_out[:, s] = (norms[s][None, :] - 2.0 * ip).argmin(axis=1)
+            for j, i in enumerate(ok):
+                out[i] = [int(c) for c in codes_out[j]]
+        return pd.Series(out, dtype=object)
+
+    _encode.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return df.withColumn(
+        output_column,
+        pandas_udf(_encode, "array<int>")(F.col(embedding_column)),
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    model: dict,
+    query: Sequence[float],
+    k: int = 10,
+    code_column: str = "pq_code",
+    id_column: str = "vec_id",
+    output_column: str = "pq_dist",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays
+    UNCOMPRESSED and its squared distance to every codeword becomes an
+    (m, codes) lookup table computed ONCE on the driver; each row's
+    approximate distance is m table lookups summed — no float vector is
+    read at query time. Ends in ORDER BY LIMIT k
+    (TakeOrderedAndProject: per-partition top-k + merge). For recall
+    beyond PQ resolution, take a wider k here and exact-re-rank the
+    survivors against their float vectors."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m, codes = model["m"], model["codes"]
+    books = np.asarray(model["codebooks"], dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)[: model["dim"]]
+    if q.shape != (model["dim"],):
+        raise ValueError(
+            f"query has {len(q)} dims; the model wants {model['dim']}",
+        )
+    qsub = q.reshape(m, 1, model["sub_dim"])
+    table = ((books - qsub) ** 2).sum(axis=2)  # (m, codes)
+
+    def _score(code):
+        if not len(code):
+            return pd.Series([], dtype="float64")
+        vals = np.full(len(code), np.nan)
+        rows = [
+            (i, np.asarray(c, dtype=np.int64))
+            for i, c in enumerate(code)
+            if c is not None and len(c) == m
+        ]
+        if rows:
+            idx = np.asarray([i for i, _ in rows])
+            mats = np.stack([c for _, c in rows])  # (N, m)
+            if int(mats.max(initial=0)) >= codes or int(mats.min(initial=0)) < 0:
+                raise ValueError("PQ code outside the model's codebook")
+            vals[idx] = table[np.arange(m)[None, :], mats].sum(axis=1)
+        return pd.Series(vals)
+
+    _score.__annotations__ = {"code": pd.Series, "return": pd.Series}
+    scored = df.withColumn(
+        output_column, pandas_udf(_score, "double")(F.col(code_column)),
+    )
+    return (
+        scored.where(F.col(output_column).isNotNull())
+        .select(id_column, output_column)
+        .orderBy(F.col(output_column).asc(), F.col(id_column).asc())
+        .limit(int(k))
+    )

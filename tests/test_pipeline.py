@@ -1611,3 +1611,63 @@ def test_pca_fit_apply(spark):
         pca_fit(df, k=0)
     with pytest.raises(ValueError, match="at least 2"):
         pca_fit(nd.where("vec_id = 2"), k=2)  # one usable row
+
+
+def test_product_quantization(spark):
+    """PQ compression + asymmetric-distance search on the real driver
+    embeddings table: codes cover every row (m ints in 0..codes-1), the
+    direct top-10 recall against exact L2 clears the floor, a widened
+    candidate set recovers the exact top-10 entirely (the re-rank
+    contract), and training is deterministic for a fixed seed. Degenerate
+    geometry and out-of-range codes refuse by name."""
+    import numpy as np
+    import pytest
+
+    from sed_binning_spark.pipeline.similarity import (
+        pq_encode, pq_topk, pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    model = pq_train(emb, m=8, codes=32, sample_size=500, iterations=15)
+    assert np.asarray(model["codebooks"]).shape == (8, 32, 8)
+    model2 = pq_train(emb, m=8, codes=32, sample_size=500, iterations=15)
+    assert model2 == model  # seeded end to end
+
+    enc = pq_encode(emb, model)
+    codes = enc.select("pq_code").collect()
+    assert all(
+        r["pq_code"] is not None and len(r["pq_code"]) == 8
+        and all(0 <= c < 32 for c in r["pq_code"]) for r in codes
+    )
+
+    rows = emb.collect()
+    X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.asarray([r["vec_id"] for r in rows])
+    q = X[7] + 0.01
+    exact = set(ids[np.argsort(((X - q) ** 2).sum(axis=1))[:10]].tolist())
+    got10 = {r["vec_id"]
+             for r in pq_topk(enc, model, [float(v) for v in q], k=10)
+             .collect()}
+    assert len(exact & got10) / 10 >= 0.5
+    got100 = {r["vec_id"]
+              for r in pq_topk(enc, model, [float(v) for v in q], k=100)
+              .collect()}
+    assert len(exact & got100) / 10 >= 0.9
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=7)
+    with pytest.raises(ValueError, match="cannot seed"):
+        pq_train(emb, m=8, codes=256, sample_size=100)
+    with pytest.raises(ValueError, match="the model wants"):
+        pq_topk(enc, model, [1.0, 2.0], k=5)
+
+    # NULL embeddings encode to NULL and are excluded from search
+    nd = spark.createDataFrame(
+        [(900, None), (901, [0.5] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    ne = pq_encode(nd, model)
+    by_id = {r["vec_id"]: r["pq_code"] for r in ne.collect()}
+    assert by_id[900] is None and len(by_id[901]) == 8
+    found = {r["vec_id"] for r in pq_topk(ne, model, [0.5] * 64, k=5).collect()}
+    assert found == {901}
