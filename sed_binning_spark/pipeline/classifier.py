@@ -129,8 +129,11 @@ def quality_classifier_apply(
     whose statistic is undefined (blank text) contributes that feature
     at the training mean (z-term 0) — and a NULL text scores NULL.
     ``keep_threshold`` adds a boolean ``keep`` column."""
+    # a model serialized before log_features existed used this same
+    # transform set — default to compatible rather than rejecting it
     if list(model["features"]) != list(FEATURE_COLUMNS) or \
-            list(model.get("log_features", [])) != sorted(_LOG_FEATURES):
+            list(model.get("log_features", sorted(_LOG_FEATURES))) \
+            != sorted(_LOG_FEATURES):
         raise ValueError(
             f"model features {model['features']} "
             f"(log: {model.get('log_features')}) do not match this "

@@ -329,24 +329,14 @@ def ivf_train_centroids(
     calibration fits — the corpus itself never leaves the cluster).
     Returns (n_lists, dim) L2-normalized centroids.
 
-    The sample is a seeded random top-k (orderBy(rand).limit — Spark
-    compiles it to TakeOrdered: per-partition top-k + merge, no full sort),
-    NOT a bare limit(): limit takes the first partitions only, and on a
-    corpus parquet written sorted/clustered by source or topic that would
+    The sample comes from the shared ``_sample_embeddings`` draw (seeded
+    TakeOrdered, not a bare limit() — limit reads the first partitions
+    only, and a corpus parquet written sorted/clustered by source would
     train every centroid on one region of embedding space, silently
-    collapsing most of the corpus into one or two lists."""
+    collapsing most of the corpus into one or two lists)."""
     dim = _dim(df, embedding_column)
-    pdf = (
-        df.select(embedding_column)
-        # NULL and ragged embeddings cannot train the quantizer (np.stack
-        # over mixed lengths raises); they are likewise skipped at assign
-        # time, so train/assign see the same population
-        .where(F.col(embedding_column).isNotNull() & (F.size(embedding_column) == dim))
-        .orderBy(F.rand(seed))
-        .limit(int(sample_size))
-        .toPandas()
-    )
-    x = np.asarray([np.asarray(e, dtype=np.float64) for e in pdf[embedding_column]])
+    x = _sample_embeddings(df, embedding_column, dim, sample_size, seed,
+                           what="the IVF coarse quantizer")
     if len(x) < n_lists:
         raise ValueError(f"sample of {len(x)} rows cannot seed {n_lists} lists")
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
@@ -439,13 +429,16 @@ def pca_fit(
     """Fit a PCA projection over an embedding column in ONE distributed
     pass: each partition reduces to its exact moment sums (count, sum
     vector, sum of outer products — one BLAS ``m.T @ m`` per Arrow
-    batch) through ``mapInPandas``; the driver combines the
-    per-partition rows (d x d numbers, independent of corpus size) and
-    eigendecomposes the d x d covariance. No embedding is ever
-    collected. Eigenvector signs are pinned (largest-|component| entry
-    positive) so the model is deterministic up to float summation order.
-    NULL or wrong-length embeddings are skipped, matching the package
-    contract. Returns a JSON-serializable model for :func:`pca_apply`:
+    batch) through ``mapInPandas``, a second 64-way reduce stage folds
+    the per-partition rows (so an 800k-partition corpus never lands
+    800k d x d rows on the driver), and the driver eigendecomposes the
+    d x d covariance from at most 64 combined rows. No embedding is
+    ever collected. Eigenvector signs are pinned (largest-|component|
+    entry positive) so the model is deterministic up to float summation
+    order. NULL and too-short embeddings are skipped; longer rows
+    contribute their first d elements (the package-wide contract every
+    scorer follows). Returns a JSON-serializable model for
+    :func:`pca_apply`:
     mean, components (k x d, variance-descending), explained variance
     and its ratio. ``whiten=True`` scales each output axis to unit
     variance — the standard preprocessing before cosine LSH/IVF so no
@@ -475,9 +468,29 @@ def pca_fit(
             "n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()],
         })
 
-    parts = df.select(embedding_column).mapInPandas(
-        partial, schema="n long, s array<double>, ss array<double>",
-    ).collect()
+    moment_schema = "n long, s array<double>, ss array<double>"
+
+    def combine(batches):
+        s = np.zeros(d)
+        ss = np.zeros(d * d)
+        n = 0
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                n += int(row["n"])
+                if row["n"]:
+                    s += np.asarray(row["s"])
+                    ss += np.asarray(row["ss"])
+        yield pd.DataFrame({
+            "n": [n], "s": [s.tolist()], "ss": [ss.tolist()],
+        })
+
+    parts = (
+        df.select(embedding_column)
+        .mapInPandas(partial, schema=moment_schema)
+        .repartition(64)  # tree reduce: the driver sees <= 64 moment rows
+        .mapInPandas(combine, schema=moment_schema)
+        .collect()
+    )
     n = sum(r["n"] for r in parts)
     if n < 2:
         raise ValueError(f"PCA needs at least 2 usable embeddings, got {n}")
@@ -563,17 +576,28 @@ def _kmeans_l2(x: np.ndarray, k: int, iters: int,
                rng: np.random.Generator) -> np.ndarray:
     """Plain Lloyd k-means (L2) with seeded kmeans++ init and
     farthest-point reseeding for emptied clusters — deterministic for a
-    given rng state. Small-data driver-side model estimation only."""
+    given rng state. Small-data driver-side model estimation only.
+    Distances use the ||c||² - 2·x@cᵀ (+ ||x||²) expansion throughout:
+    an (n, k) matrix, never an (n, k, dim) broadcast temp (which at
+    sample_size=65536, codes=256, sub_dim=96 would be ~13 GB per Lloyd
+    step). A zero-spread input (constant subspace — padded or dead
+    dimensions) degenerates to k copies of that point instead of
+    crashing the kmeans++ draw."""
     n = len(x)
+    x2 = (x ** 2).sum(axis=1)
     cent = np.empty((k, x.shape[1]))
     cent[0] = x[rng.integers(n)]
     d2 = ((x - cent[0]) ** 2).sum(axis=1)
     for c in range(1, k):  # kmeans++: sample proportional to distance²
-        probs = d2 / max(d2.sum(), 1e-12)
-        cent[c] = x[rng.choice(n, p=probs)]
+        total = d2.sum()
+        if total <= 1e-12:  # no spread left: every point already covered
+            cent[c:] = cent[c - 1]
+            break
+        cent[c] = x[rng.choice(n, p=d2 / total)]
         d2 = np.minimum(d2, ((x - cent[c]) ** 2).sum(axis=1))
     for _ in range(iters):
-        d2all = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        d2all = (cent ** 2).sum(axis=1)[None, :] - 2.0 * (x @ cent.T) \
+            + x2[:, None]
         assign = d2all.argmin(axis=1)
         for c in range(k):
             members = x[assign == c]
@@ -582,6 +606,32 @@ def _kmeans_l2(x: np.ndarray, k: int, iters: int,
             else:  # reseed an empty cluster to the worst-served point
                 cent[c] = x[d2all.min(axis=1).argmax()]
     return cent
+
+
+def _sample_embeddings(
+    df: DataFrame, embedding_column: str, dim: int, n: int, seed: int,
+    what: str,
+) -> np.ndarray:
+    """Bounded seeded training sample shared by the quantizer trainers:
+    a seeded random top-k (TakeOrdered, no full sort), never a bare
+    limit() — limit reads the first partitions only, and a corpus
+    written clustered by source would train the whole model on one
+    region of embedding space. NULL/ragged rows are skipped, matching
+    assign-time behavior."""
+    pdf = (
+        df.select(embedding_column)
+        .where(F.col(embedding_column).isNotNull()
+               & (F.size(embedding_column) == dim))
+        .orderBy(F.rand(seed))
+        .limit(int(n))
+        .toPandas()
+    )
+    x = np.asarray(
+        [np.asarray(e, dtype=np.float64) for e in pdf[embedding_column]],
+    )
+    if x.ndim != 2:
+        raise ValueError(f"no usable embeddings to train {what}")
+    return x
 
 
 def pq_train(
@@ -607,17 +657,8 @@ def pq_train(
     if not 2 <= codes <= 256:
         raise ValueError("codes must be in 2..256 (one byte per subspace)")
     sub = dim // m
-    pdf = (
-        df.select(embedding_column)
-        .where(F.col(embedding_column).isNotNull()
-               & (F.size(embedding_column) == dim))
-        .orderBy(F.rand(seed))
-        .limit(int(sample_size))
-        .toPandas()
-    )
-    x = np.asarray(
-        [np.asarray(e, dtype=np.float64) for e in pdf[embedding_column]],
-    )
+    x = _sample_embeddings(df, embedding_column, dim, sample_size, seed,
+                           what="the product quantizer")
     if len(x) < codes:
         raise ValueError(
             f"sample of {len(x)} rows cannot seed {codes} codes",
@@ -658,9 +699,12 @@ def pq_encode(
     def _encode(emb):
         if not len(emb):
             return pd.Series([], dtype=object)
+        # longer-than-dim rows use their first dim elements — the
+        # package-wide contract every scorer here follows, so the PQ
+        # tier searches exactly the rows the exact oracle scores
         rows = [
-            None if e is None or len(e) != dim
-            else np.asarray(e, dtype=np.float64)
+            None if e is None or len(e) < dim
+            else np.asarray(e, dtype=np.float64)[:dim]
             for e in emb
         ]
         ok = [i for i, r in enumerate(rows) if r is not None]
