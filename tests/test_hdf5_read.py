@@ -974,3 +974,67 @@ def test_layout_v4_paged_fixed_array(tmp_path):
     bad.write_bytes(bytes(raw))
     with pytest.raises(UnsupportedHDF5, match="checksum mismatch"):
         H5File(str(bad)).read("/x")
+
+
+def test_golden_latest_format_fixture():
+    """Frozen-bytes regression anchor for the post-1.8 structures: the
+    checked-in golden file (dense links + dense attrs + every v4 chunk
+    index incl. a paged fixed array) must keep decoding to the same
+    values, and the writer must keep REPRODUCING it byte-for-byte — so
+    any accidental layout drift in either side of the pair shows up as
+    a diff against bytes committed when the structures were written
+    from the spec, not just as a self-consistent round-trip."""
+    import hashlib
+
+    from sed_binning_spark.io.hdf5_read import H5File
+    from sed_binning_spark.io.hdf5_write import H5Writer
+
+    golden = str(Path(__file__).parent / "data" / "golden_latest.h5")
+    raw = open(golden, "rb").read()
+    assert hashlib.md5(raw).hexdigest() == "96bb2a5ddc85859e4be1b54a6616dc4b"
+
+    f = H5File(golden)
+    rng = np.random.default_rng(123)
+    np.testing.assert_array_equal(f.read("/grp/d07"),
+                                  np.arange(8, dtype="<i4"))
+    np.testing.assert_array_equal(f.read("/grp/alias"), f.read("/grp/d03"))
+    attrs = f.attrs("/grp")
+    assert attrs["station"] == "golden" and attrs["a13"] == 6.5
+    assert len([p for p in f.visit() if p.startswith("/grp/")]) == 50
+    expected = {
+        "/v4/fixed": rng.integers(-99, 99, 300).astype("<i2"),
+        "/v4/fixed_paged": rng.integers(0, 9, 9000).astype("<u1"),
+        "/v4/single": rng.standard_normal(40).astype("<f4"),
+        "/v4/implicit": rng.integers(0, 50, 60).astype("<i8"),
+        "/v4/ea": rng.integers(-5, 5, 2400).astype("<i4"),
+        "/v4/b2": rng.standard_normal(240).astype("<f8"),
+    }
+    for path, arr in expected.items():
+        np.testing.assert_array_equal(f.read(path), arr, err_msg=path)
+
+    # the writer still reproduces the committed bytes exactly
+    w = H5Writer(dense_links=True, dense_attrs=True)
+    rng = np.random.default_rng(123)
+    for i in range(50):
+        w.add_dataset(f"/grp/d{i:02d}", np.arange(i + 1, dtype="<i4"))
+    w.add_softlink("/grp/alias", "/grp/d03")
+    for i in range(20):
+        w.add_attr("/grp", f"a{i:02d}", float(i) * 0.5)
+    w.add_attr("/grp", "station", "golden")
+    w.add_dataset("/v4/fixed", rng.integers(-99, 99, 300).astype("<i2"),
+                  chunks=(7,))
+    w.add_dataset("/v4/fixed_paged", rng.integers(0, 9, 9000).astype("<u1"),
+                  chunks=(2,))
+    w.add_dataset("/v4/single", rng.standard_normal(40).astype("<f4"),
+                  chunks=(40,), chunk_index="single", deflate=True)
+    w.add_dataset("/v4/implicit", rng.integers(0, 50, 60).astype("<i8"),
+                  chunks=(8,), chunk_index="implicit")
+    w.add_dataset("/v4/ea", rng.integers(-5, 5, 2400).astype("<i4"),
+                  chunks=(8,), chunk_index="extensible", deflate=True)
+    w.add_dataset("/v4/b2", rng.standard_normal(240).astype("<f8"),
+                  chunks=(8,), chunk_index="btree2")
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".h5") as tf:
+        w.write(tf.name)
+        assert open(tf.name, "rb").read() == raw
