@@ -1098,14 +1098,38 @@ def resize_images(
     """Resize image payloads to (height, width) with ``mapInPandas``.
 
     Same partition-local Arrow-batch shape as :func:`extract_features`:
-    payloads never shuffle and never reach the driver. PPM (P6) and
-    uncompressed 8/24/32-bit BMP inputs decode with the pure-NumPy codecs,
-    resize nearest-neighbor, and re-encode as PPM (the canonical interop
-    output of this module); non-image or undecodable payloads pass
-    through as NULL with NULL dimensions — one corrupt file must not
-    abort a 100 TB batch.
+    payloads never shuffle and never reach the driver. Every image
+    container this module decodes (PPM, 8/24/32-bit BMP, PNG, baseline +
+    progressive JPEG, GIF) resizes nearest-neighbor and re-encodes as
+    RGB PPM (the canonical interop output of this module) — grayscale
+    replicates across channels, alpha drops; non-image or undecodable
+    payloads pass through as NULL with NULL dimensions — one corrupt
+    file must not abort a 100 TB batch.
     """
     import pandas as pd
+
+    def _to_rgb(img: np.ndarray) -> np.ndarray:
+        if img.ndim == 2:
+            img = img[:, :, None]
+        ch = img.shape[2]
+        if ch >= 3:
+            return img[:, :, :3]
+        return np.repeat(img[:, :, :1], 3, axis=2)  # gray(+alpha) -> RGB
+
+    def _decode_any(b: bytes):
+        if b[:2] == b"P6":
+            return decode_image_ppm(b)
+        if b[:2] == b"BM":
+            return decode_image_bmp(b, max_pixels=FEATURIZER_MAX_PIXELS)
+        if b[:6] in GIF_SIGS:
+            return decode_image_gif(b, max_pixels=FEATURIZER_MAX_PIXELS)
+        if b[:8] == PNG_SIG:
+            return decode_image_png(b, max_pixels=FEATURIZER_MAX_PIXELS)
+        if b[:3] == b"\xff\xd8\xff":
+            from sed_binning_spark.pipeline.jpeg import decode_image_jpeg
+
+            return decode_image_jpeg(b, max_pixels=FEATURIZER_MAX_PIXELS)
+        return None
 
     def _resize_batches(batches):
         for pdf in batches:
@@ -1114,14 +1138,14 @@ def resize_images(
                 img = None
                 if p is not None:
                     try:
-                        if bytes(p[:2]) == b"P6":
-                            img = decode_image_ppm(bytes(p))
-                        elif bytes(p[:2]) == b"BM":
-                            img = decode_image_bmp(bytes(p))
-                    except (ValueError, struct.error):
-                        # same catch set as decode_payload: a truncated BMP
-                        # header raises struct.error, not ValueError — ONE
-                        # corrupt payload must not abort the batch
+                        img = _decode_any(bytes(p))
+                        if img is not None:
+                            img = _to_rgb(img)
+                    except (ValueError, ZeroDivisionError, struct.error,
+                            zlib.error, IndexError, MemoryError):
+                        # the decode_payload catch set: a truncated header
+                        # raises struct.error, a deflate bomb MemoryError —
+                        # ONE corrupt payload must not abort the batch
                         img = None
                 if img is not None and img.size == 0:
                     # a syntactically valid 0x0 image has nothing to

@@ -595,16 +595,38 @@ def test_resize_images_distributed(spark):
     big = resize_image(small, 4, 4)
     assert big.shape == (4, 4, 3)
 
+    from sed_binning_spark.pipeline.jpeg import encode_image_jpeg
+    from sed_binning_spark.pipeline.multimodal import (
+        encode_image_gif, encode_image_png,
+    )
+
+    flat = np.full((4, 4, 3), 99, dtype=np.uint8)  # lossless through JPEG
     rows = [
         (0, bytearray(encode_image_ppm(img))),
         (1, bytearray(b"not an image")),
         (2, None),
         (3, bytearray(b"P6 corrupt header")),
+        (4, bytearray(encode_image_png(img))),
+        (5, bytearray(encode_image_gif(img))),
+        (6, bytearray(encode_image_jpeg(flat))),
+        (7, bytearray(encode_image_png(img[..., 0]))),  # grayscale PNG
+        (8, bytearray(encode_image_gif(img, transparent_color=(0, 1, 2)))),
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     out = resize_images(df, 2, 2).toPandas().set_index("media_id")
-    got = decode_image_ppm(bytes(out.loc[0, "payload"]))
-    np.testing.assert_array_equal(got, img[::2, ::2])
+    # every container decodes to the same raster, so every resized PPM of
+    # the gradient image is identical (alpha drops, grayscale replicates)
+    expect = img[::2, ::2]
+    for mid in (0, 4, 5, 8):
+        got = decode_image_ppm(bytes(out.loc[mid, "payload"]))
+        np.testing.assert_array_equal(got, expect, err_msg=str(mid))
+    np.testing.assert_array_equal(
+        decode_image_ppm(bytes(out.loc[6, "payload"])), flat[::2, ::2],
+    )
+    np.testing.assert_array_equal(
+        decode_image_ppm(bytes(out.loc[7, "payload"])),
+        np.repeat(img[::2, ::2, :1], 3, axis=2),
+    )
     assert out.loc[0, "width"] == 2 and out.loc[0, "height"] == 2
     assert out.loc[0, "mime"] == "image/x-portable-pixmap"
     for bad in (1, 2, 3):
