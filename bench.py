@@ -162,6 +162,37 @@ def main() -> None:
         ),
     }
 
+    # round-10 additions: embedding compression/search and the trainable
+    # quality gate — each (fit + apply) timed as ONE user-visible step
+    from sed_binning_spark.pipeline.classifier import (
+        quality_classifier_apply, quality_classifier_fit,
+    )
+    from sed_binning_spark.pipeline.similarity import (
+        pca_apply, pca_fit, pq_encode, pq_topk, pq_train,
+    )
+
+    def _pq_step():
+        pq = pq_train(emb, m=8, codes=32, sample_size=512, iterations=10)
+        coded = pq_encode(emb, pq)
+        return pq_topk(coded, pq, entry_mod._QVEC, k=10).collect()
+
+    extras["pq_encode_search"] = _timeit(_pq_step)
+    extras["pca_fit_apply"] = _timeit(
+        lambda: pca_apply(emb, pca_fit(emb, k=16))
+        .agg(F.count("embedding_pca")).collect(),
+    )
+    extras["quality_classifier"] = _timeit(
+        lambda: quality_classifier_apply(
+            docs,
+            quality_classifier_fit(
+                docs.where(F.col("doc_id") % 2 == 0),
+                docs.where(F.col("doc_id") % 2 == 1),
+                max_rows_per_class=2048,
+            ),
+            keep_threshold=0.5,
+        ).agg(F.sum(F.col("keep").cast("int"))).collect(),
+    )
+
     # --- matched-scale block: the reference's OWN synthetic workload
     # (benchmark_sed.py:26-33 — 1e8 uniform rows, X/Y∈[0,2048],
     # t∈[60000,120000], ADC∈[2000,20000]) so the BASELINE.md numbers can be
