@@ -235,3 +235,39 @@ def test_url_canonicalization(spark):
     assert d["https://example.com/"] == (2, 2)
     # NULL url excluded entirely
     assert sum(n for _, n in d.values()) == 11
+
+
+def test_warc_roundtrip_property():
+    """Hypothesis: arbitrary binary bodies under every framing
+    combination (container gzip on/off × chunked × content-gzip) survive
+    the writer→parser→HTTP-split pipeline byte-for-byte."""
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        bodies=st.lists(st.binary(max_size=1500), min_size=1, max_size=6),
+        compress=st.booleans(),
+        chunked=st.booleans(),
+        gzip_body=st.booleans(),
+    )
+    @settings(max_examples=30, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def _prop(bodies, compress, chunked, gzip_body):
+        recs = [
+            dict(type="response", url=f"http://p.example/{i}",
+                 payload=http_response(b, chunked=chunked,
+                                       gzip_body=gzip_body))
+            for i, b in enumerate(bodies)
+        ]
+        with tempfile.NamedTemporaryFile(suffix=".warc") as tf:
+            write_warc(tf.name, recs, compress=compress)
+            with open_warc(tf.name) as f:
+                got = list(iter_warc_records(f))
+        assert len(got) == len(bodies)
+        for (headers, payload), body in zip(got, bodies):
+            status, _, out = split_http_response(payload)
+            assert status == 200 and out == body
+
+    _prop()
