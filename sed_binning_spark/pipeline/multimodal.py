@@ -956,6 +956,41 @@ def encode_image_gif(
 # feature-vector kind codes (element 0 of the real feature vector)
 KIND_OTHER, KIND_IMAGE, KIND_AUDIO = 0.0, 1.0, 2.0
 
+# every exception a malformed container can surface through the decoders:
+# shared by decode_payload and resize_images so a new decoder's failure
+# mode cannot reach one call site and abort the other's batch
+_DECODE_ERRORS = (ValueError, ZeroDivisionError, struct.error, zlib.error,
+                  IndexError, MemoryError)
+
+
+def _sniff_image_magic(head: bytes) -> bool:
+    return (head[:2] in (b"P6", b"BM") or head[:6] in GIF_SIGS
+            or head[:8] == PNG_SIG or head[:3] == b"\xff\xd8\xff")
+
+
+def _decode_image_payload(
+    b: bytes, serial_budget: int, vector_budget: int | None,
+):
+    """One container dispatch for every image decoder (shared by the
+    featurizer and resize_images so the magic table cannot drift).
+    ``serial_budget`` caps the codecs whose entropy stage is a serial
+    Python loop (JPEG Huffman walk, GIF LZW); ``vector_budget`` caps the
+    vectorized ones (BMP, PNG's zlib+NumPy unfilter) — None takes each
+    codec's own MAX_PIXELS default. Returns None for non-image magic."""
+    if b[:2] == b"P6":
+        return decode_image_ppm(b)
+    if b[:2] == b"BM":
+        return decode_image_bmp(b, max_pixels=vector_budget)
+    if b[:6] in GIF_SIGS:
+        return decode_image_gif(b, max_pixels=serial_budget)
+    if b[:8] == PNG_SIG:
+        return decode_image_png(b, max_pixels=vector_budget)
+    if b[:3] == b"\xff\xd8\xff":
+        from sed_binning_spark.pipeline.jpeg import decode_image_jpeg
+
+        return decode_image_jpeg(b, max_pixels=serial_budget)
+    return None
+
 
 def decode_payload(payload: bytes, dim: int) -> list[float]:
     """Real featurizer: sniff the container by magic bytes, decode, emit
@@ -969,30 +1004,17 @@ def decode_payload(payload: bytes, dim: int) -> list[float]:
     payload = payload or b""
     vec = None
     try:
-        if payload.startswith((b"P6", b"BM", PNG_SIG, b"\xff\xd8\xff",
-                               *GIF_SIGS)):
-            if payload.startswith(b"P6"):
-                img = decode_image_ppm(payload)
-            elif payload.startswith(b"BM"):
-                img = decode_image_bmp(payload,
-                                       max_pixels=FEATURIZER_MAX_PIXELS)
-            elif payload.startswith(GIF_SIGS):
-                img = decode_image_gif(payload,
-                                       max_pixels=FEATURIZER_MAX_PIXELS)
-            elif payload.startswith(PNG_SIG):
-                img = decode_image_png(payload, max_pixels=FEATURIZER_MAX_PIXELS)
-            else:
-                from sed_binning_spark.pipeline.jpeg import decode_image_jpeg
-
-                img = decode_image_jpeg(payload, max_pixels=FEATURIZER_MAX_PIXELS)
+        img = _decode_image_payload(
+            payload, FEATURIZER_MAX_PIXELS, FEATURIZER_MAX_PIXELS,
+        )
+        if img is not None:
             h, w, ch = img.shape
             vec = [KIND_IMAGE, float(w), float(h), float(ch), *_norm_stats(img, 255.0)]
         elif payload.startswith(b"RIFF"):
             samples, rate = decode_audio_wav(payload)
             vec = [KIND_AUDIO, float(samples.shape[0]), float(rate),
                    float(samples.shape[1]), *_norm_stats(samples, 32768.0)]
-    except (ValueError, ZeroDivisionError, struct.error, zlib.error,
-            IndexError, MemoryError):
+    except _DECODE_ERRORS:
         # magic matched but the container is truncated/unsupported (16-bit
         # PPM, RLE/1/4-bpp BMP, corrupt IDAT stream,
         # arithmetic/bit-flipped JPEG, RIFF-but-AVI, zero
@@ -1116,36 +1138,29 @@ def resize_images(
             return img[:, :, :3]
         return np.repeat(img[:, :, :1], 3, axis=2)  # gray(+alpha) -> RGB
 
-    def _decode_any(b: bytes):
-        if b[:2] == b"P6":
-            return decode_image_ppm(b)
-        if b[:2] == b"BM":
-            return decode_image_bmp(b, max_pixels=FEATURIZER_MAX_PIXELS)
-        if b[:6] in GIF_SIGS:
-            return decode_image_gif(b, max_pixels=FEATURIZER_MAX_PIXELS)
-        if b[:8] == PNG_SIG:
-            return decode_image_png(b, max_pixels=FEATURIZER_MAX_PIXELS)
-        if b[:3] == b"\xff\xd8\xff":
-            from sed_binning_spark.pipeline.jpeg import decode_image_jpeg
-
-            return decode_image_jpeg(b, max_pixels=FEATURIZER_MAX_PIXELS)
-        return None
-
     def _resize_batches(batches):
         for pdf in batches:
             out_payload, out_w, out_h = [], [], []
             for p in pdf[payload_column]:
                 img = None
-                if p is not None:
+                # sniff 8 bytes before materializing the payload: a mixed
+                # media table's multi-MB WAV/video blobs must not pay an
+                # O(payload) copy just to fail the signature checks
+                if p is not None and _sniff_image_magic(bytes(p[:8])):
                     try:
-                        img = _decode_any(bytes(p))
+                        # serial-loop codecs keep the tight budget; the
+                        # vectorized ones (BMP/PNG) take their 64 MP
+                        # default — resize is a re-encoder, not the
+                        # featurizer the 4 MP rationale is scoped to
+                        img = _decode_image_payload(
+                            bytes(p), FEATURIZER_MAX_PIXELS, None,
+                        )
                         if img is not None:
                             img = _to_rgb(img)
-                    except (ValueError, ZeroDivisionError, struct.error,
-                            zlib.error, IndexError, MemoryError):
-                        # the decode_payload catch set: a truncated header
-                        # raises struct.error, a deflate bomb MemoryError —
-                        # ONE corrupt payload must not abort the batch
+                    except _DECODE_ERRORS:
+                        # a truncated header raises struct.error, a deflate
+                        # bomb MemoryError — ONE corrupt payload must not
+                        # abort the batch
                         img = None
                 if img is not None and img.size == 0:
                     # a syntactically valid 0x0 image has nothing to
