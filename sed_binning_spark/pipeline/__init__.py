@@ -128,6 +128,7 @@ from sed_binning_spark.pipeline.warc import (
     write_warc,
 )
 from sed_binning_spark.pipeline.text import (
+    c4_line_filter,
     document_fingerprint,
     dup_line_stats,
     dup_segment_stats,
@@ -171,6 +172,7 @@ __all__ = [
     "pq_topk",
     "text_stats",
     "quality_score",
+    "c4_line_filter",
     "language_id",
     "document_fingerprint",
     "pii_stats",

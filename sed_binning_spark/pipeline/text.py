@@ -853,3 +853,68 @@ def strip_html(
     t = F.regexp_replace(t, r"\n{3,}", "\n\n")
     t = F.regexp_replace(t, r"^[ \t\x0B\f\r\n]+|[ \t\x0B\f\r\n]+$", "")
     return df.withColumn(output_column, t)
+
+
+# C4's line-level cleaning rules (Raffel et al. 2020, §2.2 — the cleanup
+# that turned Common Crawl into C4). Defaults mirror the paper: lines
+# must end in terminal punctuation and carry >= 5 words; boilerplate
+# phrases kill the line; "javascript"-bearing lines and docs containing
+# "{" or the placeholder phrase drop.
+C4_BAD_LINE_PHRASES = (
+    "javascript", "cookie policy", "terms of use", "privacy policy",
+    "uses cookies", "use of cookies",
+)
+C4_BAD_DOC_PHRASES = ("lorem ipsum",)
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_column: str = "text",
+    output_column: str = "text_clean",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    bad_line_phrases: tuple[str, ...] = C4_BAD_LINE_PHRASES,
+    bad_doc_phrases: tuple[str, ...] = C4_BAD_DOC_PHRASES,
+    drop_brace_docs: bool = True,
+) -> DataFrame:
+    """C4-style line-level cleanup as one map-only expression chain:
+
+    - keep only lines ending in terminal punctuation (``. ! ? "``),
+      carrying at least ``min_words_per_line`` whitespace words, and not
+      containing any ``bad_line_phrases`` (case-insensitive) — each line
+      judged independently via ``filter`` over the ``split`` lines array,
+      surviving lines rejoined with ``\\n``;
+    - ``keep`` is False for documents left with fewer than ``min_lines``
+      surviving lines, containing a curly brace (code, per the paper), or
+      containing a ``bad_doc_phrases`` entry anywhere in the ORIGINAL
+      text.
+
+    NULL text stays NULL with keep=False. No shuffle, no Python — at
+    100 TB this is one pruned scan, same posture as quality_score, and
+    the line verdicts are engine-portable string predicates."""
+    t = F.col(text_column)
+    lines = F.split(t, "\n")
+
+    def line_ok(line: Column) -> Column:
+        trimmed = F.trim(line)
+        ok = trimmed.rlike(r'[.!?"]$')
+        ok = ok & (F.size(F.array_remove(
+            F.split(trimmed, f"[{WHITESPACE_CLASS}]+"), "",
+        )) >= min_words_per_line)
+        low = F.lower(trimmed)
+        for phrase in bad_line_phrases:
+            ok = ok & ~low.contains(phrase.lower())
+        return ok
+
+    kept_lines = F.filter(lines, line_ok)
+    cleaned = F.when(t.isNotNull(), F.array_join(kept_lines, "\n"))
+    doc_ok = F.when(t.isNotNull(), F.size(kept_lines) >= min_lines) \
+        .otherwise(F.lit(False))
+    if drop_brace_docs:
+        doc_ok = doc_ok & ~F.coalesce(t.contains("{"), F.lit(False))
+    low_doc = F.lower(t)
+    for phrase in bad_doc_phrases:
+        doc_ok = doc_ok & ~F.coalesce(
+            low_doc.contains(phrase.lower()), F.lit(False),
+        )
+    return df.withColumns({output_column: cleaned, "keep": doc_ok})

@@ -1693,3 +1693,76 @@ def test_product_quantization(spark):
     assert by_id[900] is None and len(by_id[901]) == 8
     found = {r["vec_id"] for r in pq_topk(ne, model, [0.5] * 64, k=5).collect()}
     assert found == {901}
+
+
+def test_c4_line_filter(spark):
+    """C4 §2.2 line rules: terminal-punctuation + min-words + boilerplate
+    phrases judged per line; curly-brace and lorem-ipsum docs drop whole;
+    NULL text stays NULL with keep=False; the plan is Python-free — and
+    the verdicts match an independent Python reimplementation of the
+    published rules over a generated corpus."""
+    import random
+    import re
+
+    from sed_binning_spark.pipeline.text import (
+        C4_BAD_DOC_PHRASES,
+        C4_BAD_LINE_PHRASES,
+        c4_line_filter,
+    )
+
+    rows = [
+        (1, "This is a perfectly good sentence with many words in it.\n"
+            "short line\n"
+            "Another quite long and complete sentence follows right here.\n"
+            "Please accept our cookie policy to continue reading this.\n"
+            "A third proper sentence keeps this document over the floor."),
+        (2, "Enable javascript to view this page properly and fully now.\nno"),
+        (3, "function f() { return 1; } A long sentence with many words."),
+        (4, "Lorem ipsum dolor sit amet is placeholder text inside this."),
+        (5, None),
+        (6, 'He said "this quoted sentence should survive the end rule."'),
+    ]
+    random.seed(9)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    enders = [".", "!", "?", '"', "", " etc", ":"]
+    for i in range(7, 80):
+        n_lines = random.randint(1, 6)
+        text = "\n".join(
+            " ".join(random.choices(words, k=random.randint(1, 9)))
+            + random.choice(enders)
+            for _ in range(n_lines)
+        )
+        if random.random() < 0.1:
+            text += "\ncheck our privacy policy for details and more info."
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_line_filter(df, min_lines=2).collect()}
+
+    def ref(text):
+        if text is None:
+            return None, False
+        kept = []
+        for line in text.split("\n"):
+            s = line.strip()
+            if not re.search(r'[.!?"]$', s):
+                continue
+            if len(s.split()) < 5:
+                continue
+            if any(p in s.lower() for p in C4_BAD_LINE_PHRASES):
+                continue
+            kept.append(s)
+        ok = len(kept) >= 2 and "{" not in text and not any(
+            p in text.lower() for p in C4_BAD_DOC_PHRASES
+        )
+        return "\n".join(kept), ok
+
+    for doc_id, text in rows:
+        expect_text, expect_keep = ref(text)
+        assert got[doc_id]["keep"] is expect_keep, (doc_id, text)
+        if text is None:
+            assert got[doc_id]["text_clean"] is None
+        else:
+            assert got[doc_id]["text_clean"] == expect_text, (doc_id, text)
+
+    plan = c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
