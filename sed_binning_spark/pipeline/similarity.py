@@ -749,10 +749,14 @@ def pq_topk(
 
     m, codes = model["m"], model["codes"]
     books = np.asarray(model["codebooks"], dtype=np.float64)
-    q = np.asarray(query, dtype=np.float64)[: model["dim"]]
+    q = np.asarray(query, dtype=np.float64)
     if q.shape != (model["dim"],):
+        # the first-dim-elements contract applies to CORPUS rows (ragged
+        # storage); the query is a caller argument, so a length mismatch
+        # is a wrong-model bug and must raise, not silently truncate
         raise ValueError(
-            f"query has {len(q)} dims; the model wants {model['dim']}",
+            f"query has {q.shape[0] if q.ndim == 1 else '?'} dims; "
+            f"the model wants exactly {model['dim']}",
         )
     qsub = q.reshape(m, 1, model["sub_dim"])
     table = ((books - qsub) ** 2).sum(axis=2)  # (m, codes)

@@ -1682,6 +1682,10 @@ def test_product_quantization(spark):
         pq_train(emb, m=8, codes=256, sample_size=100)
     with pytest.raises(ValueError, match="the model wants"):
         pq_topk(enc, model, [1.0, 2.0], k=5)
+    # an over-long query (concatenated / wrong-model) raises too — never
+    # silently truncated, unlike CORPUS rows (first-dim-elements contract)
+    with pytest.raises(ValueError, match="the model wants"):
+        pq_topk(enc, model, [1.0] * 65, k=5)
 
     # NULL embeddings encode to NULL and are excluded from search
     nd = spark.createDataFrame(
