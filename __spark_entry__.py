@@ -222,6 +222,27 @@ _NU_CENTERS = np.array([10.0, 20.0, 50.0, 100.0, 200.0, 400.0])
 # ANN query vector (deterministic)
 _QVEC = np.round(np.sin(np.arange(64) * 0.37), 6)
 
+# C4 line-rule twin construction (doc_hashes slot): fixed lines hitting
+# every rule, shared verbatim by the Spark builder and the DuckDB oracle
+_C4_FIXED = (
+    "\nShort line."
+    "\nThis is a perfectly fine line with punctuation."
+    "\nThis line has no terminal punctuation at all"
+    "\nEnable javascript to view this excellent content now."
+    "\nDocument body digest "
+)
+_C4_TAIL = " closes cleanly today."
+_C4_EVEN = "\nAnother good line appears in even documents only."
+_C4_BRACE = "\ncode line { with a brace and punctuation too."
+_C4_LOREM = "\nthis document contains lorem ipsum filler text sadly."
+
+
+def _sql_str(s: str) -> str:
+    """DuckDB string literal (newlines via chr(10) — embedded newlines in
+    a literal survive, but chr(10) keeps the generated SQL greppable)."""
+    body = s.replace("'", "''").replace("\n", "' || chr(10) || '")
+    return f"'{body}'"
+
 
 def _np_interp_sql(x: str, xs: np.ndarray, ys: np.ndarray) -> str:
     """Piecewise-linear SQL twin of np.interp incl. edge clamping, built
@@ -1240,25 +1261,78 @@ def _q_lang_id(spark, sf):
     filter_by_blocklist keep='blocked') as a flag: a synthetic host
     'hN.data.example' is minted from doc_id (schema-independent — the
     dirty-corpus suite has no source column) and the blocklist names two
-    of the twenty host groups, exercising the suffix-match path."""
+    of the twenty host groups, exercising the suffix-match path.
+
+    Round 11 adds the URL tier (pipeline.url): every doc mints a messy
+    URL from doc_id — scheme/host case noise, a scheme-default :80,
+    shuffled query params with per-doc tracking params (utm_*), a
+    fragment — whose CANONICAL form depends only on doc_id % 25, so
+    canonicalize_urls must collapse 3 of every 5 docs into 25 groups and
+    dedup_by_url must pick min-id winners over them. doc_id % 5 == 3
+    rows carry an unparseable URL (passthrough contract: the literal
+    string stays the dedup key) and % 5 == 4 rows a NULL URL (excluded
+    from URL dedup by contract). The oracle predicts the canonical
+    string CLOSED-FORM from the construction — independent of
+    try_parse_url — and rebuilds the group winners with a plain
+    GROUP BY, so a canonicalization bug in any component (case, port,
+    param filter/sort, fragment) breaks the hash."""
     from sed_binning_spark.pipeline.filters import filter_by_blocklist
     from sed_binning_spark.pipeline.lm import unigram_logprob
+    from sed_binning_spark.pipeline.url import canonicalize_urls, dedup_by_url
 
-    docs = _docs(spark, sf).withColumn(
-        "host",
-        F.concat(
+    did = F.col("doc_id")
+    g = (did % 25).cast("string")
+    i = did.cast("string")
+    scheme = (
+        F.when(did % 3 == 0, F.lit("HTTP"))
+        .when(did % 3 == 1, F.lit("http"))
+        .otherwise(F.lit("hTtp"))
+    )
+    host = F.when(
+        did % 2 == 0,
+        F.concat(F.lit("Host"), g, F.lit(".Example.COM")),
+    ).otherwise(F.concat(F.lit("host"), g, F.lit(".example.com")))
+    port = F.when(did % 3 == 0, F.lit(":80")).otherwise(F.lit(""))
+    qs = F.when(
+        did % 2 == 0,
+        F.concat(F.lit("?a=1&z=2&utm_source=u"), i),
+    ).otherwise(F.concat(F.lit("?z=2&utm_campaign=c"), i, F.lit("&a=1")))
+    messy = F.concat(
+        scheme, F.lit("://"), host, port, F.lit("/p"), g, qs, F.lit("#f"), i,
+    )
+    url_expr = (
+        F.when(did % 5 == 4, F.lit(None).cast("string"))
+        .when(did % 5 == 3, F.concat(F.lit("no scheme url "), i))
+        .otherwise(messy)
+    )
+
+    docs = _docs(spark, sf).withColumns({
+        "host": F.concat(
             F.lit("h"), (F.col("doc_id") % 20).cast("string"),
             F.lit(".data.example"),
         ),
-    )
+        "url": url_expr,
+    })
     blocked = filter_by_blocklist(
         docs, ["h3.data.example", "h7.data.example"], "host",
         keep="blocked", match="domain",
     ).select("doc_id", F.lit(True).alias("__hit"))
-    out = unigram_logprob(language_id(docs)).join(blocked, "doc_id", "left")
+    canon = canonicalize_urls(docs, "url", "url_canon")
+    dd = dedup_by_url(docs, "url").select(
+        F.col("canonical_url").alias("url_canon"),
+        F.col("kept_id").alias("url_kept_id"),
+        F.col("n_dups").alias("url_n_dups"),
+    )
+    out = (
+        unigram_logprob(language_id(docs))
+        .join(blocked, "doc_id", "left")
+        .join(canon.select("doc_id", "url_canon"), "doc_id", "left")
+        .join(dd, "url_canon", "left")
+    )
     return out.select(
         "doc_id", "lang_pred", "unigram_logprob",
         F.coalesce(F.col("__hit"), F.lit(False)).alias("src_blocked"),
+        "url_canon", "url_kept_id", "url_n_dups",
     )
 
 
@@ -1318,23 +1392,41 @@ def _q_doc_hashes(spark, sf):
     sketch from the same scan (both pure-expression operators), PLUS the
     HTML→text extraction checked as the md5 of strip_html over an
     HTML-wrapped twin (doctype + block/inline tags + entity + script) —
-    both engines run the identical pattern chain."""
-    from sed_binning_spark.pipeline.text import strip_html
+    both engines run the identical pattern chain.
+
+    Round 11 adds the C4 line-rule tier (pipeline.text.c4_line_filter)
+    over a synthesized multi-line twin: the corpus text (one line) plus
+    fixed lines hitting every rule — too few words, no terminal
+    punctuation, a boilerplate phrase, a corpus-derived md5-digest line —
+    and per-doc conditional lines exercising min_lines, the curly-brace
+    doc rule (% 7) and the lorem-ipsum doc rule (% 11). The cleaned
+    text's md5 and the keep verdict are checked against a DuckDB replica
+    of the same line predicates over the identical construction."""
+    from sed_binning_spark.pipeline.text import c4_line_filter, strip_html
 
     # one frame, one scan: strip_html is map-only and column-addressed,
     # so the HTML twin is just another column — no self-join
-    docs = _docs(spark, sf).withColumn(
-        "htext",
-        F.concat(
+    docs = _docs(spark, sf).withColumns({
+        "htext": F.concat(
             F.lit("<!DOCTYPE html><p>"), F.col("text"),
             F.lit("</p><br>x &amp; y<script>s()</script>"),
         ),
-    )
+        "c4t": F.concat(
+            F.col("text"), F.lit(_C4_FIXED),
+            F.substring(F.md5("text"), 1, 8), F.lit(_C4_TAIL),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_C4_EVEN)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_C4_BRACE)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(_C4_LOREM)).otherwise(F.lit("")),
+        ),
+    })
     docs = strip_html(docs, text_column="htext", output_column="text_clean")
+    docs = c4_line_filter(docs, text_column="c4t", output_column="c4_clean")
     out = simhash(document_fingerprint(docs), bits=16)
     return out.select(
         "doc_id", "fingerprint", "simhash",
         F.md5("text_clean").alias("clean_md5"),
+        F.md5("c4_clean").alias("c4_md5"),
+        F.col("keep").alias("c4_keep"),
     )
 
 
@@ -1948,6 +2040,19 @@ def oracle_sql() -> dict[str, str]:
     # unigram_logprob twin: self-scored add-1 model; per-token log-probs
     # quantized to integer micro-nats, so the mean is an exact int sum /
     # (m * 1e6) on both engines (sum(BIGINT) is HUGEINT in DuckDB — CAST)
+    # URL-tier twin: the canonical form is predicted CLOSED-FORM from the
+    # minting construction (scheme/host lower-cased, default :80 dropped,
+    # tracking params dropped, kept params sorted, fragment dropped), so
+    # the engine's try_parse_url chain is checked against an independent
+    # derivation; group winners rebuilt with a plain GROUP BY over the
+    # parseable 3-of-5 rows (unparseable rows keep their literal string,
+    # NULL urls are excluded from URL dedup by contract)
+    _url_canon_case = (
+        "CASE WHEN l.doc_id % 5 = 4 THEN NULL "
+        "WHEN l.doc_id % 5 = 3 THEN 'no scheme url ' || CAST(l.doc_id AS VARCHAR) "
+        "ELSE 'http://host' || CAST(l.doc_id % 25 AS VARCHAR) || "
+        "'.example.com/p' || CAST(l.doc_id % 25 AS VARCHAR) || '?a=1&z=2' END"
+    )
     lang_lm_sql = (
         f"WITH tk AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents), "
         "model AS (SELECT token, count(*) AS n FROM tk GROUP BY token), "
@@ -1955,13 +2060,22 @@ def oracle_sql() -> dict[str, str]:
         "lut AS (SELECT token, CAST(round(ln((n + 1.0) / (total + 1.0 * (vocab + 1))) "
         "* 1e6, 0) AS BIGINT) AS lm FROM model, tot), "
         "agg AS (SELECT doc_id, CAST(sum(lm) AS BIGINT) AS s, count(*) AS m "
-        "FROM tk JOIN lut USING (token) GROUP BY doc_id) "
+        "FROM tk JOIN lut USING (token) GROUP BY doc_id), "
+        "url_grp AS (SELECT doc_id % 25 AS grp, min(doc_id) AS kept, "
+        "CAST(count(*) AS BIGINT) AS n FROM documents "
+        "WHERE doc_id % 5 IN (0, 1, 2) GROUP BY 1) "
         f"SELECT l.doc_id, l.lang_pred, CAST(s AS DOUBLE) / (m * 1e6) AS unigram_logprob, "
         # blocklist-audit twin: the full host equals the entry iff the
         # group index is 3 or 7 (the entries are complete hosts, so a
         # label-suffix hit is exactly an equality hit here)
-        f"l.doc_id % 20 IN (3, 7) AS src_blocked "
-        f"FROM ({lang_id_sql}) l LEFT JOIN agg ON agg.doc_id = l.doc_id"
+        f"l.doc_id % 20 IN (3, 7) AS src_blocked, "
+        f"{_url_canon_case} AS url_canon, "
+        "CASE WHEN l.doc_id % 5 = 4 THEN NULL "
+        "WHEN l.doc_id % 5 = 3 THEN l.doc_id ELSE u.kept END AS url_kept_id, "
+        "CASE WHEN l.doc_id % 5 = 4 THEN NULL "
+        "WHEN l.doc_id % 5 = 3 THEN CAST(1 AS BIGINT) ELSE u.n END AS url_n_dups "
+        f"FROM ({lang_id_sql}) l LEFT JOIN agg ON agg.doc_id = l.doc_id "
+        "LEFT JOIN url_grp u ON u.grp = l.doc_id % 25"
     )
 
     return {
@@ -2288,14 +2402,16 @@ def oracle_sql() -> dict[str, str]:
         # engine says 'und'
         "lang_id": lang_lm_sql,
         "doc_hashes": (
-            f"SELECT f.doc_id, f.fingerprint, s.simhash, c.clean_md5 FROM "
+            f"SELECT f.doc_id, f.fingerprint, s.simhash, c.clean_md5, "
+            f"c4.c4_md5, c4.c4_keep FROM "
             f"(SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fingerprint "
             f"FROM documents) f JOIN ({_simhash_oracle_sql(bits=16)}) s "
             f"ON s.doc_id = f.doc_id "
             f"LEFT JOIN (SELECT doc_id, md5({_strip_html_sql('htext')}) AS clean_md5 "
             f"FROM (SELECT doc_id, '<!DOCTYPE html><p>' || text || "
             f"'</p><br>x &amp; y<script>s()</script>' AS htext FROM documents)) c "
-            f"ON c.doc_id = f.doc_id"
+            f"ON c.doc_id = f.doc_id "
+            f"LEFT JOIN ({_c4_oracle_sql()}) c4 ON c4.doc_id = f.doc_id"
         ),
         # pack_chunks twin: md5 length-prefixed key -> 52-bit lane -> exact
         # /2^52 uniform -> shard; the layout is a per-shard window cumsum
@@ -2500,6 +2616,48 @@ def oracle_sql() -> dict[str, str]:
             "FROM dg LEFT JOIN hits h USING (doc_id)"
         ),
     }
+
+
+def _c4_oracle_sql() -> str:
+    """DuckDB replica of c4_line_filter over the doc_hashes twin
+    construction: same line predicates (terminal punctuation, >= 5
+    whitespace words, no boilerplate phrase), same doc rules (>= 3
+    surviving lines, no curly brace, no lorem ipsum), same NULL posture
+    (NULL text -> NULL md5, keep false)."""
+    from sed_binning_spark.pipeline.text import (
+        C4_BAD_DOC_PHRASES,
+        C4_BAD_LINE_PHRASES,
+    )
+
+    c4t = (
+        f"text || {_sql_str(_C4_FIXED)} || substr(md5(text), 1, 8) || "
+        f"{_sql_str(_C4_TAIL)} || "
+        f"CASE WHEN doc_id % 2 = 0 THEN {_sql_str(_C4_EVEN)} ELSE '' END || "
+        f"CASE WHEN doc_id % 7 = 0 THEN {_sql_str(_C4_BRACE)} ELSE '' END || "
+        f"CASE WHEN doc_id % 11 = 0 THEN {_sql_str(_C4_LOREM)} ELSE '' END"
+    )
+    line_phrases = " AND ".join(
+        f"NOT contains(lower(trim(l)), {_sql_str(p.lower())})"
+        for p in C4_BAD_LINE_PHRASES
+    )
+    doc_phrases = " AND ".join(
+        f"NOT contains(lower(c4t), {_sql_str(p.lower())})"
+        for p in C4_BAD_DOC_PHRASES
+    )
+    kept = (
+        "list_filter(str_split(c4t, chr(10)), l -> "
+        "regexp_matches(trim(l), '[.!?\"]$') "
+        f"AND len(list_filter(regexp_split_to_array(trim(l), "
+        f"'{_WS_CLASS}+'), x -> x != '')) >= 5 AND {line_phrases})"
+    )
+    return (
+        "SELECT doc_id, CASE WHEN c4t IS NULL THEN NULL "
+        "ELSE md5(coalesce(array_to_string(kept, chr(10)), '')) END AS c4_md5, "
+        "CASE WHEN c4t IS NULL THEN false ELSE len(kept) >= 3 "
+        f"AND NOT contains(c4t, '{{') AND {doc_phrases} END AS c4_keep "
+        f"FROM (SELECT doc_id, c4t, {kept} AS kept FROM "
+        f"(SELECT doc_id, {c4t} AS c4t FROM documents))"
+    )
 
 
 def _multimodal_oracle_sql(width: int = 4, height: int = 2) -> str:
