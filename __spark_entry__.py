@@ -222,6 +222,20 @@ _NU_CENTERS = np.array([10.0, 20.0, 50.0, 100.0, 200.0, 400.0])
 # ANN query vector (deterministic)
 _QVEC = np.round(np.sin(np.arange(64) * 0.37), 6)
 
+# quality_score slot: LITERAL classifier model — apply is a closed-form
+# standardize → dot → sigmoid both engines recompute from these constants
+_CLF_MODEL = {
+    "features": [
+        "n_chars", "n_ws_tokens", "mean_token_len",
+        "punct_ratio", "stopword_ratio", "uniq_token_ratio",
+    ],
+    "log_features": ["n_chars", "n_ws_tokens"],
+    "mean": [6.0, 4.5, 5.0, 0.1, 0.05, 0.5],
+    "std": [1.5, 1.2, 2.0, 0.08, 0.04, 0.25],
+    "weights": [0.2, -0.1, 0.3, -0.25, 0.15, 0.05],
+    "bias": 0.1,
+}
+
 # C4 line-rule twin construction (doc_hashes slot): fixed lines hitting
 # every rule, shared verbatim by the Spark builder and the DuckDB oracle
 _C4_FIXED = (
@@ -1236,10 +1250,35 @@ def _q_text_stats(spark, sf):
     """Scalar text statistics merged with the Gopher n-gram repetition
     signals (pipeline.text.repetition_stats): top-2-gram and dup-5-gram
     character fractions from the sorted-shingle fold, checked against a
-    per-document group-by twin."""
+    per-document group-by twin.
+
+    Round 11 adds the BPE tier (pipeline.bpe), two checks:
+
+    - ``bpe_rt_md5``: a merge table is TRAINED on the corpus at query
+      time (bpe_train's cluster-side word histogram + driver heap
+      trainer) and applied by bpe_encode; the Sennrich round-trip
+      invariant — concatenating the subwords and turning each ``</w>``
+      marker into a space reconstructs the pre-token stream exactly —
+      is checked as an md5 the oracle derives from the pre-tokenizer
+      alone, so any trained table that is not a true per-word partition
+      (or any pre-tokenizer divergence between engines) breaks the hash.
+    - ``n_bpe_th``: bpe_encode under the LITERAL one-rule table
+      [("t","h")], whose exact subword count has a closed form — per
+      word, len(word) minus the 'th' adjacencies that do not sit at the
+      word end (the final char carries the ``</w>`` marker, so a
+      trailing 'th' never merges; 'th' matches cannot overlap and the
+      merged symbol cannot cascade) — checked value-exactly."""
+    from sed_binning_spark.pipeline.bpe import bpe_encode, bpe_train
     from sed_binning_spark.pipeline.text import repetition_stats
 
-    out = repetition_stats(text_stats(_docs(spark, sf)), top_ns=(2,), dup_ns=(5,))
+    docs = _docs(spark, sf)
+    merges = bpe_train(docs, num_merges=64, sample_size=2000, seed=7)
+    enc = bpe_encode(docs, merges, output_column="bpe_trained")
+    enc = bpe_encode(enc, [("t", "h")], output_column="bpe_th")
+    out = repetition_stats(text_stats(enc), top_ns=(2,), dup_ns=(5,))
+    rt = F.replace(
+        F.concat_ws("", F.col("bpe_trained")), F.lit("</w>"), F.lit(" "),
+    )
     return out.select(
         "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"),
         F.col("n_ws_tokens").cast("bigint").alias("n_ws_tokens"),
@@ -1250,6 +1289,9 @@ def _q_text_stats(spark, sf):
         F.round("uniq_token_ratio", 6).alias("uniq_token_ratio"),
         F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
         F.round("dup_5gram_char_frac", 6).alias("dup_5gram_char_frac"),
+        F.when(F.col("text").isNotNull(), F.md5(rt)).alias("bpe_rt_md5"),
+        F.when(F.col("text").isNotNull(), F.size("bpe_th"))
+        .cast("bigint").alias("n_bpe_th"),
     )
 
 
@@ -1356,8 +1398,26 @@ def _q_quality(spark, sf):
             F.lit("\nrepeat line\nrepeat line"),
         ),
     )
+    from sed_binning_spark.pipeline.classifier import (
+        quality_classifier_apply,
+        quality_classifier_fit,
+    )
     from sed_binning_spark.pipeline.filters import badword_stats
     from sed_binning_spark.pipeline.text import dup_segment_stats
+
+    # round 11: the trainable quality classifier, two checks. (1) apply
+    # under the LITERAL model below — standardize → dot → sigmoid is a
+    # closed form the oracle recomputes from the same constants; (2) fit
+    # at query time on an even/odd split of the corpus — the model's
+    # n_train equals the number of DISTINCT usable feature vectors per
+    # class (the 50k cap never binds at gate scale), which the oracle
+    # counts as distinct RAW-stat tuples (the feature map is injective
+    # in them), exercising the cluster-side weighted-histogram path.
+    base = _docs(spark, sf)
+    fitted = quality_classifier_fit(
+        base.where(F.col("doc_id") % 2 == 0),
+        base.where(F.col("doc_id") % 2 == 1),
+    )
 
     docs = scrub_pii(
         dup_line_stats(pii_stats(docs, "pii_text"), "pii_text"), "pii_text",
@@ -1366,6 +1426,7 @@ def _q_quality(spark, sf):
     # (it carries the duplicated 'repeat line' pair by construction)
     docs = dup_segment_stats(docs, "pii_text", granularities=("line",))
     docs = badword_stats(docs, ["repeat", "contact"], text_column="pii_text")
+    docs = quality_classifier_apply(docs, _CLF_MODEL, output_column="clf_prob")
     out = quality_score(docs)
     return out.select(
         "doc_id", F.round("quality", 6).alias("quality"), "keep",
@@ -1374,6 +1435,9 @@ def _q_quality(spark, sf):
         F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
         "n_badword_tokens",
         F.md5("text_scrubbed").alias("scrub_md5"),
+        F.round("clf_prob", 6).alias("clf_prob"),
+        F.coalesce(F.col("clf_prob") >= 0.5, F.lit(False)).alias("clf_keep"),
+        F.lit(int(fitted["n_train"])).cast("bigint").alias("clf_n_train"),
     )
 
 
@@ -2357,9 +2421,25 @@ def oracle_sql() -> dict[str, str]:
             f"round(len(list_distinct({_WS_SQL})) / CAST(len({_WS_SQL}) AS DOUBLE), 6) "
             f"AS uniq_token_ratio, "
             f"{_rep_frac_sql('grams2', 'top')} AS top_2gram_char_frac, "
-            f"{_rep_frac_sql('grams5', 'dup')} AS dup_5gram_char_frac "
+            f"{_rep_frac_sql('grams5', 'dup')} AS dup_5gram_char_frac, "
+            # BPE round-trip twin: the Sennrich reconstruction of ANY
+            # true per-word partition is the pre-token stream re-joined
+            # with spaces plus one trailing space per word — derivable
+            # from the pre-tokenizer alone, no merge table needed
+            "CASE WHEN text IS NULL THEN NULL WHEN len(pre) = 0 THEN md5('') "
+            "ELSE md5(array_to_string(pre, ' ') || ' ') END AS bpe_rt_md5, "
+            # literal [('t','h')] table: merges = non-word-final 'th'
+            # adjacencies (no overlap, no cascade), so the subword count
+            # is len(w) - matches + (1 if w ends with 'th')
+            "CASE WHEN text IS NULL THEN NULL ELSE CAST(coalesce(list_sum("
+            "list_transform(pre, w -> length(w) "
+            "- len(regexp_extract_all(w, 'th')) "
+            "+ CASE WHEN ends_with(w, 'th') THEN 1 ELSE 0 END)), 0) "
+            "AS BIGINT) END AS n_bpe_th "
             f"FROM (SELECT doc_id, text, {_grams_sql(2)} AS grams2, "
-            f"{_grams_sql(5)} AS grams5 FROM documents)"
+            f"{_grams_sql(5)} AS grams5, "
+            f"regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_"
+            + _WS_CLASS[1:-1] + "]') AS pre FROM documents)"
         ),
         # every ratio is int/int division of identical counts, so the rule
         # comparisons are bit-identical across engines; NULL rules (blank
@@ -2368,14 +2448,18 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, round(n_rules / 5.0, 6) AS quality, "
             f"n_rules / 5.0 >= 0.8 AS keep, "
             f"n_url, n_email, n_ip, n_phone, dup_line_ratio, "
-            f"dup_line_frac, dup_line_char_frac, n_badword_tokens, scrub_md5 "
-            f"FROM (SELECT doc_id, {_pii_audit_sql()}, "
+            f"dup_line_frac, dup_line_char_frac, n_badword_tokens, scrub_md5, "
+            f"round(clf_prob_raw, 6) AS clf_prob, "
+            f"coalesce(clf_prob_raw >= 0.5, false) AS clf_keep, "
+            f"CAST(({_clf_n_train_sql()}) AS BIGINT) AS clf_n_train "
+            f"FROM (SELECT doc_id, clf_prob_raw, {_pii_audit_sql()}, "
             f"CAST(coalesce(n_ws BETWEEN 20 AND 100000, false) AS INT) + "
             f"CAST(coalesce(mtl BETWEEN 3.0 AND 10.0, false) AS INT) + "
             f"CAST(coalesce(punct <= 0.2, false) AS INT) + "
             f"CAST(coalesce(stop >= 0.01, false) AS INT) + "
             f"CAST(coalesce(uniq >= 0.45, false) AS INT) AS n_rules "
             f"FROM (SELECT doc_id, {_PII_TEXT_SQL} AS pii_text, "
+            f"length(text) AS n_chars, "
             f"len({_WS_SQL}) AS n_ws, "
             f"length(regexp_replace(text, '{_WS_CLASS}+', '', 'g')) "
             f"/ CAST(nullif(len({_WS_SQL}), 0) AS DOUBLE) AS mtl, "
@@ -2385,7 +2469,12 @@ def oracle_sql() -> dict[str, str]:
             f"x -> x IN ({_STOP_SQL['en']}))) "
             f"/ CAST(nullif(len({_WS_SQL}), 0) AS DOUBLE) AS stop, "
             f"len(list_distinct({_WS_SQL})) "
-            f"/ CAST(nullif(len({_WS_SQL}), 0) AS DOUBLE) AS uniq "
+            f"/ CAST(nullif(len({_WS_SQL}), 0) AS DOUBLE) AS uniq, "
+            # literal-model classifier twin: same feature order, same
+            # left-associated z accumulation (lateral aliases), NULL
+            # text -> NULL prob
+            f"CASE WHEN n_chars IS NULL THEN NULL "
+            f"ELSE 1.0 / (1.0 + exp(-({_clf_z_sql()}))) END AS clf_prob_raw "
             f"FROM documents))"
         ),
         # NULL duration (NULL n_chars) is dropped, mirroring the engine's
@@ -2616,6 +2705,43 @@ def oracle_sql() -> dict[str, str]:
             "FROM dg LEFT JOIN hits h USING (doc_id)"
         ),
     }
+
+
+def _clf_z_sql() -> str:
+    """The literal classifier's logit as SQL over the quality oracle's
+    lateral aliases — same feature order and left-associated accumulation
+    as quality_classifier_apply, constants straight from _CLF_MODEL."""
+    feats = ["ln(1 + n_chars)", "ln(1 + n_ws)", "mtl", "punct", "stop", "uniq"]
+    return fsql(_CLF_MODEL["bias"]) + "".join(
+        f" + coalesce(({e} - {fsql(m)}) / {fsql(s)}, 0.0) * {fsql(w)}"
+        for e, m, s, w in zip(
+            feats, _CLF_MODEL["mean"], _CLF_MODEL["std"],
+            _CLF_MODEL["weights"],
+        )
+    )
+
+
+def _clf_n_train_sql() -> str:
+    """n_train twin of the query-time quality_classifier_fit: distinct
+    usable feature vectors per class, summed. Counted over the RAW
+    integer stat tuple — the feature map (log1p, log1p, and four
+    fixed-denominator ratios) is injective in it at corpus magnitudes,
+    so the distinct counts are equal; usable = non-NULL stats, i.e.
+    non-NULL text with at least one whitespace token. The fit's 50k
+    per-class cap never binds at gate scale."""
+    raw = (
+        f"SELECT DISTINCT length(text), len({_WS_SQL}), "
+        f"length(regexp_replace(text, '{_WS_CLASS}+', '', 'g')), "
+        f"len(regexp_extract_all(text, '[^A-Za-z0-9_" + _WS_CLASS[1:-1] + "]')), "
+        f"len(list_filter(list_transform({_WS_SQL}, x -> lower(x)), "
+        f"x -> x IN ({_STOP_SQL['en']}))), "
+        f"len(list_distinct({_WS_SQL})) "
+        f"FROM documents WHERE text IS NOT NULL AND len({_WS_SQL}) > 0"
+    )
+    return (
+        f"(SELECT count(*) FROM ({raw} AND doc_id % 2 = 0)) + "
+        f"(SELECT count(*) FROM ({raw} AND doc_id % 2 = 1))"
+    )
 
 
 def _c4_oracle_sql() -> str:
