@@ -86,6 +86,10 @@ from sed_binning_spark.pipeline.similarity import (
     ivf_topk,
     ivf_train_centroids,
     lsh_bucket_pairs,
+    pca_apply,
+    pca_fit,
+    pq_encode,
+    pq_topk,
 )
 from sed_binning_spark.pipeline.text import (
     PII_PATTERNS,
@@ -234,6 +238,34 @@ _CLF_MODEL = {
     "std": [1.5, 1.2, 2.0, 0.08, 0.04, 0.25],
     "weights": [0.2, -0.1, 0.3, -0.25, 0.15, 0.05],
     "bias": 0.1,
+}
+
+# ann_topk slot: LITERAL product-quantizer codebook (m=4 subspaces x 4
+# codes over dim 64) — encode's per-subspace argmin and topk's asymmetric
+# distance have closed forms the oracle recomputes from these constants
+_PQ_MODEL = {
+    "dim": 64, "m": 4, "sub_dim": 16, "codes": 4,
+    "codebooks": [
+        [
+            [((s * 31 + c * 17 + i * 7) % 13 - 6) / 8.0 for i in range(16)]
+            for c in range(4)
+        ]
+        for s in range(4)
+    ],
+}
+
+# ann_topk slot: LITERAL PCA model (k=2 over dim 64) — apply is a
+# closed-form centered projection; /8 keeps the division exact (2^-3)
+_PCA_MODEL = {
+    "dim": 64, "k": 2,
+    "mean": [float(v) for v in np.round(np.cos(np.arange(64) * 0.21), 6)],
+    "components": [
+        [float(v) for v in np.round(np.sin(np.arange(64) * 0.05 + 1.0), 6) / 8.0],
+        [float(v) for v in np.round(np.cos(np.arange(64) * 0.07), 6) / 8.0],
+    ],
+    "explained_variance": [1.0, 1.0],
+    "explained_variance_ratio": [0.5, 0.5],
+    "whiten": False,
 }
 
 # C4 line-rule twin construction (doc_hashes slot): fixed lines hitting
@@ -1683,6 +1715,82 @@ def _q_storage_roundtrip(spark, sf):
             F.lit(fmt).alias("src_fmt"),
         ))
 
+    # WARC leg (round 11, pipeline.warc): every 101st event becomes one
+    # HTTP-response record in one of THREE gzip WARC files (event_id % 3
+    # picks the file — read_warc's one-task-per-file fan-out and the
+    # path attribution are both checked), cycling the four framing
+    # variants (plain / chunked / gzip / chunked+gzip with an invalid
+    # UTF-8 byte inside a comment). Each file also carries a request
+    # record, a 404 and an image/png response that warc_to_documents
+    # must FILTER; the survivors' ids parse back out of the stripped
+    # text, so framing, dechunk, content-decode, make_valid_utf8 and
+    # strip_html are all on the hash path.
+    from sed_binning_spark.pipeline.warc import (
+        http_response,
+        read_warc,
+        warc_to_documents,
+        write_warc,
+    )
+
+    sel = (
+        cached.where(F.col("event_id") % 101 == 0)
+        .select("event_id", "user_id").orderBy("event_id").collect()
+    )
+    wdir = path[:-8] + "_warc"
+    shutil.rmtree(wdir, ignore_errors=True)
+    os.makedirs(wdir)
+    wpaths = [os.path.join(wdir, f"warc{i}.warc.gz") for i in range(3)]
+    recs: dict[int, list] = {0: [], 1: [], 2: []}
+    for r in sel:
+        e, u = int(r["event_id"]), int(r["user_id"])
+        body = (
+            f"<html><body><p>ev {e} u {u} v {e % 997} é</p></body></html>"
+        ).encode()
+        if e % 4 == 3:
+            body += b"<!-- \xff -->"  # invalid UTF-8, must degrade to U+FFFD
+        payload = http_response(
+            body, chunked=e % 4 in (1, 3), gzip_body=e % 4 in (2, 3),
+        )
+        recs[e % 3].append({
+            "type": "response",
+            "url": f"http://ev{e}.example/x",
+            "payload": payload,
+        })
+    for i in range(3):
+        recs[i].append({
+            "type": "request", "url": "http://noise.example/req",
+            "content_type": "application/http; msgtype=request",
+            "payload": b"GET / HTTP/1.1\r\nHost: noise.example\r\n\r\n",
+        })
+        recs[i].append({
+            "type": "response", "url": f"http://noise{i}.example/gone",
+            "payload": http_response(b"<p>gone</p>", status=404),
+        })
+        recs[i].append({
+            "type": "response", "url": f"http://noise{i}.example/img",
+            "payload": http_response(
+                b"\x89PNG\r\n\x1a\n", content_type="image/png",
+            ),
+        })
+        write_warc(wpaths[i], recs[i], compress=True)
+    crawl = read_warc(spark, wpaths).withColumn(
+        "wfile",
+        F.regexp_extract("path", r"warc(\d+)\.warc\.gz$", 1).cast("int"),
+    )
+    fmap = crawl.where(F.col("warc_type") == "response").select("url", "wfile")
+    wleg = warc_to_documents(crawl).join(fmap, "url").select(
+        F.regexp_extract("url", r"ev(\d+)\.example", 1)
+        .cast("long").alias("event_id"),
+        F.regexp_extract("text", r"ev \d+ u (\d+) v \d+", 1)
+        .cast("long").alias("user_id"),
+        F.regexp_extract("text", r"ev \d+ u \d+ v (\d+)", 1)
+        .cast("double").alias("value"),
+        F.col("wfile").alias("src_file"),
+        F.lit(bool(ok)).alias("buffer_ok"),
+        F.lit(bool(dl_ok)).alias("download_ok"),
+        F.lit("warc").alias("src_fmt"),
+    )
+
     out = df.select(
         "event_id", "user_id", "value",
         F.col("file_id").alias("src_file"),
@@ -1692,7 +1800,7 @@ def _q_storage_roundtrip(spark, sf):
     )
     for leg in legs:
         out = out.unionByName(leg)
-    return out
+    return out.unionByName(wleg)
 
 
 def _q_jaccard_pairs(spark, sf):
@@ -1769,7 +1877,25 @@ def _q_ann_topk(spark, sf):
     IVF with every list probed — full probe makes IVF exact (the probe
     filter keeps all assignable rows and the in-list scorer IS
     cosine_topk's fold), so its scores are bit-identical to brute and the
-    whole train→assign→probe machinery gets hash-level verification."""
+    whole train→assign→probe machinery gets hash-level verification.
+
+    Round 11 adds the compression tier as further path legs:
+
+    - ``pq_adc``: pq_encode + pq_topk under the LITERAL _PQ_MODEL
+      codebook — per-subspace argmin and the asymmetric-distance top-10
+      both have closed forms the oracle recomputes from the constants
+      (scores rounded to 1e-6; the ranking gaps dwarf float noise).
+    - ``pca_c0``/``pca_c1``: pca_apply under the LITERAL _PCA_MODEL —
+      the stored ``array<float>`` projection is float32-EXACT, so the
+      oracle casts its own f64 projection through FLOAT and the values
+      compare bit-identically (the f32 grid absorbs summation-order
+      noise).
+    - ``pca_fit_mean``/``pca_fit_var``/``pca_fit_n``: pca_fit runs at
+      query time (the distributed moment pass); the model's mean vector,
+      total variance (= eigenvalue sum = covariance trace) and row count
+      are emitted as rows the oracle recomputes from plain AVG/COUNT
+      moments — oracle coverage for BOTH moment aggregates without
+      shipping any eigensolver into SQL."""
     emb = _embeds(spark, sf)
     brute = cosine_topk(emb, _QVEC, k=10).select(
         F.lit("brute").alias("path"), "vec_id", "score",
@@ -1778,7 +1904,39 @@ def _q_ann_topk(spark, sf):
     ivf = ivf_topk(emb, cents, _QVEC, k=10, n_probes=8).select(
         F.lit("ivf_full_probe").alias("path"), "vec_id", "score",
     )
-    return brute.unionByName(ivf)
+    pq = pq_topk(
+        pq_encode(emb, _PQ_MODEL), _PQ_MODEL,
+        [float(v) for v in _QVEC], k=10,
+    ).select(
+        F.lit("pq_adc").alias("path"), "vec_id",
+        F.round("pq_dist", 6).alias("score"),
+    )
+    proj = pca_apply(emb, _PCA_MODEL).where(
+        F.col("embedding_pca").isNotNull(),
+    )
+    pca_legs = [
+        proj.select(
+            F.lit(f"pca_c{c}").alias("path"), "vec_id",
+            F.col("embedding_pca")[c].cast("double").alias("score"),
+        )
+        for c in range(2)
+    ]
+    model = pca_fit(emb, k=4)
+    total_var = float(
+        model["explained_variance"][0] / model["explained_variance_ratio"][0],
+    )
+    fit_rows = (
+        [("pca_fit_mean", i, float(m)) for i, m in enumerate(model["mean"])]
+        + [("pca_fit_var", -1, total_var),
+           ("pca_fit_n", -2, float(model["n_fit"]))]
+    )
+    fit_df = spark.createDataFrame(
+        fit_rows, "path string, vec_id long, score double",
+    ).select("path", "vec_id", F.round("score", 6).alias("score"))
+    out = brute.unionByName(ivf).unionByName(pq)
+    for leg in pca_legs:
+        out = out.unionByName(leg)
+    return out.unionByName(fit_df)
 
 
 def _q_ann_pairs(spark, sf):
@@ -2586,7 +2744,12 @@ def oracle_sql() -> dict[str, str]:
             f"UNION ALL SELECT event_id, user_id, CAST(NULL AS DOUBLE), "
             f"0, TRUE, TRUE, 'csv' FROM ({_EV_SQL}) "
             f"UNION ALL SELECT event_id, user_id, CAST(NULL AS DOUBLE), "
-            f"0, TRUE, TRUE, 'json' FROM ({_EV_SQL})"
+            f"0, TRUE, TRUE, 'json' FROM ({_EV_SQL}) "
+            # warc leg: the ids round-trip the full WARC/HTTP/strip_html
+            # pipeline; the oracle predicts them from the construction
+            f"UNION ALL SELECT event_id, user_id, "
+            f"CAST(event_id % 997 AS DOUBLE), CAST(event_id % 3 AS INT), "
+            f"TRUE, TRUE, 'warc' FROM ({_EV_SQL}) WHERE event_id % 101 = 0"
         ),
         "jaccard_pairs": (
             f"SELECT p.id_a, p.id_b, round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
@@ -2663,9 +2826,31 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": (
             f"WITH topk AS (SELECT vec_id, {cos_sql} AS score FROM embeddings "
             f"WHERE ({cos_sql}) IS NOT NULL AND NOT isnan({cos_sql}) "
-            f"ORDER BY score DESC, vec_id LIMIT 10) "
+            f"ORDER BY score DESC, vec_id LIMIT 10), "
+            "valid AS (SELECT vec_id, embedding FROM embeddings "
+            "WHERE embedding IS NOT NULL AND len(embedding) >= 64) "
             f"SELECT 'brute' AS path, vec_id, score FROM topk "
-            f"UNION ALL SELECT 'ivf_full_probe' AS path, vec_id, score FROM topk"
+            f"UNION ALL SELECT 'ivf_full_probe' AS path, vec_id, score FROM topk "
+            f"UNION ALL {_pq_oracle_sql()} "
+            f"UNION ALL SELECT 'pca_c0' AS path, vec_id, {_pca_proj_sql(0)} "
+            "AS score FROM valid "
+            f"UNION ALL SELECT 'pca_c1' AS path, vec_id, {_pca_proj_sql(1)} "
+            "AS score FROM valid "
+            # pca_fit moment twins: mean per dim, total variance (= trace
+            # of the covariance = eigenvalue sum), usable-row count
+            "UNION ALL SELECT 'pca_fit_mean' AS path, CAST(i AS BIGINT) "
+            "AS vec_id, round(m, 6) AS score FROM (SELECT i, "
+            "avg(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)) AS m "
+            "FROM valid, range(64) t(i) GROUP BY i) "
+            "UNION ALL SELECT 'pca_fit_var' AS path, CAST(-1 AS BIGINT), "
+            "round(sum(vx), 6) FROM (SELECT "
+            "avg(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * "
+            "CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)) - "
+            "avg(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)) * "
+            "avg(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)) AS vx "
+            "FROM valid, range(64) t(i) GROUP BY i) "
+            "UNION ALL SELECT 'pca_fit_n' AS path, CAST(-2 AS BIGINT), "
+            "CAST(count(*) AS DOUBLE) FROM valid"
         ),
         "ann_pairs_brute": (
             f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b "
@@ -2705,6 +2890,60 @@ def oracle_sql() -> dict[str, str]:
             "FROM dg LEFT JOIN hits h USING (doc_id)"
         ),
     }
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB twin of pq_encode + pq_topk under _PQ_MODEL: per-subspace
+    squared distances to each literal codeword as lateral aliases, a
+    first-of-minima CASE per subspace (numpy argmin's tie-break), and
+    the asymmetric-distance table — Σ over the query's squared distance
+    to the CHOSEN codeword — precomputed here as literals, exactly as
+    pq_topk builds it driver-side. Top-10 by (dist, vec_id)."""
+    q = [float(v) for v in _QVEC]
+    books = _PQ_MODEL["codebooks"]
+    m, sub, codes = _PQ_MODEL["m"], _PQ_MODEL["sub_dim"], _PQ_MODEL["codes"]
+    aliases, dist_terms = [], []
+    for s in range(m):
+        tbl = []
+        for c in range(codes):
+            terms = " + ".join(
+                f"(CAST(embedding[{s * sub + i + 1}] AS DOUBLE) - "
+                f"{fsql(books[s][c][i])}) * "
+                f"(CAST(embedding[{s * sub + i + 1}] AS DOUBLE) - "
+                f"{fsql(books[s][c][i])})"
+                for i in range(sub)
+            )
+            aliases.append(f"({terms}) AS d{s}_{c}")
+            tbl.append(fsql(sum(
+                (q[s * sub + i] - books[s][c][i]) ** 2 for i in range(sub)
+            )))
+        d = [f"d{s}_{c}" for c in range(codes)]
+        dist_terms.append(
+            f"(CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} "
+            f"AND {d[0]} <= {d[3]} THEN {tbl[0]} "
+            f"WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN {tbl[1]} "
+            f"WHEN {d[2]} <= {d[3]} THEN {tbl[2]} ELSE {tbl[3]} END)"
+        )
+    return (
+        "SELECT 'pq_adc' AS path, vec_id, round(dist, 6) AS score FROM "
+        f"(SELECT vec_id, {', '.join(aliases)}, "
+        f"{' + '.join(dist_terms)} AS dist FROM embeddings "
+        "WHERE embedding IS NOT NULL AND len(embedding) >= 64 "
+        "ORDER BY dist ASC, vec_id ASC LIMIT 10)"
+    )
+
+
+def _pca_proj_sql(comp: int) -> str:
+    """One component of the literal-model PCA projection as a
+    left-associated f64 chain, quantized through FLOAT — the same f32
+    grid pca_apply's array<float> output lands on."""
+    chain = " + ".join(
+        f"(CAST(embedding[{i + 1}] AS DOUBLE) - {fsql(mi)}) * {fsql(ci)}"
+        for i, (mi, ci) in enumerate(
+            zip(_PCA_MODEL["mean"], _PCA_MODEL["components"][comp]),
+        )
+    )
+    return f"CAST(CAST(({chain}) AS FLOAT) AS DOUBLE)"
 
 
 def _clf_z_sql() -> str:
