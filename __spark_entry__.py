@@ -75,6 +75,8 @@ from sed_binning_spark.pipeline.multimodal import (
     frame_sample_plan,
     gif_fixture_n_bytes,
     png_fixture_n_bytes,
+    sample_frames,
+    synthesize_animated_gif_media_from_text,
     synthesize_gif_media_from_text,
     synthesize_png_media_from_text,
     synthesize_ppm_media_from_text,
@@ -1474,13 +1476,51 @@ def _q_quality(spark, sf):
 
 
 def _q_frame_sample(spark, sf):
-    """Video frame-sample plan: one row per (media, frame timestamp) via
-    sequence+explode; duration synthesized from the document length."""
-    media = _docs(spark, sf).select(
-        "doc_id", F.col("n_chars").alias("duration_ms"),
+    """Video frame sampling, BOTH halves merged. The 'plan' leg is the
+    pure-expression timestamp grid (frame_sample_plan, one row per
+    (media, frame timestamp) via sequence+explode, durations synthesized
+    from document length). The 'gif' leg (round 11) is the DECODE half:
+    every doc_id % 3 == 0 document becomes an expression-built ANIMATED
+    GIF89a (three full-screen frames of md5-rotated samples behind
+    graphic-control extensions with 20/30/40 ms delays), and
+    sample_frames runs the real decode_gif_frames compositing walk
+    inside mapInPandas — per-frame start times come from the container's
+    own timing metadata and the pixel statistics from the composed
+    canvases, all of which the oracle regenerates closed-form from the
+    construction (start_f = 5·f·(f+3) ms, samples = md5 bytes rotated by
+    the frame index)."""
+    docs = _docs(spark, sf)
+    media = docs.select("doc_id", F.col("n_chars").alias("duration_ms"))
+    plan = frame_sample_plan(media, every_ms=25, id_column="doc_id")
+    plan_leg = plan.select(
+        F.lit("plan").alias("leg"), "doc_id",
+        F.col("frame_ms").cast("bigint").alias("frame_ms"),
+        F.lit(None).cast("int").alias("frame_index"),
+        F.lit(None).cast("bigint").alias("delay_ms"),
+        F.lit(None).cast("int").alias("fwidth"),
+        F.lit(None).cast("int").alias("fheight"),
+        F.lit(None).cast("double").alias("fmean"),
+        F.lit(None).cast("double").alias("fstd"),
+        F.lit(None).cast("double").alias("fmin"),
+        F.lit(None).cast("double").alias("fmax"),
     )
-    out = frame_sample_plan(media, every_ms=25, id_column="doc_id")
-    return out.select("doc_id", F.col("frame_ms").cast("bigint").alias("frame_ms"))
+    agif = synthesize_animated_gif_media_from_text(
+        docs.where(F.col("doc_id") % 3 == 0), frames=3,
+    )
+    gif_leg = sample_frames(agif).select(
+        F.lit("gif").alias("leg"),
+        F.col("media_id").alias("doc_id"),
+        F.col("frame_ms").cast("bigint").alias("frame_ms"),
+        "frame_index",
+        F.col("delay_ms").cast("bigint").alias("delay_ms"),
+        F.col("width").alias("fwidth"),
+        F.col("height").alias("fheight"),
+        F.round("mean", 6).alias("fmean"),
+        F.round("std", 6).alias("fstd"),
+        F.round("min", 6).alias("fmin"),
+        F.round("max", 6).alias("fmax"),
+    )
+    return plan_leg.unionByName(gif_leg)
 
 
 def _q_doc_hashes(spark, sf):
@@ -2638,11 +2678,31 @@ def oracle_sql() -> dict[str, str]:
         # NULL duration (NULL n_chars) is dropped, mirroring the engine's
         # explicit filter — greatest() skips NULLs in both engines, so
         # without the WHERE an unknown-duration row would fabricate a
-        # frame at t=0
+        # frame at t=0. The gif leg regenerates the animated fixture's
+        # timeline and per-frame stats closed-form (see _q_frame_sample).
         "frame_sample": (
-            "SELECT doc_id, CAST(unnest(generate_series(0, "
-            "n_chars - 1, 25)) AS BIGINT) AS frame_ms "
-            "FROM documents WHERE n_chars > 0"
+            "SELECT 'plan' AS leg, doc_id, CAST(unnest(generate_series(0, "
+            "n_chars - 1, 25)) AS BIGINT) AS frame_ms, "
+            "CAST(NULL AS INT) AS frame_index, "
+            "CAST(NULL AS BIGINT) AS delay_ms, "
+            "CAST(NULL AS INT) AS fwidth, CAST(NULL AS INT) AS fheight, "
+            "CAST(NULL AS DOUBLE) AS fmean, CAST(NULL AS DOUBLE) AS fstd, "
+            "CAST(NULL AS DOUBLE) AS fmin, CAST(NULL AS DOUBLE) AS fmax "
+            "FROM documents WHERE n_chars > 0 "
+            "UNION ALL SELECT 'gif', doc_id, "
+            "CAST(5 * f * (f + 3) AS BIGINT), CAST(f AS INT), "
+            "CAST((2 + f) * 10 AS BIGINT), 24, 1, "
+            "round(m / 255.0, 6), "
+            "round(sqrt(list_sum(list_transform(bs, x -> "
+            "(x - m) * (x - m))) / 24.0) / 255.0, 6), "
+            "round(CAST(list_min(bs) AS DOUBLE) / 255.0, 6), "
+            "round(CAST(list_max(bs) AS DOUBLE) / 255.0, 6) "
+            "FROM (SELECT doc_id, f, bs, list_sum(bs) / 24.0 AS m FROM "
+            "(SELECT doc_id, f, list_transform(range(0, 24), j -> "
+            "CAST('0x' || substr(md5(text), "
+            "CAST(((j + f) % 16) * 2 + 1 AS INTEGER), 2) AS BIGINT)) AS bs "
+            "FROM documents, range(3) t(f) "
+            "WHERE doc_id % 3 = 0 AND text IS NOT NULL))"
         ),
         # NULL text: every stop count is NULL, so an explicit branch is
         # needed — the CASE would otherwise fall through to ELSE where the

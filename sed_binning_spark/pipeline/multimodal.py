@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -766,72 +767,32 @@ def _gif_lzw_encode(indices: bytes, min_code: int) -> bytes:
     return bytes(out)
 
 
-def decode_image_gif(data: bytes, max_pixels: int | None = None) -> np.ndarray:
-    """Decode the FIRST frame of a GIF87a/GIF89a into an (h, w, 3) uint8
-    array — (h, w, 4) when the frame's graphic-control extension declares
-    a transparent index (alpha 0 at those pixels). The frame composes onto
-    the logical screen: regions outside a smaller frame rectangle fill
-    with the global background color. Interlaced frames reorder through
-    the four-pass row schedule. Later animation frames are ignored by
-    design — feature extraction wants one raster, not a timeline.
-
-    ``max_pixels`` (default :data:`MAX_PIXELS`) bounds the logical screen
-    BEFORE any allocation or LZW walk, same posture as the PNG/JPEG
-    decoders: the LZW loop is serial Python, so the featurizer passes the
-    tighter :data:`FEATURIZER_MAX_PIXELS`."""
-    budget = MAX_PIXELS if max_pixels is None else max_pixels
-    if data[:6] not in GIF_SIGS:
-        raise ValueError("not a GIF87a/GIF89a stream")
-    if len(data) < 13:
-        raise ValueError("truncated GIF header")
-    sw, sh, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", data, 6)
-    if sw == 0 or sh == 0:
-        raise ValueError("GIF declares a zero-size logical screen")
-    if sw * sh > budget:
-        raise ValueError(
-            f"GIF logical screen {sw}x{sh} exceeds the {budget}-pixel "
-            "decode budget",
-        )
-    pos = 13
-    gct = None
-    if packed & 0x80:
-        n = 2 << (packed & 0x07)
-        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
-        if gct.size != 3 * n:
-            raise ValueError("truncated GIF global color table")
-        gct = gct.reshape(n, 3)
-        pos += 3 * n
-    transparent = None
+def _gif_read_ext(data: bytes, pos: int) -> tuple[int, list[bytes], int]:
+    """Read one GIF extension (label + sub-blocks) at ``pos`` (past the
+    0x21 introducer); returns (label, sub_blocks, new_pos)."""
+    if pos >= len(data):
+        raise ValueError("truncated GIF extension")
+    label = data[pos]
+    pos += 1
+    subs = []
     while True:
         if pos >= len(data):
-            raise ValueError("GIF stream ended before any image data")
-        block = data[pos]
+            raise ValueError("truncated GIF extension sub-blocks")
+        n = data[pos]
         pos += 1
-        if block == 0x3B:  # trailer
-            raise ValueError("GIF trailer before any image data")
-        if block == 0x21:  # extension: label + sub-blocks
-            if pos >= len(data):
-                raise ValueError("truncated GIF extension")
-            label = data[pos]
-            pos += 1
-            subs = []
-            while True:
-                if pos >= len(data):
-                    raise ValueError("truncated GIF extension sub-blocks")
-                n = data[pos]
-                pos += 1
-                if n == 0:
-                    break
-                subs.append(data[pos : pos + n])
-                pos += n
-            if label == 0xF9 and subs and len(subs[0]) >= 4:
-                flags = subs[0][0]
-                if flags & 0x01:
-                    transparent = subs[0][3]
-            continue
-        if block != 0x2C:
-            raise ValueError(f"unknown GIF block introducer 0x{block:02X}")
-        break
+        if n == 0:
+            break
+        subs.append(data[pos : pos + n])
+        pos += n
+    return label, subs, pos
+
+
+def _gif_read_frame(
+    data: bytes, pos: int, sw: int, sh: int, gct,
+) -> tuple[int, int, np.ndarray, np.ndarray, int]:
+    """Read one GIF image block at ``pos`` (past the 0x2C introducer):
+    descriptor, optional local color table, LZW sub-blocks; decode and
+    de-interlace. Returns (left, top, index_rows, palette, new_pos)."""
     if pos + 9 > len(data):
         raise ValueError("truncated GIF image descriptor")
     left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", data, pos)
@@ -880,6 +841,64 @@ def decode_image_gif(data: bytes, max_pixels: int | None = None) -> np.ndarray:
             ordered[start::step] = rows[src : src + n]
             src += n
         rows = ordered
+    return left, top, rows, palette, pos
+
+
+def decode_image_gif(data: bytes, max_pixels: int | None = None) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/GIF89a into an (h, w, 3) uint8
+    array — (h, w, 4) when the frame's graphic-control extension declares
+    a transparent index (alpha 0 at those pixels). The frame composes onto
+    the logical screen: regions outside a smaller frame rectangle fill
+    with the global background color. Interlaced frames reorder through
+    the four-pass row schedule. Later animation frames are ignored by
+    design — feature extraction wants one raster, not a timeline.
+
+    ``max_pixels`` (default :data:`MAX_PIXELS`) bounds the logical screen
+    BEFORE any allocation or LZW walk, same posture as the PNG/JPEG
+    decoders: the LZW loop is serial Python, so the featurizer passes the
+    tighter :data:`FEATURIZER_MAX_PIXELS`."""
+    budget = MAX_PIXELS if max_pixels is None else max_pixels
+    if data[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF87a/GIF89a stream")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    if sw == 0 or sh == 0:
+        raise ValueError("GIF declares a zero-size logical screen")
+    if sw * sh > budget:
+        raise ValueError(
+            f"GIF logical screen {sw}x{sh} exceeds the {budget}-pixel "
+            "decode budget",
+        )
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
+        if gct.size != 3 * n:
+            raise ValueError("truncated GIF global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    transparent = None
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF stream ended before any image data")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            raise ValueError("GIF trailer before any image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            label, subs, pos = _gif_read_ext(data, pos)
+            if label == 0xF9 and subs and len(subs[0]) >= 4:
+                flags = subs[0][0]
+                if flags & 0x01:
+                    transparent = subs[0][3]
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block introducer 0x{block:02X}")
+        break
+    left, top, rows, palette, pos = _gif_read_frame(data, pos, sw, sh, gct)
+    fh, fw = rows.shape
     channels = 3 if transparent is None else 4
     out = np.zeros((sh, sw, channels), np.uint8)
     if gct is not None and bg_idx < len(gct):
@@ -891,6 +910,110 @@ def decode_image_gif(data: bytes, max_pixels: int | None = None) -> np.ndarray:
         )
     out[top : top + fh, left : left + fw, :3] = palette[rows]
     return out
+
+
+def decode_gif_frames(
+    data: bytes,
+    max_pixels: int | None = None,
+    max_frames: int | None = None,
+) -> list[tuple[int, int, np.ndarray]]:
+    """Decode EVERY frame of a GIF87a/GIF89a with real animation
+    compositing — the video-timeline twin of :func:`decode_image_gif`
+    (which composes the first frame only). Returns a list of
+    ``(start_ms, delay_ms, canvas)`` where ``canvas`` is the full
+    (screen_h, screen_w, 3) uint8 logical screen AS DISPLAYED after the
+    frame renders:
+
+    - the canvas starts as the global background color (zeros without a
+      global table), matching decode_image_gif's fill;
+    - a graphic-control extension scopes ONE following frame: its delay
+      (centiseconds → ms) drives the cumulative ``start_ms`` timeline,
+      its transparency index leaves underlying canvas pixels showing
+      through, and its disposal method is applied AFTER the frame is
+      captured — 2 restores the frame rectangle to the background, 3
+      restores the pre-frame canvas, 0/1 leave the canvas (GIF89a §23);
+    - frames smaller than the screen compose at their (left, top) offset
+      over whatever the previous frames left behind.
+
+    ``max_pixels`` bounds the logical screen BEFORE any allocation or
+    LZW walk (the same serial-codec posture as decode_image_gif);
+    ``max_frames`` stops the walk early — a frame-SAMPLING caller does
+    not need the tail of a 10k-frame banner GIF. Malformed framing
+    raises ValueError naming the defect, like every codec here."""
+    budget = MAX_PIXELS if max_pixels is None else max_pixels
+    if data[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF87a/GIF89a stream")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    if sw == 0 or sh == 0:
+        raise ValueError("GIF declares a zero-size logical screen")
+    if sw * sh > budget:
+        raise ValueError(
+            f"GIF logical screen {sw}x{sh} exceeds the {budget}-pixel "
+            "decode budget",
+        )
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
+        if gct.size != 3 * n:
+            raise ValueError("truncated GIF global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((sh, sw, 3), np.uint8)
+    if gct is not None and bg_idx < len(gct):
+        canvas[:] = gct[bg_idx]
+    background = canvas.copy()
+    frames: list[tuple[int, int, np.ndarray]] = []
+    start_ms = 0
+    transparent: int | None = None
+    disposal = 0
+    delay_ms = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF stream ended without a trailer")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:
+            label, subs, pos = _gif_read_ext(data, pos)
+            if label == 0xF9 and subs and len(subs[0]) >= 4:
+                flags = subs[0][0]
+                delay_ms = struct.unpack_from("<H", subs[0], 1)[0] * 10
+                transparent = subs[0][3] if flags & 0x01 else None
+                disposal = (flags >> 2) & 0x07
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block introducer 0x{block:02X}")
+        left, top, rows, palette, pos = _gif_read_frame(data, pos, sw, sh, gct)
+        fh, fw = rows.shape
+        pre_frame = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + fh, left : left + fw]
+        px = palette[rows]
+        if transparent is None:
+            region[:] = px
+        else:
+            mask = rows != transparent
+            region[mask] = px[mask]
+        frames.append((start_ms, delay_ms, canvas.copy()))
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+        start_ms += delay_ms
+        if disposal == 2:
+            canvas[top : top + fh, left : left + fw] = (
+                background[top : top + fh, left : left + fw]
+            )
+        elif disposal == 3 and pre_frame is not None:
+            canvas = pre_frame
+        transparent = None
+        disposal = 0
+        delay_ms = 0
+    if not frames:
+        raise ValueError("GIF trailer before any image data")
+    return frames
 
 
 def encode_image_gif(
@@ -950,6 +1073,63 @@ def encode_image_gif(
         chunk = lzw[i : i + 255]
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3B"
+    return bytes(out)
+
+
+def encode_gif_animation(
+    frames: list[dict],
+    screen_size: tuple[int, int],
+    background: tuple[int, int, int] = (0, 0, 0),
+) -> bytes:
+    """Encode a multi-frame GIF89a animation (fixture writer for
+    :func:`decode_gif_frames`, like the still-image encoder pairs). Each
+    frame dict: ``{"img": (h, w, 3) uint8, "left": int, "top": int,
+    "delay_ms": int, "disposal": 0..3, "transparent_color": rgb | None}``.
+    Every frame gets a graphic-control extension and its own LOCAL color
+    table (built from the frame's distinct colors, > 256 raises); the
+    global table holds only the background color."""
+    sw, sh = screen_size
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80, 0, 0)  # 2-entry global table
+    out += bytes(background) + b"\x00\x00\x00"
+    for fr in frames:
+        img = np.ascontiguousarray(fr["img"], dtype=np.uint8)
+        if img.ndim != 3 or img.shape[2] != 3:
+            raise ValueError("animation frames want (h, w, 3) uint8")
+        h, w = img.shape[:2]
+        left, top = int(fr.get("left", 0)), int(fr.get("top", 0))
+        if left + w > sw or top + h > sh:
+            raise ValueError("frame does not fit the logical screen")
+        colors, inverse = np.unique(
+            img.reshape(-1, 3), axis=0, return_inverse=True,
+        )
+        if len(colors) > 256:
+            raise ValueError(f"{len(colors)} distinct colors; GIF caps at 256")
+        depth = max(2, int(len(colors) - 1).bit_length())
+        table = np.zeros((1 << depth, 3), np.uint8)
+        table[: len(colors)] = colors
+        tcolor = fr.get("transparent_color")
+        tflag, tidx = 0, 0
+        if tcolor is not None:
+            match = np.where((colors == np.array(tcolor)).all(axis=1))[0]
+            if match.size == 0:
+                raise ValueError("transparent_color is not in the frame")
+            tflag, tidx = 1, int(match[0])
+        delay_cs = int(fr.get("delay_ms", 0)) // 10
+        flags = ((int(fr.get("disposal", 0)) & 0x07) << 2) | tflag
+        out += bytes([0x21, 0xF9, 4, flags])
+        out += struct.pack("<H", delay_cs) + bytes([tidx, 0])
+        out += b"\x2C" + struct.pack(
+            "<HHHHB", left, top, w, h, 0x80 | (depth - 1),
+        )
+        out += table.tobytes()
+        out += bytes([depth])
+        lzw = _gif_lzw_encode(inverse.astype(np.uint8).tobytes(), depth)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
     return bytes(out)
 
 
@@ -1188,6 +1368,76 @@ def resize_images(
 
     return df.select(id_column, payload_column).mapInPandas(
         _resize_batches, schema=RESIZED_SCHEMA,
+    )
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_index", IntegerType(), False),
+    StructField("frame_ms", LongType(), False),
+    StructField("delay_ms", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("mean", DoubleType(), False),
+    StructField("std", DoubleType(), False),
+    StructField("min", DoubleType(), False),
+    StructField("max", DoubleType(), False),
+])
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_column: str = "payload",
+    id_column: str = "media_id",
+    max_frames: int | None = None,
+) -> DataFrame:
+    """Decode the frame TIMELINE of animated media payloads — the decode
+    half of video frame sampling, pairing :func:`frame_sample_plan`'s
+    pure-expression timestamp grid. One output row per decoded frame
+    (FRAME_SCHEMA): the frame's start timestamp and display delay from
+    the container's own timing metadata, the composed canvas dimensions,
+    and its normalized pixel statistics (/255, the same contract as
+    :func:`decode_payload`'s image stats).
+
+    Today's container is animated GIF via :func:`decode_gif_frames`
+    (full compositing: disposal, transparency, per-frame delays); an
+    MP4/MJPEG demuxer drops into the same per-payload seam without
+    touching the distributed plan. Payloads that are not animated media
+    or fail to decode contribute NO frame rows — a still image has no
+    timeline; route it through :func:`extract_features` instead.
+
+    Same distribution shape as extract_features: ``mapInPandas``, Arrow
+    batches stream partition-locally, no shuffle, no driver collect; the
+    serial LZW walk runs under FEATURIZER_MAX_PIXELS per screen and
+    ``max_frames`` bounds the walk per payload."""
+    import pandas as pd
+
+    def _frame_batches(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_column], pdf[payload_column]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                if b[:6] not in GIF_SIGS:
+                    continue
+                try:
+                    decoded = decode_gif_frames(
+                        b, max_pixels=FEATURIZER_MAX_PIXELS,
+                        max_frames=max_frames,
+                    )
+                except _DECODE_ERRORS:
+                    continue  # one corrupt payload must not kill the batch
+                for i, (start_ms, delay_ms, canvas) in enumerate(decoded):
+                    h, w = canvas.shape[:2]
+                    rows.append((
+                        mid, i, start_ms, delay_ms, w, h,
+                        *_norm_stats(canvas, 255.0),
+                    ))
+            yield pd.DataFrame(rows, columns=FRAME_SCHEMA.fieldNames())
+
+    return df.select(id_column, payload_column).mapInPandas(
+        _frame_batches, schema=FRAME_SCHEMA,
     )
 
 
@@ -1473,6 +1723,91 @@ def synthesize_gif_media_from_text(
         F.when(F.col(text_column).isNotNull(), F.lit(n)).cast("int").alias("width"),
         F.when(F.col(text_column).isNotNull(), F.lit(1)).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
+def animated_gif_fixture_n_bytes(
+    width: int, height: int, frames: int,
+) -> int:
+    """Closed-form payload size of
+    :func:`synthesize_animated_gif_media_from_text`: header + screen
+    descriptor + 256-entry grayscale table + per frame (GCE + image
+    descriptor + min-code + sub-block) + trailer."""
+    n = width * height * 3
+    lzw_len = (9 * len(_gif_fixture_codes(n)) + 7) // 8
+    return 6 + 7 + 768 + frames * (8 + 10 + 1 + 1 + lzw_len + 1) + 1
+
+
+def synthesize_animated_gif_media_from_text(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    width: int = 4,
+    height: int = 2,
+    frames: int = 3,
+) -> DataFrame:
+    """Multi-frame twin of :func:`synthesize_gif_media_from_text`: a
+    valid ANIMATED GIF89a built entirely in plan expressions. Each of
+    ``frames`` full-screen grayscale strips carries the md5-cycled
+    samples rotated by its frame index (frame f pixel j = digest byte
+    (j + f) mod 16) behind a graphic-control extension declaring a
+    (2 + f)-centisecond delay with disposal 0 and no transparency — so
+    the decoded timeline has closed-form start times (start_f =
+    Σ_{g<f} (2+g)·10 ms) and per-frame pixel statistics any md5-capable
+    engine can regenerate, which is what puts decode_gif_frames'
+    compositing walk on the cross-engine oracle gate. NULL text maps to
+    a NULL payload."""
+    n = width * height * 3
+    codes = _gif_fixture_codes(n)
+    lzw_len = (9 * len(codes) + 7) // 8
+    if lzw_len > 255:
+        raise ValueError("fixture LZW stream exceeds one GIF sub-block")
+    hexd = F.md5(F.col(text_column))
+
+    def sample(j: int):
+        return F.conv(
+            F.substring(hexd, (j % 16) * 2 + 1, 2), 16, 10,
+        ).cast("long")
+
+    gct = bytes(b for v in range(256) for b in (v, v, v))
+    parts = [F.lit(
+        b"GIF89a" + struct.pack("<HHBBB", n, 1, 0xF7, 0, 0) + gct,
+    )]
+    for f in range(frames):
+        def code_col(k: int, f: int = f):
+            if k >= len(codes):
+                return F.lit(0).cast("long")  # zero pad bits after EOI
+            c = codes[k]
+            if isinstance(c, int):
+                return F.lit(c).cast("long")
+            return sample((c[1] + f) % 16)
+
+        byte_hex = []
+        for i in range(lzw_len):
+            k1, s = divmod(8 * i, 9)  # LSB-first: byte i holds bits [8i, 8i+8)
+            b = (F.shiftright(code_col(k1), s)
+                 + F.shiftleft(code_col(k1 + 1), 9 - s)).bitwiseAND(F.lit(255))
+            byte_hex.append(F.lpad(F.hex(b), 2, "0"))
+        head = (
+            bytes([0x21, 0xF9, 4, 0x00]) + struct.pack("<H", 2 + f)
+            + bytes([0, 0])
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, n, 1, 0)
+            + bytes([8, lzw_len])
+        )
+        parts += [F.lit(head), F.unhex(F.concat(*byte_hex)), F.lit(b"\x00")]
+    parts.append(F.lit(b"\x3B"))
+    payload = F.when(F.col(text_column).isNotNull(), F.concat(*parts))
+    return df.select(
+        F.col(id_column).cast("long").alias("media_id"),
+        payload.alias("payload"),
+        F.when(F.col(text_column).isNotNull(),
+               F.lit("image/gif")).alias("mime"),
+        F.when(F.col(text_column).isNotNull(), F.lit(n)).cast("int").alias("width"),
+        F.when(F.col(text_column).isNotNull(), F.lit(1)).cast("int").alias("height"),
+        F.when(
+            F.col(text_column).isNotNull(),
+            F.lit(sum((2 + f) * 10 for f in range(frames))),
+        ).cast("int").alias("duration_ms"),
     )
 
 

@@ -1374,6 +1374,124 @@ def test_gif_refusals_degrade_to_byte_stats():
     assert decode_payload(good, 8)[0] == 1.0
 
 
+def test_gif_animation_timeline_and_compositing():
+    """decode_gif_frames walks the WHOLE animation with GIF89a §23
+    semantics: cumulative start times from GCE delays, transparency
+    showing the previous canvas through, disposal 2 restoring the frame
+    rect to background and disposal 3 restoring the pre-frame canvas;
+    single-frame output equals decode_image_gif's RGB composition."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.multimodal import (
+        decode_gif_frames, decode_image_gif, encode_gif_animation,
+        encode_image_gif,
+    )
+
+    f0 = np.full((4, 6, 3), 10, np.uint8)
+    f1 = np.full((2, 3, 3), 200, np.uint8)
+    f1[0, 0] = (1, 2, 3)
+    f2 = np.full((4, 6, 3), 77, np.uint8)
+    data = encode_gif_animation([
+        dict(img=f0, delay_ms=20),
+        dict(img=f1, left=2, top=1, delay_ms=30, disposal=2,
+             transparent_color=(1, 2, 3)),
+        dict(img=f2, delay_ms=40, disposal=1),
+    ], screen_size=(6, 4), background=(9, 9, 9))
+    frames = decode_gif_frames(data)
+    assert [f[0] for f in frames] == [0, 20, 50]      # cumulative starts
+    assert [f[1] for f in frames] == [20, 30, 40]     # per-frame delays
+    c0, c1, c2 = (f[2] for f in frames)
+    assert (c0 == 10).all()
+    # transparent pixel shows frame 0's canvas; opaque pixels paint over
+    assert (c1[1, 2] == 10).all() and (c1[1, 3] == 200).all()
+    assert (c1[0, 0] == 10).all()
+    assert (c2 == 77).all()
+
+    # disposal 2: the SMALL third frame leaves the restored-to-background
+    # rectangle visible where frame 1 had painted
+    small = np.full((1, 1, 3), 55, np.uint8)
+    fr = decode_gif_frames(encode_gif_animation([
+        dict(img=f0, delay_ms=10),
+        dict(img=f1, left=2, top=1, delay_ms=10, disposal=2),
+        dict(img=small, delay_ms=10),
+    ], screen_size=(6, 4), background=(9, 9, 9)))
+    c = fr[2][2]
+    assert (c[1, 2] == 9).all() and (c[0, 0] == 55).all() \
+        and (c[3, 0] == 10).all()
+
+    # disposal 3: frame 1's full-screen paint is reverted before frame 2
+    fr = decode_gif_frames(encode_gif_animation([
+        dict(img=f0, delay_ms=10),
+        dict(img=f1, left=0, top=0, delay_ms=10, disposal=3),
+        dict(img=small, left=5, top=3, delay_ms=10),
+    ], screen_size=(6, 4)))
+    c = fr[2][2]
+    assert (c[0, 0] == 10).all() and (c[3, 5] == 55).all()
+
+    # single still frame: parity with decode_image_gif, and max_frames
+    img = (np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3) * 3) % 251
+    one = decode_gif_frames(encode_image_gif(img))
+    assert len(one) == 1
+    np.testing.assert_array_equal(
+        one[0][2], decode_image_gif(encode_image_gif(img)),
+    )
+    assert len(decode_gif_frames(data, max_frames=2)) == 2
+
+
+def test_sample_frames_operator(spark):
+    """sample_frames: one row per decoded frame with container timing and
+    canvas stats; non-GIF, NULL, and corrupt payloads contribute no rows
+    (and must not kill the batch); the expression-built animated fixture
+    matches its closed-form timeline, byte size, and driver replica."""
+    import hashlib
+
+    import numpy as np
+
+    from sed_binning_spark.pipeline.multimodal import (
+        animated_gif_fixture_n_bytes,
+        decode_gif_frames,
+        encode_gif_animation,
+        sample_frames,
+        synthesize_animated_gif_media_from_text,
+    )
+
+    a = np.full((2, 3, 3), 10, np.uint8)
+    b = np.full((2, 3, 3), 40, np.uint8)
+    anim = encode_gif_animation(
+        [dict(img=a, delay_ms=20), dict(img=b, delay_ms=50)],
+        screen_size=(3, 2),
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(anim)), (2, bytearray(b"P6\n1 1\n255\nabc")),
+         (3, None), (4, bytearray(anim[: len(anim) // 2]))],
+        "media_id long, payload binary",
+    )
+    rows = {(r["media_id"], r["frame_index"]): r
+            for r in sample_frames(media).collect()}
+    assert set(rows) == {(1, 0), (1, 1)}
+    assert rows[(1, 0)]["frame_ms"] == 0 and rows[(1, 1)]["frame_ms"] == 20
+    assert rows[(1, 1)]["delay_ms"] == 50
+    assert rows[(1, 0)]["mean"] == 10 / 255 and rows[(1, 1)]["mean"] == 40 / 255
+    assert rows[(1, 0)]["width"] == 3 and rows[(1, 0)]["height"] == 2
+
+    docs = spark.createDataFrame(
+        [(7, "some document text"), (8, None)], "doc_id long, text string",
+    )
+    fixture = synthesize_animated_gif_media_from_text(docs, frames=3)
+    got = {r["media_id"]: r for r in fixture.collect()}
+    assert got[8]["payload"] is None and got[8]["duration_ms"] is None
+    payload = bytes(got[7]["payload"])
+    assert len(payload) == animated_gif_fixture_n_bytes(4, 2, 3)
+    assert got[7]["duration_ms"] == 90
+    decoded = decode_gif_frames(payload)
+    dig = hashlib.md5(b"some document text").digest()
+    for f, (start_ms, delay_ms, canvas) in enumerate(decoded):
+        assert (start_ms, delay_ms) == (5 * f * (f + 3), (2 + f) * 10)
+        expect = np.array([dig[(j + f) % 16] for j in range(24)], np.uint8)
+        np.testing.assert_array_equal(canvas[0, :, 0], expect)
+        assert (canvas == canvas[..., :1]).all()  # grayscale triplication
+
+
 def test_gif_animation_first_frame_only():
     """Multi-frame GIFs decode their first frame; trailing frames and
     inter-frame extensions are ignored by design."""
