@@ -229,10 +229,12 @@ def _ref_scale_block(spark, n: int) -> dict:
       (C2 replaces it only after enough invocations — the r7 binning_1d
       series 3.10, 3.35, 2.32, 1.64, 1.08, 1.08 is tier-up, not noise);
     - then adaptive measurement until the three fastest measured runs
-      agree within 30% (or 8 measured runs), reporting the MEDIAN of that
-      fastest cluster — unlike the raw minimum, the cluster median is an
-      order statistic whose round-over-round variance is bounded by the
-      cluster width, so a regression in BENCH_r{N} vs r{N-1} is signal.
+      agree within 30% (capped at 20 measured runs — rounds 9/10 showed
+      8 was not enough for this host's noise tails), reporting the
+      MEDIAN of that fastest cluster — unlike the raw minimum, the
+      cluster median is an order statistic whose round-over-round
+      variance is bounded by the cluster width, so a regression in
+      BENCH_r{N} vs r{N-1} is signal.
 
     BASELINE.md targets: binning_1d 3.02 s, binning_4d 9.21 s,
     workflow_1d 17.06 s, workflow_4d 21.42 s at 1e8 rows. Emitted keys:
@@ -272,16 +274,17 @@ def _ref_scale_block(spark, n: int) -> dict:
     converged = {}
     phases = {}
 
-    def _best_of(name, fn, max_runs=8):
+    def _best_of(name, fn, max_runs=20):
         binning_mod.LAST_RUN_INFO.clear()  # don't attribute stale phases
         # two discarded warm-ups (codegen compile + C2 tier-up; see
         # docstring), then measure until the 3 fastest agree within 30%
         # or max_runs measured runs; report the median of the fastest
-        # cluster. max_runs=8 for the Spark queries (each run is seconds
-        # of cluster work); cheap driver-side queries pass a higher cap —
-        # with more samples the 3 fastest cluster tightly even on a
-        # contended host (r9's inv_dfield spread 3.4-12.3 s over 8 runs
-        # never converged; the fix is more samples, not a wider gate).
+        # cluster. max_runs=20 for EVERY query since round 11: r9's
+        # inv_dfield (spread 3.4-12.3 s over 8 runs) and r10's binning_4d
+        # (3.07-6.41 s) both failed to converge under the old 8-run cap
+        # on this contended host — the fix is more samples, not a wider
+        # gate, and the loop exits at the first converged cluster so a
+        # quiet host still pays only 3 measured runs.
         warmups[name] = [round(_run(fn), 3) for _ in range(2)]
         series = [_run(fn) for _ in range(3)]
         while len(series) < max_runs:
@@ -329,7 +332,7 @@ def _ref_scale_block(spark, n: int) -> dict:
     _best_of("inv_dfield", lambda: generate_inverse_dfield(
         fr, fc, bin_ranges=((0, 512), (0, 512)),
         detector_ranges=((0, 2048), (0, 2048)),
-    ), max_runs=20)
+    ))
 
     ev.unpersist()
     return {

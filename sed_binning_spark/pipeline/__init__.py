@@ -76,9 +76,13 @@ from sed_binning_spark.pipeline.similarity import (
 )
 from sed_binning_spark.pipeline.bpe import bpe_encode, bpe_train, bpe_vocab
 from sed_binning_spark.pipeline.multimodal import (
+    decode_gif_frames,
+    encode_gif_animation,
     extract_features,
     frame_sample_plan,
     resize_images,
+    sample_frames,
+    synthesize_animated_gif_media_from_text,
     synthesize_ppm_media_from_text,
 )
 from sed_binning_spark.pipeline.sample import (
@@ -105,6 +109,7 @@ from sed_binning_spark.pipeline.lm import (
     unigram_model,
 )
 from sed_binning_spark.pipeline.similarity import (
+    ivf_pq_topk,
     ivf_topk,
     ivf_train_centroids,
     pca_apply,
@@ -165,6 +170,7 @@ __all__ = [
     "lsh_bucket_pairs",
     "ivf_train_centroids",
     "ivf_topk",
+    "ivf_pq_topk",
     "pca_fit",
     "pca_apply",
     "pq_train",
@@ -209,5 +215,9 @@ __all__ = [
     "extract_features",
     "resize_images",
     "frame_sample_plan",
+    "sample_frames",
+    "decode_gif_frames",
+    "encode_gif_animation",
+    "synthesize_animated_gif_media_from_text",
     "synthesize_ppm_media_from_text",
 ]

@@ -779,12 +779,69 @@ def pq_topk(
         return pd.Series(vals)
 
     _score.__annotations__ = {"code": pd.Series, "return": pd.Series}
-    scored = df.withColumn(
+    # gate invalid rows on the INPUT column, not the UDF output: a filter
+    # on the computed score gets the UDF expression substituted into it,
+    # so Catalyst would evaluate the scorer TWICE per row (caught by the
+    # ivf_pq plan pin); a plain code-column predicate instead pushes all
+    # the way into the scan
+    scored = df.where(
+        F.col(code_column).isNotNull() & (F.size(code_column) == m),
+    ).withColumn(
         output_column, pandas_udf(_score, "double")(F.col(code_column)),
     )
     return (
-        scored.where(F.col(output_column).isNotNull())
-        .select(id_column, output_column)
+        scored.select(id_column, output_column)
         .orderBy(F.col(output_column).asc(), F.col(id_column).asc())
         .limit(int(k))
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    centroids: np.ndarray,
+    model: dict,
+    query: Sequence[float],
+    k: int = 10,
+    n_probes: int = 4,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    list_column: str = "ivf_list",
+    code_column: str = "pq_code",
+) -> DataFrame:
+    """The production 100 TB ANN composition: IVF routing × PQ scoring.
+    The query picks the ``n_probes`` nearest-centroid lists (driver-side,
+    the :func:`ivf_topk` rule); only rows in those lists are scored, and
+    the scoring reads PQ CODES through :func:`pq_topk`'s asymmetric
+    distance table — m byte-lookups per candidate, no float vector
+    touched at query time.
+
+    If ``list_column`` / ``code_column`` are already on ``df`` (the
+    persisted layout: corpus partitioned by list, codes materialized,
+    vectors in cold storage) the assignment/encode UDFs are skipped
+    entirely — the probe filter is then a plain column predicate that
+    prunes partitions before any Python runs, so a 1-of-1000-lists probe
+    reads ~0.1% of the corpus. Recall follows IVF's probe coverage
+    degraded by PQ resolution; take a wider ``k`` and exact-re-rank the
+    survivors against their float vectors when that matters (the
+    :func:`pq_topk` contract).
+
+    Metric note: PQ distances are L2 (:func:`pq_topk`), while IVF
+    routing is direction-based — for COSINE semantics, L2-normalize the
+    corpus before :func:`pq_encode` (and train the codebooks on the
+    normalized vectors): on unit vectors L2 order is exactly reversed
+    cosine order, so the composition ranks identically to
+    :func:`cosine_topk`. Skipping the normalization silently mixes
+    magnitude into the ranking."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(cent @ qn))[: int(n_probes)].tolist()
+    if list_column not in df.columns:
+        df = ivf_assign(df, cent, embedding_column, list_column)
+    if code_column not in df.columns:
+        df = pq_encode(df, model, embedding_column, code_column)
+    probed = df.where(F.col(list_column).isin(probes))
+    return pq_topk(
+        probed, model, query, k=k,
+        code_column=code_column, id_column=id_column,
     )

@@ -1055,6 +1055,86 @@ def test_ann_ivf_low_probe_recall_on_clustered_data(spark):
         assert recall >= floor, (n_probes, recall)
 
 
+def test_ivf_pq_composition_recall_and_plan(spark):
+    """ivf_pq_topk — the production IVF routing × PQ scoring composition —
+    on the clustered fixture under the documented COSINE posture (corpus
+    L2-normalized before encoding, so PQ's L2 order is exactly reversed
+    cosine order): probing 2 of 8 lists with byte codes must still
+    recover >= 0.9 of the exact top-10 (a wider k=50 re-rank pool, the
+    documented PQ-resolution posture). Plan pin: with the list and code
+    columns PRECOMPUTED, the probe is a plain column predicate — the
+    physical plan contains exactly ONE Python stage (the pq_topk scorer)
+    and the ivf_list filter sits below it, so a 1-of-N probe never
+    scores the unprobed corpus."""
+    from sed_binning_spark.pipeline.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_pq_topk,
+        ivf_train_centroids,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(1234)
+    dim, per = 16, 250
+    centers = rng.normal(size=(8, dim)) * 4.0
+    rows = []
+    for b, c in enumerate(centers):
+        pts = c + rng.normal(size=(per, dim)) * 0.3
+        pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+        rows += [(b * per + i, pts[i].tolist()) for i in range(per)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = ivf_train_centroids(df, n_lists=8, sample_size=1024, seed=5)
+    model = pq_train(df, m=4, codes=16, sample_size=1024, seed=5)
+    qv = centers[3] + rng.normal(size=dim) * 0.1
+    q = (qv / np.linalg.norm(qv)).tolist()
+    brute = cosine_topk(df, q, k=10).toPandas()
+
+    # the persisted layout: list + code columns materialized up front
+    stored = pq_encode(ivf_assign(df, cents), model).cache()
+
+    # composition exactness: probing EVERY list must reproduce the
+    # full-corpus PQ ranking row-for-row (same distances, same vec_id
+    # tie-break) — the routing/filter machinery adds nothing and loses
+    # nothing at full probe
+    full_probe = ivf_pq_topk(stored, cents, model, q, k=50, n_probes=8)
+    full_pq = pq_topk(stored, model, q, k=50)
+    assert [tuple(r) for r in full_probe.collect()] \
+        == [tuple(r) for r in full_pq.collect()]
+
+    # low-probe recall, the documented posture: a 16-code codebook cannot
+    # separate points INSIDE one tight blob (they share a code and tie on
+    # vec_id), so take a candidate pool wide enough to hold the tie class
+    # and exact-re-rank the survivors' float vectors — the pool is cheap
+    # (byte lookups over ~2/8 of the corpus), the re-rank touches only
+    # pool-sized data
+    cand = ivf_pq_topk(stored, cents, model, q, k=250, n_probes=2) \
+        .select("vec_id")
+    rerank = cosine_topk(df.join(cand, "vec_id"), q, k=10).toPandas()
+    recall = len(set(rerank.vec_id) & set(brute.vec_id)) / 10
+    assert recall >= 0.9, recall
+
+    plan = ivf_pq_topk(
+        stored, cents, model, q, k=50, n_probes=2,
+    )._jdf.queryExecution().executedPlan().toString()
+    # only the query-time subtree counts: the cached corpus's own build
+    # plan (assign+encode, below InMemoryRelation) prints nested in it
+    query_plan = plan.split("InMemoryRelation")[0]
+    assert query_plan.count("ArrowEvalPython") \
+        + query_plan.count("BatchEvalPython") == 1, plan
+    # the probe predicate is pushed INTO the cached-relation scan, below
+    # the single scoring UDF stage (plan trees print top-down)
+    scan_at = query_plan.index("InMemoryTableScan")
+    assert "ivf_list" in query_plan[scan_at:], plan
+    udf_at = query_plan.index("ArrowEvalPython") \
+        if "ArrowEvalPython" in query_plan \
+        else query_plan.index("BatchEvalPython")
+    assert udf_at < scan_at, plan
+    stored.unpersist()
+
+
 def test_jpeg_progressive_exact_parity_with_baseline():
     """Progressive (SOF2) and baseline encodings of the same image at the
     same quality carry IDENTICAL quantized coefficients, so their decodes
