@@ -130,11 +130,23 @@ def split_http_response(payload: bytes) -> tuple[int | None, dict, bytes]:
     reassembled; gzip/deflate content-encoding is decompressed (falling
     back to the raw bytes if the stream is broken — a crawl keeps the
     evidence rather than dropping the page). Payloads that are not HTTP
-    at all return (None, {}, payload)."""
-    head, sep, body = payload.partition(b"\r\n\r\n")
-    if not sep or not head.startswith(b"HTTP/"):
+    at all return (None, {}, payload).
+
+    Header framing tolerates the bare-LF servers real crawls contain
+    (RFC 9112 §2.2 recommends recipients accept LF alone): the head/body
+    split is the FIRST of CRLFCRLF or LFLF, and header lines split on
+    either ending."""
+    crlf_at = payload.find(b"\r\n\r\n")
+    lf_at = payload.find(b"\n\n")
+    if crlf_at != -1 and (lf_at == -1 or crlf_at + 1 <= lf_at):
+        head, body = payload[:crlf_at], payload[crlf_at + 4:]
+    elif lf_at != -1:
+        head, body = payload[:lf_at], payload[lf_at + 2:]
+    else:
         return None, {}, payload
-    lines = head.split(b"\r\n")
+    if not head.startswith(b"HTTP/"):
+        return None, {}, payload
+    lines = [ln.rstrip(b"\r") for ln in head.split(b"\n")]
     parts = lines[0].split(None, 2)
     try:
         status = int(parts[1])
@@ -221,7 +233,13 @@ def read_warc(
     ``batch_rows``-sized Arrow batches, so peak memory is one batch of
     bodies, not the archive. Paths must be executor-visible (posix
     mount; an object-store deployment swaps ``open_warc`` for its
-    client without touching the plan)."""
+    client without touching the plan).
+
+    Robustness posture: a framing defect mid-archive (truncated gzip
+    member, lying WARC Content-Length, non-WARC bytes between records)
+    ends that FILE's walk and keeps its prior records — the job never
+    aborts on one bad shard. ``iter_warc_records`` itself still raises
+    the typed ValueError for callers that want the defect."""
     if not paths:
         raise ValueError("read_warc needs at least one path")
     # one path per RDD slice, GUARANTEED: parallelize with numSlices =
@@ -241,10 +259,25 @@ def read_warc(
             for path in chunk["path"]:
                 rows = []
                 with open_warc(path) as f:
-                    for i, (headers, payload) in enumerate(
-                        iter_warc_records(f),
-                    ):
+                    # a framing defect mid-archive (truncated gzip member,
+                    # lying WARC Content-Length, garbage between records)
+                    # ends THIS file's walk but keeps every record parsed
+                    # before it — real crawl shards contain truncated
+                    # tails, and one bad archive must not abort a
+                    # 1000-file job. (Per-record gzip members share one
+                    # decompression stream, so there is no sound resync
+                    # point past a corrupt member.)
+                    records = iter_warc_records(f)
+                    i = 0
+                    while True:
+                        try:
+                            headers, payload = next(records)
+                        except StopIteration:
+                            break
+                        except (ValueError, EOFError, OSError, zlib.error):
+                            break
                         rows.append(_record_row(path, i, headers, payload))
+                        i += 1
                         if len(rows) >= batch_rows:
                             yield pd.DataFrame(
                                 rows, columns=WARC_SCHEMA.fieldNames(),

@@ -271,3 +271,96 @@ def test_warc_roundtrip_property():
             assert status == 200 and out == body
 
     _prop()
+
+
+def test_warc_dirty_corpus_matrix(spark, tmp_path):
+    """The defect classes a real Common Crawl segment contains, each
+    degrading per the documented posture — never aborting the job:
+
+    - truncated gzip member mid-record → read_warc keeps the file's
+      prior records and stops that file;
+    - WARC Content-Length LYING long (past EOF) → same stop-and-keep;
+    - WARC Content-Length lying short (garbage between records) → same;
+    - HTTP headers with bare-LF line endings → parsed (RFC 9112 §2.2
+      recipients-should-accept posture), page survives;
+    - HTTP Content-Length header lies → harmless, the WARC record
+      bounds the payload, the full body survives;
+    - charset declaration contradicting the bytes → UTF-8-with-
+      replacement decode keeps the page, never raises."""
+    import pandas as pd
+
+    def good(i, body=b"<p>page %d fine.</p>"):
+        return dict(type="response", url=f"http://ok{i}.example/x",
+                    payload=http_response(body % i))
+
+    # 1. truncated gzip member mid-record: file A has 2 good records,
+    # then a third whose gzip member is cut in half
+    pa = tmp_path / "a.warc.gz"
+    write_warc(str(pa), [good(0), good(1)], compress=True)
+    extra = tmp_path / "extra.warc.gz"
+    write_warc(str(extra), [good(2)], compress=True)
+    cut = extra.read_bytes()
+    pa.write_bytes(pa.read_bytes() + cut[: len(cut) // 2])
+
+    # 2. WARC Content-Length lying LONG on the SECOND record (its body
+    # length is unique, so the replace targets it): record 3 survives,
+    # the lie reads past EOF and stops the file
+    pb = tmp_path / "b.warc"
+    liar = dict(type="response", url="http://liar.example/x",
+                payload=http_response(b"<p>this one lies about length.</p>"))
+    write_warc(str(pb), [good(3), liar], compress=False)
+    raw = pb.read_bytes()
+    lied = raw.replace(
+        b"Content-Length: %d" % len(liar["payload"]),
+        b"Content-Length: %d" % (len(liar["payload"]) * 10), 1,
+    )
+    assert lied != raw
+    pb.write_bytes(lied)
+
+    # 3. lying SHORT: trailing garbage lands between records, the next
+    # readline is not a WARC/ version line
+    pc = tmp_path / "c.warc"
+    recs = [good(5), good(6)]
+    write_warc(str(pc), recs, compress=False)
+    raw = pc.read_bytes()
+    first_end = raw.index(b"WARC/1.0", 8)  # start of record 2
+    pc.write_bytes(raw[:first_end] + b"GARBAGE BYTES\r\n" + raw[first_end:])
+
+    got = read_warc(spark, [str(pa), str(pb), str(pc)]).toPandas()
+    by_file = got.groupby(
+        got["path"].str.rsplit("/", n=1).str[-1],
+    ).size().to_dict()
+    # a: both records before the truncated member; b: the record before
+    # the length lie; c: the record before the inter-record garbage
+    assert by_file == {"a.warc.gz": 2, "b.warc": 1, "c.warc": 1}, by_file
+
+    # 4. bare-LF HTTP headers parse
+    lf_payload = (b"HTTP/1.1 200 OK\n"
+                  b"Content-Type: text/html; charset=utf-8\n"
+                  b"Content-Length: 21\n\n"
+                  b"<p>bare lf page.</p>\n")
+    status, headers, body = split_http_response(lf_payload)
+    assert status == 200
+    assert headers["content-type"].startswith("text/html")
+    assert body.startswith(b"<p>bare lf page.</p>")
+
+    # 5. HTTP-level Content-Length lies are harmless: the WARC record
+    # bounds the payload, so the full body is kept either way
+    lying_http = (b"HTTP/1.1 200 OK\r\n"
+                  b"Content-Type: text/html\r\n"
+                  b"Content-Length: 3\r\n\r\n"
+                  b"<p>full body kept.</p>")
+    status, _, body = split_http_response(lying_http)
+    assert status == 200 and body == b"<p>full body kept.</p>"
+
+    # 6. charset lie: declared utf-8, bytes are latin-1 — the page
+    # survives with U+FFFD where the bytes are invalid, never a raise
+    pd_path = tmp_path / "d.warc"
+    latin = "caf\xe9 r\xe9sum\xe9.".encode("latin-1")
+    write_warc(str(pd_path), [dict(
+        type="response", url="http://charset.example/x",
+        payload=http_response(b"<p>" + latin + b"</p>"),
+    )], compress=False)
+    docs = warc_to_documents(read_warc(spark, [str(pd_path)])).toPandas()
+    assert len(docs) == 1
+    assert "caf�" in docs["text"][0] and "r�sum�" in docs["text"][0]
