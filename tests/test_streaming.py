@@ -697,6 +697,87 @@ def test_dedup_substrings_stream_matches_batch_with_sink_rebuild(tmp_path, spark
     assert via_stream[3] == ("", 5)  # doc 3 fully covered by doc 1's window
 
 
+def test_dedup_substrings_stream_apply_modes_match(tmp_path, spark):
+    """The batch apply's plan and verification options work UNCHANGED on
+    a DRAINED stream winner frame, so the two surfaces cannot drift:
+    ``loser_filtered=True`` rebuilds byte-identical texts from the same
+    winners; ``strict=True`` with a manifest cut at drain time accepts
+    the legitimate cross-batch full duplicate (doc 3 rebuilds empty, no
+    raise) and still aborts when the corpus gains a document the stream
+    never saw — the exact partial-drain hazard the apply contract
+    documents."""
+    import pytest
+
+    from sed_binning_spark.pipeline.dedup import (
+        apply_substring_winners,
+        substring_winner_manifest,
+    )
+    from sed_binning_spark.streaming import dedup_substrings_stream
+
+    root = tmp_path / "subdd_modes_in"
+    root.mkdir()
+    chunk0 = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["A B C D E unique tail", "x y A B C D E z"],
+    })
+    chunk1 = pd.DataFrame({
+        "doc_id": [3, 4],
+        "text": ["A B C D E", "fresh words only here"],
+    })
+    chunk0.to_parquet(root / "chunk_0.parquet")
+    chunk1.to_parquet(root / "chunk_1.parquet")
+
+    stream = stream_events(spark, str(root), max_files_per_trigger=1)
+    q = (
+        dedup_substrings_stream(stream, window=5)
+        .writeStream.format("memory").queryName("subdd_modes")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    winners = spark.sql("SELECT * FROM subdd_modes")
+
+    batch = spark.createDataFrame(
+        pd.concat([chunk0, chunk1], ignore_index=True),
+    )
+    default_plan = {
+        r.doc_id: (r.text_dedup, r.n_removed_tokens)
+        for r in apply_substring_winners(batch, winners, window=5).collect()
+    }
+    loser_plan = {
+        r.doc_id: (r.text_dedup, r.n_removed_tokens)
+        for r in apply_substring_winners(
+            batch, winners, window=5, loser_filtered=True,
+        ).collect()
+    }
+    assert default_plan == loser_plan
+
+    # manifest cut at drain time (the winner frame is known complete for
+    # exactly this corpus): doc 3 is a true full duplicate and rebuilds
+    # empty under strict, under BOTH plans
+    manifest = substring_winner_manifest(batch, winners, window=5)
+    for lf in (False, True):
+        strict_out = {
+            r.doc_id: r.text_dedup
+            for r in apply_substring_winners(
+                batch, winners, window=5, strict=True, manifest=manifest,
+                loser_filtered=lf,
+            ).collect()
+        }
+        assert strict_out[3] == "" and strict_out == {
+            k: v[0] for k, v in default_plan.items()
+        }
+
+    # a document the stream never saw: missing manifest row -> abort
+    # instead of silently emptying it
+    grown = batch.unionByName(spark.createDataFrame(
+        pd.DataFrame({"doc_id": [5], "text": ["never reached the stream q r s t u"]}),
+    ))
+    with pytest.raises(Exception, match="manifest"):
+        apply_substring_winners(
+            grown, winners, window=5, strict=True, manifest=manifest,
+        ).collect()
+
+
 def test_extract_features_runs_on_a_structured_stream(tmp_path, spark):
     """The multimodal featurizer is a stateless mapInPandas stage, so the
     SAME plan ingests a live media stream unchanged: real codec decode
