@@ -17,12 +17,16 @@ event-scale data.
 - :mod:`~sed_binning_spark.pipeline.similarity` — brute-force cosine top-k
   (the correctness baseline), random-hyperplane LSH bucketing, IVF
   (trained coarse quantizer + probed lists), one-pass distributed
-  PCA (moment reduction + driver eigh, optional whitening), and product
+  PCA (moment reduction + driver eigh, optional whitening), product
   quantization (per-subspace codebooks, asymmetric-distance top-k) over
-  `array<float>` embedding columns
+  `array<float>` embedding columns, and their production composition
+  ``ivf_pq_topk`` (probe lists, score codes, one Python stage)
 - :mod:`~sed_binning_spark.pipeline.multimodal` — binary media columns
-  with pure-NumPy PPM/BMP/WAV codecs behind ``mapInPandas`` (plus a
-  deterministic stub for formats without a bundled decoder)
+  with pure-NumPy PPM/BMP/PNG/GIF/JPEG/WAV codecs behind ``mapInPandas``
+  (plus a deterministic stub for formats without a bundled decoder),
+  and video-style frame sampling: ``decode_gif_frames`` walks animated
+  GIF timelines with real compositing and ``sample_frames`` emits one
+  row per frame with container timing + canvas statistics
 - :mod:`~sed_binning_spark.pipeline.sample` — deterministic (hash-keyed)
   sampling, per-stratum corpus-mixing rates, leak-proof train/val/test
   split assignment — reproducible on any partition layout or engine
@@ -109,6 +113,7 @@ from sed_binning_spark.pipeline.lm import (
     unigram_model,
 )
 from sed_binning_spark.pipeline.similarity import (
+    ivf_assign,
     ivf_pq_topk,
     ivf_topk,
     ivf_train_centroids,
@@ -168,6 +173,7 @@ __all__ = [
     "cosine_topk",
     "cosine_similarity_expr",
     "lsh_bucket_pairs",
+    "ivf_assign",
     "ivf_train_centroids",
     "ivf_topk",
     "ivf_pq_topk",
