@@ -86,6 +86,7 @@ from sed_binning_spark.pipeline.multimodal import (
     frame_sample_plan,
     resize_images,
     sample_frames,
+    split_mjpeg_frames,
     synthesize_animated_gif_media_from_text,
     synthesize_ppm_media_from_text,
 )
@@ -222,6 +223,7 @@ __all__ = [
     "resize_images",
     "frame_sample_plan",
     "sample_frames",
+    "split_mjpeg_frames",
     "decode_gif_frames",
     "encode_gif_animation",
     "synthesize_animated_gif_media_from_text",

@@ -1371,6 +1371,66 @@ def resize_images(
     )
 
 
+def split_mjpeg_frames(data: bytes, max_frames: int | None = None) -> list[bytes]:
+    """Split a raw Motion-JPEG stream (back-to-back SOI..EOI images — the
+    .mjpeg / multipart-HTTP form) into its frame byte runs by WALKING the
+    marker structure, not by searching for FFD9: APPn/COM payloads may
+    embed whole JPEGs (EXIF thumbnails), so only a structural walk finds
+    the true frame ends. Inside entropy-coded data a 0xFF byte is always
+    stuffed (FF 00) or a restart marker, so the post-SOS scan for the
+    next true marker is sound per T.81 §B.1.1.5. A truncated trailing
+    frame is dropped, and a frame whose corrupted innards derail the
+    walk (a bogus marker inside entropy data reads as a huge segment
+    length) is skipped by RESYNCING to the next SOI after its start —
+    best-effort recovery, the crawl posture: the decodable frames are
+    the data."""
+    frames: list[bytes] = []
+    pos, n = 0, len(data)
+    while pos + 1 < n and (max_frames is None or len(frames) < max_frames):
+        # resync to the next SOI (streams may pad between frames)
+        while pos + 1 < n and not (data[pos] == 0xFF and data[pos + 1] == 0xD8):
+            pos += 1
+        if pos + 1 >= n:
+            break
+        start = pos
+        pos += 2
+        complete = False
+        while pos + 1 < n:
+            if data[pos] != 0xFF:
+                pos += 1  # tolerate inter-segment garbage: resync on FF
+                continue
+            marker = data[pos + 1]
+            if marker == 0xD9:  # EOI: frame complete
+                pos += 2
+                frames.append(data[start:pos])
+                complete = True
+                break
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+                pos += 2  # TEM/RSTn/SOI: standalone markers
+                continue
+            if pos + 3 >= n:
+                pos = n
+                break
+            seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+            pos += 2 + seg_len
+            if marker == 0xDA:  # SOS: entropy data until a true marker
+                while pos + 1 < n and not (
+                    data[pos] == 0xFF
+                    and data[pos + 1] != 0x00
+                    and not 0xD0 <= data[pos + 1] <= 0xD7
+                ):
+                    pos += 1
+        if not complete:
+            # the walk derailed (corrupt innards or truncated tail):
+            # resync to the next SOI after THIS frame's start — `start`
+            # strictly increases per outer iteration, so this terminates
+            pos = start + 2
+    return frames
+
+
 FRAME_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
     StructField("frame_index", IntegerType(), False),
@@ -1390,6 +1450,7 @@ def sample_frames(
     payload_column: str = "payload",
     id_column: str = "media_id",
     max_frames: int | None = None,
+    mjpeg_frame_ms: int = 0,
 ) -> DataFrame:
     """Decode the frame TIMELINE of animated media payloads — the decode
     half of video frame sampling, pairing :func:`frame_sample_plan`'s
@@ -1399,18 +1460,40 @@ def sample_frames(
     and its normalized pixel statistics (/255, the same contract as
     :func:`decode_payload`'s image stats).
 
-    Today's container is animated GIF via :func:`decode_gif_frames`
-    (full compositing: disposal, transparency, per-frame delays); an
-    MP4/MJPEG demuxer drops into the same per-payload seam without
-    touching the distributed plan. Payloads that are not animated media
-    or fail to decode contribute NO frame rows — a still image has no
-    timeline; route it through :func:`extract_features` instead.
+    Containers: animated GIF via :func:`decode_gif_frames` (full
+    compositing: disposal, transparency, per-frame delays from the
+    container) and raw Motion-JPEG via :func:`split_mjpeg_frames` + the
+    JPEG codec (MJPEG carries NO timing — ``mjpeg_frame_ms`` is the
+    caller-declared frame interval, 0 when unknown; a corrupt frame
+    mid-stream is skipped, the rest of the stream survives). An MP4
+    demuxer drops into the same per-payload seam without touching the
+    distributed plan. Payloads that are not animated media or fail to
+    decode contribute NO frame rows — a still image has no timeline;
+    route it through :func:`extract_features` instead.
 
     Same distribution shape as extract_features: ``mapInPandas``, Arrow
     batches stream partition-locally, no shuffle, no driver collect; the
-    serial LZW walk runs under FEATURIZER_MAX_PIXELS per screen and
-    ``max_frames`` bounds the walk per payload."""
+    serial LZW/Huffman walks run under FEATURIZER_MAX_PIXELS per frame
+    and ``max_frames`` bounds the walk per payload."""
     import pandas as pd
+
+    def _decode_timeline(b: bytes):
+        if b[:6] in GIF_SIGS:
+            return decode_gif_frames(
+                b, max_pixels=FEATURIZER_MAX_PIXELS, max_frames=max_frames,
+            )
+        if b[:3] == b"\xff\xd8\xff":
+            from sed_binning_spark.pipeline.jpeg import decode_image_jpeg
+
+            out = []
+            for i, fb in enumerate(split_mjpeg_frames(b, max_frames)):
+                try:
+                    img = decode_image_jpeg(fb, max_pixels=FEATURIZER_MAX_PIXELS)
+                except _DECODE_ERRORS:
+                    continue  # skip the corrupt frame, keep the stream
+                out.append((i * mjpeg_frame_ms, mjpeg_frame_ms, img))
+            return out
+        return []
 
     def _frame_batches(batches):
         for pdf in batches:
@@ -1418,14 +1501,8 @@ def sample_frames(
             for mid, payload in zip(pdf[id_column], pdf[payload_column]):
                 if payload is None:
                     continue
-                b = bytes(payload)
-                if b[:6] not in GIF_SIGS:
-                    continue
                 try:
-                    decoded = decode_gif_frames(
-                        b, max_pixels=FEATURIZER_MAX_PIXELS,
-                        max_frames=max_frames,
-                    )
+                    decoded = _decode_timeline(bytes(payload))
                 except _DECODE_ERRORS:
                     continue  # one corrupt payload must not kill the batch
                 for i, (start_ms, delay_ms, canvas) in enumerate(decoded):

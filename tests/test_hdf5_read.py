@@ -983,7 +983,19 @@ def test_golden_latest_format_fixture():
     values, and the writer must keep REPRODUCING it byte-for-byte — so
     any accidental layout drift in either side of the pair shows up as
     a diff against bytes committed when the structures were written
-    from the spec, not just as a self-consistent round-trip."""
+    from the spec, not just as a self-consistent round-trip.
+
+    KNOWN LIMIT (round-10 advisor finding): this golden file was written
+    by the sibling H5Writer, so a spec misreading SHARED by reader and
+    writer (e.g. a swapped field order) would round-trip cleanly here and
+    only surface as an UnsupportedHDF5 raise on real libhdf5 output. The
+    three REAL instrument fixtures under /root/reference/tests/data cover
+    the libhdf5 1.8-era structures; the post-1.8 paths (dense storage,
+    v4 chunk indexes) still need one h5py/libhdf5-written fixture — h5py
+    is not installed in this environment, so generate it offline with
+    ``h5py.File(..., libver='latest')`` mirroring _build_golden() and add
+    it beside this file; the existing checksum/back-pointer guards make a
+    mismatch raise rather than misread in the meantime."""
     import hashlib
 
     from sed_binning_spark.io.hdf5_read import H5File

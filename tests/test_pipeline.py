@@ -1572,6 +1572,51 @@ def test_sample_frames_operator(spark):
         assert (canvas == canvas[..., :1]).all()  # grayscale triplication
 
 
+def test_mjpeg_frame_split_and_sampling(spark):
+    """Raw Motion-JPEG: split_mjpeg_frames walks the marker STRUCTURE —
+    an APP4 segment embedding a whole JPEG (the EXIF-thumbnail shape
+    that defeats naive FFD9 search) does not end the frame early — and
+    sample_frames decodes each frame independently: a corrupt middle
+    frame is skipped while the rest of the stream survives, with the
+    caller-declared frame interval as the timeline."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.jpeg import encode_image_jpeg
+    from sed_binning_spark.pipeline.multimodal import (
+        sample_frames, split_mjpeg_frames,
+    )
+
+    imgs = [np.full((16, 16, 3), v, np.uint8) for v in (30, 120, 210)]
+    frames = [encode_image_jpeg(im) for im in imgs]
+    # embed a whole tiny JPEG inside an APP4 segment of frame 0 — a
+    # naive FFD9 scan would cut frame 0 at the thumbnail's EOI
+    thumb = encode_image_jpeg(np.full((8, 8, 3), 7, np.uint8))
+    app4 = b"\xff\xe4" + (len(thumb) + 2).to_bytes(2, "big") + thumb
+    f0 = frames[0][:2] + app4 + frames[0][2:]
+    stream = f0 + frames[1] + frames[2]
+
+    got = split_mjpeg_frames(stream)
+    assert len(got) == 3
+    assert got[0] == f0 and got[1] == frames[1] and got[2] == frames[2]
+    assert split_mjpeg_frames(stream, max_frames=2) == got[:2]
+    # truncated tail frame drops; complete prefix survives
+    assert len(split_mjpeg_frames(stream[:-10])) == 2
+
+    # corrupt frame 1's entropy data (flip bits mid-scan, keeping the
+    # framing): its decode fails, frames 0 and 2 still sample
+    c1 = bytearray(frames[1])
+    sos = bytes(c1).index(b"\xff\xda")
+    c1[sos + 20 : sos + 24] = b"\xff\xc7\xff\xc7"  # invalid marker run
+    corrupt_stream = f0 + bytes(c1) + frames[2]
+    media = spark.createDataFrame(
+        [(1, bytearray(corrupt_stream))], "media_id long, payload binary",
+    )
+    rows = sample_frames(media, mjpeg_frame_ms=40).collect()
+    means = sorted(round(r["mean"], 2) for r in rows)
+    assert len(rows) == 2 and means == [round(30 / 255, 2), round(210 / 255, 2)]
+    assert {r["delay_ms"] for r in rows} == {40}
+
+
 def test_gif_animation_first_frame_only():
     """Multi-frame GIFs decode their first frame; trailing frames and
     inter-frame extensions are ignored by design."""
