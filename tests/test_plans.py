@@ -296,3 +296,50 @@ def test_pack_sequences_slices_before_the_sequence_shuffle(spark):
     assert agg_pos < slice_pos, plan  # plan prints top-down: slice below agg
     for node in ALL_PYTHON_NODES:
         assert node not in plan, plan
+
+
+@needs_testdata
+def test_url_canonicalize_is_map_only_and_dedup_shuffles_slim(spark):
+    """canonicalize_urls is one Python-free projection (try_parse_url +
+    string expressions fold into the scan's codegen stage); dedup_by_url
+    shuffles only the (canonical url, id) pair — the document text never
+    reaches its exchange, and the aggregate combines map-side."""
+    from sed_binning_spark.pipeline.url import canonicalize_urls, dedup_by_url
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "url", F.concat(F.lit("http://h"), (F.col("doc_id") % 9).cast("string"),
+                        F.lit(".example/p?utm_source=x&a=1")),
+    )
+    plan = plan_of(canonicalize_urls(docs))
+    assert "Exchange" not in plan, plan
+    for node in ALL_PYTHON_NODES:
+        assert node not in plan, plan
+
+    plan = plan_of(dedup_by_url(docs))
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_min" in plan or "partial_first" in plan, plan
+    # the shuffled row is (canonical_url, partial aggregates) — the text
+    # column must be pruned before the exchange
+    exchange_at = plan.index("Exchange")
+    assert "text" not in plan[exchange_at : exchange_at + 400], plan
+    for node in ALL_PYTHON_NODES:
+        assert node not in plan, plan
+
+
+def test_sample_frames_is_one_python_stage_no_shuffle(spark):
+    """sample_frames is ONE MapInPandas over (id, payload) — no shuffle,
+    no driver collect, and the projection prunes every other column
+    before the Python boundary."""
+    from sed_binning_spark.pipeline.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"GIF89a"), "x")],
+        "media_id long, payload binary, other string",
+    )
+    plan = plan_of(sample_frames(media))
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Exchange" not in plan, plan
+    # the projection feeding Python carries only (id, payload) — the
+    # source scan line naming every relation column doesn't count
+    proj = next(ln for ln in plan.splitlines() if "Project [" in ln)
+    assert "other" not in proj, plan
