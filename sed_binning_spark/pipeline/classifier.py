@@ -128,7 +128,13 @@ def quality_classifier_apply(
     sigmoid all fold into the same whole-stage-codegen pass. A document
     whose statistic is undefined (blank text) contributes that feature
     at the training mean (z-term 0) — and a NULL text scores NULL.
-    ``keep_threshold`` adds a boolean ``keep`` column."""
+    ``keep_threshold`` adds a boolean ``keep`` column.
+
+    The statistics dominate the cost (the sigmoid is free); when ``df``
+    ALREADY carries every feature column (a pipeline that ran
+    ``text_stats`` for other gates), those columns are used as-is
+    instead of being recomputed — so quality_score + classifier chains
+    pay for the Gopher statistics once."""
     # a model serialized before log_features existed used this same
     # transform set — default to compatible rather than rejecting it
     if list(model["features"]) != list(FEATURE_COLUMNS) or \
@@ -139,7 +145,10 @@ def quality_classifier_apply(
             f"(log: {model.get('log_features')}) do not match this "
             f"build's {list(FEATURE_COLUMNS)} (log: {sorted(_LOG_FEATURES)})",
         )
-    stats = text_stats(df, text_column=text_column)
+    if all(c in df.columns for c in FEATURE_COLUMNS):
+        stats = df
+    else:
+        stats = text_stats(df, text_column=text_column)
     z: Column = F.lit(float(model["bias"]))
     for expr, m, s, w in zip(
         _feature_exprs(), model["mean"], model["std"],
