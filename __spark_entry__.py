@@ -2888,7 +2888,13 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE ({cos_sql}) IS NOT NULL AND NOT isnan({cos_sql}) "
             f"ORDER BY score DESC, vec_id LIMIT 10), "
             "valid AS (SELECT vec_id, embedding FROM embeddings "
-            "WHERE embedding IS NOT NULL AND len(embedding) >= 64) "
+            "WHERE embedding IS NOT NULL AND len(embedding) >= 64), "
+            # the pq/pca-fit tiers additionally reject non-finite vectors
+            # (pq_encode -> NULL code; pca_fit skips the row) — pca_apply
+            # does NOT (a poisoned projection surfaces as NULL elements)
+            "finite AS (SELECT vec_id, embedding FROM valid WHERE "
+            "len(list_filter(embedding[1:64], x -> isnan(x) "
+            "OR isinf(x))) = 0) "
             f"SELECT 'brute' AS path, vec_id, score FROM topk "
             f"UNION ALL SELECT 'ivf_full_probe' AS path, vec_id, score FROM topk "
             f"UNION ALL {_pq_oracle_sql()} "
@@ -2901,16 +2907,16 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'pca_fit_mean' AS path, CAST(i AS BIGINT) "
             "AS vec_id, round(m, 6) AS score FROM (SELECT i, "
             "avg(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)) AS m "
-            "FROM valid, range(64) t(i) GROUP BY i) "
+            "FROM finite, range(64) t(i) GROUP BY i) "
             "UNION ALL SELECT 'pca_fit_var' AS path, CAST(-1 AS BIGINT), "
             "round(sum(vx), 6) FROM (SELECT "
             "avg(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * "
             "CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)) - "
             "avg(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)) * "
             "avg(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)) AS vx "
-            "FROM valid, range(64) t(i) GROUP BY i) "
+            "FROM finite, range(64) t(i) GROUP BY i) "
             "UNION ALL SELECT 'pca_fit_n' AS path, CAST(-2 AS BIGINT), "
-            "CAST(count(*) AS DOUBLE) FROM valid"
+            "CAST(count(*) AS DOUBLE) FROM finite"
         ),
         "ann_pairs_brute": (
             f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b "
@@ -2958,7 +2964,9 @@ def _pq_oracle_sql() -> str:
     first-of-minima CASE per subspace (numpy argmin's tie-break), and
     the asymmetric-distance table — Σ over the query's squared distance
     to the CHOSEN codeword — precomputed here as literals, exactly as
-    pq_topk builds it driver-side. Top-10 by (dist, vec_id)."""
+    pq_topk builds it driver-side. Top-10 by (dist, vec_id). Reads the
+    ann_topk oracle's ``finite`` CTE (pq_encode NULLs non-finite
+    vectors, so they never compete)."""
     q = [float(v) for v in _QVEC]
     books = _PQ_MODEL["codebooks"]
     m, sub, codes = _PQ_MODEL["m"], _PQ_MODEL["sub_dim"], _PQ_MODEL["codes"]
@@ -2987,8 +2995,7 @@ def _pq_oracle_sql() -> str:
     return (
         "SELECT 'pq_adc' AS path, vec_id, round(dist, 6) AS score FROM "
         f"(SELECT vec_id, {', '.join(aliases)}, "
-        f"{' + '.join(dist_terms)} AS dist FROM embeddings "
-        "WHERE embedding IS NOT NULL AND len(embedding) >= 64 "
+        f"{' + '.join(dist_terms)} AS dist FROM finite "
         "ORDER BY dist ASC, vec_id ASC LIMIT 10)"
     )
 

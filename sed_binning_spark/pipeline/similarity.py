@@ -435,7 +435,8 @@ def pca_fit(
     d x d covariance from at most 64 combined rows. No embedding is
     ever collected. Eigenvector signs are pinned (largest-|component|
     entry positive) so the model is deterministic up to float summation
-    order. NULL and too-short embeddings are skipped; longer rows
+    order. NULL, too-short, and non-finite embeddings (one NaN element
+    would poison whole covariance rows) are skipped; longer rows
     contribute their first d elements (the package-wide contract every
     scorer follows). Returns a JSON-serializable model for
     :func:`pca_apply`:
@@ -461,9 +462,16 @@ def pca_fit(
             ]
             if rows:
                 m = np.stack(rows)
-                s += m.sum(axis=0)
-                ss += m.T @ m
-                n += len(rows)
+                # a single NaN/Inf element would turn whole covariance
+                # rows non-finite (and Arrow returns NaN array elements
+                # as NULL, corrupting the moment rows on the way back) —
+                # a poisoned vector contributes nothing, like the NaN
+                # reject in cosine_topk
+                m = m[np.isfinite(m).all(axis=1)]
+                if len(m):
+                    s += m.sum(axis=0)
+                    ss += m.T @ m
+                    n += len(m)
         yield pd.DataFrame({
             "n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()],
         })
@@ -685,8 +693,11 @@ def pq_encode(
 ) -> DataFrame:
     """Quantize embeddings to their per-subspace nearest-codeword ids
     (``array<int>`` of length m, each 0..codes-1) — one vectorized
-    distance computation per Arrow batch per subspace; NULL/ragged
-    embeddings encode to NULL. The encoded column is what a 100 TB
+    distance computation per Arrow batch per subspace; NULL/ragged/
+    non-finite embeddings encode to NULL (a NaN element makes every
+    codeword distance NaN, so "nearest" is undefined — a poisoned
+    vector gets no code rather than an arbitrary one, mirroring
+    cosine_topk's NaN reject). The encoded column is what a 100 TB
     deployment PERSISTS; the float vectors become cold storage."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -706,6 +717,9 @@ def pq_encode(
             None if e is None or len(e) < dim
             else np.asarray(e, dtype=np.float64)[:dim]
             for e in emb
+        ]
+        rows = [
+            r if r is None or np.isfinite(r).all() else None for r in rows
         ]
         ok = [i for i, r in enumerate(rows) if r is not None]
         out = [None] * len(rows)

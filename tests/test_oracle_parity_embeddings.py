@@ -78,11 +78,21 @@ def test_dirty_embeddings_parity(spark, dirty_sf, oracle_con, name):
 
 def test_dirty_vectors_never_rank(spark, dirty_sf):
     """The NULL/ragged/zero/NaN/empty rows must be absent from top-k, and
-    the NaN-poisoned vector must not claim a similar pair."""
+    the NaN-poisoned vector must not claim a similar pair. Scoped to the
+    RANKING legs of the merged ann_topk slot — the pca_c* legs are
+    map-only projections that legitimately emit every >= dim row (the
+    poisoned one projects to NULL elements), and the pca_fit_* legs
+    carry dim indexes, not vec_ids."""
     import __spark_entry__ as entry_mod
 
-    top = entry_mod.queries()["ann_topk"](spark, dirty_sf).toPandas()
-    assert set(top["vec_id"]).isdisjoint({6, 7, 8, 9, 11})
+    out = entry_mod.queries()["ann_topk"](spark, dirty_sf).toPandas()
+    cos = out[out["path"].isin(["brute", "ivf_full_probe"])]
+    assert set(cos["vec_id"]).isdisjoint({6, 7, 8, 9, 11})
+    # the PQ leg ranks by L2, under which the ZERO vector is a perfectly
+    # legal point (only cosine leaves it undefined) — but NULL, ragged,
+    # NaN-poisoned, and empty rows still never compete
+    pq = out[out["path"] == "pq_adc"]
+    assert set(pq["vec_id"]).isdisjoint({6, 7, 9, 11})
     pairs = entry_mod.queries()["ann_pairs_brute"](spark, dirty_sf).toPandas()
     ids = set(pairs["id_a"]) | set(pairs["id_b"])
     assert ids.isdisjoint({6, 7, 8, 9, 11})
