@@ -38,9 +38,15 @@ the reference's real fixtures ``Scan0030_2.h5`` /
   or relative, cycle-guarded; dangling links list as absent and raise
   KeyError only when followed
 
+- committed (named) datatypes on datasets: the shared-message reference
+  (versions 1/2 and v3 type 2) resolves to the named type's object
+  header and the real datatype message is parsed from there; the named
+  datatype object itself lists as an (empty) node
+
 NOT supported (all raise): paged extensible-array data blocks, szip/
-n-bit filters, dataset regions, external links, shared (committed)
-datatypes/dataspaces, vlen members inside compounds,
+n-bit filters, dataset regions, external links, SOHM-heap shared
+messages and shared dataspaces, shared ATTRIBUTE datatypes, vlen
+members inside compounds,
 filtered/huge/tiny/multi-level fractal heaps, v2 B-trees deeper than two
 levels, writes (see ``hdf5_write`` for the companion writer). Paged
 FIXED arrays (chunk counts past the 1024-element page threshold) ARE
@@ -591,6 +597,47 @@ class H5File:
             msgs = self._messages_v1(addr)
         return self._interpret_messages(msgs)
 
+    def _shared_message_body(self, body: bytes, want_type: int) -> bytes:
+        """Resolve a shared-message reference (header-message flag bit 1)
+        to the referenced message's REAL body: versions 1/2 and version-3
+        type-2 store the address of the object header that holds the
+        message (the committed-datatype form); version-3 types 0/1 live
+        in the SOHM fractal heap, which no real instrument file uses —
+        refused loudly."""
+        if len(body) < 2:
+            raise UnsupportedHDF5("truncated shared-message reference")
+        version = body[0]
+        if version == 1:
+            off = 8  # version, type, 6 reserved bytes
+        elif version == 2:
+            off = 2
+        elif version == 3:
+            if body[1] != 2:
+                raise UnsupportedHDF5(
+                    "SOHM-heap shared message (type "
+                    f"{body[1]}) is unsupported",
+                )
+            off = 2
+        else:
+            raise UnsupportedHDF5(
+                f"shared-message version {version} is unsupported",
+            )
+        (addr,) = struct.unpack_from("<Q", body, off)
+        if addr == UNDEF or addr >= len(self._buf):
+            raise UnsupportedHDF5(
+                "shared message points outside the file",
+            )
+        if self._buf[addr : addr + 4] == b"OHDR":
+            msgs = self._messages_v2(addr)
+        else:
+            msgs = self._messages_v1(addr)
+        for mtype, mbody, _ in msgs:
+            if mtype == want_type:
+                return mbody
+        raise UnsupportedHDF5(
+            f"shared-message target holds no 0x{want_type:04x} message",
+        )
+
     def _messages_v1(self, addr: int) -> list[tuple[int, bytes, int]]:
         buf = self._buf
         version, _, nmsg, _refcnt, hdr_size = struct.unpack_from("<BBHII", buf, addr)
@@ -671,9 +718,17 @@ class H5File:
         ds: dict = {}
         for mtype, body, mflags in msgs:
             if (mflags & 0x02) and mtype in self._INTERPRETED:
+                if mtype == 0x0003:
+                    # committed (named) datatype: the body is a shared-
+                    # message reference to the object header that holds
+                    # the real datatype message
+                    ds["dtype"] = self._parse_datatype(
+                        self._shared_message_body(body, 0x0003),
+                    )
+                    continue
                 raise UnsupportedHDF5(
-                    f"shared message (type 0x{mtype:04x}) — committed "
-                    "datatypes / shared dataspaces are unsupported",
+                    f"shared message (type 0x{mtype:04x}) — shared "
+                    "dataspaces / SOHM-table messages are unsupported",
                 )
             if mtype == 0x0011:  # symbol table -> old-style group
                 btree, heap = struct.unpack_from("<QQ", body, 0)

@@ -78,14 +78,17 @@ class H5Writer:
         self._group([p for p in path.strip("/").split("/") if p])
 
     def add_dataset(self, path: str, data, *, chunks: tuple | None = None,
-                    chunk_index: str = "fixed", deflate: bool = False) -> None:
+                    chunk_index: str = "fixed", deflate: bool = False,
+                    committed_dtype: str | None = None) -> None:
         """``chunks`` switches the dataset to a CHUNKED layout-v4 message
         (the post-1.10 "latest" format) indexed by ``chunk_index``:
         "fixed" (fixed array, libhdf5's default for fixed-shape chunked
         data), "single" (one chunk covering the whole dataset), or
         "implicit" (chunks contiguous in C grid order — no filters by
         spec). ``deflate`` zlib-compresses each chunk and records the
-        filter pipeline."""
+        filter pipeline. ``committed_dtype`` names a type committed via
+        :meth:`add_committed_datatype`; the dataset's datatype message is
+        then a shared reference to it (the type must match the data)."""
         parts = [p for p in path.strip("/").split("/") if p]
         parent = self._group(parts[:-1])
         arr = _as_h5_array(data)
@@ -107,7 +110,20 @@ class H5Writer:
         parent["__children__"][parts[-1]] = {
             "__kind__": "dataset", "__attrs__": {}, "__data__": arr,
             "__chunks__": chunks, "__index__": chunk_index,
-            "__deflate__": deflate,
+            "__deflate__": deflate, "__committed__": committed_dtype,
+        }
+
+    def add_committed_datatype(self, path: str, dtype) -> None:
+        """Commit a named datatype at ``path`` (an object header holding
+        only the datatype message — what ``h5py.File[...] = np.dtype``
+        produces). Datasets created with ``committed_dtype=path`` then
+        carry a SHARED datatype message (v3 type 2: the address of this
+        object header) instead of an inline definition."""
+        parts = [p for p in path.strip("/").split("/") if p]
+        parent = self._group(parts[:-1])
+        parent["__children__"][parts[-1]] = {
+            "__kind__": "named_dtype", "__attrs__": {},
+            "__dtype__": np.dtype(dtype), "__path__": "/" + "/".join(parts),
         }
 
     def add_softlink(self, path: str, target: str) -> None:
@@ -141,6 +157,10 @@ class H5Writer:
     # -- serialization ------------------------------------------------------
     def write(self, path: str) -> None:
         buf = bytearray(96)  # superblock v0 + root symbol-table entry
+        # committed datatypes are emitted FIRST so datasets referencing
+        # them already know the target object-header addresses
+        self._dtype_addrs: dict[str, int] = {}
+        self._emit_named_dtypes(buf, self._root)
         root_addr = self._emit(buf, self._root)
         # superblock
         struct.pack_into(
@@ -156,9 +176,22 @@ class H5Writer:
         with open(path, "wb") as f:
             f.write(buf)
 
+    def _emit_named_dtypes(self, buf: bytearray, node: dict) -> None:
+        if node["__kind__"] == "named_dtype":
+            addr = _emit_object_header(
+                buf, [(0x0003, _datatype(node["__dtype__"]))],
+            )
+            node["__addr__"] = addr
+            self._dtype_addrs[node["__path__"]] = addr
+            return
+        for child in node.get("__children__", {}).values():
+            self._emit_named_dtypes(buf, child)
+
     def _emit(self, buf: bytearray, node: dict):
         if node["__kind__"] == "softlink":
             return ("soft", node["__target__"])
+        if node["__kind__"] == "named_dtype":
+            return node["__addr__"]  # pre-emitted; link like any object
         if node["__kind__"] == "dataset":
             return self._emit_dataset(buf, node)
         children = [
@@ -170,9 +203,23 @@ class H5Writer:
     def _emit_dataset(self, buf: bytearray, node: dict) -> int:
         arr, attrs = node["__data__"], node["__attrs__"]
         chunks = node.get("__chunks__")
+        committed = node.get("__committed__")
+        if committed:
+            cpath = "/" + committed.strip("/")
+            addr = self._dtype_addrs.get(cpath)
+            if addr is None:
+                raise ValueError(
+                    f"committed_dtype {committed!r} was never committed "
+                    "(add_committed_datatype first)",
+                )
+            # shared-message reference, version 3 type 2 (committed),
+            # header-message flag bit 1 marks the body as shared
+            dt_msg = (0x0003, struct.pack("<BBQ", 3, 2, addr), 0x02)
+        else:
+            dt_msg = (0x0003, _datatype(arr.dtype))
         msgs = [
             (0x0001, _dataspace(arr.shape)),
-            (0x0003, _datatype(arr.dtype)),
+            dt_msg,
         ]
         if chunks is None:
             _align(buf)
@@ -818,11 +865,13 @@ def _emit_extensible_array(
     return hdr_addr, extra
 
 
-def _emit_object_header(buf: bytearray, msgs: list[tuple[int, bytes]]) -> int:
+def _emit_object_header(buf: bytearray, msgs: list[tuple]) -> int:
     body = bytearray()
-    for mtype, mbody in msgs:
+    for m in msgs:  # (mtype, body) or (mtype, body, header-message flags)
+        mtype, mbody = m[0], m[1]
+        mflags = m[2] if len(m) > 2 else 0
         mbody = mbody + b"\x00" * (-len(mbody) % 8)
-        body += struct.pack("<HHB3x", mtype, len(mbody), 0) + mbody
+        body += struct.pack("<HHB3x", mtype, len(mbody), mflags) + mbody
     _align(buf)
     addr = len(buf)
     buf += struct.pack("<BxHII4x", 1, len(msgs), 1, len(body))

@@ -1050,3 +1050,62 @@ def test_golden_latest_format_fixture():
     with tempfile.NamedTemporaryFile(suffix=".h5") as tf:
         w.write(tf.name)
         assert open(tf.name, "rb").read() == raw
+
+
+def test_committed_datatype_roundtrip(tmp_path):
+    """Committed (named) datatypes: the writer emits the type as its own
+    object header and the dataset's datatype message as a v3-type-2
+    shared reference; the reader resolves the reference to the REAL
+    datatype — for plain, compound, and chunked datasets — and the named
+    type itself lists as a node. SOHM-heap and malformed shared
+    references refuse loudly."""
+    import numpy as np
+    import pytest
+
+    from sed_binning_spark.io.hdf5_read import H5File, UnsupportedHDF5
+    from sed_binning_spark.io.hdf5_write import H5Writer
+
+    cdt = np.dtype([("x", "<f4"), ("n", "<i4")])
+    rec = np.zeros(5, dtype=cdt)
+    rec["x"] = np.arange(5) * 0.5
+    rec["n"] = np.arange(5) * 3
+    plain = np.arange(12, dtype="<f8").reshape(3, 4)
+
+    w = H5Writer()
+    w.add_committed_datatype("/types/t_evt", cdt)
+    w.add_committed_datatype("/t_plain", "<f8")
+    w.add_dataset("/grp/recs", rec, committed_dtype="/types/t_evt")
+    w.add_dataset("/grp/plain", plain, committed_dtype="/t_plain")
+    w.add_dataset(
+        "/grp/chunked", plain, chunks=(2, 2), committed_dtype="/t_plain",
+    )
+    w.add_dataset("/grp/inline", plain)  # mixed with inline types
+    p = str(tmp_path / "committed.h5")
+    w.write(p)
+
+    f = H5File(p)
+    np.testing.assert_array_equal(f.read("/grp/recs"), rec)
+    np.testing.assert_array_equal(f.read("/grp/plain"), plain)
+    np.testing.assert_array_equal(f.read("/grp/chunked"), plain)
+    np.testing.assert_array_equal(f.read("/grp/inline"), plain)
+    # the named type objects are addressable hierarchy nodes (they list
+    # as empty non-dataset nodes — visit() enumerates datasets only)
+    assert f.attrs("/types/t_evt") == {} and f.attrs("/t_plain") == {}
+
+    # referencing a type that was never committed fails at WRITE time
+    w2 = H5Writer()
+    w2.add_dataset("/d", plain, committed_dtype="/nope")
+    with pytest.raises(ValueError, match="never committed"):
+        w2.write(str(tmp_path / "bad.h5"))
+
+    # SOHM-heap (v3 type != 2) and malformed shared references refuse
+    with pytest.raises(UnsupportedHDF5, match="SOHM"):
+        f._shared_message_body(bytes([3, 0]) + b"\x00" * 8, 0x0003)
+    with pytest.raises(UnsupportedHDF5, match="truncated"):
+        f._shared_message_body(b"\x03", 0x0003)
+    with pytest.raises(UnsupportedHDF5, match="version"):
+        f._shared_message_body(bytes([9, 2]) + b"\x00" * 8, 0x0003)
+    with pytest.raises(UnsupportedHDF5, match="outside the file"):
+        f._shared_message_body(
+            bytes([3, 2]) + (2 ** 60).to_bytes(8, "little"), 0x0003,
+        )
