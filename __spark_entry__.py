@@ -1962,8 +1962,11 @@ def _q_ann_topk(spark, sf):
         for c in range(2)
     ]
     model = pca_fit(emb, k=4)
-    total_var = float(
-        model["explained_variance"][0] / model["explained_variance_ratio"][0],
+    # ratio[0] == 0 means a zero-variance corpus (pca_fit clamped every
+    # eigenvalue and fell back to total=1): the trace is genuinely 0
+    ratio0 = float(model["explained_variance_ratio"][0])
+    total_var = (
+        float(model["explained_variance"][0]) / ratio0 if ratio0 > 0 else 0.0
     )
     fit_rows = (
         [("pca_fit_mean", i, float(m)) for i, m in enumerate(model["mean"])]

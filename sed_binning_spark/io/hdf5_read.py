@@ -622,6 +622,8 @@ class H5File:
             raise UnsupportedHDF5(
                 f"shared-message version {version} is unsupported",
             )
+        if len(body) < off + 8:
+            raise UnsupportedHDF5("truncated shared-message reference")
         (addr,) = struct.unpack_from("<Q", body, off)
         if addr == UNDEF or addr >= len(self._buf):
             raise UnsupportedHDF5(
@@ -631,8 +633,14 @@ class H5File:
             msgs = self._messages_v2(addr)
         else:
             msgs = self._messages_v1(addr)
-        for mtype, mbody, _ in msgs:
+        for mtype, mbody, mflags in msgs:
             if mtype == want_type:
+                if mflags & 0x02:
+                    # a chained shared reference would otherwise parse as
+                    # a garbage inline definition — refuse, don't misread
+                    raise UnsupportedHDF5(
+                        "shared message chains to another shared message",
+                    )
                 return mbody
         raise UnsupportedHDF5(
             f"shared-message target holds no 0x{want_type:04x} message",

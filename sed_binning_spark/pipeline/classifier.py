@@ -122,6 +122,7 @@ def quality_classifier_apply(
     text_column: str = "text",
     output_column: str = "quality_prob",
     keep_threshold: float | None = None,
+    use_precomputed_stats: bool = False,
 ) -> DataFrame:
     """Score every document with the fitted model as ONE map-only
     expression: the text statistics, standardization, dot product, and
@@ -130,11 +131,14 @@ def quality_classifier_apply(
     at the training mean (z-term 0) — and a NULL text scores NULL.
     ``keep_threshold`` adds a boolean ``keep`` column.
 
-    The statistics dominate the cost (the sigmoid is free); when ``df``
-    ALREADY carries every feature column (a pipeline that ran
-    ``text_stats`` for other gates), those columns are used as-is
-    instead of being recomputed — so quality_score + classifier chains
-    pay for the Gopher statistics once."""
+    The statistics dominate the cost (the sigmoid is free);
+    ``use_precomputed_stats=True`` OPTS IN to reusing feature columns
+    already on ``df`` (a pipeline that ran ``text_stats`` for other
+    gates pays for the Gopher statistics once). It is opt-in, not
+    name-sniffed: the caller is asserting those columns were computed by
+    ``text_stats`` over THIS ``text_column`` — a coincidentally-named
+    column, or stats from a different text column, would silently score
+    garbage. All six feature columns must be present."""
     # a model serialized before log_features existed used this same
     # transform set — default to compatible rather than rejecting it
     if list(model["features"]) != list(FEATURE_COLUMNS) or \
@@ -145,7 +149,13 @@ def quality_classifier_apply(
             f"(log: {model.get('log_features')}) do not match this "
             f"build's {list(FEATURE_COLUMNS)} (log: {sorted(_LOG_FEATURES)})",
         )
-    if all(c in df.columns for c in FEATURE_COLUMNS):
+    if use_precomputed_stats:
+        missing = [c for c in FEATURE_COLUMNS if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"use_precomputed_stats=True but {missing} are not on the "
+                "dataframe — run text_stats first or drop the flag",
+            )
         stats = df
     else:
         stats = text_stats(df, text_column=text_column)

@@ -767,6 +767,37 @@ def _gif_lzw_encode(indices: bytes, min_code: int) -> bytes:
     return bytes(out)
 
 
+def _gif_read_header(
+    data: bytes, budget: int,
+) -> tuple[int, int, int, np.ndarray | None, int]:
+    """Validate a GIF signature + logical-screen descriptor against the
+    pixel budget BEFORE any allocation, and read the optional global
+    color table. Returns (screen_w, screen_h, bg_index, gct, pos) —
+    shared prologue of decode_image_gif and decode_gif_frames."""
+    if data[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF87a/GIF89a stream")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    if sw == 0 or sh == 0:
+        raise ValueError("GIF declares a zero-size logical screen")
+    if sw * sh > budget:
+        raise ValueError(
+            f"GIF logical screen {sw}x{sh} exceeds the {budget}-pixel "
+            "decode budget",
+        )
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
+        if gct.size != 3 * n:
+            raise ValueError("truncated GIF global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    return sw, sh, bg_idx, gct, pos
+
+
 def _gif_read_ext(data: bytes, pos: int) -> tuple[int, list[bytes], int]:
     """Read one GIF extension (label + sub-blocks) at ``pos`` (past the
     0x21 introducer); returns (label, sub_blocks, new_pos)."""
@@ -858,27 +889,7 @@ def decode_image_gif(data: bytes, max_pixels: int | None = None) -> np.ndarray:
     decoders: the LZW loop is serial Python, so the featurizer passes the
     tighter :data:`FEATURIZER_MAX_PIXELS`."""
     budget = MAX_PIXELS if max_pixels is None else max_pixels
-    if data[:6] not in GIF_SIGS:
-        raise ValueError("not a GIF87a/GIF89a stream")
-    if len(data) < 13:
-        raise ValueError("truncated GIF header")
-    sw, sh, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", data, 6)
-    if sw == 0 or sh == 0:
-        raise ValueError("GIF declares a zero-size logical screen")
-    if sw * sh > budget:
-        raise ValueError(
-            f"GIF logical screen {sw}x{sh} exceeds the {budget}-pixel "
-            "decode budget",
-        )
-    pos = 13
-    gct = None
-    if packed & 0x80:
-        n = 2 << (packed & 0x07)
-        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
-        if gct.size != 3 * n:
-            raise ValueError("truncated GIF global color table")
-        gct = gct.reshape(n, 3)
-        pos += 3 * n
+    sw, sh, bg_idx, gct, pos = _gif_read_header(data, budget)
     transparent = None
     while True:
         if pos >= len(data):
@@ -941,27 +952,7 @@ def decode_gif_frames(
     not need the tail of a 10k-frame banner GIF. Malformed framing
     raises ValueError naming the defect, like every codec here."""
     budget = MAX_PIXELS if max_pixels is None else max_pixels
-    if data[:6] not in GIF_SIGS:
-        raise ValueError("not a GIF87a/GIF89a stream")
-    if len(data) < 13:
-        raise ValueError("truncated GIF header")
-    sw, sh, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", data, 6)
-    if sw == 0 or sh == 0:
-        raise ValueError("GIF declares a zero-size logical screen")
-    if sw * sh > budget:
-        raise ValueError(
-            f"GIF logical screen {sw}x{sh} exceeds the {budget}-pixel "
-            "decode budget",
-        )
-    pos = 13
-    gct = None
-    if packed & 0x80:
-        n = 2 << (packed & 0x07)
-        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
-        if gct.size != 3 * n:
-            raise ValueError("truncated GIF global color table")
-        gct = gct.reshape(n, 3)
-        pos += 3 * n
+    sw, sh, bg_idx, gct, pos = _gif_read_header(data, budget)
     canvas = np.zeros((sh, sw, 3), np.uint8)
     if gct is not None and bg_idx < len(gct):
         canvas[:] = gct[bg_idx]
@@ -1395,6 +1386,7 @@ def split_mjpeg_frames(data: bytes, max_frames: int | None = None) -> list[bytes
         start = pos
         pos += 2
         complete = False
+        resync_at = None
         while pos + 1 < n:
             if data[pos] != 0xFF:
                 pos += 1  # tolerate inter-segment garbage: resync on FF
@@ -1408,8 +1400,15 @@ def split_mjpeg_frames(data: bytes, max_frames: int | None = None) -> list[bytes
             if marker == 0xFF:  # fill byte
                 pos += 1
                 continue
-            if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
-                pos += 2  # TEM/RSTn/SOI: standalone markers
+            if marker == 0xD8:
+                # SOI can never legitimately occur inside a frame: the
+                # current frame lost its EOI (truncated) — drop it and
+                # restart the outer resync AT this SOI so the following
+                # frame is not swallowed into a merged undecodable blob
+                resync_at = pos
+                break
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # TEM/RSTn: standalone markers
                 continue
             if pos + 3 >= n:
                 pos = n
@@ -1425,9 +1424,10 @@ def split_mjpeg_frames(data: bytes, max_frames: int | None = None) -> list[bytes
                     pos += 1
         if not complete:
             # the walk derailed (corrupt innards or truncated tail):
-            # resync to the next SOI after THIS frame's start — `start`
-            # strictly increases per outer iteration, so this terminates
-            pos = start + 2
+            # resync at the mid-frame SOI if one ended the walk, else to
+            # the next SOI after THIS frame's start — either way the scan
+            # start strictly increases per outer iteration, terminating
+            pos = resync_at if resync_at is not None else start + 2
     return frames
 
 
@@ -1449,7 +1449,7 @@ def sample_frames(
     df: DataFrame,
     payload_column: str = "payload",
     id_column: str = "media_id",
-    max_frames: int | None = None,
+    max_frames: int | None = 256,
     mjpeg_frame_ms: int = 0,
 ) -> DataFrame:
     """Decode the frame TIMELINE of animated media payloads — the decode
@@ -1473,8 +1473,12 @@ def sample_frames(
 
     Same distribution shape as extract_features: ``mapInPandas``, Arrow
     batches stream partition-locally, no shuffle, no driver collect; the
-    serial LZW/Huffman walks run under FEATURIZER_MAX_PIXELS per frame
-    and ``max_frames`` bounds the walk per payload."""
+    serial LZW/Huffman walks run under FEATURIZER_MAX_PIXELS per frame,
+    and ``max_frames`` (default 256 — a FINITE default on purpose:
+    decode_gif_frames materializes one canvas copy per frame, so a
+    10k-frame looping banner GIF at the pixel budget would otherwise
+    build tens of GB inside one task) bounds the walk per payload;
+    ``None`` opts into unbounded."""
     import pandas as pd
 
     def _decode_timeline(b: bytes):

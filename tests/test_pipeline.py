@@ -1601,6 +1601,12 @@ def test_mjpeg_frame_split_and_sampling(spark):
     assert split_mjpeg_frames(stream, max_frames=2) == got[:2]
     # truncated tail frame drops; complete prefix survives
     assert len(split_mjpeg_frames(stream[:-10])) == 2
+    # a frame that LOST its EOI: the next frame's SOI ends the broken
+    # walk and the splitter resyncs there — frameB must come out intact,
+    # never merged into an undecodable A+B blob
+    headless = frames[0][:-2]  # frame A without its EOI
+    rec = split_mjpeg_frames(headless + frames[1] + frames[2])
+    assert rec == [frames[1], frames[2]]
 
     # corrupt frame 1's entropy data (flip bits mid-scan, keeping the
     # framing): its decode fails, frames 0 and 2 still sample
