@@ -26,7 +26,9 @@ event-scale data.
   (plus a deterministic stub for formats without a bundled decoder),
   and video-style frame sampling: ``decode_gif_frames`` walks animated
   GIF timelines with real compositing and ``sample_frames`` emits one
-  row per frame with container timing + canvas statistics
+  row per frame with container timing + canvas statistics (raw MJPEG
+  and Motion-JPEG-in-MP4 via :mod:`~sed_binning_spark.pipeline.mp4`'s
+  ISO BMFF demuxer ride the same seam)
 - :mod:`~sed_binning_spark.pipeline.sample` — deterministic (hash-keyed)
   sampling, per-stratum corpus-mixing rates, leak-proof train/val/test
   split assignment — reproducible on any partition layout or engine
@@ -79,6 +81,7 @@ from sed_binning_spark.pipeline.similarity import (
     lsh_bucket_pairs,
 )
 from sed_binning_spark.pipeline.bpe import bpe_encode, bpe_train, bpe_vocab
+from sed_binning_spark.pipeline.mp4 import encode_mp4_mjpeg, parse_mp4_samples
 from sed_binning_spark.pipeline.multimodal import (
     decode_gif_frames,
     encode_gif_animation,
@@ -224,6 +227,8 @@ __all__ = [
     "frame_sample_plan",
     "sample_frames",
     "split_mjpeg_frames",
+    "parse_mp4_samples",
+    "encode_mp4_mjpeg",
     "decode_gif_frames",
     "encode_gif_animation",
     "synthesize_animated_gif_media_from_text",

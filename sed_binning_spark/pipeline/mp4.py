@@ -1,0 +1,302 @@
+"""Minimal MP4 (ISO BMFF, ISO/IEC 14496-12) demuxing for the video
+frame-sampling path: enough of the box structure to enumerate a video
+track's samples with their CONTAINER timing, so
+:func:`~sed_binning_spark.pipeline.multimodal.sample_frames` can decode
+Motion-JPEG-in-MP4 payloads with the same pure-stdlib posture as the
+image codecs (no av library exists in this environment; an ffmpeg/PyAV
+demuxer drops into the same seam).
+
+What is implemented, all from the public spec:
+
+- box walk (32-bit and 64-bit ``largesize`` boxes), ``moov → trak →
+  mdia → {mdhd, hdlr, minf → stbl}``;
+- sample tables: ``stsd`` (sample-description entry type), ``stts``
+  (decoding deltas → per-sample start/delay in ms via the ``mdhd``
+  timescale), ``stsz``/``stz2`` is limited to ``stsz``, ``stsc``
+  (sample→chunk runs), ``stco``/``co64`` (chunk offsets);
+- :func:`parse_mp4_samples` returns the FIRST video track whose
+  sample-description type is a JPEG flavor (``jpeg``/``mjpa``/``mjpb``
+  — the Motion-JPEG-in-MP4 forms) as ``(start_ms, delay_ms, bytes)``
+  triples. Tracks in other codecs (avc1/hev1/...) are refused loudly:
+  emitting fake statistics from compressed bitstreams would be
+  dishonest, and this environment ships no H.264 decoder.
+- :func:`encode_mp4_mjpeg` — spec-built fixture writer (ftyp + mdat +
+  a single-trak moov), since no video corpus ships in this container.
+
+Malformed framing raises ValueError naming the defect, like every codec
+in :mod:`~sed_binning_spark.pipeline.multimodal`; the Spark operator
+catches and degrades per its documented posture.
+
+No reference counterpart (LLM-curation extension surface, like
+pipeline.warc / pipeline.multimodal).
+"""
+
+from __future__ import annotations
+
+import struct
+
+_JPEG_SAMPLE_TYPES = (b"jpeg", b"mjpa", b"mjpb")
+
+
+def _iter_boxes(data: bytes, pos: int, end: int):
+    """Yield (type, payload_start, payload_end) for the boxes in
+    data[pos:end] — handles 64-bit largesize and size-0 (to end)."""
+    while pos + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", data, pos)
+        header = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box header")
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            header = 16
+        elif size == 0:
+            size = end - pos
+        if size < header or pos + size > end:
+            raise ValueError(
+                f"MP4 box {btype!r} declares {size} bytes, "
+                f"{end - pos} available",
+            )
+        yield btype, pos + header, pos + size
+        pos += size
+
+
+def _find(data: bytes, pos: int, end: int, btype: bytes):
+    for t, s, e in _iter_boxes(data, pos, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def _full_box(data: bytes, pos: int) -> tuple[int, int]:
+    """(version, flags) of a full box; payload starts at pos + 4."""
+    v = data[pos]
+    flags = int.from_bytes(data[pos + 1 : pos + 4], "big")
+    return v, flags
+
+
+def parse_mp4_samples(
+    data: bytes,
+    max_frames: int | None = None,
+) -> list[tuple[int, int, bytes]]:
+    """Demux the first Motion-JPEG video track of an MP4 into
+    ``(start_ms, delay_ms, jpeg_bytes)`` triples using the container's
+    own sample tables (stts timing at mdhd timescale; stsc/stco/stsz
+    chunk layout). Raises ValueError for non-MP4 bytes, files without a
+    JPEG-flavor video track (including H.264/H.265 — no decoder ships
+    here), and malformed sample tables."""
+    n = len(data)
+    if n < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF (MP4) stream")
+    moov = _find(data, 0, n, b"moov")
+    if moov is None:
+        raise ValueError("MP4 has no moov box")
+    saw_video = []
+    for t, s, e in _iter_boxes(data, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _find(data, s, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find(data, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _find(data, mdia[0], mdia[1], b"mdhd")
+        minf = _find(data, mdia[0], mdia[1], b"minf")
+        if mdhd is None or minf is None:
+            raise ValueError("MP4 video trak lacks mdhd/minf")
+        v, _ = _full_box(data, mdhd[0])
+        # timescale sits after creation/modification times (4/8 bytes
+        # each by version)
+        ts_off = mdhd[0] + 4 + (16 if v == 1 else 8)
+        timescale = struct.unpack_from(">I", data, ts_off)[0]
+        if timescale == 0:
+            raise ValueError("MP4 mdhd declares a zero timescale")
+        stbl = _find(data, minf[0], minf[1], b"stbl")
+        if stbl is None:
+            raise ValueError("MP4 video trak lacks stbl")
+        tables = {
+            t2: (s2, e2)
+            for t2, s2, e2 in _iter_boxes(data, stbl[0], stbl[1])
+        }
+        stsd = tables.get(b"stsd")
+        if stsd is None:
+            raise ValueError("MP4 stbl lacks stsd")
+        # first sample-description entry: type at offset +4 of the entry
+        sd_pos = stsd[0] + 8  # full box header + entry count
+        if sd_pos + 8 > stsd[1]:
+            raise ValueError("MP4 stsd has no entries")
+        sd_type = data[sd_pos + 4 : sd_pos + 8]
+        if sd_type not in _JPEG_SAMPLE_TYPES:
+            saw_video.append(sd_type)
+            continue
+        return _track_samples(data, tables, timescale, max_frames)
+    if saw_video:
+        raise ValueError(
+            f"MP4 video codec(s) {saw_video} unsupported — only the "
+            f"Motion-JPEG sample types {_JPEG_SAMPLE_TYPES} decode here",
+        )
+    raise ValueError("MP4 contains no video track")
+
+
+def _track_samples(data, tables, timescale, max_frames):
+    def table(btype):
+        got = tables.get(btype)
+        if got is None:
+            raise ValueError(f"MP4 stbl lacks {btype.decode()}")
+        return got
+
+    # sizes
+    s, e = table(b"stsz")
+    fixed, count = struct.unpack_from(">II", data, s + 4)
+    if fixed:
+        sizes = [fixed] * count
+    else:
+        sizes = list(struct.unpack_from(f">{count}I", data, s + 12))
+    n_samples = len(sizes)
+    if max_frames is not None:
+        n_samples = min(n_samples, int(max_frames))
+
+    # chunk offsets
+    if b"stco" in tables:
+        s, e = tables[b"stco"]
+        (n_chunks,) = struct.unpack_from(">I", data, s + 4)
+        offsets = list(struct.unpack_from(f">{n_chunks}I", data, s + 8))
+    else:
+        s, e = table(b"co64")
+        (n_chunks,) = struct.unpack_from(">I", data, s + 4)
+        offsets = list(struct.unpack_from(f">{n_chunks}Q", data, s + 8))
+
+    # sample -> chunk runs
+    s, e = table(b"stsc")
+    (n_runs,) = struct.unpack_from(">I", data, s + 4)
+    runs = [
+        struct.unpack_from(">III", data, s + 8 + 12 * i)[:2]
+        for i in range(n_runs)
+    ]  # (first_chunk 1-based, samples_per_chunk)
+
+    # timing: stts (count, delta) runs at mdhd timescale
+    s, e = table(b"stts")
+    (n_tt,) = struct.unpack_from(">I", data, s + 4)
+    deltas: list[int] = []
+    for i in range(n_tt):
+        cnt, delta = struct.unpack_from(">II", data, s + 8 + 8 * i)
+        deltas.extend([delta] * min(cnt, n_samples - len(deltas)))
+        if len(deltas) >= n_samples:
+            break
+    if len(deltas) < n_samples:
+        raise ValueError("MP4 stts covers fewer samples than stsz")
+
+    # walk chunks, laying samples contiguously inside each
+    out: list[tuple[int, int, bytes]] = []
+    start_units = 0
+    si = 0
+    for ci in range(len(offsets)):
+        per = 0
+        for first, spc in runs:
+            if first <= ci + 1:
+                per = spc
+        pos = offsets[ci]
+        for _ in range(per):
+            if si >= n_samples:
+                return out
+            size = sizes[si]
+            if pos + size > len(data):
+                raise ValueError("MP4 sample extends past the file end")
+            start_ms = start_units * 1000 // timescale
+            delay_ms = deltas[si] * 1000 // timescale
+            out.append((start_ms, delay_ms, bytes(data[pos : pos + size])))
+            start_units += deltas[si]
+            pos += size
+            si += 1
+    if si < n_samples:
+        raise ValueError("MP4 chunk layout covers fewer samples than stsz")
+    return out
+
+
+# ---------------------------------------------------------- fixture writer
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload), btype) + payload
+
+
+def _full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+
+def encode_mp4_mjpeg(
+    jpeg_frames: list[bytes],
+    delays_ms: list[int],
+    width: int = 0,
+    height: int = 0,
+    timescale: int = 1000,
+    samples_per_chunk: int = 2,
+) -> bytes:
+    """Spec-built MP4 fixture: one 'jpeg'-coded video track whose mdat
+    carries the given JPEG payloads in ``samples_per_chunk``-sample
+    chunks with per-sample stts timing — exercises the demuxer's chunk
+    walk, multi-run stsc, and timescale arithmetic."""
+    if len(jpeg_frames) != len(delays_ms):
+        raise ValueError("one delay per frame, please")
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat_payload = b"".join(jpeg_frames)
+    mdat_base = len(ftyp) + 8  # samples start here
+
+    sizes = [len(f) for f in jpeg_frames]
+    chunks: list[int] = []  # offset per chunk
+    pos = mdat_base
+    for i in range(0, len(sizes), samples_per_chunk):
+        chunks.append(pos)
+        pos += sum(sizes[i : i + samples_per_chunk])
+
+    duration = sum(delays_ms) * timescale // 1000
+    stsd_entry = (
+        struct.pack(">I4s6xH", 86, b"jpeg", 1)     # size, type, dref idx
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)                     # frame count
+        + b"\x00" * 32                             # compressor name
+        + struct.pack(">Hh", 24, -1)               # depth, color table
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
+    stts = _full(b"stts", 0, 0, struct.pack(">I", len(sizes)) + b"".join(
+        struct.pack(">II", 1, d * timescale // 1000) for d in delays_ms
+    ))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", 1) + struct.pack(
+        ">III", 1, samples_per_chunk, 1,
+    ))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, len(sizes)) + b"".join(
+        struct.pack(">I", s) for s in sizes
+    ))
+    stco = _full(b"stco", 0, 0, struct.pack(">I", len(chunks)) + b"".join(
+        struct.pack(">I", c) for c in chunks
+    ))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(
+        b"url ", 0, 1, b"",
+    ))
+    minf = _box(b"minf", _full(b"vmhd", 0, 1, b"\x00" * 8)
+                + _box(b"dinf", dref) + stbl)
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12
+                 + b"VideoHandler\x00")
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(
+        ">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0,
+    ))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(b"tkhd", 0, 7, struct.pack(">IIII4x", 0, 0, 1, duration)
+                 + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0x0100, 0)
+                 + _unity_matrix()
+                 + struct.pack(">II", width << 16, height << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, timescale, duration,
+    ) + struct.pack(">IH2x8x", 0x00010000, 0x0100) + _unity_matrix()
+        + b"\x00" * 24 + struct.pack(">I", 2))
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+def _unity_matrix() -> bytes:
+    return struct.pack(
+        ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000,
+    )

@@ -1497,6 +1497,20 @@ def sample_frames(
                     continue  # skip the corrupt frame, keep the stream
                 out.append((i * mjpeg_frame_ms, mjpeg_frame_ms, img))
             return out
+        if len(b) >= 12 and b[4:8] == b"ftyp":
+            # MP4 container: samples + CONTAINER timing from the moov
+            # sample tables; only Motion-JPEG tracks decode (pipeline.mp4)
+            from sed_binning_spark.pipeline.jpeg import decode_image_jpeg
+            from sed_binning_spark.pipeline.mp4 import parse_mp4_samples
+
+            out = []
+            for start_ms, delay_ms, fb in parse_mp4_samples(b, max_frames):
+                try:
+                    img = decode_image_jpeg(fb, max_pixels=FEATURIZER_MAX_PIXELS)
+                except _DECODE_ERRORS:
+                    continue  # skip the corrupt sample, keep the track
+                out.append((start_ms, delay_ms, img))
+            return out
         return []
 
     def _frame_batches(batches):

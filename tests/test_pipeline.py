@@ -1623,6 +1623,63 @@ def test_mjpeg_frame_split_and_sampling(spark):
     assert {r["delay_ms"] for r in rows} == {40}
 
 
+def test_mp4_mjpeg_demux_and_sampling(spark):
+    """MP4 (ISO BMFF) Motion-JPEG: the demuxer walks ftyp/mdat/moov,
+    rebuilds the sample layout from stsc/stco/stsz across multi-sample
+    chunks, and converts stts deltas through the mdhd timescale into the
+    frame timeline; sample_frames decodes the samples with the JPEG
+    codec. Non-MP4 bytes, missing moov, and non-JPEG codecs (no H.264
+    decoder ships here) refuse loudly; a corrupt sample mid-track is
+    skipped while the rest of the track survives."""
+    import numpy as np
+    import pytest
+
+    from sed_binning_spark.pipeline.jpeg import encode_image_jpeg
+    from sed_binning_spark.pipeline.mp4 import (
+        encode_mp4_mjpeg, parse_mp4_samples,
+    )
+    from sed_binning_spark.pipeline.multimodal import sample_frames
+
+    vals = (20, 90, 160, 230, 250)
+    frames = [encode_image_jpeg(np.full((16, 16, 3), v, np.uint8)) for v in vals]
+    blob = encode_mp4_mjpeg(frames, [40, 40, 30, 30, 50], width=16, height=16)
+    got = parse_mp4_samples(blob)
+    assert [g[0] for g in got] == [0, 40, 80, 110, 140]
+    assert [g[1] for g in got] == [40, 40, 30, 30, 50]
+    assert [g[2] for g in got] == frames
+    assert len(parse_mp4_samples(blob, max_frames=3)) == 3
+
+    with pytest.raises(ValueError, match="ISO BMFF"):
+        parse_mp4_samples(b"certainly not an mp4")
+    with pytest.raises(ValueError, match="no moov"):
+        parse_mp4_samples(blob[: blob.index(b"moov") - 4])
+    avc = bytearray(blob)
+    at = bytes(avc).rindex(b"jpeg")  # the stsd entry type, inside moov
+    avc[at : at + 4] = b"avc1"
+    with pytest.raises(ValueError, match="avc1.*unsupported"):
+        parse_mp4_samples(bytes(avc))
+
+    # corrupt ONE sample decisively (zero its SOI — entropy bit flips
+    # can decode to garbage without raising): its decode fails, the
+    # other four frames still sample with container timing intact
+    corrupt = bytearray(blob)
+    sample1_at = bytes(blob).index(frames[1])
+    corrupt[sample1_at : sample1_at + 2] = b"\x00\x00"
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytes(corrupt)), (3, None)],
+        "media_id long, payload binary",
+    )
+    rows = sample_frames(media).toPandas()
+    ok = rows[rows.media_id == 1].sort_values("frame_index")
+    assert list(ok.frame_ms) == [0, 40, 80, 110, 140]
+    assert [round(m, 2) for m in ok["mean"]] == [
+        round(v / 255, 2) for v in vals
+    ]
+    bad = rows[rows.media_id == 2]
+    assert len(bad) == 4 and 40 not in set(bad.frame_ms.iloc[1:2])
+    assert set(bad.frame_ms) == {0, 80, 110, 140}
+
+
 def test_gif_animation_first_frame_only():
     """Multi-frame GIFs decode their first frame; trailing frames and
     inter-frame extensions are ignored by design."""
