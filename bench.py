@@ -181,6 +181,18 @@ def main() -> None:
         lambda: pca_apply(emb, pca_fit(emb, k=16))
         .agg(F.count("embedding_pca")).collect(),
     )
+    # round-11: the video decode half — every doc becomes a 3-frame
+    # expression-built animated GIF and sample_frames walks the real
+    # LZW + compositing timeline per payload
+    from sed_binning_spark.pipeline.multimodal import (
+        sample_frames, synthesize_animated_gif_media_from_text,
+    )
+
+    agif = synthesize_animated_gif_media_from_text(docs, frames=3)
+    extras["frame_sample_gif"] = _timeit(
+        lambda: sample_frames(agif).agg(F.sum("frame_ms")).collect(),
+    )
+
     extras["quality_classifier"] = _timeit(
         lambda: quality_classifier_apply(
             docs,
