@@ -824,3 +824,48 @@ def test_extract_features_runs_on_a_structured_stream(tmp_path, spark):
     # PNG (interlaced) and PPM decode to the same raster stats
     assert list(got.loc[2, "feat"]) == list(got.loc[0, "feat"])
     assert got.loc[1, "feat"][0] == 0.0  # byte-stats fallback
+
+
+def test_sample_frames_runs_on_a_structured_stream(tmp_path, spark):
+    """Frame sampling is the same stateless mapInPandas shape as the
+    featurizer, so a live media stream decodes frame timelines per
+    micro-batch unchanged — animated GIF in one file, an undecodable
+    payload in the other contributing no rows, results identical to the
+    batch run over the union."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.multimodal import (
+        encode_gif_animation,
+        sample_frames,
+    )
+
+    a = np.full((2, 3, 3), 10, np.uint8)
+    b = np.full((2, 3, 3), 40, np.uint8)
+    anim = encode_gif_animation(
+        [dict(img=a, delay_ms=20), dict(img=b, delay_ms=50)],
+        screen_size=(3, 2),
+    )
+    root = tmp_path / "frames_in"
+    root.mkdir()
+    pd.DataFrame({"media_id": [0], "payload": [bytes(anim)]}) \
+        .to_parquet(root / "chunk_0.parquet")
+    pd.DataFrame({"media_id": [1], "payload": [b"not a video"]}) \
+        .to_parquet(root / "chunk_1.parquet")
+
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1).parquet(str(root))
+    )
+    q = (
+        sample_frames(stream)
+        .writeStream.format("memory").queryName("frame_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM frame_stream").toPandas() \
+        .sort_values(["media_id", "frame_index"]).reset_index(drop=True)
+    batch = sample_frames(spark.read.parquet(str(root))).toPandas() \
+        .sort_values(["media_id", "frame_index"]).reset_index(drop=True)
+    assert got.equals(batch)
+    assert list(got.media_id) == [0, 0]
+    assert list(got.frame_ms) == [0, 20] and list(got.delay_ms) == [20, 50]
