@@ -309,11 +309,14 @@ def text_stats(
     return df.withColumns({
         "n_chars": F.length(t),
         "n_ws_tokens": _size(ws),
-        "n_bpe_tokens": _size(bpe_tokens(t)),
+        # regexp_count, NOT size(regexp_extract_all(...)): the counts are
+        # identical (same non-overlapping match walk) but extract_all
+        # materializes an array of every match just to throw it away
+        "n_bpe_tokens": F.regexp_count(t, F.lit(BPE_TOKEN_RE)),
         "mean_token_len": F.length(F.regexp_replace(t, f"[{WHITESPACE_CLASS}]+", "")) / n_ws,
-        "punct_ratio": F.size(F.regexp_extract_all(
-            t, F.lit(f"[^A-Za-z0-9_{WHITESPACE_CLASS}]"), 0))
-        / n_ch,
+        "punct_ratio": F.regexp_count(
+            t, F.lit(f"[^A-Za-z0-9_{WHITESPACE_CLASS}]"),
+        ) / n_ch,
         "stopword_ratio": F.size(F.filter(F.transform(ws, F.lower), lambda x: x.isin(*stop)))
         / n_ws,
         "uniq_token_ratio": F.size(F.array_distinct(ws)) / n_ws,
@@ -561,10 +564,10 @@ def pii_stats(df: DataFrame, text_column: str = "text") -> DataFrame:
     run, which also fires on ids — a recall-first audit signal, not a
     validator. NULL text → NULL counts."""
     t = F.col(text_column)
+    # regexp_count: same non-overlapping match count as
+    # size(regexp_extract_all(...)) without materializing the match array
     return df.withColumns({
-        f"n_{k}": F.when(
-            t.isNotNull(), F.size(F.regexp_extract_all(t, F.lit(p), 0)),
-        )
+        f"n_{k}": F.when(t.isNotNull(), F.regexp_count(t, F.lit(p)))
         for k, p in PII_PATTERNS.items()
     })
 
