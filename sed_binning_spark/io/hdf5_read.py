@@ -38,14 +38,15 @@ the reference's real fixtures ``Scan0030_2.h5`` /
   or relative, cycle-guarded; dangling links list as absent and raise
   KeyError only when followed
 
-- committed (named) datatypes on datasets: the shared-message reference
-  (versions 1/2 and v3 type 2) resolves to the named type's object
-  header and the real datatype message is parsed from there; the named
-  datatype object itself lists as an (empty) node
+- committed (named) datatypes on datasets AND on attributes (v2/v3
+  attribute flag bit 0): the shared-message reference (versions 1/2 and
+  v3 type 2) resolves to the named type's object header and the real
+  datatype message is parsed from there; the named datatype object
+  itself lists as an (empty) node
 
 NOT supported (all raise): paged extensible-array data blocks, szip/
 n-bit filters, dataset regions, external links, SOHM-heap shared
-messages and shared dataspaces, shared ATTRIBUTE datatypes, vlen
+messages and shared dataspaces, vlen
 members inside compounds,
 filtered/huge/tiny/multi-level fractal heaps, v2 B-trees deeper than two
 levels, writes (see ``hdf5_write`` for the companion writer). Paged
@@ -1062,17 +1063,21 @@ class H5File:
         version = body[0]
         if version not in (1, 2, 3):
             raise UnsupportedHDF5(f"attribute message version {version}")
-        if version in (2, 3) and body[1] & 0x03:
-            # flag bits mark SHARED datatype/dataspace: the blocks below
-            # would be shared-message references, not inline definitions
-            raise UnsupportedHDF5("shared attribute datatype/dataspace")
+        flags = body[1] if version in (2, 3) else 0
+        if flags & 0x02:
+            # flag bit 1 marks a SHARED dataspace — the block below would
+            # be a shared-message reference, not an inline definition
+            raise UnsupportedHDF5("shared attribute dataspace")
         name_size, dt_size, sp_size = struct.unpack_from("<HHH", body, 2)
         # v3 inserts a 1-byte name character-set encoding before the name;
         # v1 pads name/datatype/dataspace blocks to 8 bytes, v2/v3 don't
         pos = 9 if version == 3 else 8
         name = body[pos : pos + name_size].split(b"\x00")[0].decode("utf-8")
         pos += name_size + ((-name_size) % 8 if version == 1 else 0)
-        dtype = self._parse_datatype(body[pos : pos + dt_size])
+        dt_block = body[pos : pos + dt_size]
+        if flags & 0x01:  # shared (committed) attribute datatype
+            dt_block = self._shared_message_body(dt_block, 0x0003)
+        dtype = self._parse_datatype(dt_block)
         pos += dt_size + ((-dt_size) % 8 if version == 1 else 0)
         shape = self._parse_dataspace(body[pos : pos + sp_size])
         pos += sp_size + ((-sp_size) % 8 if version == 1 else 0)

@@ -1109,3 +1109,45 @@ def test_committed_datatype_roundtrip(tmp_path):
         f._shared_message_body(
             bytes([3, 2]) + (2 ** 60).to_bytes(8, "little"), 0x0003,
         )
+
+
+def test_shared_attribute_datatype(tmp_path):
+    """v3 attribute messages whose flag bit 0 marks a SHARED datatype:
+    the dt block is a shared-message reference the reader must resolve
+    through the committed type's object header (the same machinery as
+    dataset datatypes); a shared DATASPACE (flag bit 1) still refuses."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from sed_binning_spark.io.hdf5_read import H5File, UnsupportedHDF5
+    from sed_binning_spark.io.hdf5_write import H5Writer
+
+    w = H5Writer()
+    w.add_committed_datatype("/t_f8", "<f8")
+    w.add_dataset("/d", np.arange(3, dtype="<f8"), committed_dtype="/t_f8")
+    p = str(tmp_path / "shared_attr.h5")
+    w.write(p)
+    f = H5File(p)
+    # the committed type's object-header address, as the writer placed it
+    addr = w._dtype_addrs["/t_f8"]
+
+    # hand-build a v3 attribute message: version, flags=1 (shared dt),
+    # name size, dt size (10-byte shared ref), dataspace size, encoding
+    name = b"temp\x00"
+    dt_ref = struct.pack("<BBQ", 3, 2, addr)
+    space = struct.pack("<BBB5x", 1, 0, 0)  # v1 scalar dataspace
+    value = struct.pack("<d", 36.6)
+    body = (
+        struct.pack("<BBHHH", 3, 0x01, len(name), len(dt_ref), len(space))
+        + b"\x00" + name + dt_ref + space + value
+    )
+    got_name, got_val = f._parse_attribute(body)
+    assert got_name == "temp" and got_val == pytest.approx(36.6)
+
+    # shared dataspace still refuses loudly
+    body2 = bytearray(body)
+    body2[1] = 0x02
+    with pytest.raises(UnsupportedHDF5, match="shared attribute dataspace"):
+        f._parse_attribute(bytes(body2))
