@@ -154,3 +154,62 @@ def test_gif_lzw_roundtrip_property(data, min_code, period):
     stream = vals + (vals[:period] or b"\x00") * 200 + vals
     enc = _gif_lzw_encode(stream, min_code)
     assert _gif_lzw_decode(enc, min_code, len(stream)) == stream
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    cut=st.integers(min_value=0, max_value=2000),
+    flip_at=st.integers(min_value=0, max_value=1999),
+    flip_to=st.integers(min_value=0, max_value=255),
+)
+def test_mp4_demux_survives_mutations(cut, flip_at, flip_to):
+    """Truncations and byte flips of a valid MP4 either demux to SOME
+    sample list or raise within the degradable exception taxonomy
+    (_DECODE_ERRORS) — never an IndexError-free crash class sample_frames
+    cannot catch, and never a sample extending past the buffer."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.jpeg import encode_image_jpeg
+    from sed_binning_spark.pipeline.mp4 import encode_mp4_mjpeg, parse_mp4_samples
+    from sed_binning_spark.pipeline.multimodal import _DECODE_ERRORS
+
+    frames = [encode_image_jpeg(np.full((8, 8, 3), v, np.uint8))
+              for v in (10, 120)]
+    blob = encode_mp4_mjpeg(frames, [30, 30], width=8, height=8)
+    mutated = bytearray(blob[: max(12, min(cut, len(blob)))])
+    if flip_at < len(mutated):
+        mutated[flip_at] = flip_to
+    try:
+        got = parse_mp4_samples(bytes(mutated))
+    except _DECODE_ERRORS:
+        return
+    for start_ms, delay_ms, payload in got:
+        assert 0 <= start_ms and 0 <= delay_ms
+        assert len(payload) <= len(mutated)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    cut=st.integers(min_value=0, max_value=4000),
+    flip_at=st.integers(min_value=0, max_value=3999),
+    flip_to=st.integers(min_value=0, max_value=255),
+)
+def test_mjpeg_split_survives_mutations(cut, flip_at, flip_to):
+    """split_mjpeg_frames on truncations/byte flips of a valid stream
+    always terminates and returns frame byte runs inside the buffer —
+    the structural walk can mis-split a corrupted stream (the decoder
+    rejects those frames downstream) but must never raise or hang."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.jpeg import encode_image_jpeg
+    from sed_binning_spark.pipeline.multimodal import split_mjpeg_frames
+
+    frames = [encode_image_jpeg(np.full((8, 8, 3), v, np.uint8))
+              for v in (10, 120, 240)]
+    stream = b"".join(frames)
+    mutated = bytearray(stream[: min(cut, len(stream))])
+    if flip_at < len(mutated):
+        mutated[flip_at] = flip_to
+    got = split_mjpeg_frames(bytes(mutated), max_frames=16)
+    for fb in got:
+        assert fb.startswith(b"\xff\xd8") and fb.endswith(b"\xff\xd9")
