@@ -43,9 +43,13 @@ the reference's real fixtures ``Scan0030_2.h5`` /
   v3 type 2) resolves to the named type's object header and the real
   datatype message is parsed from there; the named datatype object
   itself lists as an (empty) node
+- external links (H5L type 64): followed lazily into the target file
+  (relative names resolve against the linking file's directory, opened
+  once and cached); like soft links they are never followed during
+  traversal and a dangling target fails only on follow
 
 NOT supported (all raise): paged extensible-array data blocks, szip/
-n-bit filters, dataset regions, external links, SOHM-heap shared
+n-bit filters, dataset regions, SOHM-heap shared
 messages and shared dataspaces, vlen
 members inside compounds,
 filtered/huge/tiny/multi-level fractal heaps, v2 B-trees deeper than two
@@ -115,6 +119,28 @@ class SoftLink:
     """A symbolic link's target path — resolved lazily at traversal time
     (HDF5 permits dangling soft links; only following one must fail)."""
     target: str
+
+
+@dataclass
+class ExternalLink:
+    """An external link (H5L_TYPE_EXTERNAL, link type 64): a path inside
+    ANOTHER HDF5 file. Resolved lazily on follow — relative file names
+    resolve against the linking file's directory, the libhdf5 default
+    search — and never during traversal (dangling targets only fail when
+    followed, like soft links)."""
+    file: str
+    target: str
+
+
+class _ExternalJump(Exception):
+    """Internal control flow: _resolve hit an ExternalLink; the public
+    entry point must re-dispatch the remaining path into the target
+    file's own H5File."""
+
+    def __init__(self, file: str, path: str) -> None:
+        super().__init__(file, path)
+        self.file = file
+        self.path = path
 
 
 @dataclass
@@ -412,6 +438,8 @@ class H5File:
                 f"truncated or corrupt HDF5 file (superblock: {exc})",
             ) from exc
         self._cache: dict[str, object] = {}
+        self._path = path
+        self._ext_files: dict[str, H5File] = {}
 
     # -- public surface -----------------------------------------------------
     @_struct_guard
@@ -431,11 +459,11 @@ class H5File:
             obj = self._object(addr)
             if isinstance(obj, Group):
                 for name, child in self._group_entries(obj):
-                    if isinstance(child, SoftLink):
-                        # H5Ovisit semantics (h5py .visit): soft links are
-                        # not followed during traversal — their targets
-                        # list under their hard path, and read() resolves
-                        # the link path on demand
+                    if isinstance(child, (SoftLink, ExternalLink)):
+                        # H5Ovisit semantics (h5py .visit): soft/external
+                        # links are not followed during traversal — their
+                        # targets list under their hard path (or in their
+                        # own file), and read() resolves them on demand
                         continue
                     p = f"{prefix}/{name}"
                     if isinstance(self._object(child), Group):
@@ -446,16 +474,44 @@ class H5File:
         _walk("", self._root_addr)
         return out
 
-    @_struct_guard
-    def dataset(self, path: str) -> Dataset:
+    def _external(self, fname: str) -> "H5File":
+        """The H5File behind an external link, opened once and cached;
+        relative names resolve against this file's directory (libhdf5's
+        default external-link search). A missing target file is a
+        KeyError on FOLLOW, like a dangling soft link."""
+        f = self._ext_files.get(fname)
+        if f is None:
+            import os as _os
+
+            p = fname if _os.path.isabs(fname) else _os.path.join(
+                _os.path.dirname(_os.path.abspath(self._path)), fname,
+            )
+            if not _os.path.exists(p):
+                raise KeyError(
+                    f"external link target file {fname!r} not found",
+                )
+            f = self._ext_files[fname] = H5File(p)
+        return f
+
+    def _dataset(self, path: str) -> Dataset:
         obj = self._object(self._resolve(path))
         if not isinstance(obj, Dataset):
             raise KeyError(f"{path} is a group, not a dataset")
         return obj
 
     @_struct_guard
+    def dataset(self, path: str) -> Dataset:
+        try:
+            return self._dataset(path)
+        except _ExternalJump as jump:
+            return self._external(jump.file).dataset(jump.path)
+
+    @_struct_guard
     def attrs(self, path: str = "/") -> dict:
-        return self._object(self._resolve(path)).attrs
+        try:
+            return self._object(self._resolve(path)).attrs
+        except _ExternalJump as jump:
+            return self._external(jump.file).attrs(jump.path)
 
     def _data_slice(self, addr: int, nbytes: int, what: str) -> bytes:
         """Bounds-checked buffer slice: a region past EOF means a truncated
@@ -479,7 +535,13 @@ class H5File:
         would crash only when this backend — not h5py — happened to read
         the file. The copy costs one memcpy on the fast layouts; the
         chunked path assembles a fresh array anyway."""
-        ds = self.dataset(path)
+        try:
+            ds = self._dataset(path)
+        except _ExternalJump as jump:
+            # the dataset lives in ANOTHER file: its addresses are only
+            # meaningful against that file's buffer, so the whole read
+            # re-dispatches there
+            return self._external(jump.file).read(jump.path)
         dtype = ds.dtype.np_dtype
         if ds.layout == "compact":
             return (
@@ -579,6 +641,10 @@ class H5File:
                         return self._resolve(
                             "/".join([t] + parts[i + 1 :]), _depth + 1,
                         )
+                    if isinstance(child, ExternalLink):
+                        raise _ExternalJump(child.file, "/".join(
+                            [child.target.rstrip("/")] + parts[i + 1 :],
+                        ))
                     addr = child
                     break
             else:
@@ -828,9 +894,24 @@ class H5File:
             (tlen,) = struct.unpack_from("<H", body, pos)
             target = body[pos + 2 : pos + 2 + tlen].decode("utf-8")
             return name, SoftLink(target)
+        if link_type == 64:  # external: 2-byte length + version/flags +
+            # file_name\0 + object_path\0 (H5L registered type 64)
+            (tlen,) = struct.unpack_from("<H", body, pos)
+            blob = body[pos + 2 : pos + 2 + tlen]
+            if not blob:
+                raise UnsupportedHDF5("empty external link payload")
+            if blob[0] >> 4:
+                raise UnsupportedHDF5(
+                    f"external link version {blob[0] >> 4}",
+                )
+            fname, _, rest = blob[1:].partition(b"\x00")
+            objpath = rest.split(b"\x00")[0]
+            return name, ExternalLink(
+                fname.decode("utf-8"), objpath.decode("utf-8"),
+            )
         if link_type != 0:
             raise UnsupportedHDF5(
-                f"link type {link_type} (hard and soft links only)",
+                f"link type {link_type} (hard, soft, and external only)",
             )
         return name, struct.unpack_from("<Q", body, pos)[0]
 

@@ -126,6 +126,23 @@ class H5Writer:
             "__dtype__": np.dtype(dtype), "__path__": "/" + "/".join(parts),
         }
 
+    def add_externallink(self, path: str, file: str, target: str) -> None:
+        """External link at ``path`` into another FILE's object (H5L link
+        type 64). Only dense-link groups can carry it (classic
+        symbol-table groups have no link-message storage — libhdf5 has
+        the same constraint pre-1.8), so construct the writer with
+        ``dense_links=True``."""
+        if not self._dense_links:
+            raise ValueError(
+                "external links need link-message storage: construct "
+                "H5Writer(dense_links=True)",
+            )
+        parts = [p for p in path.strip("/").split("/") if p]
+        parent = self._group(parts[:-1])
+        parent["__children__"][parts[-1]] = {
+            "__kind__": "extlink", "__file__": file, "__target__": target,
+        }
+
     def add_softlink(self, path: str, target: str) -> None:
         """Symbolic link at ``path`` pointing at ``target`` (absolute or
         relative HDF5 path) — classic symbol-table form: cache type 2,
@@ -190,6 +207,8 @@ class H5Writer:
     def _emit(self, buf: bytearray, node: dict):
         if node["__kind__"] == "softlink":
             return ("soft", node["__target__"])
+        if node["__kind__"] == "extlink":
+            return ("ext", node["__file__"], node["__target__"])
         if node["__kind__"] == "named_dtype":
             return node["__addr__"]  # pre-emitted; link like any object
         if node["__kind__"] == "dataset":
@@ -539,6 +558,13 @@ def _link_message(name: str, addr) -> bytes:
         tb = addr[1].encode("utf-8")
         return (bytes([1, 0x08, 1, len(nb)]) + nb
                 + struct.pack("<H", len(tb)) + tb)
+    if isinstance(addr, tuple) and addr[0] == "ext":
+        # H5L_TYPE_EXTERNAL payload: version/flags byte 0, then
+        # file_name\0 + object_path\0
+        blob = (b"\x00" + addr[1].encode("utf-8") + b"\x00"
+                + addr[2].encode("utf-8") + b"\x00")
+        return (bytes([1, 0x08, 64, len(nb)]) + nb
+                + struct.pack("<H", len(blob)) + blob)
     return bytes([1, 0x00, len(nb)]) + nb + struct.pack("<Q", addr)
 
 

@@ -1151,3 +1151,43 @@ def test_shared_attribute_datatype(tmp_path):
     body2[1] = 0x02
     with pytest.raises(UnsupportedHDF5, match="shared attribute dataspace"):
         f._parse_attribute(bytes(body2))
+
+
+def test_external_links(tmp_path):
+    """External links (H5L type 64): followed lazily into the target
+    file — directly to a dataset, THROUGH an externally-linked group
+    with remaining path components, and for attrs; relative file names
+    resolve against the linking file's directory; traversal skips them
+    (h5py.visit semantics) and a dangling target fails only on follow."""
+    import numpy as np
+    import pytest
+
+    from sed_binning_spark.io.hdf5_read import H5File
+    from sed_binning_spark.io.hdf5_write import H5Writer
+
+    data = np.arange(6, dtype="<i4")
+    wt = H5Writer()
+    wt.add_dataset("/remote/data", data)
+    wt.add_attr("/remote", "who", "target")
+    wt.write(str(tmp_path / "target.h5"))
+
+    wl = H5Writer(dense_links=True)
+    wl.add_dataset("/local", np.ones(2, dtype="<f8"))
+    wl.add_externallink("/ext", "target.h5", "/remote/data")
+    wl.add_externallink("/extgrp", "target.h5", "/remote")
+    wl.add_externallink("/dangling", "missing.h5", "/x")
+    wl.write(str(tmp_path / "link.h5"))
+
+    f = H5File(str(tmp_path / "link.h5"))
+    np.testing.assert_array_equal(f.read("/ext"), data)
+    # remaining path components continue INSIDE the target file
+    np.testing.assert_array_equal(f.read("/extgrp/data"), data)
+    assert f.attrs("/extgrp")["who"] == "target"
+    assert f.dataset("/ext").shape == (6,)
+    # traversal lists only this file's own datasets
+    assert f.visit() == ["/local"]
+    with pytest.raises(KeyError, match="not found"):
+        f.read("/dangling")
+    # classic symbol-table groups have no link-message storage
+    with pytest.raises(ValueError, match="dense_links"):
+        H5Writer().add_externallink("/e", "f.h5", "/x")
