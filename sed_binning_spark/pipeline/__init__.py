@@ -34,7 +34,9 @@ event-scale data.
   split assignment — reproducible on any partition layout or engine
 - :mod:`~sed_binning_spark.pipeline.lm` — corpus n-gram language-model
   scoring (CCNet-style quality proxy): gram counts + per-document mean
-  log-probability from exact integer micro-nat sums
+  log-probability from exact integer micro-nat sums, and CCNet's
+  head/middle/tail perplexity bucketing (quantile thresholds fit
+  driver-side, assignment as one stream-safe CASE expression)
 - :mod:`~sed_binning_spark.pipeline.filters` — C4-style content gates:
   key blocklists (exact or domain-suffix, broadcast anti-join) and
   badword scoring/filtering (codegen literal list or explode+join)
@@ -112,6 +114,8 @@ from sed_binning_spark.pipeline.filters import (
     filter_by_blocklist,
 )
 from sed_binning_spark.pipeline.lm import (
+    assign_perplexity_buckets,
+    perplexity_bucket_thresholds,
     unigram_logprob,
     unigram_logprob_rowwise,
     unigram_model,
@@ -210,6 +214,8 @@ __all__ = [
     "unigram_model",
     "unigram_logprob",
     "unigram_logprob_rowwise",
+    "perplexity_bucket_thresholds",
+    "assign_perplexity_buckets",
     "badword_stats",
     "filter_badwords",
     "filter_by_blocklist",

@@ -352,3 +352,71 @@ def unigram_logprob_rowwise(
         else _lm_grams(F.col(text_column), n)
     )
     return docs.withColumn(output_column, score_udf(grams))
+
+
+def perplexity_bucket_thresholds(
+    df: DataFrame,
+    fractions: tuple[float, ...] = (1 / 3, 2 / 3),
+    logprob_column: str = "unigram_logprob",
+    relative_error: float = 1e-4,
+) -> list[float]:
+    """CCNet's bucket boundaries: the LM-score quantiles that split the
+    corpus into head/middle/tail (Wenzek et al. 2020 §4.3 — documents are
+    ranked by language-model score and cut into terciles; training
+    recipes then sample the buckets at different rates). Fit half of the
+    driver-fit / cluster-applied seam: one ``approxQuantile`` pass
+    (Greenwald-Khanna, driver traffic = len(fractions) doubles — nothing
+    corpus-sized moves), returning thresholds to bake into
+    :func:`assign_perplexity_buckets` (or to reuse on a STREAM, where a
+    global quantile is impossible by construction). NULL scores (no
+    tokens) are excluded, matching the assign side's NULL bucket."""
+    if not fractions or list(fractions) != sorted(fractions) or not all(
+        0.0 < f < 1.0 for f in fractions
+    ):
+        raise ValueError(
+            f"fractions must be sorted cut points in (0, 1), got {fractions}",
+        )
+    if logprob_column not in df.columns:
+        raise ValueError(
+            f"logprob column {logprob_column!r} not in dataframe "
+            f"(columns: {df.columns}) — run unigram_logprob first",
+        )
+    return df.where(F.col(logprob_column).isNotNull()).approxQuantile(
+        logprob_column, list(fractions), float(relative_error),
+    )
+
+
+def assign_perplexity_buckets(
+    df: DataFrame,
+    thresholds: list[float],
+    buckets: tuple[str, ...] = ("head", "middle", "tail"),
+    logprob_column: str = "unigram_logprob",
+    output_column: str = "ppl_bucket",
+) -> DataFrame:
+    """Apply half: label every document with its CCNet bucket as ONE
+    map-only CASE expression (stream-safe, no shuffle). HIGHER mean
+    log-probability = lower perplexity = closer to the LM's training
+    distribution, so the TOP fraction is ``buckets[0]`` ("head") — the
+    bucket CCNet upsamples. NULL scores get a NULL bucket (a document
+    with no tokens has no perplexity)."""
+    if len(buckets) != len(thresholds) + 1:
+        raise ValueError(
+            f"{len(thresholds)} thresholds split into "
+            f"{len(thresholds) + 1} buckets; got {len(buckets)} names",
+        )
+    if list(thresholds) != sorted(thresholds):
+        raise ValueError(f"thresholds must be sorted, got {thresholds}")
+    lp = F.col(logprob_column)
+    # thresholds are ASCENDING logprob quantiles and buckets[0] is the
+    # TOP (highest-logprob) slice: test the cuts bottom-up so bucket
+    # -1-i pairs with thresholds[i], and everything above the last cut
+    # falls through to buckets[0]
+    expr = F.when(lp <= F.lit(float(thresholds[0])), F.lit(buckets[-1]))
+    for i in range(1, len(thresholds)):
+        expr = expr.when(
+            lp <= F.lit(float(thresholds[i])), F.lit(buckets[-1 - i]),
+        )
+    expr = expr.otherwise(F.lit(buckets[0]))
+    return df.withColumn(
+        output_column, F.when(lp.isNotNull(), expr),
+    )

@@ -305,3 +305,64 @@ def test_rowwise_requires_a_model_frame(spark):
     bad = spark.createDataFrame([("a", 1)], "word string, cnt long")
     with pytest.raises(ValueError, match="token"):
         unigram_logprob_rowwise(docs, bad)
+
+
+def test_perplexity_buckets_ccnet_split(spark):
+    """CCNet head/middle/tail: thresholds are LM-score quantiles fit
+    driver-side; the assign half is one map-only CASE — the best-scored
+    third lands in 'head', NULL scores (token-less docs) get a NULL
+    bucket, thresholds transfer to ANY frame (the stream posture), and
+    degenerate inputs refuse loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sed_binning_spark.pipeline.lm import (
+        assign_perplexity_buckets,
+        perplexity_bucket_thresholds,
+        unigram_logprob,
+    )
+
+    # crisp boundary semantics on EXPLICIT distinct scores: nine docs
+    # with logprobs 1..9 (plus two NULLs) tercile into 3/3/3
+    scored = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 10)] + [(200, None), (201, None)],
+        "doc_id long, unigram_logprob double",
+    )
+    cuts = perplexity_bucket_thresholds(scored, fractions=(1 / 3, 2 / 3))
+    assert len(cuts) == 2 and cuts[0] <= cuts[1]
+    out = assign_perplexity_buckets(scored, cuts)
+    got = {r["doc_id"]: r["ppl_bucket"] for r in out.collect()}
+    # highest logprob = lowest perplexity = head; cut membership is <=
+    assert got[9] == "head" and got[1] == "tail"
+    ordered = [got[i] for i in range(1, 10)]
+    assert ordered == sorted(ordered, key=("tail", "middle", "head").index)
+    assert ordered.count("tail") == 3 and ordered.count("head") == 3
+    assert got[200] is None and got[201] is None
+
+    # integration: self-scored corpus ranks rare-word docs strictly below
+    # the repeated-template docs
+    rows = [(i, "common words appear in every document here") for i in range(12)]
+    rows += [(100 + i, f"rare{i} tokens rare{i} singular oddity{i}")
+             for i in range(6)]
+    docs = unigram_logprob(spark.createDataFrame(rows, "doc_id long, text string"))
+    c2 = perplexity_bucket_thresholds(docs, fractions=(0.2,))
+    lab = {r["doc_id"]: r["b"] for r in assign_perplexity_buckets(
+        docs, c2, buckets=("keep", "drop"), output_column="b",
+    ).collect()}
+    # the bottom-quintile cut catches only rare-word docs
+    assert all(lab[i] == "keep" for i in range(12))
+    assert any(lab[100 + i] == "drop" for i in range(6))
+    assert all(lab[100 + i] in ("keep", "drop") for i in range(6))
+
+    # the CASE is engine-side and stream-safe: no shuffle, no Python
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("Scan")[0]
+
+    with pytest.raises(ValueError, match="sorted cut points"):
+        perplexity_bucket_thresholds(scored, fractions=(0.9, 0.1))
+    with pytest.raises(ValueError, match="bucket"):
+        assign_perplexity_buckets(scored, cuts, buckets=("a", "b"))
+    with pytest.raises(ValueError, match="run unigram_logprob"):
+        perplexity_bucket_thresholds(
+            spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+        )
