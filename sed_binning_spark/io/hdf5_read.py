@@ -474,6 +474,12 @@ class H5File:
         _walk("", self._root_addr)
         return out
 
+    # external-link chains hop across H5File INSTANCES, so the soft-link
+    # depth counter cannot see them — each public entry threads this
+    # private depth through its re-dispatch instead (a 2-file cycle would
+    # otherwise recurse to RecursionError with one live mmap per hop)
+    _MAX_EXT_DEPTH = 8
+
     def _external(self, fname: str) -> "H5File":
         """The H5File behind an external link, opened once and cached;
         relative names resolve against this file's directory (libhdf5's
@@ -500,18 +506,32 @@ class H5File:
         return obj
 
     @_struct_guard
-    def dataset(self, path: str) -> Dataset:
+    def dataset(self, path: str, _ext_depth: int = 0) -> Dataset:
         try:
             return self._dataset(path)
         except _ExternalJump as jump:
-            return self._external(jump.file).dataset(jump.path)
+            self._check_ext_depth(_ext_depth, path)
+            return self._external(jump.file).dataset(
+                jump.path, _ext_depth=_ext_depth + 1,
+            )
 
     @_struct_guard
-    def attrs(self, path: str = "/") -> dict:
+    def attrs(self, path: str = "/", _ext_depth: int = 0) -> dict:
         try:
             return self._object(self._resolve(path)).attrs
         except _ExternalJump as jump:
-            return self._external(jump.file).attrs(jump.path)
+            self._check_ext_depth(_ext_depth, path)
+            return self._external(jump.file).attrs(
+                jump.path, _ext_depth=_ext_depth + 1,
+            )
+
+    @classmethod
+    def _check_ext_depth(cls, depth: int, path: str) -> None:
+        if depth >= cls._MAX_EXT_DEPTH:
+            raise UnsupportedHDF5(
+                f"external-link chain deeper than {cls._MAX_EXT_DEPTH} "
+                f"at {path!r} (cycle?)",
+            )
 
     def _data_slice(self, addr: int, nbytes: int, what: str) -> bytes:
         """Bounds-checked buffer slice: a region past EOF means a truncated
@@ -526,7 +546,7 @@ class H5File:
         return self._buf[addr : addr + nbytes]
 
     @_struct_guard
-    def read(self, path: str) -> np.ndarray:
+    def read(self, path: str, _ext_depth: int = 0) -> np.ndarray:
         """Materialize a dataset as a numpy array (C order).
 
         Always WRITABLE, matching h5py's read semantics: a bare
@@ -541,7 +561,10 @@ class H5File:
             # the dataset lives in ANOTHER file: its addresses are only
             # meaningful against that file's buffer, so the whole read
             # re-dispatches there
-            return self._external(jump.file).read(jump.path)
+            self._check_ext_depth(_ext_depth, path)
+            return self._external(jump.file).read(
+                jump.path, _ext_depth=_ext_depth + 1,
+            )
         dtype = ds.dtype.np_dtype
         if ds.layout == "compact":
             return (

@@ -381,9 +381,17 @@ def perplexity_bucket_thresholds(
             f"logprob column {logprob_column!r} not in dataframe "
             f"(columns: {df.columns}) — run unigram_logprob first",
         )
-    return df.where(F.col(logprob_column).isNotNull()).approxQuantile(
-        logprob_column, list(fractions), float(relative_error),
-    )
+    got = df.where(
+        F.col(logprob_column).isNotNull() & ~F.isnan(F.col(logprob_column)),
+    ).approxQuantile(logprob_column, list(fractions), float(relative_error))
+    if len(got) < len(fractions):
+        # approxQuantile over zero rows returns [] — name the real
+        # problem here instead of a cryptic bucket-count error later
+        raise ValueError(
+            f"no non-NULL finite {logprob_column!r} scores to fit "
+            "thresholds on",
+        )
+    return got
 
 
 def assign_perplexity_buckets(
@@ -417,6 +425,10 @@ def assign_perplexity_buckets(
             lp <= F.lit(float(thresholds[i])), F.lit(buckets[-1 - i]),
         )
     expr = expr.otherwise(F.lit(buckets[0]))
+    # NaN is non-NULL and compares above every threshold in Spark SQL —
+    # without the explicit reject a garbage-scored document would land in
+    # buckets[0], the slice CCNet UPSAMPLES; it gets a NULL bucket like
+    # NULL scores instead
     return df.withColumn(
-        output_column, F.when(lp.isNotNull(), expr),
+        output_column, F.when(lp.isNotNull() & ~F.isnan(lp), expr),
     )

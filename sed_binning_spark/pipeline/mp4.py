@@ -145,12 +145,34 @@ def _track_samples(data, tables, timescale, max_frames):
             raise ValueError(f"MP4 stbl lacks {btype.decode()}")
         return got
 
+    def checked_count(btype, declared, entry_bytes, header, s, e):
+        # a lying entry count must raise, not read the NEIGHBORING boxes'
+        # bytes as table entries (entry_bytes > 0), and a fixed-stsz
+        # count of 0xFFFFFFFF must not malloc a 34 GB list — every
+        # sample needs at least one byte of mdat, so len(data) bounds
+        # any honest count (entry_bytes == 0: no stored entries)
+        if entry_bytes and s + header + entry_bytes * declared > e:
+            raise ValueError(
+                f"MP4 {btype.decode()} declares {declared} entries, "
+                f"box holds {(e - s - header) // entry_bytes}",
+            )
+        if declared > len(data):
+            raise ValueError(
+                f"MP4 {btype.decode()} declares {declared} entries "
+                f"in a {len(data)}-byte file",
+            )
+        return declared
+
     # sizes
     s, e = table(b"stsz")
     fixed, count = struct.unpack_from(">II", data, s + 4)
     if fixed:
+        count = checked_count(b"stsz", count, 0, 12, s, e)
+        if max_frames is not None:
+            count = min(count, int(max_frames))
         sizes = [fixed] * count
     else:
+        count = checked_count(b"stsz", count, 4, 12, s, e)
         sizes = list(struct.unpack_from(f">{count}I", data, s + 12))
     n_samples = len(sizes)
     if max_frames is not None:
@@ -160,15 +182,18 @@ def _track_samples(data, tables, timescale, max_frames):
     if b"stco" in tables:
         s, e = tables[b"stco"]
         (n_chunks,) = struct.unpack_from(">I", data, s + 4)
+        n_chunks = checked_count(b"stco", n_chunks, 4, 8, s, e)
         offsets = list(struct.unpack_from(f">{n_chunks}I", data, s + 8))
     else:
         s, e = table(b"co64")
         (n_chunks,) = struct.unpack_from(">I", data, s + 4)
+        n_chunks = checked_count(b"co64", n_chunks, 8, 8, s, e)
         offsets = list(struct.unpack_from(f">{n_chunks}Q", data, s + 8))
 
     # sample -> chunk runs
     s, e = table(b"stsc")
     (n_runs,) = struct.unpack_from(">I", data, s + 4)
+    n_runs = checked_count(b"stsc", n_runs, 12, 8, s, e)
     runs = [
         struct.unpack_from(">III", data, s + 8 + 12 * i)[:2]
         for i in range(n_runs)
@@ -177,6 +202,7 @@ def _track_samples(data, tables, timescale, max_frames):
     # timing: stts (count, delta) runs at mdhd timescale
     s, e = table(b"stts")
     (n_tt,) = struct.unpack_from(">I", data, s + 4)
+    n_tt = checked_count(b"stts", n_tt, 8, 8, s, e)
     deltas: list[int] = []
     for i in range(n_tt):
         cnt, delta = struct.unpack_from(">II", data, s + 8 + 8 * i)
@@ -186,15 +212,19 @@ def _track_samples(data, tables, timescale, max_frames):
     if len(deltas) < n_samples:
         raise ValueError("MP4 stts covers fewer samples than stsz")
 
-    # walk chunks, laying samples contiguously inside each
+    # walk chunks, laying samples contiguously inside each; stsc runs are
+    # spec-ordered by first_chunk, so a single forward pointer gives each
+    # chunk's samples-per-chunk in O(n_chunks + n_runs) — a rescan per
+    # chunk is quadratic on real per-chunk-entry tables
     out: list[tuple[int, int, bytes]] = []
     start_units = 0
     si = 0
+    ri = 0
+    per = 0
     for ci in range(len(offsets)):
-        per = 0
-        for first, spc in runs:
-            if first <= ci + 1:
-                per = spc
+        while ri < len(runs) and runs[ri][0] <= ci + 1:
+            per = runs[ri][1]
+            ri += 1
         pos = offsets[ci]
         for _ in range(per):
             if si >= n_samples:
@@ -283,7 +313,8 @@ def encode_mp4_mjpeg(
         ">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0,
     ))
     mdia = _box(b"mdia", mdhd + hdlr + minf)
-    tkhd = _full(b"tkhd", 0, 7, struct.pack(">IIII4x", 0, 0, 1, duration)
+    # tkhd v0: creation, modification, track_ID, RESERVED(4), duration
+    tkhd = _full(b"tkhd", 0, 7, struct.pack(">III4xI", 0, 0, 1, duration)
                  + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0x0100, 0)
                  + _unity_matrix()
                  + struct.pack(">II", width << 16, height << 16))

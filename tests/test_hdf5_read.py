@@ -1191,3 +1191,26 @@ def test_external_links(tmp_path):
     # classic symbol-table groups have no link-message storage
     with pytest.raises(ValueError, match="dense_links"):
         H5Writer().add_externallink("/e", "f.h5", "/x")
+
+
+def test_external_link_cycle_refuses(tmp_path):
+    """Two files external-linking to each other must raise the named
+    UnsupportedHDF5 depth error — external hops cross H5File instances,
+    so the soft-link depth counter cannot see them."""
+    import numpy as np
+    import pytest
+
+    from sed_binning_spark.io.hdf5_read import H5File, UnsupportedHDF5
+
+    from sed_binning_spark.io.hdf5_write import H5Writer
+
+    for me, other in (("a.h5", "b.h5"), ("b.h5", "a.h5")):
+        w = H5Writer(dense_links=True)
+        w.add_dataset("/own", np.zeros(1, dtype="<f8"))
+        w.add_externallink("/loop", other, "/loop")
+        w.write(str(tmp_path / me))
+    f = H5File(str(tmp_path / "a.h5"))
+    with pytest.raises(UnsupportedHDF5, match="chain deeper"):
+        f.read("/loop")
+    with pytest.raises(UnsupportedHDF5, match="chain deeper"):
+        f.attrs("/loop")

@@ -2076,3 +2076,41 @@ def test_c4_line_filter(spark):
 
     plan = c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_mp4_lying_sample_tables_refuse():
+    """Sample-table counts that lie about their box (or the file) raise
+    named ValueErrors instead of reading neighboring boxes' bytes as
+    entries — and a fixed-size stsz claiming 2^32 samples must refuse,
+    not malloc a 34 GB list."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from sed_binning_spark.pipeline.jpeg import encode_image_jpeg
+    from sed_binning_spark.pipeline.mp4 import encode_mp4_mjpeg, parse_mp4_samples
+
+    frames = [encode_image_jpeg(np.full((8, 8, 3), v, np.uint8))
+              for v in (10, 120)]
+    blob = encode_mp4_mjpeg(frames, [30, 30])
+
+    # fixed-stsz memory bomb: sample_size=1, sample_count=0xFFFFFFFF
+    bomb = bytearray(blob)
+    at = bytes(blob).rindex(b"stsz") + 4 + 4  # past type + fullbox header
+    struct.pack_into(">II", bomb, at, 1, 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="stsz declares"):
+        parse_mp4_samples(bytes(bomb))
+
+    # per-entry stsz lying long: count inflated past the box
+    lie = bytearray(blob)
+    struct.pack_into(">I", lie, at + 4, 1000)
+    with pytest.raises(ValueError, match="stsz declares"):
+        parse_mp4_samples(bytes(lie))
+
+    # stco count lying past its box
+    lie2 = bytearray(blob)
+    at2 = bytes(blob).rindex(b"stco") + 4 + 4
+    struct.pack_into(">I", lie2, at2, 1000)
+    with pytest.raises(ValueError, match="stco declares"):
+        parse_mp4_samples(bytes(lie2))
