@@ -52,6 +52,7 @@ def pack_chunks(
     token_column: str | None = None,
     n_shards: int = 32,
     seed: int = 0,
+    order: str = "id",
 ) -> DataFrame:
     """Assign every document to its training-sequence slices.
 
@@ -74,10 +75,21 @@ def pack_chunks(
     cross-engine oracle). ``seq_tokens`` is the fixed sequence budget;
     every sequence except the tail of each shard is exactly full.
 
+    ``order`` lays each shard's token stream in ascending document id
+    ("id", the default and the cross-engine oracle form) or in a seeded
+    md5 order ("shuffled") — the globally-randomized document order
+    training wants, at ZERO extra cost: the in-shard window sort runs
+    either way and the shard hash already randomizes ACROSS shards, so
+    flipping the sort key is the whole shuffle. Deterministic for a
+    given (seed, ids) on any partition layout; hash ties break on id,
+    and ``pack_sequences`` reassembles from offsets, order-independent.
+
     Scale: one shuffle (window over ``shard``); per-document output rows
     are bounded by ``ceil(n_tokens / seq_tokens) + 1``; nothing but ids
     and integer offsets ever moves.
     """
+    if order not in ("id", "shuffled"):
+        raise ValueError(f"order must be 'id' or 'shuffled', got {order!r}")
     if seq_tokens <= 0:
         raise ValueError(f"seq_tokens must be positive, got {seq_tokens}")
     if n_shards <= 0:
@@ -118,9 +130,16 @@ def pack_chunks(
     # ROWS frame pinned explicitly: the default RANGE frame would give tied
     # rows (duplicate ids) identical cumulative sums — silently overlapping
     # slices — and diverge from the DuckDB twin's ROWS formulation
+    order_keys = [id_column]
+    if order == "shuffled":
+        docs = docs.withColumn(
+            "__okey",
+            hash_uniform(docs, [id_column], seed, "pack-order"),
+        )
+        order_keys = ["__okey", id_column]
     w = (
         Window.partitionBy("shard")
-        .orderBy(id_column)
+        .orderBy(*order_keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # loud guard for the unique-id contract: duplicate ids make the in-shard

@@ -653,3 +653,61 @@ def test_pack_sequences_rejects_inconsistent_manifest_rows(spark):
     )
     with pytest.raises(SparkErrs, match="does not match the manifest"):
         pack_sequences(nulled, df).collect()
+
+
+def test_pack_chunks_shuffled_order(spark):
+    """order='shuffled' lays each shard's stream in a seeded md5 order:
+    a deterministic permutation of the id-order layout (same documents,
+    same per-shard token accounting, same reassembled token mass) that
+    actually differs from id order, differs across seeds, and replays
+    identically for one seed — the global randomization a trainer wants
+    without any extra shuffle."""
+    from pyspark.sql import functions as F
+
+    from sed_binning_spark.pipeline.pack import pack_chunks, pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(3 + i % 5)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    base = pack_chunks(docs, seq_tokens=16, n_shards=2)
+    shuf = pack_chunks(docs, seq_tokens=16, n_shards=2, order="shuffled")
+    again = pack_chunks(docs, seq_tokens=16, n_shards=2, order="shuffled")
+    other = pack_chunks(docs, seq_tokens=16, n_shards=2, order="shuffled",
+                        seed=1)
+
+    def rows(m):
+        return sorted(tuple(r) for r in m.collect())
+
+    assert rows(shuf) == rows(again)          # seed-deterministic replay
+    assert rows(shuf) != rows(base)           # actually permuted
+    # seed=1 changes BOTH the shard hash and the order draw
+    assert rows(other) != rows(shuf)
+
+    # same accounting: per-document token counts and per-shard totals
+    def totals(m):
+        per_doc = {r["doc_id"]: r["n_tokens"] for r in m.collect()}
+        per_shard = {
+            r["shard"]: r["tot"] for r in m.groupBy("shard").agg(
+                F.sum("slice_len").alias("tot"),
+            ).collect()
+        }
+        return per_doc, per_shard
+
+    assert totals(shuf)[0] == totals(base)[0]
+    assert totals(shuf)[1] == totals(base)[1]
+
+    # reassembly is offset-driven and order-independent: the shuffled
+    # manifest rebuilds the exact token mass
+    seqs = pack_sequences(shuf, docs)
+    n_total = seqs.agg(F.sum(F.size("tokens"))).collect()[0][0]
+    expect = docs.agg(
+        F.sum(F.size(F.split("text", " "))),
+    ).collect()[0][0]
+    assert n_total == expect
+
+    import pytest
+
+    with pytest.raises(ValueError, match="order must be"):
+        pack_chunks(docs, seq_tokens=16, order="random")
