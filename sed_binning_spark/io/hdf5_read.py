@@ -441,6 +441,25 @@ class H5File:
         self._path = path
         self._ext_files: dict[str, H5File] = {}
 
+    def close(self) -> None:
+        """Release the mmap and every cached external-link target file.
+        A file linking to many distinct targets otherwise accumulates one
+        open mapping per target for its whole lifetime (the depth-8 chain
+        guard bounds recursion, not fan-out). Idempotent; reads after
+        close raise."""
+        for f in self._ext_files.values():
+            f.close()
+        self._ext_files.clear()
+        buf = self._buf
+        if hasattr(buf, "close"):
+            buf.close()
+
+    def __enter__(self) -> "H5File":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     # -- public surface -----------------------------------------------------
     @_struct_guard
     def visit(self) -> list[str]:

@@ -414,6 +414,15 @@ def assign_perplexity_buckets(
         )
     if list(thresholds) != sorted(thresholds):
         raise ValueError(f"thresholds must be sorted, got {thresholds}")
+    if any(a == b for a, b in zip(thresholds, thresholds[1:])):
+        # approxQuantile returns TIED cuts on low-cardinality score
+        # distributions; a tied pair makes the bucket between the two
+        # cuts unreachable, so the corpus would silently split into fewer
+        # buckets than named — a degenerate corpus should be loud
+        raise ValueError(
+            f"tied adjacent thresholds {thresholds} leave a bucket "
+            "unreachable (degenerate score distribution?)",
+        )
     lp = F.col(logprob_column)
     # thresholds are ASCENDING logprob quantiles and buckets[0] is the
     # TOP (highest-logprob) slice: test the cuts bottom-up so bucket

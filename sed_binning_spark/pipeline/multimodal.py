@@ -1106,7 +1106,16 @@ def encode_gif_animation(
             if match.size == 0:
                 raise ValueError("transparent_color is not in the frame")
             tflag, tidx = 1, int(match[0])
-        delay_cs = int(fr.get("delay_ms", 0)) // 10
+        delay_ms = int(fr.get("delay_ms", 0))
+        if delay_ms % 10:
+            # GIF stores delays in CENTISECONDS; silently flooring 25 ms
+            # to 20 ms would make the decode round-trip disagree with the
+            # caller's input — fixture writers refuse loudly instead
+            raise ValueError(
+                f"GIF frame delays are centisecond-grained; {delay_ms} ms "
+                "is not a multiple of 10",
+            )
+        delay_cs = delay_ms // 10
         flags = ((int(fr.get("disposal", 0)) & 0x07) << 2) | tflag
         out += bytes([0x21, 0xF9, 4, flags])
         out += struct.pack("<H", delay_cs) + bytes([tidx, 0])

@@ -274,7 +274,15 @@ def read_warc(
                             headers, payload = next(records)
                         except StopIteration:
                             break
-                        except (ValueError, EOFError, OSError, zlib.error):
+                        except (ValueError, EOFError, zlib.error,
+                                gzip.BadGzipFile):
+                            # framing defects only: gzip.BadGzipFile is the
+                            # OSError subclass gzip raises for corrupt
+                            # members. A REAL I/O failure (NFS hiccup,
+                            # permission flap — plain OSError) must NOT be
+                            # mistaken for archive corruption: it
+                            # propagates, the task fails, and Spark's task
+                            # retry re-reads the file.
                             break
                         rows.append(_record_row(path, i, headers, payload))
                         i += 1

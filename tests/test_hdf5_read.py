@@ -1214,3 +1214,40 @@ def test_external_link_cycle_refuses(tmp_path):
         f.read("/loop")
     with pytest.raises(UnsupportedHDF5, match="chain deeper"):
         f.attrs("/loop")
+
+
+def test_close_releases_external_handles(tmp_path):
+    """close() releases the mmap AND every cached external-link target
+    (recursively) — a file linking to many targets must not hold one
+    open mapping per target for its whole lifetime. Context-manager
+    form closes too; close is idempotent; reads after close raise."""
+    import numpy as np
+    import pytest
+
+    from sed_binning_spark.io.hdf5_read import H5File
+    from sed_binning_spark.io.hdf5_write import H5Writer
+
+    data = np.arange(3, dtype="<i4")
+    wt = H5Writer()
+    wt.add_dataset("/d", data)
+    wt.write(str(tmp_path / "t1.h5"))
+    wt.write(str(tmp_path / "t2.h5"))
+
+    wl = H5Writer(dense_links=True)
+    wl.add_dataset("/own", np.zeros(1, dtype="<f8"))
+    wl.add_externallink("/e1", "t1.h5", "/d")
+    wl.add_externallink("/e2", "t2.h5", "/d")
+    wl.write(str(tmp_path / "link.h5"))
+
+    with H5File(str(tmp_path / "link.h5")) as f:
+        np.testing.assert_array_equal(f.read("/e1"), data)
+        np.testing.assert_array_equal(f.read("/e2"), data)
+        ext = list(f._ext_files.values())
+        assert len(ext) == 2
+    assert f._ext_files == {}
+    for t in ext:
+        with pytest.raises(ValueError):
+            bytes(t._buf[:1])  # target mmaps are closed, not leaked
+    with pytest.raises(ValueError):
+        f.read("/own")
+    f.close()  # idempotent

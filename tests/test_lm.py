@@ -362,6 +362,10 @@ def test_perplexity_buckets_ccnet_split(spark):
         perplexity_bucket_thresholds(scored, fractions=(0.9, 0.1))
     with pytest.raises(ValueError, match="bucket"):
         assign_perplexity_buckets(scored, cuts, buckets=("a", "b"))
+    # tied quantiles (a low-cardinality score distribution) make the
+    # middle bucket unreachable — refuse loudly, don't split into two
+    with pytest.raises(ValueError, match="tied adjacent thresholds"):
+        assign_perplexity_buckets(scored, [3.0, 3.0])
     with pytest.raises(ValueError, match="run unigram_logprob"):
         perplexity_bucket_thresholds(
             spark.createDataFrame([(1, "x")], "doc_id long, text string"),

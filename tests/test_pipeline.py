@@ -1571,6 +1571,12 @@ def test_sample_frames_operator(spark):
         np.testing.assert_array_equal(canvas[0, :, 0], expect)
         assert (canvas == canvas[..., :1]).all()  # grayscale triplication
 
+    # GIF delays are centisecond-grained: a 25 ms delay cannot be stored
+    # and the fixture writer refuses instead of silently flooring to 20
+    import pytest
+    with pytest.raises(ValueError, match="centisecond"):
+        encode_gif_animation([dict(img=a, delay_ms=25)], screen_size=(3, 2))
+
 
 def test_mjpeg_frame_split_and_sampling(spark):
     """Raw Motion-JPEG: split_mjpeg_frames walks the marker STRUCTURE —
