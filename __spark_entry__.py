@@ -1571,23 +1571,36 @@ def _q_seq_pack(spark, sf):
     documents onto 8 shard streams at a 64-token budget, pack_sequences
     rebuilds the actual sequences, and every manifest row carries the md5
     of its assembled sequence — the DuckDB twin reproduces layout AND
-    token stream bit-for-bit."""
+    token stream bit-for-bit.
+
+    Round 12 adds the ``order="shuffled"`` leg: the same corpus packed
+    in the seeded md5 order (hash_uniform domain 'pack-order', ties on
+    id) — the in-shard sort key flip that gives training its globally
+    randomized document order at zero extra shuffle cost. The twin
+    re-derives the SAME order key from md5 arithmetic and replays the
+    whole layout + sequence assembly under it, so a drift in the order
+    domain, the tie-break, or the window framing breaks the hash."""
     from sed_binning_spark.pipeline.pack import pack_chunks, pack_sequences, pack_stats
 
     docs = _docs(spark, sf)
-    man = pack_chunks(docs, seq_tokens=64, n_shards=8)
-    seqs = pack_sequences(man, docs).select(
-        "shard", "seq_id",
-        F.md5(F.concat_ws(" ", "tokens")).alias("seq_md5"),
-    )
-    # fill accounting rides along too (fill_ratio is n/64 — exact binary)
-    stats = pack_stats(man, 64).select(
-        "shard", "seq_id", "filled_tokens", "fill_ratio",
-    )
-    return (
-        man.join(seqs, on=["shard", "seq_id"], how="left")
-        .join(stats, on=["shard", "seq_id"], how="left")
-    )
+
+    def leg(order):
+        man = pack_chunks(docs, seq_tokens=64, n_shards=8, order=order)
+        seqs = pack_sequences(man, docs).select(
+            "shard", "seq_id",
+            F.md5(F.concat_ws(" ", "tokens")).alias("seq_md5"),
+        )
+        # fill accounting rides along (fill_ratio is n/64 — exact binary)
+        stats = pack_stats(man, 64).select(
+            "shard", "seq_id", "filled_tokens", "fill_ratio",
+        )
+        return (
+            man.join(seqs, on=["shard", "seq_id"], how="left")
+            .join(stats, on=["shard", "seq_id"], how="left")
+            .select(F.lit(order).alias("leg"), "*")
+        )
+
+    return leg("id").unionByName(leg("shuffled"))
 
 
 def _q_decontam(spark, sf):
@@ -2727,45 +2740,22 @@ def oracle_sql() -> dict[str, str]:
         # /2^52 uniform -> shard; the layout is a per-shard window cumsum
         # over doc_id order and the slice arithmetic is pure int64
         "seq_pack": (
-            "WITH d AS (SELECT doc_id, "
-            f"CAST(len({_WS_SQL}) AS BIGINT) AS n_tokens, "
-            "CAST(floor(CAST("
-            + hex_to_bigint_sql(
-                "md5(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' || "
-                "CAST(doc_id AS VARCHAR) || ';pack:0')", 1)
-            + " AS DOUBLE) / 4503599627370496e0 * 8e0) AS INT) AS shard "
-            "FROM documents), "
-            "laid AS (SELECT shard, doc_id, n_tokens, "
-            "CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e "
-            "FROM d WHERE shard IS NOT NULL AND n_tokens > 0), "
-            "ex AS (SELECT shard, doc_id, n_tokens, e - n_tokens AS s, e, "
-            "unnest(generate_series((e - n_tokens) // 64, (e - 1) // 64)) AS seq_id "
-            "FROM laid), "
-            "mani AS (SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id, "
-            "n_tokens, "
-            "CAST(greatest(s, seq_id * 64) - s AS BIGINT) AS slice_start, "
-            "CAST(least(e, (seq_id + 1) * 64) - greatest(s, seq_id * 64) AS BIGINT) "
-            "AS slice_len, "
-            "CAST(greatest(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_offset "
-            "FROM ex), "
-            # pack_sequences twin: slice each doc's token array, reassemble
-            # per (shard, seq_id) in seq_offset order, hash the stream
-            "sl AS (SELECT m.shard, m.seq_id, m.seq_offset, "
-            "t.toks[m.slice_start + 1 : m.slice_start + m.slice_len] AS sl "
-            f"FROM mani m JOIN (SELECT doc_id, {_WS_SQL} AS toks "
-            "FROM documents) t ON t.doc_id = m.doc_id), "
-            "seqs AS (SELECT shard, seq_id, md5(array_to_string("
-            "flatten(list(sl ORDER BY seq_offset)), ' ')) AS seq_md5 "
-            "FROM sl GROUP BY shard, seq_id), "
-            "pstat AS (SELECT shard, seq_id, "
-            "CAST(sum(slice_len) AS BIGINT) AS filled_tokens, "
-            "CAST(sum(slice_len) AS DOUBLE) / 64 AS fill_ratio "
-            "FROM mani GROUP BY shard, seq_id) "
-            "SELECT m.*, q.seq_md5, p.filled_tokens, p.fill_ratio "
-            "FROM mani m LEFT JOIN seqs q "
-            "ON q.shard = m.shard AND q.seq_id = m.seq_id "
-            "LEFT JOIN pstat p ON p.shard = m.shard AND p.seq_id = m.seq_id"
+            "SELECT * FROM (" + _pack_leg_sql("id", "doc_id") + ")"
+            + " UNION ALL SELECT * FROM ("
+            # shuffled leg: the in-shard order key is hash_uniform over
+            # doc_id in domain 'pack-order' — ordering by the 52-bit
+            # integer equals ordering by the engine's n/2^52 double
+            # (division by a power of two is monotone and exact)
+            + _pack_leg_sql(
+                "shuffled",
+                hex_to_bigint_sql(
+                    "md5(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) "
+                    "|| ':' || CAST(doc_id AS VARCHAR) || ';pack-order:0')",
+                    1,
+                )
+                + ", doc_id",
+            )
+            + ")"
         ),
         "minhash_lsh_pairs": (
             f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM "
@@ -2959,6 +2949,56 @@ def oracle_sql() -> dict[str, str]:
             "FROM dg LEFT JOIN hits h USING (doc_id)"
         ),
     }
+
+
+def _pack_leg_sql(leg: str, order_by: str) -> str:
+    """One leg of the seq_pack twin: the full pack_chunks → pack_sequences
+    → pack_stats replica with the in-shard stream laid out in the given
+    ``order_by`` — ``doc_id`` for the default leg, the md5 order key (+
+    doc_id tie-break) for the shuffled leg. Everything else (shard hash,
+    window framing, slicing, assembly order) is shared verbatim, so the
+    two legs differ ONLY where the engine's order flag differs."""
+    return (
+        f"WITH d AS (SELECT doc_id, "
+        f"CAST(len({_WS_SQL}) AS BIGINT) AS n_tokens, "
+        "CAST(floor(CAST("
+        + hex_to_bigint_sql(
+            "md5(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' || "
+            "CAST(doc_id AS VARCHAR) || ';pack:0')", 1)
+        + " AS DOUBLE) / 4503599627370496e0 * 8e0) AS INT) AS shard "
+        "FROM documents), "
+        "laid AS (SELECT shard, doc_id, n_tokens, "
+        f"CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY {order_by} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e "
+        "FROM d WHERE shard IS NOT NULL AND n_tokens > 0), "
+        "ex AS (SELECT shard, doc_id, n_tokens, e - n_tokens AS s, e, "
+        "unnest(generate_series((e - n_tokens) // 64, (e - 1) // 64)) AS seq_id "
+        "FROM laid), "
+        "mani AS (SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id, "
+        "n_tokens, "
+        "CAST(greatest(s, seq_id * 64) - s AS BIGINT) AS slice_start, "
+        "CAST(least(e, (seq_id + 1) * 64) - greatest(s, seq_id * 64) AS BIGINT) "
+        "AS slice_len, "
+        "CAST(greatest(s, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_offset "
+        "FROM ex), "
+        # pack_sequences twin: slice each doc's token array, reassemble
+        # per (shard, seq_id) in seq_offset order, hash the stream
+        "sl AS (SELECT m.shard, m.seq_id, m.seq_offset, "
+        "t.toks[m.slice_start + 1 : m.slice_start + m.slice_len] AS sl "
+        f"FROM mani m JOIN (SELECT doc_id, {_WS_SQL} AS toks "
+        "FROM documents) t ON t.doc_id = m.doc_id), "
+        "seqs AS (SELECT shard, seq_id, md5(array_to_string("
+        "flatten(list(sl ORDER BY seq_offset)), ' ')) AS seq_md5 "
+        "FROM sl GROUP BY shard, seq_id), "
+        "pstat AS (SELECT shard, seq_id, "
+        "CAST(sum(slice_len) AS BIGINT) AS filled_tokens, "
+        "CAST(sum(slice_len) AS DOUBLE) / 64 AS fill_ratio "
+        "FROM mani GROUP BY shard, seq_id) "
+        f"SELECT '{leg}' AS leg, m.*, q.seq_md5, p.filled_tokens, p.fill_ratio "
+        "FROM mani m LEFT JOIN seqs q "
+        "ON q.shard = m.shard AND q.seq_id = m.seq_id "
+        "LEFT JOIN pstat p ON p.shard = m.shard AND p.seq_id = m.seq_id"
+    )
 
 
 def _pq_oracle_sql() -> str:
