@@ -270,6 +270,12 @@ _PCA_MODEL = {
     "whiten": False,
 }
 
+# CCNet perplexity-bucket cuts (lang_id slot): LITERAL thresholds, the
+# _PCA_MODEL freeze pattern — a query-time approxQuantile fit would be
+# approximation-order dependent across engines. These two tercile the
+# gate corpus's unigram_logprob at both sf0.01 and sf0.001.
+_PPL_CUTS = (-3.404, -3.4)
+
 # C4 line-rule twin construction (doc_hashes slot): fixed lines hitting
 # every rule, shared verbatim by the Spark builder and the DuckDB oracle
 _C4_FIXED = (
@@ -1353,7 +1359,10 @@ def _q_lang_id(spark, sf):
     GROUP BY, so a canonicalization bug in any component (case, port,
     param filter/sort, fragment) breaks the hash."""
     from sed_binning_spark.pipeline.filters import filter_by_blocklist
-    from sed_binning_spark.pipeline.lm import unigram_logprob
+    from sed_binning_spark.pipeline.lm import (
+        assign_perplexity_buckets,
+        unigram_logprob,
+    )
     from sed_binning_spark.pipeline.url import canonicalize_urls, dedup_by_url
 
     did = F.col("doc_id")
@@ -1399,14 +1408,22 @@ def _q_lang_id(spark, sf):
         F.col("kept_id").alias("url_kept_id"),
         F.col("n_dups").alias("url_n_dups"),
     )
+    # round 12: the CCNet bucket leg — assign_perplexity_buckets under
+    # LITERAL thresholds (the _PCA_MODEL pattern: approxQuantile-fit cuts
+    # are approximation-order dependent, so the gate freezes them; these
+    # two tercile the gate corpus at both sf grains). The twin replays
+    # the same CASE over ITS OWN lp derivation, so the bottom-up cut
+    # order, the <= boundary, and the NULL-score bucket are all checked.
+    out = assign_perplexity_buckets(
+        unigram_logprob(language_id(docs)), [_PPL_CUTS[0], _PPL_CUTS[1]],
+    )
     out = (
-        unigram_logprob(language_id(docs))
-        .join(blocked, "doc_id", "left")
+        out.join(blocked, "doc_id", "left")
         .join(canon.select("doc_id", "url_canon"), "doc_id", "left")
         .join(dd, "url_canon", "left")
     )
     return out.select(
-        "doc_id", "lang_pred", "unigram_logprob",
+        "doc_id", "lang_pred", "unigram_logprob", "ppl_bucket",
         F.coalesce(F.col("__hit"), F.lit(False)).alias("src_blocked"),
         "url_canon", "url_kept_id", "url_n_dups",
     )
@@ -2343,6 +2360,14 @@ def oracle_sql() -> dict[str, str]:
         "CAST(count(*) AS BIGINT) AS n FROM documents "
         "WHERE doc_id % 5 IN (0, 1, 2) GROUP BY 1) "
         f"SELECT l.doc_id, l.lang_pred, CAST(s AS DOUBLE) / (m * 1e6) AS unigram_logprob, "
+        # perplexity-bucket twin: same bottom-up CASE over the twin's OWN
+        # lp derivation under the frozen literal cuts (e0 forces a DOUBLE
+        # literal parse, matching Python's float); a token-less doc (s
+        # NULL) gets a NULL bucket like the engine's isNotNull gate
+        "CASE WHEN s IS NULL THEN NULL "
+        f"WHEN CAST(s AS DOUBLE) / (m * 1e6) <= {_PPL_CUTS[0]}e0 THEN 'tail' "
+        f"WHEN CAST(s AS DOUBLE) / (m * 1e6) <= {_PPL_CUTS[1]}e0 THEN 'middle' "
+        "ELSE 'head' END AS ppl_bucket, "
         # blocklist-audit twin: the full host equals the entry iff the
         # group index is 3 or 7 (the entries are complete hosts, so a
         # label-suffix hit is exactly an equality hit here)

@@ -640,6 +640,43 @@ def test_rowwise_lm_scoring_runs_on_a_stream(tmp_path, spark):
     assert got == want and got[1] > got[2]  # in-vocab beats junk
 
 
+def test_perplexity_buckets_stream_matches_batch(tmp_path, spark):
+    """CCNet bucket ASSIGNMENT is a map-only CASE, so with PRE-FIT
+    literal thresholds (a global quantile is impossible on a stream by
+    construction — the docstring contract) a drained stream labels
+    identically to the batch frame, NULL scores included."""
+    from sed_binning_spark.pipeline.lm import assign_perplexity_buckets
+
+    root = tmp_path / "ppl_in"
+    root.mkdir()
+    pd.DataFrame({
+        "doc_id": [1, 2, 3], "unigram_logprob": [-1.0, -5.0, -9.0],
+    }).to_parquet(root / "chunk_0.parquet")
+    pd.DataFrame({
+        "doc_id": [4, 5], "unigram_logprob": [-6.0, None],
+    }).to_parquet(root / "chunk_1.parquet")
+    cuts = [-8.0, -4.0]  # pre-fit, the stream posture
+
+    stream = stream_events(spark, str(root), max_files_per_trigger=1)
+    q = (
+        assign_perplexity_buckets(stream, cuts)
+        .writeStream.format("memory").queryName("ppl_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r.ppl_bucket
+        for r in spark.sql("SELECT * FROM ppl_stream").collect()
+    }
+    batch = spark.read.parquet(str(root))
+    want = {
+        r.doc_id: r.ppl_bucket
+        for r in assign_perplexity_buckets(batch, cuts).collect()
+    }
+    assert got == want
+    assert got == {1: "head", 2: "middle", 3: "tail", 4: "middle", 5: None}
+
+
 @pytest.mark.parametrize("hf", ["md5", "rolling"])
 def test_dedup_substrings_stream_matches_batch_with_sink_rebuild(tmp_path, spark, hf):
     """Drained keep-first window winners, applied to the corpus via
