@@ -83,7 +83,11 @@ from sed_binning_spark.pipeline.similarity import (
     lsh_bucket_pairs,
 )
 from sed_binning_spark.pipeline.bpe import bpe_encode, bpe_train, bpe_vocab
-from sed_binning_spark.pipeline.mp4 import encode_mp4_mjpeg, parse_mp4_samples
+from sed_binning_spark.pipeline.mp4 import (
+    encode_mp4_mjpeg,
+    parse_mp4_samples,
+    parse_mp4_timeline,
+)
 from sed_binning_spark.pipeline.multimodal import (
     decode_gif_frames,
     encode_gif_animation,
@@ -234,6 +238,7 @@ __all__ = [
     "sample_frames",
     "split_mjpeg_frames",
     "parse_mp4_samples",
+    "parse_mp4_timeline",
     "encode_mp4_mjpeg",
     "decode_gif_frames",
     "encode_gif_animation",

@@ -20,8 +20,14 @@ What is implemented, all from the public spec:
   triples. Tracks in other codecs (avc1/hev1/...) are refused loudly:
   emitting fake statistics from compressed bitstreams would be
   dishonest, and this environment ships no H.264 decoder.
+- :func:`parse_mp4_timeline` — the metadata-only mode for those real
+  codecs: the first video track of ANY sample type as container-timing
+  rows (start/delay/byte extent/stss keyframe flag) plus the
+  VisualSampleEntry dimensions, no payload decode. Real corpora are
+  mostly H.264; their timelines are still first-class data.
 - :func:`encode_mp4_mjpeg` — spec-built fixture writer (ftyp + mdat +
-  a single-trak moov), since no video corpus ships in this container.
+  a single-trak moov; any sample 4CC, optional stss), since no video
+  corpus ships in this container.
 
 Malformed framing raises ValueError naming the defect, like every codec
 in :mod:`~sed_binning_spark.pipeline.multimodal`; the Spark operator
@@ -74,23 +80,16 @@ def _full_box(data: bytes, pos: int) -> tuple[int, int]:
     return v, flags
 
 
-def parse_mp4_samples(
-    data: bytes,
-    max_frames: int | None = None,
-) -> list[tuple[int, int, bytes]]:
-    """Demux the first Motion-JPEG video track of an MP4 into
-    ``(start_ms, delay_ms, jpeg_bytes)`` triples using the container's
-    own sample tables (stts timing at mdhd timescale; stsc/stco/stsz
-    chunk layout). Raises ValueError for non-MP4 bytes, files without a
-    JPEG-flavor video track (including H.264/H.265 — no decoder ships
-    here), and malformed sample tables."""
+def _video_tracks(data: bytes):
+    """Yield ``(sd_type, width, height, timescale, tables)`` for each
+    video trak of the moov, in file order — the shared walk under both
+    the payload demuxer and the metadata-only timeline."""
     n = len(data)
     if n < 12 or data[4:8] != b"ftyp":
         raise ValueError("not an ISO BMFF (MP4) stream")
     moov = _find(data, 0, n, b"moov")
     if moov is None:
         raise ValueError("MP4 has no moov box")
-    saw_video = []
     for t, s, e in _iter_boxes(data, moov[0], moov[1]):
         if t != b"trak":
             continue
@@ -126,10 +125,38 @@ def parse_mp4_samples(
         if sd_pos + 8 > stsd[1]:
             raise ValueError("MP4 stsd has no entries")
         sd_type = data[sd_pos + 4 : sd_pos + 8]
+        # VisualSampleEntry dims: 8 (SampleEntry) + 6 reserved + 2 dref
+        # + 16 pre_defined/reserved, then width/height (ISO 14496-12
+        # §12.1.3) — 0/0 when the entry is too short to carry them
+        width = height = 0
+        if sd_pos + 36 <= stsd[1]:
+            width, height = struct.unpack_from(">HH", data, sd_pos + 32)
+        yield sd_type, width, height, timescale, tables
+
+
+def parse_mp4_samples(
+    data: bytes,
+    max_frames: int | None = None,
+) -> list[tuple[int, int, bytes]]:
+    """Demux the first Motion-JPEG video track of an MP4 into
+    ``(start_ms, delay_ms, jpeg_bytes)`` triples using the container's
+    own sample tables (stts timing at mdhd timescale; stsc/stco/stsz
+    chunk layout). Raises ValueError for non-MP4 bytes, files without a
+    JPEG-flavor video track (including H.264/H.265 — no decoder ships
+    here; :func:`parse_mp4_timeline` reads those tracks' container
+    timing without touching the payloads), and malformed sample
+    tables."""
+    saw_video = []
+    for sd_type, _w, _h, timescale, tables in _video_tracks(data):
         if sd_type not in _JPEG_SAMPLE_TYPES:
             saw_video.append(sd_type)
             continue
-        return _track_samples(data, tables, timescale, max_frames)
+        return [
+            (start_ms, delay_ms, bytes(data[pos : pos + size]))
+            for start_ms, delay_ms, pos, size in _track_layout(
+                data, tables, timescale, max_frames,
+            )
+        ]
     if saw_video:
         raise ValueError(
             f"MP4 video codec(s) {saw_video} unsupported — only the "
@@ -138,7 +165,58 @@ def parse_mp4_samples(
     raise ValueError("MP4 contains no video track")
 
 
-def _track_samples(data, tables, timescale, max_frames):
+def parse_mp4_timeline(
+    data: bytes,
+    max_frames: int | None = None,
+) -> dict:
+    """Container timeline of the FIRST video track of ANY codec — no
+    payload decode: ``{"codec": str, "width": int, "height": int,
+    "samples": [(start_ms, delay_ms, offset, n_bytes, keyframe), ...]}``.
+
+    Real multimodal corpora are mostly H.264/H.265, which this
+    environment cannot decode to pixels — but the moov sample tables
+    still give every frame's start/delay (stts at the mdhd timescale),
+    byte extent (stsc/stco/stsz chunk layout), and sync flag (stss;
+    absent means every sample is a sync sample per ISO 14496-12
+    §8.6.2), all of which frame-sampling decisions can run on.
+    Dimensions come from the VisualSampleEntry (0 when absent). Lying
+    sample tables raise exactly as in :func:`parse_mp4_samples` — the
+    refuse-dishonest-tables posture is codec-independent."""
+    for sd_type, width, height, timescale, tables in _video_tracks(data):
+        layout = _track_layout(data, tables, timescale, max_frames)
+        sync = _sync_samples(data, tables)
+        return {
+            "codec": sd_type.decode("ascii", "replace"),
+            "width": int(width),
+            "height": int(height),
+            "samples": [
+                (start_ms, delay_ms, pos, size,
+                 True if sync is None else (i + 1) in sync)
+                for i, (start_ms, delay_ms, pos, size) in enumerate(layout)
+            ],
+        }
+    raise ValueError("MP4 contains no video track")
+
+
+def _sync_samples(data: bytes, tables) -> set[int] | None:
+    """The stss sync-sample numbers (1-based), or None when the box is
+    absent (= all samples are sync samples)."""
+    got = tables.get(b"stss")
+    if got is None:
+        return None
+    s, e = got
+    (cnt,) = struct.unpack_from(">I", data, s + 4)
+    if s + 8 + 4 * cnt > e:
+        raise ValueError(
+            f"MP4 stss declares {cnt} entries, box holds {(e - s - 8) // 4}",
+        )
+    return set(struct.unpack_from(f">{cnt}I", data, s + 8))
+
+
+def _track_layout(data, tables, timescale, max_frames):
+    """The track's sample layout as ``(start_ms, delay_ms, offset,
+    size)`` rows — the payload-free core shared by the Motion-JPEG
+    demuxer and the metadata-only timeline."""
     def table(btype):
         got = tables.get(btype)
         if got is None:
@@ -216,7 +294,7 @@ def _track_samples(data, tables, timescale, max_frames):
     # spec-ordered by first_chunk, so a single forward pointer gives each
     # chunk's samples-per-chunk in O(n_chunks + n_runs) — a rescan per
     # chunk is quadratic on real per-chunk-entry tables
-    out: list[tuple[int, int, bytes]] = []
+    out: list[tuple[int, int, int, int]] = []
     start_units = 0
     si = 0
     ri = 0
@@ -234,7 +312,7 @@ def _track_samples(data, tables, timescale, max_frames):
                 raise ValueError("MP4 sample extends past the file end")
             start_ms = start_units * 1000 // timescale
             delay_ms = deltas[si] * 1000 // timescale
-            out.append((start_ms, delay_ms, bytes(data[pos : pos + size])))
+            out.append((start_ms, delay_ms, pos, size))
             start_units += deltas[si]
             pos += size
             si += 1
@@ -259,13 +337,21 @@ def encode_mp4_mjpeg(
     height: int = 0,
     timescale: int = 1000,
     samples_per_chunk: int = 2,
+    sample_type: bytes = b"jpeg",
+    sync_samples: list[int] | None = None,
 ) -> bytes:
-    """Spec-built MP4 fixture: one 'jpeg'-coded video track whose mdat
-    carries the given JPEG payloads in ``samples_per_chunk``-sample
-    chunks with per-sample stts timing — exercises the demuxer's chunk
-    walk, multi-run stsc, and timescale arithmetic."""
+    """Spec-built MP4 fixture: one video track (``sample_type``-coded,
+    'jpeg' by default) whose mdat carries the given payloads in
+    ``samples_per_chunk``-sample chunks with per-sample stts timing —
+    exercises the demuxer's chunk walk, multi-run stsc, and timescale
+    arithmetic. ``sample_type=b"avc1"`` (with arbitrary payload bytes)
+    builds the real-codec shape :func:`parse_mp4_timeline` reads
+    metadata-only; ``sync_samples`` (1-based) writes an stss box so
+    keyframe flags are exercised."""
     if len(jpeg_frames) != len(delays_ms):
         raise ValueError("one delay per frame, please")
+    if len(sample_type) != 4:
+        raise ValueError("sample_type is a 4CC")
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
     mdat_payload = b"".join(jpeg_frames)
     mdat_base = len(ftyp) + 8  # samples start here
@@ -279,7 +365,7 @@ def encode_mp4_mjpeg(
 
     duration = sum(delays_ms) * timescale // 1000
     stsd_entry = (
-        struct.pack(">I4s6xH", 86, b"jpeg", 1)     # size, type, dref idx
+        struct.pack(">I4s6xH", 86, sample_type, 1)  # size, type, dref idx
         + b"\x00" * 16
         + struct.pack(">HH", width, height)
         + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
@@ -301,7 +387,18 @@ def encode_mp4_mjpeg(
     stco = _full(b"stco", 0, 0, struct.pack(">I", len(chunks)) + b"".join(
         struct.pack(">I", c) for c in chunks
     ))
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    stss = b""
+    if sync_samples is not None:
+        bad = [k for k in sync_samples if not 1 <= k <= len(sizes)]
+        if bad:
+            raise ValueError(f"sync_samples out of range: {bad}")
+        stss = _full(
+            b"stss", 0, 0,
+            struct.pack(">I", len(sync_samples)) + b"".join(
+                struct.pack(">I", k) for k in sorted(sync_samples)
+            ),
+        )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
     dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(
         b"url ", 0, 1, b"",
     ))

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     FloatType,
     IntegerType,
@@ -1445,12 +1446,20 @@ FRAME_SCHEMA = StructType([
     StructField("frame_index", IntegerType(), False),
     StructField("frame_ms", LongType(), False),
     StructField("delay_ms", LongType(), False),
-    StructField("width", IntegerType(), False),
-    StructField("height", IntegerType(), False),
-    StructField("mean", DoubleType(), False),
-    StructField("std", DoubleType(), False),
-    StructField("min", DoubleType(), False),
-    StructField("max", DoubleType(), False),
+    # nullable: a metadata-only timeline row (a real-codec MP4 track —
+    # no pixel decoder ships here) carries timing/extent but no pixels;
+    # width/height stay NULL when the sample entry omits them
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("mean", DoubleType(), True),
+    StructField("std", DoubleType(), True),
+    StructField("min", DoubleType(), True),
+    StructField("max", DoubleType(), True),
+    # byte extent of the container sample (NULL where frames are not
+    # byte-delimited, e.g. composited GIF canvases) and the container's
+    # sync/keyframe flag (stss for MP4; raw MJPEG frames are all intra)
+    StructField("n_bytes", LongType(), True),
+    StructField("keyframe", BooleanType(), True),
 ])
 
 
@@ -1474,11 +1483,17 @@ def sample_frames(
     container) and raw Motion-JPEG via :func:`split_mjpeg_frames` + the
     JPEG codec (MJPEG carries NO timing — ``mjpeg_frame_ms`` is the
     caller-declared frame interval, 0 when unknown; a corrupt frame
-    mid-stream is skipped, the rest of the stream survives). An MP4
-    demuxer drops into the same per-payload seam without touching the
-    distributed plan. Payloads that are not animated media or fail to
-    decode contribute NO frame rows — a still image has no timeline;
-    route it through :func:`extract_features` instead.
+    mid-stream is skipped, the rest of the stream survives). MP4 goes
+    through :func:`~sed_binning_spark.pipeline.mp4.parse_mp4_timeline`:
+    Motion-JPEG tracks decode to full pixel statistics; any OTHER video
+    codec (avc1/hev1 — real corpora are mostly H.264, and no pixel
+    decoder ships here) still yields its complete container timeline —
+    start/delay/byte extent/stss keyframe flag and the sample-entry
+    dimensions — with NULL pixel statistics, so frame-rate/duration/
+    keyframe analyses run on real video without pretending to decode
+    it. Payloads that are not animated media or fail to decode
+    contribute NO frame rows — a still image has no timeline; route it
+    through :func:`extract_features` instead.
 
     Same distribution shape as extract_features: ``mapInPandas``, Arrow
     batches stream partition-locally, no shuffle, no driver collect; the
@@ -1490,11 +1505,23 @@ def sample_frames(
     ``None`` opts into unbounded."""
     import pandas as pd
 
+    def _stat_row(canvas, n_bytes, keyframe):
+        h, w = canvas.shape[:2]
+        return (w, h, *_norm_stats(canvas, 255.0), n_bytes, keyframe)
+
     def _decode_timeline(b: bytes):
+        """Rows of (start_ms, delay_ms, width, height, mean, std, min,
+        max, n_bytes, keyframe) — the FRAME_SCHEMA tail."""
         if b[:6] in GIF_SIGS:
-            return decode_gif_frames(
-                b, max_pixels=FEATURIZER_MAX_PIXELS, max_frames=max_frames,
-            )
+            # composited canvases are not byte-delimited → NULL extent;
+            # GIF has no sync-sample concept → NULL keyframe
+            return [
+                (start_ms, delay_ms, *_stat_row(canvas, None, None))
+                for start_ms, delay_ms, canvas in decode_gif_frames(
+                    b, max_pixels=FEATURIZER_MAX_PIXELS,
+                    max_frames=max_frames,
+                )
+            ]
         if b[:3] == b"\xff\xd8\xff":
             from sed_binning_spark.pipeline.jpeg import decode_image_jpeg
 
@@ -1504,21 +1531,44 @@ def sample_frames(
                     img = decode_image_jpeg(fb, max_pixels=FEATURIZER_MAX_PIXELS)
                 except _DECODE_ERRORS:
                     continue  # skip the corrupt frame, keep the stream
-                out.append((i * mjpeg_frame_ms, mjpeg_frame_ms, img))
+                # every raw-MJPEG frame is intra-coded → keyframe
+                out.append((
+                    i * mjpeg_frame_ms, mjpeg_frame_ms,
+                    *_stat_row(img, len(fb), True),
+                ))
             return out
         if len(b) >= 12 and b[4:8] == b"ftyp":
             # MP4 container: samples + CONTAINER timing from the moov
-            # sample tables; only Motion-JPEG tracks decode (pipeline.mp4)
+            # sample tables (pipeline.mp4). Motion-JPEG tracks decode to
+            # pixel stats; real codecs (avc1/...) keep their timeline
+            # with NULL stats — metadata-only, never fake statistics
             from sed_binning_spark.pipeline.jpeg import decode_image_jpeg
-            from sed_binning_spark.pipeline.mp4 import parse_mp4_samples
+            from sed_binning_spark.pipeline.mp4 import (
+                _JPEG_SAMPLE_TYPES, parse_mp4_timeline,
+            )
 
+            info = parse_mp4_timeline(b, max_frames)
+            decode = info["codec"].encode("ascii") in _JPEG_SAMPLE_TYPES
+            tw = info["width"] or None
+            th = info["height"] or None
             out = []
-            for start_ms, delay_ms, fb in parse_mp4_samples(b, max_frames):
-                try:
-                    img = decode_image_jpeg(fb, max_pixels=FEATURIZER_MAX_PIXELS)
-                except _DECODE_ERRORS:
-                    continue  # skip the corrupt sample, keep the track
-                out.append((start_ms, delay_ms, img))
+            for start_ms, delay_ms, pos, size, kf in info["samples"]:
+                if decode:
+                    try:
+                        img = decode_image_jpeg(
+                            b[pos : pos + size],
+                            max_pixels=FEATURIZER_MAX_PIXELS,
+                        )
+                    except _DECODE_ERRORS:
+                        continue  # skip the corrupt sample, keep the track
+                    out.append((
+                        start_ms, delay_ms, *_stat_row(img, size, kf),
+                    ))
+                else:
+                    out.append((
+                        start_ms, delay_ms, tw, th,
+                        None, None, None, None, size, kf,
+                    ))
             return out
         return []
 
@@ -1532,12 +1582,8 @@ def sample_frames(
                     decoded = _decode_timeline(bytes(payload))
                 except _DECODE_ERRORS:
                     continue  # one corrupt payload must not kill the batch
-                for i, (start_ms, delay_ms, canvas) in enumerate(decoded):
-                    h, w = canvas.shape[:2]
-                    rows.append((
-                        mid, i, start_ms, delay_ms, w, h,
-                        *_norm_stats(canvas, 255.0),
-                    ))
+                for i, tail in enumerate(decoded):
+                    rows.append((mid, i, *tail))
             yield pd.DataFrame(rows, columns=FRAME_SCHEMA.fieldNames())
 
     return df.select(id_column, payload_column).mapInPandas(

@@ -1686,6 +1686,66 @@ def test_mp4_mjpeg_demux_and_sampling(spark):
     assert set(bad.frame_ms) == {0, 80, 110, 140}
 
 
+def test_mp4_metadata_only_timeline_for_real_codecs(spark):
+    """A real-codec MP4 track (avc1 — no H.264 decoder ships here) is no
+    longer refused wholesale: parse_mp4_timeline reads the container's
+    own sample tables into (start, delay, byte extent, keyframe) rows
+    plus the sample-entry dimensions, and sample_frames emits those as
+    timeline rows with NULL pixel statistics — while parse_mp4_samples
+    keeps its decode-or-refuse contract, and lying stss tables still
+    raise."""
+    import pytest
+
+    from sed_binning_spark.pipeline.mp4 import (
+        encode_mp4_mjpeg, parse_mp4_samples, parse_mp4_timeline,
+    )
+    from sed_binning_spark.pipeline.multimodal import sample_frames
+
+    # opaque "H.264" payloads: sizes are what the tables index, content
+    # is never touched by the metadata path
+    payloads = [b"\x00\x00\x01A" * k for k in (3, 5, 2, 4)]
+    blob = encode_mp4_mjpeg(
+        payloads, [40, 40, 30, 50], width=320, height=240,
+        sample_type=b"avc1", sync_samples=[1, 3],
+    )
+    info = parse_mp4_timeline(blob)
+    assert (info["codec"], info["width"], info["height"]) == ("avc1", 320, 240)
+    assert [(s[0], s[1], s[3], s[4]) for s in info["samples"]] == [
+        (0, 40, 12, True), (40, 40, 20, False),
+        (80, 30, 8, True), (110, 50, 16, False),
+    ]
+    # byte extents point INTO the mdat at the real payloads
+    assert all(
+        blob[pos : pos + size] == payloads[i]
+        for i, (_, _, pos, size, _) in enumerate(info["samples"])
+    )
+    assert len(parse_mp4_timeline(blob, max_frames=2)["samples"]) == 2
+    # absent stss = every sample is sync (ISO 14496-12 §8.6.2)
+    nostss = encode_mp4_mjpeg(payloads, [40, 40, 30, 50], sample_type=b"hev1")
+    assert [s[4] for s in parse_mp4_timeline(nostss)["samples"]] == [True] * 4
+    # the payload demuxer's contract is unchanged
+    with pytest.raises(ValueError, match="avc1.*unsupported"):
+        parse_mp4_samples(blob)
+    # a lying stss entry count must raise, not read neighbors' bytes
+    lie = bytearray(blob)
+    at = bytes(blob).index(b"stss") + 4 + 4  # full-box header, then count
+    lie[at : at + 4] = (999).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="stss declares"):
+        parse_mp4_timeline(bytes(lie))
+
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, None)], "media_id long, payload binary",
+    )
+    rows = sample_frames(media).toPandas().sort_values("frame_index")
+    assert list(rows.media_id) == [1] * 4
+    assert list(rows.frame_ms) == [0, 40, 80, 110]
+    assert list(rows.n_bytes) == [12, 20, 8, 16]
+    assert list(rows.keyframe) == [True, False, True, False]
+    assert list(rows.width) == [320] * 4 and list(rows.height) == [240] * 4
+    assert rows["mean"].isna().all() and rows["std"].isna().all()
+    assert rows["min"].isna().all() and rows["max"].isna().all()
+
+
 def test_gif_animation_first_frame_only():
     """Multi-frame GIFs decode their first frame; trailing frames and
     inter-frame extensions are ignored by design."""
