@@ -1492,8 +1492,52 @@ def _q_quality(spark, sf):
     )
 
 
+_MP4_FIXTURES = None
+
+
+def _mp4_fixture_blobs():
+    """Plan-time MP4 fixtures for the frame_sample slot, two per codec
+    family (variant = doc_id % 2). Motion-JPEG variants carry 2+v flat
+    16×16 frames of value 8·(4+3f+5v) — multiples of 8 round-trip
+    EXACTLY through the JPEG codec (DC quantization divides evenly), so
+    the decoded statistics are closed-form. avc1 variants carry 3+w
+    opaque payloads of 6+4f+2w bytes behind an stss marking the odd
+    samples — the metadata-only path. Returns (mjpeg_blobs,
+    mjpeg_frame_sizes, avc1_blobs); frame sizes become oracle literals
+    (the frozen-model pattern)."""
+    global _MP4_FIXTURES
+    if _MP4_FIXTURES is None:
+        from sed_binning_spark.pipeline.jpeg import encode_image_jpeg
+        from sed_binning_spark.pipeline.mp4 import encode_mp4_mjpeg
+
+        mj, sizes = [], []
+        for v in range(2):
+            frames = [
+                encode_image_jpeg(
+                    np.full((16, 16, 3), 8 * (4 + 3 * f + 5 * v), np.uint8),
+                )
+                for f in range(2 + v)
+            ]
+            sizes.append([len(fb) for fb in frames])
+            mj.append(encode_mp4_mjpeg(
+                frames, [(3 + f) * 10 for f in range(2 + v)],
+                width=16, height=16,
+            ))
+        av = []
+        for w in range(2):
+            n = 3 + w
+            av.append(encode_mp4_mjpeg(
+                [b"\x00" * (6 + 4 * f + 2 * w) for f in range(n)],
+                [(2 + f) * 10 for f in range(n)],
+                width=320, height=240, sample_type=b"avc1",
+                sync_samples=list(range(1, n + 1, 2)),
+            ))
+        _MP4_FIXTURES = (mj, sizes, av)
+    return _MP4_FIXTURES
+
+
 def _q_frame_sample(spark, sf):
-    """Video frame sampling, BOTH halves merged. The 'plan' leg is the
+    """Video frame sampling, all four legs merged. The 'plan' leg is the
     pure-expression timestamp grid (frame_sample_plan, one row per
     (media, frame timestamp) via sequence+explode, durations synthesized
     from document length). The 'gif' leg (round 11) is the DECODE half:
@@ -1505,7 +1549,17 @@ def _q_frame_sample(spark, sf):
     own timing metadata and the pixel statistics from the composed
     canvases, all of which the oracle regenerates closed-form from the
     construction (start_f = 5·f·(f+3) ms, samples = md5 bytes rotated by
-    the frame index)."""
+    the frame index).
+
+    Round 12 adds the MP4 container (pipeline.mp4): the 'mp4j' leg
+    (doc_id % 3 == 1) demuxes Motion-JPEG-in-MP4 through the full
+    stts/stsc/stco/stsz walk and decodes each sample with the JPEG
+    codec — flat 8-multiple frames round-trip exactly, so the oracle
+    predicts the pixel statistics closed-form and the sample byte
+    extents as frozen fixture literals; the 'avc1' leg (doc_id % 3 ==
+    2) is the metadata-only timeline for real codecs: container timing,
+    closed-form byte extents (6+4f+2w), stss keyframe flags, and
+    sample-entry dimensions with NULL pixel statistics."""
     docs = _docs(spark, sf)
     media = docs.select("doc_id", F.col("n_chars").alias("duration_ms"))
     plan = frame_sample_plan(media, every_ms=25, id_column="doc_id")
@@ -1520,24 +1574,52 @@ def _q_frame_sample(spark, sf):
         F.lit(None).cast("double").alias("fstd"),
         F.lit(None).cast("double").alias("fmin"),
         F.lit(None).cast("double").alias("fmax"),
+        F.lit(None).cast("bigint").alias("fn_bytes"),
+        F.lit(None).cast("boolean").alias("fkeyframe"),
     )
+
+    def decoded_leg(frames_df, leg_col):
+        return frames_df.select(
+            leg_col.alias("leg"),
+            F.col("media_id").alias("doc_id"),
+            F.col("frame_ms").cast("bigint").alias("frame_ms"),
+            "frame_index",
+            F.col("delay_ms").cast("bigint").alias("delay_ms"),
+            F.col("width").alias("fwidth"),
+            F.col("height").alias("fheight"),
+            F.round("mean", 6).alias("fmean"),
+            F.round("std", 6).alias("fstd"),
+            F.round("min", 6).alias("fmin"),
+            F.round("max", 6).alias("fmax"),
+            F.col("n_bytes").alias("fn_bytes"),
+            F.col("keyframe").alias("fkeyframe"),
+        )
+
     agif = synthesize_animated_gif_media_from_text(
         docs.where(F.col("doc_id") % 3 == 0), frames=3,
     )
-    gif_leg = sample_frames(agif).select(
-        F.lit("gif").alias("leg"),
-        F.col("media_id").alias("doc_id"),
-        F.col("frame_ms").cast("bigint").alias("frame_ms"),
-        "frame_index",
-        F.col("delay_ms").cast("bigint").alias("delay_ms"),
-        F.col("width").alias("fwidth"),
-        F.col("height").alias("fheight"),
-        F.round("mean", 6).alias("fmean"),
-        F.round("std", 6).alias("fstd"),
-        F.round("min", 6).alias("fmin"),
-        F.round("max", 6).alias("fmax"),
+    gif_leg = decoded_leg(sample_frames(agif), F.lit("gif"))
+
+    # both MP4 families through ONE sample_frames stage; the leg label
+    # re-derives from the id after decode
+    mj, _sizes, av = _mp4_fixture_blobs()
+    did = F.col("doc_id")
+    mp4_media = docs.where(did % 3 > 0).select(
+        did.alias("media_id"),
+        F.when(
+            did % 3 == 1,
+            F.when(did % 2 == 0, F.lit(bytearray(mj[0])))
+            .otherwise(F.lit(bytearray(mj[1]))),
+        ).otherwise(
+            F.when(did % 2 == 0, F.lit(bytearray(av[0])))
+            .otherwise(F.lit(bytearray(av[1]))),
+        ).alias("payload"),
     )
-    return plan_leg.unionByName(gif_leg)
+    mp4_leg = decoded_leg(
+        sample_frames(mp4_media),
+        F.when(F.col("media_id") % 3 == 1, F.lit("mp4j")).otherwise(F.lit("avc1")),
+    )
+    return plan_leg.unionByName(gif_leg).unionByName(mp4_leg)
 
 
 def _q_doc_hashes(spark, sf):
@@ -2728,7 +2810,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(NULL AS BIGINT) AS delay_ms, "
             "CAST(NULL AS INT) AS fwidth, CAST(NULL AS INT) AS fheight, "
             "CAST(NULL AS DOUBLE) AS fmean, CAST(NULL AS DOUBLE) AS fstd, "
-            "CAST(NULL AS DOUBLE) AS fmin, CAST(NULL AS DOUBLE) AS fmax "
+            "CAST(NULL AS DOUBLE) AS fmin, CAST(NULL AS DOUBLE) AS fmax, "
+            "CAST(NULL AS BIGINT) AS fn_bytes, "
+            "CAST(NULL AS BOOLEAN) AS fkeyframe "
             "FROM documents WHERE n_chars > 0 "
             "UNION ALL SELECT 'gif', doc_id, "
             "CAST(5 * f * (f + 3) AS BIGINT), CAST(f AS INT), "
@@ -2737,13 +2821,38 @@ def oracle_sql() -> dict[str, str]:
             "round(sqrt(list_sum(list_transform(bs, x -> "
             "(x - m) * (x - m))) / 24.0) / 255.0, 6), "
             "round(CAST(list_min(bs) AS DOUBLE) / 255.0, 6), "
-            "round(CAST(list_max(bs) AS DOUBLE) / 255.0, 6) "
+            "round(CAST(list_max(bs) AS DOUBLE) / 255.0, 6), "
+            # composited GIF canvases are not byte-delimited and carry
+            # no sync concept
+            "CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN) "
             "FROM (SELECT doc_id, f, bs, list_sum(bs) / 24.0 AS m FROM "
             "(SELECT doc_id, f, list_transform(range(0, 24), j -> "
             "CAST('0x' || substr(md5(text), "
             "CAST(((j + f) % 16) * 2 + 1 AS INTEGER), 2) AS BIGINT)) AS bs "
             "FROM documents, range(3) t(f) "
-            "WHERE doc_id % 3 = 0 AND text IS NOT NULL))"
+            "WHERE doc_id % 3 = 0 AND text IS NOT NULL)) "
+            # Motion-JPEG-in-MP4: flat 8-multiple frames decode EXACTLY,
+            # so the stats are val/255 with zero spread; byte extents
+            # are the frozen fixture sizes; no stss = every sample sync
+            "UNION ALL SELECT 'mp4j', doc_id, "
+            "CAST(5 * t.f * (t.f + 5) AS BIGINT), CAST(t.f AS INT), "
+            "CAST((3 + t.f) * 10 AS BIGINT), 16, 16, "
+            "round(t.val / 255.0, 6), CAST(0 AS DOUBLE), "
+            "round(t.val / 255.0, 6), round(t.val / 255.0, 6), "
+            "CAST(t.sz AS BIGINT), TRUE "
+            f"FROM documents, (VALUES {_mp4j_values_sql()}) t(v, f, val, sz) "
+            "WHERE doc_id % 3 = 1 AND doc_id % 2 = t.v "
+            # real-codec metadata-only timeline: container timing, the
+            # closed-form 6+4f+2w byte extents, odd-sample stss flags,
+            # sample-entry dims, NULL pixel statistics
+            "UNION ALL SELECT 'avc1', doc_id, "
+            "CAST(5 * t.f * (t.f + 3) AS BIGINT), CAST(t.f AS INT), "
+            "CAST((2 + t.f) * 10 AS BIGINT), 320, 240, "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(6 + 4 * t.f + 2 * (doc_id % 2) AS BIGINT), t.f % 2 = 0 "
+            "FROM documents, range(4) t(f) "
+            "WHERE doc_id % 3 = 2 AND t.f < 3 + (doc_id % 2)"
         ),
         # NULL text: every stop count is NULL, so an explicit branch is
         # needed — the CASE would otherwise fall through to ELSE where the
@@ -2974,6 +3083,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM dg LEFT JOIN hits h USING (doc_id)"
         ),
     }
+
+
+def _mp4j_values_sql() -> str:
+    """(variant, frame, flat value, frozen byte size) rows of the
+    Motion-JPEG-in-MP4 fixture as a VALUES list — the byte sizes come
+    from the plan-time encode (the frozen-model pattern: the ENGINE
+    re-derives them from the container's stsz walk)."""
+    _, sizes, _ = _mp4_fixture_blobs()
+    return ", ".join(
+        f"({v}, {f}, {8 * (4 + 3 * f + 5 * v)}, {sizes[v][f]})"
+        for v in range(2)
+        for f in range(2 + v)
+    )
 
 
 def _pack_leg_sql(leg: str, order_by: str) -> str:
