@@ -20,9 +20,10 @@ the reference's real fixtures ``Scan0030_2.h5`` /
   cross-checked), and v2 B-tree (record types 10/11, scaled grid
   offsets — several unlimited dimensions), filtered and unfiltered
   clients, checksums verified;
-  filters deflate (zlib), shuffle, fletcher32, and LZF (h5py's built-in
+  filters deflate (zlib), shuffle, fletcher32, LZF (h5py's built-in
   filter 32000 — pure-Python decoder from the public liblzf stream
-  format)
+  format), n-bit (atomic class, LE), and scale-offset (integer and
+  float D-scaling, LE, fill-value aware — E-scaling refuses)
 - datatypes: fixed-point and IEEE-float scalars (little/big endian),
   fixed-size and variable-length strings (attributes)
 - attributes (message 0x000C), including scalar numerics, strings, and
@@ -48,8 +49,9 @@ the reference's real fixtures ``Scan0030_2.h5`` /
   once and cached); like soft links they are never followed during
   traversal and a dangling target fails only on follow
 
-NOT supported (all raise): paged extensible-array data blocks, szip/
-n-bit filters, dataset regions, SOHM-heap shared
+NOT supported (all raise): paged extensible-array data blocks, the szip
+filter, n-bit on array/compound classes, scale-offset E-scaling,
+dataset regions, SOHM-heap shared
 messages and shared dataspaces, vlen
 members inside compounds,
 filtered/huge/tiny/multi-level fractal heaps, v2 B-trees deeper than two
@@ -1799,11 +1801,151 @@ class H5File:
                 )
             elif fid == 3:        # fletcher32: trailing 4-byte checksum
                 raw = raw[:-4]
+            elif fid == 5:        # n-bit
+                raw = _nbit_decode(raw, cd)
+            elif fid == 6:        # scale-offset
+                raw = _scaleoffset_decode(raw, cd)
             elif fid == 32000:    # LZF (h5py's built-in filter)
                 raw = _lzf_decompress(raw)
             else:
                 raise UnsupportedHDF5(f"filter id {fid}")
         return raw
+
+
+def _unpack_bit_fields(raw: bytes, nelmts: int, nbits: int) -> np.ndarray:
+    """MSB-first bit stream → ``(nelmts,)`` uint64 of consecutive
+    ``nbits``-wide fields — the packing both the n-bit and scale-offset
+    filters use (each element's significant bits appended most
+    significant first; H5Znbit.c / H5Zscaleoffset.c)."""
+    if nbits == 0:
+        return np.zeros(nelmts, dtype=np.uint64)
+    if nbits > 64:
+        raise UnsupportedHDF5(f"{nbits}-bit packed fields exceed 64 bits")
+    need = nelmts * nbits
+    try:
+        packed = np.frombuffer(raw, np.uint8, count=(need + 7) // 8)
+    except ValueError as exc:
+        raise UnsupportedHDF5(
+            "truncated or corrupt HDF5 file (bit-packed chunk shorter "
+            "than its element count)",
+        ) from exc
+    bits = np.unpackbits(packed)[:need].reshape(nelmts, nbits)
+    weights = np.left_shift(
+        np.uint64(1), np.arange(nbits - 1, -1, -1, dtype=np.uint64),
+    )
+    return (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+
+
+def _nbit_decode(raw: bytes, cd) -> bytes:
+    """H5Z_FILTER_NBIT (id 5) for the ATOMIC datatype class, from the
+    public H5Znbit.c parameter layout: ``cd = [nparms, no-op flag,
+    nelmts, class, size, order, precision, offset]``. The stream is each
+    element's ``precision``-bit span packed MSB-first; reconstruction
+    places the span at bit ``offset`` with zeros elsewhere (the filter
+    zero-initializes the output buffer). Array/compound classes and
+    big-endian data refuse loudly."""
+    if len(cd) < 4:
+        raise UnsupportedHDF5("n-bit filter with malformed parameters")
+    if cd[1]:  # "no need to compress" flag: chunk stored verbatim
+        return raw
+    nelmts, cls = cd[2], cd[3]
+    if cls != 1 or len(cd) < 8:  # H5Z_NBIT_ATOMIC
+        raise UnsupportedHDF5(
+            "n-bit filter on a non-atomic (array/compound) datatype",
+        )
+    size, order, precision, offset = cd[4], cd[5], cd[6], cd[7]
+    if order != 0:  # H5Z_NBIT_ORDER_LE
+        raise UnsupportedHDF5("n-bit filter on big-endian data")
+    if not 1 <= size <= 8 or precision == 0 or precision + offset > size * 8:
+        raise UnsupportedHDF5(
+            f"n-bit parameters out of range (size {size}, precision "
+            f"{precision}, offset {offset})",
+        )
+    vals = _unpack_bit_fields(raw, nelmts, precision) << np.uint64(offset)
+    return vals.astype("<u8").view(np.uint8).reshape(nelmts, 8)[:, :size].tobytes()
+
+
+def _scaleoffset_decode(raw: bytes, cd) -> bytes:
+    """H5Z_FILTER_SCALEOFFSET (id 6), public H5Zscaleoffset.c layout:
+    ``cd = [scale_type, scale_factor, nelmts, class, size, sign, order,
+    fill_available, fill_value words…]``. The compressed chunk is a
+    21-byte header (minbits u32 LE at 0, minval byte count at 4, minval
+    LE from 5; data at the fixed buf_offset 21) followed by each
+    element's ``value − minval`` packed MSB-first at ``minbits`` bits.
+    A defined fill value encodes as the all-ones field. Integer
+    (H5Z_SO_INT) and float D-scaling are implemented; E-scaling and
+    big-endian refuse loudly. minbits == element width means the
+    TRANSFORMED (value − minval) elements are stored verbatim after the
+    header — the minval restore still runs, matching the C decompressor
+    where postdecompress follows both branches."""
+    if len(cd) < 8:
+        raise UnsupportedHDF5("scale-offset filter with malformed parameters")
+    scale_type, scale_factor, nelmts = cd[0], cd[1], cd[2]
+    size, order, filavail = cd[4], cd[6], cd[7]
+    if order != 0:  # H5Z_SCALEOFFSET_ORDER_LE
+        raise UnsupportedHDF5("scale-offset filter on big-endian data")
+    if scale_type not in (0, 2):  # H5Z_SO_FLOAT_DSCALE / H5Z_SO_INT
+        raise UnsupportedHDF5(
+            "scale-offset E-scaling (H5Z_SO_FLOAT_ESCALE) unsupported",
+        )
+    if not 1 <= size <= 8:
+        raise UnsupportedHDF5(f"scale-offset on {size}-byte elements")
+    if len(raw) < 21:
+        raise UnsupportedHDF5("truncated scale-offset chunk header")
+    minbits = int.from_bytes(raw[0:4], "little")
+    minval = int.from_bytes(raw[5 : 5 + min(raw[4], 8)], "little")
+    data = raw[21:]
+    width = size * 8
+    if minbits > width:
+        raise UnsupportedHDF5(
+            f"scale-offset minbits {minbits} exceeds the {width}-bit element",
+        )
+    if minbits == width:  # full precision: transformed elements verbatim
+        try:
+            packed = np.frombuffer(
+                data, f"<u{size}", count=nelmts,
+            ).astype(np.uint64)
+        except ValueError as exc:
+            raise UnsupportedHDF5(
+                "truncated or corrupt HDF5 file (scale-offset full-"
+                "precision chunk shorter than its element count)",
+            ) from exc
+    else:
+        packed = _unpack_bit_fields(data, nelmts, minbits)
+    fill_bytes = None
+    if filavail and minbits > 0:  # H5Z_SCALEOFFSET_FILL_DEFINED
+        words = cd[8 : 8 + (size + 3) // 4]
+        fill_bytes = b"".join(
+            int(w).to_bytes(4, "little") for w in words
+        )[:size]
+    is_fill = (
+        packed == np.uint64((1 << minbits) - 1)
+        if fill_bytes is not None else None
+    )
+    vals = packed + np.uint64(minval & 0xFFFFFFFFFFFFFFFF)
+    if scale_type == 2:  # integers: minval restore is two's-complement
+        if fill_bytes is not None:
+            fv = np.uint64(int.from_bytes(fill_bytes.ljust(8, b"\0"), "little"))
+            vals = np.where(is_fill, fv, vals)
+        return vals.astype("<u8").view(np.uint8).reshape(nelmts, 8)[:, :size].tobytes()
+    # float D-scaling: value = (signed scaled + minval) / 10^scale_factor
+    if size not in (4, 8):
+        raise UnsupportedHDF5(
+            f"scale-offset D-scaling on a {size}-byte float",
+        )
+    if width < 64:
+        vals = vals & np.uint64((1 << width) - 1)
+        signed = vals.astype(np.int64)
+        signed[signed >= (1 << (width - 1))] -= 1 << width
+    else:
+        signed = vals.view(np.int64)
+    fdtype = np.dtype(f"<f{size}")
+    ftype = np.float32 if size == 4 else np.float64
+    out = (signed.astype(ftype) / ftype(10.0 ** scale_factor)).astype(fdtype)
+    if fill_bytes is not None:
+        fv = np.frombuffer(fill_bytes, fdtype)[0]
+        out = np.where(is_fill, fv, out).astype(fdtype)
+    return out.tobytes()
 
 
 def _lzf_decompress(data: bytes) -> bytes:

@@ -37,6 +37,91 @@ from sed_binning_spark.io.hdf5_read import (
 
 UNDEF = 0xFFFFFFFFFFFFFFFF
 
+
+def _msb_bitpack(fields: np.ndarray, nbits: int) -> bytes:
+    """Pack ``fields`` (uint64) as consecutive ``nbits``-wide bit fields,
+    MSB first — the stream layout of the n-bit and scale-offset filters
+    (the encode half of hdf5_read._unpack_bit_fields)."""
+    if nbits == 0:
+        return b""
+    shifts = np.arange(nbits - 1, -1, -1, dtype=np.uint64)
+    bits = ((fields[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def _nbit_encode(raw: bytes, dtype: np.dtype, precision: int, offset: int) -> bytes:
+    """The n-bit filter's compress half (H5Znbit.c, atomic class, LE):
+    each element's ``precision``-bit span at bit ``offset``, packed
+    MSB-first."""
+    size = dtype.itemsize
+    if precision == 0 or precision + offset > size * 8:
+        raise ValueError(
+            f"n-bit precision {precision} + offset {offset} exceeds the "
+            f"{size * 8}-bit element",
+        )
+    vals = np.frombuffer(raw, dtype=f"<u{size}").astype(np.uint64)
+    span = (vals >> np.uint64(offset)) & np.uint64((1 << precision) - 1)
+    return _msb_bitpack(span, precision)
+
+
+def _scaleoffset_encode(raw: bytes, dtype: np.dtype, scale_factor: int) -> bytes:
+    """The scale-offset filter's compress half (H5Zscaleoffset.c, LE,
+    fill undefined): 21-byte header (minbits, minval size, minval) +
+    ``value − min`` fields at minbits bits. Integers scale-type
+    H5Z_SO_INT; floats D-scale (llround(v·10^D))."""
+    size = dtype.itemsize
+    if dtype.kind == "f":
+        v = np.frombuffer(raw, dtype).astype(np.float64)
+        scaled = np.rint(v * 10.0 ** scale_factor).astype(np.int64)
+    else:
+        scaled = np.frombuffer(raw, dtype).astype(np.int64)
+    mn, mx = int(scaled.min()), int(scaled.max())
+    minbits = min((mx - mn).bit_length(), size * 8)
+    header = (
+        minbits.to_bytes(4, "little") + bytes([8])
+        + (mn & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little") + b"\x00" * 8
+    )
+    transformed = (scaled - mn).astype(np.uint64)
+    if minbits == size * 8:  # no shrink possible: transformed, verbatim
+        return header + transformed.astype("<u8").view(np.uint8).reshape(
+            -1, 8,
+        )[:, :size].tobytes()
+    return header + _msb_bitpack(transformed, minbits)
+
+
+def _filter_pipeline_entries(pipeline: list, dtype: np.dtype, chunks: tuple):
+    """Writer filter specs → ``(filter id, cd_values, encode_fn)`` rows,
+    cd_values laid out exactly as libhdf5's set_local callbacks store
+    them (what hdf5_read's decoders parse)."""
+    import zlib
+
+    nelmts = int(np.prod(chunks)) if chunks else 1
+    out = []
+    for spec in pipeline:
+        kind = spec[0]
+        if kind == "deflate":
+            level = int(spec[1]) if len(spec) > 1 else 6
+            out.append((1, [level],
+                        lambda raw, lv=level: zlib.compress(raw, lv)))
+        elif kind == "nbit":
+            precision = int(spec[1])
+            offset = int(spec[2]) if len(spec) > 2 else 0
+            cd = [8, 0, nelmts, 1, dtype.itemsize, 0, precision, offset]
+            out.append((5, cd,
+                        lambda raw, p=precision, o=offset:
+                        _nbit_encode(raw, dtype, p, o)))
+        elif kind == "scaleoffset":
+            sf = int(spec[1]) if len(spec) > 1 else 0
+            scale_type = 0 if dtype.kind == "f" else 2
+            cls = 1 if dtype.kind == "f" else 0
+            sign = 1 if dtype.kind == "i" else 0
+            cd = [scale_type, sf, nelmts, cls, dtype.itemsize, sign, 0, 0]
+            out.append((6, cd,
+                        lambda raw, s=sf: _scaleoffset_encode(raw, dtype, s)))
+        else:
+            raise ValueError(f"unknown filter {kind!r}")
+    return out
+
 # The superblock advertises group leaf k=4 and internal k=16 (libhdf5's
 # defaults); libhdf5 trusts those numbers and reads every SNOD / TREE node
 # at its FULL advertised size, so nodes must be emitted padded to exactly
@@ -79,19 +164,31 @@ class H5Writer:
 
     def add_dataset(self, path: str, data, *, chunks: tuple | None = None,
                     chunk_index: str = "fixed", deflate: bool = False,
+                    filters: list | None = None,
                     committed_dtype: str | None = None) -> None:
         """``chunks`` switches the dataset to a CHUNKED layout-v4 message
         (the post-1.10 "latest" format) indexed by ``chunk_index``:
         "fixed" (fixed array, libhdf5's default for fixed-shape chunked
         data), "single" (one chunk covering the whole dataset), or
         "implicit" (chunks contiguous in C grid order — no filters by
-        spec). ``deflate`` zlib-compresses each chunk and records the
-        filter pipeline. ``committed_dtype`` names a type committed via
-        :meth:`add_committed_datatype`; the dataset's datatype message is
-        then a shared reference to it (the type must match the data)."""
+        spec). ``deflate`` zlib-compresses each chunk; ``filters`` is
+        the general pipeline form — a list applied in order, each entry
+        ``("deflate", level=6)``, ``("nbit", precision, offset=0)``, or
+        ``("scaleoffset", scale_factor=0)`` (integer or float D-scale
+        by dtype; fill treated as undefined) — recorded as the 0x000B
+        filter-pipeline message. ``committed_dtype`` names a type
+        committed via :meth:`add_committed_datatype`; the dataset's
+        datatype message is then a shared reference to it (the type
+        must match the data)."""
         parts = [p for p in path.strip("/").split("/") if p]
         parent = self._group(parts[:-1])
         arr = _as_h5_array(data)
+        pipeline = list(filters or [])
+        if deflate:
+            pipeline.append(("deflate",))
+        for spec in pipeline:
+            if spec[0] not in ("deflate", "nbit", "scaleoffset"):
+                raise ValueError(f"unknown filter {spec[0]!r}")
         if chunks is not None:
             chunks = tuple(int(c) for c in chunks)
             if len(chunks) != arr.ndim or any(c < 1 for c in chunks):
@@ -103,14 +200,14 @@ class H5Writer:
                 c < s for c, s in zip(chunks, arr.shape)
             ):
                 raise ValueError("single-chunk index needs one covering chunk")
-            if chunk_index == "implicit" and deflate:
+            if chunk_index == "implicit" and pipeline:
                 raise ValueError("implicit indexing forbids filters (spec)")
-        elif deflate:
-            raise ValueError("deflate requires a chunked layout")
+        elif pipeline:
+            raise ValueError("filters require a chunked layout")
         parent["__children__"][parts[-1]] = {
             "__kind__": "dataset", "__attrs__": {}, "__data__": arr,
             "__chunks__": chunks, "__index__": chunk_index,
-            "__deflate__": deflate, "__committed__": committed_dtype,
+            "__filters__": pipeline, "__committed__": committed_dtype,
         }
 
     def add_committed_datatype(self, path: str, dtype) -> None:
@@ -248,7 +345,7 @@ class H5Writer:
             msgs.append((0x0008, struct.pack("<BBQQ", 3, 1, data_addr, len(raw))))
         else:
             msgs += self._emit_chunked(
-                buf, arr, chunks, node["__index__"], node["__deflate__"],
+                buf, arr, chunks, node["__index__"], node["__filters__"],
             )
         msgs += self._attr_msgs(buf, attrs)
         return _emit_object_header(buf, msgs)
@@ -256,15 +353,15 @@ class H5Writer:
     @staticmethod
     def _emit_chunked(
         buf: bytearray, arr: np.ndarray, chunks: tuple,
-        index: str, deflate: bool,
+        index: str, pipeline: list,
     ) -> list[tuple[int, bytes]]:
         """Chunked layout-v4 emission: full-size (edge-padded) chunk
-        buffers in C grid order, optionally deflated, indexed by a
-        single-chunk message, an implicit contiguous run, or a fixed
-        array ('FAHD' + 'FADB', client 1 when filtered). Returns the
-        layout (+ filter pipeline) messages."""
-        import zlib
-
+        buffers in C grid order, run through the filter ``pipeline``,
+        indexed by a single-chunk message, an implicit contiguous run,
+        or a fixed array ('FAHD' + 'FADB', client 1 when filtered).
+        Returns the layout (+ filter pipeline) messages."""
+        entries = _filter_pipeline_entries(pipeline, arr.dtype, chunks)
+        deflate = bool(entries)  # "filtered" for index-flavor purposes
         grid = [-(-s // c) for s, c in zip(arr.shape, chunks)]
         nchunks = int(np.prod(grid)) if grid else 1
         if any(g == 0 for g in grid):
@@ -279,7 +376,9 @@ class H5Writer:
             )
             block[tuple(slice(0, s.stop - s.start) for s in sel)] = arr[sel]
             raw = block.tobytes()
-            blobs.append(zlib.compress(raw, 6) if deflate else raw)
+            for _fid, _cd, encode in entries:
+                raw = encode(raw)
+            blobs.append(raw)
 
         if not blobs:
             # zero-size dataset: no chunks exist; record the index flavor
@@ -397,9 +496,15 @@ class H5Writer:
             body += struct.pack("<Q", c)
         body += bytes([itype]) + extra + struct.pack("<Q", index_addr)
         msgs = [(0x0008, body)]
-        if deflate:
-            msgs.append((0x000B, bytes([2, 1])
-                         + struct.pack("<HHHI", 1, 0, 1, 6)))
+        if entries:
+            # filter pipeline v2: per filter (id < 256, so no name field)
+            # id(2) flags(2) n-cd-values(2) then the u32 client values
+            pmsg = bytes([2, len(entries)])
+            for fid, cdv, _enc in entries:
+                pmsg += struct.pack("<HHH", fid, 0, len(cdv))
+                for v in cdv:
+                    pmsg += struct.pack("<I", v & 0xFFFFFFFF)
+            msgs.append((0x000B, pmsg))
         return msgs
 
     def _attr_msgs(self, buf: bytearray, attrs: dict) -> list[tuple[int, bytes]]:
