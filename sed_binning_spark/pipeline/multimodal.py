@@ -1469,6 +1469,7 @@ def sample_frames(
     id_column: str = "media_id",
     max_frames: int | None = 256,
     mjpeg_frame_ms: int = 0,
+    keyframes_only: bool = False,
 ) -> DataFrame:
     """Decode the frame TIMELINE of animated media payloads — the decode
     half of video frame sampling, pairing :func:`frame_sample_plan`'s
@@ -1502,7 +1503,15 @@ def sample_frames(
     decode_gif_frames materializes one canvas copy per frame, so a
     10k-frame looping banner GIF at the pixel budget would otherwise
     build tens of GB inside one task) bounds the walk per payload;
-    ``None`` opts into unbounded."""
+    ``None`` opts into unbounded.
+
+    ``keyframes_only=True`` keeps only sync samples — the cheap sampling
+    mode for thumbnail/training-frame extraction at corpus scale, and
+    the pruning happens BEFORE payload decode, not as a row filter: MP4
+    samples outside stss are skipped undecoded, a GIF decodes only frame
+    0 (its single independently-decodable frame — ``max_frames`` drops
+    to 1 for it), and raw MJPEG keeps everything because every frame is
+    intra-coded."""
     import pandas as pd
 
     def _stat_row(canvas, n_bytes, keyframe):
@@ -1510,16 +1519,22 @@ def sample_frames(
         return (w, h, *_norm_stats(canvas, 255.0), n_bytes, keyframe)
 
     def _decode_timeline(b: bytes):
-        """Rows of (start_ms, delay_ms, width, height, mean, std, min,
-        max, n_bytes, keyframe) — the FRAME_SCHEMA tail."""
+        """Rows of (frame_index, start_ms, delay_ms, width, height,
+        mean, std, min, max, n_bytes, keyframe) — frame_index stays the
+        CONTAINER's sample index even when keyframes_only skips rows."""
         if b[:6] in GIF_SIGS:
             # composited canvases are not byte-delimited → NULL extent;
-            # GIF has no sync-sample concept → NULL keyframe
+            # GIF has no sync-sample concept → NULL keyframe. Keyframe
+            # mode decodes ONLY frame 0 (the one independently-decodable
+            # frame) — the cap is the saving, not a post-filter
+            gif_cap = 1 if keyframes_only else max_frames
             return [
-                (start_ms, delay_ms, *_stat_row(canvas, None, None))
-                for start_ms, delay_ms, canvas in decode_gif_frames(
-                    b, max_pixels=FEATURIZER_MAX_PIXELS,
-                    max_frames=max_frames,
+                (i, start_ms, delay_ms, *_stat_row(canvas, None, None))
+                for i, (start_ms, delay_ms, canvas) in enumerate(
+                    decode_gif_frames(
+                        b, max_pixels=FEATURIZER_MAX_PIXELS,
+                        max_frames=gif_cap,
+                    ),
                 )
             ]
         if b[:3] == b"\xff\xd8\xff":
@@ -1533,7 +1548,7 @@ def sample_frames(
                     continue  # skip the corrupt frame, keep the stream
                 # every raw-MJPEG frame is intra-coded → keyframe
                 out.append((
-                    i * mjpeg_frame_ms, mjpeg_frame_ms,
+                    i, i * mjpeg_frame_ms, mjpeg_frame_ms,
                     *_stat_row(img, len(fb), True),
                 ))
             return out
@@ -1552,7 +1567,11 @@ def sample_frames(
             tw = info["width"] or None
             th = info["height"] or None
             out = []
-            for start_ms, delay_ms, pos, size, kf in info["samples"]:
+            for i, (start_ms, delay_ms, pos, size, kf) in enumerate(
+                info["samples"],
+            ):
+                if keyframes_only and not kf:
+                    continue  # pruned BEFORE payload decode
                 if decode:
                     try:
                         img = decode_image_jpeg(
@@ -1562,11 +1581,11 @@ def sample_frames(
                     except _DECODE_ERRORS:
                         continue  # skip the corrupt sample, keep the track
                     out.append((
-                        start_ms, delay_ms, *_stat_row(img, size, kf),
+                        i, start_ms, delay_ms, *_stat_row(img, size, kf),
                     ))
                 else:
                     out.append((
-                        start_ms, delay_ms, tw, th,
+                        i, start_ms, delay_ms, tw, th,
                         None, None, None, None, size, kf,
                     ))
             return out
@@ -1582,8 +1601,8 @@ def sample_frames(
                     decoded = _decode_timeline(bytes(payload))
                 except _DECODE_ERRORS:
                     continue  # one corrupt payload must not kill the batch
-                for i, tail in enumerate(decoded):
-                    rows.append((mid, i, *tail))
+                for tail in decoded:
+                    rows.append((mid, *tail))
             yield pd.DataFrame(rows, columns=FRAME_SCHEMA.fieldNames())
 
     return df.select(id_column, payload_column).mapInPandas(

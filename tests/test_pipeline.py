@@ -1745,6 +1745,15 @@ def test_mp4_metadata_only_timeline_for_real_codecs(spark):
     assert rows["mean"].isna().all() and rows["std"].isna().all()
     assert rows["min"].isna().all() and rows["max"].isna().all()
 
+    # keyframes_only prunes to the stss samples, keeping the CONTAINER
+    # frame index (0 and 2, not a re-enumeration)
+    kf = sample_frames(media, keyframes_only=True).toPandas().sort_values(
+        "frame_index",
+    )
+    assert list(kf.frame_index) == [0, 2]
+    assert list(kf.frame_ms) == [0, 80]
+    assert list(kf.keyframe) == [True, True]
+
 
 def test_gif_animation_first_frame_only():
     """Multi-frame GIFs decode their first frame; trailing frames and
