@@ -1830,10 +1830,13 @@ def _unpack_bit_fields(raw: bytes, nelmts: int, nbits: int) -> np.ndarray:
             "than its element count)",
         ) from exc
     bits = np.unpackbits(packed)[:need].reshape(nelmts, nbits)
-    weights = np.left_shift(
-        np.uint64(1), np.arange(nbits - 1, -1, -1, dtype=np.uint64),
-    )
-    return (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    # per-plane shift-accumulate, not a (nelmts × nbits) uint64 product:
+    # a 1M-element chunk at minbits ~50 would otherwise build ~400 MB
+    # temporaries on the executor decode path; this keeps 8 B/element
+    out = np.zeros(nelmts, dtype=np.uint64)
+    for j in range(nbits):
+        out = (out << np.uint64(1)) | bits[:, j]
+    return out
 
 
 def _nbit_decode(raw: bytes, cd) -> bytes:
@@ -1914,7 +1917,13 @@ def _scaleoffset_decode(raw: bytes, cd) -> bytes:
         packed = _unpack_bit_fields(data, nelmts, minbits)
     fill_bytes = None
     if filavail and minbits > 0:  # H5Z_SCALEOFFSET_FILL_DEFINED
-        words = cd[8 : 8 + (size + 3) // 4]
+        nwords = (size + 3) // 4
+        words = cd[8 : 8 + nwords]
+        if len(words) < nwords:
+            raise UnsupportedHDF5(
+                "scale-offset pipeline message declares a fill value but "
+                "omits its words",
+            )
         fill_bytes = b"".join(
             int(w).to_bytes(4, "little") for w in words
         )[:size]

@@ -60,6 +60,15 @@ def _nbit_encode(raw: bytes, dtype: np.dtype, precision: int, offset: int) -> by
             f"{size * 8}-bit element",
         )
     vals = np.frombuffer(raw, dtype=f"<u{size}").astype(np.uint64)
+    if precision + offset < size * 8 and bool(
+        (vals >> np.uint64(precision + offset)).any(),
+    ) or offset and bool((vals & np.uint64((1 << offset) - 1)).any()):
+        # bits outside the declared span would be silently dropped —
+        # refuse loudly instead of writing a corrupted chunk
+        raise ValueError(
+            f"n-bit data has significant bits outside the declared "
+            f"[{offset}, {offset + precision}) span",
+        )
     span = (vals >> np.uint64(offset)) & np.uint64((1 << precision) - 1)
     return _msb_bitpack(span, precision)
 

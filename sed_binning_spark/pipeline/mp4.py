@@ -168,10 +168,16 @@ def parse_mp4_samples(
 def parse_mp4_timeline(
     data: bytes,
     max_frames: int | None = None,
+    prefer: tuple[bytes, ...] = _JPEG_SAMPLE_TYPES,
 ) -> dict:
-    """Container timeline of the FIRST video track of ANY codec — no
-    payload decode: ``{"codec": str, "width": int, "height": int,
-    "samples": [(start_ms, delay_ms, offset, n_bytes, keyframe), ...]}``.
+    """Container timeline of ONE video track of ANY codec — no payload
+    decode: ``{"codec": str, "width": int, "height": int, "samples":
+    [(start_ms, delay_ms, offset, n_bytes, keyframe), ...]}``. The
+    track picked is the first whose sample type is in ``prefer``
+    (default: the decodable Motion-JPEG flavors, so a multi-track file
+    with an avc1 trak BEFORE a jpeg trak still surfaces the decodable
+    one — parse_mp4_samples' track-selection behavior), else the first
+    video track.
 
     Real multimodal corpora are mostly H.264/H.265, which this
     environment cannot decode to pixels — but the moov sample tables
@@ -179,23 +185,34 @@ def parse_mp4_timeline(
     byte extent (stsc/stco/stsz chunk layout), and sync flag (stss;
     absent means every sample is a sync sample per ISO 14496-12
     §8.6.2), all of which frame-sampling decisions can run on.
-    Dimensions come from the VisualSampleEntry (0 when absent). Lying
-    sample tables raise exactly as in :func:`parse_mp4_samples` — the
-    refuse-dishonest-tables posture is codec-independent."""
-    for sd_type, width, height, timescale, tables in _video_tracks(data):
-        layout = _track_layout(data, tables, timescale, max_frames)
-        sync = _sync_samples(data, tables)
-        return {
-            "codec": sd_type.decode("ascii", "replace"),
-            "width": int(width),
-            "height": int(height),
-            "samples": [
-                (start_ms, delay_ms, pos, size,
-                 True if sync is None else (i + 1) in sync)
-                for i, (start_ms, delay_ms, pos, size) in enumerate(layout)
-            ],
-        }
-    raise ValueError("MP4 contains no video track")
+    Dimensions come from the VisualSampleEntry (0 when absent). The
+    ``codec`` string is the 4CC decoded with replacement (4CCs are
+    arbitrary bytes); lying sample tables raise exactly as in
+    :func:`parse_mp4_samples` — the refuse-dishonest-tables posture is
+    codec-independent."""
+    first = None
+    for track in _video_tracks(data):
+        if first is None:
+            first = track
+        if track[0] in prefer:
+            first = track
+            break
+    if first is None:
+        raise ValueError("MP4 contains no video track")
+    sd_type, width, height, timescale, tables = first
+    layout = _track_layout(data, tables, timescale, max_frames)
+    sync = _sync_samples(data, tables)
+    return {
+        "codec": sd_type.decode("ascii", "replace"),
+        "decodable": sd_type in _JPEG_SAMPLE_TYPES,
+        "width": int(width),
+        "height": int(height),
+        "samples": [
+            (start_ms, delay_ms, pos, size,
+             True if sync is None else (i + 1) in sync)
+            for i, (start_ms, delay_ms, pos, size) in enumerate(layout)
+        ],
+    }
 
 
 def _sync_samples(data: bytes, tables) -> set[int] | None:
@@ -205,6 +222,8 @@ def _sync_samples(data: bytes, tables) -> set[int] | None:
     if got is None:
         return None
     s, e = got
+    if s + 8 > e:  # full-box header + entry count must fit the payload
+        raise ValueError("MP4 stss box too short for its header")
     (cnt,) = struct.unpack_from(">I", data, s + 4)
     if s + 8 + 4 * cnt > e:
         raise ValueError(

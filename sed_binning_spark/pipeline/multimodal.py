@@ -1558,12 +1558,12 @@ def sample_frames(
             # pixel stats; real codecs (avc1/...) keep their timeline
             # with NULL stats — metadata-only, never fake statistics
             from sed_binning_spark.pipeline.jpeg import decode_image_jpeg
-            from sed_binning_spark.pipeline.mp4 import (
-                _JPEG_SAMPLE_TYPES, parse_mp4_timeline,
-            )
+            from sed_binning_spark.pipeline.mp4 import parse_mp4_timeline
 
             info = parse_mp4_timeline(b, max_frames)
-            decode = info["codec"].encode("ascii") in _JPEG_SAMPLE_TYPES
+            # the byte-level flag, not a codec-string round-trip: 4CCs
+            # are arbitrary bytes and may not re-encode as ascii
+            decode = info["decodable"]
             tw = info["width"] or None
             th = info["height"] or None
             out = []

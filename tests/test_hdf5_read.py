@@ -1261,6 +1261,13 @@ def test_nbit_filter(tmp_path):
     assert _nbit_decode(b"xyz", [4, 1, 3, 1]) == b"xyz"
     with pytest.raises(UnsupportedHDF5, match="non-atomic"):
         _nbit_decode(b"", [8, 0, 2, 3, 2, 0, 12, 0])
+    # the encoder refuses data whose bits exceed the declared span
+    # instead of silently masking them away
+    from sed_binning_spark.io.hdf5_write import _nbit_encode
+    with pytest.raises(ValueError, match="outside the declared"):
+        _nbit_encode(np.array([4096], "<u2").tobytes(), np.dtype("<u2"), 12, 0)
+    with pytest.raises(ValueError, match="outside the declared"):
+        _nbit_encode(np.array([1], "<u2").tobytes(), np.dtype("<u2"), 10, 3)
     with pytest.raises(UnsupportedHDF5, match="big-endian"):
         _nbit_decode(b"", [8, 0, 2, 1, 2, 1, 12, 0])
     with pytest.raises(UnsupportedHDF5, match="out of range"):
@@ -1315,6 +1322,9 @@ def test_scaleoffset_filter(tmp_path):
     np.testing.assert_array_equal(got, [-2, 42, 3])
     with pytest.raises(UnsupportedHDF5, match="E-scaling"):
         _scaleoffset_decode(header + packed, [1, 0, 3, 1, 4, 0, 0, 0])
+    # filavail set but the fill words omitted: loud, not fill=0
+    with pytest.raises(UnsupportedHDF5, match="omits its words"):
+        _scaleoffset_decode(header + packed, [2, 0, 3, 0, 4, 1, 0, 1])
     with pytest.raises(UnsupportedHDF5, match="big-endian"):
         _scaleoffset_decode(header + packed, [2, 0, 3, 0, 4, 1, 1, 0])
     with pytest.raises(UnsupportedHDF5, match="truncated"):

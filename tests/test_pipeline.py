@@ -1754,6 +1754,70 @@ def test_mp4_metadata_only_timeline_for_real_codecs(spark):
     assert list(kf.frame_ms) == [0, 80]
     assert list(kf.keyframe) == [True, True]
 
+    # a non-ASCII sample 4CC (4CCs are arbitrary bytes) must yield its
+    # metadata-only timeline, not vanish on a codec-string re-encode
+    exotic = bytearray(blob)
+    at = bytes(blob).rindex(b"avc1")
+    exotic[at : at + 4] = b"\xffv01"
+    info = parse_mp4_timeline(bytes(exotic))
+    assert not info["decodable"] and len(info["samples"]) == 4
+    got = sample_frames(spark.createDataFrame(
+        [(9, bytes(exotic))], "media_id long, payload binary",
+    )).toPandas()
+    assert len(got) == 4 and got["mean"].isna().all()
+    # an stss too short for even its header names the defect
+    short = bytearray(blob)
+    sat = bytes(blob).index(b"stss") - 4
+    short[sat : sat + 4] = (8).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="stss"):
+        parse_mp4_timeline(bytes(short))
+
+
+def test_mp4_multi_track_prefers_decodable(spark):
+    """A multi-track MP4 whose moov lists an avc1 trak BEFORE a
+    Motion-JPEG trak must still decode the JPEG track to pixel
+    statistics (parse_mp4_samples always scanned all tracks; the
+    timeline's default prefer= keeps that behavior), while prefer=()
+    surfaces the file-order first track."""
+    import numpy as np
+    import struct
+
+    from sed_binning_spark.pipeline.jpeg import encode_image_jpeg
+    from sed_binning_spark.pipeline.mp4 import (
+        _find, _iter_boxes, encode_mp4_mjpeg, parse_mp4_timeline,
+    )
+    from sed_binning_spark.pipeline.multimodal import sample_frames
+
+    frames = [encode_image_jpeg(np.full((8, 8, 3), v, np.uint8))
+              for v in (64, 192)]
+    blob_j = encode_mp4_mjpeg(frames, [30, 30], width=8, height=8)
+    # same payload layout, avc1-typed trak: its chunk offsets stay valid
+    blob_a = encode_mp4_mjpeg(frames, [30, 30], width=8, height=8,
+                              sample_type=b"avc1")
+    mj = _find(blob_j, 0, len(blob_j), b"moov")
+    ma = _find(blob_a, 0, len(blob_a), b"moov")
+    mvhd = trak_j = trak_a = None
+    for t, s, e in _iter_boxes(blob_j, mj[0], mj[1]):
+        if t == b"mvhd":
+            mvhd = blob_j[s - 8 : e]
+        elif t == b"trak":
+            trak_j = blob_j[s - 8 : e]
+    for t, s, e in _iter_boxes(blob_a, ma[0], ma[1]):
+        if t == b"trak":
+            trak_a = blob_a[s - 8 : e]
+    payload = mvhd + trak_a + trak_j  # avc1 FIRST in file order
+    moov = struct.pack(">I4s", 8 + len(payload), b"moov") + payload
+    two = blob_j[: mj[0] - 8] + moov
+
+    assert parse_mp4_timeline(two)["codec"] == "jpeg"
+    assert parse_mp4_timeline(two, prefer=())["codec"] == "avc1"
+    rows = sample_frames(spark.createDataFrame(
+        [(1, two)], "media_id long, payload binary",
+    )).toPandas().sort_values("frame_index")
+    assert [round(m, 2) for m in rows["mean"]] == [
+        round(64 / 255, 2), round(192 / 255, 2),
+    ]
+
 
 def test_gif_animation_first_frame_only():
     """Multi-frame GIFs decode their first frame; trailing frames and
