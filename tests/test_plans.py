@@ -299,6 +299,26 @@ def test_pack_sequences_slices_before_the_sequence_shuffle(spark):
 
 
 @needs_testdata
+def test_shuffled_pack_order_adds_no_shuffle(spark):
+    """order='shuffled' is a sort-KEY flip inside pack_chunks' existing
+    per-shard window — the md5 order key is a map-side projection, so
+    the plan carries exactly as many exchanges as the id-order layout
+    and still no Python stage. This is the zero-cost claim the shuffled
+    training order rests on."""
+    from sed_binning_spark.pipeline.pack import pack_chunks
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan_id = plan_of(pack_chunks(docs, seq_tokens=64, n_shards=8))
+    plan_sh = plan_of(
+        pack_chunks(docs, seq_tokens=64, n_shards=8, order="shuffled"),
+    )
+    assert plan_sh.count("Exchange") == plan_id.count("Exchange"), plan_sh
+    assert "__okey" in plan_sh  # the flip is real, not optimized away
+    for node in ALL_PYTHON_NODES:
+        assert node not in plan_sh, plan_sh
+
+
+@needs_testdata
 def test_url_canonicalize_is_map_only_and_dedup_shuffles_slim(spark):
     """canonicalize_urls is one Python-free projection (try_parse_url +
     string expressions fold into the scan's codegen stage); dedup_by_url
