@@ -182,10 +182,44 @@ def test_mp4_demux_survives_mutations(cut, flip_at, flip_to):
     try:
         got = parse_mp4_samples(bytes(mutated))
     except _DECODE_ERRORS:
+        got = None
+    if got is not None:
+        for start_ms, delay_ms, payload in got:
+            assert 0 <= start_ms and 0 <= delay_ms
+            assert len(payload) <= len(mutated)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    cut=st.integers(min_value=0, max_value=2000),
+    flip_at=st.integers(min_value=0, max_value=1999),
+    flip_to=st.integers(min_value=0, max_value=255),
+)
+def test_mp4_timeline_survives_mutations(cut, flip_at, flip_to):
+    """The metadata-only timeline holds the same taxonomy as the payload
+    demuxer under truncation/byte flips (it shares the table walk plus
+    stss): rows within the degradable exception set or a timeline whose
+    byte extents stay inside the buffer — never a crash class
+    sample_frames cannot catch."""
+    from sed_binning_spark.pipeline.mp4 import encode_mp4_mjpeg, parse_mp4_timeline
+    from sed_binning_spark.pipeline.multimodal import _DECODE_ERRORS
+
+    blob = encode_mp4_mjpeg(
+        [b"\x01" * 40, b"\x02" * 50], [30, 30], width=8, height=8,
+        sample_type=b"avc1", sync_samples=[1],
+    )
+    mutated = bytearray(blob[: max(12, min(cut, len(blob)))])
+    if flip_at < len(mutated):
+        mutated[flip_at] = flip_to
+    try:
+        info = parse_mp4_timeline(bytes(mutated))
+    except _DECODE_ERRORS:
         return
-    for start_ms, delay_ms, payload in got:
+    assert isinstance(info["codec"], str)
+    for start_ms, delay_ms, pos, size, kf in info["samples"]:
         assert 0 <= start_ms and 0 <= delay_ms
-        assert len(payload) <= len(mutated)
+        assert 0 <= pos and pos + size <= len(mutated)
+        assert isinstance(kf, bool)
 
 
 @settings(max_examples=120, deadline=None)
