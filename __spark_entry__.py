@@ -75,8 +75,10 @@ from sed_binning_spark.pipeline.multimodal import (
     frame_sample_plan,
     gif_fixture_n_bytes,
     png_fixture_n_bytes,
+    sample_audio_windows,
     sample_frames,
     synthesize_animated_gif_media_from_text,
+    synthesize_wav_media_from_text,
     synthesize_gif_media_from_text,
     synthesize_png_media_from_text,
     synthesize_ppm_media_from_text,
@@ -1559,7 +1561,17 @@ def _q_frame_sample(spark, sf):
     extents as frozen fixture literals; the 'avc1' leg (doc_id % 3 ==
     2) is the metadata-only timeline for real codecs: container timing,
     closed-form byte extents (6+4f+2w), stss keyframe flags, and
-    sample-entry dimensions with NULL pixel statistics."""
+    sample-entry dimensions with NULL pixel statistics.
+
+    Round 12 also adds the AUDIO twin ('wav', doc_id % 2 == 0): an
+    expression-built 8-bit mono RIFF/WAVE whose 16 samples are exactly
+    unhex(md5(text)), windowed by sample_audio_windows at the fmt
+    chunk's own 1 kHz clock into four 4 ms windows. Every statistic is
+    a dyadic rational — (b−128)/128 values, so means/variances round
+    NOWHERE in a double — and the twin regenerates mean, std (via the
+    mathematically identical msq − mu² form; all intermediates exact,
+    so both engines land on the same double), min, and max from the
+    same md5 bytes."""
     docs = _docs(spark, sf)
     media = docs.select("doc_id", F.col("n_chars").alias("duration_ms"))
     plan = frame_sample_plan(media, every_ms=25, id_column="doc_id")
@@ -1619,7 +1631,27 @@ def _q_frame_sample(spark, sf):
         sample_frames(mp4_media),
         F.when(F.col("media_id") % 3 == 1, F.lit("mp4j")).otherwise(F.lit("avc1")),
     )
-    return plan_leg.unionByName(gif_leg).unionByName(mp4_leg)
+
+    wav = synthesize_wav_media_from_text(docs.where(F.col("doc_id") % 2 == 0))
+    wav_leg = sample_audio_windows(wav, window_ms=4).select(
+        F.lit("wav").alias("leg"),
+        F.col("media_id").alias("doc_id"),
+        F.col("start_ms").alias("frame_ms"),
+        F.col("window_index").alias("frame_index"),
+        F.col("duration_ms").alias("delay_ms"),
+        F.lit(None).cast("int").alias("fwidth"),
+        F.lit(None).cast("int").alias("fheight"),
+        F.round("mean", 6).alias("fmean"),
+        F.round("std", 6).alias("fstd"),
+        F.round("min", 6).alias("fmin"),
+        F.round("max", 6).alias("fmax"),
+        F.col("n_samples").cast("bigint").alias("fn_bytes"),
+        F.lit(None).cast("boolean").alias("fkeyframe"),
+    )
+    return (
+        plan_leg.unionByName(gif_leg).unionByName(mp4_leg)
+        .unionByName(wav_leg)
+    )
 
 
 def _q_doc_hashes(spark, sf):
@@ -2852,7 +2884,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
             "CAST(6 + 4 * t.f + 2 * (doc_id % 2) AS BIGINT), t.f % 2 = 0 "
             "FROM documents, range(4) t(f) "
-            "WHERE doc_id % 3 = 2 AND t.f < 3 + (doc_id % 2)"
+            "WHERE doc_id % 3 = 2 AND t.f < 3 + (doc_id % 2) "
+            # audio twin: 8-bit WAV samples = md5 bytes; every stat is a
+            # dyadic rational ((b-128)/128), so the std's msq - mu*mu
+            # form and the engine's mean-of-squared-deviations are the
+            # SAME exact double
+            "UNION ALL SELECT 'wav', doc_id, "
+            "CAST(4 * w AS BIGINT), CAST(w AS INT), CAST(4 AS BIGINT), "
+            "CAST(NULL AS INT), CAST(NULL AS INT), "
+            "round(mu, 6), round(sqrt(msq - mu * mu), 6), "
+            "round((list_min(bs) - 128) / 128.0, 6), "
+            "round((list_max(bs) - 128) / 128.0, 6), "
+            "CAST(4 AS BIGINT), CAST(NULL AS BOOLEAN) "
+            "FROM (SELECT doc_id, w, bs, "
+            "(list_sum(bs) - 512) / 512.0 AS mu, "
+            "list_sum(list_transform(bs, x -> "
+            "((x - 128) / 128.0) * ((x - 128) / 128.0))) / 4.0 AS msq "
+            "FROM (SELECT doc_id, w, list_transform(range(0, 4), j -> "
+            "CAST('0x' || substr(md5(text), "
+            "CAST((w * 4 + j) * 2 + 1 AS INTEGER), 2) AS BIGINT)) AS bs "
+            "FROM documents, range(4) t(w) "
+            "WHERE doc_id % 2 = 0 AND text IS NOT NULL))"
         ),
         # NULL text: every stop count is NULL, so an explicit branch is
         # needed — the CASE would otherwise fall through to ELSE where the

@@ -94,8 +94,10 @@ from sed_binning_spark.pipeline.multimodal import (
     extract_features,
     frame_sample_plan,
     resize_images,
+    sample_audio_windows,
     sample_frames,
     split_mjpeg_frames,
+    synthesize_wav_media_from_text,
     synthesize_animated_gif_media_from_text,
     synthesize_ppm_media_from_text,
 )
@@ -236,7 +238,9 @@ __all__ = [
     "resize_images",
     "frame_sample_plan",
     "sample_frames",
+    "sample_audio_windows",
     "split_mjpeg_frames",
+    "synthesize_wav_media_from_text",
     "parse_mp4_samples",
     "parse_mp4_timeline",
     "encode_mp4_mjpeg",

@@ -1610,6 +1610,142 @@ def sample_frames(
     )
 
 
+AUDIO_WINDOW_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("window_index", IntegerType(), False),
+    StructField("start_ms", LongType(), False),
+    StructField("duration_ms", LongType(), False),
+    StructField("n_samples", IntegerType(), False),
+    StructField("mean", DoubleType(), False),
+    StructField("std", DoubleType(), False),
+    StructField("rms", DoubleType(), False),
+    StructField("min", DoubleType(), False),
+    StructField("max", DoubleType(), False),
+])
+
+
+def sample_audio_windows(
+    df: DataFrame,
+    payload_column: str = "payload",
+    id_column: str = "media_id",
+    window_ms: int = 1000,
+    hop_ms: int | None = None,
+    max_windows: int | None = 4096,
+) -> DataFrame:
+    """Audio twin of :func:`sample_frames`: slice each RIFF/WAVE payload
+    into fixed-length windows on the container's OWN clock (the fmt
+    chunk's sample rate) and emit one row per window with its start
+    time, true duration, sample count, and normalized statistics
+    (samples/32768 — the int16 contract :func:`decode_audio_wav`
+    rescales every source format to; channels pool into one window).
+    The windowed-feature step of an audio curation pipeline: silence
+    trimming, clipping detection, level filtering all run on these rows
+    without a second decode.
+
+    ``hop_ms`` (default = ``window_ms``, i.e. non-overlapping) strides
+    the window start; a trailing partial window IS emitted with its
+    actual ``n_samples``/``duration_ms`` — at corpus scale silently
+    dropping tails would bias duration statistics. ``max_windows``
+    bounds rows per payload (the ``max_frames`` posture; ``None`` opts
+    into unbounded). Non-audio payloads, NULL payloads, and payloads
+    that fail to decode contribute NO rows — same contract as
+    sample_frames. Same distribution shape too: one ``mapInPandas``
+    stage, Arrow-batched, no shuffle, no driver collect."""
+    import pandas as pd
+
+    if window_ms <= 0:
+        raise ValueError(f"window_ms must be positive, got {window_ms}")
+    hop = window_ms if hop_ms is None else hop_ms
+    if hop <= 0:
+        raise ValueError(f"hop_ms must be positive, got {hop_ms}")
+
+    def _window_batches(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_column], pdf[payload_column]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                if b[:4] != b"RIFF":
+                    continue  # not audio: no windows, like a still image
+                try:
+                    samples, rate = decode_audio_wav(b)
+                except _DECODE_ERRORS:
+                    continue  # one corrupt payload keeps the batch alive
+                if rate <= 0 or samples.size == 0:
+                    continue
+                spw = max(1, window_ms * rate // 1000)
+                sph = max(1, hop * rate // 1000)
+                flat = samples.astype(np.float64) / 32768.0
+                w = 0
+                for start in range(0, samples.shape[0], sph):
+                    if max_windows is not None and w >= max_windows:
+                        break
+                    win = flat[start : start + spw]
+                    n = win.shape[0]
+                    if n == 0:
+                        break
+                    rows.append((
+                        mid, w,
+                        start * 1000 // rate, n * 1000 // rate,
+                        n,  # time frames; channels pool into the stats
+                        float(win.mean()), float(win.std()),
+                        float(np.sqrt((win * win).mean())),
+                        float(win.min()), float(win.max()),
+                    ))
+                    w += 1
+            yield pd.DataFrame(rows, columns=AUDIO_WINDOW_SCHEMA.fieldNames())
+
+    return df.select(id_column, payload_column).mapInPandas(
+        _window_batches, schema=AUDIO_WINDOW_SCHEMA,
+    )
+
+
+def wav_fixture_n_bytes(n_samples: int = 16) -> int:
+    """Closed-form payload size of :func:`synthesize_wav_media_from_text`:
+    RIFF header (12) + fmt chunk (8+16) + data chunk header (8) +
+    samples, plus the RIFF pad byte when the sample count is odd."""
+    return 12 + 24 + 8 + n_samples + (n_samples & 1)
+
+
+def synthesize_wav_media_from_text(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    sample_rate: int = 1000,
+) -> DataFrame:
+    """Expression-built RIFF/WAVE fixture: 8-bit unsigned mono PCM whose
+    16 data samples are exactly ``unhex(md5(text))`` — so the decoded
+    int16 values are ``(byte − 128) · 256`` and every windowed statistic
+    is an exact closed form any md5-capable engine can regenerate
+    ((b−128)/128 is a dyadic rational: sums, means, and variances of 16
+    of them round NOWHERE in a double). NULL text maps to a NULL
+    payload, like the image fixtures."""
+    n = 16  # one md5 digest of samples
+    header = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + 8 + n) + b"WAVE"
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate, 1, 8,
+        )
+        + b"data" + struct.pack("<I", n)
+    )
+    payload = F.when(
+        F.col(text_column).isNotNull(),
+        F.concat(F.lit(header), F.unhex(F.md5(F.col(text_column)))),
+    )
+    dur = n * 1000 // sample_rate
+    return df.select(
+        F.col(id_column).cast("long").alias("media_id"),
+        payload.alias("payload"),
+        F.when(F.col(text_column).isNotNull(),
+               F.lit("audio/wav")).alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(F.col(text_column).isNotNull(), F.lit(dur))
+        .cast("int").alias("duration_ms"),
+    )
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_ms: int = 1000,

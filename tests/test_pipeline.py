@@ -1819,6 +1819,83 @@ def test_mp4_multi_track_prefers_decodable(spark):
     ]
 
 
+def test_sample_audio_windows(spark):
+    """Audio window sampling: windows cut on the container's own sample
+    rate with true start/duration, a trailing partial window kept with
+    its actual extent, hop overlap honored, channels pooled into the
+    stats, max_windows bounding rows, and the sample_frames row
+    contract (NULL payloads / non-audio / corrupt payloads contribute
+    no rows, one Python stage)."""
+    import hashlib
+
+    import numpy as np
+
+    from sed_binning_spark.pipeline.multimodal import (
+        encode_audio_wav,
+        sample_audio_windows,
+        synthesize_wav_media_from_text,
+        wav_fixture_n_bytes,
+    )
+
+    # 10 mono int16 samples at 1000 Hz: windows of 4 -> 4+4+2(partial)
+    vals = np.array([16384] * 4 + [-8192, -8192, 8192, 8192]
+                    + [32767, -32767], dtype="<i2")
+    wav = encode_audio_wav(vals, sample_rate=1000)
+    # stereo: channels pool into one window's stats
+    st = encode_audio_wav(
+        np.stack([np.full(4, 16384, "<i2"), np.full(4, -16384, "<i2")],
+                 axis=1),
+        sample_rate=1000,
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(st)), (3, None),
+         (4, bytearray(b"not audio at all")),
+         (5, bytearray(b"RIFF" + wav[4:20]))],  # truncated: no data chunk
+        "media_id long, payload binary",
+    )
+    rows = {(r["media_id"], r["window_index"]): r
+            for r in sample_audio_windows(media, window_ms=4).collect()}
+    assert {m for m, _ in rows} == {1, 2}
+    assert [(rows[(1, w)]["start_ms"], rows[(1, w)]["duration_ms"],
+             rows[(1, w)]["n_samples"]) for w in range(3)] == [
+        (0, 4, 4), (4, 4, 4), (8, 2, 2)]
+    w0 = rows[(1, 0)]
+    assert w0["mean"] == 0.5 and w0["std"] == 0.0 and w0["rms"] == 0.5
+    tail = rows[(1, 2)]
+    assert tail["mean"] == 0.0 and tail["max"] == 32767 / 32768
+    s0 = rows[(2, 0)]
+    assert s0["mean"] == 0.0 and s0["rms"] == 0.5
+
+    # hop overlap: windows of 4 every 2 samples over 10 -> starts 0..8
+    hop = sample_audio_windows(
+        media.where(F.col("media_id") == 1), window_ms=4, hop_ms=2,
+    ).collect()
+    assert [r["start_ms"] for r in sorted(hop, key=lambda r: r["window_index"])] \
+        == [0, 2, 4, 6, 8]
+    assert len(sample_audio_windows(
+        media, window_ms=4, max_windows=1,
+    ).collect()) == 2  # one row per decodable payload
+
+    # the expression-built fixture round-trips through the real decoder
+    docs = spark.createDataFrame(
+        [(7, "some document text"), (8, None)], "doc_id long, text string",
+    )
+    fx = synthesize_wav_media_from_text(docs)
+    got = {r["media_id"]: r for r in fx.collect()}
+    assert got[8]["payload"] is None
+    assert len(bytes(got[7]["payload"])) == wav_fixture_n_bytes(16)
+    dig = hashlib.md5(b"some document text").digest()
+    win = {r["window_index"]: r for r in sample_audio_windows(
+        fx, window_ms=4,
+    ).collect()}
+    assert len(win) == 4
+    for w in range(4):
+        bs = dig[4 * w : 4 * w + 4]
+        assert win[w]["mean"] == (sum(bs) - 512) / 512
+        assert win[w]["min"] == (min(bs) - 128) / 128
+        assert win[w]["max"] == (max(bs) - 128) / 128
+
+
 def test_gif_animation_first_frame_only():
     """Multi-frame GIFs decode their first frame; trailing frames and
     inter-frame extensions are ignored by design."""
