@@ -906,3 +906,48 @@ def test_sample_frames_runs_on_a_structured_stream(tmp_path, spark):
     assert got.equals(batch)
     assert list(got.media_id) == [0, 0]
     assert list(got.frame_ms) == [0, 20] and list(got.delay_ms) == [20, 50]
+
+
+def test_sample_audio_windows_runs_on_a_structured_stream(tmp_path, spark):
+    """Audio windowing is the same stateless mapInPandas shape: a live
+    media stream windows per micro-batch unchanged — WAV in one file, a
+    non-audio payload in the other contributing no rows, results
+    identical to the batch run over the union."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.multimodal import (
+        encode_audio_wav,
+        sample_audio_windows,
+    )
+
+    wav = encode_audio_wav(
+        np.array([16384, 16384, -16384, -16384, 8192, 8192], "<i2"),
+        sample_rate=1000,
+    )
+    root = tmp_path / "audio_in"
+    root.mkdir()
+    pd.DataFrame({"media_id": [0], "payload": [bytes(wav)]}) \
+        .to_parquet(root / "chunk_0.parquet")
+    pd.DataFrame({"media_id": [1], "payload": [b"not audio"]}) \
+        .to_parquet(root / "chunk_1.parquet")
+
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1).parquet(str(root))
+    )
+    q = (
+        sample_audio_windows(stream, window_ms=2)
+        .writeStream.format("memory").queryName("audio_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM audio_stream").toPandas() \
+        .sort_values(["media_id", "window_index"]).reset_index(drop=True)
+    batch = sample_audio_windows(
+        spark.read.parquet(str(root)), window_ms=2,
+    ).toPandas().sort_values(["media_id", "window_index"]) \
+        .reset_index(drop=True)
+    assert got.equals(batch)
+    assert list(got.media_id) == [0, 0, 0]
+    assert list(got.start_ms) == [0, 2, 4]
+    assert list(got["rms"]) == [0.5, 0.5, 0.25]
