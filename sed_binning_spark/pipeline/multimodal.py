@@ -1635,7 +1635,9 @@ def sample_audio_windows(
     """Audio twin of :func:`sample_frames`: slice each RIFF/WAVE payload
     into fixed-length windows on the container's OWN clock (the fmt
     chunk's sample rate) and emit one row per window with its start
-    time, true duration, sample count, and normalized statistics
+    time, true duration (both round-to-nearest ms — a floored duration
+    would understate every window at rates that don't divide 1000),
+    sample count, and normalized statistics
     (samples/32768 — the int16 contract :func:`decode_audio_wav`
     rescales every source format to; channels pool into one window).
     The windowed-feature step of an audio curation pipeline: silence
@@ -1676,18 +1678,25 @@ def sample_audio_windows(
                     continue
                 spw = max(1, window_ms * rate // 1000)
                 sph = max(1, hop * rate // 1000)
-                flat = samples.astype(np.float64) / 32768.0
                 w = 0
                 for start in range(0, samples.shape[0], sph):
                     if max_windows is not None and w >= max_windows:
                         break
-                    win = flat[start : start + spw]
-                    n = win.shape[0]
-                    if n == 0:
-                        break
+                    # normalize per WINDOW, not the whole payload: an
+                    # hour-long 44.1 kHz file must not allocate a
+                    # file-sized float64 copy inside one task (the /2^15
+                    # scale is exact either way)
+                    win = samples[start : start + spw] / 32768.0
+                    n = win.shape[0]  # >= 1: range() bounds start
                     rows.append((
                         mid, w,
-                        start * 1000 // rate, n * 1000 // rate,
+                        # round-to-nearest ms, not floor: at rates that
+                        # don't divide 1000 a floored duration would
+                        # systematically understate every window (~4% at
+                        # 44.1 kHz) — the bias this operator documents
+                        # avoiding
+                        (start * 1000 + rate // 2) // rate,
+                        (n * 1000 + rate // 2) // rate,
                         n,  # time frames; channels pool into the stats
                         float(win.mean()), float(win.std()),
                         float(np.sqrt((win * win).mean())),
@@ -1704,8 +1713,9 @@ def sample_audio_windows(
 def wav_fixture_n_bytes(n_samples: int = 16) -> int:
     """Closed-form payload size of :func:`synthesize_wav_media_from_text`:
     RIFF header (12) + fmt chunk (8+16) + data chunk header (8) +
-    samples, plus the RIFF pad byte when the sample count is odd."""
-    return 12 + 24 + 8 + n_samples + (n_samples & 1)
+    samples. The fixture always writes one 16-byte md5 digest, so the
+    even-padding rule for odd RIFF chunk sizes never applies here."""
+    return 12 + 24 + 8 + n_samples
 
 
 def synthesize_wav_media_from_text(
