@@ -193,6 +193,16 @@ def main() -> None:
         lambda: sample_frames(agif).agg(F.sum("frame_ms")).collect(),
     )
 
+    from sed_binning_spark.pipeline.multimodal import (
+        sample_audio_windows, synthesize_wav_media_from_text,
+    )
+
+    wavs = synthesize_wav_media_from_text(docs)
+    extras["audio_windows"] = _timeit(
+        lambda: sample_audio_windows(wavs, window_ms=4)
+        .agg(F.sum("start_ms")).collect(),
+    )
+
     extras["quality_classifier"] = _timeit(
         lambda: quality_classifier_apply(
             docs,

@@ -9,13 +9,19 @@ JPEGs:
 
 - decode: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2 —
   spectral selection + successive approximation per T.81 Annex G, the
-  other large web-JPEG population), 8-bit, Huffman entropy coding, 1 or 3
+  other large web-JPEG population), Huffman entropy coding, 1 or 3
   components, 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, restart markers,
-  JFIF/EXIF APPn segments skipped. Arithmetic coding, 12-bit,
-  hierarchical, and lossless profiles raise ValueError — loud refusal,
-  the multimodal dispatch degrades them to byte statistics.
+  JFIF/EXIF APPn segments skipped. 8-bit everywhere, plus 12-bit
+  precision on the extended-sequential form (SOF1: 16-bit DQT entries,
+  level shift 2048, output rescaled to the uint8 contract). Arithmetic
+  coding, 12-bit progressive (spec-legal, refused until a real fixture
+  exercises it), hierarchical, and lossless profiles raise ValueError —
+  loud refusal, the multimodal dispatch degrades them to byte
+  statistics.
 - encode: the fixture/round-trip half — baseline (4:4:4/4:2:0/gray,
-  Annex K tables) plus a progressive encoder emitting a
+  Annex K tables; ``precision=12`` emits the SOF1 extended form with
+  16-bit DQT and full-range flat Huffman tables) plus a progressive
+  encoder emitting a
   libjpeg-style scan script (interleaved DC first + refinement,
   per-component spectral AC bands with two successive-approximation
   refinement levels, cross-block EOB runs, optional restarts) so the
@@ -262,12 +268,16 @@ def decode_image_jpeg(data: bytes, max_pixels: int | None = None) -> np.ndarray:
             while p < len(body):
                 pq, tq = body[p] >> 4, body[p] & 0x0F
                 p += 1
-                if pq != 0:
-                    raise ValueError("16-bit quantization tables not supported")
+                if pq not in (0, 1):
+                    raise ValueError(f"DQT precision field {pq} is invalid")
                 tbl = np.zeros(64, dtype=np.int32)
-                tbl[ZIGZAG] = np.frombuffer(body[p : p + 64], np.uint8)
+                if pq:  # 16-bit entries (the extended/12-bit form)
+                    tbl[ZIGZAG] = np.frombuffer(body[p : p + 128], ">u2")
+                    p += 128
+                else:
+                    tbl[ZIGZAG] = np.frombuffer(body[p : p + 64], np.uint8)
+                    p += 64
                 qt[tq] = tbl.reshape(8, 8)
-                p += 64
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(body):
@@ -289,7 +299,11 @@ def decode_image_jpeg(data: bytes, max_pixels: int | None = None) -> np.ndarray:
                 # CPU hole the cap closes.
                 raise ValueError("multiple SOF markers in one image")
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
-            if prec != 8:
+            # T.81: SOF0 (true baseline) is 8-bit only; 12-bit decodes on
+            # the extended-sequential form (SOF1). 12-bit PROGRESSIVE is
+            # spec-legal but refused until a real fixture exercises it —
+            # the refuse-untested posture.
+            if prec != 8 and not (prec == 12 and marker == 0xC1):
                 raise ValueError(f"{prec}-bit JPEG not supported")
             comps = []
             for i in range(nc):
@@ -304,7 +318,7 @@ def decode_image_jpeg(data: bytes, max_pixels: int | None = None) -> np.ndarray:
                         f"for component {cid} (spec range 1-4)",
                     )
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps,
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -415,13 +429,18 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval,
                             blk.reshape(8, 8)[...]
                         )
             mcu_count += 1
-    return _reconstruct(scan, qt, hmax, vmax, h, w)
+    return _reconstruct(scan, qt, hmax, vmax, h, w, frame.get("prec", 8))
 
 
-def _reconstruct(comps, qt, hmax, vmax, h, w) -> np.ndarray:
+def _reconstruct(comps, qt, hmax, vmax, h, w, prec: int = 8) -> np.ndarray:
     """Dequantize + IDCT + upsample + color-convert per-component natural
     (nby, nbx, 8, 8) coefficient blocks — the tail shared by the baseline
-    single-scan path and the progressive multi-scan accumulator."""
+    single-scan path and the progressive multi-scan accumulator. 12-bit
+    samples reconstruct at their native range (level shift 2048, clip to
+    4095) and the OUTPUT rescales to the uint8 contract every consumer
+    of this codec holds (feature extraction never needs >8-bit rasters)."""
+    mid = float(1 << (prec - 1))
+    maxv = float((1 << prec) - 1)
     planes = []
     for c in comps:
         blocks = c["blocks"] * qt[c["tq"]]  # dequantize (broadcast 8x8)
@@ -429,22 +448,28 @@ def _reconstruct(comps, qt, hmax, vmax, h, w) -> np.ndarray:
         spatial = np.einsum("ij,mnjk,kl->mnil", _DCT.T, blocks, _DCT)
         nby, nbx = spatial.shape[:2]
         plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-        plane = np.clip(np.round(plane + 128.0), 0, 255)
+        plane = np.clip(np.round(plane + mid), 0, maxv)
         # upsample to full resolution by pixel replication
         ry, rx = vmax // c["v"], hmax // c["h"]
         plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
         planes.append(plane[:h, :w])
+
+    def _to_u8(x: np.ndarray) -> np.ndarray:
+        if prec > 8:
+            x = np.round(x * (255.0 / maxv))
+        return x.astype(np.uint8)
+
     if len(planes) == 1:
-        return planes[0].astype(np.uint8)[..., None]
+        return _to_u8(planes[0])[..., None]
     if len(planes) != 3:
         raise ValueError(f"{len(planes)}-component JPEG not supported")
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    y, cb, cr = planes[0], planes[1] - mid, planes[2] - mid
     rgb = np.stack([
         y + 1.402 * cr,
         y - 0.344136 * cb - 0.714136 * cr,
         y + 1.772 * cb,
     ], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _to_u8(np.clip(np.round(rgb), 0, maxv))
 
 
 # -------------------------------------------------------- progressive decode
@@ -609,7 +634,7 @@ def _prog_ac_first(reader, blk, ac_tab, ss, se, al, eobrun) -> int:
         if k > se:
             raise ValueError("AC coefficient index out of range")
         if s > _MAX_AC_CATEGORY:
-            raise ValueError(f"AC magnitude category {s} out of 8-bit range")
+            raise ValueError(f"AC magnitude category {s} out of range")
         blk[k] = _extend(reader.receive(s), s) << al
         k += 1
     return 0
@@ -671,23 +696,25 @@ def _reconstruct_progressive(frame, qt) -> np.ndarray:
         comps.append({**c, "blocks": nat.reshape(*zz.shape[:2], 8, 8)
                       .astype(np.float64)})
     return _reconstruct(comps, qt, frame["hmax"], frame["vmax"],
-                        frame["h"], frame["w"])
+                        frame["h"], frame["w"], frame.get("prec", 8))
 
 
 
-# T.81 tables F.1/F.2: for 8-bit precision the DC difference category is
-# at most 11 and the AC magnitude category at most 10. A corrupt Huffman
-# table can map a code to any byte, and receive(200) would build a
-# ~2^200 Python int whose int32 store raises OverflowError — an exception
-# class the featurizer's degrade tuple rightly does not catch.
-_MAX_DC_CATEGORY = 11
-_MAX_AC_CATEGORY = 10
+# T.81 tables F.1/F.2: the DC difference category is at most 11 for
+# 8-bit precision and 15 for 12-bit; AC at most 10 / 14. The caps exist
+# because a corrupt Huffman table can map a code to any byte, and
+# receive(200) would build a ~2^200 Python int whose int32 store raises
+# OverflowError — an exception class the featurizer's degrade tuple
+# rightly does not catch. The 12-bit maxima bound that hole just as
+# tightly (2^15 is a small int), so the caps are precision-agnostic.
+_MAX_DC_CATEGORY = 15
+_MAX_AC_CATEGORY = 14
 
 
 def _dc_category(reader, dc_tab) -> int:
     t = _decode_symbol(reader, dc_tab)
     if t > _MAX_DC_CATEGORY:
-        raise ValueError(f"DC difference category {t} out of 8-bit range")
+        raise ValueError(f"DC difference category {t} out of range")
     return t
 
 
@@ -708,7 +735,7 @@ def _decode_block(reader, dc_tab, ac_tab) -> np.ndarray:
         if k > 63:
             raise ValueError("AC coefficient index out of range")
         if s > _MAX_AC_CATEGORY:
-            raise ValueError(f"AC magnitude category {s} out of 8-bit range")
+            raise ValueError(f"AC magnitude category {s} out of range")
         blk[ZIGZAG[k]] = _extend(reader.receive(s), s)
         k += 1
     return blk
@@ -768,20 +795,23 @@ def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
 
 
-def _quantized_zigzag_block(blk, qtab) -> np.ndarray:
+def _quantized_zigzag_block(blk, qtab, mid: float = 128.0) -> np.ndarray:
     """Forward DCT + quantize + zigzag for ONE block — the single
     quantization path shared by the baseline and progressive encoders.
     It must be shared: a whole-plane einsum sums in a different order
     than per-block matmuls, and coefficients landing on exact .5
     quantization ties (common for integer inputs) then round apart,
-    breaking the byte-exact progressive/baseline parity the tests pin."""
-    coef = _DCT @ (blk - 128.0) @ _DCT.T
+    breaking the byte-exact progressive/baseline parity the tests pin.
+    ``mid`` is the level shift (2^(P-1): 128 for 8-bit, 2048 for
+    12-bit)."""
+    coef = _DCT @ (blk - mid) @ _DCT.T
     q = np.round(coef / qtab).astype(np.int64)
     return q.reshape(64)[ZIGZAG]  # natural order -> zigzag scan
 
 
-def _encode_block(writer, blk, qtab, dc_tab, ac_tab, pred: int) -> int:
-    zz = _quantized_zigzag_block(blk, qtab)
+def _encode_block(writer, blk, qtab, dc_tab, ac_tab, pred: int,
+                  mid: float = 128.0) -> int:
+    zz = _quantized_zigzag_block(blk, qtab, mid)
     diff = int(zz[0]) - pred
     t, code = _magnitude(diff)
     writer.write(*dc_tab[t])
@@ -806,11 +836,21 @@ def _encode_block(writer, blk, qtab, dc_tab, ac_tab, pred: int) -> int:
     return int(zz[0])
 
 
-def _prep_encode(img, quality, subsampling):
+def _prep_encode(img, quality, subsampling, precision: int = 8):
     """Shared encoder front half: color-convert, subsample, MCU-pad, pick
     quantization tables. Returns (h, w, nc, comps, qts, hmax, vmax,
-    mcux, mcuy) with per-component padded planes and table assignments."""
-    img = np.asarray(img, dtype=np.uint8)
+    mcux, mcuy) with per-component padded planes and table assignments.
+    ``precision=12`` takes uint16 samples in [0, 4095] (chroma centers
+    at 2048)."""
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    if precision == 12:
+        img = np.asarray(img, dtype=np.uint16)
+        if img.max(initial=0) > 4095:
+            raise ValueError("12-bit samples exceed 4095")
+    else:
+        img = np.asarray(img, dtype=np.uint8)
+    mid = float(1 << (precision - 1))
     if img.ndim == 2:
         img = img[..., None]
     h, w, nc = img.shape
@@ -823,8 +863,8 @@ def _prep_encode(img, quality, subsampling):
         r, g, b = f[..., 0], f[..., 1], f[..., 2]
         planes = [
             0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + mid,
+            0.5 * r - 0.418688 * g - 0.081312 * b + mid,
         ]
     else:
         planes = [f[..., 0]]
@@ -857,11 +897,23 @@ def _prep_encode(img, quality, subsampling):
     return h, w, nc, comps, qts, hmax, vmax, mcux, mcuy
 
 
+# Full-range flat Huffman tables for 12-bit encoding: Annex K's typical
+# tables stop at DC category 11 / AC category 10, but 12-bit coefficients
+# reach 15 / 14. All DC categories at 5 bits (Kraft 16/32), every AC
+# run/size plus EOB and ZRL at 8 bits (Kraft 226/256).
+HT_DC_EXT = ([0, 0, 0, 0, 16] + [0] * 11, list(range(16)))
+_EXT_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)
+]
+HT_AC_EXT = ([0] * 7 + [len(_EXT_AC_SYMS)] + [0] * 8, _EXT_AC_SYMS)
+
+
 def encode_image_jpeg(
     img: np.ndarray,
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w) / (h, w, 1) gray uint8 array as
     a baseline JPEG with Annex K Huffman tables — the fixture/round-trip
@@ -870,23 +922,40 @@ def encode_image_jpeg(
     averaged 2x2 — the dominant web-JPEG layout, and the decoder path
     worth exercising). ``restart_interval`` > 0 emits DRI + RSTn markers
     every that many MCUs (predictor resets, the other real-corpus
-    decoder path)."""
+    decoder path). ``precision=12`` takes uint16 samples ≤ 4095 and
+    emits the EXTENDED sequential form (SOF1, 16-bit DQT entries,
+    full-range flat Huffman tables) — the spec-built fixture for the
+    decoder's 12-bit path."""
     h, w, nc, comps, qts, hmax, vmax, mcux, mcuy = _prep_encode(
-        img, quality, subsampling,
+        img, quality, subsampling, precision,
     )
+    mid = float(1 << (precision - 1))
 
     out = bytearray(b"\xff\xd8")  # SOI
     for tq in range(min(nc, 2)):
-        zz = qts[tq].reshape(64)[ZIGZAG].astype(np.uint8)
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz.tobytes()
+        zz = qts[tq].reshape(64)[ZIGZAG]
+        if precision == 12:  # Pq=1: 16-bit table entries
+            out += b"\xff\xdb" + struct.pack(">H", 131) + bytes([0x10 | tq])
+            out += zz.astype(">u2").tobytes()
+        else:
+            out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+            out += zz.astype(np.uint8).tobytes()
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    sof = 0xC1 if precision == 12 else 0xC0
+    out += bytes([0xFF, sof]) + struct.pack(
+        ">HBHHB", 8 + 3 * nc, precision, h, w, nc,
+    )
     for ci, c in enumerate(comps):
         out += bytes([ci + 1, (c["h"] << 4) | c["v"], c["tq"]])
-    hts = [(0x00, HT_DC_LUMA), (0x10, HT_AC_LUMA)]
-    if nc == 3:
-        hts += [(0x01, HT_DC_CHROMA), (0x11, HT_AC_CHROMA)]
+    if precision == 12:
+        hts = [(0x00, HT_DC_EXT), (0x10, HT_AC_EXT)]
+        if nc == 3:
+            hts += [(0x01, HT_DC_EXT), (0x11, HT_AC_EXT)]
+    else:
+        hts = [(0x00, HT_DC_LUMA), (0x10, HT_AC_LUMA)]
+        if nc == 3:
+            hts += [(0x01, HT_DC_CHROMA), (0x11, HT_AC_CHROMA)]
     enc_tabs = {}
     for tcth, (bits, values) in hts:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(values))
@@ -918,7 +987,7 @@ def encode_image_jpeg(
                         c["pred"] = _encode_block(
                             writer, c["plane"][r0:r0 + 8, c0:c0 + 8],
                             qts[c["tq"]], enc_tabs[c["dc"]],
-                            enc_tabs[c["ac"]], c["pred"],
+                            enc_tabs[c["ac"]], c["pred"], mid,
                         )
             mcu_count += 1
     writer.flush()

@@ -937,6 +937,56 @@ def test_jpeg_refusals_and_dispatch():
         assert decode_payload(bad, 8)[0] == 0.0
 
 
+def test_jpeg_12bit_extended_sequential():
+    """12-bit JPEG (T.81 extended sequential, SOF1): the encoder emits
+    16-bit DQT entries + full-range flat Huffman tables, the decoder
+    level-shifts at 2048 and rescales to the uint8 output contract.
+    Flat samples at multiples of 273 land on EXACT uint8 values
+    (273·k·255/4095 = 17·k); random rasters round-trip within
+    quantization error of the rescaled reference; SOF0-relabeled 12-bit
+    and 12-bit progressive refuse loudly; dispatch degrades them."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.jpeg import (
+        decode_image_jpeg,
+        encode_image_jpeg,
+    )
+    from sed_binning_spark.pipeline.multimodal import decode_payload
+
+    for v12 in (0, 273, 2457, 4095):
+        blob = encode_image_jpeg(np.full((16, 16), v12, np.uint16),
+                                 precision=12)
+        out = decode_image_jpeg(blob)
+        assert out.shape == (16, 16, 1)
+        assert (out == round(v12 * 255 / 4095)).all()
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 4096, (24, 24, 3)).astype(np.uint16)
+    blob = encode_image_jpeg(img, precision=12, quality=95)
+    ref = np.round(img * (255.0 / 4095.0))
+    assert np.abs(decode_image_jpeg(blob).astype(float) - ref).max() <= 2
+    # the multimodal featurizer consumes 12-bit JPEGs like any other
+    vec = decode_payload(blob, 8)
+    assert vec[:4] == [1.0, 24.0, 24.0, 3.0]
+
+    # SOF0 is 8-bit only per T.81; 12-bit progressive is refused until a
+    # real fixture exercises that path
+    as_sof0 = blob.replace(b"\xff\xc1", b"\xff\xc0", 1)
+    with pytest.raises(ValueError, match="12-bit JPEG not supported"):
+        decode_image_jpeg(as_sof0)
+    as_prog = blob.replace(b"\xff\xc1", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="12-bit JPEG not supported"):
+        decode_image_jpeg(as_prog)
+    assert decode_payload(as_sof0, 8)[0] == 0.0  # degrades to byte stats
+    with pytest.raises(ValueError, match="samples exceed 4095"):
+        encode_image_jpeg(np.full((8, 8), 4096, np.uint16), precision=12)
+    # a lying DQT precision field names the defect
+    bad_pq = bytearray(blob)
+    bad_pq[blob.index(b"\xff\xdb") + 4] = 0x20 | 0
+    with pytest.raises(ValueError, match="DQT precision"):
+        decode_image_jpeg(bytes(bad_pq))
+
+
 def test_png_decode_budget_refuses_before_allocation():
     """A crafted IHDR declaring a huge raster is refused from the header
     alone (IHDR precedes IDAT), and a deflate bomb whose stream inflates
