@@ -185,16 +185,15 @@ def main() -> None:
     # expression-built animated GIF and sample_frames walks the real
     # LZW + compositing timeline per payload
     from sed_binning_spark.pipeline.multimodal import (
-        sample_frames, synthesize_animated_gif_media_from_text,
+        sample_audio_windows,
+        sample_frames,
+        synthesize_animated_gif_media_from_text,
+        synthesize_wav_media_from_text,
     )
 
     agif = synthesize_animated_gif_media_from_text(docs, frames=3)
     extras["frame_sample_gif"] = _timeit(
         lambda: sample_frames(agif).agg(F.sum("frame_ms")).collect(),
-    )
-
-    from sed_binning_spark.pipeline.multimodal import (
-        sample_audio_windows, synthesize_wav_media_from_text,
     )
 
     wavs = synthesize_wav_media_from_text(docs)

@@ -244,6 +244,7 @@ def decode_image_jpeg(data: bytes, max_pixels: int | None = None) -> np.ndarray:
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
+    qt16: set[int] = set()  # table ids stored with 16-bit (Pq=1) entries
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
     frame = None
     restart_interval = 0
@@ -274,9 +275,11 @@ def decode_image_jpeg(data: bytes, max_pixels: int | None = None) -> np.ndarray:
                 if pq:  # 16-bit entries (the extended/12-bit form)
                     tbl[ZIGZAG] = np.frombuffer(body[p : p + 128], ">u2")
                     p += 128
+                    qt16.add(tq)
                 else:
                     tbl[ZIGZAG] = np.frombuffer(body[p : p + 64], np.uint8)
                     p += 64
+                    qt16.discard(tq)  # redefinition narrows back to 8-bit
                 qt[tq] = tbl.reshape(8, 8)
         elif marker == 0xC4:  # DHT
             p = 0
@@ -368,11 +371,11 @@ def decode_image_jpeg(data: bytes, max_pixels: int | None = None) -> np.ndarray:
                 scan.append({**matches[0], "dc": tdta >> 4, "ac": tdta & 0x0F})
             return _decode_scan(
                 data, pos + 2 + seglen, frame, scan, qt, huff,
-                restart_interval, max_pixels,
+                restart_interval, max_pixels, frozenset(qt16),
             )
         pos += 2 + seglen
     if frame is not None and frame.get("progressive") and "coef" in frame:
-        return _reconstruct_progressive(frame, qt)
+        return _reconstruct_progressive(frame, qt, frozenset(qt16))
     raise ValueError("no SOS scan found")
 
 
@@ -388,7 +391,7 @@ MAX_PIXELS = 64 * 1024 * 1024
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval,
-                 max_pixels=None):
+                 max_pixels=None, qt16=frozenset()):
     h, w = frame["h"], frame["w"]
     if h == 0 or w == 0:
         raise ValueError("zero-dimension JPEG")
@@ -398,6 +401,8 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval,
             f"declared raster {w}x{h} exceeds the {budget}-pixel "
             "decode budget",
         )
+    prec = frame.get("prec", 8)
+    max_dc, max_ac = (15, 14) if prec == 12 else (11, 10)
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
     mcux = -(-w // (8 * hmax))
@@ -405,6 +410,7 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval,
     for c in scan:
         if c["tq"] not in qt:
             raise ValueError(f"missing quantization table {c['tq']}")
+        _check_qt_precision(prec, c["tq"], qt16)
         if (0, c["dc"]) not in huff or (1, c["ac"]) not in huff:
             raise ValueError("missing Huffman table")
         c["blocks"] = np.zeros(
@@ -422,14 +428,27 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval,
                 dc_tab, ac_tab = huff[(0, c["dc"])], huff[(1, c["ac"])]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        blk = _decode_block(reader, dc_tab, ac_tab)
+                        blk = _decode_block(reader, dc_tab, ac_tab,
+                                            max_dc, max_ac)
                         pred[c["id"]] += blk[0]
                         blk[0] = pred[c["id"]]
                         c["blocks"][my * c["v"] + by, mx * c["h"] + bx] = (
                             blk.reshape(8, 8)[...]
                         )
             mcu_count += 1
-    return _reconstruct(scan, qt, hmax, vmax, h, w, frame.get("prec", 8))
+    return _reconstruct(scan, qt, hmax, vmax, h, w, prec)
+
+
+def _check_qt_precision(prec: int, tq: int, qt16) -> None:
+    """T.81 B.2.4.1: 16-bit (Pq=1) quantization tables shall not be used
+    with 8-bit sample precision — an 8-bit frame referencing one is a
+    corrupt/mislabeled stream and must refuse loudly, not dequantize
+    with 65535-scale entries into a plausible-looking raster."""
+    if prec == 8 and tq in qt16:
+        raise ValueError(
+            "16-bit quantization table on an 8-bit frame (T.81 forbids "
+            "Pq=1 at 8-bit precision)",
+        )
 
 
 def _reconstruct(comps, qt, hmax, vmax, h, w, prec: int = 8) -> np.ndarray:
@@ -685,11 +704,12 @@ def _prog_ac_refine(reader, blk, ac_tab, ss, se, al, eobrun) -> int:
     return eobrun
 
 
-def _reconstruct_progressive(frame, qt) -> np.ndarray:
+def _reconstruct_progressive(frame, qt, qt16=frozenset()) -> np.ndarray:
     comps = []
     for c in frame["comps"]:
         if c["tq"] not in qt:
             raise ValueError(f"missing quantization table {c['tq']}")
+        _check_qt_precision(frame.get("prec", 8), c["tq"], qt16)
         zz = c["coef"]
         nat = np.zeros_like(zz)
         nat[:, :, ZIGZAG] = zz
@@ -701,26 +721,32 @@ def _reconstruct_progressive(frame, qt) -> np.ndarray:
 
 
 # T.81 tables F.1/F.2: the DC difference category is at most 11 for
-# 8-bit precision and 15 for 12-bit; AC at most 10 / 14. The caps exist
+# 8-bit precision (15 for 12-bit); AC at most 10 (14). The caps exist
 # because a corrupt Huffman table can map a code to any byte, and
 # receive(200) would build a ~2^200 Python int whose int32 store raises
 # OverflowError — an exception class the featurizer's degrade tuple
-# rightly does not catch. The 12-bit maxima bound that hole just as
-# tightly (2^15 is a small int), so the caps are precision-agnostic.
-_MAX_DC_CATEGORY = 15
-_MAX_AC_CATEGORY = 14
+# rightly does not catch. They are PRECISION-KEYED: the progressive
+# paths (8-bit only — 12-bit progressive is refused) keep the tight
+# 8-bit constants, because the accumulate-then-shift DC store
+# (pred << Al into int32 coefficients) overflows within a few blocks at
+# category 15; only the sequential path widens to the 12-bit maxima,
+# and only for an actual 12-bit frame.
+_MAX_DC_CATEGORY = 11
+_MAX_AC_CATEGORY = 10
 
 
-def _dc_category(reader, dc_tab) -> int:
+def _dc_category(reader, dc_tab, max_dc: int = _MAX_DC_CATEGORY) -> int:
     t = _decode_symbol(reader, dc_tab)
-    if t > _MAX_DC_CATEGORY:
+    if t > max_dc:
         raise ValueError(f"DC difference category {t} out of range")
     return t
 
 
-def _decode_block(reader, dc_tab, ac_tab) -> np.ndarray:
+def _decode_block(reader, dc_tab, ac_tab,
+                  max_dc: int = _MAX_DC_CATEGORY,
+                  max_ac: int = _MAX_AC_CATEGORY) -> np.ndarray:
     blk = np.zeros(64, dtype=np.float64)
-    t = _dc_category(reader, dc_tab)
+    t = _dc_category(reader, dc_tab, max_dc)
     blk[0] = _extend(reader.receive(t), t)
     k = 1
     while k < 64:
@@ -734,7 +760,7 @@ def _decode_block(reader, dc_tab, ac_tab) -> np.ndarray:
         k += r
         if k > 63:
             raise ValueError("AC coefficient index out of range")
-        if s > _MAX_AC_CATEGORY:
+        if s > max_ac:
             raise ValueError(f"AC magnitude category {s} out of range")
         blk[ZIGZAG[k]] = _extend(reader.receive(s), s)
         k += 1
@@ -845,9 +871,12 @@ def _prep_encode(img, quality, subsampling, precision: int = 8):
     if precision not in (8, 12):
         raise ValueError(f"precision must be 8 or 12, got {precision}")
     if precision == 12:
-        img = np.asarray(img, dtype=np.uint16)
-        if img.max(initial=0) > 4095:
+        # range-check BEFORE the cast: uint16 wraps 65536→0 and negative
+        # multiples silently into range, defeating the guard
+        arr = np.asarray(img)
+        if arr.size and (arr.min() < 0 or arr.max() > 4095):
             raise ValueError("12-bit samples exceed 4095")
+        img = arr.astype(np.uint16)
     else:
         img = np.asarray(img, dtype=np.uint8)
     mid = float(1 << (precision - 1))

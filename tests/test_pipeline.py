@@ -980,6 +980,19 @@ def test_jpeg_12bit_extended_sequential():
     assert decode_payload(as_sof0, 8)[0] == 0.0  # degrades to byte stats
     with pytest.raises(ValueError, match="samples exceed 4095"):
         encode_image_jpeg(np.full((8, 8), 4096, np.uint16), precision=12)
+    # the range check must run BEFORE the uint16 cast (65536 wraps to 0)
+    with pytest.raises(ValueError, match="samples exceed 4095"):
+        encode_image_jpeg(np.full((8, 8), 65536, np.int64), precision=12)
+    with pytest.raises(ValueError, match="samples exceed 4095"):
+        encode_image_jpeg(np.full((8, 8), -1, np.int64), precision=12)
+    # T.81 B.2.4.1: a 16-bit DQT on an 8-BIT frame is spec-invalid — it
+    # must refuse, not dequantize 65535-scale entries into a plausible
+    # raster. Build it by pairing the 12-bit stream's DQT with an 8-bit
+    # SOF0 relabel (prec byte flipped back to 8).
+    mixed = bytearray(as_sof0)
+    mixed[bytes(as_sof0).index(b"\xff\xc0") + 4] = 8
+    with pytest.raises(ValueError, match="16-bit quantization table"):
+        decode_image_jpeg(bytes(mixed))
     # a lying DQT precision field names the defect
     bad_pq = bytearray(blob)
     bad_pq[blob.index(b"\xff\xdb") + 4] = 0x20 | 0
