@@ -1878,9 +1878,12 @@ def _scaleoffset_decode(raw: bytes, cd) -> bytes:
     A defined fill value encodes as the all-ones field. Integer
     (H5Z_SO_INT) and float D-scaling are implemented; E-scaling and
     big-endian refuse loudly. minbits == element width means the
-    TRANSFORMED (value − minval) elements are stored verbatim after the
-    header — the minval restore still runs, matching the C decompressor
-    where postdecompress follows both branches."""
+    ORIGINAL untransformed elements are stored verbatim after the
+    header (H5Zscaleoffset.c's compressor guards the min-subtraction —
+    and for floats even the int conversion — behind
+    ``if (*minbits != sizeof(type)*8)``, and its decompressor memcpys
+    and early-returns, skipping postdecompress entirely), so that
+    branch returns the bytes with no minval restore or fill mapping."""
     if len(cd) < 8:
         raise UnsupportedHDF5("scale-offset filter with malformed parameters")
     scale_type, scale_factor, nelmts = cd[0], cd[1], cd[2]
@@ -1903,18 +1906,17 @@ def _scaleoffset_decode(raw: bytes, cd) -> bytes:
         raise UnsupportedHDF5(
             f"scale-offset minbits {minbits} exceeds the {width}-bit element",
         )
-    if minbits == width:  # full precision: transformed elements verbatim
-        try:
-            packed = np.frombuffer(
-                data, f"<u{size}", count=nelmts,
-            ).astype(np.uint64)
-        except ValueError as exc:
+    if minbits == width:
+        # full precision: the ORIGINAL buffer verbatim — no minval add,
+        # no fill mapping, no D-scale (libhdf5's decompressor memcpys
+        # and returns before postdecompress)
+        if len(data) < nelmts * size:
             raise UnsupportedHDF5(
                 "truncated or corrupt HDF5 file (scale-offset full-"
                 "precision chunk shorter than its element count)",
-            ) from exc
-    else:
-        packed = _unpack_bit_fields(data, nelmts, minbits)
+            )
+        return data[: nelmts * size]
+    packed = _unpack_bit_fields(data, nelmts, minbits)
     fill_bytes = None
     if filavail and minbits > 0:  # H5Z_SCALEOFFSET_FILL_DEFINED
         nwords = (size + 3) // 4

@@ -90,11 +90,12 @@ def _scaleoffset_encode(raw: bytes, dtype: np.dtype, scale_factor: int) -> bytes
         minbits.to_bytes(4, "little") + bytes([8])
         + (mn & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little") + b"\x00" * 8
     )
+    if minbits == size * 8:
+        # no shrink possible: libhdf5 stores the ORIGINAL buffer verbatim
+        # (H5Zscaleoffset.c guards the min-subtraction — and for floats
+        # even the int conversion — behind `if (*minbits != sizeof*8)`)
+        return header + raw
     transformed = (scaled - mn).astype(np.uint64)
-    if minbits == size * 8:  # no shrink possible: transformed, verbatim
-        return header + transformed.astype("<u8").view(np.uint8).reshape(
-            -1, 8,
-        )[:, :size].tobytes()
     return header + _msb_bitpack(transformed, minbits)
 
 

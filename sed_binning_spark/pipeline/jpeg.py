@@ -872,10 +872,12 @@ def _prep_encode(img, quality, subsampling, precision: int = 8):
         raise ValueError(f"precision must be 8 or 12, got {precision}")
     if precision == 12:
         # range-check BEFORE the cast: uint16 wraps 65536→0 and negative
-        # multiples silently into range, defeating the guard
+        # multiples silently into range, defeating the guard. Phrased as
+        # all-in-range so NaN (which fails BOTH < 0 and > 4095) refuses
+        # instead of falling through to an undefined NaN→uint16 cast.
         arr = np.asarray(img)
-        if arr.size and (arr.min() < 0 or arr.max() > 4095):
-            raise ValueError("12-bit samples exceed 4095")
+        if arr.size and not bool(((arr >= 0) & (arr <= 4095)).all()):
+            raise ValueError("12-bit samples must lie in [0, 4095]")
         img = arr.astype(np.uint16)
     else:
         img = np.asarray(img, dtype=np.uint8)

@@ -166,6 +166,9 @@ def split_http_response(payload: bytes) -> tuple[int | None, dict, bytes]:
         try:
             body = gzip.GzipFile(fileobj=io.BytesIO(body)).read()
         except (OSError, EOFError, zlib.error):
+            # OSError is deliberate here: the stream is an in-memory
+            # BytesIO, so the only OSError this can raise is BadGzipFile
+            # (a malformed body, not a real I/O failure) — do not narrow
             pass
     elif enc == "deflate":
         try:

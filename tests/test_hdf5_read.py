@@ -1330,6 +1330,28 @@ def test_scaleoffset_filter(tmp_path):
     with pytest.raises(UnsupportedHDF5, match="truncated"):
         _scaleoffset_decode(header[:10], cd)
 
+    # minbits == full width: libhdf5 stores the ORIGINAL buffer and its
+    # decompressor memcpys + early-returns — no minval add, no all-ones
+    # fill mapping, no D-scale. A nonzero minval and a defined fill in
+    # cd_values must both be ignored on this branch.
+    wide_vals = np.array([-(2**31), -1, 2**31 - 1], dtype="<i4")
+    fw_header = (32).to_bytes(4, "little") + bytes([8]) \
+        + (5 & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little") + b"\x00" * 8
+    got = np.frombuffer(
+        _scaleoffset_decode(fw_header + wide_vals.tobytes(),
+                            [2, 0, 3, 0, 4, 1, 0, 1, 42]), "<i4")
+    np.testing.assert_array_equal(got, wide_vals)  # -1 is all-ones: NOT fill
+    flo_vals = np.array([1.5, -2.25, 6.02e23], dtype="<f8")
+    fw64 = (64).to_bytes(4, "little") + bytes([8]) \
+        + (7 & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little") + b"\x00" * 8
+    got = np.frombuffer(
+        _scaleoffset_decode(fw64 + flo_vals.tobytes(),
+                            [0, 3, 3, 1, 8, 0, 0, 0]), "<f8")
+    np.testing.assert_array_equal(got, flo_vals)  # no 10^-3 rescale either
+    with pytest.raises(UnsupportedHDF5, match="shorter than"):
+        _scaleoffset_decode(fw_header + wide_vals.tobytes()[:-1],
+                            [2, 0, 3, 0, 4, 1, 0, 0])
+
 
 def test_close_releases_external_handles(tmp_path):
     """close() releases the mmap AND every cached external-link target

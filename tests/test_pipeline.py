@@ -978,13 +978,17 @@ def test_jpeg_12bit_extended_sequential():
     with pytest.raises(ValueError, match="12-bit JPEG not supported"):
         decode_image_jpeg(as_prog)
     assert decode_payload(as_sof0, 8)[0] == 0.0  # degrades to byte stats
-    with pytest.raises(ValueError, match="samples exceed 4095"):
+    with pytest.raises(ValueError, match="must lie in"):
         encode_image_jpeg(np.full((8, 8), 4096, np.uint16), precision=12)
     # the range check must run BEFORE the uint16 cast (65536 wraps to 0)
-    with pytest.raises(ValueError, match="samples exceed 4095"):
+    with pytest.raises(ValueError, match="must lie in"):
         encode_image_jpeg(np.full((8, 8), 65536, np.int64), precision=12)
-    with pytest.raises(ValueError, match="samples exceed 4095"):
+    with pytest.raises(ValueError, match="must lie in"):
         encode_image_jpeg(np.full((8, 8), -1, np.int64), precision=12)
+    # NaN fails BOTH < 0 and > 4095 — the all-in-range phrasing refuses it
+    # instead of letting an undefined NaN->uint16 cast through
+    with pytest.raises(ValueError, match="must lie in"):
+        encode_image_jpeg(np.full((8, 8), np.nan), precision=12)
     # T.81 B.2.4.1: a 16-bit DQT on an 8-BIT frame is spec-invalid — it
     # must refuse, not dequantize 65535-scale entries into a plausible
     # raster. Build it by pairing the 12-bit stream's DQT with an 8-bit
