@@ -1571,7 +1571,14 @@ def _q_frame_sample(spark, sf):
     NOWHERE in a double — and the twin regenerates mean, std (via the
     mathematically identical msq − mu² form; all intermediates exact,
     so both engines land on the same double), min, and max from the
-    same md5 bytes."""
+    same md5 bytes.
+
+    Round 13 gates the keyframes_only sampling mode over the SAME
+    fixtures: the 'gifk' leg pins the GIF cap-to-frame-0 rule (frame 0
+    is the one independently-decodable frame) and the 'avck' leg pins
+    stss pruning before decode with the CONTAINER sample index
+    preserved (odd 1-indexed sync samples → even 0-indexed
+    frame_index, nothing renumbered)."""
     docs = _docs(spark, sf)
     media = docs.select("doc_id", F.col("n_chars").alias("duration_ms"))
     plan = frame_sample_plan(media, every_ms=25, id_column="doc_id")
@@ -1632,25 +1639,58 @@ def _q_frame_sample(spark, sf):
         F.when(F.col("media_id") % 3 == 1, F.lit("mp4j")).otherwise(F.lit("avc1")),
     )
 
+    # round 13: the keyframes_only sampling mode, oracle-gated as two
+    # sub-legs over the SAME fixtures — 'gifk' pins the GIF cap-to-
+    # frame-0 rule (frame 0 is the one independently-decodable frame),
+    # 'avck' pins stss pruning BEFORE decode with the CONTAINER sample
+    # index preserved (odd 1-indexed sync samples -> even 0-indexed
+    # frame_index rows, nothing renumbered)
+    gifk_leg = decoded_leg(
+        sample_frames(agif, keyframes_only=True), F.lit("gifk"),
+    )
+    avck_leg = decoded_leg(
+        sample_frames(mp4_media.where(F.col("media_id") % 3 == 2),
+                      keyframes_only=True),
+        F.lit("avck"),
+    )
+
+    def audio_leg(media_df, leg_col):
+        return sample_audio_windows(media_df, window_ms=4).select(
+            leg_col.alias("leg"),
+            F.col("media_id").alias("doc_id"),
+            F.col("start_ms").alias("frame_ms"),
+            F.col("window_index").alias("frame_index"),
+            F.col("duration_ms").alias("delay_ms"),
+            F.lit(None).cast("int").alias("fwidth"),
+            F.lit(None).cast("int").alias("fheight"),
+            F.round("mean", 6).alias("fmean"),
+            F.round("std", 6).alias("fstd"),
+            F.round("min", 6).alias("fmin"),
+            F.round("max", 6).alias("fmax"),
+            F.col("n_samples").cast("bigint").alias("fn_bytes"),
+            F.lit(None).cast("boolean").alias("fkeyframe"),
+        )
+
     wav = synthesize_wav_media_from_text(docs.where(F.col("doc_id") % 2 == 0))
-    wav_leg = sample_audio_windows(wav, window_ms=4).select(
-        F.lit("wav").alias("leg"),
-        F.col("media_id").alias("doc_id"),
-        F.col("start_ms").alias("frame_ms"),
-        F.col("window_index").alias("frame_index"),
-        F.col("duration_ms").alias("delay_ms"),
-        F.lit(None).cast("int").alias("fwidth"),
-        F.lit(None).cast("int").alias("fheight"),
-        F.round("mean", 6).alias("fmean"),
-        F.round("std", 6).alias("fstd"),
-        F.round("min", 6).alias("fmin"),
-        F.round("max", 6).alias("fmax"),
-        F.col("n_samples").cast("bigint").alias("fn_bytes"),
-        F.lit(None).cast("boolean").alias("fkeyframe"),
+    wav_leg = audio_leg(wav, F.lit("wav"))
+
+    # round 13: the SAME md5 bytes behind ITU-T G.711 format tags — the
+    # byte IS the companded code, expanded through the exact-integer
+    # tables inside decode_audio_wav, so the windowed stats stay exact
+    # dyadic-rational closed forms the oracle re-derives per byte
+    g711 = synthesize_wav_media_from_text(
+        docs.where(did % 4 == 1), codec="ulaw",
+    ).unionByName(synthesize_wav_media_from_text(
+        docs.where(did % 4 == 3), codec="alaw",
+    ))
+    g711_leg = audio_leg(
+        g711,
+        F.when(F.col("media_id") % 4 == 1, F.lit("ulw")).otherwise(F.lit("alw")),
     )
     return (
         plan_leg.unionByName(gif_leg).unionByName(mp4_leg)
-        .unionByName(wav_leg)
+        .unionByName(gifk_leg).unionByName(avck_leg)
+        .unionByName(wav_leg).unionByName(g711_leg)
     )
 
 
@@ -2158,6 +2198,37 @@ def _q_ann_lsh(spark, sf):
     ).select("id_a", "id_b")
 
 
+_JPEG12_FIXTURES = None
+
+
+def _jpeg12_fixture():
+    """Plan-time 12-bit extended-sequential JPEG fixtures for the
+    multimodal_features slot (round 13, the frozen-model pattern): two
+    flat 16×16 grayscale frames at v12 ∈ (273, 2457). Both values make
+    v12·255/4095 integral (17 and 153) and flat DC-only blocks quantize
+    exactly, so decode through the pure-Python codec is bit-exact and
+    every feature element is closed-form: [1, 16, 16, 1, m, 0, m, m]
+    with m = v8/255, quantized through float32 exactly as the engine's
+    ArrayType(FloatType) Arrow cast. Returns (blobs, feat_csv_literals,
+    byte_sizes)."""
+    global _JPEG12_FIXTURES
+    if _JPEG12_FIXTURES is None:
+        from sed_binning_spark.pipeline.jpeg import encode_image_jpeg
+
+        blobs, feats = [], []
+        for v12 in (273, 2457):
+            blobs.append(encode_image_jpeg(
+                np.full((16, 16), v12, np.uint16), precision=12,
+            ))
+            m = (v12 * 255 // 4095) / 255.0
+            vec = [1.0, 16.0, 16.0, 1.0, m, 0.0, m, m]
+            feats.append(",".join(
+                str(int(round(float(np.float32(x)) * 1e6))) for x in vec
+            ))
+        _JPEG12_FIXTURES = (blobs, feats, [len(b) for b in blobs])
+    return _JPEG12_FIXTURES
+
+
 def _q_multimodal(spark, sf):
     """REAL media decode as the graded path: ids % 4 == 0 documents become
     valid binary PPM (P6) payloads; ids % 4 == 2 valid GIF89a (a
@@ -2190,6 +2261,22 @@ def _q_multimodal(spark, sf):
         docs.where(F.col("doc_id") % 4 == 1),
     )).unionByName(synthesize_png_media_from_text(
         docs.where(F.col("doc_id") % 4 == 3), interlace=True,
+    ))
+    # round 13: the 12-bit extended-sequential JPEG decode path, gated
+    # through the SAME featurizer as extra rows at media_id = -doc_id-1
+    # (disjoint from every non-negative id above) — flat spec-built
+    # fixtures whose decode is bit-exact, so the oracle carries the
+    # features as frozen literals (see _jpeg12_fixture)
+    j12_blobs, _, _ = _jpeg12_fixture()
+    did = F.col("doc_id")
+    media = media.unionByName(docs.where(did % 5 == 0).select(
+        (-did - 1).cast("long").alias("media_id"),
+        F.when(did % 2 == 0, F.lit(bytearray(j12_blobs[0])))
+        .otherwise(F.lit(bytearray(j12_blobs[1]))).alias("payload"),
+        F.lit("image/jpeg").alias("mime"),
+        F.lit(16).cast("int").alias("width"),
+        F.lit(16).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
     ))
     feats = extract_features(media, feature_dim=8)
     as_int = F.transform(
@@ -2885,6 +2972,34 @@ def oracle_sql() -> dict[str, str]:
             "CAST(6 + 4 * t.f + 2 * (doc_id % 2) AS BIGINT), t.f % 2 = 0 "
             "FROM documents, range(4) t(f) "
             "WHERE doc_id % 3 = 2 AND t.f < 3 + (doc_id % 2) "
+            # keyframes_only over the same GIF fixture: only frame 0
+            # (the single independently-decodable frame) survives the
+            # decode cap — same timing/stats closed form at f = 0
+            "UNION ALL SELECT 'gifk', doc_id, "
+            "CAST(0 AS BIGINT), CAST(0 AS INT), CAST(20 AS BIGINT), 24, 1, "
+            "round(m / 255.0, 6), "
+            "round(sqrt(list_sum(list_transform(bs, x -> "
+            "(x - m) * (x - m))) / 24.0) / 255.0, 6), "
+            "round(CAST(list_min(bs) AS DOUBLE) / 255.0, 6), "
+            "round(CAST(list_max(bs) AS DOUBLE) / 255.0, 6), "
+            "CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN) "
+            "FROM (SELECT doc_id, bs, list_sum(bs) / 24.0 AS m FROM "
+            "(SELECT doc_id, list_transform(range(0, 24), j -> "
+            "CAST('0x' || substr(md5(text), "
+            "CAST((j % 16) * 2 + 1 AS INTEGER), 2) AS BIGINT)) AS bs "
+            "FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL)) "
+            # keyframes_only over the avc1 timeline: stss prunes before
+            # decode, the CONTAINER sample index survives — exactly the
+            # even 0-indexed rows of the avc1 leg, nothing renumbered
+            "UNION ALL SELECT 'avck', doc_id, "
+            "CAST(5 * t.f * (t.f + 3) AS BIGINT), CAST(t.f AS INT), "
+            "CAST((2 + t.f) * 10 AS BIGINT), 320, 240, "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(6 + 4 * t.f + 2 * (doc_id % 2) AS BIGINT), TRUE "
+            "FROM documents, range(4) t(f) "
+            "WHERE doc_id % 3 = 2 AND t.f < 3 + (doc_id % 2) "
+            "AND t.f % 2 = 0 "
             # audio twin: 8-bit WAV samples = md5 bytes; every stat is a
             # dyadic rational ((b-128)/128), so the std's msq - mu*mu
             # form and the engine's mean-of-squared-deviations are the
@@ -2904,7 +3019,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST('0x' || substr(md5(text), "
             "CAST((w * 4 + j) * 2 + 1 AS INTEGER), 2) AS BIGINT)) AS bs "
             "FROM documents, range(4) t(w) "
-            "WHERE doc_id % 2 = 0 AND text IS NOT NULL))"
+            "WHERE doc_id % 2 = 0 AND text IS NOT NULL)) "
+            # telephony twins: the same md5 bytes behind G.711 format
+            # tags, expanded through the ITU table arithmetic per byte
+            + _g711_leg_sql("ulw", "ulaw", 1)
+            + _g711_leg_sql("alw", "alaw", 3)
         ),
         # NULL text: every stop count is NULL, so an explicit branch is
         # needed — the CASE would otherwise fall through to ELSE where the
@@ -3135,6 +3254,48 @@ def oracle_sql() -> dict[str, str]:
             "FROM dg LEFT JOIN hits h USING (doc_id)"
         ),
     }
+
+
+def _g711_leg_sql(leg: str, law: str, mod: int) -> str:
+    """DuckDB twin of a G.711 frame_sample audio leg: regenerate the
+    16 md5 bytes, expand each through the ITU-T table ARITHMETIC (not a
+    lookup — the closed forms below are the same public-reference
+    integer expressions _g711_table vectorizes), window by 4, and
+    reproduce mean/std/min/max over the /32768-normalized values. Every
+    intermediate is an exact dyadic rational (int/2^15 sums, squares at
+    /2^30, all numerators far under 2^53), so both engines land on the
+    same double before the round(…, 6)."""
+    b = ("CAST('0x' || substr(md5(text), "
+         "CAST((w * 4 + j) * 2 + 1 AS INTEGER), 2) AS BIGINT)")
+    if law == "ulaw":
+        u = f"(255 - {b})"
+        t = f"(((({u} & 15) << 3) + 132) << (({u} >> 4) & 7))"
+        lin = f"(CASE WHEN {u} >= 128 THEN 132 - {t} ELSE {t} - 132 END)"
+    else:
+        a = f"xor({b}, 85)"
+        t0 = f"(({a} & 15) << 4)"
+        seg = f"(({a} >> 4) & 7)"
+        t = (f"(CASE WHEN {seg} = 0 THEN {t0} + 8 "
+             f"WHEN {seg} = 1 THEN {t0} + 264 "
+             f"ELSE ({t0} + 264) << ({seg} - 1) END)")
+        lin = f"(CASE WHEN {a} >= 128 THEN {t} ELSE -{t} END)"
+    return (
+        f"UNION ALL SELECT '{leg}', doc_id, "
+        "CAST(4 * w AS BIGINT), CAST(w AS INT), CAST(4 AS BIGINT), "
+        "CAST(NULL AS INT), CAST(NULL AS INT), "
+        "round(mu, 6), round(sqrt(msq - mu * mu), 6), "
+        "round(list_min(ls) / 32768.0, 6), "
+        "round(list_max(ls) / 32768.0, 6), "
+        "CAST(4 AS BIGINT), CAST(NULL AS BOOLEAN) "
+        "FROM (SELECT doc_id, w, ls, "
+        "list_sum(ls) / 4.0 / 32768.0 AS mu, "
+        "list_sum(list_transform(ls, x -> "
+        "(x / 32768.0) * (x / 32768.0))) / 4.0 AS msq "
+        "FROM (SELECT doc_id, w, list_transform(range(0, 4), j -> "
+        f"{lin}) AS ls "
+        "FROM documents, range(4) t(w) "
+        f"WHERE doc_id % 4 = {mod} AND text IS NOT NULL)) "
+    )
 
 
 def _mp4j_values_sql() -> str:
@@ -3386,13 +3547,23 @@ def _multimodal_oracle_sql(width: int = 4, height: int = 2) -> str:
         f"WHEN media_id % 4 = 1 THEN {png_fixture_n_bytes(width, height)} "
         f"ELSE {png_fixture_n_bytes(width, height, interlace=True)} END"
     )
+    # the 12-bit JPEG rows (media_id = -doc_id-1): flat spec-built
+    # fixtures decode bit-exactly, so n_bytes and the full feature
+    # vector are frozen literals keyed only on doc_id parity
+    _, j12_feats, j12_sizes = _jpeg12_fixture()
     return (
         f"SELECT media_id, "
         f"CAST({n_bytes} AS BIGINT) AS n_bytes, "
         f"CASE WHEN bs IS NULL THEN '{zeros}' ELSE {feat} END AS feat_csv FROM "
         f"(SELECT media_id, bs, list_sum(bs) / {n}.0 AS m FROM "
         f"(SELECT CAST(doc_id AS BIGINT) AS media_id, "
-        f"CASE WHEN text IS NULL THEN NULL ELSE {bs} END AS bs FROM documents))"
+        f"CASE WHEN text IS NULL THEN NULL ELSE {bs} END AS bs FROM documents)) "
+        f"UNION ALL SELECT CAST(-doc_id - 1 AS BIGINT), "
+        f"CAST(CASE WHEN doc_id % 2 = 0 THEN {j12_sizes[0]} "
+        f"ELSE {j12_sizes[1]} END AS BIGINT), "
+        f"CASE WHEN doc_id % 2 = 0 THEN '{j12_feats[0]}' "
+        f"ELSE '{j12_feats[1]}' END "
+        f"FROM documents WHERE doc_id % 5 = 0"
     )
 
 

@@ -159,6 +159,61 @@ def decode_image_bmp(data: bytes, max_pixels: int | None = None) -> np.ndarray:
 # the actual format code)
 _WAV_GUID_TAIL = bytes.fromhex("000000001000800000aa00389b71")
 
+# ITU-T G.711 companded telephony audio (WAV format tags 6 = A-law,
+# 7 = μ-law). The 256-entry expansion tables below implement the
+# canonical public-domain reference arithmetic (Sun g711.c, the same
+# tables the ITU spec normalizes): exact integers, so windowed
+# statistics over G.711 fixtures stay closed-form and oracle-able.
+_G711_TABLES: dict[int, np.ndarray] = {}
+
+
+def _g711_table(law: int) -> np.ndarray:
+    """256-entry code → linear int16 expansion table for ``law`` (the
+    WAV format tag: 6 = A-law, 7 = μ-law). μ-law: invert the code, then
+    ((quant << 3) + 0x84) << segment, bias-corrected, sign from bit 7
+    (range ±32124). A-law: XOR 0x55, quant << 4 plus the per-segment
+    step offset, doubled per segment above 1, sign from bit 7 (range
+    ±32256)."""
+    tab = _G711_TABLES.get(law)
+    if tab is None:
+        codes = np.arange(256, dtype=np.int32)
+        if law == 7:  # μ-law
+            u = ~codes & 0xFF
+            t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+            tab = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+        else:  # A-law
+            a = codes ^ 0x55
+            t = (a & 0x0F) << 4
+            seg = (a & 0x70) >> 4
+            t = np.where(
+                seg == 0, t + 8,
+                np.where(seg == 1, t + 0x108,
+                         (t + 0x108) << np.maximum(seg - 1, 0)),
+            )
+            tab = np.where(a & 0x80, t, -t).astype(np.int16)
+        _G711_TABLES[law] = tab
+    return tab
+
+
+def _g711_compress(samples: np.ndarray, law: int) -> np.ndarray:
+    """Linear int16 → nearest G.711 code (the encode half, fixtures and
+    sinks): searchsorted over the sorted expansion table picks the code
+    whose decoded value is closest (exact round-trip for values in the
+    decode image), sidestepping the 13/14/16-bit input-scaling ambiguity
+    between published compressors."""
+    tab = _g711_table(law)
+    order = np.argsort(tab, kind="stable")
+    sorted_vals = tab[order].astype(np.int32)
+    idx = np.searchsorted(sorted_vals, samples.astype(np.int32))
+    idx = np.clip(idx, 1, sorted_vals.size - 1)
+    left, right = sorted_vals[idx - 1], sorted_vals[idx]
+    pick = np.where(
+        np.abs(samples.astype(np.int32) - left)
+        <= np.abs(right - samples.astype(np.int32)),
+        idx - 1, idx,
+    )
+    return order[pick].astype(np.uint8)
+
 
 def decode_audio_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a RIFF/WAVE payload into ((n_samples, n_channels) int16
@@ -169,6 +224,9 @@ def decode_audio_wav(data: bytes) -> tuple[np.ndarray, int]:
       and 32-bit signed integers (wider widths keep their high 16 bits);
     - IEEE float (format 3): 32- and 64-bit, clipped to [-1, 1] then
       scaled by 32767;
+    - ITU-T G.711 (formats 6 = A-law, 7 = μ-law): 8-bit companded
+      telephony codes expanded through the canonical 256-entry tables
+      (±32256 / ±32124 — already int16-scale);
     - WAVE_FORMAT_EXTENSIBLE (format 0xFFFE): the real format comes from
       the SubFormat GUID's leading code, dispatched to the above.
 
@@ -223,6 +281,12 @@ def decode_audio_wav(data: bytes) -> tuple[np.ndarray, int]:
         f = np.nan_to_num(f.astype(np.float64), nan=0.0,
                           posinf=1.0, neginf=-1.0)
         samples = np.round(np.clip(f, -1.0, 1.0) * 32767.0).astype(np.int16)
+    elif audio_format in (6, 7):  # ITU-T G.711 A-law / μ-law
+        if bits != 8:
+            raise ValueError(
+                f"G.711 WAV with {bits}-bit samples (codes are 8-bit)",
+            )
+        samples = _g711_table(audio_format)[np.frombuffer(raw, np.uint8)]
     else:
         raise ValueError(f"unsupported WAV format code {audio_format}")
     n = samples.size // n_channels * n_channels
@@ -612,8 +676,10 @@ def encode_audio_wav(
 ) -> bytes:
     """Inverse of :func:`decode_audio_wav` for fixtures: ``fmt`` picks the
     container variant — "pcm16" (default), "pcm8", "pcm24", "pcm32",
-    "float32", "float64", or "ext-pcm16" (WAVE_FORMAT_EXTENSIBLE wrapping
-    16-bit PCM). Integer inputs are int16 values scaled up to the target
+    "float32", "float64", "ulaw"/"alaw" (ITU-T G.711 companding via
+    nearest-code search, exact round-trip for values in the decode
+    image), or "ext-pcm16" (WAVE_FORMAT_EXTENSIBLE wrapping 16-bit
+    PCM). Integer inputs are int16 values scaled up to the target
     width; float formats take the int16 values / 32767."""
     s = np.ascontiguousarray(np.atleast_2d(samples.T).T, dtype="<i2")
     n_channels = s.shape[1] if s.ndim == 2 else 1
@@ -636,6 +702,9 @@ def encode_audio_wav(
         f = s.astype(np.float64) / 32767.0
         raw = f.astype("<f4" if fmt == "float32" else "<f8").tobytes()
         code, bits = 3, 32 if fmt == "float32" else 64
+    elif fmt in ("ulaw", "alaw"):
+        code = 7 if fmt == "ulaw" else 6
+        raw, bits = _g711_compress(s, code).tobytes(), 8
     else:
         raise ValueError(f"unknown WAV fixture format {fmt!r}")
     width = bits // 8
@@ -1723,19 +1792,27 @@ def synthesize_wav_media_from_text(
     text_column: str = "text",
     id_column: str = "doc_id",
     sample_rate: int = 1000,
+    codec: str = "pcm8",
 ) -> DataFrame:
-    """Expression-built RIFF/WAVE fixture: 8-bit unsigned mono PCM whose
-    16 data samples are exactly ``unhex(md5(text))`` — so the decoded
-    int16 values are ``(byte − 128) · 256`` and every windowed statistic
-    is an exact closed form any md5-capable engine can regenerate
-    ((b−128)/128 is a dyadic rational: sums, means, and variances of 16
-    of them round NOWHERE in a double). NULL text maps to a NULL
-    payload, like the image fixtures."""
+    """Expression-built RIFF/WAVE fixture: 8-bit mono audio whose 16
+    data samples are exactly ``unhex(md5(text))``. ``codec`` picks the
+    fmt-chunk format tag the same bytes sit behind — "pcm8" (tag 1,
+    unsigned offset-binary: decoded int16 = (byte − 128) · 256),
+    "ulaw" (tag 7) or "alaw" (tag 6, ITU-T G.711: the byte IS the
+    companded code, decoded through the exact-integer expansion
+    tables) — so every windowed statistic is an exact closed form any
+    md5-capable engine can regenerate (dyadic rationals over exact
+    integers: sums, means, and variances round NOWHERE in a double).
+    NULL text maps to a NULL payload, like the image fixtures."""
+    try:
+        tag = {"pcm8": 1, "ulaw": 7, "alaw": 6}[codec]
+    except KeyError:
+        raise ValueError(f"unknown fixture codec {codec!r}") from None
     n = 16  # one md5 digest of samples
     header = (
         b"RIFF" + struct.pack("<I", 4 + 24 + 8 + n) + b"WAVE"
         + b"fmt " + struct.pack(
-            "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate, 1, 8,
+            "<IHHIIHH", 16, tag, 1, sample_rate, sample_rate, 1, 8,
         )
         + b"data" + struct.pack("<I", n)
     )

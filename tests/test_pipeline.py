@@ -1448,6 +1448,60 @@ def test_wav_format_matrix_roundtrips():
     assert decode_payload(bytes(bad), 8)[0] == 0.0
 
 
+def test_g711_telephony_wav():
+    """ITU-T G.711 μ-law/A-law (WAV format tags 7/6): the 256-entry
+    expansion tables hit the canonical endpoint values, match audioop
+    bit-for-bit where the stdlib still ships it, values in the decode
+    image survive compress→expand exactly, arbitrary int16 compands
+    within half the widest quantization step, and the full WAV container
+    path (encode_audio_wav → decode_audio_wav → decode_payload) treats
+    both laws as first-class audio. Non-8-bit G.711 refuses."""
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from sed_binning_spark.pipeline.multimodal import (
+        _g711_compress, _g711_table, decode_audio_wav, decode_payload,
+        encode_audio_wav,
+    )
+
+    u, a = _g711_table(7), _g711_table(6)
+    # canonical pins straight from the public reference arithmetic
+    assert (u[0x00], u[0x7F], u[0xFF], u[0x80]) == (-32124, 0, 0, 32124)
+    assert (a[0x55], a[0xD5], a[0x2A], a[0xAA]) == (-8, 8, -32256, 32256)
+    try:  # removed in Python 3.13 — cross-check while it exists
+        import audioop
+    except ImportError:
+        audioop = None
+    if audioop is not None:
+        for law, tab, fn in ((7, u, audioop.ulaw2lin), (6, a, audioop.alaw2lin)):
+            ref = [st.unpack("<h", fn(bytes([c]), 2))[0] for c in range(256)]
+            np.testing.assert_array_equal(tab, ref)
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(-32767, 32768, (300, 2)).astype(np.int16)
+    for law, fmt, tab in ((7, "ulaw", u), (6, "alaw", a)):
+        # exact round-trip on the decode image
+        np.testing.assert_array_equal(
+            tab[_g711_compress(tab.astype(np.int16), law)], tab)
+        blob = encode_audio_wav(base, 8000, fmt=fmt)
+        got, rate = decode_audio_wav(blob)
+        assert rate == 8000 and got.shape == base.shape
+        # nearest-code companding: error <= max(half the widest step
+        # (1024/2), the clamp past the top code — 32767-32124=643 for
+        # μ-law, 32767-32256=511 for A-law)
+        assert np.abs(got.astype(int) - base.astype(int)).max() <= 643
+        vec = decode_payload(blob, 8)
+        assert vec[0] == 2.0 and vec[1] == 300.0 and vec[2] == 8000.0
+
+    bad = bytearray(encode_audio_wav(base, 8000, fmt="ulaw"))
+    st.pack_into("<H", bad, bad.index(b"fmt ") + 8 + 14, 16)
+    with pytest.raises(ValueError, match="codes are 8-bit"):
+        decode_audio_wav(bytes(bad))
+    assert decode_payload(bytes(bad), 8)[0] == 0.0  # degrades, not dies
+
+
 def test_gif_known_raster_and_composition():
     """Pointwise GIF pins: a hand-checkable raster round-trips, a frame
     smaller than the logical screen composes over the global background
