@@ -1538,6 +1538,47 @@ def _mp4_fixture_blobs():
     return _MP4_FIXTURES
 
 
+_IMA_FIXTURES = None
+
+
+def _ima_fixture():
+    """Plan-time IMA-ADPCM fixtures for the frame_sample slot (round 13,
+    the frozen-model pattern): two deterministic 64-sample 4 kHz sine
+    payloads through encode_audio_wav(fmt="ima4") — one partial block,
+    fact-trimmed. ADPCM is lossy, so the oracle cannot re-derive the
+    samples from a closed form; instead the ENGINE really decodes inside
+    sample_audio_windows while the oracle carries the per-window stats
+    computed here ONCE with the identical numpy arithmetic (decode →
+    /32768 → mean/std/min/max, full-precision reprs, rounding left to
+    each engine's round(…, 6)). Returns (blobs, rows) with rows =
+    (variant, window, start_ms, dur_ms, mean, std, min, max)."""
+    global _IMA_FIXTURES
+    if _IMA_FIXTURES is None:
+        from sed_binning_spark.pipeline.multimodal import (
+            decode_audio_wav, encode_audio_wav,
+        )
+
+        blobs, rows = [], []
+        for v in range(2):
+            sig = np.round(
+                8000.0 * np.sin(np.arange(64) / (3 + v)),
+            ).astype(np.int16)
+            blob = encode_audio_wav(sig, 4000, fmt="ima4")
+            blobs.append(blob)
+            dec, rate = decode_audio_wav(blob)
+            spw = 4 * rate // 1000  # window_ms=4 → 16 samples
+            for w in range(4):
+                win = dec[w * spw : (w + 1) * spw] / 32768.0
+                rows.append((
+                    v, w, (w * spw * 1000 + rate // 2) // rate,
+                    (spw * 1000 + rate // 2) // rate,
+                    float(win.mean()), float(win.std()),
+                    float(win.min()), float(win.max()),
+                ))
+        _IMA_FIXTURES = (blobs, rows)
+    return _IMA_FIXTURES
+
+
 def _q_frame_sample(spark, sf):
     """Video frame sampling, all four legs merged. The 'plan' leg is the
     pure-expression timestamp grid (frame_sample_plan, one row per
@@ -1687,10 +1728,21 @@ def _q_frame_sample(spark, sf):
         g711,
         F.when(F.col("media_id") % 4 == 1, F.lit("ulw")).otherwise(F.lit("alw")),
     )
+
+    # round 13: IMA-ADPCM through the REAL block decoder — fixed lossy
+    # fixtures, frozen-literal oracle truth (see _ima_fixture)
+    ima_blobs, _ = _ima_fixture()
+    ima_media = docs.where(did % 4 == 2).select(
+        did.alias("media_id"),
+        F.when(did % 8 == 2, F.lit(bytearray(ima_blobs[0])))
+        .otherwise(F.lit(bytearray(ima_blobs[1]))).alias("payload"),
+    )
+    ima_leg = audio_leg(ima_media, F.lit("ima"))
     return (
         plan_leg.unionByName(gif_leg).unionByName(mp4_leg)
         .unionByName(gifk_leg).unionByName(avck_leg)
         .unionByName(wav_leg).unionByName(g711_leg)
+        .unionByName(ima_leg)
     )
 
 
@@ -3024,6 +3076,18 @@ def oracle_sql() -> dict[str, str]:
             # tags, expanded through the ITU table arithmetic per byte
             + _g711_leg_sql("ulw", "ulaw", 1)
             + _g711_leg_sql("alw", "alaw", 3)
+            # IMA-ADPCM: fixed lossy fixtures through the real block
+            # decoder; truth frozen at plan time (see _ima_fixture)
+            + "UNION ALL SELECT 'ima', doc_id, CAST(t.sms AS BIGINT), "
+            "CAST(t.w AS INT), CAST(t.dur AS BIGINT), "
+            "CAST(NULL AS INT), CAST(NULL AS INT), "
+            "round(t.mu, 6), round(t.sd, 6), "
+            "round(t.mn, 6), round(t.mx, 6), "
+            "CAST(16 AS BIGINT), CAST(NULL AS BOOLEAN) "
+            f"FROM documents, (VALUES {_ima_values_sql()}) "
+            "t(v, w, sms, dur, mu, sd, mn, mx) "
+            "WHERE doc_id % 4 = 2 AND "
+            "t.v = CASE WHEN doc_id % 8 = 2 THEN 0 ELSE 1 END"
         ),
         # NULL text: every stop count is NULL, so an explicit branch is
         # needed — the CASE would otherwise fall through to ELSE where the
@@ -3254,6 +3318,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM dg LEFT JOIN hits h USING (doc_id)"
         ),
     }
+
+
+def _ima_values_sql() -> str:
+    """(variant, window, start_ms, dur_ms, mean, std, min, max) rows of
+    the IMA-ADPCM fixture as a VALUES list — stats from the plan-time
+    decode (the frozen-model pattern; floats as string-cast DOUBLEs so
+    DuckDB parses the exact repr instead of a DECIMAL literal)."""
+    _, rows = _ima_fixture()
+    return ", ".join(
+        f"({v}, {w}, {sms}, {dur}, "
+        + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in (mu, sd, mn, mx))
+        + ")"
+        for (v, w, sms, dur, mu, sd, mn, mx) in rows
+    )
 
 
 def _g711_leg_sql(leg: str, law: str, mod: int) -> str:

@@ -195,6 +195,138 @@ def _g711_table(law: int) -> np.ndarray:
     return tab
 
 
+# IMA/DVI ADPCM (WAV format tag 0x11): 4-bit codes against the public
+# IMA spec's 89-entry step table and 8-entry index-adaptation table.
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+
+
+def _ima_adpcm_decode(
+    raw: bytes, n_channels: int, block_align: int, spb: int,
+) -> np.ndarray:
+    """IMA-ADPCM WAV data chunk → (n_samples, n_channels) int16. Block
+    layout per the public IMA/Microsoft spec: a 4-byte header per
+    channel (predictor int16 LE = the block's exact first sample, step
+    index, reserved), then the 4-bit codes in 4-byte per-channel groups,
+    low nibble first. The predictor recursion is serial only WITHIN a
+    block — blocks are independent, so the loop below runs spb-1 steps
+    over vectors spanning ALL blocks at once (an hour of 8 kHz mono is
+    ~57k blocks wide per step, not 28M scalar iterations). A trailing
+    partial block decodes to however many samples its bytes carry."""
+    ch, ba = n_channels, block_align
+    if ba < 4 * ch + 4 * ch or (ba - 4 * ch) % (4 * ch):
+        raise ValueError(
+            f"IMA-ADPCM block align {ba} is not 4·ch header + 4-byte "
+            f"per-channel groups for {ch} channel(s)",
+        )
+    max_spb = (ba - 4 * ch) * 2 // ch + 1
+    if not 1 <= spb <= max_spb:
+        raise ValueError(
+            f"IMA-ADPCM declares {spb} samples/block but the {ba}-byte "
+            f"block holds at most {max_spb}",
+        )
+    if len(raw) < 4 * ch:
+        raise ValueError("IMA-ADPCM data shorter than one block header")
+    nb = (len(raw) + ba - 1) // ba
+    buf = np.zeros(nb * ba, np.uint8)
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    blocks = buf.reshape(nb, ba)
+    hdr = blocks[:, : 4 * ch].reshape(nb, ch, 4).astype(np.int32)
+    pred = ((hdr[:, :, 0] | (hdr[:, :, 1] << 8)) ^ 0x8000) - 0x8000
+    index = np.clip(hdr[:, :, 2], 0, 88)
+    g = blocks[:, 4 * ch :].reshape(nb, -1, ch, 4)
+    nibs = np.stack([g & 0x0F, g >> 4], axis=-1)  # low nibble first
+    nibs = nibs.reshape(nb, -1, ch, 8).transpose(0, 2, 1, 3).reshape(nb, ch, -1)
+    out = np.empty((nb, ch, spb), np.int16)
+    out[:, :, 0] = pred
+    for s in range(spb - 1):
+        code = nibs[:, :, s].astype(np.int32)
+        step = _IMA_STEPS[index]
+        diff = ((step >> 3)
+                + np.where(code & 1, step >> 2, 0)
+                + np.where(code & 2, step >> 1, 0)
+                + np.where(code & 4, step, 0))
+        pred = np.clip(pred + np.where(code & 8, -diff, diff),
+                       -32768, 32767)
+        index = np.clip(index + _IMA_INDEX[code & 7], 0, 88)
+        out[:, :, s + 1] = pred
+    out = out.transpose(0, 2, 1).reshape(-1, ch)
+    tail = len(raw) - (nb - 1) * ba  # bytes in the final block
+    if tail < 4 * ch:
+        raise ValueError("IMA-ADPCM final block truncates its header")
+    last_n = min(spb, (tail - 4 * ch) * 2 // ch + 1)
+    return out[: (nb - 1) * spb + last_n]
+
+
+def _ima_adpcm_encode(
+    samples: np.ndarray, block_align: int,
+) -> tuple[bytes, int]:
+    """Linear int16 (n, ch) → IMA-ADPCM data chunk (fixtures/sinks).
+    Block-parallel like the decoder: each block's first sample goes in
+    its header verbatim, the step index carries across blocks (the
+    conventional encoder behavior), codes picked by the spec's
+    successive-subtraction rule. The final block zero-pads; callers trim
+    on decode via the fact chunk. Returns (data, samples_per_block)."""
+    s = np.ascontiguousarray(np.atleast_2d(samples.T).T, dtype=np.int16)
+    n, ch = s.shape
+    ba = block_align
+    spb = (ba - 4 * ch) * 2 // ch + 1
+    nb = (n + spb - 1) // spb
+    padded = np.zeros((nb * spb, ch), np.int16)
+    padded[:n] = s
+    blk = padded.reshape(nb, spb, ch).transpose(0, 2, 1).astype(np.int32)
+    pred = blk[:, :, 0].copy()
+    # carry the index across blocks serially (cheap: nb iterations), so
+    # header indexes match what a running conventional encoder stores
+    start_index = np.zeros((nb, ch), np.int32)
+    codes = np.empty((nb, ch, spb - 1), np.uint8)
+    index = np.zeros(ch, np.int32)
+    for b in range(nb):
+        start_index[b] = index
+        p = pred[b].copy()
+        ix = index
+        for t in range(spb - 1):
+            step = _IMA_STEPS[ix]
+            diff = blk[b, :, t + 1] - p
+            code = np.where(diff < 0, 8, 0)
+            mag = np.abs(diff)
+            c4 = mag >= step
+            mag = mag - c4 * step
+            c2 = mag >= (step >> 1)
+            mag = mag - c2 * (step >> 1)
+            c1 = mag >= (step >> 2)
+            code = code | c4 * 4 | c2 * 2 | c1 * 1
+            codes[b, :, t] = code
+            rec = ((step >> 3)
+                   + np.where(code & 1, step >> 2, 0)
+                   + np.where(code & 2, step >> 1, 0)
+                   + np.where(code & 4, step, 0))
+            p = np.clip(p + np.where(code & 8, -rec, rec), -32768, 32767)
+            ix = np.clip(ix + _IMA_INDEX[code & 7], 0, 88)
+        index = ix
+    hdr = np.zeros((nb, ch, 4), np.uint8)
+    hdr[:, :, 0] = pred & 0xFF
+    hdr[:, :, 1] = (pred >> 8) & 0xFF
+    hdr[:, :, 2] = start_index
+    # nibbles back into 4-byte per-channel groups, low nibble first
+    c = np.concatenate(
+        [codes, np.zeros((nb, ch, -(spb - 1) % 8), np.uint8)], axis=2,
+    ).reshape(nb, ch, -1, 8)
+    byts = (c[..., 0::2] | (c[..., 1::2] << 4)).transpose(0, 2, 1, 3)
+    data = np.concatenate(
+        [hdr.reshape(nb, -1), byts.reshape(nb, -1)], axis=1,
+    )
+    return data.tobytes(), spb
+
+
 def _g711_compress(samples: np.ndarray, law: int) -> np.ndarray:
     """Linear int16 → nearest G.711 code (the encode half, fixtures and
     sinks): searchsorted over the sorted expansion table picks the code
@@ -227,6 +359,9 @@ def decode_audio_wav(data: bytes) -> tuple[np.ndarray, int]:
     - ITU-T G.711 (formats 6 = A-law, 7 = μ-law): 8-bit companded
       telephony codes expanded through the canonical 256-entry tables
       (±32256 / ±32124 — already int16-scale);
+    - IMA/DVI ADPCM (format 0x11): 4-bit block-coded speech, decoded
+      block-parallel; the fmt extension's wSamplesPerBlock and the fact
+      chunk's dwSampleLength are honored;
     - WAVE_FORMAT_EXTENSIBLE (format 0xFFFE): the real format comes from
       the SubFormat GUID's leading code, dispatched to the above.
 
@@ -235,7 +370,7 @@ def decode_audio_wav(data: bytes) -> tuple[np.ndarray, int]:
     degrades to byte stats through decode_payload."""
     if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, ext, raw = 12, None, b"", None
+    pos, fmt, ext, raw, fact = 12, None, b"", None, None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
@@ -245,10 +380,12 @@ def decode_audio_wav(data: bytes) -> tuple[np.ndarray, int]:
             ext = bytes(body[16:])
         elif cid == b"data":
             raw = body
+        elif cid == b"fact" and size >= 4:
+            fact = struct.unpack_from("<I", body, 0)[0]
         pos += 8 + size + (size & 1)
     if fmt is None or raw is None:
         raise ValueError("missing fmt/data chunk")
-    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
     if n_channels < 1:
         raise ValueError("WAV fmt chunk declares zero channels")
     if audio_format == 0xFFFE:  # extensible: real format in the GUID
@@ -287,6 +424,22 @@ def decode_audio_wav(data: bytes) -> tuple[np.ndarray, int]:
                 f"G.711 WAV with {bits}-bit samples (codes are 8-bit)",
             )
         samples = _g711_table(audio_format)[np.frombuffer(raw, np.uint8)]
+    elif audio_format == 0x11:  # IMA/DVI ADPCM
+        if bits != 4:
+            raise ValueError(
+                f"IMA-ADPCM WAV with {bits}-bit samples (codes are 4-bit)",
+            )
+        # the fmt extension's wSamplesPerBlock (ext = cbSize + fields;
+        # the WORD at ext[2:4] is wSamplesPerBlock in both the plain
+        # and the EXTENSIBLE layout); absent → the block's capacity
+        if len(ext) >= 4:
+            spb = struct.unpack_from("<H", ext, 2)[0]
+        else:
+            spb = (block_align - 4 * n_channels) * 2 // n_channels + 1
+        out = _ima_adpcm_decode(raw, n_channels, block_align, spb)
+        if fact is not None:  # dwSampleLength trims the final-block pad
+            out = out[:fact]
+        return out, sample_rate
     else:
         raise ValueError(f"unsupported WAV format code {audio_format}")
     n = samples.size // n_channels * n_channels
@@ -678,7 +831,8 @@ def encode_audio_wav(
     container variant — "pcm16" (default), "pcm8", "pcm24", "pcm32",
     "float32", "float64", "ulaw"/"alaw" (ITU-T G.711 companding via
     nearest-code search, exact round-trip for values in the decode
-    image), or "ext-pcm16" (WAVE_FORMAT_EXTENSIBLE wrapping 16-bit
+    image), "ima4" (IMA-ADPCM, 256·ch-byte blocks + fact chunk), or
+    "ext-pcm16" (WAVE_FORMAT_EXTENSIBLE wrapping 16-bit
     PCM). Integer inputs are int16 values scaled up to the target
     width; float formats take the int16 values / 32767."""
     s = np.ascontiguousarray(np.atleast_2d(samples.T).T, dtype="<i2")
@@ -705,20 +859,35 @@ def encode_audio_wav(
     elif fmt in ("ulaw", "alaw"):
         code = 7 if fmt == "ulaw" else 6
         raw, bits = _g711_compress(s, code).tobytes(), 8
+    elif fmt == "ima4":
+        block_align = 256 * n_channels
+        raw, spb = _ima_adpcm_encode(s, block_align)
+        code, bits = 0x11, 4
     else:
         raise ValueError(f"unknown WAV fixture format {fmt!r}")
     width = bits // 8
     byte_rate = sample_rate * n_channels * width
+    extra = b""
     if fmt == "ext-pcm16":
         fmt_body = struct.pack("<HHIIHH", 0xFFFE, n_channels, sample_rate,
                                byte_rate, n_channels * width, bits)
         fmt_body += struct.pack("<HHI", 22, bits, 0)
         fmt_body += struct.pack("<H", 1) + _WAV_GUID_TAIL
+    elif fmt == "ima4":
+        byte_rate = (sample_rate * block_align + spb - 1) // spb
+        fmt_body = struct.pack("<HHIIHH", code, n_channels, sample_rate,
+                               byte_rate, block_align, bits)
+        fmt_body += struct.pack("<HH", 2, spb)  # cbSize, wSamplesPerBlock
+        # fact: true per-channel length so decode trims final-block pad
+        extra = b"fact" + struct.pack("<II", 4, s.shape[0])
     else:
         fmt_body = struct.pack("<HHIIHH", code, n_channels, sample_rate,
                                byte_rate, n_channels * width, bits)
-    hdr = b"RIFF" + struct.pack("<I", 20 + len(fmt_body) + len(raw)) + b"WAVE"
+    hdr = (b"RIFF"
+           + struct.pack("<I", 20 + len(fmt_body) + len(extra) + len(raw))
+           + b"WAVE")
     hdr += b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    hdr += extra
     hdr += b"data" + struct.pack("<I", len(raw))
     return hdr + raw
 
