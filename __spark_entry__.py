@@ -1542,9 +1542,10 @@ _IMA_FIXTURES = None
 
 
 def _ima_fixture():
-    """Plan-time IMA-ADPCM fixtures for the frame_sample slot (round 13,
-    the frozen-model pattern): two deterministic 64-sample 4 kHz sine
-    payloads through encode_audio_wav(fmt="ima4") — one partial block,
+    """Plan-time ADPCM fixtures for the frame_sample slot (round 13,
+    the frozen-model pattern): four deterministic 64-sample 4 kHz sine
+    payloads — two through encode_audio_wav(fmt="ima4") (variants 0-1)
+    and two through fmt="ms2" (variants 2-3), each one partial block,
     fact-trimmed. ADPCM is lossy, so the oracle cannot re-derive the
     samples from a closed form; instead the ENGINE really decodes inside
     sample_audio_windows while the oracle carries the per-window stats
@@ -1559,11 +1560,13 @@ def _ima_fixture():
         )
 
         blobs, rows = [], []
-        for v in range(2):
+        for v in range(4):
             sig = np.round(
                 8000.0 * np.sin(np.arange(64) / (3 + v)),
             ).astype(np.int16)
-            blob = encode_audio_wav(sig, 4000, fmt="ima4")
+            blob = encode_audio_wav(
+                sig, 4000, fmt="ima4" if v < 2 else "ms2",
+            )
             blobs.append(blob)
             dec, rate = decode_audio_wav(blob)
             spw = 4 * rate // 1000  # window_ms=4 → 16 samples
@@ -1729,20 +1732,26 @@ def _q_frame_sample(spark, sf):
         F.when(F.col("media_id") % 4 == 1, F.lit("ulw")).otherwise(F.lit("alw")),
     )
 
-    # round 13: IMA-ADPCM through the REAL block decoder — fixed lossy
-    # fixtures, frozen-literal oracle truth (see _ima_fixture)
-    ima_blobs, _ = _ima_fixture()
-    ima_media = docs.where(did % 4 == 2).select(
+    # round 13: IMA- and MS-ADPCM through the REAL block decoders —
+    # fixed lossy fixtures, frozen-literal oracle truth (_ima_fixture):
+    # ima variants 0-1 on doc_id % 4 == 2, ms2 variants 2-3 on % 4 == 0
+    adpcm_blobs, _ = _ima_fixture()
+    adpcm_media = docs.where(did % 2 == 0).select(
         did.alias("media_id"),
-        F.when(did % 8 == 2, F.lit(bytearray(ima_blobs[0])))
-        .otherwise(F.lit(bytearray(ima_blobs[1]))).alias("payload"),
+        F.when(did % 8 == 2, F.lit(bytearray(adpcm_blobs[0])))
+        .when(did % 8 == 6, F.lit(bytearray(adpcm_blobs[1])))
+        .when(did % 8 == 0, F.lit(bytearray(adpcm_blobs[2])))
+        .otherwise(F.lit(bytearray(adpcm_blobs[3]))).alias("payload"),
     )
-    ima_leg = audio_leg(ima_media, F.lit("ima"))
+    adpcm_leg = audio_leg(
+        adpcm_media,
+        F.when(F.col("media_id") % 4 == 2, F.lit("ima")).otherwise(F.lit("msa")),
+    )
     return (
         plan_leg.unionByName(gif_leg).unionByName(mp4_leg)
         .unionByName(gifk_leg).unionByName(avck_leg)
         .unionByName(wav_leg).unionByName(g711_leg)
-        .unionByName(ima_leg)
+        .unionByName(adpcm_leg)
     )
 
 
@@ -3076,9 +3085,11 @@ def oracle_sql() -> dict[str, str]:
             # tags, expanded through the ITU table arithmetic per byte
             + _g711_leg_sql("ulw", "ulaw", 1)
             + _g711_leg_sql("alw", "alaw", 3)
-            # IMA-ADPCM: fixed lossy fixtures through the real block
-            # decoder; truth frozen at plan time (see _ima_fixture)
-            + "UNION ALL SELECT 'ima', doc_id, CAST(t.sms AS BIGINT), "
+            # IMA-/MS-ADPCM: fixed lossy fixtures through the real block
+            # decoders; truth frozen at plan time (see _ima_fixture)
+            + "UNION ALL SELECT "
+            "CASE WHEN doc_id % 4 = 2 THEN 'ima' ELSE 'msa' END, "
+            "doc_id, CAST(t.sms AS BIGINT), "
             "CAST(t.w AS INT), CAST(t.dur AS BIGINT), "
             "CAST(NULL AS INT), CAST(NULL AS INT), "
             "round(t.mu, 6), round(t.sd, 6), "
@@ -3086,8 +3097,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(16 AS BIGINT), CAST(NULL AS BOOLEAN) "
             f"FROM documents, (VALUES {_ima_values_sql()}) "
             "t(v, w, sms, dur, mu, sd, mn, mx) "
-            "WHERE doc_id % 4 = 2 AND "
-            "t.v = CASE WHEN doc_id % 8 = 2 THEN 0 ELSE 1 END"
+            "WHERE doc_id % 2 = 0 AND t.v = CASE doc_id % 8 "
+            "WHEN 2 THEN 0 WHEN 6 THEN 1 WHEN 0 THEN 2 ELSE 3 END"
         ),
         # NULL text: every stop count is NULL, so an explicit branch is
         # needed — the CASE would otherwise fall through to ELSE where the

@@ -202,6 +202,14 @@ def main() -> None:
         .agg(F.sum("start_ms")).collect(),
     )
 
+    # round-13: the same windows behind G.711 μ-law companding — the
+    # telephony decode path (256-entry table expansion per payload)
+    uws = synthesize_wav_media_from_text(docs, codec="ulaw")
+    extras["audio_windows_g711"] = _timeit(
+        lambda: sample_audio_windows(uws, window_ms=4)
+        .agg(F.sum("start_ms")).collect(),
+    )
+
     extras["quality_classifier"] = _timeit(
         lambda: quality_classifier_apply(
             docs,

@@ -327,6 +327,140 @@ def _ima_adpcm_encode(
     return data.tobytes(), spb
 
 
+# Microsoft ADPCM (WAV format tag 2): 4-bit codes against a two-tap
+# linear predictor; tables from the public Microsoft multimedia spec.
+_MS_COEFS = np.array([
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208),
+    (392, -232),
+], np.int64)
+_MS_ADAPT = np.array([
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+], np.int64)
+
+
+def _trunc_div_256(x: np.ndarray) -> np.ndarray:
+    """C-style division by 256 (truncation toward zero, the reference
+    msadpcm.c arithmetic) — floor division differs on negatives."""
+    return np.sign(x) * (np.abs(x) >> 8)
+
+
+def _ms_adpcm_decode(
+    raw: bytes, n_channels: int, block_align: int, spb: int,
+) -> np.ndarray:
+    """MS-ADPCM WAV data chunk → (n_samples, n_channels) int16. Block
+    layout per the public spec, field-major across channels: predictor
+    indexes (1 byte/ch), initial deltas (int16/ch), sample1s, sample2s —
+    sample2 then sample1 ARE the block's first two output samples — then
+    4-bit signed codes, HIGH nibble first, channels alternating per
+    nibble. Block-parallel like the IMA decoder: the recursion loops
+    spb-2 vector steps across all blocks."""
+    ch, ba = n_channels, block_align
+    if ba < 7 * ch + 1:
+        raise ValueError(
+            f"MS-ADPCM block align {ba} cannot hold the 7-byte-per-"
+            f"channel header for {ch} channel(s)",
+        )
+    max_spb = (ba - 7 * ch) * 2 // ch + 2
+    if not 2 <= spb <= max_spb:
+        raise ValueError(
+            f"MS-ADPCM declares {spb} samples/block but the {ba}-byte "
+            f"block holds at most {max_spb}",
+        )
+    if len(raw) < 7 * ch:
+        raise ValueError("MS-ADPCM data shorter than one block header")
+    nb = (len(raw) + ba - 1) // ba
+    buf = np.zeros(nb * ba, np.uint8)
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    blocks = buf.reshape(nb, ba)
+    pidx = blocks[:, :ch].astype(np.int64)
+    if int(pidx.max(initial=0)) >= len(_MS_COEFS):
+        raise ValueError(
+            f"MS-ADPCM predictor index {int(pidx.max())} beyond the "
+            f"7-entry coefficient table",
+        )
+    c1 = _MS_COEFS[pidx, 0]
+    c2 = _MS_COEFS[pidx, 1]
+
+    def _i16(col0: int) -> np.ndarray:
+        b = blocks[:, col0 : col0 + 2 * ch].reshape(nb, ch, 2).astype(np.int64)
+        return ((b[:, :, 0] | (b[:, :, 1] << 8)) ^ 0x8000) - 0x8000
+
+    delta = _i16(ch)
+    s1 = _i16(3 * ch)
+    s2 = _i16(5 * ch)
+    data = blocks[:, 7 * ch :]
+    nib = np.stack([data >> 4, data & 0x0F], axis=-1).reshape(nb, -1)
+    nib = nib[:, : (spb - 2) * ch].reshape(nb, spb - 2, ch)
+    signed = (nib.astype(np.int64) ^ 8) - 8  # sign-extend 4 bits
+    out = np.empty((nb, spb, ch), np.int16)
+    out[:, 0] = s2
+    out[:, 1] = s1
+    for t in range(spb - 2):
+        code = signed[:, t]
+        pred = np.clip(
+            _trunc_div_256(s1 * c1 + s2 * c2) + code * delta,
+            -32768, 32767,
+        )
+        out[:, t + 2] = pred
+        s2, s1 = s1, pred
+        delta = np.maximum(16, (_MS_ADAPT[nib[:, t]] * delta) >> 8)
+    out = out.reshape(-1, ch)
+    tail = len(raw) - (nb - 1) * ba
+    if tail < 7 * ch:
+        raise ValueError("MS-ADPCM final block truncates its header")
+    last_n = min(spb, (tail - 7 * ch) * 2 // ch + 2)
+    return out[: (nb - 1) * spb + last_n]
+
+
+def _ms_adpcm_encode(
+    samples: np.ndarray, block_align: int,
+) -> tuple[bytes, int]:
+    """Linear int16 (n, ch) → MS-ADPCM data chunk (fixtures/sinks).
+    Fixed predictor 0 (coeffs 256, 0 — spec-legal for any block) with
+    the standard delta adaptation; the final block zero-pads, callers
+    trim via the fact chunk. Returns (data, samples_per_block)."""
+    s = np.ascontiguousarray(np.atleast_2d(samples.T).T, dtype=np.int16)
+    n, ch = s.shape
+    ba = block_align
+    spb = (ba - 7 * ch) * 2 // ch + 2
+    nb = (n + spb - 1) // spb
+    padded = np.zeros((nb * spb, ch), np.int16)
+    padded[:n] = s
+    blk = padded.reshape(nb, spb, ch).astype(np.int64)
+    s2, s1 = blk[:, 0].copy(), blk[:, 1].copy()
+    delta = np.maximum(
+        16, np.abs(blk[:, 2] - blk[:, 1]) // 4 + 16,
+    ).astype(np.int64)
+    delta0 = delta.copy()
+    codes = np.empty((nb, spb - 2, ch), np.uint8)
+    for t in range(spb - 2):
+        pred = _trunc_div_256(s1 * 256 + s2 * 0)
+        code = np.clip(
+            np.round((blk[:, t + 2] - pred) / delta).astype(np.int64),
+            -8, 7,
+        )
+        codes[:, t] = (code & 0x0F).astype(np.uint8)
+        rec = np.clip(pred + code * delta, -32768, 32767)
+        s2, s1 = s1, rec
+        delta = np.maximum(16, (_MS_ADAPT[code & 0x0F] * delta) >> 8)
+    hdr = np.zeros((nb, 7 * ch), np.uint8)
+    hdr[:, :ch] = 0  # predictor 0 for every channel
+    for k, vals in ((1, delta0), (3, blk[:, 1]), (5, blk[:, 0])):
+        u = (vals & 0xFFFF).astype(np.int64)
+        hdr[:, k * ch : k * ch + 2 * ch : 2] = (u & 0xFF).astype(np.uint8)
+        hdr[:, k * ch + 1 : k * ch + 2 * ch : 2] = (u >> 8).astype(np.uint8)
+    flat = codes.reshape(nb, -1)
+    pad = -(flat.shape[1]) % 2
+    if pad:
+        flat = np.concatenate(
+            [flat, np.zeros((nb, pad), np.uint8)], axis=1,
+        )
+    byts = ((flat[:, 0::2] << 4) | flat[:, 1::2]).astype(np.uint8)
+    data = np.concatenate([hdr, byts], axis=1)
+    return data.tobytes(), spb
+
+
 def _g711_compress(samples: np.ndarray, law: int) -> np.ndarray:
     """Linear int16 → nearest G.711 code (the encode half, fixtures and
     sinks): searchsorted over the sorted expansion table picks the code
@@ -359,9 +493,10 @@ def decode_audio_wav(data: bytes) -> tuple[np.ndarray, int]:
     - ITU-T G.711 (formats 6 = A-law, 7 = μ-law): 8-bit companded
       telephony codes expanded through the canonical 256-entry tables
       (±32256 / ±32124 — already int16-scale);
-    - IMA/DVI ADPCM (format 0x11): 4-bit block-coded speech, decoded
-      block-parallel; the fmt extension's wSamplesPerBlock and the fact
-      chunk's dwSampleLength are honored;
+    - IMA/DVI ADPCM (format 0x11) and Microsoft ADPCM (format 2):
+      4-bit block-coded speech, decoded block-parallel; the fmt
+      extension's wSamplesPerBlock and the fact chunk's dwSampleLength
+      are honored;
     - WAVE_FORMAT_EXTENSIBLE (format 0xFFFE): the real format comes from
       the SubFormat GUID's leading code, dispatched to the above.
 
@@ -424,19 +559,23 @@ def decode_audio_wav(data: bytes) -> tuple[np.ndarray, int]:
                 f"G.711 WAV with {bits}-bit samples (codes are 8-bit)",
             )
         samples = _g711_table(audio_format)[np.frombuffer(raw, np.uint8)]
-    elif audio_format == 0x11:  # IMA/DVI ADPCM
+    elif audio_format in (0x02, 0x11):  # Microsoft / IMA-DVI ADPCM
         if bits != 4:
             raise ValueError(
-                f"IMA-ADPCM WAV with {bits}-bit samples (codes are 4-bit)",
+                f"ADPCM WAV with {bits}-bit samples (codes are 4-bit)",
             )
         # the fmt extension's wSamplesPerBlock (ext = cbSize + fields;
         # the WORD at ext[2:4] is wSamplesPerBlock in both the plain
         # and the EXTENSIBLE layout); absent → the block's capacity
-        if len(ext) >= 4:
-            spb = struct.unpack_from("<H", ext, 2)[0]
+        spb = struct.unpack_from("<H", ext, 2)[0] if len(ext) >= 4 else None
+        if audio_format == 0x11:
+            if spb is None:
+                spb = (block_align - 4 * n_channels) * 2 // n_channels + 1
+            out = _ima_adpcm_decode(raw, n_channels, block_align, spb)
         else:
-            spb = (block_align - 4 * n_channels) * 2 // n_channels + 1
-        out = _ima_adpcm_decode(raw, n_channels, block_align, spb)
+            if spb is None:
+                spb = (block_align - 7 * n_channels) * 2 // n_channels + 2
+            out = _ms_adpcm_decode(raw, n_channels, block_align, spb)
         if fact is not None:  # dwSampleLength trims the final-block pad
             out = out[:fact]
         return out, sample_rate
@@ -831,7 +970,8 @@ def encode_audio_wav(
     container variant — "pcm16" (default), "pcm8", "pcm24", "pcm32",
     "float32", "float64", "ulaw"/"alaw" (ITU-T G.711 companding via
     nearest-code search, exact round-trip for values in the decode
-    image), "ima4" (IMA-ADPCM, 256·ch-byte blocks + fact chunk), or
+    image), "ima4"/"ms2" (IMA-/MS-ADPCM, 256·ch-byte blocks + fact
+    chunk), or
     "ext-pcm16" (WAVE_FORMAT_EXTENSIBLE wrapping 16-bit
     PCM). Integer inputs are int16 values scaled up to the target
     width; float formats take the int16 values / 32767."""
@@ -863,6 +1003,10 @@ def encode_audio_wav(
         block_align = 256 * n_channels
         raw, spb = _ima_adpcm_encode(s, block_align)
         code, bits = 0x11, 4
+    elif fmt == "ms2":
+        block_align = 256 * n_channels
+        raw, spb = _ms_adpcm_encode(s, block_align)
+        code, bits = 0x02, 4
     else:
         raise ValueError(f"unknown WAV fixture format {fmt!r}")
     width = bits // 8
@@ -873,11 +1017,16 @@ def encode_audio_wav(
                                byte_rate, n_channels * width, bits)
         fmt_body += struct.pack("<HHI", 22, bits, 0)
         fmt_body += struct.pack("<H", 1) + _WAV_GUID_TAIL
-    elif fmt == "ima4":
+    elif fmt in ("ima4", "ms2"):
         byte_rate = (sample_rate * block_align + spb - 1) // spb
         fmt_body = struct.pack("<HHIIHH", code, n_channels, sample_rate,
                                byte_rate, block_align, bits)
-        fmt_body += struct.pack("<HH", 2, spb)  # cbSize, wSamplesPerBlock
+        if fmt == "ima4":
+            fmt_body += struct.pack("<HH", 2, spb)  # cbSize, wSamplesPerBlock
+        else:  # MS-ADPCM: cbSize=32 — spb, wNumCoef, the 7 coef pairs
+            fmt_body += struct.pack("<HHH", 32, spb, len(_MS_COEFS))
+            for a, b in _MS_COEFS:
+                fmt_body += struct.pack("<hh", int(a), int(b))
         # fact: true per-channel length so decode trims final-block pad
         extra = b"fact" + struct.pack("<II", 4, s.shape[0])
     else:

@@ -1572,6 +1572,72 @@ def test_ima_adpcm_wav():
     assert decode_payload(bytes(bad), 8)[0] == 0.0
 
 
+def test_ms_adpcm_wav():
+    """Microsoft ADPCM (WAV format tag 2): the block-parallel decoder
+    matches an independent scalar transcription of the published
+    recursion (two-tap predictor, C-style truncating /256, delta
+    adaptation with the 16 floor) nibble for nibble, the header's
+    iSamp2/iSamp1 are the first two output samples verbatim, stereo
+    alternates channels per nibble, encode→decode tracks smooth
+    signals, out-of-range predictor indexes refuse, and malformed
+    geometry degrades to byte stats."""
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from sed_binning_spark.pipeline.multimodal import (
+        _MS_ADAPT, _MS_COEFS, _ms_adpcm_decode, decode_audio_wav,
+        decode_payload, encode_audio_wav,
+    )
+
+    # one mono block, predictor 1 (coeffs 512, -256), known state, the
+    # scalar reference below is written directly from the spec text
+    codes = [1, 15, 7, 8, 0, 12, 3, 10, 5, 14, 2, 9, 6, 11, 4, 13]
+    block = st.pack("<Bhhh", 1, 40, 150, -60) + bytes(
+        (codes[i] << 4) | codes[i + 1] for i in range(0, 16, 2))
+    got = _ms_adpcm_decode(block, 1, len(block), 18).ravel()
+    assert got[0] == -60 and got[1] == 150  # iSamp2 then iSamp1
+
+    def trunc256(x):
+        return int(abs(x)) // 256 * (1 if x >= 0 else -1)
+
+    s2, s1, delta = -60, 150, 40
+    ref = []
+    for c in codes:
+        signed = c - 16 if c >= 8 else c
+        pred = trunc256(s1 * 512 + s2 * (-256)) + signed * delta
+        pred = max(-32768, min(32767, pred))
+        ref.append(pred)
+        s2, s1 = s1, pred
+        delta = max(16, int(_MS_ADAPT[c]) * delta // 256)
+    np.testing.assert_array_equal(got[2:], ref)
+
+    t = np.arange(5000)
+    mono = (3000 * np.sin(t / 20) + 500 * np.sin(t / 3)).astype(np.int16)
+    blob = encode_audio_wav(mono, 8000, fmt="ms2")
+    dec, rate = decode_audio_wav(blob)
+    assert rate == 8000 and dec.shape == (5000, 1)  # fact-trimmed
+    assert np.abs(dec.ravel().astype(int) - mono.astype(int)).max() < 500
+    vec = decode_payload(blob, 8)
+    assert vec[0] == 2.0 and vec[1] == 5000.0
+
+    stereo = np.stack(
+        [mono, (2000 * np.cos(t / 15)).astype(np.int16)], axis=1)
+    dec2, _ = decode_audio_wav(encode_audio_wav(stereo, 22050, fmt="ms2"))
+    assert dec2.shape == (5000, 2)
+    assert np.abs(dec2.astype(int) - stereo.astype(int)).max() < 500
+
+    bad_pred = st.pack("<Bhhh", 9, 40, 150, -60) + b"\x00" * 8
+    with pytest.raises(ValueError, match="predictor index"):
+        _ms_adpcm_decode(bad_pred, 1, len(bad_pred), 18)
+    with pytest.raises(ValueError, match="block align"):
+        _ms_adpcm_decode(block, 1, 7, 2)
+    with pytest.raises(ValueError, match="at most"):
+        _ms_adpcm_decode(block, 1, len(block), 99)
+    assert len(_MS_COEFS) == 7  # the fmt extension writes all seven
+
+
 def test_gif_known_raster_and_composition():
     """Pointwise GIF pins: a hand-checkable raster round-trips, a frame
     smaller than the logical screen composes over the global background
