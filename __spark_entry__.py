@@ -1534,7 +1534,21 @@ def _mp4_fixture_blobs():
                 width=320, height=240, sample_type=b"avc1",
                 sync_samples=list(range(1, n + 1, 2)),
             ))
-        _MP4_FIXTURES = (mj, sizes, av)
+        # round 13: the B-frame timing shape — per-sample ctts offsets
+        # (30·((f+w) % 2)) plus a 50 ms leading empty edit and a rate-1
+        # zero-media-time edit, so presentation times are the closed
+        # form 5f(f+3) + 30·((f+w)%2) + 50; no stss → every sample sync
+        avb = []
+        for w in range(2):
+            n = 3 + w
+            avb.append(encode_mp4_mjpeg(
+                [b"\x00" * (6 + 4 * f + 2 * w) for f in range(n)],
+                [(2 + f) * 10 for f in range(n)],
+                width=320, height=240, sample_type=b"avc1",
+                composition_offsets_ms=[30 * ((f + w) % 2) for f in range(n)],
+                elst_media_time_ms=0, elst_empty_ms=50,
+            ))
+        _MP4_FIXTURES = (mj, sizes, av, avb)
     return _MP4_FIXTURES
 
 
@@ -1622,7 +1636,13 @@ def _q_frame_sample(spark, sf):
     is the one independently-decodable frame) and the 'avck' leg pins
     stss pruning before decode with the CONTAINER sample index
     preserved (odd 1-indexed sync samples → even 0-indexed
-    frame_index, nothing renumbered)."""
+    frame_index, nothing renumbered). Round 13 also adds: 'avcb' —
+    B-frame PRESENTATION timing (signed ctts offsets + an edit list's
+    empty-edit delay, closed-form PTS); 'ulw'/'alw' — the same md5
+    bytes behind ITU-T G.711 format tags, the twin replaying the ITU
+    expansion arithmetic per byte; and 'ima'/'msa' — IMA-/MS-ADPCM
+    through the real block decoders with plan-time-frozen window
+    stats (lossy codecs have no SQL closed form; see _ima_fixture)."""
     docs = _docs(spark, sf)
     media = docs.select("doc_id", F.col("n_chars").alias("duration_ms"))
     plan = frame_sample_plan(media, every_ms=25, id_column="doc_id")
@@ -1665,7 +1685,7 @@ def _q_frame_sample(spark, sf):
 
     # both MP4 families through ONE sample_frames stage; the leg label
     # re-derives from the id after decode
-    mj, _sizes, av = _mp4_fixture_blobs()
+    mj, _sizes, av, avb = _mp4_fixture_blobs()
     did = F.col("doc_id")
     mp4_media = docs.where(did % 3 > 0).select(
         did.alias("media_id"),
@@ -1692,6 +1712,14 @@ def _q_frame_sample(spark, sf):
     gifk_leg = decoded_leg(
         sample_frames(agif, keyframes_only=True), F.lit("gifk"),
     )
+    # round 13: B-frame presentation timing — ctts offsets + edit list
+    # through the real table walk; closed-form PTS (see _mp4_fixture_blobs)
+    avcb_media = docs.where(did % 3 == 0).select(
+        did.alias("media_id"),
+        F.when(did % 2 == 0, F.lit(bytearray(avb[0])))
+        .otherwise(F.lit(bytearray(avb[1]))).alias("payload"),
+    )
+    avcb_leg = decoded_leg(sample_frames(avcb_media), F.lit("avcb"))
     avck_leg = decoded_leg(
         sample_frames(mp4_media.where(F.col("media_id") % 3 == 2),
                       keyframes_only=True),
@@ -1750,6 +1778,7 @@ def _q_frame_sample(spark, sf):
     return (
         plan_leg.unionByName(gif_leg).unionByName(mp4_leg)
         .unionByName(gifk_leg).unionByName(avck_leg)
+        .unionByName(avcb_leg)
         .unionByName(wav_leg).unionByName(g711_leg)
         .unionByName(adpcm_leg)
     )
@@ -3061,6 +3090,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents, range(4) t(f) "
             "WHERE doc_id % 3 = 2 AND t.f < 3 + (doc_id % 2) "
             "AND t.f % 2 = 0 "
+            # B-frame presentation timing: decode start 5f(f+3) + the
+            # per-sample ctts offset 30·((f+w)%2) + the 50 ms empty-edit
+            # delay; no stss → every sample sync
+            "UNION ALL SELECT 'avcb', doc_id, "
+            "CAST(5 * t.f * (t.f + 3) "
+            "+ 30 * ((t.f + doc_id % 2) % 2) + 50 AS BIGINT), "
+            "CAST(t.f AS INT), "
+            "CAST((2 + t.f) * 10 AS BIGINT), 320, 240, "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(6 + 4 * t.f + 2 * (doc_id % 2) AS BIGINT), TRUE "
+            "FROM documents, range(4) t(f) "
+            "WHERE doc_id % 3 = 0 AND t.f < 3 + (doc_id % 2) "
             # audio twin: 8-bit WAV samples = md5 bytes; every stat is a
             # dyadic rational ((b-128)/128), so the std's msq - mu*mu
             # form and the engine's mean-of-squared-deviations are the
@@ -3392,7 +3434,7 @@ def _mp4j_values_sql() -> str:
     Motion-JPEG-in-MP4 fixture as a VALUES list — the byte sizes come
     from the plan-time encode (the frozen-model pattern: the ENGINE
     re-derives them from the container's stsz walk)."""
-    _, sizes, _ = _mp4_fixture_blobs()
+    _, sizes, _, _ = _mp4_fixture_blobs()
     return ", ".join(
         f"({v}, {f}, {8 * (4 + 3 * f + 5 * v)}, {sizes[v][f]})"
         for v in range(2)

@@ -13,7 +13,12 @@ What is implemented, all from the public spec:
 - sample tables: ``stsd`` (sample-description entry type), ``stts``
   (decoding deltas → per-sample start/delay in ms via the ``mdhd``
   timescale), ``stsz``/``stz2`` is limited to ``stsz``, ``stsc``
-  (sample→chunk runs), ``stco``/``co64`` (chunk offsets);
+  (sample→chunk runs), ``stco``/``co64`` (chunk offsets), ``ctts``
+  (composition offsets, v0 unsigned / v1 signed — B-frame reordering:
+  reported ``start_ms`` is the PRESENTATION time, rows stay in decode
+  order), and the common ``edts/elst`` shapes (leading empty edits
+  delay the track; one rate-1 edit shifts by −media_time; anything
+  fancier refuses loudly);
 - :func:`parse_mp4_samples` returns the FIRST video track whose
   sample-description type is a JPEG flavor (``jpeg``/``mjpa``/``mjpb``
   — the Motion-JPEG-in-MP4 forms) as ``(start_ms, delay_ms, bytes)``
@@ -83,13 +88,23 @@ def _full_box(data: bytes, pos: int) -> tuple[int, int]:
 def _video_tracks(data: bytes):
     """Yield ``(sd_type, width, height, timescale, tables)`` for each
     video trak of the moov, in file order — the shared walk under both
-    the payload demuxer and the metadata-only timeline."""
+    the payload demuxer and the metadata-only timeline. ``tables`` is
+    the stbl box index plus two trak-level extras when present: the
+    ``elst`` span (edit list, from trak→edts) and the movie timescale
+    (``b"mvhd-ts"``, needed to convert empty-edit durations)."""
     n = len(data)
     if n < 12 or data[4:8] != b"ftyp":
         raise ValueError("not an ISO BMFF (MP4) stream")
     moov = _find(data, 0, n, b"moov")
     if moov is None:
         raise ValueError("MP4 has no moov box")
+    movie_ts = None
+    mvhd = _find(data, moov[0], moov[1], b"mvhd")
+    if mvhd is not None:
+        mv, _ = _full_box(data, mvhd[0])
+        movie_ts = struct.unpack_from(
+            ">I", data, mvhd[0] + 4 + (16 if mv == 1 else 8),
+        )[0]
     for t, s, e in _iter_boxes(data, moov[0], moov[1]):
         if t != b"trak":
             continue
@@ -117,6 +132,13 @@ def _video_tracks(data: bytes):
             t2: (s2, e2)
             for t2, s2, e2 in _iter_boxes(data, stbl[0], stbl[1])
         }
+        edts = _find(data, s, e, b"edts")
+        if edts is not None:
+            elst = _find(data, edts[0], edts[1], b"elst")
+            if elst is not None:
+                tables[b"elst"] = elst
+        if movie_ts:
+            tables[b"mvhd-ts"] = movie_ts
         stsd = tables.get(b"stsd")
         if stsd is None:
             raise ValueError("MP4 stbl lacks stsd")
@@ -309,6 +331,72 @@ def _track_layout(data, tables, timescale, max_frames):
     if len(deltas) < n_samples:
         raise ValueError("MP4 stts covers fewer samples than stsz")
 
+    # ctts: composition (presentation) offsets — B-frame reordering.
+    # start_ms below is the PRESENTATION time (decode time + offset);
+    # rows stay in decode/container order, so PTS need not be monotonic
+    comp: list[int] | None = None
+    if b"ctts" in tables:
+        s, e = tables[b"ctts"]
+        cv, _ = _full_box(data, s)
+        (n_ct,) = struct.unpack_from(">I", data, s + 4)
+        n_ct = checked_count(b"ctts", n_ct, 8, 8, s, e)
+        comp = []
+        for i in range(n_ct):
+            cnt, off = struct.unpack_from(">II", data, s + 8 + 8 * i)
+            if cv == 1 and off >= 1 << 31:  # v1 offsets are signed
+                off -= 1 << 32
+            comp.extend([off] * min(cnt, n_samples - len(comp)))
+            if len(comp) >= n_samples:
+                break
+        if len(comp) < n_samples:
+            raise ValueError("MP4 ctts covers fewer samples than stsz")
+
+    # elst: the common edit shapes — leading empty edits (media_time
+    # -1, duration at the MOVIE timescale) delay the track, and ONE
+    # normal rate-1 edit shifts presentation by -media_time (how
+    # muxers cancel the initial ctts delay). Anything fancier (multiple
+    # normal edits, rate ≠ 1) refuses loudly rather than silently
+    # mis-timing frames.
+    shift_units = 0
+    if b"elst" in tables:
+        s, e = tables[b"elst"]
+        ev, _ = _full_box(data, s)
+        (n_ed,) = struct.unpack_from(">I", data, s + 4)
+        esz = 20 if ev == 1 else 12
+        n_ed = checked_count(b"elst", n_ed, esz, 8, s, e)
+        movie_ts = tables.get(b"mvhd-ts") or timescale
+        seen_normal = False
+        for i in range(n_ed):
+            if ev == 1:
+                dur, mt = struct.unpack_from(">Qq", data, s + 8 + esz * i)
+                ri, rf = struct.unpack_from(
+                    ">hH", data, s + 8 + esz * i + 16,
+                )
+            else:
+                dur, mt = struct.unpack_from(">Ii", data, s + 8 + esz * i)
+                ri, rf = struct.unpack_from(
+                    ">hH", data, s + 8 + esz * i + 8,
+                )
+            if mt == -1:  # empty edit: delays the whole track
+                if seen_normal:
+                    raise ValueError(
+                        "MP4 elst has an empty edit after a normal one",
+                    )
+                shift_units += dur * timescale // movie_ts
+                continue
+            if seen_normal:
+                raise ValueError(
+                    "MP4 elst with multiple normal edits unsupported",
+                )
+            if (ri, rf) != (1, 0):
+                raise ValueError(
+                    f"MP4 elst rate {ri}+{rf}/65536 unsupported (only 1)",
+                )
+            if mt < 0:
+                raise ValueError(f"MP4 elst media_time {mt} invalid")
+            shift_units -= mt
+            seen_normal = True
+
     # walk chunks, laying samples contiguously inside each; stsc runs are
     # spec-ordered by first_chunk, so a single forward pointer gives each
     # chunk's samples-per-chunk in O(n_chunks + n_runs) — a rescan per
@@ -329,7 +417,8 @@ def _track_layout(data, tables, timescale, max_frames):
             size = sizes[si]
             if pos + size > len(data):
                 raise ValueError("MP4 sample extends past the file end")
-            start_ms = start_units * 1000 // timescale
+            pres = start_units + shift_units + (comp[si] if comp else 0)
+            start_ms = pres * 1000 // timescale
             delay_ms = deltas[si] * 1000 // timescale
             out.append((start_ms, delay_ms, pos, size))
             start_units += deltas[si]
@@ -358,6 +447,9 @@ def encode_mp4_mjpeg(
     samples_per_chunk: int = 2,
     sample_type: bytes = b"jpeg",
     sync_samples: list[int] | None = None,
+    composition_offsets_ms: list[int] | None = None,
+    elst_media_time_ms: int | None = None,
+    elst_empty_ms: int = 0,
 ) -> bytes:
     """Spec-built MP4 fixture: one video track (``sample_type``-coded,
     'jpeg' by default) whose mdat carries the given payloads in
@@ -366,9 +458,17 @@ def encode_mp4_mjpeg(
     arithmetic. ``sample_type=b"avc1"`` (with arbitrary payload bytes)
     builds the real-codec shape :func:`parse_mp4_timeline` reads
     metadata-only; ``sync_samples`` (1-based) writes an stss box so
-    keyframe flags are exercised."""
+    keyframe flags are exercised. ``composition_offsets_ms`` writes a
+    per-sample ctts box (version 1 when any offset is negative) — the
+    B-frame presentation-reorder shape; ``elst_media_time_ms`` writes
+    an edts/elst with one rate-1 edit at that media time (how muxers
+    cancel the initial composition delay), optionally preceded by an
+    ``elst_empty_ms`` empty edit that delays the track."""
     if len(jpeg_frames) != len(delays_ms):
         raise ValueError("one delay per frame, please")
+    if composition_offsets_ms is not None and \
+            len(composition_offsets_ms) != len(jpeg_frames):
+        raise ValueError("one composition offset per frame, please")
     if len(sample_type) != 4:
         raise ValueError("sample_type is a 4CC")
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
@@ -417,7 +517,14 @@ def encode_mp4_mjpeg(
                 struct.pack(">I", k) for k in sorted(sync_samples)
             ),
         )
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    ctts = b""
+    if composition_offsets_ms is not None:
+        units = [o * timescale // 1000 for o in composition_offsets_ms]
+        cv = 1 if any(u < 0 for u in units) else 0
+        ctts = _full(b"ctts", cv, 0, struct.pack(">I", len(units)) + b"".join(
+            struct.pack(">Ii" if cv else ">II", 1, u) for u in units
+        ))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss + ctts)
     dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(
         b"url ", 0, 1, b"",
     ))
@@ -434,7 +541,22 @@ def encode_mp4_mjpeg(
                  + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0x0100, 0)
                  + _unity_matrix()
                  + struct.pack(">II", width << 16, height << 16))
-    trak = _box(b"trak", tkhd + mdia)
+    edts = b""
+    if elst_media_time_ms is not None or elst_empty_ms:
+        entries = []
+        if elst_empty_ms:  # empty edit: duration at the MOVIE timescale
+            entries.append(struct.pack(
+                ">IihH", elst_empty_ms * timescale // 1000, -1, 1, 0,
+            ))
+        entries.append(struct.pack(
+            ">IihH", duration,
+            (elst_media_time_ms or 0) * timescale // 1000, 1, 0,
+        ))
+        edts = _box(b"edts", _full(
+            b"elst", 0, 0,
+            struct.pack(">I", len(entries)) + b"".join(entries),
+        ))
+    trak = _box(b"trak", tkhd + edts + mdia)
     mvhd = _full(b"mvhd", 0, 0, struct.pack(
         ">IIII", 0, 0, timescale, duration,
     ) + struct.pack(">IH2x8x", 0x00010000, 0x0100) + _unity_matrix()

@@ -2587,3 +2587,82 @@ def test_mp4_lying_sample_tables_refuse():
     struct.pack_into(">I", lie2, at2, 1000)
     with pytest.raises(ValueError, match="stco declares"):
         parse_mp4_samples(bytes(lie2))
+
+
+def test_mp4_ctts_and_elst_presentation_times():
+    """ctts/elst timing (round 13): start_ms is the PRESENTATION time —
+    decode time + signed v1 ctts offset, shifted by the edit list's
+    −media_time and delayed by leading empty edits — with rows kept in
+    decode/container order (B-frame PTS need not be monotonic). v0 ctts
+    offsets are unsigned; lying ctts counts, multiple normal edits, and
+    non-unity edit rates refuse loudly."""
+    import struct
+
+    import pytest
+
+    from sed_binning_spark.pipeline.mp4 import (
+        encode_mp4_mjpeg, parse_mp4_timeline,
+    )
+
+    pay = [b"\x00" * 10, b"\x01" * 12, b"\x02" * 8, b"\x03" * 9]
+    # decode times 0/40/80/120; IPBB-style reorder via signed offsets
+    blob = encode_mp4_mjpeg(
+        pay, [40] * 4, width=64, height=48, sample_type=b"avc1",
+        composition_offsets_ms=[40, 80, -40, 0], sync_samples=[1],
+    )
+    got = [r[0] for r in parse_mp4_timeline(blob)["samples"]]
+    assert got == [40, 120, 40, 120]  # non-monotonic: decode order kept
+    assert blob.index(b"ctts") and blob[blob.index(b"ctts") + 4] == 1  # v1
+
+    # one rate-1 edit cancels the initial composition delay
+    shifted = encode_mp4_mjpeg(
+        pay, [40] * 4, sample_type=b"avc1",
+        composition_offsets_ms=[40, 80, -40, 0], elst_media_time_ms=40,
+    )
+    assert [r[0] for r in parse_mp4_timeline(shifted)["samples"]] \
+        == [0, 80, 0, 80]
+
+    # leading empty edit delays the whole track (movie timescale)
+    delayed = encode_mp4_mjpeg(
+        pay, [40] * 4, sample_type=b"avc1",
+        elst_media_time_ms=0, elst_empty_ms=100,
+    )
+    assert [r[0] for r in parse_mp4_timeline(delayed)["samples"]] \
+        == [100, 140, 180, 220]
+
+    # all-positive offsets write v0 (unsigned) and parse back the same
+    v0 = encode_mp4_mjpeg(
+        pay, [40] * 4, sample_type=b"avc1",
+        composition_offsets_ms=[40, 80, 0, 40],
+    )
+    assert blob.index(b"ctts")
+    assert v0[v0.index(b"ctts") + 4] == 0
+    assert [r[0] for r in parse_mp4_timeline(v0)["samples"]] \
+        == [40, 120, 80, 160]
+
+    # lying ctts count
+    lie = bytearray(blob)
+    struct.pack_into(">I", lie, bytes(blob).index(b"ctts") + 8, 1000)
+    with pytest.raises(ValueError, match="ctts declares"):
+        parse_mp4_timeline(bytes(lie))
+
+    # ctts covering fewer samples than stsz
+    short = bytearray(blob)
+    struct.pack_into(">I", short, bytes(blob).index(b"ctts") + 8, 2)
+    with pytest.raises(ValueError, match="ctts covers fewer"):
+        parse_mp4_timeline(bytes(short))
+
+    # a second normal edit refuses (splice semantics unimplemented)
+    two = bytearray(shifted)
+    at = bytes(shifted).index(b"elst") + 8
+    struct.pack_into(">I", two, at, 2)
+    # the fixture's elst box only HOLDS one entry — the count lie is
+    # caught by the box-bounds check first, which is also correct
+    with pytest.raises(ValueError, match="elst"):
+        parse_mp4_timeline(bytes(two))
+
+    # non-unity rate refuses
+    fast = bytearray(shifted)
+    struct.pack_into(">hH", fast, at + 4 + 8, 2, 0)
+    with pytest.raises(ValueError, match="rate"):
+        parse_mp4_timeline(bytes(fast))
