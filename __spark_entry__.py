@@ -1548,7 +1548,21 @@ def _mp4_fixture_blobs():
                 composition_offsets_ms=[30 * ((f + w) % 2) for f in range(n)],
                 elst_media_time_ms=0, elst_empty_ms=50,
             ))
-        _MP4_FIXTURES = (mj, sizes, av, avb)
+        # round 13: the fragmented (DASH/CMAF) shape — moof/traf/trun
+        # timing with 2-sample fragments whose first sample is sync, so
+        # keyframe = (f % 2 == 0) and start stays the 5f(f+3) closed form
+        from sed_binning_spark.pipeline.mp4 import encode_mp4_fragmented
+
+        frg = []
+        for w in range(2):
+            n = 4 + w
+            frg.append(encode_mp4_fragmented(
+                [b"\x00" * (5 + 2 * f + w) for f in range(n)],
+                [(2 + f) * 10 for f in range(n)],
+                width=320, height=240, sample_type=b"avc1",
+                frames_per_fragment=2,
+            ))
+        _MP4_FIXTURES = (mj, sizes, av, avb, frg)
     return _MP4_FIXTURES
 
 
@@ -1638,7 +1652,9 @@ def _q_frame_sample(spark, sf):
     preserved (odd 1-indexed sync samples → even 0-indexed
     frame_index, nothing renumbered). Round 13 also adds: 'avcb' —
     B-frame PRESENTATION timing (signed ctts offsets + an edit list's
-    empty-edit delay, closed-form PTS); 'ulw'/'alw' — the same md5
+    empty-edit delay, closed-form PTS); 'frag' — the fragmented
+    DASH/CMAF shape through the real moof/traf/trun walk (tfdt-anchored
+    timing, per-sample sync bits); 'ulw'/'alw' — the same md5
     bytes behind ITU-T G.711 format tags, the twin replaying the ITU
     expansion arithmetic per byte; and 'ima'/'msa' — IMA-/MS-ADPCM
     through the real block decoders with plan-time-frozen window
@@ -1685,7 +1701,7 @@ def _q_frame_sample(spark, sf):
 
     # both MP4 families through ONE sample_frames stage; the leg label
     # re-derives from the id after decode
-    mj, _sizes, av, avb = _mp4_fixture_blobs()
+    mj, _sizes, av, avb, frg = _mp4_fixture_blobs()
     did = F.col("doc_id")
     mp4_media = docs.where(did % 3 > 0).select(
         did.alias("media_id"),
@@ -1720,6 +1736,14 @@ def _q_frame_sample(spark, sf):
         .otherwise(F.lit(bytearray(avb[1]))).alias("payload"),
     )
     avcb_leg = decoded_leg(sample_frames(avcb_media), F.lit("avcb"))
+    # round 13: the fragmented (DASH/CMAF) timeline through the real
+    # moof/traf/trun walk; closed-form timing (see _mp4_fixture_blobs)
+    frag_media = docs.where(did % 3 == 1).select(
+        did.alias("media_id"),
+        F.when(did % 2 == 0, F.lit(bytearray(frg[0])))
+        .otherwise(F.lit(bytearray(frg[1]))).alias("payload"),
+    )
+    frag_leg = decoded_leg(sample_frames(frag_media), F.lit("frag"))
     avck_leg = decoded_leg(
         sample_frames(mp4_media.where(F.col("media_id") % 3 == 2),
                       keyframes_only=True),
@@ -1778,7 +1802,7 @@ def _q_frame_sample(spark, sf):
     return (
         plan_leg.unionByName(gif_leg).unionByName(mp4_leg)
         .unionByName(gifk_leg).unionByName(avck_leg)
-        .unionByName(avcb_leg)
+        .unionByName(avcb_leg).unionByName(frag_leg)
         .unionByName(wav_leg).unionByName(g711_leg)
         .unionByName(adpcm_leg)
     )
@@ -3103,6 +3127,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(6 + 4 * t.f + 2 * (doc_id % 2) AS BIGINT), TRUE "
             "FROM documents, range(4) t(f) "
             "WHERE doc_id % 3 = 0 AND t.f < 3 + (doc_id % 2) "
+            # fragmented (DASH/CMAF) timeline: tfdt-anchored starts keep
+            # the 5f(f+3) closed form; 2-sample fragments whose first
+            # sample is sync → keyframe = (f % 2 = 0)
+            "UNION ALL SELECT 'frag', doc_id, "
+            "CAST(5 * t.f * (t.f + 3) AS BIGINT), CAST(t.f AS INT), "
+            "CAST((2 + t.f) * 10 AS BIGINT), 320, 240, "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(5 + 2 * t.f + (doc_id % 2) AS BIGINT), t.f % 2 = 0 "
+            "FROM documents, range(5) t(f) "
+            "WHERE doc_id % 3 = 1 AND t.f < 4 + (doc_id % 2) "
             # audio twin: 8-bit WAV samples = md5 bytes; every stat is a
             # dyadic rational ((b-128)/128), so the std's msq - mu*mu
             # form and the engine's mean-of-squared-deviations are the
@@ -3434,7 +3469,7 @@ def _mp4j_values_sql() -> str:
     Motion-JPEG-in-MP4 fixture as a VALUES list — the byte sizes come
     from the plan-time encode (the frozen-model pattern: the ENGINE
     re-derives them from the container's stsz walk)."""
-    _, sizes, _, _ = _mp4_fixture_blobs()
+    _, sizes, _, _, _ = _mp4_fixture_blobs()
     return ", ".join(
         f"({v}, {f}, {8 * (4 + 3 * f + 5 * v)}, {sizes[v][f]})"
         for v in range(2)

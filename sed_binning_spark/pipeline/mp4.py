@@ -105,6 +105,17 @@ def _video_tracks(data: bytes):
         movie_ts = struct.unpack_from(
             ">I", data, mvhd[0] + 4 + (16 if mv == 1 else 8),
         )[0]
+    # fragmented-movie defaults: mvex→trex per track (duration, size,
+    # flags), consumed by the moof/traf/trun walk
+    trexes: dict[int, tuple[int, int, int]] = {}
+    mvex = _find(data, moov[0], moov[1], b"mvex")
+    if mvex is not None:
+        for t2, s2, e2 in _iter_boxes(data, mvex[0], mvex[1]):
+            if t2 == b"trex" and s2 + 24 <= e2:
+                tid, _sdi, ddur, dsz, dfl = struct.unpack_from(
+                    ">IIIII", data, s2 + 4,
+                )
+                trexes[tid] = (ddur, dsz, dfl)
     for t, s, e in _iter_boxes(data, moov[0], moov[1]):
         if t != b"trak":
             continue
@@ -139,6 +150,15 @@ def _video_tracks(data: bytes):
                 tables[b"elst"] = elst
         if movie_ts:
             tables[b"mvhd-ts"] = movie_ts
+        tkhd = _find(data, s, e, b"tkhd")
+        if tkhd is not None:
+            tv, _ = _full_box(data, tkhd[0])
+            tid = struct.unpack_from(
+                ">I", data, tkhd[0] + 4 + (16 if tv == 1 else 8),
+            )[0]
+            tables[b"trak-id"] = tid
+            if tid in trexes:
+                tables[b"trex"] = trexes[tid]
         stsd = tables.get(b"stsd")
         if stsd is None:
             raise ValueError("MP4 stbl lacks stsd")
@@ -175,7 +195,7 @@ def parse_mp4_samples(
             continue
         return [
             (start_ms, delay_ms, bytes(data[pos : pos + size]))
-            for start_ms, delay_ms, pos, size in _track_layout(
+            for start_ms, delay_ms, pos, size, _kf in _all_sample_rows(
                 data, tables, timescale, max_frames,
             )
         ]
@@ -222,18 +242,12 @@ def parse_mp4_timeline(
     if first is None:
         raise ValueError("MP4 contains no video track")
     sd_type, width, height, timescale, tables = first
-    layout = _track_layout(data, tables, timescale, max_frames)
-    sync = _sync_samples(data, tables)
     return {
         "codec": sd_type.decode("ascii", "replace"),
         "decodable": sd_type in _JPEG_SAMPLE_TYPES,
         "width": int(width),
         "height": int(height),
-        "samples": [
-            (start_ms, delay_ms, pos, size,
-             True if sync is None else (i + 1) in sync)
-            for i, (start_ms, delay_ms, pos, size) in enumerate(layout)
-        ],
+        "samples": _all_sample_rows(data, tables, timescale, max_frames),
     }
 
 
@@ -252,6 +266,237 @@ def _sync_samples(data: bytes, tables) -> set[int] | None:
             f"MP4 stss declares {cnt} entries, box holds {(e - s - 8) // 4}",
         )
     return set(struct.unpack_from(f">{cnt}I", data, s + 8))
+
+
+def _all_sample_rows(data, tables, timescale, max_frames):
+    """(start_ms, delay_ms, pos, size, keyframe) rows for the whole
+    movie: the moov sample tables (stss keyframe flags; absent = all
+    sync per ISO 14496-12 §8.6.2) followed by any movie fragments
+    (moof/traf/trun — flags carry per-sample sync bits). An fMP4 whose
+    moov omits the sample tables entirely (stsz absent) contributes
+    zero moov rows instead of refusing; ``max_frames`` spans both."""
+    has_moof = _find(data, 0, len(data), b"moof") is not None
+    if has_moof and b"stsz" not in tables:
+        rows = []
+    else:
+        layout = _track_layout(data, tables, timescale, max_frames)
+        sync = _sync_samples(data, tables)
+        rows = [
+            (st, d, p, sz, True if sync is None else (i + 1) in sync)
+            for i, (st, d, p, sz) in enumerate(layout)
+        ]
+    if has_moof:
+        rem = None if max_frames is None \
+            else max(0, int(max_frames) - len(rows))
+        if rem is None or rem > 0:
+            rows += _fragment_layout(data, tables, timescale, rem)
+    return rows
+
+
+def _elst_shift_units(data, tables, timescale) -> int:
+    """The track's presentation shift (media-timescale units) from the
+    common edit-list shapes — leading empty edits (media_time −1,
+    duration at the MOVIE timescale) delay the track, and ONE normal
+    rate-1 edit shifts presentation by −media_time (how muxers cancel
+    the initial ctts delay). Anything fancier (multiple normal edits,
+    rate ≠ 1) refuses loudly rather than silently mis-timing frames."""
+    if b"elst" not in tables:
+        return 0
+    s, e = tables[b"elst"]
+    ev, _ = _full_box(data, s)
+    (n_ed,) = struct.unpack_from(">I", data, s + 4)
+    esz = 20 if ev == 1 else 12
+    if s + 8 + esz * n_ed > e:
+        raise ValueError(
+            f"MP4 elst declares {n_ed} entries, "
+            f"box holds {(e - s - 8) // esz}",
+        )
+    movie_ts = tables.get(b"mvhd-ts") or timescale
+    shift_units = 0
+    seen_normal = False
+    for i in range(n_ed):
+        if ev == 1:
+            dur, mt = struct.unpack_from(">Qq", data, s + 8 + esz * i)
+            ri, rf = struct.unpack_from(">hH", data, s + 8 + esz * i + 16)
+        else:
+            dur, mt = struct.unpack_from(">Ii", data, s + 8 + esz * i)
+            ri, rf = struct.unpack_from(">hH", data, s + 8 + esz * i + 8)
+        if mt == -1:  # empty edit: delays the whole track
+            if seen_normal:
+                raise ValueError(
+                    "MP4 elst has an empty edit after a normal one",
+                )
+            shift_units += dur * timescale // movie_ts
+            continue
+        if seen_normal:
+            raise ValueError(
+                "MP4 elst with multiple normal edits unsupported",
+            )
+        if (ri, rf) != (1, 0):
+            raise ValueError(
+                f"MP4 elst rate {ri}+{rf}/65536 unsupported (only 1)",
+            )
+        if mt < 0:
+            raise ValueError(f"MP4 elst media_time {mt} invalid")
+        shift_units -= mt
+        seen_normal = True
+    return shift_units
+
+
+def _fragment_layout(data, tables, timescale, max_frames):
+    """Samples carried by movie FRAGMENTS (fMP4 — the DASH/CMAF shape
+    most web-delivered video ships in): walk every top-level ``moof``,
+    match its ``traf``s to this track's ID, and lay out samples from
+    ``tfhd`` (per-fragment defaults + base offset) / ``tfdt`` (decode
+    time) / ``trun`` (per-sample durations, sizes, flags, composition
+    offsets). Returns ``(start_ms, delay_ms, pos, size, keyframe)``
+    rows — presentation-timed like :func:`_track_layout` (same elst
+    shift), keyframes from the sample-flags non-sync bit. Lying counts
+    and out-of-file extents raise, same posture as the moov tables."""
+    track_id = tables.get(b"trak-id")
+    trex = tables.get(b"trex")
+    shift_units = _elst_shift_units(data, tables, timescale)
+    out: list[tuple[int, int, int, int, bool]] = []
+    decode = 0  # running decode time, media-timescale units
+    n = len(data)
+    pos = 0
+    while pos + 8 <= n:
+        size, btype = struct.unpack_from(">I4s", data, pos)
+        header = 8
+        if size == 1:
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            header = 16
+        elif size == 0:
+            size = n - pos
+        if size < header or pos + size > n:
+            raise ValueError(
+                f"MP4 box {btype!r} declares {size} bytes, "
+                f"{n - pos} available",
+            )
+        if btype != b"moof":
+            pos += size
+            continue
+        moof_start, ms, me = pos, pos + header, pos + size
+        pos += size
+        for t, s, e in _iter_boxes(data, ms, me):
+            if t != b"traf":
+                continue
+            tfhd = _find(data, s, e, b"tfhd")
+            if tfhd is None:
+                raise ValueError("MP4 traf lacks tfhd")
+            _, tf_flags = _full_box(data, tfhd[0])
+            at = tfhd[0] + 4
+            (tid,) = struct.unpack_from(">I", data, at)
+            at += 4
+            if tid != track_id:
+                continue
+            base = moof_start  # default-base-is-moof / implicit base
+            if tf_flags & 0x01:  # base-data-offset-present
+                (base,) = struct.unpack_from(">Q", data, at)
+                at += 8
+            if tf_flags & 0x02:  # sample-description-index
+                at += 4
+            d_dur = d_size = d_flags = None
+            if tf_flags & 0x08:
+                (d_dur,) = struct.unpack_from(">I", data, at)
+                at += 4
+            if tf_flags & 0x10:
+                (d_size,) = struct.unpack_from(">I", data, at)
+                at += 4
+            if tf_flags & 0x20:
+                (d_flags,) = struct.unpack_from(">I", data, at)
+                at += 4
+            if d_dur is None and trex is not None:
+                d_dur = trex[0]
+            if d_size is None and trex is not None:
+                d_size = trex[1]
+            if d_flags is None and trex is not None:
+                d_flags = trex[2]
+            tfdt = _find(data, s, e, b"tfdt")
+            if tfdt is not None:
+                dv, _ = _full_box(data, tfdt[0])
+                decode = struct.unpack_from(
+                    ">Q" if dv == 1 else ">I", data, tfdt[0] + 4,
+                )[0]
+            dpos = base
+            for t2, s2, e2 in _iter_boxes(data, s, e):
+                if t2 != b"trun":
+                    continue
+                rv, r_flags = _full_box(data, s2)
+                (cnt,) = struct.unpack_from(">I", data, s2 + 4)
+                at2 = s2 + 8
+                if r_flags & 0x01:  # data-offset-present
+                    (doff,) = struct.unpack_from(">i", data, at2)
+                    at2 += 4
+                    dpos = base + doff
+                first_flags = None
+                if r_flags & 0x04:
+                    (first_flags,) = struct.unpack_from(">I", data, at2)
+                    at2 += 4
+                per = (4 * bool(r_flags & 0x100) + 4 * bool(r_flags & 0x200)
+                       + 4 * bool(r_flags & 0x400) + 4 * bool(r_flags & 0x800))
+                # a lying count must not read past the box (per > 0) or
+                # fabricate unbounded rows (every sample occupies mdat)
+                if per and at2 + per * cnt > e2:
+                    raise ValueError(
+                        f"MP4 trun declares {cnt} samples, box holds "
+                        f"{(e2 - at2) // per}",
+                    )
+                if cnt > n:
+                    raise ValueError(
+                        f"MP4 trun declares {cnt} samples in a "
+                        f"{n}-byte file",
+                    )
+                for i in range(cnt):
+                    if max_frames is not None and len(out) >= int(max_frames):
+                        return out
+                    if r_flags & 0x100:
+                        (dur,) = struct.unpack_from(">I", data, at2)
+                        at2 += 4
+                    elif d_dur is not None:
+                        dur = d_dur
+                    else:
+                        raise ValueError(
+                            "MP4 trun sample lacks a duration (no trun "
+                            "field, tfhd default, or trex default)",
+                        )
+                    if r_flags & 0x200:
+                        (sz,) = struct.unpack_from(">I", data, at2)
+                        at2 += 4
+                    elif d_size is not None:
+                        sz = d_size
+                    else:
+                        raise ValueError(
+                            "MP4 trun sample lacks a size (no trun "
+                            "field, tfhd default, or trex default)",
+                        )
+                    if r_flags & 0x400:
+                        (fl,) = struct.unpack_from(">I", data, at2)
+                        at2 += 4
+                    elif i == 0 and first_flags is not None:
+                        fl = first_flags
+                    else:
+                        fl = d_flags if d_flags is not None else 0
+                    co = 0
+                    if r_flags & 0x800:
+                        (co,) = struct.unpack_from(">I", data, at2)
+                        if rv == 1 and co >= 1 << 31:  # v1 offsets signed
+                            co -= 1 << 32
+                        at2 += 4
+                    if dpos + sz > n:
+                        raise ValueError(
+                            "MP4 fragment sample extends past the file end",
+                        )
+                    pres = decode + co + shift_units
+                    out.append((
+                        pres * 1000 // timescale,
+                        dur * 1000 // timescale,
+                        dpos, sz,
+                        not (fl >> 16) & 1,  # sample_is_non_sync_sample
+                    ))
+                    decode += dur
+                    dpos += sz
+    return out
 
 
 def _track_layout(data, tables, timescale, max_frames):
@@ -351,51 +596,7 @@ def _track_layout(data, tables, timescale, max_frames):
         if len(comp) < n_samples:
             raise ValueError("MP4 ctts covers fewer samples than stsz")
 
-    # elst: the common edit shapes — leading empty edits (media_time
-    # -1, duration at the MOVIE timescale) delay the track, and ONE
-    # normal rate-1 edit shifts presentation by -media_time (how
-    # muxers cancel the initial ctts delay). Anything fancier (multiple
-    # normal edits, rate ≠ 1) refuses loudly rather than silently
-    # mis-timing frames.
-    shift_units = 0
-    if b"elst" in tables:
-        s, e = tables[b"elst"]
-        ev, _ = _full_box(data, s)
-        (n_ed,) = struct.unpack_from(">I", data, s + 4)
-        esz = 20 if ev == 1 else 12
-        n_ed = checked_count(b"elst", n_ed, esz, 8, s, e)
-        movie_ts = tables.get(b"mvhd-ts") or timescale
-        seen_normal = False
-        for i in range(n_ed):
-            if ev == 1:
-                dur, mt = struct.unpack_from(">Qq", data, s + 8 + esz * i)
-                ri, rf = struct.unpack_from(
-                    ">hH", data, s + 8 + esz * i + 16,
-                )
-            else:
-                dur, mt = struct.unpack_from(">Ii", data, s + 8 + esz * i)
-                ri, rf = struct.unpack_from(
-                    ">hH", data, s + 8 + esz * i + 8,
-                )
-            if mt == -1:  # empty edit: delays the whole track
-                if seen_normal:
-                    raise ValueError(
-                        "MP4 elst has an empty edit after a normal one",
-                    )
-                shift_units += dur * timescale // movie_ts
-                continue
-            if seen_normal:
-                raise ValueError(
-                    "MP4 elst with multiple normal edits unsupported",
-                )
-            if (ri, rf) != (1, 0):
-                raise ValueError(
-                    f"MP4 elst rate {ri}+{rf}/65536 unsupported (only 1)",
-                )
-            if mt < 0:
-                raise ValueError(f"MP4 elst media_time {mt} invalid")
-            shift_units -= mt
-            seen_normal = True
+    shift_units = _elst_shift_units(data, tables, timescale)
 
     # walk chunks, laying samples contiguously inside each; stsc runs are
     # spec-ordered by first_chunk, so a single forward pointer gives each
@@ -569,3 +770,108 @@ def _unity_matrix() -> bytes:
     return struct.pack(
         ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000,
     )
+
+
+def encode_mp4_fragmented(
+    frames: list[bytes],
+    delays_ms: list[int],
+    width: int = 0,
+    height: int = 0,
+    timescale: int = 1000,
+    sample_type: bytes = b"avc1",
+    frames_per_fragment: int = 2,
+    sync_first_only: bool = True,
+    composition_offsets_ms: list[int] | None = None,
+) -> bytes:
+    """Spec-built FRAGMENTED MP4 fixture (the DASH/CMAF shape): a moov
+    whose sample tables are empty (mvex/trex carries the defaults), then
+    one ``moof`` + ``mdat`` pair per ``frames_per_fragment`` samples —
+    tfhd with default-base-is-moof, tfdt decode times, trun with
+    per-sample durations/sizes/flags (first sample of each fragment
+    sync, the rest non-sync when ``sync_first_only``) and optional
+    per-sample composition offsets. Exercises the moof/traf/trun walk
+    end-to-end."""
+    if len(frames) != len(delays_ms):
+        raise ValueError("one delay per frame, please")
+    if composition_offsets_ms is not None and \
+            len(composition_offsets_ms) != len(frames):
+        raise ValueError("one composition offset per frame, please")
+    if len(sample_type) != 4:
+        raise ValueError("sample_type is a 4CC")
+    ftyp = _box(b"ftyp", b"iso5" + struct.pack(">I", 512) + b"iso5dash")
+    duration = sum(delays_ms) * timescale // 1000
+    stsd_entry = (
+        struct.pack(">I4s6xH", 86, sample_type, 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4 + struct.pack(">H", 1) + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+    )
+    stbl = _box(
+        b"stbl",
+        _full(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
+        + _full(b"stts", 0, 0, struct.pack(">I", 0))
+        + _full(b"stsc", 0, 0, struct.pack(">I", 0))
+        + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        + _full(b"stco", 0, 0, struct.pack(">I", 0)),
+    )
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(
+        b"url ", 0, 1, b"",
+    ))
+    minf = _box(b"minf", _full(b"vmhd", 0, 1, b"\x00" * 8)
+                + _box(b"dinf", dref) + stbl)
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12
+                 + b"VideoHandler\x00")
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(
+        ">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0,
+    ))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(b"tkhd", 0, 7, struct.pack(">III4xI", 0, 0, 1, duration)
+                 + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0x0100, 0)
+                 + _unity_matrix()
+                 + struct.pack(">II", width << 16, height << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, timescale, duration,
+    ) + struct.pack(">IH2x8x", 0x00010000, 0x0100) + _unity_matrix()
+        + b"\x00" * 24 + struct.pack(">I", 2))
+    # trex: track 1 defaults (unused here — truns carry every field —
+    # but required by the spec for a fragmented movie)
+    mvex = _box(b"mvex", _full(b"trex", 0, 0, struct.pack(
+        ">IIIII", 1, 1, 0, 0, 0x00010000,
+    )))
+    moov = _box(b"moov", mvhd + trak + mvex)
+
+    out = ftyp + moov
+    decode_units = 0
+    seq = 1
+    for i in range(0, len(frames), frames_per_fragment):
+        chunk = frames[i : i + frames_per_fragment]
+        delays = delays_ms[i : i + frames_per_fragment]
+        ctos = (composition_offsets_ms[i : i + frames_per_fragment]
+                if composition_offsets_ms is not None else None)
+        tr_flags = 0x001 | 0x100 | 0x200 | 0x400 | (0x800 if ctos else 0)
+        rows = b""
+        for j, (fb, d) in enumerate(zip(chunk, delays)):
+            fl = 0 if (j == 0 or not sync_first_only) else 0x00010000
+            rows += struct.pack(">III", d * timescale // 1000, len(fb), fl)
+            if ctos:
+                rows += struct.pack(">i", ctos[j] * timescale // 1000)
+        cv = 1 if ctos and any(c < 0 for c in ctos) else 0
+        # data_offset backpatched once the moof size is known
+        trun = _full(b"trun", cv, tr_flags,
+                     struct.pack(">Ii", len(chunk), 0) + rows)
+        tfhd = _full(b"tfhd", 0, 0x20000, struct.pack(">I", 1))
+        tfdt = _full(b"tfdt", 0, 0, struct.pack(">I", decode_units))
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        moof = bytearray(_box(b"moof", mfhd + traf))
+        # the trun data offset field sits 8 bytes into the trun payload
+        # counting from ... locate it: last 4 + len(rows) bytes back
+        doff_at = len(moof) - len(rows) - 4
+        struct.pack_into(">i", moof, doff_at, len(moof) + 8)
+        out += bytes(moof) + _box(b"mdat", b"".join(chunk))
+        decode_units += sum(delays) * timescale // 1000
+        seq += 1
+    return out

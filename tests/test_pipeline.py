@@ -2666,3 +2666,67 @@ def test_mp4_ctts_and_elst_presentation_times():
     struct.pack_into(">hH", fast, at + 4 + 8, 2, 0)
     with pytest.raises(ValueError, match="rate"):
         parse_mp4_timeline(bytes(fast))
+
+
+def test_mp4_fragmented_movies():
+    """Fragmented MP4 (round 13 — the DASH/CMAF shape of web video):
+    moof/traf/trun samples carry continuous tfdt-anchored timing across
+    fragments, per-sample keyframe flags from the non-sync bit,
+    fragment ctts offsets, byte-exact payload extraction for JPEG-typed
+    tracks, a max_frames cap spanning fragments, and the same
+    lying-count / past-EOF refusals as the moov tables."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from sed_binning_spark.pipeline.jpeg import encode_image_jpeg
+    from sed_binning_spark.pipeline.mp4 import (
+        encode_mp4_fragmented, parse_mp4_samples, parse_mp4_timeline,
+    )
+
+    pay = [bytes([i]) * (10 + i) for i in range(5)]
+    blob = encode_mp4_fragmented(
+        pay, [40, 40, 30, 30, 20], width=128, height=96,
+        frames_per_fragment=2,
+    )
+    info = parse_mp4_timeline(blob)
+    assert info["codec"] == "avc1" and (info["width"], info["height"]) \
+        == (128, 96)
+    assert [(r[0], r[1], r[3], r[4]) for r in info["samples"]] == [
+        (0, 40, 10, True), (40, 40, 11, False), (80, 30, 12, True),
+        (110, 30, 13, False), (140, 20, 14, True),
+    ]
+    # byte extents point into the right mdat
+    for (st, d, pos, sz, kf), p in zip(info["samples"], pay):
+        assert blob[pos : pos + sz] == p
+
+    # max_frames caps across fragments
+    assert len(parse_mp4_timeline(blob, max_frames=3)["samples"]) == 3
+
+    # per-sample ctts offsets inside fragments (v1 signed)
+    shifted = encode_mp4_fragmented(
+        pay, [40] * 5, composition_offsets_ms=[40, -10, 0, 30, 0],
+    )
+    assert [r[0] for r in parse_mp4_timeline(shifted)["samples"]] \
+        == [40, 30, 80, 150, 160]
+
+    # real decodable payloads: fragmented Motion-JPEG demuxes bit-exact
+    jf = [encode_image_jpeg(np.full((8, 8, 3), v, np.uint8))
+          for v in (16, 120, 240)]
+    rows = parse_mp4_samples(encode_mp4_fragmented(
+        jf, [30] * 3, sample_type=b"jpeg", frames_per_fragment=2,
+    ))
+    assert [b for _, _, b in rows] == jf
+
+    # lying trun sample count refuses (per-sample fields present)
+    lie = bytearray(blob)
+    at = bytes(blob).index(b"trun") + 8
+    struct.pack_into(">I", lie, at, 1000)
+    with pytest.raises(ValueError, match="trun declares"):
+        parse_mp4_timeline(bytes(lie))
+
+    # a fragment sample extending past the file end refuses
+    cut = blob[:-3]
+    with pytest.raises(ValueError, match="past the file end|declares"):
+        parse_mp4_timeline(cut)
