@@ -1654,7 +1654,9 @@ def _q_frame_sample(spark, sf):
     B-frame PRESENTATION timing (signed ctts offsets + an edit list's
     empty-edit delay, closed-form PTS); 'frag' — the fragmented
     DASH/CMAF shape through the real moof/traf/trun walk (tfdt-anchored
-    timing, per-sample sync bits); 'ulw'/'alw' — the same md5
+    timing, per-sample sync bits); 'rsw' — transcode_audio resampling
+    the 1 kHz fixture to 500 Hz (integral ratio → exact source picks,
+    the even md5 bytes) before windowing; 'ulw'/'alw' — the same md5
     bytes behind ITU-T G.711 format tags, the twin replaying the ITU
     expansion arithmetic per byte; and 'ima'/'msa' — IMA-/MS-ADPCM
     through the real block decoders with plan-time-frozen window
@@ -1770,6 +1772,15 @@ def _q_frame_sample(spark, sf):
     wav = synthesize_wav_media_from_text(docs.where(F.col("doc_id") % 2 == 0))
     wav_leg = audio_leg(wav, F.lit("wav"))
 
+    # round 13: transcode_audio in the loop — resample the same fixture
+    # 1 kHz → 500 Hz (an integral ratio with aligned phase, so the
+    # linear interpolation picks EXACT source samples: the even md5
+    # bytes) and window the result; the twin re-derives everything from
+    # bytes at indexes 4w and 4w+2
+    from sed_binning_spark.pipeline.multimodal import transcode_audio
+
+    rsw_leg = audio_leg(transcode_audio(wav, target_rate=500), F.lit("rsw"))
+
     # round 13: the SAME md5 bytes behind ITU-T G.711 format tags — the
     # byte IS the companded code, expanded through the exact-integer
     # tables inside decode_audio_wav, so the windowed stats stay exact
@@ -1803,8 +1814,8 @@ def _q_frame_sample(spark, sf):
         plan_leg.unionByName(gif_leg).unionByName(mp4_leg)
         .unionByName(gifk_leg).unionByName(avck_leg)
         .unionByName(avcb_leg).unionByName(frag_leg)
-        .unionByName(wav_leg).unionByName(g711_leg)
-        .unionByName(adpcm_leg)
+        .unionByName(wav_leg).unionByName(rsw_leg)
+        .unionByName(g711_leg).unionByName(adpcm_leg)
     )
 
 
@@ -3156,6 +3167,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, w, list_transform(range(0, 4), j -> "
             "CAST('0x' || substr(md5(text), "
             "CAST((w * 4 + j) * 2 + 1 AS INTEGER), 2) AS BIGINT)) AS bs "
+            "FROM documents, range(4) t(w) "
+            "WHERE doc_id % 2 = 0 AND text IS NOT NULL)) "
+            # transcode twin: the 1 kHz fixture resampled to 500 Hz at
+            # an integral ratio picks EXACT source samples — windows of
+            # 2 over the even md5 bytes (indexes 4w, 4w+2)
+            "UNION ALL SELECT 'rsw', doc_id, "
+            "CAST(4 * w AS BIGINT), CAST(w AS INT), CAST(4 AS BIGINT), "
+            "CAST(NULL AS INT), CAST(NULL AS INT), "
+            "round(mu, 6), round(sqrt(msq - mu * mu), 6), "
+            "round((list_min(bs) - 128) / 128.0, 6), "
+            "round((list_max(bs) - 128) / 128.0, 6), "
+            "CAST(2 AS BIGINT), CAST(NULL AS BOOLEAN) "
+            "FROM (SELECT doc_id, w, bs, "
+            "(list_sum(bs) - 256) / 256.0 AS mu, "
+            "list_sum(list_transform(bs, x -> "
+            "((x - 128) / 128.0) * ((x - 128) / 128.0))) / 2.0 AS msq "
+            "FROM (SELECT doc_id, w, list_transform(range(0, 2), j -> "
+            "CAST('0x' || substr(md5(text), "
+            "CAST((w * 4 + j * 2) * 2 + 1 AS INTEGER), 2) AS BIGINT)) AS bs "
             "FROM documents, range(4) t(w) "
             "WHERE doc_id % 2 = 0 AND text IS NOT NULL)) "
             # telephony twins: the same md5 bytes behind G.711 format

@@ -1669,6 +1669,93 @@ def resize_image(img: np.ndarray, height: int, width: int) -> np.ndarray:
     return img[ri][:, ci]
 
 
+TRANSCODED_AUDIO_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("payload", BinaryType(), True),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("n_samples", IntegerType(), True),
+    StructField("n_channels", IntegerType(), True),
+])
+
+
+def transcode_audio(
+    df: DataFrame,
+    target_rate: int | None = None,
+    mono: bool = False,
+    fmt: str = "pcm16",
+    payload_column: str = "payload",
+    id_column: str = "media_id",
+) -> DataFrame:
+    """Normalize audio payloads — the standard pre-ASR/pre-training
+    corpus step (everything to one rate, one channel, one codec):
+    decode any supported WAV (PCM widths, float, G.711, ADPCM),
+    optionally downmix to mono (channel mean, rounded), optionally
+    resample by linear interpolation (``np.interp`` per channel; at an
+    integral rate ratio with aligned phase this picks exact source
+    samples), and re-encode as ``fmt`` (any :func:`encode_audio_wav`
+    format). Output rows follow TRANSCODED_AUDIO_SCHEMA with the new
+    payload; non-audio, NULL, and undecodable payloads yield a NULL
+    payload row (the id survives, so a join can audit what was
+    dropped) — same degradation contract as resize_images.
+
+    Distribution: one ``mapInPandas`` stage, Arrow-batched, no shuffle,
+    no driver collect; peak per-task memory is one payload's decoded
+    int16 plus one float64 channel during interpolation."""
+    import pandas as pd
+
+    if target_rate is not None and target_rate <= 0:
+        raise ValueError(f"target_rate must be positive, got {target_rate}")
+    # validate fmt EAGERLY — an unknown format must fail plan
+    # construction loudly, not be swallowed per-row as a decode error
+    encode_audio_wav(np.zeros(1, np.int16), 8000, fmt=fmt)
+
+    def _one(b: bytes) -> tuple[bytes, int, int, int] | None:
+        if b[:4] != b"RIFF":
+            return None
+        samples, rate = decode_audio_wav(b)
+        if samples.size == 0 or rate <= 0:
+            return None
+        if mono and samples.shape[1] > 1:
+            samples = np.round(
+                samples.astype(np.float64).mean(axis=1),
+            ).astype(np.int16)[:, None]
+        out_rate = rate
+        if target_rate is not None and target_rate != rate:
+            n = samples.shape[0]
+            n_out = max(1, int(np.ceil(n * target_rate / rate)))
+            pos = np.arange(n_out) * (rate / target_rate)
+            samples = np.stack([
+                np.round(np.interp(pos, np.arange(n),
+                                   samples[:, c].astype(np.float64)))
+                for c in range(samples.shape[1])
+            ], axis=1).astype(np.int16)
+            out_rate = target_rate
+        return (encode_audio_wav(samples, out_rate, fmt=fmt),
+                out_rate, samples.shape[0], samples.shape[1])
+
+    def _batches(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_column], pdf[payload_column]):
+                got = None
+                if payload is not None:
+                    try:
+                        got = _one(bytes(payload))
+                    except _DECODE_ERRORS:
+                        got = None
+                rows.append(
+                    (mid, None, None, None, None) if got is None
+                    else (mid, got[0], got[1], got[2], got[3]),
+                )
+            yield pd.DataFrame(
+                rows, columns=TRANSCODED_AUDIO_SCHEMA.fieldNames(),
+            )
+
+    return df.select(id_column, payload_column).mapInPandas(
+        _batches, schema=TRANSCODED_AUDIO_SCHEMA,
+    )
+
+
 RESIZED_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
     StructField("payload", BinaryType(), True),

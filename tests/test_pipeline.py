@@ -1572,6 +1572,62 @@ def test_ima_adpcm_wav():
     assert decode_payload(bytes(bad), 8)[0] == 0.0
 
 
+def test_transcode_audio(spark):
+    """transcode_audio — the normalize-everything corpus step: stereo
+    44.1 kHz float input comes out mono 16 kHz PCM16; an integral-ratio
+    downsample with aligned phase picks EXACT source samples (linear
+    interpolation at integer positions); a G.711 input re-encodes
+    through the int16 contract; NULL/non-audio/undecodable payloads
+    yield NULL-payload rows with the id preserved; an unknown target
+    format fails PLAN construction, not per-row."""
+    import numpy as np
+    import pytest
+
+    from sed_binning_spark.pipeline.multimodal import (
+        decode_audio_wav, encode_audio_wav, transcode_audio,
+    )
+
+    t = np.arange(44100)
+    stereo = np.stack([(3000 * np.sin(t / 30)).astype(np.int16),
+                       (1000 * np.cos(t / 7)).astype(np.int16)], axis=1)
+    rows = [
+        (1, bytearray(encode_audio_wav(stereo, 44100, fmt="float32"))),
+        (2, None),
+        (3, bytearray(b"not audio at all")),
+        (4, bytearray(encode_audio_wav(
+            stereo[:8000, 0], 8000, fmt="ulaw"))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in
+           transcode_audio(df, target_rate=16000, mono=True).collect()}
+    assert got[2].payload is None and got[3].payload is None
+    assert (got[1].sample_rate, got[1].n_samples, got[1].n_channels) \
+        == (16000, 16000, 1)
+    dec, rate = decode_audio_wav(bytes(got[1].payload))
+    assert rate == 16000 and dec.shape == (16000, 1)
+    # mono downmix then resample ~ the mean signal within interp error
+    ref = np.round(stereo.astype(np.float64).mean(axis=1))
+    assert abs(float(dec[0, 0]) - ref[0]) <= 1
+    g = got[4]
+    assert (g.sample_rate, g.n_channels) == (16000, 1)
+
+    # integral-ratio phase-aligned downsample = exact source picks
+    sig = np.arange(-4000, 4000, 500, dtype=np.int16)  # 16 samples
+    df2 = spark.createDataFrame(
+        [(7, bytearray(encode_audio_wav(sig, 1000, fmt="pcm16")))],
+        "media_id long, payload binary",
+    )
+    out = transcode_audio(df2, target_rate=500).collect()[0]
+    dec2, rate2 = decode_audio_wav(bytes(out.payload))
+    assert rate2 == 500
+    np.testing.assert_array_equal(dec2.ravel(), sig[::2])
+
+    with pytest.raises(ValueError, match="unknown WAV fixture format"):
+        transcode_audio(df, fmt="opus")
+    with pytest.raises(ValueError, match="target_rate"):
+        transcode_audio(df, target_rate=0)
+
+
 def test_ms_adpcm_wav():
     """Microsoft ADPCM (WAV format tag 2): the block-parallel decoder
     matches an independent scalar transcription of the published
