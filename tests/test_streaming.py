@@ -951,3 +951,52 @@ def test_sample_audio_windows_runs_on_a_structured_stream(tmp_path, spark):
     assert list(got.media_id) == [0, 0, 0]
     assert list(got.start_ms) == [0, 2, 4]
     assert list(got["rms"]) == [0.5, 0.5, 0.25]
+
+
+def test_transcode_audio_runs_on_a_structured_stream(tmp_path, spark):
+    """transcode_audio is the same stateless mapInPandas shape: a live
+    stream normalizes per micro-batch (downmix + integral-ratio
+    resample), the non-audio payload degrades to a NULL-payload row
+    with its id preserved, results identical to the batch run."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.multimodal import (
+        encode_audio_wav,
+        transcode_audio,
+    )
+
+    wav = encode_audio_wav(
+        np.array([[1000, 3000], [2000, 4000], [-1000, -3000],
+                  [0, 0], [500, 1500], [600, 1400]], "<i2"),
+        sample_rate=1000,
+    )
+    root = tmp_path / "transcode_in"
+    root.mkdir()
+    pd.DataFrame({"media_id": [0], "payload": [bytes(wav)]}) \
+        .to_parquet(root / "chunk_0.parquet")
+    pd.DataFrame({"media_id": [1], "payload": [b"not audio"]}) \
+        .to_parquet(root / "chunk_1.parquet")
+
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1).parquet(str(root))
+    )
+    q = (
+        transcode_audio(stream, target_rate=500, mono=True)
+        .writeStream.format("memory").queryName("transcode_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM transcode_stream").toPandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    batch = transcode_audio(
+        spark.read.parquet(str(root)), target_rate=500, mono=True,
+    ).toPandas().sort_values("media_id").reset_index(drop=True)
+    assert got.equals(batch)
+    assert got.payload[1] is None  # id preserved, payload degraded
+    from sed_binning_spark.pipeline.multimodal import decode_audio_wav
+
+    dec, rate = decode_audio_wav(bytes(got.payload[0]))
+    assert rate == 500
+    # mono means of samples 0, 2, 4 (integral-ratio picks)
+    np.testing.assert_array_equal(dec.ravel(), [2000, -2000, 1000])
