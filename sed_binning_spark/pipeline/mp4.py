@@ -12,7 +12,7 @@ What is implemented, all from the public spec:
   mdia → {mdhd, hdlr, minf → stbl}``;
 - sample tables: ``stsd`` (sample-description entry type), ``stts``
   (decoding deltas → per-sample start/delay in ms via the ``mdhd``
-  timescale), ``stsz``/``stz2`` is limited to ``stsz``, ``stsc``
+  timescale), ``stsz`` and the compact ``stz2`` (4/8/16-bit), ``stsc``
   (sample→chunk runs), ``stco``/``co64`` (chunk offsets), ``ctts``
   (composition offsets, v0 unsigned / v1 signed — B-frame reordering:
   reported ``start_ms`` is the PRESENTATION time, rows stay in decode
@@ -276,7 +276,7 @@ def _all_sample_rows(data, tables, timescale, max_frames):
     moov omits the sample tables entirely (stsz absent) contributes
     zero moov rows instead of refusing; ``max_frames`` spans both."""
     has_moof = _find(data, 0, len(data), b"moof") is not None
-    if has_moof and b"stsz" not in tables:
+    if has_moof and b"stsz" not in tables and b"stz2" not in tables:
         rows = []
     else:
         layout = _track_layout(data, tables, timescale, max_frames)
@@ -527,17 +527,45 @@ def _track_layout(data, tables, timescale, max_frames):
             )
         return declared
 
-    # sizes
-    s, e = table(b"stsz")
-    fixed, count = struct.unpack_from(">II", data, s + 4)
-    if fixed:
-        count = checked_count(b"stsz", count, 0, 12, s, e)
-        if max_frames is not None:
-            count = min(count, int(max_frames))
-        sizes = [fixed] * count
+    # sizes: stsz, or the compact stz2 (4/8/16-bit fields, §8.7.3.3)
+    if b"stsz" not in tables and b"stz2" in tables:
+        s, e = tables[b"stz2"]
+        field_size = data[s + 7]
+        (count,) = struct.unpack_from(">I", data, s + 8)
+        if field_size not in (4, 8, 16):
+            raise ValueError(f"MP4 stz2 field size {field_size} invalid")
+        if s + 12 + (count * field_size + 7) // 8 > e:
+            raise ValueError(
+                f"MP4 stz2 declares {count} entries, box holds "
+                f"{(e - s - 12) * 8 // field_size}",
+            )
+        if count > len(data):
+            raise ValueError(
+                f"MP4 stz2 declares {count} entries in a "
+                f"{len(data)}-byte file",
+            )
+        if field_size == 16:
+            sizes = list(struct.unpack_from(f">{count}H", data, s + 12))
+        elif field_size == 8:
+            sizes = list(data[s + 12 : s + 12 + count])
+        else:  # 4-bit: high nibble first
+            byts = data[s + 12 : s + 12 + (count + 1) // 2]
+            sizes = []
+            for b in byts:
+                sizes.append(b >> 4)
+                sizes.append(b & 0x0F)
+            sizes = sizes[:count]
     else:
-        count = checked_count(b"stsz", count, 4, 12, s, e)
-        sizes = list(struct.unpack_from(f">{count}I", data, s + 12))
+        s, e = table(b"stsz")
+        fixed, count = struct.unpack_from(">II", data, s + 4)
+        if fixed:
+            count = checked_count(b"stsz", count, 0, 12, s, e)
+            if max_frames is not None:
+                count = min(count, int(max_frames))
+            sizes = [fixed] * count
+        else:
+            count = checked_count(b"stsz", count, 4, 12, s, e)
+            sizes = list(struct.unpack_from(f">{count}I", data, s + 12))
     n_samples = len(sizes)
     if max_frames is not None:
         n_samples = min(n_samples, int(max_frames))
@@ -651,6 +679,7 @@ def encode_mp4_mjpeg(
     composition_offsets_ms: list[int] | None = None,
     elst_media_time_ms: int | None = None,
     elst_empty_ms: int = 0,
+    use_stz2: bool = False,
 ) -> bytes:
     """Spec-built MP4 fixture: one video track (``sample_type``-coded,
     'jpeg' by default) whose mdat carries the given payloads in
@@ -664,7 +693,9 @@ def encode_mp4_mjpeg(
     B-frame presentation-reorder shape; ``elst_media_time_ms`` writes
     an edts/elst with one rate-1 edit at that media time (how muxers
     cancel the initial composition delay), optionally preceded by an
-    ``elst_empty_ms`` empty edit that delays the track."""
+    ``elst_empty_ms`` empty edit that delays the track;
+    ``use_stz2`` stores sample sizes in the compact 16-bit stz2 box
+    instead of stsz."""
     if len(jpeg_frames) != len(delays_ms):
         raise ValueError("one delay per frame, please")
     if composition_offsets_ms is not None and \
@@ -701,9 +732,16 @@ def encode_mp4_mjpeg(
     stsc = _full(b"stsc", 0, 0, struct.pack(">I", 1) + struct.pack(
         ">III", 1, samples_per_chunk, 1,
     ))
-    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, len(sizes)) + b"".join(
-        struct.pack(">I", s) for s in sizes
-    ))
+    if use_stz2:  # compact 16-bit sample sizes
+        if any(s > 0xFFFF for s in sizes):
+            raise ValueError("stz2-16 cannot hold a >65535-byte sample")
+        stsz = _full(b"stz2", 0, 0, struct.pack(
+            ">3xBI", 16, len(sizes),
+        ) + b"".join(struct.pack(">H", s) for s in sizes))
+    else:
+        stsz = _full(b"stsz", 0, 0, struct.pack(
+            ">II", 0, len(sizes),
+        ) + b"".join(struct.pack(">I", s) for s in sizes))
     stco = _full(b"stco", 0, 0, struct.pack(">I", len(chunks)) + b"".join(
         struct.pack(">I", c) for c in chunks
     ))
