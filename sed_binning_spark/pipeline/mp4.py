@@ -49,9 +49,11 @@ import struct
 _JPEG_SAMPLE_TYPES = (b"jpeg", b"mjpa", b"mjpb")
 
 
-def _iter_boxes(data: bytes, pos: int, end: int):
-    """Yield (type, payload_start, payload_end) for the boxes in
-    data[pos:end] — handles 64-bit largesize and size-0 (to end)."""
+def _iter_boxes_full(data: bytes, pos: int, end: int):
+    """Yield (type, box_start, payload_start, payload_end) for the
+    boxes in data[pos:end] — handles 64-bit largesize and size-0 (to
+    end). box_start is the first byte of the box header (what the
+    fragment spec means by 'the first byte of the moof')."""
     while pos + 8 <= end:
         size, btype = struct.unpack_from(">I4s", data, pos)
         header = 8
@@ -67,8 +69,14 @@ def _iter_boxes(data: bytes, pos: int, end: int):
                 f"MP4 box {btype!r} declares {size} bytes, "
                 f"{end - pos} available",
             )
-        yield btype, pos + header, pos + size
+        yield btype, pos, pos + header, pos + size
         pos += size
+
+
+def _iter_boxes(data: bytes, pos: int, end: int):
+    """Yield (type, payload_start, payload_end) — see _iter_boxes_full."""
+    for btype, _start, ps, pe in _iter_boxes_full(data, pos, end):
+        yield btype, ps, pe
 
 
 def _find(data: bytes, pos: int, end: int, btype: bytes):
@@ -359,25 +367,15 @@ def _fragment_layout(data, tables, timescale, max_frames):
     out: list[tuple[int, int, int, int, bool]] = []
     decode = 0  # running decode time, media-timescale units
     n = len(data)
-    pos = 0
-    while pos + 8 <= n:
-        size, btype = struct.unpack_from(">I4s", data, pos)
-        header = 8
-        if size == 1:
-            size = struct.unpack_from(">Q", data, pos + 8)[0]
-            header = 16
-        elif size == 0:
-            size = n - pos
-        if size < header or pos + size > n:
-            raise ValueError(
-                f"MP4 box {btype!r} declares {size} bytes, "
-                f"{n - pos} available",
-            )
+    for btype, moof_start, ms, me in _iter_boxes_full(data, 0, n):
         if btype != b"moof":
-            pos += size
             continue
-        moof_start, ms, me = pos, pos + header, pos + size
-        pos += size
+        # implicit data base (no base flag): continues from the previous
+        # trun's data end, starting at the first byte of the moof — but
+        # ONLY while every preceding traf belonged to this track, since
+        # a skipped foreign traf's data length is unknown here
+        implicit = moof_start
+        foreign_since_start = False
         for t, s, e in _iter_boxes(data, ms, me):
             if t != b"traf":
                 continue
@@ -386,25 +384,45 @@ def _fragment_layout(data, tables, timescale, max_frames):
                 raise ValueError("MP4 traf lacks tfhd")
             _, tf_flags = _full_box(data, tfhd[0])
             at = tfhd[0] + 4
-            (tid,) = struct.unpack_from(">I", data, at)
+            tf_end = tfhd[1]
+
+            def _read(fmt, width, what, _at=None):
+                a = at if _at is None else _at
+                if a + width > tf_end:
+                    raise ValueError(
+                        f"MP4 tfhd too short for its declared {what}",
+                    )
+                return struct.unpack_from(fmt, data, a)[0]
+
+            tid = _read(">I", 4, "track_ID")
             at += 4
             if tid != track_id:
+                foreign_since_start = True
                 continue
-            base = moof_start  # default-base-is-moof / implicit base
             if tf_flags & 0x01:  # base-data-offset-present
-                (base,) = struct.unpack_from(">Q", data, at)
+                base = _read(">Q", 8, "base data offset")
                 at += 8
+            elif tf_flags & 0x20000:  # default-base-is-moof
+                base = moof_start
+            else:
+                if foreign_since_start:
+                    raise ValueError(
+                        "MP4 traf with an implicit data base after "
+                        "another track's traf — its data length is "
+                        "unknown without that track's tables",
+                    )
+                base = implicit
             if tf_flags & 0x02:  # sample-description-index
                 at += 4
             d_dur = d_size = d_flags = None
             if tf_flags & 0x08:
-                (d_dur,) = struct.unpack_from(">I", data, at)
+                d_dur = _read(">I", 4, "default sample duration")
                 at += 4
             if tf_flags & 0x10:
-                (d_size,) = struct.unpack_from(">I", data, at)
+                d_size = _read(">I", 4, "default sample size")
                 at += 4
             if tf_flags & 0x20:
-                (d_flags,) = struct.unpack_from(">I", data, at)
+                d_flags = _read(">I", 4, "default sample flags")
                 at += 4
             if d_dur is None and trex is not None:
                 d_dur = trex[0]
@@ -423,14 +441,24 @@ def _fragment_layout(data, tables, timescale, max_frames):
                 if t2 != b"trun":
                     continue
                 rv, r_flags = _full_box(data, s2)
+                if s2 + 8 > e2:
+                    raise ValueError("MP4 trun too short for its header")
                 (cnt,) = struct.unpack_from(">I", data, s2 + 4)
                 at2 = s2 + 8
                 if r_flags & 0x01:  # data-offset-present
+                    if at2 + 4 > e2:
+                        raise ValueError(
+                            "MP4 trun too short for its data offset",
+                        )
                     (doff,) = struct.unpack_from(">i", data, at2)
                     at2 += 4
                     dpos = base + doff
                 first_flags = None
                 if r_flags & 0x04:
+                    if at2 + 4 > e2:
+                        raise ValueError(
+                            "MP4 trun too short for its first-sample flags",
+                        )
                     (first_flags,) = struct.unpack_from(">I", data, at2)
                     at2 += 4
                 per = (4 * bool(r_flags & 0x100) + 4 * bool(r_flags & 0x200)
@@ -483,9 +511,11 @@ def _fragment_layout(data, tables, timescale, max_frames):
                         if rv == 1 and co >= 1 << 31:  # v1 offsets signed
                             co -= 1 << 32
                         at2 += 4
-                    if dpos + sz > n:
+                    if dpos < 0 or dpos + sz > n:
+                        # negative too: Python slicing would silently
+                        # WRAP a negative position to the file's tail
                         raise ValueError(
-                            "MP4 fragment sample extends past the file end",
+                            "MP4 fragment sample extends outside the file",
                         )
                     pres = decode + co + shift_units
                     out.append((
@@ -496,6 +526,7 @@ def _fragment_layout(data, tables, timescale, max_frames):
                     ))
                     decode += dur
                     dpos += sz
+            implicit = dpos  # next implicit-base traf continues here
     return out
 
 
@@ -715,17 +746,7 @@ def encode_mp4_mjpeg(
         pos += sum(sizes[i : i + samples_per_chunk])
 
     duration = sum(delays_ms) * timescale // 1000
-    stsd_entry = (
-        struct.pack(">I4s6xH", 86, sample_type, 1)  # size, type, dref idx
-        + b"\x00" * 16
-        + struct.pack(">HH", width, height)
-        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
-        + b"\x00" * 4
-        + struct.pack(">H", 1)                     # frame count
-        + b"\x00" * 32                             # compressor name
-        + struct.pack(">Hh", 24, -1)               # depth, color table
-    )
-    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
+    stsd = _stsd_box(sample_type, width, height)
     stts = _full(b"stts", 0, 0, struct.pack(">I", len(sizes)) + b"".join(
         struct.pack(">II", 1, d * timescale // 1000) for d in delays_ms
     ))
@@ -764,6 +785,53 @@ def encode_mp4_mjpeg(
             struct.pack(">Ii" if cv else ">II", 1, u) for u in units
         ))
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss + ctts)
+    edts = b""
+    if elst_media_time_ms is not None or elst_empty_ms:
+        entries = []
+        if elst_empty_ms:  # empty edit: duration at the MOVIE timescale
+            entries.append(struct.pack(
+                ">IihH", elst_empty_ms * timescale // 1000, -1, 1, 0,
+            ))
+        entries.append(struct.pack(
+            ">IihH", duration,
+            (elst_media_time_ms or 0) * timescale // 1000, 1, 0,
+        ))
+        edts = _box(b"edts", _full(
+            b"elst", 0, 0,
+            struct.pack(">I", len(entries)) + b"".join(entries),
+        ))
+    moov = _moov_box(width, height, timescale, duration, stbl, edts=edts)
+    return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+def _unity_matrix() -> bytes:
+    return struct.pack(
+        ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000,
+    )
+
+
+def _stsd_box(sample_type: bytes, width: int, height: int) -> bytes:
+    """stsd with one VisualSampleEntry — shared by both fixture writers
+    so the entry layout cannot drift between them."""
+    entry = (
+        struct.pack(">I4s6xH", 86, sample_type, 1)  # size, type, dref idx
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)                     # frame count
+        + b"\x00" * 32                             # compressor name
+        + struct.pack(">Hh", 24, -1)               # depth, color table
+    )
+    return _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+
+
+def _moov_box(
+    width: int, height: int, timescale: int, duration: int, stbl: bytes,
+    edts: bytes = b"", mvex: bytes = b"",
+) -> bytes:
+    """moov with one video trak around the given stbl — the assembly
+    shared by the plain and fragmented fixture writers."""
     dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(
         b"url ", 0, 1, b"",
     ))
@@ -780,34 +848,12 @@ def encode_mp4_mjpeg(
                  + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0x0100, 0)
                  + _unity_matrix()
                  + struct.pack(">II", width << 16, height << 16))
-    edts = b""
-    if elst_media_time_ms is not None or elst_empty_ms:
-        entries = []
-        if elst_empty_ms:  # empty edit: duration at the MOVIE timescale
-            entries.append(struct.pack(
-                ">IihH", elst_empty_ms * timescale // 1000, -1, 1, 0,
-            ))
-        entries.append(struct.pack(
-            ">IihH", duration,
-            (elst_media_time_ms or 0) * timescale // 1000, 1, 0,
-        ))
-        edts = _box(b"edts", _full(
-            b"elst", 0, 0,
-            struct.pack(">I", len(entries)) + b"".join(entries),
-        ))
     trak = _box(b"trak", tkhd + edts + mdia)
     mvhd = _full(b"mvhd", 0, 0, struct.pack(
         ">IIII", 0, 0, timescale, duration,
     ) + struct.pack(">IH2x8x", 0x00010000, 0x0100) + _unity_matrix()
         + b"\x00" * 24 + struct.pack(">I", 2))
-    moov = _box(b"moov", mvhd + trak)
-    return ftyp + _box(b"mdat", mdat_payload) + moov
-
-
-def _unity_matrix() -> bytes:
-    return struct.pack(
-        ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000,
-    )
+    return _box(b"moov", mvhd + trak + mvex)
 
 
 def encode_mp4_fragmented(
@@ -838,48 +884,20 @@ def encode_mp4_fragmented(
         raise ValueError("sample_type is a 4CC")
     ftyp = _box(b"ftyp", b"iso5" + struct.pack(">I", 512) + b"iso5dash")
     duration = sum(delays_ms) * timescale // 1000
-    stsd_entry = (
-        struct.pack(">I4s6xH", 86, sample_type, 1)
-        + b"\x00" * 16
-        + struct.pack(">HH", width, height)
-        + struct.pack(">II", 0x00480000, 0x00480000)
-        + b"\x00" * 4 + struct.pack(">H", 1) + b"\x00" * 32
-        + struct.pack(">Hh", 24, -1)
-    )
     stbl = _box(
         b"stbl",
-        _full(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
+        _stsd_box(sample_type, width, height)
         + _full(b"stts", 0, 0, struct.pack(">I", 0))
         + _full(b"stsc", 0, 0, struct.pack(">I", 0))
         + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
         + _full(b"stco", 0, 0, struct.pack(">I", 0)),
     )
-    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(
-        b"url ", 0, 1, b"",
-    ))
-    minf = _box(b"minf", _full(b"vmhd", 0, 1, b"\x00" * 8)
-                + _box(b"dinf", dref) + stbl)
-    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12
-                 + b"VideoHandler\x00")
-    mdhd = _full(b"mdhd", 0, 0, struct.pack(
-        ">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0,
-    ))
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    tkhd = _full(b"tkhd", 0, 7, struct.pack(">III4xI", 0, 0, 1, duration)
-                 + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0x0100, 0)
-                 + _unity_matrix()
-                 + struct.pack(">II", width << 16, height << 16))
-    trak = _box(b"trak", tkhd + mdia)
-    mvhd = _full(b"mvhd", 0, 0, struct.pack(
-        ">IIII", 0, 0, timescale, duration,
-    ) + struct.pack(">IH2x8x", 0x00010000, 0x0100) + _unity_matrix()
-        + b"\x00" * 24 + struct.pack(">I", 2))
     # trex: track 1 defaults (unused here — truns carry every field —
     # but required by the spec for a fragmented movie)
     mvex = _box(b"mvex", _full(b"trex", 0, 0, struct.pack(
         ">IIIII", 1, 1, 0, 0, 0x00010000,
     )))
-    moov = _box(b"moov", mvhd + trak + mvex)
+    moov = _moov_box(width, height, timescale, duration, stbl, mvex=mvex)
 
     out = ftyp + moov
     decode_units = 0

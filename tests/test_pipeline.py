@@ -2840,5 +2840,32 @@ def test_mp4_fragmented_movies():
 
     # a fragment sample extending past the file end refuses
     cut = blob[:-3]
-    with pytest.raises(ValueError, match="past the file end|declares"):
+    with pytest.raises(ValueError, match="outside the file|declares"):
         parse_mp4_timeline(cut)
+
+    # a NEGATIVE trun data offset must refuse, not let Python slicing
+    # silently wrap to the file's tail
+    neg = bytearray(blob)
+    at2 = bytes(blob).index(b"trun") + 4 + 8  # fullbox + count
+    moof_at = bytes(blob).index(b"moof") - 4
+    struct.pack_into(">i", neg, at2, -(moof_at + 50))
+    with pytest.raises(ValueError, match="outside the file"):
+        parse_mp4_timeline(bytes(neg))
+
+    # tfhd lying about its size: flags declare a default duration the
+    # box cannot hold — refuse, don't read the neighbor box's bytes
+    short_tfhd = bytearray(blob)
+    th = bytes(blob).index(b"tfhd")
+    struct.pack_into(">I", short_tfhd, th - 4, 16)   # box size: hdr+v/f+tid
+    short_tfhd[th + 4 : th + 8] = (0x08).to_bytes(4, "big")  # v0 + flags
+    with pytest.raises(ValueError, match="tfhd too short"):
+        parse_mp4_timeline(bytes(short_tfhd))
+
+    # a FLAGLESS tfhd (no base-data-offset, no default-base-is-moof) in
+    # the moof's first traf takes the implicit base = moof start — same
+    # layout, so timing is unchanged
+    fore = bytearray(blob)
+    tf = bytes(blob).index(b"tfhd")
+    fore[tf + 4 : tf + 8] = (0).to_bytes(4, "big")  # v0, no flags at all
+    assert [r[0] for r in parse_mp4_timeline(bytes(fore))["samples"][:2]] \
+        == [0, 40]

@@ -74,7 +74,12 @@ def run(spark, name, path, window_ms, rows, hours_per_row):
         F.col("content").alias("payload"),
     )
     t0 = time.time()
-    n = sample_audio_windows(df, window_ms=window_ms).count()
+    # max_windows=None: the default 4096 cap would silently truncate the
+    # hour-long G.711 workload (144k windows/payload) to ~3% and make
+    # every throughput number here a lie
+    n = sample_audio_windows(
+        df, window_ms=window_ms, max_windows=None,
+    ).count()
     dt = time.time() - t0
     return (f"{name}: rows={rows} windows={n} time={dt:.1f}s "
             f"windows/s={n / dt:.0f} audio-hours/s={rows * hours_per_row / dt:.1f}")
