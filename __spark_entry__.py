@@ -1562,7 +1562,22 @@ def _mp4_fixture_blobs():
                 width=320, height=240, sample_type=b"avc1",
                 frames_per_fragment=2,
             ))
-        _MP4_FIXTURES = (mj, sizes, av, avb, frg)
+        # round 13: WebM — BlockGroup timing at the 5f(f+3) closed form,
+        # so delays are the deltas 10f+20 with an honest NULL on the
+        # final block (Matroska requires no per-frame duration);
+        # keyframe = no ReferenceBlock (even f)
+        from sed_binning_spark.pipeline.webm import encode_webm
+
+        wbm = []
+        for w in range(2):
+            n = 3 + w
+            wbm.append(encode_webm(
+                [b"\x00" * (7 + 3 * f + w) for f in range(n)],
+                [5 * f * (f + 3) for f in range(n)],
+                keyframes=[f % 2 == 0 for f in range(n)],
+                width=320, height=180, use_block_groups=True,
+            ))
+        _MP4_FIXTURES = (mj, sizes, av, avb, frg, wbm)
     return _MP4_FIXTURES
 
 
@@ -1654,7 +1669,9 @@ def _q_frame_sample(spark, sf):
     B-frame PRESENTATION timing (signed ctts offsets + an edit list's
     empty-edit delay, closed-form PTS); 'frag' — the fragmented
     DASH/CMAF shape through the real moof/traf/trun walk (tfdt-anchored
-    timing, per-sample sync bits); 'rsw' — transcode_audio resampling
+    timing, per-sample sync bits); 'webm' — the EBML/Matroska half of
+    web video (BlockGroup timing with an honest NULL delay on the final
+    block, ReferenceBlock keyframing); 'rsw' — transcode_audio resampling
     the 1 kHz fixture to 500 Hz (integral ratio → exact source picks,
     the even md5 bytes) before windowing; 'ulw'/'alw' — the same md5
     bytes behind ITU-T G.711 format tags, the twin replaying the ITU
@@ -1703,7 +1720,7 @@ def _q_frame_sample(spark, sf):
 
     # both MP4 families through ONE sample_frames stage; the leg label
     # re-derives from the id after decode
-    mj, _sizes, av, avb, frg = _mp4_fixture_blobs()
+    mj, _sizes, av, avb, frg, wbm = _mp4_fixture_blobs()
     did = F.col("doc_id")
     mp4_media = docs.where(did % 3 > 0).select(
         did.alias("media_id"),
@@ -1746,6 +1763,14 @@ def _q_frame_sample(spark, sf):
         .otherwise(F.lit(bytearray(frg[1]))).alias("payload"),
     )
     frag_leg = decoded_leg(sample_frames(frag_media), F.lit("frag"))
+    # round 13: the WebM half of web video — EBML BlockGroup timing
+    # through the real parse, honest NULL delay on the final block
+    webm_media = docs.where(did % 3 == 2).select(
+        did.alias("media_id"),
+        F.when(did % 2 == 0, F.lit(bytearray(wbm[0])))
+        .otherwise(F.lit(bytearray(wbm[1]))).alias("payload"),
+    )
+    webm_leg = decoded_leg(sample_frames(webm_media), F.lit("webm"))
     avck_leg = decoded_leg(
         sample_frames(mp4_media.where(F.col("media_id") % 3 == 2),
                       keyframes_only=True),
@@ -1814,6 +1839,7 @@ def _q_frame_sample(spark, sf):
         plan_leg.unionByName(gif_leg).unionByName(mp4_leg)
         .unionByName(gifk_leg).unionByName(avck_leg)
         .unionByName(avcb_leg).unionByName(frag_leg)
+        .unionByName(webm_leg)
         .unionByName(wav_leg).unionByName(rsw_leg)
         .unionByName(g711_leg).unionByName(adpcm_leg)
     )
@@ -3149,6 +3175,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(5 + 2 * t.f + (doc_id % 2) AS BIGINT), t.f % 2 = 0 "
             "FROM documents, range(5) t(f) "
             "WHERE doc_id % 3 = 1 AND t.f < 4 + (doc_id % 2) "
+            # WebM BlockGroup timeline: same 5f(f+3) starts, per-block
+            # durations = the deltas 10f+20 with an honest NULL on the
+            # final block; keyframe = no ReferenceBlock (even f)
+            "UNION ALL SELECT 'webm', doc_id, "
+            "CAST(5 * t.f * (t.f + 3) AS BIGINT), CAST(t.f AS INT), "
+            "CAST(CASE WHEN t.f < 2 + (doc_id % 2) "
+            "THEN 10 * t.f + 20 END AS BIGINT), 320, 180, "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(7 + 3 * t.f + (doc_id % 2) AS BIGINT), t.f % 2 = 0 "
+            "FROM documents, range(4) t(f) "
+            "WHERE doc_id % 3 = 2 AND t.f < 3 + (doc_id % 2) "
             # audio twin: 8-bit WAV samples = md5 bytes; every stat is a
             # dyadic rational ((b-128)/128), so the std's msq - mu*mu
             # form and the engine's mean-of-squared-deviations are the
@@ -3499,7 +3537,7 @@ def _mp4j_values_sql() -> str:
     Motion-JPEG-in-MP4 fixture as a VALUES list — the byte sizes come
     from the plan-time encode (the frozen-model pattern: the ENGINE
     re-derives them from the container's stsz walk)."""
-    _, sizes, _, _, _ = _mp4_fixture_blobs()
+    _, sizes, _, _, _, _ = _mp4_fixture_blobs()
     return ", ".join(
         f"({v}, {f}, {8 * (4 + 3 * f + 5 * v)}, {sizes[v][f]})"
         for v in range(2)

@@ -1919,7 +1919,10 @@ FRAME_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
     StructField("frame_index", IntegerType(), False),
     StructField("frame_ms", LongType(), False),
-    StructField("delay_ms", LongType(), False),
+    # nullable: Matroska does not require per-frame durations — a
+    # WebM block without BlockDuration or a track DefaultDuration
+    # reports NULL rather than a fabricated delay
+    StructField("delay_ms", LongType(), True),
     # nullable: a metadata-only timeline row (a real-codec MP4 track —
     # no pixel decoder ships here) carries timing/extent but no pixels;
     # width/height stay NULL when the sample entry omits them
@@ -1966,7 +1969,11 @@ def sample_frames(
     start/delay/byte extent/stss keyframe flag and the sample-entry
     dimensions — with NULL pixel statistics, so frame-rate/duration/
     keyframe analyses run on real video without pretending to decode
-    it. Payloads that are not animated media or fail to decode
+    it. WebM/Matroska (EBML) payloads get the same metadata-only
+    treatment via :func:`~sed_binning_spark.pipeline.webm.
+    parse_webm_timeline` — block timing, byte extents, keyframe flags,
+    NULL stats (and NULL delay where the container carries no
+    duration). Payloads that are not animated media or fail to decode
     contribute NO frame rows — a still image has no timeline; route it
     through :func:`extract_features` instead.
 
@@ -2026,6 +2033,22 @@ def sample_frames(
                     *_stat_row(img, len(fb), True),
                 ))
             return out
+        if b[:4] == b"\x1aE\xdf\xa3":
+            # WebM/Matroska: metadata-only timeline (VP8/VP9/AV1 — no
+            # pixel decoder ships here, same posture as avc1-in-MP4)
+            from sed_binning_spark.pipeline.webm import parse_webm_timeline
+
+            info = parse_webm_timeline(b, max_frames)
+            tw = info["width"] or None
+            th = info["height"] or None
+            return [
+                (i, start_ms, delay_ms, tw, th,
+                 None, None, None, None, size, kf)
+                for i, (start_ms, delay_ms, pos, size, kf) in enumerate(
+                    info["samples"],
+                )
+                if not keyframes_only or kf
+            ]
         if len(b) >= 12 and b[4:8] == b"ftyp":
             # MP4 container: samples + CONTAINER timing from the moov
             # sample tables (pipeline.mp4). Motion-JPEG tracks decode to

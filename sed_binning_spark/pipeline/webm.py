@@ -1,0 +1,350 @@
+"""Minimal WebM/Matroska (EBML) demuxing for the video frame-sampling
+path — the metadata-only twin of :mod:`~sed_binning_spark.pipeline.mp4`
+for the OTHER half of web-crawled video. No VP8/VP9/AV1 decoder ships
+here (same posture as H.264): the container still yields every block's
+presentation time, byte extent, and keyframe flag, which is what
+frame-rate/duration/keyframe analyses and ``keyframes_only`` sampling
+run on.
+
+Implemented from the public Matroska/EBML specs (RFC 8794 + the
+matroska.org element registry):
+
+- EBML varints (IDs keep their marker bits, sizes strip them; the
+  all-ones UNKNOWN size is honored for Segment — common in finalized
+  files written by streaming muxers — and refused loudly for Cluster,
+  where recovering the extent requires resynchronizing on sibling IDs);
+- ``Segment → Info.TimestampScale`` (ns per tick, default 1,000,000 =
+  1 ms), ``Tracks → TrackEntry`` (TrackNumber, TrackType, CodecID,
+  DefaultDuration, Video.PixelWidth/PixelHeight), ``Cluster →
+  Timestamp + SimpleBlock / BlockGroup(Block, BlockDuration,
+  ReferenceBlock)``;
+- SimpleBlock keyframe = its flags bit; Block-in-group keyframe = the
+  group carries no ReferenceBlock. Lacing is refused loudly (three
+  sub-formats of frame packing; dishonest to guess extents).
+
+Malformed framing raises ValueError naming the defect, like every codec
+in :mod:`~sed_binning_spark.pipeline.multimodal`; the Spark operator
+catches and degrades per its documented posture.
+"""
+import struct
+
+EBML_MAGIC = b"\x1aE\xdf\xa3"
+
+# element IDs (with marker bits, as they appear in the stream)
+_SEGMENT = 0x18538067
+_INFO = 0x1549A966
+_TIMESTAMP_SCALE = 0x2AD7B1
+_TRACKS = 0x1654AE6B
+_TRACK_ENTRY = 0xAE
+_TRACK_NUMBER = 0xD7
+_TRACK_TYPE = 0x83
+_CODEC_ID = 0x86
+_DEFAULT_DURATION = 0x23E383
+_VIDEO = 0xE0
+_PIXEL_WIDTH = 0xB0
+_PIXEL_HEIGHT = 0xBA
+_CLUSTER = 0x1F43B675
+_CLUSTER_TIMESTAMP = 0xE7
+_SIMPLE_BLOCK = 0xA3
+_BLOCK_GROUP = 0xA0
+_BLOCK = 0xA1
+_BLOCK_DURATION = 0x9B
+_REFERENCE_BLOCK = 0xFB
+
+
+def _read_vint(data: bytes, pos: int, keep_marker: bool):
+    """EBML variable-length integer at ``pos`` → (value, next_pos).
+    IDs keep the length-marker bit, sizes strip it; a stripped all-ones
+    value means UNKNOWN size and returns None."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML varint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML varint (>8 bytes)")
+    length = 8 - first.bit_length() + 1
+    if pos + length > len(data):
+        raise ValueError("truncated EBML varint")
+    if keep_marker:
+        val = 0
+        for b in data[pos : pos + length]:
+            val = (val << 8) | b
+    else:
+        val = first & (0xFF >> length)
+        all_ones = val == (0xFF >> length)
+        for b in data[pos + 1 : pos + length]:
+            val = (val << 8) | b
+            all_ones = all_ones and b == 0xFF
+        if all_ones:
+            return None, pos + length
+    return val, pos + length
+
+
+def _iter_elements(data: bytes, pos: int, end: int):
+    """Yield (element_id, payload_start, payload_end_or_None) for the
+    EBML elements in data[pos:end]. An unknown-size element yields
+    payload_end None and MUST be the last one consumed by the caller
+    (its extent is undefined without schema knowledge)."""
+    while pos < end:
+        eid, pos = _read_vint(data, pos, keep_marker=True)
+        size, pos = _read_vint(data, pos, keep_marker=False)
+        if size is None:
+            yield eid, pos, None
+            return
+        if pos + size > end:
+            raise ValueError(
+                f"EBML element 0x{eid:X} declares {size} bytes, "
+                f"{end - pos} available",
+            )
+        yield eid, pos, pos + size
+        pos += size
+
+
+def _uint(data: bytes, s: int, e: int) -> int:
+    if e - s > 8:
+        raise ValueError("EBML unsigned integer wider than 8 bytes")
+    return int.from_bytes(data[s:e], "big")
+
+
+def _parse_block(data, s, e, video_track, keyframe):
+    """(rel_ts, pos, size, keyframe) of a (Simple)Block when it belongs
+    to ``video_track``, else None. ``keyframe`` None means 'read the
+    SimpleBlock flags bit'."""
+    track, p = _read_vint(data, s, keep_marker=False)
+    if track is None:
+        raise ValueError("Matroska block with unknown-size track number")
+    if p + 3 > e:
+        raise ValueError("Matroska block shorter than its fixed header")
+    if track != video_track:
+        return None
+    (rel,) = struct.unpack_from(">h", data, p)
+    flags = data[p + 2]
+    if flags & 0x06:
+        raise ValueError(
+            "Matroska block lacing unsupported (frame extents would be "
+            "guesses)",
+        )
+    if keyframe is None:
+        keyframe = bool(flags & 0x80)
+    return rel, p + 3, e - (p + 3), keyframe
+
+
+def parse_webm_timeline(data: bytes, max_frames: int | None = None) -> dict:
+    """Container timeline of the FIRST video track of a WebM/Matroska
+    stream — no payload decode: ``{"codec": str, "width": int,
+    "height": int, "samples": [(start_ms, delay_ms, offset, n_bytes,
+    keyframe), ...]}``, the same shape as
+    :func:`~sed_binning_spark.pipeline.mp4.parse_mp4_timeline`.
+
+    ``start_ms`` = (cluster Timestamp + block relative timestamp) ×
+    TimestampScale, in ms. ``delay_ms`` is the BlockGroup's
+    BlockDuration when present, else the track's DefaultDuration, else
+    None — Matroska does not require per-frame durations. Rows stay in
+    container order."""
+    if data[:4] != EBML_MAGIC:
+        raise ValueError("not an EBML (WebM/Matroska) stream")
+    segment = None
+    for eid, s, e in _iter_elements(data, 0, len(data)):
+        if eid == _SEGMENT:
+            segment = (s, len(data) if e is None else e)
+            break
+        if e is None:
+            raise ValueError(
+                f"EBML element 0x{eid:X} with unknown size before the "
+                f"Segment",
+            )
+    if segment is None:
+        raise ValueError("EBML stream has no Segment")
+
+    scale_ns = 1_000_000
+    video_track = None
+    codec = ""
+    width = height = 0
+    default_ms = None
+    out = []
+    for eid, s, e in _iter_elements(data, *segment):
+        if e is None:
+            raise ValueError(
+                f"Matroska element 0x{eid:X} with unknown size inside "
+                f"the Segment unsupported (resync not implemented)",
+            )
+        if eid == _INFO:
+            for i2, s2, e2 in _iter_elements(data, s, e):
+                if i2 == _TIMESTAMP_SCALE:
+                    scale_ns = _uint(data, s2, e2)
+                    if scale_ns == 0:
+                        raise ValueError("Matroska TimestampScale of zero")
+        elif eid == _TRACKS and video_track is None:
+            for i2, s2, e2 in _iter_elements(data, s, e):
+                if i2 != _TRACK_ENTRY:
+                    continue
+                num = ttype = None
+                cid = ""
+                w = h = 0
+                dd = None
+                for i3, s3, e3 in _iter_elements(data, s2, e2):
+                    if i3 == _TRACK_NUMBER:
+                        num = _uint(data, s3, e3)
+                    elif i3 == _TRACK_TYPE:
+                        ttype = _uint(data, s3, e3)
+                    elif i3 == _CODEC_ID:
+                        cid = data[s3:e3].decode("ascii", "replace")
+                    elif i3 == _DEFAULT_DURATION:
+                        dd = _uint(data, s3, e3)
+                    elif i3 == _VIDEO:
+                        for i4, s4, e4 in _iter_elements(data, s3, e3):
+                            if i4 == _PIXEL_WIDTH:
+                                w = _uint(data, s4, e4)
+                            elif i4 == _PIXEL_HEIGHT:
+                                h = _uint(data, s4, e4)
+                if ttype == 1 and num is not None:  # first video track
+                    video_track, codec, width, height = num, cid, w, h
+                    if dd:
+                        default_ms = dd // 1_000_000  # ns → ms
+                    break
+        elif eid == _CLUSTER:
+            if video_track is None:
+                raise ValueError(
+                    "Matroska Cluster before any video TrackEntry",
+                )
+            cluster_ts = 0
+            for i2, s2, e2 in _iter_elements(data, s, e):
+                if max_frames is not None and len(out) >= int(max_frames):
+                    return _result(codec, width, height, out)
+                if i2 == _CLUSTER_TIMESTAMP:
+                    cluster_ts = _uint(data, s2, e2)
+                elif i2 == _SIMPLE_BLOCK:
+                    got = _parse_block(data, s2, e2, video_track, None)
+                    if got is not None:
+                        rel, pos, size, kf = got
+                        out.append((
+                            (cluster_ts + rel) * scale_ns // 1_000_000,
+                            default_ms, pos, size, kf,
+                        ))
+                elif i2 == _BLOCK_GROUP:
+                    block = None
+                    dur = None
+                    referenced = False
+                    for i3, s3, e3 in _iter_elements(data, s2, e2):
+                        if i3 == _BLOCK:
+                            block = (s3, e3)
+                        elif i3 == _BLOCK_DURATION:
+                            dur = _uint(data, s3, e3)
+                        elif i3 == _REFERENCE_BLOCK:
+                            referenced = True
+                    if block is None:
+                        raise ValueError(
+                            "Matroska BlockGroup without a Block",
+                        )
+                    # keyframe ⇔ the group references no other block
+                    got = _parse_block(
+                        data, block[0], block[1], video_track,
+                        not referenced,
+                    )
+                    if got is not None:
+                        rel, pos, size, kf = got
+                        d = (dur * scale_ns // 1_000_000
+                             if dur is not None else default_ms)
+                        out.append((
+                            (cluster_ts + rel) * scale_ns // 1_000_000,
+                            d, pos, size, kf,
+                        ))
+    if video_track is None:
+        raise ValueError("Matroska stream has no video track")
+    return _result(codec, width, height, out)
+
+
+def _result(codec, width, height, samples) -> dict:
+    return {
+        "codec": codec,
+        "decodable": False,  # VP8/VP9/AV1: no pixel decoder ships here
+        "width": int(width),
+        "height": int(height),
+        "samples": samples,
+    }
+
+
+# ---------------------------------------------------------- fixture writer
+def _vint_size(value: int) -> bytes:
+    """Encode an EBML SIZE (marker bit in the first byte)."""
+    for length in range(1, 9):
+        if value < (1 << (7 * length)) - 1:  # all-ones is reserved
+            out = value | (1 << (7 * length))
+            return out.to_bytes(length, "big")
+    raise ValueError(f"EBML size {value} too large")
+
+
+def _elem(eid: int, payload: bytes) -> bytes:
+    eid_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    return eid_bytes + _vint_size(len(payload)) + payload
+
+
+def _uint_elem(eid: int, value: int) -> bytes:
+    width = max(1, (value.bit_length() + 7) // 8)
+    return _elem(eid, value.to_bytes(width, "big"))
+
+
+def encode_webm(
+    frames: list[bytes],
+    times_ms: list[int],
+    keyframes: list[bool] | None = None,
+    width: int = 0,
+    height: int = 0,
+    codec_id: str = "V_VP9",
+    blocks_per_cluster: int = 2,
+    default_duration_ms: int | None = None,
+    use_block_groups: bool = False,
+    track_number: int = 1,
+) -> bytes:
+    """Spec-built WebM fixture: one video track whose Clusters carry the
+    given payloads as SimpleBlocks (or BlockGroups with
+    ``use_block_groups`` — keyframes become absent ReferenceBlocks and
+    per-block durations are written from the time deltas). Cluster
+    Timestamps anchor each group of ``blocks_per_cluster`` frames; the
+    block-relative timestamps carry the remainder."""
+    if len(frames) != len(times_ms):
+        raise ValueError("one timestamp per frame, please")
+    if keyframes is not None and len(keyframes) != len(frames):
+        raise ValueError("one keyframe flag per frame, please")
+    header = _elem(0x1A45DFA3, b"".join([
+        _uint_elem(0x4286, 1),            # EBMLVersion
+        _uint_elem(0x42F7, 1),            # EBMLReadVersion
+        _uint_elem(0x42F2, 4),            # EBMLMaxIDLength
+        _uint_elem(0x42F3, 8),            # EBMLMaxSizeLength
+        _elem(0x4282, b"webm"),           # DocType
+        _uint_elem(0x4287, 2),            # DocTypeVersion
+        _uint_elem(0x4285, 2),            # DocTypeReadVersion
+    ]))
+    info = _elem(_INFO, _uint_elem(_TIMESTAMP_SCALE, 1_000_000))
+    video = _elem(_VIDEO, _uint_elem(_PIXEL_WIDTH, width)
+                  + _uint_elem(_PIXEL_HEIGHT, height))
+    entry = (_uint_elem(_TRACK_NUMBER, track_number)
+             + _uint_elem(_TRACK_TYPE, 1)
+             + _elem(_CODEC_ID, codec_id.encode("ascii")))
+    if default_duration_ms is not None:
+        entry += _uint_elem(_DEFAULT_DURATION, default_duration_ms * 1_000_000)
+    entry += video
+    tracks = _elem(_TRACKS, _elem(_TRACK_ENTRY, entry))
+    clusters = b""
+    for i in range(0, len(frames), blocks_per_cluster):
+        base = times_ms[i]
+        body = _uint_elem(_CLUSTER_TIMESTAMP, base)
+        for j in range(i, min(i + blocks_per_cluster, len(frames))):
+            kf = keyframes[j] if keyframes is not None else True
+            rel = times_ms[j] - base
+            blk = (_vint_size(track_number)
+                   + struct.pack(">h", rel)
+                   + bytes([0x80 if (kf and not use_block_groups) else 0])
+                   + frames[j])
+            if use_block_groups:
+                grp = _elem(_BLOCK, blk)
+                nxt = times_ms[j + 1] if j + 1 < len(frames) else None
+                if nxt is not None:
+                    grp += _uint_elem(_BLOCK_DURATION, nxt - times_ms[j])
+                if not kf:
+                    grp += _elem(_REFERENCE_BLOCK, b"\x7f")
+                body += _elem(_BLOCK_GROUP, grp)
+            else:
+                body += _elem(_SIMPLE_BLOCK, blk)
+        clusters += _elem(_CLUSTER, body)
+    segment = _elem(_SEGMENT, info + tracks + clusters)
+    return header + segment

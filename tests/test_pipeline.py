@@ -2780,6 +2780,78 @@ def test_mp4_stz2_compact_sizes():
                          use_stz2=True)
 
 
+def test_webm_metadata_timeline(spark):
+    """WebM/Matroska (round 13): EBML block timing — cluster Timestamp
+    + block relative time at TimestampScale — byte-exact extents,
+    SimpleBlock flag keyframes AND BlockGroup ReferenceBlock
+    keyframing, BlockDuration/DefaultDuration/NULL delay precedence,
+    the track filter, lacing refusal, and the sample_frames
+    metadata-only rows (NULL stats, container index preserved under
+    keyframes_only)."""
+    import numpy as np
+    import pytest
+
+    from sed_binning_spark.pipeline.multimodal import sample_frames
+    from sed_binning_spark.pipeline.webm import (
+        encode_webm, parse_webm_timeline,
+    )
+
+    pay = [bytes([i]) * (8 + i) for i in range(5)]
+    kfs = [True, False, True, False, False]
+    blob = encode_webm(pay, [0, 40, 80, 120, 160], keyframes=kfs,
+                       width=320, height=180, default_duration_ms=40)
+    info = parse_webm_timeline(blob)
+    assert info["codec"] == "V_VP9" and not info["decodable"]
+    assert (info["width"], info["height"]) == (320, 180)
+    assert [(r[0], r[1], r[3], r[4]) for r in info["samples"]] == [
+        (0, 40, 8, True), (40, 40, 9, False), (80, 40, 10, True),
+        (120, 40, 11, False), (160, 40, 12, False),
+    ]
+    for (st, d, pos, sz, kf), p in zip(info["samples"], pay):
+        assert blob[pos : pos + sz] == p
+    assert len(parse_webm_timeline(blob, max_frames=2)["samples"]) == 2
+
+    # BlockGroups: per-block durations from the time deltas, keyframe =
+    # no ReferenceBlock, final block has no successor -> NULL duration
+    grp = encode_webm(pay, [0, 30, 70, 120, 180],
+                      keyframes=[True, False, False, True, False],
+                      use_block_groups=True)
+    got = [(r[0], r[1], r[4]) for r in parse_webm_timeline(grp)["samples"]]
+    assert got == [(0, 30, True), (30, 40, False), (70, 50, False),
+                   (120, 60, True), (180, None, False)]
+
+    # no DefaultDuration and no BlockDuration -> NULL delay
+    bare = encode_webm(pay[:2], [0, 25])
+    assert [r[1] for r in parse_webm_timeline(bare)["samples"]] \
+        == [None, None]
+
+    # foreign-track blocks are skipped (the fixture's track filter)
+    two = encode_webm(pay[:2], [0, 25], track_number=3)
+    assert len(parse_webm_timeline(two)["samples"]) == 2
+
+    # lacing refuses loudly
+    laced = bytearray(blob)
+    first_flags = blob.index(pay[0]) - 1
+    laced[first_flags] |= 0x02
+    with pytest.raises(ValueError, match="lacing"):
+        parse_webm_timeline(bytes(laced))
+    with pytest.raises(ValueError, match="not an EBML"):
+        parse_webm_timeline(b"\x00" * 16)
+
+    # the Spark path: metadata-only rows, keyframes_only preserves the
+    # container index
+    df = spark.createDataFrame(
+        [(9, bytearray(blob))], "media_id long, payload binary",
+    )
+    rows = sample_frames(df).orderBy("frame_index").collect()
+    assert [r.frame_ms for r in rows] == [0, 40, 80, 120, 160]
+    assert all(r.mean is None and r.width == 320 for r in rows)
+    assert [r.n_bytes for r in rows] == [8, 9, 10, 11, 12]
+    krows = sample_frames(df, keyframes_only=True) \
+        .orderBy("frame_index").collect()
+    assert [r.frame_index for r in krows] == [0, 2]
+
+
 def test_mp4_fragmented_movies():
     """Fragmented MP4 (round 13 — the DASH/CMAF shape of web video):
     moof/traf/trun samples carry continuous tfdt-anchored timing across
