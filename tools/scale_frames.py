@@ -54,7 +54,14 @@ def build_payloads():
         [b"\x00" * 4000] * 50, [20] * 50, width=1920, height=1080,
         sample_type=b"avc1", sync_samples=list(range(1, 51, 10)),
     )
-    return gif, mjpeg, mp4
+    from sed_binning_spark.pipeline.webm import encode_webm
+
+    webm = encode_webm(
+        [b"\x00" * 4000] * 50, [20 * f for f in range(50)],
+        keyframes=[f % 10 == 0 for f in range(50)],
+        width=1920, height=1080, default_duration_ms=20,
+    )
+    return gif, mjpeg, mp4, webm
 
 
 def run(spark, name, blob, rows):
@@ -81,13 +88,15 @@ def main():
     mp4_rows = int(sys.argv[3]) if len(sys.argv) > 3 else 20000
     spark = get_spark(master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
-    gif, mjpeg, mp4 = build_payloads()
-    print(f"payload sizes: gif={len(gif)} mjpeg={len(mjpeg)} mp4={len(mp4)}",
+    gif, mjpeg, mp4, webm = build_payloads()
+    print(f"payload sizes: gif={len(gif)} mjpeg={len(mjpeg)} "
+          f"mp4={len(mp4)} webm={len(webm)}",
           flush=True)
     results = [
         run(spark, "gif_100f_32x32", gif, gif_rows),
         run(spark, "mjpeg_50f_64x64", mjpeg, mj_rows),
         run(spark, "avc1_50f_meta", mp4, mp4_rows),
+        run(spark, "webm_50f_meta", webm, mp4_rows),
     ]
     # all results at the END on their own lines: Spark's console progress
     # bar overwrites interleaved prints
