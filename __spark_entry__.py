@@ -1577,7 +1577,19 @@ def _mp4_fixture_blobs():
                 keyframes=[f % 2 == 0 for f in range(n)],
                 width=320, height=180, use_block_groups=True,
             ))
-        _MP4_FIXTURES = (mj, sizes, av, avb, frg, wbm)
+        # round 13: the AUDIO-track timeline (soun handler) — same
+        # 5f(f+3) closed form; no stss → every sample sync; audio mode
+        # reports NULL dims (channels/rate are pytest-pinned metadata)
+        m4a = []
+        for w in range(2):
+            n = 3 + w
+            m4a.append(encode_mp4_mjpeg(
+                [b"\x00" * (9 + 2 * f + w) for f in range(n)],
+                [(2 + f) * 10 for f in range(n)],
+                sample_type=b"mp4a", handler=b"soun",
+                channels=1 + w, sample_rate=8000 * (1 + w),
+            ))
+        _MP4_FIXTURES = (mj, sizes, av, avb, frg, wbm, m4a)
     return _MP4_FIXTURES
 
 
@@ -1671,7 +1683,9 @@ def _q_frame_sample(spark, sf):
     DASH/CMAF shape through the real moof/traf/trun walk (tfdt-anchored
     timing, per-sample sync bits); 'webm' — the EBML/Matroska half of
     web video (BlockGroup timing with an honest NULL delay on the final
-    block, ReferenceBlock keyframing); 'rsw' — transcode_audio resampling
+    block, ReferenceBlock keyframing); 'm4au' — the soun-handler AUDIO
+    track timeline through the same operator in media="audio" mode;
+    'rsw' — transcode_audio resampling
     the 1 kHz fixture to 500 Hz (integral ratio → exact source picks,
     the even md5 bytes) before windowing; 'ulw'/'alw' — the same md5
     bytes behind ITU-T G.711 format tags, the twin replaying the ITU
@@ -1720,7 +1734,7 @@ def _q_frame_sample(spark, sf):
 
     # both MP4 families through ONE sample_frames stage; the leg label
     # re-derives from the id after decode
-    mj, _sizes, av, avb, frg, wbm = _mp4_fixture_blobs()
+    mj, _sizes, av, avb, frg, wbm, m4a = _mp4_fixture_blobs()
     did = F.col("doc_id")
     mp4_media = docs.where(did % 3 > 0).select(
         did.alias("media_id"),
@@ -1771,6 +1785,17 @@ def _q_frame_sample(spark, sf):
         .otherwise(F.lit(bytearray(wbm[1]))).alias("payload"),
     )
     webm_leg = decoded_leg(sample_frames(webm_media), F.lit("webm"))
+    # round 13: the audio-track (soun) timeline through the SAME
+    # operator in media="audio" mode — how a speech pipeline locates
+    # audio segments inside A/V containers without a codec
+    m4au_media = docs.where(did % 3 == 0).select(
+        did.alias("media_id"),
+        F.when(did % 2 == 0, F.lit(bytearray(m4a[0])))
+        .otherwise(F.lit(bytearray(m4a[1]))).alias("payload"),
+    )
+    m4au_leg = decoded_leg(
+        sample_frames(m4au_media, media="audio"), F.lit("m4au"),
+    )
     avck_leg = decoded_leg(
         sample_frames(mp4_media.where(F.col("media_id") % 3 == 2),
                       keyframes_only=True),
@@ -1839,7 +1864,7 @@ def _q_frame_sample(spark, sf):
         plan_leg.unionByName(gif_leg).unionByName(mp4_leg)
         .unionByName(gifk_leg).unionByName(avck_leg)
         .unionByName(avcb_leg).unionByName(frag_leg)
-        .unionByName(webm_leg)
+        .unionByName(webm_leg).unionByName(m4au_leg)
         .unionByName(wav_leg).unionByName(rsw_leg)
         .unionByName(g711_leg).unionByName(adpcm_leg)
     )
@@ -3187,6 +3212,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(7 + 3 * t.f + (doc_id % 2) AS BIGINT), t.f % 2 = 0 "
             "FROM documents, range(4) t(f) "
             "WHERE doc_id % 3 = 2 AND t.f < 3 + (doc_id % 2) "
+            # audio-track (soun) timeline: same 5f(f+3) closed form,
+            # NULL dims in audio mode, no stss → every sample sync
+            "UNION ALL SELECT 'm4au', doc_id, "
+            "CAST(5 * t.f * (t.f + 3) AS BIGINT), CAST(t.f AS INT), "
+            "CAST((2 + t.f) * 10 AS BIGINT), "
+            "CAST(NULL AS INT), CAST(NULL AS INT), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(9 + 2 * t.f + (doc_id % 2) AS BIGINT), TRUE "
+            "FROM documents, range(4) t(f) "
+            "WHERE doc_id % 3 = 0 AND t.f < 3 + (doc_id % 2) "
             # audio twin: 8-bit WAV samples = md5 bytes; every stat is a
             # dyadic rational ((b-128)/128), so the std's msq - mu*mu
             # form and the engine's mean-of-squared-deviations are the
@@ -3537,7 +3573,7 @@ def _mp4j_values_sql() -> str:
     Motion-JPEG-in-MP4 fixture as a VALUES list — the byte sizes come
     from the plan-time encode (the frozen-model pattern: the ENGINE
     re-derives them from the container's stsz walk)."""
-    _, sizes, _, _, _, _ = _mp4_fixture_blobs()
+    _, sizes, _, _, _, _, _ = _mp4_fixture_blobs()
     return ", ".join(
         f"({v}, {f}, {8 * (4 + 3 * f + 5 * v)}, {sizes[v][f]})"
         for v in range(2)

@@ -94,9 +94,17 @@ def _full_box(data: bytes, pos: int) -> tuple[int, int]:
 
 
 def _video_tracks(data: bytes):
-    """Yield ``(sd_type, width, height, timescale, tables)`` for each
-    video trak of the moov, in file order — the shared walk under both
-    the payload demuxer and the metadata-only timeline. ``tables`` is
+    """Video tracks — see :func:`_media_tracks`."""
+    return _media_tracks(data, b"vide")
+
+
+def _media_tracks(data: bytes, handler: bytes):
+    """Yield ``(sd_type, dim1, dim2, timescale, tables)`` for each trak
+    of the moov whose hdlr matches ``handler`` (b"vide"/b"soun"), in
+    file order — the shared walk under both the payload demuxer and the
+    metadata-only timeline. For video tracks dim1/dim2 are the
+    VisualSampleEntry width/height; for audio tracks the
+    AudioSampleEntry channel count and sample rate. ``tables`` is
     the stbl box index plus two trak-level extras when present: the
     ``elst`` span (edit list, from trak→edts) and the movie timescale
     (``b"mvhd-ts"``, needed to convert empty-edit durations)."""
@@ -131,7 +139,7 @@ def _video_tracks(data: bytes):
         if mdia is None:
             continue
         hdlr = _find(data, mdia[0], mdia[1], b"hdlr")
-        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != handler:
             continue
         mdhd = _find(data, mdia[0], mdia[1], b"mdhd")
         minf = _find(data, mdia[0], mdia[1], b"minf")
@@ -175,13 +183,22 @@ def _video_tracks(data: bytes):
         if sd_pos + 8 > stsd[1]:
             raise ValueError("MP4 stsd has no entries")
         sd_type = data[sd_pos + 4 : sd_pos + 8]
-        # VisualSampleEntry dims: 8 (SampleEntry) + 6 reserved + 2 dref
-        # + 16 pre_defined/reserved, then width/height (ISO 14496-12
-        # §12.1.3) — 0/0 when the entry is too short to carry them
-        width = height = 0
-        if sd_pos + 36 <= stsd[1]:
-            width, height = struct.unpack_from(">HH", data, sd_pos + 32)
-        yield sd_type, width, height, timescale, tables
+        dim1 = dim2 = 0
+        if handler == b"vide":
+            # VisualSampleEntry dims: 8 (SampleEntry) + 6 reserved +
+            # 2 dref + 16 pre_defined/reserved, then width/height (ISO
+            # 14496-12 §12.1.3) — 0/0 when the entry is too short
+            if sd_pos + 36 <= stsd[1]:
+                dim1, dim2 = struct.unpack_from(">HH", data, sd_pos + 32)
+        else:
+            # AudioSampleEntry: 8 (SampleEntry) + 6 reserved + 2 dref +
+            # 8 reserved, then channelcount(2) samplesize(2)
+            # pre_defined(2) reserved(2) samplerate(16.16 fixed) (ISO
+            # 14496-12 §12.2.3)
+            if sd_pos + 36 <= stsd[1]:
+                dim1 = struct.unpack_from(">H", data, sd_pos + 24)[0]
+                dim2 = struct.unpack_from(">I", data, sd_pos + 32)[0] >> 16
+        yield sd_type, dim1, dim2, timescale, tables
 
 
 def parse_mp4_samples(
@@ -219,15 +236,16 @@ def parse_mp4_timeline(
     data: bytes,
     max_frames: int | None = None,
     prefer: tuple[bytes, ...] = _JPEG_SAMPLE_TYPES,
+    media: str = "video",
 ) -> dict:
-    """Container timeline of ONE video track of ANY codec — no payload
+    """Container timeline of ONE track of ANY codec — no payload
     decode: ``{"codec": str, "width": int, "height": int, "samples":
     [(start_ms, delay_ms, offset, n_bytes, keyframe), ...]}``. The
     track picked is the first whose sample type is in ``prefer``
     (default: the decodable Motion-JPEG flavors, so a multi-track file
     with an avc1 trak BEFORE a jpeg trak still surfaces the decodable
     one — parse_mp4_samples' track-selection behavior), else the first
-    video track.
+    track of the requested ``media`` kind.
 
     Real multimodal corpora are mostly H.264/H.265, which this
     environment cannot decode to pixels — but the moov sample tables
@@ -239,24 +257,37 @@ def parse_mp4_timeline(
     ``codec`` string is the 4CC decoded with replacement (4CCs are
     arbitrary bytes); lying sample tables raise exactly as in
     :func:`parse_mp4_samples` — the refuse-dishonest-tables posture is
-    codec-independent."""
+    codec-independent.
+
+    ``media="audio"`` picks the first soun-handler track instead — the
+    same timeline treatment for AAC/Opus/etc. (none of which decode
+    here): the dict gains ``channels`` and ``sample_rate`` from the
+    AudioSampleEntry, and width/height are 0. That locates and
+    measures a corpus's speech segments without touching a codec."""
+    if media not in ("video", "audio"):
+        raise ValueError(f"media must be 'video' or 'audio', got {media!r}")
+    handler = b"vide" if media == "video" else b"soun"
     first = None
-    for track in _video_tracks(data):
+    for track in _media_tracks(data, handler):
         if first is None:
             first = track
         if track[0] in prefer:
             first = track
             break
     if first is None:
-        raise ValueError("MP4 contains no video track")
-    sd_type, width, height, timescale, tables = first
-    return {
+        raise ValueError(f"MP4 contains no {media} track")
+    sd_type, dim1, dim2, timescale, tables = first
+    out = {
         "codec": sd_type.decode("ascii", "replace"),
-        "decodable": sd_type in _JPEG_SAMPLE_TYPES,
-        "width": int(width),
-        "height": int(height),
+        "decodable": media == "video" and sd_type in _JPEG_SAMPLE_TYPES,
+        "width": int(dim1) if media == "video" else 0,
+        "height": int(dim2) if media == "video" else 0,
         "samples": _all_sample_rows(data, tables, timescale, max_frames),
     }
+    if media == "audio":
+        out["channels"] = int(dim1)
+        out["sample_rate"] = int(dim2)
+    return out
 
 
 def _sync_samples(data: bytes, tables) -> set[int] | None:
@@ -711,6 +742,9 @@ def encode_mp4_mjpeg(
     elst_media_time_ms: int | None = None,
     elst_empty_ms: int = 0,
     use_stz2: bool = False,
+    handler: bytes = b"vide",
+    channels: int = 2,
+    sample_rate: int = 48000,
 ) -> bytes:
     """Spec-built MP4 fixture: one video track (``sample_type``-coded,
     'jpeg' by default) whose mdat carries the given payloads in
@@ -726,7 +760,9 @@ def encode_mp4_mjpeg(
     cancel the initial composition delay), optionally preceded by an
     ``elst_empty_ms`` empty edit that delays the track;
     ``use_stz2`` stores sample sizes in the compact 16-bit stz2 box
-    instead of stsz."""
+    instead of stsz. ``handler=b"soun"`` writes an AUDIO track instead
+    (AudioSampleEntry with ``channels``/``sample_rate``, smhd) — the
+    fixture shape for parse_mp4_timeline's ``media="audio"`` mode."""
     if len(jpeg_frames) != len(delays_ms):
         raise ValueError("one delay per frame, please")
     if composition_offsets_ms is not None and \
@@ -746,7 +782,8 @@ def encode_mp4_mjpeg(
         pos += sum(sizes[i : i + samples_per_chunk])
 
     duration = sum(delays_ms) * timescale // 1000
-    stsd = _stsd_box(sample_type, width, height)
+    stsd = _stsd_box(sample_type, width, height, handler=handler,
+                     channels=channels, sample_rate=sample_rate)
     stts = _full(b"stts", 0, 0, struct.pack(">I", len(sizes)) + b"".join(
         struct.pack(">II", 1, d * timescale // 1000) for d in delays_ms
     ))
@@ -800,7 +837,8 @@ def encode_mp4_mjpeg(
             b"elst", 0, 0,
             struct.pack(">I", len(entries)) + b"".join(entries),
         ))
-    moov = _moov_box(width, height, timescale, duration, stbl, edts=edts)
+    moov = _moov_box(width, height, timescale, duration, stbl, edts=edts,
+                     handler=handler)
     return ftyp + _box(b"mdat", mdat_payload) + moov
 
 
@@ -810,35 +848,48 @@ def _unity_matrix() -> bytes:
     )
 
 
-def _stsd_box(sample_type: bytes, width: int, height: int) -> bytes:
-    """stsd with one VisualSampleEntry — shared by both fixture writers
-    so the entry layout cannot drift between them."""
-    entry = (
-        struct.pack(">I4s6xH", 86, sample_type, 1)  # size, type, dref idx
-        + b"\x00" * 16
-        + struct.pack(">HH", width, height)
-        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
-        + b"\x00" * 4
-        + struct.pack(">H", 1)                     # frame count
-        + b"\x00" * 32                             # compressor name
-        + struct.pack(">Hh", 24, -1)               # depth, color table
-    )
+def _stsd_box(
+    sample_type: bytes, width: int, height: int,
+    handler: bytes = b"vide", channels: int = 2, sample_rate: int = 48000,
+) -> bytes:
+    """stsd with one Visual- or AudioSampleEntry — shared by both
+    fixture writers so the entry layouts cannot drift between them."""
+    if handler == b"soun":
+        entry = (
+            struct.pack(">I4s6xH", 36, sample_type, 1)  # size/type/dref
+            + b"\x00" * 8                               # reserved
+            + struct.pack(">HH", channels, 16)  # channelcount, samplesize
+            + b"\x00" * 4                       # pre_defined + reserved
+            + struct.pack(">I", sample_rate << 16)       # 16.16 fixed
+        )
+    else:
+        entry = (
+            struct.pack(">I4s6xH", 86, sample_type, 1)  # size, type, dref
+            + b"\x00" * 16
+            + struct.pack(">HH", width, height)
+            + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+            + b"\x00" * 4
+            + struct.pack(">H", 1)                     # frame count
+            + b"\x00" * 32                             # compressor name
+            + struct.pack(">Hh", 24, -1)               # depth, color table
+        )
     return _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
 
 
 def _moov_box(
     width: int, height: int, timescale: int, duration: int, stbl: bytes,
-    edts: bytes = b"", mvex: bytes = b"",
+    edts: bytes = b"", mvex: bytes = b"", handler: bytes = b"vide",
 ) -> bytes:
-    """moov with one video trak around the given stbl — the assembly
-    shared by the plain and fragmented fixture writers."""
+    """moov with one video or audio trak around the given stbl — the
+    assembly shared by the plain and fragmented fixture writers."""
     dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(
         b"url ", 0, 1, b"",
     ))
-    minf = _box(b"minf", _full(b"vmhd", 0, 1, b"\x00" * 8)
-                + _box(b"dinf", dref) + stbl)
-    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12
-                 + b"VideoHandler\x00")
+    mhd = (_full(b"vmhd", 0, 1, b"\x00" * 8) if handler == b"vide"
+           else _full(b"smhd", 0, 0, b"\x00" * 4))
+    minf = _box(b"minf", mhd + _box(b"dinf", dref) + stbl)
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + handler + b"\x00" * 12
+                 + b"MediaHandler\x00")
     mdhd = _full(b"mdhd", 0, 0, struct.pack(
         ">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0,
     ))

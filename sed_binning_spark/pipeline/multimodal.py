@@ -1947,6 +1947,7 @@ def sample_frames(
     max_frames: int | None = 256,
     mjpeg_frame_ms: int = 0,
     keyframes_only: bool = False,
+    media: str = "video",
 ) -> DataFrame:
     """Decode the frame TIMELINE of animated media payloads — the decode
     half of video frame sampling, pairing :func:`frame_sample_plan`'s
@@ -1992,8 +1993,19 @@ def sample_frames(
     samples outside stss are skipped undecoded, a GIF decodes only frame
     0 (its single independently-decodable frame — ``max_frames`` drops
     to 1 for it), and raw MJPEG keeps everything because every frame is
-    intra-coded."""
+    intra-coded.
+
+    ``media="audio"`` walks the AUDIO track of MP4/WebM containers
+    instead (metadata-only always — AAC/Opus do not decode here):
+    per-sample container timing, byte extents, and sync flags, which is
+    how a speech-corpus pipeline locates and measures audio segments
+    inside A/V files without touching a codec. Non-container payloads
+    (GIF/MJPEG stills, WAV — route WAV through sample_audio_windows)
+    contribute no rows in audio mode."""
     import pandas as pd
+
+    if media not in ("video", "audio"):
+        raise ValueError(f"media must be 'video' or 'audio', got {media!r}")
 
     def _stat_row(canvas, n_bytes, keyframe):
         h, w = canvas.shape[:2]
@@ -2034,11 +2046,11 @@ def sample_frames(
                 ))
             return out
         if b[:4] == b"\x1aE\xdf\xa3":
-            # WebM/Matroska: metadata-only timeline (VP8/VP9/AV1 — no
-            # pixel decoder ships here, same posture as avc1-in-MP4)
+            # WebM/Matroska: metadata-only timeline (VP8/VP9/AV1/Opus —
+            # no decoder ships here, same posture as avc1-in-MP4)
             from sed_binning_spark.pipeline.webm import parse_webm_timeline
 
-            info = parse_webm_timeline(b, max_frames)
+            info = parse_webm_timeline(b, max_frames, media=media)
             tw = info["width"] or None
             th = info["height"] or None
             return [
@@ -2049,6 +2061,8 @@ def sample_frames(
                 )
                 if not keyframes_only or kf
             ]
+        if media == "audio" and not (len(b) >= 12 and b[4:8] == b"ftyp"):
+            return []  # stills/MJPEG/WAV carry no container audio track
         if len(b) >= 12 and b[4:8] == b"ftyp":
             # MP4 container: samples + CONTAINER timing from the moov
             # sample tables (pipeline.mp4). Motion-JPEG tracks decode to
@@ -2057,7 +2071,7 @@ def sample_frames(
             from sed_binning_spark.pipeline.jpeg import decode_image_jpeg
             from sed_binning_spark.pipeline.mp4 import parse_mp4_timeline
 
-            info = parse_mp4_timeline(b, max_frames)
+            info = parse_mp4_timeline(b, max_frames, media=media)
             # the byte-level flag, not a codec-string round-trip: 4CCs
             # are arbitrary bytes and may not re-encode as ascii
             decode = info["decodable"]

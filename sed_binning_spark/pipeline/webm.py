@@ -43,6 +43,9 @@ _DEFAULT_DURATION = 0x23E383
 _VIDEO = 0xE0
 _PIXEL_WIDTH = 0xB0
 _PIXEL_HEIGHT = 0xBA
+_AUDIO = 0xE1
+_SAMPLING_FREQUENCY = 0xB5  # EBML float (4 or 8 bytes)
+_CHANNELS = 0x9F
 _CLUSTER = 0x1F43B675
 _CLUSTER_TIMESTAMP = 0xE7
 _SIMPLE_BLOCK = 0xA3
@@ -128,18 +131,37 @@ def _parse_block(data, s, e, video_track, keyframe):
     return rel, p + 3, e - (p + 3), keyframe
 
 
-def parse_webm_timeline(data: bytes, max_frames: int | None = None) -> dict:
-    """Container timeline of the FIRST video track of a WebM/Matroska
-    stream — no payload decode: ``{"codec": str, "width": int,
-    "height": int, "samples": [(start_ms, delay_ms, offset, n_bytes,
-    keyframe), ...]}``, the same shape as
-    :func:`~sed_binning_spark.pipeline.mp4.parse_mp4_timeline`.
+def _ebml_float(data: bytes, s: int, e: int) -> float:
+    if e - s == 4:
+        return struct.unpack(">f", data[s:e])[0]
+    if e - s == 8:
+        return struct.unpack(">d", data[s:e])[0]
+    if e == s:
+        return 0.0
+    raise ValueError(f"EBML float of {e - s} bytes")
+
+
+def parse_webm_timeline(
+    data: bytes, max_frames: int | None = None, media: str = "video",
+) -> dict:
+    """Container timeline of the FIRST video (or, with
+    ``media="audio"``, audio) track of a WebM/Matroska stream — no
+    payload decode: ``{"codec": str, "width": int, "height": int,
+    "samples": [(start_ms, delay_ms, offset, n_bytes, keyframe), ...]}``,
+    the same shape as
+    :func:`~sed_binning_spark.pipeline.mp4.parse_mp4_timeline`; the
+    audio mode adds ``channels`` and ``sample_rate`` (from the
+    TrackEntry's Audio element) — the no-decode treatment for
+    Opus/Vorbis speech corpora.
 
     ``start_ms`` = (cluster Timestamp + block relative timestamp) ×
     TimestampScale, in ms. ``delay_ms`` is the BlockGroup's
     BlockDuration when present, else the track's DefaultDuration, else
     None — Matroska does not require per-frame durations. Rows stay in
     container order."""
+    if media not in ("video", "audio"):
+        raise ValueError(f"media must be 'video' or 'audio', got {media!r}")
+    want_type = 1 if media == "video" else 2
     if data[:4] != EBML_MAGIC:
         raise ValueError("not an EBML (WebM/Matroska) stream")
     segment = None
@@ -159,6 +181,7 @@ def parse_webm_timeline(data: bytes, max_frames: int | None = None) -> dict:
     video_track = None
     codec = ""
     width = height = 0
+    audio_meta = (1, 8000.0)
     default_ms = None
     out = []
     for eid, s, e in _iter_elements(data, *segment):
@@ -180,6 +203,7 @@ def parse_webm_timeline(data: bytes, max_frames: int | None = None) -> dict:
                 num = ttype = None
                 cid = ""
                 w = h = 0
+                chans, rate = 1, 8000.0  # Matroska audio defaults
                 dd = None
                 for i3, s3, e3 in _iter_elements(data, s2, e2):
                     if i3 == _TRACK_NUMBER:
@@ -196,20 +220,28 @@ def parse_webm_timeline(data: bytes, max_frames: int | None = None) -> dict:
                                 w = _uint(data, s4, e4)
                             elif i4 == _PIXEL_HEIGHT:
                                 h = _uint(data, s4, e4)
-                if ttype == 1 and num is not None:  # first video track
+                    elif i3 == _AUDIO:
+                        for i4, s4, e4 in _iter_elements(data, s3, e3):
+                            if i4 == _SAMPLING_FREQUENCY:
+                                rate = _ebml_float(data, s4, e4)
+                            elif i4 == _CHANNELS:
+                                chans = _uint(data, s4, e4)
+                if ttype == want_type and num is not None:  # first match
                     video_track, codec, width, height = num, cid, w, h
+                    audio_meta = (chans, rate)
                     if dd:
                         default_ms = dd // 1_000_000  # ns → ms
                     break
         elif eid == _CLUSTER:
             if video_track is None:
                 raise ValueError(
-                    "Matroska Cluster before any video TrackEntry",
+                    f"Matroska Cluster before any {media} TrackEntry",
                 )
             cluster_ts = 0
             for i2, s2, e2 in _iter_elements(data, s, e):
                 if max_frames is not None and len(out) >= int(max_frames):
-                    return _result(codec, width, height, out)
+                    return _result(codec, width, height, out, media,
+                                   audio_meta)
                 if i2 == _CLUSTER_TIMESTAMP:
                     cluster_ts = _uint(data, s2, e2)
                 elif i2 == _SIMPLE_BLOCK:
@@ -249,18 +281,24 @@ def parse_webm_timeline(data: bytes, max_frames: int | None = None) -> dict:
                             d, pos, size, kf,
                         ))
     if video_track is None:
-        raise ValueError("Matroska stream has no video track")
-    return _result(codec, width, height, out)
+        raise ValueError(f"Matroska stream has no {media} track")
+    return _result(codec, width, height, out, media, audio_meta)
 
 
-def _result(codec, width, height, samples) -> dict:
-    return {
+def _result(codec, width, height, samples, media="video",
+            audio_meta=(1, 8000.0)) -> dict:
+    out = {
         "codec": codec,
-        "decodable": False,  # VP8/VP9/AV1: no pixel decoder ships here
+        # VP8/VP9/AV1/Opus/Vorbis: no decoder ships here
+        "decodable": False,
         "width": int(width),
         "height": int(height),
         "samples": samples,
     }
+    if media == "audio":
+        out["channels"] = int(audio_meta[0])
+        out["sample_rate"] = float(audio_meta[1])
+    return out
 
 
 # ---------------------------------------------------------- fixture writer
@@ -294,13 +332,19 @@ def encode_webm(
     default_duration_ms: int | None = None,
     use_block_groups: bool = False,
     track_number: int = 1,
+    track_type: int = 1,
+    channels: int = 1,
+    sample_rate: float = 48000.0,
 ) -> bytes:
     """Spec-built WebM fixture: one video track whose Clusters carry the
     given payloads as SimpleBlocks (or BlockGroups with
     ``use_block_groups`` — keyframes become absent ReferenceBlocks and
     per-block durations are written from the time deltas). Cluster
     Timestamps anchor each group of ``blocks_per_cluster`` frames; the
-    block-relative timestamps carry the remainder."""
+    block-relative timestamps carry the remainder. ``track_type=2``
+    writes an AUDIO track (Audio element with ``channels`` and a
+    float64 ``sample_rate``) — the fixture shape for
+    parse_webm_timeline's ``media="audio"`` mode."""
     if len(frames) != len(times_ms):
         raise ValueError("one timestamp per frame, please")
     if keyframes is not None and len(keyframes) != len(frames):
@@ -315,14 +359,19 @@ def encode_webm(
         _uint_elem(0x4285, 2),            # DocTypeReadVersion
     ]))
     info = _elem(_INFO, _uint_elem(_TIMESTAMP_SCALE, 1_000_000))
-    video = _elem(_VIDEO, _uint_elem(_PIXEL_WIDTH, width)
-                  + _uint_elem(_PIXEL_HEIGHT, height))
+    if track_type == 2:
+        media_elem = _elem(_AUDIO, _elem(
+            _SAMPLING_FREQUENCY, struct.pack(">d", sample_rate),
+        ) + _uint_elem(_CHANNELS, channels))
+    else:
+        media_elem = _elem(_VIDEO, _uint_elem(_PIXEL_WIDTH, width)
+                           + _uint_elem(_PIXEL_HEIGHT, height))
     entry = (_uint_elem(_TRACK_NUMBER, track_number)
-             + _uint_elem(_TRACK_TYPE, 1)
+             + _uint_elem(_TRACK_TYPE, track_type)
              + _elem(_CODEC_ID, codec_id.encode("ascii")))
     if default_duration_ms is not None:
         entry += _uint_elem(_DEFAULT_DURATION, default_duration_ms * 1_000_000)
-    entry += video
+    entry += media_elem
     tracks = _elem(_TRACKS, _elem(_TRACK_ENTRY, entry))
     clusters = b""
     for i in range(0, len(frames), blocks_per_cluster):

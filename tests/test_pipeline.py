@@ -2852,6 +2852,65 @@ def test_webm_metadata_timeline(spark):
     assert [r.frame_index for r in krows] == [0, 2]
 
 
+def test_audio_track_timelines(spark):
+    """media='audio' (round 13): MP4 soun-handler and WebM TrackType-2
+    tracks yield metadata-only timelines — AudioSampleEntry channels +
+    16.16 sample rate, Matroska Audio element channels + float
+    SamplingFrequency — through both parsers AND sample_frames; a
+    video-only file refuses the audio query and vice versa; non-
+    container payloads contribute no rows in audio mode."""
+    import pytest
+
+    from sed_binning_spark.pipeline.mp4 import (
+        encode_mp4_mjpeg, parse_mp4_timeline,
+    )
+    from sed_binning_spark.pipeline.multimodal import sample_frames
+    from sed_binning_spark.pipeline.webm import (
+        encode_webm, parse_webm_timeline,
+    )
+
+    pay = [bytes([i]) * (12 + i) for i in range(4)]
+    m4a = encode_mp4_mjpeg(pay, [20] * 4, sample_type=b"mp4a",
+                           handler=b"soun", channels=1, sample_rate=16000)
+    info = parse_mp4_timeline(m4a, media="audio")
+    assert (info["codec"], info["channels"], info["sample_rate"]) \
+        == ("mp4a", 1, 16000)
+    assert not info["decodable"] and info["width"] == 0
+    assert [(r[0], r[3]) for r in info["samples"]] \
+        == [(0, 12), (20, 13), (40, 14), (60, 15)]
+    with pytest.raises(ValueError, match="no video track"):
+        parse_mp4_timeline(m4a)
+
+    wba = encode_webm(pay, [0, 20, 40, 60], track_type=2, channels=2,
+                      sample_rate=16000.0, codec_id="A_OPUS",
+                      default_duration_ms=20)
+    winfo = parse_webm_timeline(wba, media="audio")
+    assert (winfo["codec"], winfo["channels"], winfo["sample_rate"]) \
+        == ("A_OPUS", 2, 16000.0)
+    assert [(r[0], r[1], r[3]) for r in winfo["samples"]] \
+        == [(0, 20, 12), (20, 20, 13), (40, 20, 14), (60, 20, 15)]
+    with pytest.raises(ValueError, match="video"):
+        parse_webm_timeline(wba)
+    with pytest.raises(ValueError, match="media must be"):
+        parse_webm_timeline(wba, media="subtitles")
+
+    df = spark.createDataFrame(
+        [(1, bytearray(m4a)), (2, bytearray(wba)),
+         (3, bytearray(b"not a container"))],
+        "media_id long, payload binary",
+    )
+    rows = sample_frames(df, media="audio") \
+        .orderBy("media_id", "frame_index").collect()
+    assert [r.media_id for r in rows] == [1] * 4 + [2] * 4
+    assert [r.frame_ms for r in rows] == [0, 20, 40, 60] * 2
+    assert all(r.mean is None and r.width is None for r in rows)
+    # video mode on the same frame refuses... no — it DEGRADES per the
+    # documented contract: audio-only containers yield no video rows
+    assert sample_frames(df).count() == 0
+    with pytest.raises(ValueError, match="media must be"):
+        sample_frames(df, media="both")
+
+
 def test_mp4_fragmented_movies():
     """Fragmented MP4 (round 13 — the DASH/CMAF shape of web video):
     moof/traf/trun samples carry continuous tfdt-anchored timing across
