@@ -84,10 +84,12 @@ from sed_binning_spark.pipeline.similarity import (
 )
 from sed_binning_spark.pipeline.bpe import bpe_encode, bpe_train, bpe_vocab
 from sed_binning_spark.pipeline.mp4 import (
+    encode_mp4_fragmented,
     encode_mp4_mjpeg,
     parse_mp4_samples,
     parse_mp4_timeline,
 )
+from sed_binning_spark.pipeline.webm import encode_webm, parse_webm_timeline
 from sed_binning_spark.pipeline.multimodal import (
     decode_gif_frames,
     encode_gif_animation,
@@ -95,6 +97,7 @@ from sed_binning_spark.pipeline.multimodal import (
     frame_sample_plan,
     resize_images,
     sample_audio_windows,
+    transcode_audio,
     sample_frames,
     split_mjpeg_frames,
     synthesize_wav_media_from_text,
@@ -239,11 +242,15 @@ __all__ = [
     "frame_sample_plan",
     "sample_frames",
     "sample_audio_windows",
+    "transcode_audio",
     "split_mjpeg_frames",
     "synthesize_wav_media_from_text",
     "parse_mp4_samples",
     "parse_mp4_timeline",
     "encode_mp4_mjpeg",
+    "encode_mp4_fragmented",
+    "parse_webm_timeline",
+    "encode_webm",
     "decode_gif_frames",
     "encode_gif_animation",
     "synthesize_animated_gif_media_from_text",

@@ -2015,6 +2015,14 @@ def sample_frames(
         """Rows of (frame_index, start_ms, delay_ms, width, height,
         mean, std, min, max, n_bytes, keyframe) — frame_index stays the
         CONTAINER's sample index even when keyframes_only skips rows."""
+        if media == "audio" and not (
+            b[:4] == b"\x1aE\xdf\xa3"
+            or (len(b) >= 12 and b[4:8] == b"ftyp")
+        ):
+            # the gate must sit ABOVE the GIF/MJPEG branches: those
+            # carry no container audio track and must yield no rows in
+            # audio mode, not video frame rows
+            return []
         if b[:6] in GIF_SIGS:
             # composited canvases are not byte-delimited → NULL extent;
             # GIF has no sync-sample concept → NULL keyframe. Keyframe
@@ -2061,8 +2069,6 @@ def sample_frames(
                 )
                 if not keyframes_only or kf
             ]
-        if media == "audio" and not (len(b) >= 12 and b[4:8] == b"ftyp"):
-            return []  # stills/MJPEG/WAV carry no container audio track
         if len(b) >= 12 and b[4:8] == b"ftyp":
             # MP4 container: samples + CONTAINER timing from the moov
             # sample tables (pipeline.mp4). Motion-JPEG tracks decode to

@@ -82,15 +82,25 @@ def _read_vint(data: bytes, pos: int, keep_marker: bool):
     return val, pos + length
 
 
-def _iter_elements(data: bytes, pos: int, end: int):
-    """Yield (element_id, payload_start, payload_end_or_None) for the
-    EBML elements in data[pos:end]. An unknown-size element yields
-    payload_end None and MUST be the last one consumed by the caller
-    (its extent is undefined without schema knowledge)."""
+def _iter_elements(data: bytes, pos: int, end: int,
+                   allow_unknown: bool = False):
+    """Yield (element_id, payload_start, payload_end) for the EBML
+    elements in data[pos:end]. An element with the all-ones UNKNOWN
+    size refuses unless ``allow_unknown`` (only the top level passes
+    it, for streamed Segments) — with it, the element yields
+    payload_end None and MUST be the last one consumed (its extent is
+    undefined without schema knowledge). Refusing centrally keeps a
+    nested 0xFF size byte from escaping as a non-ValueError into the
+    Spark batch."""
     while pos < end:
         eid, pos = _read_vint(data, pos, keep_marker=True)
         size, pos = _read_vint(data, pos, keep_marker=False)
         if size is None:
+            if not allow_unknown:
+                raise ValueError(
+                    f"EBML element 0x{eid:X} with unknown size "
+                    f"(only a top-level Segment may omit its size here)",
+                )
             yield eid, pos, None
             return
         if pos + size > end:
@@ -102,9 +112,13 @@ def _iter_elements(data: bytes, pos: int, end: int):
         pos += size
 
 
-def _uint(data: bytes, s: int, e: int) -> int:
+def _uint(data: bytes, s: int, e: int, default: int = 0) -> int:
+    """EBML unsigned integer; a ZERO-LENGTH element takes the schema
+    default per RFC 8794 §6.1, not zero."""
     if e - s > 8:
         raise ValueError("EBML unsigned integer wider than 8 bytes")
+    if e == s:
+        return default
     return int.from_bytes(data[s:e], "big")
 
 
@@ -131,13 +145,14 @@ def _parse_block(data, s, e, video_track, keyframe):
     return rel, p + 3, e - (p + 3), keyframe
 
 
-def _ebml_float(data: bytes, s: int, e: int) -> float:
+def _ebml_float(data: bytes, s: int, e: int, default: float = 0.0) -> float:
+    """EBML float (4/8 bytes); zero length → the schema default."""
     if e - s == 4:
         return struct.unpack(">f", data[s:e])[0]
     if e - s == 8:
         return struct.unpack(">d", data[s:e])[0]
     if e == s:
-        return 0.0
+        return default
     raise ValueError(f"EBML float of {e - s} bytes")
 
 
@@ -165,7 +180,7 @@ def parse_webm_timeline(
     if data[:4] != EBML_MAGIC:
         raise ValueError("not an EBML (WebM/Matroska) stream")
     segment = None
-    for eid, s, e in _iter_elements(data, 0, len(data)):
+    for eid, s, e in _iter_elements(data, 0, len(data), allow_unknown=True):
         if eid == _SEGMENT:
             segment = (s, len(data) if e is None else e)
             break
@@ -183,20 +198,17 @@ def parse_webm_timeline(
     width = height = 0
     audio_meta = (1, 8000.0)
     default_ms = None
+    tracks_seen = False
     out = []
     for eid, s, e in _iter_elements(data, *segment):
-        if e is None:
-            raise ValueError(
-                f"Matroska element 0x{eid:X} with unknown size inside "
-                f"the Segment unsupported (resync not implemented)",
-            )
         if eid == _INFO:
             for i2, s2, e2 in _iter_elements(data, s, e):
                 if i2 == _TIMESTAMP_SCALE:
-                    scale_ns = _uint(data, s2, e2)
+                    scale_ns = _uint(data, s2, e2, default=1_000_000)
                     if scale_ns == 0:
                         raise ValueError("Matroska TimestampScale of zero")
         elif eid == _TRACKS and video_track is None:
+            tracks_seen = True
             for i2, s2, e2 in _iter_elements(data, s, e):
                 if i2 != _TRACK_ENTRY:
                     continue
@@ -223,9 +235,10 @@ def parse_webm_timeline(
                     elif i3 == _AUDIO:
                         for i4, s4, e4 in _iter_elements(data, s3, e3):
                             if i4 == _SAMPLING_FREQUENCY:
-                                rate = _ebml_float(data, s4, e4)
+                                rate = _ebml_float(data, s4, e4,
+                                                   default=8000.0)
                             elif i4 == _CHANNELS:
-                                chans = _uint(data, s4, e4)
+                                chans = _uint(data, s4, e4, default=1)
                 if ttype == want_type and num is not None:  # first match
                     video_track, codec, width, height = num, cid, w, h
                     audio_meta = (chans, rate)
@@ -234,7 +247,11 @@ def parse_webm_timeline(
                     break
         elif eid == _CLUSTER:
             if video_track is None:
+                # distinguish a valid file that simply has no track of
+                # the requested kind from a mis-ordered/malformed one
                 raise ValueError(
+                    f"Matroska stream has no {media} track"
+                    if tracks_seen else
                     f"Matroska Cluster before any {media} TrackEntry",
                 )
             cluster_ts = 0

@@ -2838,6 +2838,38 @@ def test_webm_metadata_timeline(spark):
     with pytest.raises(ValueError, match="not an EBML"):
         parse_webm_timeline(b"\x00" * 16)
 
+    # a nested UNKNOWN-size element must raise ValueError (never a
+    # TypeError that would escape _DECODE_ERRORS and kill the batch):
+    # stomp the first SimpleBlock's size byte to the 1-byte all-ones
+    unk = bytearray(blob)
+    unk[blob.index(b"\xa3") + 1] = 0xFF
+    with pytest.raises(ValueError):
+        parse_webm_timeline(bytes(unk))
+
+    # zero-length elements take their RFC 8794 schema DEFAULTS: build a
+    # TrackEntry with empty Channels/SamplingFrequency/TimestampScale
+    import struct as st
+
+    from sed_binning_spark.pipeline import webm as W
+
+    entry = (W._uint_elem(W._TRACK_NUMBER, 1)
+             + W._uint_elem(W._TRACK_TYPE, 2)
+             + W._elem(W._CODEC_ID, b"A_OPUS")
+             + W._elem(W._AUDIO, W._elem(W._SAMPLING_FREQUENCY, b"")
+                       + W._elem(W._CHANNELS, b"")))
+    hand = (W._elem(0x1A45DFA3, W._elem(0x4282, b"webm"))
+            + W._elem(W._SEGMENT,
+                      W._elem(W._INFO, W._elem(W._TIMESTAMP_SCALE, b""))
+                      + W._elem(W._TRACKS, W._elem(W._TRACK_ENTRY, entry))
+                      + W._elem(W._CLUSTER,
+                                W._uint_elem(W._CLUSTER_TIMESTAMP, 7)
+                                + W._elem(W._SIMPLE_BLOCK,
+                                          W._vint_size(1)
+                                          + st.pack(">h", 0) + b"\x80zz"))))
+    got2 = parse_webm_timeline(hand, media="audio")
+    assert (got2["channels"], got2["sample_rate"]) == (1, 8000.0)
+    assert got2["samples"][0][0] == 7  # empty scale -> default 1 ms tick
+
     # the Spark path: metadata-only rows, keyframes_only preserves the
     # container index
     df = spark.createDataFrame(
@@ -2904,6 +2936,18 @@ def test_audio_track_timelines(spark):
     assert [r.media_id for r in rows] == [1] * 4 + [2] * 4
     assert [r.frame_ms for r in rows] == [0, 20, 40, 60] * 2
     assert all(r.mean is None and r.width is None for r in rows)
+
+    # the audio gate must sit ABOVE the GIF/MJPEG branches: an animated
+    # GIF yields video rows in video mode and ZERO rows in audio mode
+    # (it carries no container audio track) — review-2 regression pin
+    from sed_binning_spark.pipeline.multimodal import (
+        synthesize_animated_gif_media_from_text,
+    )
+
+    docs = spark.createDataFrame([(7, "hello")], "doc_id long, text string")
+    gif = synthesize_animated_gif_media_from_text(docs, frames=3)
+    assert sample_frames(gif).count() == 3
+    assert sample_frames(gif, media="audio").count() == 0
     # video mode on the same frame refuses... no — it DEGRADES per the
     # documented contract: audio-only containers yield no video rows
     assert sample_frames(df).count() == 0
