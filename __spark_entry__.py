@@ -1589,7 +1589,20 @@ def _mp4_fixture_blobs():
                 sample_type=b"mp4a", handler=b"soun",
                 channels=1 + w, sample_rate=8000 * (1 + w),
             ))
-        _MP4_FIXTURES = (mj, sizes, av, avb, frg, wbm, m4a)
+        # round 13: Ogg Opus — every packet a 20 ms SILK-WB TOC (config
+        # 9, code 0) + filler, so starts are 20f and sizes 5+2f+w; the
+        # parser derives the timing from the TOC byte alone
+        from sed_binning_spark.pipeline.ogg import encode_ogg_opus
+
+        ogg = []
+        for w in range(2):
+            n = 3 + w
+            ogg.append(encode_ogg_opus(
+                [bytes([(9 << 3) | 0]) + b"\x00" * (4 + 2 * f + w)
+                 for f in range(n)],
+                channels=1 + w, sample_rate=16000,
+            ))
+        _MP4_FIXTURES = (mj, sizes, av, avb, frg, wbm, m4a, ogg)
     return _MP4_FIXTURES
 
 
@@ -1685,6 +1698,8 @@ def _q_frame_sample(spark, sf):
     web video (BlockGroup timing with an honest NULL delay on the final
     block, ReferenceBlock keyframing); 'm4au' — the soun-handler AUDIO
     track timeline through the same operator in media="audio" mode;
+    'oggp' — Ogg Opus per-packet timing derived from the RFC 6716 TOC
+    byte (CRC-verified page walk, no decoder);
     'rsw' — transcode_audio resampling
     the 1 kHz fixture to 500 Hz (integral ratio → exact source picks,
     the even md5 bytes) before windowing; 'ulw'/'alw' — the same md5
@@ -1734,7 +1749,7 @@ def _q_frame_sample(spark, sf):
 
     # both MP4 families through ONE sample_frames stage; the leg label
     # re-derives from the id after decode
-    mj, _sizes, av, avb, frg, wbm, m4a = _mp4_fixture_blobs()
+    mj, _sizes, av, avb, frg, wbm, m4a, ogg = _mp4_fixture_blobs()
     did = F.col("doc_id")
     mp4_media = docs.where(did % 3 > 0).select(
         did.alias("media_id"),
@@ -1795,6 +1810,16 @@ def _q_frame_sample(spark, sf):
     )
     m4au_leg = decoded_leg(
         sample_frames(m4au_media, media="audio"), F.lit("m4au"),
+    )
+    # round 13: Ogg Opus per-packet timeline — durations straight from
+    # the RFC 6716 TOC byte, CRC-verified page walk
+    oggp_media = docs.where(did % 3 == 1).select(
+        did.alias("media_id"),
+        F.when(did % 2 == 0, F.lit(bytearray(ogg[0])))
+        .otherwise(F.lit(bytearray(ogg[1]))).alias("payload"),
+    )
+    oggp_leg = decoded_leg(
+        sample_frames(oggp_media, media="audio"), F.lit("oggp"),
     )
     avck_leg = decoded_leg(
         sample_frames(mp4_media.where(F.col("media_id") % 3 == 2),
@@ -1865,6 +1890,7 @@ def _q_frame_sample(spark, sf):
         .unionByName(gifk_leg).unionByName(avck_leg)
         .unionByName(avcb_leg).unionByName(frag_leg)
         .unionByName(webm_leg).unionByName(m4au_leg)
+        .unionByName(oggp_leg)
         .unionByName(wav_leg).unionByName(rsw_leg)
         .unionByName(g711_leg).unionByName(adpcm_leg)
     )
@@ -3223,6 +3249,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(9 + 2 * t.f + (doc_id % 2) AS BIGINT), TRUE "
             "FROM documents, range(4) t(f) "
             "WHERE doc_id % 3 = 0 AND t.f < 3 + (doc_id % 2) "
+            # Ogg Opus: all-20 ms TOCs → starts 20f, packet sizes
+            # 5+2f+w, every packet independently decodable (sync)
+            "UNION ALL SELECT 'oggp', doc_id, "
+            "CAST(20 * t.f AS BIGINT), CAST(t.f AS INT), "
+            "CAST(20 AS BIGINT), "
+            "CAST(NULL AS INT), CAST(NULL AS INT), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(5 + 2 * t.f + (doc_id % 2) AS BIGINT), TRUE "
+            "FROM documents, range(4) t(f) "
+            "WHERE doc_id % 3 = 1 AND t.f < 3 + (doc_id % 2) "
             # audio twin: 8-bit WAV samples = md5 bytes; every stat is a
             # dyadic rational ((b-128)/128), so the std's msq - mu*mu
             # form and the engine's mean-of-squared-deviations are the
@@ -3573,7 +3610,7 @@ def _mp4j_values_sql() -> str:
     Motion-JPEG-in-MP4 fixture as a VALUES list — the byte sizes come
     from the plan-time encode (the frozen-model pattern: the ENGINE
     re-derives them from the container's stsz walk)."""
-    _, sizes, _, _, _, _, _ = _mp4_fixture_blobs()
+    _, sizes, _, _, _, _, _, _ = _mp4_fixture_blobs()
     return ", ".join(
         f"({v}, {f}, {8 * (4 + 3 * f + 5 * v)}, {sizes[v][f]})"
         for v in range(2)

@@ -90,6 +90,10 @@ from sed_binning_spark.pipeline.mp4 import (
     parse_mp4_timeline,
 )
 from sed_binning_spark.pipeline.webm import encode_webm, parse_webm_timeline
+from sed_binning_spark.pipeline.ogg import (
+    encode_ogg_opus,
+    parse_ogg_opus_timeline,
+)
 from sed_binning_spark.pipeline.multimodal import (
     decode_gif_frames,
     encode_gif_animation,
@@ -251,6 +255,8 @@ __all__ = [
     "encode_mp4_fragmented",
     "parse_webm_timeline",
     "encode_webm",
+    "parse_ogg_opus_timeline",
+    "encode_ogg_opus",
     "decode_gif_frames",
     "encode_gif_animation",
     "synthesize_animated_gif_media_from_text",

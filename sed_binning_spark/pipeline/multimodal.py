@@ -1995,8 +1995,9 @@ def sample_frames(
     to 1 for it), and raw MJPEG keeps everything because every frame is
     intra-coded.
 
-    ``media="audio"`` walks the AUDIO track of MP4/WebM containers
-    instead (metadata-only always — AAC/Opus do not decode here):
+    ``media="audio"`` walks the AUDIO track of MP4/WebM/Ogg containers
+    instead (metadata-only always — AAC/Opus do not decode here, though
+    Ogg Opus packet durations come exactly from the RFC 6716 TOC byte):
     per-sample container timing, byte extents, and sync flags, which is
     how a speech-corpus pipeline locates and measures audio segments
     inside A/V files without touching a codec. Non-container payloads
@@ -2015,14 +2016,28 @@ def sample_frames(
         """Rows of (frame_index, start_ms, delay_ms, width, height,
         mean, std, min, max, n_bytes, keyframe) — frame_index stays the
         CONTAINER's sample index even when keyframes_only skips rows."""
-        if media == "audio" and not (
-            b[:4] == b"\x1aE\xdf\xa3"
-            or (len(b) >= 12 and b[4:8] == b"ftyp")
-        ):
-            # the gate must sit ABOVE the GIF/MJPEG branches: those
-            # carry no container audio track and must yield no rows in
-            # audio mode, not video frame rows
-            return []
+        if media == "audio":
+            if b[:4] == b"OggS":
+                # Ogg Opus: per-packet timing from the RFC 6716 TOC
+                # byte — a full timeline with no decoder
+                from sed_binning_spark.pipeline.ogg import (
+                    parse_ogg_opus_timeline,
+                )
+
+                info = parse_ogg_opus_timeline(b, max_frames)
+                return [
+                    (i, start_ms, delay_ms, None, None,
+                     None, None, None, None, size, kf)
+                    for i, (start_ms, delay_ms, pos, size, kf)
+                    in enumerate(info["samples"])
+                    if not keyframes_only or kf
+                ]
+            if not (b[:4] == b"\x1aE\xdf\xa3"
+                    or (len(b) >= 12 and b[4:8] == b"ftyp")):
+                # the gate must sit ABOVE the GIF/MJPEG branches: those
+                # carry no container audio track and must yield no rows
+                # in audio mode, not video frame rows
+                return []
         if b[:6] in GIF_SIGS:
             # composited canvases are not byte-delimited → NULL extent;
             # GIF has no sync-sample concept → NULL keyframe. Keyframe

@@ -2955,6 +2955,75 @@ def test_audio_track_timelines(spark):
         sample_frames(df, media="both")
 
 
+def test_ogg_opus_timeline(spark):
+    """Ogg Opus (round 13): per-packet durations from the RFC 6716 TOC
+    byte (SILK/hybrid/CELT frame-size table × frame-count code, 120 ms
+    ceiling), CRC-verified RFC 3533 page walk, OpusHead
+    channels/rate/pre-skip, byte-exact packet extents, Vorbis and
+    cross-page packets refused loudly, and the sample_frames
+    media='audio' path."""
+    import struct as st
+
+    import pytest
+
+    from sed_binning_spark.pipeline.multimodal import sample_frames
+    from sed_binning_spark.pipeline.ogg import (
+        encode_ogg_opus, opus_packet_samples, parse_ogg_opus_timeline,
+    )
+
+    # the TOC table's corners: SILK WB 20 ms, CELT NB 5 ms, code-3
+    # multi-frame, and the exact 120 ms ceiling
+    assert opus_packet_samples((9 << 3) | 0) == 960
+    assert opus_packet_samples((17 << 3) | 0) == 240
+    assert opus_packet_samples((16 << 3) | 3, 4) == 480
+    assert opus_packet_samples((11 << 3) | 1) == 5760
+    with pytest.raises(ValueError, match="120 ms"):
+        opus_packet_samples((11 << 3) | 3, 3)
+
+    def pkt(config, code, extra=b"", count=None):
+        b = bytes([(config << 3) | code])
+        if code == 3:
+            b += bytes([count])
+        return b + extra
+
+    pkts = [pkt(9, 0, b"abc"), pkt(17, 0, b"de"),
+            pkt(16, 3, b"x" * 5, count=4), pkt(11, 1, b"y" * 7)]
+    blob = encode_ogg_opus(pkts, channels=2, sample_rate=48000)
+    info = parse_ogg_opus_timeline(blob)
+    assert (info["codec"], info["channels"], info["sample_rate"],
+            info["pre_skip"]) == ("opus", 2, 48000, 312)
+    assert [(r[0], r[1], r[3]) for r in info["samples"]] \
+        == [(0, 20, 4), (20, 5, 3), (25, 10, 7), (35, 120, 8)]
+    for (st_, d, pos, sz, kf), p in zip(info["samples"], pkts):
+        assert blob[pos : pos + sz] == p and kf
+    assert len(parse_ogg_opus_timeline(blob, max_frames=2)["samples"]) == 2
+
+    bad = bytearray(blob)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        parse_ogg_opus_timeline(bytes(bad))
+    with pytest.raises(ValueError, match="not an Ogg"):
+        parse_ogg_opus_timeline(b"\x00" * 16)
+    # a Vorbis BOS refuses by name
+    vb = bytearray(blob)
+    at = bytes(blob).index(b"OpusHead")
+    vb[at : at + 8] = b"\x01vorbis\x00"[:8]
+    # (CRC now wrong — rewrite the page via the writer's own helper)
+    from sed_binning_spark.pipeline.ogg import _page
+    vpage = _page(0x02, 0, 0x1234, 0, [b"\x01vorbis" + b"\x00" * 20])
+    rest = blob[blob.index(b"OggS", 4):]
+    with pytest.raises(ValueError, match="Vorbis"):
+        parse_ogg_opus_timeline(vpage + rest)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, payload binary",
+    )
+    rows = sample_frames(df, media="audio").orderBy("frame_index").collect()
+    assert [(r.frame_ms, r.delay_ms, r.n_bytes) for r in rows] \
+        == [(0, 20, 4), (20, 5, 3), (25, 10, 7), (35, 120, 8)]
+    assert sample_frames(df).count() == 0  # no video track in Ogg
+
+
 def test_mp4_fragmented_movies():
     """Fragmented MP4 (round 13 — the DASH/CMAF shape of web video):
     moof/traf/trun samples carry continuous tfdt-anchored timing across
