@@ -1602,7 +1602,17 @@ def _mp4_fixture_blobs():
                  for f in range(n)],
                 channels=1 + w, sample_rate=16000,
             ))
-        _MP4_FIXTURES = (mj, sizes, av, avb, frg, wbm, m4a, ogg)
+        # round 13: MPEG audio — 32 kHz MPEG-1 Layer III frames are an
+        # exact 36 ms; variant bitrates 96/64 kbps give 432/288-byte
+        # frames, all closed-form
+        from sed_binning_spark.pipeline.mp3 import encode_mp3_frames
+
+        mp3 = [
+            encode_mp3_frames(3 + w, bitrate_kbps=96 - 32 * w,
+                              sample_rate=32000)
+            for w in range(2)
+        ]
+        _MP4_FIXTURES = (mj, sizes, av, avb, frg, wbm, m4a, ogg, mp3)
     return _MP4_FIXTURES
 
 
@@ -1699,8 +1709,9 @@ def _q_frame_sample(spark, sf):
     block, ReferenceBlock keyframing); 'm4au' — the soun-handler AUDIO
     track timeline through the same operator in media="audio" mode;
     'oggp' — Ogg Opus per-packet timing derived from the RFC 6716 TOC
-    byte (CRC-verified page walk, no decoder);
-    'rsw' — transcode_audio resampling
+    byte (CRC-verified page walk, no decoder); 'mp3f' — MPEG audio
+    per-frame timing from the pure header walk (exact 36 ms frames at
+    32 kHz); 'rsw' — transcode_audio resampling
     the 1 kHz fixture to 500 Hz (integral ratio → exact source picks,
     the even md5 bytes) before windowing; 'ulw'/'alw' — the same md5
     bytes behind ITU-T G.711 format tags, the twin replaying the ITU
@@ -1749,7 +1760,7 @@ def _q_frame_sample(spark, sf):
 
     # both MP4 families through ONE sample_frames stage; the leg label
     # re-derives from the id after decode
-    mj, _sizes, av, avb, frg, wbm, m4a, ogg = _mp4_fixture_blobs()
+    mj, _sizes, av, avb, frg, wbm, m4a, ogg, mp3 = _mp4_fixture_blobs()
     did = F.col("doc_id")
     mp4_media = docs.where(did % 3 > 0).select(
         did.alias("media_id"),
@@ -1821,6 +1832,15 @@ def _q_frame_sample(spark, sf):
     oggp_leg = decoded_leg(
         sample_frames(oggp_media, media="audio"), F.lit("oggp"),
     )
+    # round 13: MPEG audio per-frame timeline from the header walk
+    mp3_media = docs.where(did % 3 == 2).select(
+        did.alias("media_id"),
+        F.when(did % 2 == 0, F.lit(bytearray(mp3[0])))
+        .otherwise(F.lit(bytearray(mp3[1]))).alias("payload"),
+    )
+    mp3f_leg = decoded_leg(
+        sample_frames(mp3_media, media="audio"), F.lit("mp3f"),
+    )
     avck_leg = decoded_leg(
         sample_frames(mp4_media.where(F.col("media_id") % 3 == 2),
                       keyframes_only=True),
@@ -1890,7 +1910,7 @@ def _q_frame_sample(spark, sf):
         .unionByName(gifk_leg).unionByName(avck_leg)
         .unionByName(avcb_leg).unionByName(frag_leg)
         .unionByName(webm_leg).unionByName(m4au_leg)
-        .unionByName(oggp_leg)
+        .unionByName(oggp_leg).unionByName(mp3f_leg)
         .unionByName(wav_leg).unionByName(rsw_leg)
         .unionByName(g711_leg).unionByName(adpcm_leg)
     )
@@ -3260,6 +3280,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(5 + 2 * t.f + (doc_id % 2) AS BIGINT), TRUE "
             "FROM documents, range(4) t(f) "
             "WHERE doc_id % 3 = 1 AND t.f < 3 + (doc_id % 2) "
+            # MPEG audio: exact 36 ms frames at 32 kHz; frame bytes
+            # 432/288 by the variant bitrate (96/64 kbps)
+            "UNION ALL SELECT 'mp3f', doc_id, "
+            "CAST(36 * t.f AS BIGINT), CAST(t.f AS INT), "
+            "CAST(36 AS BIGINT), "
+            "CAST(NULL AS INT), CAST(NULL AS INT), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(432 - 144 * (doc_id % 2) AS BIGINT), TRUE "
+            "FROM documents, range(4) t(f) "
+            "WHERE doc_id % 3 = 2 AND t.f < 3 + (doc_id % 2) "
             # audio twin: 8-bit WAV samples = md5 bytes; every stat is a
             # dyadic rational ((b-128)/128), so the std's msq - mu*mu
             # form and the engine's mean-of-squared-deviations are the
@@ -3610,7 +3641,7 @@ def _mp4j_values_sql() -> str:
     Motion-JPEG-in-MP4 fixture as a VALUES list — the byte sizes come
     from the plan-time encode (the frozen-model pattern: the ENGINE
     re-derives them from the container's stsz walk)."""
-    _, sizes, _, _, _, _, _, _ = _mp4_fixture_blobs()
+    _, sizes, _, _, _, _, _, _, _ = _mp4_fixture_blobs()
     return ", ".join(
         f"({v}, {f}, {8 * (4 + 3 * f + 5 * v)}, {sizes[v][f]})"
         for v in range(2)

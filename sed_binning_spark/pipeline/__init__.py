@@ -94,6 +94,10 @@ from sed_binning_spark.pipeline.ogg import (
     encode_ogg_opus,
     parse_ogg_opus_timeline,
 )
+from sed_binning_spark.pipeline.mp3 import (
+    encode_mp3_frames,
+    parse_mp3_timeline,
+)
 from sed_binning_spark.pipeline.multimodal import (
     decode_gif_frames,
     encode_gif_animation,
@@ -257,6 +261,8 @@ __all__ = [
     "encode_webm",
     "parse_ogg_opus_timeline",
     "encode_ogg_opus",
+    "parse_mp3_timeline",
+    "encode_mp3_frames",
     "decode_gif_frames",
     "encode_gif_animation",
     "synthesize_animated_gif_media_from_text",

@@ -1,0 +1,172 @@
+"""Minimal MPEG audio (MP3) frame walking for the audio-timeline path —
+the third speech/music-corpus container after MP4/WebM and Ogg. No
+MPEG audio decoder ships here, but none is needed for a timeline: every
+frame's byte length and sample count are fully determined by its 4-byte
+header (ISO/IEC 11172-3 §2.4.1 / 13818-3), so an MP3 yields per-frame
+timing and extents from a pure header walk.
+
+Implemented from the public spec:
+
+- frame sync (11 set bits), MPEG version 1/2/2.5, Layers I/II/III,
+  the published bitrate and sample-rate tables, padding;
+- frame length: Layer I ``(12·bitrate/rate + pad)·4``, Layers II/III
+  ``samples/8 · bitrate/rate + pad`` (1152 samples for Layer II and
+  MPEG-1 Layer III, 576 for MPEG-2/2.5 Layer III, 384 for Layer I);
+- a leading ID3v2 tag (syncsafe size) and a trailing ID3v1 ``TAG``
+  block are skipped; the "free" bitrate index refuses loudly (frame
+  length would be a guess), as do reserved version/layer/rate codes
+  and any non-frame bytes between frames — resync-by-scanning can
+  silently skip real audio, which is not this module's posture.
+
+Malformed framing raises ValueError naming the defect, like every codec
+in :mod:`~sed_binning_spark.pipeline.multimodal`; the Spark operator
+catches and degrades per its documented posture.
+"""
+import struct
+
+# bitrate tables in kbps, index 1-14 (0 = free, 15 = invalid)
+_BITRATES = {
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+             416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_RATES = {1: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+          25: (11025, 12000, 8000)}
+
+
+def _parse_header(b0: int, b1: int, b2: int, b3: int):
+    """(version, layer, bitrate_bps, sample_rate, padding, channels,
+    frame_bytes, frame_samples) of a 4-byte MPEG audio frame header."""
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        raise ValueError("MPEG audio frame without sync bits")
+    vcode = (b1 >> 3) & 0x03
+    if vcode == 1:
+        raise ValueError("MPEG audio reserved version code")
+    version = {0: 25, 2: 2, 3: 1}[vcode]
+    lcode = (b1 >> 1) & 0x03
+    if lcode == 0:
+        raise ValueError("MPEG audio reserved layer code")
+    layer = 4 - lcode  # code 3 → Layer I, 2 → II, 1 → III
+    br_idx = (b2 >> 4) & 0x0F
+    if br_idx == 0:
+        raise ValueError(
+            "MPEG audio free-format bitrate unsupported (frame length "
+            "would be a guess)",
+        )
+    if br_idx == 15:
+        raise ValueError("MPEG audio invalid bitrate index")
+    table = _BITRATES[(1 if version == 1 else 2, layer)]
+    bitrate = table[br_idx - 1] * 1000
+    sr_idx = (b2 >> 2) & 0x03
+    if sr_idx == 3:
+        raise ValueError("MPEG audio reserved sample-rate code")
+    rate = _RATES[version][sr_idx]
+    padding = (b2 >> 1) & 0x01
+    channels = 1 if (b3 >> 6) & 0x03 == 3 else 2
+    if layer == 1:
+        samples = 384
+        frame = (12 * bitrate // rate + padding) * 4
+    else:
+        samples = 576 if (layer == 3 and version != 1) else 1152
+        frame = samples // 8 * bitrate // rate + padding
+    return version, layer, bitrate, rate, padding, channels, frame, samples
+
+
+def parse_mp3_timeline(data: bytes, max_frames: int | None = None) -> dict:
+    """Per-frame timeline of an MPEG audio stream — ``{"codec":
+    "mp3"/"mp2"/"mp1", "channels": int, "sample_rate": int, "samples":
+    [(start_ms, delay_ms, offset, n_bytes, keyframe), ...]}``, the same
+    row shape as the other container timelines (every MPEG audio frame
+    is independently decodable → keyframe True). A leading ID3v2 tag
+    and a trailing ID3v1 block are skipped; codec/channels/rate come
+    from the first frame and a mid-stream change of version/layer/rate
+    refuses loudly (one stream, one clock)."""
+    pos, n = 0, len(data)
+    if data[:3] == b"ID3" and n >= 10:
+        size = 0
+        for byte in data[6:10]:  # syncsafe: 7 bits per byte
+            if byte & 0x80:
+                raise ValueError("ID3v2 size bytes must be syncsafe")
+            size = (size << 7) | byte
+        pos = 10 + size
+    if n >= 128 and data[n - 128 : n - 125] == b"TAG":
+        n -= 128
+    if pos + 4 > n:
+        raise ValueError("MPEG audio stream with no room for a frame")
+    first = None
+    out = []
+    t_samples = 0
+    while pos + 4 <= n:
+        version, layer, _br, rate, _pad, channels, frame, samples = \
+            _parse_header(*data[pos : pos + 4])
+        if first is None:
+            first = (version, layer, rate, channels)
+        elif (version, layer, rate, channels) != first:
+            raise ValueError(
+                "MPEG audio stream changes version/layer/rate/channels "
+                "mid-stream",
+            )
+        if pos + frame > n:
+            raise ValueError("MPEG audio frame extends past the file end")
+        if max_frames is not None and len(out) >= int(max_frames):
+            break
+        out.append((
+            (t_samples * 1000 + rate // 2) // rate,
+            (samples * 1000 + rate // 2) // rate,
+            pos, frame, True,
+        ))
+        t_samples += samples
+        pos += frame
+    if first is None:
+        raise ValueError("MPEG audio stream has no frames")
+    return {
+        "codec": {1: "mp1", 2: "mp2", 3: "mp3"}[first[1]],
+        "decodable": False,  # no MPEG audio decoder ships here
+        "width": 0,
+        "height": 0,
+        "channels": first[3],
+        "sample_rate": first[2],
+        "samples": out,
+    }
+
+
+def encode_mp3_frames(
+    n_frames: int,
+    bitrate_kbps: int = 96,
+    sample_rate: int = 32000,
+    mono: bool = True,
+    fill: int = 0,
+) -> bytes:
+    """Spec-built MPEG-1 Layer III fixture: ``n_frames`` frames of the
+    given constant bitrate/rate (the header walk needs only headers —
+    payload bytes are ``fill``). 32 kHz makes the frame duration an
+    exact 36 ms and common bitrates divide evenly, so fixture timing is
+    closed-form. Rates that need padding refuse (keep fixtures exact)."""
+    table = _BITRATES[(1, 3)]
+    if bitrate_kbps not in table:
+        raise ValueError(f"bitrate {bitrate_kbps} not in the MPEG-1 "
+                         f"Layer III table")
+    rates = _RATES[1]
+    if sample_rate not in rates:
+        raise ValueError(f"sample rate {sample_rate} not an MPEG-1 rate")
+    if (144 * bitrate_kbps * 1000) % sample_rate:
+        raise ValueError(
+            "bitrate/rate pair needs padding frames — pick an exact pair",
+        )
+    frame = 144 * bitrate_kbps * 1000 // sample_rate
+    hdr = bytes([
+        0xFF,
+        0xE0 | (3 << 3) | (1 << 1) | 1,           # MPEG-1, Layer III
+        (table.index(bitrate_kbps) + 1) << 4
+        | rates.index(sample_rate) << 2,           # no padding
+        (3 << 6) if mono else 0,                   # mono / stereo
+    ])
+    one = hdr + bytes([fill]) * (frame - 4)
+    return one * n_frames

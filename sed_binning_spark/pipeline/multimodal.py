@@ -1995,9 +1995,11 @@ def sample_frames(
     to 1 for it), and raw MJPEG keeps everything because every frame is
     intra-coded.
 
-    ``media="audio"`` walks the AUDIO track of MP4/WebM/Ogg containers
-    instead (metadata-only always — AAC/Opus do not decode here, though
-    Ogg Opus packet durations come exactly from the RFC 6716 TOC byte):
+    ``media="audio"`` walks the AUDIO track of MP4/WebM/Ogg/MP3
+    containers
+    instead (metadata-only always — AAC/Opus/MPEG audio do not decode
+    here, though Ogg Opus packet durations come exactly from the RFC
+    6716 TOC byte and MP3 frame lengths from the header tables):
     per-sample container timing, byte extents, and sync flags, which is
     how a speech-corpus pipeline locates and measures audio segments
     inside A/V files without touching a codec. Non-container payloads
@@ -2025,6 +2027,24 @@ def sample_frames(
                 )
 
                 info = parse_ogg_opus_timeline(b, max_frames)
+                return [
+                    (i, start_ms, delay_ms, None, None,
+                     None, None, None, None, size, kf)
+                    for i, (start_ms, delay_ms, pos, size, kf)
+                    in enumerate(info["samples"])
+                    if not keyframes_only or kf
+                ]
+            if b[:3] == b"ID3" or (
+                len(b) >= 4 and b[0] == 0xFF and b[1] & 0xE0 == 0xE0
+            ):
+                # MPEG audio: per-frame timing from the header walk
+                # (no magic beyond the sync bits; JPEG's FF D8 fails
+                # the 0xE0 mask so the branches cannot collide)
+                from sed_binning_spark.pipeline.mp3 import (
+                    parse_mp3_timeline,
+                )
+
+                info = parse_mp3_timeline(b, max_frames)
                 return [
                     (i, start_ms, delay_ms, None, None,
                      None, None, None, None, size, kf)

@@ -3024,6 +3024,62 @@ def test_ogg_opus_timeline(spark):
     assert sample_frames(df).count() == 0  # no video track in Ogg
 
 
+def test_mp3_frame_timeline(spark):
+    """MPEG audio (round 13): per-frame timing and extents from the
+    pure header walk — 32 kHz MPEG-1 Layer III frames are an exact
+    36 ms / 432 bytes at 96 kbps; ID3v2 (syncsafe) and ID3v1 tags are
+    skipped; free-format bitrate, reserved codes, truncated frames, and
+    mid-stream parameter changes refuse loudly; the sample_frames
+    media='audio' path carries the rows."""
+    import pytest
+
+    from sed_binning_spark.pipeline.mp3 import (
+        encode_mp3_frames, parse_mp3_timeline,
+    )
+    from sed_binning_spark.pipeline.multimodal import sample_frames
+
+    blob = encode_mp3_frames(4, bitrate_kbps=96, sample_rate=32000)
+    info = parse_mp3_timeline(blob)
+    assert (info["codec"], info["channels"], info["sample_rate"]) \
+        == ("mp3", 1, 32000)
+    assert info["samples"] == [
+        (0, 36, 0, 432, True), (36, 36, 432, 432, True),
+        (72, 36, 864, 432, True), (108, 36, 1296, 432, True),
+    ]
+    id3v2 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+    id3v1 = b"TAG" + b"\x00" * 125
+    w = parse_mp3_timeline(id3v2 + blob + id3v1)
+    assert len(w["samples"]) == 4 and w["samples"][0][2] == 30
+    assert len(parse_mp3_timeline(blob, max_frames=2)["samples"]) == 2
+
+    with pytest.raises(ValueError, match="past the file end"):
+        parse_mp3_timeline(blob[:-10])
+    with pytest.raises(ValueError, match="sync bits"):
+        parse_mp3_timeline(b"\x00" * 64)
+    free = bytearray(blob)
+    free[2] &= 0x0F
+    with pytest.raises(ValueError, match="free-format"):
+        parse_mp3_timeline(bytes(free))
+    mixed = blob + encode_mp3_frames(1, bitrate_kbps=96,
+                                     sample_rate=48000)
+    with pytest.raises(ValueError, match="mid-stream"):
+        parse_mp3_timeline(mixed)
+    with pytest.raises(ValueError, match="syncsafe"):
+        parse_mp3_timeline(b"ID3\x04\x00\x00" + bytes([0, 0, 0, 0x80]))
+    # padding-needing pairs refuse in the exact-fixture writer
+    with pytest.raises(ValueError, match="exact pair"):
+        encode_mp3_frames(2, bitrate_kbps=96, sample_rate=44100)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(id3v2 + blob + id3v1))],
+        "media_id long, payload binary",
+    )
+    rows = sample_frames(df, media="audio").orderBy("frame_index").collect()
+    assert [(r.frame_ms, r.delay_ms, r.n_bytes) for r in rows] \
+        == [(0, 36, 432), (36, 36, 432), (72, 36, 432), (108, 36, 432)]
+    assert sample_frames(df).count() == 0  # no video in an MP3
+
+
 def test_mp4_fragmented_movies():
     """Fragmented MP4 (round 13 — the DASH/CMAF shape of web video):
     moof/traf/trun samples carry continuous tfdt-anchored timing across
