@@ -22,7 +22,6 @@ Malformed framing raises ValueError naming the defect, like every codec
 in :mod:`~sed_binning_spark.pipeline.multimodal`; the Spark operator
 catches and degrades per its documented posture.
 """
-import struct
 
 # bitrate tables in kbps, index 1-14 (0 = free, 15 = invalid)
 _BITRATES = {
@@ -96,6 +95,8 @@ def parse_mp3_timeline(data: bytes, max_frames: int | None = None) -> dict:
                 raise ValueError("ID3v2 size bytes must be syncsafe")
             size = (size << 7) | byte
         pos = 10 + size
+        if data[5] & 0x10:  # ID3v2.4 footer: 10 bytes past the size
+            pos += 10
     if n >= 128 and data[n - 128 : n - 125] == b"TAG":
         n -= 128
     if pos + 4 > n:
@@ -103,7 +104,15 @@ def parse_mp3_timeline(data: bytes, max_frames: int | None = None) -> dict:
     first = None
     out = []
     t_samples = 0
-    while pos + 4 <= n:
+    while pos < n:
+        # the cap check comes FIRST: frames past it must not be able to
+        # abort an otherwise-valid capped parse (Ogg does the same)
+        if max_frames is not None and len(out) >= int(max_frames):
+            break
+        if pos + 4 > n:
+            raise ValueError(
+                "MPEG audio stream ends inside a frame header",
+            )
         version, layer, _br, rate, _pad, channels, frame, samples = \
             _parse_header(*data[pos : pos + 4])
         if first is None:
@@ -115,8 +124,6 @@ def parse_mp3_timeline(data: bytes, max_frames: int | None = None) -> dict:
             )
         if pos + frame > n:
             raise ValueError("MPEG audio frame extends past the file end")
-        if max_frames is not None and len(out) >= int(max_frames):
-            break
         out.append((
             (t_samples * 1000 + rate // 2) // rate,
             (samples * 1000 + rate // 2) // rate,

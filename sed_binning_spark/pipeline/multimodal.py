@@ -2014,6 +2014,19 @@ def sample_frames(
         h, w = canvas.shape[:2]
         return (w, h, *_norm_stats(canvas, 255.0), n_bytes, keyframe)
 
+    def _meta_rows(samples, tw=None, th=None):
+        """Metadata-only timeline rows (NULL stats) from parsed
+        (start, delay, pos, size, keyframe) samples — shared by the
+        WebM/Ogg/MP3 branches; the container index survives
+        keyframes_only pruning."""
+        return [
+            (i, start_ms, delay_ms, tw, th,
+             None, None, None, None, size, kf)
+            for i, (start_ms, delay_ms, _pos, size, kf)
+            in enumerate(samples)
+            if not keyframes_only or kf
+        ]
+
     def _decode_timeline(b: bytes):
         """Rows of (frame_index, start_ms, delay_ms, width, height,
         mean, std, min, max, n_bytes, keyframe) — frame_index stays the
@@ -2026,14 +2039,8 @@ def sample_frames(
                     parse_ogg_opus_timeline,
                 )
 
-                info = parse_ogg_opus_timeline(b, max_frames)
-                return [
-                    (i, start_ms, delay_ms, None, None,
-                     None, None, None, None, size, kf)
-                    for i, (start_ms, delay_ms, pos, size, kf)
-                    in enumerate(info["samples"])
-                    if not keyframes_only or kf
-                ]
+                return _meta_rows(parse_ogg_opus_timeline(
+                    b, max_frames)["samples"])
             if b[:3] == b"ID3" or (
                 len(b) >= 4 and b[0] == 0xFF and b[1] & 0xE0 == 0xE0
             ):
@@ -2044,14 +2051,8 @@ def sample_frames(
                     parse_mp3_timeline,
                 )
 
-                info = parse_mp3_timeline(b, max_frames)
-                return [
-                    (i, start_ms, delay_ms, None, None,
-                     None, None, None, None, size, kf)
-                    for i, (start_ms, delay_ms, pos, size, kf)
-                    in enumerate(info["samples"])
-                    if not keyframes_only or kf
-                ]
+                return _meta_rows(parse_mp3_timeline(
+                    b, max_frames)["samples"])
             if not (b[:4] == b"\x1aE\xdf\xa3"
                     or (len(b) >= 12 and b[4:8] == b"ftyp")):
                 # the gate must sit ABOVE the GIF/MJPEG branches: those
@@ -2094,16 +2095,9 @@ def sample_frames(
             from sed_binning_spark.pipeline.webm import parse_webm_timeline
 
             info = parse_webm_timeline(b, max_frames, media=media)
-            tw = info["width"] or None
-            th = info["height"] or None
-            return [
-                (i, start_ms, delay_ms, tw, th,
-                 None, None, None, None, size, kf)
-                for i, (start_ms, delay_ms, pos, size, kf) in enumerate(
-                    info["samples"],
-                )
-                if not keyframes_only or kf
-            ]
+            return _meta_rows(info["samples"],
+                              tw=info["width"] or None,
+                              th=info["height"] or None)
         if len(b) >= 12 and b[4:8] == b"ftyp":
             # MP4 container: samples + CONTAINER timing from the moov
             # sample tables (pipeline.mp4). Motion-JPEG tracks decode to

@@ -157,25 +157,37 @@ def parse_ogg_opus_timeline(
                 "(its bytes are not contiguous, an extent would lie)",
             )
         if not skipped_tags:
-            skipped_tags = True  # the OpusTags comment page
+            # the comment-header page must actually BE OpusTags —
+            # blindly skipping it would silently drop a page of real
+            # audio from a malformed stream
+            body = data[body_at : body_at + sum(segments)]
+            if not body.startswith(b"OpusTags"):
+                raise ValueError(
+                    "Ogg Opus stream without an OpusTags page where "
+                    "RFC 7845 requires one",
+                )
+            skipped_tags = True
             continue
         pos = body_at
         plen = 0
         for i, lace in enumerate(segments):
             plen += lace
             if lace < 255:  # packet ends here
-                if plen:
-                    if max_frames is not None and len(out) >= int(max_frames):
-                        return _result(channels, rate, pre_skip, out)
-                    toc = data[pos]
-                    nb = data[pos + 1] if plen > 1 else None
-                    dur = opus_packet_samples(toc, nb)
-                    out.append((
-                        (t_samples * 1000 + 24000) // 48000,
-                        (dur * 1000 + 24000) // 48000,
-                        pos, plen, True,
-                    ))
-                    t_samples += dur
+                if plen == 0:
+                    # a zero-byte packet has no TOC and is invalid per
+                    # RFC 7845 — refuse, don't silently drop it
+                    raise ValueError("Ogg Opus zero-length packet")
+                if max_frames is not None and len(out) >= int(max_frames):
+                    return _result(channels, rate, pre_skip, out)
+                toc = data[pos]
+                nb = data[pos + 1] if plen > 1 else None
+                dur = opus_packet_samples(toc, nb)
+                out.append((
+                    (t_samples * 1000 + 24000) // 48000,
+                    (dur * 1000 + 24000) // 48000,
+                    pos, plen, True,
+                ))
+                t_samples += dur
                 pos += plen
                 plen = 0
         if plen:  # trailing lacing value of 255: continues past the page

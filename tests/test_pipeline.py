@@ -2962,8 +2962,6 @@ def test_ogg_opus_timeline(spark):
     channels/rate/pre-skip, byte-exact packet extents, Vorbis and
     cross-page packets refused loudly, and the sample_frames
     media='audio' path."""
-    import struct as st
-
     import pytest
 
     from sed_binning_spark.pipeline.multimodal import sample_frames
@@ -3004,12 +3002,19 @@ def test_ogg_opus_timeline(spark):
         parse_ogg_opus_timeline(bytes(bad))
     with pytest.raises(ValueError, match="not an Ogg"):
         parse_ogg_opus_timeline(b"\x00" * 16)
-    # a Vorbis BOS refuses by name
-    vb = bytearray(blob)
-    at = bytes(blob).index(b"OpusHead")
-    vb[at : at + 8] = b"\x01vorbis\x00"[:8]
-    # (CRC now wrong — rewrite the page via the writer's own helper)
+    # review-3 pins: a stream whose first data page is NOT OpusTags
+    # refuses (blind skipping would drop real audio), and a zero-length
+    # packet refuses instead of being silently dropped
     from sed_binning_spark.pipeline.ogg import _page
+    head_page = blob[: blob.index(b"OggS", 4)]
+    audio_page = _page(0, 960, 0x1234, 1, [pkt(9, 0, b"zz")])
+    with pytest.raises(ValueError, match="OpusTags"):
+        parse_ogg_opus_timeline(head_page + audio_page)
+    tags_end = blob.index(b"OggS", blob.index(b"OggS", 4) + 4)
+    empty_page = _page(0, 960, 0x1234, 2, [b""])
+    with pytest.raises(ValueError, match="zero-length"):
+        parse_ogg_opus_timeline(blob[:tags_end] + empty_page)
+    # a Vorbis BOS refuses by name (page rebuilt with a real CRC)
     vpage = _page(0x02, 0, 0x1234, 0, [b"\x01vorbis" + b"\x00" * 20])
     rest = blob[blob.index(b"OggS", 4):]
     with pytest.raises(ValueError, match="Vorbis"):
@@ -3066,6 +3071,18 @@ def test_mp3_frame_timeline(spark):
         parse_mp3_timeline(mixed)
     with pytest.raises(ValueError, match="syncsafe"):
         parse_mp3_timeline(b"ID3\x04\x00\x00" + bytes([0, 0, 0, 0x80]))
+    # review-3 pins: the ID3v2.4 footer flag skips 10 more bytes; a
+    # capped parse must SUCCEED even when frames past the cap are
+    # damaged; 1-3 trailing garbage bytes refuse instead of passing
+    footer_tag = (b"ID3\x04\x00\x10" + bytes([0, 0, 0, 4])
+                  + b"\x00" * 4 + b"3DI" + b"\x04\x00\x10"
+                  + bytes([0, 0, 0, 4]))
+    f = parse_mp3_timeline(footer_tag + blob)
+    assert len(f["samples"]) == 4 and f["samples"][0][2] == len(footer_tag)
+    capped = parse_mp3_timeline(blob[:-10], max_frames=3)
+    assert len(capped["samples"]) == 3
+    with pytest.raises(ValueError, match="ends inside"):
+        parse_mp3_timeline(blob + b"\x00")
     # padding-needing pairs refuse in the exact-fixture writer
     with pytest.raises(ValueError, match="exact pair"):
         encode_mp3_frames(2, bitrate_kbps=96, sample_rate=44100)
