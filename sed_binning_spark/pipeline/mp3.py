@@ -16,7 +16,11 @@ Implemented from the public spec:
   block are skipped; the "free" bitrate index refuses loudly (frame
   length would be a guess), as do reserved version/layer/rate codes
   and any non-frame bytes between frames — resync-by-scanning can
-  silently skip real audio, which is not this module's posture.
+  silently skip real audio, which is not this module's posture;
+- an opt-in ``tolerate_truncated_tail`` mode accepts the one defect
+  a loud default throws real audio away over — a final frame cut off
+  by a truncated download — stopping at the last complete frame and
+  reporting the dropped byte count (see parse_mp3_timeline).
 
 Malformed framing raises ValueError naming the defect, like every codec
 in :mod:`~sed_binning_spark.pipeline.multimodal`; the Spark operator
@@ -78,15 +82,32 @@ def _parse_header(b0: int, b1: int, b2: int, b3: int):
     return version, layer, bitrate, rate, padding, channels, frame, samples
 
 
-def parse_mp3_timeline(data: bytes, max_frames: int | None = None) -> dict:
+def parse_mp3_timeline(
+    data: bytes, max_frames: int | None = None,
+    tolerate_truncated_tail: bool = False,
+) -> dict:
     """Per-frame timeline of an MPEG audio stream — ``{"codec":
-    "mp3"/"mp2"/"mp1", "channels": int, "sample_rate": int, "samples":
+    "mp3"/"mp2"/"mp1", "channels": int, "sample_rate": int,
+    "bytes_dropped": int, "samples":
     [(start_ms, delay_ms, offset, n_bytes, keyframe), ...]}``, the same
     row shape as the other container timelines (every MPEG audio frame
     is independently decodable → keyframe True). A leading ID3v2 tag
     and a trailing ID3v1 block are skipped; codec/channels/rate come
     from the first frame and a mid-stream change of version/layer/rate
-    refuses loudly (one stream, one clock)."""
+    refuses loudly (one stream, one clock).
+
+    ``tolerate_truncated_tail=True`` opts into accepting the single
+    most common defect in crawled MP3s: a FINAL frame cut off by a
+    truncated download. When the last frame's declared length extends
+    past EOF (or fewer than 4 header bytes remain after a clean frame
+    boundary), the walk stops at the last complete frame and reports
+    the dropped byte count as ``bytes_dropped`` instead of raising —
+    recovering hours of valid audio per thousand crawled files without
+    guessing at anything: every EMITTED row is still a complete,
+    header-verified frame. Only the tail is tolerated; a header that
+    fails to parse mid-stream stays loud (resync-by-scanning can
+    silently skip real audio), and the default remains the loud
+    refusal."""
     pos, n = 0, len(data)
     if data[:3] == b"ID3" and n >= 10:
         size = 0
@@ -104,12 +125,16 @@ def parse_mp3_timeline(data: bytes, max_frames: int | None = None) -> dict:
     first = None
     out = []
     t_samples = 0
+    dropped = 0
     while pos < n:
         # the cap check comes FIRST: frames past it must not be able to
         # abort an otherwise-valid capped parse (Ogg does the same)
         if max_frames is not None and len(out) >= int(max_frames):
             break
         if pos + 4 > n:
+            if tolerate_truncated_tail and first is not None:
+                dropped = n - pos
+                break
             raise ValueError(
                 "MPEG audio stream ends inside a frame header",
             )
@@ -123,6 +148,12 @@ def parse_mp3_timeline(data: bytes, max_frames: int | None = None) -> dict:
                 "mid-stream",
             )
         if pos + frame > n:
+            # by construction this can only be the FINAL frame: the
+            # walk stops here either way, so tolerating it never skips
+            # mid-stream bytes
+            if tolerate_truncated_tail and first is not None:
+                dropped = n - pos
+                break
             raise ValueError("MPEG audio frame extends past the file end")
         out.append((
             (t_samples * 1000 + rate // 2) // rate,
@@ -131,7 +162,10 @@ def parse_mp3_timeline(data: bytes, max_frames: int | None = None) -> dict:
         ))
         t_samples += samples
         pos += frame
-    if first is None:
+    if first is None or not out:
+        # covers the untolerated empty stream AND a tolerated tail that
+        # left zero COMPLETE frames — an empty timeline over a file
+        # that is 100% dropped bytes would just be a quieter refusal
         raise ValueError("MPEG audio stream has no frames")
     return {
         "codec": {1: "mp1", 2: "mp2", 3: "mp3"}[first[1]],
@@ -140,6 +174,7 @@ def parse_mp3_timeline(data: bytes, max_frames: int | None = None) -> dict:
         "height": 0,
         "channels": first[3],
         "sample_rate": first[2],
+        "bytes_dropped": dropped,
         "samples": out,
     }
 

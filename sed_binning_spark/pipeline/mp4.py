@@ -506,6 +506,17 @@ def _fragment_layout(data, tables, timescale, max_frames):
                         f"MP4 trun declares {cnt} samples in a "
                         f"{n}-byte file",
                     )
+                if per == 0 and cnt and d_size == 0:
+                    # with no per-sample fields the only thing bounding
+                    # the count is the mdat bytes each sample occupies
+                    # (the dpos+sz check below) — a ZERO default size
+                    # voids that bound, letting a lying count fabricate
+                    # up to n empty rows before max_frames caps it
+                    raise ValueError(
+                        "MP4 trun with no per-sample fields and a zero "
+                        "default sample size — the declared count is "
+                        "unverifiable",
+                    )
                 for i in range(cnt):
                     if max_frames is not None and len(out) >= int(max_frames):
                         return out

@@ -30,6 +30,9 @@ in :mod:`~sed_binning_spark.pipeline.multimodal`; the Spark operator
 catches and degrades per its documented posture.
 """
 import struct
+import zlib
+
+import numpy as np
 
 OGG_MAGIC = b"OggS"
 
@@ -42,9 +45,19 @@ _OPUS_FRAME_SAMPLES = (
 
 _CRC_TABLE = None
 
+# 256-entry bit-reversal table for the fast CRC path (numpy take =
+# memory-speed byte reflection)
+_BITREV = np.array(
+    [int(format(i, "08b")[::-1], 2) for i in range(256)], dtype=np.uint8,
+)
 
-def _ogg_crc(data: bytes) -> int:
-    """RFC 3533 page CRC: poly 0x04C11DB7, init 0, no reflection."""
+
+def _ogg_crc_bytewise(data: bytes) -> int:
+    """RFC 3533 page CRC, spec-literal: poly 0x04C11DB7, init 0, no
+    reflection, no final xor — the table-driven byte walk straight from
+    the polynomial. Kept as the reference implementation the fast path
+    is pinned against (tests cross-check them on random pages); the
+    walk itself uses :func:`_ogg_crc`."""
     global _CRC_TABLE
     if _CRC_TABLE is None:
         table = []
@@ -59,6 +72,26 @@ def _ogg_crc(data: bytes) -> int:
     for b in data:
         crc = ((crc << 8) & 0xFFFFFFFF) ^ _CRC_TABLE[(crc >> 24) ^ b]
     return crc
+
+
+def _ogg_crc(data: bytes) -> int:
+    """RFC 3533 page CRC via its reflected twin: an MSB-first CRC with
+    init 0 / xorout 0 equals the bit-reversed LSB-first CRC of the
+    byte-wise bit-reversed message over the same polynomial
+    (0x04C11DB7 reflected = 0xEDB88320 — exactly ``zlib.crc32``'s).
+    So the page check costs one numpy table ``take`` (the byte
+    reflection) plus one C-speed ``zlib.crc32`` instead of a Python
+    loop over every payload byte — the other container walks never
+    touch payload bytes, and with this neither does Ogg's hot loop.
+    ``zlib.crc32(t, 0xFFFFFFFF) ^ 0xFFFFFFFF`` strips zlib's fixed
+    init/xorout conditioning to recover the raw init-0 register."""
+    t = _BITREV[np.frombuffer(data, dtype=np.uint8)].tobytes()
+    v = zlib.crc32(t, 0xFFFFFFFF) ^ 0xFFFFFFFF
+    # reverse the 32-bit result back to MSB-first bit order
+    v = ((v & 0x55555555) << 1) | ((v >> 1) & 0x55555555)
+    v = ((v & 0x33333333) << 2) | ((v >> 2) & 0x33333333)
+    v = ((v & 0x0F0F0F0F) << 4) | ((v >> 4) & 0x0F0F0F0F)
+    return int.from_bytes((v & 0xFFFFFFFF).to_bytes(4, "little"), "big")
 
 
 def opus_packet_samples(toc: int, count_byte: int | None = None) -> int:
@@ -249,7 +282,12 @@ def encode_ogg_opus(
     out = _page(0x02, 0, serial, 0, [head])
     out += _page(0, 0, serial, 1, [tags])
     seq = 2
-    granule = pre_skip
+    # RFC 7845 §4: a data page's granule position is the cumulative
+    # count of 48 kHz samples decoded through that page — pre-skip
+    # samples are part of that count already, so the running total
+    # starts at ZERO (seeding it at pre_skip would overcount every
+    # page's position by pre_skip; pre_skip lives only in OpusHead)
+    granule = 0
     for i in range(0, len(packets), packets_per_page):
         chunk = packets[i : i + packets_per_page]
         for p in chunk:

@@ -1450,8 +1450,8 @@ def test_wav_format_matrix_roundtrips():
 
 def test_g711_telephony_wav():
     """ITU-T G.711 μ-law/A-law (WAV format tags 7/6): the 256-entry
-    expansion tables hit the canonical endpoint values, match audioop
-    bit-for-bit where the stdlib still ships it, values in the decode
+    expansion tables hit the canonical endpoint values, match the
+    inlined audioop-derived literals bit-for-bit, values in the decode
     image survive compress→expand exactly, arbitrary int16 compands
     within half the widest quantization step, and the full WAV container
     path (encode_audio_wav → decode_audio_wav → decode_payload) treats
@@ -1470,14 +1470,73 @@ def test_g711_telephony_wav():
     # canonical pins straight from the public reference arithmetic
     assert (u[0x00], u[0x7F], u[0xFF], u[0x80]) == (-32124, 0, 0, 32124)
     assert (a[0x55], a[0xD5], a[0x2A], a[0xAA]) == (-8, 8, -32256, 32256)
-    try:  # removed in Python 3.13 — cross-check while it exists
-        import audioop
-    except ImportError:
-        audioop = None
-    if audioop is not None:
-        for law, tab, fn in ((7, u, audioop.ulaw2lin), (6, a, audioop.alaw2lin)):
-            ref = [st.unpack("<h", fn(bytes([c]), 2))[0] for c in range(256)]
-            np.testing.assert_array_equal(tab, ref)
+    # the full 256-entry expansion tables, inlined as literals: these
+    # were generated once from the stdlib's audioop (ulaw2lin/alaw2lin,
+    # removed in Python 3.13) and are the deterministic ITU-T G.711
+    # expansion values — an interpreter upgrade cannot silently drop
+    # this cross-check the way a guarded `import audioop` would
+    _ULAW_REF = [
+        -32124, -31100, -30076, -29052, -28028, -27004, -25980,
+        -24956, -23932, -22908, -21884, -20860, -19836, -18812,
+        -17788, -16764, -15996, -15484, -14972, -14460, -13948,
+        -13436, -12924, -12412, -11900, -11388, -10876, -10364,
+        -9852, -9340, -8828, -8316, -7932, -7676, -7420, -7164,
+        -6908, -6652, -6396, -6140, -5884, -5628, -5372, -5116,
+        -4860, -4604, -4348, -4092, -3900, -3772, -3644, -3516,
+        -3388, -3260, -3132, -3004, -2876, -2748, -2620, -2492,
+        -2364, -2236, -2108, -1980, -1884, -1820, -1756, -1692,
+        -1628, -1564, -1500, -1436, -1372, -1308, -1244, -1180,
+        -1116, -1052, -988, -924, -876, -844, -812, -780, -748,
+        -716, -684, -652, -620, -588, -556, -524, -492, -460, -428,
+        -396, -372, -356, -340, -324, -308, -292, -276, -260, -244,
+        -228, -212, -196, -180, -164, -148, -132, -120, -112, -104,
+        -96, -88, -80, -72, -64, -56, -48, -40, -32, -24, -16, -8,
+        0, 32124, 31100, 30076, 29052, 28028, 27004, 25980, 24956,
+        23932, 22908, 21884, 20860, 19836, 18812, 17788, 16764,
+        15996, 15484, 14972, 14460, 13948, 13436, 12924, 12412,
+        11900, 11388, 10876, 10364, 9852, 9340, 8828, 8316, 7932,
+        7676, 7420, 7164, 6908, 6652, 6396, 6140, 5884, 5628, 5372,
+        5116, 4860, 4604, 4348, 4092, 3900, 3772, 3644, 3516, 3388,
+        3260, 3132, 3004, 2876, 2748, 2620, 2492, 2364, 2236, 2108,
+        1980, 1884, 1820, 1756, 1692, 1628, 1564, 1500, 1436, 1372,
+        1308, 1244, 1180, 1116, 1052, 988, 924, 876, 844, 812, 780,
+        748, 716, 684, 652, 620, 588, 556, 524, 492, 460, 428, 396,
+        372, 356, 340, 324, 308, 292, 276, 260, 244, 228, 212, 196,
+        180, 164, 148, 132, 120, 112, 104, 96, 88, 80, 72, 64, 56,
+        48, 40, 32, 24, 16, 8, 0,
+    ]
+    _ALAW_REF = [
+        -5504, -5248, -6016, -5760, -4480, -4224, -4992, -4736,
+        -7552, -7296, -8064, -7808, -6528, -6272, -7040, -6784,
+        -2752, -2624, -3008, -2880, -2240, -2112, -2496, -2368,
+        -3776, -3648, -4032, -3904, -3264, -3136, -3520, -3392,
+        -22016, -20992, -24064, -23040, -17920, -16896, -19968,
+        -18944, -30208, -29184, -32256, -31232, -26112, -25088,
+        -28160, -27136, -11008, -10496, -12032, -11520, -8960,
+        -8448, -9984, -9472, -15104, -14592, -16128, -15616, -13056,
+        -12544, -14080, -13568, -344, -328, -376, -360, -280, -264,
+        -312, -296, -472, -456, -504, -488, -408, -392, -440, -424,
+        -88, -72, -120, -104, -24, -8, -56, -40, -216, -200, -248,
+        -232, -152, -136, -184, -168, -1376, -1312, -1504, -1440,
+        -1120, -1056, -1248, -1184, -1888, -1824, -2016, -1952,
+        -1632, -1568, -1760, -1696, -688, -656, -752, -720, -560,
+        -528, -624, -592, -944, -912, -1008, -976, -816, -784, -880,
+        -848, 5504, 5248, 6016, 5760, 4480, 4224, 4992, 4736, 7552,
+        7296, 8064, 7808, 6528, 6272, 7040, 6784, 2752, 2624, 3008,
+        2880, 2240, 2112, 2496, 2368, 3776, 3648, 4032, 3904, 3264,
+        3136, 3520, 3392, 22016, 20992, 24064, 23040, 17920, 16896,
+        19968, 18944, 30208, 29184, 32256, 31232, 26112, 25088,
+        28160, 27136, 11008, 10496, 12032, 11520, 8960, 8448, 9984,
+        9472, 15104, 14592, 16128, 15616, 13056, 12544, 14080,
+        13568, 344, 328, 376, 360, 280, 264, 312, 296, 472, 456,
+        504, 488, 408, 392, 440, 424, 88, 72, 120, 104, 24, 8, 56,
+        40, 216, 200, 248, 232, 152, 136, 184, 168, 1376, 1312,
+        1504, 1440, 1120, 1056, 1248, 1184, 1888, 1824, 2016, 1952,
+        1632, 1568, 1760, 1696, 688, 656, 752, 720, 560, 528, 624,
+        592, 944, 912, 1008, 976, 816, 784, 880, 848,
+    ]
+    np.testing.assert_array_equal(u, _ULAW_REF)
+    np.testing.assert_array_equal(a, _ALAW_REF)
 
     rng = np.random.default_rng(11)
     base = rng.integers(-32767, 32768, (300, 2)).astype(np.int16)
@@ -1531,14 +1590,9 @@ def test_ima_adpcm_wav():
     expected = [143, 138, 62, 73, 223, 29, 107, 37, 231, 49, 167, -113,
                 308, 28, 691, -304]
     np.testing.assert_array_equal(got[1:], expected)
-    try:
-        import audioop
-    except ImportError:
-        audioop = None
-    if audioop is not None:
-        hi = bytes((codes[i] << 4) | codes[i + 1] for i in range(0, 16, 2))
-        ref = np.frombuffer(audioop.adpcm2lin(hi, 2, (100, 20))[0], "<i2")
-        np.testing.assert_array_equal(got[1:], ref)
+    # (the `expected` literals above were cross-checked once against
+    # audioop.adpcm2lin — removed in Python 3.13, so the literals ARE
+    # the independent pin now, not a guarded import)
 
     t = np.arange(5000)
     mono = (3000 * np.sin(t / 20) + 500 * np.sin(t / 3)).astype(np.int16)
@@ -3186,3 +3240,139 @@ def test_mp4_fragmented_movies():
     fore[tf + 4 : tf + 8] = (0).to_bytes(4, "big")  # v0, no flags at all
     assert [r[0] for r in parse_mp4_timeline(bytes(fore))["samples"][:2]] \
         == [0, 40]
+
+
+def test_mp3_tolerant_truncated_tail():
+    """Opt-in truncated-tail tolerance (round 14): a FINAL frame cut
+    off by a truncated download stops the walk at the last complete
+    frame and reports the dropped byte count, instead of refusing the
+    whole file — the single most common defect in crawled MP3s. The
+    default stays loud, mid-stream garbage stays loud in BOTH modes,
+    and a file with zero complete frames still refuses."""
+    import pytest
+
+    from sed_binning_spark.pipeline.mp3 import (
+        encode_mp3_frames, parse_mp3_timeline,
+    )
+
+    blob = encode_mp3_frames(4, bitrate_kbps=96, sample_rate=32000)
+
+    # intact file: tolerance is a no-op and reports zero drops
+    info = parse_mp3_timeline(blob, tolerate_truncated_tail=True)
+    assert len(info["samples"]) == 4 and info["bytes_dropped"] == 0
+    assert parse_mp3_timeline(blob)["bytes_dropped"] == 0
+
+    # final frame cut mid-body: default refuses, tolerant keeps the
+    # 3 complete frames and reports the 422 dangling bytes
+    cut = blob[:-10]
+    with pytest.raises(ValueError, match="past the file end"):
+        parse_mp3_timeline(cut)
+    got = parse_mp3_timeline(cut, tolerate_truncated_tail=True)
+    assert len(got["samples"]) == 3
+    assert got["samples"] == parse_mp3_timeline(blob)["samples"][:3]
+    assert got["bytes_dropped"] == 432 - 10
+
+    # tail shorter than a header (1-3 bytes): same contract
+    got = parse_mp3_timeline(blob + b"\xff", tolerate_truncated_tail=True)
+    assert len(got["samples"]) == 4 and got["bytes_dropped"] == 1
+
+    # mid-stream defects are NOT a tail: still loud under tolerance
+    free = bytearray(blob)
+    free[2] &= 0x0F
+    with pytest.raises(ValueError, match="free-format"):
+        parse_mp3_timeline(bytes(free), tolerate_truncated_tail=True)
+
+    # a file whose ONLY frame truncates has no timeline to salvage
+    with pytest.raises(ValueError, match="no frames"):
+        parse_mp3_timeline(blob[:100], tolerate_truncated_tail=True)
+
+
+def test_ogg_crc_fast_path_and_granules():
+    """Round-14 Ogg fixes: the zlib-reflection CRC (the hot-loop
+    replacement for the per-byte Python walk) matches the spec-literal
+    table implementation bit-for-bit on arbitrary data, and the fixture
+    writer's data-page granule positions follow RFC 7845 §4 — the
+    cumulative 48 kHz sample count, NOT offset by pre-skip (pre-skip
+    lives only in the OpusHead field)."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.ogg import (
+        _iter_pages, _ogg_crc, _ogg_crc_bytewise, encode_ogg_opus,
+        opus_packet_samples,
+    )
+
+    rng = np.random.default_rng(14)
+    for n in (0, 1, 2, 3, 7, 8, 255, 256, 4096, 10001):
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert _ogg_crc(data) == _ogg_crc_bytewise(data), n
+
+    # 3 packets of 20 ms SILK WB (960 samples each) over 2 data pages
+    pkts = [bytes([(9 << 3)]) + b"p" * 3 for _ in range(3)]
+    blob = encode_ogg_opus(pkts, pre_skip=312, packets_per_page=2)
+    assert opus_packet_samples(pkts[0][0]) == 960
+    granules = [g for f, g, s, q, segs, b in _iter_pages(blob)
+                if q >= 2]  # data pages only (0 = head, 1 = tags)
+    # cumulative decoded-sample count per page: 2 packets then 1 more,
+    # NOT 312 higher (the pre-skip overcount the round-13 advice found)
+    assert granules == [1920, 2880]
+
+
+def test_mp4_trun_default_size_zero_refuses():
+    """Round-14 advice fix: a trun with NO per-sample fields draws
+    every sample's size from the tfhd/trex default — with that default
+    ZERO, nothing ties the declared count to real bytes (each row
+    advances the data pointer by 0), so a lying count could fabricate
+    rows. Refuse; the non-zero-default twin stays accepted with rows
+    bounded by the mdat extent check."""
+    import struct
+
+    import pytest
+
+    from sed_binning_spark.pipeline.mp4 import (
+        encode_mp4_fragmented, parse_mp4_timeline,
+    )
+
+    base = encode_mp4_fragmented(
+        [b"abc", b"def"], [40, 40], frames_per_fragment=2,
+    )
+
+    def rebuild_trun(blob: bytes, tf_flags: int, d_dur: int, d_size: int,
+                     cnt: int) -> bytes:
+        """Swap the fixture's per-sample trun for a defaults-only one:
+        tfhd gains default duration/size fields, trun keeps only its
+        data offset. Box sizes are rebuilt, not lied about."""
+        b = bytearray(blob)
+        tf = bytes(blob).index(b"tfhd") - 4
+        tr = bytes(blob).index(b"trun") - 4
+        tr_end = tr + struct.unpack_from(">I", blob, tr)[0]
+        (doff,) = struct.unpack_from(">i", blob, tr + 16)
+        tfhd = struct.pack(">I4sI I II", 24, b"tfhd", tf_flags, 1,
+                           d_dur, d_size)
+        trun = struct.pack(">I4sI Ii", 20, b"trun", 0x01, cnt, doff)
+        new = bytes(b[:tf]) + tfhd + trun + bytes(b[tr_end:])
+        # resize the two enclosing boxes (traf, moof) by the delta
+        delta = len(new) - len(blob)
+        out = bytearray(new)
+        for tag in (b"traf", b"moof"):
+            at = new.index(tag) - 4
+            (sz,) = struct.unpack_from(">I", new, at)
+            struct.pack_into(">I", out, at, sz + delta)
+        # the trun data offset is moof-relative; moof size changed
+        (old_doff,) = struct.unpack_from(">i", new, new.index(b"trun") + 12)
+        struct.pack_into(">i", out, bytes(new).index(b"trun") + 12,
+                         old_doff + delta)
+        return bytes(out)
+
+    # defaults-only trun with a REAL default size: rows come out, sized
+    # and timed from tfhd defaults (0x08 = duration, 0x10 = size,
+    # 0x20000 = default-base-is-moof)
+    ok = rebuild_trun(base, 0x20000 | 0x08 | 0x10, 40, 3, 2)
+    rows = parse_mp4_timeline(ok)["samples"]
+    assert [(r[0], r[1], r[3]) for r in rows] == [(0, 40, 3), (40, 40, 3)]
+
+    # same shape with default size 0: the count is unverifiable (a
+    # count below the file size, so the lie slips past the cnt > n
+    # check that catches the grosser fabrications)
+    with pytest.raises(ValueError, match="unverifiable"):
+        parse_mp4_timeline(rebuild_trun(base, 0x20000 | 0x08 | 0x10,
+                                        40, 0, 500))
