@@ -1612,7 +1612,24 @@ def _mp4_fixture_blobs():
                               sample_rate=32000)
             for w in range(2)
         ]
-        _MP4_FIXTURES = (mj, sizes, av, avb, frg, wbm, m4a, ogg, mp3)
+        # round 14: LACED WebM audio — how real muxers pack Opus
+        # packets. Variant 0 laces Xiph (255-run sizes), variant 1
+        # EBML (delta-coded varints); 2 frames per laced block, frame
+        # sizes 6+3f+w, timestamps recovered by stepping the track's
+        # 20 ms DefaultDuration across each laced block
+        wbl = []
+        for w in range(2):
+            n = 4 + w
+            wbl.append(encode_webm(
+                [b"\x00" * (6 + 3 * f + w) for f in range(n)],
+                [20 * f for f in range(n)],
+                track_type=2, codec_id="A_OPUS", channels=2,
+                sample_rate=48000.0, default_duration_ms=20,
+                lacing="xiph" if w == 0 else "ebml",
+                frames_per_block=2,
+            ))
+        _MP4_FIXTURES = (mj, sizes, av, avb, frg, wbm, m4a, ogg, mp3,
+                         wbl)
     return _MP4_FIXTURES
 
 
@@ -1760,7 +1777,7 @@ def _q_frame_sample(spark, sf):
 
     # both MP4 families through ONE sample_frames stage; the leg label
     # re-derives from the id after decode
-    mj, _sizes, av, avb, frg, wbm, m4a, ogg, mp3 = _mp4_fixture_blobs()
+    mj, _sizes, av, avb, frg, wbm, m4a, ogg, mp3, wbl = _mp4_fixture_blobs()
     did = F.col("doc_id")
     mp4_media = docs.where(did % 3 > 0).select(
         did.alias("media_id"),
@@ -1846,6 +1863,17 @@ def _q_frame_sample(spark, sf):
                       keyframes_only=True),
         F.lit("avck"),
     )
+    # round 14: LACED WebM audio through the real Xiph/EBML lace-size
+    # decode — one row per laced frame with exact byte extents,
+    # timestamps stepped by the track's DefaultDuration
+    webl_media = docs.where(did % 3 == 1).select(
+        did.alias("media_id"),
+        F.when(did % 2 == 0, F.lit(bytearray(wbl[0])))
+        .otherwise(F.lit(bytearray(wbl[1]))).alias("payload"),
+    )
+    webl_leg = decoded_leg(
+        sample_frames(webl_media, media="audio"), F.lit("webl"),
+    )
 
     def audio_leg(media_df, leg_col):
         return sample_audio_windows(media_df, window_ms=4).select(
@@ -1909,7 +1937,8 @@ def _q_frame_sample(spark, sf):
         plan_leg.unionByName(gif_leg).unionByName(mp4_leg)
         .unionByName(gifk_leg).unionByName(avck_leg)
         .unionByName(avcb_leg).unionByName(frag_leg)
-        .unionByName(webm_leg).unionByName(m4au_leg)
+        .unionByName(webm_leg).unionByName(webl_leg)
+        .unionByName(m4au_leg)
         .unionByName(oggp_leg).unionByName(mp3f_leg)
         .unionByName(wav_leg).unionByName(rsw_leg)
         .unionByName(g711_leg).unionByName(adpcm_leg)
@@ -3258,6 +3287,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(7 + 3 * t.f + (doc_id % 2) AS BIGINT), t.f % 2 = 0 "
             "FROM documents, range(4) t(f) "
             "WHERE doc_id % 3 = 2 AND t.f < 3 + (doc_id % 2) "
+            # LACED WebM audio (round 14): Xiph (variant 0) / EBML
+            # (variant 1) lace sizes decode to exact 6+3f+w extents;
+            # laced timestamps step by the 20 ms DefaultDuration;
+            # SimpleBlock audio → every frame sync, NULL dims
+            "UNION ALL SELECT 'webl', doc_id, "
+            "CAST(20 * t.f AS BIGINT), CAST(t.f AS INT), "
+            "CAST(20 AS BIGINT), "
+            "CAST(NULL AS INT), CAST(NULL AS INT), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(6 + 3 * t.f + (doc_id % 2) AS BIGINT), TRUE "
+            "FROM documents, range(5) t(f) "
+            "WHERE doc_id % 3 = 1 AND t.f < 4 + (doc_id % 2) "
             # audio-track (soun) timeline: same 5f(f+3) closed form,
             # NULL dims in audio mode, no stss → every sample sync
             "UNION ALL SELECT 'm4au', doc_id, "
@@ -3641,7 +3683,7 @@ def _mp4j_values_sql() -> str:
     Motion-JPEG-in-MP4 fixture as a VALUES list — the byte sizes come
     from the plan-time encode (the frozen-model pattern: the ENGINE
     re-derives them from the container's stsz walk)."""
-    _, sizes, _, _, _, _, _, _, _ = _mp4_fixture_blobs()
+    sizes = _mp4_fixture_blobs()[1]
     return ", ".join(
         f"({v}, {f}, {8 * (4 + 3 * f + 5 * v)}, {sizes[v][f]})"
         for v in range(2)

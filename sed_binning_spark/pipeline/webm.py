@@ -19,8 +19,16 @@ matroska.org element registry):
   Timestamp + SimpleBlock / BlockGroup(Block, BlockDuration,
   ReferenceBlock)``;
 - SimpleBlock keyframe = its flags bit; Block-in-group keyframe = the
-  group carries no ReferenceBlock. Lacing is refused loudly (three
-  sub-formats of frame packing; dishonest to guess extents).
+  group carries no ReferenceBlock;
+- all three LACING formats (how real muxers pack small Opus/Vorbis
+  packets — Xiph 255-run bytes, EBML delta-coded varints, fixed even
+  division) decode to one row per laced frame with EXACT byte extents:
+  every lacing format encodes exact sizes (RFC 8794 / Matroska
+  §lacing), so nothing is guessed. Laced frame TIMESTAMPS step by the
+  track's DefaultDuration (the spec's interpolation rule), else by an
+  evenly dividing BlockDuration, else the frames share the block
+  timestamp with a NULL delay — the container genuinely carries no
+  finer clock.
 
 Malformed framing raises ValueError naming the defect, like every codec
 in :mod:`~sed_binning_spark.pipeline.multimodal`; the Spark operator
@@ -122,10 +130,89 @@ def _uint(data: bytes, s: int, e: int, default: int = 0) -> int:
     return int.from_bytes(data[s:e], "big")
 
 
+def _read_svint(data: bytes, pos: int):
+    """EBML SIGNED varint (lace-size deltas): the unsigned value minus
+    the length's bias 2^(7·len−1) − 1, per RFC 8794 §4."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML varint")
+    length = 8 - data[pos].bit_length() + 1
+    val, nxt = _read_vint(data, pos, keep_marker=False)
+    if val is None:
+        raise ValueError("Matroska lace delta with the all-ones value")
+    return val - ((1 << (7 * length - 1)) - 1), nxt
+
+
+def _lace_sizes(data, p, e, lacing):
+    """Per-frame byte sizes of a laced (Simple)Block body
+    ``data[p:e]`` — all three Matroska lacing formats encode EXACT
+    sizes (RFC 8794 / Matroska §lacing): Xiph as 255-run bytes, EBML
+    as a plain vint then signed-vint deltas, fixed by even division;
+    the LAST frame is always the remainder. Returns
+    ``(sizes, frames_start)``."""
+    if p >= e:
+        raise ValueError("Matroska laced block with no frame count")
+    n_frames = data[p] + 1
+    p += 1
+    sizes = []
+    if lacing == 0x02:  # Xiph: 255-run bytes for all but the last
+        for _ in range(n_frames - 1):
+            size = 0
+            while True:
+                if p >= e:
+                    raise ValueError(
+                        "Matroska Xiph lacing truncates its size runs",
+                    )
+                size += data[p]
+                last = data[p] < 255
+                p += 1
+                if last:
+                    break
+            sizes.append(size)
+    elif lacing == 0x06:  # EBML: first plain, then signed deltas
+        if n_frames > 1:
+            size, p = _read_vint(data, p, keep_marker=False)
+            if size is None:
+                raise ValueError(
+                    "Matroska EBML lacing with an unknown-size lace",
+                )
+            sizes.append(size)
+            for _ in range(n_frames - 2):
+                delta, p = _read_svint(data, p)
+                size += delta
+                if size < 0:
+                    raise ValueError(
+                        "Matroska EBML lacing walks a size below zero",
+                    )
+                sizes.append(size)
+            if p > e:
+                raise ValueError(
+                    "Matroska EBML lacing truncates its size vints",
+                )
+    else:  # 0x04 fixed: the remainder divides evenly
+        body = e - p
+        if body % n_frames:
+            raise ValueError(
+                f"Matroska fixed lacing: {body} body bytes do not "
+                f"divide into {n_frames} equal frames",
+            )
+        sizes = [body // n_frames] * (n_frames - 1)
+    rem = (e - p) - sum(sizes)
+    if rem < 0:
+        raise ValueError(
+            "Matroska lace sizes exceed the block body",
+        )
+    sizes.append(rem)  # the final frame is whatever bytes remain
+    return sizes, p
+
+
 def _parse_block(data, s, e, video_track, keyframe):
-    """(rel_ts, pos, size, keyframe) of a (Simple)Block when it belongs
-    to ``video_track``, else None. ``keyframe`` None means 'read the
-    SimpleBlock flags bit'."""
+    """(rel_ts, [(pos, size), ...], keyframe) of a (Simple)Block when
+    it belongs to ``video_track``, else None — one extent per frame,
+    so a LACED block (how real muxers pack small Opus/Vorbis packets)
+    yields every frame it carries with exact byte extents: all three
+    lacing formats encode exact sizes, nothing is guessed. ``keyframe``
+    None means 'read the SimpleBlock flags bit' (a laced block's flag
+    covers every frame in it)."""
     track, p = _read_vint(data, s, keep_marker=False)
     if track is None:
         raise ValueError("Matroska block with unknown-size track number")
@@ -135,14 +222,19 @@ def _parse_block(data, s, e, video_track, keyframe):
         return None
     (rel,) = struct.unpack_from(">h", data, p)
     flags = data[p + 2]
-    if flags & 0x06:
-        raise ValueError(
-            "Matroska block lacing unsupported (frame extents would be "
-            "guesses)",
-        )
+    p += 3
+    lacing = flags & 0x06
+    if lacing:
+        sizes, p = _lace_sizes(data, p, e, lacing)
+    else:
+        sizes = [e - p]
     if keyframe is None:
         keyframe = bool(flags & 0x80)
-    return rel, p + 3, e - (p + 3), keyframe
+    extents = []
+    for sz in sizes:
+        extents.append((p, sz))
+        p += sz
+    return rel, extents, keyframe
 
 
 def _ebml_float(data: bytes, s: int, e: int, default: float = 0.0) -> float:
@@ -173,7 +265,12 @@ def parse_webm_timeline(
     TimestampScale, in ms. ``delay_ms`` is the BlockGroup's
     BlockDuration when present, else the track's DefaultDuration, else
     None — Matroska does not require per-frame durations. Rows stay in
-    container order."""
+    container order. LACED blocks (Xiph/EBML/fixed — the normal shape
+    of Matroska audio) contribute one row per laced frame with exact
+    byte extents; their timestamps step by the track's DefaultDuration
+    when it is declared (the spec's interpolation rule for laced
+    frames), else by an evenly dividing BlockDuration, else all frames
+    carry the block's timestamp and a NULL delay."""
     if media not in ("video", "audio"):
         raise ValueError(f"media must be 'video' or 'audio', got {media!r}")
     want_type = 1 if media == "video" else 2
@@ -254,21 +351,43 @@ def parse_webm_timeline(
                     if tracks_seen else
                     f"Matroska Cluster before any {media} TrackEntry",
                 )
+
+            def _emit(rel, extents, kf, total_ms=None):
+                """Rows for one (possibly laced) block. Frame 0 starts
+                at the block's timestamp; successive LACED frames step
+                by the track's DefaultDuration (the spec's own
+                interpolation rule for laced frames), else by an evenly
+                dividing BlockDuration (it covers the whole block), else
+                they share the block timestamp with a NULL delay —
+                Matroska genuinely carries no finer per-frame clock."""
+                base_ms = (cluster_ts + rel) * scale_ns // 1_000_000
+                n = len(extents)
+                if n == 1:
+                    d = total_ms if total_ms is not None else default_ms
+                    out.append((base_ms, d, *extents[0], kf))
+                    return
+                step = default_ms
+                if step is None and total_ms is not None \
+                        and total_ms % n == 0:
+                    step = total_ms // n
+                for i, (pos, size) in enumerate(extents):
+                    out.append((
+                        base_ms + i * step if step is not None else base_ms,
+                        step, pos, size, kf,
+                    ))
+
             cluster_ts = 0
             for i2, s2, e2 in _iter_elements(data, s, e):
                 if max_frames is not None and len(out) >= int(max_frames):
-                    return _result(codec, width, height, out, media,
+                    return _result(codec, width, height,
+                                   out[: int(max_frames)], media,
                                    audio_meta)
                 if i2 == _CLUSTER_TIMESTAMP:
                     cluster_ts = _uint(data, s2, e2)
                 elif i2 == _SIMPLE_BLOCK:
                     got = _parse_block(data, s2, e2, video_track, None)
                     if got is not None:
-                        rel, pos, size, kf = got
-                        out.append((
-                            (cluster_ts + rel) * scale_ns // 1_000_000,
-                            default_ms, pos, size, kf,
-                        ))
+                        _emit(*got)
                 elif i2 == _BLOCK_GROUP:
                     block = None
                     dur = None
@@ -290,15 +409,16 @@ def parse_webm_timeline(
                         not referenced,
                     )
                     if got is not None:
-                        rel, pos, size, kf = got
-                        d = (dur * scale_ns // 1_000_000
-                             if dur is not None else default_ms)
-                        out.append((
-                            (cluster_ts + rel) * scale_ns // 1_000_000,
-                            d, pos, size, kf,
-                        ))
+                        rel, extents, kf = got
+                        # BlockDuration spans the WHOLE block (the sum
+                        # over laced frames), in timestamp ticks
+                        _emit(rel, extents, kf,
+                              dur * scale_ns // 1_000_000
+                              if dur is not None else None)
     if video_track is None:
         raise ValueError(f"Matroska stream has no {media} track")
+    if max_frames is not None:
+        out = out[: int(max_frames)]  # one laced block can overshoot
     return _result(codec, width, height, out, media, audio_meta)
 
 
@@ -338,6 +458,39 @@ def _uint_elem(eid: int, value: int) -> bytes:
     return _elem(eid, value.to_bytes(width, "big"))
 
 
+def _svint(value: int) -> bytes:
+    """Encode an EBML SIGNED varint (lace-size delta): pick the
+    shortest length whose bias covers the value, store value + bias."""
+    for length in range(1, 9):
+        bias = (1 << (7 * length - 1)) - 1
+        if -bias <= value <= bias:
+            return ((value + bias) | (1 << (7 * length))).to_bytes(
+                length, "big",
+            )
+    raise ValueError(f"EBML signed varint {value} too large")
+
+
+def _lace_bytes(frames: list[bytes], lacing: str) -> bytes:
+    """Lacing header (count byte + size data) for a laced block whose
+    LAST frame's size is implicit (the remainder)."""
+    out = bytes([len(frames) - 1])
+    if lacing == "xiph":
+        for f in frames[:-1]:
+            full, rest = divmod(len(f), 255)
+            out += bytes([255] * full + [rest])
+    elif lacing == "ebml":
+        if len(frames) > 1:
+            out += _vint_size(len(frames[0]))
+            for prev, cur in zip(frames, frames[1:-1]):
+                out += _svint(len(cur) - len(prev))
+    elif lacing == "fixed":
+        if len({len(f) for f in frames}) != 1:
+            raise ValueError("fixed lacing requires equal frame sizes")
+    else:
+        raise ValueError(f"unknown lacing {lacing!r}")
+    return out
+
+
 def encode_webm(
     frames: list[bytes],
     times_ms: list[int],
@@ -352,20 +505,32 @@ def encode_webm(
     track_type: int = 1,
     channels: int = 1,
     sample_rate: float = 48000.0,
+    lacing: str | None = None,
+    frames_per_block: int = 1,
 ) -> bytes:
     """Spec-built WebM fixture: one video track whose Clusters carry the
     given payloads as SimpleBlocks (or BlockGroups with
     ``use_block_groups`` — keyframes become absent ReferenceBlocks and
     per-block durations are written from the time deltas). Cluster
-    Timestamps anchor each group of ``blocks_per_cluster`` frames; the
+    Timestamps anchor each group of ``blocks_per_cluster`` blocks; the
     block-relative timestamps carry the remainder. ``track_type=2``
     writes an AUDIO track (Audio element with ``channels`` and a
     float64 ``sample_rate``) — the fixture shape for
-    parse_webm_timeline's ``media="audio"`` mode."""
+    parse_webm_timeline's ``media="audio"`` mode.
+
+    ``lacing`` ("xiph" / "ebml" / "fixed") packs ``frames_per_block``
+    consecutive payloads into ONE laced (Simple)Block — how real muxers
+    write Opus/Vorbis — whose timestamp and keyframe flag come from the
+    block's FIRST frame; the laced frames' own times are implied by the
+    track clock (write a ``default_duration_ms`` to make them
+    recoverable), so only each block's first entry of ``times_ms`` is
+    written to the container."""
     if len(frames) != len(times_ms):
         raise ValueError("one timestamp per frame, please")
     if keyframes is not None and len(keyframes) != len(frames):
         raise ValueError("one keyframe flag per frame, please")
+    if lacing is not None and frames_per_block < 1:
+        raise ValueError("frames_per_block must be >= 1")
     header = _elem(0x1A45DFA3, b"".join([
         _uint_elem(0x4286, 1),            # EBMLVersion
         _uint_elem(0x42F7, 1),            # EBMLReadVersion
@@ -390,21 +555,38 @@ def encode_webm(
         entry += _uint_elem(_DEFAULT_DURATION, default_duration_ms * 1_000_000)
     entry += media_elem
     tracks = _elem(_TRACKS, _elem(_TRACK_ENTRY, entry))
+    # group payloads into blocks: singleton blocks normally, runs of
+    # frames_per_block under lacing (a block's time/keyframe = its
+    # first frame's)
+    fpb = frames_per_block if lacing is not None else 1
+    blocks = [list(range(i, min(i + fpb, len(frames))))
+              for i in range(0, len(frames), fpb)]
     clusters = b""
-    for i in range(0, len(frames), blocks_per_cluster):
-        base = times_ms[i]
+    for i in range(0, len(blocks), blocks_per_cluster):
+        base = times_ms[blocks[i][0]]
         body = _uint_elem(_CLUSTER_TIMESTAMP, base)
-        for j in range(i, min(i + blocks_per_cluster, len(frames))):
+        for grp_ids in blocks[i : i + blocks_per_cluster]:
+            j = grp_ids[0]
             kf = keyframes[j] if keyframes is not None else True
             rel = times_ms[j] - base
+            payload = [frames[k] for k in grp_ids]
+            lace_flag = 0
+            lace_hdr = b""
+            if lacing is not None:
+                lace_flag = {"xiph": 0x02, "fixed": 0x04,
+                             "ebml": 0x06}[lacing]
+                lace_hdr = _lace_bytes(payload, lacing)
             blk = (_vint_size(track_number)
                    + struct.pack(">h", rel)
-                   + bytes([0x80 if (kf and not use_block_groups) else 0])
-                   + frames[j])
+                   + bytes([(0x80 if (kf and not use_block_groups) else 0)
+                            | lace_flag])
+                   + lace_hdr + b"".join(payload))
             if use_block_groups:
                 grp = _elem(_BLOCK, blk)
-                nxt = times_ms[j + 1] if j + 1 < len(frames) else None
+                last = grp_ids[-1]
+                nxt = times_ms[last + 1] if last + 1 < len(frames) else None
                 if nxt is not None:
+                    # BlockDuration spans the WHOLE (laced) block
                     grp += _uint_elem(_BLOCK_DURATION, nxt - times_ms[j])
                 if not kf:
                     grp += _elem(_REFERENCE_BLOCK, b"\x7f")

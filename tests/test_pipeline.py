@@ -2839,7 +2839,7 @@ def test_webm_metadata_timeline(spark):
     + block relative time at TimestampScale — byte-exact extents,
     SimpleBlock flag keyframes AND BlockGroup ReferenceBlock
     keyframing, BlockDuration/DefaultDuration/NULL delay precedence,
-    the track filter, lacing refusal, and the sample_frames
+    the track filter, corrupt-lacing refusal, and the sample_frames
     metadata-only rows (NULL stats, container index preserved under
     keyframes_only)."""
     import numpy as np
@@ -2883,10 +2883,13 @@ def test_webm_metadata_timeline(spark):
     two = encode_webm(pay[:2], [0, 25], track_number=3)
     assert len(parse_webm_timeline(two)["samples"]) == 2
 
-    # lacing refuses loudly
+    # corrupt lacing still refuses loudly: flag the first block as
+    # Xiph-laced and declare more size runs than its body holds
+    # (lacing itself is implemented — test_webm_lacing)
     laced = bytearray(blob)
     first_flags = blob.index(pay[0]) - 1
     laced[first_flags] |= 0x02
+    laced[first_flags + 1] = 10  # count byte: 11 frames, 7 run bytes
     with pytest.raises(ValueError, match="lacing"):
         parse_webm_timeline(bytes(laced))
     with pytest.raises(ValueError, match="not an EBML"):
@@ -3376,3 +3379,143 @@ def test_mp4_trun_default_size_zero_refuses():
     with pytest.raises(ValueError, match="unverifiable"):
         parse_mp4_timeline(rebuild_trun(base, 0x20000 | 0x08 | 0x10,
                                         40, 0, 500))
+
+
+def test_webm_lacing(spark):
+    """Matroska lacing (round 14 — the round-13 verdict's #1 watch
+    item): all three lacing formats decode to one row per laced frame
+    with EXACT byte extents (Xiph 255-run bytes incl. multi-run sizes,
+    EBML plain-vint-then-signed-deltas, fixed even division); laced
+    timestamps step by DefaultDuration when declared, else by an evenly
+    dividing BlockDuration, else share the block timestamp with a NULL
+    delay; malformed lace tables refuse loudly; keyframes_only and
+    max_frames behave across laced blocks; the Spark audio path carries
+    laced Opus-shaped rows end-to-end."""
+    import pytest
+
+    from sed_binning_spark.pipeline.multimodal import sample_frames
+    from sed_binning_spark.pipeline.webm import (
+        encode_webm, parse_webm_timeline,
+    )
+
+    # six Opus-packet-shaped payloads with awkward sizes: one spanning
+    # multiple Xiph run bytes (510 = 255+255+0), one exactly 255
+    pay = [b"a" * 3, b"b" * 255, b"c" * 510, b"d" * 7, b"e" * 64,
+           b"f" * 1]
+    times = [0, 20, 40, 60, 80, 100]
+
+    for lacing in ("xiph", "ebml"):
+        blob = encode_webm(
+            pay, times, track_type=2, codec_id="A_OPUS",
+            default_duration_ms=20, lacing=lacing, frames_per_block=3,
+            blocks_per_cluster=1,
+        )
+        info = parse_webm_timeline(blob, media="audio")
+        assert [(r[0], r[1], r[3]) for r in info["samples"]] == [
+            (t, 20, len(p)) for t, p in zip(times, pay)
+        ], lacing
+        for (st_, d, pos, sz, kf), p in zip(info["samples"], pay):
+            assert blob[pos : pos + sz] == p, lacing
+            assert kf
+
+    # fixed lacing requires equal sizes — and divides exactly
+    eq = [bytes([i]) * 16 for i in range(4)]
+    fx = encode_webm(eq, [0, 10, 20, 30], track_type=2,
+                     codec_id="A_OPUS", default_duration_ms=10,
+                     lacing="fixed", frames_per_block=4)
+    rows = parse_webm_timeline(fx, media="audio")["samples"]
+    assert [(r[0], r[3]) for r in rows] == [(0, 16), (10, 16),
+                                            (20, 16), (30, 16)]
+    for (st_, d, pos, sz, kf), p in zip(rows, eq):
+        assert fx[pos : pos + sz] == p
+    with pytest.raises(ValueError, match="equal frame sizes"):
+        encode_webm(pay[:2], [0, 10], lacing="fixed",
+                    frames_per_block=2)
+
+    # no DefaultDuration: laced frames share the block timestamp and
+    # carry a NULL delay (the container has no finer clock)
+    bare = encode_webm(pay[:3], [0, 20, 40], track_type=2,
+                       codec_id="A_OPUS", lacing="xiph",
+                       frames_per_block=3)
+    rows = parse_webm_timeline(bare, media="audio")["samples"]
+    assert [(r[0], r[1]) for r in rows] == [(0, None)] * 3
+
+    # ... unless a BlockGroup's BlockDuration divides evenly: the whole
+    # block spans 60 ms over 3 frames -> 20 ms steps (needs a 4th frame
+    # to give the block a successor-derived duration)
+    grp = encode_webm(pay[:4], [0, 20, 40, 60], track_type=2,
+                      codec_id="A_OPUS", lacing="xiph",
+                      frames_per_block=3, use_block_groups=True)
+    rows = parse_webm_timeline(grp, media="audio")["samples"]
+    assert [(r[0], r[1]) for r in rows[:3]] == [(0, 20), (20, 20),
+                                                (40, 20)]
+
+    # keyframes_only prunes whole laced video blocks by their flag
+    vid = encode_webm(pay, times, keyframes=[True, True, True, False,
+                                             False, False],
+                      default_duration_ms=20, lacing="ebml",
+                      frames_per_block=3)
+    kf_rows = parse_webm_timeline(vid)["samples"]
+    assert [r[4] for r in kf_rows] == [True] * 3 + [False] * 3
+    from sed_binning_spark.pipeline.multimodal import sample_frames
+
+    df = spark.createDataFrame([(5, bytearray(vid))],
+                               "media_id long, payload binary")
+    krows = sample_frames(df, keyframes_only=True) \
+        .orderBy("frame_index").collect()
+    assert [r.frame_index for r in krows] == [0, 1, 2]
+
+    # max_frames trims INSIDE a laced block (no overshoot)
+    assert len(parse_webm_timeline(vid, max_frames=2)["samples"]) == 2
+    assert len(parse_webm_timeline(vid, max_frames=4)["samples"]) == 4
+
+    # malformed lace tables refuse loudly, naming the defect
+    lx = bytearray(encode_webm([b"q", b"r"], [0, 20], lacing="xiph",
+                               frames_per_block=2))
+    at = bytes(lx).index(b"qr") - 2  # the lace count byte
+    assert lx[at] == 1
+    lx[at] = 10  # 11 frames, but only 3 run bytes exist in the block
+    with pytest.raises(ValueError, match="truncates its size runs"):
+        parse_webm_timeline(bytes(lx))
+    # a lace table whose sizes overrun the body refuses too
+    lo = bytearray(encode_webm([b"q", b"r"], [0, 20], lacing="xiph",
+                               frames_per_block=2))
+    lo[bytes(lo).index(b"qr") - 1] = 9  # frame 0 claims 9 of 2 bytes
+    with pytest.raises(ValueError, match="exceed the block body"):
+        parse_webm_timeline(bytes(lo))
+
+    le = bytearray(encode_webm([b"x" * 40, b"y" * 2, b"z" * 3],
+                               [0, 10, 20], lacing="ebml",
+                               frames_per_block=3))
+    # lace header = count 2, vint(40) = 0xA8, svint(2-40) = 0x99 —
+    # bump the first size vint beyond the block body so the remainder
+    # goes negative
+    at = bytes(le).index(bytes([2, 0xA8, 0x99])) + 1
+    le[at] = 0x80 | 126
+    with pytest.raises(ValueError, match="exceed the block body"):
+        parse_webm_timeline(bytes(le))
+
+    fe = bytearray(fx)
+    # fixed lacing: shrink the count byte so the body stops dividing
+    # (64 body bytes over 3 frames)
+    at = bytes(fe).index(b"\x00" * 16) - 1
+    assert fe[at] == 3
+    fe[at] = 2
+    with pytest.raises(ValueError, match="do not divide"):
+        parse_webm_timeline(bytes(fe), media="audio")
+
+    # the Spark audio path: laced Opus-shaped blocks yield per-frame
+    # rows with sizes and stepped times
+    adf = spark.createDataFrame(
+        [(1, bytearray(encode_webm(pay, times, track_type=2,
+                                   codec_id="A_OPUS", channels=2,
+                                   sample_rate=48000.0,
+                                   default_duration_ms=20,
+                                   lacing="xiph", frames_per_block=2)))],
+        "media_id long, payload binary",
+    )
+    rows = sample_frames(adf, media="audio").orderBy("frame_index") \
+        .collect()
+    assert [(r.frame_ms, r.delay_ms, r.n_bytes) for r in rows] == [
+        (t, 20, len(p)) for t, p in zip(times, pay)
+    ]
