@@ -1677,6 +1677,46 @@ def _ima_fixture():
     return _IMA_FIXTURES
 
 
+_FLAC_FIXTURES = None
+
+
+def _flac_fixture():
+    """Plan-time FLAC fixtures for the frame_sample slot (round 14).
+    FLAC is LOSSLESS, so unlike ADPCM the oracle needs no frozen
+    literals: the 64-sample signal is a pure-integer closed form —
+    x[i, c] = ((i²·(7+v) + 13·i + 401·c) % 4001) − 2000 — that DuckDB
+    re-derives symbolically while the engine must reproduce it by
+    actually decoding the payload (frame walk, predictors, Rice,
+    mid/side, CRCs, md5). Variant 0 is mono / FIXED order 2 /
+    2 Rice partitions; variant 1 is stereo mid-side / LPC — two
+    genuinely different decode paths behind one formula."""
+    global _FLAC_FIXTURES
+    if _FLAC_FIXTURES is None:
+        from sed_binning_spark.pipeline.flac import encode_flac
+
+        blobs = []
+        i = np.arange(64, dtype=np.int64)
+        for v in range(2):
+            ch = 1 + v
+            sig = np.stack([
+                ((i * i * (7 + v) + 13 * i + 401 * c) % 4001) - 2000
+                for c in range(ch)
+            ], axis=1)
+            if v == 0:
+                blobs.append(encode_flac(
+                    sig, 4000, block_size=32, subframe="fixed",
+                    order=2, partition_order=1,
+                ))
+            else:
+                blobs.append(encode_flac(
+                    sig, 4000, block_size=64, channel_mode="mid_side",
+                    subframe="lpc", lpc_coefs=[3, -1], lpc_shift=1,
+                    lpc_precision=4,
+                ))
+        _FLAC_FIXTURES = blobs
+    return _FLAC_FIXTURES
+
+
 def _q_frame_sample(spark, sf):
     """Video frame sampling, all four legs merged. The 'plan' leg is the
     pure-expression timestamp grid (frame_sample_plan, one row per
@@ -1933,6 +1973,17 @@ def _q_frame_sample(spark, sf):
         adpcm_media,
         F.when(F.col("media_id") % 4 == 2, F.lit("ima")).otherwise(F.lit("msa")),
     )
+    # round 14: FLAC through the REAL RFC 9639 decoder — lossless, so
+    # the oracle re-derives every window stat from the fixture's
+    # integer signal formula while the engine must actually decode
+    # (fixed + LPC predictors, Rice partitions, mid/side, CRC/md5)
+    flac_blobs = _flac_fixture()
+    flac_media = docs.where(did % 3 == 2).select(
+        did.alias("media_id"),
+        F.when(did % 2 == 0, F.lit(bytearray(flac_blobs[0])))
+        .otherwise(F.lit(bytearray(flac_blobs[1]))).alias("payload"),
+    )
+    flc_leg = audio_leg(flac_media, F.lit("flc"))
     return (
         plan_leg.unionByName(gif_leg).unionByName(mp4_leg)
         .unionByName(gifk_leg).unionByName(avck_leg)
@@ -1942,6 +1993,7 @@ def _q_frame_sample(spark, sf):
         .unionByName(oggp_leg).unionByName(mp3f_leg)
         .unionByName(wav_leg).unionByName(rsw_leg)
         .unionByName(g711_leg).unionByName(adpcm_leg)
+        .unionByName(flc_leg)
     )
 
 
@@ -3376,6 +3428,30 @@ def oracle_sql() -> dict[str, str]:
             # tags, expanded through the ITU table arithmetic per byte
             + _g711_leg_sql("ulw", "ulaw", 1)
             + _g711_leg_sql("alw", "alaw", 3)
+            # FLAC (round 14): LOSSLESS, so the twin re-derives every
+            # window stat from the fixture's integer signal formula
+            # x[i,c] = ((i²·(7+v) + 13i + 401c) % 4001) − 2000 — no
+            # frozen literals; the engine must actually decode. All
+            # intermediates are exact dyadics (sums < 2^33 numerators),
+            # so sqrt(msq − mu²) equals numpy's std bit-for-bit
+            + "UNION ALL SELECT 'flc', doc_id, "
+            "CAST(4 * w AS BIGINT), CAST(w AS INT), CAST(4 AS BIGINT), "
+            "CAST(NULL AS INT), CAST(NULL AS INT), "
+            "round(mu, 6), round(sqrt(msq - mu * mu), 6), "
+            "round(mn / 32768.0, 6), round(mx / 32768.0, 6), "
+            "CAST(16 AS BIGINT), CAST(NULL AS BOOLEAN) "
+            "FROM (SELECT doc_id, w, "
+            "list_sum(xs) / (len(xs) * 32768.0) AS mu, "
+            "list_sum(list_transform(xs, x -> CAST(x AS DOUBLE) * x)) "
+            "/ (len(xs) * 1073741824.0) AS msq, "
+            "list_min(xs) AS mn, list_max(xs) AS mx "
+            "FROM (SELECT doc_id, w, list_transform("
+            "range(0, 16 * (1 + v)), j -> "
+            "(((16 * w + j // (1 + v)) * (16 * w + j // (1 + v)) "
+            "* (7 + v) + 13 * (16 * w + j // (1 + v)) "
+            "+ 401 * (j % (1 + v))) % 4001) - 2000) AS xs "
+            "FROM (SELECT doc_id, doc_id % 2 AS v FROM documents "
+            "WHERE doc_id % 3 = 2), range(4) t(w))) "
             # IMA-/MS-ADPCM: fixed lossy fixtures through the real block
             # decoders; truth frozen at plan time (see _ima_fixture)
             + "UNION ALL SELECT "

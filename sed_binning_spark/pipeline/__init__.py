@@ -98,6 +98,11 @@ from sed_binning_spark.pipeline.mp3 import (
     encode_mp3_frames,
     parse_mp3_timeline,
 )
+from sed_binning_spark.pipeline.flac import (
+    decode_audio_flac,
+    decode_flac,
+    encode_flac,
+)
 from sed_binning_spark.pipeline.multimodal import (
     decode_gif_frames,
     encode_gif_animation,
@@ -263,6 +268,9 @@ __all__ = [
     "encode_ogg_opus",
     "parse_mp3_timeline",
     "encode_mp3_frames",
+    "decode_audio_flac",
+    "decode_flac",
+    "encode_flac",
     "decode_gif_frames",
     "encode_gif_animation",
     "synthesize_animated_gif_media_from_text",

@@ -585,6 +585,22 @@ def decode_audio_wav(data: bytes) -> tuple[np.ndarray, int]:
     return samples[:n].reshape(-1, n_channels), sample_rate
 
 
+def _decode_audio_payload(b: bytes) -> tuple[np.ndarray, int] | None:
+    """Dispatch an audio payload by magic: RIFF/WAVE through
+    :func:`decode_audio_wav`, FLAC (``fLaC`` — the dominant public
+    speech-corpus format) through
+    :func:`~sed_binning_spark.pipeline.flac.decode_audio_flac`. Both
+    land on the same ((n, ch) int16, rate) contract; None means 'not
+    audio' (the caller's no-rows/NULL-degrade path)."""
+    if b[:4] == b"RIFF":
+        return decode_audio_wav(b)
+    if b[:4] == b"fLaC":
+        from sed_binning_spark.pipeline.flac import decode_audio_flac
+
+        return decode_audio_flac(b)
+    return None
+
+
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 # Decode budgets, checked against the header-declared raster BEFORE any
@@ -1566,7 +1582,9 @@ def decode_payload(payload: bytes, dim: int) -> list[float]:
     truncated to ``dim``.
 
     - image (JPEG/PNG/PPM/BMP): kind=1, dims=(w, h, channels), stats / 255
-    - audio (WAV):     kind=2, dims=(n_samples, rate, channels), stats / 32768
+    - audio (WAV/FLAC): kind=2, dims=(n_samples, rate, channels),
+      stats / 32768 (FLAC decodes through the real RFC 9639 decoder,
+      rescaled to the shared int16 contract)
     - anything else:   kind=0, dims=(n_bytes, 0, 0), byte stats / 255
     """
     payload = payload or b""
@@ -1578,8 +1596,8 @@ def decode_payload(payload: bytes, dim: int) -> list[float]:
         if img is not None:
             h, w, ch = img.shape
             vec = [KIND_IMAGE, float(w), float(h), float(ch), *_norm_stats(img, 255.0)]
-        elif payload.startswith(b"RIFF"):
-            samples, rate = decode_audio_wav(payload)
+        elif payload[:4] in (b"RIFF", b"fLaC"):
+            samples, rate = _decode_audio_payload(payload)
             vec = [KIND_AUDIO, float(samples.shape[0]), float(rate),
                    float(samples.shape[1]), *_norm_stats(samples, 32768.0)]
     except _DECODE_ERRORS:
@@ -1688,7 +1706,8 @@ def transcode_audio(
 ) -> DataFrame:
     """Normalize audio payloads — the standard pre-ASR/pre-training
     corpus step (everything to one rate, one channel, one codec):
-    decode any supported WAV (PCM widths, float, G.711, ADPCM),
+    decode any supported WAV (PCM widths, float, G.711, ADPCM) or
+    FLAC payload (lossless, via the RFC 9639 decoder),
     optionally downmix to mono (channel mean, rounded), optionally
     resample by linear interpolation (``np.interp`` per channel; at an
     integral rate ratio with aligned phase this picks exact source
@@ -1710,9 +1729,10 @@ def transcode_audio(
     encode_audio_wav(np.zeros(1, np.int16), 8000, fmt=fmt)
 
     def _one(b: bytes) -> tuple[bytes, int, int, int] | None:
-        if b[:4] != b"RIFF":
+        got = _decode_audio_payload(b)
+        if got is None:
             return None
-        samples, rate = decode_audio_wav(b)
+        samples, rate = got
         if samples.size == 0 or rate <= 0:
             return None
         if mono and samples.shape[1] > 1:
@@ -2178,7 +2198,9 @@ def sample_audio_windows(
     hop_ms: int | None = None,
     max_windows: int | None = 4096,
 ) -> DataFrame:
-    """Audio twin of :func:`sample_frames`: slice each RIFF/WAVE payload
+    """Audio twin of :func:`sample_frames`: slice each RIFF/WAVE or
+    FLAC payload (the latter through the real RFC 9639 decoder —
+    LibriSpeech/MLS-style speech corpora ship FLAC)
     into fixed-length windows on the container's OWN clock (the fmt
     chunk's sample rate) and emit one row per window with its start
     time, true duration (both round-to-nearest ms — a floored duration
@@ -2214,12 +2236,13 @@ def sample_audio_windows(
                 if payload is None:
                     continue
                 b = bytes(payload)
-                if b[:4] != b"RIFF":
-                    continue  # not audio: no windows, like a still image
                 try:
-                    samples, rate = decode_audio_wav(b)
+                    got = _decode_audio_payload(b)
                 except _DECODE_ERRORS:
                     continue  # one corrupt payload keeps the batch alive
+                if got is None:
+                    continue  # not audio: no windows, like a still image
+                samples, rate = got
                 if rate <= 0 or samples.size == 0:
                     continue
                 spw = max(1, window_ms * rate // 1000)
