@@ -2532,6 +2532,37 @@ def _jpeg12_fixture():
     return _JPEG12_FIXTURES
 
 
+_WEBP_FIXTURES = None
+
+
+def _webp_fixture():
+    """Plan-time WebP fixtures for the multimodal_features slot
+    (round 14): one blob per container variant — VP8 lossy 48×30,
+    VP8L lossless 33×17, VP8X extended 1024×768. The engine must
+    parse the real headers for the dimensions (the independent
+    claim); the byte-stat slots are frozen once at plan time with the
+    engine's own float arithmetic, the _jpeg12 pattern. Returns
+    (blobs, feat_csv_literals, byte_sizes)."""
+    global _WEBP_FIXTURES
+    if _WEBP_FIXTURES is None:
+        from sed_binning_spark.pipeline.multimodal import (
+            _norm_stats, encode_webp_header,
+        )
+
+        blobs, feats = [], []
+        for variant, w, h in (("vp8", 48, 30), ("vp8l", 33, 17),
+                              ("vp8x", 1024, 768)):
+            blob = encode_webp_header(w, h, variant=variant)
+            blobs.append(blob)
+            stats = _norm_stats(np.frombuffer(blob, np.uint8), 255.0)
+            vec = [3.0, float(w), float(h), 0.0, *stats]
+            feats.append(",".join(
+                str(int(round(float(np.float32(x)) * 1e6))) for x in vec
+            ))
+        _WEBP_FIXTURES = (blobs, feats, [len(b) for b in blobs])
+    return _WEBP_FIXTURES
+
+
 def _q_multimodal(spark, sf):
     """REAL media decode as the graded path: ids % 4 == 0 documents become
     valid binary PPM (P6) payloads; ids % 4 == 2 valid GIF89a (a
@@ -2579,6 +2610,20 @@ def _q_multimodal(spark, sf):
         F.lit("image/jpeg").alias("mime"),
         F.lit(16).cast("int").alias("width"),
         F.lit(16).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    ))
+    # round 14: WebP header sniffing (kind 3 — true dims, no pixel
+    # decode) as extra rows at media_id = -doc_id-1 on the DISJOINT
+    # doc_id % 5 == 1 subset (j12 holds % 5 == 0); variant by % 3
+    webp_blobs, _, _ = _webp_fixture()
+    media = media.unionByName(docs.where(did % 5 == 1).select(
+        (-did - 1).cast("long").alias("media_id"),
+        F.when(did % 3 == 0, F.lit(bytearray(webp_blobs[0])))
+        .when(did % 3 == 1, F.lit(bytearray(webp_blobs[1])))
+        .otherwise(F.lit(bytearray(webp_blobs[2]))).alias("payload"),
+        F.lit("image/webp").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
     ))
     feats = extract_features(media, feature_dim=8)
@@ -4020,6 +4065,22 @@ def _multimodal_oracle_sql(width: int = 4, height: int = 2) -> str:
         f"CASE WHEN doc_id % 2 = 0 THEN '{j12_feats[0]}' "
         f"ELSE '{j12_feats[1]}' END "
         f"FROM documents WHERE doc_id % 5 = 0"
+        # WebP rows (round 14, media_id = -doc_id-1 on the disjoint
+        # % 5 = 1 subset): the engine parses real VP8/VP8L/VP8X
+        # headers; dims + byte stats frozen at plan time
+        + _webp_oracle_sql()
+    )
+
+
+def _webp_oracle_sql() -> str:
+    _, wp_feats, wp_sizes = _webp_fixture()
+    return (
+        f" UNION ALL SELECT CAST(-doc_id - 1 AS BIGINT), "
+        f"CAST(CASE doc_id % 3 WHEN 0 THEN {wp_sizes[0]} "
+        f"WHEN 1 THEN {wp_sizes[1]} ELSE {wp_sizes[2]} END AS BIGINT), "
+        f"CASE doc_id % 3 WHEN 0 THEN '{wp_feats[0]}' "
+        f"WHEN 1 THEN '{wp_feats[1]}' ELSE '{wp_feats[2]}' END "
+        f"FROM documents WHERE doc_id % 5 = 1"
     )
 
 

@@ -1539,6 +1539,101 @@ def encode_gif_animation(
 
 # feature-vector kind codes (element 0 of the real feature vector)
 KIND_OTHER, KIND_IMAGE, KIND_AUDIO = 0.0, 1.0, 2.0
+# an image whose CONTAINER was parsed (mime + true dimensions) but
+# whose pixels this module does not decode — WebP today (VP8 entropy
+# decode is out of scope, the H.264 posture); the stats slots carry
+# honest BYTE statistics, never fabricated pixels
+KIND_IMAGE_META = 3.0
+
+
+def parse_webp_header(data: bytes) -> tuple[str, int, int]:
+    """WebP container sniff — (variant, width, height) from the
+    RIFF/VP8/VP8L/VP8X headers alone, no pixel decode (a web crawl's
+    images are heavily WebP; mime + dimensions is what corpus filters
+    need and costs ~zero):
+
+    - ``VP8 `` (lossy): 3-byte frame tag (must be a keyframe), the
+      9D 01 2A start code, then 14-bit width/height;
+    - ``VP8L`` (lossless): the 0x2F signature, then width-1/height-1
+      as 14-bit fields of a little-endian 32-bit word (version 0);
+    - ``VP8X`` (extended): 24-bit canvas width-1/height-1.
+
+    Malformed headers raise ValueError naming the defect."""
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    cc = data[12:16]
+    (csize,) = struct.unpack_from("<I", data, 16)
+    if 20 + csize > len(data):
+        raise ValueError("WebP chunk extends past the payload end")
+    if cc == b"VP8 ":
+        if csize < 10:
+            raise ValueError("WebP VP8 chunk shorter than its header")
+        tag = data[20] | (data[21] << 8) | (data[22] << 16)
+        if tag & 1:
+            raise ValueError(
+                "WebP VP8 chunk starts with an interframe (a still "
+                "image must start with a keyframe)",
+            )
+        if data[23:26] != b"\x9d\x01\x2a":
+            raise ValueError("WebP VP8 keyframe start code missing")
+        w = struct.unpack_from("<H", data, 26)[0] & 0x3FFF
+        h = struct.unpack_from("<H", data, 28)[0] & 0x3FFF
+        return "vp8", w, h
+    if cc == b"VP8L":
+        if csize < 5:
+            raise ValueError("WebP VP8L chunk shorter than its header")
+        if data[20] != 0x2F:
+            raise ValueError("WebP VP8L signature byte missing")
+        (bits,) = struct.unpack_from("<I", data, 21)
+        if (bits >> 29) & 0x07:
+            raise ValueError("WebP VP8L version is not zero")
+        return "vp8l", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+    if cc == b"VP8X":
+        if csize < 10:
+            raise ValueError("WebP VP8X chunk shorter than its header")
+        w = int.from_bytes(data[24:27], "little") + 1
+        h = int.from_bytes(data[27:30], "little") + 1
+        return "vp8x", w, h
+    raise ValueError(f"WebP with unknown first chunk {cc!r}")
+
+
+def encode_webp_header(
+    width: int, height: int, variant: str = "vp8",
+    n_payload: int = 24, fill: int = 0x5A,
+) -> bytes:
+    """Spec-built WebP fixture: a valid RIFF/WEBP container whose first
+    chunk carries real dimensions; pixel payload bytes are ``fill``
+    (no VP8 encoder exists here — the parser never reads them)."""
+    if variant == "vp8":
+        if not (0 < width < 1 << 14 and 0 < height < 1 << 14):
+            raise ValueError("VP8 dimensions are 14-bit")
+        tag = (0 | (1 << 4) | (n_payload << 5)) & 0xFFFFFF
+        body = (tag.to_bytes(3, "little") + b"\x9d\x01\x2a"
+                + struct.pack("<HH", width, height)
+                + bytes([fill]) * n_payload)
+        cc = b"VP8 "
+    elif variant == "vp8l":
+        if not (0 < width <= 1 << 14 and 0 < height <= 1 << 14):
+            raise ValueError("VP8L dimensions are 14-bit")
+        bits = (width - 1) | ((height - 1) << 14)
+        body = (b"\x2f" + struct.pack("<I", bits)
+                + bytes([fill]) * n_payload)
+        cc = b"VP8L"
+    elif variant == "vp8x":
+        if not (0 < width <= 1 << 24 and 0 < height <= 1 << 24):
+            raise ValueError("VP8X canvas dimensions are 24-bit")
+        body = (b"\x00" + b"\x00" * 3
+                + (width - 1).to_bytes(3, "little")
+                + (height - 1).to_bytes(3, "little"))
+        cc = b"VP8X"
+    else:
+        raise ValueError(f"unknown WebP variant {variant!r}")
+    size = len(body)  # RIFF sizes are unpadded; the pad byte follows
+    if size & 1:
+        body += b"\x00"
+    chunk = cc + struct.pack("<I", size) + body
+    return (b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP"
+            + chunk)
 
 # every exception a malformed container can surface through the decoders:
 # shared by decode_payload and resize_images so a new decoder's failure
@@ -1585,6 +1680,10 @@ def decode_payload(payload: bytes, dim: int) -> list[float]:
     - audio (WAV/FLAC): kind=2, dims=(n_samples, rate, channels),
       stats / 32768 (FLAC decodes through the real RFC 9639 decoder,
       rescaled to the shared int16 contract)
+    - WebP (RIFF..WEBP): kind=3, dims=(w, h, 0) from the VP8/VP8L/VP8X
+      headers — a header-only sniff (no VP8 pixel decoder ships here,
+      the H.264 posture), so the stats slots carry honest BYTE
+      statistics like kind 0, never fabricated pixels
     - anything else:   kind=0, dims=(n_bytes, 0, 0), byte stats / 255
     """
     payload = payload or b""
@@ -1596,6 +1695,12 @@ def decode_payload(payload: bytes, dim: int) -> list[float]:
         if img is not None:
             h, w, ch = img.shape
             vec = [KIND_IMAGE, float(w), float(h), float(ch), *_norm_stats(img, 255.0)]
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            # must sit ABOVE the audio branch: WebP is RIFF too
+            _, w, h = parse_webp_header(payload)
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            vec = [KIND_IMAGE_META, float(w), float(h), 0.0,
+                   *_norm_stats(arr, 255.0)]
         elif payload[:4] in (b"RIFF", b"fLaC"):
             samples, rate = _decode_audio_payload(payload)
             vec = [KIND_AUDIO, float(samples.shape[0]), float(rate),

@@ -3723,3 +3723,68 @@ def test_flac_spark_paths(spark):
     vec = decode_payload(blob, 8)
     assert vec[0] == 2.0 and vec[1] == 64.0 and vec[2] == 4000.0 \
         and vec[3] == 1.0
+
+
+def test_webp_header_sniff(spark):
+    """WebP (round 14): mime-level sniff — variant and true dimensions
+    from the RIFF/VP8/VP8L/VP8X headers with NO pixel decode (the
+    H.264 posture). decode_payload classifies WebP as kind 3
+    (image-metadata) with header dims and honest BYTE stats; malformed
+    headers refuse by name and degrade to byte stats through the
+    operator; resize_images leaves WebP alone (nothing decodable)."""
+    import numpy as np
+    import pytest
+
+    from sed_binning_spark.pipeline.multimodal import (
+        decode_payload, encode_webp_header, extract_features,
+        parse_webp_header, resize_images,
+    )
+
+    cases = [("vp8", 48, 30), ("vp8l", 33, 17), ("vp8x", 1024, 768)]
+    for variant, w, h in cases:
+        blob = encode_webp_header(w, h, variant=variant)
+        assert parse_webp_header(blob) == (variant, w, h)
+        vec = decode_payload(blob, 8)
+        assert vec[:4] == [3.0, float(w), float(h), 0.0]
+        arr = np.frombuffer(blob, np.uint8)
+        assert vec[4] == float(arr.mean() / 255.0)
+
+    # 14-bit VP8L edge: width exactly 16384 encodes as 16383+1
+    big = encode_webp_header(16384, 1, variant="vp8l")
+    assert parse_webp_header(big) == ("vp8l", 16384, 1)
+
+    with pytest.raises(ValueError, match="not a WebP"):
+        parse_webp_header(b"RIFF\x00\x00\x00\x00WAVE")
+    vp8 = bytearray(encode_webp_header(48, 30))
+    vp8[20] |= 1  # interframe bit
+    with pytest.raises(ValueError, match="interframe"):
+        parse_webp_header(bytes(vp8))
+    vp8 = bytearray(encode_webp_header(48, 30))
+    vp8[24] ^= 0xFF  # start code
+    with pytest.raises(ValueError, match="start code"):
+        parse_webp_header(bytes(vp8))
+    short = encode_webp_header(48, 30)[:22]
+    with pytest.raises(ValueError, match="past the payload end"):
+        parse_webp_header(short)
+    bad = bytearray(encode_webp_header(33, 17, variant="vp8l"))
+    bad[20] = 0x30
+    with pytest.raises(ValueError, match="signature"):
+        parse_webp_header(bytes(bad))
+    unk = bytearray(encode_webp_header(48, 30))
+    unk[12:16] = b"ANIM"
+    with pytest.raises(ValueError, match="unknown first chunk"):
+        parse_webp_header(bytes(unk))
+
+    # through the operator: valid WebP -> kind 3 with dims; corrupt
+    # WebP degrades to byte stats (kind 0), the batch survives
+    good = encode_webp_header(48, 30)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bytes(vp8)))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r.feat for r in
+            extract_features(df, feature_dim=8).collect()}
+    assert rows[1][:4] == [3.0, 48.0, 30.0, 0.0]
+    assert rows[2][0] == 0.0  # corrupt start code -> byte stats
+    rz = resize_images(df, 8, 8).collect()
+    assert all(r.payload is None for r in rz)  # no pixels to resize
