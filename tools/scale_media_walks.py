@@ -1,0 +1,132 @@
+"""Media-scale measurement for the round-14 additions (SCALE.md's
+media tables): the Ogg Opus and MP3 timeline WALKS over hour-long
+payloads, and FLAC DECODE over minute-long speech-shaped segments.
+
+- Ogg Opus: one hour of 20 ms packets = 180,000 packets (~7.5 MB at a
+  16 kbps-ish packet size). The walk derives per-packet timing from
+  the TOC byte; the page CRC now runs via numpy byte-reflection +
+  zlib (round 14) instead of a per-byte Python loop, so this measures
+  whether Ogg's timeline really joined the O(table-bytes) family.
+- MP3: one hour of 96 kbps 32 kHz MPEG-1 Layer III = 100,000 frames
+  (43.2 MB); the header walk skips payload bytes by frame-length
+  arithmetic.
+- FLAC: minute-long 16 kHz mono segments (the pre-segmented speech
+  shape SCALE.md's guidance prescribes), decoded for REAL through
+  sample_audio_windows — predictors, Rice, CRCs, md5.
+
+Payloads are written as real files and read through Spark's
+binaryFile source (the corpus-ingest path), one distinct file per
+row. Results print at the END (Spark's progress bar overwrites
+interleaved prints).
+
+Usage: python tools/scale_media_walks.py [ogg_rows] [mp3_rows] [flac_rows]
+"""
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from sed_binning_spark import get_spark  # noqa: E402
+from sed_binning_spark.pipeline.flac import encode_flac  # noqa: E402
+from sed_binning_spark.pipeline.mp3 import encode_mp3_frames  # noqa: E402
+from sed_binning_spark.pipeline.multimodal import (  # noqa: E402
+    sample_audio_windows,
+    sample_frames,
+)
+from sed_binning_spark.pipeline.ogg import encode_ogg_opus  # noqa: E402
+
+
+def _write(root: str, name: str, blobs: list[bytes], ext: str) -> str:
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+    for i, b in enumerate(blobs):
+        with open(os.path.join(d, f"{i:04d}.{ext}"), "wb") as f:
+            f.write(b)
+    return d
+
+
+def _load(spark, path):
+    return spark.read.format("binaryFile").load(path).select(
+        F.abs(F.xxhash64("path")).alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+
+
+def main():
+    ogg_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    mp3_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    flac_rows = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = np.random.default_rng(14)
+    root = tempfile.mkdtemp(prefix="scale_walks_")
+    results = []
+    try:
+        # --- Ogg Opus: 1 h of 20 ms SILK-WB packets, ~40 B payloads
+        pkt_body = rng.integers(0, 256, 39, dtype=np.uint8).tobytes()
+        packets = [bytes([9 << 3]) + pkt_body] * 180_000
+        oggs = [encode_ogg_opus(packets, sample_rate=16000,
+                                packets_per_page=50, serial=i + 1)
+                for i in range(ogg_rows)]
+        d = _write(root, "ogg", oggs, "ogg")
+        t0 = time.time()
+        n = sample_frames(_load(spark, d), media="audio",
+                          max_frames=None).count()
+        dt = time.time() - t0
+        results.append(
+            f"ogg_opus_1h_walk: rows={ogg_rows} "
+            f"payload={len(oggs[0])/1e6:.1f}MB timeline_rows={n} "
+            f"time={dt:.1f}s rows/s={n/dt:.0f} "
+            f"audio-hours/s={ogg_rows/dt:.1f}")
+
+        # --- MP3: 1 h of 96 kbps 32 kHz frames (432 B, 36 ms each)
+        mp3s = [encode_mp3_frames(100_000, bitrate_kbps=96,
+                                  sample_rate=32000, fill=i)
+                for i in range(mp3_rows)]
+        d = _write(root, "mp3", mp3s, "mp3")
+        t0 = time.time()
+        n = sample_frames(_load(spark, d), media="audio",
+                          max_frames=None).count()
+        dt = time.time() - t0
+        results.append(
+            f"mp3_1h_walk: rows={mp3_rows} "
+            f"payload={len(mp3s[0])/1e6:.1f}MB timeline_rows={n} "
+            f"time={dt:.1f}s rows/s={n/dt:.0f} "
+            f"audio-hours/s={mp3_rows/dt:.1f}")
+
+        # --- FLAC: 1 min of 16 kHz mono speech-shaped audio per row
+        t = np.arange(60 * 16000)
+        gen0 = time.time()
+        flacs = [encode_flac(
+            np.round(6000 * np.sin((t + 997 * i) / 23)
+                     + 1500 * np.sin((t + 31 * i) / 5)).astype(np.int64),
+            16000, subframe="fixed", order=2, block_size=4096,
+            partition_order=2,
+        ) for i in range(flac_rows)]
+        gen_dt = time.time() - gen0
+        d = _write(root, "flac", flacs, "flac")
+        t0 = time.time()
+        n = sample_audio_windows(_load(spark, d), window_ms=1000,
+                                 max_windows=None).count()
+        dt = time.time() - t0
+        mins = flac_rows
+        results.append(
+            f"flac_1min_decode: rows={flac_rows} "
+            f"payload={len(flacs[0])/1e6:.1f}MB windows={n} "
+            f"time={dt:.1f}s windows/s={n/dt:.0f} "
+            f"audio-hours/s={mins/60/dt:.2f} "
+            f"(fixture encode: {gen_dt:.1f}s total)")
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+    print("\n" + "\n".join(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()
