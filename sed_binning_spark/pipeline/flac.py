@@ -30,10 +30,14 @@ Implemented from the public spec (RFC 9639):
   total-sample count — a truncated or corrupt file refuses loudly
   rather than returning silently wrong audio.
 
-The decoder materializes one ``np.unpackbits`` bit array over the
-payload (8 bytes of working set per payload byte) — the same
-one-decoded-payload-per-task posture as the image codecs; store audio
-pre-segmented (SCALE.md's standing guidance) and this is a non-issue.
+The decoder materializes one ``np.unpackbits`` bit array plus a
+uint32 index of its one-bit positions over the payload — 8 bytes per
+payload byte for the bits and ~4·density more for the index, i.e.
+~24 bytes per payload byte worst case on ~50%-ones compressed audio —
+the same one-decoded-payload-per-task posture as the image codecs; a
+minute-grain speech segment (~1 MB) costs ~24 MB of working set, and
+storing audio pre-segmented (SCALE.md's standing guidance) keeps it
+there. Payloads past 512 MB refuse loudly (the index is uint32).
 Like the pure-Python JPEG codec, this module is the documented
 swappable seam: the Spark-side plumbing (schema, mapInPandas batch
 shape, degradation contract) is the product; a faster codec drops in
@@ -105,12 +109,17 @@ class _Bits:
     __slots__ = ("data", "pos", "nbits", "bits", "ones")
 
     def __init__(self, data: bytes):
+        if len(data) * 8 >= 1 << 32:
+            # the ones index is uint32 to halve its footprint; a
+            # single >512 MB audio cell is outside every documented
+            # posture anyway (store media pre-segmented)
+            raise ValueError("FLAC payload beyond the 512 MB bound")
         self.data = data
         self.pos = 0
         self.nbits = len(data) * 8
         arr = np.frombuffer(data, dtype=np.uint8)
         self.bits = np.unpackbits(arr)
-        self.ones = np.flatnonzero(self.bits).astype(np.int64)
+        self.ones = np.flatnonzero(self.bits).astype(np.uint32)
 
     def read(self, n: int) -> int:
         pos = self.pos
@@ -173,6 +182,14 @@ class _Bits:
         if pos > self.nbits:
             raise ValueError("FLAC stream truncates inside a Rice partition")
         self.pos = int(pos)
+        if int(qs.max()) > (1 << 32):
+            # a quotient is bounded by the payload's bit count, so
+            # (q << param) could overflow int64 SILENTLY (numpy wraps);
+            # no real encoder emits gigabit unary runs — refuse
+            raise ValueError(
+                "FLAC Rice quotient beyond any real encoding "
+                "(corrupt or crafted stream)",
+            )
         if param:
             idx = ts[:, None] + 1 + np.arange(param, dtype=np.int64)
             weights = 1 << np.arange(param - 1, -1, -1, dtype=np.int64)
@@ -244,7 +261,17 @@ def _read_residual(br: _Bits, blocksize: int, order: int) -> np.ndarray:
                 out.append(vals)
         else:
             out.append(br.rice_partition(n, param))
-    return np.concatenate(out) if out else np.empty(0, np.int64)
+    resid = np.concatenate(out) if out else np.empty(0, np.int64)
+    if resid.size and int(np.abs(resid).max()) > (1 << 40):
+        # legal residuals fit in ~bps+order+1 bits (< 2^37 even at
+        # 32-bit depth, order 4); anything larger is a corrupt or
+        # crafted stream whose prefix-sum reconstruction could WRAP
+        # int64 silently — refuse before arithmetic, not after
+        raise ValueError(
+            "FLAC residual beyond any legal sample depth "
+            "(corrupt or crafted stream)",
+        )
+    return resid
 
 
 def _fixed_reconstruct(order: int, warmup: np.ndarray,
@@ -262,20 +289,33 @@ def _fixed_reconstruct(order: int, warmup: np.ndarray,
     return np.concatenate([w, cur])
 
 
+# a reconstructed sample bound far beyond any legal depth (32-bit
+# samples + side-channel bit + wasted-bit shifts stay under 2^34): a
+# crafted/corrupt LPC frame whose recursion diverges must raise a
+# ValueError HERE — unbounded Python ints would otherwise grow past
+# int64 and surface an OverflowError at the array conversion, and
+# stopping early is also O(1) instead of O(n·bigint)
+_SAMPLE_LIMIT = 1 << 35
+
+
 def _lpc_reconstruct(coefs: list[int], shift: int, warmup: np.ndarray,
                      resid: np.ndarray) -> np.ndarray:
     """Quantized-LPC reconstruction — the spec's exact integer
     arithmetic: s[i] = r[i] + (Σ c_j · s[i-1-j]) >> shift. The
     recursion is inherently sequential; plain-int Python is the
     honest portable form (the documented codec seam)."""
-    order = len(coefs)
-    s = warmup.astype(object).tolist()
-    out = list(s)
+    out = warmup.tolist()
     for r in resid.tolist():
         acc = 0
         for jj, c in enumerate(coefs):
             acc += c * out[-1 - jj]
-        out.append(r + (acc >> shift))
+        v = r + (acc >> shift)
+        if not -_SAMPLE_LIMIT <= v <= _SAMPLE_LIMIT:
+            raise ValueError(
+                "FLAC LPC reconstruction diverges beyond any legal "
+                "sample range (corrupt or crafted stream)",
+            )
+        out.append(v)
     return np.array(out, dtype=np.int64)
 
 
@@ -307,6 +347,13 @@ def _read_subframe(br: _Bits, blocksize: int, bps: int) -> np.ndarray:
         )
         resid = _read_residual(br, blocksize, order)
         out = _fixed_reconstruct(order, warm, resid)
+        if out.size and int(np.abs(out).max()) > _SAMPLE_LIMIT:
+            # the prefix-sum folds are int64; a crafted stream whose
+            # integration diverges must refuse like the LPC guard
+            raise ValueError(
+                "FLAC fixed-predictor reconstruction diverges beyond "
+                "any legal sample range (corrupt or crafted stream)",
+            )
     elif stype >= 32:  # LPC order 1-32
         order = (stype & 31) + 1
         if order > blocksize:
@@ -477,6 +524,15 @@ def decode_flac(data: bytes) -> dict:
         if total and n_decoded >= total:
             break
 
+    if total and br.pos < br.nbits:
+        # the total-unknown path refuses trailing garbage via the sync
+        # check; the declared-total path must not be QUIETER — bytes
+        # after the last counted frame are a concatenated stream or
+        # corruption, not audio this decode accounted for
+        raise ValueError(
+            f"FLAC stream carries {(br.nbits - br.pos) // 8} trailing "
+            f"bytes after its declared {total} samples",
+        )
     if not chunks:
         raise ValueError("FLAC stream has no frames")
     samples = np.concatenate(chunks, axis=0)

@@ -1639,7 +1639,7 @@ def encode_webp_header(
 # shared by decode_payload and resize_images so a new decoder's failure
 # mode cannot reach one call site and abort the other's batch
 _DECODE_ERRORS = (ValueError, ZeroDivisionError, struct.error, zlib.error,
-                  IndexError, MemoryError)
+                  IndexError, MemoryError, OverflowError)
 
 
 def _sniff_image_magic(head: bytes) -> bool:
@@ -1701,10 +1701,16 @@ def decode_payload(payload: bytes, dim: int) -> list[float]:
             arr = np.frombuffer(payload, dtype=np.uint8)
             vec = [KIND_IMAGE_META, float(w), float(h), 0.0,
                    *_norm_stats(arr, 255.0)]
-        elif payload[:4] in (b"RIFF", b"fLaC"):
-            samples, rate = _decode_audio_payload(payload)
-            vec = [KIND_AUDIO, float(samples.shape[0]), float(rate),
-                   float(samples.shape[1]), *_norm_stats(samples, 32768.0)]
+        else:
+            # one magic table: _decode_audio_payload owns the audio
+            # dispatch (None = not audio), so a new container added
+            # there reaches this featurizer without a second edit
+            audio = _decode_audio_payload(payload)
+            if audio is not None:
+                samples, rate = audio
+                vec = [KIND_AUDIO, float(samples.shape[0]), float(rate),
+                       float(samples.shape[1]),
+                       *_norm_stats(samples, 32768.0)]
     except _DECODE_ERRORS:
         # magic matched but the container is truncated/unsupported (16-bit
         # PPM, RLE/1/4-bpp BMP, corrupt IDAT stream,
@@ -2073,6 +2079,7 @@ def sample_frames(
     mjpeg_frame_ms: int = 0,
     keyframes_only: bool = False,
     media: str = "video",
+    tolerate_truncated_mp3_tail: bool = False,
 ) -> DataFrame:
     """Decode the frame TIMELINE of animated media payloads — the decode
     half of video frame sampling, pairing :func:`frame_sample_plan`'s
@@ -2129,7 +2136,12 @@ def sample_frames(
     how a speech-corpus pipeline locates and measures audio segments
     inside A/V files without touching a codec. Non-container payloads
     (GIF/MJPEG stills, WAV — route WAV through sample_audio_windows)
-    contribute no rows in audio mode."""
+    contribute no rows in audio mode.
+    ``tolerate_truncated_mp3_tail=True`` opts the MP3 branch into
+    keeping the complete frames of a download-truncated file instead
+    of degrading the whole payload to zero rows — the most common
+    defect in crawled MP3s (see parse_mp3_timeline; every emitted row
+    is still a complete, header-verified frame)."""
     import pandas as pd
 
     if media not in ("video", "audio"):
@@ -2177,7 +2189,9 @@ def sample_frames(
                 )
 
                 return _meta_rows(parse_mp3_timeline(
-                    b, max_frames)["samples"])
+                    b, max_frames,
+                    tolerate_truncated_tail=tolerate_truncated_mp3_tail,
+                )["samples"])
             if not (b[:4] == b"\x1aE\xdf\xa3"
                     or (len(b) >= 12 and b[4:8] == b"ftyp")):
                 # the gate must sit ABOVE the GIF/MJPEG branches: those

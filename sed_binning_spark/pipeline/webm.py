@@ -130,15 +130,35 @@ def _uint(data: bytes, s: int, e: int, default: int = 0) -> int:
     return int.from_bytes(data[s:e], "big")
 
 
+def _read_uint_vint(data: bytes, pos: int):
+    """EBML varint as a PLAIN unsigned integer — for block track
+    numbers and lace sizes, where the all-ones pattern is just a
+    value (RFC 8794 reserves it as 'unknown' only for element DATA
+    SIZES; a 1-byte 0xFF here means 127, and refusing it would reject
+    valid third-party files)."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML varint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML varint (>8 bytes)")
+    length = 8 - first.bit_length() + 1
+    if pos + length > len(data):
+        raise ValueError("truncated EBML varint")
+    val = first & (0xFF >> length)
+    for b in data[pos + 1 : pos + length]:
+        val = (val << 8) | b
+    return val, pos + length
+
+
 def _read_svint(data: bytes, pos: int):
     """EBML SIGNED varint (lace-size deltas): the unsigned value minus
-    the length's bias 2^(7·len−1) − 1, per RFC 8794 §4."""
+    the length's bias 2^(7·len−1) − 1, per RFC 8794 §4 — all-ones is
+    a representable value here (+bias + 1 ... i.e. the maximum), not
+    a reserved pattern."""
     if pos >= len(data):
         raise ValueError("truncated EBML varint")
     length = 8 - data[pos].bit_length() + 1
-    val, nxt = _read_vint(data, pos, keep_marker=False)
-    if val is None:
-        raise ValueError("Matroska lace delta with the all-ones value")
+    val, nxt = _read_uint_vint(data, pos)
     return val - ((1 << (7 * length - 1)) - 1), nxt
 
 
@@ -170,11 +190,7 @@ def _lace_sizes(data, p, e, lacing):
             sizes.append(size)
     elif lacing == 0x06:  # EBML: first plain, then signed deltas
         if n_frames > 1:
-            size, p = _read_vint(data, p, keep_marker=False)
-            if size is None:
-                raise ValueError(
-                    "Matroska EBML lacing with an unknown-size lace",
-                )
+            size, p = _read_uint_vint(data, p)
             sizes.append(size)
             for _ in range(n_frames - 2):
                 delta, p = _read_svint(data, p)
@@ -213,9 +229,9 @@ def _parse_block(data, s, e, video_track, keyframe):
     lacing formats encode exact sizes, nothing is guessed. ``keyframe``
     None means 'read the SimpleBlock flags bit' (a laced block's flag
     covers every frame in it)."""
-    track, p = _read_vint(data, s, keep_marker=False)
-    if track is None:
-        raise ValueError("Matroska block with unknown-size track number")
+    # the track number is a plain unsigned vint — 0xFF means track
+    # 127, not 'unknown size' (that reservation is for element sizes)
+    track, p = _read_uint_vint(data, s)
     if p + 3 > e:
         raise ValueError("Matroska block shorter than its fixed header")
     if track != video_track:

@@ -3788,3 +3788,107 @@ def test_webp_header_sniff(spark):
     assert rows[2][0] == 0.0  # corrupt start code -> byte stats
     rz = resize_images(df, 8, 8).collect()
     assert all(r.payload is None for r in rz)  # no pixels to resize
+
+
+def test_mp3_tolerant_tail_through_operator(spark):
+    """The opt-in MP3 tail tolerance reaches the Spark operator: by
+    default a download-truncated MP3 degrades to ZERO rows (the loud
+    posture, batch survives); with tolerate_truncated_mp3_tail=True
+    the complete frames come through and only the dangling tail is
+    dropped. Other containers are unaffected by the flag."""
+    from sed_binning_spark.pipeline.mp3 import encode_mp3_frames
+    from sed_binning_spark.pipeline.multimodal import sample_frames
+    from sed_binning_spark.pipeline.ogg import encode_ogg_opus
+
+    cut = encode_mp3_frames(4, bitrate_kbps=96, sample_rate=32000)[:-10]
+    ogg = encode_ogg_opus([bytes([9 << 3]) + b"ab"] * 2)
+    df = spark.createDataFrame(
+        [(1, bytearray(cut)), (2, bytearray(ogg))],
+        "media_id long, payload binary",
+    )
+    assert sample_frames(df, media="audio") \
+        .where("media_id = 1").count() == 0
+    rows = sample_frames(df, media="audio",
+                         tolerate_truncated_mp3_tail=True) \
+        .orderBy("media_id", "frame_index").collect()
+    assert [(r.media_id, r.frame_ms) for r in rows] == [
+        (1, 0), (1, 36), (1, 72), (2, 0), (2, 20),
+    ]
+
+
+def test_flac_and_webm_review_hardening():
+    """Round-14 review fixes: (1) corrupt/crafted FLAC must surface
+    only _DECODE_ERRORS types — a diverging LPC recursion or absurd
+    Rice quotient raises ValueError, never an OverflowError escaping
+    the batch (bit-flip fuzz over the frame region pins it); (2) a
+    FLAC with trailing bytes after its declared total refuses loudly;
+    (3) EBML all-ones varints are plain VALUES for lace sizes/deltas
+    and block track numbers (0xFF = size 127 / delta +64 / track 127),
+    not a reserved 'unknown' pattern — refusing them rejected valid
+    third-party laced WebM."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from sed_binning_spark.pipeline.flac import decode_flac, encode_flac
+    from sed_binning_spark.pipeline.multimodal import _DECODE_ERRORS
+    from sed_binning_spark.pipeline.webm import (
+        _read_svint, _read_uint_vint, parse_webm_timeline,
+    )
+    from sed_binning_spark.pipeline import webm as W
+
+    t = np.arange(600)
+    sig = np.round(7000 * np.sin(t / 9)).astype(np.int64)
+    blob = encode_flac(sig, 8000, subframe="lpc", lpc_coefs=[103, -52],
+                       lpc_shift=6, lpc_precision=9, block_size=256)
+    # every single-bit corruption of the frame region must raise one
+    # of _DECODE_ERRORS (or decode clean if the bit lands in slack) —
+    # never a foreign exception type that would kill a Spark batch
+    frames_at = 8 + 4 + 34  # magic + block header + STREAMINFO
+    for at in range(frames_at, len(blob)):
+        bad = bytearray(blob)
+        bad[at] ^= 0x80
+        try:
+            decode_flac(bytes(bad))
+        except _DECODE_ERRORS:
+            pass  # the contract: known types only
+    # trailing bytes after the declared total refuse by name
+    with pytest.raises(ValueError, match="trailing"):
+        decode_flac(blob + b"\x00\x00\x00")
+
+    # EBML all-ones varints are values, not reservations
+    assert _read_uint_vint(b"\xff", 0) == (127, 1)
+    assert _read_svint(b"\xff", 0) == (64, 1)
+    assert _read_svint(b"\x60\x3f", 0) == (64, 2)  # 2-byte twin
+
+    # a SimpleBlock with track number 127 encoded as the 1-byte 0xFF:
+    # hand-built cluster (the fixture writer always picks 2 bytes)
+    entry = (W._uint_elem(W._TRACK_NUMBER, 127)
+             + W._uint_elem(W._TRACK_TYPE, 2)
+             + W._elem(W._CODEC_ID, b"A_OPUS")
+             + W._elem(W._AUDIO, b""))
+    blk = b"\xff" + struct.pack(">h", 0) + b"\x80" + b"pay"
+    hand = (W._elem(0x1A45DFA3, W._elem(0x4282, b"webm"))
+            + W._elem(W._SEGMENT,
+                      W._elem(W._TRACKS, W._elem(W._TRACK_ENTRY, entry))
+                      + W._elem(W._CLUSTER,
+                                W._uint_elem(W._CLUSTER_TIMESTAMP, 5)
+                                + W._elem(W._SIMPLE_BLOCK, blk))))
+    rows = parse_webm_timeline(hand, media="audio")["samples"]
+    assert [(r[0], r[3], r[4]) for r in rows] == [(5, 3, True)]
+
+    # Xiph lacing whose first size is the 1-byte all-ones 0xFF...
+    # (Xiph runs are raw bytes, unaffected) — the EBML form: first
+    # lace size 127 as 0xFF, second implicit
+    lace = bytes([1]) + b"\xff"  # 2 frames, first size 127
+    blk2 = (b"\xff" + struct.pack(">h", 0) + bytes([0x80 | 0x06])
+            + lace + b"q" * 127 + b"r" * 9)
+    hand2 = (W._elem(0x1A45DFA3, W._elem(0x4282, b"webm"))
+             + W._elem(W._SEGMENT,
+                       W._elem(W._TRACKS, W._elem(W._TRACK_ENTRY, entry))
+                       + W._elem(W._CLUSTER,
+                                 W._uint_elem(W._CLUSTER_TIMESTAMP, 0)
+                                 + W._elem(W._SIMPLE_BLOCK, blk2))))
+    rows = parse_webm_timeline(hand2, media="audio")["samples"]
+    assert [r[3] for r in rows] == [127, 9]
