@@ -1000,3 +1000,69 @@ def test_transcode_audio_runs_on_a_structured_stream(tmp_path, spark):
     assert rate == 500
     # mono means of samples 0, 2, 4 (integral-ratio picks)
     np.testing.assert_array_equal(dec.ravel(), [2000, -2000, 1000])
+
+
+def test_round14_media_on_a_structured_stream(tmp_path, spark):
+    """The round-14 additions inherit the stateless mapInPandas
+    streaming shape: a FLAC payload windows per micro-batch (real
+    lossless decode inside the stream) and a LACED WebM audio payload
+    yields its per-frame timeline rows, both identical to the batch
+    run over the same files."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.flac import encode_flac
+    from sed_binning_spark.pipeline.multimodal import (
+        sample_audio_windows,
+        sample_frames,
+    )
+    from sed_binning_spark.pipeline.webm import encode_webm
+
+    t = np.arange(8)
+    flac = encode_flac(((t * 911) % 3001 - 1500).astype(np.int64),
+                       1000, block_size=8)
+    laced = encode_webm(
+        [b"a" * 4, b"b" * 6, b"c" * 5], [0, 20, 40], track_type=2,
+        codec_id="A_OPUS", default_duration_ms=20, lacing="xiph",
+        frames_per_block=3,
+    )
+    root = tmp_path / "r14_in"
+    root.mkdir()
+    pd.DataFrame({"media_id": [0], "payload": [bytes(flac)]}) \
+        .to_parquet(root / "chunk_0.parquet")
+    pd.DataFrame({"media_id": [1], "payload": [bytes(laced)]}) \
+        .to_parquet(root / "chunk_1.parquet")
+
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1).parquet(str(root))
+    )
+    q = (
+        sample_audio_windows(stream, window_ms=2)
+        .writeStream.format("memory").queryName("r14_audio")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM r14_audio").toPandas() \
+        .sort_values(["media_id", "window_index"]).reset_index(drop=True)
+    batch = sample_audio_windows(
+        spark.read.parquet(str(root)), window_ms=2,
+    ).toPandas().sort_values(["media_id", "window_index"]) \
+        .reset_index(drop=True)
+    assert got.equals(batch)
+    assert list(got.media_id) == [0] * 4  # the WebM row has no PCM
+
+    q2 = (
+        sample_frames(stream, media="audio")
+        .writeStream.format("memory").queryName("r14_frames")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    got2 = spark.sql("SELECT * FROM r14_frames").toPandas() \
+        .sort_values(["media_id", "frame_index"]).reset_index(drop=True)
+    batch2 = sample_frames(
+        spark.read.parquet(str(root)), media="audio",
+    ).toPandas().sort_values(["media_id", "frame_index"]) \
+        .reset_index(drop=True)
+    assert got2.equals(batch2)
+    assert list(got2.n_bytes) == [4, 6, 5]  # the laced extents
+    assert list(got2.frame_ms) == [0, 20, 40]
