@@ -1604,12 +1604,17 @@ def _mp4_fixture_blobs():
             ))
         # round 13: MPEG audio — 32 kHz MPEG-1 Layer III frames are an
         # exact 36 ms; variant bitrates 96/64 kbps give 432/288-byte
-        # frames, all closed-form
+        # frames, all closed-form. Round 14: variant 1 leads with a
+        # LAME-style Xing metadata frame, which carries no audio — the
+        # oracle rows are UNCHANGED, so the hash gate proves the walk
+        # excludes it (counting it would add a row and shift every
+        # timestamp by 36 ms)
         from sed_binning_spark.pipeline.mp3 import encode_mp3_frames
 
         mp3 = [
             encode_mp3_frames(3 + w, bitrate_kbps=96 - 32 * w,
-                              sample_rate=32000)
+                              sample_rate=32000,
+                              vbr_tag=b"Xing" if w else None)
             for w in range(2)
         ]
         # round 14: LACED WebM audio — how real muxers pack Opus

@@ -20,7 +20,15 @@ Implemented from the public spec:
 - an opt-in ``tolerate_truncated_tail`` mode accepts the one defect
   a loud default throws real audio away over — a final frame cut off
   by a truncated download — stopping at the last complete frame and
-  reporting the dropped byte count (see parse_mp3_timeline).
+  reporting the dropped byte count (see parse_mp3_timeline);
+- Xing/Info (LAME) and VBRI (Fraunhofer) metadata frames: nearly
+  every encoder since LAME writes one as the FIRST frame, and it
+  carries no audio — a walk that counts it as an audio frame shifts
+  every timestamp by one frame and overcounts the duration. The walk
+  detects the tag at its spec offset (Xing/Info: right after the
+  side info — 17/32 bytes for MPEG-1 mono/stereo, 9/17 for MPEG-2;
+  VBRI: fixed 32 bytes past the header), excludes the frame from the
+  timeline, and reports the tag's declared frame/byte counts.
 
 Malformed framing raises ValueError naming the defect, like every codec
 in :mod:`~sed_binning_spark.pipeline.multimodal`; the Spark operator
@@ -82,6 +90,68 @@ def _parse_header(b0: int, b1: int, b2: int, b3: int):
     return version, layer, bitrate, rate, padding, channels, frame, samples
 
 
+def _side_info_bytes(version: int, channels: int) -> int:
+    """Layer III side-information length (ISO/IEC 11172-3 §2.4.1.7 /
+    13818-3): MPEG-1 17 bytes mono / 32 stereo, MPEG-2/2.5 9 / 17."""
+    if version == 1:
+        return 17 if channels == 1 else 32
+    return 9 if channels == 1 else 17
+
+
+def _vbr_header(
+    data: bytes, pos: int, frame: int,
+    version: int, channels: int,
+) -> dict | None:
+    """Detect a Xing/Info/VBRI metadata frame. ``pos`` is the frame's
+    header offset, ``frame`` its declared length. Returns ``{"tag":
+    "xing"|"info"|"vbri", "frames": int|None, "bytes": int|None}`` or
+    None when the frame carries no tag. A tag whose declared fields run
+    past the frame extent is malformed and refuses loudly — the magic
+    at the exact spec offset is not a coincidence byte pattern.
+
+    The declared counts are REPORTED, not enforced against the walk:
+    they are an advisory duration hint written by the encoder, and
+    crawled files are routinely re-cut after encoding (truncated
+    downloads, stream rips) with every remaining frame still valid —
+    refusing on a stale hint would throw away header-verified audio."""
+    end = pos + frame
+    at = pos + 4 + _side_info_bytes(version, channels)
+    magic = data[at : at + 4]
+    if magic in (b"Xing", b"Info"):
+        if at + 8 > end:
+            raise ValueError("MPEG audio Xing tag truncated by its frame")
+        flags = int.from_bytes(data[at + 4 : at + 8], "big")
+        fld = at + 8
+        n_frames = n_bytes = None
+        if flags & 0x1:
+            if fld + 4 > end:
+                raise ValueError(
+                    "MPEG audio Xing frame-count field truncated",
+                )
+            n_frames = int.from_bytes(data[fld : fld + 4], "big")
+            fld += 4
+        if flags & 0x2:
+            if fld + 4 > end:
+                raise ValueError(
+                    "MPEG audio Xing byte-count field truncated",
+                )
+            n_bytes = int.from_bytes(data[fld : fld + 4], "big")
+        return {
+            "tag": "xing" if magic == b"Xing" else "info",
+            "frames": n_frames, "bytes": n_bytes,
+        }
+    at = pos + 4 + 32  # VBRI sits at a fixed offset (Fraunhofer spec)
+    if data[at : at + 4] == b"VBRI":
+        if at + 22 > end:
+            raise ValueError("MPEG audio VBRI tag truncated by its frame")
+        return {
+            "tag": "vbri",
+            "frames": int.from_bytes(data[at + 14 : at + 18], "big"),
+            "bytes": int.from_bytes(data[at + 10 : at + 14], "big"),
+        }
+    return None
+
+
 def parse_mp3_timeline(
     data: bytes, max_frames: int | None = None,
     tolerate_truncated_tail: bool = False,
@@ -107,7 +177,14 @@ def parse_mp3_timeline(
     header-verified frame. Only the tail is tolerated; a header that
     fails to parse mid-stream stays loud (resync-by-scanning can
     silently skip real audio), and the default remains the loud
-    refusal."""
+    refusal.
+
+    A Xing/Info/VBRI metadata frame at the stream head (nearly every
+    LAME/Fraunhofer encode has one) is excluded from ``samples`` — it
+    carries no audio, so timestamps start at 0 on the first REAL frame
+    — and surfaces as ``vbr_tag`` (``"xing"``/``"info"``/``"vbri"`` or
+    None) with the tag's declared ``vbr_frames``/``vbr_bytes`` counts
+    (None when absent; advisory, see _vbr_header)."""
     pos, n = 0, len(data)
     if data[:3] == b"ID3" and n >= 10:
         size = 0
@@ -126,6 +203,8 @@ def parse_mp3_timeline(
     out = []
     t_samples = 0
     dropped = 0
+    vbr = None
+    at_head = True
     while pos < n:
         # the cap check comes FIRST: frames past it must not be able to
         # abort an otherwise-valid capped parse (Ogg does the same)
@@ -155,6 +234,14 @@ def parse_mp3_timeline(
                 dropped = n - pos
                 break
             raise ValueError("MPEG audio frame extends past the file end")
+        if at_head:
+            at_head = False
+            vbr = _vbr_header(data, pos, frame, version, channels)
+            if vbr is not None:
+                # the tag frame carries no audio: no timeline row, no
+                # clock advance — the first REAL frame starts at 0
+                pos += frame
+                continue
         out.append((
             (t_samples * 1000 + rate // 2) // rate,
             (samples * 1000 + rate // 2) // rate,
@@ -175,6 +262,9 @@ def parse_mp3_timeline(
         "channels": first[3],
         "sample_rate": first[2],
         "bytes_dropped": dropped,
+        "vbr_tag": vbr["tag"] if vbr else None,
+        "vbr_frames": vbr["frames"] if vbr else None,
+        "vbr_bytes": vbr["bytes"] if vbr else None,
         "samples": out,
     }
 
@@ -185,12 +275,18 @@ def encode_mp3_frames(
     sample_rate: int = 32000,
     mono: bool = True,
     fill: int = 0,
+    vbr_tag: bytes | None = None,
 ) -> bytes:
     """Spec-built MPEG-1 Layer III fixture: ``n_frames`` frames of the
     given constant bitrate/rate (the header walk needs only headers —
     payload bytes are ``fill``). 32 kHz makes the frame duration an
     exact 36 ms and common bitrates divide evenly, so fixture timing is
-    closed-form. Rates that need padding refuse (keep fixtures exact)."""
+    closed-form. Rates that need padding refuse (keep fixtures exact).
+
+    ``vbr_tag`` (``b"Xing"``/``b"Info"``/``b"VBRI"``) prepends a
+    metadata frame the way LAME/Fraunhofer encoders do — same header
+    as the audio frames, the tag at its spec offset, declaring
+    ``n_frames`` audio frames and the total stream byte count."""
     table = _BITRATES[(1, 3)]
     if bitrate_kbps not in table:
         raise ValueError(f"bitrate {bitrate_kbps} not in the MPEG-1 "
@@ -211,4 +307,25 @@ def encode_mp3_frames(
         (3 << 6) if mono else 0,                   # mono / stereo
     ])
     one = hdr + bytes([fill]) * (frame - 4)
-    return one * n_frames
+    if vbr_tag is None:
+        return one * n_frames
+    if vbr_tag not in (b"Xing", b"Info", b"VBRI"):
+        raise ValueError(f"unknown VBR tag {vbr_tag!r}")
+    tag = bytearray(one)
+    total = frame * (n_frames + 1)
+    if vbr_tag == b"VBRI":
+        at = 4 + 32
+        fields = (vbr_tag + (1).to_bytes(2, "big")      # version
+                  + (0).to_bytes(2, "big")              # delay
+                  + (0).to_bytes(2, "big")              # quality
+                  + total.to_bytes(4, "big")
+                  + n_frames.to_bytes(4, "big"))
+    else:
+        at = 4 + _side_info_bytes(1, 1 if mono else 2)
+        fields = (vbr_tag + (0x3).to_bytes(4, "big")
+                  + n_frames.to_bytes(4, "big")
+                  + total.to_bytes(4, "big"))
+    if at + len(fields) > frame:
+        raise ValueError("frame too small to carry the VBR tag")
+    tag[at : at + len(fields)] = fields
+    return bytes(tag) + one * n_frames

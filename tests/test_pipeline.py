@@ -3290,6 +3290,81 @@ def test_mp3_tolerant_truncated_tail():
         parse_mp3_timeline(blob[:100], tolerate_truncated_tail=True)
 
 
+def test_mp3_vbr_metadata_frame():
+    """Xing/Info/VBRI metadata frames (round 14): nearly every LAME/
+    Fraunhofer encode starts with one, and it carries NO audio — the
+    walk must exclude it from the timeline (timestamps start at 0 on
+    the first real frame) and surface the tag's declared counts.
+    Offsets are the spec's: Xing right after the side info (17 bytes
+    MPEG-1 mono, 32 stereo), VBRI at a fixed 32 past the header."""
+    import pytest
+
+    from sed_binning_spark.pipeline.mp3 import (
+        encode_mp3_frames, parse_mp3_timeline,
+    )
+
+    plain = parse_mp3_timeline(
+        encode_mp3_frames(4, bitrate_kbps=96, sample_rate=32000))
+    assert plain["vbr_tag"] is None and plain["vbr_frames"] is None
+
+    for tag, name in ((b"Xing", "xing"), (b"Info", "info"),
+                      (b"VBRI", "vbri")):
+        for mono in (True, False):
+            blob = encode_mp3_frames(
+                4, bitrate_kbps=96, sample_rate=32000, mono=mono,
+                vbr_tag=tag)
+            got = parse_mp3_timeline(blob)
+            # the tag frame is excluded: same timeline as the untagged
+            # stream — 4 frames, clock starting at 0
+            assert got["vbr_tag"] == name, (tag, mono)
+            assert got["vbr_frames"] == 4
+            assert got["vbr_bytes"] == len(blob)
+            base = parse_mp3_timeline(encode_mp3_frames(
+                4, bitrate_kbps=96, sample_rate=32000, mono=mono,
+            ))["samples"]
+            frame_bytes = 144 * 96000 // 32000
+            # identical timing/extents; offsets shift past the tag frame
+            assert got["samples"] == [
+                (t, d, pos + frame_bytes, size, kf)
+                for t, d, pos, size, kf in base
+            ]
+
+    # a Xing magic whose declared fields run past the FRAME extent is
+    # a malformed tag, not audio: loud. The smallest legal frame makes
+    # it constructible — MPEG-2 L3 8 kbps / 24 kHz mono is 24 bytes
+    # with the tag at 4+9, so a frame-count field would end at byte 25
+    tiny = bytearray(24)
+    tiny[0:4] = bytes([0xFF, 0xF3, 0x14, 0xC0])
+    tiny[13:17] = b"Xing"
+    tiny[17:21] = (0x1).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="field truncated"):
+        parse_mp3_timeline(bytes(tiny))
+
+    # flags with neither count: tag still detected, counts None
+    frame = 144 * 96000 // 32000
+    tag_at = 4 + 17
+    none_flags = bytearray(encode_mp3_frames(
+        2, bitrate_kbps=96, sample_rate=32000, vbr_tag=b"Xing"))
+    none_flags[tag_at + 4 : tag_at + 16] = (
+        (0).to_bytes(4, "big") + b"\x00" * 8)
+    got = parse_mp3_timeline(bytes(none_flags))
+    assert got["vbr_tag"] == "xing" and got["vbr_frames"] is None
+    assert len(got["samples"]) == 2
+
+    # a tag frame with zero audio frames after it has no timeline
+    only_tag = encode_mp3_frames(
+        3, bitrate_kbps=96, sample_rate=32000, vbr_tag=b"Xing")[:frame]
+    with pytest.raises(ValueError, match="no frames"):
+        parse_mp3_timeline(only_tag)
+
+    # tolerance composes: tag + 2 complete frames + a cut third
+    cut3 = encode_mp3_frames(
+        3, bitrate_kbps=96, sample_rate=32000, vbr_tag=b"Xing")[:-7]
+    got = parse_mp3_timeline(cut3, tolerate_truncated_tail=True)
+    assert got["vbr_tag"] == "xing" and len(got["samples"]) == 2
+    assert got["bytes_dropped"] == frame - 7
+
+
 def test_ogg_crc_fast_path_and_granules():
     """Round-14 Ogg fixes: the zlib-reflection CRC (the hot-loop
     replacement for the per-byte Python walk) matches the spec-literal
