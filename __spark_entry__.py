@@ -1633,8 +1633,18 @@ def _mp4_fixture_blobs():
                 lacing="xiph" if w == 0 else "ebml",
                 frames_per_block=2,
             ))
+        # round 14: ADTS AAC — 1024-sample frames at 16 kHz are an
+        # exact 64 ms; payload sizes 10+3f+w give 17+3f+w frame bytes,
+        # all closed-form (the 7-byte header carries the length field)
+        from sed_binning_spark.pipeline.aac import encode_adts_frames
+
+        aac = [
+            encode_adts_frames([10 + 3 * f + w for f in range(3 + w)],
+                               sample_rate=16000, channels=1 + w)
+            for w in range(2)
+        ]
         _MP4_FIXTURES = (mj, sizes, av, avb, frg, wbm, m4a, ogg, mp3,
-                         wbl)
+                         wbl, aac)
     return _MP4_FIXTURES
 
 
@@ -1773,7 +1783,11 @@ def _q_frame_sample(spark, sf):
     'oggp' — Ogg Opus per-packet timing derived from the RFC 6716 TOC
     byte (CRC-verified page walk, no decoder); 'mp3f' — MPEG audio
     per-frame timing from the pure header walk (exact 36 ms frames at
-    32 kHz); 'rsw' — transcode_audio resampling
+    32 kHz; round 14 leads variant 1 with a LAME-style Xing metadata
+    frame the walk must EXCLUDE — counting it would add a row and
+    shift every timestamp); 'aacf' — ADTS AAC per-frame timing from
+    the header's explicit 13-bit length field (exact 64 ms frames at
+    16 kHz, round 14); 'rsw' — transcode_audio resampling
     the 1 kHz fixture to 500 Hz (integral ratio → exact source picks,
     the even md5 bytes) before windowing; 'ulw'/'alw' — the same md5
     bytes behind ITU-T G.711 format tags, the twin replaying the ITU
@@ -1822,7 +1836,8 @@ def _q_frame_sample(spark, sf):
 
     # both MP4 families through ONE sample_frames stage; the leg label
     # re-derives from the id after decode
-    mj, _sizes, av, avb, frg, wbm, m4a, ogg, mp3, wbl = _mp4_fixture_blobs()
+    (mj, _sizes, av, avb, frg, wbm, m4a, ogg, mp3, wbl,
+     aac) = _mp4_fixture_blobs()
     did = F.col("doc_id")
     mp4_media = docs.where(did % 3 > 0).select(
         did.alias("media_id"),
@@ -1902,6 +1917,16 @@ def _q_frame_sample(spark, sf):
     )
     mp3f_leg = decoded_leg(
         sample_frames(mp3_media, media="audio"), F.lit("mp3f"),
+    )
+    # round 14: ADTS AAC per-frame timeline — extents from the
+    # header's explicit 13-bit length field, exact 64 ms frames
+    aac_media = docs.where(did % 3 == 0).select(
+        did.alias("media_id"),
+        F.when(did % 2 == 0, F.lit(bytearray(aac[0])))
+        .otherwise(F.lit(bytearray(aac[1]))).alias("payload"),
+    )
+    aacf_leg = decoded_leg(
+        sample_frames(aac_media, media="audio"), F.lit("aacf"),
     )
     avck_leg = decoded_leg(
         sample_frames(mp4_media.where(F.col("media_id") % 3 == 2),
@@ -1996,6 +2021,7 @@ def _q_frame_sample(spark, sf):
         .unionByName(webm_leg).unionByName(webl_leg)
         .unionByName(m4au_leg)
         .unionByName(oggp_leg).unionByName(mp3f_leg)
+        .unionByName(aacf_leg)
         .unionByName(wav_leg).unionByName(rsw_leg)
         .unionByName(g711_leg).unionByName(adpcm_leg)
         .unionByName(flc_leg)
@@ -3435,6 +3461,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(432 - 144 * (doc_id % 2) AS BIGINT), TRUE "
             "FROM documents, range(4) t(f) "
             "WHERE doc_id % 3 = 2 AND t.f < 3 + (doc_id % 2) "
+            # ADTS AAC: exact 64 ms frames at 16 kHz; frame bytes =
+            # 7-byte header + payload 10+3f+w
+            "UNION ALL SELECT 'aacf', doc_id, "
+            "CAST(64 * t.f AS BIGINT), CAST(t.f AS INT), "
+            "CAST(64 AS BIGINT), "
+            "CAST(NULL AS INT), CAST(NULL AS INT), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "CAST(17 + 3 * t.f + (doc_id % 2) AS BIGINT), TRUE "
+            "FROM documents, range(4) t(f) "
+            "WHERE doc_id % 3 = 0 AND t.f < 3 + (doc_id % 2) "
             # audio twin: 8-bit WAV samples = md5 bytes; every stat is a
             # dyadic rational ((b-128)/128), so the std's msq - mu*mu
             # form and the engine's mean-of-squared-deviations are the

@@ -98,6 +98,10 @@ from sed_binning_spark.pipeline.mp3 import (
     encode_mp3_frames,
     parse_mp3_timeline,
 )
+from sed_binning_spark.pipeline.aac import (
+    encode_adts_frames,
+    parse_adts_timeline,
+)
 from sed_binning_spark.pipeline.flac import (
     decode_audio_flac,
     decode_flac,
@@ -268,6 +272,8 @@ __all__ = [
     "encode_ogg_opus",
     "parse_mp3_timeline",
     "encode_mp3_frames",
+    "parse_adts_timeline",
+    "encode_adts_frames",
     "decode_audio_flac",
     "decode_flac",
     "encode_flac",

@@ -2127,21 +2127,23 @@ def sample_frames(
     to 1 for it), and raw MJPEG keeps everything because every frame is
     intra-coded.
 
-    ``media="audio"`` walks the AUDIO track of MP4/WebM/Ogg/MP3
+    ``media="audio"`` walks the AUDIO track of MP4/WebM/Ogg/MP3/ADTS
     containers
     instead (metadata-only always — AAC/Opus/MPEG audio do not decode
     here, though Ogg Opus packet durations come exactly from the RFC
-    6716 TOC byte and MP3 frame lengths from the header tables):
+    6716 TOC byte, MP3 frame lengths from the header tables, and ADTS
+    frame lengths from the header's explicit 13-bit field):
     per-sample container timing, byte extents, and sync flags, which is
     how a speech-corpus pipeline locates and measures audio segments
     inside A/V files without touching a codec. Non-container payloads
     (GIF/MJPEG stills, WAV — route WAV through sample_audio_windows)
     contribute no rows in audio mode.
-    ``tolerate_truncated_mp3_tail=True`` opts the MP3 branch into
-    keeping the complete frames of a download-truncated file instead
-    of degrading the whole payload to zero rows — the most common
-    defect in crawled MP3s (see parse_mp3_timeline; every emitted row
-    is still a complete, header-verified frame)."""
+    ``tolerate_truncated_mp3_tail=True`` opts the MP3 AND ADTS
+    branches into keeping the complete frames of a download-truncated
+    file instead of degrading the whole payload to zero rows — the
+    most common defect in crawled MP3/AAC files (see
+    parse_mp3_timeline; every emitted row is still a complete,
+    header-verified frame)."""
     import pandas as pd
 
     if media not in ("video", "audio"):
@@ -2178,6 +2180,21 @@ def sample_frames(
 
                 return _meta_rows(parse_ogg_opus_timeline(
                     b, max_frames)["samples"])
+            from sed_binning_spark.pipeline.aac import looks_like_adts
+
+            if looks_like_adts(b):
+                # ADTS AAC: per-frame timing from the 13-bit length
+                # field walk. This check sits ABOVE the MPEG audio
+                # branch and they cannot collide: ADTS layer bits are
+                # 00 where every valid MP3 layer code is non-zero
+                from sed_binning_spark.pipeline.aac import (
+                    parse_adts_timeline,
+                )
+
+                return _meta_rows(parse_adts_timeline(
+                    b, max_frames,
+                    tolerate_truncated_tail=tolerate_truncated_mp3_tail,
+                )["samples"])
             if b[:3] == b"ID3" or (
                 len(b) >= 4 and b[0] == 0xFF and b[1] & 0xE0 == 0xE0
             ):

@@ -3365,6 +3365,89 @@ def test_mp3_vbr_metadata_frame():
     assert got["bytes_dropped"] == frame - 7
 
 
+def test_adts_frame_timeline(spark):
+    """ADTS AAC header walk (round 14): frame extents straight from
+    the header's 13-bit length field, a 1024-samples-per-block clock
+    (64 ms exactly at the 16 kHz fixture rate), ID3 tags skipped,
+    truncated-tail tolerance composing, and every refusal loud. The
+    layer==00 discriminator keeps ADTS and MPEG audio apart in the
+    sample_frames dispatch."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sed_binning_spark.pipeline.aac import (
+        encode_adts_frames, looks_like_adts, parse_adts_timeline,
+    )
+    from sed_binning_spark.pipeline.mp3 import encode_mp3_frames
+    from sed_binning_spark.pipeline.multimodal import sample_frames
+
+    blob = encode_adts_frames([10, 20, 30, 40], sample_rate=16000,
+                              channels=2)
+    info = parse_adts_timeline(blob)
+    assert (info["codec"], info["channels"], info["sample_rate"]) \
+        == ("aac-lc", 2, 16000)
+    assert info["samples"] == [
+        (64 * f, 64, sum(17 + 10 * g for g in range(f)), 17 + 10 * f,
+         True)
+        for f in range(4)
+    ]
+    assert info["bytes_dropped"] == 0
+
+    # ID3v2 front tag and ID3v1 trailer are skipped, like MP3
+    id3v2 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 12]) + b"x" * 12
+    id3v1 = b"TAG" + b"\x00" * 125
+    w = parse_adts_timeline(id3v2 + blob + id3v1)
+    assert [r[3] for r in w["samples"]] == [17, 27, 37, 47]
+    assert looks_like_adts(id3v2 + blob)
+    assert not looks_like_adts(
+        encode_mp3_frames(2, bitrate_kbps=96, sample_rate=32000))
+    assert not looks_like_adts(b"\xff\xd8\xffjpeg")
+
+    # max_frames caps; a 48 kHz stream rounds 21.333 ms per frame
+    assert len(parse_adts_timeline(blob, max_frames=2)["samples"]) == 2
+    hi = parse_adts_timeline(
+        encode_adts_frames([8, 8, 8], sample_rate=48000))
+    assert [r[0] for r in hi["samples"]] == [0, 21, 43]
+
+    # refusals: truncated tail (loud default / tolerant opt-in),
+    # mid-stream parameter change, PCE channels, reserved rate index,
+    # zero payload
+    cut = blob[:-5]
+    with pytest.raises(ValueError, match="past the file end"):
+        parse_adts_timeline(cut)
+    got = parse_adts_timeline(cut, tolerate_truncated_tail=True)
+    assert len(got["samples"]) == 3 and got["bytes_dropped"] == 47 - 5
+    mixed = blob + encode_adts_frames([10], sample_rate=8000)
+    with pytest.raises(ValueError, match="mid-stream"):
+        parse_adts_timeline(mixed)
+    bad = bytearray(encode_adts_frames([10]))
+    bad[3] &= 0x3F  # channel bits 2..1 → config 0 (mono fixture: cfg 1)
+    bad[2] &= 0xFE
+    with pytest.raises(ValueError, match="inband PCE"):
+        parse_adts_timeline(bytes(bad))
+    rate = bytearray(encode_adts_frames([10]))
+    rate[2] = (rate[2] & 0xC3) | (15 << 2)
+    with pytest.raises(ValueError, match="frequency index"):
+        parse_adts_timeline(bytes(rate))
+    with pytest.raises(ValueError, match="no room"):
+        parse_adts_timeline(b"\xff\xf1\x00")
+
+    # Spark dispatch: audio mode walks ADTS; video mode yields nothing
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, payload binary")
+    rows = sample_frames(df, media="audio").orderBy("frame_index")
+    got = [(r["frame_ms"], r["n_bytes"]) for r in rows.collect()]
+    assert got == [(64 * f, 17 + 10 * f) for f in range(4)]
+    assert sample_frames(df).count() == 0
+    # tail tolerance reaches the ADTS branch through the shared flag
+    cut_df = spark.createDataFrame(
+        [(1, bytearray(cut))], "media_id long, payload binary")
+    assert sample_frames(cut_df, media="audio").count() == 0
+    assert sample_frames(
+        cut_df, media="audio", tolerate_truncated_mp3_tail=True,
+    ).count() == 3
+
+
 def test_ogg_crc_fast_path_and_granules():
     """Round-14 Ogg fixes: the zlib-reflection CRC (the hot-loop
     replacement for the per-byte Python walk) matches the spec-literal
