@@ -107,6 +107,10 @@ from sed_binning_spark.pipeline.flac import (
     decode_flac,
     encode_flac,
 )
+from sed_binning_spark.pipeline.tags import (
+    extract_media_tags,
+    parse_media_tags,
+)
 from sed_binning_spark.pipeline.multimodal import (
     decode_gif_frames,
     encode_gif_animation,
@@ -277,6 +281,8 @@ __all__ = [
     "decode_audio_flac",
     "decode_flac",
     "encode_flac",
+    "extract_media_tags",
+    "parse_media_tags",
     "decode_gif_frames",
     "encode_gif_animation",
     "synthesize_animated_gif_media_from_text",

@@ -270,15 +270,23 @@ def encode_ogg_opus(
     pre_skip: int = 312,
     packets_per_page: int = 2,
     serial: int = 0x1234,
+    comment_payload: bytes | None = None,
 ) -> bytes:
     """Spec-built Ogg Opus fixture: OpusHead BOS page + OpusTags page +
     data pages of ``packets_per_page`` packets each. Every packet's
     first byte must be a valid TOC (the writer derives granule
     positions from the same table the parser uses). Payload bytes after
-    the TOC are arbitrary — no encoder exists here."""
+    the TOC are arbitrary — no encoder exists here. ``comment_payload``
+    replaces the default empty Vorbis-comment structure behind the
+    ``OpusTags`` magic (RFC 7845 §5.2) — pass
+    :func:`~sed_binning_spark.pipeline.tags.encode_vorbis_comment_block`
+    output to build a tagged stream."""
     head = (b"OpusHead" + bytes([1, channels])
             + struct.pack("<HIhB", pre_skip, sample_rate, 0, 0))
-    tags = b"OpusTags" + struct.pack("<I", 4) + b"spec" + struct.pack("<I", 0)
+    if comment_payload is None:
+        comment_payload = (struct.pack("<I", 4) + b"spec"
+                           + struct.pack("<I", 0))
+    tags = b"OpusTags" + comment_payload
     out = _page(0x02, 0, serial, 0, [head])
     out += _page(0, 0, serial, 1, [tags])
     seq = 2

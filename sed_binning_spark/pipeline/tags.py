@@ -1,0 +1,693 @@
+"""Media TAG extraction — the metadata-mining half of the media tier.
+A training-data pipeline wants the title/artist/lyrics/comment text
+embedded in crawled audio and video files (it is caption-grade text
+paired with the media), and every mainstream container carries it in
+one of five public tag grammars, all implemented here from their
+public specs:
+
+- **ID3v2.2/2.3/2.4** (id3.org informal standards) on MPEG-audio and
+  ADTS streams: text frames (``T***`` incl. ``TXXX``), comments
+  (``COMM``) and lyrics (``USLT``), all four text encodings (latin-1,
+  UTF-16 with BOM, UTF-16BE, UTF-8), unsynchronisation (global in
+  v2.3, per-frame in v2.4), extended headers, v2.3/v2.4 frame flags
+  (zlib-compressed frames are inflated; encrypted frames are skipped
+  — their content is unreadable by construction), padding, and the
+  v2.2 3-byte frame grammar;
+- **ID3v1** (the trailing 128-byte ``TAG`` block) as the fallback when
+  no v2 tag exists;
+- **Vorbis comments** (the Xiph spec) behind three carriers: the FLAC
+  ``VORBIS_COMMENT`` metadata block (RFC 9639 §8.6), the Ogg Opus
+  ``OpusTags`` header packet (RFC 7845 §5.2), and the Ogg Vorbis
+  comment header packet (``\\x03vorbis``, framing bit verified);
+- **MP4 ilst** (the iTunes-style ISO 14496-12 ``moov→udta→meta→ilst``
+  path): UTF-8 ``data`` atoms (type indicator 1) under the well-known
+  ``©nam``-family keys; binary atoms (artwork, ``trkn``) are skipped;
+- **RIFF LIST-INFO** chunks in WAV files (the Multimedia Programming
+  Interface spec): ``INAM``-family ASCII values.
+
+Keys are normalized to one lowercase vocabulary (``title``,
+``artist``, ``album``, ``date``, ``genre``, ``comment``, ``lyrics``,
+...) so downstream text analyses are container-agnostic; frames
+without a canonical name keep their lowercased native id. Repeated
+keys yield repeated pairs — the Spark operator emits one row per tag,
+and joining is the consumer's choice.
+
+Malformed tag structures raise ValueError naming the defect, the same
+loud posture as every codec in the media tier; the Spark operator
+(:func:`extract_media_tags`) catches per payload and degrades that
+payload to zero rows, keeping the batch alive.
+
+No counterpart exists in the reference repo (photoemission binning,
+no media code); the format knowledge is the public specs named above.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_ID3_KEYMAP = {
+    "TIT2": "title", "TPE1": "artist", "TALB": "album",
+    "TDRC": "date", "TYER": "date", "TCON": "genre", "TRCK": "track",
+    "TLEN": "length", "TSSE": "encoder", "TPE2": "album_artist",
+    "TCOM": "composer", "TPUB": "publisher", "TCOP": "copyright",
+    "TLAN": "language",
+}
+_ID3_22_KEYMAP = {
+    "TT2": "title", "TP1": "artist", "TAL": "album", "TYE": "date",
+    "TCO": "genre", "TRK": "track", "TP2": "album_artist",
+    "TCM": "composer", "TCR": "copyright", "TLA": "language",
+    "TSS": "encoder", "TLE": "length",
+}
+_ILST_KEYMAP = {
+    b"\xa9nam": "title", b"\xa9ART": "artist", b"\xa9alb": "album",
+    b"\xa9day": "date", b"\xa9gen": "genre", b"\xa9cmt": "comment",
+    b"\xa9too": "encoder", b"\xa9lyr": "lyrics",
+    b"aART": "album_artist", b"\xa9wrt": "composer",
+    b"cprt": "copyright",
+}
+_RIFF_KEYMAP = {
+    b"INAM": "title", b"IART": "artist", b"IPRD": "album",
+    b"ICRD": "date", b"IGNR": "genre", b"ICMT": "comment",
+    b"ISFT": "encoder", b"ICOP": "copyright", b"ILNG": "language",
+}
+_ENCODINGS = ("latin-1", "utf-16", "utf-16-be", "utf-8")
+
+
+def _syncsafe(raw: bytes) -> int:
+    out = 0
+    for byte in raw:
+        if byte & 0x80:
+            raise ValueError("ID3v2 syncsafe byte with its top bit set")
+        out = (out << 7) | byte
+    return out
+
+
+def _de_unsync(raw: bytes) -> bytes:
+    """Reverse ID3v2 unsynchronisation: every 0xFF 0x00 pair was the
+    escape for a raw 0xFF byte."""
+    return raw.replace(b"\xff\x00", b"\xff")
+
+
+def _id3_texts(enc: int, raw: bytes) -> list[str]:
+    """Decode an ID3v2 text body: encoding byte semantics per the
+    spec, null-terminated/null-separated value lists, padding
+    stripped."""
+    if enc >= len(_ENCODINGS):
+        raise ValueError(f"ID3v2 text encoding {enc} is not defined")
+    term = b"\x00\x00" if enc in (1, 2) else b"\x00"
+    step = len(term)
+    parts, pos = [], 0
+    while pos < len(raw):
+        at = raw.find(term, pos)
+        # UTF-16 terminators must be code-unit aligned
+        while at != -1 and step == 2 and (at - pos) % 2:
+            at = raw.find(term, at + 1)
+        if at == -1:
+            parts.append(raw[pos:])
+            break
+        parts.append(raw[pos:at])
+        pos = at + step
+    out = []
+    for p in parts:
+        if not p:
+            continue
+        try:
+            out.append(p.decode(_ENCODINGS[enc]))
+        except UnicodeDecodeError as exc:
+            raise ValueError(f"ID3v2 text fails to decode: {exc}") from exc
+    return out
+
+
+def _id3_split_desc(enc: int, raw: bytes) -> tuple[str, str]:
+    """(description, text) of a TXXX/COMM/USLT body (past the language
+    bytes): the description ends at the encoding's terminator."""
+    term = b"\x00\x00" if enc in (1, 2) else b"\x00"
+    at = raw.find(term)
+    while at != -1 and len(term) == 2 and at % 2:
+        at = raw.find(term, at + 1)
+    if at == -1:
+        raise ValueError("ID3v2 frame body without its description "
+                         "terminator")
+    desc = _id3_texts(enc, raw[:at])
+    text = _id3_texts(enc, raw[at + len(term) :])
+    return ("; ".join(desc), "; ".join(text))
+
+
+def parse_id3v2(data: bytes) -> tuple[list[tuple[str, str]], int]:
+    """``(tags, tag_end)`` of a leading ID3v2 tag — ``([], 0)`` when
+    the payload does not start with one. ``tag_end`` is the offset of
+    the first byte past the tag (including a v2.4 footer), which is
+    where the audio stream starts."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return [], 0
+    major, _rev, flags = data[3], data[4], data[5]
+    if major not in (2, 3, 4):
+        raise ValueError(f"ID3v2.{major} is not a published tag version")
+    size = _syncsafe(data[6:10])
+    end = 10 + size
+    if end > len(data):
+        raise ValueError("ID3v2 tag extends past the file end")
+    tag_end = end + 10 if (major == 4 and flags & 0x10) else end
+    body = data[10:end]
+    if major == 2:
+        if flags & 0x40:
+            # v2.2 defines no compression scheme; the spec's own advice
+            # is that a compressed tag is unreadable
+            raise ValueError("ID3v2.2 compression flag set — "
+                             "unreadable by spec")
+        if flags & 0x80:
+            body = _de_unsync(body)
+        return _parse_id3v22_frames(body), tag_end
+    if major == 3 and flags & 0x80:
+        body = _de_unsync(body)
+    pos = 0
+    if flags & 0x40:  # extended header
+        if major == 3:
+            ext = struct.unpack_from(">I", body, 0)[0]
+            pos = 4 + ext  # v2.3: size EXCLUDES the size field
+        else:
+            pos = _syncsafe(body[0:4])  # v2.4: size INCLUDES itself
+        if pos > len(body):
+            raise ValueError("ID3v2 extended header exceeds the tag")
+    tags: list[tuple[str, str]] = []
+    while pos + 10 <= len(body):
+        fid = body[pos : pos + 4]
+        if fid[0] == 0:  # zero padding ends the frame region
+            break
+        if not all(0x30 <= b <= 0x5A for b in fid):
+            raise ValueError(f"ID3v2 frame id {fid!r} is not A-Z0-9")
+        if major == 4:
+            fsize = _syncsafe(body[pos + 4 : pos + 8])
+        else:
+            fsize = struct.unpack_from(">I", body, pos + 4)[0]
+        fflags = struct.unpack_from(">H", body, pos + 8)[0]
+        fbody = body[pos + 10 : pos + 10 + fsize]
+        if len(fbody) != fsize:
+            raise ValueError("ID3v2 frame extends past the tag")
+        pos += 10 + fsize
+        encrypted = fflags & (0x0040 if major == 3 else 0x0004)
+        if encrypted:
+            continue  # unreadable by construction — skip the frame
+        if major == 3:
+            compressed = fflags & 0x0080
+            if compressed:
+                fbody = fbody[4:]  # 4-byte decompressed size first
+            if fflags & 0x0020:
+                fbody = fbody[1:]  # grouping identity byte
+            if compressed:
+                fbody = zlib.decompress(fbody)
+        else:
+            if fflags & 0x0040:
+                fbody = fbody[1:]  # grouping identity byte
+            if fflags & 0x0002:
+                fbody = _de_unsync(fbody)
+            dli = fflags & 0x0001
+            if dli:
+                fbody = fbody[4:]  # syncsafe data-length indicator
+            if fflags & 0x0008:
+                if not dli:
+                    raise ValueError(
+                        "ID3v2.4 compressed frame without its data-"
+                        "length indicator",
+                    )
+                fbody = zlib.decompress(fbody)
+        key = fid.decode("ascii")
+        if key == "TXXX":
+            desc, text = _id3_split_desc(fbody[0], fbody[1:])
+            tags.append((desc.lower() or "txxx", text))
+        elif key in ("COMM", "USLT"):
+            if len(fbody) < 4:
+                raise ValueError(f"ID3v2 {key} frame too short for its "
+                                 f"language bytes")
+            _desc, text = _id3_split_desc(fbody[0], fbody[4:])
+            tags.append((
+                "comment" if key == "COMM" else "lyrics", text,
+            ))
+        elif key.startswith("T"):
+            tags.append((
+                _ID3_KEYMAP.get(key, key.lower()),
+                "; ".join(_id3_texts(fbody[0], fbody[1:])),
+            ))
+        # non-text frames (APIC artwork, UFID, ...) carry no tag text
+    return tags, tag_end
+
+
+def _parse_id3v22_frames(body: bytes) -> list[tuple[str, str]]:
+    tags: list[tuple[str, str]] = []
+    pos = 0
+    while pos + 6 <= len(body):
+        fid = body[pos : pos + 3]
+        if fid[0] == 0:
+            break
+        fsize = int.from_bytes(body[pos + 3 : pos + 6], "big")
+        fbody = body[pos + 6 : pos + 6 + fsize]
+        if len(fbody) != fsize:
+            raise ValueError("ID3v2.2 frame extends past the tag")
+        pos += 6 + fsize
+        key = fid.decode("ascii", "replace")
+        if key == "TXX":
+            desc, text = _id3_split_desc(fbody[0], fbody[1:])
+            tags.append((desc.lower() or "txx", text))
+        elif key == "COM":
+            _desc, text = _id3_split_desc(fbody[0], fbody[4:])
+            tags.append(("comment", text))
+        elif key.startswith("T"):
+            tags.append((
+                _ID3_22_KEYMAP.get(key, key.lower()),
+                "; ".join(_id3_texts(fbody[0], fbody[1:])),
+            ))
+    return tags
+
+
+def parse_id3v1(data: bytes) -> list[tuple[str, str]]:
+    """Tags of a trailing ID3v1 block — ``[]`` when absent. Fields are
+    fixed-width latin-1, NUL/space padded; the genre byte is a table
+    index and is not reported (no text)."""
+    if len(data) < 128 or data[-128:-125] != b"TAG":
+        return []
+    blk = data[-128:]
+
+    def _f(a: int, b: int) -> str:
+        return blk[a:b].split(b"\x00")[0].decode("latin-1").strip()
+
+    out = [("title", _f(3, 33)), ("artist", _f(33, 63)),
+           ("album", _f(63, 93)), ("date", _f(93, 97))]
+    # ID3v1.1: comment truncated to 28 bytes + NUL + track byte
+    if blk[125] == 0 and blk[126] != 0:
+        out.append(("comment", _f(97, 125)))
+        out.append(("track", str(blk[126])))
+    else:
+        out.append(("comment", _f(97, 127)))
+    return [(k, v) for k, v in out if v]
+
+
+def parse_vorbis_comments(
+    buf: bytes, framing: bool = False,
+) -> list[tuple[str, str]]:
+    """Tag pairs of a Vorbis-comment structure (the Xiph spec):
+    little-endian vendor length/string, comment count, ``KEY=value``
+    UTF-8 entries. ``framing=True`` additionally requires the Vorbis
+    framing bit after the last comment (the Ogg Vorbis carrier sets
+    it; FLAC and OpusTags do not)."""
+    if len(buf) < 8:
+        raise ValueError("Vorbis comment block too short for its header")
+    vlen = struct.unpack_from("<I", buf, 0)[0]
+    pos = 4 + vlen
+    if pos + 4 > len(buf):
+        raise ValueError("Vorbis comment vendor string overruns the block")
+    count = struct.unpack_from("<I", buf, pos)[0]
+    pos += 4
+    tags: list[tuple[str, str]] = []
+    for _ in range(count):
+        if pos + 4 > len(buf):
+            raise ValueError("Vorbis comment count overruns the block")
+        clen = struct.unpack_from("<I", buf, pos)[0]
+        pos += 4
+        if pos + clen > len(buf):
+            raise ValueError("Vorbis comment entry overruns the block")
+        entry = buf[pos : pos + clen]
+        pos += clen
+        eq = entry.find(b"=")
+        if eq < 1:
+            raise ValueError("Vorbis comment entry without KEY=value")
+        key = entry[:eq].decode("ascii", "strict").lower()
+        tags.append((key, entry[eq + 1 :].decode("utf-8")))
+    if framing and not (pos < len(buf) and buf[pos] & 0x1):
+        raise ValueError("Vorbis comment header without its framing bit")
+    return tags
+
+
+def _flac_tags(data: bytes) -> list[tuple[str, str]]:
+    pos, n = 4, len(data)
+    while True:
+        if pos + 4 > n:
+            raise ValueError("FLAC metadata block header truncated")
+        last = data[pos] & 0x80
+        btype = data[pos] & 0x7F
+        size = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        if pos + 4 + size > n:
+            raise ValueError("FLAC metadata block extends past the file")
+        if btype == 4:
+            return parse_vorbis_comments(data[pos + 4 : pos + 4 + size])
+        pos += 4 + size
+        if last:
+            return []
+
+
+def _ogg_packets(data: bytes, limit: int):
+    """The first ``limit`` packets of the FIRST Ogg stream, assembled
+    across lacing and page continuation (header packets — comment
+    blocks with artwork — routinely span pages)."""
+    from sed_binning_spark.pipeline.ogg import _iter_pages
+
+    serial0 = None
+    packets: list[bytes] = []
+    partial = bytearray()
+    for flags, _g, serial, _q, segments, body_at in _iter_pages(data):
+        if serial0 is None:
+            serial0 = serial
+        if serial != serial0:
+            continue
+        if not (flags & 0x1) and partial:
+            raise ValueError(
+                "Ogg page drops a continued packet mid-assembly",
+            )
+        at = body_at
+        for lace in segments:
+            partial += data[at : at + lace]
+            at += lace
+            if lace < 255:
+                packets.append(bytes(partial))
+                partial.clear()
+                if len(packets) >= limit:
+                    return packets
+    return packets
+
+
+def _ogg_tags(data: bytes) -> list[tuple[str, str]]:
+    pkts = _ogg_packets(data, 3)
+    if not pkts:
+        raise ValueError("Ogg stream has no packets")
+    head = pkts[0]
+    if head[:8] == b"OpusHead":
+        if len(pkts) < 2 or pkts[1][:8] != b"OpusTags":
+            raise ValueError("Ogg Opus stream without its OpusTags "
+                             "packet")
+        return parse_vorbis_comments(pkts[1][8:])
+    if head[:7] == b"\x01vorbis":
+        if len(pkts) < 2 or pkts[1][:7] != b"\x03vorbis":
+            raise ValueError("Ogg Vorbis stream without its comment "
+                             "header")
+        return parse_vorbis_comments(pkts[1][7:], framing=True)
+    if head[:5] == b"\x7fFLAC":
+        # Ogg FLAC mapping: the BOS packet wraps the native fLaC magic
+        # + STREAMINFO at offset 9; later header packets are raw
+        # metadata blocks — find the VORBIS_COMMENT one
+        for pkt in pkts[1:]:
+            if pkt and (pkt[0] & 0x7F) == 4:
+                size = int.from_bytes(pkt[1:4], "big")
+                if 4 + size > len(pkt):
+                    raise ValueError(
+                        "Ogg FLAC comment block overruns its packet",
+                    )
+                return parse_vorbis_comments(pkt[4 : 4 + size])
+        return []
+    raise ValueError("Ogg stream is not Opus, Vorbis, or FLAC")
+
+
+def _mp4_tags(data: bytes) -> list[tuple[str, str]]:
+    from sed_binning_spark.pipeline.mp4 import (
+        _find, _full_box, _iter_boxes,
+    )
+
+    n = len(data)
+    moov = _find(data, 0, n, b"moov")
+    if moov is None:
+        raise ValueError("MP4 has no moov box")
+    udta = _find(data, moov[0], moov[1], b"udta")
+    if udta is None:
+        return []
+    meta = _find(data, udta[0], udta[1], b"meta")
+    if meta is None:
+        return []
+    # meta is a FULL box: 4 bytes of version/flags before its children
+    ilst = _find(data, meta[0] + 4, meta[1], b"ilst")
+    if ilst is None:
+        return []
+    tags: list[tuple[str, str]] = []
+    for item, s, e in _iter_boxes(data, ilst[0], ilst[1]):
+        d = _find(data, s, e, b"data")
+        if d is None:
+            continue
+        _v, dtype = _full_box(data, d[0])
+        if dtype != 1:
+            continue  # not UTF-8 text (artwork, trkn, ...) — no tag text
+        text = data[d[0] + 8 : d[1]].decode("utf-8")
+        if item == b"----":
+            # the freeform shape: mean/name boxes carry the key
+            name = _find(data, s, e, b"name")
+            key = (data[name[0] + 4 : name[1]].decode("utf-8").lower()
+                   if name else "----")
+        else:
+            key = _ILST_KEYMAP.get(
+                item, item.decode("latin-1").strip().lower())
+        tags.append((key, text))
+    return tags
+
+
+def _riff_tags(data: bytes) -> list[tuple[str, str]]:
+    if len(data) < 12 or data[8:12] != b"WAVE":
+        raise ValueError("RIFF payload is not a WAVE file")
+    pos, n = 12, len(data)
+    tags: list[tuple[str, str]] = []
+    while pos + 8 <= n:
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"RIFF chunk {cid!r} extends past the file")
+        if cid == b"LIST" and body[:4] == b"INFO":
+            at = 4
+            while at + 8 <= size:
+                sid, ssz = struct.unpack_from("<4sI", body, at)
+                val = body[at + 8 : at + 8 + ssz]
+                if len(val) != ssz:
+                    raise ValueError(
+                        f"RIFF INFO entry {sid!r} extends past its LIST",
+                    )
+                text = val.split(b"\x00")[0].decode(
+                    "utf-8", "replace").strip()
+                if text:
+                    tags.append((
+                        _RIFF_KEYMAP.get(
+                            sid, sid.decode("latin-1").strip().lower()),
+                        text,
+                    ))
+                at += 8 + ssz + (ssz & 1)  # word-aligned
+        pos += 8 + size + (size & 1)
+    return tags
+
+
+def parse_media_tags(data: bytes) -> dict:
+    """``{"container": str, "tags": [(key, value), ...]}`` of a media
+    payload, dispatched on its magic — the five tag grammars in the
+    module docstring. MPEG-audio/ADTS payloads prefer the leading
+    ID3v2 tag and fall back to a trailing ID3v1 block; a recognized
+    container with no tags returns an empty list (that is an answer,
+    not a defect); an unrecognized payload refuses loudly."""
+    if data[:4] == b"fLaC":
+        return {"container": "flac", "tags": _flac_tags(data)}
+    if data[:4] == b"OggS":
+        return {"container": "ogg", "tags": _ogg_tags(data)}
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return {"container": "mp4", "tags": _mp4_tags(data)}
+    if data[:4] == b"RIFF":
+        return {"container": "wav", "tags": _riff_tags(data)}
+    from sed_binning_spark.pipeline.aac import looks_like_adts
+
+    is_adts = looks_like_adts(data)
+    if (data[:3] == b"ID3" or is_adts
+            or (len(data) >= 4 and data[0] == 0xFF
+                and data[1] & 0xE0 == 0xE0)
+            or (len(data) >= 128 and data[-128:-125] == b"TAG")):
+        tags, _end = parse_id3v2(data)
+        if not tags:
+            tags = parse_id3v1(data)
+        return {"container": "aac" if is_adts else "mp3", "tags": tags}
+    raise ValueError("payload carries no recognized tag container")
+
+
+# ---------------------------------------------------------------------------
+# fixture builders (spec-built, used by tests and the oracle legs)
+
+def encode_id3v2(
+    frames: list[tuple[str, str]], version: int = 3,
+    unsync: bool = False,
+) -> bytes:
+    """Spec-built ID3v2.3/2.4 tag block: text frames from ``(frame_id,
+    text)`` pairs (``TXXX:desc`` ids become TXXX frames; ``COMM:desc``
+    comments; ``USLT:desc`` lyrics). Encoding picks itself: latin-1
+    when the text fits (utf-8 for v2.4 otherwise, utf-16 with BOM for
+    v2.3). ``unsync=True`` applies v2.3 global unsynchronisation."""
+    if version not in (3, 4):
+        raise ValueError("fixture supports ID3v2.3 / v2.4 only")
+    body = bytearray()
+    for fid, text in frames:
+        desc = None
+        if ":" in fid:
+            fid, desc = fid.split(":", 1)
+        try:
+            enc, raw = 0, text.encode("latin-1")
+        except UnicodeEncodeError:
+            enc, raw = ((3, text.encode("utf-8")) if version == 4
+                        else (1, text.encode("utf-16")))
+        term = b"\x00\x00" if enc == 1 else b"\x00"
+        if fid == "TXXX":
+            fbody = bytes([enc]) + (
+                desc or "").encode("latin-1" if enc == 0 else "utf-8") \
+                + term + raw
+            if enc == 1:
+                fbody = bytes([enc]) + (desc or "").encode("utf-16") \
+                    + term + raw
+        elif fid in ("COMM", "USLT"):
+            dd = (desc or "").encode("latin-1") if enc == 0 else b""
+            if enc == 1:
+                dd = (desc or "").encode("utf-16")
+            elif enc == 3:
+                dd = (desc or "").encode("utf-8")
+            fbody = bytes([enc]) + b"eng" + dd + term + raw
+        else:
+            fbody = bytes([enc]) + raw
+        size = (_to_syncsafe(len(fbody)) if version == 4
+                else len(fbody).to_bytes(4, "big"))
+        body += fid.encode("ascii") + size + b"\x00\x00" + fbody
+    flags = 0
+    if unsync:
+        if version != 3:
+            raise ValueError("fixture unsync is the v2.3 global form")
+        body = bytearray(bytes(body).replace(b"\xff", b"\xff\x00"))
+        flags |= 0x80
+    return (b"ID3" + bytes([version, 0, flags])
+            + _to_syncsafe(len(body)) + bytes(body))
+
+
+def _to_syncsafe(n: int) -> bytes:
+    if n >= 1 << 28:
+        raise ValueError("size too large for a syncsafe int")
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                  (n >> 7) & 0x7F, n & 0x7F])
+
+
+def encode_id3v1(
+    title: str = "", artist: str = "", album: str = "",
+    year: str = "", comment: str = "", track: int = 0,
+) -> bytes:
+    """The trailing 128-byte ID3v1(.1) block — append to an MPEG audio
+    stream. Fields are latin-1, NUL-padded to their fixed widths; a
+    nonzero ``track`` selects the v1.1 shape (comment truncated to 28
+    bytes + NUL + track byte)."""
+    def _w(text: str, width: int) -> bytes:
+        raw = text.encode("latin-1")
+        if len(raw) > width:
+            raise ValueError(f"ID3v1 field {text!r} exceeds {width} bytes")
+        return raw + b"\x00" * (width - len(raw))
+
+    blk = b"TAG" + _w(title, 30) + _w(artist, 30) + _w(album, 30) \
+        + _w(year, 4)
+    if track:
+        if not 1 <= track <= 255:
+            raise ValueError("ID3v1.1 track must be 1..255")
+        blk += _w(comment, 28) + b"\x00" + bytes([track])
+    else:
+        blk += _w(comment, 30)
+    return blk + b"\xff"  # genre 255 = unset
+
+
+def encode_vorbis_comment_block(
+    tags: list[tuple[str, str]], vendor: str = "sed-binning-spark",
+) -> bytes:
+    """A raw Vorbis-comment structure (no carrier framing)."""
+    v = vendor.encode("utf-8")
+    out = struct.pack("<I", len(v)) + v + struct.pack("<I", len(tags))
+    for k, val in tags:
+        entry = k.upper().encode("ascii") + b"=" + val.encode("utf-8")
+        out += struct.pack("<I", len(entry)) + entry
+    return out
+
+
+def add_flac_vorbis_comments(
+    flac: bytes, tags: list[tuple[str, str]],
+    vendor: str = "sed-binning-spark",
+) -> bytes:
+    """Splice a VORBIS_COMMENT metadata block into a native FLAC
+    stream right after STREAMINFO (whose last-block flag moves to the
+    new block when it was set)."""
+    if flac[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    size = int.from_bytes(flac[5:8], "big")
+    head_end = 8 + size
+    last = flac[4] & 0x80
+    block = encode_vorbis_comment_block(tags, vendor)
+    hdr = bytes([(0x80 if last else 0) | 4]) + len(block).to_bytes(3, "big")
+    return (flac[:4] + bytes([flac[4] & 0x7F]) + flac[5:head_end]
+            + hdr + block + flac[head_end:])
+
+
+def encode_mp4_tags_fixture(tags: list[tuple[bytes, str]]) -> bytes:
+    """A minimal tag-bearing MP4: ftyp + moov(mvhd + udta(meta(hdlr +
+    ilst))) with one UTF-8 ``data`` atom per ``(item_4cc, text)``."""
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    items = b""
+    for item, text in tags:
+        raw = text.encode("utf-8")
+        items += box(item, box(
+            b"data", (1).to_bytes(4, "big") + b"\x00" * 4 + raw))
+    meta = box(b"meta", b"\x00" * 4 + box(
+        b"hdlr", b"\x00" * 8 + b"mdir" + b"\x00" * 10,
+    ) + box(b"ilst", items))
+    mvhd = box(b"mvhd", b"\x00" * 4 + b"\x00" * 8
+               + (1000).to_bytes(4, "big") + b"\x00" * 84)
+    return (box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+            + box(b"moov", mvhd + box(b"udta", meta)))
+
+
+def add_riff_info(wav: bytes, tags: list[tuple[bytes, str]]) -> bytes:
+    """Append a LIST-INFO chunk to a WAV file (RIFF size fixed up)."""
+    if wav[:4] != b"RIFF" or wav[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    body = b"INFO"
+    for sid, text in tags:
+        raw = text.encode("utf-8") + b"\x00"
+        raw += b"\x00" * (len(raw) & 1)  # word-aligned
+        body += sid + struct.pack("<I", len(raw)) + raw
+    out = wav + b"LIST" + struct.pack("<I", len(body)) + body
+    return out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+
+
+def extract_media_tags(
+    df,
+    payload_column: str = "payload",
+    id_column: str = "media_id",
+):
+    """One row per embedded tag of each media payload — ``(media_id,
+    container, key, value)`` with the normalized lowercase key
+    vocabulary of :func:`parse_media_tags`. The metadata-mining
+    operator for A/V corpora: titles, artists, comments, and lyrics
+    are caption-grade text paired with the media.
+
+    Distribution shape: one ``mapInPandas`` stage, Arrow-batched,
+    partition-local, no shuffle, no driver collect — tag blocks are
+    header bytes, so per-payload work is independent of media size
+    except the Ogg page walk (CRC-verified, numpy-vectorized). A
+    payload that fails to parse degrades to ZERO rows (keeping the
+    batch alive); a recognized container without tags also yields no
+    rows — both are 'nothing mined here', and a pipeline that needs
+    the distinction should join back on the id column."""
+    import pandas as pd
+
+    from sed_binning_spark.pipeline.multimodal import _DECODE_ERRORS
+
+    schema = (f"{id_column} long, container string, "
+              f"key string, value string")
+
+    def _batches(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_column], pdf[payload_column]):
+                if payload is None:
+                    continue
+                try:
+                    got = parse_media_tags(bytes(payload))
+                except _DECODE_ERRORS:
+                    continue
+                rows.extend(
+                    (mid, got["container"], k, v)
+                    for k, v in got["tags"]
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_column, "container", "key", "value"],
+            )
+
+    return df.mapInPandas(_batches, schema=schema)

@@ -1,0 +1,387 @@
+"""Media tag extraction (pipeline.tags): the five public tag grammars
+— ID3v2.2/2.3/2.4 + ID3v1, Vorbis comments behind FLAC / Ogg Opus /
+Ogg Vorbis carriers, MP4 ilst, RIFF LIST-INFO — parsed from spec-built
+fixtures, plus the loud-refusal malformed paths and the Spark
+operator's per-payload degrade. No counterpart in the reference repo
+(photoemission binning, no media code)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from sed_binning_spark.pipeline.flac import encode_flac
+from sed_binning_spark.pipeline.multimodal import encode_audio_wav
+from sed_binning_spark.pipeline.ogg import encode_ogg_opus
+from sed_binning_spark.pipeline.tags import (
+    add_flac_vorbis_comments,
+    add_riff_info,
+    encode_id3v1,
+    encode_id3v2,
+    encode_mp4_tags_fixture,
+    encode_vorbis_comment_block,
+    extract_media_tags,
+    parse_id3v1,
+    parse_id3v2,
+    parse_media_tags,
+    parse_vorbis_comments,
+)
+
+
+# ---------------------------------------------------------------------------
+# ID3v2
+
+
+@pytest.mark.parametrize("version", [3, 4])
+def test_id3v2_text_frames_round_trip(version):
+    frames = [
+        ("TIT2", "Plain Title"),
+        ("TPE1", "Ärtïst Ünïon"),  # forces utf-16 (v2.3) / utf-8 (v2.4)
+        ("TXXX:mood", "calm"),
+        ("COMM:note", "a tiny comment"),
+        ("USLT:l", "la la lyrics"),
+        ("TCON", "Electronic"),
+    ]
+    blob = encode_id3v2(frames, version=version)
+    tags, end = parse_id3v2(blob)
+    assert end == len(blob)
+    assert tags == [
+        ("title", "Plain Title"),
+        ("artist", "Ärtïst Ünïon"),
+        ("mood", "calm"),
+        ("comment", "a tiny comment"),
+        ("lyrics", "la la lyrics"),
+        ("genre", "Electronic"),
+    ]
+
+
+def test_id3v2_unknown_text_frame_keeps_lowercased_id():
+    blob = encode_id3v2([("TENC", "Encoder Person")], version=3)
+    assert parse_id3v2(blob)[0] == [("tenc", "Encoder Person")]
+
+
+def test_id3v23_global_unsync_round_trip():
+    # latin-1 0xFF bytes force real 0xFF 0x00 escapes in the tag body
+    blob = encode_id3v2([("TIT2", "ÿÿ title ÿ")], version=3, unsync=True)
+    assert blob[5] & 0x80
+    assert b"\xff\x00" in blob[10:]
+    assert parse_id3v2(blob)[0] == [("title", "ÿÿ title ÿ")]
+
+
+def test_id3v24_syncsafe_frame_sizes():
+    # a frame body longer than 127 bytes exercises multi-byte syncsafe
+    text = "x" * 300
+    blob = encode_id3v2([("TIT2", text)], version=4)
+    assert parse_id3v2(blob)[0] == [("title", text)]
+    # the frame size bytes must all have their top bit clear
+    assert all(b < 0x80 for b in blob[14:18])
+
+
+def test_id3v22_three_byte_frames():
+    body = b""
+    for fid, text in ((b"TT2", b"Old Title"), (b"TP1", b"Old Artist")):
+        fbody = b"\x00" + text  # latin-1
+        body += fid + len(fbody).to_bytes(3, "big") + fbody
+    blob = b"ID3\x02\x00\x00" + bytes(
+        [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+         (len(body) >> 7) & 0x7F, len(body) & 0x7F]) + body
+    assert parse_id3v2(blob)[0] == [
+        ("title", "Old Title"), ("artist", "Old Artist"),
+    ]
+
+
+def test_id3v23_compressed_frame_inflates():
+    raw = b"\x00" + b"compressed title"
+    comp = zlib.compress(raw)
+    fbody = len(raw).to_bytes(4, "big") + comp
+    frame = b"TIT2" + len(fbody).to_bytes(4, "big") + b"\x00\x80" + fbody
+    blob = b"ID3\x03\x00\x00" + bytes(
+        [0, 0, len(frame) >> 7, len(frame) & 0x7F]) + frame
+    assert parse_id3v2(blob)[0] == [("title", "compressed title")]
+
+
+def test_id3v24_per_frame_unsync_and_dli():
+    raw = b"\x00" + "ÿ title".encode("latin-1")
+    unsynced = raw.replace(b"\xff", b"\xff\x00")
+    body = (len(raw) >> 7).to_bytes(1, "big") + bytes([len(raw) & 0x7F])
+    fbody = b"\x00\x00" + body + unsynced  # 4-byte syncsafe DLI
+    frame = (b"TIT2" + bytes([0, 0, len(fbody) >> 7, len(fbody) & 0x7F])
+             + b"\x00\x03" + fbody)  # unsync + DLI flags
+    blob = b"ID3\x04\x00\x00" + bytes(
+        [0, 0, len(frame) >> 7, len(frame) & 0x7F]) + frame
+    assert parse_id3v2(blob)[0] == [("title", "ÿ title")]
+
+
+def test_id3v2_encrypted_frame_is_skipped():
+    fbody = b"\x00opaque"
+    frame = b"TIT2" + len(fbody).to_bytes(4, "big") + b"\x00\x40" + fbody
+    keep = b"TALB" + (5).to_bytes(4, "big") + b"\x00\x00" + b"\x00Yes!"
+    body = frame + keep
+    blob = b"ID3\x03\x00\x00" + bytes(
+        [0, 0, len(body) >> 7, len(body) & 0x7F]) + body
+    assert parse_id3v2(blob)[0] == [("album", "Yes!")]
+
+
+def test_id3v2_not_present_returns_empty():
+    assert parse_id3v2(b"\xff\xfbxxxx") == ([], 0)
+
+
+@pytest.mark.parametrize("blob,msg", [
+    (b"ID3\x03\x00\x00\x00\x00\x00\x80", "syncsafe"),
+    (b"ID3\x05\x00\x00\x00\x00\x00\x00", "not a published"),
+    (b"ID3\x03\x00\x00\x7f\x7f\x7f\x7f", "past the file end"),
+])
+def test_id3v2_malformed_raises(blob, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_id3v2(blob)
+
+
+def test_id3v2_frame_overrun_raises():
+    frame = b"TIT2" + (99).to_bytes(4, "big") + b"\x00\x00" + b"\x00hi"
+    blob = b"ID3\x03\x00\x00" + bytes(
+        [0, 0, len(frame) >> 7, len(frame) & 0x7F]) + frame
+    with pytest.raises(ValueError, match="past the tag"):
+        parse_id3v2(blob)
+
+
+def test_id3v2_bad_frame_id_raises():
+    frame = b"t!t2" + (3).to_bytes(4, "big") + b"\x00\x00" + b"\x00hi"
+    blob = b"ID3\x03\x00\x00" + bytes(
+        [0, 0, len(frame) >> 7, len(frame) & 0x7F]) + frame
+    with pytest.raises(ValueError, match="A-Z0-9"):
+        parse_id3v2(blob)
+
+
+def test_id3v2_bad_encoding_byte_raises():
+    frame = b"TIT2" + (3).to_bytes(4, "big") + b"\x00\x00" + b"\x09hi"
+    blob = b"ID3\x03\x00\x00" + bytes(
+        [0, 0, len(frame) >> 7, len(frame) & 0x7F]) + frame
+    with pytest.raises(ValueError, match="encoding 9"):
+        parse_id3v2(blob)
+
+
+# ---------------------------------------------------------------------------
+# ID3v1
+
+
+def test_id3v11_round_trip():
+    blk = encode_id3v1("A Title", "An Artist", "An Album", "1999",
+                       "short comment", track=7)
+    assert len(blk) == 128
+    assert parse_id3v1(b"\xff\xfb" + b"\x00" * 64 + blk) == [
+        ("title", "A Title"), ("artist", "An Artist"),
+        ("album", "An Album"), ("date", "1999"),
+        ("comment", "short comment"), ("track", "7"),
+    ]
+
+
+def test_id3v10_comment_uses_all_30_bytes():
+    blk = encode_id3v1("T", comment="c" * 30)
+    got = dict(parse_id3v1(blk))
+    assert got["comment"] == "c" * 30
+    assert "track" not in got
+
+
+def test_id3v1_absent_returns_empty():
+    assert parse_id3v1(b"\x00" * 200) == []
+
+
+def test_id3v1_field_overflow_raises():
+    with pytest.raises(ValueError, match="exceeds 30"):
+        encode_id3v1("x" * 31)
+
+
+# ---------------------------------------------------------------------------
+# Vorbis comments + carriers
+
+
+def test_vorbis_comment_round_trip():
+    pairs = [("title", "Sömé Títle"), ("artist", "Nobody Ensemble")]
+    blk = encode_vorbis_comment_block(pairs)
+    assert parse_vorbis_comments(blk) == pairs
+
+
+def test_vorbis_comment_framing_bit_enforced():
+    blk = encode_vorbis_comment_block([("title", "x")])
+    with pytest.raises(ValueError, match="framing bit"):
+        parse_vorbis_comments(blk, framing=True)
+    assert parse_vorbis_comments(blk + b"\x01", framing=True) == [
+        ("title", "x"),
+    ]
+
+
+@pytest.mark.parametrize("mutate,msg", [
+    (lambda b: b[:6], "too short"),
+    (lambda b: struct.pack("<I", 1 << 30) + b[4:], "vendor string overruns"),
+    (lambda b: b[:-3], "entry overruns"),
+])
+def test_vorbis_comment_malformed_raises(mutate, msg):
+    blk = encode_vorbis_comment_block([("title", "hello")])
+    with pytest.raises(ValueError, match=msg):
+        parse_vorbis_comments(mutate(blk))
+
+
+def test_vorbis_comment_entry_without_equals_raises():
+    entry = b"NOEQUALS"
+    blk = (struct.pack("<I", 0) + struct.pack("<I", 1)
+           + struct.pack("<I", len(entry)) + entry)
+    with pytest.raises(ValueError, match="KEY=value"):
+        parse_vorbis_comments(blk)
+
+
+def test_flac_vorbis_comments():
+    flac = encode_flac(
+        np.arange(0, 4096, dtype=np.int16).reshape(-1, 1), 8000,
+    )
+    pairs = [("title", "Flac Träck"), ("artist", "Nobody")]
+    got = parse_media_tags(add_flac_vorbis_comments(flac, pairs))
+    assert got == {"container": "flac", "tags": pairs}
+
+
+def test_flac_without_comment_block_returns_empty():
+    flac = encode_flac(np.zeros((4096, 1), np.int16), 8000)
+    assert parse_media_tags(flac) == {"container": "flac", "tags": []}
+
+
+def test_ogg_opus_tags():
+    pairs = [("title", "Opus Träck"), ("comment", "caption text")]
+    ogg = encode_ogg_opus(
+        [b"\x00" * 10] * 3,
+        comment_payload=encode_vorbis_comment_block(pairs),
+    )
+    assert parse_media_tags(ogg) == {"container": "ogg", "tags": pairs}
+
+
+def test_ogg_opus_default_fixture_has_no_tags():
+    ogg = encode_ogg_opus([b"\x00" * 10] * 2)
+    assert parse_media_tags(ogg) == {"container": "ogg", "tags": []}
+
+
+def test_ogg_comment_packet_spanning_pages():
+    # a comment block bigger than one 255-lace segment run spans lacing
+    pairs = [("lyrics", "word " * 300)]
+    ogg = encode_ogg_opus(
+        [b"\x00" * 10] * 2,
+        comment_payload=encode_vorbis_comment_block(pairs),
+    )
+    got = parse_media_tags(ogg)
+    assert got["tags"] == [("lyrics", "word " * 300)]
+
+
+# ---------------------------------------------------------------------------
+# MP4 ilst + RIFF INFO
+
+
+def test_mp4_ilst_tags():
+    fixture = encode_mp4_tags_fixture([
+        (b"\xa9nam", "Vid Title"), (b"\xa9ART", "Vid Artist"),
+        (b"\xa9cmt", "caption here"), (b"\xa9lyr", "all the words"),
+    ])
+    assert parse_media_tags(fixture) == {"container": "mp4", "tags": [
+        ("title", "Vid Title"), ("artist", "Vid Artist"),
+        ("comment", "caption here"), ("lyrics", "all the words"),
+    ]}
+
+
+def test_mp4_without_udta_returns_empty():
+    from sed_binning_spark.pipeline.mp4 import encode_mp4_mjpeg
+
+    blob = encode_mp4_mjpeg(
+        [b"\xff\xd8\xff\xdb fake"], delays_ms=[40], width=8, height=8,
+    )
+    assert parse_media_tags(blob) == {"container": "mp4", "tags": []}
+
+
+def test_riff_info_tags():
+    wav = encode_audio_wav(np.zeros((64, 1), np.int16), 8000)
+    tagged = add_riff_info(wav, [
+        (b"INAM", "Wav Name"), (b"ICMT", "wav comment"),
+        (b"ICRD", "2024-01-02"),
+    ])
+    assert parse_media_tags(tagged) == {"container": "wav", "tags": [
+        ("title", "Wav Name"), ("comment", "wav comment"),
+        ("date", "2024-01-02"),
+    ]}
+    # the RIFF size field must still cover the appended LIST chunk
+    assert struct.unpack_from("<I", tagged, 4)[0] == len(tagged) - 8
+
+
+def test_riff_without_info_returns_empty():
+    wav = encode_audio_wav(np.zeros((64, 1), np.int16), 8000)
+    assert parse_media_tags(wav) == {"container": "wav", "tags": []}
+
+
+def test_riff_truncated_chunk_raises():
+    wav = encode_audio_wav(np.zeros((64, 1), np.int16), 8000)
+    tagged = add_riff_info(wav, [(b"INAM", "x")])
+    with pytest.raises(ValueError, match="extends past"):
+        parse_media_tags(tagged[:-3])
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+
+
+def test_mp3_prefers_id3v2_over_v1():
+    from sed_binning_spark.pipeline.mp3 import encode_mp3_frames
+
+    audio = encode_mp3_frames(2)
+    both = (encode_id3v2([("TIT2", "New")], version=3) + audio
+            + encode_id3v1("Old"))
+    assert parse_media_tags(both) == {
+        "container": "mp3", "tags": [("title", "New")],
+    }
+
+
+def test_mp3_falls_back_to_id3v1():
+    from sed_binning_spark.pipeline.mp3 import encode_mp3_frames
+
+    blob = encode_mp3_frames(2) + encode_id3v1("Only V1", "Someone")
+    assert parse_media_tags(blob) == {"container": "mp3", "tags": [
+        ("title", "Only V1"), ("artist", "Someone"),
+    ]}
+
+
+def test_adts_with_id3_reports_aac_container():
+    from sed_binning_spark.pipeline.aac import encode_adts_frames
+
+    blob = encode_adts_frames([64, 64]) + encode_id3v1("Aac Title")
+    got = parse_media_tags(blob)
+    assert got["container"] == "aac"
+    assert got["tags"] == [("title", "Aac Title")]
+
+
+def test_unrecognized_payload_refuses():
+    with pytest.raises(ValueError, match="no recognized tag container"):
+        parse_media_tags(b"\x00\x01\x02\x03 not media")
+
+
+# ---------------------------------------------------------------------------
+# Spark operator
+
+
+def test_extract_media_tags_operator(spark):
+    from sed_binning_spark.pipeline.mp3 import encode_mp3_frames
+
+    payloads = [
+        (0, bytearray(encode_id3v2(
+            [("TIT2", "Song A"), ("TPE1", "Artist A")], version=3,
+        ) + encode_mp3_frames(1))),
+        (1, bytearray(encode_mp4_tags_fixture([(b"\xa9nam", "Vid B")]))),
+        (2, bytearray(b"garbage that parses nowhere")),
+        (3, None),
+        (4, bytearray(encode_audio_wav(np.zeros((8, 1), np.int16), 8000))),
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    rows = sorted(
+        extract_media_tags(df).collect(),
+        key=lambda r: (r.media_id, r.key),
+    )
+    assert [tuple(r) for r in rows] == [
+        (0, "mp3", "artist", "Artist A"),
+        (0, "mp3", "title", "Song A"),
+        (1, "mp4", "title", "Vid B"),
+    ]
