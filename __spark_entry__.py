@@ -2594,6 +2594,145 @@ def _webp_fixture():
     return _WEBP_FIXTURES
 
 
+_TAGS_FIXTURES = None
+
+
+def _tags_fixture():
+    """Plan-time tag-bearing media fixtures for the multimodal_features
+    slot (round 14): eight payloads, one per tag grammar/variant —
+    ID3v2.3 (latin-1 + UTF-16 + TXXX/COMM/USLT), ID3v2.4 (UTF-8),
+    trailing ID3v1.1, FLAC VORBIS_COMMENT, MP4 ilst, RIFF LIST-INFO,
+    Ogg Opus OpusTags, and ID3v2.3 with global unsynchronisation
+    (0xFF-laden text). The oracle's expected ``(container, key,
+    value)`` rows are declared here from the ENCODER INPUTS — the
+    engine must really walk the tag structures to reproduce them; the
+    builder and parser are independent inverse implementations.
+    Returns (blobs, expected) with ``expected[i]`` the tag rows of
+    ``blobs[i]``."""
+    global _TAGS_FIXTURES
+    if _TAGS_FIXTURES is None:
+        from sed_binning_spark.pipeline.flac import encode_flac
+        from sed_binning_spark.pipeline.mp3 import encode_mp3_frames
+        from sed_binning_spark.pipeline.multimodal import encode_audio_wav
+        from sed_binning_spark.pipeline.ogg import encode_ogg_opus
+        from sed_binning_spark.pipeline.tags import (
+            add_flac_vorbis_comments,
+            add_riff_info,
+            encode_id3v1,
+            encode_id3v2,
+            encode_mp4_tags_fixture,
+            encode_vorbis_comment_block,
+        )
+
+        mp3_audio = encode_mp3_frames(2)
+        blobs, expected = [], []
+
+        # v0 — ID3v2.3: latin-1, UTF-16 (non-latin-1 artist), TXXX,
+        # COMM, USLT, and a mapped genre frame
+        blobs.append(encode_id3v2([
+            ("TIT2", "Spark Title"), ("TPE1", "Ärtïst Ünïon"),
+            ("TXXX:mood", "calm"), ("COMM:note", "a tiny comment"),
+            ("USLT:l", "la la lyrics"), ("TCON", "Electronic"),
+        ], version=3) + mp3_audio)
+        expected.append([
+            ("mp3", "title", "Spark Title"),
+            ("mp3", "artist", "Ärtïst Ünïon"),
+            ("mp3", "mood", "calm"),
+            ("mp3", "comment", "a tiny comment"),
+            ("mp3", "lyrics", "la la lyrics"),
+            ("mp3", "genre", "Electronic"),
+        ])
+
+        # v1 — ID3v2.4: UTF-8 text, syncsafe frame sizes, TDRC date
+        blobs.append(encode_id3v2([
+            ("TIT2", "Tïtle Twénty-Fôur"), ("TDRC", "2024-05-01"),
+            ("TXXX:source", "crawl"),
+        ], version=4) + mp3_audio)
+        expected.append([
+            ("mp3", "title", "Tïtle Twénty-Fôur"),
+            ("mp3", "date", "2024-05-01"),
+            ("mp3", "source", "crawl"),
+        ])
+
+        # v2 — bare MPEG audio + trailing ID3v1.1 block
+        blobs.append(mp3_audio + encode_id3v1(
+            "Legacy Title", "Legacy Artist", "Legacy Album", "1999",
+            "v1 comment", track=7,
+        ))
+        expected.append([
+            ("mp3", "title", "Legacy Title"),
+            ("mp3", "artist", "Legacy Artist"),
+            ("mp3", "album", "Legacy Album"),
+            ("mp3", "date", "1999"),
+            ("mp3", "comment", "v1 comment"),
+            ("mp3", "track", "7"),
+        ])
+
+        # v3 — FLAC VORBIS_COMMENT metadata block (RFC 9639 §8.6)
+        flac = encode_flac(
+            np.arange(0, 4096, dtype=np.int16).reshape(-1, 1), 8000,
+        )
+        blobs.append(add_flac_vorbis_comments(flac, [
+            ("title", "Flac Träck"), ("artist", "Nobody Ensemble"),
+            ("album", "Lossless Hours"),
+        ]))
+        expected.append([
+            ("flac", "title", "Flac Träck"),
+            ("flac", "artist", "Nobody Ensemble"),
+            ("flac", "album", "Lossless Hours"),
+        ])
+
+        # v4 — MP4 ilst (©nam family + caption-grade ©cmt/©lyr)
+        blobs.append(encode_mp4_tags_fixture([
+            (b"\xa9nam", "Vid Title"), (b"\xa9ART", "Vid Artist"),
+            (b"\xa9cmt", "caption here"), (b"\xa9lyr", "all the words"),
+        ]))
+        expected.append([
+            ("mp4", "title", "Vid Title"),
+            ("mp4", "artist", "Vid Artist"),
+            ("mp4", "comment", "caption here"),
+            ("mp4", "lyrics", "all the words"),
+        ])
+
+        # v5 — RIFF LIST-INFO on a WAV file
+        wav = encode_audio_wav(np.zeros((64, 1), np.int16), 8000)
+        blobs.append(add_riff_info(wav, [
+            (b"INAM", "Wav Name"), (b"IART", "Wav Artist"),
+            (b"ICMT", "wav comment"), (b"ICRD", "2024-01-02"),
+        ]))
+        expected.append([
+            ("wav", "title", "Wav Name"),
+            ("wav", "artist", "Wav Artist"),
+            ("wav", "comment", "wav comment"),
+            ("wav", "date", "2024-01-02"),
+        ])
+
+        # v6 — Ogg Opus OpusTags packet (RFC 7845 §5.2)
+        blobs.append(encode_ogg_opus(
+            [b"\x00" * 10] * 3,
+            comment_payload=encode_vorbis_comment_block([
+                ("title", "Opus Träck"), ("comment", "caption text"),
+            ]),
+        ))
+        expected.append([
+            ("ogg", "title", "Opus Träck"),
+            ("ogg", "comment", "caption text"),
+        ])
+
+        # v7 — ID3v2.3 global unsynchronisation: latin-1 0xFF bytes
+        # force real FF 00 escapes the parser must reverse
+        blobs.append(encode_id3v2([
+            ("TIT2", "ÿÿ title ÿ"), ("TALB", "ÿ album"),
+        ], version=3, unsync=True) + mp3_audio)
+        expected.append([
+            ("mp3", "title", "ÿÿ title ÿ"),
+            ("mp3", "album", "ÿ album"),
+        ])
+
+        _TAGS_FIXTURES = (blobs, expected)
+    return _TAGS_FIXTURES
+
+
 def _q_multimodal(spark, sf):
     """REAL media decode as the graded path: ids % 4 == 0 documents become
     valid binary PPM (P6) payloads; ids % 4 == 2 valid GIF89a (a
@@ -2663,9 +2802,36 @@ def _q_multimodal(spark, sf):
         lambda v: F.round(v.cast("double") * F.lit(1e6), 0)
         .cast("bigint").cast("string"),
     )
-    return feats.select(
+    base = feats.select(
         "media_id", "n_bytes", F.concat_ws(",", as_int).alias("feat_csv"),
     )
+    # round 14: media TAG extraction (pipeline.tags) as extra rows on
+    # the DISJOINT doc_id % 5 == 2 subset (j12 holds % 5 == 0, webp
+    # % 5 == 1), one row per embedded tag at media_id = -doc_id-1 —
+    # eight tag-grammar variants keyed by doc_id % 40, the real
+    # ID3/Vorbis/ilst/INFO walks inside extract_media_tags' one
+    # mapInPandas stage; the oracle carries the ENCODER-INPUT tag
+    # pairs as VALUES literals (see _tags_fixture)
+    from sed_binning_spark.pipeline.tags import extract_media_tags
+
+    tag_blobs, _tag_expected = _tags_fixture()
+    variants = [2, 7, 12, 17, 22, 27, 32, 37]
+    col = F.when(did % 40 == variants[0], F.lit(bytearray(tag_blobs[0])))
+    for m, blob in zip(variants[1:], tag_blobs[1:]):
+        col = col.when(did % 40 == m, F.lit(bytearray(blob)))
+    tag_media = docs.where(did % 5 == 2).select(
+        (-did - 1).cast("long").alias("media_id"),
+        col.alias("payload"),
+    )
+    tag_leg = extract_media_tags(tag_media).select(
+        "media_id",
+        F.octet_length("value").cast("bigint").alias("n_bytes"),
+        F.concat(
+            F.col("container"), F.lit(":"), F.col("key"),
+            F.lit("="), F.col("value"),
+        ).alias("feat_csv"),
+    )
+    return base.unionByName(tag_leg)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4111,6 +4277,11 @@ def _multimodal_oracle_sql(width: int = 4, height: int = 2) -> str:
         # % 5 = 1 subset): the engine parses real VP8/VP8L/VP8X
         # headers; dims + byte stats frozen at plan time
         + _webp_oracle_sql()
+        # media-tag rows (round 14, % 5 = 2 subset): one row per
+        # embedded tag, the expected pairs declared from the ENCODER
+        # INPUTS in _tags_fixture — the engine must really walk the
+        # ID3/Vorbis/ilst/INFO structures to match
+        + _tags_oracle_sql()
     )
 
 
@@ -4123,6 +4294,28 @@ def _webp_oracle_sql() -> str:
         f"CASE doc_id % 3 WHEN 0 THEN '{wp_feats[0]}' "
         f"WHEN 1 THEN '{wp_feats[1]}' ELSE '{wp_feats[2]}' END "
         f"FROM documents WHERE doc_id % 5 = 1"
+    )
+
+
+def _tags_oracle_sql() -> str:
+    """One VALUES row per (variant, expected tag): the tag pairs the
+    fixtures were BUILT from (not parser output), joined onto the
+    doc_id % 5 = 2 subset by the doc_id % 40 variant key. n_bytes is
+    the UTF-8 octet length of the value (Spark octet_length twin);
+    feat_csv is container:key=value."""
+    _, expected = _tags_fixture()
+    variants = [2, 7, 12, 17, 22, 27, 32, 37]
+    rows = []
+    for m, tag_rows in zip(variants, expected):
+        for container, key, value in tag_rows:
+            fc = f"{container}:{key}={value}".replace("'", "''")
+            rows.append(f"({m}, {len(value.encode('utf-8'))}, '{fc}')")
+    values = ", ".join(rows)
+    return (
+        f" UNION ALL SELECT CAST(-d.doc_id - 1 AS BIGINT), "
+        f"CAST(t.nb AS BIGINT), t.fc "
+        f"FROM documents d JOIN (VALUES {values}) AS t(m, nb, fc) "
+        f"ON d.doc_id % 40 = t.m WHERE d.doc_id % 5 = 2"
     )
 
 
