@@ -2595,6 +2595,10 @@ def _webp_fixture():
 
 
 _TAGS_FIXTURES = None
+# doc_id % 80 keys of the tag-fixture variants (all ≡ 2 mod 5 so the
+# key is reachable from the doc_id % 5 == 2 subset; 500 driver docs
+# cover every class)
+_TAG_VARIANT_KEYS = [2, 7, 12, 17, 22, 27, 32, 37, 42, 47, 52, 57, 62]
 
 
 def _tags_fixture():
@@ -2729,6 +2733,95 @@ def _tags_fixture():
             ("mp3", "album", "ÿ album"),
         ])
 
+        # image grammars (round 14, same leg): Exif IFD walks, PNG
+        # text chunks, GIF comment extensions
+        from sed_binning_spark.pipeline.jpeg import encode_image_jpeg
+        from sed_binning_spark.pipeline.multimodal import (
+            encode_image_gif,
+            encode_image_png,
+            encode_webp_header,
+        )
+        from sed_binning_spark.pipeline.tags import (
+            add_gif_comment,
+            add_jpeg_metadata,
+            add_png_text,
+            add_webp_exif,
+            encode_tiff_exif,
+            user_comment,
+        )
+
+        jpeg_base = encode_image_jpeg(np.full((16, 16), 128, np.uint8))
+
+        # v8 — JPEG APP1-Exif (little-endian IFD0) + COM comment
+        blobs.append(add_jpeg_metadata(
+            jpeg_base,
+            exif=encode_tiff_exif([
+                (0x010F, "CamCo"), (0x0110, "Model X-5"),
+                (0x010E, "a crawled photo"), (0x0112, 6),
+            ]),
+            comment="marker comment",
+        ))
+        expected.append([
+            ("jpeg", "description", "a crawled photo"),
+            ("jpeg", "make", "CamCo"),
+            ("jpeg", "model", "Model X-5"),
+            ("jpeg", "orientation", "6"),
+            ("jpeg", "comment", "marker comment"),
+        ])
+
+        # v9 — PNG textual chunks, all three grammars (+ deflated iTXt)
+        png_base = encode_image_png(np.zeros((4, 4, 3), np.uint8))
+        blobs.append(add_png_text(png_base, [
+            ("Title", "Png Title", "tEXt"),
+            ("Description", "descriptive words", "zTXt"),
+            ("Comment", "ünïcode cómment", "iTXt"),
+            ("Software", "sbs 1.0", "iTXt-z"),
+        ]))
+        expected.append([
+            ("png", "title", "Png Title"),
+            ("png", "description", "descriptive words"),
+            ("png", "comment", "ünïcode cómment"),
+            ("png", "encoder", "sbs 1.0"),
+        ])
+
+        # v10 — GIF comment extension spanning two 255-byte sub-blocks
+        gif_base = encode_image_gif(np.zeros((4, 4, 3), np.uint8))
+        gif_text = "gif caption words " * 16  # 288 bytes
+        blobs.append(add_gif_comment(gif_base, gif_text))
+        expected.append([("gif", "comment", gif_text)])
+
+        # v11 — WebP VP8X EXIF chunk with an Exif sub-IFD (UNICODE
+        # UserComment + DateTimeOriginal)
+        blobs.append(add_webp_exif(
+            encode_webp_header(640, 480, variant="vp8x"),
+            b"Exif\x00\x00" + encode_tiff_exif(
+                [(0x010F, "WebCam"), (0x0131, "webenc 2")],
+                exif=[(0x9003, "2024:06:07 08:09:10"),
+                      (0x9286, user_comment("üser nötes", unicode=True))],
+            ),
+        ))
+        expected.append([
+            ("webp", "make", "WebCam"),
+            ("webp", "encoder", "webenc 2"),
+            ("webp", "date_original", "2024:06:07 08:09:10"),
+            ("webp", "comment", "üser nötes"),
+        ])
+
+        # v12 — big-endian (MM) Exif: the byte-order dispatch
+        blobs.append(add_jpeg_metadata(
+            jpeg_base,
+            exif=encode_tiff_exif(
+                [(0x013B, "BE Shooter"), (0x8298, "(c) somebody")],
+                exif=[(0x9003, "2023:12:31 23:59:59")],
+                little=False,
+            ),
+        ))
+        expected.append([
+            ("jpeg", "artist", "BE Shooter"),
+            ("jpeg", "copyright", "(c) somebody"),
+            ("jpeg", "date_original", "2023:12:31 23:59:59"),
+        ])
+
         _TAGS_FIXTURES = (blobs, expected)
     return _TAGS_FIXTURES
 
@@ -2815,10 +2908,10 @@ def _q_multimodal(spark, sf):
     from sed_binning_spark.pipeline.tags import extract_media_tags
 
     tag_blobs, _tag_expected = _tags_fixture()
-    variants = [2, 7, 12, 17, 22, 27, 32, 37]
-    col = F.when(did % 40 == variants[0], F.lit(bytearray(tag_blobs[0])))
+    variants = _TAG_VARIANT_KEYS
+    col = F.when(did % 80 == variants[0], F.lit(bytearray(tag_blobs[0])))
     for m, blob in zip(variants[1:], tag_blobs[1:]):
-        col = col.when(did % 40 == m, F.lit(bytearray(blob)))
+        col = col.when(did % 80 == m, F.lit(bytearray(blob)))
     tag_media = docs.where(did % 5 == 2).select(
         (-did - 1).cast("long").alias("media_id"),
         col.alias("payload"),
@@ -4304,9 +4397,8 @@ def _tags_oracle_sql() -> str:
     the UTF-8 octet length of the value (Spark octet_length twin);
     feat_csv is container:key=value."""
     _, expected = _tags_fixture()
-    variants = [2, 7, 12, 17, 22, 27, 32, 37]
     rows = []
-    for m, tag_rows in zip(variants, expected):
+    for m, tag_rows in zip(_TAG_VARIANT_KEYS, expected):
         for container, key, value in tag_rows:
             fc = f"{container}:{key}={value}".replace("'", "''")
             rows.append(f"({m}, {len(value.encode('utf-8'))}, '{fc}')")
@@ -4315,7 +4407,7 @@ def _tags_oracle_sql() -> str:
         f" UNION ALL SELECT CAST(-d.doc_id - 1 AS BIGINT), "
         f"CAST(t.nb AS BIGINT), t.fc "
         f"FROM documents d JOIN (VALUES {values}) AS t(m, nb, fc) "
-        f"ON d.doc_id % 40 = t.m WHERE d.doc_id % 5 = 2"
+        f"ON d.doc_id % 80 = t.m WHERE d.doc_id % 5 = 2"
     )
 
 

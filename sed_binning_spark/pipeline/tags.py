@@ -23,7 +23,16 @@ public specs:
   path): UTF-8 ``data`` atoms (type indicator 1) under the well-known
   ``©nam``-family keys; binary atoms (artwork, ``trkn``) are skipped;
 - **RIFF LIST-INFO** chunks in WAV files (the Multimedia Programming
-  Interface spec): ``INAM``-family ASCII values.
+  Interface spec): ``INAM``-family ASCII values;
+- **Exif** (TIFF 6.0 IFDs per Exif 2.x) behind JPEG ``APP1`` segments
+  and WebP ``EXIF`` chunks — Make/Model/DateTime/ImageDescription/
+  Artist/Copyright/Software/Orientation plus the Exif sub-IFD's
+  DateTimeOriginal and UserComment (charset prefix honored) — with
+  JPEG ``COM`` comment segments alongside;
+- **PNG textual chunks** (W3C PNG §11.3): ``tEXt``, ``zTXt``
+  (deflate), and ``iTXt`` (UTF-8, optionally deflate), CRC-verified;
+- **GIF comment extensions** (GIF89a §24), image data skipped by
+  sub-block lengths without LZW decode.
 
 Keys are normalized to one lowercase vocabulary (``title``,
 ``artist``, ``album``, ``date``, ``genre``, ``comment``, ``lyrics``,
@@ -468,6 +477,249 @@ def _riff_tags(data: bytes) -> list[tuple[str, str]]:
     return tags
 
 
+# ---------------------------------------------------------------------------
+# image containers: Exif (TIFF 6.0 IFDs) in JPEG APP1 / WebP EXIF,
+# JPEG COM comments, PNG tEXt/zTXt/iTXt, GIF comment extensions
+
+_EXIF_KEYMAP = {
+    0x010E: "description", 0x010F: "make", 0x0110: "model",
+    0x0112: "orientation", 0x0131: "encoder", 0x0132: "date",
+    0x013B: "artist", 0x8298: "copyright",
+}
+_EXIF_SUB_KEYMAP = {0x9003: "date_original", 0x9286: "comment"}
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+_PNG_KEYMAP = {
+    "title": "title", "author": "artist", "description": "description",
+    "comment": "comment", "copyright": "copyright",
+    "software": "encoder", "creation time": "date", "source": "source",
+}
+
+
+def parse_tiff_exif(data: bytes) -> list[tuple[str, str]]:
+    """Tag pairs of a TIFF/Exif blob (TIFF 6.0 + Exif 2.x): IFD0's
+    text-bearing fields plus the Exif sub-IFD (0x8769) ones —
+    DateTimeOriginal and UserComment (charset prefix honored). ASCII
+    fields decode as latin-1 (byte-preserving; crawled Exif routinely
+    lies about its encoding); SHORT/LONG scalars (orientation) render
+    as decimal strings; structural overruns raise ValueError."""
+    if data[:6] == b"Exif\x00\x00":  # the APP1/WebP chunk prefix
+        data = data[6:]
+    if data[:4] == b"II*\x00":
+        en = "<"
+    elif data[:4] == b"MM\x00*":
+        en = ">"
+    else:
+        raise ValueError("Exif payload lacks the TIFF II*/MM* header")
+    n = len(data)
+
+    def _value(typ: int, cnt: int, at: int) -> bytes:
+        size = _TIFF_TYPE_SIZES[typ] * cnt
+        if size <= 4:
+            return data[at : at + size]
+        off = struct.unpack_from(en + "I", data, at)[0]
+        if off + size > n:
+            raise ValueError("TIFF value extends past the file")
+        return data[off : off + size]
+
+    def _walk(off: int, keymap: dict) -> tuple[list, int | None]:
+        if off + 2 > n:
+            raise ValueError("TIFF IFD offset past the file")
+        cnt = struct.unpack_from(en + "H", data, off)[0]
+        if off + 2 + 12 * cnt + 4 > n:
+            raise ValueError("TIFF IFD entry table extends past the file")
+        got, sub = [], None
+        for i in range(cnt):
+            at = off + 2 + 12 * i
+            tag, typ, vc = struct.unpack_from(en + "HHI", data, at)
+            if typ not in _TIFF_TYPE_SIZES:
+                continue  # valid TIFF we don't mine text from
+            if tag == 0x8769 and typ == 4:
+                sub = struct.unpack_from(en + "I", data, at + 8)[0]
+                continue
+            key = keymap.get(tag)
+            if key is None:
+                continue
+            raw = _value(typ, vc, at + 8)
+            if typ == 2:
+                text = raw.split(b"\x00")[0].decode("latin-1").strip()
+            elif typ in (3, 4):
+                fmt = en + ("H" if typ == 3 else "I")
+                text = str(struct.unpack_from(fmt, raw, 0)[0])
+            elif typ == 7 and tag == 0x9286:
+                charset, body = raw[:8], raw[8:]
+                if charset == b"ASCII\x00\x00\x00":
+                    text = body.decode("latin-1").rstrip("\x00 ")
+                elif charset == b"UNICODE\x00":
+                    text = body.decode(
+                        "utf-16-le" if en == "<" else "utf-16-be",
+                    ).rstrip("\x00")
+                else:
+                    text = body.decode("latin-1").rstrip("\x00 ")
+            else:
+                continue
+            if text:
+                got.append((key, text))
+        return got, sub
+
+    ifd0 = struct.unpack_from(en + "I", data, 4)[0]
+    tags, sub = _walk(ifd0, _EXIF_KEYMAP)
+    if sub is not None:
+        more, _ = _walk(sub, _EXIF_SUB_KEYMAP)
+        tags += more
+    return tags
+
+
+def _jpeg_tags(data: bytes) -> list[tuple[str, str]]:
+    """APP1-Exif + COM tags of a JPEG stream: the marker walk stops at
+    SOS (metadata segments precede entropy-coded data by spec)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tags: list[tuple[str, str]] = []
+    pos, n = 2, len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker walk lost sync")
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS — no metadata past here
+            break
+        seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+        if seg_len < 2 or pos + 2 + seg_len > n:
+            raise ValueError("JPEG segment extends past the file")
+        body = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            tags += parse_tiff_exif(body[6:])
+        elif marker == 0xFE:  # COM
+            try:
+                text = body.decode("utf-8")
+            except UnicodeDecodeError:
+                text = body.decode("latin-1")
+            if text:
+                tags.append(("comment", text))
+        pos += 2 + seg_len
+    return tags
+
+
+def _png_tags(data: bytes) -> list[tuple[str, str]]:
+    """tEXt / zTXt / iTXt textual chunks of a PNG stream (W3C PNG §11.3),
+    chunk CRCs verified."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream")
+    tags: list[tuple[str, str]] = []
+    pos, n = 8, len(data)
+    while pos + 8 <= n:
+        size, ctype = struct.unpack_from(">I4s", data, pos)
+        end = pos + 8 + size
+        if end + 4 > n:
+            raise ValueError(f"PNG chunk {ctype!r} extends past the file")
+        body = data[pos + 8 : end]
+        crc = struct.unpack_from(">I", data, end)[0]
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"PNG chunk {ctype!r} fails its CRC")
+        if ctype == b"tEXt":
+            key, _, val = body.partition(b"\x00")
+            tags.append((_png_key(key), val.decode("latin-1")))
+        elif ctype == b"zTXt":
+            key, _, rest = body.partition(b"\x00")
+            if not rest or rest[0] != 0:
+                raise ValueError("zTXt compression method is not deflate")
+            tags.append((
+                _png_key(key), zlib.decompress(rest[1:]).decode("latin-1"),
+            ))
+        elif ctype == b"iTXt":
+            key, _, rest = body.partition(b"\x00")
+            if len(rest) < 2:
+                raise ValueError("iTXt chunk truncated before its flags")
+            compressed, method = rest[0], rest[1]
+            rest = rest[2:]
+            _lang, _, rest = rest.partition(b"\x00")
+            _tkey, _, raw = rest.partition(b"\x00")
+            if compressed:
+                if method != 0:
+                    raise ValueError(
+                        "iTXt compression method is not deflate",
+                    )
+                raw = zlib.decompress(raw)
+            tags.append((_png_key(key), raw.decode("utf-8")))
+        elif ctype == b"IEND":
+            break
+        pos = end + 4
+    return tags
+
+
+def _png_key(raw: bytes) -> str:
+    key = raw.decode("latin-1")
+    return _PNG_KEYMAP.get(key.lower(), key.lower())
+
+
+def _gif_tags(data: bytes) -> list[tuple[str, str]]:
+    """Comment-extension text of a GIF stream (GIF89a §24): the block
+    walk skips image data by its sub-block lengths, no LZW decode."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    if len(data) < 13:
+        raise ValueError("GIF truncated inside its logical screen")
+    flags = data[10]
+    pos = 13 + (3 * (2 << (flags & 0x07)) if flags & 0x80 else 0)
+    n = len(data)
+    tags: list[tuple[str, str]] = []
+
+    def _skip_subblocks(at: int) -> tuple[bytes, int]:
+        chunks = []
+        while True:
+            if at >= n:
+                raise ValueError("GIF sub-blocks run past the file")
+            ln = data[at]
+            if ln == 0:
+                return b"".join(chunks), at + 1
+            chunks.append(data[at + 1 : at + 1 + ln])
+            if at + 1 + ln > n:
+                raise ValueError("GIF sub-block extends past the file")
+            at += 1 + ln
+
+    while pos < n:
+        blk = data[pos]
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x21:  # extension
+            if pos + 2 > n:
+                raise ValueError("GIF extension truncated")
+            label = data[pos + 1]
+            body, pos = _skip_subblocks(pos + 2)
+            if label == 0xFE and body:
+                tags.append(("comment", body.decode("latin-1")))
+        elif blk == 0x2C:  # image descriptor
+            if pos + 10 > n:
+                raise ValueError("GIF image descriptor truncated")
+            iflags = data[pos + 9]
+            pos += 10 + (3 * (2 << (iflags & 0x07)) if iflags & 0x80
+                         else 0)
+            if pos >= n:
+                raise ValueError("GIF image truncated before its LZW "
+                                 "code size")
+            _, pos = _skip_subblocks(pos + 1)
+        else:
+            raise ValueError(f"GIF block type 0x{blk:02x} is not defined")
+    return tags
+
+
+def _webp_tags(data: bytes) -> list[tuple[str, str]]:
+    """Exif tags of a WebP container: the RIFF chunk walk finds the
+    ``EXIF`` chunk (WebP container spec; VP8X extended files)."""
+    pos, n = 12, len(data)
+    while pos + 8 <= n:
+        cc, size = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"WebP chunk {cc!r} extends past the file")
+        if cc == b"EXIF":
+            return parse_tiff_exif(body)
+        pos += 8 + size + (size & 1)
+    return []
+
+
 def parse_media_tags(data: bytes) -> dict:
     """``{"container": str, "tags": [(key, value), ...]}`` of a media
     payload, dispatched on its magic — the five tag grammars in the
@@ -482,7 +734,15 @@ def parse_media_tags(data: bytes) -> dict:
     if len(data) >= 12 and data[4:8] == b"ftyp":
         return {"container": "mp4", "tags": _mp4_tags(data)}
     if data[:4] == b"RIFF":
+        if data[8:12] == b"WEBP":
+            return {"container": "webp", "tags": _webp_tags(data)}
         return {"container": "wav", "tags": _riff_tags(data)}
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return {"container": "png", "tags": _png_tags(data)}
+    if data[:2] == b"\xff\xd8":
+        return {"container": "jpeg", "tags": _jpeg_tags(data)}
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return {"container": "gif", "tags": _gif_tags(data)}
     from sed_binning_spark.pipeline.aac import looks_like_adts
 
     is_adts = looks_like_adts(data)
@@ -644,6 +904,159 @@ def add_riff_info(wav: bytes, tags: list[tuple[bytes, str]]) -> bytes:
         body += sid + struct.pack("<I", len(raw)) + raw
     out = wav + b"LIST" + struct.pack("<I", len(body)) + body
     return out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+
+
+def encode_tiff_exif(
+    main: list[tuple[int, object]],
+    exif: list[tuple[int, object]] | None = None,
+    little: bool = True,
+) -> bytes:
+    """Spec-built TIFF/Exif blob: IFD0 from ``(tag_id, value)`` pairs
+    (str → ASCII with NUL, int → SHORT, bytes → UNDEFINED), plus an
+    Exif sub-IFD behind an 0x8769 pointer when ``exif`` is given.
+    Out-of-line values land after the IFDs, offsets absolute from the
+    TIFF header as the spec requires."""
+    en = "<" if little else ">"
+
+    def _entry_raw(val: object) -> tuple[int, int, bytes]:
+        if isinstance(val, str):
+            raw = val.encode("latin-1") + b"\x00"
+            return 2, len(raw), raw
+        if isinstance(val, bytes):
+            return 7, len(val), val
+        return 3, 1, struct.pack(en + "H", val)
+
+    n0 = len(main) + (1 if exif else 0)
+    ifd0_len = 2 + 12 * n0 + 4
+    exif_off = 8 + ifd0_len
+    exif_len = (2 + 12 * len(exif) + 4) if exif else 0
+    extra_at = [exif_off + exif_len]
+    extra = bytearray()
+
+    def _build(entries: list[tuple[int, object]]) -> bytes:
+        out = struct.pack(en + "H", len(entries))
+        for tag, val in sorted(entries):
+            typ, cnt, raw = _entry_raw(val)
+            if len(raw) <= 4:
+                field = raw + b"\x00" * (4 - len(raw))
+            else:
+                field = struct.pack(en + "I", extra_at[0] + len(extra))
+                extra.extend(raw)
+            out += struct.pack(en + "HHI", tag, typ, cnt) + field
+        return out + struct.pack(en + "I", 0)
+
+    entries0 = list(main)
+    if exif:
+        # the 0x8769 pointer is a LONG, built by hand (not via _entry_raw)
+        entries0 = sorted(entries0 + [(0x8769, None)])
+        out0 = struct.pack(en + "H", len(entries0))
+        for tag, val in entries0:
+            if tag == 0x8769 and val is None:
+                out0 += struct.pack(en + "HHII", tag, 4, 1, exif_off)
+                continue
+            typ, cnt, raw = _entry_raw(val)
+            if len(raw) <= 4:
+                field = raw + b"\x00" * (4 - len(raw))
+            else:
+                field = struct.pack(en + "I", extra_at[0] + len(extra))
+                extra.extend(raw)
+            out0 += struct.pack(en + "HHI", tag, typ, cnt) + field
+        out0 += struct.pack(en + "I", 0)
+        sub = _build(exif)
+        head = out0 + sub
+    else:
+        head = _build(entries0)
+    magic = b"II*\x00" if little else b"MM\x00*"
+    return magic + struct.pack(en + "I", 8) + head + bytes(extra)
+
+
+def user_comment(text: str, unicode: bool = False) -> bytes:
+    """An Exif UserComment (0x9286) UNDEFINED value with its 8-byte
+    charset prefix — pass as the ``bytes`` value to
+    :func:`encode_tiff_exif`."""
+    if unicode:
+        return b"UNICODE\x00" + text.encode("utf-16-le")
+    return b"ASCII\x00\x00\x00" + text.encode("ascii")
+
+
+def add_jpeg_metadata(
+    jpeg: bytes, exif: bytes | None = None, comment: str | None = None,
+) -> bytes:
+    """Splice an APP1-Exif segment and/or a COM comment right after a
+    JPEG's SOI marker."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    inject = b""
+    if exif is not None:
+        body = b"Exif\x00\x00" + exif
+        inject += b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    if comment is not None:
+        raw = comment.encode("utf-8")
+        inject += b"\xff\xfe" + struct.pack(">H", len(raw) + 2) + raw
+    return jpeg[:2] + inject + jpeg[2:]
+
+
+def add_png_text(
+    png: bytes, items: list[tuple[str, str, str]],
+) -> bytes:
+    """Insert textual chunks before a PNG's IEND: ``items`` are
+    ``(keyword, text, kind)`` with kind ∈ {"tEXt", "zTXt", "iTXt",
+    "iTXt-z"} (the -z form deflates the UTF-8 text)."""
+    if png[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream")
+    iend = png.rfind(b"IEND")
+    if iend < 12:
+        raise ValueError("PNG has no IEND chunk")
+    at = iend - 4  # chunk start (length field)
+    chunks = b""
+    for keyword, text, kind in items:
+        key = keyword.encode("latin-1")
+        if kind == "tEXt":
+            ctype, body = b"tEXt", key + b"\x00" + text.encode("latin-1")
+        elif kind == "zTXt":
+            ctype = b"zTXt"
+            body = key + b"\x00\x00" + zlib.compress(
+                text.encode("latin-1"))
+        elif kind in ("iTXt", "iTXt-z"):
+            ctype = b"iTXt"
+            raw = text.encode("utf-8")
+            flag = b"\x01\x00" if kind == "iTXt-z" else b"\x00\x00"
+            if kind == "iTXt-z":
+                raw = zlib.compress(raw)
+            body = key + b"\x00" + flag + b"\x00" + b"\x00" + raw
+        else:
+            raise ValueError(f"unknown PNG text chunk kind {kind!r}")
+        chunks += (struct.pack(">I", len(body)) + ctype + body
+                   + struct.pack(">I", zlib.crc32(ctype + body)))
+    return png[:at] + chunks + png[at:]
+
+
+def add_gif_comment(gif: bytes, text: str) -> bytes:
+    """Insert a comment extension before a GIF's trailer byte."""
+    if gif[:6] not in (b"GIF87a", b"GIF89a") or gif[-1:] != b"\x3b":
+        raise ValueError("not a terminated GIF stream")
+    raw = text.encode("latin-1")
+    body = b""
+    for i in range(0, len(raw), 255):
+        part = raw[i : i + 255]
+        body += bytes([len(part)]) + part
+    return gif[:-1] + b"\x21\xfe" + body + b"\x00" + gif[-1:]
+
+
+def add_webp_exif(webp: bytes, exif: bytes) -> bytes:
+    """Append an EXIF chunk to a VP8X WebP container (EXIF flag set,
+    RIFF size fixed up)."""
+    if webp[:4] != b"RIFF" or webp[8:12] != b"WEBP":
+        raise ValueError("not a WebP container")
+    if webp[12:16] != b"VP8X":
+        raise ValueError("EXIF chunks require the VP8X extended shape")
+    chunk = b"EXIF" + struct.pack("<I", len(exif)) + exif
+    if len(exif) & 1:
+        chunk += b"\x00"
+    out = bytearray(webp + chunk)
+    out[20] |= 0x08  # VP8X flags: EXIF present
+    struct.pack_into("<I", out, 4, len(out) - 8)
+    return bytes(out)
 
 
 def extract_media_tags(

@@ -322,6 +322,170 @@ def test_riff_truncated_chunk_raises():
 
 
 # ---------------------------------------------------------------------------
+# image containers: Exif / JPEG COM / PNG text / GIF comment / WebP EXIF
+
+
+@pytest.mark.parametrize("little", [True, False])
+def test_tiff_exif_round_trip(little):
+    from sed_binning_spark.pipeline.tags import (
+        encode_tiff_exif, parse_tiff_exif, user_comment,
+    )
+
+    tiff = encode_tiff_exif(
+        [(0x010F, "CamCo"), (0x0110, "Model X-5"),
+         (0x010E, "a photo description"), (0x0112, 6),
+         (0x013B, "Shooter"), (0x0132, "2024:03:04 10:11:12")],
+        exif=[(0x9003, "2024:03:04 10:00:00"),
+              (0x9286, user_comment("user says hi"))],
+        little=little,
+    )
+    assert parse_tiff_exif(tiff) == [
+        ("description", "a photo description"), ("make", "CamCo"),
+        ("model", "Model X-5"), ("orientation", "6"),
+        ("date", "2024:03:04 10:11:12"), ("artist", "Shooter"),
+        ("date_original", "2024:03:04 10:00:00"),
+        ("comment", "user says hi"),
+    ]
+
+
+def test_exif_unicode_user_comment():
+    from sed_binning_spark.pipeline.tags import (
+        encode_tiff_exif, parse_tiff_exif, user_comment,
+    )
+
+    tiff = encode_tiff_exif(
+        [(0x010F, "M")],
+        exif=[(0x9286, user_comment("ünïcode cömment", unicode=True))],
+    )
+    assert ("comment", "ünïcode cömment") in parse_tiff_exif(tiff)
+
+
+def test_exif_bad_magic_raises():
+    from sed_binning_spark.pipeline.tags import parse_tiff_exif
+
+    with pytest.raises(ValueError, match="II\\*/MM\\*"):
+        parse_tiff_exif(b"XX\x00\x00\x00\x00\x00\x00")
+
+
+def test_jpeg_app1_and_com():
+    from sed_binning_spark.pipeline.jpeg import encode_image_jpeg
+    from sed_binning_spark.pipeline.tags import (
+        add_jpeg_metadata, encode_tiff_exif,
+    )
+
+    img = encode_image_jpeg(np.full((16, 16), 128, np.uint8))
+    j = add_jpeg_metadata(
+        img, exif=encode_tiff_exif([(0x010F, "CamCo"), (0x0110, "M1")]),
+        comment="jpeg cömment",
+    )
+    assert parse_media_tags(j) == {"container": "jpeg", "tags": [
+        ("make", "CamCo"), ("model", "M1"), ("comment", "jpeg cömment"),
+    ]}
+
+
+def test_jpeg_segment_overrun_raises():
+    blob = b"\xff\xd8\xff\xe1\xff\xff short"
+    with pytest.raises(ValueError, match="extends past"):
+        parse_media_tags(blob)
+
+
+def test_jpeg_lost_sync_raises():
+    blob = b"\xff\xd8\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="lost sync"):
+        parse_media_tags(blob)
+
+
+def test_png_text_chunks_all_kinds():
+    from sed_binning_spark.pipeline.multimodal import encode_image_png
+    from sed_binning_spark.pipeline.tags import add_png_text
+
+    png = encode_image_png(np.zeros((4, 4, 3), np.uint8))
+    p = add_png_text(png, [
+        ("Title", "Png Title", "tEXt"),
+        ("Description", "long words " * 10, "zTXt"),
+        ("Comment", "ünïcode cómment", "iTXt"),
+        ("Software", "sbs 1.0", "iTXt-z"),
+        ("Custom Key", "kept as-is", "tEXt"),
+    ])
+    assert parse_media_tags(p) == {"container": "png", "tags": [
+        ("title", "Png Title"),
+        ("description", "long words " * 10),
+        ("comment", "ünïcode cómment"),
+        ("encoder", "sbs 1.0"),
+        ("custom key", "kept as-is"),
+    ]}
+
+
+def test_png_crc_failure_raises():
+    from sed_binning_spark.pipeline.multimodal import encode_image_png
+    from sed_binning_spark.pipeline.tags import add_png_text
+
+    p = bytearray(add_png_text(
+        encode_image_png(np.zeros((4, 4, 3), np.uint8)),
+        [("Title", "x", "tEXt")],
+    ))
+    at = bytes(p).find(b"tEXt")
+    p[at + 5] ^= 0x01  # flip a body byte under the CRC
+    with pytest.raises(ValueError, match="CRC"):
+        parse_media_tags(bytes(p))
+
+
+def test_gif_comment_spanning_subblocks():
+    from sed_binning_spark.pipeline.multimodal import encode_image_gif
+    from sed_binning_spark.pipeline.tags import add_gif_comment
+
+    text = "gif comment " * 30  # 360 bytes -> two sub-blocks
+    g = add_gif_comment(
+        encode_image_gif(np.zeros((4, 4, 3), np.uint8)), text,
+    )
+    assert parse_media_tags(g) == {
+        "container": "gif", "tags": [("comment", text)],
+    }
+
+
+def test_gif_undefined_block_raises():
+    from sed_binning_spark.pipeline.multimodal import encode_image_gif
+
+    g = bytearray(encode_image_gif(np.zeros((4, 4, 3), np.uint8)))
+    g[-1] = 0x7F  # replace the trailer with an undefined block type
+    with pytest.raises(ValueError, match="not defined"):
+        parse_media_tags(bytes(g))
+
+
+def test_webp_exif_chunk():
+    from sed_binning_spark.pipeline.multimodal import encode_webp_header
+    from sed_binning_spark.pipeline.tags import (
+        add_webp_exif, encode_tiff_exif,
+    )
+
+    wp = encode_webp_header(100, 50, variant="vp8x")
+    w = add_webp_exif(
+        wp, b"Exif\x00\x00" + encode_tiff_exif([(0x010F, "WebCam")]),
+    )
+    assert parse_media_tags(w) == {
+        "container": "webp", "tags": [("make", "WebCam")],
+    }
+    assert w[20] & 0x08  # VP8X EXIF flag
+    assert struct.unpack_from("<I", w, 4)[0] == len(w) - 8
+
+
+def test_webp_without_exif_returns_empty():
+    from sed_binning_spark.pipeline.multimodal import encode_webp_header
+
+    assert parse_media_tags(encode_webp_header(10, 10)) == {
+        "container": "webp", "tags": [],
+    }
+
+
+def test_webp_exif_requires_vp8x():
+    from sed_binning_spark.pipeline.multimodal import encode_webp_header
+    from sed_binning_spark.pipeline.tags import add_webp_exif
+
+    with pytest.raises(ValueError, match="VP8X"):
+        add_webp_exif(encode_webp_header(10, 10, variant="vp8"), b"II*")
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 
 
