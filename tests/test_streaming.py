@@ -1066,3 +1066,49 @@ def test_round14_media_on_a_structured_stream(tmp_path, spark):
     assert got2.equals(batch2)
     assert list(got2.n_bytes) == [4, 6, 5]  # the laced extents
     assert list(got2.frame_ms) == [0, 20, 40]
+
+
+def test_extract_media_tags_on_a_structured_stream(tmp_path, spark):
+    """extract_media_tags is the same stateless mapInPandas shape: tag
+    rows stream per micro-batch (ID3 and ilst walks inside the
+    stream), an unrecognized payload degrades to zero rows, results
+    identical to the batch run over the same files."""
+    from sed_binning_spark.pipeline.tags import (
+        encode_id3v2,
+        encode_mp4_tags_fixture,
+        extract_media_tags,
+    )
+
+    id3 = encode_id3v2(
+        [("TIT2", "Stream Song"), ("TPE1", "Streamer")], version=3,
+    )
+    ilst = encode_mp4_tags_fixture([(b"\xa9nam", "Stream Vid")])
+    root = tmp_path / "tags_in"
+    root.mkdir()
+    pd.DataFrame({"media_id": [0], "payload": [bytes(id3)]}) \
+        .to_parquet(root / "chunk_0.parquet")
+    pd.DataFrame({"media_id": [1, 2],
+                  "payload": [bytes(ilst), b"not a container"]}) \
+        .to_parquet(root / "chunk_1.parquet")
+
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1).parquet(str(root))
+    )
+    q = (
+        extract_media_tags(stream)
+        .writeStream.format("memory").queryName("tags_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM tags_stream").toPandas() \
+        .sort_values(["media_id", "key"]).reset_index(drop=True)
+    batch = extract_media_tags(spark.read.parquet(str(root))) \
+        .toPandas().sort_values(["media_id", "key"]) \
+        .reset_index(drop=True)
+    assert got.equals(batch)
+    assert [tuple(r) for r in got.itertuples(index=False)] == [
+        (0, "mp3", "artist", "Streamer"),
+        (0, "mp3", "title", "Stream Song"),
+        (1, "mp4", "title", "Stream Vid"),
+    ]

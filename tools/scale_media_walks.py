@@ -13,6 +13,9 @@ payloads, and FLAC DECODE over minute-long speech-shaped segments.
 - FLAC: minute-long 16 kHz mono segments (the pre-segmented speech
   shape SCALE.md's guidance prescribes), decoded for REAL through
   sample_audio_windows — predictors, Rice, CRCs, md5.
+- Tags: ID3v2 + trailing ID3v1 on the same hour-long MP3s through
+  extract_media_tags — per-payload work must be O(tag bytes),
+  independent of the ~43 MB media body between the tag blocks.
 
 Payloads are written as real files and read through Spark's
 binaryFile source (the corpus-ingest path), one distinct file per
@@ -121,6 +124,30 @@ def main():
             f"time={dt:.1f}s windows/s={n/dt:.0f} "
             f"audio-hours/s={mins/60/dt:.2f} "
             f"(fixture encode: {gen_dt:.1f}s total)")
+
+        # --- tags: ID3v2 head + ID3v1 tail on the hour-long MP3s
+        from sed_binning_spark.pipeline.tags import (
+            encode_id3v1,
+            encode_id3v2,
+            extract_media_tags,
+        )
+
+        tagged = [
+            encode_id3v2([
+                ("TIT2", f"Title {i}"), ("TPE1", "An Artist"),
+                ("TALB", "An Album"), ("COMM:c", "hour-long comment"),
+            ], version=3) + m + encode_id3v1("Old Title", "Old Artist")
+            for i, m in enumerate(mp3s)
+        ]
+        d = _write(root, "tagged", tagged, "mp3")
+        t0 = time.time()
+        n = extract_media_tags(_load(spark, d)).count()
+        dt = time.time() - t0
+        gb = sum(len(b) for b in tagged) / 1e9
+        results.append(
+            f"id3_tag_mine_1h_mp3: rows={mp3_rows} "
+            f"payload={len(tagged[0])/1e6:.1f}MB tag_rows={n} "
+            f"time={dt:.1f}s media-GB/s={gb/dt:.2f}")
     finally:
         import shutil
 
