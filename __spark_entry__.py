@@ -2598,7 +2598,8 @@ _TAGS_FIXTURES = None
 # doc_id % 80 keys of the tag-fixture variants (all ≡ 2 mod 5 so the
 # key is reachable from the doc_id % 5 == 2 subset; 500 driver docs
 # cover every class)
-_TAG_VARIANT_KEYS = [2, 7, 12, 17, 22, 27, 32, 37, 42, 47, 52, 57, 62]
+_TAG_VARIANT_KEYS = [2, 7, 12, 17, 22, 27, 32, 37, 42, 47, 52, 57, 62,
+                     67]
 
 
 def _tags_fixture():
@@ -2820,6 +2821,29 @@ def _tags_fixture():
             ("jpeg", "artist", "BE Shooter"),
             ("jpeg", "copyright", "(c) somebody"),
             ("jpeg", "date_original", "2023:12:31 23:59:59"),
+        ])
+
+        # v13 — Matroska/WebM native tags: Segment Title + SimpleTags
+        # spliced into a REAL demuxable audio container (the rebuilt
+        # Segment still walks through parse_webm_timeline)
+        from sed_binning_spark.pipeline.tags import add_matroska_tags
+        from sed_binning_spark.pipeline.webm import encode_webm
+
+        mkv = encode_webm(
+            [b"a" * 4, b"b" * 6], [0, 20], track_type=2,
+            codec_id="A_OPUS", default_duration_ms=20,
+        )
+        blobs.append(add_matroska_tags(
+            mkv,
+            [("title", "Mkv Söng"), ("artist", "Mkv Artist"),
+             ("date_released", "2024-02-03")],
+            title="Segment Name",
+        ))
+        expected.append([
+            ("webm", "title", "Segment Name"),
+            ("webm", "title", "Mkv Söng"),
+            ("webm", "artist", "Mkv Artist"),
+            ("webm", "date", "2024-02-03"),
         ])
 
         _TAGS_FIXTURES = (blobs, expected)

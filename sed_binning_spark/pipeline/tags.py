@@ -32,7 +32,11 @@ public specs:
 - **PNG textual chunks** (W3C PNG §11.3): ``tEXt``, ``zTXt``
   (deflate), and ``iTXt`` (UTF-8, optionally deflate), CRC-verified;
 - **GIF comment extensions** (GIF89a §24), image data skipped by
-  sub-block lengths without LZW decode.
+  sub-block lengths without LZW decode;
+- **Matroska/WebM native tags** (matroska.org element registry):
+  the Segment ``Title`` in Info and ``Tags → Tag → SimpleTag``
+  name/string pairs (nested SimpleTags included), via the same EBML
+  walk as :mod:`~sed_binning_spark.pipeline.webm`.
 
 Keys are normalized to one lowercase vocabulary (``title``,
 ``artist``, ``album``, ``date``, ``genre``, ``comment``, ``lyrics``,
@@ -720,6 +724,78 @@ def _webp_tags(data: bytes) -> list[tuple[str, str]]:
     return []
 
 
+# ---------------------------------------------------------------------------
+# Matroska/WebM native tags (matroska.org element registry):
+# Segment → Info.Title and Segment → Tags → Tag → SimpleTag
+
+_MKV_INFO = 0x1549A966
+_MKV_TITLE = 0x7BA9
+_MKV_TAGS = 0x1254C367
+_MKV_TAG = 0x7373
+_MKV_SIMPLE_TAG = 0x67C8
+_MKV_TAG_NAME = 0x45A3
+_MKV_TAG_STRING = 0x4487
+_MKV_KEYMAP = {"date_released": "date", "description": "description"}
+
+
+def _matroska_simple_tag(data: bytes, s: int, e: int, out: list) -> None:
+    from sed_binning_spark.pipeline.webm import _iter_elements
+
+    name = value = None
+    nested = []
+    for eid, s2, e2 in _iter_elements(data, s, e):
+        if eid == _MKV_TAG_NAME:
+            name = data[s2:e2].decode("utf-8")
+        elif eid == _MKV_TAG_STRING:
+            value = data[s2:e2].decode("utf-8")
+        elif eid == _MKV_SIMPLE_TAG:
+            nested.append((s2, e2))
+    if name and value is not None:
+        key = name.lower()
+        out.append((_MKV_KEYMAP.get(key, key), value))
+    for s2, e2 in nested:  # spec: SimpleTags nest (e.g. part numbers)
+        _matroska_simple_tag(data, s2, e2, out)
+
+
+def _matroska_tags(data: bytes) -> list[tuple[str, str]]:
+    """Segment Title + Tags/SimpleTag pairs of a WebM/Matroska stream.
+    SimpleTag names normalize to the same lowercase vocabulary (the
+    registry's names are uppercase by convention — TITLE, ARTIST,
+    DATE_RELEASED, ...)."""
+    from sed_binning_spark.pipeline.webm import (
+        _SEGMENT, _iter_elements,
+    )
+
+    segment = None
+    for eid, s, e in _iter_elements(data, 0, len(data),
+                                    allow_unknown=True):
+        if eid == _SEGMENT:
+            segment = (s, len(data) if e is None else e)
+            break
+        if e is None:
+            raise ValueError(
+                f"EBML element 0x{eid:X} with unknown size before the "
+                f"Segment",
+            )
+    if segment is None:
+        raise ValueError("EBML stream has no Segment")
+    tags: list[tuple[str, str]] = []
+    for eid, s, e in _iter_elements(data, *segment):
+        if eid == _MKV_INFO:
+            for i2, s2, e2 in _iter_elements(data, s, e):
+                if i2 == _MKV_TITLE:
+                    title = data[s2:e2].decode("utf-8")
+                    if title:
+                        tags.append(("title", title))
+        elif eid == _MKV_TAGS:
+            for i2, s2, e2 in _iter_elements(data, s, e):
+                if i2 == _MKV_TAG:
+                    for i3, s3, e3 in _iter_elements(data, s2, e2):
+                        if i3 == _MKV_SIMPLE_TAG:
+                            _matroska_simple_tag(data, s3, e3, tags)
+    return tags
+
+
 def parse_media_tags(data: bytes) -> dict:
     """``{"container": str, "tags": [(key, value), ...]}`` of a media
     payload, dispatched on its magic — the five tag grammars in the
@@ -737,6 +813,8 @@ def parse_media_tags(data: bytes) -> dict:
         if data[8:12] == b"WEBP":
             return {"container": "webp", "tags": _webp_tags(data)}
         return {"container": "wav", "tags": _riff_tags(data)}
+    if data[:4] == b"\x1aE\xdf\xa3":
+        return {"container": "webm", "tags": _matroska_tags(data)}
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return {"container": "png", "tags": _png_tags(data)}
     if data[:2] == b"\xff\xd8":
@@ -1041,6 +1119,54 @@ def add_gif_comment(gif: bytes, text: str) -> bytes:
         part = raw[i : i + 255]
         body += bytes([len(part)]) + part
     return gif[:-1] + b"\x21\xfe" + body + b"\x00" + gif[-1:]
+
+
+def add_matroska_tags(
+    mkv: bytes,
+    tags: list[tuple[str, str]],
+    title: str | None = None,
+) -> bytes:
+    """Splice a ``Tags`` element (one Tag of SimpleTags) into a
+    WebM/Matroska stream, and optionally a Segment ``Title`` into its
+    Info element — the Segment is rebuilt with canonical sizes.
+    SimpleTag names are written uppercase per registry convention."""
+    from sed_binning_spark.pipeline.webm import (
+        _SEGMENT, _elem, _read_vint,
+    )
+
+    if mkv[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError("not an EBML (WebM/Matroska) stream")
+
+    def _children(data: bytes, pos: int, end: int):
+        out = []
+        while pos < end:
+            eid, pos = _read_vint(data, pos, keep_marker=True)
+            size, pos = _read_vint(data, pos, keep_marker=False)
+            if size is None:
+                raise ValueError("fixture splice wants explicit sizes")
+            out.append((eid, data[pos : pos + size]))
+            pos += size
+        return out
+
+    simple = b"".join(
+        _elem(_MKV_SIMPLE_TAG,
+              _elem(_MKV_TAG_NAME, k.upper().encode("utf-8"))
+              + _elem(_MKV_TAG_STRING, v.encode("utf-8")))
+        for k, v in tags
+    )
+    tags_elem = _elem(_MKV_TAGS, _elem(_MKV_TAG, simple))
+    out = b""
+    for eid, body in _children(mkv, 0, len(mkv)):
+        if eid == _SEGMENT:
+            parts = []
+            for cid, cbody in _children(body, 0, len(body)):
+                if cid == _MKV_INFO and title is not None:
+                    cbody += _elem(
+                        _MKV_TITLE, title.encode("utf-8"))
+                parts.append(_elem(cid, cbody))
+            body = b"".join(parts) + tags_elem
+        out += _elem(eid, body)
+    return out
 
 
 def add_webp_exif(webp: bytes, exif: bytes) -> bytes:

@@ -486,6 +486,60 @@ def test_webp_exif_requires_vp8x():
 
 
 # ---------------------------------------------------------------------------
+# Matroska/WebM native tags
+
+
+def test_matroska_tags_round_trip():
+    from sed_binning_spark.pipeline.tags import add_matroska_tags
+    from sed_binning_spark.pipeline.webm import (
+        encode_webm, parse_webm_timeline,
+    )
+
+    mkv = encode_webm(
+        [b"a" * 4, b"b" * 6], [0, 20], track_type=2,
+        codec_id="A_OPUS", default_duration_ms=20,
+    )
+    tagged = add_matroska_tags(
+        mkv,
+        [("title", "Mkv Söng"), ("artist", "Mkv Artist"),
+         ("date_released", "2024")],
+        title="Segment Name",
+    )
+    assert parse_media_tags(tagged) == {"container": "webm", "tags": [
+        ("title", "Segment Name"), ("title", "Mkv Söng"),
+        ("artist", "Mkv Artist"), ("date", "2024"),
+    ]}
+    # the rebuilt Segment must still demux
+    got = parse_webm_timeline(tagged, media="audio")
+    assert [sm[3] for sm in got["samples"]] == [4, 6]
+
+
+def test_matroska_nested_simple_tags():
+    from sed_binning_spark.pipeline.tags import (
+        _MKV_SIMPLE_TAG, _MKV_TAG_NAME, _MKV_TAG_STRING,
+        _matroska_simple_tag,
+    )
+    from sed_binning_spark.pipeline.webm import _elem
+
+    inner = (_elem(_MKV_TAG_NAME, b"PART_NUMBER")
+             + _elem(_MKV_TAG_STRING, b"3"))
+    outer_payload = (_elem(_MKV_TAG_NAME, b"TITLE")
+                     + _elem(_MKV_TAG_STRING, b"Outer")
+                     + _elem(_MKV_SIMPLE_TAG, inner))
+    out = []
+    _matroska_simple_tag(outer_payload, 0, len(outer_payload), out)
+    assert out == [("title", "Outer"), ("part_number", "3")]
+
+
+def test_matroska_untagged_returns_empty():
+    from sed_binning_spark.pipeline.webm import encode_webm
+
+    assert parse_media_tags(encode_webm([b"x"], [0])) == {
+        "container": "webm", "tags": [],
+    }
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 
 
