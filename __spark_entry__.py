@@ -2948,7 +2948,34 @@ def _q_multimodal(spark, sf):
             F.lit("="), F.col("value"),
         ).alias("feat_csv"),
     )
-    return base.unionByName(tag_leg)
+    # round 14: subtitle cue mining on the DISJOINT doc_id % 5 == 3
+    # subset — each doc becomes a two-cue SubRip (even) / WebVTT (odd)
+    # payload built in PURE EXPRESSIONS (cue text = md5 halves, timing
+    # closed-form in the id), parsed back by the real grammar walkers
+    # inside extract_subtitle_cues' one mapInPandas stage; the oracle
+    # regenerates every cue fact symbolically from the same md5
+    from sed_binning_spark.pipeline.subtitles import (
+        extract_subtitle_cues,
+        synthesize_subtitle_media_from_text,
+    )
+
+    sub_media = synthesize_subtitle_media_from_text(
+        docs.where(did % 5 == 3),
+    ).select(
+        (-F.col("media_id") - 1).cast("long").alias("media_id"),
+        "payload",
+    )
+    sub_leg = extract_subtitle_cues(sub_media).select(
+        "media_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.concat(
+            F.col("format"), F.lit(":"),
+            F.col("cue_index").cast("string"), F.lit("@"),
+            F.col("start_ms").cast("string"), F.lit("-"),
+            F.col("end_ms").cast("string"), F.lit("="), F.col("text"),
+        ).alias("feat_csv"),
+    )
+    return base.unionByName(tag_leg).unionByName(sub_leg)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4399,6 +4426,10 @@ def _multimodal_oracle_sql(width: int = 4, height: int = 2) -> str:
         # INPUTS in _tags_fixture — the engine must really walk the
         # ID3/Vorbis/ilst/INFO structures to match
         + _tags_oracle_sql()
+        # subtitle-cue rows (round 14, % 5 = 3 subset): the engine
+        # parses expression-built SubRip/WebVTT; every cue fact is
+        # symbolic in doc_id + md5(text)
+        + _subtitles_oracle_sql()
     )
 
 
@@ -4432,6 +4463,34 @@ def _tags_oracle_sql() -> str:
         f"CAST(t.nb AS BIGINT), t.fc "
         f"FROM documents d JOIN (VALUES {values}) AS t(m, nb, fc) "
         f"ON d.doc_id % 80 = t.m WHERE d.doc_id % 5 = 2"
+    )
+
+
+def _subtitles_oracle_sql() -> str:
+    """DuckDB twin of the subtitle-cue leg: regenerate both cues'
+    timing from the synthesizer's closed forms (start1 = (id%10)·500,
+    end1 = start1 + 2000 + (id%3)·250, start2 = end1 + 500, end2 =
+    start2 + 1750) and the cue text from the same md5 halves; the
+    format alternates srt/vtt on id parity. n_bytes = octet length of
+    the 16-hex-char cue text = 16."""
+    base = (
+        "SELECT doc_id, text, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS fmt, "
+        "(doc_id % 10) * 500 AS s1, "
+        "(doc_id % 10) * 500 + 2000 + (doc_id % 3) * 250 AS e1 "
+        "FROM documents WHERE doc_id % 5 = 3 AND text IS NOT NULL"
+    )
+    return (
+        f" UNION ALL SELECT CAST(-doc_id - 1 AS BIGINT), "
+        f"CAST(16 AS BIGINT), "
+        f"fmt || ':1@' || CAST(s1 AS VARCHAR) || '-' || "
+        f"CAST(e1 AS VARCHAR) || '=' || substr(md5(text), 1, 16) "
+        f"FROM ({base})"
+        f" UNION ALL SELECT CAST(-doc_id - 1 AS BIGINT), "
+        f"CAST(16 AS BIGINT), "
+        f"fmt || ':2@' || CAST(e1 + 500 AS VARCHAR) || '-' || "
+        f"CAST(e1 + 2250 AS VARCHAR) || '=' || substr(md5(text), 17, 16) "
+        f"FROM ({base})"
     )
 
 

@@ -111,6 +111,10 @@ from sed_binning_spark.pipeline.tags import (
     extract_media_tags,
     parse_media_tags,
 )
+from sed_binning_spark.pipeline.subtitles import (
+    extract_subtitle_cues,
+    parse_subtitles,
+)
 from sed_binning_spark.pipeline.multimodal import (
     decode_gif_frames,
     encode_gif_animation,
@@ -283,6 +287,8 @@ __all__ = [
     "encode_flac",
     "extract_media_tags",
     "parse_media_tags",
+    "extract_subtitle_cues",
+    "parse_subtitles",
     "decode_gif_frames",
     "encode_gif_animation",
     "synthesize_animated_gif_media_from_text",

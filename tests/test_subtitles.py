@@ -1,0 +1,142 @@
+"""Subtitle cue extraction (pipeline.subtitles): SubRip, WebVTT, and
+Matroska S_TEXT/UTF8 grammars from spec-built fixtures, the loud
+malformed paths, the expression-only synthesizer, and the Spark
+operator's per-payload degrade. No counterpart in the reference repo
+(photoemission binning, no media code)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sed_binning_spark.pipeline.subtitles import (
+    encode_matroska_subtitles,
+    encode_srt,
+    encode_webvtt,
+    extract_subtitle_cues,
+    parse_matroska_subtitles,
+    parse_srt,
+    parse_subtitles,
+    parse_webvtt,
+    synthesize_subtitle_media_from_text,
+)
+
+
+def test_srt_round_trip():
+    srt = encode_srt([
+        (500, 2750, "hello there"),
+        (3250, 5000, "second cue\nline two"),
+    ])
+    assert parse_subtitles(srt) == {"format": "srt", "cues": [
+        (1, 500, 2750, "hello there"),
+        (2, 3250, 5000, "second cue\nline two"),
+    ]}
+
+
+def test_srt_hour_scale_times():
+    srt = encode_srt([(3_723_456, 3_725_000, "an hour in")])
+    assert b"01:02:03,456" in srt
+    assert parse_srt(srt.decode()) == [
+        (1, 3_723_456, 3_725_000, "an hour in"),
+    ]
+
+
+def test_srt_dot_decimal_tolerated():
+    assert parse_srt("1\n00:00:01.000 --> 00:00:02.000\ndot srt") == [
+        (1, 1000, 2000, "dot srt"),
+    ]
+
+
+def test_srt_declared_index_reported():
+    # players renumber; the parser reports what the file declares
+    assert parse_srt("7\n00:00:01,000 --> 00:00:02,000\nx")[0][0] == 7
+
+
+@pytest.mark.parametrize("doc,msg", [
+    ("not an index\n00:00:01,000 --> 00:00:02,000\nx", "not an index"),
+    ("1\nno arrow here\nx", "no '-->'"),
+    ("1\n00:00:02,000 --> 00:00:01,000\nx", "before it starts"),
+    ("1\n00:00:99,000 --> 00:01:40,000\nx", ">= 60"),
+    ("1", "too short"),
+])
+def test_srt_malformed_raises(doc, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_srt(doc)
+
+
+def test_webvtt_round_trip_with_grammar_noise():
+    vtt = encode_webvtt(
+        [(500, 2750, "hello vtt"), (3250, 5000, "cue 2")],
+        note="a comment block", identifiers=True,
+        settings="align:start position:10%",
+    )
+    assert parse_subtitles(vtt) == {"format": "vtt", "cues": [
+        (1, 500, 2750, "hello vtt"), (2, 3250, 5000, "cue 2"),
+    ]}
+
+
+def test_webvtt_short_form_hours():
+    assert parse_webvtt("WEBVTT\n\n01:02.500 --> 01:03.000\nshort") == [
+        (1, 62_500, 63_000, "short"),
+    ]
+
+
+def test_webvtt_requires_signature():
+    with pytest.raises(ValueError, match="WEBVTT"):
+        parse_webvtt("1\n00:00:01.000 --> 00:00:02.000\nx")
+
+
+def test_webvtt_bom_tolerated():
+    assert parse_webvtt(
+        "﻿WEBVTT\n\n00:00:01.000 --> 00:00:02.000\nbom",
+    ) == [(1, 1000, 2000, "bom")]
+
+
+def test_matroska_subtitle_track_round_trip():
+    mkv = encode_matroska_subtitles([
+        (0, 2000, "mkv cue one"), (2500, 4000, "mkv cüe two"),
+    ])
+    assert parse_subtitles(mkv) == {"format": "mkv", "cues": [
+        (1, 0, 2000, "mkv cue one"), (2, 2500, 4000, "mkv cüe two"),
+    ]}
+
+
+def test_matroska_without_subtitle_track_raises():
+    from sed_binning_spark.pipeline.webm import encode_webm
+
+    with pytest.raises(ValueError, match="no S_TEXT/UTF8"):
+        parse_matroska_subtitles(encode_webm([b"x"], [0]))
+
+
+def test_synthesizer_matches_parser(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha words"), (1, "beta words"), (2, None)],
+        "doc_id long, text string",
+    )
+    media = synthesize_subtitle_media_from_text(docs)
+    rows = sorted(
+        extract_subtitle_cues(media).collect(),
+        key=lambda r: (r.media_id, r.cue_index),
+    )
+    import hashlib
+
+    h0 = hashlib.md5(b"alpha words").hexdigest()
+    h1 = hashlib.md5(b"beta words").hexdigest()
+    # doc 0 (srt): start1 = 0, end1 = 2000, start2 = 2500, end2 = 4250
+    # doc 1 (vtt): start1 = 500, end1 = 2750, start2 = 3250, end2 = 5000
+    assert [tuple(r) for r in rows] == [
+        (0, "srt", 1, 0, 2000, h0[:16]),
+        (0, "srt", 2, 2500, 4250, h0[16:]),
+        (1, "vtt", 1, 500, 2750, h1[:16]),
+        (1, "vtt", 2, 3250, 5000, h1[16:]),
+    ]
+
+
+def test_operator_degrades_bad_payloads(spark):
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_srt([(0, 1000, "good")]))),
+         (1, bytearray(b"\xff\xfe not utf8 not srt \x80\x80")),
+         (2, None)],
+        "media_id long, payload binary",
+    )
+    rows = extract_subtitle_cues(df).collect()
+    assert [(r.media_id, r.text) for r in rows] == [(0, "good")]
