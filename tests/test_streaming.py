@@ -1112,3 +1112,47 @@ def test_extract_media_tags_on_a_structured_stream(tmp_path, spark):
         (0, "mp3", "title", "Stream Song"),
         (1, "mp4", "title", "Stream Vid"),
     ]
+
+
+def test_extract_subtitle_cues_on_a_structured_stream(tmp_path, spark):
+    """extract_subtitle_cues is the same stateless mapInPandas shape:
+    cue rows stream per micro-batch (SubRip and Matroska walks inside
+    the stream), an unparseable payload degrades to zero rows, results
+    identical to the batch run over the same files."""
+    from sed_binning_spark.pipeline.subtitles import (
+        encode_matroska_subtitles,
+        encode_srt,
+        extract_subtitle_cues,
+    )
+
+    srt = encode_srt([(0, 1000, "first"), (1500, 2500, "second")])
+    mkv = encode_matroska_subtitles([(0, 2000, "muxed cue")])
+    root = tmp_path / "subs_in"
+    root.mkdir()
+    pd.DataFrame({"media_id": [0], "payload": [bytes(srt)]}) \
+        .to_parquet(root / "chunk_0.parquet")
+    pd.DataFrame({"media_id": [1, 2],
+                  "payload": [bytes(mkv), b"not subtitles \x00"]}) \
+        .to_parquet(root / "chunk_1.parquet")
+
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1).parquet(str(root))
+    )
+    q = (
+        extract_subtitle_cues(stream)
+        .writeStream.format("memory").queryName("subs_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM subs_stream").toPandas() \
+        .sort_values(["media_id", "cue_index"]).reset_index(drop=True)
+    batch = extract_subtitle_cues(spark.read.parquet(str(root))) \
+        .toPandas().sort_values(["media_id", "cue_index"]) \
+        .reset_index(drop=True)
+    assert got.equals(batch)
+    assert [tuple(r) for r in got.itertuples(index=False)] == [
+        (0, "srt", 1, 0, 1000, "first"),
+        (0, "srt", 2, 1500, 2500, "second"),
+        (1, "mkv", 1, 0, 2000, "muxed cue"),
+    ]
