@@ -738,9 +738,15 @@ _MKV_TAG_STRING = 0x4487
 _MKV_KEYMAP = {"date_released": "date", "description": "description"}
 
 
-def _matroska_simple_tag(data: bytes, s: int, e: int, out: list) -> None:
+def _matroska_simple_tag(
+    data: bytes, s: int, e: int, out: list, depth: int = 0,
+) -> None:
     from sed_binning_spark.pipeline.webm import _iter_elements
 
+    if depth > 16:
+        # each EBML level costs ≥ 2 header bytes, so a crafted payload
+        # could nest ~len/2 deep — bound it before the recursion does
+        raise ValueError("SimpleTag nesting deeper than 16 levels")
     name = value = None
     nested = []
     for eid, s2, e2 in _iter_elements(data, s, e):
@@ -754,7 +760,7 @@ def _matroska_simple_tag(data: bytes, s: int, e: int, out: list) -> None:
         key = name.lower()
         out.append((_MKV_KEYMAP.get(key, key), value))
     for s2, e2 in nested:  # spec: SimpleTags nest (e.g. part numbers)
-        _matroska_simple_tag(data, s2, e2, out)
+        _matroska_simple_tag(data, s2, e2, out, depth + 1)
 
 
 def _matroska_tags(data: bytes) -> list[tuple[str, str]]:

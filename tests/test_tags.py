@@ -603,3 +603,95 @@ def test_extract_media_tags_operator(spark):
         (0, "mp3", "title", "Song A"),
         (1, "mp4", "title", "Vid B"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# contract fuzz: a corrupted payload must either parse or raise a
+# _DECODE_ERRORS type — anything else would escape extract_media_tags'
+# per-payload catch and kill the whole Arrow batch
+
+
+def _fuzz_contract(blob: bytes, parse):
+    from sed_binning_spark.pipeline.multimodal import _DECODE_ERRORS
+
+    for at in range(len(blob)):
+        for flip in (0xFF, 0x80, 0x01):
+            mutated = bytearray(blob)
+            mutated[at] ^= flip
+            try:
+                parse(bytes(mutated))
+            except _DECODE_ERRORS:
+                pass  # the documented failure surface
+
+
+def test_fuzz_tag_containers_raise_only_decode_errors():
+    from sed_binning_spark.pipeline.flac import encode_flac
+    from sed_binning_spark.pipeline.multimodal import (
+        encode_audio_wav, encode_image_png, encode_webp_header,
+    )
+    from sed_binning_spark.pipeline.tags import (
+        add_flac_vorbis_comments, add_matroska_tags, add_png_text,
+        add_riff_info, add_webp_exif, encode_tiff_exif,
+    )
+    from sed_binning_spark.pipeline.webm import encode_webm
+
+    blobs = [
+        encode_id3v2([("TIT2", "T"), ("TXXX:d", "v")], version=3),
+        encode_id3v2([("TIT2", "T")], version=4),
+        add_flac_vorbis_comments(
+            encode_flac(np.zeros((4096, 1), np.int16), 8000),
+            [("title", "x")],
+        )[:256],  # tag blocks live in the head; frames have their own fuzz
+        encode_mp4_tags_fixture([(b"\xa9nam", "T")]),
+        add_riff_info(
+            encode_audio_wav(np.zeros((8, 1), np.int16), 8000),
+            [(b"INAM", "T")],
+        ),
+        add_png_text(
+            encode_image_png(np.zeros((2, 2, 3), np.uint8)),
+            [("Title", "T", "tEXt"), ("C", "z", "zTXt")],
+        ),
+        add_matroska_tags(
+            encode_webm([b"x"], [0]), [("title", "T")], title="S",
+        ),
+        add_webp_exif(
+            encode_webp_header(8, 8, variant="vp8x"),
+            encode_tiff_exif([(0x010F, "M")]),
+        ),
+    ]
+    from sed_binning_spark.pipeline.tags import parse_media_tags as p
+
+    for blob in blobs:
+        _fuzz_contract(blob, p)
+
+
+def test_fuzz_jpeg_exif_raises_only_decode_errors():
+    from sed_binning_spark.pipeline.tags import (
+        add_jpeg_metadata, encode_tiff_exif, user_comment,
+    )
+
+    # the Exif + COM head only — the JPEG body has its own codec fuzz
+    head = add_jpeg_metadata(
+        b"\xff\xd8\xff\xd9",
+        exif=encode_tiff_exif(
+            [(0x010F, "M"), (0x0112, 3)],
+            exif=[(0x9286, user_comment("c"))],
+        ),
+        comment="com",
+    )
+    _fuzz_contract(head, parse_media_tags)
+
+
+def test_fuzz_subtitles_raise_only_decode_errors():
+    from sed_binning_spark.pipeline.subtitles import (
+        encode_matroska_subtitles, encode_srt, encode_webvtt,
+        parse_subtitles,
+    )
+
+    for blob in [
+        encode_srt([(0, 1000, "first"), (1500, 2500, "second")]),
+        encode_webvtt([(0, 1000, "vtt cue")], note="n",
+                      identifiers=True, settings="align:start"),
+        encode_matroska_subtitles([(0, 2000, "muxed")]),
+    ]:
+        _fuzz_contract(blob, parse_subtitles)
