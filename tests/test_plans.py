@@ -363,3 +363,20 @@ def test_sample_frames_is_one_python_stage_no_shuffle(spark):
     # source scan line naming every relation column doesn't count
     proj = next(ln for ln in plan.splitlines() if "Project [" in ln)
     assert "other" not in proj, plan
+
+
+def test_tag_and_subtitle_mining_are_one_python_stage_no_shuffle(spark):
+    """extract_media_tags / extract_subtitle_cues are ONE MapInPandas
+    over (id, payload) each — no shuffle, no driver collect, no second
+    Python boundary: tag mining rides a corpus scan for free."""
+    from sed_binning_spark.pipeline.subtitles import extract_subtitle_cues
+    from sed_binning_spark.pipeline.tags import extract_media_tags
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"ID3"), "x")],
+        "media_id long, payload binary, other string",
+    )
+    for op in (extract_media_tags, extract_subtitle_cues):
+        plan = plan_of(op(media))
+        assert plan.count("MapInPandas") == 1, plan
+        assert "Exchange" not in plan, plan
