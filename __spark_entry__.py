@@ -2965,7 +2965,21 @@ def _q_multimodal(spark, sf):
         (-F.col("media_id") - 1).cast("long").alias("media_id"),
         "payload",
     )
-    sub_leg = extract_subtitle_cues(sub_media).select(
+    # the MUXED subtitle shapes ride the same subset at the disjoint
+    # media_id = -doc_id - 1001 space: WebVTT-in-MP4 (wvtt, ISO
+    # 14496-30) for doc_id % 10 == 3, 3GPP tx3g for % 10 == 8 — the
+    # real sample-table walk + cue-box/length-prefix parse, expected
+    # rows frozen from the fixture cues (see _mp4_subs_fixture)
+    wv_blob, tx_blob, _sub_expected = _mp4_subs_fixture()
+    mp4_sub_media = docs.where(did % 5 == 3).select(
+        (-did - 1001).cast("long").alias("media_id"),
+        F.when(did % 10 == 3, F.lit(bytearray(wv_blob)))
+        .otherwise(F.lit(bytearray(tx_blob))).alias("payload"),
+    )
+    sub_all = extract_subtitle_cues(
+        sub_media.unionByName(mp4_sub_media),
+    )
+    sub_leg = sub_all.select(
         "media_id",
         F.octet_length("text").cast("bigint").alias("n_bytes"),
         F.concat(
@@ -4466,6 +4480,31 @@ def _tags_oracle_sql() -> str:
     )
 
 
+_MP4_SUBS_FIXTURES = None
+
+
+def _mp4_subs_fixture():
+    """Plan-time MUXED-subtitle fixtures: one WebVTT-in-MP4 (wvtt) and
+    one 3GPP (tx3g) track with the SAME two cues and a leading gap
+    sample the walk must time over without emitting. Expected rows are
+    declared from the fixture cues (the builder and parser are inverse
+    implementations). Returns (wvtt_blob, tx3g_blob, expected) with
+    expected = [(cue_index, start_ms, end_ms, text), ...]."""
+    global _MP4_SUBS_FIXTURES
+    if _MP4_SUBS_FIXTURES is None:
+        from sed_binning_spark.pipeline.subtitles import (
+            encode_mp4_subtitles,
+        )
+
+        cues = [(250, 2000, "muxed cue öne"), (2750, 4500, "muxed two")]
+        _MP4_SUBS_FIXTURES = (
+            encode_mp4_subtitles(cues, sample_type=b"wvtt"),
+            encode_mp4_subtitles(cues, sample_type=b"tx3g"),
+            [(i + 1, s, e, t) for i, (s, e, t) in enumerate(cues)],
+        )
+    return _MP4_SUBS_FIXTURES
+
+
 def _subtitles_oracle_sql() -> str:
     """DuckDB twin of the subtitle-cue leg: regenerate both cues'
     timing from the synthesizer's closed forms (start1 = (id%10)·500,
@@ -4491,6 +4530,24 @@ def _subtitles_oracle_sql() -> str:
         f"fmt || ':2@' || CAST(e1 + 500 AS VARCHAR) || '-' || "
         f"CAST(e1 + 2250 AS VARCHAR) || '=' || substr(md5(text), 17, 16) "
         f"FROM ({base})"
+        + _mp4_subs_oracle_sql()
+    )
+
+
+def _mp4_subs_oracle_sql() -> str:
+    """The muxed-subtitle rows: the same expected cue literals for both
+    container variants (the format column is 'mp4' either way)."""
+    _, _, expected = _mp4_subs_fixture()
+    rows = ", ".join(
+        f"({i}, {len(t.encode('utf-8'))}, "
+        f"'mp4:{i}@{s}-{e}={t}')".replace(t, t.replace("'", "''"))
+        for i, s, e, t in expected
+    )
+    return (
+        f" UNION ALL SELECT CAST(-d.doc_id - 1001 AS BIGINT), "
+        f"CAST(t.nb AS BIGINT), t.fc "
+        f"FROM documents d, (VALUES {rows}) AS t(i, nb, fc) "
+        f"WHERE d.doc_id % 5 = 3"
     )
 
 

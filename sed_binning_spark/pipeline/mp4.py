@@ -863,8 +863,22 @@ def _stsd_box(
     sample_type: bytes, width: int, height: int,
     handler: bytes = b"vide", channels: int = 2, sample_rate: int = 48000,
 ) -> bytes:
-    """stsd with one Visual- or AudioSampleEntry — shared by both
-    fixture writers so the entry layouts cannot drift between them."""
+    """stsd with one Visual-, Audio-, or subtitle SampleEntry — shared
+    by the fixture writers so the entry layouts cannot drift between
+    them."""
+    if handler in (b"text", b"sbtl", b"subt"):
+        if sample_type == b"wvtt":
+            # WVTTSampleEntry (ISO 14496-30): a vttC config box with
+            # the WebVTT file header
+            conf = _box(b"vttC", b"WEBVTT\n")
+        else:
+            # tx3g TextSampleEntry (3GPP TS 26.245): displayFlags,
+            # justification, background color, default text box,
+            # default style record — all zero is legal
+            conf = b"\x00" * 30
+        entry = (struct.pack(">I4s6xH", 16 + len(conf), sample_type, 1)
+                 + conf)
+        return _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
     if handler == b"soun":
         entry = (
             struct.pack(">I4s6xH", 36, sample_type, 1)  # size/type/dref
@@ -896,8 +910,12 @@ def _moov_box(
     dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(
         b"url ", 0, 1, b"",
     ))
-    mhd = (_full(b"vmhd", 0, 1, b"\x00" * 8) if handler == b"vide"
-           else _full(b"smhd", 0, 0, b"\x00" * 4))
+    if handler == b"vide":
+        mhd = _full(b"vmhd", 0, 1, b"\x00" * 8)
+    elif handler == b"soun":
+        mhd = _full(b"smhd", 0, 0, b"\x00" * 4)
+    else:  # subtitle/text tracks take the null media header
+        mhd = _full(b"nmhd", 0, 0, b"")
     minf = _box(b"minf", mhd + _box(b"dinf", dref) + stbl)
     hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + handler + b"\x00" * 12
                  + b"MediaHandler\x00")

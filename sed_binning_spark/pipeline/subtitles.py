@@ -253,13 +253,85 @@ def parse_matroska_subtitles(
     return cues
 
 
+def parse_mp4_subtitles(data: bytes) -> list[tuple[int, int, int, str]]:
+    """``(index, start_ms, end_ms, text)`` cues of an MP4 subtitle
+    track — WebVTT-in-MP4 (ISO 14496-30 ``wvtt``: each sample carries
+    ``vttc`` cue boxes with ``payl`` text; ``vtte`` marks an explicit
+    gap) or 3GPP timed text (``tx3g``: a 2-byte length + UTF-8 text
+    per sample, zero length = gap), under a ``text``/``sbtl``/``subt``
+    handler. Timing is the track's own stts walk; cue end = start +
+    sample duration (the ISO model: a subtitle sample spans its
+    duration)."""
+    from sed_binning_spark.pipeline.mp4 import (
+        _all_sample_rows,
+        _find,
+        _iter_boxes,
+        _media_tracks,
+    )
+
+    found = None
+    for handler in (b"text", b"sbtl", b"subt"):
+        for sd_type, _a, _b, timescale, tables in _media_tracks(
+                data, handler):
+            found = (sd_type, timescale, tables)
+            break
+        if found:
+            break
+    if found is None:
+        raise ValueError(
+            "MP4 has no subtitle track (text/sbtl/subt handler)",
+        )
+    sd_type, timescale, tables = found
+    cues: list[tuple[int, int, int, str]] = []
+    n = 0
+    if sd_type == b"wvtt":
+        for start, delay, pos, size, _kf in _all_sample_rows(
+                data, tables, timescale, None):
+            for t, s, e in _iter_boxes(data, pos, pos + size):
+                if t == b"vttc":
+                    payl = _find(data, s, e, b"payl")
+                    if payl is None:
+                        raise ValueError(
+                            "WebVTT cue box without its payl text",
+                        )
+                    n += 1
+                    cues.append((
+                        n, start, start + (delay or 0),
+                        data[payl[0] : payl[1]].decode("utf-8"),
+                    ))
+                # vtte: explicit empty sample — no cue
+    elif sd_type == b"tx3g":
+        for start, delay, pos, size, _kf in _all_sample_rows(
+                data, tables, timescale, None):
+            if size < 2:
+                raise ValueError(
+                    "tx3g sample shorter than its 2-byte length field",
+                )
+            ln = int.from_bytes(data[pos : pos + 2], "big")
+            if 2 + ln > size:
+                raise ValueError("tx3g text overruns its sample")
+            if ln:
+                n += 1
+                cues.append((
+                    n, start, start + (delay or 0),
+                    data[pos + 2 : pos + 2 + ln].decode("utf-8"),
+                ))
+    else:
+        raise ValueError(
+            f"subtitle sample entry {sd_type!r} is not wvtt/tx3g",
+        )
+    return cues
+
+
 def parse_subtitles(data: bytes) -> dict:
     """``{"format": str, "cues": [(index, start_ms, end_ms, text),
     ...]}`` of a subtitle payload, dispatched on its magic: WebVTT
-    signature → "vtt", EBML magic → "mkv" (S_TEXT/UTF8 track), else
-    SubRip → "srt"."""
+    signature → "vtt", EBML magic → "mkv" (S_TEXT/UTF8 track), ISO
+    BMFF → "mp4" (wvtt/tx3g track), else SubRip → "srt"."""
     if data[:4] == b"\x1aE\xdf\xa3":
         return {"format": "mkv", "cues": parse_matroska_subtitles(data)}
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return {"format": "mp4", "cues": parse_mp4_subtitles(data)}
     text = data.decode("utf-8")
     if text.lstrip("﻿").startswith("WEBVTT"):
         return {"format": "vtt", "cues": parse_webvtt(text)}
@@ -407,6 +479,42 @@ def encode_webvtt(
             else f"{timing}\n{text}"
         parts.append(cue)
     return ("\n\n".join(parts) + "\n").encode("utf-8")
+
+
+def encode_mp4_subtitles(
+    cues: list[tuple[int, int, str]],
+    sample_type: bytes = b"wvtt",
+    timescale: int = 1000,
+) -> bytes:
+    """An MP4 with one subtitle track from ``(start_ms, end_ms, text)``
+    cues (non-overlapping, ascending): wvtt samples are ``vttc(payl)``
+    boxes with ``vtte`` gap fillers; tx3g samples are 2-byte-length
+    text with zero-length gap fillers."""
+    from sed_binning_spark.pipeline.mp4 import _box, encode_mp4_mjpeg
+
+    if sample_type not in (b"wvtt", b"tx3g"):
+        raise ValueError("fixture supports wvtt / tx3g sample entries")
+    samples, delays = [], []
+    t = 0
+    for start, end, text in cues:
+        if start < t or end < start:
+            raise ValueError("fixture cues must be ascending and "
+                             "non-overlapping")
+        raw = text.encode("utf-8")
+        if start > t:  # explicit gap sample
+            samples.append(_box(b"vtte", b"")
+                           if sample_type == b"wvtt" else b"\x00\x00")
+            delays.append(start - t)
+        if sample_type == b"wvtt":
+            samples.append(_box(b"vttc", _box(b"payl", raw)))
+        else:
+            samples.append(len(raw).to_bytes(2, "big") + raw)
+        delays.append(end - start)
+        t = end
+    return encode_mp4_mjpeg(
+        samples, delays, timescale=timescale,
+        sample_type=sample_type, handler=b"text",
+    )
 
 
 def encode_matroska_subtitles(

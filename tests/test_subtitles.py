@@ -140,3 +140,52 @@ def test_operator_degrades_bad_payloads(spark):
     )
     rows = extract_subtitle_cues(df).collect()
     assert [(r.media_id, r.text) for r in rows] == [(0, "good")]
+
+
+# ---------------------------------------------------------------------------
+# MP4 subtitle tracks (wvtt / tx3g)
+
+
+@pytest.mark.parametrize("sample_type", [b"wvtt", b"tx3g"])
+def test_mp4_subtitles_round_trip_with_gap(sample_type):
+    from sed_binning_spark.pipeline.subtitles import encode_mp4_subtitles
+
+    mp4 = encode_mp4_subtitles(
+        [(0, 2000, "first cue"), (2500, 4000, "secönd cue")],
+        sample_type=sample_type,
+    )
+    assert parse_subtitles(mp4) == {"format": "mp4", "cues": [
+        (1, 0, 2000, "first cue"), (2, 2500, 4000, "secönd cue"),
+    ]}
+
+
+def test_mp4_subtitles_without_track_raises():
+    from sed_binning_spark.pipeline.mp4 import encode_mp4_mjpeg
+    from sed_binning_spark.pipeline.subtitles import parse_mp4_subtitles
+
+    video = encode_mp4_mjpeg([b"\xff\xd8 fake"], delays_ms=[40])
+    with pytest.raises(ValueError, match="no subtitle track"):
+        parse_mp4_subtitles(video)
+
+
+def test_mp4_subtitles_overlapping_fixture_refuses():
+    from sed_binning_spark.pipeline.subtitles import encode_mp4_subtitles
+
+    with pytest.raises(ValueError, match="non-overlapping"):
+        encode_mp4_subtitles([(0, 2000, "a"), (1000, 3000, "b")])
+
+
+def test_fuzz_mp4_subtitles_raise_only_decode_errors():
+    from sed_binning_spark.pipeline.multimodal import _DECODE_ERRORS
+    from sed_binning_spark.pipeline.subtitles import encode_mp4_subtitles
+
+    for st in (b"wvtt", b"tx3g"):
+        blob = encode_mp4_subtitles([(0, 500, "cue")], sample_type=st)
+        for at in range(len(blob)):
+            for flip in (0xFF, 0x01):
+                mutated = bytearray(blob)
+                mutated[at] ^= flip
+                try:
+                    parse_subtitles(bytes(mutated))
+                except _DECODE_ERRORS:
+                    pass
