@@ -2965,14 +2965,15 @@ def _q_multimodal(spark, sf):
         (-F.col("media_id") - 1).cast("long").alias("media_id"),
         "payload",
     )
-    # the MUXED subtitle shapes ride the same subset at the disjoint
-    # media_id = -doc_id - 1001 space: WebVTT-in-MP4 (wvtt, ISO
-    # 14496-30) for doc_id % 10 == 3, 3GPP tx3g for % 10 == 8 — the
-    # real sample-table walk + cue-box/length-prefix parse, expected
-    # rows frozen from the fixture cues (see _mp4_subs_fixture)
+    # the MUXED subtitle shapes ride the same subset at media_id =
+    # -doc_id - 1e9 (disjoint from every -doc_id-1 leg for any corpus
+    # under a billion docs): WebVTT-in-MP4 (wvtt, ISO 14496-30) for
+    # doc_id % 10 == 3, 3GPP tx3g for % 10 == 8 — the real
+    # sample-table walk + cue-box/length-prefix parse, expected rows
+    # frozen from the fixture cues (see _mp4_subs_fixture)
     wv_blob, tx_blob, _sub_expected = _mp4_subs_fixture()
     mp4_sub_media = docs.where(did % 5 == 3).select(
-        (-did - 1001).cast("long").alias("media_id"),
+        (-did - 1_000_000_000).cast("long").alias("media_id"),
         F.when(did % 10 == 3, F.lit(bytearray(wv_blob)))
         .otherwise(F.lit(bytearray(tx_blob))).alias("payload"),
     )
@@ -4540,11 +4541,11 @@ def _mp4_subs_oracle_sql() -> str:
     _, _, expected = _mp4_subs_fixture()
     rows = ", ".join(
         f"({i}, {len(t.encode('utf-8'))}, "
-        f"'mp4:{i}@{s}-{e}={t}')".replace(t, t.replace("'", "''"))
+        f"'mp4:{i}@{s}-{e}={t.replace(chr(39), chr(39) * 2)}')"
         for i, s, e, t in expected
     )
     return (
-        f" UNION ALL SELECT CAST(-d.doc_id - 1001 AS BIGINT), "
+        f" UNION ALL SELECT CAST(-d.doc_id - 1000000000 AS BIGINT), "
         f"CAST(t.nb AS BIGINT), t.fc "
         f"FROM documents d, (VALUES {rows}) AS t(i, nb, fc) "
         f"WHERE d.doc_id % 5 = 3"

@@ -118,7 +118,11 @@ def parse_webvtt(text: str) -> list[tuple[int, int, int, str]]:
     for block in blocks[1:] if blocks and blocks[0][0].startswith(
             "WEBVTT") else blocks:
         head = block[0].strip()
-        if head.startswith(("NOTE", "STYLE", "REGION")):
+        # a comment/metadata block is the KEYWORD alone or followed by
+        # whitespace — 'NOTEworthy' is a legal cue identifier, not a
+        # comment (WebVTT § comment block syntax)
+        kw = head.split(None, 1)[0] if head else ""
+        if kw in ("NOTE", "STYLE", "REGION"):
             continue
         if "-->" in block[0]:
             timing, text_lines = block[0], block[1:]
@@ -158,7 +162,6 @@ def parse_matroska_subtitles(
         _TRACKS,
         EBML_MAGIC,
         _iter_elements,
-        _read_svint,
         _read_uint_vint,
         _uint,
     )
@@ -175,6 +178,7 @@ def parse_matroska_subtitles(
         raise ValueError("EBML stream has no Segment")
     scale_ns = 1_000_000
     sub_track = None
+    skipped_codecs: list[str] = []
     cues: list[tuple[int, int, int, str]] = []
     n = 0
 
@@ -221,13 +225,14 @@ def parse_matroska_subtitles(
                         ttype = _uint(data, s3, e3)
                     elif i3 == _CODEC_ID:
                         codec = data[s3:e3].decode("ascii", "replace")
-                if ttype == 0x11 and sub_track is None:
-                    if codec != "S_TEXT/UTF8":
-                        raise ValueError(
-                            f"subtitle codec {codec!r} is not the "
-                            f"plain-text S_TEXT/UTF8 form",
-                        )
-                    sub_track = num
+                if ttype == 0x11:
+                    # first PLAIN-TEXT subtitle track wins; styled
+                    # forms (S_TEXT/ASS, ...) are skipped — dual-mux
+                    # files routinely carry both
+                    if codec == "S_TEXT/UTF8" and sub_track is None:
+                        sub_track = num
+                    elif codec != "S_TEXT/UTF8":
+                        skipped_codecs.append(codec)
         elif eid == _CLUSTER:
             if sub_track is None:
                 continue
@@ -248,6 +253,11 @@ def parse_matroska_subtitles(
                     if blk is not None:
                         _one_block(*blk, cluster_ts, dur)
     if sub_track is None:
+        if skipped_codecs:
+            raise ValueError(
+                f"Matroska subtitle track(s) {skipped_codecs} are not "
+                f"the plain-text S_TEXT/UTF8 form",
+            )
         raise ValueError("Matroska stream has no S_TEXT/UTF8 "
                          "subtitle track")
     return cues

@@ -188,7 +188,7 @@ def parse_id3v2(data: bytes) -> tuple[list[tuple[str, str]], int]:
         fid = body[pos : pos + 4]
         if fid[0] == 0:  # zero padding ends the frame region
             break
-        if not all(0x30 <= b <= 0x5A for b in fid):
+        if not all(0x30 <= b <= 0x39 or 0x41 <= b <= 0x5A for b in fid):
             raise ValueError(f"ID3v2 frame id {fid!r} is not A-Z0-9")
         if major == 4:
             fsize = _syncsafe(body[pos + 4 : pos + 8])
@@ -583,6 +583,12 @@ def _jpeg_tags(data: bytes) -> list[tuple[str, str]]:
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker walk lost sync")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code (the repo's image decoder accepts them too)
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            break
         marker = data[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2

@@ -189,3 +189,58 @@ def test_fuzz_mp4_subtitles_raise_only_decode_errors():
                     parse_subtitles(bytes(mutated))
                 except _DECODE_ERRORS:
                     pass
+
+
+def test_webvtt_noteworthy_identifier_is_a_cue():
+    # 'NOTEworthy' is a legal cue identifier, not a comment — only the
+    # whole-word NOTE/STYLE/REGION keywords open non-cue blocks
+    assert parse_webvtt(
+        "WEBVTT\n\nNOTEworthy\n00:00:01.000 --> 00:00:02.000\ntext",
+    ) == [(1, 1000, 2000, "text")]
+
+
+def test_matroska_skips_styled_track_for_the_utf8_one():
+    # dual-mux files routinely carry a styled track (S_TEXT/ASS) next
+    # to the plain-text one — the walk must pick the UTF8 track
+    from sed_binning_spark.pipeline.webm import (
+        _BLOCK, _BLOCK_DURATION, _BLOCK_GROUP, _CLUSTER,
+        _CLUSTER_TIMESTAMP, _CODEC_ID, _INFO, _SEGMENT,
+        _TIMESTAMP_SCALE, _TRACK_ENTRY, _TRACK_NUMBER, _TRACK_TYPE,
+        _TRACKS, _elem, _uint_elem,
+    )
+
+    def track(num, codec):
+        return _elem(_TRACK_ENTRY, (
+            _uint_elem(_TRACK_NUMBER, num)
+            + _uint_elem(_TRACK_TYPE, 0x11)
+            + _elem(_CODEC_ID, codec)
+        ))
+
+    header = _elem(0x1A45DFA3, b"")
+    info = _elem(_INFO, _uint_elem(_TIMESTAMP_SCALE, 1_000_000))
+    tracks = _elem(_TRACKS, track(9, b"S_TEXT/ASS")
+                   + track(1, b"S_TEXT/UTF8"))
+    group = _elem(_BLOCK_GROUP, _elem(
+        _BLOCK, b"\x81\x00\x00\x00" + b"plain cue",
+    ) + _uint_elem(_BLOCK_DURATION, 1000))
+    cluster = _elem(_CLUSTER, _uint_elem(_CLUSTER_TIMESTAMP, 0) + group)
+    dual = header + _elem(_SEGMENT, info + tracks + cluster)
+    assert parse_matroska_subtitles(dual) == [(1, 0, 1000, "plain cue")]
+
+
+def test_matroska_styled_only_raises_naming_the_codec():
+    from sed_binning_spark.pipeline.webm import (
+        _CODEC_ID, _INFO, _SEGMENT, _TIMESTAMP_SCALE, _TRACK_ENTRY,
+        _TRACK_NUMBER, _TRACK_TYPE, _TRACKS, _elem, _uint_elem,
+    )
+
+    header = _elem(0x1A45DFA3, b"")
+    info = _elem(_INFO, _uint_elem(_TIMESTAMP_SCALE, 1_000_000))
+    ass = _elem(_TRACK_ENTRY, (
+        _uint_elem(_TRACK_NUMBER, 1)
+        + _uint_elem(_TRACK_TYPE, 0x11)
+        + _elem(_CODEC_ID, b"S_TEXT/ASS")
+    ))
+    blob = header + _elem(_SEGMENT, info + _elem(_TRACKS, ass))
+    with pytest.raises(ValueError, match="S_TEXT/ASS"):
+        parse_matroska_subtitles(blob)

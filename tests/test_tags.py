@@ -695,3 +695,21 @@ def test_fuzz_subtitles_raise_only_decode_errors():
         encode_matroska_subtitles([(0, 2000, "muxed")]),
     ]:
         _fuzz_contract(blob, parse_subtitles)
+
+
+def test_jpeg_fill_bytes_before_markers_are_skipped():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    raw = "fill comment".encode()
+    com = b"\xff\xff\xff\xfe" + (len(raw) + 2).to_bytes(2, "big") + raw
+    assert parse_media_tags(b"\xff\xd8" + com + b"\xff\xd9") == {
+        "container": "jpeg", "tags": [("comment", "fill comment")],
+    }
+
+
+def test_id3v2_punctuation_frame_id_rejected():
+    # 0x3A-0x40 (':;<=>?@') sits between '9' and 'A' — not a frame id
+    frame = b"T=:@" + (3).to_bytes(4, "big") + b"\x00\x00" + b"\x00hi"
+    blob = b"ID3\x03\x00\x00" + bytes(
+        [0, 0, len(frame) >> 7, len(frame) & 0x7F]) + frame
+    with pytest.raises(ValueError, match="A-Z0-9"):
+        parse_id3v2(blob)
