@@ -210,6 +210,33 @@ def main() -> None:
         .agg(F.sum("start_ms")).collect(),
     )
 
+    # round-14: metadata mining — every doc becomes an expression-built
+    # ID3v2.3-tagged payload (one TIT2 frame of the 32-char md5 hex, so
+    # every byte but the digest is a literal) through the real tag walk,
+    # and a two-cue SubRip/WebVTT document through the cue parser
+    from sed_binning_spark.pipeline.subtitles import (
+        extract_subtitle_cues,
+        synthesize_subtitle_media_from_text,
+    )
+    from sed_binning_spark.pipeline.tags import extract_media_tags
+
+    id3_media = docs.where(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.lit(b"ID3\x03\x00\x00\x00\x00\x00\x2b"
+                  b"TIT2\x00\x00\x00\x21\x00\x00\x00"),
+            F.encode(F.md5("text"), "UTF-8"),
+        ).alias("payload"),
+    )
+    extras["media_tags"] = _timeit(
+        lambda: extract_media_tags(id3_media).count(),
+    )
+    subs = synthesize_subtitle_media_from_text(docs)
+    extras["subtitle_cues"] = _timeit(
+        lambda: extract_subtitle_cues(subs)
+        .agg(F.sum("start_ms")).collect(),
+    )
+
     extras["quality_classifier"] = _timeit(
         lambda: quality_classifier_apply(
             docs,
