@@ -2638,6 +2638,7 @@ def _tags_fixture():
             ("TIT2", "Spark Title"), ("TPE1", "Ärtïst Ünïon"),
             ("TXXX:mood", "calm"), ("COMM:note", "a tiny comment"),
             ("USLT:l", "la la lyrics"), ("TCON", "Electronic"),
+            ("APIC", "image/png"),
         ], version=3) + mp3_audio)
         expected.append([
             ("mp3", "title", "Spark Title"),
@@ -2646,6 +2647,7 @@ def _tags_fixture():
             ("mp3", "comment", "a tiny comment"),
             ("mp3", "lyrics", "la la lyrics"),
             ("mp3", "genre", "Electronic"),
+            ("mp3", "artwork", "image/png"),
         ])
 
         # v1 — ID3v2.4: UTF-8 text, syncsafe frame sizes, TDRC date
@@ -2674,29 +2676,41 @@ def _tags_fixture():
         ])
 
         # v3 — FLAC VORBIS_COMMENT metadata block (RFC 9639 §8.6)
+        from sed_binning_spark.pipeline.tags import (
+            add_flac_picture,
+            encode_flac_picture_block,
+        )
+
         flac = encode_flac(
             np.arange(0, 4096, dtype=np.int16).reshape(-1, 1), 8000,
         )
-        blobs.append(add_flac_vorbis_comments(flac, [
-            ("title", "Flac Träck"), ("artist", "Nobody Ensemble"),
-            ("album", "Lossless Hours"),
-        ]))
+        blobs.append(add_flac_picture(
+            add_flac_vorbis_comments(flac, [
+                ("title", "Flac Träck"), ("artist", "Nobody Ensemble"),
+                ("album", "Lossless Hours"),
+            ]),
+            encode_flac_picture_block(
+                mime="image/png", width=8, height=6,
+            ),
+        ))
         expected.append([
             ("flac", "title", "Flac Träck"),
             ("flac", "artist", "Nobody Ensemble"),
             ("flac", "album", "Lossless Hours"),
+            ("flac", "artwork", "image/png 8x6"),
         ])
 
         # v4 — MP4 ilst (©nam family + caption-grade ©cmt/©lyr)
         blobs.append(encode_mp4_tags_fixture([
             (b"\xa9nam", "Vid Title"), (b"\xa9ART", "Vid Artist"),
             (b"\xa9cmt", "caption here"), (b"\xa9lyr", "all the words"),
-        ]))
+        ], artwork=b"\xff\xd8fake", artwork_type=13))
         expected.append([
             ("mp4", "title", "Vid Title"),
             ("mp4", "artist", "Vid Artist"),
             ("mp4", "comment", "caption here"),
             ("mp4", "lyrics", "all the words"),
+            ("mp4", "artwork", "image/jpeg"),
         ])
 
         # v5 — RIFF LIST-INFO on a WAV file
@@ -2712,16 +2726,25 @@ def _tags_fixture():
             ("wav", "date", "2024-01-02"),
         ])
 
-        # v6 — Ogg Opus OpusTags packet (RFC 7845 §5.2)
+        # v6 — Ogg Opus OpusTags packet (RFC 7845 §5.2) with the Xiph
+        # base64 METADATA_BLOCK_PICTURE artwork convention
+        import base64 as _b64
+
         blobs.append(encode_ogg_opus(
             [b"\x00" * 10] * 3,
             comment_payload=encode_vorbis_comment_block([
                 ("title", "Opus Träck"), ("comment", "caption text"),
+                ("metadata_block_picture", _b64.b64encode(
+                    encode_flac_picture_block(
+                        mime="image/jpeg", width=32, height=24,
+                    ),
+                ).decode("ascii")),
             ]),
         ))
         expected.append([
             ("ogg", "title", "Opus Träck"),
             ("ogg", "comment", "caption text"),
+            ("ogg", "artwork", "image/jpeg 32x24"),
         ])
 
         # v7 — ID3v2.3 global unsynchronisation: latin-1 0xFF bytes

@@ -237,12 +237,16 @@ def parse_id3v2(data: bytes) -> tuple[list[tuple[str, str]], int]:
             tags.append((
                 "comment" if key == "COMM" else "lyrics", text,
             ))
+        elif key == "APIC":
+            # artwork: report the declared mime, no image decode
+            mime, _, _rest = fbody[1:].partition(b"\x00")
+            tags.append(("artwork", mime.decode("latin-1")))
         elif key.startswith("T"):
             tags.append((
                 _ID3_KEYMAP.get(key, key.lower()),
                 "; ".join(_id3_texts(fbody[0], fbody[1:])),
             ))
-        # non-text frames (APIC artwork, UFID, ...) carry no tag text
+        # other non-text frames (UFID, GEOB, ...) carry no tag text
     return tags, tag_end
 
 
@@ -325,14 +329,49 @@ def parse_vorbis_comments(
         if eq < 1:
             raise ValueError("Vorbis comment entry without KEY=value")
         key = entry[:eq].decode("ascii", "strict").lower()
+        if key == "metadata_block_picture":
+            # the Xiph artwork convention: a base64 FLAC PICTURE block
+            import base64
+            import binascii
+
+            try:
+                blk = base64.b64decode(entry[eq + 1 :], validate=True)
+            except binascii.Error as exc:
+                raise ValueError(
+                    f"METADATA_BLOCK_PICTURE is not base64: {exc}",
+                ) from exc
+            tags.append(_flac_picture(blk))
+            continue
         tags.append((key, entry[eq + 1 :].decode("utf-8")))
     if framing and not (pos < len(buf) and buf[pos] & 0x1):
         raise ValueError("Vorbis comment header without its framing bit")
     return tags
 
 
+def _flac_picture(buf: bytes) -> tuple[str, str]:
+    """``("artwork", "<mime> <w>x<h>")`` of a FLAC PICTURE block body
+    (RFC 9639 §8.8) — the block declares its own dimensions, no image
+    decode needed."""
+    if len(buf) < 8:
+        raise ValueError("FLAC PICTURE block too short for its header")
+    mlen = int.from_bytes(buf[4:8], "big")
+    pos = 8 + mlen
+    if pos + 4 > len(buf):
+        raise ValueError("FLAC PICTURE mime string overruns the block")
+    mime = buf[8:pos].decode("latin-1")
+    dlen = int.from_bytes(buf[pos : pos + 4], "big")
+    pos += 4 + dlen
+    if pos + 16 > len(buf):
+        raise ValueError("FLAC PICTURE description overruns the block")
+    width = int.from_bytes(buf[pos : pos + 4], "big")
+    height = int.from_bytes(buf[pos + 4 : pos + 8], "big")
+    return ("artwork", f"{mime} {width}x{height}")
+
+
 def _flac_tags(data: bytes) -> list[tuple[str, str]]:
     pos, n = 4, len(data)
+    comments: list[tuple[str, str]] = []
+    pictures: list[tuple[str, str]] = []
     while True:
         if pos + 4 > n:
             raise ValueError("FLAC metadata block header truncated")
@@ -342,10 +381,12 @@ def _flac_tags(data: bytes) -> list[tuple[str, str]]:
         if pos + 4 + size > n:
             raise ValueError("FLAC metadata block extends past the file")
         if btype == 4:
-            return parse_vorbis_comments(data[pos + 4 : pos + 4 + size])
+            comments += parse_vorbis_comments(data[pos + 4 : pos + 4 + size])
+        elif btype == 6:
+            pictures.append(_flac_picture(data[pos + 4 : pos + 4 + size]))
         pos += 4 + size
         if last:
-            return []
+            return comments + pictures
 
 
 def _ogg_packets(data: bytes, limit: int):
@@ -434,8 +475,14 @@ def _mp4_tags(data: bytes) -> list[tuple[str, str]]:
         if d is None:
             continue
         _v, dtype = _full_box(data, d[0])
+        if item == b"covr" and dtype in (13, 14):
+            # cover art: the data-atom type indicator names the codec
+            tags.append((
+                "artwork", "image/jpeg" if dtype == 13 else "image/png",
+            ))
+            continue
         if dtype != 1:
-            continue  # not UTF-8 text (artwork, trkn, ...) — no tag text
+            continue  # not UTF-8 text (trkn, binary, ...) — no tag text
         text = data[d[0] + 8 : d[1]].decode("utf-8")
         if item == b"----":
             # the freeform shape: mean/name boxes carry the key
@@ -866,6 +913,15 @@ def encode_id3v2(
         desc = None
         if ":" in fid:
             fid, desc = fid.split(":", 1)
+        if fid == "APIC":
+            # text = the mime; a tiny deterministic payload stands in
+            # for the image (the parser reports the mime, not pixels)
+            fbody = (b"\x00" + text.encode("latin-1") + b"\x00"
+                     + b"\x03\x00" + b"\x89PNGfake")
+            size = (_to_syncsafe(len(fbody)) if version == 4
+                    else len(fbody).to_bytes(4, "big"))
+            body += b"APIC" + size + b"\x00\x00" + fbody
+            continue
         try:
             enc, raw = 0, text.encode("latin-1")
         except UnicodeEncodeError:
@@ -963,9 +1019,47 @@ def add_flac_vorbis_comments(
             + hdr + block + flac[head_end:])
 
 
-def encode_mp4_tags_fixture(tags: list[tuple[bytes, str]]) -> bytes:
+def encode_flac_picture_block(
+    mime: str = "image/png", width: int = 8, height: int = 6,
+    payload: bytes = b"\x89PNGfake",
+) -> bytes:
+    """A FLAC PICTURE block body (RFC 9639 §8.8) with declared
+    dimensions — splice with :func:`add_flac_picture` or base64 it
+    into a ``METADATA_BLOCK_PICTURE`` Vorbis comment."""
+    m = mime.encode("latin-1")
+    return (
+        (3).to_bytes(4, "big")  # picture type: front cover
+        + len(m).to_bytes(4, "big") + m
+        + (0).to_bytes(4, "big")  # empty description
+        + width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + (24).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + len(payload).to_bytes(4, "big") + payload
+    )
+
+
+def add_flac_picture(flac: bytes, block: bytes) -> bytes:
+    """Splice a PICTURE metadata block into a native FLAC stream right
+    after STREAMINFO (last-block flag handled like
+    :func:`add_flac_vorbis_comments`)."""
+    if flac[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    size = int.from_bytes(flac[5:8], "big")
+    head_end = 8 + size
+    last = flac[4] & 0x80
+    hdr = bytes([(0x80 if last else 0) | 6]) + len(block).to_bytes(3, "big")
+    return (flac[:4] + bytes([flac[4] & 0x7F]) + flac[5:head_end]
+            + hdr + block + flac[head_end:])
+
+
+def encode_mp4_tags_fixture(
+    tags: list[tuple[bytes, str]],
+    artwork: bytes | None = None,
+    artwork_type: int = 13,
+) -> bytes:
     """A minimal tag-bearing MP4: ftyp + moov(mvhd + udta(meta(hdlr +
-    ilst))) with one UTF-8 ``data`` atom per ``(item_4cc, text)``."""
+    ilst))) with one UTF-8 ``data`` atom per ``(item_4cc, text)``;
+    ``artwork`` adds a ``covr`` data atom of the given type indicator
+    (13 = JPEG, 14 = PNG)."""
     def box(btype: bytes, payload: bytes) -> bytes:
         return (8 + len(payload)).to_bytes(4, "big") + btype + payload
 
@@ -974,6 +1068,11 @@ def encode_mp4_tags_fixture(tags: list[tuple[bytes, str]]) -> bytes:
         raw = text.encode("utf-8")
         items += box(item, box(
             b"data", (1).to_bytes(4, "big") + b"\x00" * 4 + raw))
+    if artwork is not None:
+        items += box(b"covr", box(
+            b"data",
+            artwork_type.to_bytes(4, "big") + b"\x00" * 4 + artwork,
+        ))
     meta = box(b"meta", b"\x00" * 4 + box(
         b"hdlr", b"\x00" * 8 + b"mdir" + b"\x00" * 10,
     ) + box(b"ilst", items))

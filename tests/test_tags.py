@@ -713,3 +713,67 @@ def test_id3v2_punctuation_frame_id_rejected():
         [0, 0, len(frame) >> 7, len(frame) & 0x7F]) + frame
     with pytest.raises(ValueError, match="A-Z0-9"):
         parse_id3v2(blob)
+
+
+# ---------------------------------------------------------------------------
+# cover art: APIC / FLAC PICTURE / METADATA_BLOCK_PICTURE / MP4 covr
+
+
+def test_id3v2_apic_reports_mime():
+    blob = encode_id3v2(
+        [("TIT2", "T"), ("APIC", "image/png")], version=3,
+    )
+    assert parse_id3v2(blob)[0] == [
+        ("title", "T"), ("artwork", "image/png"),
+    ]
+
+
+def test_flac_picture_block_declares_dims():
+    from sed_binning_spark.pipeline.tags import (
+        add_flac_picture, encode_flac_picture_block,
+    )
+
+    flac = encode_flac(np.zeros((4096, 1), np.int16), 8000)
+    f2 = add_flac_picture(
+        add_flac_vorbis_comments(flac, [("title", "X")]),
+        encode_flac_picture_block(mime="image/png", width=8, height=6),
+    )
+    assert parse_media_tags(f2) == {"container": "flac", "tags": [
+        ("title", "X"), ("artwork", "image/png 8x6"),
+    ]}
+
+
+def test_vorbis_metadata_block_picture():
+    import base64
+
+    from sed_binning_spark.pipeline.tags import encode_flac_picture_block
+
+    b64 = base64.b64encode(encode_flac_picture_block(
+        mime="image/jpeg", width=32, height=24,
+    )).decode()
+    ogg = encode_ogg_opus(
+        [b"\x00" * 10] * 2,
+        comment_payload=encode_vorbis_comment_block(
+            [("title", "O"), ("metadata_block_picture", b64)],
+        ),
+    )
+    assert parse_media_tags(ogg)["tags"] == [
+        ("title", "O"), ("artwork", "image/jpeg 32x24"),
+    ]
+
+
+def test_vorbis_bad_picture_base64_raises():
+    blk = encode_vorbis_comment_block(
+        [("metadata_block_picture", "!!! not base64 !!!")],
+    )
+    with pytest.raises(ValueError, match="not base64"):
+        parse_vorbis_comments(blk)
+
+
+def test_mp4_covr_atom():
+    fixture = encode_mp4_tags_fixture(
+        [(b"\xa9nam", "V")], artwork=b"\x89PNGfake", artwork_type=14,
+    )
+    assert parse_media_tags(fixture)["tags"] == [
+        ("title", "V"), ("artwork", "image/png"),
+    ]
