@@ -113,10 +113,26 @@ def parse_webvtt(text: str) -> list[tuple[int, int, int, str]]:
     if not first.rstrip("\r").startswith("WEBVTT"):
         raise ValueError("WebVTT document does not start with WEBVTT")
     blocks = _blocks(body)
+    todo = blocks
+    if blocks and blocks[0][0].startswith("WEBVTT"):
+        # the header block ends at the first blank line; a wild file
+        # that omits that blank line runs its first cue into the
+        # header block — recover from the first timing line (plus a
+        # preceding identifier line) instead of dropping the cue
+        # silently
+        head = blocks[0]
+        timing_at = next(
+            (i for i, ln in enumerate(head) if i > 0 and "-->" in ln),
+            None,
+        )
+        carried = []
+        if timing_at is not None:
+            from_at = timing_at - 1 if timing_at > 1 else timing_at
+            carried = [head[from_at:]]
+        todo = carried + blocks[1:]
     cues = []
     n = 0
-    for block in blocks[1:] if blocks and blocks[0][0].startswith(
-            "WEBVTT") else blocks:
+    for block in todo:
         head = block[0].strip()
         # a comment/metadata block is the KEYWORD alone or followed by
         # whitespace — 'NOTEworthy' is a legal cue identifier, not a

@@ -244,3 +244,18 @@ def test_matroska_styled_only_raises_naming_the_codec():
     blob = header + _elem(_SEGMENT, info + _elem(_TRACKS, ass))
     with pytest.raises(ValueError, match="S_TEXT/ASS"):
         parse_matroska_subtitles(blob)
+
+
+def test_webvtt_cue_running_into_the_header_is_recovered():
+    # spec-invalid but common: no blank line after the WEBVTT signature
+    assert parse_webvtt(
+        "WEBVTT\n00:00:01.000 --> 00:00:02.000\nfirst",
+    ) == [(1, 1000, 2000, "first")]
+    # identifier + cue both run in; header metadata lines never parse
+    assert parse_webvtt(
+        "WEBVTT\nc1\n00:00:01.000 --> 00:00:02.000\nfirst",
+    ) == [(1, 1000, 2000, "first")]
+    assert parse_webvtt(
+        "WEBVTT\nKind: captions\nLanguage: en\n"
+        "\n00:00:01.000 --> 00:00:02.000\nok",
+    ) == [(1, 1000, 2000, "ok")]
