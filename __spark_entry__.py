@@ -4534,11 +4534,12 @@ def _subtitles_oracle_sql() -> str:
     timing from the synthesizer's closed forms (start1 = (id%10)·500,
     end1 = start1 + 2000 + (id%3)·250, start2 = end1 + 500, end2 =
     start2 + 1750) and the cue text from the same md5 halves; the
-    format alternates srt/vtt on id parity. n_bytes = octet length of
+    format cycles srt/vtt/ass on id % 3. n_bytes = octet length of
     the 16-hex-char cue text = 16."""
     base = (
         "SELECT doc_id, text, "
-        "CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS fmt, "
+        "CASE doc_id % 3 WHEN 0 THEN 'srt' WHEN 1 THEN 'vtt' "
+        "ELSE 'ass' END AS fmt, "
         "(doc_id % 10) * 500 AS s1, "
         "(doc_id % 10) * 500 + 2000 + (doc_id % 3) * 250 AS e1 "
         "FROM documents WHERE doc_id % 5 = 3 AND text IS NOT NULL"

@@ -154,6 +154,75 @@ def parse_webvtt(text: str) -> list[tuple[int, int, int, str]]:
     return cues
 
 
+_ASS_TIME_RE = re.compile(r"(\d+):(\d{1,2}):(\d{1,2})\.(\d{2})$")
+_ASS_OVERRIDE_RE = re.compile(r"\{[^}]*\}")
+
+
+def _ass_time(token: str) -> int:
+    m = _ASS_TIME_RE.match(token.strip())
+    if not m:
+        raise ValueError(f"ASS timestamp {token!r} is not H:MM:SS.cc")
+    h, mm, ss, cc = (int(g) for g in m.groups())
+    if mm >= 60 or ss >= 60:
+        raise ValueError(f"ASS timestamp {token!r} has minutes or "
+                         f"seconds >= 60")
+    return ((h * 60 + mm) * 60 + ss) * 1000 + cc * 10
+
+
+def parse_ass(text: str) -> list[tuple[int, int, int, str]]:
+    """``(index, start_ms, end_ms, text)`` cues of a SubStation Alpha
+    (SSA/ASS) script: the ``[Events]`` section's ``Format:`` line names
+    the fields, ``Dialogue:`` lines carry them comma-separated with
+    the free-text field last. Style override blocks (``{\\...}``) are
+    stripped; ``\\N``/``\\n`` are line breaks and ``\\h`` a hard
+    space — the plain text is what a training pipeline wants."""
+    in_events = False
+    fields: list[str] | None = None
+    cues: list[tuple[int, int, int, str]] = []
+    n = 0
+    for raw_line in text.lstrip("﻿").split("\n"):
+        line = raw_line.rstrip("\r")
+        s = line.strip()
+        if s.startswith("[") and s.endswith("]"):
+            in_events = s.lower() == "[events]"
+            continue
+        if not in_events or not s:
+            continue
+        key, _, rest = line.partition(":")
+        key = key.strip().lower()
+        if key == "format":
+            fields = [f.strip().lower() for f in rest.split(",")]
+        elif key == "dialogue":
+            if fields is None:
+                raise ValueError(
+                    "ASS Dialogue line before the Events Format line",
+                )
+            parts = rest.split(",", len(fields) - 1)
+            if len(parts) != len(fields):
+                raise ValueError(
+                    "ASS Dialogue line has fewer fields than Format "
+                    "declares",
+                )
+            row = dict(zip(fields, parts))
+            if "start" not in row or "end" not in row or "text" not in row:
+                raise ValueError(
+                    "ASS Format line lacks Start/End/Text fields",
+                )
+            start = _ass_time(row["start"])
+            end = _ass_time(row["end"])
+            if end < start:
+                raise ValueError(
+                    f"ASS cue ends at {end} ms before it starts at "
+                    f"{start} ms",
+                )
+            body = _ASS_OVERRIDE_RE.sub("", row["text"])
+            body = body.replace("\\N", "\n").replace("\\n", "\n") \
+                .replace("\\h", " ")
+            n += 1
+            cues.append((n, start, end, body))
+    return cues
+
+
 def parse_matroska_subtitles(
     data: bytes,
 ) -> list[tuple[int, int, int, str]]:
@@ -359,8 +428,11 @@ def parse_subtitles(data: bytes) -> dict:
     if len(data) >= 12 and data[4:8] == b"ftyp":
         return {"format": "mp4", "cues": parse_mp4_subtitles(data)}
     text = data.decode("utf-8")
-    if text.lstrip("﻿").startswith("WEBVTT"):
+    stripped = text.lstrip("﻿")
+    if stripped.startswith("WEBVTT"):
         return {"format": "vtt", "cues": parse_webvtt(text)}
+    if stripped.lower().startswith("[script info]"):
+        return {"format": "ass", "cues": parse_ass(text)}
     return {"format": "srt", "cues": parse_srt(text)}
 
 
@@ -413,16 +485,19 @@ def synthesize_subtitle_media_from_text(
     id_column: str = "doc_id",
 ):
     """Expression-built subtitle fixture: each document becomes a
-    two-cue SubRip (even ids) or WebVTT (odd ids) payload whose cue
-    text is the md5 digest of the document text split in half
-    (16 hex chars each) and whose timing is closed-form in the id —
-    start1 = (id % 10)·500, end1 = start1 + 2000 + (id % 3)·250,
-    start2 = end1 + 500, end2 = start2 + 1750 (all under a minute, so
-    the hour/minute fields are literal zeros). The WebVTT side leads
-    with a NOTE block, a cue identifier on cue 1, and settings after
-    its end time — the grammar the parser must skip/ignore. NULL text
-    maps to a NULL payload. Every cue fact is regenerable by any
-    md5-capable SQL engine; no Python runs in this synthesis."""
+    two-cue SubRip (id % 3 == 0), WebVTT (== 1), or SSA/ASS (== 2)
+    payload whose cue text is the md5 digest of the document text
+    split in half (16 hex chars each) and whose timing is closed-form
+    in the id — start1 = (id % 10)·500, end1 = start1 + 2000 +
+    (id % 3)·250, start2 = end1 + 500, end2 = start2 + 1750 (all
+    under a minute and multiples of 10 ms, so hour/minute fields are
+    literal zeros and the ASS centiseconds are exact). The WebVTT
+    side leads with a NOTE block, a cue identifier on cue 1, and
+    settings after its end time; the ASS side carries a style
+    override block (``{\\an8}``) the parser must strip — grammar the
+    parsers must skip/normalize. NULL text maps to a NULL payload.
+    Every cue fact is regenerable by any md5-capable SQL engine; no
+    Python runs in this synthesis."""
     from pyspark.sql import functions as F
 
     did = F.col(id_column)
@@ -452,9 +527,31 @@ def synthesize_subtitle_media_from_text(
         ts(start2, "."), F.lit(" --> "), ts(end2, "."),
         F.lit("\n"), text2, F.lit("\n"),
     )
+
+    def ats(ms):
+        return F.format_string(
+            "0:00:%02d.%02d",
+            (ms / 1000).cast("int"), ((ms % 1000) / 10).cast("int"),
+        )
+
+    ass = F.concat(
+        F.lit("[Script Info]\nTitle: synthesized fixture\n\n[Events]\n"
+              "Format: Layer, Start, End, Style, Text\n"
+              "Dialogue: 0,"),
+        ats(start1), F.lit(","), ats(end1),
+        F.lit(",Default,{\\an8}"), text1,
+        F.lit("\nDialogue: 0,"),
+        ats(start2), F.lit(","), ats(end2),
+        F.lit(",Default,"), text2, F.lit("\n"),
+    )
     payload = F.when(
         F.col(text_column).isNotNull(),
-        F.encode(F.when(did % 2 == 0, srt).otherwise(vtt), "UTF-8"),
+        F.encode(
+            F.when(did % 3 == 0, srt)
+            .when(did % 3 == 1, vtt)
+            .otherwise(ass),
+            "UTF-8",
+        ),
     )
     return df.select(
         did.cast("long").alias("media_id"),

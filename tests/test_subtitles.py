@@ -109,7 +109,8 @@ def test_matroska_without_subtitle_track_raises():
 
 def test_synthesizer_matches_parser(spark):
     docs = spark.createDataFrame(
-        [(0, "alpha words"), (1, "beta words"), (2, None)],
+        [(0, "alpha words"), (1, "beta words"), (2, "gamma words"),
+         (3, None)],
         "doc_id long, text string",
     )
     media = synthesize_subtitle_media_from_text(docs)
@@ -121,13 +122,17 @@ def test_synthesizer_matches_parser(spark):
 
     h0 = hashlib.md5(b"alpha words").hexdigest()
     h1 = hashlib.md5(b"beta words").hexdigest()
+    h2 = hashlib.md5(b"gamma words").hexdigest()
     # doc 0 (srt): start1 = 0, end1 = 2000, start2 = 2500, end2 = 4250
     # doc 1 (vtt): start1 = 500, end1 = 2750, start2 = 3250, end2 = 5000
+    # doc 2 (ass): start1 = 1000, end1 = 3500, start2 = 4000, end2 = 5750
     assert [tuple(r) for r in rows] == [
         (0, "srt", 1, 0, 2000, h0[:16]),
         (0, "srt", 2, 2500, 4250, h0[16:]),
         (1, "vtt", 1, 500, 2750, h1[:16]),
         (1, "vtt", 2, 3250, 5000, h1[16:]),
+        (2, "ass", 1, 1000, 3500, h2[:16]),
+        (2, "ass", 2, 4000, 5750, h2[16:]),
     ]
 
 
@@ -259,3 +264,48 @@ def test_webvtt_cue_running_into_the_header_is_recovered():
         "WEBVTT\nKind: captions\nLanguage: en\n"
         "\n00:00:01.000 --> 00:00:02.000\nok",
     ) == [(1, 1000, 2000, "ok")]
+
+
+# ---------------------------------------------------------------------------
+# SSA/ASS
+
+
+def test_ass_dialogue_round_trip():
+    from sed_binning_spark.pipeline.subtitles import parse_ass
+
+    doc = (
+        "[Script Info]\nTitle: Fixture\n\n[Events]\n"
+        "Format: Layer, Start, End, Style, Name, MarginL, MarginR, "
+        "MarginV, Effect, Text\n"
+        "Dialogue: 0,0:00:01.50,0:00:03.25,Default,,0,0,0,,"
+        "{\\an8}First line\\NSecond line\n"
+        "Dialogue: 0,0:00:04.00,0:00:05.00,Default,,0,0,0,,"
+        "Hard\\hspace, with comma\n"
+    )
+    assert parse_subtitles(doc.encode()) == {"format": "ass", "cues": [
+        (1, 1500, 3250, "First line\nSecond line"),
+        (2, 4000, 5000, "Hard space, with comma"),
+    ]}
+    # comments and styles sections never parse as dialogue
+    assert parse_ass(doc.replace("[Events]", "[events]")) \
+        == parse_ass(doc)
+
+
+@pytest.mark.parametrize("doc,msg", [
+    ("[Script Info]\n\n[Events]\n"
+     "Dialogue: 0,0:00:01.00,0:00:02.00,D,,0,0,0,,x",
+     "before the Events Format"),
+    ("[Script Info]\n\n[Events]\nFormat: Start, End, Text\n"
+     "Dialogue: 0:00:01.00,0:00:02.00", "fewer fields"),
+    ("[Script Info]\n\n[Events]\nFormat: Start, End, Text\n"
+     "Dialogue: bad,0:00:02.00,x", "not H:MM:SS.cc"),
+    ("[Script Info]\n\n[Events]\nFormat: Start, End, Text\n"
+     "Dialogue: 0:00:02.00,0:00:01.00,x", "before it starts"),
+    ("[Script Info]\n\n[Events]\nFormat: Layer, Text\n"
+     "Dialogue: 0,x", "lacks Start/End/Text"),
+])
+def test_ass_malformed_raises(doc, msg):
+    from sed_binning_spark.pipeline.subtitles import parse_ass
+
+    with pytest.raises(ValueError, match=msg):
+        parse_ass(doc)
