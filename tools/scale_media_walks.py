@@ -16,6 +16,12 @@ payloads, and FLAC DECODE over minute-long speech-shaped segments.
 - Tags: ID3v2 + trailing ID3v1 on the same hour-long MP3s through
   extract_media_tags — per-payload work must be O(tag bytes),
   independent of the ~43 MB media body between the tag blocks.
+- Subtitle sidecars: the SAME tiny .srt payloads read two ways — as
+  thousands of individual files through the binaryFile source (the
+  naive crawl layout: listing-bound) and as one parquet binary
+  column (the packed layout this repo's corpus uses) — quantifying
+  why 100 TB of sidecar files must be packed before the cluster
+  ever sees them.
 
 Payloads are written as real files and read through Spark's
 binaryFile source (the corpus-ingest path), one distinct file per
@@ -148,6 +154,39 @@ def main():
             f"id3_tag_mine_1h_mp3: rows={mp3_rows} "
             f"payload={len(tagged[0])/1e6:.1f}MB tag_rows={n} "
             f"time={dt:.1f}s media-GB/s={gb/dt:.2f}")
+
+        # --- subtitle sidecars: files-vs-packed at 20k tiny payloads
+        from sed_binning_spark.pipeline.subtitles import (
+            encode_srt,
+            extract_subtitle_cues,
+        )
+
+        n_files = 20_000
+        srts = [
+            encode_srt([
+                (0, 1500, f"cue one of file {i}"),
+                (2000, 4000, f"cue two of file {i}"),
+            ])
+            for i in range(n_files)
+        ]
+        d = _write(root, "srt", srts, "srt")
+        t0 = time.time()
+        n = extract_subtitle_cues(_load(spark, d)).count()
+        dt_files = time.time() - t0
+        import pandas as pd
+
+        packed = os.path.join(root, "srt_packed.parquet")
+        pd.DataFrame({
+            "media_id": list(range(n_files)),
+            "payload": [bytes(b) for b in srts],
+        }).to_parquet(packed)
+        t0 = time.time()
+        n2 = extract_subtitle_cues(spark.read.parquet(packed)).count()
+        dt_packed = time.time() - t0
+        results.append(
+            f"srt_sidecars_20k: files={n_files} cue_rows={n}/{n2} "
+            f"binaryFile={dt_files:.1f}s packed_parquet={dt_packed:.1f}s "
+            f"ratio={dt_files/dt_packed:.1f}x")
     finally:
         import shutil
 
