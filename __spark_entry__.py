@@ -3013,7 +3013,39 @@ def _q_multimodal(spark, sf):
             F.col("end_ms").cast("string"), F.lit("="), F.col("text"),
         ).alias("feat_csv"),
     )
-    return base.unionByName(tag_leg).unionByName(sub_leg)
+    # round 14: the media_manifest triage pass on the last free
+    # subset (doc_id % 5 == 4): four fixture payloads whose manifest
+    # facts are closed-form in their construction; the engine runs the
+    # REAL header/table walks and serializes the row, the oracle
+    # carries the declared facts (see _manifest_fixture)
+    from sed_binning_spark.pipeline.manifest import media_manifest
+
+    man_blobs, _man_feats = _manifest_fixture()
+    man_keys = [4, 9, 14, 19]
+    mcol = F.when(did % 20 == man_keys[0], F.lit(bytearray(man_blobs[0])))
+    for m, blob in zip(man_keys[1:], man_blobs[1:]):
+        mcol = mcol.when(did % 20 == m, F.lit(bytearray(blob)))
+    man_media = docs.where(did % 5 == 4).select(
+        (-did - 1).cast("long").alias("media_id"),
+        mcol.alias("payload"),
+    )
+
+    def _s(c):
+        return F.coalesce(F.col(c).cast("string"), F.lit(""))
+
+    man_leg = media_manifest(man_media).select(
+        "media_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.concat(
+            F.lit("man:"), _s("container"), F.lit("|"), _s("mime"),
+            F.lit("|"), _s("width"), F.lit("|"), _s("height"),
+            F.lit("|"), _s("duration_ms"), F.lit("|"), _s("sample_rate"),
+            F.lit("|"), _s("channels"), F.lit("|"), _s("n_tags"),
+            F.lit("|"), _s("n_cues"),
+        ).alias("feat_csv"),
+    )
+    return (base.unionByName(tag_leg).unionByName(sub_leg)
+            .unionByName(man_leg))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4465,9 +4497,12 @@ def _multimodal_oracle_sql(width: int = 4, height: int = 2) -> str:
         # ID3/Vorbis/ilst/INFO structures to match
         + _tags_oracle_sql()
         # subtitle-cue rows (round 14, % 5 = 3 subset): the engine
-        # parses expression-built SubRip/WebVTT; every cue fact is
-        # symbolic in doc_id + md5(text)
+        # parses expression-built SubRip/WebVTT/ASS; every cue fact
+        # is symbolic in doc_id + md5(text)
         + _subtitles_oracle_sql()
+        # media-manifest triage rows (round 14, % 5 = 4 subset):
+        # declared closed-form facts vs the real header/table walks
+        + _manifest_oracle_sql()
     )
 
 
@@ -4502,6 +4537,53 @@ def _tags_oracle_sql() -> str:
         f"FROM documents d JOIN (VALUES {values}) AS t(m, nb, fc) "
         f"ON d.doc_id % 80 = t.m WHERE d.doc_id % 5 = 2"
     )
+
+
+_MANIFEST_FIXTURES = None
+
+
+def _manifest_fixture():
+    """Plan-time triage fixtures for the media_manifest leg: four
+    payloads whose manifest facts are closed-form in their
+    construction — a tagged WAV (160 samples at 8 kHz → 20 ms, one
+    INFO tag), a 3-frame ID3-tagged MP3 (3 × 36 ms at 32 kHz), an
+    8×6 2-frame avc1 MP4 (2 × 40 ms), and a two-cue SubRip document.
+    Returns (blobs, expected_feats) keyed by doc_id % 20 ∈ {4, 9, 14,
+    19}; each feat is the manifest row serialized as
+    ``man:container|mime|width|height|duration|rate|channels|tags|cues``
+    with NULLs as empty fields."""
+    global _MANIFEST_FIXTURES
+    if _MANIFEST_FIXTURES is None:
+        from sed_binning_spark.pipeline.mp3 import encode_mp3_frames
+        from sed_binning_spark.pipeline.mp4 import encode_mp4_mjpeg
+        from sed_binning_spark.pipeline.multimodal import encode_audio_wav
+        from sed_binning_spark.pipeline.subtitles import encode_srt
+        from sed_binning_spark.pipeline.tags import (
+            add_riff_info,
+            encode_id3v2,
+        )
+
+        blobs = [
+            add_riff_info(
+                encode_audio_wav(np.zeros((160, 1), np.int16), 8000),
+                [(b"INAM", "Triage Wav")],
+            ),
+            encode_id3v2([("TIT2", "Triage Mp3")], version=3)
+            + encode_mp3_frames(3),
+            encode_mp4_mjpeg(
+                [b"\xff\xd8x", b"\xff\xd8y"], delays_ms=[40, 40],
+                width=8, height=6, sample_type=b"avc1",
+            ),
+            encode_srt([(0, 1000, "cue a"), (1500, 2500, "cue b")]),
+        ]
+        feats = [
+            "man:wav|audio/wav|||20|8000|1|1|0",
+            "man:mp3|audio/mpeg|||108|32000|1|1|0",
+            "man:mp4|video/mp4|8|6|80|||0|0",
+            "man:srt|application/x-subrip|||2500|||0|2",
+        ]
+        _MANIFEST_FIXTURES = (blobs, feats)
+    return _MANIFEST_FIXTURES
 
 
 _MP4_SUBS_FIXTURES = None
@@ -4556,6 +4638,22 @@ def _subtitles_oracle_sql() -> str:
         f"CAST(e1 + 2250 AS VARCHAR) || '=' || substr(md5(text), 17, 16) "
         f"FROM ({base})"
         + _mp4_subs_oracle_sql()
+    )
+
+
+def _manifest_oracle_sql() -> str:
+    """The triage rows: declared facts + real payload byte counts per
+    doc_id % 20 variant on the % 5 = 4 subset."""
+    blobs, feats = _manifest_fixture()
+    rows = ", ".join(
+        f"({m}, {len(b)}, '{f}')"
+        for m, b, f in zip([4, 9, 14, 19], blobs, feats)
+    )
+    return (
+        f" UNION ALL SELECT CAST(-d.doc_id - 1 AS BIGINT), "
+        f"CAST(t.nb AS BIGINT), t.fc "
+        f"FROM documents d JOIN (VALUES {rows}) AS t(m, nb, fc) "
+        f"ON d.doc_id % 20 = t.m WHERE d.doc_id % 5 = 4"
     )
 
 

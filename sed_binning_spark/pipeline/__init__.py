@@ -115,6 +115,10 @@ from sed_binning_spark.pipeline.subtitles import (
     extract_subtitle_cues,
     parse_subtitles,
 )
+from sed_binning_spark.pipeline.manifest import (
+    manifest_one,
+    media_manifest,
+)
 from sed_binning_spark.pipeline.multimodal import (
     decode_gif_frames,
     encode_gif_animation,
@@ -289,6 +293,8 @@ __all__ = [
     "parse_media_tags",
     "extract_subtitle_cues",
     "parse_subtitles",
+    "manifest_one",
+    "media_manifest",
     "decode_gif_frames",
     "encode_gif_animation",
     "synthesize_animated_gif_media_from_text",

@@ -376,7 +376,10 @@ def test_tag_and_subtitle_mining_are_one_python_stage_no_shuffle(spark):
         [(1, bytearray(b"ID3"), "x")],
         "media_id long, payload binary, other string",
     )
-    for op in (extract_media_tags, extract_subtitle_cues):
+    from sed_binning_spark.pipeline.manifest import media_manifest
+
+    for op in (extract_media_tags, extract_subtitle_cues,
+               media_manifest):
         plan = plan_of(op(media))
         assert plan.count("MapInPandas") == 1, plan
         assert "Exchange" not in plan, plan
