@@ -1156,3 +1156,37 @@ def test_extract_subtitle_cues_on_a_structured_stream(tmp_path, spark):
         (0, "srt", 2, 1500, 2500, "second"),
         (1, "mkv", 1, 0, 2000, "muxed cue"),
     ]
+
+
+def test_media_manifest_on_a_structured_stream(tmp_path, spark):
+    """media_manifest is the same stateless mapInPandas shape: triage
+    rows stream per micro-batch, the keep-the-row error posture
+    included, identical to the batch run."""
+    from sed_binning_spark.pipeline.manifest import media_manifest
+    from sed_binning_spark.pipeline.mp3 import encode_mp3_frames
+
+    root = tmp_path / "man_in"
+    root.mkdir()
+    pd.DataFrame({"media_id": [0],
+                  "payload": [bytes(encode_mp3_frames(2))]}) \
+        .to_parquet(root / "chunk_0.parquet")
+    pd.DataFrame({"media_id": [1], "payload": [b"garbage \x00"]}) \
+        .to_parquet(root / "chunk_1.parquet")
+
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1).parquet(str(root))
+    )
+    q = (
+        media_manifest(stream)
+        .writeStream.format("memory").queryName("man_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM man_stream").toPandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    batch = media_manifest(spark.read.parquet(str(root))).toPandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert got.equals(batch)
+    assert got.container[0] == "mp3" and got.error[0] is None
+    assert got.container[1] is None and got.error[1]
