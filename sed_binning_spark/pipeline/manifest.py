@@ -75,6 +75,14 @@ def _image_dims(data: bytes) -> tuple[str, int, int]:
     if data[:2] == b"BM":
         if len(data) < 26:
             raise ValueError("BMP truncated inside its info header")
+        hdr = struct.unpack_from("<I", data, 14)[0]
+        if hdr == 12:  # OS/2 BITMAPCOREHEADER: 16-bit width/height
+            w, h = struct.unpack_from("<HH", data, 18)
+            return "bmp", w, h
+        if hdr < 40:
+            raise ValueError(
+                f"BMP DIB header size {hdr} is not a known layout",
+            )
         w, h = struct.unpack_from("<ii", data, 18)
         return "bmp", w, abs(h)
     if data[:2] == b"P6":
@@ -155,7 +163,7 @@ def manifest_one(data: bytes) -> dict:
     out = {
         "container": None, "mime": None, "width": None, "height": None,
         "duration_ms": None, "sample_rate": None, "channels": None,
-        "n_tags": 0, "n_cues": 0,
+        "n_tags": 0, "n_cues": 0, "error": None,
     }
 
     def _count_tags():
@@ -174,53 +182,46 @@ def manifest_one(data: bytes) -> dict:
             # a subtitle-only container's extent IS its cue span
             out["duration_ms"] = max(e for _i, _s, e, _t in cues)
 
+    def _av_walk(parse_fn, container, video_mime, audio_mime):
+        """Shared video-then-audio timeline attempt: the facts the walk
+        CAN derive are kept; a timeline refusal lands in ``error``
+        instead of voiding the container row (the tag/cue counts still
+        run — triage keeps what it learned)."""
+        out["container"] = container
+        out["mime"] = video_mime
+        got = None
+        last_err = None
+        for media in ("video", "audio"):
+            try:
+                got = parse_fn(data, media=media)
+                break
+            except _DECODE_ERRORS as exc:
+                last_err = exc
+        if got is not None:
+            out["width"] = got.get("width") or None
+            out["height"] = got.get("height") or None
+            rate = got.get("sample_rate")
+            out["sample_rate"] = int(rate) if rate else None
+            out["channels"] = got.get("channels")
+            out["duration_ms"] = _timeline_duration(got["samples"])
+            if rate:
+                out["mime"] = audio_mime
+        else:
+            out["error"] = str(last_err)[:200]
+        _count_tags()
+        _count_cues()
+        return out
+
     if data[:4] == b"\x1aE\xdf\xa3":
         from sed_binning_spark.pipeline.webm import parse_webm_timeline
 
-        out["container"] = "webm"
-        out["mime"] = "video/webm"
-        got = None
-        for media in ("video", "audio"):
-            try:
-                got = parse_webm_timeline(data, media=media)
-                break
-            except _DECODE_ERRORS:
-                continue
-        if got is not None:
-            out["width"] = got.get("width") or None
-            out["height"] = got.get("height") or None
-            out["sample_rate"] = (int(got["sample_rate"])
-                                  if "sample_rate" in got else None)
-            out["channels"] = got.get("channels")
-            out["duration_ms"] = _timeline_duration(got["samples"])
-            if "sample_rate" in got:
-                out["mime"] = "audio/webm"
-        _count_tags()
-        _count_cues()
-        return out
+        return _av_walk(parse_webm_timeline, "webm", "video/webm",
+                        "audio/webm")
     if len(data) >= 12 and data[4:8] == b"ftyp":
         from sed_binning_spark.pipeline.mp4 import parse_mp4_timeline
 
-        out["container"] = "mp4"
-        out["mime"] = "video/mp4"
-        got = None
-        for media in ("video", "audio"):
-            try:
-                got = parse_mp4_timeline(data, media=media)
-                break
-            except _DECODE_ERRORS:
-                continue
-        if got is not None:
-            out["width"] = got.get("width") or None
-            out["height"] = got.get("height") or None
-            out["sample_rate"] = got.get("sample_rate")
-            out["channels"] = got.get("channels")
-            out["duration_ms"] = _timeline_duration(got["samples"])
-            if got.get("sample_rate"):
-                out["mime"] = "audio/mp4"
-        _count_tags()
-        _count_cues()
-        return out
+        return _av_walk(parse_mp4_timeline, "mp4", "video/mp4",
+                        "audio/mp4")
     if data[:4] == b"fLaC":
         out["container"] = "flac"
         out["mime"] = "audio/flac"
@@ -234,10 +235,18 @@ def manifest_one(data: bytes) -> dict:
 
         out["container"] = "ogg"
         out["mime"] = "audio/ogg"
-        got = parse_ogg_opus_timeline(data)
-        out["sample_rate"] = got["sample_rate"]
-        out["channels"] = got["channels"]
-        out["duration_ms"] = _timeline_duration(got["samples"])
+        try:
+            got = parse_ogg_opus_timeline(data)
+        except _DECODE_ERRORS as exc:
+            # Ogg Vorbis/FLAC carry tags this package mines but their
+            # per-packet timing needs a codebook decode — keep the
+            # container row, note the timeline refusal
+            got = None
+            out["error"] = str(exc)[:200]
+        if got is not None:
+            out["sample_rate"] = got["sample_rate"]
+            out["channels"] = got["channels"]
+            out["duration_ms"] = _timeline_duration(got["samples"])
         _count_tags()
         return out
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
@@ -338,7 +347,7 @@ def media_manifest(
                         mid, got["container"], got["mime"], len(blob),
                         got["width"], got["height"], got["duration_ms"],
                         got["sample_rate"], got["channels"],
-                        got["n_tags"], got["n_cues"], None,
+                        got["n_tags"], got["n_cues"], got["error"],
                     ))
                 except _DECODE_ERRORS as exc:
                     rows.append((mid, None, None, len(blob), None, None,

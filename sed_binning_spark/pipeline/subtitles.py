@@ -116,19 +116,18 @@ def parse_webvtt(text: str) -> list[tuple[int, int, int, str]]:
     todo = blocks
     if blocks and blocks[0][0].startswith("WEBVTT"):
         # the header block ends at the first blank line; a wild file
-        # that omits that blank line runs its first cue into the
-        # header block — recover from the first timing line (plus a
-        # preceding identifier line) instead of dropping the cue
-        # silently
+        # that omits that blank line runs cues into the header block —
+        # recover them by splitting at every timing line (identifier
+        # lines are not recoverable in this degraded shape: with no
+        # blank lines they are indistinguishable from cue text, so the
+        # cue starts AT its timing line)
         head = blocks[0]
-        timing_at = next(
-            (i for i, ln in enumerate(head) if i > 0 and "-->" in ln),
-            None,
-        )
-        carried = []
-        if timing_at is not None:
-            from_at = timing_at - 1 if timing_at > 1 else timing_at
-            carried = [head[from_at:]]
+        carried: list[list[str]] = []
+        for i, ln in enumerate(head):
+            if i > 0 and "-->" in ln:
+                carried.append([ln])
+            elif carried:
+                carried[-1].append(ln)
         todo = carried + blocks[1:]
     cues = []
     n = 0
@@ -429,6 +428,9 @@ def parse_subtitles(data: bytes) -> dict:
         return {"format": "mp4", "cues": parse_mp4_subtitles(data)}
     text = data.decode("utf-8")
     stripped = text.lstrip("﻿")
+    if not stripped.strip():
+        # an empty payload is a crawl defect, not a zero-cue SubRip
+        raise ValueError("empty subtitle payload")
     if stripped.startswith("WEBVTT"):
         return {"format": "vtt", "cues": parse_webvtt(text)}
     if stripped.lower().startswith("[script info]"):

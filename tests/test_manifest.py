@@ -121,3 +121,47 @@ def test_fuzz_manifest_raises_only_decode_errors():
                 manifest_one(bytes(mutated))
             except _DECODE_ERRORS:
                 pass
+
+
+def test_ogg_vorbis_keeps_its_container_row_with_the_timeline_error():
+    from sed_binning_spark.pipeline.ogg import _page
+    from sed_binning_spark.pipeline.tags import (
+        encode_vorbis_comment_block,
+    )
+
+    head = b"\x01vorbis" + b"\x00" * 23
+    cmt = (b"\x03vorbis"
+           + encode_vorbis_comment_block([("title", "V")]) + b"\x01")
+    setup = b"\x05vorbis" + b"\x00" * 8
+    ogg = (_page(0x02, 0, 7, 0, [head])
+           + _page(0, 0, 7, 1, [cmt, setup])
+           + _page(0x04, 4096, 7, 2, [b"\x00" * 20]))
+    got = manifest_one(ogg)
+    # the timeline refusal is noted, but the container facts and the
+    # mined tag survive — a supported family is not "corrupt"
+    assert got["container"] == "ogg"
+    assert got["n_tags"] == 1
+    assert "Vorbis" in got["error"]
+
+
+def test_empty_payload_is_an_error_row_not_a_subrip(spark):
+    with pytest.raises(ValueError, match="empty"):
+        manifest_one(b"")
+    df = spark.createDataFrame(
+        [(0, bytearray(b"")), (1, bytearray(b"  \n "))],
+        "media_id long, payload binary",
+    )
+    rows = media_manifest(df).collect()
+    assert all(r.container is None and r.error for r in rows)
+
+
+def test_os2_bmp_core_header_dims():
+    from sed_binning_spark.pipeline.manifest import _image_dims
+    import struct
+
+    core = (b"BM" + b"\x00" * 12
+            + struct.pack("<IHHHH", 12, 100, 50, 1, 24))
+    assert _image_dims(core) == ("bmp", 100, 50)
+    odd = b"BM" + b"\x00" * 12 + struct.pack("<I", 24) + b"\x00" * 8
+    with pytest.raises(ValueError, match="not a known layout"):
+        _image_dims(odd)
