@@ -187,6 +187,29 @@ def main():
             f"srt_sidecars_20k: files={n_files} cue_rows={n}/{n2} "
             f"binaryFile={dt_files:.1f}s packed_parquet={dt_packed:.1f}s "
             f"ratio={dt_files/dt_packed:.1f}x")
+
+        # --- triage: media_manifest over the mixed corpus above —
+        # hour-long tagged MP3s + hour-long Ogg + minute FLACs + the
+        # 20k packed subtitle sidecars, one scan
+        from sed_binning_spark.pipeline.manifest import media_manifest
+
+        mixed = (
+            _load(spark, os.path.join(root, "tagged"))
+            .unionByName(_load(spark, os.path.join(root, "ogg")))
+            .unionByName(_load(spark, os.path.join(root, "flac")))
+            .unionByName(spark.read.parquet(packed))
+        )
+        t0 = time.time()
+        trows = media_manifest(mixed).where("error IS NULL").count()
+        dt = time.time() - t0
+        total_gb = (sum(len(b) for b in tagged)
+                    + sum(len(b) for b in oggs)
+                    + sum(len(b) for b in flacs)
+                    + sum(len(b) for b in srts)) / 1e9
+        results.append(
+            f"media_manifest_mixed: payloads={mp3_rows + ogg_rows + flac_rows + n_files} "
+            f"clean_rows={trows} time={dt:.1f}s "
+            f"media-GB/s={total_gb/dt:.2f}")
     finally:
         import shutil
 
