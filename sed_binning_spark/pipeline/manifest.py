@@ -144,6 +144,71 @@ def _wav_header(data: bytes) -> tuple[int, int, int | None]:
     return rate, channels, dur
 
 
+def _ogg_info(data: bytes) -> tuple[int, int, int | None]:
+    """(sample_rate, channels, duration_ms) of the first Ogg stream —
+    CODEC-AGNOSTIC: the identification header in the BOS packet names
+    rate and channels at fixed offsets for all three mappings (Vorbis
+    I §4.2.2, OpusHead RFC 7845 §5.1, Ogg FLAC mapping §3), and the
+    last page's granule position IS the total sample count on the
+    stream's granule clock (RFC 3533 §6) — so even Vorbis, whose
+    per-packet timing would need a codebook decode, triages fully
+    from page headers."""
+    from sed_binning_spark.pipeline.ogg import _iter_pages
+
+    serial0 = None
+    head = None
+    last_granule = None
+    pre_skip = 0
+    clock = None  # granule ticks per second
+    rate = channels = None
+    for flags, granule, serial, _seq, segments, body_at in \
+            _iter_pages(data):
+        if serial0 is None:
+            serial0 = serial
+            head = data[body_at : body_at + sum(segments)]
+        if serial != serial0:
+            continue
+        if granule >= 0:  # -1 marks a page with no finished packet
+            last_granule = granule
+    if head is None:
+        raise ValueError("Ogg stream has no pages")
+    if head[:7] == b"\x01vorbis":
+        if len(head) < 28:
+            raise ValueError("Vorbis identification header truncated")
+        channels = head[11]
+        rate = struct.unpack_from("<I", head, 12)[0]
+        clock = rate
+    elif head[:8] == b"OpusHead":
+        if len(head) < 19:
+            raise ValueError("OpusHead truncated")
+        channels = head[9]
+        pre_skip = struct.unpack_from("<H", head, 10)[0]
+        rate = struct.unpack_from("<I", head, 12)[0]
+        clock = 48_000  # Opus granules run on the 48 kHz clock
+    elif head[:5] == b"\x7fFLAC":
+        # the BOS packet wraps the native fLaC magic + STREAMINFO
+        at = head.find(b"fLaC")
+        if at < 0 or len(head) < at + 4 + 4 + 18:
+            raise ValueError("Ogg FLAC BOS packet lacks STREAMINFO")
+        si = head[at + 8 :]
+        bits = int.from_bytes(si[10:18], "big")
+        rate = bits >> 44
+        channels = ((bits >> 41) & 0x7) + 1
+        clock = rate
+    else:
+        raise ValueError(
+            "Ogg BOS packet is not Vorbis, Opus, or FLAC",
+        )
+    if not rate or not clock:
+        raise ValueError("Ogg identification header declares a zero "
+                         "sample rate")
+    dur = None
+    if last_granule is not None:
+        samples = max(0, last_granule - pre_skip)
+        dur = samples * 1000 // clock
+    return rate, channels, dur
+
+
 def _timeline_duration(samples) -> int | None:
     if not samples:
         return None
@@ -231,22 +296,11 @@ def manifest_one(data: bytes) -> dict:
         _count_tags()
         return out
     if data[:4] == b"OggS":
-        from sed_binning_spark.pipeline.ogg import parse_ogg_opus_timeline
-
         out["container"] = "ogg"
         out["mime"] = "audio/ogg"
-        try:
-            got = parse_ogg_opus_timeline(data)
-        except _DECODE_ERRORS as exc:
-            # Ogg Vorbis/FLAC carry tags this package mines but their
-            # per-packet timing needs a codebook decode — keep the
-            # container row, note the timeline refusal
-            got = None
-            out["error"] = str(exc)[:200]
-        if got is not None:
-            out["sample_rate"] = got["sample_rate"]
-            out["channels"] = got["channels"]
-            out["duration_ms"] = _timeline_duration(got["samples"])
+        rate, ch, dur = _ogg_info(data)
+        out["sample_rate"], out["channels"] = rate, ch
+        out["duration_ms"] = dur
         _count_tags()
         return out
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":

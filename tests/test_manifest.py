@@ -50,7 +50,9 @@ def test_audio_containers_triage():
     assert (got["container"], got["duration_ms"]) == ("aac", 128)
 
     got = manifest_one(encode_ogg_opus([b"\x00" * 10] * 4))
-    assert (got["container"], got["duration_ms"]) == ("ogg", 40)
+    # 4 x 10 ms packets = 1920 granule ticks minus the 312-sample
+    # pre-skip = 1608 / 48000 -> the RFC 7845 playback duration
+    assert (got["container"], got["duration_ms"]) == ("ogg", 33)
 
 
 def test_video_and_image_triage():
@@ -123,25 +125,28 @@ def test_fuzz_manifest_raises_only_decode_errors():
                 pass
 
 
-def test_ogg_vorbis_keeps_its_container_row_with_the_timeline_error():
+def test_ogg_vorbis_triages_fully_from_page_headers():
+    import struct
+
     from sed_binning_spark.pipeline.ogg import _page
     from sed_binning_spark.pipeline.tags import (
         encode_vorbis_comment_block,
     )
 
-    head = b"\x01vorbis" + b"\x00" * 23
+    # 44.1 kHz stereo Vorbis, last granule 88200 samples -> 2000 ms:
+    # no codebook decode anywhere — rate/channels from the ID header,
+    # duration from the final page's granule position
+    head = (b"\x01vorbis" + struct.pack("<IBI", 0, 2, 44100)
+            + b"\x00" * 16)
     cmt = (b"\x03vorbis"
            + encode_vorbis_comment_block([("title", "V")]) + b"\x01")
-    setup = b"\x05vorbis" + b"\x00" * 8
     ogg = (_page(0x02, 0, 7, 0, [head])
-           + _page(0, 0, 7, 1, [cmt, setup])
-           + _page(0x04, 4096, 7, 2, [b"\x00" * 20]))
+           + _page(0, 0, 7, 1, [cmt])
+           + _page(0x04, 88200, 7, 2, [b"\x00" * 20]))
     got = manifest_one(ogg)
-    # the timeline refusal is noted, but the container facts and the
-    # mined tag survive — a supported family is not "corrupt"
-    assert got["container"] == "ogg"
-    assert got["n_tags"] == 1
-    assert "Vorbis" in got["error"]
+    assert (got["container"], got["sample_rate"], got["channels"],
+            got["duration_ms"], got["n_tags"], got["error"]) \
+        == ("ogg", 44100, 2, 2000, 1, None)
 
 
 def test_empty_payload_is_an_error_row_not_a_subrip(spark):
