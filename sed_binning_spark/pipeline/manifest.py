@@ -329,20 +329,26 @@ def manifest_one(data: bytes) -> dict:
     if (data[:3] == b"ID3" or is_adts
             or (len(data) >= 4 and data[0] == 0xFF
                 and data[1] & 0xE0 == 0xE0)):
+        # triage tolerates the download-truncated final frame — the
+        # single most common crawl defect — keeping the clean-frame
+        # facts and noting the drop
         if is_adts:
             from sed_binning_spark.pipeline.aac import parse_adts_timeline
 
-            got = parse_adts_timeline(data)
+            got = parse_adts_timeline(data, tolerate_truncated_tail=True)
             out["container"], out["mime"] = "aac", "audio/aac"
         else:
             from sed_binning_spark.pipeline.mp3 import parse_mp3_timeline
 
-            got = parse_mp3_timeline(data)
+            got = parse_mp3_timeline(data, tolerate_truncated_tail=True)
             out["container"] = got["codec"]
             out["mime"] = "audio/mpeg"
         out["sample_rate"] = got["sample_rate"]
         out["channels"] = got["channels"]
         out["duration_ms"] = _timeline_duration(got["samples"])
+        if got.get("bytes_dropped"):
+            out["error"] = (f"truncated tail: {got['bytes_dropped']} "
+                            f"bytes dropped")
         _count_tags()
         return out
     # subtitle documents (text payloads)

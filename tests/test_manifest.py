@@ -170,3 +170,11 @@ def test_os2_bmp_core_header_dims():
     odd = b"BM" + b"\x00" * 12 + struct.pack("<I", 24) + b"\x00" * 8
     with pytest.raises(ValueError, match="not a known layout"):
         _image_dims(odd)
+
+
+def test_truncated_mp3_tail_keeps_facts_and_notes_the_drop():
+    trunc = encode_mp3_frames(3)[:-100]  # cut into the final frame
+    got = manifest_one(trunc)
+    assert got["container"] == "mp3"
+    assert got["duration_ms"] == 72  # the two clean frames
+    assert "truncated tail" in got["error"]
