@@ -2990,15 +2990,18 @@ def _q_multimodal(spark, sf):
     )
     # the MUXED subtitle shapes ride the same subset at media_id =
     # -doc_id - 1e9 (disjoint from every -doc_id-1 leg for any corpus
-    # under a billion docs): WebVTT-in-MP4 (wvtt, ISO 14496-30) for
-    # doc_id % 10 == 3, 3GPP tx3g for % 10 == 8 — the real
-    # sample-table walk + cue-box/length-prefix parse, expected rows
-    # frozen from the fixture cues (see _mp4_subs_fixture)
-    wv_blob, tx_blob, _sub_expected = _mp4_subs_fixture()
+    # under a billion docs), keyed by doc_id % 20: WebVTT-in-MP4
+    # (wvtt, ISO 14496-30), 3GPP tx3g, ID3v2 CHAP podcast chapters,
+    # and a Matroska S_TEXT/UTF8 track — the real walks, expected
+    # rows frozen from the fixture cues (see _mp4_subs_fixture)
+    muxed = _mp4_subs_fixture()
+    scol = F.when(did % 20 == muxed[0][0],
+                  F.lit(bytearray(muxed[0][1])))
+    for key, blob, _fmt, _cues in muxed[1:]:
+        scol = scol.when(did % 20 == key, F.lit(bytearray(blob)))
     mp4_sub_media = docs.where(did % 5 == 3).select(
         (-did - 1_000_000_000).cast("long").alias("media_id"),
-        F.when(did % 10 == 3, F.lit(bytearray(wv_blob)))
-        .otherwise(F.lit(bytearray(tx_blob))).alias("payload"),
+        scol.alias("payload"),
     )
     sub_all = extract_subtitle_cues(
         sub_media.unionByName(mp4_sub_media),
@@ -4590,24 +4593,34 @@ _MP4_SUBS_FIXTURES = None
 
 
 def _mp4_subs_fixture():
-    """Plan-time MUXED-subtitle fixtures: one WebVTT-in-MP4 (wvtt) and
-    one 3GPP (tx3g) track with the SAME two cues and a leading gap
-    sample the walk must time over without emitting. Expected rows are
-    declared from the fixture cues (the builder and parser are inverse
-    implementations). Returns (wvtt_blob, tx3g_blob, expected) with
-    expected = [(cue_index, start_ms, end_ms, text), ...]."""
+    """Plan-time MUXED-subtitle fixtures, keyed by doc_id % 20 on the
+    % 5 == 3 subset: WebVTT-in-MP4 (wvtt) and 3GPP (tx3g) tracks with
+    the SAME two cues and a leading gap sample the walk must time over
+    without emitting; a chaptered podcast (ID3v2 CHAP frames on an
+    MPEG stream — chapter titles ARE timed text); and a Matroska
+    S_TEXT/UTF8 subtitle track. Expected rows are declared from the
+    fixture cues (the builders and parsers are inverse
+    implementations). Returns a list of (key, blob, fmt, cues)."""
     global _MP4_SUBS_FIXTURES
     if _MP4_SUBS_FIXTURES is None:
+        from sed_binning_spark.pipeline.mp3 import encode_mp3_frames
         from sed_binning_spark.pipeline.subtitles import (
+            encode_matroska_subtitles,
             encode_mp4_subtitles,
         )
+        from sed_binning_spark.pipeline.tags import encode_id3v2_chapters
 
         cues = [(250, 2000, "muxed cue öne"), (2750, 4500, "muxed two")]
-        _MP4_SUBS_FIXTURES = (
-            encode_mp4_subtitles(cues, sample_type=b"wvtt"),
-            encode_mp4_subtitles(cues, sample_type=b"tx3g"),
-            [(i + 1, s, e, t) for i, (s, e, t) in enumerate(cues)],
-        )
+        chaps = [(0, 30000, "Intro"), (30000, 95000, "Chapter Two")]
+        _MP4_SUBS_FIXTURES = [
+            (3, encode_mp4_subtitles(cues, sample_type=b"wvtt"),
+             "mp4", cues),
+            (8, encode_mp4_subtitles(cues, sample_type=b"tx3g"),
+             "mp4", cues),
+            (13, encode_id3v2_chapters(chaps, version=3)
+             + encode_mp3_frames(2), "id3", chaps),
+            (18, encode_matroska_subtitles(cues), "mkv", cues),
+        ]
     return _MP4_SUBS_FIXTURES
 
 
@@ -4658,19 +4671,21 @@ def _manifest_oracle_sql() -> str:
 
 
 def _mp4_subs_oracle_sql() -> str:
-    """The muxed-subtitle rows: the same expected cue literals for both
-    container variants (the format column is 'mp4' either way)."""
-    _, _, expected = _mp4_subs_fixture()
-    rows = ", ".join(
-        f"({i}, {len(t.encode('utf-8'))}, "
-        f"'mp4:{i}@{s}-{e}={t.replace(chr(39), chr(39) * 2)}')"
-        for i, s, e, t in expected
-    )
+    """The muxed-subtitle rows: per-variant expected cue literals,
+    joined by the doc_id % 20 variant key."""
+    rows = []
+    for key, _blob, fmt, cues in _mp4_subs_fixture():
+        for i, (s, e, t) in enumerate(cues):
+            fc = f"{fmt}:{i + 1}@{s}-{e}={t}".replace("'", "''")
+            rows.append(
+                f"({key}, {len(t.encode('utf-8'))}, '{fc}')",
+            )
+    values = ", ".join(rows)
     return (
         f" UNION ALL SELECT CAST(-d.doc_id - 1000000000 AS BIGINT), "
         f"CAST(t.nb AS BIGINT), t.fc "
-        f"FROM documents d, (VALUES {rows}) AS t(i, nb, fc) "
-        f"WHERE d.doc_id % 5 = 3"
+        f"FROM documents d JOIN (VALUES {values}) AS t(m, nb, fc) "
+        f"ON d.doc_id % 20 = t.m WHERE d.doc_id % 5 = 3"
     )
 
 

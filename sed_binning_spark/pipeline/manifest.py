@@ -350,6 +350,7 @@ def manifest_one(data: bytes) -> dict:
             out["error"] = (f"truncated tail: {got['bytes_dropped']} "
                             f"bytes dropped")
         _count_tags()
+        _count_cues()  # podcast CHAP chapters are cues
         return out
     # subtitle documents (text payloads)
     got = parse_subtitles(data)

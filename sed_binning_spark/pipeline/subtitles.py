@@ -14,7 +14,10 @@ S_TEXT/UTF8 tracks; all three are public grammars:
 - **Matroska subtitle tracks** (matroska.org): TrackType 0x11 with
   ``S_TEXT/UTF8`` — each block's payload IS the cue text, its start
   from cluster+block timestamps and its end from BlockDuration, via
-  the same EBML walk as :mod:`~sed_binning_spark.pipeline.webm`.
+  the same EBML walk as :mod:`~sed_binning_spark.pipeline.webm`;
+- **ID3v2 chapters** (the id3.org Chapter Frame Addendum): podcast
+  ``CHAP`` frames are timed text too — start/end ms + the embedded
+  TIT2 title, dispatched when the payload leads with an ID3v2 tag.
 
 Timing normalizes to integer milliseconds. Malformed cue structure
 raises ValueError naming the defect (the media-tier posture); the
@@ -426,6 +429,11 @@ def parse_subtitles(data: bytes) -> dict:
         return {"format": "mkv", "cues": parse_matroska_subtitles(data)}
     if len(data) >= 12 and data[4:8] == b"ftyp":
         return {"format": "mp4", "cues": parse_mp4_subtitles(data)}
+    if data[:3] == b"ID3":
+        # a chaptered podcast: CHAP titles are timed text too
+        from sed_binning_spark.pipeline.tags import parse_id3v2_chapters
+
+        return {"format": "id3", "cues": parse_id3v2_chapters(data)}
     text = data.decode("utf-8")
     stripped = text.lstrip("﻿")
     if not stripped.strip():

@@ -157,13 +157,12 @@ def parse_id3v2(data: bytes) -> tuple[list[tuple[str, str]], int]:
     major, _rev, flags = data[3], data[4], data[5]
     if major not in (2, 3, 4):
         raise ValueError(f"ID3v2.{major} is not a published tag version")
-    size = _syncsafe(data[6:10])
-    end = 10 + size
-    if end > len(data):
-        raise ValueError("ID3v2 tag extends past the file end")
-    tag_end = end + 10 if (major == 4 and flags & 0x10) else end
-    body = data[10:end]
     if major == 2:
+        size = _syncsafe(data[6:10])
+        end = 10 + size
+        if end > len(data):
+            raise ValueError("ID3v2 tag extends past the file end")
+        body = data[10:end]
         if flags & 0x40:
             # v2.2 defines no compression scheme; the spec's own advice
             # is that a compressed tag is unreadable
@@ -171,23 +170,45 @@ def parse_id3v2(data: bytes) -> tuple[list[tuple[str, str]], int]:
                              "unreadable by spec")
         if flags & 0x80:
             body = _de_unsync(body)
-        return _parse_id3v22_frames(body), tag_end
-    if major == 3 and flags & 0x80:
-        body = _de_unsync(body)
-    pos = 0
-    if flags & 0x40:  # extended header
-        if major == 3:
-            ext = struct.unpack_from(">I", body, 0)[0]
-            pos = 4 + ext  # v2.3: size EXCLUDES the size field
-        else:
-            pos = _syncsafe(body[0:4])  # v2.4: size INCLUDES itself
-        if pos > len(body):
-            raise ValueError("ID3v2 extended header exceeds the tag")
+        return _parse_id3v22_frames(body), end
+    body, pos, major, tag_end = _id3v2_tag_body(data)
     tags: list[tuple[str, str]] = []
+    for key, fbody in _id3v2_frames(body, major, pos):
+        if key == "TXXX":
+            desc, text = _id3_split_desc(fbody[0], fbody[1:])
+            tags.append((desc.lower() or "txxx", text))
+        elif key in ("COMM", "USLT"):
+            if len(fbody) < 4:
+                raise ValueError(f"ID3v2 {key} frame too short for its "
+                                 f"language bytes")
+            _desc, text = _id3_split_desc(fbody[0], fbody[4:])
+            tags.append((
+                "comment" if key == "COMM" else "lyrics", text,
+            ))
+        elif key == "APIC":
+            # artwork: report the declared mime, no image decode
+            mime, _, _rest = fbody[1:].partition(b"\x00")
+            tags.append(("artwork", mime.decode("latin-1")))
+        elif key.startswith("T"):
+            tags.append((
+                _ID3_KEYMAP.get(key, key.lower()),
+                "; ".join(_id3_texts(fbody[0], fbody[1:])),
+            ))
+        # other non-text frames (UFID, GEOB, ...) carry no tag text
+    return tags, tag_end
+
+
+def _id3v2_frames(body: bytes, major: int, pos: int = 0):
+    """Yield ``(frame_id, body)`` per v2.3/v2.4 frame in
+    ``body[pos:]`` with every frame-level flag transform applied
+    (grouping byte, unsynchronisation, data-length indicator, zlib
+    inflation); encrypted frames are skipped (unreadable by
+    construction). Shared by the tag walk and the CHAP chapter walk
+    (chapters embed ordinary frames)."""
     while pos + 10 <= len(body):
         fid = body[pos : pos + 4]
         if fid[0] == 0:  # zero padding ends the frame region
-            break
+            return
         if not all(0x30 <= b <= 0x39 or 0x41 <= b <= 0x5A for b in fid):
             raise ValueError(f"ID3v2 frame id {fid!r} is not A-Z0-9")
         if major == 4:
@@ -225,29 +246,73 @@ def parse_id3v2(data: bytes) -> tuple[list[tuple[str, str]], int]:
                         "length indicator",
                     )
                 fbody = zlib.decompress(fbody)
-        key = fid.decode("ascii")
-        if key == "TXXX":
-            desc, text = _id3_split_desc(fbody[0], fbody[1:])
-            tags.append((desc.lower() or "txxx", text))
-        elif key in ("COMM", "USLT"):
-            if len(fbody) < 4:
-                raise ValueError(f"ID3v2 {key} frame too short for its "
-                                 f"language bytes")
-            _desc, text = _id3_split_desc(fbody[0], fbody[4:])
-            tags.append((
-                "comment" if key == "COMM" else "lyrics", text,
-            ))
-        elif key == "APIC":
-            # artwork: report the declared mime, no image decode
-            mime, _, _rest = fbody[1:].partition(b"\x00")
-            tags.append(("artwork", mime.decode("latin-1")))
-        elif key.startswith("T"):
-            tags.append((
-                _ID3_KEYMAP.get(key, key.lower()),
-                "; ".join(_id3_texts(fbody[0], fbody[1:])),
-            ))
-        # other non-text frames (UFID, GEOB, ...) carry no tag text
-    return tags, tag_end
+        yield fid.decode("ascii"), fbody
+
+
+def _id3v2_tag_body(data: bytes) -> tuple[bytes, int, int, int]:
+    """(body, frame_start, major, tag_end) of a leading v2.3/v2.4 tag
+    with tag-level unsync reversed and the extended header skipped —
+    ([], ...) shapes raise like parse_id3v2; v2.2 is not chaptered."""
+    major, _rev, flags = data[3], data[4], data[5]
+    size = _syncsafe(data[6:10])
+    end = 10 + size
+    if end > len(data):
+        raise ValueError("ID3v2 tag extends past the file end")
+    tag_end = end + 10 if (major == 4 and flags & 0x10) else end
+    body = data[10:end]
+    if major == 3 and flags & 0x80:
+        body = _de_unsync(body)
+    pos = 0
+    if flags & 0x40:
+        if major == 3:
+            pos = 4 + struct.unpack_from(">I", body, 0)[0]
+        else:
+            pos = _syncsafe(body[0:4])
+        if pos > len(body):
+            raise ValueError("ID3v2 extended header exceeds the tag")
+    return body, pos, major, tag_end
+
+
+def parse_id3v2_chapters(
+    data: bytes,
+) -> list[tuple[int, int, int, str]]:
+    """``(index, start_ms, end_ms, title)`` chapters of a leading
+    ID3v2.3/2.4 tag's ``CHAP`` frames (the id3.org Chapter Frame
+    Addendum — how podcasts carry their chapter list): element id,
+    32-bit start/end times in ms, byte offsets (ignored), then
+    embedded ordinary frames — the chapter title is the embedded
+    TIT2. Chapters sort by start time; ``[]`` when the payload has no
+    ID3v2 tag or no CHAP frames."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return []
+    if data[3] == 2:
+        return []  # v2.2 predates the chapter addendum
+    if data[3] not in (3, 4):
+        raise ValueError(f"ID3v2.{data[3]} is not a published tag "
+                         f"version")
+    body, pos, major, _tag_end = _id3v2_tag_body(data)
+    chapters = []
+    for key, fbody in _id3v2_frames(body, major, pos):
+        if key != "CHAP":
+            continue
+        _elem, _, rest = fbody.partition(b"\x00")
+        if len(rest) < 16:
+            raise ValueError("CHAP frame too short for its time/offset "
+                             "fields")
+        start, end_t = struct.unpack_from(">II", rest, 0)
+        if end_t < start:
+            raise ValueError(
+                f"CHAP ends at {end_t} ms before it starts at "
+                f"{start} ms",
+            )
+        title = ""
+        for sk, sb in _id3v2_frames(rest, major, 16):
+            if sk == "TIT2":
+                title = "; ".join(_id3_texts(sb[0], sb[1:]))
+                break
+        chapters.append((start, end_t, title))
+    chapters.sort(key=lambda c: c[0])
+    return [(i + 1, s, e, t) for i, (s, e, t) in enumerate(chapters)]
 
 
 def _parse_id3v22_frames(body: bytes) -> list[tuple[str, str]]:
@@ -955,6 +1020,35 @@ def encode_id3v2(
         flags |= 0x80
     return (b"ID3" + bytes([version, 0, flags])
             + _to_syncsafe(len(body)) + bytes(body))
+
+
+def encode_id3v2_chapters(
+    chapters: list[tuple[int, int, str]],
+    version: int = 3,
+    frames: list[tuple[str, str]] | None = None,
+) -> bytes:
+    """An ID3v2 tag whose ``CHAP`` frames carry ``(start_ms, end_ms,
+    title)`` chapters (embedded TIT2 sub-frames, offsets unused =
+    0xFFFFFFFF per the addendum), optionally alongside ordinary
+    ``frames`` — prepend to an MPEG audio stream for a chaptered
+    podcast fixture."""
+    if version not in (3, 4):
+        raise ValueError("fixture supports ID3v2.3 / v2.4 only")
+    base = encode_id3v2(frames or [], version=version)
+    body = bytearray(base[10:])
+    for i, (start, end, title) in enumerate(chapters):
+        sub = bytes([0]) + title.encode("latin-1")
+        sub_size = (_to_syncsafe(len(sub)) if version == 4
+                    else len(sub).to_bytes(4, "big"))
+        embedded = b"TIT2" + sub_size + b"\x00\x00" + sub
+        fbody = (f"ch{i}".encode("ascii") + b"\x00"
+                 + struct.pack(">IIII", start, end,
+                               0xFFFFFFFF, 0xFFFFFFFF)
+                 + embedded)
+        size = (_to_syncsafe(len(fbody)) if version == 4
+                else len(fbody).to_bytes(4, "big"))
+        body += b"CHAP" + size + b"\x00\x00" + fbody
+    return (base[:6] + _to_syncsafe(len(body)) + bytes(body))
 
 
 def _to_syncsafe(n: int) -> bytes:

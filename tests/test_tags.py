@@ -777,3 +777,65 @@ def test_mp4_covr_atom():
     assert parse_media_tags(fixture)["tags"] == [
         ("title", "V"), ("artwork", "image/png"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 chapters (CHAP)
+
+
+@pytest.mark.parametrize("version", [3, 4])
+def test_id3v2_chapters_round_trip(version):
+    from sed_binning_spark.pipeline.mp3 import encode_mp3_frames
+    from sed_binning_spark.pipeline.tags import (
+        encode_id3v2_chapters, parse_id3v2_chapters,
+    )
+
+    blob = encode_id3v2_chapters(
+        [(0, 30000, "Intro"), (30000, 95000, "Chäpter Two")],
+        version=version, frames=[("TIT2", "Podcast Ep 1")],
+    ) + encode_mp3_frames(2)
+    assert parse_id3v2_chapters(blob) == [
+        (1, 0, 30000, "Intro"), (2, 30000, 95000, "Chäpter Two"),
+    ]
+    # ordinary tags coexist with the chapter frames
+    assert parse_id3v2(blob)[0] == [("title", "Podcast Ep 1")]
+    # chapters surface as cues through the subtitle dispatch
+    from sed_binning_spark.pipeline.subtitles import parse_subtitles
+
+    got = parse_subtitles(blob)
+    assert got["format"] == "id3" and len(got["cues"]) == 2
+
+
+def test_id3v2_chapters_sort_by_start_time():
+    from sed_binning_spark.pipeline.tags import (
+        encode_id3v2_chapters, parse_id3v2_chapters,
+    )
+
+    blob = encode_id3v2_chapters(
+        [(60000, 90000, "Later"), (0, 60000, "Earlier")],
+    )
+    assert [t for _i, _s, _e, t in parse_id3v2_chapters(blob)] \
+        == ["Earlier", "Later"]
+
+
+def test_id3v2_chapters_absent_returns_empty():
+    from sed_binning_spark.pipeline.tags import parse_id3v2_chapters
+
+    assert parse_id3v2_chapters(
+        encode_id3v2([("TIT2", "No chapters")], version=3),
+    ) == []
+    assert parse_id3v2_chapters(b"\xff\xfb no id3 here") == []
+
+
+def test_id3v2_chapter_end_before_start_raises():
+    import struct
+
+    from sed_binning_spark.pipeline.tags import parse_id3v2_chapters
+
+    fbody = (b"c\x00" + struct.pack(">IIII", 5000, 1000,
+                                    0xFFFFFFFF, 0xFFFFFFFF))
+    frame = b"CHAP" + len(fbody).to_bytes(4, "big") + b"\x00\x00" + fbody
+    blob = b"ID3\x03\x00\x00" + bytes(
+        [0, 0, len(frame) >> 7, len(frame) & 0x7F]) + frame
+    with pytest.raises(ValueError, match="before it starts"):
+        parse_id3v2_chapters(blob)
