@@ -2995,10 +2995,10 @@ def _q_multimodal(spark, sf):
     # and a Matroska S_TEXT/UTF8 track — the real walks, expected
     # rows frozen from the fixture cues (see _mp4_subs_fixture)
     muxed = _mp4_subs_fixture()
-    scol = F.when(did % 20 == muxed[0][0],
+    scol = F.when(did % 40 == muxed[0][0],
                   F.lit(bytearray(muxed[0][1])))
     for key, blob, _fmt, _cues in muxed[1:]:
-        scol = scol.when(did % 20 == key, F.lit(bytearray(blob)))
+        scol = scol.when(did % 40 == key, F.lit(bytearray(blob)))
     mp4_sub_media = docs.where(did % 5 == 3).select(
         (-did - 1_000_000_000).cast("long").alias("media_id"),
         scol.alias("payload"),
@@ -4594,7 +4594,8 @@ _MP4_SUBS_FIXTURES = None
 
 def _mp4_subs_fixture():
     """Plan-time MUXED-subtitle fixtures, keyed by doc_id % 20 on the
-    % 5 == 3 subset: WebVTT-in-MP4 (wvtt) and 3GPP (tx3g) tracks with
+    % 5 == 3 subset (doc_id % 40 keys): WebVTT-in-MP4 (wvtt) and
+    3GPP (tx3g) tracks with
     the SAME two cues and a leading gap sample the walk must time over
     without emitting; a chaptered podcast (ID3v2 CHAP frames on an
     MPEG stream — chapter titles ARE timed text); and a Matroska
@@ -4610,8 +4611,14 @@ def _mp4_subs_fixture():
         )
         from sed_binning_spark.pipeline.tags import encode_id3v2_chapters
 
+        from sed_binning_spark.pipeline.subtitles import (
+            add_matroska_chapters,
+        )
+        from sed_binning_spark.pipeline.webm import encode_webm
+
         cues = [(250, 2000, "muxed cue öne"), (2750, 4500, "muxed two")]
         chaps = [(0, 30000, "Intro"), (30000, 95000, "Chapter Two")]
+        # keys on doc_id % 40 over the % 5 == 3 subset
         _MP4_SUBS_FIXTURES = [
             (3, encode_mp4_subtitles(cues, sample_type=b"wvtt"),
              "mp4", cues),
@@ -4620,6 +4627,11 @@ def _mp4_subs_fixture():
             (13, encode_id3v2_chapters(chaps, version=3)
              + encode_mp3_frames(2), "id3", chaps),
             (18, encode_matroska_subtitles(cues), "mkv", cues),
+            (23, add_matroska_chapters(
+                encode_webm([b"a" * 4], [0], track_type=2,
+                            codec_id="A_OPUS"),
+                chaps,
+            ), "mkv-chapters", chaps),
         ]
     return _MP4_SUBS_FIXTURES
 
@@ -4672,7 +4684,7 @@ def _manifest_oracle_sql() -> str:
 
 def _mp4_subs_oracle_sql() -> str:
     """The muxed-subtitle rows: per-variant expected cue literals,
-    joined by the doc_id % 20 variant key."""
+    joined by the doc_id % 40 variant key."""
     rows = []
     for key, _blob, fmt, cues in _mp4_subs_fixture():
         for i, (s, e, t) in enumerate(cues):
@@ -4685,7 +4697,7 @@ def _mp4_subs_oracle_sql() -> str:
         f" UNION ALL SELECT CAST(-d.doc_id - 1000000000 AS BIGINT), "
         f"CAST(t.nb AS BIGINT), t.fc "
         f"FROM documents d JOIN (VALUES {values}) AS t(m, nb, fc) "
-        f"ON d.doc_id % 20 = t.m WHERE d.doc_id % 5 = 3"
+        f"ON d.doc_id % 40 = t.m WHERE d.doc_id % 5 = 3"
     )
 
 

@@ -420,13 +420,137 @@ def parse_mp4_subtitles(data: bytes) -> list[tuple[int, int, int, str]]:
     return cues
 
 
+_MKV_CHAPTERS = 0x1043A770
+_MKV_EDITION_ENTRY = 0x45B9
+_MKV_CHAPTER_ATOM = 0xB6
+_MKV_CHAPTER_TIME_START = 0x91
+_MKV_CHAPTER_TIME_END = 0x92
+_MKV_CHAPTER_DISPLAY = 0x80
+_MKV_CHAP_STRING = 0x85
+
+
+def parse_matroska_chapters(
+    data: bytes,
+) -> list[tuple[int, int, int, str]]:
+    """``(index, start_ms, end_ms, title)`` chapters of a Matroska
+    ``Chapters`` element (matroska.org): EditionEntry → ChapterAtom
+    with nanosecond ChapterTimeStart/End and the ChapterDisplay's
+    ChapString title. An atom without a ChapterTimeEnd gets end =
+    start (the container genuinely declares no extent). Chapters sort
+    by start time; ``[]`` when the stream has no Chapters element."""
+    from sed_binning_spark.pipeline.webm import (
+        _SEGMENT,
+        EBML_MAGIC,
+        _iter_elements,
+        _uint,
+    )
+
+    if data[:4] != EBML_MAGIC:
+        raise ValueError("not an EBML (WebM/Matroska) stream")
+    segment = None
+    for eid, s, e in _iter_elements(data, 0, len(data),
+                                    allow_unknown=True):
+        if eid == _SEGMENT:
+            segment = (s, len(data) if e is None else e)
+            break
+    if segment is None:
+        raise ValueError("EBML stream has no Segment")
+    chapters = []
+    for eid, s, e in _iter_elements(data, *segment):
+        if eid != _MKV_CHAPTERS:
+            continue
+        for i2, s2, e2 in _iter_elements(data, s, e):
+            if i2 != _MKV_EDITION_ENTRY:
+                continue
+            for i3, s3, e3 in _iter_elements(data, s2, e2):
+                if i3 != _MKV_CHAPTER_ATOM:
+                    continue
+                start = end = None
+                title = ""
+                for i4, s4, e4 in _iter_elements(data, s3, e3):
+                    if i4 == _MKV_CHAPTER_TIME_START:
+                        start = _uint(data, s4, e4)
+                    elif i4 == _MKV_CHAPTER_TIME_END:
+                        end = _uint(data, s4, e4)
+                    elif i4 == _MKV_CHAPTER_DISPLAY:
+                        for i5, s5, e5 in _iter_elements(data, s4, e4):
+                            if i5 == _MKV_CHAP_STRING:
+                                title = data[s5:e5].decode("utf-8")
+                if start is None:
+                    raise ValueError(
+                        "ChapterAtom without its ChapterTimeStart",
+                    )
+                if end is not None and end < start:
+                    raise ValueError(
+                        "ChapterAtom ends before it starts",
+                    )
+                chapters.append((
+                    start // 1_000_000,
+                    (end if end is not None else start) // 1_000_000,
+                    title,
+                ))
+    chapters.sort(key=lambda c: c[0])
+    return [(i + 1, s, e, t) for i, (s, e, t) in enumerate(chapters)]
+
+
+def add_matroska_chapters(
+    mkv: bytes, chapters: list[tuple[int, int, str]],
+) -> bytes:
+    """Splice a ``Chapters`` element (one EditionEntry of
+    ChapterAtoms) into a Matroska stream from ``(start_ms, end_ms,
+    title)`` triples — the fixture builder twin of
+    :func:`parse_matroska_chapters`."""
+    from sed_binning_spark.pipeline.webm import (
+        _SEGMENT,
+        _elem,
+        _read_vint,
+        _uint_elem,
+    )
+
+    if mkv[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError("not an EBML (WebM/Matroska) stream")
+    atoms = b""
+    for start, end, title in chapters:
+        atoms += _elem(_MKV_CHAPTER_ATOM, (
+            _uint_elem(_MKV_CHAPTER_TIME_START, start * 1_000_000)
+            + _uint_elem(_MKV_CHAPTER_TIME_END, end * 1_000_000)
+            + _elem(_MKV_CHAPTER_DISPLAY, _elem(
+                _MKV_CHAP_STRING, title.encode("utf-8")))
+        ))
+    chap_elem = _elem(_MKV_CHAPTERS, _elem(_MKV_EDITION_ENTRY, atoms))
+    out = b""
+    pos = 0
+    while pos < len(mkv):
+        eid, pos = _read_vint(mkv, pos, keep_marker=True)
+        size, pos = _read_vint(mkv, pos, keep_marker=False)
+        if size is None:
+            raise ValueError("fixture splice wants explicit sizes")
+        body = mkv[pos : pos + size]
+        pos += size
+        if eid == _SEGMENT:
+            body += chap_elem
+        out += _elem(eid, body)
+    return out
+
+
 def parse_subtitles(data: bytes) -> dict:
     """``{"format": str, "cues": [(index, start_ms, end_ms, text),
     ...]}`` of a subtitle payload, dispatched on its magic: WebVTT
     signature → "vtt", EBML magic → "mkv" (S_TEXT/UTF8 track), ISO
     BMFF → "mp4" (wvtt/tx3g track), else SubRip → "srt"."""
     if data[:4] == b"\x1aE\xdf\xa3":
-        return {"format": "mkv", "cues": parse_matroska_subtitles(data)}
+        try:
+            return {
+                "format": "mkv", "cues": parse_matroska_subtitles(data),
+            }
+        except ValueError as exc:
+            if "no S_TEXT/UTF8" not in str(exc):
+                raise
+            # no subtitle track — a Chapters element is timed text too
+            cues = parse_matroska_chapters(data)
+            if not cues:
+                raise
+            return {"format": "mkv-chapters", "cues": cues}
     if len(data) >= 12 and data[4:8] == b"ftyp":
         return {"format": "mp4", "cues": parse_mp4_subtitles(data)}
     if data[:3] == b"ID3":

@@ -309,3 +309,45 @@ def test_ass_malformed_raises(doc, msg):
 
     with pytest.raises(ValueError, match=msg):
         parse_ass(doc)
+
+
+# ---------------------------------------------------------------------------
+# Matroska chapters
+
+
+def test_matroska_chapters_round_trip():
+    from sed_binning_spark.pipeline.subtitles import (
+        add_matroska_chapters, parse_matroska_chapters,
+    )
+    from sed_binning_spark.pipeline.webm import (
+        encode_webm, parse_webm_timeline,
+    )
+
+    mkv = encode_webm([b"a" * 4], [0], track_type=2, codec_id="A_OPUS")
+    ch = add_matroska_chapters(
+        mkv, [(0, 60000, "Öpening"), (60000, 180000, "Middle")],
+    )
+    assert parse_matroska_chapters(ch) == [
+        (1, 0, 60000, "Öpening"), (2, 60000, 180000, "Middle"),
+    ]
+    assert parse_subtitles(ch)["format"] == "mkv-chapters"
+    # the spliced Segment still demuxes
+    assert parse_webm_timeline(ch, media="audio")["codec"] == "A_OPUS"
+
+
+def test_matroska_subtitle_track_outranks_chapters():
+    from sed_binning_spark.pipeline.subtitles import add_matroska_chapters
+
+    both = add_matroska_chapters(
+        encode_matroska_subtitles([(0, 1000, "sub")]), [(0, 500, "chap")],
+    )
+    assert parse_subtitles(both) == {
+        "format": "mkv", "cues": [(1, 0, 1000, "sub")],
+    }
+
+
+def test_matroska_no_cues_anywhere_raises():
+    from sed_binning_spark.pipeline.webm import encode_webm
+
+    with pytest.raises(ValueError, match="no S_TEXT/UTF8"):
+        parse_subtitles(encode_webm([b"a"], [0]))
