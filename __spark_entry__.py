@@ -2776,12 +2776,16 @@ def _tags_fixture():
 
         jpeg_base = encode_image_jpeg(np.full((16, 16), 128, np.uint8))
 
-        # v8 — JPEG APP1-Exif (little-endian IFD0) + COM comment
+        # v8 — JPEG APP1-Exif (little-endian IFD0) + COM comment +
+        # GPS sub-IFD (DMS rationals → the geo-PII a pipeline scrubs)
         blobs.append(add_jpeg_metadata(
             jpeg_base,
             exif=encode_tiff_exif([
                 (0x010F, "CamCo"), (0x0110, "Model X-5"),
                 (0x010E, "a crawled photo"), (0x0112, 6),
+            ], gps=[
+                (1, "N"), (2, [(48, 1), (51, 1), (29988, 1000)]),
+                (3, "E"), (4, [(2, 1), (17, 1), (3984, 100)]),
             ]),
             comment="marker comment",
         ))
@@ -2790,6 +2794,7 @@ def _tags_fixture():
             ("jpeg", "make", "CamCo"),
             ("jpeg", "model", "Model X-5"),
             ("jpeg", "orientation", "6"),
+            ("jpeg", "gps", "48.858330N 2.294400E"),
             ("jpeg", "comment", "marker comment"),
         ])
 

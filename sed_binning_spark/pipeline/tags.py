@@ -637,6 +637,39 @@ def parse_tiff_exif(data: bytes) -> list[tuple[str, str]]:
             raise ValueError("TIFF value extends past the file")
         return data[off : off + size]
 
+    def _rationals(raw: bytes, cnt: int) -> list[float]:
+        out = []
+        for i in range(cnt):
+            num, den = struct.unpack_from(en + "II", raw, 8 * i)
+            if den == 0:
+                raise ValueError("TIFF rational with a zero denominator")
+            out.append(num / den)
+        return out
+
+    def _gps_walk(off: int) -> str | None:
+        """``DD.DDDDDD[NS] DD.DDDDDD[EW]`` of a GPS sub-IFD (Exif 2.x
+        GPSLatitude/Longitude degree-minute-second rationals) — the
+        geo-PII a curation pipeline scrubs or filters on."""
+        if off + 2 > n:
+            raise ValueError("GPS IFD offset past the file")
+        cnt = struct.unpack_from(en + "H", data, off)[0]
+        if off + 2 + 12 * cnt + 4 > n:
+            raise ValueError("GPS IFD entry table extends past the file")
+        refs, coords = {}, {}
+        for i in range(cnt):
+            at = off + 2 + 12 * i
+            tag, typ, vc = struct.unpack_from(en + "HHI", data, at)
+            if tag in (1, 3) and typ == 2:  # LatitudeRef / LongitudeRef
+                raw = _value(typ, vc, at + 8)
+                refs[tag] = raw.split(b"\x00")[0].decode("latin-1")
+            elif tag in (2, 4) and typ == 5 and vc == 3:  # D/M/S
+                d, m, s = _rationals(_value(typ, vc, at + 8), 3)
+                coords[tag] = d + m / 60 + s / 3600
+        if 2 in coords and 4 in coords:
+            return (f"{coords[2]:.6f}{refs.get(1, '?')} "
+                    f"{coords[4]:.6f}{refs.get(3, '?')}")
+        return None
+
     def _walk(off: int, keymap: dict) -> tuple[list, int | None]:
         if off + 2 > n:
             raise ValueError("TIFF IFD offset past the file")
@@ -651,6 +684,13 @@ def parse_tiff_exif(data: bytes) -> list[tuple[str, str]]:
                 continue  # valid TIFF we don't mine text from
             if tag == 0x8769 and typ == 4:
                 sub = struct.unpack_from(en + "I", data, at + 8)[0]
+                continue
+            if tag == 0x8825 and typ == 4:  # GPSInfo pointer
+                gps = _gps_walk(
+                    struct.unpack_from(en + "I", data, at + 8)[0],
+                )
+                if gps is not None:
+                    got.append(("gps", gps))
                 continue
             key = keymap.get(tag)
             if key is None:
@@ -1193,12 +1233,15 @@ def encode_tiff_exif(
     main: list[tuple[int, object]],
     exif: list[tuple[int, object]] | None = None,
     little: bool = True,
+    gps: list[tuple[int, object]] | None = None,
 ) -> bytes:
     """Spec-built TIFF/Exif blob: IFD0 from ``(tag_id, value)`` pairs
-    (str → ASCII with NUL, int → SHORT, bytes → UNDEFINED), plus an
-    Exif sub-IFD behind an 0x8769 pointer when ``exif`` is given.
-    Out-of-line values land after the IFDs, offsets absolute from the
-    TIFF header as the spec requires."""
+    (str → ASCII with NUL, int → SHORT, bytes → UNDEFINED, list of
+    ``(num, den)`` tuples → RATIONAL), plus an Exif sub-IFD behind an
+    0x8769 pointer when ``exif`` is given and a GPS sub-IFD behind
+    0x8825 when ``gps`` is given. Out-of-line values land after the
+    IFDs, offsets absolute from the TIFF header as the spec
+    requires."""
     en = "<" if little else ">"
 
     def _entry_raw(val: object) -> tuple[int, int, bytes]:
@@ -1207,18 +1250,36 @@ def encode_tiff_exif(
             return 2, len(raw), raw
         if isinstance(val, bytes):
             return 7, len(val), val
+        if isinstance(val, list):  # RATIONALs as (num, den) tuples
+            raw = b"".join(
+                struct.pack(en + "II", num, den) for num, den in val
+            )
+            return 5, len(val), raw
         return 3, 1, struct.pack(en + "H", val)
 
-    n0 = len(main) + (1 if exif else 0)
+    pointers = [(0x8769, exif), (0x8825, gps)]
+    n0 = len(main) + sum(1 for _t, sub in pointers if sub)
     ifd0_len = 2 + 12 * n0 + 4
-    exif_off = 8 + ifd0_len
-    exif_len = (2 + 12 * len(exif) + 4) if exif else 0
-    extra_at = [exif_off + exif_len]
+    sub_offs = {}
+    at = 8 + ifd0_len
+    for ptag, sub in pointers:
+        if sub:
+            sub_offs[ptag] = at
+            at += 2 + 12 * len(sub) + 4
+    extra_at = [at]
     extra = bytearray()
 
-    def _build(entries: list[tuple[int, object]]) -> bytes:
-        out = struct.pack(en + "H", len(entries))
-        for tag, val in sorted(entries):
+    def _build(entries: list[tuple[int, object]],
+               with_pointers: bool = False) -> bytes:
+        items = list(entries)
+        if with_pointers:
+            items += [(pt, None) for pt, sub in pointers if sub]
+        out = struct.pack(en + "H", len(items))
+        for tag, val in sorted(items):
+            if val is None and tag in sub_offs:
+                out += struct.pack(en + "HHII", tag, 4, 1,
+                                   sub_offs[tag])
+                continue
             typ, cnt, raw = _entry_raw(val)
             if len(raw) <= 4:
                 field = raw + b"\x00" * (4 - len(raw))
@@ -1228,27 +1289,10 @@ def encode_tiff_exif(
             out += struct.pack(en + "HHI", tag, typ, cnt) + field
         return out + struct.pack(en + "I", 0)
 
-    entries0 = list(main)
-    if exif:
-        # the 0x8769 pointer is a LONG, built by hand (not via _entry_raw)
-        entries0 = sorted(entries0 + [(0x8769, None)])
-        out0 = struct.pack(en + "H", len(entries0))
-        for tag, val in entries0:
-            if tag == 0x8769 and val is None:
-                out0 += struct.pack(en + "HHII", tag, 4, 1, exif_off)
-                continue
-            typ, cnt, raw = _entry_raw(val)
-            if len(raw) <= 4:
-                field = raw + b"\x00" * (4 - len(raw))
-            else:
-                field = struct.pack(en + "I", extra_at[0] + len(extra))
-                extra.extend(raw)
-            out0 += struct.pack(en + "HHI", tag, typ, cnt) + field
-        out0 += struct.pack(en + "I", 0)
-        sub = _build(exif)
-        head = out0 + sub
-    else:
-        head = _build(entries0)
+    head = _build(main, with_pointers=True)
+    for _ptag, sub in pointers:
+        if sub:
+            head += _build(sub)
     magic = b"II*\x00" if little else b"MM\x00*"
     return magic + struct.pack(en + "I", 8) + head + bytes(extra)
 

@@ -839,3 +839,38 @@ def test_id3v2_chapter_end_before_start_raises():
         [0, 0, len(frame) >> 7, len(frame) & 0x7F]) + frame
     with pytest.raises(ValueError, match="before it starts"):
         parse_id3v2_chapters(blob)
+
+
+@pytest.mark.parametrize("little", [True, False])
+def test_exif_gps_coordinates(little):
+    from sed_binning_spark.pipeline.tags import (
+        encode_tiff_exif, parse_tiff_exif,
+    )
+
+    # Paris: 48°51'29.988" N, 2°17'39.84" E
+    gps = [(1, "N"), (2, [(48, 1), (51, 1), (29988, 1000)]),
+           (3, "E"), (4, [(2, 1), (17, 1), (3984, 100)])]
+    t = encode_tiff_exif(
+        [(0x010F, "CamCo")], gps=gps, little=little,
+    )
+    assert ("gps", "48.858330N 2.294400E") in parse_tiff_exif(t)
+
+
+def test_exif_gps_zero_denominator_raises():
+    from sed_binning_spark.pipeline.tags import (
+        encode_tiff_exif, parse_tiff_exif,
+    )
+
+    t = bytearray(encode_tiff_exif(
+        [(0x010F, "M")],
+        gps=[(1, "N"), (2, [(48, 1), (0, 1), (0, 1)]),
+             (3, "E"), (4, [(2, 1), (0, 1), (0, 1)])],
+    ))
+    import struct as _s
+
+    # find the first rational pair (48, 1) and break its denominator
+    pat = _s.pack("<II", 48, 1)
+    at = bytes(t).find(pat)
+    t[at + 4 : at + 8] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="zero denominator"):
+        parse_tiff_exif(bytes(t))
