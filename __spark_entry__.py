@@ -2995,7 +2995,7 @@ def _q_multimodal(spark, sf):
     )
     # the MUXED subtitle shapes ride the same subset at media_id =
     # -doc_id - 1e9 (disjoint from every -doc_id-1 leg for any corpus
-    # under a billion docs), keyed by doc_id % 20: WebVTT-in-MP4
+    # under a billion docs), keyed by doc_id % 40: WebVTT-in-MP4
     # (wvtt, ISO 14496-30), 3GPP tx3g, ID3v2 CHAP podcast chapters,
     # and a Matroska S_TEXT/UTF8 track — the real walks, expected
     # rows frozen from the fixture cues (see _mp4_subs_fixture)
@@ -4598,9 +4598,8 @@ _MP4_SUBS_FIXTURES = None
 
 
 def _mp4_subs_fixture():
-    """Plan-time MUXED-subtitle fixtures, keyed by doc_id % 20 on the
-    % 5 == 3 subset (doc_id % 40 keys): WebVTT-in-MP4 (wvtt) and
-    3GPP (tx3g) tracks with
+    """Plan-time MUXED-subtitle fixtures, keyed by doc_id % 40 on the
+    % 5 == 3 subset: WebVTT-in-MP4 (wvtt) and 3GPP (tx3g) tracks with
     the SAME two cues and a leading gap sample the walk must time over
     without emitting; a chaptered podcast (ID3v2 CHAP frames on an
     MPEG stream — chapter titles ARE timed text); and a Matroska

@@ -186,14 +186,12 @@ def _ogg_info(data: bytes) -> tuple[int, int, int | None]:
         rate = struct.unpack_from("<I", head, 12)[0]
         clock = 48_000  # Opus granules run on the 48 kHz clock
     elif head[:5] == b"\x7fFLAC":
-        # the BOS packet wraps the native fLaC magic + STREAMINFO
+        # the BOS packet wraps the native fLaC magic + STREAMINFO —
+        # delegate the bit extraction to the native-FLAC reader
         at = head.find(b"fLaC")
-        if at < 0 or len(head) < at + 4 + 4 + 18:
+        if at < 0:
             raise ValueError("Ogg FLAC BOS packet lacks STREAMINFO")
-        si = head[at + 8 :]
-        bits = int.from_bytes(si[10:18], "big")
-        rate = bits >> 44
-        channels = ((bits >> 41) & 0x7) + 1
+        rate, channels, _dur = _flac_streaminfo(head[at:])
         clock = rate
     else:
         raise ValueError(
@@ -298,9 +296,15 @@ def manifest_one(data: bytes) -> dict:
     if data[:4] == b"OggS":
         out["container"] = "ogg"
         out["mime"] = "audio/ogg"
-        rate, ch, dur = _ogg_info(data)
-        out["sample_rate"], out["channels"] = rate, ch
-        out["duration_ms"] = dur
+        try:
+            rate, ch, dur = _ogg_info(data)
+            out["sample_rate"], out["channels"] = rate, ch
+            out["duration_ms"] = dur
+        except _DECODE_ERRORS as exc:
+            # an unknown BOS codec (Speex, Theora) or a truncated page
+            # walk keeps the container row — triage keeps what it
+            # learned and notes what it could not
+            out["error"] = str(exc)[:200]
         _count_tags()
         return out
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
@@ -349,8 +353,22 @@ def manifest_one(data: bytes) -> dict:
         if got.get("bytes_dropped"):
             out["error"] = (f"truncated tail: {got['bytes_dropped']} "
                             f"bytes dropped")
-        _count_tags()
-        _count_cues()  # podcast CHAP chapters are cues
+        # ONE frame walk yields both the tag texts and the podcast
+        # CHAP chapters (cues) — tags with embedded artwork run to
+        # megabytes, so a second walk would double the per-payload cost
+        from sed_binning_spark.pipeline.tags import (
+            parse_id3v1,
+            parse_id3v2_full,
+        )
+
+        try:
+            id3_tags, chapters, _end = parse_id3v2_full(data)
+            if not id3_tags:
+                id3_tags = parse_id3v1(data)
+            out["n_tags"] = len(id3_tags)
+            out["n_cues"] = len(chapters)
+        except _DECODE_ERRORS:
+            pass  # a tag-block defect doesn't void the triage row
         return out
     # subtitle documents (text payloads)
     got = parse_subtitles(data)

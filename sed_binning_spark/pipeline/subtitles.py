@@ -467,15 +467,20 @@ def parse_matroska_chapters(
                     continue
                 start = end = None
                 title = ""
+                saw_display = False
                 for i4, s4, e4 in _iter_elements(data, s3, e3):
                     if i4 == _MKV_CHAPTER_TIME_START:
                         start = _uint(data, s4, e4)
                     elif i4 == _MKV_CHAPTER_TIME_END:
                         end = _uint(data, s4, e4)
-                    elif i4 == _MKV_CHAPTER_DISPLAY:
+                    elif i4 == _MKV_CHAPTER_DISPLAY and not saw_display:
+                        # the FIRST ChapterDisplay is the default
+                        # language (the shape mkvmerge writes)
+                        saw_display = True
                         for i5, s5, e5 in _iter_elements(data, s4, e4):
                             if i5 == _MKV_CHAP_STRING:
                                 title = data[s5:e5].decode("utf-8")
+                                break
                 if start is None:
                     raise ValueError(
                         "ChapterAtom without its ChapterTimeStart",
@@ -544,12 +549,12 @@ def parse_subtitles(data: bytes) -> dict:
                 "format": "mkv", "cues": parse_matroska_subtitles(data),
             }
         except ValueError as exc:
-            if "no S_TEXT/UTF8" not in str(exc):
-                raise
-            # no subtitle track — a Chapters element is timed text too
+            # no usable subtitle track (absent, or styled-only) — a
+            # Chapters element is timed text too; a stream with
+            # neither re-raises the original refusal
             cues = parse_matroska_chapters(data)
             if not cues:
-                raise
+                raise exc
             return {"format": "mkv-chapters", "cues": cues}
     if len(data) >= 12 and data[4:8] == b"ftyp":
         return {"format": "mp4", "cues": parse_mp4_subtitles(data)}

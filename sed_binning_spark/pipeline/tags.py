@@ -152,8 +152,21 @@ def parse_id3v2(data: bytes) -> tuple[list[tuple[str, str]], int]:
     the payload does not start with one. ``tag_end`` is the offset of
     the first byte past the tag (including a v2.4 footer), which is
     where the audio stream starts."""
+    tags, _chapters, tag_end = parse_id3v2_full(data)
+    return tags, tag_end
+
+
+def parse_id3v2_full(
+    data: bytes,
+) -> tuple[list[tuple[str, str]], list[tuple[int, int, int, str]],
+           int]:
+    """``(tags, chapters, tag_end)`` of a leading ID3v2 tag in ONE
+    frame walk — the entry for callers that want both (the manifest
+    triage pass); chapters carry ``(index, start_ms, end_ms, title)``
+    sorted by start time. ``([], [], 0)`` when the payload does not
+    start with an ID3v2 tag."""
     if data[:3] != b"ID3" or len(data) < 10:
-        return [], 0
+        return [], [], 0
     major, _rev, flags = data[3], data[4], data[5]
     if major not in (2, 3, 4):
         raise ValueError(f"ID3v2.{major} is not a published tag version")
@@ -170,9 +183,11 @@ def parse_id3v2(data: bytes) -> tuple[list[tuple[str, str]], int]:
                              "unreadable by spec")
         if flags & 0x80:
             body = _de_unsync(body)
-        return _parse_id3v22_frames(body), end
+        # v2.2 predates the chapter addendum
+        return _parse_id3v22_frames(body), [], end
     body, pos, major, tag_end = _id3v2_tag_body(data)
     tags: list[tuple[str, str]] = []
+    chapters: list[tuple[int, int, str]] = []
     for key, fbody in _id3v2_frames(body, major, pos):
         if key == "TXXX":
             desc, text = _id3_split_desc(fbody[0], fbody[1:])
@@ -189,13 +204,42 @@ def parse_id3v2(data: bytes) -> tuple[list[tuple[str, str]], int]:
             # artwork: report the declared mime, no image decode
             mime, _, _rest = fbody[1:].partition(b"\x00")
             tags.append(("artwork", mime.decode("latin-1")))
+        elif key == "CHAP":
+            chapters.append(_parse_chap_frame(fbody, major))
         elif key.startswith("T"):
             tags.append((
                 _ID3_KEYMAP.get(key, key.lower()),
                 "; ".join(_id3_texts(fbody[0], fbody[1:])),
             ))
         # other non-text frames (UFID, GEOB, ...) carry no tag text
-    return tags, tag_end
+    chapters.sort(key=lambda c: c[0])
+    return tags, [
+        (i + 1, s, e, t) for i, (s, e, t) in enumerate(chapters)
+    ], tag_end
+
+
+def _parse_chap_frame(
+    fbody: bytes, major: int,
+) -> tuple[int, int, str]:
+    """(start_ms, end_ms, title) of one CHAP frame body (the id3.org
+    Chapter Frame Addendum): element id, 32-bit times, byte offsets
+    (ignored), then embedded ordinary frames — the title is the
+    embedded TIT2."""
+    _elem, _, rest = fbody.partition(b"\x00")
+    if len(rest) < 16:
+        raise ValueError("CHAP frame too short for its time/offset "
+                         "fields")
+    start, end_t = struct.unpack_from(">II", rest, 0)
+    if end_t < start:
+        raise ValueError(
+            f"CHAP ends at {end_t} ms before it starts at {start} ms",
+        )
+    title = ""
+    for sk, sb in _id3v2_frames(rest, major, 16):
+        if sk == "TIT2":
+            title = "; ".join(_id3_texts(sb[0], sb[1:]))
+            break
+    return start, end_t, title
 
 
 def _id3v2_frames(body: bytes, major: int, pos: int = 0):
@@ -278,41 +322,11 @@ def parse_id3v2_chapters(
 ) -> list[tuple[int, int, int, str]]:
     """``(index, start_ms, end_ms, title)`` chapters of a leading
     ID3v2.3/2.4 tag's ``CHAP`` frames (the id3.org Chapter Frame
-    Addendum — how podcasts carry their chapter list): element id,
-    32-bit start/end times in ms, byte offsets (ignored), then
-    embedded ordinary frames — the chapter title is the embedded
-    TIT2. Chapters sort by start time; ``[]`` when the payload has no
-    ID3v2 tag or no CHAP frames."""
-    if data[:3] != b"ID3" or len(data) < 10:
-        return []
-    if data[3] == 2:
-        return []  # v2.2 predates the chapter addendum
-    if data[3] not in (3, 4):
-        raise ValueError(f"ID3v2.{data[3]} is not a published tag "
-                         f"version")
-    body, pos, major, _tag_end = _id3v2_tag_body(data)
-    chapters = []
-    for key, fbody in _id3v2_frames(body, major, pos):
-        if key != "CHAP":
-            continue
-        _elem, _, rest = fbody.partition(b"\x00")
-        if len(rest) < 16:
-            raise ValueError("CHAP frame too short for its time/offset "
-                             "fields")
-        start, end_t = struct.unpack_from(">II", rest, 0)
-        if end_t < start:
-            raise ValueError(
-                f"CHAP ends at {end_t} ms before it starts at "
-                f"{start} ms",
-            )
-        title = ""
-        for sk, sb in _id3v2_frames(rest, major, 16):
-            if sk == "TIT2":
-                title = "; ".join(_id3_texts(sb[0], sb[1:]))
-                break
-        chapters.append((start, end_t, title))
-    chapters.sort(key=lambda c: c[0])
-    return [(i + 1, s, e, t) for i, (s, e, t) in enumerate(chapters)]
+    Addendum — how podcasts carry their chapter list), sorted by
+    start time; ``[]`` when the payload has no ID3v2 tag or no CHAP
+    frames. See :func:`parse_id3v2_full` for the single-walk form."""
+    _tags, chapters, _end = parse_id3v2_full(data)
+    return chapters
 
 
 def _parse_id3v22_frames(body: bytes) -> list[tuple[str, str]]:

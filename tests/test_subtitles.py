@@ -351,3 +351,62 @@ def test_matroska_no_cues_anywhere_raises():
 
     with pytest.raises(ValueError, match="no S_TEXT/UTF8"):
         parse_subtitles(encode_webm([b"a"], [0]))
+
+
+def test_chapters_fallback_survives_a_styled_only_track():
+    from sed_binning_spark.pipeline.subtitles import add_matroska_chapters
+    from sed_binning_spark.pipeline.webm import (
+        _CODEC_ID, _INFO, _SEGMENT, _TIMESTAMP_SCALE, _TRACK_ENTRY,
+        _TRACK_NUMBER, _TRACK_TYPE, _TRACKS, _elem, _uint_elem,
+    )
+
+    header = _elem(0x1A45DFA3, b"")
+    info = _elem(_INFO, _uint_elem(_TIMESTAMP_SCALE, 1_000_000))
+    ass = _elem(_TRACK_ENTRY, (
+        _uint_elem(_TRACK_NUMBER, 1)
+        + _uint_elem(_TRACK_TYPE, 0x11)
+        + _elem(_CODEC_ID, b"S_TEXT/ASS")
+    ))
+    styled_only = header + _elem(_SEGMENT, info + _elem(_TRACKS, ass))
+    chaptered = add_matroska_chapters(
+        styled_only, [(0, 60000, "Chapter A")],
+    )
+    assert parse_subtitles(chaptered) == {
+        "format": "mkv-chapters",
+        "cues": [(1, 0, 60000, "Chapter A")],
+    }
+
+
+def test_first_chapter_display_wins():
+    from sed_binning_spark.pipeline.subtitles import (
+        _MKV_CHAP_STRING, _MKV_CHAPTER_ATOM, _MKV_CHAPTER_DISPLAY,
+        _MKV_CHAPTER_TIME_START, _MKV_CHAPTERS, _MKV_EDITION_ENTRY,
+        parse_matroska_chapters,
+    )
+    from sed_binning_spark.pipeline.webm import (
+        _SEGMENT, _elem, _uint_elem, encode_webm,
+    )
+
+    # two ChapterDisplays (default language first) — mkvmerge's shape
+    atom = _elem(_MKV_CHAPTER_ATOM, (
+        _uint_elem(_MKV_CHAPTER_TIME_START, 0)
+        + _elem(_MKV_CHAPTER_DISPLAY,
+                _elem(_MKV_CHAP_STRING, b"Default Title"))
+        + _elem(_MKV_CHAPTER_DISPLAY,
+                _elem(_MKV_CHAP_STRING, b"Titre Traduit"))
+    ))
+    base = encode_webm([b"x"], [0])
+    from sed_binning_spark.pipeline.webm import _read_vint
+
+    pos = 0
+    eid, pos = _read_vint(base, pos, keep_marker=True)
+    size, pos = _read_vint(base, pos, keep_marker=False)
+    head = base[: pos + size]
+    _eid2, p2 = _read_vint(base, pos + size, keep_marker=True)
+    ssize, p2 = _read_vint(base, p2, keep_marker=False)
+    seg_body = base[p2 : p2 + ssize]
+    spliced = head + _elem(_SEGMENT, seg_body + _elem(
+        _MKV_CHAPTERS, _elem(_MKV_EDITION_ENTRY, atom)))
+    assert parse_matroska_chapters(spliced) == [
+        (1, 0, 0, "Default Title"),
+    ]
