@@ -64,7 +64,9 @@ _ID3_KEYMAP = {
     "TDRC": "date", "TYER": "date", "TCON": "genre", "TRCK": "track",
     "TLEN": "length", "TSSE": "encoder", "TPE2": "album_artist",
     "TCOM": "composer", "TPUB": "publisher", "TCOP": "copyright",
-    "TLAN": "language",
+    "TLAN": "language", "TIT3": "subtitle", "TIT1": "grouping",
+    "TDRL": "release_date", "TOPE": "original_artist",
+    "TSOT": "title_sort", "TSOP": "artist_sort",
 }
 _ID3_22_KEYMAP = {
     "TT2": "title", "TP1": "artist", "TAL": "album", "TYE": "date",
@@ -78,6 +80,10 @@ _ILST_KEYMAP = {
     b"\xa9too": "encoder", b"\xa9lyr": "lyrics",
     b"aART": "album_artist", b"\xa9wrt": "composer",
     b"cprt": "copyright",
+    # the podcast shapes: iTunes description/long-description/keywords
+    b"desc": "description", b"ldes": "description",
+    b"\xa9des": "description", b"keyw": "keywords",
+    b"purl": "podcast_url", b"tvsh": "show",
 }
 _RIFF_KEYMAP = {
     b"INAM": "title", b"IART": "artist", b"IPRD": "album",
@@ -539,9 +545,11 @@ def _mp4_tags(data: bytes) -> list[tuple[str, str]]:
     if moov is None:
         raise ValueError("MP4 has no moov box")
     udta = _find(data, moov[0], moov[1], b"udta")
-    if udta is None:
-        return []
-    meta = _find(data, udta[0], udta[1], b"meta")
+    meta = (_find(data, udta[0], udta[1], b"meta")
+            if udta is not None else None)
+    if meta is None:
+        # some writers hang meta directly off moov, skipping udta
+        meta = _find(data, moov[0], moov[1], b"meta")
     if meta is None:
         return []
     # meta is a FULL box: 4 bytes of version/flags before its children
@@ -585,7 +593,22 @@ def _riff_tags(data: bytes) -> list[tuple[str, str]]:
         body = data[pos + 8 : pos + 8 + size]
         if len(body) != size:
             raise ValueError(f"RIFF chunk {cid!r} extends past the file")
-        if cid == b"LIST" and body[:4] == b"INFO":
+        if cid == b"bext" and size >= 256 + 32 + 32 + 10 + 8:
+            # EBU Broadcast Wave (BWF, EBU Tech 3285): fixed-width
+            # latin-1 description/originator + origination date/time —
+            # how archival speech corpora carry their provenance
+            def _bw(a: int, b: int) -> str:
+                return body[a:b].split(b"\x00")[0].decode(
+                    "latin-1").strip()
+
+            for key, val in (
+                ("description", _bw(0, 256)),
+                ("originator", _bw(256, 288)),
+                ("date", _bw(320, 330)),
+            ):
+                if val:
+                    tags.append((key, val))
+        elif cid == b"LIST" and body[:4] == b"INFO":
             at = 4
             while at + 8 <= size:
                 sid, ssz = struct.unpack_from("<4sI", body, at)

@@ -874,3 +874,48 @@ def test_exif_gps_zero_denominator_raises():
     t[at + 4 : at + 8] = b"\x00\x00\x00\x00"
     with pytest.raises(ValueError, match="zero denominator"):
         parse_tiff_exif(bytes(t))
+
+
+def test_mp4_meta_directly_under_moov():
+    # some writers hang meta off moov without a udta wrapper
+    def box(btype, payload):
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    raw = "Direct Meta".encode()
+    items = box(b"\xa9nam", box(
+        b"data", (1).to_bytes(4, "big") + b"\x00" * 4 + raw))
+    meta = box(b"meta", b"\x00" * 4 + box(
+        b"hdlr", b"\x00" * 8 + b"mdir" + b"\x00" * 10,
+    ) + box(b"ilst", items))
+    mvhd = box(b"mvhd", b"\x00" * 100)
+    blob = (box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+            + box(b"moov", mvhd + meta))
+    assert parse_media_tags(blob)["tags"] == [("title", "Direct Meta")]
+
+
+def test_bwf_bext_chunk():
+    import struct as _s
+
+    wav = encode_audio_wav(np.zeros((16, 1), np.int16), 8000)
+    body = (b"An archival recording" + b"\x00" * 235   # description
+            + b"National Archive" + b"\x00" * 16        # originator
+            + b"\x00" * 32                              # originator ref
+            + b"2003-07-14" + b"\x00" * 8 + b"\x00" * 256)
+    tagged = wav + b"bext" + _s.pack("<I", len(body)) + body
+    tagged = tagged[:4] + _s.pack("<I", len(tagged) - 8) + tagged[8:]
+    assert parse_media_tags(tagged)["tags"] == [
+        ("description", "An archival recording"),
+        ("originator", "National Archive"),
+        ("date", "2003-07-14"),
+    ]
+
+
+def test_podcast_ilst_keys():
+    fixture = encode_mp4_tags_fixture([
+        (b"\xa9nam", "Ep 1"), (b"desc", "A short summary"),
+        (b"ldes", "The long show notes"),
+    ])
+    assert parse_media_tags(fixture)["tags"] == [
+        ("title", "Ep 1"), ("description", "A short summary"),
+        ("description", "The long show notes"),
+    ]
