@@ -108,3 +108,54 @@ def test_full_chain_runs_and_is_layout_deterministic(spark):
     # the shared boilerplate paragraph survives in at most one document
     with_footer = docs_a.where(F.col("text").contains("shared footer")).count()
     assert with_footer <= 1
+
+
+@needs_testdata
+def test_media_text_feeds_the_curation_chain(spark):
+    """The media tier composes with the text tier: subtitle cue text
+    and tag text mined from payloads flow straight into language ID
+    and text statistics — the transcript half of an A/V training pair
+    is ordinary curation input once extracted."""
+    from sed_binning_spark.pipeline import (
+        extract_media_tags,
+        extract_subtitle_cues,
+        language_id,
+        text_stats,
+    )
+    from sed_binning_spark.pipeline.subtitles import (
+        synthesize_subtitle_media_from_text,
+    )
+    from sed_binning_spark.pipeline.tags import encode_id3v2
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .where(F.col("text").isNotNull()).limit(40)
+
+    # cues: synthesized subtitle payloads, parsed back, re-shaped as a
+    # document table for the text operators
+    media = synthesize_subtitle_media_from_text(docs)
+    cue_docs = extract_subtitle_cues(media).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("text"),
+    )
+    stats = text_stats(cue_docs)
+    langs = language_id(cue_docs)
+    n_cues = cue_docs.count()
+    assert n_cues == 2 * docs.count()
+    assert stats.where(F.col("n_chars") != 16).count() == 0
+    assert langs.count() == n_cues
+
+    # tags: ID3 titles re-enter as text rows the same way
+    id3_media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.lit(b"ID3\x03\x00\x00\x00\x00\x00\x2b"
+                  b"TIT2\x00\x00\x00\x21\x00\x00\x00"),
+            F.encode(F.md5("text"), "UTF-8"),
+        ).alias("payload"),
+    )
+    tag_docs = extract_media_tags(id3_media).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("value").alias("text"),
+    )
+    assert text_stats(tag_docs).agg(
+        F.sum("n_chars")).first()[0] == 32 * docs.count()
