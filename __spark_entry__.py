@@ -3052,8 +3052,30 @@ def _q_multimodal(spark, sf):
             F.lit("|"), _s("n_cues"),
         ).alias("feat_csv"),
     )
+    # round 14: perceptual image hashing (pipeline.imagehash) — the
+    # REAL dHash kernel (decode → integer gray → nearest resample →
+    # gradient bits) over the md5-pixel PPM fixtures on the same
+    # doc_id % 5 == 4 subset at the disjoint -2e9 id space; the 4×2
+    # raster reduces to six comparisons with closed-form bit weights,
+    # which the oracle replays symbolically from the same md5
+    from sed_binning_spark.pipeline.imagehash import image_dhash
+
+    dh_media = synthesize_ppm_media_from_text(
+        docs.where(did % 5 == 4),
+    ).select(
+        (-F.col("media_id") - 2_000_000_000).cast("long")
+        .alias("media_id"),
+        "payload",
+    )
+    dh_leg = image_dhash(dh_media).select(
+        "media_id",
+        F.bit_count("dhash").cast("bigint").alias("n_bytes"),
+        F.concat(
+            F.lit("dh:"), F.col("dhash").cast("string"),
+        ).alias("feat_csv"),
+    )
     return (base.unionByName(tag_leg).unionByName(sub_leg)
-            .unionByName(man_leg))
+            .unionByName(man_leg).unionByName(dh_leg))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4511,6 +4533,9 @@ def _multimodal_oracle_sql(width: int = 4, height: int = 2) -> str:
         # media-manifest triage rows (round 14, % 5 = 4 subset):
         # declared closed-form facts vs the real header/table walks
         + _manifest_oracle_sql()
+        # perceptual-hash rows (round 14, % 5 = 4 subset, -2e9 space):
+        # the 4×2 fixture dHash replayed symbolically from md5(text)
+        + _dhash_oracle_sql()
     )
 
 
@@ -4667,6 +4692,43 @@ def _subtitles_oracle_sql() -> str:
         f"CAST(e1 + 2250 AS VARCHAR) || '=' || substr(md5(text), 17, 16) "
         f"FROM ({base})"
         + _mp4_subs_oracle_sql()
+    )
+
+
+def _dhash_oracle_sql() -> str:
+    """DuckDB twin of the dHash leg: the 4×2 md5-pixel raster samples
+    to rows [0,0,0,0,1,1,1,1] × cols [0,0,0,1,1,2,2,3,3], so only six
+    gradient comparisons can be nonzero — pixels (0<1, 1<2, 2<3) on
+    each of the two source rows — each worth a closed-form sum of bit
+    weights (four identical top rows / four bottom rows of the 8×8 bit
+    grid). Grayscale is (r+g+b)//3 of the cycled digest bytes; the
+    resulting sum stays under 2^62, so plain BIGINT arithmetic is
+    exact and the sign bit never sets. n_bytes carries bit_count(h),
+    computed independently by each engine."""
+    def byte(i: int) -> str:
+        return (f"CAST('0x' || substr(md5(text), {(i % 16) * 2 + 1}, 2)"
+                f" AS BIGINT)")
+
+    gs = ", ".join(
+        f"({byte(3 * p)} + {byte(3 * p + 1)} + {byte(3 * p + 2)}) // 3"
+        for p in range(8)
+    )
+    comparisons = [
+        ((0, 1), (61, 53, 45, 37)), ((1, 2), (59, 51, 43, 35)),
+        ((2, 3), (57, 49, 41, 33)), ((4, 5), (29, 21, 13, 5)),
+        ((5, 6), (27, 19, 11, 3)), ((6, 7), (25, 17, 9, 1)),
+    ]
+    terms = " + ".join(
+        f"(CASE WHEN g[{a + 1}] < g[{b + 1}] "
+        f"THEN {sum(1 << k for k in bits)} ELSE 0 END)"
+        for (a, b), bits in comparisons
+    )
+    return (
+        f" UNION ALL SELECT CAST(-doc_id - 2000000000 AS BIGINT), "
+        f"CAST(bit_count(h) AS BIGINT), 'dh:' || CAST(h AS VARCHAR) "
+        f"FROM (SELECT doc_id, {terms} AS h FROM "
+        f"(SELECT doc_id, [{gs}] AS g FROM documents "
+        f"WHERE doc_id % 5 = 4 AND text IS NOT NULL))"
     )
 
 

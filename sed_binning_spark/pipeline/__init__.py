@@ -119,6 +119,10 @@ from sed_binning_spark.pipeline.manifest import (
     manifest_one,
     media_manifest,
 )
+from sed_binning_spark.pipeline.imagehash import (
+    dhash_pairs,
+    image_dhash,
+)
 from sed_binning_spark.pipeline.multimodal import (
     decode_gif_frames,
     encode_gif_animation,
@@ -295,6 +299,8 @@ __all__ = [
     "parse_subtitles",
     "manifest_one",
     "media_manifest",
+    "dhash_pairs",
+    "image_dhash",
     "decode_gif_frames",
     "encode_gif_animation",
     "synthesize_animated_gif_media_from_text",

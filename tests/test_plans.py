@@ -376,10 +376,27 @@ def test_tag_and_subtitle_mining_are_one_python_stage_no_shuffle(spark):
         [(1, bytearray(b"ID3"), "x")],
         "media_id long, payload binary, other string",
     )
+    from sed_binning_spark.pipeline.imagehash import image_dhash
     from sed_binning_spark.pipeline.manifest import media_manifest
 
     for op in (extract_media_tags, extract_subtitle_cues,
-               media_manifest):
+               media_manifest, image_dhash):
         plan = plan_of(op(media))
         assert plan.count("MapInPandas") == 1, plan
         assert "Exchange" not in plan, plan
+
+
+def test_dhash_pairs_shuffles_band_keys_only(spark):
+    """dhash_pairs is the image twin of the text LSH joins: band
+    extraction is pure expressions below ONE equi-join (no nested
+    loop, no cartesian product), and the hamming verify runs after the
+    join without another Python boundary."""
+    from sed_binning_spark.pipeline.imagehash import dhash_pairs
+
+    hashes = spark.createDataFrame(
+        [(1, 7), (2, 7)], "media_id long, dhash long",
+    )
+    plan = plan_of(dhash_pairs(hashes))
+    assert "MapInPandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan

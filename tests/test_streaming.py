@@ -1190,3 +1190,39 @@ def test_media_manifest_on_a_structured_stream(tmp_path, spark):
     assert got.equals(batch)
     assert got.container[0] == "mp3" and got.error[0] is None
     assert got.container[1] is None and got.error[1]
+
+
+def test_image_dhash_on_a_structured_stream(tmp_path, spark):
+    """image_dhash is the same stateless mapInPandas shape: hashes
+    stream per micro-batch, non-image payloads degrade to zero rows,
+    identical to the batch run."""
+    import numpy as np
+
+    from sed_binning_spark.pipeline.imagehash import image_dhash
+    from sed_binning_spark.pipeline.multimodal import encode_image_png
+
+    img = np.arange(27, dtype=np.uint8).reshape(3, 3, 3) * 9
+    root = tmp_path / "dh_in"
+    root.mkdir()
+    pd.DataFrame({"media_id": [0],
+                  "payload": [bytes(encode_image_png(img))]}) \
+        .to_parquet(root / "chunk_0.parquet")
+    pd.DataFrame({"media_id": [1], "payload": [b"not an image"]}) \
+        .to_parquet(root / "chunk_1.parquet")
+
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1).parquet(str(root))
+    )
+    q = (
+        image_dhash(stream)
+        .writeStream.format("memory").queryName("dh_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dh_stream").toPandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    batch = image_dhash(spark.read.parquet(str(root))).toPandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert got.equals(batch)
+    assert list(got.media_id) == [0]
