@@ -37,6 +37,8 @@ def dhash_int(img: np.ndarray, hash_size: int = 8) -> int:
     as a SIGNED 64-bit integer (hash_size 8). Integer-exact: grayscale
     is (sum of channels) // n_channels, the resample picks source
     pixels by ``dst * src // n_dst``."""
+    if hash_size < 1:
+        raise ValueError("hash_size must be a positive bit-grid size")
     if hash_size * hash_size > 64:
         raise ValueError("dhash wider than 64 bits — lower hash_size")
     if img.ndim == 3:
@@ -104,7 +106,7 @@ def image_dhash(
 def dhash_pairs(
     hashes: DataFrame,
     max_distance: int = 4,
-    bands: int = 4,
+    bands: int = 8,
     id_column: str = "media_id",
     hash_column: str = "dhash",
 ) -> DataFrame:
@@ -112,13 +114,16 @@ def dhash_pairs(
     ``max_distance``, id_a < id_b — candidates from a banded
     equi-join (any shared 64/bands-bit band), verified by one
     XOR+popcount. Complete for ``max_distance < bands`` (pigeonhole:
-    d bit flips cannot touch all bands); wider distances trade recall
-    for the same join cost, exactly like the text LSH. Everything is
-    built-in expressions — the only shuffle is the band-key join."""
+    d bit flips cannot touch all bands) — the defaults (4, 8)
+    satisfy it; passing fewer bands than ``max_distance + 1`` trades
+    recall for wider band keys (fewer random collisions), exactly
+    like the text LSH. Everything is built-in expressions — the only
+    shuffle is the band-key join."""
     if not 1 <= bands <= 64 or 64 % bands:
         raise ValueError("bands must divide 64")
     width = 64 // bands
-    mask = (1 << width) - 1
+    # width 64 (bands=1) needs the all-ones SIGNED literal: -1
+    mask = (1 << width) - 1 if width < 64 else -1
     exploded = hashes.select(
         F.col(id_column).alias("_id"),
         F.col(hash_column).alias("_h"),

@@ -141,3 +141,32 @@ def test_pairs_banding_matches_duckdb(spark):
         ORDER BY 1, 2
     """).fetchall()
     assert got == [tuple(r) for r in oracle]
+
+
+def test_default_settings_find_distance_4_spread_across_bands(spark):
+    # the defaults (max_distance=4, bands=8) satisfy the pigeonhole
+    # completeness bound — four flips one-per-16-bit-quadrant must
+    # still collide in at least one 8-bit band
+    base = int(np.uint64(0x0123456789ABCDEF).view(np.int64))
+    spread = np.uint64(base & 0xFFFFFFFFFFFFFFFF)
+    for p in (0, 16, 32, 48):
+        spread ^= np.uint64(1) << np.uint64(p)
+    df = spark.createDataFrame(
+        [(0, base), (1, int(spread.view(np.int64)))],
+        "media_id long, dhash long",
+    )
+    got = dhash_pairs(df).collect()
+    assert [(p.id_a, p.id_b, p.distance) for p in got] == [(0, 1, 4)]
+
+
+def test_single_band_degenerates_to_exact_match(spark):
+    df = spark.createDataFrame(
+        [(0, 7), (1, 7), (2, 8)], "media_id long, dhash long",
+    )
+    got = dhash_pairs(df, max_distance=0, bands=1).collect()
+    assert [(p.id_a, p.id_b) for p in got] == [(0, 1)]
+
+
+def test_dhash_hash_size_bounds():
+    with pytest.raises(ValueError, match="positive"):
+        dhash_int(np.zeros((4, 4), np.uint8), hash_size=0)
