@@ -244,6 +244,82 @@ def _bilinear_or_nan(grid: np.ndarray, rows: np.ndarray, cols: np.ndarray) -> np
     return out
 
 
+def _axis_bilinear_parts(coords: np.ndarray, n: int):
+    """Per-axis pieces of the separable bilinear sample: floor index,
+    fractional weight, per-neighbor in-bounds masks, and the NaN-out mask.
+    Bit-identical to what :func:`map_coordinates_bilinear` computes per
+    point, just once per axis value instead of once per grid cell."""
+    finite = np.isfinite(coords)
+    safe = np.where(finite, coords, -10.0)
+    i0 = np.floor(safe).astype(np.int64)
+    frac = safe - i0
+    ok0 = (i0 >= 0) & (i0 < n)
+    ok1 = (i0 + 1 >= 0) & (i0 + 1 < n)
+    bad = ~finite | (coords < 0.0) | (coords > n - 1.0)
+    return i0, frac, ok0, ok1, bad
+
+
+def _bilinear_grid_pair_or_nan(
+    grid_a: np.ndarray,
+    grid_b: np.ndarray,
+    gi: np.ndarray,
+    gj: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sample TWO same-shape grids at the tensor-product raster ``gi x gj``
+    — the exact values of ``_bilinear_or_nan(grid, meshgrid(gi, gj))`` for
+    each grid, at a fraction of the cost.
+
+    The general sampler treats every output cell as an independent point:
+    per-point floors, per-point weight products, boolean-mask gathers. On a
+    tensor-product raster all of that is separable — floors/fractions/
+    bounds masks depend on one axis only — so this computes them once per
+    AXIS VALUE and broadcasts. Every elementwise operation (the
+    ``(1-fr)*(1-fc)`` weight products, the ``out += wgt * vals``
+    accumulation order, the zero for off-grid neighbors, the NaN-out mask)
+    is the same IEEE op on the same operands as the general path, so the
+    result is bit-identical (pinned by a test); both grids share one set of
+    indices and weights, which is the second saving. Measured at the
+    512->2048 benchmark shape: 1.6-9 s (load-dependent) -> ~0.2 s for the
+    pair."""
+    if grid_a.shape != grid_b.shape:
+        raise ValueError("grids must share a shape")
+    h, w = grid_a.shape
+    r0, frac_r, okr0, okr1, bad_r = _axis_bilinear_parts(gi, h)
+    c0, frac_c, okc0, okc1, bad_c = _axis_bilinear_parts(gj, w)
+
+    # clip for the gather; off-grid neighbors are zeroed below BEFORE the
+    # weight multiply, so a clipped-in NaN grid value can never leak
+    r0c = np.clip(r0, 0, h - 1)
+    r1c = np.clip(r0 + 1, 0, h - 1)
+    c0c = np.clip(c0, 0, w - 1)
+    c1c = np.clip(c0 + 1, 0, w - 1)
+
+    wr0 = 1.0 - frac_r
+    wc0 = 1.0 - frac_c
+    out_a = np.zeros((gi.size, gj.size), dtype=np.float64)
+    out_b = np.zeros_like(out_a)
+    # same neighbor order as map_coordinates_bilinear: (0,0),(0,1),(1,0),(1,1)
+    for rc, cc_, okr, okc, wr, wc in (
+        (r0c, c0c, okr0, okc0, wr0, wc0),
+        (r0c, c1c, okr0, okc1, wr0, frac_c),
+        (r1c, c0c, okr1, okc0, frac_r, wc0),
+        (r1c, c1c, okr1, okc1, frac_r, frac_c),
+    ):
+        ok = okr[:, None] & okc[None, :]
+        wgt = wr[:, None] * wc[None, :]
+        vals_a = grid_a[np.ix_(rc, cc_)]
+        vals_b = grid_b[np.ix_(rc, cc_)]
+        vals_a[~ok] = 0.0
+        vals_b[~ok] = 0.0
+        out_a += wgt * vals_a
+        out_b += wgt * vals_b
+
+    bad = bad_r[:, None] | bad_c[None, :]
+    out_a[bad] = np.nan
+    out_b[bad] = np.nan
+    return out_a, out_b
+
+
 def generate_inverse_dfield(
     rdeform_field: np.ndarray,
     cdeform_field: np.ndarray,
@@ -288,8 +364,10 @@ def generate_inverse_dfield(
         gi = det_r0 + np.arange(out_h) * (h - det_r0) / out_h
         gj = det_c0 + np.arange(out_w) * (w - det_c0) / out_w
         gri, gcj = np.meshgrid(gi, gj, indexing="ij")
-        fr = _bilinear_or_nan(fr, gri.ravel(), gcj.ravel()).reshape(out_h, out_w)
-        fc = _bilinear_or_nan(fc, gri.ravel(), gcj.ravel()).reshape(out_h, out_w)
+        # tensor-product raster -> separable sampler (bit-identical to the
+        # general _bilinear_or_nan per-point path, pinned by a test; shares
+        # one index/weight set between both fields)
+        fr, fc = _bilinear_grid_pair_or_nan(fr, fc, gi, gj)
         rr, cc = gri, gcj  # fractional source positions in grid units
 
     # deformed grid positions, shifted by the bin offset in grid units
@@ -338,30 +416,44 @@ def generate_inverse_dfield(
     for _ in range(2):
         closed = _erode4(closed)
     fillable = closed & ~filled
+    # Sparse Jacobi relaxation: the historical full-raster form rebuilt
+    # four np.roll copies plus acc/cnt rasters per iteration (~20 full
+    # 4M-cell temporaries x 8 iterations x 2 planes); but the holes are a
+    # few thousand seam cells, so iterate over THEIR flat indices only.
+    # Per hole cell the neighbor values are gathered from the same g state
+    # (all gathers before any scatter = the same simultaneous update), in
+    # the same N/S/W/E order with the same skip-NaN accumulation and the
+    # same float64 acc/cnt division, so the filled values are bit-identical
+    # to the roll form (pinned by a test). A pass that fills nothing ends
+    # the loop early: g is unchanged, so the remaining passes were no-ops.
     for plane in (0, 1):
         g = inv[plane]
+        gflat = g.ravel()
+        idx = np.flatnonzero(np.isnan(gflat) & fillable.ravel())
         for _ in range(8):
-            holes = np.isnan(g) & fillable
-            if not holes.any():
+            if not idx.size:
                 break
-            acc = np.zeros_like(g)
-            cnt = np.zeros_like(g)
-            for shift_ax, shift in ((0, 1), (0, -1), (1, 1), (1, -1)):
-                nb = np.roll(g, shift, axis=shift_ax)
-                if shift_ax == 0 and shift == 1:
-                    nb[0, :] = np.nan
-                elif shift_ax == 0:
-                    nb[-1, :] = np.nan
-                elif shift == 1:
-                    nb[:, 0] = np.nan
-                else:
-                    nb[:, -1] = np.nan
+            i = idx // out_w
+            j = idx - i * out_w
+            acc = np.zeros(idx.size, dtype=np.float64)
+            cnt = np.zeros(idx.size, dtype=np.float64)
+            # neighbor order matches the roll form: N, S, W, E
+            for valid, off in (
+                (i > 0, -out_w),
+                (i < out_h - 1, out_w),
+                (j > 0, -1),
+                (j < out_w - 1, 1),
+            ):
+                nb = np.full(idx.size, np.nan)
+                nb[valid] = gflat[idx[valid] + off]
                 good = ~np.isnan(nb)
                 acc[good] += nb[good]
                 cnt[good] += 1
-            can_fill = holes & (cnt > 0)
-            g[can_fill] = acc[can_fill] / cnt[can_fill]
-        inv[plane] = g
+            fill = cnt > 0
+            if not fill.any():
+                break
+            gflat[idx[fill]] = acc[fill] / cnt[fill]
+            idx = idx[~fill]
 
     # values are binned-axis destination coordinates; apply_dfield's
     # per-axis step factor (momentum.py:2063-2066) completes the unit chain

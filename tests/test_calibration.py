@@ -418,3 +418,126 @@ def test_tof2ev_pole_yields_null_not_job_abort(spark):
     pdf = out.toPandas().set_index("t")
     assert np.isnan(pdf.loc[pole_t, "energy"]) or pdf.loc[pole_t, "energy"] is None
     assert np.isfinite(pdf.loc[60000.0, "energy"])
+
+
+def test_bilinear_grid_pair_matches_general_sampler():
+    """The separable tensor-product sampler used by generate_inverse_dfield
+    must be BIT-identical to the general per-point path it replaced
+    (r14 optimization): same weight products, same accumulation order,
+    same off-grid zeroing and NaN-out mask."""
+    from sed_binning_spark.calibration.momentum import (
+        _bilinear_grid_pair_or_nan,
+        _bilinear_or_nan,
+    )
+
+    rng = np.random.default_rng(11)
+    ga = rng.normal(size=(37, 29))
+    gb = rng.normal(size=(37, 29))
+    ga[4:7, 8:11] = np.nan  # NaN grid values near the gather path
+    # axis rasters spanning inside, outside, fractional and NaN coords
+    gi = np.concatenate([np.linspace(-2.0, 38.0, 61), [np.nan]])
+    gj = np.linspace(-1.5, 30.5, 47)
+    gri, gcj = np.meshgrid(gi, gj, indexing="ij")
+    want_a = _bilinear_or_nan(ga, gri.ravel(), gcj.ravel()).reshape(gi.size, gj.size)
+    want_b = _bilinear_or_nan(gb, gri.ravel(), gcj.ravel()).reshape(gi.size, gj.size)
+    got_a, got_b = _bilinear_grid_pair_or_nan(ga, gb, gi, gj)
+    sentinel = -1.2345e300
+    assert np.array_equal(np.where(np.isnan(want_a), sentinel, want_a),
+                          np.where(np.isnan(got_a), sentinel, got_a))
+    assert np.array_equal(np.where(np.isnan(want_b), sentinel, want_b),
+                          np.where(np.isnan(got_b), sentinel, got_b))
+
+
+def test_generate_inverse_dfield_sparse_relaxation_pin():
+    """The sparse hole-relaxation (r14) must reproduce the historical
+    full-raster roll-based Jacobi fill bit-for-bit, including NaN cells
+    outside the data hull."""
+    from sed_binning_spark.calibration.momentum import (
+        _dilate4,
+        _erode4,
+        generate_inverse_dfield,
+    )
+
+    rng = np.random.default_rng(3)
+    fr = np.add.outer(np.arange(64.0), np.zeros(64)) + rng.normal(0, 2, (64, 64))
+    fc = np.add.outer(np.zeros(64), np.arange(64.0)) + rng.normal(0, 2, (64, 64))
+    fr[5:9, 10:14] = np.nan
+    bin_ranges = ((10, 50), (5, 60))
+    detector_ranges = ((8, 128), (16, 200))
+
+    got = generate_inverse_dfield(
+        fr, fc, bin_ranges=bin_ranges, detector_ranges=detector_ranges,
+    )
+
+    # historical roll-based fill applied to the same deposit
+    def roll_fill(inv, fillable, out_w):
+        for plane in (0, 1):
+            g = inv[plane]
+            for _ in range(8):
+                holes = np.isnan(g) & fillable
+                if not holes.any():
+                    break
+                acc = np.zeros_like(g)
+                cnt = np.zeros_like(g)
+                for shift_ax, shift in ((0, 1), (0, -1), (1, 1), (1, -1)):
+                    nb = np.roll(g, shift, axis=shift_ax)
+                    if shift_ax == 0 and shift == 1:
+                        nb[0, :] = np.nan
+                    elif shift_ax == 0:
+                        nb[-1, :] = np.nan
+                    elif shift == 1:
+                        nb[:, 0] = np.nan
+                    else:
+                        nb[:, -1] = np.nan
+                    good = ~np.isnan(nb)
+                    acc[good] += nb[good]
+                    cnt[good] += 1
+                can_fill = holes & (cnt > 0)
+                g[can_fill] = acc[can_fill] / cnt[can_fill]
+            inv[plane] = g
+        return inv
+
+    # rebuild the pre-relaxation deposit inline (same steps as the
+    # function), then apply the historical roll fill to it
+    h, w = fr.shape
+    out_h = int(detector_ranges[0][1])
+    out_w = int(detector_ranges[1][1])
+    det_r0 = float(detector_ranges[0][0])
+    det_c0 = float(detector_ranges[1][0])
+    bin_step_r = (bin_ranges[0][1] - bin_ranges[0][0]) / h
+    bin_step_c = (bin_ranges[1][1] - bin_ranges[1][0]) / w
+    from sed_binning_spark.calibration.momentum import _bilinear_grid_pair_or_nan
+    gi = det_r0 + np.arange(out_h) * (h - det_r0) / out_h
+    gj = det_c0 + np.arange(out_w) * (w - det_c0) / out_w
+    gri, gcj = np.meshgrid(gi, gj, indexing="ij")
+    fr2, fc2 = _bilinear_grid_pair_or_nan(
+        np.asarray(fr, float), np.asarray(fc, float), gi, gj,
+    )
+    key_r = fr2 + bin_ranges[0][0] / bin_step_r
+    key_c = fc2 + bin_ranges[1][0] / bin_step_c
+    finite = np.isfinite(fr2) & np.isfinite(fc2)
+    with np.errstate(invalid="ignore"):
+        tr = np.where(finite, np.rint((key_r - det_r0) * out_h / (h - det_r0)), -1).astype(np.int64)
+        tc = np.where(finite, np.rint((key_c - det_c0) * out_w / (w - det_c0)), -1).astype(np.int64)
+    dest_r = bin_step_r * gri + bin_ranges[0][0]
+    dest_c = bin_step_c * gcj + bin_ranges[1][0]
+    inv = np.full((2, out_h, out_w), np.nan)
+    ok = (tr >= 0) & (tr < out_h) & (tc >= 0) & (tc < out_w) & finite
+    flat = tr[ok] * out_w + tc[ok]
+    n_cells = out_h * out_w
+    sums_r = np.bincount(flat, weights=dest_r[ok], minlength=n_cells).reshape(out_h, out_w)
+    sums_c = np.bincount(flat, weights=dest_c[ok], minlength=n_cells).reshape(out_h, out_w)
+    counts = np.bincount(flat, minlength=n_cells).reshape(out_h, out_w)
+    filled = counts > 0
+    inv[0][filled] = sums_r[filled] / counts[filled]
+    inv[1][filled] = sums_c[filled] / counts[filled]
+    closed = filled
+    for _ in range(2):
+        closed = _dilate4(closed)
+    for _ in range(2):
+        closed = _erode4(closed)
+    want = roll_fill(inv, closed & ~filled, out_w)
+
+    sentinel = -1.2345e300
+    assert np.array_equal(np.where(np.isnan(want), sentinel, want),
+                          np.where(np.isnan(got), sentinel, got))
