@@ -442,6 +442,34 @@ def _cheap_row_estimate(df: DataFrame) -> int | None:
     return rows
 
 
+def _resolve_scratch_dir(spark) -> str | None:
+    """Scratch directory shared by driver and executors, or None when only
+    the single-socket Arrow collect is safe (non-local master without
+    SPARK_GRAFT_SCRATCH_DIR). Local mode prefers RAM-backed /dev/shm:
+    every spill through here is budget-bounded (raw indices <= ~1 GB by
+    _DENSE_ROWS_BUDGET, occupied cells <= max_dense_cells), and tmpfs
+    removes disk I/O — and its noisy-neighbor variance on shared hosts —
+    from the hot path."""
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+    if scratch is not None:
+        return scratch
+    if not spark.sparkContext.master.startswith("local"):
+        return None
+    shm = "/dev/shm"
+    return shm if os.access(shm, os.W_OK) else tempfile.gettempdir()
+
+
+def _warn_socket_fallback() -> None:
+    warnings.warn(
+        "SPARK_GRAFT_SCRATCH_DIR is not set on a non-local master: "
+        "falling back to the single-socket Arrow collect (~50 MB/s). "
+        "Point SPARK_GRAFT_SCRATCH_DIR at storage shared by driver "
+        "and executors to restore the parallel spill path.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
 def _spill_collect_arrow(df: DataFrame):
     """Collect a driver-sized result DataFrame as a pyarrow Table, routing
     around the single Python result socket when possible.
@@ -459,25 +487,10 @@ def _spill_collect_arrow(df: DataFrame):
     fall back to the plain socket collect.
     """
     spark = df.sparkSession
-    scratch = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+    scratch = _resolve_scratch_dir(spark)
     if scratch is None:
-        if not spark.sparkContext.master.startswith("local"):
-            warnings.warn(
-                "SPARK_GRAFT_SCRATCH_DIR is not set on a non-local master: "
-                "falling back to the single-socket Arrow collect (~50 MB/s). "
-                "Point SPARK_GRAFT_SCRATCH_DIR at storage shared by driver "
-                "and executors to restore the parallel spill path.",
-                RuntimeWarning,
-                stacklevel=2,
-            )
-            return df.toArrow()
-        # prefer RAM-backed tmpfs in local mode: every spill through here is
-        # budget-bounded (raw indices <= ~1 GB by _DENSE_ROWS_BUDGET,
-        # occupied cells <= max_dense_cells), and routing the round trip
-        # through /dev/shm removes disk I/O — and its noisy-neighbor
-        # variance on shared hosts — from the hot path entirely
-        shm = "/dev/shm"
-        scratch = shm if os.access(shm, os.W_OK) else tempfile.gettempdir()
+        _warn_socket_fallback()
+        return df.toArrow()
     import pyarrow.parquet as pq
 
     path = os.path.join(scratch, f"sed-binning-spill-{uuid.uuid4().hex}")
@@ -522,17 +535,23 @@ def _dense_driver_histogram(df: DataFrame, flat, n_cells: int) -> np.ndarray:
 
     cell_type = "int" if n_cells + 1 <= np.iinfo(np.int32).max else "bigint"
     cell = F.coalesce(flat, F.lit(n_cells)).cast(cell_type).alias("cell")
+    sel = df.select(cell)
+
+    scratch = _resolve_scratch_dir(df.sparkSession)
+    if scratch is not None:
+        return _sorted_spill_histogram(sel, scratch, n_cells, cell_type)
+
+    # no shared scratch: single-socket Arrow collect + threaded bincount
+    _warn_socket_fallback()
     t0 = _time.perf_counter()
-    tbl = _spill_collect_arrow(df.select(cell))
+    tbl = sel.toArrow()
     t1 = _time.perf_counter()
     col = tbl.column("cell")
     if len(col) == 0:
         return np.zeros(n_cells, dtype=np.float32)
-    # both regimes bincount the parquet row-group chunks directly (sentinel
-    # keeps them mask-free, so each to_numpy is a zero-copy view of the
-    # arrow buffer): a full-column to_numpy concat is a fresh 400 MB
-    # allocation whose page faults cost 2-14 s beside the JVM — more than
-    # the bincount itself
+    # sentinel keeps the chunks mask-free, so each to_numpy is a zero-copy
+    # view of the arrow buffer (a full-column concat is a fresh 400 MB
+    # allocation whose page faults cost 2-14 s beside the JVM)
     arrays = [c.to_numpy(zero_copy_only=False) for c in col.chunks]
     if n_cells + 1 < _VALUE_CHUNK_MAX_CELLS and len(col) >= 4_000_000:
         hist = _value_chunked_bincount(arrays, n_cells + 1)[:n_cells].astype(np.float32)
@@ -547,6 +566,120 @@ def _dense_driver_histogram(df: DataFrame, flat, n_cells: int) -> np.ndarray:
         bincount_s=round(_time.perf_counter() - t1, 3),
     )
     return hist
+
+
+def _sorted_spill_histogram(sel: DataFrame, scratch: str, n_cells: int,
+                            cell_type: str) -> np.ndarray:
+    """Parallel-spill dense histogram, pipelined (the r14 form of the
+    driver combine): executors write the raw cell indices as uncompressed
+    parquet (parallel writers), then per-FILE driver threads read, copy
+    into one persistent values buffer, and in-place sort their slice —
+    read and sort overlap, and the sort is numpy's integer radix
+    (~80 ms for 1e8 int32 across 16 threads). The final histogram gives
+    each thread a contiguous CELL range; sorted slices mean its values are
+    found by binary search instead of scanning all values with boolean
+    masks, so every value is read ~twice total instead of n_threads
+    times, and the only sizable per-call temporaries are the per-range
+    bincount results. Measured at 1e8 rows x 1e8 cells beside the live
+    JVM: median 6.6 s -> 5.7 s for the whole query with a visibly tighter
+    spread (the mask-scan form's 2-14 s bincount wobble came from exactly
+    the transient allocations this removes). The result is order-
+    independent (a histogram), so the per-file sort cannot change it —
+    pinned against np.bincount by tests."""
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    t0 = _time.perf_counter()
+    path = os.path.join(scratch, f"sed-binning-spill-{uuid.uuid4().hex}")
+    try:
+        (
+            sel.write.mode("overwrite")
+            .option("compression", "uncompressed")
+            .option("parquet.enable.dictionary", "false")
+            .parquet(path)
+        )
+        t1 = _time.perf_counter()
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        metas = [pq.ParquetFile(f) for f in files]
+        counts = [m.metadata.num_rows for m in metas]
+        total = int(sum(counts))
+        if total == 0:
+            return np.zeros(n_cells, dtype=np.float32)
+        offs = np.zeros(len(files) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        dtype = np.int32 if cell_type == "int" else np.int64
+        buf = _BINCOUNT_WORKSPACE.get("vals")
+        if buf is None or buf.dtype != dtype or buf.size < total:
+            buf = np.empty(total, dtype=dtype)
+            _BINCOUNT_WORKSPACE["vals"] = buf
+        buf = buf[:total]
+
+        def _load_sort(i: int) -> None:
+            col = metas[i].read(use_threads=False).column("cell")
+            o = int(offs[i])
+            for ch in col.chunks:
+                a = ch.to_numpy(zero_copy_only=False)
+                buf[o:o + a.size] = a
+                o += a.size
+            buf[offs[i]:offs[i + 1]].sort(kind="stable")
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        from sed_binning_spark.session import default_parallelism
+
+        n_threads = min(16, max(2, default_parallelism() // 2))
+        n_hist = n_cells + 1  # sentinel cell for NULL/out-of-range rows
+        with ThreadPoolExecutor(n_threads) as ex:
+            list(ex.map(_load_sort, range(len(files))))
+            t2 = _time.perf_counter()
+            slices = [buf[offs[i]:offs[i + 1]] for i in range(len(files))]
+            # ranges sized so every per-range temporary (the gathered int64
+            # values and the np.bincount result) stays under glibc's dynamic
+            # mmap threshold (~32 MB): transient blocks then recycle from
+            # the arena free lists instead of mmap/munmap round trips whose
+            # page faults — beside a multi-GB JVM, with kcompactd active —
+            # were the 2-14 s wobble of the previous mask-scan form
+            n_ranges = max(n_threads, int(np.ceil(n_hist / 3_000_000)),
+                           int(np.ceil(total / 2_500_000)))
+            bounds = np.linspace(0, n_hist, n_ranges + 1).astype(np.int64)
+            out = _BINCOUNT_WORKSPACE.get("out")
+            if out is None or out.size < n_hist:
+                out = np.empty(n_hist, dtype=np.int64)
+                _BINCOUNT_WORKSPACE["out"] = out
+            out = out[:n_hist]
+
+            def _range(i: int) -> None:
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                picks = []
+                for s in slices:
+                    a = np.searchsorted(s, lo, side="left")
+                    b = np.searchsorted(s, hi, side="left")
+                    if b > a:
+                        picks.append(s[a:b])
+                if not picks:
+                    out[lo:hi] = 0
+                    return
+                joined = picks[0] if len(picks) == 1 else np.concatenate(picks)
+                joined = joined.astype(np.int64, copy=len(picks) == 1)
+                np.subtract(joined, lo, out=joined)
+                # full-slice assignment (bincount pads to hi-lo exactly),
+                # so the reused accumulator never needs zeroing
+                out[lo:hi] = np.bincount(joined, minlength=hi - lo)
+
+            list(ex.map(_range, range(n_ranges)))
+        hist = out[:n_cells].astype(np.float32)
+        LAST_RUN_INFO.update(
+            spill_collect_s=round(t2 - t0, 3),
+            spill_write_s=round(t1 - t0, 3),
+            bincount_s=round(_time.perf_counter() - t2, 3),
+        )
+        return hist
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 # Reused buffers for the large-cell bincount (single slot, driver-side
@@ -627,7 +760,12 @@ def _range_partitioned_bincount(
 
     # measured on 1e8 values x 1e8 cells: 3.8 s @ 8 threads, 3.1 s @ 16,
     # flat beyond; more threads also ride out neighbor-CPU contention
-    n_threads = min(16, max(2, (os.cpu_count() or 8) // 2))
+    from sed_binning_spark.session import default_parallelism
+
+    # sized from the configured parallelism (SPARK_GRAFT_CPUS), not the
+    # raw host CPU count, so a reduced-core run scales its driver-side
+    # threading honestly too
+    n_threads = min(16, max(2, default_parallelism() // 2))
     bounds = np.linspace(0, n_cells, n_threads + 1).astype(np.int64)
     if reuse_workspace:
         out = _BINCOUNT_WORKSPACE.get("out")
@@ -688,7 +826,12 @@ def _value_chunked_bincount(arrays: Sequence[np.ndarray], n_cells: int) -> np.nd
         return np.zeros(n_cells, dtype=np.int64)
     if len(work) == 1:
         return np.bincount(work[0], minlength=n_cells)
-    n_threads = min(16, max(2, (os.cpu_count() or 8) // 2))
+    from sed_binning_spark.session import default_parallelism
+
+    # sized from the configured parallelism (SPARK_GRAFT_CPUS), not the
+    # raw host CPU count, so a reduced-core run scales its driver-side
+    # threading honestly too
+    n_threads = min(16, max(2, default_parallelism() // 2))
     with ThreadPoolExecutor(n_threads) as ex:
         parts = list(ex.map(lambda ch: np.bincount(ch, minlength=n_cells), work))
     return np.sum(parts, axis=0)

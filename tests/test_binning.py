@@ -433,3 +433,23 @@ def test_spill_fallback_warns_on_cluster_without_scratch(spark, monkeypatch):
     with pytest.warns(RuntimeWarning, match="SPARK_GRAFT_SCRATCH_DIR"):
         tbl = _spill_collect_arrow(df)
     assert tbl.num_rows == 10
+
+
+def test_driver_combine_matches_shuffle_combine(spark):
+    """The r14 pipelined sorted-spill driver histogram must produce the
+    same cube as the shuffle plan, including NULL/out-of-range rejects
+    (the sentinel cell) and values spread over every thread range."""
+    import pandas as pd
+
+    rng = np.random.default_rng(17)
+    pdf = pd.DataFrame({
+        "a": np.concatenate([rng.uniform(-5, 25, 50_000), [np.nan, -100.0, 1e9]]),
+        "b": np.concatenate([rng.uniform(0, 7, 50_000), [1.0, 2.0, 3.0]]),
+    })
+    df = spark.createDataFrame(pdf).repartition(7)
+    kw = dict(bins=[40, 13], axes=["a", "b"],
+              ranges=[(0.0, 20.0), (0.0, 6.0)])
+    shuffle = bin_dataframe(df, combine="shuffle", **kw)
+    driver = bin_dataframe(df, combine="driver", **kw)
+    np.testing.assert_array_equal(shuffle.data, driver.data)
+    assert float(driver.data.sum()) > 0
