@@ -83,8 +83,18 @@ def quality_classifier_fit(
     you want (wiki/books/reference pages), ``negative`` = raw crawl.
     Returns a JSON-serializable dict (features, standardization, weights,
     bias) that :func:`quality_classifier_apply` bakes into a plan."""
-    xp, wp = _collect_features(positive, text_column, max_rows_per_class)
-    xn, wn = _collect_features(negative, text_column, max_rows_per_class)
+    # the two class scans are independent Spark jobs — submit them from two
+    # driver threads so the second job's tasks back-fill executors freed by
+    # the first one's tail (same results, they only overlap in time)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        fut_p = pool.submit(_collect_features, positive, text_column,
+                            max_rows_per_class)
+        fut_n = pool.submit(_collect_features, negative, text_column,
+                            max_rows_per_class)
+        xp, wp = fut_p.result()
+        xn, wn = fut_n.result()
     x = np.vstack([xp, xn])
     y = np.concatenate([np.ones(len(xp)), np.zeros(len(xn))])
     # occurrence-weighted, with each CLASS normalized to equal total mass
