@@ -572,11 +572,13 @@ def pca_apply(
         return pd.Series(out, dtype=object)
 
     _project.__annotations__ = {"emb": pd.Series, "return": pd.Series}
-    return df.withColumn(
-        output_column, pandas_udf(_project, "array<float>")(
-            F.col(embedding_column),
-        ),
-    )
+    # nondeterministic marker: a caller filtering on the projected column
+    # (e.g. .where(embedding_pca.isNotNull())) would otherwise get the
+    # matmul UDF duplicated below the filter (guide §4.4 shape; seen as
+    # two identical _project ArrowEvalPython nodes per leg in the
+    # ann_topk plan). Pure function — single evaluation, same results.
+    proj_udf = pandas_udf(_project, "array<float>").asNondeterministic()
+    return df.withColumn(output_column, proj_udf(F.col(embedding_column)))
 
 
 # ------------------------------------------------- product quantization
@@ -741,10 +743,16 @@ def pq_encode(
         return pd.Series(out, dtype=object)
 
     _encode.__annotations__ = {"emb": pd.Series, "return": pd.Series}
-    return df.withColumn(
-        output_column,
-        pandas_udf(_encode, "array<int>")(F.col(embedding_column)),
-    )
+    # nondeterministic marker (guide-standard for expensive UDFs): a
+    # downstream filter on the code column — pq_topk's own validity gate
+    # when composed as pq_topk(pq_encode(df)) — would otherwise have the
+    # encode expression substituted into it and every row would pay the
+    # encoder TWICE (one ArrowEvalPython below the filter, a second
+    # re-encode inside the composed scorer above it; seen in the ann_topk
+    # plan). The function is pure, so blocking reorder/duplication cannot
+    # change results — it only pins a single evaluation.
+    enc = pandas_udf(_encode, "array<int>").asNondeterministic()
+    return df.withColumn(output_column, enc(F.col(embedding_column)))
 
 
 def pq_topk(
