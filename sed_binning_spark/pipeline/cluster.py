@@ -27,8 +27,59 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Edge-count ceiling for the driver union-find route: 200k collected edge
+# rows is a few MB and resolves in well under 0.1 s, while each avoided
+# hash-min iteration costs two fixed-overhead Spark jobs. Above it the
+# distributed loop (whose per-iteration cost amortizes at that size) runs
+# unchanged.
+_DRIVER_CC_MAX_EDGES = 200_000
+
+
+def _driver_connected_components(spark, edge_rows, id_dtype,
+                                 id_column: str, component_column: str):
+    """Union-find labeling of a collected edge list — the driver twin of
+    the hash-min loop for graphs that fit. Produces the identical result:
+    every node that appears in the (mirrored, deduped) edge set, labeled
+    with the smallest node id of its component. Spark's binary UTF8String
+    ordering equals Python's code-point string ordering (UTF-8 is
+    order-preserving), and numeric/temporal types compare identically, so
+    min-id selection agrees with the distributed route for every
+    orderable id type."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        u, v = r["u"], r["v"]
+        for n in (u, v):
+            if n not in parent:
+                parent[n] = n
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # attach the larger root under the smaller, so every root is
+            # already its component's minimum
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+
+    rows = [(n, find(n)) for n in parent]
+    schema = StructType([
+        StructField(id_column, id_dtype, True),
+        StructField(component_column, id_dtype, True),
+    ])
+    return spark.createDataFrame(rows, schema=schema)
 
 
 def connected_components(
@@ -58,7 +109,31 @@ def connected_components(
     """
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    edges = edges.localCheckpoint(eager=False)
+    # eager: both routes below consume edges at least once, and the
+    # distributed loop re-reads it every iteration
+    edges = edges.localCheckpoint(eager=True)
+
+    # Size-adaptive routing (same posture as the binning driver combine):
+    # a dedup pair graph is usually TINY next to its corpus, and each
+    # hash-min iteration costs two fixed-overhead Spark jobs (checkpoint +
+    # convergence probe). When the deduped edge set fits comfortably on
+    # the driver, one union-find pass gives the identical smallest-id
+    # labeling in microseconds. take() reads the already-materialized
+    # checkpoint, so the probe costs one short job and never recomputes
+    # the pair pipeline; bigger graphs (or exotic NULL/NaN endpoints,
+    # which Python cannot order the way Spark's join/least semantics do)
+    # fall through to the distributed loop unchanged.
+    head = edges.take(_DRIVER_CC_MAX_EDGES + 1)
+    if len(head) <= _DRIVER_CC_MAX_EDGES and not any(
+        r["u"] is None or r["v"] is None
+        or (isinstance(r["u"], float) and np.isnan(r["u"]))
+        or (isinstance(r["v"], float) and np.isnan(r["v"]))
+        for r in head
+    ):
+        return _driver_connected_components(
+            pairs.sparkSession, head, edges.schema["u"].dataType,
+            id_column, component_column,
+        )
 
     labels = edges.select("u").distinct().select("u", F.col("u").alias("lbl"))
     labels = labels.localCheckpoint(eager=True)

@@ -65,11 +65,39 @@ def test_star_pairs_resolve_like_full_expansion(spark):
     assert sorted(map(tuple, full)) == sorted(map(tuple, starred))
 
 
-def test_non_convergence_raises(spark):
-    # a 12-node path needs ~11 propagation rounds; 3 must fail loudly
+def test_non_convergence_raises(spark, monkeypatch):
+    # a 12-node path needs ~11 propagation rounds; 3 must fail loudly.
+    # Force the distributed loop: the driver union-find route (r14) has
+    # no iteration cap and would just solve this small graph.
+    from sed_binning_spark.pipeline import cluster as cluster_mod
+
+    monkeypatch.setattr(cluster_mod, "_DRIVER_CC_MAX_EDGES", 0)
     path = [(i, i + 1) for i in range(11)]
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(_pairs_df(spark, path), max_iterations=3)
+
+
+def test_driver_and_distributed_cc_agree(spark, monkeypatch):
+    """The r14 driver union-find route must label exactly like the
+    hash-min loop (same nodes, same smallest-id components), for int and
+    string ids."""
+    from sed_binning_spark.pipeline import cluster as cluster_mod
+
+    edges = [(3, 1), (1, 7), (10, 11), (5, 5), (2, 9), (9, 4)]
+    want = connected_components(_pairs_df(spark, edges)).toPandas()
+    monkeypatch.setattr(cluster_mod, "_DRIVER_CC_MAX_EDGES", 0)
+    got = connected_components(_pairs_df(spark, edges)).toPandas()
+    key = lambda d: sorted(map(tuple, d.to_numpy()))
+    assert key(want) == key(got)
+
+    sdf = spark.createDataFrame(
+        [("b", "a"), ("a", "c"), ("x", "y")], "id_a string, id_b string",
+    )
+    monkeypatch.undo()
+    want_s = connected_components(sdf).toPandas()
+    monkeypatch.setattr(cluster_mod, "_DRIVER_CC_MAX_EDGES", 0)
+    got_s = connected_components(sdf).toPandas()
+    assert key(want_s) == key(got_s)
 
 
 def test_near_dedup_keep_rows(spark):
