@@ -84,31 +84,40 @@ def chop_trains(
         ).otherwise(mib)
 
     work = df_records.withColumn("__mib", mib)
-    ends = _diff_lt(F.col("__mib"), -1)
-    work = work.withColumn("__ends", ends)
+    work = work.withColumn("__ends", _diff_lt(F.col("__mib"), -1))
 
-    # one output row per sub-train: k = position in the ends array
-    exploded = work.select(
-        F.col(train_id_column),
-        F.col("__mib"),
-        *[F.col(c) for c in value_array_columns],
-        F.posexplode(F.col("__ends")).alias("__k", "__end"),
-        F.col("__ends").alias("__all_ends"),
-    )
-    start = F.when(F.col("__k") == 0, F.lit(0)).otherwise(
-        F.element_at(F.col("__all_ends"), F.col("__k")) + 1,
-    )
-    length = F.col("__end") - start  # slice EXCLUDES the boundary hit
-    pulses = F.slice(F.col("__mib"), start + 1, F.greatest(length, F.lit(0)))
-    if num_pulses:
-        pulses = F.transform(pulses, lambda p: p % F.lit(num_pulses))
-    out = exploded.select(
-        (F.col(train_id_column) + F.col("__k")).alias(train_id_column),
-        pulses.alias(pulse_array_column),
-        *[
-            F.slice(F.col(c), start + 1, F.greatest(length, F.lit(0))).alias(c)
-            for c in value_array_columns
-        ],
+    # Build EVERY sub-train's slices in one transform over the ends array,
+    # while the record's full arrays are in scope exactly once, then explode
+    # the nested result. Exploding first and slicing after (the previous
+    # shape) duplicates the full record arrays into every sub-train row —
+    # O(sub-trains x record size) per record, quadratic for sawtooth
+    # records with thousands of wraps; here each hit is copied once.
+    def _sub(end, k):
+        # element_at is 1-based, so index k reads ends[k-1], the previous
+        # boundary; when() evaluates branches lazily so k == 0 never
+        # touches element_at(_, 0)
+        start = F.when(k == F.lit(0), F.lit(0)).otherwise(
+            F.element_at(F.col("__ends"), k) + 1,
+        )
+        length = F.greatest(end - start, F.lit(0))  # EXCLUDES the boundary hit
+        pulses = F.slice(F.col("__mib"), start + 1, length)
+        if num_pulses:
+            pulses = F.transform(pulses, lambda p: p % F.lit(num_pulses))
+        return F.struct(
+            (F.col(train_id_column) + k).alias("__t"),
+            pulses.alias("__p"),
+            *[
+                F.slice(F.col(c), start + 1, length).alias(c)
+                for c in value_array_columns
+            ],
+        )
+
+    out = work.select(
+        F.explode(F.transform(F.col("__ends"), _sub)).alias("__s"),
+    ).select(
+        F.col("__s.__t").alias(train_id_column),
+        F.col("__s.__p").alias(pulse_array_column),
+        *[F.col(f"__s.{c}").alias(c) for c in value_array_columns],
     )
     return out
 
