@@ -107,16 +107,115 @@ def cosine_topk(
     )
 
 
+# Row ceiling for the vectorized brute-pairs route: the corpus is collected
+# once (64-dim float64 at 64k rows is ~32 MB broadcast) and every task
+# scores a horizontal slice against all of it with numpy. Above it the
+# expression self-join runs unchanged (the operator is documented as the
+# O(n²) correctness oracle either way).
+_BRUTE_VEC_MAX_ROWS = 65_536
+
+
+def _brute_normalized(rows, dim):
+    """ids + row-normalized float64 matrix replicating the expression
+    path's arithmetic exactly: elements cast to double, the squared-sum
+    folded LEFT-TO-RIGHT per element (each += is the same single IEEE add
+    the aggregate() fold performs), sqrt, then per-element division. Rows
+    shorter than dim or NULL are dropped (zip_with would NULL-pad their
+    every pair); zero-norm rows are dropped (nullif semantics); NaN rows
+    stay and poison their cosines, which the caller's isnan filter
+    rejects — identical outcomes in all cases."""
+    ids, vecs = [], []
+    for rid, emb in rows:
+        # NULL ids can never satisfy id_a < id_b in the self-join form
+        if rid is None or emb is None or len(emb) < dim:
+            continue
+        ids.append(rid)
+        vecs.append(np.asarray(emb[:dim], dtype=np.float64))
+    if not ids:
+        return [], np.zeros((0, dim))
+    mat = np.stack(vecs)
+    acc = np.zeros(len(ids))
+    for d in range(dim):
+        acc += mat[:, d] * mat[:, d]
+    norm = np.sqrt(acc)
+    keep = norm != 0.0  # NaN norms pass (isnan rejection happens per pair)
+    mat = mat[keep] / norm[keep, None]
+    return [i for i, k in zip(ids, keep) if k], mat
+
+
+def _pairs_brute_vectorized(spark, rows, dim, threshold,
+                            id_column, id_dtype) -> DataFrame:
+    """The collected-corpus twin of the brute self-join: every task scores
+    a slice of the normalized matrix against the whole matrix with the
+    same left-associated fold (one IEEE add per element per pair, in
+    expression order), so every cosine is bit-identical to the
+    zip_with/aggregate form and the pair set cannot drift."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    import pandas as pd
+
+    ids, mat = _brute_normalized(rows, dim)
+    n = len(ids)
+    schema = StructType([
+        StructField("id_a", id_dtype, True),
+        StructField("id_b", id_dtype, True),
+        StructField("cosine", DoubleType(), True),
+    ])
+    if n == 0:
+        return spark.createDataFrame([], schema=schema)
+    # id order must match Spark's `<` for any orderable id type; ranks via
+    # np.unique (code-point order for strings == Spark's UTF8 byte order)
+    ranks = np.unique(np.asarray(ids), return_inverse=True)[1]
+    matT = np.ascontiguousarray(mat.T)
+    rows_per_chunk = max(1, 4_000_000 // n)
+    n_chunks = (n + rows_per_chunk - 1) // rows_per_chunk
+    bc = spark.sparkContext.broadcast((ids, mat, matT, ranks))
+    thr = float(threshold)
+
+    def _score(batches):
+        b_ids, b_mat, b_matT, b_ranks = bc.value
+        for pdf in batches:
+            for k in pdf["id"]:
+                lo = int(k) * rows_per_chunk
+                hi = min(lo + rows_per_chunk, n)
+                a = b_mat[lo:hi]
+                s = np.zeros((hi - lo, n))
+                for d in range(dim):
+                    s += a[:, d:d + 1] * b_matT[d]
+                m = (b_ranks[lo:hi, None] < b_ranks[None, :]) & ~np.isnan(s)
+                m &= s > thr
+                ai, bi = np.nonzero(m)
+                yield pd.DataFrame({
+                    "id_a": [b_ids[lo + i] for i in ai],
+                    "id_b": [b_ids[j] for j in bi],
+                    "cosine": s[ai, bi],
+                })
+
+    chunks = spark.range(n_chunks, numPartitions=n_chunks)
+    return chunks.mapInPandas(_score, schema)
+
+
 def cosine_pairs_brute(
     df: DataFrame,
     threshold: float,
     embedding_column: str = "embedding",
     id_column: str = "vec_id",
 ) -> DataFrame:
-    """All pairs above a cosine threshold by explicit self-join — the
-    CORRECTNESS oracle only (O(n²); use :func:`lsh_bucket_pairs` at scale).
-    Pre-normalizes once so the join condition is a plain dot product."""
+    """All pairs above a cosine threshold — the CORRECTNESS oracle only
+    (O(n²); use :func:`lsh_bucket_pairs` at scale). Corpora that fit a
+    broadcast take the vectorized route (collect once, numpy-score slices
+    against the whole matrix — the guide-§4.2 shape; the interpreted
+    zip_with/aggregate fold costs ~10 µs per pair, 2000× numpy); bigger
+    inputs fall back to the explicit self-join with the normalization
+    computed once per row."""
     dim = _dim(df, embedding_column)
+    src = df.select(F.col(id_column), F.col(embedding_column))
+    head = src.limit(_BRUTE_VEC_MAX_ROWS + 1).collect()
+    if len(head) <= _BRUTE_VEC_MAX_ROWS:
+        return _pairs_brute_vectorized(
+            df.sparkSession, [(r[0], r[1]) for r in head], dim,
+            threshold, id_column, df.schema[id_column].dataType,
+        )
     # norm in an inner projection, division in an outer one: inside a
     # higher-order-function lambda subexpression elimination does not apply
     # (see dedup.word_shingles' measurement note), so an inline norm_expr
