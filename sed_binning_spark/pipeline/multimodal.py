@@ -2296,13 +2296,22 @@ def sample_frames(
     def _frame_batches(batches):
         for pdf in batches:
             rows = []
+            # decode each DISTINCT payload once per batch: the timeline is a
+            # pure function of the bytes, and real corpora are full of
+            # byte-identical re-uploads — the memo dies with the batch, so
+            # memory stays bounded and every run still computes from input
+            memo: dict = {}
             for mid, payload in zip(pdf[id_column], pdf[payload_column]):
                 if payload is None:
                     continue
-                try:
-                    decoded = _decode_timeline(bytes(payload))
-                except _DECODE_ERRORS:
-                    continue  # one corrupt payload must not kill the batch
+                b = bytes(payload)
+                decoded = memo.get(b)
+                if decoded is None:
+                    try:
+                        decoded = _decode_timeline(b)
+                    except _DECODE_ERRORS:
+                        decoded = []  # one corrupt payload keeps the batch alive
+                    memo[b] = decoded
                 for tail in decoded:
                     rows.append((mid, *tail))
             yield pd.DataFrame(rows, columns=FRAME_SCHEMA.fieldNames())
@@ -2365,49 +2374,63 @@ def sample_audio_windows(
     if hop <= 0:
         raise ValueError(f"hop_ms must be positive, got {hop_ms}")
 
+    def _window_tails(b: bytes):
+        """Window rows sans media_id — a pure function of the payload."""
+        try:
+            got = _decode_audio_payload(b)
+        except _DECODE_ERRORS:
+            return []  # one corrupt payload keeps the batch alive
+        if got is None:
+            return []  # not audio: no windows, like a still image
+        samples, rate = got
+        if rate <= 0 or samples.size == 0:
+            return []
+        spw = max(1, window_ms * rate // 1000)
+        sph = max(1, hop * rate // 1000)
+        tails = []
+        w = 0
+        for start in range(0, samples.shape[0], sph):
+            if max_windows is not None and w >= max_windows:
+                break
+            # normalize per WINDOW, not the whole payload: an
+            # hour-long 44.1 kHz file must not allocate a
+            # file-sized float64 copy inside one task (the /2^15
+            # scale is exact either way)
+            win = samples[start : start + spw] / 32768.0
+            n = win.shape[0]  # >= 1: range() bounds start
+            tails.append((
+                w,
+                # round-to-nearest ms, not floor: at rates that
+                # don't divide 1000 a floored duration would
+                # systematically understate every window (~4% at
+                # 44.1 kHz) — the bias this operator documents
+                # avoiding
+                (start * 1000 + rate // 2) // rate,
+                (n * 1000 + rate // 2) // rate,
+                n,  # time frames; channels pool into the stats
+                float(win.mean()), float(win.std()),
+                float(np.sqrt((win * win).mean())),
+                float(win.min()), float(win.max()),
+            ))
+            w += 1
+        return tails
+
     def _window_batches(batches):
         for pdf in batches:
             rows = []
+            # decode each DISTINCT payload once per batch (the
+            # sample_frames memo rationale: timelines are pure in the
+            # bytes, corpora repeat payloads, the memo dies with the batch)
+            memo: dict = {}
             for mid, payload in zip(pdf[id_column], pdf[payload_column]):
                 if payload is None:
                     continue
                 b = bytes(payload)
-                try:
-                    got = _decode_audio_payload(b)
-                except _DECODE_ERRORS:
-                    continue  # one corrupt payload keeps the batch alive
-                if got is None:
-                    continue  # not audio: no windows, like a still image
-                samples, rate = got
-                if rate <= 0 or samples.size == 0:
-                    continue
-                spw = max(1, window_ms * rate // 1000)
-                sph = max(1, hop * rate // 1000)
-                w = 0
-                for start in range(0, samples.shape[0], sph):
-                    if max_windows is not None and w >= max_windows:
-                        break
-                    # normalize per WINDOW, not the whole payload: an
-                    # hour-long 44.1 kHz file must not allocate a
-                    # file-sized float64 copy inside one task (the /2^15
-                    # scale is exact either way)
-                    win = samples[start : start + spw] / 32768.0
-                    n = win.shape[0]  # >= 1: range() bounds start
-                    rows.append((
-                        mid, w,
-                        # round-to-nearest ms, not floor: at rates that
-                        # don't divide 1000 a floored duration would
-                        # systematically understate every window (~4% at
-                        # 44.1 kHz) — the bias this operator documents
-                        # avoiding
-                        (start * 1000 + rate // 2) // rate,
-                        (n * 1000 + rate // 2) // rate,
-                        n,  # time frames; channels pool into the stats
-                        float(win.mean()), float(win.std()),
-                        float(np.sqrt((win * win).mean())),
-                        float(win.min()), float(win.max()),
-                    ))
-                    w += 1
+                tails = memo.get(b)
+                if tails is None:
+                    tails = memo[b] = _window_tails(b)
+                for tail in tails:
+                    rows.append((mid, *tail))
             yield pd.DataFrame(rows, columns=AUDIO_WINDOW_SCHEMA.fieldNames())
 
     return df.select(id_column, payload_column).mapInPandas(
