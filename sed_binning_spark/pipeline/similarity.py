@@ -317,6 +317,87 @@ def hyperplane_sketch_udf(planes: np.ndarray, num_tables: int):
     return pandas_udf(_sketch_fn, "array<string>")
 
 
+def _lsh_verify_vectorized(spark, buckets: DataFrame, rows, dim, threshold,
+                           id_dtype, max_bucket_size) -> DataFrame:
+    """Bucket-array pair expansion + verification against a broadcast
+    raw-vector matrix — the fits-a-broadcast twin of the expression
+    expansion + join verify. Receives one row per bucket (the sorted
+    member-id array), expands pairs with numpy (full triangle, or the
+    same star-around-the-first-member fallback above
+    ``max_bucket_size``), and scores them replicating the expression
+    arithmetic exactly: raw elements cast to double, the dot and both
+    squared-norm folds left-associated element by element (one IEEE
+    multiply and add per step, in expression order), cosine = dot /
+    (na*nb) with zero denominators excluded (nullif semantics) and NaN
+    cosines rejected. The caller distincts the (tiny) surviving pair
+    set, which lands on the same rows as the expression route's
+    pre-verify distinct because verification is a pure function of the
+    pair. Ids missing from the matrix (shorter-than-dim or NULL
+    embeddings) drop, mirroring the inner joins' behavior."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    import pandas as pd
+
+    ids, vecs = [], []
+    for rid, emb in rows:
+        if rid is None or emb is None or len(emb) < dim:
+            continue
+        ids.append(rid)
+        vecs.append(np.asarray(emb[:dim], dtype=np.float64))
+    mat = np.stack(vecs) if vecs else np.zeros((0, dim))
+    acc = np.zeros(len(vecs))
+    for d in range(dim):
+        acc += mat[:, d] * mat[:, d]
+    norms = np.sqrt(acc)
+    index = {rid: i for i, rid in enumerate(ids)}
+    bc = spark.sparkContext.broadcast((index, mat, norms))
+    thr = float(threshold)
+    schema = StructType([
+        StructField("id_a", id_dtype, True),
+        StructField("id_b", id_dtype, True),
+        StructField("cosine", DoubleType(), True),
+    ])
+
+    def _verify(batches):
+        b_index, b_mat, b_norms = bc.value
+
+        def _score(members, idx, la, lb, out):
+            ia, ib = idx[la], idx[lb]
+            ok = np.flatnonzero((ia >= 0) & (ib >= 0))
+            a, b = b_mat[ia[ok]], b_mat[ib[ok]]
+            s = np.zeros(len(ok))
+            for d in range(dim):
+                s += a[:, d] * b[:, d]
+            denom = b_norms[ia[ok]] * b_norms[ib[ok]]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = s / denom
+            m = (denom != 0.0) & ~np.isnan(cos) & (cos > thr)
+            for j, c in zip(ok[m], cos[m]):
+                out.append((members[la[j]], members[lb[j]], float(c)))
+
+        for pdf in batches:
+            out: list = []
+            for arr in pdf["__ids"]:
+                members = list(arr)
+                k = len(members)
+                idx = np.fromiter(
+                    (b_index.get(x, -1) for x in members), np.int64, count=k,
+                )
+                if k > max_bucket_size:  # star around the smallest member
+                    _score(members, idx, np.zeros(k - 1, np.int64),
+                           np.arange(1, k), out)
+                else:
+                    la, lb = np.triu_indices(k, 1)
+                    # chunk the triangle: one giant bucket must not
+                    # materialize its full pair set at once
+                    for lo in range(0, len(la), 4_000_000):
+                        _score(members, idx, la[lo:lo + 4_000_000],
+                               lb[lo:lo + 4_000_000], out)
+            yield pd.DataFrame(out, columns=["id_a", "id_b", "cosine"])
+
+    return buckets.mapInPandas(_verify, schema)
+
+
 def lsh_bucket_pairs(
     df: DataFrame,
     threshold: float,
@@ -345,6 +426,29 @@ def lsh_bucket_pairs(
         F.col(id_column),
         F.explode(sketch(F.col(embedding_column))).alias("key"),
     )
+    # When the corpus fits the brute-route broadcast ceiling, hand the
+    # BUCKET ARRAYS to one vectorized stage that expands pairs with numpy
+    # and scores them against a broadcast raw-vector matrix in the fold's
+    # exact IEEE operation order, then distinct the tiny survivor set.
+    # The expression route's costs — the interpreted per-bucket pair
+    # expansion, a distinct shuffle over every candidate occurrence, two
+    # hash-joins, and the interpreted per-pair fold — all collapse into
+    # one small shuffle plus numpy. Larger corpora keep the expression
+    # form unchanged.
+    head = df.select(F.col(id_column), F.col(embedding_column)).limit(
+        _BRUTE_VEC_MAX_ROWS + 1,
+    ).collect()
+    if len(head) <= _BRUTE_VEC_MAX_ROWS:
+        buckets = (
+            stacked.groupBy("key")
+            .agg(F.sort_array(F.collect_set(id_column)).alias("__ids"))
+            .where(F.size("__ids") > 1)
+            .select("__ids")
+        )
+        return _lsh_verify_vectorized(
+            df.sparkSession, buckets, [(r[0], r[1]) for r in head], dim,
+            threshold, df.schema[id_column].dataType, max_bucket_size,
+        ).distinct()
     cand = _bucket_pairs(stacked, ["key"], id_column, max_bucket_size)
     # verify candidates with the exact cosine (two hash-joins pull sides)
     sides = df.select(F.col(id_column), F.col(embedding_column).alias("__e"))
