@@ -76,7 +76,7 @@ def _tokens(text: Column) -> Column:
     return whitespace_tokens(F.lower(text))
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
+def word_shingles(text: Column, n: int = 3, tokens: Column | None = None) -> Column:
     """Word n-gram shingles: array of space-joined n-token windows.
 
     Built with n-1 array-level zips against shifted copies — O(tokens)
@@ -90,10 +90,15 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     partial windows, which the final slice drops except for the
     shorter-than-n full-token-string case. Documents shorter than ``n``
     tokens yield their full token string as the single shingle.
+
+    ``tokens``: optionally the ALREADY-tokenized array (must equal
+    ``_tokens(text)``, normally a materialized temp column) — callers
+    shingling the same text at several ``n`` tokenize once instead of
+    once per ``n`` (see ``repetition_stats``).
     """
     from sed_binning_spark.pipeline.text import shifted_zip_fold
 
-    toks = _tokens(text)
+    toks = _tokens(text) if tokens is None else tokens
     sh = shifted_zip_fold(
         toks, n, lambda a, b: F.concat(a, F.lit(" "), b),
     )

@@ -315,6 +315,28 @@ def test_repetition_stats_matches_reference(spark):
                 assert abs(have - want) < 1e-12, (did, n, have, want)
 
 
+def test_word_shingles_pretokenized_equivalence(spark):
+    """The shared-tokenizer path (repetition_stats materializes _tokens
+    once and passes it to every word_shingles call) must shingle exactly
+    like the self-tokenizing form, including NULL and sub-window docs."""
+    from pyspark.sql import functions as F
+
+    from sed_binning_spark.pipeline.dedup import _tokens, word_shingles
+
+    df = spark.createDataFrame(REP_DOCS, "doc_id long, text string")
+    for n in (2, 5):
+        rows = (
+            df.withColumn("tk", _tokens(F.col("text")))
+            .select(
+                word_shingles(F.col("text"), n).alias("a"),
+                word_shingles(F.col("text"), n, tokens=F.col("tk")).alias("b"),
+            )
+            .collect()
+        )
+        for r in rows:
+            assert r.a == r.b, (n, r.a, r.b)
+
+
 @pytest.mark.parametrize("kind,n", [("top", 2), ("dup", 5)])
 def test_repetition_stats_duckdb_parity(spark, kind, n):
     """Cross-engine: the fold's (count, tie-broken length / dup chars)
