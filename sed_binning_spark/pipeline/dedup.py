@@ -1381,7 +1381,15 @@ def _substring_rebuild(
             F.greatest(end1 - start1, F.lit(0)).cast("int"),
         )
 
-    kept = F.flatten(F.transform(F.sequence(F.lit(0), m), _gap))
+    # __kept materializes for the same reason as __dup/__breaks: it is
+    # referenced twice below (join for text_dedup, size for
+    # n_removed_tokens) and an inline reference would run the whole
+    # gap-slice + flatten tree twice per row (interpreted HOFs sit
+    # outside codegen subexpression elimination)
+    out = out.withColumn(
+        "__kept", F.flatten(F.transform(F.sequence(F.lit(0), m), _gap)),
+    )
+    kept = F.col("__kept")
     return out.select(_with_output_columns(out_cols, {
         "text_dedup": chain.when(scored, F.concat_ws(" ", kept)),
         "n_tokens": F.when(scored, F.size(tk2)).otherwise(F.lit(0))
