@@ -160,7 +160,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     else:  # instant (UTC-adjusted) timestamp
         df = df.withColumn("ts", F.expr("unix_micros(ts)"))
-    return df.withColumns({
+    df = df.withColumns({
         "X": (F.col("value") * F.lit(131.0)) % F.lit(2048.0),
         "Y": (F.col("value") * F.lit(17.0) + F.col("user_id").cast("double")) % F.lit(2048.0),
         "t": F.lit(60000.0) + F.col("value") * F.lit(120.0),
@@ -169,14 +169,55 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_id": (F.col("user_id") % F.lit(4)).cast("int"),
         "row_id": F.col("event_id"),
     })
+    return _split_small_scan(spark, df, f"{sf_dir}/events.parquet", "event_id")
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _split_small_scan(spark: SparkSession, df: DataFrame, path: str, key: str) -> DataFrame:
+    """A single small parquet file scans as ONE task (a file only splits at
+    maxPartitionBytes granularity, and a single row group not at all), so
+    every downstream map/HOF expression of a query serializes on one core
+    at toy scale while a multi-file 100 TB scan parallelizes natively.
+    Hash-repartition tiny scans to the session parallelism so local runs
+    exercise the same parallel plan shape a production scan gets for free.
+    Data-size-derived, not core-count-tuned: when the input already yields
+    at least `parallelism` splits this is a no-op (no shuffle at scale),
+    and the hash layout keeps the placement deterministic for any seeded
+    layout-dependent consumer (unlike round-robin)."""
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df
+    try:
+        mpb = int("".join(
+            c for c in spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728",
+            ) if c.isdigit()
+        ) or "134217728")
+    except Exception:
+        mpb = 134217728
+    # the RUNNING session's core count (local[N] -> N), so the driver's
+    # lower-core bench run scales its split count the same way
+    par = spark.sparkContext.defaultParallelism
+    if -(-size // mpb) >= par:
+        return df
+    return df.repartition(par, F.col(key))
+
+
+def _docs(spark: SparkSession, sf_dir: str, split: bool = True) -> DataFrame:
+    path = f"{sf_dir}/documents.parquet"
+    df = spark.read.parquet(path)
+    # split=False keeps the raw scan layout for queries whose cost is a
+    # fixture-payload decode stage, not per-document expressions: there
+    # the one-task legs run concurrently as a union and each leg's
+    # per-batch decode memo sees every fixture repeat (decode once per
+    # distinct payload); splitting or payload-colocating was measured
+    # 1.5-2x worse both ways on those queries (extra exchanges/stages)
+    return _split_small_scan(spark, df, path, "doc_id") if split else df
 
 
 def _embeds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = f"{sf_dir}/embeddings.parquet"
+    return _split_small_scan(spark, spark.read.parquet(path), path, "vec_id")
 
 
 def _binning_sql(nbins_ranges: list, group_names: list[str], src_sql: str = _EV_SQL) -> str:
@@ -1794,7 +1835,15 @@ def _q_frame_sample(spark, sf):
     expansion arithmetic per byte; and 'ima'/'msa' — IMA-/MS-ADPCM
     through the real block decoders with plan-time-frozen window
     stats (lossy codecs have no SQL closed form; see _ima_fixture)."""
-    docs = _docs(spark, sf)
+    # the UNSPLIT scan keeps this whole many-leg union ONE stage of
+    # one-task legs that the scheduler runs concurrently: each leg's
+    # per-batch decode memo then sees every fixture repeat (decode once
+    # per distinct payload), and no per-leg exchanges/AQE stages exist.
+    # Splitting the scan was measured 2x WORSE here both ways (fixture
+    # legs re-decode per partition; adding payload-hash colocation
+    # shuffles got parallel decode back but paid ~20 extra stages).
+    docs = _docs(spark, sf, split=False)
+
     media = docs.select("doc_id", F.col("n_chars").alias("duration_ms"))
     plan = frame_sample_plan(media, every_ms=25, id_column="doc_id")
     plan_leg = plan.select(
@@ -2901,7 +2950,11 @@ def _q_multimodal(spark, sf):
     normalized stats carry float32 precision (~1e-7 abs), far finer than
     the 1e-6 rounding grain — so both engines land on the same integer
     deterministically."""
-    docs = _docs(spark, sf)
+    # unsplit for the same reason as _q_frame_sample: keep the
+    # many-leg union a single stage of one-task legs with a fully
+    # effective per-batch decode memo
+    docs = _docs(spark, sf, split=False)
+
     media = synthesize_ppm_media_from_text(
         docs.where(F.col("doc_id") % 4 == 0),
     ).unionByName(synthesize_gif_media_from_text(

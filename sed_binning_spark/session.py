@@ -34,6 +34,13 @@ _DEFAULT_CONF = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # Sane default timezone behaviour for timestamp round-trips.
     "spark.sql.session.timeZone": "UTC",
+    # PySpark 4.x wraps EVERY DataFrame/Column API call with a Python
+    # stack walk plus two extra JVM round-trips to record the user call
+    # site for error messages (pyspark.errors.utils._with_origin). The
+    # expression-built query plans here make tens of thousands of API
+    # calls per query construction, so the bookkeeping costs whole
+    # seconds of driver time per plan — turn it off.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # Read parquet TIMESTAMP(NANOS) columns as raw int64 nanoseconds (Spark
     # has no nanosecond timestamp type and refuses such files otherwise).
     # Exact integer nanos are also the right currency for oracle-exact
