@@ -86,18 +86,27 @@ def image_dhash(
     def _batches(batches):
         for pdf in batches:
             rows = []
+            # hash each DISTINCT payload once per batch: the dhash is a
+            # pure function of the bytes (dedup-before-decode; the memo
+            # dies with the batch, so memory stays bounded)
+            memo: dict = {}
             for mid, payload in zip(pdf[id_column], pdf[payload_column]):
                 if payload is None:
                     continue
-                try:
-                    img = _decode_image_payload(
-                        bytes(payload), FEATURIZER_MAX_PIXELS, None,
-                    )
-                    if img is None:
-                        continue  # not an image container
-                    rows.append((mid, dhash_int(img, hash_size)))
-                except _DECODE_ERRORS:
-                    continue
+                b = bytes(payload)
+                if b in memo:
+                    h = memo[b]
+                else:
+                    try:
+                        img = _decode_image_payload(
+                            b, FEATURIZER_MAX_PIXELS, None,
+                        )
+                        h = None if img is None else dhash_int(img, hash_size)
+                    except _DECODE_ERRORS:
+                        h = None  # not an image / undecodable: zero rows
+                    memo[b] = h
+                if h is not None:
+                    rows.append((mid, h))
             yield pd.DataFrame(rows, columns=[id_column, "dhash"])
 
     return df.mapInPandas(_batches, schema=schema)

@@ -414,24 +414,32 @@ def media_manifest(
     def _batches(batches):
         for pdf in batches:
             rows = []
+            # walk each DISTINCT payload once per batch: the manifest row
+            # is a pure function of the bytes (dedup-before-decode; the
+            # memo dies with the batch, so memory stays bounded)
+            memo: dict = {}
             for mid, payload in zip(pdf[id_column], pdf[payload_column]):
                 if payload is None:
                     rows.append((mid, None, None, 0, None, None, None,
                                  None, None, 0, 0, "null payload"))
                     continue
                 blob = bytes(payload)
-                try:
-                    got = manifest_one(blob)
-                    rows.append((
-                        mid, got["container"], got["mime"], len(blob),
-                        got["width"], got["height"], got["duration_ms"],
-                        got["sample_rate"], got["channels"],
-                        got["n_tags"], got["n_cues"], got["error"],
-                    ))
-                except _DECODE_ERRORS as exc:
-                    rows.append((mid, None, None, len(blob), None, None,
-                                 None, None, None, 0, 0,
-                                 str(exc)[:200] or type(exc).__name__))
+                tail = memo.get(blob)
+                if tail is None:
+                    try:
+                        got = manifest_one(blob)
+                        tail = (
+                            got["container"], got["mime"], len(blob),
+                            got["width"], got["height"], got["duration_ms"],
+                            got["sample_rate"], got["channels"],
+                            got["n_tags"], got["n_cues"], got["error"],
+                        )
+                    except _DECODE_ERRORS as exc:
+                        tail = (None, None, len(blob), None, None,
+                                None, None, None, 0, 0,
+                                str(exc)[:200] or type(exc).__name__)
+                    memo[blob] = tail
+                rows.append((mid, *tail))
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(_batches, schema=schema)

@@ -1775,13 +1775,24 @@ def extract_features(
 
     def _decode_batches(batches):
         for pdf in batches:
-            feats = [
-                featurize(p if p is not None else b"", feature_dim)
-                for p in pdf[payload_column]
-            ]
+            # featurize each DISTINCT payload once per batch (the same
+            # dedup-before-decode rule as _frame_batches: features are a
+            # pure function of the bytes, and real corpora are full of
+            # byte-identical re-uploads; the memo dies with the batch)
+            memo: dict = {}
+            feats = []
+            nbytes = []
+            for p in pdf[payload_column]:
+                b = b"" if p is None else bytes(p)
+                f = memo.get(b)
+                if f is None:
+                    f = featurize(b, feature_dim)
+                    memo[b] = f
+                feats.append(f)
+                nbytes.append(len(b))
             yield pd.DataFrame({
                 "media_id": pdf[id_column],
-                "n_bytes": [len(p) if p is not None else 0 for p in pdf[payload_column]],
+                "n_bytes": nbytes,
                 "feat": feats,
             })
 
@@ -2626,27 +2637,32 @@ def synthesize_png_media_from_text(
         raise ValueError("fixture raster too large for one stored block")
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0,
                        1 if interlace else 0)
-    hexd = F.md5(F.col(text_column))
+    # the whole payload expression is ONE generated SQL string parsed
+    # JVM-side in a single call (see synthesize_gif_media_from_text):
+    # the adler32 weighted sums alone were ~150 Py4J round-trips of
+    # query-construction time per PNG leg when assembled as Column ops
+    tcol, icol = _q(text_column), _q(id_column)
+    md5s = f"md5({tcol})"
     reps = -(-n // 16)  # ceil: md5 is 16 bytes / 32 hex chars
-    full_hex = F.substring(F.concat(*([hexd] * reps)), 1, 2 * n)
+    full_hex = f"substring(concat({', '.join([md5s] * reps)}), 1, {2 * n})"
 
-    def sample(j: int):  # byte value of pixel sample j (plan-time index)
-        return F.conv(F.substring(hexd, (j % 16) * 2 + 1, 2), 16, 10).cast("long")
+    def sample(j: int) -> str:  # byte value of pixel sample j
+        return _md5_sample_sql(tcol, j)
 
     # raw scanlines: filter byte 0 + the row's pixel bytes, as BINARY.
     # Consecutive pixels slice full_hex in one substring; the interlaced
     # permutation slices per pixel (plan-time constant positions).
     rows = []
     for row in layout:
-        rows.append(F.lit(b"\x00"))
+        rows.append("X'00'")
         runs = [[row[0]]]
         for p in row[1:]:
             (runs[-1].append(p) if p == runs[-1][-1] + 1 else runs.append([p]))
         for run in runs:
-            rows.append(F.unhex(
-                F.substring(full_hex, run[0] * 6 + 1, 6 * len(run)),
-            ))
-    raw = F.concat(*rows)
+            rows.append(
+                f"unhex(substring({full_hex}, {run[0] * 6 + 1}, {6 * len(run)}))",
+            )
+    raw = f"concat({', '.join(rows)})"
     # adler32 over the raw bytes: s1 = 1 + sum(b); s2 = n + sum of s1
     # prefixes = raw_len + sum((raw_len - i) * b_i) over 0-based i; filter
     # bytes contribute 0 — all plan-time weighted sums, no aggregate
@@ -2658,36 +2674,31 @@ def synthesize_png_media_from_text(
             for k in range(3):
                 vals.append((pos, p * 3 + k))
                 pos += 1
-    s1 = (sum((sample(j) for _, j in vals), F.lit(1).cast("long"))) % 65521
-    s2 = (sum(
-        (sample(j) * (raw_len - p) for p, j in vals),
-        F.lit(raw_len).cast("long"),
-    )) % 65521
-    adler = F.unhex(F.lpad(F.hex(s2 * F.lit(65536) + s1), 8, "0"))
-    data = F.concat(
-        F.lit(b"\x78\x01"),  # zlib header (32K window, no preset dict)
-        F.lit(b"\x01" + struct.pack("<HH", raw_len, raw_len ^ 0xFFFF)),
-        raw, adler,
-    )
+    s1 = ("((1L + " + " + ".join(sample(j) for _, j in vals)
+          + ") % 65521)")
+    s2 = (f"(({raw_len}L + "
+          + " + ".join(f"{sample(j)} * {raw_len - p}" for p, j in vals)
+          + ") % 65521)")
+    adler = f"unhex(lpad(hex({s2} * 65536 + {s1}), 8, '0'))"
+    stored = b"\x01" + struct.pack("<HH", raw_len, raw_len ^ 0xFFFF)
+    data = (f"concat(X'7801', X'{stored.hex()}', {raw}, {adler})")
     data_len = 2 + 5 + raw_len + 4
-    idat = F.concat(
-        F.lit(struct.pack(">I", data_len) + b"IDAT"),
-        data,
-        F.unhex(F.lpad(F.hex(F.crc32(F.concat(F.lit(b"IDAT"), data))), 8, "0")),
-    )
-    payload = F.when(F.col(text_column).isNotNull(), F.concat(
-        F.lit(PNG_SIG + _png_chunk(b"IHDR", ihdr)),
-        idat,
-        F.lit(_png_chunk(b"IEND", b"")),
-    ))
-    return df.select(
-        F.col(id_column).cast("long").alias("media_id"),
-        payload.alias("payload"),
-        F.when(F.col(text_column).isNotNull(),
-               F.lit("image/png")).alias("mime"),
-        F.when(F.col(text_column).isNotNull(), F.lit(width)).cast("int").alias("width"),
-        F.when(F.col(text_column).isNotNull(), F.lit(height)).cast("int").alias("height"),
-        F.lit(None).cast("int").alias("duration_ms"),
+    idat_head = struct.pack(">I", data_len) + b"IDAT"
+    idat = (f"concat(X'{idat_head.hex()}', {data}, "
+            f"unhex(lpad(hex(crc32(concat(X'{b'IDAT'.hex()}', {data}))), "
+            f"8, '0')))")
+    png_head = PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    payload = (f"CASE WHEN {tcol} IS NOT NULL THEN concat("
+               f"X'{png_head.hex()}', {idat}, "
+               f"X'{_png_chunk(b'IEND', b'').hex()}') END")
+    return df.selectExpr(
+        f"cast({icol} as bigint) as media_id",
+        f"{payload} as payload",
+        f"CASE WHEN {tcol} IS NOT NULL THEN 'image/png' END as mime",
+        f"cast(CASE WHEN {tcol} IS NOT NULL THEN {width} END as int) as width",
+        f"cast(CASE WHEN {tcol} IS NOT NULL THEN {height} END as int)"
+        " as height",
+        "cast(null as int) as duration_ms",
     )
 
 
@@ -2703,6 +2714,39 @@ def _gif_fixture_codes(n: int) -> list:
         codes.extend(("s", j) for j in range(g, min(g + 7, n)))
     codes.append(257)  # EOI
     return codes
+
+
+def _q(name: str) -> str:
+    """Backtick-quote an identifier for generated SQL."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _md5_sample_sql(tcol: str, j: int) -> str:
+    """SQL for md5-cycled sample byte j (the expression twin of the
+    Column-level sample() the fixture builders used to assemble)."""
+    return (f"cast(conv(substring(md5({tcol}), {(j % 16) * 2 + 1}, 2), "
+            f"16, 10) as bigint)")
+
+
+def _gif_lzw_sql(tcol: str, codes: list, lzw_len: int, rot: int) -> str:
+    """SQL for the fixed-layout 9-bit LZW stream bytes (LSB-first,
+    two-code shift/mask per byte), with the sample indices rotated by
+    ``rot`` (frame index of the animated fixture)."""
+    def code_sql(k: int) -> str:
+        if k >= len(codes):
+            return "0L"  # zero pad bits after EOI
+        c = codes[k]
+        if isinstance(c, int):
+            return f"{c}L"
+        return _md5_sample_sql(tcol, (c[1] + rot) % 16)
+
+    parts = []
+    for i in range(lzw_len):
+        k1, s = divmod(8 * i, 9)  # LSB-first: byte i holds bits [8i, 8i+8)
+        b = (f"((shiftright({code_sql(k1)}, {s}) + "
+             f"shiftleft({code_sql(k1 + 1)}, {9 - s})) & 255)")
+        parts.append(f"lpad(hex({b}), 2, '0')")
+    return f"unhex(concat({', '.join(parts)}))"
 
 
 def gif_fixture_n_bytes(width: int, height: int) -> int:
@@ -2740,40 +2784,25 @@ def synthesize_gif_media_from_text(
     lzw_len = (9 * len(codes) + 7) // 8
     if lzw_len > 255:
         raise ValueError("fixture LZW stream exceeds one GIF sub-block")
-    hexd = F.md5(F.col(text_column))
-
-    def sample(j: int):
-        return F.conv(F.substring(hexd, (j % 16) * 2 + 1, 2), 16, 10).cast("long")
-
-    def code_col(k: int):
-        if k >= len(codes):
-            return F.lit(0).cast("long")  # zero pad bits after EOI
-        c = codes[k]
-        return F.lit(c).cast("long") if isinstance(c, int) else sample(c[1])
-
-    byte_hex = []
-    for i in range(lzw_len):
-        k1, s = divmod(8 * i, 9)  # LSB-first: byte i holds bits [8i, 8i+8)
-        b = (F.shiftright(code_col(k1), s)
-             + F.shiftleft(code_col(k1 + 1), 9 - s)).bitwiseAND(F.lit(255))
-        byte_hex.append(F.lpad(F.hex(b), 2, "0"))
-    lzw = F.unhex(F.concat(*byte_hex))
+    # the whole payload expression is generated as ONE SQL string and
+    # parsed JVM-side in a single call: assembling it from pyspark
+    # Column ops costs ~8 Py4J round-trips per LZW byte, which dominates
+    # query CONSTRUCTION time (driver, not cluster) for plan-built media
+    tcol, icol = _q(text_column), _q(id_column)
+    lzw = _gif_lzw_sql(tcol, codes, lzw_len, rot=0)
     gct = bytes(b for v in range(256) for b in (v, v, v))
     head = (b"GIF89a" + struct.pack("<HHBBB", n, 1, 0xF7, 0, 0) + gct
             + b"\x2C" + struct.pack("<HHHHB", 0, 0, n, 1, 0)
             + bytes([8, lzw_len]))
-    payload = F.when(
-        F.col(text_column).isNotNull(),
-        F.concat(F.lit(head), lzw, F.lit(b"\x00\x3B")),
-    )
-    return df.select(
-        F.col(id_column).cast("long").alias("media_id"),
-        payload.alias("payload"),
-        F.when(F.col(text_column).isNotNull(),
-               F.lit("image/gif")).alias("mime"),
-        F.when(F.col(text_column).isNotNull(), F.lit(n)).cast("int").alias("width"),
-        F.when(F.col(text_column).isNotNull(), F.lit(1)).cast("int").alias("height"),
-        F.lit(None).cast("int").alias("duration_ms"),
+    payload = (f"CASE WHEN {tcol} IS NOT NULL THEN "
+               f"concat(X'{head.hex()}', {lzw}, X'003b') END")
+    return df.selectExpr(
+        f"cast({icol} as bigint) as media_id",
+        f"{payload} as payload",
+        f"CASE WHEN {tcol} IS NOT NULL THEN 'image/gif' END as mime",
+        f"cast(CASE WHEN {tcol} IS NOT NULL THEN {n} END as int) as width",
+        f"cast(CASE WHEN {tcol} IS NOT NULL THEN 1 END as int) as height",
+        "cast(null as int) as duration_ms",
     )
 
 
@@ -2813,52 +2842,37 @@ def synthesize_animated_gif_media_from_text(
     lzw_len = (9 * len(codes) + 7) // 8
     if lzw_len > 255:
         raise ValueError("fixture LZW stream exceeds one GIF sub-block")
-    hexd = F.md5(F.col(text_column))
-
-    def sample(j: int):
-        return F.conv(
-            F.substring(hexd, (j % 16) * 2 + 1, 2), 16, 10,
-        ).cast("long")
-
+    # one generated SQL string per payload (see
+    # synthesize_gif_media_from_text): Column-op assembly of the
+    # per-frame LZW bytes was the single largest Py4J cost of the
+    # frame_sample query's construction
+    tcol, icol = _q(text_column), _q(id_column)
     gct = bytes(b for v in range(256) for b in (v, v, v))
-    parts = [F.lit(
-        b"GIF89a" + struct.pack("<HHBBB", n, 1, 0xF7, 0, 0) + gct,
-    )]
+    parts = [
+        "X'" + (b"GIF89a" + struct.pack("<HHBBB", n, 1, 0xF7, 0, 0)
+                + gct).hex() + "'",
+    ]
     for f in range(frames):
-        def code_col(k: int, f: int = f):
-            if k >= len(codes):
-                return F.lit(0).cast("long")  # zero pad bits after EOI
-            c = codes[k]
-            if isinstance(c, int):
-                return F.lit(c).cast("long")
-            return sample((c[1] + f) % 16)
-
-        byte_hex = []
-        for i in range(lzw_len):
-            k1, s = divmod(8 * i, 9)  # LSB-first: byte i holds bits [8i, 8i+8)
-            b = (F.shiftright(code_col(k1), s)
-                 + F.shiftleft(code_col(k1 + 1), 9 - s)).bitwiseAND(F.lit(255))
-            byte_hex.append(F.lpad(F.hex(b), 2, "0"))
         head = (
             bytes([0x21, 0xF9, 4, 0x00]) + struct.pack("<H", 2 + f)
             + bytes([0, 0])
             + b"\x2C" + struct.pack("<HHHHB", 0, 0, n, 1, 0)
             + bytes([8, lzw_len])
         )
-        parts += [F.lit(head), F.unhex(F.concat(*byte_hex)), F.lit(b"\x00")]
-    parts.append(F.lit(b"\x3B"))
-    payload = F.when(F.col(text_column).isNotNull(), F.concat(*parts))
-    return df.select(
-        F.col(id_column).cast("long").alias("media_id"),
-        payload.alias("payload"),
-        F.when(F.col(text_column).isNotNull(),
-               F.lit("image/gif")).alias("mime"),
-        F.when(F.col(text_column).isNotNull(), F.lit(n)).cast("int").alias("width"),
-        F.when(F.col(text_column).isNotNull(), F.lit(1)).cast("int").alias("height"),
-        F.when(
-            F.col(text_column).isNotNull(),
-            F.lit(sum((2 + f) * 10 for f in range(frames))),
-        ).cast("int").alias("duration_ms"),
+        parts += [f"X'{head.hex()}'",
+                  _gif_lzw_sql(tcol, codes, lzw_len, rot=f), "X'00'"]
+    parts.append("X'3b'")
+    payload = (f"CASE WHEN {tcol} IS NOT NULL THEN "
+               f"concat({', '.join(parts)}) END")
+    dur = sum((2 + f) * 10 for f in range(frames))
+    return df.selectExpr(
+        f"cast({icol} as bigint) as media_id",
+        f"{payload} as payload",
+        f"CASE WHEN {tcol} IS NOT NULL THEN 'image/gif' END as mime",
+        f"cast(CASE WHEN {tcol} IS NOT NULL THEN {n} END as int) as width",
+        f"cast(CASE WHEN {tcol} IS NOT NULL THEN 1 END as int) as height",
+        f"cast(CASE WHEN {tcol} IS NOT NULL THEN {dur} END as int)"
+        " as duration_ms",
     )
 
 

@@ -599,17 +599,26 @@ def extract_subtitle_cues(
     def _batches(batches):
         for pdf in batches:
             rows = []
+            # parse each DISTINCT payload once per batch: the cue list is
+            # a pure function of the bytes (dedup-before-decode; the memo
+            # dies with the batch, so memory stays bounded)
+            memo: dict = {}
             for mid, payload in zip(pdf[id_column], pdf[payload_column]):
                 if payload is None:
                     continue
-                try:
-                    got = parse_subtitles(bytes(payload))
-                except _DECODE_ERRORS:
-                    continue
-                rows.extend(
-                    (mid, got["format"], idx, start, end, text)
-                    for idx, start, end, text in got["cues"]
-                )
+                b = bytes(payload)
+                tail = memo.get(b)
+                if tail is None:
+                    try:
+                        got = parse_subtitles(b)
+                        tail = [
+                            (got["format"], idx, start, end, text)
+                            for idx, start, end, text in got["cues"]
+                        ]
+                    except _DECODE_ERRORS:
+                        tail = []
+                    memo[b] = tail
+                rows.extend((mid, *t) for t in tail)
             yield pd.DataFrame(rows, columns=[
                 id_column, "format", "cue_index", "start_ms",
                 "end_ms", "text",

@@ -1500,17 +1500,25 @@ def extract_media_tags(
     def _batches(batches):
         for pdf in batches:
             rows = []
+            # walk each DISTINCT payload once per batch: the tag list is a
+            # pure function of the bytes (dedup-before-decode; the memo
+            # dies with the batch, so memory stays bounded)
+            memo: dict = {}
             for mid, payload in zip(pdf[id_column], pdf[payload_column]):
                 if payload is None:
                     continue
-                try:
-                    got = parse_media_tags(bytes(payload))
-                except _DECODE_ERRORS:
-                    continue
-                rows.extend(
-                    (mid, got["container"], k, v)
-                    for k, v in got["tags"]
-                )
+                b = bytes(payload)
+                tail = memo.get(b)
+                if tail is None:
+                    try:
+                        got = parse_media_tags(b)
+                        tail = [
+                            (got["container"], k, v) for k, v in got["tags"]
+                        ]
+                    except _DECODE_ERRORS:
+                        tail = []
+                    memo[b] = tail
+                rows.extend((mid, *t) for t in tail)
             yield pd.DataFrame(
                 rows, columns=[id_column, "container", "key", "value"],
             )
