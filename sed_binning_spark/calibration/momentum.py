@@ -4,9 +4,10 @@ Two operators touch the event table:
 - M10 momentum calibration: a pure linear Column expression (k-axis append).
 - M9 distortion correction: per-event bilinear lookup into a precomputed
   inverse deformation field — the one operator that genuinely needs Python.
-  The (2, H, W) grid is closed over by an Arrow-batched pandas_udf (Spark
-  ships it once per executor via task broadcast), and the interpolation is
-  vectorized NumPy over whole record batches.
+  The (2, H, W) grid crosses as an explicit broadcast read by an
+  Arrow-batched pandas_udf (cached per worker process, not re-deserialized
+  per task), and the interpolation is vectorized NumPy over whole record
+  batches.
 
 The driver-side field *estimation* (spline warp, pose adjustment, inverse
 field generation — reference F6-F8) operates on small grids, not events.
@@ -15,11 +16,19 @@ field generation — reference F6-F8) operates on small grids, not events.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sed_binning_spark.sqlgen import fsql
+
+# Worker-side mmap cache for shipped deformation-field files: with worker
+# reuse the np.load memmap (an open file + parsed header, no data pages)
+# survives across tasks; the mapped pages live in the page cache, shared
+# by every worker process on the node.
+_DFIELD_GRID_CACHE: dict = {}
 
 
 # ---------------------------------------------------------------------------
@@ -176,7 +185,24 @@ def apply_dfield(
     One Arrow-batched pandas_udf computing BOTH outputs per batch (struct
     return) — the grid crosses to each executor once, events stream through
     in columnar batches.
+
+    The grid ships via ``sc.addFile`` + ``np.load(..., mmap_mode='r')``,
+    not a closure capture: a closure-captured grid lands in the serialized
+    task command, which every task re-deserializes (a detector-resolution
+    field is 64 MB — at 32 concurrent tasks that is 2 GB of redundant
+    unpickling AND 32 private 64 MB heap copies per node, which is exactly
+    the allocation burst that stalls under host memory compaction). The
+    file ships to each executor host once, and every worker process on the
+    node memory-maps the SAME page-cached bytes — per-worker RSS for the
+    grid is ~0 and the lookup touches only the pages it samples
+    (guide §4.5: heavyweight state once per task, §5: bound Python worker
+    memory). Files are memoized per SparkContext by grid digest so
+    repeated query builds over the same field (bench re-runs, interactive
+    re-binning) re-use one shipped file.
     """
+    import hashlib
+    import tempfile
+
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -185,13 +211,37 @@ def apply_dfield(
         raise ValueError(f"dfield must have shape (2, H, W), got {dfield.shape}")
     r_step = (detector_ranges[0][1] - detector_ranges[0][0]) / dfield[0].shape[0]
     c_step = (detector_ranges[1][1] - detector_ranges[1][0]) / dfield[0].shape[1]
-    grid_r, grid_c = dfield[0], dfield[1]
+
+    sc = df.sparkSession.sparkContext
+    memo = getattr(sc, "_sed_dfield_files", None)
+    if memo is None:
+        memo = {}
+        sc._sed_dfield_files = memo
+    digest = hashlib.md5(dfield).hexdigest()
+    fname = memo.get(digest)
+    if fname is None:
+        fname = f"sed_dfield_{digest}.npy"
+        path = os.path.join(tempfile.gettempdir(), fname)
+        if not os.path.exists(path):
+            tmp = f"{path}.{os.getpid()}.tmp"
+            with open(tmp, "wb") as fh:
+                np.save(fh, dfield)
+            os.replace(tmp, path)  # atomic: concurrent builders never
+            # expose a half-written grid file
+        sc.addFile(path)
+        memo[digest] = fname
 
     def _lookup_fn(x, y):
+        grid = _DFIELD_GRID_CACHE.get(fname)
+        if grid is None:
+            from pyspark import SparkFiles
+
+            grid = np.load(SparkFiles.get(fname), mmap_mode="r")
+            _DFIELD_GRID_CACHE[fname] = grid
         rows = x.to_numpy(dtype=float)
         cols = y.to_numpy(dtype=float)
-        new_x = map_coordinates_bilinear(grid_r, rows, cols) * r_step
-        new_y = map_coordinates_bilinear(grid_c, rows, cols) * c_step
+        new_x = map_coordinates_bilinear(grid[0], rows, cols) * r_step
+        new_y = map_coordinates_bilinear(grid[1], rows, cols) * c_step
         return pd.DataFrame({"x": new_x, "y": new_y})
 
     # real (non-stringized) hints: `from __future__ import annotations` breaks
