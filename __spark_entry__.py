@@ -216,8 +216,15 @@ def _docs(spark: SparkSession, sf_dir: str, split: bool = True) -> DataFrame:
 
 
 def _embeds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = f"{sf_dir}/embeddings.parquet"
-    return _split_small_scan(spark, spark.read.parquet(path), path, "vec_id")
+    # No _split_small_scan here: every embeddings consumer either collects
+    # the corpus (the broadcast-vectorized pair/dedup routes, the training
+    # sample/moment passes) or runs one vectorized UDF over it, so at toy
+    # scale a core-count split just shrinks Arrow batches to ~60 rows and
+    # adds an Exchange that EACH of ann_topk's seven union legs re-pays
+    # (interleaved A/B: ann_topk 5.8 -> 2.6 s, ann_pairs_lsh 4.0 -> 2.6 s).
+    # At scale the file yields native splits and the repartition was a
+    # no-op anyway — the split only ever fired where it hurt.
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _binning_sql(nbins_ranges: list, group_names: list[str], src_sql: str = _EV_SQL) -> str:
@@ -2521,12 +2528,20 @@ def _q_ann_topk(spark, sf):
     proj = pca_apply(emb, _PCA_MODEL).where(
         F.col("embedding_pca").isNotNull(),
     )
+    # ONE leg via posexplode instead of one select per component: a union
+    # of per-component legs duplicates the projector-UDF subtree (union
+    # branches share nothing), so the matmul UDF ran once per component
+    # and the scan twice. pca_apply emits exactly k=2 components per
+    # non-null row, so posexplode yields the identical row set
+    # (path=pca_c<pos>, score=component cast double).
     pca_legs = [
         proj.select(
-            F.lit(f"pca_c{c}").alias("path"), "vec_id",
-            F.col("embedding_pca")[c].cast("double").alias("score"),
+            "vec_id", F.posexplode("embedding_pca").alias("pos", "comp"),
+        ).select(
+            F.concat(F.lit("pca_c"), F.col("pos").cast("string")).alias("path"),
+            "vec_id",
+            F.col("comp").cast("double").alias("score"),
         )
-        for c in range(2)
     ]
     model = pca_fit(emb, k=4)
     # ratio[0] == 0 means a zero-variance corpus (pca_fit clamped every

@@ -695,13 +695,18 @@ def pca_fit(
             "n": [n], "s": [s.tolist()], "ss": [ss.tolist()],
         })
 
-    parts = (
-        df.select(embedding_column)
-        .mapInPandas(partial, schema=moment_schema)
-        .repartition(64)  # tree reduce: the driver sees <= 64 moment rows
-        .mapInPandas(combine, schema=moment_schema)
-        .collect()
-    )
+    partials = df.select(embedding_column).mapInPandas(partial, schema=moment_schema)
+    # Tree-reduce gate, data-derived: the partial stage yields ONE moment
+    # row per input partition (~(d + d^2) doubles each). When that count
+    # is bounded the driver folds the rows itself — the fixed
+    # repartition(64) + combine stage costs an Exchange plus 64 Python
+    # worker tasks, which dwarfs the fold for small corpora. A
+    # many-thousand-partition corpus keeps the 64-way combine so the
+    # driver never holds more than 64 rows.
+    n_parts = partials.rdd.getNumPartitions()
+    if n_parts > 256:
+        partials = partials.repartition(64).mapInPandas(combine, schema=moment_schema)
+    parts = partials.collect()
     n = sum(r["n"] for r in parts)
     if n < 2:
         raise ValueError(f"PCA needs at least 2 usable embeddings, got {n}")
