@@ -2259,19 +2259,6 @@ def _q_storage_roundtrip(spark, sf):
     except ValueError as exc:
         ok = "force_recreate" in str(exc) and "dldPosX" in str(exc)
 
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    tbl = cached.toArrow()  # bounded: the gate-scale event table
-    even = pc.fill_null(pc.equal(pc.bit_wise_and(tbl.column("event_id"), 1), 0), True)
-    d2 = path[:-8] + "_parts"
-    shutil.rmtree(d2, ignore_errors=True)
-    os.makedirs(d2)
-    pq.write_table(tbl.filter(even), os.path.join(d2, "part2.parquet"))
-    pq.write_table(tbl.filter(pc.invert(even)), os.path.join(d2, "part10.parquet"))
-    df, _, meta = GenericLoader(spark).read_dataframe(folders=d2)
-    assert meta["file_statistics"]["num_files"] == 2
-
     # S11 (dataset fetcher, reference sed/dataset/dataset.py:28-416):
     # file:// download + sha256 verification, cache hit proven by
     # DELETING the source before the second get (only the recorded cache
@@ -2302,6 +2289,33 @@ def _q_storage_roundtrip(spark, sf):
     os.remove(src)  # second get must be served by the cache alone
     dl_ok = dl_ok and fetcher.get("good") == p1
 
+    # The four remaining legs are independent of each other — each writes
+    # its own directory and reads it back through several small Spark
+    # jobs (offset collects, csv schema inference, toArrow). Build them
+    # on driver threads (guide §2.6: actions are only sequential because
+    # the driver calls them sequentially), so one leg's jobs back-fill
+    # the cluster while another's single-task text write runs. Assembly
+    # below happens in a FIXED order from the futures, so the returned
+    # plan is identical to the serial construction.
+
+    def _parts_leg():
+        # J7+S2: even/odd split into part2/part10, natural-sort read-back
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        tbl = cached.toArrow()  # bounded: the gate-scale event table
+        even = pc.fill_null(
+            pc.equal(pc.bit_wise_and(tbl.column("event_id"), 1), 0), True,
+        )
+        d2 = path[:-8] + "_parts"
+        shutil.rmtree(d2, ignore_errors=True)
+        os.makedirs(d2)
+        pq.write_table(tbl.filter(even), os.path.join(d2, "part2.parquet"))
+        pq.write_table(
+            tbl.filter(pc.invert(even)), os.path.join(d2, "part10.parquet"),
+        )
+        return GenericLoader(spark).read_dataframe(folders=d2)
+
     # S1 (generic csv/json scans, reference sed/loader/generic/loader.py:
     # 30-100): the same frame's id columns written as csv and json and
     # read back through the SAME GenericLoader dispatch — every row must
@@ -2309,8 +2323,8 @@ def _q_storage_roundtrip(spark, sf):
     # dirty-events suite poisons `value` with NaN/±inf, whose text
     # round-trip is writer-dialect trivia, not the scan contract)
     ids_frame = cached.select("event_id", "user_id")
-    legs = []
-    for fmt, writer_opts in (("csv", {"header": True}), ("json", {})):
+
+    def _text_leg(fmt, writer_opts):
         fdir = path[:-8] + f"_{fmt}"
         shutil.rmtree(fdir, ignore_errors=True)
         (ids_frame.coalesce(1).write.mode("overwrite")
@@ -2319,7 +2333,7 @@ def _q_storage_roundtrip(spark, sf):
         leg, _, _ = GenericLoader(spark).read_dataframe(
             folders=fdir, ftype=fmt, **read_opts,
         )
-        legs.append(leg.select(
+        return leg.select(
             F.col("event_id").cast("long").alias("event_id"),
             F.col("user_id").cast("long").alias("user_id"),
             F.lit(None).cast("double").alias("value"),
@@ -2327,7 +2341,7 @@ def _q_storage_roundtrip(spark, sf):
             F.lit(bool(ok)).alias("buffer_ok"),
             F.lit(bool(dl_ok)).alias("download_ok"),
             F.lit(fmt).alias("src_fmt"),
-        ))
+        )
 
     # WARC leg (round 11, pipeline.warc): every 101st event becomes one
     # HTTP-response record in one of THREE gzip WARC files (event_id % 3
@@ -2346,64 +2360,77 @@ def _q_storage_roundtrip(spark, sf):
         write_warc,
     )
 
-    sel = (
-        cached.where(F.col("event_id") % 101 == 0)
-        .select("event_id", "user_id").orderBy("event_id").collect()
-    )
-    wdir = path[:-8] + "_warc"
-    shutil.rmtree(wdir, ignore_errors=True)
-    os.makedirs(wdir)
-    wpaths = [os.path.join(wdir, f"warc{i}.warc.gz") for i in range(3)]
-    recs: dict[int, list] = {0: [], 1: [], 2: []}
-    for r in sel:
-        e, u = int(r["event_id"]), int(r["user_id"])
-        body = (
-            f"<html><body><p>ev {e} u {u} v {e % 997} é</p></body></html>"
-        ).encode()
-        if e % 4 == 3:
-            body += b"<!-- \xff -->"  # invalid UTF-8, must degrade to U+FFFD
-        payload = http_response(
-            body, chunked=e % 4 in (1, 3), gzip_body=e % 4 in (2, 3),
+    def _warc_leg():
+        sel = (
+            cached.where(F.col("event_id") % 101 == 0)
+            .select("event_id", "user_id").orderBy("event_id").collect()
         )
-        recs[e % 3].append({
-            "type": "response",
-            "url": f"http://ev{e}.example/x",
-            "payload": payload,
-        })
-    for i in range(3):
-        recs[i].append({
-            "type": "request", "url": "http://noise.example/req",
-            "content_type": "application/http; msgtype=request",
-            "payload": b"GET / HTTP/1.1\r\nHost: noise.example\r\n\r\n",
-        })
-        recs[i].append({
-            "type": "response", "url": f"http://noise{i}.example/gone",
-            "payload": http_response(b"<p>gone</p>", status=404),
-        })
-        recs[i].append({
-            "type": "response", "url": f"http://noise{i}.example/img",
-            "payload": http_response(
-                b"\x89PNG\r\n\x1a\n", content_type="image/png",
-            ),
-        })
-        write_warc(wpaths[i], recs[i], compress=True)
-    crawl = read_warc(spark, wpaths).withColumn(
-        "wfile",
-        F.regexp_extract("path", r"warc(\d+)\.warc\.gz$", 1).cast("int"),
-    )
-    fmap = crawl.where(F.col("warc_type") == "response").select("url", "wfile")
-    wleg = warc_to_documents(crawl).join(fmap, "url").select(
-        F.regexp_extract("url", r"ev(\d+)\.example", 1)
-        .cast("long").alias("event_id"),
-        F.regexp_extract("text", r"ev \d+ u (\d+) v \d+", 1)
-        .cast("long").alias("user_id"),
-        F.regexp_extract("text", r"ev \d+ u \d+ v (\d+)", 1)
-        .cast("double").alias("value"),
-        F.col("wfile").alias("src_file"),
-        F.lit(bool(ok)).alias("buffer_ok"),
-        F.lit(bool(dl_ok)).alias("download_ok"),
-        F.lit("warc").alias("src_fmt"),
-    )
+        wdir = path[:-8] + "_warc"
+        shutil.rmtree(wdir, ignore_errors=True)
+        os.makedirs(wdir)
+        wpaths = [os.path.join(wdir, f"warc{i}.warc.gz") for i in range(3)]
+        recs: dict[int, list] = {0: [], 1: [], 2: []}
+        for r in sel:
+            e, u = int(r["event_id"]), int(r["user_id"])
+            body = (
+                f"<html><body><p>ev {e} u {u} v {e % 997} é</p></body></html>"
+            ).encode()
+            if e % 4 == 3:
+                body += b"<!-- \xff -->"  # invalid UTF-8, must degrade to U+FFFD
+            payload = http_response(
+                body, chunked=e % 4 in (1, 3), gzip_body=e % 4 in (2, 3),
+            )
+            recs[e % 3].append({
+                "type": "response",
+                "url": f"http://ev{e}.example/x",
+                "payload": payload,
+            })
+        for i in range(3):
+            recs[i].append({
+                "type": "request", "url": "http://noise.example/req",
+                "content_type": "application/http; msgtype=request",
+                "payload": b"GET / HTTP/1.1\r\nHost: noise.example\r\n\r\n",
+            })
+            recs[i].append({
+                "type": "response", "url": f"http://noise{i}.example/gone",
+                "payload": http_response(b"<p>gone</p>", status=404),
+            })
+            recs[i].append({
+                "type": "response", "url": f"http://noise{i}.example/img",
+                "payload": http_response(
+                    b"\x89PNG\r\n\x1a\n", content_type="image/png",
+                ),
+            })
+            write_warc(wpaths[i], recs[i], compress=True)
+        crawl = read_warc(spark, wpaths).withColumn(
+            "wfile",
+            F.regexp_extract("path", r"warc(\d+)\.warc\.gz$", 1).cast("int"),
+        )
+        fmap = crawl.where(F.col("warc_type") == "response").select("url", "wfile")
+        return warc_to_documents(crawl).join(fmap, "url").select(
+            F.regexp_extract("url", r"ev(\d+)\.example", 1)
+            .cast("long").alias("event_id"),
+            F.regexp_extract("text", r"ev \d+ u (\d+) v \d+", 1)
+            .cast("long").alias("user_id"),
+            F.regexp_extract("text", r"ev \d+ u \d+ v (\d+)", 1)
+            .cast("double").alias("value"),
+            F.col("wfile").alias("src_file"),
+            F.lit(bool(ok)).alias("buffer_ok"),
+            F.lit(bool(dl_ok)).alias("download_ok"),
+            F.lit("warc").alias("src_fmt"),
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_parts = pool.submit(_parts_leg)
+        f_csv = pool.submit(_text_leg, "csv", {"header": True})
+        f_json = pool.submit(_text_leg, "json", {})
+        f_warc = pool.submit(_warc_leg)
+        df, _, meta = f_parts.result()
+        legs = [f_csv.result(), f_json.result()]
+        wleg = f_warc.result()
+    assert meta["file_statistics"]["num_files"] == 2
 
     out = df.select(
         "event_id", "user_id", "value",
