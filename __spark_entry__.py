@@ -169,7 +169,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_id": (F.col("user_id") % F.lit(4)).cast("int"),
         "row_id": F.col("event_id"),
     })
-    return _split_small_scan(spark, df, f"{sf_dir}/events.parquet", "event_id")
+    # No _split_small_scan here: per-event expressions are trivial next to
+    # an Exchange of the whole table, and the aggregation queries (binning,
+    # norm_hists) already do map-side partial aggregation on their OWN
+    # shuffle — the pre-split just added a full raw-event exchange in
+    # front. Interleaved A/B at sf0.1, split vs raw: binning_1d 0.97→0.33,
+    # binning_2d3d 1.5→0.6, dfield_correction 1.9→0.58, bias_normspec
+    # 1.8→1.1, norm_hists 2.9→1.9 s — raw won on all 18 event queries
+    # measured. (The docs scan keeps its split: per-doc HOF work is heavy
+    # enough that 32-way parallelism wins there, e.g. doc_hashes 0.9 vs
+    # 3.3 s.) At 100 TB the scan yields native splits and this was a
+    # no-op anyway.
+    return df
 
 
 def _split_small_scan(spark: SparkSession, df: DataFrame, path: str, key: str) -> DataFrame:
@@ -1313,7 +1324,10 @@ def _q_dedup_exact(spark, sf):
     reassembled text is checked as its md5."""
     from sed_binning_spark.pipeline.dedup import dedup_segments
 
-    docs = _docs(spark, sf)
+    # split=False: every grain here immediately hash-aggregates/joins by
+    # digest or doc_id (its own shuffle with map-side combine), so the
+    # pre-split Exchange was pure overhead — A/B 2.1 -> 1.0 s at sf0.1
+    docs = _docs(spark, sf, split=False)
     classes = exact_dedup(docs).select(
         F.col("kept_id").alias("doc_id"), "n_dups",
     )
@@ -2143,7 +2157,10 @@ def _q_seq_pack(spark, sf):
     domain, the tie-break, or the window framing breaks the hash."""
     from sed_binning_spark.pipeline.pack import pack_chunks, pack_sequences, pack_stats
 
-    docs = _docs(spark, sf)
+    # split=False: packing is shuffle-bound (shard/seq windows + two
+    # joins), not per-doc-expression-bound — the pre-split Exchange was
+    # pure overhead (A/B 1.9 -> 1.6 s at sf0.1)
+    docs = _docs(spark, sf, split=False)
 
     def leg(order):
         man = pack_chunks(docs, seq_tokens=64, n_shards=8, order=order)
