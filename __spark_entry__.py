@@ -1528,21 +1528,38 @@ def _q_quality(spark, sf):
     # class (the 50k cap never binds at gate scale), which the oracle
     # counts as distinct RAW-stat tuples (the feature map is injective
     # in them), exercising the cluster-side weighted-histogram path.
-    base = _docs(spark, sf)
-    fitted = quality_classifier_fit(
-        base.where(F.col("doc_id") % 2 == 0),
-        base.where(F.col("doc_id") % 2 == 1),
-    )
+    # split=False for the fit's scan: both class jobs immediately
+    # hash-aggregate distinct feature vectors (their own shuffle), so
+    # the pre-split Exchange was pure overhead — fit A/B 1.45 -> 0.98 s.
+    # The fit's two tiny Spark jobs then run on a driver thread so they
+    # overlap the ~0.8 s of py4j plan construction below (guide §2.6 —
+    # only the scalar n_train literal is needed, at the very end).
+    from concurrent.futures import ThreadPoolExecutor
 
-    docs = scrub_pii(
-        dup_line_stats(pii_stats(docs, "pii_text"), "pii_text"), "pii_text",
-    )
-    # duplicate-segment fractions + badword count over the same pii twin
-    # (it carries the duplicated 'repeat line' pair by construction)
-    docs = dup_segment_stats(docs, "pii_text", granularities=("line",))
-    docs = badword_stats(docs, ["repeat", "contact"], text_column="pii_text")
-    docs = quality_classifier_apply(docs, _CLF_MODEL, output_column="clf_prob")
-    out = quality_score(docs)
+    base = _docs(spark, sf, split=False)
+    with ThreadPoolExecutor(1) as pool:
+        fit_fut = pool.submit(
+            quality_classifier_fit,
+            base.where(F.col("doc_id") % 2 == 0),
+            base.where(F.col("doc_id") % 2 == 1),
+        )
+
+        docs = scrub_pii(
+            dup_line_stats(pii_stats(docs, "pii_text"), "pii_text"),
+            "pii_text",
+        )
+        # duplicate-segment fractions + badword count over the same pii
+        # twin (it carries the duplicated 'repeat line' pair by
+        # construction)
+        docs = dup_segment_stats(docs, "pii_text", granularities=("line",))
+        docs = badword_stats(
+            docs, ["repeat", "contact"], text_column="pii_text",
+        )
+        docs = quality_classifier_apply(
+            docs, _CLF_MODEL, output_column="clf_prob",
+        )
+        out = quality_score(docs)
+        fitted = fit_fut.result()
     return out.select(
         "doc_id", F.round("quality", 6).alias("quality"), "keep",
         "n_url", "n_email", "n_ip", "n_phone", "dup_line_ratio",

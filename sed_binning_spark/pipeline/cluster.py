@@ -107,23 +107,29 @@ def connected_components(
         appears in ``pairs`` (isolated documents never show up, matching
         the "only duplicates need resolution" contract).
     """
+    # Checkpoint the RAW pair frame BEFORE mirroring: union'ing a frame
+    # with its own flip duplicates the whole pair-generation subtree in
+    # the plan (no cross-branch subexpression reuse), so the expensive
+    # candidate pipeline (LSH verify / brute cosine) would execute TWICE
+    # in one job. Materialized first, it runs exactly once and the mirror
+    # below is a cheap re-read of checkpointed rows.
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    # eager: both routes below consume edges at least once, and the
-    # distributed loop re-reads it every iteration
-    edges = edges.localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=True)
 
     # Size-adaptive routing (same posture as the binning driver combine):
     # a dedup pair graph is usually TINY next to its corpus, and each
     # hash-min iteration costs two fixed-overhead Spark jobs (checkpoint +
-    # convergence probe). When the deduped edge set fits comfortably on
-    # the driver, one union-find pass gives the identical smallest-id
-    # labeling in microseconds. take() reads the already-materialized
-    # checkpoint, so the probe costs one short job and never recomputes
-    # the pair pipeline; bigger graphs (or exotic NULL/NaN endpoints,
-    # which Python cannot order the way Spark's join/least semantics do)
-    # fall through to the distributed loop unchanged.
-    head = edges.take(_DRIVER_CC_MAX_EDGES + 1)
+    # convergence probe). When the edge set fits comfortably on the
+    # driver, one union-find pass gives the identical smallest-id
+    # labeling in microseconds — on the RAW pairs: union-find is
+    # symmetric and idempotent, so mirrored/duplicate edges change
+    # nothing, and the node set (all endpoints) is identical. take()
+    # reads the already-materialized checkpoint, so the probe costs one
+    # short job and never recomputes the pair pipeline; bigger graphs
+    # (or exotic NULL/NaN endpoints, which Python cannot order the way
+    # Spark's join/least semantics do) fall through to the distributed
+    # loop unchanged.
+    head = e.take(_DRIVER_CC_MAX_EDGES + 1)
     if len(head) <= _DRIVER_CC_MAX_EDGES and not any(
         r["u"] is None or r["v"] is None
         or (isinstance(r["u"], float) and np.isnan(r["u"]))
@@ -131,9 +137,13 @@ def connected_components(
         for r in head
     ):
         return _driver_connected_components(
-            pairs.sparkSession, head, edges.schema["u"].dataType,
+            pairs.sparkSession, head, e.schema["u"].dataType,
             id_column, component_column,
         )
+
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # eager: the distributed loop re-reads edges every iteration
+    edges = edges.localCheckpoint(eager=True)
 
     labels = edges.select("u").distinct().select("u", F.col("u").alias("lbl"))
     labels = labels.localCheckpoint(eager=True)
