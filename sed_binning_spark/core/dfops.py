@@ -313,9 +313,11 @@ def forward_fill(
 
     Scale design: a single global orderBy window would sort-shuffle 100 TB
     into one task chain. Instead: (1) per-file window fill — parallel across
-    files; (2) per-file LAST non-null value — a tiny aggregate collected to
-    the driver, forward-filled across the file sequence there; (3) broadcast
-    the per-file boundary value back and coalesce. Net cost: one small agg +
+    files; (2) per-file LAST non-null value — a tiny one-row-per-file
+    aggregate, forward-filled across the file sequence by an ordered window
+    over that aggregate (in-plan: nothing is collected, so a million-file
+    corpus never lands on the driver); (3) broadcast the per-file boundary
+    value back and coalesce. Net cost: one small agg +
     one broadcast join, no global sort. ``file_column`` may be a sequence
     of keys (e.g. ``("file_id", "split_id")``) to sub-divide giant files by
     scan split with the same handoff.
@@ -348,24 +350,33 @@ def forward_fill(
     for c in columns:
         out = out.withColumn(c, F.last(_nan_to_null(df, c), ignorenulls=True).over(w))
 
-    # phase 2: per-key last non-null -> driver -> running fill across the
-    # key sequence. Aggregates over the RAW frame: the last non-null per
-    # key is identical either way, and aggregating `out` would execute the
-    # phase-1 sort window once extra just for this collect.
-    aggs = [F.max_by(c, F.when(_nan_to_null(df, c).isNotNull(), F.col(row_column))).alias(c)
-            for c in columns]
-    boundary = df.groupBy(*keys).agg(*aggs).collect()
-    boundary = sorted(boundary, key=lambda r: tuple(r[k] for k in keys))
-    carry: dict = {c: None for c in columns}
-    rows = []
-    for r in boundary:
-        prev = {c: carry[c] for c in columns}
-        for c in columns:
-            if r[c] is not None:
-                carry[c] = r[c]
-        rows.append((*[r[k] for k in keys], *[prev[c] for c in columns]))
-
-    bdf = _boundary_df(df, keys, columns, rows, "__ff_")
+    # phase 2: per-key last non-null value, then the carry across the key
+    # sequence as a running last() over the strictly-PRECEDING keys —
+    # computed IN-PLAN over the tiny one-row-per-key aggregate (the old
+    # driver collect + Python carry loop blocked query build on a Spark
+    # job and would land one row per file on the driver at 100 TB scale;
+    # the ordered window over the aggregate is one single-task stage over
+    # #files rows inside the same job). Aggregates over the RAW frame:
+    # the last non-null per key is identical either way, and aggregating
+    # `out` would execute the phase-1 sort window once extra. max_by only
+    # selects rows where the column is valid, so boundary values are
+    # never NaN and last(ignorenulls) reproduces the `is not None` carry
+    # exactly; orderBy over the keys matches the old Python tuple sort
+    # for every orderable key type (UTF8 binary order == code-point
+    # order).
+    aggs = [
+        F.max_by(c, F.when(_nan_to_null(df, c).isNotNull(), F.col(row_column)))
+        .alias(f"__ff_{c}")
+        for c in columns
+    ]
+    wseq = Window.orderBy(*keys).rowsBetween(Window.unboundedPreceding, -1)
+    bdf = df.groupBy(*keys).agg(*aggs).select(
+        *keys,
+        *[
+            F.last(f"__ff_{c}", ignorenulls=True).over(wseq).alias(f"__ff_{c}")
+            for c in columns
+        ],
+    )
 
     # phase 3: broadcast the boundary values, coalesce into leading nulls
     out = out.join(F.broadcast(bdf), on=keys, how="left")
@@ -419,42 +430,32 @@ def backward_fill(
     for c in columns:
         out = out.withColumn(c, F.last(_nan_to_null(df, c), ignorenulls=True).over(w))
 
-    # boundary values aggregate over the RAW frame: the first non-null per
-    # key is identical either way, and aggregating `out` would execute the
-    # phase-1 sort window once extra just for this collect
-    aggs = [F.min_by(c, F.when(_nan_to_null(df, c).isNotNull(), F.col(row_column))).alias(c)
-            for c in columns]
-    boundary = df.groupBy(*keys).agg(*aggs).collect()
-    boundary = sorted(boundary, key=lambda r: tuple(r[k] for k in keys), reverse=True)
-    carry: dict = {c: None for c in columns}
-    rows = []
-    for r in boundary:
-        nxt = {c: carry[c] for c in columns}
-        for c in columns:
-            if r[c] is not None:
-                carry[c] = r[c]
-        rows.append((*[r[k] for k in keys], *[nxt[c] for c in columns]))
-
-    bdf = _boundary_df(df, keys, columns, rows, "__bf_")
+    # boundary handoff in-plan, the mirror of forward_fill's phase 2: the
+    # per-key FIRST non-null value, carried backwards as a running last()
+    # over the strictly-preceding keys in DESCENDING key order (tuple
+    # reverse sort == orderBy every key desc). Aggregates over the RAW
+    # frame: the first non-null per key is identical either way, and
+    # aggregating `out` would execute the phase-1 sort window once extra.
+    aggs = [
+        F.min_by(c, F.when(_nan_to_null(df, c).isNotNull(), F.col(row_column)))
+        .alias(f"__bf_{c}")
+        for c in columns
+    ]
+    wseq = (
+        Window.orderBy(*[F.col(k).desc() for k in keys])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bdf = df.groupBy(*keys).agg(*aggs).select(
+        *keys,
+        *[
+            F.last(f"__bf_{c}", ignorenulls=True).over(wseq).alias(f"__bf_{c}")
+            for c in columns
+        ],
+    )
     out = out.join(F.broadcast(bdf), on=keys, how="left")
     for c in columns:
         out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__bf_{c}")))
     return out.drop(*[f"__bf_{c}" for c in columns])
-
-
-def _boundary_df(df: DataFrame, key_columns: Sequence[str], columns: Sequence[str],
-                 rows: list[tuple], prefix: str) -> DataFrame:
-    """Tiny per-key boundary-value frame typed from the REAL column types
-    (ints, timestamps, strings all fill losslessly — the reference's
-    forward_fill_lazy is type-agnostic too)."""
-    from pyspark.sql.types import StructField, StructType
-
-    fields = {f.name: f for f in df.schema.fields}
-    schema = StructType(
-        [StructField(k, fields[k].dataType, True) for k in key_columns]
-        + [StructField(f"{prefix}{c}", fields[c].dataType, True) for c in columns],
-    )
-    return df.sparkSession.createDataFrame(rows, schema=schema)
 
 
 def _nan_to_null(df: DataFrame, col: str) -> Column:

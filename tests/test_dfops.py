@@ -262,6 +262,24 @@ def test_backward_fill_matches_pandas(sparse_df, sparse_pdf):
     )
 
 
+def test_fill_build_runs_no_spark_jobs(spark, sparse_df):
+    """The cross-file boundary handoff is computed IN-PLAN (an ordered
+    window over the per-file aggregate), so building a fill must launch
+    zero Spark jobs — the old implementation collected the boundary frame
+    to the driver at query-build time (r14 optimization pin)."""
+    sc = spark.sparkContext
+    group = "fill-build-probe"
+    sc.setJobGroup(group, "fill build should be lazy")
+    try:
+        out = forward_fill(sparse_df, ["v", "iv"])
+        out = backward_fill(out, ["v"])
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+    # and the plan still executes correctly end-to-end
+    assert out.count() == sparse_df.count()
+
+
 def test_forward_fill_nan_is_missing(spark):
     """float NaN is treated as missing, like pandas ffill."""
     df = spark.createDataFrame(
