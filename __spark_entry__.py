@@ -3075,19 +3075,23 @@ def _q_multimodal(spark, sf):
     normalized stats carry float32 precision (~1e-7 abs), far finer than
     the 1e-6 rounding grain — so both engines land on the same integer
     deterministically."""
-    # unsplit for the same reason as _q_frame_sample: keep the
-    # many-leg union a single stage of one-task legs with a fully
-    # effective per-batch decode memo
+    # FIXTURE legs stay unsplit for the same reason as _q_frame_sample:
+    # one-task legs whose per-batch decode memo sees every fixture repeat.
+    # The four SYNTHESIS legs below carry DISTINCT md5-built payloads per
+    # document (the memo never fires), so they build from the split scan —
+    # their expression synthesis and Python decode then parallelize instead
+    # of serializing on one core (same fix as frame_sample's gif branch).
     docs = _docs(spark, sf, split=False)
+    docs_split = _docs(spark, sf)
 
     media = synthesize_ppm_media_from_text(
-        docs.where(F.col("doc_id") % 4 == 0),
+        docs_split.where(F.col("doc_id") % 4 == 0),
     ).unionByName(synthesize_gif_media_from_text(
-        docs.where(F.col("doc_id") % 4 == 2),
+        docs_split.where(F.col("doc_id") % 4 == 2),
     )).unionByName(synthesize_png_media_from_text(
-        docs.where(F.col("doc_id") % 4 == 1),
+        docs_split.where(F.col("doc_id") % 4 == 1),
     )).unionByName(synthesize_png_media_from_text(
-        docs.where(F.col("doc_id") % 4 == 3), interlace=True,
+        docs_split.where(F.col("doc_id") % 4 == 3), interlace=True,
     ))
     # round 13: the 12-bit extended-sequential JPEG decode path, gated
     # through the SAME featurizer as extra rows at media_id = -doc_id-1
@@ -3165,8 +3169,9 @@ def _q_multimodal(spark, sf):
         synthesize_subtitle_media_from_text,
     )
 
+    # split: distinct per-doc payloads (see the synthesis-leg note above)
     sub_media = synthesize_subtitle_media_from_text(
-        docs.where(did % 5 == 3),
+        docs_split.where(did % 5 == 3),
     ).select(
         (-F.col("media_id") - 1).cast("long").alias("media_id"),
         "payload",
@@ -3238,8 +3243,9 @@ def _q_multimodal(spark, sf):
     # which the oracle replays symbolically from the same md5
     from sed_binning_spark.pipeline.imagehash import image_dhash
 
+    # split: distinct per-doc payloads (see the synthesis-leg note above)
     dh_media = synthesize_ppm_media_from_text(
-        docs.where(did % 5 == 4),
+        docs_split.where(did % 5 == 4),
     ).select(
         (-F.col("media_id") - 2_000_000_000).cast("long")
         .alias("media_id"),
