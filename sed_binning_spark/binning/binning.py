@@ -51,6 +51,13 @@ _DENSE_DEDUP_LIMIT = 32
 # faster than a spill round-trip (one extra Spark write job + filesystem).
 _SPILL_MIN_CELLS = 4_000_000
 
+# Below this many INPUT rows the dense-driver path skips the spill entirely:
+# the raw indices are a few MB, so one direct Arrow collect plus a sparse
+# unique-scatter into the cube beats a write job + a dense accumulator pass
+# over prod(bins) cells that only ~rows of them occupy (the sf-scale 4-D
+# regime: 1e5 rows x 1e8 cells).
+_DENSE_SMALL_ROWS = 4_000_000
+
 # Phase timings (seconds) of the most recent bin_dataframe call, for
 # benchmark/diagnostic reporting: which physical plan ran and where the
 # wall-clock went (routing count / spark job / driver combine). Overwritten
@@ -275,10 +282,13 @@ def bin_dataframe(
 
     LAST_RUN_INFO.clear()
     t0 = _time.perf_counter()
-    strategy = "shuffle" if return_partitions else _choose_combine(df, combine, n_flat)
+    if return_partitions:
+        strategy, est_rows = "shuffle", None
+    else:
+        strategy, est_rows = _choose_combine(df, combine, n_flat)
     LAST_RUN_INFO.update(strategy=strategy, route_s=round(_time.perf_counter() - t0, 3))
     if strategy == "driver":
-        full = _dense_driver_histogram(df, flat, n_flat)
+        full = _dense_driver_histogram(df, flat, n_flat, est_rows=est_rows)
         return Cube(full.reshape(tuple(shape)), coords, dims)
 
     # Shuffle path: groupBy(flat).count() — partial agg per partition, one
@@ -307,7 +317,12 @@ def bin_dataframe(
         .where(F.col("__flat").isNotNull() | (F.col("count") < 0))
     )
     t1 = _time.perf_counter()
-    tbl = _spill_collect_arrow(agg_df) if n_flat >= _SPILL_MIN_CELLS else agg_df.toArrow()
+    # occupied cells <= min(prod(bins), input rows): when the routing probe
+    # proved the input small, the single-socket collect is cheaper than a
+    # spill round-trip no matter how large the POTENTIAL cell space is
+    use_spill = n_flat >= _SPILL_MIN_CELLS and (
+        est_rows is None or est_rows >= _SPILL_MIN_CELLS)
+    tbl = _spill_collect_arrow(agg_df) if use_spill else agg_df.toArrow()
     LAST_RUN_INFO["agg_collect_s"] = round(_time.perf_counter() - t1, 3)
 
     flat_idx = tbl.column("__flat").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
@@ -336,19 +351,23 @@ def bin_dataframe(
                 )
         dims.append("df_part")
         coords = {**coords, "df_part": parts}
-        full = np.zeros((n_flat, len(parts)), dtype=np.float32)
+        full = _madv_hugepage(np.zeros((n_flat, len(parts)), dtype=np.float32))
         full[flat_idx, np.searchsorted(parts, part_vals)] = counts
         full = full.reshape(tuple(shape) + (len(parts),))
     else:
-        full = np.zeros(n_flat, dtype=np.float32)
+        full = _madv_hugepage(np.zeros(n_flat, dtype=np.float32))
         full[flat_idx] = counts
         full = full.reshape(tuple(shape))
 
     return Cube(full, coords, dims)
 
 
-def _choose_combine(df: DataFrame, combine: str, n_cells: int) -> str:
+def _choose_combine(df: DataFrame, combine: str, n_cells: int) -> tuple[str, int | None]:
     """Pick the physical combine strategy for the dense cube.
+
+    Returns ``(strategy, estimated_rows)``; the row estimate (None when
+    routing could not obtain one cheaply) lets the chosen path pick its
+    collect mechanics (direct Arrow vs parallel spill) without re-counting.
 
     The groupBy shuffle earns its cost by deduplication: its collect is
     bounded by prod(bins) no matter how many rows exist, so it is the only
@@ -360,13 +379,13 @@ def _choose_combine(df: DataFrame, combine: str, n_cells: int) -> str:
     prunes every projected column under a count).
     """
     if combine != "auto":
-        return combine
-    rows = _cheap_row_estimate(df)
+        return combine, None
+    rows = _cheap_row_estimate(df, n_cells)
     if rows is None:
-        return "shuffle"
+        return "shuffle", None
     if rows <= _DENSE_ROWS_BUDGET and rows < n_cells * _DENSE_DEDUP_LIMIT:
-        return "driver"
-    return "shuffle"
+        return "driver", rows
+    return "shuffle", rows
 
 
 # Below this estimated input size the shuffle plan is trivially cheap, so
@@ -385,7 +404,7 @@ _ROUTE_PROBE_MIN_BYTES = 256 << 20
 _ROUTE_COUNT_CACHE: dict[tuple[int, int], int] = {}
 
 
-def _cheap_row_estimate(df: DataFrame) -> int | None:
+def _cheap_row_estimate(df: DataFrame, n_cells: int = 0) -> int | None:
     """Row count for routing, but only when it is cheap to obtain.
 
     Catalyst statistics answer instantly for materialized caches; a count()
@@ -395,9 +414,13 @@ def _cheap_row_estimate(df: DataFrame) -> int | None:
     would re-run the whole extraction, doubling ingest cost — so routing
     returns None there and the caller takes the always-safe shuffle plan
     (callers who know better can force combine='driver'). Tiny inputs
-    (estimated bytes < _ROUTE_PROBE_MIN_BYTES) also return None: at that
-    size the probe job itself dominates, and the shuffle plan is the right
-    answer regardless of the exact row count."""
+    (estimated bytes < _ROUTE_PROBE_MIN_BYTES) also return None — at that
+    size the probe job itself dominates — UNLESS the bin spec's cell count
+    is itself large (>= _SPILL_MIN_CELLS): there the routing decision is
+    worth one memoized pruned-count job, because a small input over a huge
+    cell space belongs on the small-rows driver route (sparse scatter)
+    rather than a shuffle + dense-cube pass (measured sf0.1 workflow_4d:
+    ~1.8 s shuffle vs <1 s routed)."""
     try:
         qe = df._jdf.queryExecution()
         spark = df.sparkSession
@@ -416,7 +439,7 @@ def _cheap_row_estimate(df: DataFrame) -> int | None:
         # Long.MaxValue when unknown — which safely fails this tiny-gate)
         size = stats.sizeInBytes()
         size = int(size if isinstance(size, int) else size.longValue())
-        if size < _ROUTE_PROBE_MIN_BYTES:
+        if size < _ROUTE_PROBE_MIN_BYTES and n_cells < _SPILL_MIN_CELLS:
             return None
         # Python stages only reliably show in the PHYSICAL plan (a
         # pandas_udf expression prints as its function name in the logical
@@ -493,6 +516,8 @@ def _spill_collect_arrow(df: DataFrame):
         return df.toArrow()
     import pyarrow.parquet as pq
 
+    _jemalloc_retain()
+
     path = os.path.join(scratch, f"sed-binning-spill-{uuid.uuid4().hex}")
     try:
         (
@@ -506,7 +531,8 @@ def _spill_collect_arrow(df: DataFrame):
         shutil.rmtree(path, ignore_errors=True)
 
 
-def _dense_driver_histogram(df: DataFrame, flat, n_cells: int) -> np.ndarray:
+def _dense_driver_histogram(df: DataFrame, flat, n_cells: int,
+                            est_rows: int | None = None) -> np.ndarray:
     """Dense-regime histogram: parallel raw-index spill + driver bincount.
 
     In the dense regime a groupBy dedups almost nothing, so the cheapest
@@ -536,6 +562,28 @@ def _dense_driver_histogram(df: DataFrame, flat, n_cells: int) -> np.ndarray:
     cell_type = "int" if n_cells + 1 <= np.iinfo(np.int32).max else "bigint"
     cell = F.coalesce(flat, F.lit(n_cells)).cast(cell_type).alias("cell")
     sel = df.select(cell)
+
+    if est_rows is not None and est_rows <= _DENSE_SMALL_ROWS:
+        # SMALL-rows dense route (rows << prod(bins), the sf-scale 4-D
+        # regime): the raw indices are at most a few MB, so one direct
+        # Arrow collect + a sparse unique-scatter into the cube skips the
+        # spill write job AND the dense accumulator pass over n_cells
+        # mostly-empty cells (measured sf0.1 workflow_4d 1.9 -> <1 s).
+        t0 = _time.perf_counter()
+        tbl = sel.toArrow()
+        t1 = _time.perf_counter()
+        col = tbl.column("cell")
+        hist = _madv_hugepage(np.zeros(n_cells, dtype=np.float32))
+        if len(col):
+            uniq, cnt = np.unique(
+                col.to_numpy(zero_copy_only=False), return_counts=True)
+            keep = uniq < n_cells  # drop the NULL/out-of-range sentinel
+            hist[uniq[keep]] = cnt[keep]
+        LAST_RUN_INFO.update(
+            small_collect_s=round(t1 - t0, 3),
+            scatter_s=round(_time.perf_counter() - t1, 3),
+        )
+        return hist
 
     scratch = _resolve_scratch_dir(df.sparkSession)
     if scratch is not None:
@@ -568,34 +616,92 @@ def _dense_driver_histogram(df: DataFrame, flat, n_cells: int) -> np.ndarray:
     return hist
 
 
+# MADV_HUGEPAGE on big driver-side buffers: the first write to a fresh page
+# costs a hypervisor round-trip to back the guest-physical page, and on a
+# memory-overcommitted host that service rate was measured as low as
+# 7 MB/s in episodes (800 MB sparse first-touch: 119 s). THP is madvise-only
+# in this guest, and madvise'd regions fault 2 MB at a time — 512x fewer
+# round-trips (measured in one such episode: 400 MB first-touch 74.0 s plain
+# vs 2.3 s madvise'd; identical when the host is quiet). Purely advisory —
+# any failure is ignored.
+_MADV_HUGEPAGE = 14
+_MADV_MIN_BYTES = 64 << 20
+
+
+def _madv_hugepage(arr: np.ndarray) -> np.ndarray:
+    if arr.nbytes < _MADV_MIN_BYTES:
+        return arr
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None, use_errno=True)
+        addr = arr.ctypes.data
+        aligned = (addr + (1 << 21) - 1) & ~((1 << 21) - 1)
+        length = arr.nbytes - (aligned - addr)
+        if length > 0:
+            libc.madvise(ctypes.c_void_p(aligned), ctypes.c_size_t(length),
+                         _MADV_HUGEPAGE)
+    except Exception:
+        pass
+    return arr
+
+
+_JEMALLOC_RETAIN_SET = False
+
+
+def _jemalloc_retain() -> None:
+    """Disable dirty-page decay on pyarrow's jemalloc pool (once per
+    process): freed Arrow read buffers then stay resident and are recycled
+    by the next spill read instead of being munmap'd and re-faulted — the
+    same first-touch cost the workspace buffers below avoid. Retention is
+    bounded by the pool's peak live size (the spill reads, <= ~rows * 4 B);
+    buffers, never results, so repeated runs still recompute everything."""
+    global _JEMALLOC_RETAIN_SET
+    if _JEMALLOC_RETAIN_SET:
+        return
+    _JEMALLOC_RETAIN_SET = True
+    try:
+        import pyarrow as pa
+
+        if pa.default_memory_pool().backend_name == "jemalloc":
+            pa.jemalloc_set_decay_ms(-1)
+    except Exception:
+        pass
+
+
 def _sorted_spill_histogram(sel: DataFrame, scratch: str, n_cells: int,
                             cell_type: str) -> np.ndarray:
-    """Parallel-spill dense histogram, pipelined (the r14 form of the
-    driver combine): executors write the raw cell indices as uncompressed
-    parquet (parallel writers), then per-FILE driver threads read, copy
-    into one persistent values buffer, and in-place sort their slice —
-    read and sort overlap, and the sort is numpy's integer radix
-    (~80 ms for 1e8 int32 across 16 threads). The final histogram gives
-    each thread a contiguous CELL range; sorted slices mean its values are
-    found by binary search instead of scanning all values with boolean
-    masks, so every value is read ~twice total instead of n_threads
-    times, and the only sizable per-call temporaries are the per-range
-    bincount results. Measured at 1e8 rows x 1e8 cells beside the live
-    JVM: median 6.6 s -> 5.7 s for the whole query with a visibly tighter
-    spread (the mask-scan form's 2-14 s bincount wobble came from exactly
-    the transient allocations this removes). The result is order-
-    independent (a histogram), so the per-file sort cannot change it —
-    pinned against np.bincount by tests."""
+    """Parallel-spill dense histogram (the r15 form of the driver combine).
+
+    Executors SORT the cell indices within each partition and write them as
+    ZSTD parquet: sorted indices in the dense regime are runs of tiny
+    deltas, so the spill shrinks ~10x (measured 382 -> 36 MB at 1e8 rows x
+    1e8 cells) — and on a host whose hypervisor backs fresh guest pages
+    slowly (see ``_madv_hugepage``), tmpfs file pages are exactly the
+    allocation that cannot be madvise'd or recycled from userspace, so
+    fewer spill bytes is the only lever. The per-file driver threads then
+    read each (pre-sorted) file into one persistent MADV_HUGEPAGE'd values
+    workspace, and the histogram gives each thread a contiguous CELL range
+    whose values are located in every sorted slice by binary search — each
+    value is gathered once into a retained per-thread scratch, bincounted,
+    and the counts written straight into the final float32 cube in
+    parallel (no n_cells-sized int64 accumulator, no serial astype pass).
+    The executor sort replaces the r14 driver-side sort; its contract is
+    verified with one warm sequential pass per slice (falling back to a
+    driver sort, never to a wrong histogram). The result is order-
+    independent (a histogram) — pinned against np.bincount by tests."""
     import time as _time
 
     import pyarrow.parquet as pq
 
+    _jemalloc_retain()
     t0 = _time.perf_counter()
     path = os.path.join(scratch, f"sed-binning-spill-{uuid.uuid4().hex}")
     try:
         (
-            sel.write.mode("overwrite")
-            .option("compression", "uncompressed")
+            sel.sortWithinPartitions("cell")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
             .option("parquet.enable.dictionary", "false")
             .parquet(path)
         )
@@ -614,18 +720,23 @@ def _sorted_spill_histogram(sel: DataFrame, scratch: str, n_cells: int,
         dtype = np.int32 if cell_type == "int" else np.int64
         buf = _BINCOUNT_WORKSPACE.get("vals")
         if buf is None or buf.dtype != dtype or buf.size < total:
-            buf = np.empty(total, dtype=dtype)
+            buf = _madv_hugepage(np.empty(total, dtype=dtype))
             _BINCOUNT_WORKSPACE["vals"] = buf
         buf = buf[:total]
 
-        def _load_sort(i: int) -> None:
+        def _load(i: int) -> None:
             col = metas[i].read(use_threads=False).column("cell")
             o = int(offs[i])
             for ch in col.chunks:
                 a = ch.to_numpy(zero_copy_only=False)
                 buf[o:o + a.size] = a
                 o += a.size
-            buf[offs[i]:offs[i + 1]].sort(kind="stable")
+            s = buf[offs[i]:offs[i + 1]]
+            # executor-sort contract check: one warm sequential pass; a
+            # violation falls back to the driver radix sort, never to a
+            # wrong histogram (the range phase binary-searches the slices)
+            if s.size > 1 and not bool(np.all(s[:-1] <= s[1:])):
+                s.sort(kind="stable")
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -633,45 +744,75 @@ def _sorted_spill_histogram(sel: DataFrame, scratch: str, n_cells: int,
 
         n_threads = min(16, max(2, default_parallelism() // 2))
         n_hist = n_cells + 1  # sentinel cell for NULL/out-of-range rows
+        hist = _madv_hugepage(np.empty(n_cells, dtype=np.float32))
         with ThreadPoolExecutor(n_threads) as ex:
-            list(ex.map(_load_sort, range(len(files))))
+            list(ex.map(_load, range(len(files))))
             t2 = _time.perf_counter()
             slices = [buf[offs[i]:offs[i + 1]] for i in range(len(files))]
-            # ranges sized so every per-range temporary (the gathered int64
-            # values and the np.bincount result) stays under glibc's dynamic
-            # mmap threshold (~32 MB): transient blocks then recycle from
-            # the arena free lists instead of mmap/munmap round trips whose
-            # page faults — beside a multi-GB JVM, with kcompactd active —
-            # were the 2-14 s wobble of the previous mask-scan form
+            # ranges sized so the per-range bincount result stays under
+            # glibc's dynamic mmap threshold (~32 MB) and recycles from the
+            # arena free lists; the gathered values live in retained
+            # per-thread scratches, so steady-state fresh allocations per
+            # run are only the returned cube itself
             n_ranges = max(n_threads, int(np.ceil(n_hist / 3_000_000)),
                            int(np.ceil(total / 2_500_000)))
             bounds = np.linspace(0, n_hist, n_ranges + 1).astype(np.int64)
-            out = _BINCOUNT_WORKSPACE.get("out")
-            if out is None or out.size < n_hist:
-                out = np.empty(n_hist, dtype=np.int64)
-                _BINCOUNT_WORKSPACE["out"] = out
-            out = out[:n_hist]
+            scratches = _BINCOUNT_WORKSPACE.setdefault("gather", [])
+            while len(scratches) < n_threads:
+                scratches.append(np.empty(0, dtype=np.int64))
+            # per-thread gather scratch is capped; a range whose value
+            # count exceeds the cap (extreme skew) accumulates in pieces
+            scratch_cap = 16_000_000
 
-            def _range(i: int) -> None:
+            def _one_range(i: int, sc: np.ndarray) -> np.ndarray:
                 lo, hi = int(bounds[i]), int(bounds[i + 1])
-                picks = []
+                top = min(hi, n_cells)
+                spans = []
+                m = 0
                 for s in slices:
-                    a = np.searchsorted(s, lo, side="left")
-                    b = np.searchsorted(s, hi, side="left")
+                    a = int(np.searchsorted(s, lo, side="left"))
+                    b = int(np.searchsorted(s, hi, side="left"))
                     if b > a:
-                        picks.append(s[a:b])
-                if not picks:
-                    out[lo:hi] = 0
-                    return
-                joined = picks[0] if len(picks) == 1 else np.concatenate(picks)
-                joined = joined.astype(np.int64, copy=len(picks) == 1)
-                np.subtract(joined, lo, out=joined)
-                # full-slice assignment (bincount pads to hi-lo exactly),
-                # so the reused accumulator never needs zeroing
-                out[lo:hi] = np.bincount(joined, minlength=hi - lo)
+                        spans.append((s, a, b))
+                        m += b - a
+                if m == 0:
+                    if top > lo:
+                        hist[lo:top] = 0.0
+                    return sc
+                if sc.size < min(m, scratch_cap):
+                    sc = _madv_hugepage(
+                        np.empty(min(max(m, 4_000_000), scratch_cap),
+                                 dtype=np.int64))
+                if m <= sc.size:
+                    w = 0
+                    for s, a, b in spans:
+                        sc[w:w + (b - a)] = s[a:b]  # gather + widen, one pass
+                        w += b - a
+                    g = sc[:m]
+                    np.subtract(g, lo, out=g)
+                    cnt = np.bincount(g, minlength=hi - lo)
+                else:  # extreme skew: piece-wise accumulate
+                    cnt = np.zeros(hi - lo, dtype=np.int64)
+                    for s, a, b in spans:
+                        pos = a
+                        while pos < b:
+                            take = min(b - pos, sc.size)
+                            g = sc[:take]
+                            g[:] = s[pos:pos + take]
+                            np.subtract(g, lo, out=g)
+                            cnt += np.bincount(g, minlength=hi - lo)
+                            pos += take
+                if top > lo:
+                    hist[lo:top] = cnt[:top - lo]  # parallel cast-write
+                return sc
 
-            list(ex.map(_range, range(n_ranges)))
-        hist = out[:n_cells].astype(np.float32)
+            def _worker(j: int) -> None:
+                sc = scratches[j]
+                for i in range(j, n_ranges, n_threads):
+                    sc = _one_range(i, sc)
+                scratches[j] = sc
+
+            list(ex.map(_worker, range(n_threads)))
         LAST_RUN_INFO.update(
             spill_collect_s=round(t2 - t0, 3),
             spill_write_s=round(t1 - t0, 3),
@@ -688,11 +829,13 @@ def _sorted_spill_histogram(sel: DataFrame, scratch: str, n_cells: int,
 # mmap'd block so the next run faults it all over again; under memory
 # pressure (the Spark JVM + page cache share the host) those faults
 # serialize on mmap_lock and were measured turning a 0.9 s bincount into
-# 5-37 s (sys-time dominated). Retained footprint: the "out" accumulator
-# (n_cells * 8 B, <= max_dense_cells -> ~1.6 GB worst case) plus the
-# "vals" concat buffer (rows * itemsize, <= _DENSE_ROWS_BUDGET int32 ->
-# ~1 GB worst case) — both bounded by the dense-path routing guards and
-# releasable via release_bincount_workspace() on long-lived drivers.
+# 5-37 s (sys-time dominated). Retained footprint: the "vals" spill buffer
+# (rows * itemsize, <= _DENSE_ROWS_BUDGET int32 -> ~1 GB worst case), the
+# "gather" per-thread scratches (<= 16 threads x 128 MB, typically
+# 16 x 32 MB), and — only if the no-scratch fallback ran — the "out"
+# accumulator (n_cells * 8 B, <= max_dense_cells -> ~1.6 GB worst case).
+# All bounded by the dense-path routing guards and releasable via
+# release_bincount_workspace() on long-lived drivers.
 _BINCOUNT_WORKSPACE: dict = {}
 
 

@@ -55,6 +55,14 @@ _DEFAULT_CONF = {
 _LOCAL_MEMORY_CONF = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
     "spark.driver.maxResultSize": "4g",
+    # madvise-mode THP for the whole local JVM (heap + code cache):
+    # first-touch of a fresh guest page costs a hypervisor round-trip on a
+    # memory-overcommitted host (measured as low as 7 MB/s in episodes);
+    # THP faults back 2 MB at a time — 512x fewer round-trips (400 MB
+    # first-touch 74 s -> 2.3 s measured in one such episode). The guest
+    # THP policy is madvise-only, so this is a no-op for page-for-page
+    # behaviour on healthy hosts.
+    "spark.driver.extraJavaOptions": "-XX:+UseTransparentHugePages",
 }
 
 

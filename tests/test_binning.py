@@ -359,10 +359,13 @@ def test_return_partitions_rejects_null_partitions(spark):
 
 
 def test_routing_probe_skips_tiny_inputs(spark, tmp_path):
-    """The auto-router must not pay a count() job on toy-scale input: a
-    small parquet scan (far below _ROUTE_PROBE_MIN_BYTES) returns None from
-    the cheap estimate, so _choose_combine takes the shuffle plan without
-    touching the data."""
+    """The auto-router must not pay a count() job on toy-scale input when
+    the bin spec is also small: a small parquet scan (far below
+    _ROUTE_PROBE_MIN_BYTES) returns None from the cheap estimate, so
+    _choose_combine takes the shuffle plan without touching the data.
+    When the cell space is HUGE (>= _SPILL_MIN_CELLS), the r15 router pays
+    exactly one memoized pruned-count job instead, because a tiny input
+    over a huge cell space belongs on the small-rows driver route."""
     from sed_binning_spark.binning import binning as binning_mod
 
     p = str(tmp_path / "tiny.parquet")
@@ -379,11 +382,17 @@ def test_routing_probe_skips_tiny_inputs(spark, tmp_path):
 
     cls.count = counting
     try:
+        # small cell space: no probe job
         assert binning_mod._cheap_row_estimate(df) is None
-        assert binning_mod._choose_combine(df, "auto", 10**8) == "shuffle"
+        assert binning_mod._choose_combine(df, "auto", 10**4) == ("shuffle", None)
+        assert calls == []
+        # huge cell space: one probe count, memoized across repeats
+        binning_mod._ROUTE_COUNT_CACHE.clear()
+        assert binning_mod._choose_combine(df, "auto", 10**8) == ("driver", 1000)
+        assert binning_mod._choose_combine(df, "auto", 10**8) == ("driver", 1000)
+        assert calls == [1]
     finally:
         cls.count = orig
-    assert calls == []
 
 
 def test_routing_probe_memoizes_counts(spark, tmp_path):
@@ -433,6 +442,44 @@ def test_spill_fallback_warns_on_cluster_without_scratch(spark, monkeypatch):
     with pytest.warns(RuntimeWarning, match="SPARK_GRAFT_SCRATCH_DIR"):
         tbl = _spill_collect_arrow(df)
     assert tbl.num_rows == 10
+
+
+def test_small_rows_driver_route_matches_shuffle(spark):
+    """The r15 small-rows dense route (rows << prod(bins): direct Arrow
+    collect + sparse unique-scatter, no spill job, no dense accumulator)
+    must produce the same cube as the shuffle plan, including NULL /
+    out-of-range rejects. A cached input has exact rowCount stats, so the
+    auto-router both picks the driver strategy (rows < cells x dedup limit
+    is moot here — force it) and hands the estimate to the histogram."""
+    import pandas as pd
+
+    from sed_binning_spark.binning import binning as binning_mod
+
+    rng = np.random.default_rng(23)
+    pdf = pd.DataFrame({
+        "a": np.concatenate([rng.uniform(-5, 25, 20_000), [np.nan, -100.0, 1e9]]),
+        "b": np.concatenate([rng.uniform(0, 7, 20_000), [1.0, 2.0, 3.0]]),
+    })
+    df = spark.createDataFrame(pdf).repartition(5)
+    kw = dict(bins=[500, 400], axes=["a", "b"],  # 200k cells >> 20k rows
+              ranges=[(0.0, 20.0), (0.0, 6.0)])
+    shuffle = bin_dataframe(df, combine="shuffle", **kw)
+
+    # drive the small route directly through the public entry by giving the
+    # router an exact estimate (cached + materialized input)
+    cached = df.cache()
+    try:
+        cached.count()
+        binning_mod.LAST_RUN_INFO.clear()
+        driver = bin_dataframe(cached, combine="auto", **kw)
+        # the route must actually have taken the small-rows collect
+        # (est_rows 20003 <= _DENSE_SMALL_ROWS and rows < cells * 32)
+        assert binning_mod.LAST_RUN_INFO.get("strategy") == "driver"
+        assert "small_collect_s" in binning_mod.LAST_RUN_INFO
+        np.testing.assert_array_equal(shuffle.data, driver.data)
+        assert float(driver.data.sum()) > 0
+    finally:
+        cached.unpersist()
 
 
 def test_driver_combine_matches_shuffle_combine(spark):
