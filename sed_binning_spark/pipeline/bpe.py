@@ -10,10 +10,12 @@ Units") in the repo's standard estimation split:
 - :func:`bpe_train` fits the merge table DRIVER-SIDE on a bounded seeded
   sample (the :func:`~sed_binning_spark.pipeline.similarity.
   ivf_train_centroids` posture: model estimation is small-data, the
-  corpus itself never leaves the cluster). The sample is a seeded random
-  top-k — ``orderBy(rand(seed)).limit`` compiles to TakeOrdered — NOT a
-  bare ``limit()``, which would train the vocabulary on whatever
-  partitions happen to come first in a source-clustered corpus.
+  corpus itself never leaves the cluster). The sample is a deterministic
+  content-keyed threshold filter (``hash_uniform(text) < n/N`` — map-only,
+  no sort, layout/retry-independent) — NOT a bare ``limit()``, which
+  would train the vocabulary on whatever partitions happen to come first
+  in a source-clustered corpus, and NOT a random top-k, whose
+  TakeOrdered merge task collects every partition's k candidates.
 - :func:`bpe_encode` applies the merges cluster-side as one map-only
   Arrow-batched ``pandas_udf`` over the shared regex pre-tokenizer
   (:data:`~sed_binning_spark.pipeline.text.BPE_TOKEN_RE`): merge ranks
@@ -72,12 +74,27 @@ def bpe_train(
     # aggregates to a (word, count) histogram CLUSTER-SIDE, and only that
     # few-MB unique-word table reaches the driver — a naive toPandas of
     # the token arrays would ship GBs for the documented 200k-doc sample
+    src = df.select(F.col(text_column).alias("t")).where(F.col("t").isNotNull())
+    n_rows = src.count()  # column-pruned scan, one cheap job
+    if n_rows > int(sample_size):
+        # content-keyed threshold filter (hash_uniform: a deterministic
+        # per-row U[0,1)) instead of the old ``orderBy(rand(seed)).limit``:
+        # the top-N-by-random-key form compiles to TakeOrderedAndProject,
+        # whose single merge task receives every partition's N candidates —
+        # at a million input splits that task drowns — while the threshold
+        # filter is map-only (guide §2.4: remove the sort outright). The
+        # draw keys on the text itself, so sample membership is layout-,
+        # retry- and engine-independent; the sample size is binomial
+        # around ``sample_size`` (like df.sample), and a corpus at or
+        # under ``sample_size`` still trains on everything — identical to
+        # the old seeded top-N there (every test SF takes this path, so
+        # the trained table is bit-identical where the oracle looks).
+        from sed_binning_spark.core.dfops import hash_uniform
+
+        u = hash_uniform(src, ["t"], seed, "bpe_train")
+        src = src.where(u < F.lit(float(sample_size) / float(n_rows)))
     pdf = (
-        df.select(F.col(text_column).alias("t"))
-        .where(F.col("t").isNotNull())
-        .orderBy(F.rand(seed))
-        .limit(int(sample_size))
-        .select(F.explode(bpe_tokens(F.col("t"))).alias("w"))
+        src.select(F.explode(bpe_tokens(F.col("t"))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
         .toPandas()
