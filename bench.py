@@ -70,6 +70,8 @@ def main() -> None:
     spark = get_spark(app_name="sed-binning-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from sed_binning_spark.session import default_parallelism
+
     ev = entry_mod._events(spark, sf_dir).cache()
     n_events = ev.count()  # materialize before the clock starts
     # the toy-scale documents table is ONE parquet file = one scan split;
@@ -78,7 +80,7 @@ def main() -> None:
     # (measured 1.5 s -> 0.9 s on minhash_lsh at sf0.1)
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .repartition(min(8, os.cpu_count() or 8))
+        .repartition(min(8, default_parallelism()))
         .cache()
     )
     docs.count()
@@ -249,6 +251,23 @@ def main() -> None:
         ).agg(F.sum(F.col("keep").cast("int"))).collect(),
     )
 
+    # round-15 additions (VERDICT r14 item 2): the queries the round-14
+    # optimization work actually moved — timed as declared-query plans
+    # through the noop sink (guide §1.4: computes every column, no sink
+    # cost), so the driver's round-over-round comparison can finally see
+    # them. Additions-only: headline_total still sums the same 8 queries.
+    entry_queries = entry_mod.queries()
+
+    def _noop_query(name: str) -> None:
+        df = entry_queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+
+    for _wq in ("sxp_electron_ids", "fills", "frame_sample",
+                "ann_pairs_brute", "embedding_dedup_rows"):
+        spark.sparkContext.setJobDescription(f"bench extra: {_wq}")
+        extras[_wq] = _timeit(lambda q=_wq: _noop_query(q))
+    spark.sparkContext.setJobDescription(None)
+
     # --- matched-scale block: the reference's OWN synthetic workload
     # (benchmark_sed.py:26-33 — 1e8 uniform rows, X/Y∈[0,2048],
     # t∈[60000,120000], ADC∈[2000,20000]) so the BASELINE.md numbers can be
@@ -358,6 +377,17 @@ def _ref_scale_block(spark, n: int) -> dict:
     warmups = {}
     converged = {}
     phases = {}
+    health = {}
+
+    def _stat_counters():
+        # /proc/stat first line: cpu user nice system idle iowait irq softirq steal
+        try:
+            with open("/proc/stat") as fh:
+                vals = [int(x) for x in fh.readline().split()[1:9]]
+            return {"sys": vals[2], "iowait": vals[4], "steal": vals[7],
+                    "total": sum(vals)}
+        except OSError:
+            return None
 
     def _best_of(name, fn, max_runs=20):
         binning_mod.LAST_RUN_INFO.clear()  # don't attribute stale phases
@@ -370,13 +400,14 @@ def _ref_scale_block(spark, n: int) -> dict:
         # on this contended host — the fix is more samples, not a wider
         # gate, and the loop exits at the first converged cluster so a
         # quiet host still pays only 3 measured runs.
-        warmups[name] = [round(_run(fn), 3) for _ in range(2)]
-        series = [_run(fn) for _ in range(3)]
+        health[name] = hseries = []
+        warmups[name] = [round(_run(fn, hseries), 3) for _ in range(2)]
+        series = [_run(fn, hseries) for _ in range(3)]
         while len(series) < max_runs:
             lo = sorted(series)[:3]
             if lo[2] <= lo[0] * 1.30:
                 break
-            series.append(_run(fn))
+            series.append(_run(fn, hseries))
         all_runs[name] = [round(t, 3) for t in series]
         cluster = sorted(series)[:3]
         runs[name] = [round(t, 3) for t in cluster]
@@ -384,10 +415,27 @@ def _ref_scale_block(spark, n: int) -> dict:
         best[name] = round(statistics.median(cluster), 3)
         phases[name] = dict(binning_mod.LAST_RUN_INFO)
 
-    def _run(fn):
+    def _run(fn, hseries=None):
+        # per-run host-health record (driver-process sys time + host-wide
+        # steal/iowait deltas) so a slow run can be attributed to the host
+        # (hypervisor fault-service stalls, CPU steal) vs the code without
+        # a narrative; index-aligned with warmups + all_runs
+        s0 = _stat_counters()
+        c0 = os.times()
         t0 = time.perf_counter()
         fn()
-        return time.perf_counter() - t0
+        wall = time.perf_counter() - t0
+        if hseries is not None:
+            c1 = os.times()
+            s1 = _stat_counters()
+            rec = {"wall": round(wall, 3),
+                   "cpu_sys": round(c1.system - c0.system, 2)}
+            if s0 and s1:
+                dt = max(1, s1["total"] - s0["total"])
+                rec["steal_pct"] = round(100 * (s1["steal"] - s0["steal"]) / dt, 2)
+                rec["iowait_pct"] = round(100 * (s1["iowait"] - s0["iowait"]) / dt, 2)
+            hseries.append(rec)
+        return wall
 
     _best_of("binning_1d", lambda: bin_dataframe(
         ev, bins=[1000], axes=["t"], ranges=[(60000.0, 120000.0)],
@@ -428,6 +476,7 @@ def _ref_scale_block(spark, n: int) -> dict:
         "warmups": warmups,
         "converged": converged,
         "phases": phases,
+        "health": health,
         "events_per_sec_1d": round(n / best["binning_1d"]),
         "baseline_ref": {"binning_1d": 3.0176, "binning_4d": 9.2103,
                          "workflow_1d": 17.0553, "workflow_4d": 21.4181,

@@ -1,7 +1,7 @@
 """Capture ``.explain("formatted")`` for every declared query.
 
-Writes ``plans/r14/<query>_<tag>.txt``. Run:
-``python tools/capture_plans.py <tag> [sf_dir] [query ...]``
+Writes ``plans/<round>/<query>_<tag>.txt`` (round via SPARK_GRAFT_PLAN_DIR,
+default r15). Run: ``python tools/capture_plans.py <tag> [sf_dir] [query ...]``
 """
 
 from __future__ import annotations
@@ -24,7 +24,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "plans", "r14")
+                           "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r15"))
     os.makedirs(out_dir, exist_ok=True)
 
     for name, fn in entry_mod.queries().items():
