@@ -63,6 +63,12 @@ _LOCAL_MEMORY_CONF = {
     # THP policy is madvise-only, so this is a no-op for page-for-page
     # behaviour on healthy hosts.
     "spark.driver.extraJavaOptions": "-XX:+UseTransparentHugePages",
+    # ... and the same for the Python workers via glibc's malloc tunable
+    # (glibc 2.35+): worker startup faults ~100 MB per process (numpy +
+    # pandas + Arrow buffers) x one worker per core, which under the same
+    # hypervisor episodes was the dominant cost of every mapInPandas-heavy
+    # query's first run. THP-backed arenas fault 2 MB at a time.
+    "spark.executorEnv.GLIBC_TUNABLES": "glibc.malloc.hugetlb=1",
 }
 
 
